@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a `documents`
+  * table (`doc_id, text, lang, source, n_chars`). Every operator is a pure
+  * Column expression — narrow (no shuffle), codegen'd, scan-fused — so at
+  * 100 TB each is a single pass over the text column with full column
+  * pruning (`ReadSchema` carries only `text` + keys).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for empty/blank text. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-ish token count: GPT-2-style pretokenizer regex classes
+    * (word pieces, numbers, punctuation runs) counted with `regexp_count`.
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).cast("long")
+
+  /** Quality-scoring feature columns. All ratios are guarded against
+    * zero-length text.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val safeLen = when(len === 0, lit(1.0d)).otherwise(len)
+    val nTokens = tokenCountWs(text).cast("double")
+    val safeTokens = when(nTokens === 0, lit(1.0d)).otherwise(nTokens)
+    Seq(
+      "n_chars_q"      -> length(text).cast("long"),
+      "n_tokens"       -> tokenCountWs(text),
+      "alpha_ratio"    -> (regexp_count(text, lit("[A-Za-z]")).cast("double") / safeLen),
+      "digit_ratio"    -> (regexp_count(text, lit("[0-9]")).cast("double") / safeLen),
+      "punct_ratio"    -> (regexp_count(text, lit("[!-/:-@\\[-`{-~]")).cast("double") / safeLen),
+      "space_ratio"    -> (regexp_count(text, lit("\\s")).cast("double") / safeLen),
+      "mean_token_len" -> (regexp_count(text, lit("\\S")).cast("double") / safeTokens),
+      "upper_ratio"    -> (regexp_count(text, lit("[A-Z]")).cast("double") / safeLen))
+  }
+
+  /** Composite [0,1] quality score: documents that look like prose (mostly
+    * alphabetic, moderate punctuation, reasonable token length) score high.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_tokens").cast("double") / lit(20.0d), lit(1.0d))
+    val alphaScore = f("alpha_ratio")
+    val punctPenalty = greatest(lit(0.0d), lit(1.0d) - f("punct_ratio") * 4.0d)
+    round((lenScore * 0.3d + alphaScore * 0.5d + punctPenalty * 0.2d), 4)
+  }
+
+  /** Tiny per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Deterministic, dependency-free; the point is the
+    * distributed shape (argmax over per-language overlap counts computed in
+    * one pass), not lexicon quality.
+    */
+  private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was",
+      "on", "are", "this", "be", "by", "at", "have", "from"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "zu", "den",
+      "von", "für", "auf", "im", "des", "sich", "dem", "als", "auch"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que", "dans", "pour",
+      "qui", "sur", "pas", "au", "avec", "ce", "il", "sont"),
+    "es" -> Seq("el", "la", "y", "los", "las", "es", "un", "una", "del", "que", "en", "por",
+      "para", "con", "no", "se", "su", "al", "lo", "como"))
+
+  /** Language-ID: lowercase-tokenize once, count stopword hits per language
+    * with `filter` over the token array, take the argmax (ties → "und").
+    * One narrow pass; the lexicons are plan literals, no join needed.
+    */
+  def langId(text: Column): Column = {
+    val tokens = split(lower(text), "[^\\p{L}]+")
+    val scores = stopwords.map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      lang -> size(filter(tokens, t => array_contains(set, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling polynomial document fingerprint: base-31 recurrence over the
+    * code points of the ASCII-printable, whitespace-normalized text, reduced
+    * mod 1e9+7 at every step. The modulus keeps intermediate values far from
+    * 64-bit overflow, so the SAME arithmetic is expressible in engines with
+    * checked overflow (DuckDB raises where the JVM would silently wrap) —
+    * that is what makes this oracle-verifiable. Stable across runs and
+    * partitions (pure expression, no RNG).
+    */
+  def fingerprint(text: Column): Column = {
+    val asciiOnly = regexp_replace(text, "[^ -~]", "")
+    val norm = regexp_replace(trim(asciiOnly), "\\s+", " ")
+    val chars = split(norm, "")
+    aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
+  }
+
+  /** All analyses as one DataFrame transform (single narrow projection). */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val features = qualityFeatures(t)
+    features.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+      .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

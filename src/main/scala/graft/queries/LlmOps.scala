@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
+  * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * (token counting, quality, language-ID, fingerprinting), multimodal
+  * plumbing.
+  *
+  * Oracles: everything exactly expressible in DuckDB SQL gets one (exact
+  * dedup, token counts, quality features, fingerprints, langid — the last
+  * three via list lambdas/`regexp_extract_all`). The LSH families and ANN
+  * are checked rows-only (their DuckDB mirror would be a reimplementation of
+  * xxhash64, not an independent oracle).
+  */
+object LlmOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- dedup ----------------
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.2, numHashes = 64, bands = 32, shingleSize = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_simhash_fingerprints" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
+        .orderBy("doc_id")
+    }),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      // exact n-gram Jaccard on a bounded id-range (quadratic primitive —
+      // always bucketed at scale; here bounded for the oracle)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val a = docs.select(col("doc_id").as("id_a"), Dedup.shingles(col("text"), 2).as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), Dedup.shingles(col("text"), 2).as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.05)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_embedding" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- similarity search ----------------
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 5), queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.ivfTopK(emb.filter(col("vec_id") >= 5), queries,
+        "vec_id", "embedding", "vec_id", k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---------------- text analysis ----------------
+    "q_token_count" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      t.select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+        .filter { case (n, _) => Seq("alpha_ratio", "space_ratio", "mean_token_len").contains(n) }
+      t.select(Seq(col("doc_id")) ++
+          feats.map { case (n, c) => round(c, 4).as(n) } :+
+          TextAnalysis.qualityScore(col("text")).as("quality_score"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- multimodal plumbing (stubbed codec, real plumbing) ----
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 100)
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("dec_width"), col("dec_height"), col("dec_channels"))
+        .orderBy("media_id")
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 20, kind = "video")
+      Multimodal.sampleFrames(media, framesPerVideo = 4)
+        .select(col("media_id"), col("frame_no"), length(col("frame")).cast("int").as("frame_bytes"))
+        .orderBy("media_id", "frame_no")
+    }))
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  /** langid oracle generated from the SAME stopword lexicons the Scala
+    * operator uses — guarantees the two stay in sync.
+    */
+  private def langIdSql: String = {
+    val counts = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> list_contains($list, t))) AS cnt_$lang"
+    }.mkString(",\n             ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("cnt_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN cnt_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH c AS (
+           SELECT doc_id,
+             $counts
+           FROM documents),
+         b AS (SELECT doc_id, $best AS best, * FROM c)
+         SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         FROM b ORDER BY doc_id"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_tokens_bpe
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS len,
+             CASE WHEN length(text) = 0 THEN 1.0 ELSE CAST(length(text) AS DOUBLE) END AS safe_len,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+             CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 1.0
+                  ELSE CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) END AS safe_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS n_space,
+             CAST(len(regexp_extract_all(text, '\S')) AS DOUBLE) AS n_nonspace
+           FROM documents)
+         SELECT doc_id,
+           round(n_alpha / safe_len, 4) AS alpha_ratio,
+           round(n_space / safe_len, 4) AS space_ratio,
+           round(n_nonspace / safe_tokens, 4) AS mean_token_len,
+           round(least(n_tokens / 20.0, 1.0) * 0.3
+                 + (n_alpha / safe_len) * 0.5
+                 + greatest(0.0, 1.0 - (n_punct / safe_len) * 4.0) * 0.2, 4) AS quality_score
+         FROM f ORDER BY doc_id""",
+
+    "q_langid" -> langIdSql,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(regexp_replace(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\s+', ' ', 'g'), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sync.StreamMaps
+
+/** Queries exercising the reference-parity surface (SURVEY §2.1): stream
+  * selection/projection, stream maps (filter / computed / rename), schema
+  * flattening, incremental cursor pushdown, demultiplexing, typed JSON
+  * extraction, and event sessionization (the stateful-stream analog).
+  */
+object Parity {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stream selection + field projection (SURVEY §2.1 #7, #18): only the
+    // selected columns reach the scan (check ReadSchema in explain).
+    "q_select_project" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // Stream maps (SURVEY §2.1 #16): __filter__ + computed columns + rename,
+    // through the actual StreamMaps engine component.
+    "q_stream_map" -> ((s, d) => {
+      StreamMaps(
+        Tables.events(s, d),
+        StreamMaps.StreamMap(
+          filter = Some("value > 50.0"),
+          computed = Seq(
+            "value_x2" -> "value * 2.0",
+            "event_type_uc" -> "upper(event_type)"),
+          renames = Map("user_id" -> "uid"),
+          keepOnly = Seq("event_id", "uid", "value_x2", "event_type_uc")))
+        .orderBy("event_id")
+    }),
+
+    // Flattening (SURVEY §2.1 #17): nested struct → __-joined flat columns,
+    // through the engine's recursive flattener.
+    "q_flatten" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")).as("info"))
+      StreamMaps.flatten(c).orderBy("c_custkey")
+    }),
+
+    // Incremental replication (SURVEY §2.1 #10): cursor > bookmark pushed
+    // into the scan — the `--state` resume path as a Catalyst filter.
+    "q_incremental" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("event_id")
+    }),
+
+    // Demultiplexer (SURVEY §2.1 #8): one scan split per stream key — the
+    // groupBy shape of routing RECORDs by stream name.
+    "q_demux" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Typed JSON parsing (SURVEY §1.4 wire format): JSON props column →
+    // typed field, the from_json/get_json_object path.
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Sessionization: the stateful-stream operation (processing-order state
+    // ≈ reference's STATE bookkeeping) expressed as lag + windowed cumsum.
+    "q_sessionize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .withColumn("new_session", when(col("gap_s") > 1800L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy("user_id", "event_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_select_project" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
+
+    "q_stream_map" ->
+      """SELECT event_id, user_id AS uid, value * 2.0 AS value_x2,
+           upper(event_type) AS event_type_uc
+         FROM events WHERE value > 50.0 ORDER BY event_id""",
+
+    "q_flatten" ->
+      """SELECT c_custkey, c_name AS info__name, c_acctbal AS info__acctbal
+         FROM customer ORDER BY c_custkey""",
+
+    "q_incremental" ->
+      """SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+         ORDER BY event_id""",
+
+    "q_demux" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+         FROM g ORDER BY user_id, event_id""")
+}

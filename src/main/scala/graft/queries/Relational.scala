@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The relational query surface: aggregation, joins (broadcast / shuffle /
+  * semi / anti / outer), windows, sorts/top-k, set ops, rollup/cube,
+  * distinct aggregates, scalar/date functions, CASE, HAVING.
+  *
+  * Oracle-compat rules used throughout (DuckDB hash-match):
+  *   - double aggregates go through DECIMAL(18,2) casts (exact, associative
+  *     arithmetic — float summation order would differ between engines),
+  *     with a final explicit DECIMAL cast to pin the result type;
+  *   - every query ORDER BYs on a unique key set;
+  *   - timestamps are emitted as formatted strings or DATEs, never raw
+  *     (ns/µs physical-type mismatches).
+  *
+  * Scale notes: small dims (region/nation/supplier/part/customer) are
+  * explicitly `broadcast()`; big-side joins shuffle on their natural keys;
+  * aggregates are partial+final (Spark default hash agg) — nothing here
+  * collects to the driver.
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          col("sum_qty").cast("double") / col("count_order").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast(DecimalType(38, 2)).as("sum_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    "q_join_shuffle" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0d)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_window" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          sum(col("o_totalprice").cast(dec)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast(DecimalType(38, 2)).as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_sort_multi" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("ship_date").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+    }),
+
+    "q_union" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      c.union(sp).distinct().orderBy("nationkey")
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(sp).orderBy("nationkey")
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0d)
+        .select(col("o_orderkey").as("orderkey"))
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45.0d)
+        .select(col("l_orderkey").as("orderkey"))
+      o.except(l).orderBy("orderkey")
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n"))
+        .orderBy("region", "nation")
+    }),
+
+    "q_cube" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .cube(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(dec)).cast(DecimalType(38, 2)).as("sum_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n"), col("sum_bal"))
+        .orderBy("segment", "nation")
+    }),
+
+    "q_distinct_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_scalar_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).cast("int").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          round(abs(col("p_retailprice") - lit(1000.0d)), 2).as("price_dev"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("int").as("o_day"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_case_expr" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000.0d, lit("big"))
+            .when(col("o_totalprice") > 100000.0d, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(dec)).cast(DecimalType(38, 2)).as("qty"))
+        .filter(col("n") >= 20)
+        .orderBy("l_partkey")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           count(*) AS count_order,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total,
+           lag(o_orderkey, 1) OVER w AS prev_orderkey
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q_sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         ORDER BY ship_date DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+
+    "q_union" ->
+      """SELECT DISTINCT CAST(nationkey AS INTEGER) AS nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION SELECT s_nationkey FROM supplier)
+         ORDER BY nationkey""",
+
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+         INTERSECT SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+         ORDER BY nationkey""",
+
+    "q_except" ->
+      """SELECT o_orderkey AS orderkey FROM orders WHERE o_totalprice > 200000.0
+         EXCEPT SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
+         ORDER BY orderkey""",
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation, count(*) AS n
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
+
+    "q_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment, coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE(c_mktsegment, n_name)
+         ORDER BY segment, nation""",
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+           count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_type, 1, 5) AS type5,
+           p_brand || '#' || p_type AS brand_type,
+           round(abs(p_retailprice - 1000.0), 2) AS price_dev
+         FROM part ORDER BY p_partkey""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_case_expr" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'big'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'small' END AS bucket
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_having" ->
+      """SELECT l_partkey, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+         ORDER BY l_partkey""")
+}

@@ -1,0 +1,54 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+import graft.catalog.ConfiguredCatalog
+import graft.sources.AirbyteSource
+import graft.state.StateStore
+
+/** The sync orchestrator — the Spark re-expression of the reference's
+  * `sync_all` (reference `tap_airbyte/tap.py:781-902`): select streams,
+  * read, apply stream maps + flattening, sink, commit bookmarks.
+  *
+  * Where the reference demultiplexes one stdout pipe into per-stream
+  * in-memory queues drained by daemon threads (its documented scalability
+  * limit: a slow consumer ⇒ unbounded memory, `tap.py:811`), here each
+  * stream is a DataFrame job — backpressure, parallelism, and spill are
+  * Spark's problem. Per-stream jobs are independent and can run concurrently
+  * from the driver; within a job, Spark parallelizes across partitions.
+  */
+final class SyncEngine(
+    source: AirbyteSource,
+    streamMaps: Map[String, StreamMaps.StreamMap] = Map.empty,
+    flattening: Option[Int] = None) {
+
+  /** Full sync: returns the transformed DataFrame per selected stream and
+    * updates `state` with the max-cursor bookmark for incremental streams
+    * (the batch analog of folding Airbyte STATE messages, tap.py:819-884).
+    */
+  def sync(
+      spark: SparkSession,
+      selected: String => Boolean,
+      replicationMethod: String => String = _ => "FULL_TABLE",
+      state: StateStore = new StateStore()): Map[String, DataFrame] = {
+    val catalog = source.discover(spark)
+    val configured = ConfiguredCatalog.configure(catalog, selected, replicationMethod)
+    val raw = source.read(spark, configured, state)
+    val transformed = raw.map { case (name, df0) =>
+      var df = df0
+      streamMaps.get(name).foreach(m => df = StreamMaps(df, m))
+      flattening.foreach(d => df = StreamMaps.flatten(df, d))
+      name -> df
+    }
+    // Commit bookmarks: one tiny agg per incremental stream (runs on the
+    // RAW stream so maps can't hide the cursor). At scale this is a
+    // column-pruned scan of just the cursor column.
+    configured.filter(_.syncMode == "incremental").foreach { e =>
+      e.stream.cursorField.foreach { cursor =>
+        val m = raw(e.stream.name).agg(max(col(cursor)).cast("string")).head()
+        if (!m.isNullAt(0)) state.setBookmark(e.stream.name, cursor, m.getString(0))
+      }
+    }
+    transformed
+  }
+}
