@@ -37,6 +37,7 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val keeps = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
     df.join(keeps, keyCols :+ idCol, "left_semi")
+      .select(df.columns.map(col).toSeq: _*) // using-join reorders; restore caller's order
   }
 
   /** Exact-dup groups: one row per duplicated key with its cardinality and

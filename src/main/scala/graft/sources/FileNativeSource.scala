@@ -86,7 +86,12 @@ final class FileNativeSource(streams: Seq[FileNativeSource.FileStream]) extends 
   private def reader(spark: SparkSession, s: FileNativeSource.FileStream): DataFrame = {
     val r = spark.read.options(s.options)
     s.format match {
-      case "parquet" => r.parquet(s.path)
+      case "parquet" =>
+        // Tolerate INT64 TIMESTAMP(NANOS) columns (Spark rejects them by
+        // default): surface them as raw ns-epoch longs, which serialize
+        // losslessly through the Singer path.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        r.parquet(s.path)
       case "csv"     => r.option("header", "true").option("inferSchema", "true").csv(s.path)
       case "json"    => r.json(s.path)
       case other     => throw new IllegalArgumentException(s"unsupported format $other")

@@ -52,7 +52,10 @@ object StreamMaps {
         val c = col(path.map(p => s"`$p`").mkString("."))
         val flatName = path.mkString(sep)
         dt match {
-          case st: StructType if depth < maxDepth => cols(st, path, depth + 1)
+          // maxDepth counts EXPANDED levels (singer-sdk flattening_max_depth):
+          // maxDepth=1 expands top-level structs one level, deeper structs
+          // JSON-serialize.
+          case st: StructType if depth <= maxDepth => cols(st, path, depth + 1)
           case _: StructType                      => Seq(to_json(c).as(flatName))
           case _: ArrayType                       => Seq(to_json(c).as(flatName))
           case _: MapType                         => Seq(to_json(c).as(flatName))

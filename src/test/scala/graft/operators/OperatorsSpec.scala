@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- Dedup ----------------
+
+  test("exact dedup keeps deterministic min-id winner per key") {
+    val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val groups = Dedup.exactGroups(df, "id", Seq("text")).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L
+      && groups.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("jaccard on known shingle sets") {
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val j = df.select(Dedup.jaccard(
+      Dedup.shingles(col("t1"), 1), Dedup.shingles(col("t2"), 1))).head().getDouble(0)
+    assert(math.abs(j - 3.0 / 5.0) < 1e-9) // {a,b,c} / {a,b,c,d,e}
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated text") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val near = base + " extra"
+    val other = "completely different words describing an unrelated subject matter entirely here"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text", threshold = 0.5, shingleSize = 2)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text -> distance 0; near text close; different text far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"),
+      ("c", "entirely unrelated content about databases and executors")).toDF("id", "text")
+    val fp = df.select(col("id"), Dedup.simhash(col("text")).as("fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b"))
+    assert(java.lang.Long.bitCount(fp("a") ^ fp("c")) > 10)
+  }
+
+  test("embedding near-dup: identical vectors pair up across buckets") {
+    val v = Array(1.0f, 0.0f, 0.5f, 0.2f)
+    val w = Array(-1.0f, 0.3f, 0.0f, 0.9f)
+    val df = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.99, nPlanes = 2)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  // ---------------- Similarity ----------------
+
+  test("brute-force top-k returns nearest by cosine with deterministic ranks") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", "vec_id", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("IVF top-k finds the same nearest neighbor when probing enough cells") {
+    val corpus = (0 until 50).map(i => (i.toLong, Array(i.toFloat, (50 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(49.0f, 1.0f))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", "vec_id", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", "vec_id",
+      k = 3, nCentroids = 5, nProbe = 5) // probe all cells -> exact
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ivf == bf)
+  }
+
+  test("vector functions: dot, norm, cosine, normalize") {
+    val df = Seq((Array(3.0, 4.0), Array(4.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      VectorFunctions.cosine(col("a"), col("a")),
+      VectorFunctions.norm(VectorFunctions.l2Normalize(col("a")))).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  // ---------------- TextAnalysis ----------------
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("hello world, 42 times!", ""), ("  spaced   out  ", "x")).toDF("t", "u")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("t")),
+      TextAnalysis.tokenCountBpe(col("t"))).collect()
+    assert(r(0).getLong(0) == 4) // hello | world, | 42 | times!
+    assert(r(0).getLong(1) == 6) // hello, world, ",", 42, times, "!"
+    assert(r(1).getLong(0) == 2)
+    // empty text
+    val e = Seq("").toDF("t").select(TextAnalysis.tokenCountWs(col("t"))).head()
+    assert(e.getLong(0) == 0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val en = "the cat and the dog sat on the mat with a hat"
+    val fr = "le chat et la table sont dans le jardin avec les fleurs"
+    val df = Seq(en, fr).toDF("t").select(TextAnalysis.langId(col("t")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr"))
+  }
+
+  test("fingerprint is deterministic, whitespace-normalized, non-negative") {
+    val df = Seq("hello  world", "hello world", "different").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1)) // collapsed whitespace
+    assert(fps(0) != fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("quality score: prose scores higher than punctuation soup") {
+    val df = Seq(
+      "This is a reasonably long sentence with normal words and structure.",
+      "!!! ### $$$ %%% ^^^ &&&").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val q = df.collect().map(_.getDouble(0))
+    assert(q(0) > q(1))
+  }
+
+  // ---------------- Multimodal ----------------
+
+  test("multimodal: decode, features, resize, frames are deterministic plumbing") {
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val dec = Multimodal.decodeImages(media).select("media_id", "dec_width").collect()
+    assert(dec.length == 5 && dec.forall(_.getInt(1) >= 32))
+
+    val feats = Multimodal.extractFeatures(media).select("features").head()
+      .getAs[scala.collection.Seq[Float]](0)
+    assert(feats.length == 8 && feats.sum > 0)
+
+    val resized = Multimodal.resizeImages(media, maxBytes = 64)
+      .select(length(col("payload"))).collect()
+    assert(resized.forall(_.getInt(0) <= 64))
+
+    val frames = Multimodal.sampleFrames(media, 3)
+    assert(frames.count() == 15)
+    // deterministic re-run
+    assert(Multimodal.decodeImages(media).select("dec_width").collect().toSeq ==
+      dec.map(r => org.apache.spark.sql.Row(r.getInt(1))).toSeq)
+  }
+}
