@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.state.StateStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class StreamingSyncSpec extends SparkSpec {
+
+  test("file stream sync: micro-batches land in parquet, bookmark advances, resume skips seen data") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("landing").toString
+    val out = Files.createTempDirectory("out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // batch 1 lands
+    Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""").toDS()
+      .coalesce(1).write.mode("append").text(landing)
+
+    val state = new StateStore()
+    val q1 = StreamingSync.syncToParquet(
+      StreamingSync.readJsonlStream(spark, landing, schema),
+      "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 2)
+    assert(state.bookmark("s", "id").contains("2"))
+
+    // batch 2 lands; restart from the SAME checkpoint -> only new file read
+    Seq("""{"id":3,"v":"c"}""").toDS().coalesce(1).write.mode("append").text(landing)
+    val q2 = StreamingSync.syncToParquet(
+      StreamingSync.readJsonlStream(spark, landing, schema),
+      "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3) // no duplicates: checkpoint skipped batch 1 files
+    assert(state.bookmark("s", "id").contains("3"))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.SessionEvent](spark)
+    val sessions = StreamingSync.sessionizeStream(input.toDS(), gapSeconds = 100L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: two events close together, then a gap > 100s, then one more
+      input.addData(StreamingSync.SessionEvent(7L, 1000L), StreamingSync.SessionEvent(7L, 1050L))
+      q.processAllAvailable()
+      input.addData(StreamingSync.SessionEvent(7L, 2000L)) // gap 950s -> closes first session
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sessions").as[StreamingSync.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head == StreamingSync.ClosedSession(7L, 1000L, 1050L, 2))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark aggregate per event-time window") {
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = input.toDS().toDF("ts", "event_type")
+    val agg = StreamingSync.windowedCounts(df, watermarkDelay = "0 seconds", windowLen = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      input.addData((ts(40), "click")) // advances watermark past both windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n FROM wc ORDER BY event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+}
