@@ -213,6 +213,39 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // As-of join (operator Spark lacks; graft.operators.Joins composition):
+    // for every click, the user's most recent purchase at or before it.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.operators.Joins.asofBackward(
+        clicks, purchases, by = Seq("user_id"), on = "ts",
+        rightValueCols = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy("event_id")
+    }),
+
+    // Range (interval) join executed as a bucketed equi-join — lineitem
+    // ship dates falling in [o_orderdate, o_orderdate + 30 days] of
+    // high-value orders, counted per order.
+    "q_range_join" -> ((s, d) => {
+      val points = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 490000.0d)
+        .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+          expr("o_orderdate + INTERVAL 30 DAYS").as("win_end"))
+      graft.operators.Joins.rangeJoinBucketed(
+        points, intervals, "l_shipdate", "win_start", "win_end",
+        bucketWidth = 30L * 86400L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
@@ -342,6 +375,22 @@ object Relational {
                 WHEN o_totalprice > 100000.0 THEN 'mid'
                 ELSE 'small' END AS bucket
          FROM orders ORDER BY o_orderkey""",
+
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event_id, p.value AS p_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipments
+         FROM lineitem
+         JOIN (SELECT o_orderkey, o_orderdate AS win_start,
+                      o_orderdate + INTERVAL 30 DAY AS win_end
+               FROM orders WHERE o_totalprice > 490000.0) w
+           ON l_shipdate BETWEEN win_start AND win_end
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "q_having" ->
       """SELECT l_partkey, count(*) AS n,
