@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join without a shuffle") {
+    val n = 1000
+    val facts = (1 to n).map(i => (i.toLong % 50, i.toLong, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    Layout.writeBucketed(facts, "facts_b", Seq("k"), numBuckets = 8, sortCols = Seq("k"))
+    Layout.writeBucketed(dims, "dims_b", Seq("k"), numBuckets = 8, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (at test sizes broadcast would win and
+      // bucketing would be moot — at 100 TB neither side broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+
+  test("salted join matches plain join results") {
+    // heavy skew: 90% of rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i)).toDF("k", "payload")
+    val small = (0L to 10L).map(k => (k, s"v$k")).toDF("k", "attr")
+    val plain = big.join(small, "k").select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    val salted = Layout.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 2000)
+  }
+
+  test("salted aggregate equals direct aggregate") {
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong % 5 else 0L, i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Layout.saltedAggregate(df, "k", salts = 8,
+      partial = Seq("n" -> count(lit(1)), "s" -> sum(col("v"))),
+      fin = Seq("n" -> sum(col("n")), "s" -> sum(col("s"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+}
