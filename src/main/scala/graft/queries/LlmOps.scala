@@ -111,6 +111,19 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Heavy hitters: top-5 tokens per language via the Misra-Gries
+    // TypedImperativeAggregate (exact at this vocabulary size — capacity
+    // exceeds distinct tokens — hence oracle-checkable).
+    "q_heavy_hitters" -> ((s, d) => {
+      val tokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(graft.expressions.HeavyHittersAgg.heavy_hitters(tokens, 5).as("hh"))
+        .select(col("lang"), explode(col("hh")).as("h"))
+        .select(col("lang"), col("h.token").as("token"), col("h.cnt").as("cnt"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
     // ---------------- multimodal plumbing (stubbed codec, real plumbing) ----
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 100)
@@ -185,6 +198,17 @@ object LlmOps {
          FROM f ORDER BY doc_id""",
 
     "q_langid" -> langIdSql,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY 1, 2),
+         r AS (SELECT lang, token, cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+               FROM c)
+         SELECT lang, token, cnt FROM r WHERE rn <= 5
+         ORDER BY lang, cnt DESC, token""",
 
     "q_fingerprint" ->
       """SELECT doc_id,
