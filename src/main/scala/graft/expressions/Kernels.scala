@@ -44,6 +44,40 @@ object VectorKernels {
     acc
   }
 
+  /** Splitmix64-derived pseudo-random double in [-1, 1) for plane `p`,
+    * coordinate `i` — lets LSH bucketing work without knowing the vector
+    * dimension at plan time (plane values are a pure function of
+    * (seed, p, i), identical on every executor).
+    */
+  def planeValue(seed: Long, p: Int, i: Int): Double = {
+    var z = seed + (p.toLong << 32) + i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Dimension-agnostic random-hyperplane LSH bucket: bit p = sign(v · plane_p)
+    * with plane coordinates generated on the fly from (seed, p, i).
+    */
+  def hyperplaneBucketDyn(v: ArrayData, nPlanes: Int, seed: Long, vFloat: Boolean): Long = {
+    val d = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * planeValue(seed, p, i)
+        i += 1
+      }
+      if (acc >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Random-hyperplane LSH bucket id: bit i = sign(v · planes[i]). `planes`
     * is row-major (nPlanes × dim), shipped once as a plan literal.
     */
