@@ -1,26 +1,18 @@
 package graft.extensions
 
-import org.apache.spark.sql.SparkSession
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.BeforeAndAfterAll
 import graft.expressions.{functions => gfn}
 
-/** Own SparkSession (with extensions injected) — separate from the shared
-  * test session, torn down after the suite.
+/** Uses the SHARED test session and injects the rule through
+  * `spark.experimental.extraOptimizations` (the runtime path; equivalent to
+  * `.withExtensions(new GraftExtensions)` at session build — asserted
+  * separately). Building a second SparkSession here would silently reuse
+  * the shared one (getOrCreate) and stopping it would kill every other
+  * suite's context.
   */
-class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+class GraftExtensionsSpec extends SparkSpec {
 
   private def vecs(n: Int) = {
     import spark.implicits._
@@ -31,7 +23,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("similarity theta-join rewrites to LSH bucket equi-join when enabled") {
-    spark.sparkContext.setLogLevel("ERROR")
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteSimilarityJoin
     spark.conf.set("spark.graft.lsh.rewrite.enabled", "true")
     try {
       val a = vecs(300).select(col("id").as("id_a"), col("v").as("va"))
@@ -48,14 +41,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // identical vectors (same id) always share a bucket -> all self-pairs found
       val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert((1 to 300).forall(i => pairs.contains((i.toLong, i.toLong))))
-    } finally spark.conf.set("spark.graft.lsh.rewrite.enabled", "false")
+    } finally {
+      spark.conf.set("spark.graft.lsh.rewrite.enabled", "false")
+      spark.experimental.extraOptimizations = prev
+    }
   }
 
   test("rewrite is opt-in: disabled by default, plan keeps the exact join") {
-    val a = vecs(20).select(col("id").as("id_a"), col("v").as("va"))
-    val b = vecs(20).select(col("id").as("id_b"), col("v").as("vb"))
-    val q = a.crossJoin(b).filter(gfn.cosine_sim(col("va"), col("vb")) >= 0.999)
-    assert(!q.queryExecution.optimizedPlan.toString.contains("__lsh_bucket"))
-    assert(q.count() >= 20) // exact path still correct
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteSimilarityJoin
+    try {
+      val a = vecs(20).select(col("id").as("id_a"), col("v").as("va"))
+      val b = vecs(20).select(col("id").as("id_b"), col("v").as("vb"))
+      val q = a.crossJoin(b).filter(gfn.cosine_sim(col("va"), col("vb")) >= 0.999)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__lsh_bucket"))
+      assert(q.count() >= 20) // exact path still correct
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("GraftExtensions registers against SparkSessionExtensions without error") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e) // injectOptimizerRule must accept the rule
   }
 }
