@@ -184,15 +184,24 @@ object Dedup {
       threshold: Double = 0.95,
       nPlanes: Int = 8,
       dim: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nTables: Int = 1): DataFrame = {
     val d = if (dim > 0) dim else firstVectorDim(df, vecCol)
-    val planes = randomPlanes(nPlanes, d, seed)
+    // L independent hash tables (rotated plane sets): recall compounds as
+    // 1-(1-p)^L while cost grows with candidate overlap — the MinHash-bands
+    // trade for vectors. Precision is unaffected (exact verify below).
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", gfn.hyperplane_bucket(col("v"), planes))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      .withColumn("tb", explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("table"),
+          gfn.hyperplane_bucket(col("v"), randomPlanes(nPlanes, d, seed + t * 7919L))
+            .as("bucket"))
+      }: _*)))
+      .select(col("id"), col("v"), col("tb.table"), col("tb.bucket"))
+    val a = v.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several tables
       .withColumn("cosine", gfn.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

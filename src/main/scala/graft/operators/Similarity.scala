@@ -56,16 +56,34 @@ object Similarity {
       queryIdCol: String,
       k: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      refineIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    // Deterministic "training": the nCentroids lowest-id vectors. (A real
-    // pipeline would k-means-refine; determinism matters more here and the
-    // refinement is orthogonal to the distributed search shape.)
-    val centroids = c.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    val centroidDf = broadcast(centroids)
+    // Deterministic training: seed with the nCentroids lowest-id vectors,
+    // then `refineIters` Lloyd steps (assign -> per-cell mean). Each step is
+    // one distributed pass; the centroid table itself stays tiny and is
+    // re-broadcast per step.
+    import spark.implicits._
+    var centroidDf = broadcast(c.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").cast("array<double>").as("cv")))
+    for (_ <- 0 until refineIters) {
+      val wA = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+      val assign = c.crossJoin(centroidDf)
+        .withColumn("csim", gfn.cosine_sim(col("v"), col("cv")))
+        .withColumn("r", row_number().over(wA))
+        .filter(col("r") === 1)
+        .select(col("cid"), col("v"))
+      val means = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+      centroidDf = broadcast(means)
+    }
 
     // Corpus→cell assignment: broadcast NL join + per-row argmax (rank 1).
     val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)

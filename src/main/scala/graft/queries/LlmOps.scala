@@ -59,7 +59,7 @@ object LlmOps {
 
     "q_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, nPlanes = 3)
+        threshold = 0.4, nPlanes = 3, nTables = 3)
         .orderBy("id_a", "id_b")
     }),
 

@@ -77,6 +77,39 @@ object Parity {
         .orderBy("event_id")
     }),
 
+    // CSV round-trip through the file-native source: the source-file parity
+    // path (reference syncs CSVs through a connector container; here the
+    // engine's own csv reader). Content derives from the nation table so
+    // the oracle stays on testdata.
+    "q_csv_source" -> ((s, d) => {
+      val tmp = s"/tmp/graft_csv/${new java.io.File(d).getName}"
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val src = new graft.sources.FileNativeSource(Seq(
+        graft.sources.FileNativeSource.FileStream("nation_csv", "csv", tmp)))
+      val cat = src.discover(s)
+      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
+          new graft.state.StateStore())("nation_csv")
+        .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey")
+    }),
+
+    // JSONL round-trip: the engine's json reader over a Singer-shaped dump.
+    "q_json_source" -> ((s, d) => {
+      val tmp = s"/tmp/graft_json/${new java.io.File(d).getName}"
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val src = new graft.sources.FileNativeSource(Seq(
+        graft.sources.FileNativeSource.FileStream("customer_json", "json", tmp)))
+      val cat = src.discover(s)
+      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
+          new graft.state.StateStore())("customer_json")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), max(col("c_custkey")).as("max_key"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Sessionization: the stateful-stream operation (processing-order state
     // ≈ reference's STATE bookkeeping) expressed as lag + windowed cumsum.
     "q_sessionize" -> ((s, d) => {
@@ -120,6 +153,14 @@ object Parity {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",
+
+    "q_csv_source" ->
+      """SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey, count(*) AS n_nations
+         FROM nation GROUP BY 1 ORDER BY 1""",
+
+    "q_json_source" ->
+      """SELECT c_mktsegment, count(*) AS n, max(c_custkey) AS max_key
+         FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       """WITH g AS (
