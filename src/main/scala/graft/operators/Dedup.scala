@@ -191,17 +191,25 @@ object Dedup {
     // 1-(1-p)^L while cost grows with candidate overlap — the MinHash-bands
     // trade for vectors. Precision is unaffected (exact verify below).
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = v
       .withColumn("tb", explode(array((0 until nTables).map { t =>
         struct(lit(t).as("table"),
           gfn.hyperplane_bucket(col("v"), randomPlanes(nPlanes, d, seed + t * 7919L))
             .as("bucket"))
       }: _*)))
-      .select(col("id"), col("v"), col("tb.table"), col("tb.bucket"))
-    val a = v.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+    // candidate pairs carry ONLY ids through the self-join and the distinct
+    // (a pair colliding in several tables must verify once, and shuffling
+    // vectors through the distinct would dominate at scale)
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // same pair may collide in several tables
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", gfn.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
