@@ -101,6 +101,20 @@ object TextAnalysis {
       (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
   }
 
+  /** Text normalization for training corpora: lowercase, strip
+    * non-alphanumerics, drop stopwords (all four lexicons), re-join with
+    * single spaces. One narrow codegen'd pass; the lexicons are plan
+    * literals.
+    */
+  def cleanText(text: Column): Column = {
+    val all = stopwords.flatMap(_._2).distinct
+    val stopSet = array(all.map(lit): _*)
+    val tokens = split(lower(text), "[^a-z0-9]+")
+    array_join(
+      filter(tokens, t => length(t) > 0 && !array_contains(stopSet, t)),
+      " ")
+  }
+
   /** All analyses as one DataFrame transform (single narrow projection). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

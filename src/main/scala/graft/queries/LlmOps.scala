@@ -105,6 +105,13 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    "q_text_clean" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean_text"),
+          TextAnalysis.tokenCountWs(TextAnalysis.cleanText(col("text"))).as("n_clean_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -163,7 +170,24 @@ object LlmOps {
          FROM b ORDER BY doc_id"""
   }
 
+  /** q_text_clean oracle generated from the SAME stopword lexicons. */
+  private def textCleanSql: String = {
+    val all = TextAnalysis.stopwords.flatMap(_._2).distinct
+    val list = all.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH c AS (
+           SELECT doc_id,
+             array_to_string(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> len(t) > 0 AND NOT list_contains($list, t)),
+               ' ') AS clean_text
+           FROM documents)
+         SELECT doc_id, clean_text,
+           CAST(len(regexp_extract_all(clean_text, '\\S+')) AS BIGINT) AS n_clean_tokens
+         FROM c ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_clean" -> textCleanSql,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
