@@ -125,6 +125,28 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** SQL registration: makes the kernels callable from `spark.sql` text —
+  * `SELECT cosine_sim(a.v, b.v) FROM ...` — so the SQL surface and the
+  * Column API expose the same operator set.
+  */
+object SqlFunctions {
+  import org.apache.spark.sql.SparkSession
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", es =>
+      ShingleHashes(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature", es =>
+      MinHashSignature(es(0), es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+      "built-in")
+    ()
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object functions {
   import ExprHelpers.{col, expr}
