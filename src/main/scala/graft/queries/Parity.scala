@@ -64,7 +64,7 @@ object Parity {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_value"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -147,7 +147,7 @@ object Parity {
 
     "q_demux" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_json_extract" ->

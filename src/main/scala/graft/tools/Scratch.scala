@@ -1,6 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
 
 /** Ad-hoc local experimentation entry point (not part of the engine). */
 object Scratch {
@@ -12,11 +15,27 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    ev.printSchema()
-    ev.select("event_id", "ts").orderBy("event_id").show(3, false)
-    ev.selectExpr("min(ts)", "max(ts)").show(false)
+    val dir = "/root/testdata/sf0.01"
+    val dec = DecimalType(18, 2)
+    val base = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("s"))
+
+    base.select(col("event_type"), col("n"),
+        col("s").cast(DecimalType(38, 2)).as("sum_value"))
+      .orderBy("event_type")
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/demux_382")
+
+    base.select(col("event_type"), col("n"),
+        col("s").cast(DecimalType(38, 4)).as("sum_value"))
+      .orderBy("event_type")
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/demux_384")
+
+    base.select(col("event_type"), col("n"),
+        col("s").cast("double").as("sum_value"))
+      .orderBy("event_type")
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/demux_dbl")
+
     spark.stop()
   }
 }
