@@ -81,6 +81,33 @@ case class HyperplaneBucket(child: Expression, planes: Array[Double], dim: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** nearest_centroid(array<float|double>) → int index of the cosine-nearest
+  * centroid. The centroid matrix (row-major) and its precomputed norms ride
+  * along as plan literals (`addReferenceObj`), so IVF cell assignment stays
+  * a zero-shuffle narrow projection inside whole-stage codegen.
+  */
+case class NearestCentroid(
+    child: Expression,
+    centroids: Array[Double],
+    norms: Array[Double],
+    dim: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  private lazy val vf = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCentroid(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, norms, dim, vf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.VectorKernels.nearestCentroid($v, $cRef, $nRef, $dim, $vf)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** simhash64(string) → long. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -157,6 +184,12 @@ object functions {
     require(planes.nonEmpty)
     val dim = planes.head.length
     col(HyperplaneBucket(expr(v), planes.flatten.toArray, dim))
+  }
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val dim = centroids.head.length
+    val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    col(NearestCentroid(expr(v), centroids.flatten, norms, dim))
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))

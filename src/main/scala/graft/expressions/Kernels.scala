@@ -44,6 +44,47 @@ object VectorKernels {
     acc
   }
 
+  /** Index of the cosine-nearest centroid; ties break to the lowest index.
+    * `centroids` is row-major (k × dim) with `norms(i)` the precomputed L2
+    * norm of row i — shipped once as plan literals, so nearest-cell
+    * assignment is a narrow per-row projection (no join, no shuffle).
+    */
+  def nearestCentroid(
+      v: ArrayData,
+      centroids: Array[Double],
+      norms: Array[Double],
+      dim: Int,
+      vFloat: Boolean): Int = {
+    val d = math.min(dim, v.numElements())
+    val k = norms.length
+    var vn = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vn)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < d) {
+        val x = if (vFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        dot += x * centroids(off + j)
+        j += 1
+      }
+      val denom = vnorm * norms(c)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Splitmix64-derived pseudo-random double in [-1, 1) for plane `p`,
     * coordinate `i` — lets LSH bucketing work without knowing the vector
     * dimension at plan time (plane values are a pure function of

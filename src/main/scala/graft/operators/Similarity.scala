@@ -61,40 +61,38 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    // Deterministic training: seed with the nCentroids lowest-id vectors,
-    // then `refineIters` Lloyd steps (assign -> per-cell mean). Each step is
-    // one distributed pass; the centroid table itself stays tiny and is
-    // re-broadcast per step.
-    import spark.implicits._
-    var centroidDf = broadcast(c.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("v").cast("array<double>").as("cv")))
+    // The centroid model lives on the driver (nCentroids × dim doubles — a
+    // few KB, the footprint of any broadcast k-means model) and rides into
+    // the plan as an expression literal. Training is deterministic: seed
+    // with the nCentroids lowest-id vectors, then `refineIters` Lloyd
+    // steps. Each step is a NARROW nearest-centroid projection (no join,
+    // no corpus shuffle) followed by a map-side-combined groupBy of
+    // (cid, pos, x) triples — every task emits at most nCentroids × dim
+    // partial rows regardless of corpus size.
+    var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(nCentroids)
+      .select(col("v").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until refineIters) {
-      val wA = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-      val assign = c.crossJoin(centroidDf)
-        .withColumn("csim", gfn.cosine_sim(col("v"), col("cv")))
-        .withColumn("r", row_number().over(wA))
-        .filter(col("r") === 1)
-        .select(col("cid"), col("v"))
-      val means = assign
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      val meanRows = c
+        .select(gfn.nearest_centroid(col("v"), centroids).as("cid"),
+          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
-      centroidDf = broadcast(means)
+        .collect()
+      val next = centroids.map(_.clone()) // cells that lost all rows keep their centroid
+      meanRows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
     }
 
-    // Corpus→cell assignment: broadcast NL join + per-row argmax (rank 1).
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-    val assigned = c.crossJoin(centroidDf)
-      .withColumn("csim", gfn.cosine_sim(col("v"), col("cv")))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("id"), col("v"), col("cid"))
+    // Corpus→cell assignment: zero-shuffle codegen projection.
+    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("v"), centroids))
     // At 100 TB: persist `assigned` partitioned/bucketed BY cid — write once,
     // every query then prunes to nProbe cells via partition pruning.
 
+    import spark.implicits._
+    val centroidDf = broadcast(
+      centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+        .toDF("cid", "cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
     val probes = q.crossJoin(centroidDf)
