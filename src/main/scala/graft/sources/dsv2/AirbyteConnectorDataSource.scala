@@ -86,6 +86,7 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
             cmd.elements().asScala.map(_.asText).toSeq).toSeq
         case None => throw new IllegalArgumentException("graft-airbyte: option commands required")
       }
+      JsonRowConverter.validateSupported(required)
       commands.zipWithIndex.map { case (cmd, i) =>
         ConnectorInputPartition(i, cmd, options.getOrElse("stream", ""))
       }.toArray
@@ -146,21 +147,8 @@ final class ConnectorPartitionReader(partition: ConnectorInputPartition, schema:
     true
   }
 
-  private def convert(data: JsonNode): InternalRow = {
-    val values = schema.fields.map { f =>
-      val v = if (data == null) null else data.get(f.name)
-      if (v == null || v.isNull) null
-      else f.dataType match {
-        case LongType    => java.lang.Long.valueOf(v.asLong)
-        case IntegerType => java.lang.Integer.valueOf(v.asInt)
-        case DoubleType  => java.lang.Double.valueOf(v.asDouble)
-        case BooleanType => java.lang.Boolean.valueOf(v.asBoolean)
-        case StringType  => UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
-        case _           => UTF8String.fromString(v.toString) // nested → raw JSON
-      }
-    }
-    InternalRow.fromSeq(values.toIndexedSeq)
-  }
+  private def convert(data: JsonNode): InternalRow =
+    JsonRowConverter.toInternalRow(data, schema)
 
   override def get(): InternalRow = current
 

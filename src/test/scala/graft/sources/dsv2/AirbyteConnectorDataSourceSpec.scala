@@ -58,6 +58,63 @@ class AirbyteConnectorDataSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  // Nested shape mirroring the reference's SMEARGLE fixture
+  // (reference tests/fixtures/SMEARGLE.singer:1 — objects, arrays of
+  // objects, booleans, integers): typed nested rows must round-trip.
+  test("nested/temporal fields convert to typed rows (SMEARGLE-shaped)") {
+    val dir = Files.createTempDirectory("dsv2nested")
+    val script = dir.resolve("c.sh")
+    val rec =
+      """{"type":"RECORD","record":{"stream":"poke","data":{
+        |"id":235,"name":"smeargle","is_default":true,
+        |"sprites":{"front_default":"https://img/235.png","back_default":null},
+        |"abilities":[{"ability":{"name":"own-tempo"},"is_hidden":false},
+        |             {"ability":{"name":"technician"},"is_hidden":true}],
+        |"caught_at":"2024-03-01T12:30:45Z",
+        |"tags":{"gen":"2","kind":"normal"}}}}""".stripMargin.replaceAll("\n", "")
+    Files.writeString(script, s"#!/bin/sh\necho '$rec'\n")
+    val nestedSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("is_default", BooleanType),
+      StructField("sprites", StructType(Seq(
+        StructField("front_default", StringType), StructField("back_default", StringType)))),
+      StructField("abilities", ArrayType(StructType(Seq(
+        StructField("ability", StructType(Seq(StructField("name", StringType)))),
+        StructField("is_hidden", BooleanType))))),
+      StructField("caught_at", TimestampType),
+      StructField("tags", MapType(StringType, StringType))))
+    val df = spark.read.format("graft-airbyte")
+      .option("commands", commandsJson(Seq(Seq("/bin/sh", script.toString))))
+      .option("stream", "poke")
+      .schema(nestedSchema)
+      .load()
+    val row = df.collect().head
+    assert(row.getLong(0) == 235L && row.getString(1) == "smeargle" && row.getBoolean(2))
+    val sprites = row.getStruct(3)
+    assert(sprites.getString(0) == "https://img/235.png" && sprites.isNullAt(1))
+    val abilities = row.getSeq[org.apache.spark.sql.Row](4)
+    assert(abilities.map(_.getStruct(0).getString(0)) == Seq("own-tempo", "technician"))
+    assert(abilities.map(_.getBoolean(1)) == Seq(false, true))
+    assert(row.getTimestamp(5).toInstant == java.time.Instant.parse("2024-03-01T12:30:45Z"))
+    assert(row.getMap[String, String](6) == Map("gen" -> "2", "kind" -> "normal"))
+    // deselecting the nested columns still prunes into the source
+    assert(df.select("name").collect().head.getString(0) == "smeargle")
+  }
+
+  test("unsupported field types are rejected at plan time, not corrupted at read") {
+    val dir = Files.createTempDirectory("dsv2bad")
+    val script = dir.resolve("c.sh")
+    Files.writeString(script, "#!/bin/sh\n")
+    val bad = StructType(Seq(StructField("x", CalendarIntervalType)))
+    val e = intercept[Exception] {
+      spark.read.format("graft-airbyte")
+        .option("commands", commandsJson(Seq(Seq("/bin/sh", script.toString))))
+        .schema(bad).load().collect()
+    }
+    assert(e.getMessage.contains("unsupported field type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported field type")))
+  }
+
   test("schema can come from a JSON Schema option (discovery-shaped)") {
     val cmds = Seq(fakeSegment(3, 1 to 2))
     val df = spark.read.format("graft-airbyte")
