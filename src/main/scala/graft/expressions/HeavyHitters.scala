@@ -51,15 +51,25 @@ case class HeavyHittersAgg(
       case None =>
         if (buf.size < capacity) { buf.update(token, weight); () }
         else {
-          // Misra-Gries decrement step: reduce every counter by the offered
-          // weight's share; drop zeroed entries. (Exact while never hit.)
-          val dec = weight
+          // Weighted Misra-Gries decrement: every counter drops by
+          // min(weight, smallest counter) and the offered token keeps the
+          // residual. Decrementing by the FULL weight would let one
+          // unseen merge-time token (carrying a whole partition's count)
+          // slash every survivor and break the N/(capacity+1) error
+          // bound; capping at the minimum counter keeps each offer's
+          // total decrement bounded and guarantees room for a positive
+          // residual (the minimum entry zeroes out exactly then).
+          var minC = Long.MaxValue
+          buf.valuesIterator.foreach(c => if (c < minC) minC = c)
+          val dec = math.min(weight, minC)
           val dead = mutable.ArrayBuffer.empty[String]
           buf.keysIterator.foreach { t =>
             val nv = buf(t) - dec
             if (nv <= 0) dead += t else buf.update(t, nv)
           }
           dead.foreach(buf.remove)
+          val residual = weight - dec
+          if (residual > 0) { buf.update(token, residual); () }
         }
     }
   }

@@ -40,9 +40,15 @@ object Dedup {
     * makes re-runs non-reproducible at scale.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val keeps = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(keeps, keyCols :+ idCol, "left_semi")
-      .select(df.columns.map(col).toSeq: _*) // using-join reorders; restore caller's order
+    // row_number over the key, not groupBy+semi-join: null-valued keys
+    // group fine here, where join equality would silently drop them; and
+    // the rn=1 filter plans as WindowGroupLimit — per-partition top-1
+    // pruning before the single hash shuffle on keyCols.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Exact-dup groups: one row per duplicated key with its cardinality and
@@ -138,22 +144,38 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on 4 × 16-bit bands of the fingerprint
-    * (any pair within Hamming distance 3 shares at least one band), then
-    * verify the Hamming threshold exactly. Self-join payload is (band,
-    * bucket, id, fp) = 28 bytes/row.
+  /** SimHash near-dup pairs: bucket on `maxHamming + 1` bands of the
+    * fingerprint — by pigeonhole, any pair within the Hamming threshold
+    * leaves at least one band untouched, so candidate recall is EXACT at
+    * every threshold (a fixed 4-band scheme only guarantees distance ≤ 3
+    * and silently misses farther pairs). Exact `bit_count` verification
+    * follows. Self-join payload is (band, bucket, id, fp) = 28 bytes/row.
+    *
+    * Cost note: bands narrow as the threshold rises (13 bands ≈ 5 bits at
+    * maxHamming = 12), so buckets coarsen and candidate volume grows —
+    * the honest price of a recall guarantee; at corpus scale keep the
+    * threshold tight.
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val nBands = maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = (0 until nBands).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
     val withFp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val banded = withFp.select(
       col("id"), col("fp"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+          shiftrightunsigned(col("fp"), offsets(b))
+            .bitwiseAND(lit(mask(widths(b)))).as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bh"))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("fp").as("fp_a"))

@@ -33,27 +33,33 @@ object Joins {
       on: String,
       rightValueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All right value columns travel as ONE struct so the carried values
+    // always come from the SAME right row — per-column last(...) would
+    // blend columns from different right rows whenever a right value is
+    // null (DuckDB/pandas ASOF attach the latest row including its nulls).
+    val rvStruct = org.apache.spark.sql.types.StructType(
+      rightValueCols.map(c => right.schema(c)))
     // tag=1 for left so that at equal `on` values the right row sorts first
     // and IS visible to the left row (inclusive <=, matching ASOF semantics)
     val l = left.select(
       leftCols.map(col) ++
-        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-        Seq(lit(1).as("__tag"), col(on).as("__on")): _*)
+        Seq(lit(null).cast(rvStruct).as("__rvals"),
+          lit(1).as("__tag"), col(on).as("__on")): _*)
     val r = right.select(
       leftCols.map(c =>
         if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValueCols.map(c => col(c).as(s"__r_$c")) ++
-        Seq(lit(0).as("__tag"), col(on).as("__on")): _*)
+        Seq(struct(rightValueCols.map(col): _*).as("__rvals"),
+          lit(0).as("__tag"), col(on).as("__on")): _*)
 
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__on").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = rightValueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__rvals", last(col("__rvals"), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ rightValueCols.map(c => col(s"__r_$c").as(c)): _*)
+      .select(leftCols.map(col) ++
+        rightValueCols.map(c => col(s"__rvals.$c").as(c)): _*)
   }
 
   /** Range (interval) join: left rows matched to right intervals

@@ -63,13 +63,18 @@ object StreamingSync {
         try {
           batch.write.mode("append").parquet(outDir)
           cursorField.foreach { cursor =>
-            val m = batch.agg(max(col(cursor)).cast("string")).head()
-            if (!m.isNullAt(0)) {
-              val nv = m.getString(0)
-              // monotone bookmark: never regress on out-of-order batches
-              val keep = state.bookmark(streamName, cursor).forall(_ < nv)
-              if (keep) state.setBookmark(streamName, cursor, nv)
-            }
+            // Monotone bookmark: never regress on out-of-order batches.
+            // The comparison runs in the CURSOR COLUMN'S type (the stored
+            // string bookmark is cast back) — a lexicographic string
+            // compare would mis-order numeric cursors ("9" > "10") and
+            // stall or regress the bookmark.
+            val advances = state.bookmark(streamName, cursor)
+              .map(old => lit(old).cast(batch.schema(cursor).dataType) < col("mx"))
+              .getOrElse(lit(true))
+            val m = batch.agg(max(col(cursor)).as("mx"))
+              .select(col("mx").cast("string").as("mxs"), advances.as("adv")).head()
+            if (!m.isNullAt(0) && m.getBoolean(1))
+              state.setBookmark(streamName, cursor, m.getString(0))
           }
         } finally { batch.unpersist(); () }
       }

@@ -18,6 +18,14 @@ class OperatorsSpec extends SparkSpec {
       && groups.head.getAs[Long]("n_dups") == 2L)
   }
 
+  test("exact dedup keeps null-keyed rows (one winner per null group)") {
+    val df = Seq((3L, Option("dup")), (1L, Option("dup")),
+      (5L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text")).orderBy("id").collect()
+    // null keys dedup like any other group (winner id=4), never vanish
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+  }
+
   test("jaccard on known shingle sets") {
     val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
     val j = df.select(Dedup.jaccard(

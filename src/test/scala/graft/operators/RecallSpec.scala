@@ -35,6 +35,29 @@ class RecallSpec extends SparkSpec {
     assert(ivfAll == bf)
   }
 
+  test("simhash banding has EXACT candidate recall at its Hamming threshold") {
+    val docs = Tables.documents(spark, sf).limit(300).cache()
+    for (maxHamming <- Seq(3, 12)) {
+      val fp = docs.select(col("doc_id").as("id"),
+        graft.expressions.functions.simhash64(col("text")).as("fp"))
+      val a = fp.select(col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = fp.select(col("id").as("id_b"), col("fp").as("fp_b"))
+      val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("h", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("h") <= maxHamming)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = maxHamming)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      info(s"simhash maxHamming=$maxHamming: exact=${exact.size} banded=${banded.size}")
+      // pigeonhole banding: candidates are a superset-after-verify EQUAL set
+      assert(banded == exact,
+        s"banded pairs diverge at maxHamming=$maxHamming: " +
+          s"missed=${(exact -- banded).size} extra=${(banded -- exact).size}")
+    }
+    docs.unpersist()
+    ()
+  }
+
   test("hyperplane-LSH near-dup recall vs exact pairs; threshold pairs fully verified") {
     val threshold = 0.35
     val v = emb.select(col("vec_id"), col("embedding"))

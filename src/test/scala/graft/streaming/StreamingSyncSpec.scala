@@ -43,6 +43,32 @@ class StreamingSyncSpec extends SparkSpec {
     assert(state.bookmark("s", "id").contains("3"))
   }
 
+  test("numeric cursor bookmarks compare numerically, not lexicographically") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("landing9").toString
+    val out = Files.createTempDirectory("out9").toString
+    val ckpt = Files.createTempDirectory("ckpt9").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+
+    val state = new StateStore()
+    state.setBookmark("s", "id", "9") // lexicographically "9" > "10"
+
+    Seq("""{"id":10,"v":"x"}""").toDS().coalesce(1).write.mode("append").text(landing)
+    val q = StreamingSync.syncToParquet(
+      StreamingSync.readJsonlStream(spark, landing, schema),
+      "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(state.bookmark("s", "id").contains("10")) // advanced: 10 > 9 numerically
+
+    // and a LOWER max must not regress it
+    Seq("""{"id":4,"v":"y"}""").toDS().coalesce(1).write.mode("append").text(landing)
+    val q2 = StreamingSync.syncToParquet(
+      StreamingSync.readJsonlStream(spark, landing, schema),
+      "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(state.bookmark("s", "id").contains("10"))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.SessionEvent](spark)
