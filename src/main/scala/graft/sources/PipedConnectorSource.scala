@@ -22,8 +22,12 @@ import graft.state.StateStore
   */
 object PipedConnectorSource {
 
-  /** One protocol message row: (cmd_index, msg_type, stream, payload JSON). */
-  final case class RawMessage(cmd_index: Int, msg_type: String, stream: String, payload: String)
+  /** One protocol message row. `seq` is the message's position within its
+    * command's output — STATE merge order must be total, and Spark's sort
+    * is not stable, so (cmd_index, seq) is the deterministic fold key.
+    */
+  final case class RawMessage(
+      cmd_index: Int, seq: Long, msg_type: String, stream: String, payload: String)
 
   /** Run every command as its own task; parse the Airbyte JSONL protocol
     * into [[RawMessage]] rows. Lazy per-line — no buffering of the child's
@@ -41,6 +45,7 @@ object PipedConnectorSource {
         val mapper = new ObjectMapper()
         new Iterator[RawMessage] {
           private var nextLine: String = advance()
+          private var msgSeq = 0L
           private def advance(): String = {
             val l = reader.readLine()
             if (l == null) {
@@ -54,26 +59,26 @@ object PipedConnectorSource {
           override def next(): RawMessage = {
             val line = nextLine
             nextLine = advance()
+            val s = msgSeq
+            msgSeq += 1
             try {
               val node = mapper.readTree(line)
               val t = Option(node.get("type")).map(_.asText).getOrElse("UNKNOWN")
               t match {
                 case "RECORD" =>
                   val rec = node.get("record")
-                  if (Option(rec.get("trace")).exists(t => t.path("type").asText == "ERROR"))
-                    throw new RuntimeException(s"connector[$idx] TRACE ERROR")
-                  RawMessage(idx, "RECORD", rec.path("stream").asText,
+                  RawMessage(idx, s, "RECORD", rec.path("stream").asText,
                     mapper.writeValueAsString(rec.get("data")))
                 case "TRACE"
                     if node.path("trace").path("type").asText == "ERROR" =>
                   throw new RuntimeException(
                     s"connector[$idx] error: ${node.path("trace").path("error").toString}")
                 case other =>
-                  RawMessage(idx, other, "", mapper.writeValueAsString(node))
+                  RawMessage(idx, s, other, "", mapper.writeValueAsString(node))
               }
             } catch {
               case e: RuntimeException => throw e
-              case _: Exception => RawMessage(idx, "UNPARSEABLE", "", line)
+              case _: Exception => RawMessage(idx, s, "UNPARSEABLE", "", line)
             }
           }
         }
@@ -89,14 +94,16 @@ object PipedConnectorSource {
       .select("r.*")
 
   /** Fold the (few, small) STATE messages into `state` in deterministic
-    * (cmd_index, encounter) order. STATE volume is O(checkpoints), not
-    * O(rows) — collecting to the driver is the correct topology, same as
-    * the reference emitting them on its single stdout.
+    * (cmd_index, seq) order — a total order, so last-wins merge is
+    * well-defined even for multiple STATEs from one command. STATE volume
+    * is O(checkpoints), not O(rows) — collecting to the driver is the
+    * correct topology, same as the reference emitting them on its single
+    * stdout.
     */
   def foldStates(messages: Dataset[RawMessage], state: StateStore): StateStore = {
     val mapper = new ObjectMapper()
     messages.filter(col("msg_type") === "STATE")
-      .orderBy(col("cmd_index"))
+      .orderBy(col("cmd_index"), col("seq"))
       .collect()
       .foreach { m =>
         val node = mapper.readTree(m.payload)

@@ -41,6 +41,19 @@ class PipedConnectorSourceSpec extends SparkSpec {
     messages.unpersist()
   }
 
+  test("two STATEs from one command merge last-wins via (cmd_index, seq)") {
+    val dir = Files.createTempDirectory("pipedmulti")
+    val script = dir.resolve("c.sh")
+    def stateLine(id: Int) =
+      s"""echo '{"type":"STATE","state":{"type":"STREAM","stream":{"stream_descriptor":{"name":"s1"},"stream_state":{"id":"$id"}}}}'"""
+    Files.writeString(script, s"#!/bin/sh\n${stateLine(5)}\n${stateLine(9)}\n")
+    script.toFile.setExecutable(true)
+    val messages =
+      PipedConnectorSource.readMessages(spark, Seq(Seq("/bin/sh", script.toString)))
+    val state = PipedConnectorSource.foldStates(messages, new StateStore())
+    assert(state.bookmark("s1", "id").contains("9"))
+  }
+
   test("a failing connector fails the job (fail-fast propagation)") {
     val dir = Files.createTempDirectory("pipedbad")
     val script = dir.resolve("bad.sh")
