@@ -84,6 +84,70 @@ object AirbyteCatalog {
   def fromJson(catalog: String): AirbyteCatalog = fromJson(mapper.readTree(catalog))
 }
 
+/** Singer catalog DOCUMENT input (`--catalog`, the reference's primary
+  * selection mechanism — reference `tap.py:211-311` CLI, consumed at
+  * `tap.py:748-774`): a `{"streams":[{tap_stream_id, schema, metadata:
+  * [{breadcrumb, metadata}]}]}` document whose metadata entries carry
+  * Singer `selected` flags.
+  *
+  * Selection rules (singer-sdk semantics):
+  *   - stream level (breadcrumb `[]`): explicit `selected` wins, else
+  *     `selected-by-default`, else selected;
+  *     `inclusion: "unsupported"` is never selected.
+  *   - field level (breadcrumb `["properties", f]`): explicit
+  *     `selected: false` drops the field unless `inclusion: "automatic"`
+  *     (key properties and replication keys stay).
+  */
+object SingerCatalogDoc {
+  private val mapper = new ObjectMapper()
+
+  final case class Selection(
+      streamSelected: Map[String, Boolean],
+      fieldDrops: Map[String, Seq[String]],
+      replicationMethod: Map[String, String]) {
+    /** Selection predicate: streams absent from the document stay selected
+      * (document scopes only what it mentions, like `--catalog` overlaying
+      * discovery in the reference).
+      */
+    def selects(stream: String): Boolean = streamSelected.getOrElse(stream, true)
+  }
+
+  def parse(doc: String): Selection = parse(mapper.readTree(doc))
+
+  def parse(doc: JsonNode): Selection = {
+    var sel = Map.empty[String, Boolean]
+    var drops = Map.empty[String, Seq[String]]
+    var repl = Map.empty[String, String]
+    Option(doc.get("streams")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+      val name = Option(s.get("tap_stream_id")).orElse(Option(s.get("stream")))
+        .map(_.asText).getOrElse("")
+      val entries = Option(s.get("metadata")).toSeq.flatMap(_.elements().asScala).map { e =>
+        val crumb = Option(e.get("breadcrumb")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText))
+        crumb -> e.path("metadata")
+      }
+      val streamMeta = entries.collectFirst { case (Seq(), m) => m }
+      val streamSelected = streamMeta match {
+        case Some(m) if m.path("inclusion").asText("") == "unsupported" => false
+        case Some(m) if m.has("selected") => m.get("selected").asBoolean
+        case Some(m) if m.has("selected-by-default") =>
+          m.get("selected-by-default").asBoolean
+        case _ => true
+      }
+      sel += (name -> streamSelected)
+      streamMeta.filter(_.has("replication-method"))
+        .foreach(m => repl += (name -> m.get("replication-method").asText))
+      val dropped = entries.collect {
+        case (Seq("properties", f), m)
+            if m.has("selected") && !m.get("selected").asBoolean &&
+              m.path("inclusion").asText("") != "automatic" => f
+      }
+      if (dropped.nonEmpty) drops += (name -> dropped)
+    }
+    Selection(sel, drops, repl)
+  }
+}
+
 /** Stream-selection pushdown (reference `tap.py:748-774`): the configured
   * catalog contains ONLY selected streams, so the source never extracts
   * deselected ones — projection pushdown at stream granularity. Each entry

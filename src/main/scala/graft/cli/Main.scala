@@ -46,7 +46,11 @@ object Main {
     val opts = parseArgs(args.toList)
     val configPath = opts.getOrElse("config",
       sys.error("--config <file> is required"))
-    val config = mapper.readTree(Files.readString(Paths.get(configPath)))
+    // `--config ENV` sentinel (reference tap.py:262-264): assemble the
+    // config from GRAFT_-prefixed environment variables instead of a file.
+    val config =
+      if (configPath == "ENV") configFromEnv(sys.env)
+      else mapper.readTree(Files.readString(Paths.get(configPath)))
     val source = buildSource(config)
 
     lazy val spark = SparkSession.builder()
@@ -61,6 +65,8 @@ object Main {
     try {
       if (opts.contains("about")) {
         println(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(source.spec))
+        println()
+        println(configScaffold(source.spec))
       } else if (opts.contains("test")) {
         val ok = source.check(spark)
         println(if (ok) "Connection test passed." else "Connection test failed.")
@@ -83,6 +89,60 @@ object Main {
         case _                                => parseArgs(rest) + (key -> "")
       }
     case _ :: rest => parseArgs(rest)
+  }
+
+  /** Config from `GRAFT_<KEY>` environment variables (the `--config ENV`
+    * path, reference `tap.py:262-264`): each var becomes top-level key
+    * `<key>` (lowercased); values parse as JSON when they are JSON,
+    * otherwise as plain strings.
+    */
+  private[cli] def configFromEnv(env: Map[String, String]): JsonNode = {
+    val root = mapper.createObjectNode()
+    env.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.startsWith("GRAFT_")) {
+        val key = k.stripPrefix("GRAFT_").toLowerCase
+        val node =
+          try mapper.readTree(v)
+          catch { case _: Exception => mapper.getNodeFactory.textNode(v) }
+        root.set[JsonNode](key, node)
+        ()
+      }
+    }
+    root
+  }
+
+  /** Commented config scaffold from a connector spec — the `--about`
+    * enrichment (reference `print_spec_as_config`, `tap.py:499-522`):
+    * every connectionSpecification property becomes a template line with
+    * its type, requiredness, and description as a trailing comment.
+    */
+  private[cli] def configScaffold(spec: JsonNode): String = {
+    val cs = spec.path("connectionSpecification")
+    val required = Option(cs.get("required")).toSeq
+      .flatMap(_.elements().asScala.map(_.asText)).toSet
+    val sb = new StringBuilder("# Config scaffold (fill in and pass via --config):\n{\n")
+    val props = Option(cs.get("properties")).toSeq.flatMap(_.properties().asScala)
+    props.zipWithIndex.foreach { case (e, i) =>
+      val name = e.getKey
+      val p = e.getValue
+      val tpe = Option(p.get("type")).map(t =>
+        if (t.isArray) t.elements().asScala.map(_.asText).mkString("|") else t.asText)
+        .getOrElse("any")
+      val placeholder = Option(p.get("default")).map(_.toString).getOrElse(tpe match {
+        case t if t.contains("string")  => "\"...\""
+        case t if t.contains("integer") => "0"
+        case t if t.contains("number")  => "0.0"
+        case t if t.contains("boolean") => "false"
+        case t if t.contains("array")   => "[]"
+        case t if t.contains("object")  => "{}"
+        case _                          => "null"
+      })
+      val comma = if (i < props.size - 1) "," else ""
+      val req = if (required.contains(name)) "required" else "optional"
+      val desc = Option(p.get("description")).map(d => s" — ${d.asText}").getOrElse("")
+      sb.append(s"""  "$name": $placeholder$comma  # $req, $tpe$desc\n""")
+    }
+    sb.append("}").toString
   }
 
   private[cli] def buildSource(config: JsonNode): AirbyteSource = {
@@ -134,15 +194,24 @@ object Main {
       config: JsonNode,
       opts: Map[String, String]): Unit = {
     val t0 = System.nanoTime()
-    val selected: String => Boolean = Option(config.get("select")) match {
+    // Singer catalog document (--catalog): stream/field `selected` metadata,
+    // the reference's primary selection input (tap.py:211-311, 748-774).
+    val catalogSel = opts.get("catalog").map(p =>
+      graft.catalog.SingerCatalogDoc.parse(Files.readString(Paths.get(p))))
+    val configSelect: String => Boolean = Option(config.get("select")) match {
       case Some(sel) if sel.isArray =>
         val set = sel.elements().asScala.map(_.asText).toSet
         set.contains(_)
       case _ => _ => true
     }
+    val selected: String => Boolean =
+      name => configSelect(name) && catalogSel.forall(_.selects(name))
     val replication: String => String = Option(config.get("replication_method")) match {
-      case Some(r) if r.isObject => name => r.path(name).asText("FULL_TABLE")
-      case _                     => _ => "FULL_TABLE"
+      case Some(r) if r.isObject =>
+        name => catalogSel.flatMap(_.replicationMethod.get(name))
+          .getOrElse(r.path(name).asText("FULL_TABLE"))
+      case _ =>
+        name => catalogSel.flatMap(_.replicationMethod.get(name)).getOrElse("FULL_TABLE")
     }
     val maps: Map[String, StreamMaps.StreamMap] = Option(config.get("stream_maps")) match {
       case Some(ms) if ms.isObject =>
@@ -154,15 +223,25 @@ object Main {
               .map(c => c.getKey -> c.getValue.asText)),
             renames = Option(v.get("renames")).map(_.properties().asScala
               .map(r => r.getKey -> r.getValue.asText).toMap).getOrElse(Map.empty),
-            drops = Option(v.get("drops")).toSeq.flatMap(_.elements().asScala.map(_.asText)))
+            drops = Option(v.get("drops")).toSeq.flatMap(_.elements().asScala.map(_.asText)),
+            alias = Option(v.get("alias")).filterNot(_.isNull).map(_.asText),
+            source = Option(v.get("source")).filterNot(_.isNull).map(_.asText))
         }.toMap
       case _ => Map.empty
     }
     val flattening = Option(config.get("flattening_max_depth")).map(_.asInt)
 
+    // Field-level deselection from the catalog document lands as extra
+    // stream-map drops (the singer-sdk route: metadata → column drops).
+    val mapsWithCatalogDrops = catalogSel.map(_.fieldDrops).getOrElse(Map.empty)
+      .foldLeft(maps) { case (acc, (stream, fields)) =>
+        val m = acc.getOrElse(stream, StreamMaps.StreamMap())
+        acc + (stream -> m.copy(drops = (m.drops ++ fields).distinct))
+      }
+
     val state = opts.get("state").map(p => StateStore.load(Paths.get(p)))
       .getOrElse(new StateStore())
-    val engine = new SyncEngine(source, maps, flattening)
+    val engine = new SyncEngine(source, mapsWithCatalogDrops, flattening)
     val dfs = engine.sync(spark, selected, replication, state)
 
     val catalog = source.discover(spark)
@@ -173,9 +252,18 @@ object Main {
           name -> df.count()
         case None =>
           var n = 0L
-          SingerSink.emit(name, df,
+          // PrintStream swallows broken pipes and raises checkError() —
+          // surface it as DownstreamClosed so emit() stops cleanly and the
+          // final state still lands in --state-out (reference tap.py:62-80).
+          val completed = SingerSink.emit(name, df,
             catalog.stream(name).map(_.primaryKeys).getOrElse(Seq.empty),
-            state, { l => println(l); if (l.contains("\"RECORD\"")) n += 1 })
+            state, { l =>
+              println(l)
+              if (System.out.checkError()) throw new SingerSink.DownstreamClosedException()
+              if (l.contains("\"RECORD\"")) n += 1
+            })
+          if (!completed)
+            System.err.println(s"[graft] downstream closed mid-stream on $name; ending sync")
           name -> n
       }
     }

@@ -83,20 +83,21 @@ final class FileNativeSource(streams: Seq[FileNativeSource.FileStream]) extends 
       entry.stream.name -> df
     }.toMap
 
-  private def reader(spark: SparkSession, s: FileNativeSource.FileStream): DataFrame = {
-    val r = spark.read.options(s.options)
+  private def reader(spark: SparkSession, s: FileNativeSource.FileStream): DataFrame =
     s.format match {
       case "parquet" =>
         // Tolerate INT64 TIMESTAMP(NANOS) columns (Spark rejects them by
         // default): surface them as raw ns-epoch longs, which serialize
         // losslessly through the Singer path.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        r.parquet(s.path)
-      case "csv"     => r.option("header", "true").option("inferSchema", "true").csv(s.path)
-      case "json"    => r.json(s.path)
-      case other     => throw new IllegalArgumentException(s"unsupported format $other")
+        spark.read.options(s.options).parquet(s.path)
+      case "csv" =>
+        // defaults FIRST so user options override them (header=false works)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(s.options).csv(s.path)
+      case "json"  => spark.read.options(s.options).json(s.path)
+      case other   => throw new IllegalArgumentException(s"unsupported format $other")
     }
-  }
 }
 
 object FileNativeSource {

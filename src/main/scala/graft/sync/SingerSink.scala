@@ -60,9 +60,20 @@ object SingerSink {
       .as[String]
   }
 
+  /** Thrown (or any IOException) by an `out` writer to signal the consumer
+    * of the Singer stream went away — the EPIPE/SIGPIPE condition the
+    * reference swallows to end a sync cleanly (reference `tap.py:62-80`).
+    */
+  final class DownstreamClosedException extends java.io.IOException("downstream closed")
+
   /** Full sync emission for one stream to a writer (golden-test mode:
     * single ordered pass — SCHEMA, RECORDs, final STATE). For production
     * sinks use `recordLines(...).write.text(path)` instead of collecting.
+    *
+    * Returns `false` when the downstream consumer closed mid-stream
+    * (broken pipe): emission stops cleanly, no exception escapes, and the
+    * caller still owns a consistent `state` to persist — the reference's
+    * graceful-EPIPE semantics (`tap.py:62-80`).
     */
   def emit(
       stream: String,
@@ -71,10 +82,14 @@ object SingerSink {
       state: graft.state.StateStore,
       out: String => Unit,
       timeExtracted: String = "1970-01-01T00:00:00.000000Z",
-      orderBy: Seq[String] = Seq.empty): Unit = {
-    out(schemaMessage(stream, df, keyProperties))
-    val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*) else df
-    recordLines(stream, ordered, timeExtracted).toLocalIterator().forEachRemaining(l => out(l))
-    out(graft.protocol.SingerMessage.State(state.snapshot).toJson)
-  }
+      orderBy: Seq[String] = Seq.empty): Boolean =
+    try {
+      out(schemaMessage(stream, df, keyProperties))
+      val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*) else df
+      recordLines(stream, ordered, timeExtracted).toLocalIterator().forEachRemaining(l => out(l))
+      out(graft.protocol.SingerMessage.State(state.snapshot).toJson)
+      true
+    } catch {
+      case _: java.io.IOException => false // downstream closed: stop cleanly
+    }
 }

@@ -20,13 +20,20 @@ object StreamMaps {
     * `__filter__` analog), `computed` are name → SQL expression, applied in
     * order; `renames` old → new; `drops` removes columns; `keepOnly`
     * (when non-empty) projects to exactly those columns last.
+    *
+    * Stream aliasing/duplication (the `__alias__` / `__source__` analogs of
+    * singer-sdk stream maps): `alias` renames the OUTPUT stream; `source`
+    * marks this map as a DUPLICATE of another stream — the map's config key
+    * names the new output stream and `source` names the stream it reads.
     */
   final case class StreamMap(
       filter: Option[String] = None,
       computed: Seq[(String, String)] = Seq.empty,
       renames: Map[String, String] = Map.empty,
       drops: Seq[String] = Seq.empty,
-      keepOnly: Seq[String] = Seq.empty)
+      keepOnly: Seq[String] = Seq.empty,
+      alias: Option[String] = None,
+      source: Option[String] = None)
 
   def apply(df: DataFrame, m: StreamMap): DataFrame = {
     var out = df

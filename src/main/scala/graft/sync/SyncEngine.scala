@@ -34,11 +34,22 @@ final class SyncEngine(
     val catalog = source.discover(spark)
     val configured = ConfiguredCatalog.configure(catalog, selected, replicationMethod)
     val raw = source.read(spark, configured, state)
-    val transformed = raw.map { case (name, df0) =>
-      var df = df0
-      streamMaps.get(name).foreach(m => df = StreamMaps(df, m))
-      flattening.foreach(d => df = StreamMaps.flatten(df, d))
-      name -> df
+    // Base pass: per-stream map (with optional output alias), then
+    // duplicates — maps whose `source` points at another stream register a
+    // SECOND output over the same scan (stream duplication, SURVEY §2.1
+    // #16). Both are pure Column transforms; a duplicated stream shares
+    // the source DataFrame lineage, so Spark reuses the scan.
+    val base = raw.map { case (name, df0) =>
+      val m = streamMaps.get(name).filter(_.source.isEmpty)
+      val df = m.map(StreamMaps(df0, _)).getOrElse(df0)
+      m.flatMap(_.alias).getOrElse(name) -> df
+    }
+    val duplicates = streamMaps.collect {
+      case (outName, m) if m.source.exists(raw.contains) =>
+        outName -> StreamMaps(raw(m.source.get), m)
+    }
+    val transformed = (base ++ duplicates).map { case (name, df) =>
+      name -> flattening.map(d => StreamMaps.flatten(df, d)).getOrElse(df)
     }
     // Commit bookmarks: one tiny agg per incremental stream (runs on the
     // RAW stream so maps can't hide the cursor). At scale this is a

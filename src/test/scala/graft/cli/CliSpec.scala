@@ -31,6 +31,52 @@ class CliSpec extends SparkSpec {
     assert(s.get("schema").get("properties").has("event_type"))
   }
 
+  test("configFromEnv: GRAFT_-prefixed vars assemble a config (--config ENV)") {
+    val cfg = Main.configFromEnv(Map(
+      "GRAFT_SOURCE" -> s"""{"type":"file","streams":[{"name":"nation","format":"parquet","path":"$sf/nation.parquet"}]}""",
+      "GRAFT_SELECT" -> """["nation"]""",
+      "GRAFT_FLATTENING_MAX_DEPTH" -> "2",
+      "PATH" -> "/usr/bin"))
+    assert(cfg.get("source").get("type").asText == "file")
+    assert(cfg.get("select").get(0).asText == "nation")
+    assert(cfg.get("flattening_max_depth").asInt == 2)
+    assert(!cfg.has("path")) // non-GRAFT vars ignored
+    val src = Main.buildSource(cfg).asInstanceOf[FileNativeSource]
+    assert(src.discover(spark).streams.map(_.name) == Seq("nation"))
+  }
+
+  test("configScaffold: --about template lists every spec property with requiredness") {
+    val spec = m.readTree(
+      """{"connectionSpecification":{"type":"object","required":["host"],
+           "properties":{
+             "host":{"type":"string","description":"server host"},
+             "port":{"type":"integer","default":5432},
+             "ssl":{"type":["null","boolean"]}}}}""")
+    val scaffold = Main.configScaffold(spec)
+    assert(scaffold.contains(""""host": "..."""") && scaffold.contains("required"))
+    assert(scaffold.contains(""""port": 5432"""))
+    assert(scaffold.contains(""""ssl": false""") && scaffold.contains("optional"))
+    assert(scaffold.contains("server host"))
+  }
+
+  test("SingerCatalogDoc: stream + field selection from catalog metadata") {
+    val doc =
+      """{"streams":[
+           {"tap_stream_id":"events","metadata":[
+              {"breadcrumb":[],"metadata":{"selected":true,"replication-method":"INCREMENTAL"}},
+              {"breadcrumb":["properties","props"],"metadata":{"selected":false}},
+              {"breadcrumb":["properties","event_id"],"metadata":{"selected":false,"inclusion":"automatic"}}]},
+           {"tap_stream_id":"skipped","metadata":[
+              {"breadcrumb":[],"metadata":{"selected":false}}]},
+           {"tap_stream_id":"by_default","metadata":[
+              {"breadcrumb":[],"metadata":{"selected-by-default":true}}]}]}"""
+    val sel = graft.catalog.SingerCatalogDoc.parse(doc)
+    assert(sel.selects("events") && !sel.selects("skipped") && sel.selects("by_default"))
+    assert(sel.selects("not_in_doc")) // document scopes only what it mentions
+    assert(sel.fieldDrops("events") == Seq("props")) // automatic field kept
+    assert(sel.replicationMethod("events") == "INCREMENTAL")
+  }
+
   test("CommandBuilder: container argv with mounts mirrors docker-run shape") {
     val cmd = CommandBuilder.container(
       image = "airbyte/source-file", tag = "0.5.3",

@@ -46,6 +46,18 @@ class SourcesSpec extends SparkSpec {
     assert(inc.agg(org.apache.spark.sql.functions.min("event_id")).head().getLong(0) == 501L)
   }
 
+  test("user csv options override the header/inferSchema defaults") {
+    val dir = java.nio.file.Files.createTempDirectory("csvnohdr")
+    java.nio.file.Files.writeString(dir.resolve("d.csv"), "1,alpha\n2,beta\n")
+    val src = new FileNativeSource(Seq(
+      FileNativeSource.FileStream("raw", "csv", dir.toString,
+        options = Map("header" -> "false"))))
+    val df = src.read(spark,
+      graft.catalog.ConfiguredCatalog.configure(src.discover(spark), _ => true),
+      new graft.state.StateStore())("raw")
+    assert(df.count() == 2) // header=false respected: first line is DATA
+  }
+
   test("sync-mode falls back to the stream's supported mode on mismatch") {
     val noCursor = new FileNativeSource(Seq(FileNativeSource.FileStream(
       "region", "parquet", s"$sf/region.parquet")))

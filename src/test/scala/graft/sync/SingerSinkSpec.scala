@@ -46,6 +46,25 @@ class SingerSinkSpec extends SparkSpec {
     assert(st.get("value").has("airbyte_state"))
   }
 
+  test("downstream close mid-emit ends the sync cleanly; state survives") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val state = new StateStore()
+    state.setBookmark("s1", "id", "3")
+    val lines = ArrayBuffer.empty[String]
+    // consumer dies after 2 lines (SCHEMA + 1 RECORD) — broken pipe
+    val completed = SingerSink.emit("s1", df, Seq("id"), state, { l =>
+      if (lines.size >= 2) throw new java.io.IOException("Broken pipe")
+      lines += l
+      ()
+    }, orderBy = Seq("id"))
+    assert(!completed)   // signalled, not thrown
+    assert(lines.size == 2)
+    // state is still intact and saveable — the --state-out path works
+    val p = java.nio.file.Files.createTempFile("state", ".json")
+    state.save(p)
+    assert(StateStore.load(p).bookmark("s1", "id").contains("3"))
+  }
+
   test("record lines are valid JSONL with stable values") {
     val df = Seq((1L, 2.5, "x")).toDF("id", "v", "s")
     val line = SingerSink.recordLines("t", df, "1970-01-01T00:00:00Z").head()

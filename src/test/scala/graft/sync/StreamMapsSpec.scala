@@ -30,6 +30,19 @@ class StreamMapsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("name", "score"))
   }
 
+  test("alias renames the output stream; source duplicates another stream") {
+    val src = new graft.sources.FileNativeSource(Seq(
+      graft.sources.FileNativeSource.FileStream("nation", "parquet", s"$sf/nation.parquet")))
+    val engine = new SyncEngine(src, Map(
+      "nation" -> StreamMaps.StreamMap(alias = Some("nations_renamed")),
+      "nation_big" -> StreamMaps.StreamMap(
+        source = Some("nation"), filter = Some("n_nationkey >= 10"))))
+    val out = engine.sync(spark, _ => true)
+    assert(out.keySet == Set("nations_renamed", "nation_big"))
+    assert(out("nations_renamed").count() == 25)
+    assert(out("nation_big").count() == 15)
+  }
+
   test("flatten expands nested structs with __ names; arrays become JSON strings") {
     val nested = df.select(
       col("id"),
