@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions.{col, expr}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     case _ => spark.read.parquet(s"$dir/$name.parquet")

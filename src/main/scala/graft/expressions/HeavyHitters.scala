@@ -54,14 +54,19 @@ case class HeavyHittersAgg(
           // Weighted Misra-Gries decrement: every counter drops by
           // min(weight, smallest counter) and the offered token keeps the
           // residual. Decrementing by the FULL weight would let one
-          // unseen merge-time token (carrying a whole partition's count)
-          // slash every survivor and break the N/(capacity+1) error
-          // bound; capping at the minimum counter keeps each offer's
-          // total decrement bounded and guarantees room for a positive
-          // residual (the minimum entry zeroes out exactly then).
-          var minC = Long.MaxValue
-          buf.valuesIterator.foreach(c => if (c < minC) minC = c)
-          val dec = math.min(weight, minC)
+          // large-weight unseen token slash every survivor and break the
+          // N/(capacity+1) error bound; capping at the minimum counter
+          // keeps each offer's total decrement bounded and guarantees
+          // room for a positive residual (the minimum entry zeroes out
+          // exactly then). Unit weights (the update() path) skip the min
+          // scan: live counters are always >= 1, so the cap is 1.
+          val dec =
+            if (weight == 1L) 1L
+            else {
+              var minC = Long.MaxValue
+              buf.valuesIterator.foreach(c => if (c < minC) minC = c)
+              math.min(weight, minC)
+            }
           val dead = mutable.ArrayBuffer.empty[String]
           buf.keysIterator.foreach { t =>
             val nv = buf(t) - dec
@@ -88,10 +93,27 @@ case class HeavyHittersAgg(
     buf
   }
 
+  /** Sketch merge (Agarwal et al., "Mergeable Summaries"): add counters
+    * pointwise, then if over capacity subtract the (capacity+1)-th largest
+    * count from everything and drop the non-positive tail — ONE O(n log n)
+    * compaction per merge instead of an O(capacity) decrement scan per
+    * merged token, with the same (additive) MG error guarantee.
+    */
   override def merge(
       buf: mutable.HashMap[String, Long],
       other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (t, c) => offer(buf, t, c) }
+    other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > capacity) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(buf.size - capacity - 1) // (capacity+1)-th largest
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.keysIterator.foreach { t =>
+        val nv = buf(t) - cut
+        if (nv <= 0) dead += t else buf.update(t, nv)
+      }
+      dead.foreach(buf.remove)
+    }
     buf
   }
 

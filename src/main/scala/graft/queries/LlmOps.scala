@@ -33,8 +33,12 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // maxHamming = 3 → 4 × 16-bit bands: the classic simhash near-dup
+    // setting. Banding recall is EXACT at the threshold (pigeonhole, see
+    // simhashNearDupPairs); higher thresholds narrow the bands and blow up
+    // candidate volume quadratically, so keep it tight at corpus scale.
     "q_dedup_simhash" -> ((s, d) => {
-      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 12)
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 

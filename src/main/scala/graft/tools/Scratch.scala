@@ -1,9 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.operators.Similarity
+import graft.SparkEntry
 
 /** Ad-hoc local experimentation entry point (not part of the engine). */
 object Scratch {
@@ -11,20 +9,21 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-    val t0 = System.nanoTime()
-    val res = Similarity.ivfTopK(emb.filter(col("vec_id") >= 5), queries,
-      "vec_id", "embedding", "vec_id", k = 5, nCentroids = 16, nProbe = 4)
-      .orderBy("query_id", "rank")
-    val n = res.collect().length
-    println(s"ROWS=$n TIME=${(System.nanoTime() - t0) / 1e9}")
-    res.explain("formatted")
+    // same warmup as Bench
+    Seq("q1_agg", "q_join_shuffle", "q_window").foreach { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+    }
+    for (q <- Seq("q_cube", "q_rollup", "q_rollup", "q_cube")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(f"TIMING $q n=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     spark.stop()
   }
 }
