@@ -1,0 +1,185 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native backward as-of join — the full custom-operator stack (option (c)
+  * of the build brief): a [[AsOfJoinPlan logical operator]], a
+  * [[AsOfJoinStrategy planning strategy]], and a [[AsOfJoinExec physical
+  * operator]], attached per-session via `experimental.extraStrategies`.
+  *
+  * Semantics (same as [[graft.operators.Joins.asofBackward]], the
+  * composition it replaces in the hot path): for every left row, attach
+  * the right row with the LARGEST `rightOn <= leftOn` within the same
+  * `by` key — DuckDB `ASOF JOIN`, pandas `merge_asof`. Rows with no
+  * earlier right row get nulls (left join).
+  *
+  * Why a physical operator beats the union+window composition:
+  *   - the composition shuffles |L| + |R| unioned rows, then buffers a
+  *     running window with a carried struct; this exec shuffles each side
+  *     independently (the same total bytes but no union/null-padding
+  *     blowup), then streams a SINGLE forward merge per partition with
+  *     O(1) state — one buffered right row, no window frame;
+  *   - Catalyst still owns distribution/ordering: the exec only declares
+  *     `requiredChildDistribution`/`requiredChildOrdering` and
+  *     EnsureRequirements plans the exchanges and sorts (AQE applies as
+  *     usual), so at 100 TB the join inherits skew handling and reuses
+  *     any pre-bucketed layout on the by-key.
+  *
+  * Null semantics: by-keys compare with natural null-first ordering, so
+  * null keys group together (documented divergence from SQL join
+  * equality, which drops them); a null `rightOn` sorts first and acts as
+  * "earlier than everything".
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    rightValues: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lb, rb, lo, ro, rv) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftOn: Attribute,
+    rightOn: Attribute,
+    rightValues: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  // Hash-cluster both sides on the by-key; sort each partition by
+  // (by, on). EnsureRequirements inserts the exchanges/sorts — or elides
+  // them when a bucketed layout already satisfies the distribution.
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending)),
+    (rightBy :+ rightOn).map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftBy, lOut)
+      val rKeyProj = UnsafeProjection.create(rightBy, rOut)
+      val lOnProj = UnsafeProjection.create(Seq(leftOn), lOut)
+      val rOnProj = UnsafeProjection.create(Seq(rightOn), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftBy.map(_.dataType))
+      val onOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftOn.dataType))
+      // right values read through the null-padded row on misses → force
+      // nullable binding regardless of the source column's nullability
+      val outProj = UnsafeProjection.create(
+        lOut ++ rightValues.map(_.withNullability(true)), lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        // the latest right row (and its key) with rightOn <= current leftOn
+        private var lastRight: InternalRow = _
+        private var lastRightKey: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lOn = lOnProj(lRow)
+          // advance the right side through every row at-or-before this
+          // left row in (key, on) order; remember the last same-key row
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val kc = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (kc < 0) {
+              rBuf.next() // earlier key: discard (its key can't come back)
+            } else if (kc == 0 && onOrd.compare(rOnProj(rRow), lOn) <= 0) {
+              lastRight = rBuf.next().copy()
+              lastRightKey = rKeyProj(lastRight).copy()
+            } else {
+              advancing = false // right side is past this left row
+            }
+          }
+          val matched =
+            lastRight != null && keyOrd.compare(lastRightKey, lKey) == 0
+          outProj(joined(lRow, if (matched) lastRight else nullRight))
+        }
+      }
+    }
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  /** Build the as-of join DataFrame through the custom operator. The
+    * strategy self-registers on the session's `experimental.extraStrategies`
+    * (idempotent); the right side is re-projected through fresh aliases so
+    * self-join shapes (both sides off one scan) carry distinct attribute
+    * ids.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      on: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    import org.apache.spark.sql.functions.col
+    val rFresh = right.select(
+      (by ++ Seq(on) ++ rightValueCols).distinct.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rFresh.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        sys.error(s"as-of join: column '$name' not found in ${plan.output.map(_.name)}"))
+    val plan = AsOfJoinPlan(
+      lPlan, rPlan,
+      leftBy = by.map(attr(lPlan, _)),
+      rightBy = by.map(attr(rPlan, _)),
+      leftOn = attr(lPlan, on),
+      rightOn = attr(rPlan, on),
+      rightValues = rightValueCols.map(attr(rPlan, _)))
+    ColumnBridge.ofRows(spark, plan)
+  }
+}

@@ -217,8 +217,12 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
-    // As-of join (operator Spark lacks; graft.operators.Joins composition):
-    // for every click, the user's most recent purchase at or before it.
+    // As-of join (operator Spark lacks): the NATIVE custom physical
+    // operator (graft.plans.AsOfJoin — LogicalPlan + Strategy + Exec,
+    // streaming sorted-merge per co-partition). The union+window
+    // composition (graft.operators.Joins.asofBackward) remains available
+    // and is asserted equivalent in AsOfJoinSpec. For every click, the
+    // user's most recent purchase at or before it.
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -226,7 +230,7 @@ object Relational {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
-      graft.operators.Joins.asofBackward(
+      graft.plans.AsOfJoin.backward(
         clicks, purchases, by = Seq("user_id"), on = "ts",
         rightValueCols = Seq("p_event_id", "p_value"))
         .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))

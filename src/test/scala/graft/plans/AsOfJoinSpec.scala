@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of join matches hand-checked semantics incl. misses and null values") {
+    val trades = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 35L),
+      (4L, "B", 5L), (5L, "C", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 9L, Some(1.0)), ("A", 20L, None), ("A", 30L, Some(3.0)),
+      ("B", 6L, Some(9.9))) // B quote AFTER the B trade; C has no quotes
+      .toDF("sym", "t", "px")
+
+    val out = AsOfJoin.backward(trades, quotes, by = Seq("sym"), on = "t",
+      rightValueCols = Seq("px"))
+      .orderBy("trade_id").collect()
+
+    assert(out.length == 5)
+    assert(out(0).getDouble(3) == 1.0)  // t=10 -> quote t=9
+    assert(out(1).isNullAt(3))          // t=20 -> quote t=20 carries its OWN null px
+    assert(out(2).getDouble(3) == 3.0)  // t=35 -> quote t=30
+    assert(out(3).isNullAt(3))          // B: no quote at/before t=5
+    assert(out(4).isNullAt(3))          // C: no quotes at all
+  }
+
+  test("native exec agrees with the union+window composition on events (self-join shape)") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+
+    val composed = norm(Joins.asofBackward(
+      clicks, purchases, by = Seq("user_id"), on = "ts",
+      rightValueCols = Seq("p_event_id", "p_value")))
+    val native = norm(AsOfJoin.backward(
+      clicks, purchases, by = Seq("user_id"), on = "ts",
+      rightValueCols = Seq("p_event_id", "p_value")))
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("physical plan: AsOfJoinExec with Catalyst-planned exchanges/sorts, no window") {
+    val trades = Seq((1L, "A", 10L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 9L, 1.0)).toDF("sym", "t", "px")
+    val df = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", Seq("px"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan) // exec node (Spark strips "Exec")
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
