@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.{functions => gfn}
+
+/** Benchmark decontamination: measure and remove training documents whose
+  * word n-gram shingles overlap an evaluation/benchmark set — the standard
+  * guard against test-set leakage when assembling a training corpus.
+  *
+  * Plan shape at 100 TB: the benchmark side (eval sets — thousands of
+  * documents, not billions) reduces to a DISTINCT hash column and
+  * BROADCASTS; the corpus does ONE codegen'd shingling pass, explodes
+  * (id, hash) pairs, semi-joins the broadcast hash set (no corpus
+  * shuffle), and partially aggregates match counts per id — every task
+  * emits at most its distinct-id count. The only corpus-wide shuffle
+  * carries 16-byte (id, count) rows.
+  */
+object Contamination {
+
+  /** Per-document overlap report: id, shingle count, matched count, and
+    * `contamination` = matched/total fraction in [0, 1].
+    */
+  def overlap(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(gfn.shingle_hashes(col(benchTextCol), shingleN)).as("h"))
+      .distinct()
+    val withSh = corpus.select(col(idCol).as("id"),
+      gfn.shingle_hashes(col(textCol), shingleN).as("sh"))
+    val matched = withSh
+      .select(col("id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched"))
+    withSh.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)) /
+          greatest(col("n_shingles"), lit(1L)), 4).as("contamination"))
+  }
+
+  /** Corpus minus contaminated documents (overlap fraction >= threshold). */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val flagged = overlap(corpus, idCol, textCol, benchmark, benchTextCol, shingleN)
+      .filter(col("contamination") >= threshold)
+      .select(col("id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
   * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -135,6 +135,41 @@ object LlmOps {
         .orderBy(col("lang"), col("cnt").desc, col("token"))
     }),
 
+    // ---------------- sampling / splitting / decontamination ----------------
+    // Deterministic stratified sample (oracle-checkable: pure window
+    // semantics, no hashing).
+    "q_sample_stratified" -> ((s, d) => {
+      Sampling.stratifiedHead(Tables.documents(s, d), Seq("lang"), "doc_id", n = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-free hash split: same doc_id → same split on every run.
+    // rows-only (xxhash64 has no DuckDB analog); determinism is asserted
+    // in SamplingSpec across repartitionings.
+    "q_hash_split" -> ((s, d) => {
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("split")
+    }),
+
+    // Benchmark decontamination: docs 0-24 stand in as the "eval set";
+    // flag overlapping docs among the rest. Trigram shingles are the
+    // discriminative setting on this corpus (bigrams mark ~95% of docs as
+    // overlapping via shared vocabulary; trigrams isolate the planted
+    // near-copies). rows-only (FNV shingle hashes aren't SQL-expressible);
+    // planted-overlap behavior is ContaminationSpec's.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 25)
+      Contamination.overlap(docs.filter(col("doc_id") >= 25), "doc_id", "text",
+        bench, "text", shingleN = 3)
+        .filter(col("contamination") >= 0.2)
+        .orderBy("id")
+    }),
+
     // ---------------- multimodal plumbing (stubbed codec, real plumbing) ----
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 100)
@@ -192,6 +227,12 @@ object LlmOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_clean" -> textCleanSql,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
