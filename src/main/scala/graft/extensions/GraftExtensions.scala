@@ -108,6 +108,10 @@ object RewriteSimilarityJoin extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteSimilarityJoin)
+    // the custom as-of join operator's planning strategy (graft.plans):
+    // sessions built with the extension plan AsOfJoinPlan without the
+    // per-call experimental.extraStrategies registration
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ()
   }
 }

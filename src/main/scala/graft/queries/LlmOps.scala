@@ -233,6 +233,23 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    // Exact brute-force ANN is SQL-expressible: DuckDB's
+    // list_cosine_similarity over DOUBLE[] (float32 would drift against
+    // the engine's double kernel) reproduces the fused-kernel cosine
+    // bit-for-bit after round(6).
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 5),
+              s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos FROM c, q),
+              r AS (SELECT query_id, id AS neighbor_id, round(cos, 6) AS cosine,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rank
+                    FROM s)
+         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
