@@ -118,6 +118,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ascii_tokens(string) → array<string> of lowercased [a-z0-9] runs. */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.asciiTokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.asciiTokens($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** shingle_hashes(string, n) → sorted distinct array<long>. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -164,6 +174,7 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ascii_tokens", es => AsciiTokens(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", es =>
       ShingleHashes(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
@@ -192,6 +203,7 @@ object functions {
     col(NearestCentroid(expr(v), centroids.flatten, norms, dim))
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
+  def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
   def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
   def minhash_signature(text: Column, shingleN: Int, k: Int): Column =
     col(MinHashSignature(expr(text), shingleN, k))

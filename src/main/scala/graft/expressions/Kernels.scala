@@ -161,6 +161,26 @@ object TextKernels {
     fnv64(b, 0, b.length)
   }
 
+  /** Lowercased runs of [a-z0-9] as an ArrayData of strings — the exact
+    * semantics of `string_split_regex(lower(s), '[^a-z0-9]+')` minus
+    * empties (shared with the DuckDB heavy-hitters oracle), as one codegen
+    * pass instead of an interpreted filter() lambda over split().
+    */
+  def asciiTokens(text: UTF8String): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length / 5 + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += UTF8String.fromString(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** Lowercase word tokens (runs of letters/digits). */
   def tokenize(s: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)

@@ -126,7 +126,9 @@ object LlmOps {
     // TypedImperativeAggregate (exact at this vocabulary size — capacity
     // exceeds distinct tokens — hence oracle-checkable).
     "q_heavy_hitters" -> ((s, d) => {
-      val tokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+      // codegen tokenizer kernel — the filter(split(...)) HOF formulation
+      // interprets its lambda per row (same semantics, shared w/ oracle)
+      val tokens = graft.expressions.functions.ascii_tokens(col("text"))
       Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(graft.expressions.HeavyHittersAgg.heavy_hitters(tokens, 5).as("hh"))
