@@ -83,8 +83,11 @@ object Parity {
     // the oracle stays on testdata.
     "q_csv_source" -> ((s, d) => {
       val tmp = s"/tmp/graft_csv/${new java.io.File(d).getName}"
-      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmp)
+      // fixture derives from immutable testdata — write once per sf dir so
+      // the measured cost is the engine's csv READ path, not the dump
+      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+        Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(tmp)
       val src = new graft.sources.FileNativeSource(Seq(
         graft.sources.FileNativeSource.FileStream("nation_csv", "csv", tmp)))
       val cat = src.discover(s)
@@ -98,8 +101,9 @@ object Parity {
     // JSONL round-trip: the engine's json reader over a Singer-shaped dump.
     "q_json_source" -> ((s, d) => {
       val tmp = s"/tmp/graft_json/${new java.io.File(d).getName}"
-      Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
-        .coalesce(1).write.mode("overwrite").json(tmp)
+      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+          .coalesce(1).write.mode("overwrite").json(tmp)
       val src = new graft.sources.FileNativeSource(Seq(
         graft.sources.FileNativeSource.FileStream("customer_json", "json", tmp)))
       val cat = src.discover(s)

@@ -3,28 +3,39 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Contamination
+import graft.expressions.{functions => gfn}
 
 /** Ad-hoc local experimentation entry point (not part of the engine). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
-    for (n <- Seq(2, 3, 5)) {
-      val ov = Contamination.overlap(docs.filter(col("doc_id") >= 25), "doc_id", "text",
-        docs.filter(col("doc_id") < 25), "text", shingleN = n)
-      ov.select(expr("percentile(contamination, array(0.1,0.5,0.9,0.99))").as("p"),
-          max(col("contamination")).as("mx"),
-          sum(when(col("contamination") >= 0.5, 1).otherwise(0)).as("ge50"),
-          sum(when(col("contamination") >= 0.2, 1).otherwise(0)).as("ge20"))
-        .show(false)
-      println(s"^ shingleN=$n")
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, dir)
+    emb.count() // warm file listing
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val c = emb.filter(col("vec_id") >= 5).select(col("vec_id").as("id"), col("embedding").as("v"))
+    val centroids = t("seed") {
+      c.orderBy(col("id")).limit(16).select(col("v").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
+    println(s"dim=${centroids.head.length} n=${emb.count()}")
+    t("lloyd") {
+      c.select(gfn.nearest_centroid(col("v"), centroids).as("cid"),
+          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m")).collect()
+    }
+    t("final") {
+      graft.operators.Similarity.ivfTopK(c, emb.filter(col("vec_id") < 5),
+        "id", "v", "vec_id", k = 5, nCentroids = 16, nProbe = 4).count()
     }
     spark.stop()
   }
