@@ -51,6 +51,51 @@ object SqlSurface {
         SELECT l_returnflag,
                concat_ws(',', sort_array(collect_set(l_linestatus))) AS statuses
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // Pivot: order counts per (year, priority) rotated into one column per
+    // priority — Spark's relational pivot; the oracle is the equivalent
+    // conditional aggregation.
+    "q_pivot" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("o_year"), col("o_orderpriority"))
+        .groupBy(col("o_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_year")
+    }),
+
+    // Lateral view / generator: explode each part's type into its word
+    // tokens (SQL LATERAL VIEW explode — the table-generating-function
+    // surface), counted per token.
+    "q_explode" -> ((s, d) => {
+      view(s, d, "part")
+      s.sql("""
+        SELECT token, count(*) AS n
+        FROM part LATERAL VIEW explode(split(p_type, ' ')) t AS token
+        GROUP BY token ORDER BY token""")
+    }),
+
+    // Window frame variants: dense_rank, ntile, first_value, and a moving
+    // sum over a bounded ROWS frame (decimal-rendered, scale 4 — see
+    // Relational's oracle-compat rules).
+    "q_window_frames" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               dense_rank()  OVER w AS drank,
+               ntile(4)      OVER w AS quartile,
+               first_value(o_orderkey) OVER w AS first_order,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,4)) AS moving_sum
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -79,5 +124,32 @@ object SqlSurface {
     "q_string_agg" ->
       """SELECT l_returnflag,
            string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS "1-URGENT",
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS "2-HIGH",
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS "5-LOW"
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_explode" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(p_type, ' ')) AS token FROM part)
+         GROUP BY token ORDER BY token""",
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(dense_rank() OVER w AS INTEGER) AS drank,
+           CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,4)) AS moving_sum
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""")
 }
