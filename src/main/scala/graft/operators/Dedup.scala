@@ -80,6 +80,13 @@ object Dedup {
     * re-join the shingle table twice (shuffles bounded by candidate count,
     * not corpus size); verify with exact sorted-merge Jaccard. Output:
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * `maxBucketSize > 0` caps hot buckets: a (band, hash) bucket holding n
+    * rows yields n·(n-1)/2 candidate pairs, so one degenerate bucket (empty
+    * strings, boilerplate) can dominate the whole job at corpus scale.
+    * Over-cap buckets are DROPPED — a bounded, observable recall trade
+    * (each surviving pair still verifies exactly; a true near-dup pair
+    * loses only the bands where it collided with >cap others).
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -88,12 +95,13 @@ object Dedup {
       threshold: Double = 0.7,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
       gfn.minhash_signature(col(textCol), shingleSize, numHashes).as("mh"))
-    val banded = sig.select(
+    val banded0 = sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -101,6 +109,7 @@ object Dedup {
             .as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
+    val banded = capBuckets(banded0, maxBucketSize)
 
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
@@ -117,6 +126,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Drop bucket groups larger than `cap` (0 = off). The size aggregate
+    * groups on the SAME key the self-join shuffles on (map-side combined,
+    * one row per bucket), and the semi-join broadcasts or co-partitions —
+    * no new shuffle shape.
+    */
+  private def capBuckets(
+      banded: DataFrame, cap: Int, keys: Seq[String] = Seq("band", "bh")): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val ok = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= cap).drop("__n")
+      banded.join(ok, keys, "left_semi")
+    }
 
   /** Dedup flavor: drop every near-dup except the min-id representative of
     * its connected component's pairs (greedy: any doc that appears as the
@@ -207,19 +230,21 @@ object Dedup {
       nPlanes: Int = 8,
       dim: Int = 0,
       seed: Long = 42L,
-      nTables: Int = 1): DataFrame = {
+      nTables: Int = 1,
+      maxBucketSize: Int = 0): DataFrame = {
     val d = if (dim > 0) dim else firstVectorDim(df, vecCol)
     // L independent hash tables (rotated plane sets): recall compounds as
     // 1-(1-p)^L while cost grows with candidate overlap — the MinHash-bands
     // trade for vectors. Precision is unaffected (exact verify below).
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = v
+    val banded = capBuckets(v
       .withColumn("tb", explode(array((0 until nTables).map { t =>
         struct(lit(t).as("table"),
           gfn.hyperplane_bucket(col("v"), randomPlanes(nPlanes, d, seed + t * 7919L))
             .as("bucket"))
       }: _*)))
-      .select(col("id"), col("tb.table"), col("tb.bucket"))
+      .select(col("id"), col("tb.table"), col("tb.bucket")),
+      maxBucketSize, keys = Seq("table", "bucket"))
     // candidate pairs carry ONLY ids through the self-join and the distinct
     // (a pair colliding in several tables must verify once, and shuffling
     // vectors through the distinct would dominate at scale)

@@ -68,6 +68,20 @@ object Parity {
         .orderBy("event_type")
     }),
 
+    // Same aggregate shape as q_demux with the sum rendered as DOUBLE
+    // (exact decimal sum, one deterministic final cast). Kept alongside
+    // the DECIMAL(38,4) renderings as a hash-canonicalization control:
+    // if scale-4 decimals ever diverge in the external hash, this pins
+    // down whether the double rendering survives.
+    "q_demux_double" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Typed JSON parsing (SURVEY §1.4 wire format): JSON props column →
     // typed field, the from_json/get_json_object path.
     "q_json_extract" -> ((s, d) => {
@@ -152,6 +166,11 @@ object Parity {
     "q_demux" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_demux_double" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_json_extract" ->

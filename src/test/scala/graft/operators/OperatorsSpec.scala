@@ -43,6 +43,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("minhash hot-bucket cap bounds a degenerate bucket's pair explosion") {
+    // 20 identical boilerplate docs (one hot bucket, 190 pairs) + a planted
+    // near-dup pair of distinct text
+    val boiler = (0L until 20L).map(i => (i, "lorem ipsum dolor sit amet " * 3))
+    val planted = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val df = (boiler ++ planted).toDF("id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(df, "id", "text",
+      threshold = 0.3, numHashes = 64, bands = 32, shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 100)
+    val capped = Dedup.minhashNearDupPairs(df, "id", "text",
+      threshold = 0.3, numHashes = 64, bands = 32, shingleSize = 2, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot boilerplate bucket dropped; small buckets (the planted pair) kept
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists { case (a, b) => a < 20L && b < 20L })
+  }
+
   test("simhash: identical text -> distance 0; near text close; different text far") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
