@@ -96,13 +96,21 @@ object Main {
     * `<key>` (lowercased); values parse as JSON when they are JSON,
     * otherwise as plain strings.
     */
+  // Strict parse: '123 Main St' must stay a string, not truncate to the
+  // number 123 (readTree alone stops at the first complete JSON token).
+  private val strictMapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
   private[cli] def configFromEnv(env: Map[String, String]): JsonNode = {
     val root = mapper.createObjectNode()
     env.toSeq.sortBy(_._1).foreach { case (k, v) =>
       if (k.startsWith("GRAFT_")) {
         val key = k.stripPrefix("GRAFT_").toLowerCase
         val node =
-          try mapper.readTree(v)
+          try strictMapper.readTree(v)
           catch { case _: Exception => mapper.getNodeFactory.textNode(v) }
         root.set[JsonNode](key, node)
         ()
@@ -270,26 +278,45 @@ object Main {
             scala.concurrent.Future.sequence(futures),
             scala.concurrent.duration.Duration.Inf)
         } finally { pool.shutdown() }
-      } else dfs.toSeq.sortBy(_._1).map { case (name, df) =>
-      opts.get("out") match {
-        case Some(_) => parquetSink(name -> df)
-        case None =>
-          var n = 0L
-          // PrintStream swallows broken pipes and raises checkError() —
-          // surface it as DownstreamClosed so emit() stops cleanly and the
-          // final state still lands in --state-out (reference tap.py:62-80).
-          val completed = SingerSink.emit(name, df,
-            catalog.stream(name).map(_.primaryKeys).getOrElse(Seq.empty),
-            state, { l =>
-              println(l)
-              if (System.out.checkError()) throw new SingerSink.DownstreamClosedException()
-              if (l.contains("\"RECORD\"")) n += 1
-            })
-          if (!completed)
-            System.err.println(s"[graft] downstream closed mid-stream on $name; ending sync")
-          name -> n
+      } else {
+        // aliased/duplicated outputs resolve key_properties through their
+        // SOURCE stream's catalog entry, not the output name
+        val sourceOf: Map[String, String] = mapsWithCatalogDrops.flatMap {
+          case (key, m) =>
+            m.source.map(src => key -> src)
+              .orElse(m.alias.map(a => a -> key))
+        }
+        var downstreamClosed = false
+        var emitted = 0L
+        dfs.toSeq.sortBy(_._1).map { case (name, df) =>
+          opts.get("out") match {
+            case Some(_) => parquetSink(name -> df)
+            case None if downstreamClosed => name -> 0L // consumer is gone
+            case None =>
+              var n = 0L
+              // PrintStream swallows broken pipes and raises checkError() —
+              // surface it as DownstreamClosed so emit() stops cleanly and
+              // the final state still lands in --state-out (reference
+              // tap.py:62-80). checkError() flushes, so probe every 1024
+              // lines, not per record.
+              val completed = SingerSink.emit(name, df,
+                catalog.stream(sourceOf.getOrElse(name, name))
+                  .map(_.primaryKeys).getOrElse(Seq.empty),
+                state, { l =>
+                  println(l)
+                  emitted += 1
+                  if ((emitted & 1023L) == 0L && System.out.checkError())
+                    throw new SingerSink.DownstreamClosedException()
+                  if (l.contains("\"RECORD\"")) n += 1
+                })
+              if (!completed) {
+                downstreamClosed = true
+                System.err.println(s"[graft] downstream closed mid-stream on $name; ending sync")
+              }
+              name -> n
+          }
+        }
       }
-    }
     opts.get("state-out").foreach(p => state.save(Paths.get(p)))
     val secs = (System.nanoTime() - t0) / 1e9
     // timing/cost report (tap.py:792, 899-902 analog) — stderr, not stdout,

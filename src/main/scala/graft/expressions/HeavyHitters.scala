@@ -45,36 +45,23 @@ case class HeavyHittersAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
-  private def offer(buf: mutable.HashMap[String, Long], token: String, weight: Long): Unit = {
+  /** Unit-weight Misra-Gries offer (the update() path; merge() compacts
+    * whole sketches separately). When full, every counter drops by 1 —
+    * live counters are always >= 1, so this is the weighted rule's
+    * min-capped decrement for weight 1 — and zeroed entries evict.
+    */
+  private def offer(buf: mutable.HashMap[String, Long], token: String): Unit = {
     buf.get(token) match {
-      case Some(c) => buf.update(token, c + weight); ()
+      case Some(c) => buf.update(token, c + 1L); ()
       case None =>
-        if (buf.size < capacity) { buf.update(token, weight); () }
+        if (buf.size < capacity) { buf.update(token, 1L); () }
         else {
-          // Weighted Misra-Gries decrement: every counter drops by
-          // min(weight, smallest counter) and the offered token keeps the
-          // residual. Decrementing by the FULL weight would let one
-          // large-weight unseen token slash every survivor and break the
-          // N/(capacity+1) error bound; capping at the minimum counter
-          // keeps each offer's total decrement bounded and guarantees
-          // room for a positive residual (the minimum entry zeroes out
-          // exactly then). Unit weights (the update() path) skip the min
-          // scan: live counters are always >= 1, so the cap is 1.
-          val dec =
-            if (weight == 1L) 1L
-            else {
-              var minC = Long.MaxValue
-              buf.valuesIterator.foreach(c => if (c < minC) minC = c)
-              math.min(weight, minC)
-            }
           val dead = mutable.ArrayBuffer.empty[String]
           buf.keysIterator.foreach { t =>
-            val nv = buf(t) - dec
+            val nv = buf(t) - 1L
             if (nv <= 0) dead += t else buf.update(t, nv)
           }
           dead.foreach(buf.remove)
-          val residual = weight - dec
-          if (residual > 0) { buf.update(token, residual); () }
         }
     }
   }
@@ -86,7 +73,7 @@ case class HeavyHittersAgg(
       val a = arr.asInstanceOf[ArrayData]
       var i = 0
       while (i < a.numElements()) {
-        if (!a.isNullAt(i)) offer(buf, a.getUTF8String(i).toString, 1L)
+        if (!a.isNullAt(i)) offer(buf, a.getUTF8String(i).toString)
         i += 1
       }
     }

@@ -31,19 +31,22 @@ object Contamination {
     val benchHashes = benchmark
       .select(explode(gfn.shingle_hashes(col(benchTextCol), shingleN)).as("h"))
       .distinct()
-    val withSh = corpus.select(col(idCol).as("id"),
-      gfn.shingle_hashes(col(textCol), shingleN).as("sh"))
-    val matched = withSh
-      .select(col("id"), explode(col("sh")).as("h"))
-      .join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .withColumn("__hit", lit(1L))
+    // ONE shingling pass: size + exploded hashes from the same projection
+    // (explode_outer keeps shingle-less docs), broadcast LEFT join marks
+    // matches, and a single map-side-combined aggregate produces both the
+    // total and matched counts per id.
+    corpus.select(col(idCol).as("id"),
+        gfn.shingle_hashes(col(textCol), shingleN).as("sh"))
+      .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
+        explode_outer(col("sh")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_matched"))
-    withSh.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(matched, Seq("id"), "left")
-      .select(col("id"), col("n_shingles"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        round(coalesce(col("n_matched"), lit(0L)) /
-          greatest(col("n_shingles"), lit(1L)), 4).as("contamination"))
+      .agg(first(col("n_sh")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_matched"))
+      .select(col("id"), col("n_shingles"), col("n_matched"),
+        round(col("n_matched") / greatest(col("n_shingles"), lit(1L)), 4)
+          .as("contamination"))
   }
 
   /** Corpus minus contaminated documents (overlap fraction >= threshold). */

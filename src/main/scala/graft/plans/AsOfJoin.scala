@@ -77,9 +77,14 @@ final case class AsOfJoinExec(
 
   // Hash-cluster both sides on the by-key; sort each partition by
   // (by, on). EnsureRequirements inserts the exchanges/sorts — or elides
-  // them when a bucketed layout already satisfies the distribution.
+  // them when a bucketed layout already satisfies the distribution. An
+  // empty by-key (global as-of over one series) degenerates to AllTuples:
+  // both sides in a single partition, one merge.
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
+    if (leftBy.isEmpty)
+      Seq(org.apache.spark.sql.catalyst.plans.physical.AllTuples,
+        org.apache.spark.sql.catalyst.plans.physical.AllTuples)
+    else Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftBy :+ leftOn).map(a => SortOrder(a, Ascending)),
@@ -99,10 +104,13 @@ final case class AsOfJoinExec(
       val rOnProj = UnsafeProjection.create(Seq(rightOn), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftBy.map(_.dataType))
       val onOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftOn.dataType))
-      // right values read through the null-padded row on misses → force
-      // nullable binding regardless of the source column's nullability
+      // Right values read through the null-padded row on misses. Binding
+      // takes nullability from the INPUT schema, so the right attributes
+      // must be declared nullable there too — a non-nullable double would
+      // skip the null check and read the padded slot as 0.0.
       val outProj = UnsafeProjection.create(
-        lOut ++ rightValues.map(_.withNullability(true)), lOut ++ rOut)
+        lOut ++ rightValues.map(_.withNullability(true)),
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

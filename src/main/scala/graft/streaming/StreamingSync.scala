@@ -67,9 +67,14 @@ object StreamingSync {
             // The comparison runs in the CURSOR COLUMN'S type (the stored
             // string bookmark is cast back) — a lexicographic string
             // compare would mis-order numeric cursors ("9" > "10") and
-            // stall or regress the bookmark.
+            // stall or regress the bookmark. try_cast + coalesce: a
+            // stored bookmark that doesn't parse as the cursor's type
+            // (foreign state file) counts as "advance", never as a crash
+            // (ANSI cast would throw, a plain cast would null-NPE).
             val advances = state.bookmark(streamName, cursor)
-              .map(old => lit(old).cast(batch.schema(cursor).dataType) < col("mx"))
+              .map(old => coalesce(
+                lit(old).try_cast(batch.schema(cursor).dataType) < col("mx"),
+                lit(true)))
               .getOrElse(lit(true))
             val m = batch.agg(max(col(cursor)).as("mx"))
               .select(col("mx").cast("string").as("mxs"), advances.as("adv")).head()

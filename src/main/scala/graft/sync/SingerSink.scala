@@ -73,7 +73,10 @@ object SingerSink {
     * Returns `false` when the downstream consumer closed mid-stream
     * (broken pipe): emission stops cleanly, no exception escapes, and the
     * caller still owns a consistent `state` to persist — the reference's
-    * graceful-EPIPE semantics (`tap.py:62-80`).
+    * graceful-EPIPE semantics (`tap.py:62-80`, which special-cases
+    * BrokenPipeError ONLY). Other IOExceptions (disk full, fetch
+    * failures) propagate — swallowing them would commit bookmarks for
+    * records that were never delivered.
     */
   def emit(
       stream: String,
@@ -90,6 +93,8 @@ object SingerSink {
       out(graft.protocol.SingerMessage.State(state.snapshot).toJson)
       true
     } catch {
-      case _: java.io.IOException => false // downstream closed: stop cleanly
+      case _: DownstreamClosedException => false
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("broken pipe")) => false
     }
 }

@@ -41,6 +41,11 @@ class CliSpec extends SparkSpec {
     assert(cfg.get("select").get(0).asText == "nation")
     assert(cfg.get("flattening_max_depth").asInt == 2)
     assert(!cfg.has("path")) // non-GRAFT vars ignored
+    // a value that merely STARTS with a JSON token stays a string
+    val cfg2 = Main.configFromEnv(Map(
+      "GRAFT_ADDRESS" -> "123 Main St", "GRAFT_NOTE" -> "true false"))
+    assert(cfg2.get("address").isTextual && cfg2.get("address").asText == "123 Main St")
+    assert(cfg2.get("note").isTextual && cfg2.get("note").asText == "true false")
     val src = Main.buildSource(cfg).asInstanceOf[FileNativeSource]
     assert(src.discover(spark).streams.map(_.name) == Seq("nation"))
   }

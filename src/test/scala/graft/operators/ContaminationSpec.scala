@@ -41,6 +41,18 @@ class ContaminationSpec extends SparkSpec {
       "doc_id", "text", docs.filter(org.apache.spark.sql.functions.col("doc_id") < 25), "text")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi") && plan.contains("BroadcastExchange"), plan)
+    // one shingling pass: corpus joins the broadcast bench-hash set LEFT
+    // (match flags), no second scan/subtree of the corpus
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size <= 4, plan) // corpus+bench (AQE prints twice)
+  }
+
+  test("docs with no shingles report 0/0 contamination, not a crash") {
+    val corpus = Seq((1L, ""), (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, "doc_id", "text", bench, "text", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == 0.0)
+    assert(byId(2L)._4 == 1.0)
   }
 }

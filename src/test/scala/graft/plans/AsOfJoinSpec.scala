@@ -51,6 +51,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("empty by-key: global as-of join over one series (AllTuples merge)") {
+    val trades = Seq((1L, 10L), (2L, 25L), (3L, 5L)).toDF("trade_id", "t")
+    val quotes = Seq((9L, 1.0), (20L, 2.0)).toDF("t", "px")
+    val out = AsOfJoin.backward(trades, quotes, by = Seq.empty, on = "t",
+      rightValueCols = Seq("px"))
+      .orderBy("trade_id").collect()
+    assert(out(0).getDouble(2) == 1.0)  // t=10 -> quote t=9
+    assert(out(1).getDouble(2) == 2.0)  // t=25 -> quote t=20
+    assert(out(2).isNullAt(2))          // t=5 -> none
+  }
+
   test("physical plan: AsOfJoinExec with Catalyst-planned exchanges/sorts, no window") {
     val trades = Seq((1L, "A", 10L)).toDF("trade_id", "sym", "t")
     val quotes = Seq(("A", 9L, 1.0)).toDF("sym", "t", "px")

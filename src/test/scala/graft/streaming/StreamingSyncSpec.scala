@@ -67,6 +67,16 @@ class StreamingSyncSpec extends SparkSpec {
       "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
     q2.awaitTermination(60000)
     assert(state.bookmark("s", "id").contains("10"))
+
+    // a foreign bookmark that doesn't parse as the cursor type must not
+    // crash the batch (try_cast): it counts as "advance"
+    state.setBookmark("s", "id", "done")
+    Seq("""{"id":11,"v":"z"}""").toDS().coalesce(1).write.mode("append").text(landing)
+    val q3 = StreamingSync.syncToParquet(
+      StreamingSync.readJsonlStream(spark, landing, schema),
+      "s", out, ckpt, Some("id"), state, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+    assert(state.bookmark("s", "id").contains("11"))
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
