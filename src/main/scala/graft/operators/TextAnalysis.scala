@@ -115,6 +115,25 @@ object TextAnalysis {
       " ")
   }
 
+  /** PII patterns shared verbatim with the DuckDB oracle — kept in the
+    * RE2 ∩ Java regex common subset (no lookarounds, no backrefs).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrub for training corpora: mask emails, IPv4 addresses, and
+    * phone-shaped digit runs with typed placeholders. Three codegen'd
+    * `regexp_replace` passes (email first — it contains digits and dots
+    * the later patterns would otherwise bite into). Narrow, zero shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   /** All analyses as one DataFrame transform (single narrow projection). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

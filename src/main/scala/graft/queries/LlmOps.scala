@@ -137,6 +137,19 @@ object LlmOps {
         .orderBy(col("lang"), col("cnt").desc, col("token"))
     }),
 
+    // PII redaction: the corpus is synthetic word-soup, so deterministic
+    // PII derived from doc_id is planted inline and scrubbed — exercising
+    // all three patterns under the oracle's eyes.
+    "q_pii_redact" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"), lit("@example.com or 10.0."),
+        (col("doc_id") % 200).cast("string"), lit(".7 tel +1 555 01"),
+        (col("doc_id") % 90 + 10).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.redactPii(planted).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- sampling / splitting / decontamination ----------------
     // Deterministic stratified sample (oracle-checkable: pure window
     // semantics, no hashing).
@@ -235,6 +248,21 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    "q_pii_redact" ->
+      ("""WITH p AS (
+           SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' ||
+             CAST(doc_id % 200 AS VARCHAR) || '.7 tel +1 555 01' ||
+             CAST(doc_id % 90 + 10 AS VARCHAR) AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '""" + graft.operators.TextAnalysis.emailRe + """', '<EMAIL>', 'g'),
+               '""" + graft.operators.TextAnalysis.ipv4Re + """', '<IP>', 'g'),
+             '""" + graft.operators.TextAnalysis.phoneRe + """', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id"""),
 
     // Exact brute-force ANN is SQL-expressible: DuckDB's
     // list_cosine_similarity over DOUBLE[] (float32 would drift against

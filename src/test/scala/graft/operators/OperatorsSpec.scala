@@ -136,6 +136,19 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getLong(0) == 0)
   }
 
+  test("redactPii masks emails, IPs, and phone runs; clean text unchanged") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server at 192.168.0.17 responded",
+      "call +1 (555) 010-7788 today",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(TextAnalysis.redactPii($"t")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "server at <IP> responded")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "nothing sensitive here")
+  }
+
   test("langId picks the language with most stopword hits") {
     val en = "the cat and the dog sat on the mat with a hat"
     val fr = "le chat et la table sont dans le jardin avec les fleurs"
