@@ -134,6 +134,39 @@ object TextAnalysis {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Corpus-level document-frequency cut (the boilerplate-removal shape of
+    * RefinedWeb/C4-style cleaning, applied at token granularity): drop
+    * every token appearing in at least `maxDocFrac` of the documents,
+    * preserving each document's remaining token ORDER.
+    *
+    * Distributed shape: one posexplode pass; the doc-frequency aggregate
+    * is a two-level distinct count on (token, id) — partial-aggregated,
+    * shuffle keyed by token; the anti-join against the (small) hot-token
+    * set broadcasts; reconstruction groups by id carrying (pos, token)
+    * pairs — the only corpus-wide shuffle — and re-sorts per document.
+    * Documents whose every token is boilerplate drop out entirely (same
+    * as the SQL formulation).
+    */
+  def dfCut(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFrac: Double = 0.8): DataFrame = {
+    val nDocs = df.count() // scalar, O(1) driver-side
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val hot = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= lit(maxDocFrac * nDocs))
+      .select("tok")
+    toks.join(broadcast(hot), Seq("tok"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("cleaned"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** All analyses as one DataFrame transform (single narrow projection). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

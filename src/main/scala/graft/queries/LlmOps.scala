@@ -137,6 +137,14 @@ object LlmOps {
         .orderBy(col("lang"), col("cnt").desc, col("token"))
     }),
 
+    // Corpus-level document-frequency cut: drop tokens present in >= 80%
+    // of documents (boilerplate/stopword discovery from the corpus
+    // itself), preserving token order per document.
+    "q_df_cut" -> ((s, d) => {
+      TextAnalysis.dfCut(Tables.documents(s, d), "doc_id", "text", maxDocFrac = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: the corpus is synthetic word-soup, so deterministic
     // PII derived from doc_id is planted inline and scrubbed — exercising
     // all three patterns under the oracle's eyes.
@@ -248,6 +256,19 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    "q_df_cut" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         hot AS (
+           SELECT tok FROM toks GROUP BY tok
+           HAVING count(DISTINCT doc_id) >= 0.8 * (SELECT count(*) FROM documents))
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+         FROM toks WHERE tok NOT IN (SELECT tok FROM hot)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q_pii_redact" ->
       ("""WITH p AS (

@@ -136,6 +136,20 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getLong(0) == 0)
   }
 
+  test("dfCut removes corpus-frequent tokens, preserves order, drops empty docs") {
+    val df = Seq(
+      (1L, "the alpha the beta"),
+      (2L, "the gamma delta the"),
+      (3L, "the epsilon"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    // 'the' appears in 4/4 docs -> cut at 0.8; everything else is rare
+    val out = TextAnalysis.dfCut(df, "doc_id", "text", maxDocFrac = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon"))
+    // doc 4 was pure boilerplate and drops out entirely
+    assert(!out.contains(4L))
+  }
+
   test("redactPii masks emails, IPs, and phone runs; clean text unchanged") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
