@@ -137,6 +137,18 @@ object LlmOps {
         .orderBy(col("lang"), col("cnt").desc, col("token"))
     }),
 
+    // Cardinality sketch (the HyperLogLog++ counterpart of the Misra-Gries
+    // heavy-hitters sketch): bounded-memory distinct counts per group.
+    // rows-only — the approximation is engine-specific; the relative-error
+    // bound vs exact counts is asserted in OperatorsSpec.
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("nd_supps_approx"))
+        .orderBy("l_returnflag")
+    }),
+
     // Corpus-level document-frequency cut: drop tokens present in >= 80%
     // of documents (boilerplate/stopword discovery from the corpus
     // itself), preserving token order per document.

@@ -136,6 +136,20 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getLong(0) == 0)
   }
 
+  test("approx_count_distinct stays within its declared relative error vs exact") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val rows = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("dfCut removes corpus-frequent tokens, preserves order, drops empty docs") {
     val df = Seq(
       (1L, "the alpha the beta"),

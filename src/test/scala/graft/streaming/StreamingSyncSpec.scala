@@ -79,6 +79,29 @@ class StreamingSyncSpec extends SparkSpec {
     assert(state.bookmark("s", "id").contains("11"))
   }
 
+  test("stream-static broadcast join enriches a stream against a dimension table") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("dimlanding").toString
+    val out = Files.createTempDirectory("dimout").toString
+    val ckpt = Files.createTempDirectory("dimckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("nation_key", LongType)))
+    val dim = graft.Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("nation_key"), col("n_name"))
+
+    Seq("""{"id":1,"nation_key":3}""", """{"id":2,"nation_key":7}""").toDS()
+      .coalesce(1).write.mode("append").text(landing)
+    val enriched = StreamingSync.readJsonlStream(spark, landing, schema)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("nation_key"))
+    val q = enriched.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+    assert(rows.length == 2 && rows.forall(!_.isNullAt(2))) // names attached
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.SessionEvent](spark)
