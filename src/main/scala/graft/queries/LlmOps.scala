@@ -213,6 +213,19 @@ object LlmOps {
         .orderBy("media_id")
     }),
 
+    // Feature-extract + byte-budget resize over the binary media column —
+    // the embed-and-thumbnail legs of the multimodal pipeline (codec
+    // stubbed deterministically; partitioning/batching real).
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 60)
+      val feats = Multimodal.extractFeatures(media, dim = 8)
+      Multimodal.resizeImages(feats, maxBytes = 256)
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          length(col("payload")).cast("int").as("resized_bytes"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_frames" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 20, kind = "video")
       Multimodal.sampleFrames(media, framesPerVideo = 4)

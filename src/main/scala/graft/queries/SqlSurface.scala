@@ -79,6 +79,31 @@ object SqlSurface {
         GROUP BY token ORDER BY token""")
     }),
 
+    // Unpivot / melt: wide → long relational rotation (Dataset.unpivot).
+    "q_unpivot" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // Correlated LATERAL subquery: per-nation aggregate computed in a
+    // lateral derived table (decorrelated by Catalyst into a join).
+    "q_lateral" -> ((s, d) => {
+      Seq("nation", "customer").foreach(view(s, d, _))
+      s.sql("""
+        SELECT n_name, t.n_cust, t.max_bal
+        FROM nation,
+        LATERAL (SELECT count(*) AS n_cust,
+                        round(max(c_acctbal), 2) AS max_bal
+                 FROM customer WHERE c_nationkey = n_nationkey) t
+        ORDER BY n_name""")
+    }),
+
     // Window frame variants: dense_rank, ntile, first_value, and a moving
     // sum over a bounded ROWS frame (decimal-rendered, scale 4 — see
     // Relational's oracle-compat rules).
@@ -139,6 +164,20 @@ object SqlSurface {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(p_type, ' ')) AS token FROM part)
          GROUP BY token ORDER BY token""",
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+         ORDER BY p_partkey, metric""",
+
+    "q_lateral" ->
+      """SELECT n_name, t.n_cust, t.max_bal
+         FROM nation,
+         LATERAL (SELECT count(*) AS n_cust,
+                         round(max(c_acctbal), 2) AS max_bal
+                  FROM customer WHERE c_nationkey = n_nationkey) t
+         ORDER BY n_name""",
 
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey,
