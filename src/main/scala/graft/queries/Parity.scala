@@ -128,6 +128,23 @@ object Parity {
         .orderBy("c_mktsegment")
     }),
 
+    // ORC round-trip through the file-native source (columnar format
+    // breadth beside parquet/csv/json).
+    "q_orc_source" -> ((s, d) => {
+      val tmp = s"/tmp/graft_orc/${new java.io.File(d).getName}"
+      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
+        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+          .coalesce(1).write.mode("overwrite").orc(tmp)
+      val src = new graft.sources.FileNativeSource(Seq(
+        graft.sources.FileNativeSource.FileStream("supplier_orc", "orc", tmp)))
+      val cat = src.discover(s)
+      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
+          new graft.state.StateStore())("supplier_orc")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), max(col("s_suppkey")).as("max_key"))
+        .orderBy("s_nationkey")
+    }),
+
     // Sessionization: the stateful-stream operation (processing-order state
     // ≈ reference's STATE bookkeeping) expressed as lag + windowed cumsum.
     "q_sessionize" -> ((s, d) => {
@@ -184,6 +201,10 @@ object Parity {
     "q_json_source" ->
       """SELECT c_mktsegment, count(*) AS n, max(c_custkey) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_orc_source" ->
+      """SELECT s_nationkey, count(*) AS n, max(s_suppkey) AS max_key
+         FROM supplier GROUP BY 1 ORDER BY 1""",
 
     "q_sessionize" ->
       """WITH g AS (

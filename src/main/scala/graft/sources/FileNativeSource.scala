@@ -8,7 +8,7 @@ import graft.schema.JsonSchemaConverter
 import graft.state.StateStore
 
 /** File-native source: streams backed by files Spark reads directly
-  * (parquet / csv / json). The analog of the reference's
+  * (parquet / csv / json / orc). The analog of the reference's
   * `airbyte/source-file` path (reference `tests/test_syncs.py:22-74` syncs a
   * CSV through a connector container); here the scan is a first-class Spark
   * read — distributed, columnar, predicate-pushdown-capable — instead of a
@@ -34,7 +34,7 @@ final class FileNativeSource(streams: Seq[FileNativeSource.FileStream]) extends 
               "required": ["name", "format", "path"],
               "properties": {
                 "name":   {"type": "string"},
-                "format": {"type": "string", "enum": ["parquet", "csv", "json"]},
+                "format": {"type": "string", "enum": ["parquet", "csv", "json", "orc"]},
                 "path":   {"type": "string"},
                 "options": {"type": "object"},
                 "cursor_field": {"type": ["null", "string"]},
@@ -96,6 +96,7 @@ final class FileNativeSource(streams: Seq[FileNativeSource.FileStream]) extends 
         spark.read.option("header", "true").option("inferSchema", "true")
           .options(s.options).csv(s.path)
       case "json"  => spark.read.options(s.options).json(s.path)
+      case "orc"   => spark.read.options(s.options).orc(s.path)
       case other   => throw new IllegalArgumentException(s"unsupported format $other")
     }
 }

@@ -79,6 +79,28 @@ class StreamingSyncSpec extends SparkSpec {
     assert(state.bookmark("s", "id").contains("11"))
   }
 
+  test("streaming dedup within watermark drops replayed records (at-least-once -> effectively-once)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // connectors replay records after restarts (at-least-once);
+    // dropDuplicatesWithinWatermark is the bounded-state streaming dedup
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val deduped = input.toDF().toDF("id", "v", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((1L, "a", ts(0)), (2L, "b", ts(1)), (1L, "a-replay", ts(2)))
+    q.processAllAvailable()
+    input.addData((2L, "b-replay", ts(3)), (3L, "c", ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_sink").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "c")) // first wins
+  }
+
   test("stream-static broadcast join enriches a stream against a dimension table") {
     import spark.implicits._
     val landing = Files.createTempDirectory("dimlanding").toString
