@@ -139,13 +139,17 @@ object TextAnalysis {
     * every token appearing in at least `maxDocFrac` of the documents,
     * preserving each document's remaining token ORDER.
     *
-    * Distributed shape: one posexplode pass; the doc-frequency aggregate
-    * is a two-level distinct count on (token, id) — partial-aggregated,
-    * shuffle keyed by token; the anti-join against the (small) hot-token
-    * set broadcasts; reconstruction groups by id carrying (pos, token)
-    * pairs — the only corpus-wide shuffle — and re-sorts per document.
-    * Documents whose every token is boilerplate drop out entirely (same
-    * as the SQL formulation).
+    * Distributed shape: TWO scan+explode passes over the corpus — the
+    * hot-token set must be complete before any document can be rebuilt,
+    * and caching the exploded tokens at 100 TB would cost more memory
+    * than a second scan costs I/O. Pass 1 feeds the doc-frequency
+    * aggregate (two-level distinct count on (token, id), partial-
+    * aggregated, shuffle keyed by token); pass 2 anti-joins the
+    * (small, broadcast) hot-token set and regroups by id carrying
+    * (pos, token) pairs — the only corpus-wide shuffle — re-sorting per
+    * document. Plus one O(1) count job for the doc total. Documents
+    * whose every token is boilerplate drop out entirely (same as the
+    * SQL formulation).
     */
   def dfCut(
       df: DataFrame,

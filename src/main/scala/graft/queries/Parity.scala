@@ -13,6 +13,34 @@ import graft.sync.StreamMaps
   */
 object Parity {
 
+  /** Shared format round-trip fixture: dump `cols` of `table` to /tmp in
+    * `format` once, then read it back through the engine's
+    * FileNativeSource (discover → configure → read). The fixture dir is
+    * keyed by the SOURCE parquet's (name, mtime, size), so regenerated
+    * testdata can never silently reuse a stale dump — and repeat runs
+    * measure the engine's READ path, not the dump.
+    */
+  private def fileSourceStream(
+      s: SparkSession, d: String, table: String, format: String,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val srcFile = new java.io.File(s"$d/$table.parquet")
+    val tmp = s"/tmp/graft_fixtures/${table}_${format}_${srcFile.lastModified}_${srcFile.length}"
+    if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
+      val w = graft.Tables(s, d, table).select(cols.map(col): _*)
+        .coalesce(1).write.mode("overwrite")
+      format match {
+        case "csv"  => w.option("header", "true").csv(tmp)
+        case "json" => w.json(tmp)
+        case "orc"  => w.orc(tmp)
+        case other  => sys.error(s"unsupported fixture format $other")
+      }
+    }
+    val src = new graft.sources.FileNativeSource(Seq(
+      graft.sources.FileNativeSource.FileStream(s"${table}_$format", format, tmp)))
+    src.read(s, graft.catalog.ConfiguredCatalog.configure(src.discover(s), _ => true),
+      new graft.state.StateStore())(s"${table}_$format")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stream selection + field projection (SURVEY §2.1 #7, #18): only the
     // selected columns reach the scan (check ReadSchema in explain).
@@ -96,17 +124,7 @@ object Parity {
     // engine's own csv reader). Content derives from the nation table so
     // the oracle stays on testdata.
     "q_csv_source" -> ((s, d) => {
-      val tmp = s"/tmp/graft_csv/${new java.io.File(d).getName}"
-      // fixture derives from immutable testdata — write once per sf dir so
-      // the measured cost is the engine's csv READ path, not the dump
-      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
-        Tables.nation(s, d).coalesce(1).write.mode("overwrite")
-          .option("header", "true").csv(tmp)
-      val src = new graft.sources.FileNativeSource(Seq(
-        graft.sources.FileNativeSource.FileStream("nation_csv", "csv", tmp)))
-      val cat = src.discover(s)
-      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
-          new graft.state.StateStore())("nation_csv")
+      fileSourceStream(s, d, "nation", "csv", Seq("n_nationkey", "n_name", "n_regionkey", "n_comment"))
         .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("n_regionkey")
@@ -114,15 +132,7 @@ object Parity {
 
     // JSONL round-trip: the engine's json reader over a Singer-shaped dump.
     "q_json_source" -> ((s, d) => {
-      val tmp = s"/tmp/graft_json/${new java.io.File(d).getName}"
-      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
-        Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
-          .coalesce(1).write.mode("overwrite").json(tmp)
-      val src = new graft.sources.FileNativeSource(Seq(
-        graft.sources.FileNativeSource.FileStream("customer_json", "json", tmp)))
-      val cat = src.discover(s)
-      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
-          new graft.state.StateStore())("customer_json")
+      fileSourceStream(s, d, "customer", "json", Seq("c_custkey", "c_name", "c_mktsegment"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), max(col("c_custkey")).as("max_key"))
         .orderBy("c_mktsegment")
@@ -131,15 +141,7 @@ object Parity {
     // ORC round-trip through the file-native source (columnar format
     // breadth beside parquet/csv/json).
     "q_orc_source" -> ((s, d) => {
-      val tmp = s"/tmp/graft_orc/${new java.io.File(d).getName}"
-      if (!new java.io.File(s"$tmp/_SUCCESS").exists())
-        Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
-          .coalesce(1).write.mode("overwrite").orc(tmp)
-      val src = new graft.sources.FileNativeSource(Seq(
-        graft.sources.FileNativeSource.FileStream("supplier_orc", "orc", tmp)))
-      val cat = src.discover(s)
-      src.read(s, graft.catalog.ConfiguredCatalog.configure(cat, _ => true),
-          new graft.state.StateStore())("supplier_orc")
+      fileSourceStream(s, d, "supplier", "orc", Seq("s_suppkey", "s_name", "s_nationkey"))
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), max(col("s_suppkey")).as("max_key"))
         .orderBy("s_nationkey")

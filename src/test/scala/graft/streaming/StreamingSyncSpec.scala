@@ -81,7 +81,6 @@ class StreamingSyncSpec extends SparkSpec {
 
   test("streaming dedup within watermark drops replayed records (at-least-once -> effectively-once)") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // connectors replay records after restarts (at-least-once);
     // dropDuplicatesWithinWatermark is the bounded-state streaming dedup
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
