@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering backbone of near-dup
+  * deduplication: LSH emits PAIRS, but the unit of removal is the
+  * connected COMPONENT (a doc may pair with several others; keeping one
+  * representative per component needs the transitive closure).
+  *
+  * [[minLabel]] runs min-label propagation with pointer jumping: each
+  * round (1) every vertex takes the min label over its neighbors (edge
+  * join + map-side-combined min agg) and (2) labels compress through
+  * themselves (label(v) := label(label(v)), a self-join) — the classic
+  * two-step that converges in O(log diameter) rounds rather than
+  * O(diameter) for plain propagation. Per round the shuffles carry only
+  * (id, label) pairs and the edge list; the driver sees one scalar
+  * (the changed-count) per round.
+  */
+object Components {
+
+  /** (id, component) for every vertex in `pairs` (columns idA, idB),
+    * where `component` is the minimum vertex id reachable from `id`.
+    */
+  def minLabel(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // localCheckpoint (not cache): iterative DataFrame loops grow their
+    // LOGICAL plan every round even when data is cached — analysis and
+    // optimization cost compounds until the driver burns heap on a plan
+    // tree thousands of nodes deep. Checkpointing truncates the lineage
+    // each round, so every iteration plans against a flat scan.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      // (1) neighbor min: the smallest label in each vertex's neighborhood
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val afterProp = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // (2) pointer jumping: compress label chains through themselves
+      val byId = afterProp.select(col("id").as("label"), col("label").as("plabel"))
+      val next = afterProp.join(byId, Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup by component: keep only the min-id representative of every
+    * connected component of `pairs`; rows not in any pair survive.
+    */
+  def dedupByComponent(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val drops = minLabel(pairs, idA, idB)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -141,19 +141,19 @@ object Dedup {
       banded.join(ok, keys, "left_semi")
     }
 
-  /** Dedup flavor: drop every near-dup except the min-id representative of
-    * its connected component's pairs (greedy: any doc that appears as the
-    * larger id in a qualifying pair is dropped).
+  /** Dedup flavor: keep exactly the min-id representative of every
+    * connected COMPONENT of near-dup pairs (true transitive clustering
+    * via [[Components.minLabel]] — the greedy "drop every id_b" rule
+    * over-keeps whenever two pairs share their larger member, e.g.
+    * pairs (1,9),(5,9) would keep both 1 and 5).
     */
   def minhashDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.7): DataFrame = {
-    val drops = minhashNearDupPairs(df, idCol, textCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.7): DataFrame =
+    Components.dedupByComponent(df, idCol,
+      minhashNearDupPairs(df, idCol, textCol, threshold))
 
   // ------------------------------------------------------------------
   // SimHash

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
   * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -40,6 +40,25 @@ object LlmOps {
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Connected components over a similarity graph: the transitive-closure
+    // step of dedup clustering. The pair graph here (same lang, n_chars
+    // within 1) is SQL-expressible, so the distributed min-label/pointer-
+    // jumping loop is oracle-checked against DuckDB's recursive CTE.
+    // Bounded to 500 docs: this synthetic pair predicate goes quadratic
+    // with corpus size (real dedup feeds minLabel the SPARSE pairs an LSH
+    // family emits — see Dedup.minhashDedup); the bound pins the oracle
+    // while keeping the graph non-trivial.
+    "q_dedup_cc" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"))
+      val pairs = a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 1)
+        .select("id_a", "id_b")
+      Components.minLabel(pairs).orderBy("id")
     }),
 
     "q_simhash_fingerprints" -> ((s, d) => {
@@ -281,6 +300,23 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    "q_dedup_cc" ->
+      """WITH RECURSIVE prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM (SELECT * FROM documents WHERE doc_id < 500) a
+           JOIN (SELECT * FROM documents WHERE doc_id < 500) b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM verts
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id, min(m) AS label FROM reach GROUP BY id ORDER BY id""",
 
     "q_df_cut" ->
       """WITH toks AS (

@@ -124,7 +124,7 @@ object Parity {
     // engine's own csv reader). Content derives from the nation table so
     // the oracle stays on testdata.
     "q_csv_source" -> ((s, d) => {
-      fileSourceStream(s, d, "nation", "csv", Seq("n_nationkey", "n_name", "n_regionkey", "n_comment"))
+      fileSourceStream(s, d, "nation", "csv", Seq("n_nationkey", "n_name", "n_regionkey"))
         .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("n_regionkey")
