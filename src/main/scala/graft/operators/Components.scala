@@ -49,15 +49,18 @@ object Components {
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val afterProp = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // (2) pointer jumping: compress label chains through themselves
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // (2) pointer jumping: compress label chains through themselves.
+      // The previous label rides along as `old` so convergence is read
+      // off the checkpointed rows with a plain scan, not another join.
       val byId = afterProp.select(col("id").as("label"), col("label").as("plabel"))
       val next = afterProp.join(byId, Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels = next
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels
