@@ -21,6 +21,11 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    err_path = f"{out_dir}/_verify_errors.json"
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            print(f"[VERIFY-FAILED] {name}: {msg}")
+            failures += 1
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
