@@ -138,6 +138,39 @@ object Parity {
         .orderBy("c_mktsegment")
     }),
 
+    // DataSource V2 connector round-trip: nation rows replayed through a
+    // protocol-speaking child process and read back via
+    // format("graft-airbyte") — the DSv2 partition reader + JSON row
+    // converter under the hash oracle, not just unit tests.
+    "q_dsv2_source" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/nation.parquet")
+      val dir = s"/tmp/graft_fixtures/dsv2_${srcFile.lastModified}_${srcFile.length}"
+      val script = s"$dir/c.sh"
+      if (!new java.io.File(script).exists()) {
+        new java.io.File(dir).mkdirs()
+        val rows = Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey").collect() // 25 rows
+        val lines = rows.map(r =>
+          s"""echo '{"type":"RECORD","record":{"stream":"nation","data":{""" +
+            s""""n_nationkey":${r.get(0)},"n_name":"${r.getString(1)}",""" +
+            s""""n_regionkey":${r.get(2)}}}}'""")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(script),
+          ("#!/bin/sh" +: lines.toSeq).mkString("\n") + "\n")
+      }
+      s.read.format("graft-airbyte")
+        .option("commands", s"""[["/bin/sh","$script"]]""")
+        .option("stream", "nation")
+        .option("json_schema",
+          """{"type":"object","properties":{
+             "n_nationkey":{"type":["null","integer"]},
+             "n_name":{"type":["null","string"]},
+             "n_regionkey":{"type":["null","integer"]}}}""".replaceAll("\n\\s*", ""))
+        .load()
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // ORC round-trip through the file-native source (columnar format
     // breadth beside parquet/csv/json).
     "q_orc_source" -> ((s, d) => {
@@ -203,6 +236,11 @@ object Parity {
     "q_json_source" ->
       """SELECT c_mktsegment, count(*) AS n, max(c_custkey) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_dsv2_source" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+           max(n_name) AS max_name
+         FROM nation GROUP BY 1 ORDER BY 1""",
 
     "q_orc_source" ->
       """SELECT s_nationkey, count(*) AS n, max(s_suppkey) AS max_key
