@@ -27,19 +27,23 @@ object Components {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
     // localCheckpoint (not cache): iterative DataFrame loops grow their
     // LOGICAL plan every round even when data is cached — analysis and
     // optimization cost compounds until the driver burns heap on a plan
     // tree thousands of nodes deep. Checkpointing truncates the lineage
-    // each round, so every iteration plans against a flat scan.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // each round, so every iteration plans against a flat scan. The
+    // INPUT checkpoints first: the symmetrizing union would otherwise
+    // evaluate the caller's pair pipeline (e.g. the full LSH+verify
+    // dedup path) once per branch.
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var prevRound = labels // previous round's checkpointed data
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -60,9 +64,20 @@ object Components {
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.filter(col("label") < col("old")).count()
+      // only the current round's checkpoint stays persisted — without the
+      // explicit unpersist every historical label table accumulates in
+      // executor storage for the whole run
+      prevRound.unpersist()
+      prevRound = next
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters; returning " +
+          "partial labels would silently keep duplicate representatives")
     labels
   }
 

@@ -24,7 +24,10 @@ object Parity {
       s: SparkSession, d: String, table: String, format: String,
       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val srcFile = new java.io.File(s"$d/$table.parquet")
-    val tmp = s"/tmp/graft_fixtures/${table}_${format}_${srcFile.lastModified}_${srcFile.length}"
+    // key includes the projected columns so changing `cols` in code
+    // self-invalidates the cached dump
+    val colsKey = Integer.toHexString(cols.mkString(",").hashCode)
+    val tmp = s"/tmp/graft_fixtures/${table}_${format}_${colsKey}_${srcFile.lastModified}_${srcFile.length}"
     if (!new java.io.File(s"$tmp/_SUCCESS").exists()) {
       val w = graft.Tables(s, d, table).select(cols.map(col): _*)
         .coalesce(1).write.mode("overwrite")
@@ -150,12 +153,26 @@ object Parity {
         new java.io.File(dir).mkdirs()
         val rows = Tables.nation(s, d)
           .select("n_nationkey", "n_name", "n_regionkey").collect() // 25 rows
+        // JSON-escape the string value and keep it shell-safe inside
+        // single quotes — plain interpolation only works while the data
+        // happens to be quote-free ASCII
+        def esc(v: String): String = v.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\'' => "'\\''"
+          case c    => c.toString
+        }
         val lines = rows.map(r =>
           s"""echo '{"type":"RECORD","record":{"stream":"nation","data":{""" +
-            s""""n_nationkey":${r.get(0)},"n_name":"${r.getString(1)}",""" +
+            s""""n_nationkey":${r.get(0)},"n_name":"${esc(r.getString(1))}",""" +
             s""""n_regionkey":${r.get(2)}}}}'""")
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(script),
+        // atomic publish: a run killed mid-write must not leave a partial
+        // script that later runs would replay as complete
+        val tmpScript = java.nio.file.Paths.get(s"$script.tmp")
+        java.nio.file.Files.writeString(tmpScript,
           ("#!/bin/sh" +: lines.toSeq).mkString("\n") + "\n")
+        java.nio.file.Files.move(tmpScript, java.nio.file.Paths.get(script),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       s.read.format("graft-airbyte")
         .option("commands", s"""[["/bin/sh","$script"]]""")

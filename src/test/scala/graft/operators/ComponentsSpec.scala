@@ -25,6 +25,14 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.count() == n + 1)
   }
 
+  test("minLabel refuses to return unconverged labels (silent partial dedup)") {
+    val pairs = (0 until 50).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Components.minLabel(pairs, maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupByComponent keeps one representative per component plus untouched rows") {
     val df = Seq(1L, 2L, 3L, 5L, 9L, 42L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 9L)).toDF("id_a", "id_b")

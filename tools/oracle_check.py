@@ -22,11 +22,15 @@ def main(out_dir: str, sf_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     err_path = f"{out_dir}/_verify_errors.json"
+    verify_failed = set()
     if os.path.exists(err_path):
         for name, msg in json.load(open(err_path)).items():
             print(f"[VERIFY-FAILED] {name}: {msg}")
+            verify_failed.add(name)
             failures += 1
     for name in sorted(oracle):
+        if name in verify_failed:
+            continue  # already counted via the sidecar
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"[MISS] {name}: no spark output")
