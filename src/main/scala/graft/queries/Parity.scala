@@ -197,6 +197,20 @@ object Parity {
         .orderBy("s_nationkey")
     }),
 
+    // Upsert compaction (SURVEY §1.4 primary-key metadata put to work):
+    // latest event per (user, type) — the append-log → current-state
+    // reconciliation a Singer target performs with the PK metadata.
+    "q_upsert_latest" -> ((s, d) => {
+      graft.sync.Upsert.latestByKey(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        primaryKeys = Seq("user_id", "event_type"),
+        cursorCol = "ts", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // Sessionization: the stateful-stream operation (processing-order state
     // ≈ reference's STATE bookkeeping) expressed as lag + windowed cumsum.
     "q_sessionize" -> ((s, d) => {
@@ -262,6 +276,14 @@ object Parity {
     "q_orc_source" ->
       """SELECT s_nationkey, count(*) AS n, max(s_suppkey) AS max_key
          FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
 
     "q_sessionize" ->
       """WITH g AS (

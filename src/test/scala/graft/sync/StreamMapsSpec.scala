@@ -43,6 +43,18 @@ class StreamMapsSpec extends SparkSpec {
     assert(out("nation_big").count() == 15)
   }
 
+  test("upsert keeps the latest version per primary key with deterministic tiebreak") {
+    val log = Seq(
+      (1L, "k1", 10L, "v1"), (2L, "k1", 20L, "v2"), // k1: id 2 is latest
+      (3L, "k2", 5L, "a"),                          // k2: single version
+      (4L, "k3", 7L, "x"), (5L, "k3", 7L, "y"))     // k3: cursor tie -> max id wins
+      .toDF("id", "key", "cur", "val")
+    val out = Upsert.latestByKey(log, Seq("key"), "cur", tiebreak = Seq("id"))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(0), r.getString(3))).toSeq ==
+      Seq(("k1", 2L, "v2"), ("k2", 3L, "a"), ("k3", 5L, "y")))
+  }
+
   test("flatten expands nested structs with __ names; arrays become JSON strings") {
     val nested = df.select(
       col("id"),
