@@ -145,6 +145,21 @@ object Relational {
       o.except(l).orderBy("orderkey")
     }),
 
+    // Multiset set-ops: duplicates preserved (bag semantics), unlike the
+    // set-semantics q_union/q_intersect/q_except.
+    "q_except_all" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0d)
+        .select(col("o_orderpriority").substr(1, 1).as("flag"))
+      l.exceptAll(o).groupBy(col("flag")).agg(count(lit(1)).as("n")).orderBy("flag")
+    }),
+
+    "q_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("k"))
+      val sp = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("k"))
+      c.intersectAll(sp).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy("k")
+    }),
+
     "q_rollup" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val n = broadcast(Tables.nation(s, d))
@@ -339,6 +354,20 @@ object Relational {
       """SELECT o_orderkey AS orderkey FROM orders WHERE o_totalprice > 200000.0
          EXCEPT SELECT l_orderkey FROM lineitem WHERE l_quantity > 45.0
          ORDER BY orderkey""",
+
+    "q_except_all" ->
+      """SELECT flag, count(*) AS n FROM (
+           SELECT l_returnflag AS flag FROM lineitem
+           EXCEPT ALL
+           SELECT substring(o_orderpriority, 1, 1) FROM orders WHERE o_totalprice > 200000.0)
+         GROUP BY flag ORDER BY flag""",
+
+    "q_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+           SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+           INTERSECT ALL
+           SELECT CAST(s_nationkey AS INTEGER) FROM supplier)
+         GROUP BY k ORDER BY k""",
 
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation, count(*) AS n
