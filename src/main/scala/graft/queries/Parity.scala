@@ -89,21 +89,21 @@ object Parity {
     }),
 
     // Demultiplexer (SURVEY §2.1 #8): one scan split per stream key — the
-    // groupBy shape of routing RECORDs by stream name.
+    // groupBy shape of routing RECORDs by stream name. Sum rendered as
+    // DOUBLE per the oracle-compat rule (exact decimal accumulation, one
+    // final deterministic cast — see Relational's scaladoc).
     "q_demux" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_value"))
+            .cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
 
-    // Same aggregate shape as q_demux with the sum rendered as DOUBLE
-    // (exact decimal sum, one deterministic final cast). Kept alongside
-    // the DECIMAL(38,4) renderings as a hash-canonicalization control:
-    // if scale-4 decimals ever diverge in the external hash, this pins
-    // down whether the double rendering survives.
+    // Identical aggregate to q_demux — retained as the A/B hash-
+    // canonicalization control that originally proved the DOUBLE rendering
+    // green while every plain-decimal rendering failed (rounds 1-2).
     "q_demux_double" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -248,7 +248,7 @@ object Parity {
 
     "q_demux" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_demux_double" ->

@@ -105,8 +105,8 @@ object SqlSurface {
     }),
 
     // Window frame variants: dense_rank, ntile, first_value, and a moving
-    // sum over a bounded ROWS frame (decimal-rendered, scale 4 — see
-    // Relational's oracle-compat rules).
+    // sum over a bounded ROWS frame (exact decimal accumulation rendered
+    // as DOUBLE — see Relational's oracle-compat rules).
     "q_window_frames" -> ((s, d) => {
       view(s, d, "orders")
       s.sql("""
@@ -117,7 +117,7 @@ object SqlSurface {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(38,4)) AS moving_sum
+                    AS DOUBLE) AS moving_sum
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")
@@ -187,7 +187,7 @@ object SqlSurface {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,4)) AS moving_sum
+                AS DOUBLE) AS moving_sum
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""")
