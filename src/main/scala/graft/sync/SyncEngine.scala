@@ -39,7 +39,7 @@ final class SyncEngine(
     // SECOND output over the same scan (stream duplication, SURVEY §2.1
     // #16). Both are pure Column transforms; a duplicated stream shares
     // the source DataFrame lineage, so Spark reuses the scan.
-    val base = raw.map { case (name, df0) =>
+    val base = raw.toSeq.map { case (name, df0) =>
       val m = streamMaps.get(name).filter(_.source.isEmpty)
       val df = m.map(StreamMaps(df0, _)).getOrElse(df0)
       m.flatMap(_.alias).getOrElse(name) -> df
@@ -47,8 +47,16 @@ final class SyncEngine(
     val duplicates = streamMaps.collect {
       case (outName, m) if m.source.exists(raw.contains) =>
         outName -> StreamMaps(raw(m.source.get), m)
-    }
-    val transformed = (base ++ duplicates).map { case (name, df) =>
+    }.toSeq
+    // An alias or duplicate whose output name lands on another stream's
+    // would silently shadow it in the result Map — fail loudly instead
+    // (a mis-set alias dropping a whole stream is a data-loss bug).
+    val collisions = (base ++ duplicates).groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    if (collisions.nonEmpty)
+      throw new IllegalArgumentException(
+        s"stream map output-name collision(s): ${collisions.mkString(", ")} — " +
+          "an alias or duplicated stream resolves to the same output name as another stream")
+    val transformed = (base ++ duplicates).toMap.map { case (name, df) =>
       name -> flattening.map(d => StreamMaps.flatten(df, d)).getOrElse(df)
     }
     // Commit bookmarks: one tiny agg per incremental stream (runs on the
