@@ -116,18 +116,28 @@ final case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {
-        // the latest right row (and its key) with rightOn <= current leftOn
+        // The latest right row with rightOn <= current leftOn, valid for
+        // the CURRENT left key only: both inputs arrive sorted by
+        // (key, on), so a left-key change invalidates it — no per-advance
+        // right-key copy/projection needed (that pair of allocations per
+        // advanced right row was the r2 bench regression's hot spot).
         private var lastRight: InternalRow = _
-        private var lastRightKey: InternalRow = _
+        private var curKey: InternalRow = _ // copied once per distinct left key
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
+          if (curKey == null || keyOrd.compare(curKey, lKey) != 0) {
+            curKey = lKey.copy()
+            lastRight = null
+          }
           val lOn = lOnProj(lRow)
           // advance the right side through every row at-or-before this
-          // left row in (key, on) order; remember the last same-key row
+          // left row in (key, on) order; remember the last same-key row.
+          // The copy per retained row is unavoidable: sort iterators reuse
+          // one UnsafeRow buffer, so any row held across a peek dies.
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
@@ -136,14 +146,11 @@ final case class AsOfJoinExec(
               rBuf.next() // earlier key: discard (its key can't come back)
             } else if (kc == 0 && onOrd.compare(rOnProj(rRow), lOn) <= 0) {
               lastRight = rBuf.next().copy()
-              lastRightKey = rKeyProj(lastRight).copy()
             } else {
               advancing = false // right side is past this left row
             }
           }
-          val matched =
-            lastRight != null && keyOrd.compare(lastRightKey, lKey) == 0
-          outProj(joined(lRow, if (matched) lastRight else nullRight))
+          outProj(joined(lRow, if (lastRight != null) lastRight else nullRight))
         }
       }
     }
