@@ -265,7 +265,7 @@ object Dedup {
   /** Deterministic pseudo-random hyperplanes (splitmix64 stream on the
     * seed — no `Math.random`, reproducible across runs and partitions).
     */
-  private[operators] def randomPlanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def randomPlanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var s = seed
     def next(): Double = {
       s += 0x9E3779B97F4A7C15L

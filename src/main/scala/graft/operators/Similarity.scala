@@ -57,25 +57,41 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      refineIters: Int = 1): DataFrame = {
+      refineIters: Int = 1,
+      maxTrainRows: Long = 100000L): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     // The centroid model lives on the driver (nCentroids × dim doubles — a
     // few KB, the footprint of any broadcast k-means model) and rides into
-    // the plan as an expression literal. Training is deterministic: seed
-    // with the nCentroids lowest-id vectors, then `refineIters` Lloyd
-    // steps. Each step is a NARROW nearest-centroid projection (no join,
-    // no corpus shuffle) followed by a map-side-combined groupBy of
-    // (cid, pos, x) triples — every task emits at most nCentroids × dim
-    // partial rows regardless of corpus size.
-    var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(nCentroids)
+    // the plan as an expression literal. Training is deterministic and runs
+    // on a BOUNDED sample: centroid quality needs ~thousands of vectors,
+    // not the corpus, so the Lloyd pass must not posexplode 100 TB by dim×.
+    // The sample is hash-stratified (`xxhash64(id) % mod == 0` — same key,
+    // same membership regardless of partitioning, the Sampling.hashSplit
+    // discipline), sized by one column-pruned count; pass an explicit
+    // `maxTrainRows` to tune. Seeding (nCentroids lowest-id vectors) and
+    // every Lloyd step then scan only the sample. Each step is a NARROW
+    // nearest-centroid projection (no join, no shuffle of vectors) followed
+    // by a map-side-combined groupBy of (cid, pos, x) triples — every task
+    // emits at most nCentroids × dim partial rows regardless of sample size.
+    val corpusRows = c.count()
+    val trainMod = math.max(1L, corpusRows / math.max(1L, maxTrainRows))
+    val train =
+      if (trainMod == 1L) c
+      else c.filter(pmod(xxhash64(col("id")), lit(trainMod)) === 0)
+    var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nCentroids)
       .select(col("v").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until refineIters) {
-      val meanRows = c
+      val meanRows = train
         .select(gfn.nearest_centroid(col("v"), centroids).as("cid"),
           posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        // ragged corpus vectors longer than the seed dimension would index
+        // past the centroid arrays below — drop the excess positions here,
+        // inside the distributed aggregation
+        .filter(col("pos") < lit(dim))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .collect()

@@ -27,9 +27,15 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // maxBucketSize: the 100 TB hot-bucket guardrail (degenerate
+    // boilerplate buckets go quadratic), exercised live in the driver
+    // suite. 500 is ~5x the observed sf0.1 max band-bucket (105), so the
+    // cap is armed but drops nothing at this scale; at corpus scale set it
+    // near the p99.9 bucket size.
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.2, numHashes = 64, bands = 32, shingleSize = 2)
+        threshold = 0.2, numHashes = 64, bands = 32, shingleSize = 2,
+        maxBucketSize = 500)
         .orderBy("id_a", "id_b")
     }),
 
@@ -80,9 +86,12 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // maxBucketSize armed (observed sf0.1 max table-bucket: 349 — 3 planes
+    // is only 8 buckets/table, so buckets are inherently coarse); 2000
+    // drops nothing here while keeping the guardrail in the driven path.
     "q_dedup_embedding" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, nPlanes = 3, nTables = 3)
+        threshold = 0.4, nPlanes = 3, nTables = 3, maxBucketSize = 2000)
         .orderBy("id_a", "id_b")
     }),
 

@@ -74,6 +74,24 @@ class OperatorsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp("a") ^ fp("c")) > 10)
   }
 
+  test("embedding hot-bucket cap drops the degenerate bucket, keeps small ones") {
+    // 20 identical vectors = one hot bucket per table (190 pairs); a planted
+    // pair pointing the opposite way lands in the mirrored (small) bucket.
+    val hot = Array(1.0f, 0.2f, 0.5f, 0.1f)
+    val opp = Array(-1.0f, -0.2f, -0.5f, -0.1f)
+    val df = ((0L until 20L).map(i => (i, hot)) ++ Seq((100L, opp), (101L, opp)))
+      .toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size > 100)
+    val capped = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 2, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists { case (a, b) => a < 20L && b < 20L })
+  }
+
   test("embedding near-dup: identical vectors pair up across buckets") {
     val v = Array(1.0f, 0.0f, 0.5f, 0.2f)
     val w = Array(-1.0f, 0.3f, 0.0f, 0.9f)
