@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmOps, Parity, Relational, SqlSurface}
+import graft.queries.{LlmOps, Parity, Relational, SqlSurface, StreamSync}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Relational.queries ++ LlmOps.queries ++ SqlSurface.queries
+    Parity.queries ++ Relational.queries ++ LlmOps.queries ++ SqlSurface.queries ++
+      StreamSync.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Parity.oracleSql ++ Relational.oracleSql ++ LlmOps.oracleSql ++ SqlSurface.oracleSql
+    Parity.oracleSql ++ Relational.oracleSql ++ LlmOps.oracleSql ++ SqlSurface.oracleSql ++
+      StreamSync.oracleSql
 }
