@@ -47,8 +47,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // strip ALL control chars (<0x20), not just the common escapes — a \b
+    // or \f in an exception message must not break the report's JSON
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

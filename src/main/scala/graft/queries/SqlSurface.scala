@@ -121,6 +121,47 @@ object SqlSurface {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")
+    }),
+
+    // Correlated EXISTS with an extra predicate — the SQL-surface
+    // decorrelation path (Catalyst rewrites to a left-semi join; contrast
+    // q_semi_join, which builds the semi join via the DataFrame API).
+    "q_exists_subquery" -> ((s, d) => {
+      Seq("customer", "orders").foreach(view(s, d, _))
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }),
+
+    // IN (uncorrelated subquery) over a filtered set.
+    "q_in_subquery" -> ((s, d) => {
+      Seq("part", "lineitem").foreach(view(s, d, _))
+      s.sql("""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49.0)
+        ORDER BY p_partkey""")
+    }),
+
+    // NOT IN three-valued-logic pin: a NULL in the subquery set makes
+    // `x NOT IN (...)` never TRUE (NULL-tainted), so the with_null variant
+    // must count 0 while the null-free variant counts normally — the
+    // classic correctness trap where engines silently disagree, asserted
+    // against DuckDB on both branches.
+    "q_not_in_nulls" -> ((s, d) => {
+      Seq("customer", "orders").foreach(view(s, d, _))
+      s.sql("""
+        SELECT 'with_null' AS variant, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT nullif(o_custkey, 7) FROM orders WHERE o_custkey < 100)
+        UNION ALL
+        SELECT 'no_null' AS variant, count(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
+        ORDER BY variant""")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -190,5 +231,28 @@ object SqlSurface {
                 AS DOUBLE) AS moving_sum
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey""")
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "q_in_subquery" ->
+      """SELECT p_partkey, p_brand
+         FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49.0)
+         ORDER BY p_partkey""",
+
+    "q_not_in_nulls" ->
+      """SELECT 'with_null' AS variant, count(*) AS n FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT nullif(o_custkey, 7) FROM orders WHERE o_custkey < 100)
+         UNION ALL
+         SELECT 'no_null' AS variant, count(*) AS n FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
+         ORDER BY variant""")
 }

@@ -49,6 +49,22 @@ object JsonRowConverter {
     new GenericInternalRow(values)
   }
 
+  /** Numeric JSON timestamp → micros, millis-only convention (see the
+    * TimestampType case). Rejects fractional values and millis that would
+    * overflow the micros representation.
+    */
+  private def epochMillisToMicros(v: JsonNode): java.lang.Long = {
+    if (!v.isIntegralNumber)
+      throw new IllegalArgumentException(
+        s"graft-airbyte: numeric timestamp must be integral epoch milliseconds, got ${v.asText}")
+    val millis = v.asLong
+    if (millis > Long.MaxValue / 1000L || millis < Long.MinValue / 1000L)
+      throw new IllegalArgumentException(
+        s"graft-airbyte: epoch-millis timestamp $millis overflows the micros range " +
+          "(is the source emitting micros or nanos?)")
+    millis * 1000L
+  }
+
   private def convertValue(v: JsonNode, dt: DataType): Any = {
     if (v == null || v.isNull) return null
     dt match {
@@ -67,13 +83,18 @@ object JsonRowConverter {
         DateTimeUtils.stringToDate(UTF8String.fromString(v.asText))
           .map(Integer.valueOf).orNull
       case TimestampType =>
-        // ISO-8601 text (the Airbyte convention); numbers are epoch millis.
-        if (v.isNumber) v.asLong * 1000L
+        // ISO-8601 text (the Airbyte convention); numbers are epoch
+        // MILLISECONDS only — a deliberate convention, enforced: sources
+        // also exist that emit epoch seconds or micros, and guessing the
+        // unit by magnitude would silently mis-scale by 1000x, so anything
+        // non-integral (or outside the micros-representable range when
+        // scaled) is rejected loudly instead of truncated.
+        if (v.isNumber) epochMillisToMicros(v)
         else DateTimeUtils.stringToTimestamp(
           UTF8String.fromString(v.asText), ZoneOffset.UTC)
           .map(java.lang.Long.valueOf).orNull
       case TimestampNTZType =>
-        if (v.isNumber) v.asLong * 1000L
+        if (v.isNumber) epochMillisToMicros(v)
         else DateTimeUtils.stringToTimestampWithoutTimeZone(
           UTF8String.fromString(v.asText))
           .map(java.lang.Long.valueOf).orNull
