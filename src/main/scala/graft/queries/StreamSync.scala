@@ -97,15 +97,123 @@ object StreamSync {
     sink.toString
   }
 
+  /** Watermarked windowed aggregation, stream vs batch: the events table
+    * replayed through a JSONL landing dir into
+    * [[StreamingSync.windowedCounts]] (30-minute watermark, 10-minute
+    * windows, append mode), sunk to parquet; the driver hash-compares the
+    * sink against DuckDB computing the same 10-minute buckets in batch.
+    *
+    * Append mode only emits a window once the watermark passes it, and the
+    * watermark a micro-batch uses is the one established by the PREVIOUS
+    * batch — so a single-batch replay would emit nothing, and the last
+    * `delay` of real windows needs the watermark pushed past them. The
+    * replay therefore lands three files processed as three batches
+    * (maxFilesPerTrigger=1, mtime order): all real events (one file — one
+    * batch, so no intra-replay late drops: the watermark is still -inf
+    * while every real event is aggregated), then two sentinel events 2h/4h
+    * past the real max. Batch 2's watermark (real max − 30 m) flushes all
+    * but the trailing real windows; batch 3's (real max + 1.5 h) flushes
+    * the rest. Sentinel rows are filtered from the result; the completion
+    * marker requires sum(n) over real windows == real event count, so a
+    * silently dropped window can never pass as done.
+    */
+  private def windowSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_window_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    if (!Files.exists(marker)) synchronized {
+      if (!Files.exists(marker)) {
+        deleteRecursively(root)
+        val landing = Files.createDirectories(root.resolve("landing"))
+
+        // 1. Real events, full µs precision, ONE file (one micro-batch).
+        val ev = Tables.events(s, d).select(
+          to_json(struct(col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+        val staged = root.resolve("staged").toString
+        ev.coalesce(1).write.text(staged)
+        val part = Files.list(Paths.get(staged)).filter(_.toString.endsWith(".txt"))
+          .findFirst().orElseThrow()
+        val realFile = landing.resolve("batch1_events.jsonl")
+        Files.move(part, realFile)
+
+        val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(name: String, offsetMs: Long, mtimeOffsetMs: Long): Unit = {
+          val t = new java.sql.Timestamp(maxTs.getTime + offsetMs)
+          val iso = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+          iso.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          val f = landing.resolve(name)
+          Files.writeString(f,
+            s"""{"event_id":-1,"event_type":"__sentinel__","ts":"${iso.format(t)}"}\n""")
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(
+              Files.getLastModifiedTime(realFile).toMillis + mtimeOffsetMs))
+        }
+        sentinel("batch2_sentinel.jsonl", 2L * 3600 * 1000, 2000)
+        sentinel("batch3_sentinel.jsonl", 4L * 3600 * 1000, 4000)
+
+        // 2. Stream: watermark + window agg, append mode, one file per batch.
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val counts = StreamingSync.windowedCounts(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1),
+          "ts", watermarkDelay = "30 minutes", windowLen = "10 minutes")
+        val q = counts.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        q.awaitTermination(180000)
+
+        val real = s.read.parquet(sink.toString)
+          .filter(col("event_type") =!= "__sentinel__")
+        val emitted = real.agg(sum(col("n"))).head().getLong(0)
+        val expected = Tables.events(s, d).count()
+        require(emitted == expected,
+          s"stream_window sink covers $emitted events, expected $expected — " +
+            "a window was dropped or withheld")
+        Files.createFile(marker)
+        ()
+      }
+    }
+    sink.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy("n_nationkey")
+    }),
+
+    "q_stream_window" -> ((s, d) => {
+      s.read.parquet(windowSinkDir(s, d))
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
     }))
 
   def oracleSql: Map[String, String] = Map(
     "q_stream_sync" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
-         ORDER BY n_nationkey""")
+         ORDER BY n_nationkey""",
+
+    "q_stream_window" ->
+      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY ws, event_type""")
 }
