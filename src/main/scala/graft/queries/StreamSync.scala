@@ -33,10 +33,23 @@ object StreamSync {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => { Files.deleteIfExists(f); () })
+      finally walk.close()
     }
   }
+
+  /** Await an AvailableNow query, stopping and failing loudly on timeout —
+    * a timed-out query left running would keep writing into the fixture
+    * root and race the next attempt's cleanup.
+    */
+  private def awaitOrFail(
+      q: org.apache.spark.sql.streaming.StreamingQuery, ms: Long, what: String): Unit =
+    if (!q.awaitTermination(ms)) {
+      q.stop()
+      sys.error(s"$what did not finish within ${ms / 1000}s — sink left unmarked")
+    }
 
   private def sinkDir(s: SparkSession, d: String): String = {
     val srcFile = new java.io.File(s"$d/nation.parquet")
@@ -85,7 +98,7 @@ object StreamSync {
           StreamingSync.readJsonlStream(s, s"$root/spill/*.jsonl", meta.sparkSchema),
           "nation", sink.toString, root.resolve("ckpt").toString,
           Some("n_nationkey"), new StateStore(), Trigger.AvailableNow())
-        q.awaitTermination(120000)
+        awaitOrFail(q, 120000, "stream_sync replay")
 
         val n = s.read.parquet(sink.toString).count()
         require(n == rows.length.toLong,
@@ -134,19 +147,25 @@ object StreamSync {
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
         val staged = root.resolve("staged").toString
         ev.coalesce(1).write.text(staged)
-        val part = Files.list(Paths.get(staged)).filter(_.toString.endsWith(".txt"))
-          .findFirst().orElseThrow()
+        val listing = Files.list(Paths.get(staged))
+        val part =
+          try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
+          finally listing.close()
         val realFile = landing.resolve("batch1_events.jsonl")
         Files.move(part, realFile)
 
         val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
         def sentinel(name: String, offsetMs: Long, mtimeOffsetMs: Long): Unit = {
-          val t = new java.sql.Timestamp(maxTs.getTime + offsetMs)
-          val iso = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-          iso.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          // java.time, not SimpleDateFormat: its 'S' is fraction-of-second,
+          // so the six digits scale correctly as microseconds (SDF's 'S' is
+          // a millisecond COUNT and would zero-pad into a 1000x mis-scale).
+          val iso = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochMilli(maxTs.getTime + offsetMs))
           val f = landing.resolve(name)
           Files.writeString(f,
-            s"""{"event_id":-1,"event_type":"__sentinel__","ts":"${iso.format(t)}"}\n""")
+            s"""{"event_id":-1,"event_type":"__sentinel__","ts":"$iso"}\n""")
           Files.setLastModifiedTime(f,
             java.nio.file.attribute.FileTime.fromMillis(
               Files.getLastModifiedTime(realFile).toMillis + mtimeOffsetMs))
@@ -172,7 +191,7 @@ object StreamSync {
           .format("parquet")
           .option("path", sink.toString)
           .start()
-        q.awaitTermination(180000)
+        awaitOrFail(q, 180000, "stream_window replay")
 
         val real = s.read.parquet(sink.toString)
           .filter(col("event_type") =!= "__sentinel__")
@@ -205,12 +224,16 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // BIGINT casts: the sink's JSON-schema "integer" columns are int64
+    // while the nation parquet is int32 — same discipline as q_dsv2_source.
     "q_stream_sync" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation
          ORDER BY n_nationkey""",
 
     "q_stream_window" ->
-      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)),
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
                          '%Y-%m-%d %H:%M:%S') AS ws,
                 event_type, count(*) AS n
          FROM events

@@ -54,7 +54,12 @@ object JsonRowConverter {
     * overflow the micros representation.
     */
   private def epochMillisToMicros(v: JsonNode): java.lang.Long = {
-    if (!v.isIntegralNumber)
+    // canConvertToExactIntegral, not isIntegralNumber: Python-style
+    // serializers emit integral epoch millis as floats (1699999999999.0),
+    // which satisfy the convention; genuinely fractional values don't.
+    // canConvertToLong additionally rejects BigInteger tokens that asLong
+    // would silently wrap into garbage before the overflow check.
+    if (!v.canConvertToExactIntegral || !v.canConvertToLong)
       throw new IllegalArgumentException(
         s"graft-airbyte: numeric timestamp must be integral epoch milliseconds, got ${v.asText}")
     val millis = v.asLong
