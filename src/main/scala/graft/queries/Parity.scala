@@ -89,33 +89,32 @@ object Parity {
     }),
 
     // Demultiplexer (SURVEY §2.1 #8): one scan split per stream key — the
-    // groupBy shape of routing RECORDs by stream name. The sum is the
-    // decimal PRODUCT form (x 1.00): its natural Spark type is
-    // DECIMAL(38,4), the rendering the driver hashes green
-    // (q_join_shuffle's revenue) — so together with q_demux_double this
-    // pair keeps one live A/B control per PROVEN-GREEN rendering, able to
-    // catch either form's canonicalization regressing (a plain-column
-    // decimal sum is the one form that always fails — see Relational's
-    // scaladoc).
+    // groupBy shape of routing RECORDs by stream name. Sum rendered as
+    // DOUBLE per the oracle-compat rule (exact decimal accumulation, one
+    // final deterministic cast — see Relational's scaladoc).
     "q_demux" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // The same aggregate in the decimal-PRODUCT form (x 1.00): its natural
+    // Spark type is DECIMAL(38,4), the one decimal rendering the driver
+    // hashes green (q_join_shuffle's revenue, q1_agg's sum_disc_price).
+    // Replaces the retired q_demux_double control (which had become
+    // byte-identical to q_demux once q_demux flipped to DOUBLE): together
+    // the pair keeps one live A/B control per PROVEN-GREEN rendering, so a
+    // canonicalization regression in either form is caught immediately.
+    "q_demux_decimal" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 2)
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec) * lit(1.0).cast(dec))
             .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_value"))
-        .orderBy("event_type")
-    }),
-
-    // The same aggregate rendered as DOUBLE (exact decimal accumulation,
-    // one final deterministic cast) — the other proven-green form and the
-    // original r2 A/B control.
-    "q_demux_double" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -254,12 +253,12 @@ object Parity {
 
     "q_demux" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(1.0 AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
-    "q_demux_double" ->
+    "q_demux_decimal" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(1.0 AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_json_extract" ->
