@@ -20,7 +20,9 @@ import graft.Tables
   *     even though values, row order, and parquet physical form are
   *     identical to the oracle's. Two renderings are proven green:
   *     (a) finish the exact decimal sum with a single CAST(... AS DOUBLE)
-  *     (the q_demux_double A/B control) — one deterministic cast of an
+  *     (proven by the r2 q_demux_double A/B control; q_demux itself now
+  *     carries this form, q_demux_decimal the decimal-side control) — one
+  *     deterministic cast of an
   *     exact value, bit-identical in both engines; (b) decimal PRODUCT sums
   *     whose natural Spark type is already DECIMAL(38,4) (q_join_shuffle's
   *     revenue, q1_agg's sum_disc_price). So: product sums stay decimal,
