@@ -171,6 +171,31 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Word-bigram repetition stats — the standard repetition filter of
+    * training-data curation (boilerplate and generated spam have low
+    * distinct-bigram ratios). Outputs are INTEGERS (counts), not a
+    * rounded ratio: a ratio can tie at the rounding digit where Spark
+    * (HALF_UP) and an oracle engine (HALF_EVEN) disagree, while integer
+    * arithmetic hashes exactly; thresholds compare cross-multiplied
+    * (n_distinct * 10 <= n_bigrams * 8 is "ratio <= 0.8" exactly).
+    * One narrow codegen projection per row — no shuffle, no explode.
+    */
+  def bigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // element_at is 1-based in both Spark and the DuckDB oracle's t[i];
+    // the size guard matters: Spark's sequence(1, 0) counts DOWN.
+    val bg = when(size(split(col(textCol), " ")) >= 2,
+      expr(s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
+               i -> concat(element_at(split($textCol, ' '), i), ' ',
+                           element_at(split($textCol, ' '), i + 1)))"""))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), bg.as("bg"))
+      .select(col(idCol),
+        size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct"))
+      .withColumn("is_repetitive",
+        col("n_bigrams") > 0 && col("n_distinct") * 10 <= col("n_bigrams") * 8)
+  }
+
   /** All analyses as one DataFrame transform (single narrow projection). */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -137,6 +137,29 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram repetition filter (integer outputs — exact hash; see
+    // TextAnalysis.bigramRepetition for why no rounded ratio is emitted).
+    "q_repetition" -> ((s, d) => {
+      TextAnalysis.bigramRepetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Zipf head: top-5 tokens per language by frequency (token-asc
+    // tiebreak → deterministic) — the corpus-stats composition of
+    // explode + groupBy + window top-k.
+    "q_zipf_tokens" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    }),
+
     "q_text_clean" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean_text"),
@@ -405,6 +428,30 @@ object LlmOps {
          FROM f ORDER BY doc_id""",
 
     "q_langid" -> langIdSql,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              b AS (SELECT doc_id,
+                      CASE WHEN len(tk) >= 2
+                           THEN list_transform(range(1, len(tk)),
+                                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE CAST([] AS VARCHAR[]) END AS bg
+                    FROM t)
+         SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
+           len(bg) > 0 AND len(list_distinct(bg)) * 10 <= len(bg) * 8 AS is_repetitive
+         FROM b ORDER BY doc_id""",
+
+    "q_zipf_tokens" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (SELECT lang, token, count(*) AS n FROM tok
+                    WHERE token <> '' GROUP BY lang, token),
+              r AS (SELECT lang, token, n,
+                      row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+                    FROM c)
+         SELECT lang, token, n, CAST(rk AS INTEGER) AS rk
+         FROM r WHERE rk <= 5 ORDER BY lang, rk""",
 
     "q_heavy_hitters" ->
       """WITH t AS (

@@ -181,6 +181,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon"))
   }
 
+  test("bigramRepetition flags looping text, passes varied text, handles short docs") {
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // 9 bigrams, 2 distinct
+      (2L, "the quick brown fox jumps over a lazy sleeping dog"), // all distinct
+      (3L, "word"), // no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((9, 2, true)))   // 2/9 <= 0.8 → repetitive
+    assert(out(2L) == ((9, 9, false)))  // fully distinct
+    assert(out(3L) == ((0, 0, false)))  // too short: never flagged
+    assert(out(4L) == ((0, 0, false)))
+  }
+
   test("redactPii masks emails, IPs, and phone runs; clean text unchanged") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
