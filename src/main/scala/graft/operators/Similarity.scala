@@ -75,6 +75,46 @@ object Similarity {
     // nearest-centroid projection (no join, no shuffle of vectors) followed
     // by a map-side-combined groupBy of (cid, pos, x) triples — every task
     // emits at most nCentroids × dim partial rows regardless of sample size.
+    val centroids = trainCentroids(c, nCentroids, refineIters, maxTrainRows)
+
+    // Corpus→cell assignment: zero-shuffle codegen projection.
+    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("v"), centroids))
+    // At 100 TB: persist `assigned` partitioned BY cid instead — write once,
+    // every query then prunes to nProbe cells via partition pruning. That
+    // path is [[writeIndex]]/[[queryIndex]] below; this method keeps the
+    // ad-hoc single-job shape for unindexed corpora.
+
+    import spark.implicits._
+    val centroidDf = broadcast(
+      centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+        .toDF("cid", "cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
+    val probes = q.crossJoin(centroidDf)
+      .withColumn("qsim", gfn.cosine_sim(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroid training on a bounded hash-stratified sample
+    * (shared by [[ivfTopK]] and [[writeIndex]] — see ivfTopK's scaladoc
+    * for the sampling rationale). `df` must have columns (id, v).
+    */
+  private def trainCentroids(
+      c: DataFrame,
+      nCentroids: Int,
+      refineIters: Int,
+      maxTrainRows: Long): Array[Array[Double]] = {
     val corpusRows = c.count()
     val trainMod = math.max(1L, corpusRows / math.max(1L, maxTrainRows))
     val train =
@@ -99,15 +139,85 @@ object Similarity {
       meanRows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       centroids = next
     }
+    centroids
+  }
 
-    // Corpus→cell assignment: zero-shuffle codegen projection.
-    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("v"), centroids))
-    // At 100 TB: persist `assigned` partitioned/bucketed BY cid — write once,
-    // every query then prunes to nProbe cells via partition pruning.
+  /** The centroid model: a few KB of doubles, serializable to one JSON
+    * line so an index written once is queryable from any later session.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def toJson: String =
+      centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  }
+
+  object IvfModel {
+    def fromJson(s: String): IvfModel = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(s)
+      val cs = (0 until node.size).map { i =>
+        val row = node.get(i)
+        Array.tabulate(row.size)(j => row.get(j).asDouble)
+      }.toArray
+      IvfModel(cs)
+    }
+  }
+
+  /** WRITE-ONCE bucketed IVF layout — the 100 TB serving shape the ad-hoc
+    * [[ivfTopK]] job only simulates: train centroids (bounded sample, as
+    * in ivfTopK), assign with the zero-shuffle kernel, and persist the
+    * corpus `partitionBy("cid")` so every later query scans only its
+    * `nProbe` cells via PARTITION PRUNING (`PartitionFilters: cid IN …` in
+    * the scan — asserted in IvfIndexSpec). The model rides alongside as
+    * one JSON file. Write cost is one corpus pass + one shuffle-free
+    * partitioned write; queries never touch the other `1 - nProbe/n` of
+    * the data, which is the entire point at scale.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCentroids: Int = 16,
+      refineIters: Int = 1,
+      maxTrainRows: Long = 100000L): IvfModel = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val model = IvfModel(trainCentroids(c, nCentroids, refineIters, maxTrainRows))
+    c.withColumn("cid", gfn.nearest_centroid(col("v"), model.centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(modelPath, true)
+    try out.write(model.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    model
+  }
+
+  /** Query a [[writeIndex]] layout: rank centroids per query (driver-side
+    * over the broadcast-scale model), then scan ONLY the probed cells —
+    * `filter(cid isin ...)` reaches the parquet scan as a partition
+    * filter, so I/O is proportional to nProbe/nCentroids of the corpus.
+    * Output shape matches [[ivfTopK]] / [[bruteForceTopK]].
+    */
+  def queryIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(modelPath)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val model = IvfModel.fromJson(json)
 
     import spark.implicits._
     val centroidDf = broadcast(
-      centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+      model.centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
         .toDF("cid", "cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
@@ -117,9 +227,16 @@ object Similarity {
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
 
+    // The probed cell ids as plan literals → partition pruning at the scan.
+    // Probe sets are per-query; the union of cells read is the isin list.
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted // nProbe × |queries| ints, driver-safe
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cid").isin(probedCells.toSeq: _*))
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
-    assigned.join(broadcast(probes), Seq("cid"))
+    cells.join(broadcast(probes), Seq("cid"))
       .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

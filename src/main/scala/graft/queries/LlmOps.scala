@@ -112,6 +112,25 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // The write-once bucketed IVF layout (partition-pruned probes — the
+    // 100 TB serving shape; see Similarity.writeIndex). Index dir keyed by
+    // the source parquet (mtime, size) like the stream fixtures; identical
+    // parameters to q_ann_ivf, and IvfIndexSpec asserts result equality
+    // with the ad-hoc job plus PartitionFilters in the scan.
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/ivf_index_${srcFile.lastModified}_${srcFile.length}"
+      val emb = Tables.embeddings(s, d)
+      if (!new java.io.File(s"$dir/model.json").exists()) {
+        Similarity.writeIndex(emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          dir, nCentroids = 16, refineIters = 1)
+        ()
+      }
+      Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---------------- text analysis ----------------
     "q_token_count" -> ((s, d) => {
       val t = Tables.documents(s, d)
