@@ -84,21 +84,42 @@ object Similarity {
     // path is [[writeIndex]]/[[queryIndex]] below; this method keeps the
     // ad-hoc single-job shape for unindexed corpora.
 
+    cosineTopK(assigned, probeCells(queries, queryIdCol, vecCol, centroids, nProbe), k)
+  }
+
+  /** Per-query nProbe nearest centroids: (query_id, qv, cid). Shared by
+    * [[ivfTopK]] and [[queryIndex]] so the probe ranking (cid-asc
+    * tiebreak) can never drift between the ad-hoc and indexed paths.
+    */
+  private def probeCells(
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val centroidDf = broadcast(
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
         .toDF("cid", "cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
-    val probes = q.crossJoin(centroidDf)
+    q.crossJoin(centroidDf)
       .withColumn("qsim", gfn.cosine_sim(col("qv"), col("cv")))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
+  }
 
+  /** Exact cosine + per-query top-k over (id, v, cid) rows joined to the
+    * probe set — the shared tail of the ad-hoc and indexed IVF paths
+    * (the rounding and tiebreak here ARE the output contract asserted
+    * equal between them in IvfIndexSpec).
+    */
+  private def cosineTopK(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
-    assigned.join(broadcast(probes), Seq("cid"))
+    cells.join(broadcast(probes), Seq("cid"))
       .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -183,13 +204,23 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val model = IvfModel(trainCentroids(c, nCentroids, refineIters, maxTrainRows))
+    // A NaN/Infinity in a centroid would serialize as a bare token that is
+    // not valid JSON (unreadable forever by queryIndex) — fail at write.
+    require(model.centroids.forall(_.forall(java.lang.Double.isFinite)),
+      "IVF centroids contain NaN/Infinity (non-finite corpus vectors?) — refusing to write index")
     c.withColumn("cid", gfn.nearest_centroid(col("v"), model.centroids))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    // Write-then-rename: model.json must never exist half-written — callers
+    // (q_ann_ivf_indexed) gate their fixture cache on its existence.
     val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/model.json.tmp")
     val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(modelPath, true)
+    val out = fs.create(tmpPath, true)
     try out.write(model.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(modelPath, false)
+    if (!fs.rename(tmpPath, modelPath))
+      sys.error(s"could not move $tmpPath to $modelPath")
     model
   }
 
@@ -215,32 +246,18 @@ object Similarity {
       finally in.close()
     val model = IvfModel.fromJson(json)
 
-    import spark.implicits._
-    val centroidDf = broadcast(
-      model.centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
-        .toDF("cid", "cv"))
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
-    val probes = q.crossJoin(centroidDf)
-      .withColumn("qsim", gfn.cosine_sim(col("qv"), col("cv")))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    // localCheckpoint: the probe plan (crossJoin + window) feeds BOTH the
+    // driver-side cell-id collect and the final join — materialize it once
+    // instead of executing the subplan twice. Probe sets are tiny
+    // (nProbe × |queries| rows).
+    val probes = probeCells(queries, queryIdCol, vecCol, model.centroids, nProbe)
+      .localCheckpoint(true)
 
     // The probed cell ids as plan literals → partition pruning at the scan.
-    // Probe sets are per-query; the union of cells read is the isin list.
     val probedCells = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted // nProbe × |queries| ints, driver-safe
+      .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probedCells.toSeq: _*))
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    cells.join(broadcast(probes), Seq("cid"))
-      .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    cosineTopK(cells, probes, k)
   }
 }

@@ -181,14 +181,17 @@ object TextAnalysis {
     * One narrow codegen projection per row — no shuffle, no explode.
     */
   def bigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Pure Column DSL (no SQL-string interpolation — column names with
+    // spaces/dots resolve through the same col() path as everywhere else).
     // element_at is 1-based in both Spark and the DuckDB oracle's t[i];
     // the size guard matters: Spark's sequence(1, 0) counts DOWN.
-    val bg = when(size(split(col(textCol), " ")) >= 2,
-      expr(s"""transform(sequence(1, size(split($textCol, ' ')) - 1),
-               i -> concat(element_at(split($textCol, ' '), i), ' ',
-                           element_at(split($textCol, ' '), i + 1)))"""))
+    val tk = col("__tk")
+    val bg = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), bg.as("bg"))
+    df.select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .select(col(idCol), bg.as("bg"))
       .select(col(idCol),
         size(col("bg")).as("n_bigrams"),
         size(array_distinct(col("bg"))).as("n_distinct"))

@@ -114,19 +114,25 @@ object LlmOps {
 
     // The write-once bucketed IVF layout (partition-pruned probes — the
     // 100 TB serving shape; see Similarity.writeIndex). Index dir keyed by
-    // the source parquet (mtime, size) like the stream fixtures; identical
-    // parameters to q_ann_ivf, and IvfIndexSpec asserts result equality
-    // with the ad-hoc job plus PartitionFilters in the scan.
+    // the source parquet (mtime, size) AND the index parameters, so a
+    // parameter change in code self-invalidates the cache (the
+    // Parity.fileSourceStream discipline); the gate file model.json is
+    // written atomically by writeIndex (temp + rename), so a killed build
+    // can never pass as a finished index. Identical parameters to
+    // q_ann_ivf; IvfIndexSpec asserts result equality with the ad-hoc job
+    // plus the partition filter on the scan.
     "q_ann_ivf_indexed" -> ((s, d) => {
+      val (nCentroids, refineIters, split) = (16, 1, 5)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
-      val dir = s"/tmp/graft_fixtures/ivf_index_${srcFile.lastModified}_${srcFile.length}"
+      val dir = s"/tmp/graft_fixtures/ivf_index_c${nCentroids}_r${refineIters}_s${split}" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
       val emb = Tables.embeddings(s, d)
       if (!new java.io.File(s"$dir/model.json").exists()) {
-        Similarity.writeIndex(emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
-          dir, nCentroids = 16, refineIters = 1)
+        Similarity.writeIndex(emb.filter(col("vec_id") >= split), "vec_id", "embedding",
+          dir, nCentroids = nCentroids, refineIters = refineIters)
         ()
       }
-      Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < 5),
+      Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < split),
         "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy("query_id", "rank")
     }),

@@ -36,13 +36,28 @@ class IvfIndexSpec extends SparkSpec {
     val b = adhoc.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(a == b, s"indexed=$a adhoc=$b")
 
-    // partition pruning: the scan plan lists cid as a partition filter and
-    // the executed input is a strict subset of the 8 cells
-    val plan = indexed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
-      s"no partition filter in plan:\n${plan.take(2000)}")
+    // Partition pruning, asserted on the TYPED plan (a string-contains
+    // check would pass for any partitioned scan): the cells scan must
+    // carry a cid predicate in partitionFilters — the filter Spark uses
+    // to prune partition directories before listing files — not merely in
+    // dataFilters. A single-query probe (nProbe=2 of 8 cells) guarantees
+    // the isin list is a strict subset.
+    val one = Similarity.queryIndex(spark, dir,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(one.count() > 0)
+    val scans = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("cells")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the index cells found")
+    val pf = scans.head.partitionFilters.map(_.toString)
+    assert(pf.exists(s => s.contains("cid") && (s.contains("IN") || s.contains("in("))),
+      s"cid isin(...) did not reach the scan's partitionFilters: $pf")
+
+    // cells that lose every corpus row legitimately produce no cid= dir —
+    // require only that the layout is partitioned and within the model size
     val cellDirs = new java.io.File(s"$dir/cells").listFiles()
       .count(_.getName.startsWith("cid="))
-    assert(cellDirs == 8, s"expected 8 cell partitions, found $cellDirs")
+    assert(cellDirs > 0 && cellDirs <= 8, s"unexpected cell partition count $cellDirs")
   }
 }
