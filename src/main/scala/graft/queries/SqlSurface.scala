@@ -123,6 +123,24 @@ object SqlSurface {
         ORDER BY o_custkey, o_orderkey""")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): a literal-anchored
+    // month spine left-joined to orders — the calendar-densification shape
+    // (months with zero orders appear with n_orders = 0). 80 iterations,
+    // well under spark.sql.cteRecursionLevelLimit's default 100. The spine
+    // bounds are literals in BOTH engines, so parity holds by construction.
+    "q_recursive_cte" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+        SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY month""")
+    }),
+
     // Correlated EXISTS with an extra predicate — the SQL-surface
     // decorrelation path (Catalyst rewrites to a left-semi join; contrast
     // q_semi_join, which builds the semi join via the DataFrame API).
@@ -232,6 +250,16 @@ object SqlSurface {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT TIMESTAMP '1995-01-01 00:00:00'
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM months
+           WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+         SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n_orders
+         FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+         GROUP BY m ORDER BY month""",
 
     "q_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment
