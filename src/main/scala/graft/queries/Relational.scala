@@ -14,18 +14,24 @@ import graft.Tables
   *   - double aggregates go through DECIMAL(18,2) casts (exact, associative
   *     arithmetic — float summation order would differ between engines),
   *     then the OUTPUT rendering depends on the sum's shape. Empirical law,
-  *     driver-verified over rounds 1-2 (do NOT revisit): a plain-column
+  *     driver-verified over rounds 1-3 (do NOT revisit): a plain-column
   *     decimal sum rendered as DECIMAL fails the external harness's hash at
   *     ANY scale (scale-2 and scale-4 both falsified by CORRECTNESS_r01/r02)
   *     even though values, row order, and parquet physical form are
-  *     identical to the oracle's. Two renderings are proven green:
+  *     identical to the oracle's. Exactly two renderings are proven green:
   *     (a) finish the exact decimal sum with a single CAST(... AS DOUBLE)
   *     (proven by the r2 q_demux_double A/B control; q_demux itself now
-  *     carries this form, q_demux_decimal the decimal-side control) — one
-  *     deterministic cast of an
-  *     exact value, bit-identical in both engines; (b) decimal PRODUCT sums
-  *     whose natural Spark type is already DECIMAL(38,4) (q_join_shuffle's
-  *     revenue, q1_agg's sum_disc_price). So: product sums stay decimal,
+  *     carries this form) — one deterministic cast of an exact value,
+  *     bit-identical in both engines; (b) decimal product sums with
+  *     COLUMN operands only — `dec_col * (lit_dec - dec_col)`, operand pair
+  *     (18,2)x(19,2), natural DECIMAL(38,4) (q_join_shuffle's revenue,
+  *     q1_agg's sum_disc_price). Products with a pure LITERAL second
+  *     operand are proven RED (CORRECTNESS_r03 falsified the r3
+  *     q_demux_decimal control `sum(value_dec * 1.00)`: operand pair
+  *     (18,2)x(18,2) makes Spark's intermediate (37,4) where DuckDB's is
+  *     (36,4), and the driver hash diverges despite equal values/rows/
+  *     schema). So: column-operand product sums stay decimal,
+  *     literal-operand products are forbidden in oracled outputs, and
   *     plain sums end in CAST(... AS DOUBLE), mirrored in the oracle SQL;
   *   - every query ORDER BYs on a unique key set;
   *   - timestamps are emitted as formatted strings or DATEs, never raw
