@@ -150,6 +150,22 @@ case class MinHashSignature(child: Expression, shingleN: Int, k: Int) extends Un
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** inter_count_sorted(array<long>, array<long>) → int — the integer
+  * intersection cardinality underlying Jaccard (same linear merge). Emitted
+  * where an ORACLE needs exact-integer set arithmetic instead of a rounded
+  * ratio (HALF_UP vs HALF_EVEN ties make rounded doubles un-hashable).
+  */
+case class InterCountSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.interCountSorted(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.interCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** jaccard_sorted(array<long>, array<long>) → double (linear merge). */
 case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -176,6 +192,8 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("ascii_tokens", es => AsciiTokens(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("inter_count_sorted",
+      es => InterCountSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", es =>
       ShingleHashes(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", es =>
@@ -208,4 +226,6 @@ object functions {
   def minhash_signature(text: Column, shingleN: Int, k: Int): Column =
     col(MinHashSignature(expr(text), shingleN, k))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
+  def inter_count_sorted(a: Column, b: Column): Column =
+    col(InterCountSorted(expr(a), expr(b)))
 }

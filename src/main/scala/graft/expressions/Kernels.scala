@@ -224,6 +224,22 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Exact intersection cardinality of two SORTED long arrays (linear
+    * merge) — the integer numerator of Jaccard, for oracle outputs that
+    * must avoid rounded ratios (see InterCountSorted).
+    */
+  def interCountSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Exact Jaccard of two SORTED long arrays via linear merge. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()

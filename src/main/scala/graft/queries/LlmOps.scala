@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Components, Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
   * queries: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -13,9 +14,15 @@ import graft.operators.{Components, Contamination, Dedup, Multimodal, Sampling, 
   *
   * Oracles: everything exactly expressible in DuckDB SQL gets one (exact
   * dedup, token counts, quality features, fingerprints, langid — the last
-  * three via list lambdas/`regexp_extract_all`). The LSH families and ANN
-  * are checked rows-only (their DuckDB mirror would be a reimplementation of
-  * xxhash64, not an independent oracle).
+  * three via list lambdas/`regexp_extract_all`; n-gram Jaccard and
+  * decontamination via word-n-gram STRING sets, whose cardinalities equal
+  * the engine's FNV-hash sets modulo collisions). Engine-specific outputs
+  * (HLL sketches, IVF probes) are oracled as INVARIANT certificates —
+  * integer bounds or equivalence booleans DuckDB can state as literals, so
+  * the driver hash fails iff the invariant breaks. Only the xxhash64-keyed
+  * LSH candidate sets and the hash split remain rows-only (their DuckDB
+  * mirror would be a reimplementation of xxhash64, not an independent
+  * oracle); those carry property suites instead.
   */
 object LlmOps {
 
@@ -75,14 +82,23 @@ object LlmOps {
 
     "q_ngram_jaccard" -> ((s, d) => {
       // exact n-gram Jaccard on a bounded id-range (quadratic primitive —
-      // always bucketed at scale; here bounded for the oracle)
+      // always bucketed at scale; here bounded for the oracle). Emitted as
+      // INTEGER intersection/union cardinalities with a cross-multiplied
+      // threshold (jaccard >= 0.05 ⇔ 20·|A∩B| >= |A∪B|): a rounded ratio
+      // can tie at the rounding digit where Spark (HALF_UP) and DuckDB
+      // (HALF_EVEN) diverge, integers hash exactly — the q_repetition
+      // discipline. DuckDB mirrors the shingle SETS as word-bigram strings
+      // (hash distinctness ≡ string distinctness modulo FNV collisions,
+      // none at this corpus size).
       val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
       val a = docs.select(col("doc_id").as("id_a"), Dedup.shingles(col("text"), 2).as("sh_a"))
       val b = docs.select(col("doc_id").as("id_b"), Dedup.shingles(col("text"), 2).as("sh_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.05)
+          gfn.inter_count_sorted(col("sh_a"), col("sh_b")).as("n_inter"),
+          (size(col("sh_a")) + size(col("sh_b"))
+            - gfn.inter_count_sorted(col("sh_a"), col("sh_b"))).as("n_union"))
+        .filter(col("n_inter") * 20 >= col("n_union") && col("n_union") > 0)
         .orderBy("id_a", "id_b")
     }),
 
@@ -104,12 +120,35 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF recall certificate (oracled since r4): the IVF result itself is
+    // engine-specific (probed cells), but its RECALL against the already-
+    // oracled brute-force top-k is deterministic — computed Spark-side as
+    // integer hit counts vs the exact result, certified by DuckDB emitting
+    // literal `true`. The bounds are HONEST for this data: the synthetic
+    // embeddings are near-isotropic (no cluster structure), so recall@5
+    // with nProbe=4/16 measures ~50% (per-query hits 2-3 of 5 at sf0.01) —
+    // the certificate pins the floor (every query recovers >= 1 true
+    // neighbor; mean recall >= 40%), and RecallSpec quantifies the
+    // distribution. Raw IVF output equality with the indexed path +
+    // partition pruning stays IvfIndexSpec's.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
-      Similarity.ivfTopK(emb.filter(col("vec_id") >= 5), queries,
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val ivf = Similarity.ivfTopK(corpus, queries,
         "vec_id", "embedding", "vec_id", k = 5, nCentroids = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
+      val bf = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      // left join + sum, not semi-join + count: a zero-hit query must still
+      // count as 0 toward the floor rather than vanish from the aggregate
+      ivf.join(bf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n_hits")) >= 1).as("every_query_ok"),
+          // mean recall >= 40% ⇔ sum(hits) >= 0.4·k·n = 2·n (k=5, integers)
+          (sum(col("n_hits")) >= lit(2L) * count(lit(1))).as("mean_ok"))
     }),
 
     // The write-once bucketed IVF layout (partition-pruned probes — the
@@ -118,9 +157,14 @@ object LlmOps {
     // parameter change in code self-invalidates the cache (the
     // Parity.fileSourceStream discipline); the gate file model.json is
     // written atomically by writeIndex (temp + rename), so a killed build
-    // can never pass as a finished index. Identical parameters to
-    // q_ann_ivf; IvfIndexSpec asserts result equality with the ad-hoc job
-    // plus the partition filter on the scan.
+    // can never pass as a finished index. Oracled since r4 as an
+    // EQUIVALENCE certificate: same parameters as the ad-hoc ivfTopK →
+    // deterministic identical results, so the indexed path (trained →
+    // written → partition-pruned read) emits per-(query, rank) booleans
+    // against the ad-hoc output and DuckDB emits the expected
+    // (query_id × rank) grid with `true` — the hash fails iff the index
+    // round-trip changes any neighbor or cosine. Typed partition-pruning
+    // assertion stays IvfIndexSpec's.
     "q_ann_ivf_indexed" -> ((s, d) => {
       val (nCentroids, refineIters, split) = (16, 1, 5)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
@@ -132,8 +176,18 @@ object LlmOps {
           dir, nCentroids = nCentroids, refineIters = refineIters)
         ()
       }
-      Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < split),
+      val indexed = Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < split),
         "vec_id", "embedding", k = 5, nProbe = 4)
+      val adhoc = Similarity.ivfTopK(emb.filter(col("vec_id") >= split),
+        emb.filter(col("vec_id") < split),
+        "vec_id", "embedding", "vec_id", k = 5, nCentroids = nCentroids, nProbe = 4,
+        refineIters = refineIters)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("a_neighbor"), col("cosine").as("a_cosine"))
+      indexed.join(adhoc, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("a_neighbor")).as("same_neighbor"),
+          (col("cosine") === col("a_cosine")).as("same_cosine"))
         .orderBy("query_id", "rank")
     }),
 
@@ -214,14 +268,23 @@ object LlmOps {
     }),
 
     // Cardinality sketch (the HyperLogLog++ counterpart of the Misra-Gries
-    // heavy-hitters sketch): bounded-memory distinct counts per group.
-    // rows-only — the approximation is engine-specific; the relative-error
-    // bound vs exact counts is asserted in OperatorsSpec.
+    // heavy-hitters sketch): bounded-memory distinct counts per group. The
+    // sketch value is engine-specific, so the ORACLE certifies the exact
+    // counts plus a WITHIN-BOUNDS boolean (|approx-exact|·20 <= exact ⇔
+    // relative error <= 5%, integer arithmetic — both sides are longs):
+    // DuckDB emits the exact counts and literal `true`, so the hash fails
+    // iff Spark's sketch leaves the bound. (Was rows-only through r3.)
     "q_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_approx"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("nd_supps_approx"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("pa"),
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("sa"),
+          countDistinct(col("l_suppkey")).as("nd_supps"))
+        .select(col("l_returnflag"), col("nd_parts"), col("nd_supps"),
+          (abs(col("pa") - col("nd_parts")) * 20 <= col("nd_parts")).as("parts_ok"),
+          (abs(col("sa") - col("nd_supps")) * 20 <= col("nd_supps")).as("supps_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -270,14 +333,19 @@ object LlmOps {
     // flag overlapping docs among the rest. Trigram shingles are the
     // discriminative setting on this corpus (bigrams mark ~95% of docs as
     // overlapping via shared vocabulary; trigrams isolate the planted
-    // near-copies). rows-only (FNV shingle hashes aren't SQL-expressible);
-    // planted-overlap behavior is ContaminationSpec's.
+    // near-copies). Oracled since r4: the FNV hash VALUES aren't
+    // SQL-expressible, but the shingle SETS are (distinct word trigrams as
+    // strings — same cardinalities modulo hash collisions, none here), so
+    // DuckDB reproduces the integer (n_shingles, n_matched) pair and the
+    // cross-multiplied threshold (contamination >= 0.2 ⇔ 5·matched >=
+    // total) exactly. Planted-overlap behavior stays ContaminationSpec's.
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") < 25)
       Contamination.overlap(docs.filter(col("doc_id") >= 25), "doc_id", "text",
         bench, "text", shingleN = 3)
-        .filter(col("contamination") >= 0.2)
+        .filter(col("n_matched") * 5 >= col("n_shingles") && col("n_shingles") > 0)
+        .select(col("id"), col("n_shingles"), col("n_matched"))
         .orderBy("id")
     }),
 
@@ -351,6 +419,83 @@ object LlmOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_clean" -> textCleanSql,
+
+    // Exact distinct counts + literal `true` bounds: the hash certifies
+    // Spark's HLL++ estimate stayed within 5% relative error per group.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS nd_parts,
+           count(DISTINCT l_suppkey) AS nd_supps,
+           true AS parts_ok, true AS supps_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // Word-trigram shingle sets as strings (distinctness ≡ the engine's
+    // FNV-hash distinctness, no collisions at this size). Replicates
+    // TextKernels.shingleHashes' short-text rule: 1-2 tokens still yield
+    // ONE shingle of whatever tokens exist.
+    "q_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  WHEN len(tk) >= 1 THEN [array_to_string(tk, ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM tok),
+         bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id < 25),
+         corp AS (SELECT doc_id AS id, unnest(sh) AS h FROM sh WHERE doc_id >= 25),
+         agg AS (
+           SELECT id, count(*) AS n_shingles,
+             count(*) FILTER (WHERE h IN (SELECT h FROM bench)) AS n_matched
+           FROM corp GROUP BY id)
+         SELECT id, n_shingles, n_matched FROM agg
+         WHERE n_matched * 5 >= n_shingles AND n_shingles > 0 ORDER BY id""",
+
+    // Word-bigram shingle sets as strings; integer intersection/union with
+    // the cross-multiplied jaccard >= 0.05 threshold (20·inter >= union).
+    "q_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 50),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 2
+                  THEN list_distinct(list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i+1]))
+                  WHEN len(tk) = 1 THEN [tk[1]]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM tok),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter,
+           CAST(n_union AS INTEGER) AS n_union
+         FROM p WHERE n_inter * 20 >= n_union AND n_union > 0
+         ORDER BY id_a, id_b""",
+
+    // Recall-floor certificate (one row): the hash fails iff any query
+    // recovers zero true neighbors, or mean recall drops below 40%, or the
+    // query count changes.
+    "q_ann_ivf" ->
+      """SELECT count(*) AS n_queries, true AS every_query_ok, true AS mean_ok
+         FROM embeddings WHERE vec_id < 5""",
+
+    // Equivalence certificate: the (query × rank) grid with literal `true`
+    // — the hash fails iff the written index's results diverge from the
+    // ad-hoc IVF job on any neighbor or cosine.
+    "q_ann_ivf_indexed" ->
+      """SELECT q.query_id, CAST(r.rank AS INTEGER) AS rank,
+           true AS same_neighbor, true AS same_cosine
+         FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+         CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
+         ORDER BY query_id, rank""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
