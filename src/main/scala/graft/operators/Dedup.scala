@@ -127,18 +127,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Drop bucket groups larger than `cap` (0 = off). The size aggregate
-    * groups on the SAME key the self-join shuffles on (map-side combined,
-    * one row per bucket), and the semi-join broadcasts or co-partitions —
-    * no new shuffle shape.
+  /** Drop bucket groups larger than `cap` (0 = off). Implemented as a
+    * COUNT window over the bucket key: the window's hash shuffle is the
+    * same partitioning the self-join needs next, so the cap costs one
+    * in-partition sort instead of the r3 shape's separate aggregate +
+    * semi-join (a second traversal of the banded rows; measured 1.25×
+    * on q_dedup_minhash). Rows in over-cap buckets are filtered before
+    * any pair is formed.
     */
   private def capBuckets(
       banded: DataFrame, cap: Int, keys: Seq[String] = Seq("band", "bh")): DataFrame =
     if (cap <= 0) banded
     else {
-      val ok = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") <= cap).drop("__n")
-      banded.join(ok, keys, "left_semi")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") <= cap)
+        .drop("__n")
     }
 
   /** Dedup flavor: keep exactly the min-id representative of every

@@ -138,29 +138,40 @@ object Similarity {
       maxTrainRows: Long): Array[Array[Double]] = {
     val corpusRows = c.count()
     val trainMod = math.max(1L, corpusRows / math.max(1L, maxTrainRows))
+    // The sample is BOUNDED (≈ maxTrainRows vectors) by construction, so
+    // persisting it is safe at any corpus size — and the seed scan plus
+    // every Lloyd pass then read the materialized sample instead of
+    // re-running the parquet scan + hash filter per job (the r3 shape's
+    // ~2 s of repeated fixed overhead at sf0.1).
     val train =
-      if (trainMod == 1L) c
-      else c.filter(pmod(xxhash64(col("id")), lit(trainMod)) === 0)
-    var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nCentroids)
-      .select(col("v").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    for (_ <- 0 until refineIters) {
-      val meanRows = train
-        .select(gfn.nearest_centroid(col("v"), centroids).as("cid"),
-          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
-        // ragged corpus vectors longer than the seed dimension would index
-        // past the centroid arrays below — drop the excess positions here,
-        // inside the distributed aggregation
-        .filter(col("pos") < lit(dim))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone()) // cells that lost all rows keep their centroid
-      meanRows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
+      (if (trainMod == 1L) c
+       else c.filter(pmod(xxhash64(col("id")), lit(trainMod)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = train.orderBy(col("id")).limit(nCentroids)
+        .select(col("v").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
+      for (_ <- 0 until refineIters) {
+        val meanRows = train
+          .select(gfn.nearest_centroid(col("v"), centroids).as("cid"),
+            posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+          // ragged corpus vectors longer than the seed dimension would index
+          // past the centroid arrays below — drop the excess positions here,
+          // inside the distributed aggregation
+          .filter(col("pos") < lit(dim))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val next = centroids.map(_.clone()) // cells that lost all rows keep their centroid
+        meanRows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = next
+      }
+      centroids
+    } finally {
+      train.unpersist(blocking = false)
+      ()
     }
-    centroids
   }
 
   /** The centroid model: a few KB of doubles, serializable to one JSON
