@@ -1,23 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus batch decode / feature-extract / resize /
-  * frame-sample operators.
+/** Multimodal-column operators: image/audio/video as `binary` columns with
+  * typed metadata, plus batch decode / feature-extract / resize /
+  * frame-sample / audio-probe stages.
   *
-  * The Spark-side shape is real and tested — schema, partition sizing,
-  * batch iteration via `mapPartitions` over typed rows (the Scala analog of
-  * `mapInPandas` batches) — while the actual codec step is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries; swap
-  * [[FakeCodec]] for a JNI/javacv decoder in production without touching
-  * the plumbing).
+  * The codec is REAL (JDK-native, available in this container): PNG
+  * decode/encode/resize through `javax.imageio.ImageIO`, WAV metadata
+  * through `javax.sound.sampled.AudioSystem`, and a length-prefixed frame
+  * container standing in for a video demuxer (the one genuinely absent
+  * codec class here — swap [[MediaCodec.unpackFrames]] for an ffmpeg/javacv
+  * demuxer in production without touching the operator plumbing).
   *
   * Scale notes: binary payloads dominate row size, so the operators
-  * repartition by byte budget, never by row count; metadata-only transforms
-  * prune the binary column entirely (verify with `.explain` ReadSchema).
+  * repartition by byte budget, never by row count; payloads stream through
+  * `mapPartitions` an iterator at a time (constant memory per task);
+  * metadata-only transforms prune the binary column entirely (verify with
+  * `.explain` ReadSchema). Undecodable payloads yield null outputs instead
+  * of failing the job — at 100 TB some fraction of media is always corrupt.
   */
 object Multimodal {
 
@@ -33,44 +42,145 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true),
       StructField("sample_rate", IntegerType, nullable = true))), nullable = true)))
 
-  /** Deterministic fake codec — stands in for the real decoder.
-    * Every output is a pure function of the payload bytes, so tests are
-    * reproducible and the pipeline shape (batch in → rows out) is exercised
-    * for real.
+  /** JDK-native codec. Every method is a pure function of the payload
+    * bytes; failures surface as None, never exceptions.
     */
-  object FakeCodec {
-    /** "Decode" → (width, height, channels) from a stable payload hash. */
-    def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (math.abs(h % 1024) + 32, math.abs((h >> 10) % 1024) + 32, 3)
-    }
-    /** "Feature vector": 8 floats from rolling sums over the bytes. */
-    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
-      out
-    }
-    /** "Resize": a deterministic downsample of the byte stream. */
-    def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] =
-      if (payload.length <= maxBytes) payload
-      else {
-        val stride = payload.length.toDouble / maxBytes
-        Array.tabulate(maxBytes)(i => payload((i * stride).toInt))
+  object MediaCodec {
+    ImageIO.setUseCache(false) // keep decode in-memory; no temp-file churn per task
+
+    private def readImage(payload: Array[Byte]): Option[BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
       }
-    /** "Frame sample": split the payload into n equal chunks ("frames"). */
-    def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-      val sz = math.max(1, payload.length / math.max(n, 1))
-      payload.grouped(sz).take(n).toSeq
+      encodeImage(img)
     }
+
+    private def encodeImage(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode → (width, height, bands). Bands from the decoded raster, so a
+      * grayscale PNG reports 1 and truecolor reports 3.
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int)] =
+      readImage(payload).map(img =>
+        (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+
+    /** Per-channel pixel means in 0..255 (RGB order, colormodel-independent
+      * via getRGB). Exact integers for solid fills — PNG is lossless.
+      */
+    def meanRgb(payload: Array[Byte]): Option[Array[Double]] =
+      readImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Array(r.toDouble / n, g.toDouble / n, b.toDouble / n)
+      }
+
+    /** Aspect-preserving resize so max(w, h) == maxDim (no-op when already
+      * within budget). Target dims use integer floor division — the exact
+      * arithmetic the DuckDB oracle replicates.
+      */
+    def resizeToMaxDim(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] =
+      readImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (math.max(w, h) <= maxDim) payload
+        else {
+          val (tw, th) =
+            if (w >= h) (maxDim, math.max(1, h * maxDim / w))
+            else (math.max(1, w * maxDim / h), maxDim)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try {
+            g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, tw, th, null)
+          } finally g2.dispose()
+          encodeImage(out)
+        }
+      }
+
+    // -------- frame container ("video" = length-prefixed encoded frames) --
+    private val FrameMagic = 0x47524654 // "GRFT"
+
+    def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(FrameMagic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    def unpackFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] =
+      try {
+        val in = new DataInputStream(new ByteArrayInputStream(payload))
+        if (in.readInt() != FrameMagic) Vector.empty
+        else {
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val len = in.readInt()
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            buf
+          }
+        }
+      } catch { case _: Exception => Vector.empty }
+
+    // -------- audio (16-bit mono PCM WAV via javax.sound.sampled) ---------
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) { // little-endian per the format above
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** WAV header probe → (sample rate, frame count); no PCM decode. */
+    def wavMeta(payload: Array[Byte]): Option[(Int, Long)] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try {
+          val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+          Some((aff.getFormat.getSampleRate.toInt, aff.getFrameLength.toLong))
+        } catch { case _: Exception => None }
   }
 
-  /** Decode: payload → decoded dimensions, batched per partition. The
-    * binary column flows through `mapPartitions` an iterator at a time —
-    * constant memory per task regardless of corpus size.
+  /** Decode: payload → decoded dimensions + band count, batched per
+    * partition. Undecodable payloads yield null dims.
     */
   def decodeImages(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
       StructField("dec_width", IntegerType), StructField("dec_height", IntegerType),
       StructField("dec_channels", IntegerType)))
@@ -78,54 +188,94 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.map { r =>
-        val p = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        val (w, h, c) = FakeCodec.decodeImage(p)
-        Row.fromSeq(r.toSeq ++ Seq(w, h, c))
+        MediaCodec.decode(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((w, h, c)) => Row.fromSeq(r.toSeq ++ Seq(w, h, c))
+          case None            => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
       }
     }(enc)
   }
 
-  /** Feature extraction: payload → Array[Float] embedding column. */
-  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+  /** Feature extraction: payload → per-channel mean pixel values in 0..255
+    * (RGB order) as an Array[Float] embedding column; null when the payload
+    * doesn't decode.
+    */
+  def extractFeatures(df: DataFrame): DataFrame = {
     val outSchema = StructType(df.schema.fields.toSeq :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.map { r =>
-        val p = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        Row.fromSeq(r.toSeq :+ FakeCodec.features(p, dim).toSeq)
+        val feats = MediaCodec.meanRgb(r.getAs[Array[Byte]](payloadIdx))
+          .map(_.map(_.toFloat).toSeq).orNull
+        Row.fromSeq(r.toSeq :+ feats)
       }
     }(enc)
   }
 
-  /** Resize: payload → bounded payload (byte-budgeted). */
-  def resizeImages(df: DataFrame, maxBytes: Int): DataFrame = {
+  /** Resize: payload → aspect-preserving thumbnail with max(w, h) bounded
+    * by `maxDim` (re-encoded PNG). Undecodable payloads pass through
+    * unchanged — corrupt media is filtered downstream, not crashed on.
+    */
+  def resizeImages(df: DataFrame, maxDim: Int): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.map { r =>
-        val p = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        Row.fromSeq(r.toSeq.updated(payloadIdx, FakeCodec.resize(p, maxBytes)))
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.resizeToMaxDim(p, maxDim) match {
+          case Some(resized) => Row.fromSeq(r.toSeq.updated(payloadIdx, resized))
+          case None          => r
+        }
       }
     }(enc)
   }
 
-  /** Frame sampling: one row per sampled frame (cardinality-increasing —
-    * the video analog of explode).
+  /** Frame sampling: `n` evenly spaced frames per video (the j-th sample is
+    * source frame `j * total / n`, integer floor — oracle-replicable).
+    * Cardinality-increasing: one row per sampled frame, the video analog of
+    * explode.
     */
   def sampleFrames(df: DataFrame, framesPerVideo: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType), StructField("frame_no", IntegerType),
-      StructField("frame", BinaryType)))
+      StructField("src_frame", IntegerType), StructField("frame", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = df.schema.fieldIndex("media_id")
     val payloadIdx = df.schema.fieldIndex("payload")
+    val n = math.max(1, framesPerVideo)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val p = Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray)
-        FakeCodec.sampleFrames(p, framesPerVideo).zipWithIndex.map { case (f, i) =>
-          Row(r.getLong(idIdx), i, f)
+        val frames = MediaCodec.unpackFrames(
+          Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray))
+        if (frames.isEmpty) Iterator.empty
+        else (0 until math.min(n, frames.length)).iterator.map { j =>
+          val k = j * frames.length / n
+          Row(r.getLong(idIdx), j, k, frames(k))
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio probe: payload → (decoded sample rate, frame count, duration in
+    * ms by integer floor division). Header-only — no PCM ever leaves the
+    * codec, so the operator is I/O-bound, not CPU-bound.
+    */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
+      StructField("sample_rate_dec", IntegerType), StructField("n_frames", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.wavMeta(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((rate, nf)) =>
+            // Seq[Any] keeps rate an Int — a bare Seq(Int, Long, ...) would
+            // numerically widen to Seq[Long] and break the row encoder
+            Row.fromSeq(r.toSeq ++ Seq[Any](rate, nf, nf * 1000L / rate))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
       }
     }(enc)
@@ -140,21 +290,49 @@ object Multimodal {
     df.repartition(n)
   }
 
-  /** Deterministic synthetic media table (for tests; payload from a seeded
-    * per-id byte pattern).
+  // ---- synthetic media generation parameters --------------------------
+  // Every decoded property below is a closed-form function of media_id,
+  // mirrored literally in the DuckDB oracle SQL — so the driver's hash
+  // check certifies the REAL encode→decode round trip, not a stub.
+  def imgWidth(i: Long): Int = (16 + i % 17).toInt
+  def imgHeight(i: Long): Int = (16 + (i * 7) % 13).toInt
+  def imgColor(i: Long): Int =
+    (((i % 256) << 16) | (((i * 3) % 256) << 8) | ((i * 5) % 256)).toInt
+  val videoFrames: Int = 8
+  def frameWidth(i: Long, f: Int): Int = (8 + (i + f) % 9).toInt
+  def frameHeight(i: Long, f: Int): Int = (8 + (i * 3 + f) % 7).toInt
+  def frameColor(i: Long, f: Int): Int =
+    ((((i * 11 + f * 17) % 256) << 16) | (((i * 13 + f * 19) % 256) << 8) |
+      ((i * 7 + f * 23) % 256)).toInt
+  def audioRate(i: Long): Int = (8000 + (i % 8) * 1000).toInt
+  def audioSamples(i: Long): Int = (4000 + (i % 5) * 800).toInt
+
+  /** Deterministic synthetic media table: REAL PNG / WAV / frame-container
+    * payloads generated executor-side from `spark.range` (the driver never
+    * holds the corpus — the shape that scales).
     */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {
-    import spark.implicits._
-    val rows = (1 to n).map { i =>
-      val payload = Array.tabulate(256 + (i % 512))(j => ((i * 31 + j * 7) % 256).toByte)
-      (i.toLong, kind, payload)
-    }
-    rows.toDF("media_id", "kind", "payload")
-      .withColumn("meta", struct(
-        lit("application/octet-stream").as("mime"),
-        lit(null).cast(IntegerType).as("width"),
-        lit(null).cast(IntegerType).as("height"),
-        lit(null).cast(LongType).as("duration_ms"),
-        lit(null).cast(IntegerType).as("sample_rate")))
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    spark.range(1, n + 1L).toDF("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        kind match {
+          case "video" =>
+            val frames = (0 until videoFrames).map(f =>
+              MediaCodec.encodePng(frameWidth(i, f), frameHeight(i, f), frameColor(i, f)))
+            Row(i, kind, MediaCodec.packFrames(frames),
+              Row("application/x-graft-frames", null, null, videoFrames * 40L, null))
+          case "audio" =>
+            val (rate, ns) = (audioRate(i), audioSamples(i))
+            val samples = Array.tabulate(ns)(j => ((i * 131 + j * 7) % 65536 - 32768).toShort)
+            Row(i, kind, MediaCodec.encodeWavPcm16(rate, samples),
+              Row("audio/wav", null, null, ns.toLong * 1000 / rate, rate))
+          case _ =>
+            val (w, h) = (imgWidth(i), imgHeight(i))
+            Row(i, "image", MediaCodec.encodePng(w, h, imgColor(i)),
+              Row("image/png", w, h, null, null))
+        }
+      }
+    }(enc)
   }
 }

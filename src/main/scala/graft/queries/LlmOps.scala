@@ -349,7 +349,11 @@ object LlmOps {
         .orderBy("id")
     }),
 
-    // ---------------- multimodal plumbing (stubbed codec, real plumbing) ----
+    // ---------------- multimodal (REAL JDK codec: ImageIO + sampled audio) --
+    // The synthetic PNGs' dimensions/colors are closed-form in media_id and
+    // the oracle replicates that arithmetic — so the hash certifies the real
+    // encode → ImageIO decode round trip, not a stub. (Rows-only through r3;
+    // the container turned out to ship the full JDK imageio/sampled stack.)
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 100)
       Multimodal.decodeImages(media)
@@ -357,24 +361,42 @@ object LlmOps {
         .orderBy("media_id")
     }),
 
-    // Feature-extract + byte-budget resize over the binary media column —
-    // the embed-and-thumbnail legs of the multimodal pipeline (codec
-    // stubbed deterministically; partitioning/batching real).
+    // Feature-extract (per-channel pixel means — exact integers on solid
+    // fills, PNG is lossless) + aspect-preserving thumbnail resize, then a
+    // RE-DECODE of the resized payload: the oracle checks the whole
+    // encode → decode → resize → re-encode → re-decode chain.
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 60)
-      val feats = Multimodal.extractFeatures(media, dim = 8)
-      Multimodal.resizeImages(feats, maxBytes = 256)
+      val feats = Multimodal.extractFeatures(media)
+      val resized = Multimodal.resizeImages(feats, maxDim = 12)
+      Multimodal.decodeImages(resized)
         .select(col("media_id"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          length(col("payload")).cast("int").as("resized_bytes"))
+          element_at(col("features"), 1).cast("int").as("mean_r"),
+          element_at(col("features"), 2).cast("int").as("mean_g"),
+          element_at(col("features"), 3).cast("int").as("mean_b"),
+          col("dec_width").as("r_width"), col("dec_height").as("r_height"))
         .orderBy("media_id")
     }),
 
+    // Evenly spaced frame sampling from the packed-frame container, each
+    // sampled frame individually decoded (rename frame → payload and reuse
+    // the image decoder — the operators compose).
     "q_multimodal_frames" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, 20, kind = "video")
-      Multimodal.sampleFrames(media, framesPerVideo = 4)
-        .select(col("media_id"), col("frame_no"), length(col("frame")).cast("int").as("frame_bytes"))
+      val frames = Multimodal.sampleFrames(media, framesPerVideo = 4)
+      Multimodal.decodeImages(frames.withColumnRenamed("frame", "payload"))
+        .select(col("media_id"), col("frame_no"), col("src_frame"),
+          col("dec_width").as("f_width"), col("dec_height").as("f_height"))
         .orderBy("media_id", "frame_no")
+    }),
+
+    // WAV header probe: decoded sample rate + frame count + floor-division
+    // duration, all closed-form in media_id.
+    "q_multimodal_audio" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 40, kind = "audio")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("sample_rate_dec"), col("n_frames"), col("duration_ms"))
+        .orderBy("media_id")
     }))
 
   // ------------------------------------------------------------------
@@ -502,6 +524,56 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    // Multimodal oracles replicate the synthetic-media generation arithmetic
+    // (Multimodal.imgWidth/imgHeight/imgColor and friends) in closed form —
+    // the hash fails unless the REAL PNG/WAV encode→decode round trip
+    // returns exactly the generation parameters.
+    "q_multimodal_decode" ->
+      """SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(16 + i % 17 AS INTEGER) AS dec_width,
+           CAST(16 + (i * 7) % 13 AS INTEGER) AS dec_height,
+           CAST(3 AS INTEGER) AS dec_channels
+         FROM range(1, 101) t(i) ORDER BY media_id""",
+
+    // Solid-fill channel means are the fill color exactly; thumbnail target
+    // dims use the same integer floor division as MediaCodec.resizeToMaxDim
+    // (w,h >= 16 > 12, so the resize always fires).
+    "q_multimodal_features" ->
+      """WITH g AS (
+           SELECT i, 16 + i % 17 AS w, 16 + (i * 7) % 13 AS h,
+             i % 256 AS r, (i * 3) % 256 AS gg, (i * 5) % 256 AS b
+           FROM range(1, 61) t(i))
+         SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(r AS INTEGER) AS mean_r, CAST(gg AS INTEGER) AS mean_g,
+           CAST(b AS INTEGER) AS mean_b,
+           CAST(CASE WHEN w >= h THEN 12 ELSE greatest(1, (w * 12) // h) END
+                AS INTEGER) AS r_width,
+           CAST(CASE WHEN w >= h THEN greatest(1, (h * 12) // w) ELSE 12 END
+                AS INTEGER) AS r_height
+         FROM g ORDER BY media_id""",
+
+    // 4 samples from 8 packed frames: src_frame = frame_no * 8 // 4, frame
+    // dims from the per-frame generation arithmetic.
+    "q_multimodal_frames" ->
+      """WITH f AS (
+           SELECT v.i AS i, j.f AS fno, (j.f * 8) // 4 AS k
+           FROM range(1, 21) v(i) CROSS JOIN range(0, 4) j(f))
+         SELECT CAST(i AS BIGINT) AS media_id, CAST(fno AS INTEGER) AS frame_no,
+           CAST(k AS INTEGER) AS src_frame,
+           CAST(8 + (i + k) % 9 AS INTEGER) AS f_width,
+           CAST(8 + (i * 3 + k) % 7 AS INTEGER) AS f_height
+         FROM f ORDER BY media_id, frame_no""",
+
+    "q_multimodal_audio" ->
+      """WITH a AS (
+           SELECT i, 8000 + (i % 8) * 1000 AS rate, 4000 + (i % 5) * 800 AS ns
+           FROM range(1, 41) t(i))
+         SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(rate AS INTEGER) AS sample_rate_dec,
+           CAST(ns AS BIGINT) AS n_frames,
+           CAST(ns * 1000 // rate AS BIGINT) AS duration_ms
+         FROM a ORDER BY media_id""",
 
     "q_dedup_cc" ->
       """WITH RECURSIVE prs AS (

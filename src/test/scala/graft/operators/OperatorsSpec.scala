@@ -235,23 +235,81 @@ class OperatorsSpec extends SparkSpec {
 
   // ---------------- Multimodal ----------------
 
-  test("multimodal: decode, features, resize, frames are deterministic plumbing") {
+  test("multimodal: real PNG decode returns the generation dims; corrupt bytes yield nulls") {
     val media = Multimodal.syntheticMedia(spark, 5)
-    val dec = Multimodal.decodeImages(media).select("media_id", "dec_width").collect()
-    assert(dec.length == 5 && dec.forall(_.getInt(1) >= 32))
+    val dec = Multimodal.decodeImages(media)
+      .select("media_id", "dec_width", "dec_height", "dec_channels")
+      .orderBy("media_id").collect()
+    assert(dec.length == 5)
+    dec.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.imgWidth(i))
+      assert(r.getInt(2) == Multimodal.imgHeight(i))
+      assert(r.getInt(3) == 3)
+    }
 
-    val feats = Multimodal.extractFeatures(media).select("features").head()
-      .getAs[scala.collection.Seq[Float]](0)
-    assert(feats.length == 8 && feats.sum > 0)
+    // corrupt payload → null dims, no exception
+    import spark.implicits._
+    val junk = Seq((99L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    val j = Multimodal.decodeImages(junk).select("dec_width").head()
+    assert(j.isNullAt(0))
+  }
 
-    val resized = Multimodal.resizeImages(media, maxBytes = 64)
-      .select(length(col("payload"))).collect()
-    assert(resized.forall(_.getInt(0) <= 64))
+  test("multimodal: features are the solid fill color; resize preserves it at the target dims") {
+    val media = Multimodal.syntheticMedia(spark, 5)
+    val feats = Multimodal.extractFeatures(media)
+      .select("media_id", "features").orderBy("media_id").collect()
+    feats.foreach { r =>
+      val i = r.getLong(0)
+      val f = r.getAs[scala.collection.Seq[Float]](1)
+      val c = Multimodal.imgColor(i)
+      assert(f == Seq(((c >> 16) & 0xFF).toFloat, ((c >> 8) & 0xFF).toFloat, (c & 0xFF).toFloat))
+    }
 
-    val frames = Multimodal.sampleFrames(media, 3)
-    assert(frames.count() == 15)
-    // deterministic re-run
-    assert(Multimodal.decodeImages(media).select("dec_width").collect().toSeq ==
-      dec.map(r => org.apache.spark.sql.Row(r.getInt(1))).toSeq)
+    val resized = Multimodal.resizeImages(media, maxDim = 12)
+    val redec = Multimodal.decodeImages(Multimodal.extractFeatures(
+      resized.drop("features")).withColumnRenamed("features", "f2"))
+      .select("media_id", "dec_width", "dec_height", "f2")
+      .orderBy("media_id").collect()
+    redec.foreach { r =>
+      val i = r.getLong(0)
+      val (w, h) = (Multimodal.imgWidth(i), Multimodal.imgHeight(i))
+      val (tw, th) =
+        if (w >= h) (12, math.max(1, h * 12 / w)) else (math.max(1, w * 12 / h), 12)
+      assert(r.getInt(1) == tw && r.getInt(2) == th)
+      // bilinear resample of a constant image is the same constant
+      val c = Multimodal.imgColor(i)
+      val f = r.getAs[scala.collection.Seq[Float]](3)
+      assert(f == Seq(((c >> 16) & 0xFF).toFloat, ((c >> 8) & 0xFF).toFloat, (c & 0xFF).toFloat))
+    }
+  }
+
+  test("multimodal: frame container round-trips and sampling decodes per-frame dims") {
+    val media = Multimodal.syntheticMedia(spark, 5, kind = "video")
+    val frames = Multimodal.sampleFrames(media, framesPerVideo = 3)
+    assert(frames.count() == 15) // 5 videos x 3 samples from 8 frames
+    val dec = Multimodal.decodeImages(frames.withColumnRenamed("frame", "payload"))
+      .select("media_id", "frame_no", "src_frame", "dec_width", "dec_height")
+      .orderBy("media_id", "frame_no").collect()
+    dec.foreach { r =>
+      val (i, j, k) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(k == j * Multimodal.videoFrames / 3)
+      assert(r.getInt(3) == Multimodal.frameWidth(i, k))
+      assert(r.getInt(4) == Multimodal.frameHeight(i, k))
+    }
+  }
+
+  test("multimodal: WAV probe returns the generation rate and floor-division duration") {
+    val media = Multimodal.syntheticMedia(spark, 8, kind = "audio")
+    val dec = Multimodal.decodeAudio(media)
+      .select("media_id", "sample_rate_dec", "n_frames", "duration_ms")
+      .orderBy("media_id").collect()
+    assert(dec.length == 8)
+    dec.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getInt(1) == Multimodal.audioRate(i))
+      assert(r.getLong(2) == Multimodal.audioSamples(i).toLong)
+      assert(r.getLong(3) == Multimodal.audioSamples(i).toLong * 1000 / Multimodal.audioRate(i))
+    }
   }
 }
