@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, component) for every vertex in `pairs` (columns idA, idB),
     * where `component` is the minimum vertex id reachable from `id`.
     */
@@ -73,6 +75,7 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    log.info(s"minLabel ran $iter rounds (the last confirming quiescence)")
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIters rounds " +

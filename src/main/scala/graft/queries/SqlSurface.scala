@@ -180,6 +180,63 @@ object SqlSurface {
         WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
         ORDER BY variant""")
+    }),
+
+    // Spark 4 VARIANT: semi-structured records queryable without
+    // schema-on-write — the natural storage type for a Singer/Airbyte-style
+    // record stream (the demux path keeps raw JSON; VARIANT makes it
+    // typed-queryable lazily). Round trip: typed row → JSON text →
+    // parse_json → typed variant_get extraction; the oracle states the
+    // identity, so the hash certifies the whole round trip, including
+    // try_variant_get's null-not-error contract on a missing path.
+    "q_variant_json" -> ((s, d) => {
+      view(s, d, "documents")
+      s.sql("""
+        SELECT doc_id,
+          variant_get(v, '$.lang', 'string') AS lang_v,
+          variant_get(v, '$.stats.n_chars', 'bigint') AS n_chars_v,
+          try_variant_get(v, '$.stats.missing', 'bigint') AS missing_v
+        FROM (
+          SELECT doc_id,
+            parse_json(to_json(named_struct(
+              'lang', lang,
+              'stats', named_struct('n_chars', n_chars, 'src', source)))) AS v
+          FROM documents)
+        ORDER BY doc_id""")
+    }),
+
+    // Higher-order array functions (lambda surface): transform / filter /
+    // aggregate / array_distinct / array_sort / slice, mirrored by DuckDB's
+    // list lambdas over the same tokenization.
+    "q_higher_order" -> ((s, d) => {
+      view(s, d, "documents")
+      s.sql("""
+        SELECT doc_id,
+          size(filter(toks, t -> length(t) > 3)) AS n_long,
+          aggregate(toks, 0L, (a, t) -> a + length(t)) AS total_len,
+          array_max(transform(toks, t -> length(t))) AS max_len,
+          size(array_distinct(toks)) AS n_distinct,
+          concat_ws(',', slice(array_sort(array_distinct(toks)), 1, 3)) AS first3
+        FROM (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS toks
+              FROM documents)
+        ORDER BY doc_id""")
+    }),
+
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode ON, so the try_* family
+    // (null-on-error instead of job-killing exceptions) is the production
+    // path for dirty data — division by a zero derived from data, casts of
+    // non-numeric strings, bigint overflow, out-of-bounds array access, and
+    // the null-safe equality operator.
+    "q_try_arith" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey,
+          try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS div_maybe,
+          try_cast(o_orderstatus AS INT) AS status_num,
+          try_add(9223372036854775807L, o_orderkey) AS add_overflow,
+          try_element_at(array('a', 'b'), CAST(o_orderkey % 4 AS INT) + 1) AS elem,
+          (o_orderstatus <=> 'O') AS is_open
+        FROM orders ORDER BY o_orderkey""")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -282,5 +339,38 @@ object SqlSurface {
          SELECT 'no_null' AS variant, count(*) AS n FROM customer
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
-         ORDER BY variant""")
+         ORDER BY variant""",
+
+    // The VARIANT round trip is an identity on the source columns; a
+    // missing path under try_variant_get is a typed NULL, not an error.
+    "q_variant_json" ->
+      """SELECT doc_id, lang AS lang_v, n_chars AS n_chars_v,
+           CAST(NULL AS BIGINT) AS missing_v
+         FROM documents ORDER BY doc_id""",
+
+    "q_higher_order" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 3)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+           CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3
+         FROM t ORDER BY doc_id""",
+
+    // Spark's try_* null-on-error contract stated with DuckDB's natural
+    // null semantics (x/0.0 is NULL in DuckDB; overflow stated literally).
+    "q_try_arith" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS div_maybe,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+           CAST(CASE WHEN o_orderkey = 0 THEN 9223372036854775807 END
+                AS BIGINT) AS add_overflow,
+           (['a', 'b'])[CAST(o_orderkey % 4 AS INTEGER) + 1] AS elem,
+           (o_orderstatus IS NOT DISTINCT FROM 'O') AS is_open
+         FROM orders ORDER BY o_orderkey""")
 }

@@ -207,6 +207,84 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming exact-dedup under the oracle: a bounded event subset lands
+    * as one file, then the SAME file is replayed twice more (a connector
+    * retry re-emitting every record — the reference's resume behavior),
+    * each copy its own micro-batch. `dropDuplicatesWithinWatermark` on
+    * event_id must pass every first occurrence and drop both full replays;
+    * the sink is hash-compared against DuckDB reading the original subset.
+    * The 45-day horizon exceeds the corpus's 30-day span, so no original
+    * is ever watermark-late (the fixture controls duplicate lag the way a
+    * production deploy sizes the horizon to the connector's max replay
+    * window).
+    */
+  private def dedupSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_dedup_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    if (!Files.exists(marker)) synchronized {
+      if (!Files.exists(marker)) {
+        deleteRecursively(root)
+        val landing = Files.createDirectories(root.resolve("landing"))
+
+        val ev = Tables.events(s, d).filter(col("event_id") < 2000)
+          .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+        val staged = root.resolve("staged").toString
+        ev.coalesce(1).write.text(staged)
+        val listing = Files.list(Paths.get(staged))
+        val part =
+          try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
+          finally listing.close()
+        val first = landing.resolve("batch1_events.jsonl")
+        Files.move(part, first)
+        // two full replays, mtime-ordered into their own micro-batches
+        Seq("batch2_replay.jsonl" -> 2000L, "batch3_replay.jsonl" -> 4000L).foreach {
+          case (name, mtimeOffsetMs) =>
+            val f = landing.resolve(name)
+            Files.copy(first, f)
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                Files.getLastModifiedTime(first).toMillis + mtimeOffsetMs))
+        }
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val deduped = StreamingSync.dedupByKeyWithinWatermark(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1),
+          "ts", "45 days", Seq("event_id"))
+        val q = deduped.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_dedup replay")
+
+        val sunk = s.read.parquet(sink.toString)
+        val (n, nKeys) = (sunk.count(),
+          sunk.select(col("event_id")).distinct().count())
+        val expected = Tables.events(s, d).filter(col("event_id") < 2000).count()
+        require(n == expected && nKeys == expected,
+          s"stream_dedup sink has $n rows / $nKeys keys, expected $expected — " +
+            "a replayed duplicate leaked through or an original was dropped")
+        Files.createFile(marker)
+        ()
+      }
+    }
+    sink.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
@@ -221,6 +299,12 @@ object StreamSync {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
           col("event_type"), col("n"))
         .orderBy("ws", "event_type")
+    }),
+
+    "q_stream_dedup" -> ((s, d) => {
+      s.read.parquet(dedupSinkDir(s, d))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -238,5 +322,12 @@ object StreamSync {
                 event_type, count(*) AS n
          FROM events
          GROUP BY 1, 2
-         ORDER BY ws, event_type""")
+         ORDER BY ws, event_type""",
+
+    // The dedup sink must equal the original subset exactly — both full
+    // replays dropped, every first occurrence delivered once.
+    "q_stream_dedup" ->
+      """SELECT event_id, event_type, value
+         FROM events WHERE event_id < 2000
+         ORDER BY event_id""")
 }

@@ -138,6 +138,22 @@ object StreamingSync {
       }
   }
 
+  /** Streaming exact dedup with bounded state: the first record per key
+    * wins; duplicates arriving within the watermark horizon of the
+    * original are dropped, and key state older than the horizon is
+    * evicted. This is exactly-once record delivery despite connector
+    * retries/replays (the reference re-emits on resume; a Singer target
+    * dedups by PK) — and the production alternative to an impossible
+    * unbounded-memory exact dedup on an infinite stream: state is
+    * O(keys within the horizon), not O(all keys ever).
+    */
+  def dedupByKeyWithinWatermark(
+      records: DataFrame,
+      tsCol: String,
+      delay: String,
+      keys: Seq[String]): DataFrame =
+    records.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Windowed event-time aggregation with a watermark — the late-data
     * policy the reference has no notion of: counts per (event_type,
     * 10-minute window), dropping events later than the watermark.

@@ -84,9 +84,8 @@ class StreamingSyncSpec extends SparkSpec {
     // connectors replay records after restarts (at-least-once);
     // dropDuplicatesWithinWatermark is the bounded-state streaming dedup
     val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
-    val deduped = input.toDF().toDF("id", "v", "ts")
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("id")
+    val deduped = StreamingSync.dedupByKeyWithinWatermark(
+      input.toDF().toDF("id", "v", "ts"), "ts", "10 minutes", Seq("id"))
     val q = deduped.writeStream.format("memory").queryName("dedup_sink")
       .outputMode("append").start()
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
