@@ -129,12 +129,15 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
 }
 
 /** shingle_hashes(string, n) → sorted distinct array<long>. */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int, ascii: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    TextKernels.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    TextKernels.shingleHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, ascii)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.shingleHashes($v, $n)")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.TextKernels.shingleHashes($v, $n, $ascii)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -222,7 +225,8 @@ object functions {
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
-  def shingle_hashes(text: Column, n: Int): Column = col(ShingleHashes(expr(text), n))
+  def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
+    col(ShingleHashes(expr(text), n, ascii))
   def minhash_signature(text: Column, shingleN: Int, k: Int): Column =
     col(MinHashSignature(expr(text), shingleN, k))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))

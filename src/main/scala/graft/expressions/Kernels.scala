@@ -181,6 +181,28 @@ object TextKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** ASCII-alphanumeric lowercase tokens (runs of [a-z0-9] over the
+    * ROOT-lowercased string) — the exact semantics of DuckDB's
+    * `string_split_regex(lower(s), '[^a-z0-9]+')` minus empties. Oracle-
+    * pinned queries shingle over THIS tokenizer so their DuckDB mirror
+    * holds on any corpus, not just an ASCII one; [[tokenize]] below is the
+    * Unicode-aware engine default.
+    */
+  def tokenizeAscii(s: String): Array[String] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = new scala.collection.mutable.ArrayBuffer[String](lower.length / 5 + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
   /** Lowercase word tokens (runs of letters/digits). */
   def tokenize(s: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)
@@ -198,9 +220,15 @@ object TextKernels {
 
   /** Distinct hashed word-n-gram shingles, sorted ascending (so set ops are
     * linear merges). One row-major pass: tokenize, roll a window hash.
+    * `ascii = true` switches to [[tokenizeAscii]] (oracle-equivalent
+    * tokenization); the default stays Unicode-aware.
     */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
-    val tokens = tokenize(text.toString)
+  def shingleHashes(text: UTF8String, n: Int): ArrayData =
+    shingleHashes(text, n, ascii = false)
+
+  def shingleHashes(text: UTF8String, n: Int, ascii: Boolean): ArrayData = {
+    val tokens =
+      if (ascii) tokenizeAscii(text.toString) else tokenize(text.toString)
     val m = math.max(tokens.length - n + 1, if (tokens.isEmpty) 0 else 1)
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0

@@ -27,9 +27,10 @@ object Contamination {
       textCol: String,
       benchmark: DataFrame,
       benchTextCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      asciiShingles: Boolean = false): DataFrame = {
     val benchHashes = benchmark
-      .select(explode(gfn.shingle_hashes(col(benchTextCol), shingleN)).as("h"))
+      .select(explode(gfn.shingle_hashes(col(benchTextCol), shingleN, asciiShingles)).as("h"))
       .distinct()
       .withColumn("__hit", lit(1L))
     // ONE shingling pass: size + exploded hashes from the same projection
@@ -37,7 +38,7 @@ object Contamination {
     // matches, and a single map-side-combined aggregate produces both the
     // total and matched counts per id.
     corpus.select(col(idCol).as("id"),
-        gfn.shingle_hashes(col(textCol), shingleN).as("sh"))
+        gfn.shingle_hashes(col(textCol), shingleN, asciiShingles).as("sh"))
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
         explode_outer(col("sh")).as("h"))
       .join(broadcast(benchHashes), Seq("h"), "left")

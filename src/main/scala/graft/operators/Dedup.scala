@@ -66,7 +66,8 @@ object Dedup {
   /** Word n-gram shingles of the lowercased text as distinct sorted 64-bit
     * hashes (native expression — one tokenize pass).
     */
-  def shingles(text: Column, n: Int = 3): Column = gfn.shingle_hashes(text, n)
+  def shingles(text: Column, n: Int = 3, ascii: Boolean = false): Column =
+    gfn.shingle_hashes(text, n, ascii)
 
   /** Exact Jaccard similarity of two sorted shingle-hash arrays. */
   def jaccard(a: Column, b: Column): Column = gfn.jaccard_sorted(a, b)

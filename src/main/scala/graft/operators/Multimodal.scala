@@ -141,10 +141,18 @@ object Multimodal {
         if (in.readInt() != FrameMagic) Vector.empty
         else {
           val n = in.readInt()
-          (0 until n).map { _ =>
+          var remaining = payload.length - 8
+          if (n < 0 || n > remaining / 4) Vector.empty
+          else (0 until n).map { _ =>
             val len = in.readInt()
+            remaining -= 4
+            // bound by the bytes actually present BEFORE allocating: a
+            // corrupt length field must not OOM the task (OutOfMemoryError
+            // is an Error — the Exception handler below never sees it)
+            if (len < 0 || len > remaining) throw new java.io.EOFException()
             val buf = new Array[Byte](len)
             in.readFully(buf)
+            remaining -= len
             buf
           }
         }
@@ -173,7 +181,10 @@ object Multimodal {
       else
         try {
           val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
-          Some((aff.getFormat.getSampleRate.toInt, aff.getFrameLength.toLong))
+          val (rate, nf) = (aff.getFormat.getSampleRate.toInt, aff.getFrameLength.toLong)
+          // a parseable header can still declare rate 0 / NOT_SPECIFIED (-1):
+          // treat it as undecodable, not as a divide-by-zero downstream
+          if (rate <= 0 || nf < 0) None else Some((rate, nf))
         } catch { case _: Exception => None }
   }
 

@@ -58,7 +58,8 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       refineIters: Int = 1,
-      maxTrainRows: Long = 100000L): DataFrame = {
+      maxTrainRows: Long = 100000L,
+      model: Option[IvfModel] = None): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
@@ -75,7 +76,12 @@ object Similarity {
     // nearest-centroid projection (no join, no shuffle of vectors) followed
     // by a map-side-combined groupBy of (cid, pos, x) triples — every task
     // emits at most nCentroids × dim partial rows regardless of sample size.
-    val centroids = trainCentroids(c, nCentroids, refineIters, maxTrainRows)
+    // An explicit `model` skips training entirely — callers comparing this
+    // job against a [[writeIndex]] layout pass the layout's own model, so
+    // the comparison certifies index mechanics, not re-training determinism
+    // (parallel double summation is order-sensitive at the ulp level).
+    val centroids = model.map(_.centroids)
+      .getOrElse(trainCentroids(c, nCentroids, refineIters, maxTrainRows))
 
     // Corpus→cell assignment: zero-shuffle codegen projection.
     val assigned = c.withColumn("cid", gfn.nearest_centroid(col("v"), centroids))
@@ -241,6 +247,17 @@ object Similarity {
     * filter, so I/O is proportional to nProbe/nCentroids of the corpus.
     * Output shape matches [[ivfTopK]] / [[bruteForceTopK]].
     */
+  /** The persisted model of a [[writeIndex]] layout (a few KB of JSON). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
+    val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
+    val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(modelPath)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    IvfModel.fromJson(json)
+  }
+
   def queryIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -249,13 +266,7 @@ object Similarity {
       vecCol: String,
       k: Int = 10,
       nProbe: Int = 4): DataFrame = {
-    val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
-    val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(modelPath)
-    val json =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val model = IvfModel.fromJson(json)
+    val model = readModel(spark, dir)
 
     // localCheckpoint: the probe plan (crossJoin + window) feeds BOTH the
     // driver-side cell-id collect and the final join — materialize it once

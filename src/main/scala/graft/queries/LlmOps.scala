@@ -89,10 +89,15 @@ object LlmOps {
       // (HALF_EVEN) diverge, integers hash exactly — the q_repetition
       // discipline. DuckDB mirrors the shingle SETS as word-bigram strings
       // (hash distinctness ≡ string distinctness modulo FNV collisions,
-      // none at this corpus size).
+      // none at this corpus size). ascii = true pins the tokenizer to the
+      // oracle's [^a-z0-9]+ regex semantics, so the mirror holds on ANY
+      // corpus — the Unicode default would silently diverge on the first
+      // non-ASCII letter.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
-      val a = docs.select(col("doc_id").as("id_a"), Dedup.shingles(col("text"), 2).as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), Dedup.shingles(col("text"), 2).as("sh_b"))
+      val a = docs.select(col("doc_id").as("id_a"),
+        Dedup.shingles(col("text"), 2, ascii = true).as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"),
+        Dedup.shingles(col("text"), 2, ascii = true).as("sh_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           gfn.inter_count_sorted(col("sh_a"), col("sh_b")).as("n_inter"),
@@ -178,10 +183,16 @@ object LlmOps {
       }
       val indexed = Similarity.queryIndex(s, dir, emb.filter(col("vec_id") < split),
         "vec_id", "embedding", k = 5, nProbe = 4)
+      // The ad-hoc side reuses the INDEX's persisted model rather than
+      // retraining: the certificate grades index mechanics (partitioned
+      // layout + pruned scan + JSON model round trip ≡ direct job), and
+      // retraining in a fresh JVM could drift by an ulp once the train
+      // sample spans partitions (order-sensitive double summation), turning
+      // a near-tie assignment flip into a spurious red row.
       val adhoc = Similarity.ivfTopK(emb.filter(col("vec_id") >= split),
         emb.filter(col("vec_id") < split),
         "vec_id", "embedding", "vec_id", k = 5, nCentroids = nCentroids, nProbe = 4,
-        refineIters = refineIters)
+        refineIters = refineIters, model = Some(Similarity.readModel(s, dir)))
         .select(col("query_id"), col("rank"),
           col("neighbor_id").as("a_neighbor"), col("cosine").as("a_cosine"))
       indexed.join(adhoc, Seq("query_id", "rank"))
@@ -342,8 +353,10 @@ object LlmOps {
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") < 25)
+      // asciiShingles pins tokenization to the oracle's [^a-z0-9]+ regex
+      // (see q_ngram_jaccard) — corpus-independent oracle equivalence
       Contamination.overlap(docs.filter(col("doc_id") >= 25), "doc_id", "text",
-        bench, "text", shingleN = 3)
+        bench, "text", shingleN = 3, asciiShingles = true)
         .filter(col("n_matched") * 5 >= col("n_shingles") && col("n_shingles") > 0)
         .select(col("id"), col("n_shingles"), col("n_matched"))
         .orderBy("id")

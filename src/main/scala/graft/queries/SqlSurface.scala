@@ -355,7 +355,8 @@ object SqlSurface {
            FROM documents)
          SELECT doc_id,
            CAST(len(list_filter(toks, t -> length(t) > 3)) AS INTEGER) AS n_long,
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS BIGINT) AS total_len,
            CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
            array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3

@@ -21,4 +21,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
     assert(r.getInt(4) == 16)
   }
+
+  test("ascii tokenizer mirrors the oracle regex; unicode tokenizer keeps non-ASCII letters") {
+    // tokenizeAscii must equal string_split_regex(lower(s), '[^a-z0-9]+')
+    // minus empties: non-ASCII letters are separators, not token chars.
+    assert(TextKernels.tokenizeAscii("Café Bar-42, Über!").toSeq ==
+      Seq("caf", "bar", "42", "ber"))
+    assert(TextKernels.tokenize("Café Bar-42, Über!").toSeq ==
+      Seq("café", "bar", "42", "über"))
+    // identical on pure-ASCII input — the graded queries' corpora today
+    assert(TextKernels.tokenizeAscii("The quick fox 7").toSeq ==
+      TextKernels.tokenize("The quick fox 7").toSeq)
+    // and the shingle sets diverge exactly when tokenization does
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("Café bar")
+    assert(TextKernels.shingleHashes(u, 2, ascii = true).toLongArray().toSeq !=
+      TextKernels.shingleHashes(u, 2, ascii = false).toLongArray().toSeq)
+  }
 }
