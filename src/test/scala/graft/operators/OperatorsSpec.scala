@@ -299,6 +299,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: corrupt containers and degenerate WAV headers yield empty/null, never a crash") {
+    import Multimodal.MediaCodec
+    // valid magic + absurd frame length: must NOT allocate 2 GB (the
+    // Error would escape an Exception handler and kill the task)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47524654); out.writeInt(1); out.writeInt(Int.MaxValue - 1)
+    assert(MediaCodec.unpackFrames(bos.toByteArray).isEmpty)
+    // negative frame count, wrong magic, truncated header
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val out2 = new java.io.DataOutputStream(bos2)
+    out2.writeInt(0x47524654); out2.writeInt(-5)
+    assert(MediaCodec.unpackFrames(bos2.toByteArray).isEmpty)
+    assert(MediaCodec.unpackFrames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)).isEmpty)
+    assert(MediaCodec.unpackFrames(Array[Byte](1, 2)).isEmpty)
+    // round trip still works
+    val f = MediaCodec.encodePng(4, 3, 0x112233)
+    val packed = MediaCodec.packFrames(Seq(f, f))
+    assert(MediaCodec.unpackFrames(packed).map(_.toSeq) == Vector(f.toSeq, f.toSeq))
+
+    // a WAV header hand-edited to declare sample rate 0 parses but must
+    // come back as None, not divide by zero downstream
+    val wav = MediaCodec.encodeWavPcm16(8000, Array.fill(16)(0.toShort))
+    assert(MediaCodec.wavMeta(wav).contains((8000, 16L)))
+    val broken = wav.clone()
+    // RIFF fmt chunk: sample rate lives at bytes 24-27 (little-endian)
+    broken(24) = 0; broken(25) = 0; broken(26) = 0; broken(27) = 0
+    assert(MediaCodec.wavMeta(broken).isEmpty)
+    assert(MediaCodec.wavMeta(Array.emptyByteArray).isEmpty)
+  }
+
   test("multimodal: WAV probe returns the generation rate and floor-division duration") {
     val media = Multimodal.syntheticMedia(spark, 8, kind = "audio")
     val dec = Multimodal.decodeAudio(media)
