@@ -362,6 +362,34 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // ---------------- pipeline composition ----------------
+    // The operators composed as one corpus-cleaning pipeline — repetition
+    // gate → exact dedup → benchmark decontamination → per-language
+    // summary. Each stage's DuckDB mirror is already proven green in
+    // isolation (q_repetition, q_dedup_exact, q_decontaminate); this query
+    // certifies they compose: the oracle chains the same mirrors as CTEs,
+    // so any stage reordering bug, dropped row, or changed semantics
+    // between stages flips the hash. Integer-only outputs (counts, ids,
+    // char sums) — nothing rounded.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep1 = docs.join(
+        TextAnalysis.bigramRepetition(docs, "doc_id", "text")
+          .filter(!col("is_repetitive")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val keep2 = Dedup.exact(keep1, "doc_id", Seq("text"))
+      val bench = docs.filter(col("doc_id") < 25)
+      val surv = Contamination.overlap(keep2.filter(col("doc_id") >= 25), "doc_id",
+          "text", bench, "text", shingleN = 3, asciiShingles = true)
+        .filter(!(col("n_matched") * 5 >= col("n_shingles") && col("n_shingles") > 0))
+        .select(col("id").as("doc_id"))
+      keep2.join(surv, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // ---------------- multimodal (REAL JDK codec: ImageIO + sampled audio) --
     // The synthetic PNGs' dimensions/colors are closed-form in media_id and
     // the oracle replicates that arithmetic — so the hash certifies the real
@@ -537,6 +565,64 @@ object LlmOps {
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY doc_id""",
+
+    // The pipeline oracle chains the PROVEN stage mirrors (q_repetition's
+    // bigram gate, q_dedup_exact's min-id winner, q_decontaminate's
+    // trigram overlap) as CTEs over the same data — certifying stage
+    // composition, not just each stage alone.
+    "q_pipeline_e2e" ->
+      """WITH t AS (
+           SELECT doc_id, text, lang, n_chars, string_split(text, ' ') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, text, lang, n_chars,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+           FROM t),
+         keep1 AS (
+           SELECT doc_id, text, lang, n_chars FROM b
+           WHERE NOT (len(bg) > 0 AND len(list_distinct(bg)) * 10 <= len(bg) * 8)),
+         keep2 AS (
+           SELECT * FROM keep1
+           WHERE doc_id IN (SELECT min(doc_id) FROM keep1 GROUP BY text)),
+         btok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 25),
+         bsh AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  WHEN len(tk) >= 1 THEN [array_to_string(tk, ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END) AS h
+           FROM btok),
+         ctok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM keep2 WHERE doc_id >= 25),
+         csh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  WHEN len(tk) >= 1 THEN [array_to_string(tk, ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM ctok),
+         corp AS (SELECT doc_id, unnest(sh) AS h FROM csh),
+         contaminated AS (
+           SELECT doc_id FROM corp GROUP BY doc_id
+           HAVING count(*) FILTER (WHERE h IN (SELECT h FROM bsh)) * 5 >= count(*)),
+         -- zero-shingle docs never reach `corp` (unnest of empty) and are
+         -- never contaminated — they survive via csh membership below
+         surv AS (
+           SELECT doc_id FROM csh
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,
+           max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM keep2 WHERE doc_id IN (SELECT doc_id FROM surv)
+         GROUP BY lang ORDER BY lang""",
 
     // Multimodal oracles replicate the synthetic-media generation arithmetic
     // (Multimodal.imgWidth/imgHeight/imgColor and friends) in closed form —
