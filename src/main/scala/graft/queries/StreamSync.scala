@@ -285,6 +285,99 @@ object StreamSync {
     sink.toString
   }
 
+  /** Stream-stream interval join under the oracle: clicks and purchases
+    * land as two separate streams; purchases split across two micro-batches
+    * (maxFilesPerTrigger = 1), so the second purchase batch must match
+    * against clicks BUFFERED in join state from batch 1 — the cross-batch
+    * stateful path, not a single-batch degenerate join. The 45-day
+    * watermark horizon exceeds the corpus span so no row is late and no
+    * state evicts mid-replay, making the result exactly the batch join the
+    * driver's DuckDB oracle computes.
+    */
+  private def joinSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_join_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    if (!Files.exists(marker)) synchronized {
+      if (!Files.exists(marker)) {
+        deleteRecursively(root)
+        val clickDir = Files.createDirectories(root.resolve("clicks"))
+        val purchDir = Files.createDirectories(root.resolve("purchases"))
+
+        def land(eventType: String, dir: Path, parts: Int): Unit = {
+          val ev = Tables.events(s, d).filter(col("event_type") === eventType)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+          val staged = root.resolve(s"staged_$eventType").toString
+          ev.coalesce(1).write.text(staged)
+          val listing = Files.list(Paths.get(staged))
+          val part =
+            try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
+            finally listing.close()
+          if (parts == 1) { Files.move(part, dir.resolve("batch1.jsonl")); () }
+          else {
+            // split the lines round-robin into `parts` mtime-ordered files
+            val lines = Files.readAllLines(part)
+            (0 until parts).foreach { p =>
+              val f = dir.resolve(s"batch${p + 1}.jsonl")
+              val mine = new java.util.ArrayList[String]()
+              (0 until lines.size).foreach(i => if (i % parts == p) { mine.add(lines.get(i)); () })
+              Files.write(f, mine)
+              Files.setLastModifiedTime(f,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis() + p * 2000L))
+            }
+          }
+        }
+        land("click", clickDir, parts = 1)
+        land("purchase", purchDir, parts = 2)
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val clicks = StreamingSync.readJsonlStream(s, s"$clickDir/*.jsonl", lineSchema)
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val purchases = StreamingSync.readJsonlStream(s, s"$purchDir/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val joined = StreamingSync.intervalJoinStream(
+          clicks, "c_ts", purchases, "p_ts",
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour",
+          delay = "45 days")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+        val q = joined.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_join replay")
+
+        val n = s.read.parquet(sink.toString).count()
+        val c = Tables.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val expected = c.join(p, expr(
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour")).count()
+        require(n == expected,
+          s"stream_join sink has $n pairs, batch join expects $expected — " +
+            "buffered-state matching dropped or duplicated pairs")
+        Files.createFile(marker)
+        ()
+      }
+    }
+    sink.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
@@ -305,6 +398,12 @@ object StreamSync {
       s.read.parquet(dedupSinkDir(s, d))
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy("event_id")
+    }),
+
+    "q_stream_join" -> ((s, d) => {
+      s.read.parquet(joinSinkDir(s, d))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -329,5 +428,16 @@ object StreamSync {
     "q_stream_dedup" ->
       """SELECT event_id, event_type, value
          FROM events WHERE event_id < 2000
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+
+    // The streamed interval join must equal the batch join exactly (no
+    // late drops at a 45-day horizon; cross-batch pairs found in state).
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c
+         JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY c.user_id, click_id, purchase_id""")
 }

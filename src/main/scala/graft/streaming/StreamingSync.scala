@@ -154,6 +154,26 @@ object StreamingSync {
       keys: Seq[String]): DataFrame =
     records.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream inner interval join with symmetric watermarks: rows
+    * join BUFFERED rows of the other side under an event-time-bounded
+    * condition. The time bound plus the two watermarks make the join state
+    * EVICTABLE — a buffered row older than (other side's watermark minus
+    * the window) can never match again and is dropped, so memory stays
+    * bounded on unbounded streams. Both inputs must already be shaped with
+    * distinct column names; `condition` references the event-time columns
+    * of BOTH sides (Spark refuses to plan the join as stateful-evictable
+    * otherwise).
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      leftTsCol: String,
+      right: DataFrame,
+      rightTsCol: String,
+      condition: String,
+      delay: String): DataFrame =
+    left.withWatermark(leftTsCol, delay)
+      .join(right.withWatermark(rightTsCol, delay), expr(condition))
+
   /** Windowed event-time aggregation with a watermark — the late-data
     * policy the reference has no notion of: counts per (event_type,
     * 10-minute window), dropping events later than the watermark.
