@@ -128,6 +128,18 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** bigram_repetitive(string) → boolean; one-pass kernel verdict (see
+  * TextKernels.bigramRepetitive for why this is not a Column formula).
+  */
+case class BigramRepetitive(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bigramRepetitive(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.bigramRepetitive($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** shingle_hashes(string, n) → sorted distinct array<long>. */
 case class ShingleHashes(child: Expression, n: Int, ascii: Boolean = false)
     extends UnaryExpression {
@@ -225,6 +237,7 @@ object functions {
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
+  def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))
   def minhash_signature(text: Column, shingleN: Int, k: Int): Column =

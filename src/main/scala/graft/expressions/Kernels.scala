@@ -252,6 +252,29 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Word-bigram repetition verdict in ONE kernel pass — the filter form
+    * of TextAnalysis.bigramRepetition (same semantics: tokens are a plain
+    * single-space split KEEPING empties, exactly DuckDB's
+    * `string_split(text, ' ')`; repetitive ⇔ n_bigrams > 0 and
+    * distinct·10 ≤ n_bigrams·8). A Column-DSL formulation of the same
+    * verdict re-evaluates its lambda-built bigram array per reference —
+    * higher-order functions are excluded from subexpression elimination,
+    * and a filter pushed through the staging projection re-fuses it —
+    * measured ~30x slower than this kernel on the documents corpus.
+    */
+  def bigramRepetitive(text: UTF8String): Boolean = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) false
+    else {
+      val nb = n - 1
+      val set = new java.util.HashSet[String](nb * 4 / 3 + 1)
+      var i = 0
+      while (i < nb) { set.add(toks(i) + " " + toks(i + 1)); i += 1 }
+      set.size * 10 <= nb * 8
+    }
+  }
+
   /** Exact intersection cardinality of two SORTED long arrays (linear
     * merge) — the integer numerator of Jaccard, for oracle outputs that
     * must avoid rounded ratios (see InterCountSorted).

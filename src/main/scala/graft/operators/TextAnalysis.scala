@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.{functions => gfn}
 
 /** Text-analysis operators for training-data pipelines over a `documents`
   * table (`doc_id, text, lang, source, n_chars`). Every operator is a pure
@@ -180,18 +181,32 @@ object TextAnalysis {
     * (n_distinct * 10 <= n_bigrams * 8 is "ratio <= 0.8" exactly).
     * One narrow codegen projection per row — no shuffle, no explode.
     */
-  def bigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Pure Column DSL (no SQL-string interpolation — column names with
-    // spaces/dots resolve through the same col() path as everywhere else).
-    // element_at is 1-based in both Spark and the DuckDB oracle's t[i];
-    // the size guard matters: Spark's sequence(1, 0) counts DOWN.
-    val tk = col("__tk")
-    val bg = when(size(tk) >= 2,
+  /** Word bigrams of a pre-split token column. element_at is 1-based in
+    * both Spark and the DuckDB oracle's t[i]; the size guard matters:
+    * Spark's sequence(1, 0) counts DOWN.
+    */
+  private def bigramsOf(tk: Column): Column =
+    when(size(tk) >= 2,
       transform(sequence(lit(1), size(tk) - 1),
         i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  /** Drop repetitive rows with the one-pass kernel verdict
+    * (`bigram_repetitive`, same semantics as [[bigramRepetition]]'s
+    * boolean; kernel agreement pinned in BigramRefSpec). A Column-DSL
+    * formulation of the verdict is a trap: higher-order functions are
+    * excluded from subexpression elimination AND a filter pushed through
+    * any staging projection re-fuses the expression, re-running the
+    * lambda per reference — measured ~30x slower than the kernel.
+    */
+  def dropRepetitive(df: DataFrame, textCol: String): DataFrame =
+    df.filter(!gfn.bigram_repetitive(col(textCol)))
+
+  def bigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Pure Column DSL (no SQL-string interpolation — column names with
+    // spaces/dots resolve through the same col() path as everywhere else).
     df.select(col(idCol), split(col(textCol), " ").as("__tk"))
-      .select(col(idCol), bg.as("bg"))
+      .select(col(idCol), bigramsOf(col("__tk")).as("bg"))
       .select(col(idCol),
         size(col("bg")).as("n_bigrams"),
         size(array_distinct(col("bg"))).as("n_distinct"))

@@ -373,11 +373,14 @@ object LlmOps {
     // char sums) — nothing rounded.
     "q_pipeline_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val keep1 = docs.join(
-        TextAnalysis.bigramRepetition(docs, "doc_id", "text")
-          .filter(!col("is_repetitive")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val keep2 = Dedup.exact(keep1, "doc_id", Seq("text"))
+      // the repetition gate is a staged projection + filter — no join (and
+      // see dropRepetitive's scaladoc for why not one fused boolean)
+      val keep1 = TextAnalysis.dropRepetitive(docs, "text")
+      // keep2 feeds BOTH the decontamination corpus and the final summary
+      // semi-join: checkpoint it so the repetition gate + dedup stages run
+      // once, not once per consumer (the surviving set is corpus-sized but
+      // already column-pruned to id/text/lang/n_chars)
+      val keep2 = Dedup.exact(keep1, "doc_id", Seq("text")).localCheckpoint(true)
       val bench = docs.filter(col("doc_id") < 25)
       val surv = Contamination.overlap(keep2.filter(col("doc_id") >= 25), "doc_id",
           "text", bench, "text", shingleN = 3, asciiShingles = true)

@@ -40,4 +40,24 @@ class BigramRefSpec extends SparkSpec {
         s"doc $id '${text.take(40)}': got ${got(id)}, reference ${reference(text)}")
     }
   }
+
+  test("the one-pass kernel verdict agrees with the Column-DSL form and the reference") {
+    val rnd = new Random(7)
+    val vocab = Seq("alpha", "beta", "x", "", "y z")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, " "), (902L, "a a a a a"), (903L, "a b"))
+
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val kernel = TextAnalysis.dropRepetitive(df, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dsl = TextAnalysis.bigramRepetition(df, "doc_id", "text")
+      .filter(!col("is_repetitive")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kernel == dsl)
+    docs.foreach { case (id, text) =>
+      assert(kernel.contains(id) == !reference(text)._3, s"doc $id '${text.take(40)}'")
+    }
+  }
 }
