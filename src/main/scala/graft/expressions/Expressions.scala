@@ -206,6 +206,8 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("ascii_tokens", es => AsciiTokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bigram_repetitive",
+      es => BigramRepetitive(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("inter_count_sorted",
       es => InterCountSorted(es(0), es(1)), "built-in")
