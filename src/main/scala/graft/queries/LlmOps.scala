@@ -378,9 +378,11 @@ object LlmOps {
       val keep1 = TextAnalysis.dropRepetitive(docs, "text")
       // keep2 feeds BOTH the decontamination corpus and the final summary
       // semi-join: checkpoint it so the repetition gate + dedup stages run
-      // once, not once per consumer (the surviving set is corpus-sized but
-      // already column-pruned to id/text/lang/n_chars)
-      val keep2 = Dedup.exact(keep1, "doc_id", Seq("text")).localCheckpoint(true)
+      // once, not once per consumer. Project to the columns the two
+      // consumers read BEFORE the eager checkpoint — nothing prunes an
+      // already-materialized checkpoint.
+      val keep2 = Dedup.exact(keep1, "doc_id", Seq("text"))
+        .select("doc_id", "text", "lang", "n_chars").localCheckpoint(true)
       val bench = docs.filter(col("doc_id") < 25)
       val surv = Contamination.overlap(keep2.filter(col("doc_id") >= 25), "doc_id",
           "text", bench, "text", shingleN = 3, asciiShingles = true)
