@@ -122,6 +122,34 @@ class StreamingSyncSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(!_.isNullAt(2))) // names attached
   }
 
+  test("interval join matches a later-batch row against buffered state, within the time bound") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val joined = StreamingSync.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "click_id", "c_ts"), "c_ts",
+      purchases.toDF().toDF("p_user_id", "purchase_id", "p_ts"), "p_ts",
+      "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour",
+      delay = "2 hours")
+      .select("user_id", "click_id", "purchase_id")
+    val q = joined.writeStream.format("memory").queryName("ij_sink")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: clicks only — nothing can join yet
+    clicks.addData((1L, 100L, ts(0)), (2L, 200L, ts(5)))
+    q.processAllAvailable()
+    assert(spark.table("ij_sink").count() == 0)
+    // batch 2: purchases arrive — user 1 within the hour joins the
+    // BUFFERED click; user 2's purchase lands outside the bound
+    purchases.addData((1L, 900L, ts(30)),
+      (2L, 901L, java.sql.Timestamp.valueOf("2024-01-01 11:06:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_sink").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 100L, 900L)))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.SessionEvent](spark)
