@@ -182,6 +182,23 @@ object SqlSurface {
         ORDER BY variant""")
     }),
 
+    // Time-based RANGE window frame: per-user trailing-hour counts and
+    // sums over event time — the sliding-window analytic that ROWS frames
+    // (q_window_frames) can't express when rows are unevenly spaced. Peer
+    // rows (equal ts) enter the frame together in both engines per the
+    // SQL standard; the decimal sum renders as DOUBLE per the proven law.
+    "q_window_range" -> ((s, d) => {
+      view(s, d, "events")
+      s.sql("""
+        SELECT event_id, user_id,
+          count(*) OVER w AS n_last_hour,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    }),
+
     // Spark 4 VARIANT: semi-structured records queryable without
     // schema-on-write — the natural storage type for a Singer/Airbyte-style
     // record stream (the demux path keeps raw JSON; VARIANT makes it
@@ -340,6 +357,15 @@ object SqlSurface {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
          ORDER BY variant""",
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     // The VARIANT round trip is an identity on the source columns; a
     // missing path under try_variant_get is a typed NULL, not an error.
