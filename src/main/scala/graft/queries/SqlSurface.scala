@@ -199,6 +199,21 @@ object SqlSurface {
         ORDER BY event_id""")
     }),
 
+    // Regex scalar surface over patterns valid and IDENTICAL in Java
+    // (Spark) and RE2 (DuckDB) — literal classes and groups only, no
+    // backrefs/lookahead (the redactPii discipline). Spark's
+    // regexp_replace is always global; DuckDB needs the 'g' flag.
+    "q_regexp_funcs" -> ((s, d) => {
+      view(s, d, "documents")
+      s.sql("""
+        SELECT doc_id,
+          regexp_extract(text, '([a-z]+)', 1) AS first_word,
+          regexp_replace(substring(text, 1, 40), '[aeiou]', '_') AS devoweled_head,
+          CAST(regexp_count(text, 'the') AS BIGINT) AS n_the,
+          regexp_like(text, '[0-9]') AS has_digit
+        FROM documents ORDER BY doc_id""")
+    }),
+
     // Spark 4 VARIANT: semi-structured records queryable without
     // schema-on-write — the natural storage type for a Singer/Airbyte-style
     // record stream (the demux path keeps raw JSON; VARIANT makes it
@@ -357,6 +372,14 @@ object SqlSurface {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_custkey < 100 AND o_custkey <> 7)
          ORDER BY variant""",
+
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_replace(text[1:40], '[aeiou]', '_', 'g') AS devoweled_head,
+           CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+           regexp_matches(text, '[0-9]') AS has_digit
+         FROM documents ORDER BY doc_id""",
 
     "q_window_range" ->
       """SELECT event_id, user_id,
