@@ -101,19 +101,17 @@ object Parity {
         .orderBy("event_type")
     }),
 
-    // The same aggregate in the decimal-PRODUCT form — but ONLY the
-    // COLUMN-OPERAND product shape is driver-proven green (q_join_shuffle's
-    // revenue, q1_agg's sum_disc_price: dec(18,2) * (lit - dec_column) →
-    // operand pair (18,2)x(19,2) → natural DECIMAL(38,4)). The r3 version
-    // of this control multiplied by a pure LITERAL (value_dec * 1.00 —
-    // operand pair (18,2)x(18,2) → (37,4) before the final cast) and the
-    // driver hashed it RED (CORRECTNESS_r03: rows/schema true, hash false)
-    // — plausibly the Spark (37,4) vs DuckDB (36,4) intermediate precision
-    // divergence. This reshape byte-mirrors q_join_shuffle: the second
-    // factor is (1.00 - column-derived zero), with user_id % 1 keeping the
-    // operand a genuine attribute expression (not foldable) of the proven
-    // (19,2) subtraction type. Together with q_demux (DOUBLE form) the pair
-    // keeps one live A/B control per PROVEN-GREEN rendering.
+    // The same aggregate in the decimal-PRODUCT form, rendered as DOUBLE.
+    // History of this control: the r3 literal-operand product
+    // (value_dec * 1.00) AND the r4 column-operand reshape
+    // (value_dec * (1.00 - CAST(user_id % 1 AS DEC))) were BOTH hashed red
+    // by the driver when the sum was emitted as DECIMAL(38,4) — rows and
+    // schema matched, hash did not, two falsified theories about the
+    // driver's decimal-hash canonicalization. Per the round-4 verdict the
+    // experiment is over: the sum now ends in CAST(... AS DOUBLE), the
+    // rendering the driver proved green on the seven r3 flips.
+    // q1_agg/q_join_shuffle remain the canaries for the native
+    // decimal-product DECIMAL rendering (parquet decimal operands).
     "q_demux_decimal" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 2)
       Tables.events(s, d)
@@ -121,7 +119,7 @@ object Parity {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec) *
               (lit(1.0).cast(dec) - (col("user_id") % 1).cast(dec)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("sum_value"))
+            .cast("double").as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -266,7 +264,7 @@ object Parity {
     "q_demux_decimal" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))
-                    * (CAST(1.0 AS DECIMAL(18,2)) - CAST(user_id % 1 AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_value
+                    * (CAST(1.0 AS DECIMAL(18,2)) - CAST(user_id % 1 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_json_extract" ->
