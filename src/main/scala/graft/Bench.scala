@@ -44,7 +44,12 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 decimal places: millisecond resolution is all sub-minute timings
+    // carry (run variance is larger), and the shorter line keeps EVERY
+    // query's timing inside the driver's bounded output capture — full-
+    // precision doubles pushed the first ~20 entries past the window.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // strip ALL control chars (<0x20), not just the common escapes — a \b
@@ -52,7 +57,12 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt and braces: the same line as a committed artifact, so the full
+    // per-query map survives even if a capture window truncates stdout.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: java.io.IOException => } // read-only cwd must not fail the bench
     spark.stop()
   }
 }

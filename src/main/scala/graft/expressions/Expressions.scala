@@ -153,15 +153,20 @@ case class ShingleHashes(child: Expression, n: Int, ascii: Boolean = false)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** minhash_signature(string, shingleN, k) → array<long> of K minhashes. */
-case class MinHashSignature(child: Expression, shingleN: Int, k: Int) extends UnaryExpression {
+/** minhash_signature(string, shingleN, k) → array<long> of K minhashes.
+  * `ascii` selects the oracle-pinned [[TextKernels.tokenizeAscii]] shingling
+  * (same flag as [[ShingleHashes]] — a signature and the shingle set it is
+  * verified against must tokenize identically).
+  */
+case class MinHashSignature(child: Expression, shingleN: Int, k: Int, ascii: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     TextKernels.minhashSignature(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN, k)
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleN, k, ascii)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, v =>
-      s"graft.expressions.TextKernels.minhashSignature($v, $shingleN, $k)")
+      s"graft.expressions.TextKernels.minhashSignature($v, $shingleN, $k, $ascii)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -211,10 +216,16 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("inter_count_sorted",
       es => InterCountSorted(es(0), es(1)), "built-in")
+    // the optional trailing boolean is the ascii tokenizer flag — without it
+    // the SQL surface couldn't reach the oracle-pinned tokenization the
+    // Column API exposes
+    def asciiArg(es: Seq[Expression], i: Int): Boolean =
+      es.lift(i).exists(_.eval().asInstanceOf[Boolean])
     reg.createOrReplaceTempFunction("shingle_hashes", es =>
-      ShingleHashes(es(0), es(1).eval().asInstanceOf[Int]), "built-in")
+      ShingleHashes(es(0), es(1).eval().asInstanceOf[Int], asciiArg(es, 2)), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", es =>
-      MinHashSignature(es(0), es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]),
+      MinHashSignature(es(0), es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        asciiArg(es, 3)),
       "built-in")
     ()
   }
@@ -242,8 +253,8 @@ object functions {
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))
-  def minhash_signature(text: Column, shingleN: Int, k: Int): Column =
-    col(MinHashSignature(expr(text), shingleN, k))
+  def minhash_signature(text: Column, shingleN: Int, k: Int, ascii: Boolean = false): Column =
+    col(MinHashSignature(expr(text), shingleN, k, ascii))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
   def inter_count_sorted(a: Column, b: Column): Column =
     col(InterCountSorted(expr(a), expr(b)))

@@ -310,8 +310,11 @@ object TextKernels {
     * double hashing: g_i(x) = h1(x) + i·h2(x). One pass over shingles for
     * all K functions — no K string re-hashes like the HOF formulation.
     */
-  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData = {
-    val sh = shingleHashes(text, n)
+  def minhashSignature(text: UTF8String, n: Int, k: Int): ArrayData =
+    minhashSignature(text, n, k, ascii = false)
+
+  def minhashSignature(text: UTF8String, n: Int, k: Int, ascii: Boolean): ArrayData = {
+    val sh = shingleHashes(text, n, ascii)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val m = sh.numElements()

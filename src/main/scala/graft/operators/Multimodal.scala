@@ -244,9 +244,11 @@ object Multimodal {
   }
 
   /** Frame sampling: `n` evenly spaced frames per video (the j-th sample is
-    * source frame `j * total / n`, integer floor — oracle-replicable).
-    * Cardinality-increasing: one row per sampled frame, the video analog of
-    * explode.
+    * source frame `j * total / n`, integer floor — oracle-replicable). A
+    * video with `total <= n` frames emits each frame exactly once (the
+    * stride formula would repeat index 0 and never reach the tail: 2 frames
+    * at n=4 gives k = 0,0). Cardinality-increasing: one row per sampled
+    * frame, the video analog of explode.
     */
   def sampleFrames(df: DataFrame, framesPerVideo: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -262,7 +264,7 @@ object Multimodal {
           Option(r.getAs[Array[Byte]](payloadIdx)).getOrElse(Array.emptyByteArray))
         if (frames.isEmpty) Iterator.empty
         else (0 until math.min(n, frames.length)).iterator.map { j =>
-          val k = j * frames.length / n
+          val k = if (frames.length <= n) j else j * frames.length / n
           Row(r.getLong(idIdx), j, k, frames(k))
         }
       }

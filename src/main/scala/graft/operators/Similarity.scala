@@ -241,12 +241,6 @@ object Similarity {
     model
   }
 
-  /** Query a [[writeIndex]] layout: rank centroids per query (driver-side
-    * over the broadcast-scale model), then scan ONLY the probed cells —
-    * `filter(cid isin ...)` reaches the parquet scan as a partition
-    * filter, so I/O is proportional to nProbe/nCentroids of the corpus.
-    * Output shape matches [[ivfTopK]] / [[bruteForceTopK]].
-    */
   /** The persisted model of a [[writeIndex]] layout (a few KB of JSON). */
   def readModel(spark: org.apache.spark.sql.SparkSession, dir: String): IvfModel = {
     val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
@@ -258,6 +252,12 @@ object Similarity {
     IvfModel.fromJson(json)
   }
 
+  /** Query a [[writeIndex]] layout: rank centroids per query (driver-side
+    * over the broadcast-scale model), then scan ONLY the probed cells —
+    * `filter(cid isin ...)` reaches the parquet scan as a partition
+    * filter, so I/O is proportional to nProbe/nCentroids of the corpus.
+    * Output shape matches [[ivfTopK]] / [[bruteForceTopK]].
+    */
   def queryIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
