@@ -19,10 +19,12 @@ import graft.expressions.{functions => gfn}
   * the engine's FNV-hash sets modulo collisions). Engine-specific outputs
   * (HLL sketches, IVF probes) are oracled as INVARIANT certificates —
   * integer bounds or equivalence booleans DuckDB can state as literals, so
-  * the driver hash fails iff the invariant breaks. Only the xxhash64-keyed
-  * LSH candidate sets and the hash split remain rows-only (their DuckDB
-  * mirror would be a reimplementation of xxhash64, not an independent
-  * oracle); those carry property suites instead.
+  * the driver hash fails iff the invariant breaks. The MinHash-LSH and
+  * embedding-LSH paths are graded by exact-ground-truth certificates
+  * (DuckDB recomputes the all-pairs truth; zero false positives + a recall
+  * floor). Only the SimHash surfaces (the 64-bit engine fingerprint has no
+  * independent DuckDB analog) and the xxhash64 hash split remain
+  * rows-only; those carry property suites instead.
   */
 object LlmOps {
 
@@ -39,11 +41,47 @@ object LlmOps {
     // suite. 500 is ~5x the observed sf0.1 max band-bucket (105), so the
     // cap is armed but drops nothing at this scale; at corpus scale set it
     // near the p99.9 bucket size.
+    //
+    // Exact-ground-truth certificate (oracled since r6; rows-only r3-r5):
+    // DuckDB independently computes the all-pairs word-bigram Jaccard truth
+    // as STRING sets (cardinalities ≡ the engine's FNV-hash sets modulo
+    // collisions — the proven q_ngram_jaccard mirror; ascii = true pins
+    // both sides to the same tokenizer), so n_true_pairs is a real
+    // cross-engine check of the shingle/Jaccard kernels. The LSH leg is
+    // graded by n_false_pos = 0 (structural: every emitted pair passed the
+    // exact sorted-merge verify, and the integer truth threshold
+    // 5·inter >= union is equivalent to the verify's inter/union >= 0.2 —
+    // IEEE division of the same ints can't cross a gap of 1/(5·union))
+    // plus a recall floor. The quadratic truth join is bounded to
+    // doc_id < 1000 (the certificate's verification primitive, like
+    // q_ngram_jaccard) while the LSH runs the production banded path on
+    // the same bound. RECALL FLOOR IS DATA-DEPENDENT: measured 25/25 at
+    // sf0.01 and 7/7 at sf0.1 (the banding probability at j >= 0.2 with
+    // 32×2 bands leaves no misses on this corpus); the floor certifies
+    // >= 80% — re-measure before blaming the engine if the corpus
+    // generator changes.
     "q_dedup_minhash" -> ((s, d) => {
-      Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         threshold = 0.2, numHashes = 64, bands = 32, shingleSize = 2,
-        maxBucketSize = 500)
-        .orderBy("id_a", "id_b")
+        maxBucketSize = 500, ascii = true)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+      val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 2, ascii = true).as("sh"))
+      val truth = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .crossJoin(broadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("n_inter", gfn.inter_count_sorted(col("sh_a"), col("sh_b")))
+        .withColumn("n_union", size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+        .filter(col("n_inter") * 5 >= col("n_union") && col("n_union") > 0)
+        .select("id_a", "id_b")
+      truth.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .crossJoin(lsh.join(truth, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false_pos")))
+        .select(col("n_true_pairs"), col("n_false_pos"),
+          (col("n_hits") * 5 >= col("n_true_pairs") * 4).as("recall_ok"))
     }),
 
     // maxHamming = 3 → 4 × 16-bit bands: the classic simhash near-dup
@@ -110,10 +148,41 @@ object LlmOps {
     // maxBucketSize armed (observed sf0.1 max table-bucket: 349 — 3 planes
     // is only 8 buckets/table, so buckets are inherently coarse); 2000
     // drops nothing here while keeping the guardrail in the driven path.
+    //
+    // Exact-ground-truth certificate (oracled since r6; rows-only r3-r5):
+    // DuckDB independently computes the all-pairs cosine truth
+    // (list_cosine_similarity over DOUBLE[] — the proven q_ann_bruteforce
+    // mirror), so n_true_pairs cross-checks the fused cosine kernel and
+    // the threshold against another engine. The boundary decision uses
+    // round(cosine, 6) on BOTH sides: round-6 equality across engines is
+    // proven, and any unrounded pair the LSH admits (cosine >= 0.4) also
+    // rounds to >= 0.4, so n_false_pos = 0 stays structural. The all-pairs
+    // truth join is the bounded verification primitive (embeddings are
+    // 500/2000 rows at the graded SFs); the LSH leg is the production
+    // banded path. RECALL FLOOR IS DATA-DEPENDENT: measured 45/59 (76%)
+    // at sf0.01 and 565/920 (61.4%) at sf0.1 on the near-isotropic
+    // synthetic vectors (3 tables × 3 planes is deliberately coarse near
+    // the threshold); the floor certifies >= 60%, deterministic because
+    // the planes are seeded — re-measure before blaming the engine if the
+    // corpus generator changes.
     "q_dedup_embedding" -> ((s, d) => {
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      val emb = Tables.embeddings(s, d)
+      val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, nPlanes = 3, nTables = 3, maxBucketSize = 2000)
-        .orderBy("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+      val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val truth = v.select(col("id").as("id_a"), col("v").as("v_a"))
+        .crossJoin(broadcast(v.select(col("id").as("id_b"), col("v").as("v_b"))))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(gfn.cosine_sim(col("v_a"), col("v_b")), 6) >= 0.4)
+        .select("id_a", "id_b")
+      truth.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .crossJoin(lsh.join(truth, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_false_pos")))
+        .select(col("n_true_pairs"), col("n_false_pos"),
+          (col("n_hits") * 5 >= col("n_true_pairs") * 3).as("recall_ok"))
     }),
 
     // ---------------- similarity search ----------------
@@ -548,9 +617,49 @@ object LlmOps {
          FROM p WHERE n_inter * 20 >= n_union AND n_union > 0
          ORDER BY id_a, id_b""",
 
+    // Near-dup certificates: DuckDB computes n_true_pairs INDEPENDENTLY
+    // (all-pairs truth over string shingle sets / DOUBLE[] cosines), so
+    // that column is a genuine cross-engine check; n_false_pos = 0 and
+    // recall_ok = true are invariants the engine must uphold (zero FPs are
+    // structural via the exact verify step; the recall floors are
+    // data-dependent constants documented at the query definitions).
+    "q_dedup_minhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 1000),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 2
+                  THEN list_distinct(list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i+1]))
+                  WHEN len(tk) = 1 THEN [tk[1]]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM tok),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok
+         FROM p WHERE n_inter * 5 >= n_union AND n_union > 0""",
+
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         p AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cos
+               FROM v a JOIN v b ON a.id < b.id)
+         SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok
+         FROM p WHERE cos >= CAST(0.4 AS DOUBLE)""",
+
     // Recall-floor certificate (one row): the hash fails iff any query
     // recovers zero true neighbors, or mean recall drops below 40%, or the
-    // query count changes.
+    // query count changes. The floors (>= 1 hit/query, mean >= 40%) are
+    // DATA-DEPENDENT constants measured on the sf synthetic near-isotropic
+    // embeddings — a corpus or generator change can flip this hash without
+    // any engine bug; re-measure before blaming the IVF path.
     "q_ann_ivf" ->
       """SELECT count(*) AS n_queries, true AS every_query_ok, true AS mean_ok
          FROM embeddings WHERE vec_id < 5""",
