@@ -87,6 +87,27 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Skew-hardened join (Layout.saltedJoin under the oracle): ~75% of
+    // events collapse onto one hot key, the classic straggler shape at
+    // 100 TB. The salted plan carries (key, __salt) through the join so
+    // the hot key spreads over `salts` sub-partitions — semantics are
+    // IDENTICAL to the plain join (the oracle is exactly that plain join
+    // in DuckDB), and LayoutSpec asserts the salted exchange actually
+    // partitions on __salt when neither side broadcasts.
+    "q_join_skew" -> ((s, d) => {
+      val fact = Tables.events(s, d).select(
+        when(col("user_id") % 4 =!= 0, lit(0L))
+          .otherwise(col("user_id") % 25).as("skew_key"),
+        col("event_id"), col("value"))
+      val dim = Tables.nation(s, d).select(
+        col("n_nationkey").cast("bigint").as("skew_key"), col("n_name"))
+      graft.operators.Layout.saltedJoin(fact, dim, "skew_key", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy("n_name")
+    }),
+
     "q_semi_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -304,6 +325,18 @@ object Relational {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    // The salted join's oracle is the PLAIN join — salting must be
+    // invisible in the result.
+    "q_join_skew" ->
+      """WITH f AS (
+           SELECT event_id, value,
+             CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id % 25 END AS skew_key
+           FROM events)
+         SELECT n.n_name, count(*) AS n_events,
+           CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM f JOIN nation n ON f.skew_key = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n.n_name""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -285,6 +285,93 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming sessionization under the oracle: every event lands as epoch
+    * seconds in batch 1 (one file — the per-user state sees the full
+    * history before any close decision), then batch 2 delivers ONE
+    * sentinel event per user, `gap + 1` past that user's last real event,
+    * which closes every still-open real session through the
+    * flatMapGroupsWithState path (state read back across micro-batches —
+    * the stateful choreography, not a single-batch sort). The sentinel's
+    * own session never closes, so it never reaches the sink; the sink is
+    * exactly the gap-and-island sessions DuckDB computes in batch. The
+    * completion marker requires sum(n_events) == real event count — a
+    * session dropped, double-closed, or left open can never pass as done.
+    */
+  private def sessionizeSinkDir(s: SparkSession, d: String): String = {
+    val gapSeconds = 1800L
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_sessionize_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    if (!Files.exists(marker)) synchronized {
+      if (!Files.exists(marker)) {
+        deleteRecursively(root)
+        val landing = Files.createDirectories(root.resolve("landing"))
+
+        def landOne(df: org.apache.spark.sql.DataFrame, name: String,
+            after: Option[Path]): Path = {
+          val staged = root.resolve(s"staged_$name").toString
+          df.coalesce(1).write.text(staged)
+          val listing = Files.list(Paths.get(staged))
+          val part =
+            try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
+            finally listing.close()
+          val f = landing.resolve(s"$name.jsonl")
+          Files.move(part, f)
+          // mtime strictly after the previous batch's file → processed as
+          // its own later micro-batch under maxFilesPerTrigger = 1
+          after.foreach(prev => Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(
+              Files.getLastModifiedTime(prev).toMillis + 2000)))
+          f
+        }
+
+        // epoch SECONDS on both sides: the stream sessionizes over floored
+        // seconds, and the oracle's gap/island SQL floors epoch(ts) the
+        // same way (the q_sessionize discipline) — so tie orders within a
+        // second can differ without changing any session boundary
+        val ev = Tables.events(s, d).select(col("user_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_s"))
+        val b1 = landOne(ev.select(to_json(struct(col("user_id"), col("ts_s"))).as("j")),
+          "batch1_events", None)
+        landOne(
+          ev.groupBy(col("user_id"))
+            .agg((max(col("ts_s")) + gapSeconds + 1L).as("ts_s"))
+            .select(to_json(struct(col("user_id"), col("ts_s"))).as("j")),
+          "batch2_sentinels", Some(b1))
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_s",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val sessions = StreamingSync.sessionizeStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.SessionEvent],
+          gapSeconds = gapSeconds)
+        val q = sessions.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_sessionize replay")
+
+        val covered = s.read.parquet(sink.toString)
+          .agg(sum(col("n_events"))).head().getLong(0)
+        val expected = Tables.events(s, d).count()
+        require(covered == expected,
+          s"stream_sessionize sink covers $covered events, expected $expected — " +
+            "a session was dropped, double-closed, or left open")
+        Files.createFile(marker)
+        ()
+      }
+    }
+    sink.toString
+  }
+
   /** Stream-stream interval join under the oracle: clicks and purchases
     * land as two separate streams; purchases split across two micro-batches
     * (maxFilesPerTrigger = 1), so the second purchase batch must match
@@ -404,6 +491,12 @@ object StreamSync {
       s.read.parquet(joinSinkDir(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    "q_stream_sessionize" -> ((s, d) => {
+      s.read.parquet(sessionizeSinkDir(s, d))
+        .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
+        .orderBy("user_id", "start_s")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -439,5 +532,25 @@ object StreamSync {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-         ORDER BY c.user_id, click_id, purchase_id""")
+         ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The streamed flatMapGroupsWithState sessions must equal the batch
+    // gap-and-island sessions exactly (q_sessionize's proven floored-epoch
+    // discipline, aggregated to one row per session).
+    "q_stream_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts_s,
+             sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts_s) AS start_s, max(ts_s) AS end_s,
+           CAST(count(*) AS INTEGER) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_s""")
 }

@@ -44,6 +44,22 @@ class LayoutSpec extends SparkSpec {
     assert(salted.size == 2000)
   }
 
+  test("salted join exchanges on (key, __salt) when neither side broadcasts") {
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i)).toDF("k", "payload")
+    val small = (0L to 10L).map(k => (k, s"v$k")).toDF("k", "attr")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at 100 TB neither side broadcasts — that is the regime salting
+      // exists for, so assert the plan shape there
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.saltedJoin(big, small, "k", salts = 8)
+      joined.collect() // finalize AQE so the executed plan is real
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"expected the join exchange to partition on (k, __salt), got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("salted aggregate equals direct aggregate") {
     val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong % 5 else 0L, i.toLong))
       .toDF("k", "v")
