@@ -51,6 +51,35 @@ object StreamSync {
       sys.error(s"$what did not finish within ${ms / 1000}s — sink left unmarked")
     }
 
+  /** Stage `df` as ONE text part-file and move it to `landing/name` — one
+    * landed file is one micro-batch under maxFilesPerTrigger = 1. Shared by
+    * every fixture builder below so the stage/move discipline can't drift
+    * between them.
+    */
+  private def landOne(df: DataFrame, root: Path, landing: Path, name: String): Path = {
+    val staged = root.resolve(s"staged_$name").toString
+    df.coalesce(1).write.text(staged)
+    val listing = Files.list(Paths.get(staged))
+    val part =
+      try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
+      finally listing.close()
+    val f = landing.resolve(name)
+    Files.move(part, f)
+    f
+  }
+
+  /** Order `f` strictly after `prev` in mtime: micro-batch order under
+    * maxFilesPerTrigger = 1 is the landing files' mtime order, and offsets
+    * are always taken from the sibling file (never the wall clock) so the
+    * ordering survives a slow stage step.
+    */
+  private def mtimeAfter(f: Path, prev: Path, offsetMs: Long): Unit = {
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(prev).toMillis + offsetMs))
+    ()
+  }
+
   private def sinkDir(s: SparkSession, d: String): String = {
     val srcFile = new java.io.File(s"$d/nation.parquet")
     val root = Paths.get(
@@ -145,14 +174,7 @@ object StreamSync {
         val ev = Tables.events(s, d).select(
           to_json(struct(col("event_id"), col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
-        val staged = root.resolve("staged").toString
-        ev.coalesce(1).write.text(staged)
-        val listing = Files.list(Paths.get(staged))
-        val part =
-          try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
-          finally listing.close()
-        val realFile = landing.resolve("batch1_events.jsonl")
-        Files.move(part, realFile)
+        val realFile = landOne(ev, root, landing, "batch1_events.jsonl")
 
         val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
         def sentinel(name: String, offsetMs: Long, mtimeOffsetMs: Long): Unit = {
@@ -166,9 +188,7 @@ object StreamSync {
           val f = landing.resolve(name)
           Files.writeString(f,
             s"""{"event_id":-1,"event_type":"__sentinel__","ts":"$iso"}\n""")
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(
-              Files.getLastModifiedTime(realFile).toMillis + mtimeOffsetMs))
+          mtimeAfter(f, realFile, mtimeOffsetMs)
         }
         sentinel("batch2_sentinel.jsonl", 2L * 3600 * 1000, 2000)
         sentinel("batch3_sentinel.jsonl", 4L * 3600 * 1000, 4000)
@@ -232,22 +252,13 @@ object StreamSync {
         val ev = Tables.events(s, d).filter(col("event_id") < 2000)
           .select(to_json(struct(col("event_id"), col("event_type"), col("value"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
-        val staged = root.resolve("staged").toString
-        ev.coalesce(1).write.text(staged)
-        val listing = Files.list(Paths.get(staged))
-        val part =
-          try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
-          finally listing.close()
-        val first = landing.resolve("batch1_events.jsonl")
-        Files.move(part, first)
+        val first = landOne(ev, root, landing, "batch1_events.jsonl")
         // two full replays, mtime-ordered into their own micro-batches
         Seq("batch2_replay.jsonl" -> 2000L, "batch3_replay.jsonl" -> 4000L).foreach {
           case (name, mtimeOffsetMs) =>
             val f = landing.resolve(name)
             Files.copy(first, f)
-            Files.setLastModifiedTime(f,
-              java.nio.file.attribute.FileTime.fromMillis(
-                Files.getLastModifiedTime(first).toMillis + mtimeOffsetMs))
+            mtimeAfter(f, first, mtimeOffsetMs)
         }
 
         val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -309,37 +320,21 @@ object StreamSync {
         deleteRecursively(root)
         val landing = Files.createDirectories(root.resolve("landing"))
 
-        def landOne(df: org.apache.spark.sql.DataFrame, name: String,
-            after: Option[Path]): Path = {
-          val staged = root.resolve(s"staged_$name").toString
-          df.coalesce(1).write.text(staged)
-          val listing = Files.list(Paths.get(staged))
-          val part =
-            try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
-            finally listing.close()
-          val f = landing.resolve(s"$name.jsonl")
-          Files.move(part, f)
-          // mtime strictly after the previous batch's file → processed as
-          // its own later micro-batch under maxFilesPerTrigger = 1
-          after.foreach(prev => Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(
-              Files.getLastModifiedTime(prev).toMillis + 2000)))
-          f
-        }
-
         // epoch SECONDS on both sides: the stream sessionizes over floored
         // seconds, and the oracle's gap/island SQL floors epoch(ts) the
         // same way (the q_sessionize discipline) — so tie orders within a
         // second can differ without changing any session boundary
         val ev = Tables.events(s, d).select(col("user_id"),
           unix_timestamp(col("ts").cast("timestamp")).as("ts_s"))
-        val b1 = landOne(ev.select(to_json(struct(col("user_id"), col("ts_s"))).as("j")),
-          "batch1_events", None)
-        landOne(
+        val b1 = landOne(
+          ev.select(to_json(struct(col("user_id"), col("ts_s"))).as("j")),
+          root, landing, "batch1_events.jsonl")
+        val b2 = landOne(
           ev.groupBy(col("user_id"))
             .agg((max(col("ts_s")) + gapSeconds + 1L).as("ts_s"))
             .select(to_json(struct(col("user_id"), col("ts_s"))).as("j")),
-          "batch2_sentinels", Some(b1))
+          root, landing, "batch2_sentinels.jsonl")
+        mtimeAfter(b2, b1, 2000)
 
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("user_id",
@@ -397,25 +392,23 @@ object StreamSync {
           val ev = Tables.events(s, d).filter(col("event_type") === eventType)
             .select(to_json(struct(col("event_id"), col("user_id"),
               date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
-          val staged = root.resolve(s"staged_$eventType").toString
-          ev.coalesce(1).write.text(staged)
-          val listing = Files.list(Paths.get(staged))
-          val part =
-            try listing.filter(_.toString.endsWith(".txt")).findFirst().orElseThrow()
-            finally listing.close()
-          if (parts == 1) { Files.move(part, dir.resolve("batch1.jsonl")); () }
+          // land the whole stream under root first — NOT under `dir`, which
+          // the readJsonlStream glob would pick up as an extra batch
+          val whole = landOne(ev, root, root, s"whole_$eventType.jsonl")
+          if (parts == 1) { Files.move(whole, dir.resolve("batch1.jsonl")); () }
           else {
             // split the lines round-robin into `parts` mtime-ordered files
-            val lines = Files.readAllLines(part)
+            val lines = Files.readAllLines(whole)
+            val batch1 = dir.resolve("batch1.jsonl")
             (0 until parts).foreach { p =>
               val f = dir.resolve(s"batch${p + 1}.jsonl")
               val mine = new java.util.ArrayList[String]()
               (0 until lines.size).foreach(i => if (i % parts == p) { mine.add(lines.get(i)); () })
               Files.write(f, mine)
-              Files.setLastModifiedTime(f,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  System.currentTimeMillis() + p * 2000L))
+              if (p > 0) mtimeAfter(f, batch1, p * 2000L)
             }
+            Files.delete(whole)
+            ()
           }
         }
         land("click", clickDir, parts = 1)
@@ -537,12 +530,18 @@ object StreamSync {
     // The streamed flatMapGroupsWithState sessions must equal the batch
     // gap-and-island sessions exactly (q_sessionize's proven floored-epoch
     // discipline, aggregated to one row per session).
+    // Both windows order by (ts_s, event_id): the engine sessionizes on
+    // floored seconds only, so the gap flag must be computed in the SAME
+    // order the running sum consumes it — a raw-ts order in g could place
+    // the flag on a different row within a tied floored second.
     "q_stream_sessionize" ->
-      """WITH g AS (
-           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             CAST(floor(epoch(ts)) AS BIGINT)
-               - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
            FROM events),
+         g AS (
+           SELECT user_id, event_id, ts_s,
+             ts_s - lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s
+           FROM e),
          s AS (
            SELECT user_id, ts_s,
              sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
