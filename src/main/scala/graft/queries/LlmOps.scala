@@ -59,7 +59,11 @@ object LlmOps {
     // sf0.01 and 7/7 at sf0.1 (the banding probability at j >= 0.2 with
     // 32×2 bands leaves no misses on this corpus); the floor certifies
     // >= 80% — re-measure before blaming the engine if the corpus
-    // generator changes.
+    // generator changes. FALSIFIABILITY (proven through the full driver
+    // gate, r6): verify-threshold 1.01 (zero hits) turns this row red in
+    // tools/oracle_check.py; mild flips (0.45, 0.95) stay green because
+    // every truth pair on this corpus has Jaccard >= 0.909 — the floor
+    // binds against a broken LSH leg, not against threshold nudges.
     "q_dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
@@ -164,7 +168,9 @@ object LlmOps {
     // synthetic vectors (3 tables × 3 planes is deliberately coarse near
     // the threshold); the floor certifies >= 60%, deterministic because
     // the planes are seeded — re-measure before blaming the engine if the
-    // corpus generator changes.
+    // corpus generator changes. FALSIFIABILITY (proven through the full
+    // driver gate, r6): verify-threshold 0.5 drops recall below the 60%
+    // floor and turns this row red in tools/oracle_check.py.
     "q_dedup_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
