@@ -26,12 +26,17 @@ object Layout {
       table: String,
       keys: Seq[String],
       numBuckets: Int,
-      sortCols: Seq[String] = Seq.empty): Unit = {
+      sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, keys.head, keys.drop(1): _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*) else w)
-      .format("parquet")
-      .saveAsTable(table)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*) else w
+    // an explicit path makes the table EXTERNAL: metadata lives in the
+    // session catalog, files wherever the caller puts them (fixtures go
+    // under /tmp, not the session warehouse)
+    path.foreach(p => sorted.option("path", p))
+    sorted.format("parquet").saveAsTable(table)
   }
 
   /** Salted inner join for a skewed left key: the left side gets a

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expressions.{functions => gfn}
+
+/** Keyword retrieval scoring for corpus curation: BM25 (Robertson/Lucene
+  * formulation) over a fixed query-term set — the standard way to pull
+  * topical slices out of a web-scale corpus, and the lexical half of hybrid
+  * (BM25 + embedding) retrieval.
+  *
+  * Scale shape: one narrow tokenize pass computes per-document term
+  * frequencies and length; ONE global aggregate (a single row: N, Σdl, and
+  * per-term document frequencies) is broadcast back — the corpus is never
+  * shuffled; the final top-k is an `orderBy().limit(k)` that plans as
+  * TakeOrderedAndProject (per-partition heaps + driver merge, no global
+  * sort). The rank window at the end runs over the k surviving rows only.
+  */
+object Retrieval {
+
+  /** BM25 top-k for `terms` with the Lucene idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    *
+    * Output: (`idCol`, `dl`, one `tf_<term>` column per term, `rank`) —
+    * integer columns only, so the result is exactly cross-engine
+    * comparable; the double-valued score orders but is not emitted. Ties
+    * (identical tf vector + dl ⇒ identical score) break by `idCol`
+    * ascending in both the heap and the rank window.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tfCols = terms.map(t => s"tf_$t")
+    val withTf = docs
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("dl", size(col("__tk")).cast("long"))
+      .select(
+        col(idCol) +: col("dl") +: terms.zip(tfCols).map { case (t, c) =>
+          size(filter(col("__tk"), x => x === lit(t))).cast("long").as(c)
+        }: _*)
+
+    // single-row corpus statistics: broadcast back via crossJoin (the
+    // one-row side plans as a broadcast nested loop — no corpus shuffle)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      tfCols.map(c => sum((col(c) > 0).cast("long")).as(s"df_$c"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)
+    val score = tfCols.map { c =>
+      val df = col(s"df_$c").cast("double")
+      val n = col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      val tf = col(c).cast("double")
+      idf * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce(_ + _)
+
+    val top = scored
+      .withColumn("__score", score)
+      .filter(col("__score") > 0) // docs matching no term carry no signal
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__score").desc, col(idCol))))
+      .select(col(idCol) +: col("dl") +: tfCols.map(col) :+ col("rank"): _*)
+  }
+}

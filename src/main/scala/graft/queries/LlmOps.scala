@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Components, Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Components, Contamination, Dedup, Multimodal, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
@@ -437,6 +437,63 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // ---------------- chunking / retrieval / quantization ----------------
+    // Overlapping character windows (size 64, overlap 16 → stride 48) with
+    // stable (doc_id, chunk_no) identity — the retrieval/training-window
+    // prep step. Pure narrow projection (sequence → posexplode →
+    // substring): no shuffle at any scale. The oracle rebuilds every chunk
+    // with generate_series + substr over the same offsets, so boundary
+    // arithmetic (last-chunk truncation, empty-text skip) is cross-checked
+    // per row.
+    "q_chunk_docs" -> ((s, d) => {
+      Chunking.chunkByChars(Tables.documents(s, d).filter(col("doc_id") < 200),
+        "text", chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_no"), col("chunk_start"),
+          col("chunk"), length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+    // BM25 top-20 for a three-term keyword query. Integer-only output
+    // (tf vector, dl, rank): the double score ORDERS but is never emitted,
+    // so the oracle recomputes the ranking from the same integers with its
+    // own ln — a cross-engine check of the scoring semantics that no float
+    // rendering can wobble. Mathematically tied scores (equal tf vector +
+    // dl, or tf permuted across equal-df terms) tie exactly in both
+    // engines and break by doc_id.
+    "q_bm25" -> ((s, d) => {
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 20)
+        .orderBy("rank")
+    }),
+
+    // Int8 quantization error certificate: all-pairs (vec_id < 200 — the
+    // bounded verification primitive) float-vs-quantized cosine error,
+    // histogrammed as floor(round(err, 6)·1000) integer buckets (0.001
+    // granularity spreads this corpus over 5 buckets; max err < 0.005,
+    // i.e. int8 loses <0.5% cosine fidelity). DuckDB
+    // independently re-derives the quantizer (list_transform round(x/scale))
+    // AND both cosines, so the scale formula, the rounding discipline, and
+    // the integer dot products are all cross-engine-checked; round-6 before
+    // bucketing kills ulp noise at bucket edges (the q_dedup_embedding
+    // rounding discipline).
+    "q_embed_quantize" -> ((s, d) => {
+      val emb = Quantize.int8(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200), "embedding")
+        .select(col("vec_id"), col("embedding"), col("qvec"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+        col("qvec").as("q_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+        col("qvec").as("q_b"))
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+        .select(
+          floor(round(abs(round(gfn.cosine_sim(col("v_a"), col("v_b")), 6)
+            - round(Quantize.intCosine(col("q_a"), col("q_b")), 6)), 6) * 1000)
+            .cast("int").as("err_bucket"))
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("err_bucket")
+    }),
+
     // ---------------- pipeline composition ----------------
     // The operators composed as one corpus-cleaning pipeline — repetition
     // gate → exact dedup → benchmark decontamination → per-language
@@ -659,6 +716,91 @@ object LlmOps {
          SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
            CAST(0 AS BIGINT) AS n_false_pos, true AS recall_ok
          FROM p WHERE cos >= CAST(0.4 AS DOUBLE)""",
+
+    // Chunk boundaries fully re-derived: offsets from generate_series over
+    // the same stride arithmetic, text via substr — a per-row cross-engine
+    // check of the window math (including last-chunk truncation and the
+    // empty-text skip).
+    "q_chunk_docs" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS len
+           FROM documents
+           WHERE doc_id < 200 AND text IS NOT NULL AND length(text) > 0),
+         c0 AS (
+           SELECT doc_id, text, unnest(range(0, (len - 1) // 48 + 1)) AS i
+           FROM d),
+         c AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+             CAST(i * 48 AS INTEGER) AS chunk_start,
+             substr(text, CAST(i * 48 + 1 AS BIGINT), 64) AS chunk
+           FROM c0)
+         SELECT doc_id, chunk_no, chunk_start, chunk,
+           CAST(length(chunk) AS INTEGER) AS chunk_len
+         FROM c ORDER BY doc_id, chunk_no""",
+
+    // The ranking is recomputed from the SAME integers (tf vector, dl)
+    // with DuckDB's own ln — scores order within each engine, so libm ulp
+    // differences can't flip a comparison, and mathematically tied scores
+    // tie exactly in both engines and break by doc_id.
+    "q_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
+             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+           FROM tok),
+         st AS (
+           SELECT count(*) AS n, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           FROM f),
+         sc AS (
+           SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+               ln(1 + (n - df_table + 0.5) / (df_table + 0.5))
+                 * tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+                 * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                 * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             AS score
+           FROM f, st)
+         SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         FROM sc WHERE score > 0
+         ORDER BY rank LIMIT 20""",
+
+    // Full independent re-derivation: DuckDB rebuilds the quantizer
+    // (scale = max|x|/127, round half-away matching Spark's HALF_UP on
+    // positives and negatives) and both cosines. Integer dot products are
+    // EXACT in double regardless of accumulation order (|q| <= 127, 64
+    // dims), and the float cosine uses the proven round-6 equality, so the
+    // floor(·100) buckets are deterministic across engines.
+    "q_embed_quantize" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200),
+         q AS (
+           SELECT vec_id, v,
+             CASE WHEN coalesce(list_max(list_transform(v, x -> abs(x))), 0) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+           FROM v),
+         qq AS (
+           SELECT vec_id, v, list_transform(v, x -> round(x / scale)) AS qv
+           FROM q),
+         p AS (
+           SELECT CAST(floor(round(abs(
+                    round(list_cosine_similarity(a.v, b.v), 6)
+                  - round(list_cosine_similarity(a.qv, b.qv), 6)), 6) * 1000) AS INTEGER)
+                  AS err_bucket
+           FROM qq a JOIN qq b ON a.vec_id < b.vec_id)
+         SELECT err_bucket, count(*) AS n_pairs
+         FROM p GROUP BY err_bucket ORDER BY err_bucket""",
 
     // Recall-floor certificate (one row): the hash fails iff any query
     // recovers zero true neighbors, or mean recall drops below 40%, or the

@@ -108,6 +108,38 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Co-located bucketed join + aggregation (Layout.writeBucketed under
+    // the oracle): both sides land bucketed by the join key (external
+    // tables, fixture files under /tmp), the merge hint forces the
+    // sort-merge path a 100 TB join would take (neither side broadcasts
+    // there), and the bucket spec carries through join AND group-by — the
+    // whole query runs with ZERO exchanges (asserted in LayoutSpec; the
+    // group-by keys are a superset of the bucket key, which Spark's
+    // distribution check accepts). Semantics are identical to the plain
+    // join the DuckDB oracle computes.
+    "q_join_bucketed" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val ot = s"orders_bkt_$tag"
+      val ct = s"customer_bkt_$tag"
+      if (!s.catalog.tableExists(ot))
+        graft.operators.Layout.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          ot, Seq("o_custkey"), numBuckets = 8, sortCols = Seq("o_custkey"),
+          path = Some(s"/tmp/graft_fixtures/$ot"))
+      if (!s.catalog.tableExists(ct))
+        graft.operators.Layout.writeBucketed(
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          ct, Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"),
+          path = Some(s"/tmp/graft_fixtures/$ct"))
+      val o = s.table(ot)
+      val c = s.table(ct)
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+        .orderBy("o_custkey")
+    }),
+
     "q_semi_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -144,6 +176,34 @@ object Relational {
             .cast("double").as("running_total"),
           lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
         .orderBy("o_custkey", "rn")
+    }),
+
+    // SCD Type-2 dimension build from a keyed change stream: per customer,
+    // orders ordered by (date, orderkey) collapse into runs of equal
+    // priority; each run opens an interval [valid_from, valid_to) closed by
+    // the NEXT change (lead), the last one staying current. Both window
+    // passes partition on o_custkey, so one shuffle serves the whole query
+    // (the second window reuses the first's partitioning). change_key (the
+    // originating orderkey) makes every interval row uniquely addressable —
+    // standard SCD2 lineage practice, and the oracle's unique sort key.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("__prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderpriority"))
+        .withColumn("__next_from", lead(col("o_orderdate"), 1).over(w))
+        .select(
+          col("o_custkey"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderpriority").as("attr"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("__next_from"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("valid_to"),
+          col("__next_from").isNull.cast("int").as("is_current"))
+        .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
     "q_topk" -> ((s, d) => {
@@ -337,6 +397,33 @@ object Relational {
            CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM f JOIN nation n ON f.skew_key = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+
+    // The bucketed join's oracle is the PLAIN join — the physical layout
+    // (bucket files, zero-exchange plan) must be invisible in the result.
+    "q_join_bucketed" ->
+      """SELECT o.o_custkey, c.c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY o.o_custkey, c.c_mktsegment
+         ORDER BY o.o_custkey""",
+
+    "q_scd2" ->
+      """WITH ch AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         sc AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+         iv AS (
+           SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+           FROM sc)
+         SELECT o_custkey, o_orderkey AS change_key, o_orderpriority AS attr,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+           CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+         FROM iv ORDER BY o_custkey, valid_from, change_key""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -60,6 +60,19 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q_join_bucketed runs join AND group-by with zero exchanges") {
+    // the driver query's whole pipeline — bucketed scan → sort-merge join →
+    // aggregate on a superset of the bucket key — must plan without any
+    // shuffle: that is the layout's promise at 100 TB
+    val df = graft.SparkEntry.queries("q_join_bucketed")(spark, sf)
+    df.collect() // finalize AQE so the executed plan is real
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected a zero-exchange bucketed join+agg, got:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+  }
+
   test("salted aggregate equals direct aggregate") {
     val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong % 5 else 0L, i.toLong))
       .toDF("k", "v")

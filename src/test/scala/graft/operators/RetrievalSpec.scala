@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark table scan"),           // tf(table)=1, dl=3
+    (2L, "table table table join"),     // tf(table)=3, dl=4
+    (3L, "hash join probe build"),      // no 'table'
+    (4L, "table"),                      // tf=1, dl=1 — shortest doc
+    (5L, "row group filter predicate")) // no match at all
+    .toDF("doc_id", "text")
+
+  test("bm25 ranks by the textbook formula (hand-computed)") {
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("table"), topK = 10)
+      .select("doc_id", "dl", "tf_table", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // N=5, df=3, avgdl=(3+4+3+1+4)/5=3.0, idf=ln(1+(5-3+0.5)/(3.5))
+    val n = 5.0; val df = 3.0; val avgdl = 3.0
+    val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def score(tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val expected = Seq((1L, 3L, 1L), (2L, 4L, 3L), (4L, 1L, 1L))
+      .map { case (id, dl, tf) => (id, dl, tf, score(tf.toDouble, dl.toDouble)) }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, dl, tf, _), i) => (id, dl, tf, i + 1) }
+    assert(out.sortBy(_._4).toSeq == expected)
+    // sanity on the shape itself: doc 4 (tf=1, shortest) outranks doc 1
+    // (tf=1, longer), and high-tf doc 2 is penalized by its length but not
+    // below the tf=1 docs
+    assert(out.find(_._1 == 4L).get._4 < out.find(_._1 == 1L).get._4)
+  }
+
+  test("docs matching no query term are excluded") {
+    val ids = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("table"), topK = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L))
+  }
+
+  test("mathematical ties break by doc id in rank order") {
+    val tied = Seq((7L, "alpha beta"), (3L, "alpha beta"), (5L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(tied, "doc_id", "text", Seq("alpha"), topK = 10)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    assert(out.toSeq == Seq((3L, 1), (7L, 2)))
+  }
+
+  test("corpus is aggregated once and never shuffled: one-row stats broadcast back") {
+    val df = Retrieval.bm25TopK(
+      graft.Tables.documents(spark, sf), "doc_id", "text", Seq("table", "hash"), topK = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only join is the broadcast of the single stats row; the corpus
+    // itself must not hash-exchange (TakeOrdered handles the top-k)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast stats join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for bm25:\n$plan")
+  }
+}
