@@ -20,12 +20,17 @@ object Chunking {
 
   /** Explode `textCol` into overlapping character windows.
     *
-    * Chunks start every `chunkSize - overlap` characters; the last chunk may
-    * be shorter than `chunkSize` (never empty). Documents with empty/null
-    * text produce no chunks — a chunker that emits empty windows poisons
-    * downstream tokenization. Output columns: every column of `df` plus
-    * `chunk_no` (0-based, per document), `chunk_start` (0-based character
-    * offset) and `chunk` (the window text).
+    * Chunks start every `chunkSize - overlap` characters; a chunk is
+    * emitted only while the PREVIOUS chunk hasn't already reached
+    * end-of-text (start <= len - overlap - 1), so no chunk is ever a pure
+    * suffix of its predecessor — a redundant tail window would enter the
+    * corpus twice as duplicate training/embedding content. The last chunk
+    * always reaches end-of-text (its start + chunkSize >= len by the stop
+    * rule) and may be shorter than `chunkSize`, never empty. Documents
+    * with empty/null text produce no chunks — a chunker that emits empty
+    * windows poisons downstream tokenization. Output columns: every column
+    * of `df` plus `chunk_no` (0-based, per document), `chunk_start`
+    * (0-based character offset) and `chunk` (the window text).
     */
   def chunkByChars(
       df: DataFrame,
@@ -37,9 +42,12 @@ object Chunking {
       s"overlap must be in [0, chunkSize): got overlap=$overlap, chunkSize=$chunkSize")
     val stride = chunkSize - overlap
     val len = length(col(textCol))
-    // start offsets 0, stride, 2·stride, … while start <= len-1
+    // start offsets 0, stride, 2·stride, … while start + overlap < len
+    // (chunk at `start` adds content beyond the previous chunk's end at
+    // start + overlap); the greatest() keeps chunk 0 for short texts
     val starts = when(len.isNull || len === 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(0), (len - 1).cast("int"), lit(stride)))
+      .otherwise(sequence(lit(0),
+        greatest(lit(0), (len - overlap - 1).cast("int")), lit(stride)))
     df.select(col("*"), posexplode(starts).as(Seq("chunk_no", "chunk_start")))
       .withColumn("chunk", substring_index_safe(col(textCol), col("chunk_start"), chunkSize))
   }

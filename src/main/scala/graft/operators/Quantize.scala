@@ -21,6 +21,8 @@ object Quantize {
     * vectors take scale 1 so their code stays all-zero instead of NaN.
     */
   def int8(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("scale") && !df.columns.contains("qvec"),
+      "int8 writes 'scale' and 'qvec' — the input already carries one of them")
     val v = col(vecCol)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = when(maxAbs.isNull || maxAbs === 0.0, lit(1.0))
@@ -31,16 +33,12 @@ object Quantize {
   }
 
   /** Cosine of two int-code vectors, computed in double (exact for int8
-    * ranges). Zero-norm guard mirrors the float kernel: cosine 0.
+    * ranges — every product and partial sum is exactly representable, so
+    * accumulation order can't matter). Delegates to the fused codegen
+    * CosineSim kernel rather than re-deriving the math with interpreted
+    * higher-order lambdas; the kernel's zero-norm → 0 guard applies.
     */
-  def intCosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val denom = sqrt(na) * sqrt(nb)
-    when(denom === 0.0, lit(0.0)).otherwise(dot / denom)
-  }
+  def intCosine(a: Column, b: Column): Column =
+    graft.expressions.functions.cosine_sim(
+      a.cast("array<double>"), b.cast("array<double>"))
 }

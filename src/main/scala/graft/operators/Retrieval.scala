@@ -10,12 +10,16 @@ import graft.expressions.{functions => gfn}
   * topical slices out of a web-scale corpus, and the lexical half of hybrid
   * (BM25 + embedding) retrieval.
   *
-  * Scale shape: one narrow tokenize pass computes per-document term
-  * frequencies and length; ONE global aggregate (a single row: N, Σdl, and
-  * per-term document frequencies) is broadcast back — the corpus is never
-  * shuffled; the final top-k is an `orderBy().limit(k)` that plans as
-  * TakeOrderedAndProject (per-partition heaps + driver merge, no global
-  * sort). The rank window at the end runs over the k surviving rows only.
+  * Scale shape: the tokenized projection (per-document term frequencies +
+  * length) feeds TWO consumers — the single-row corpus-stats aggregate
+  * (N, Σdl, per-term document frequencies) and the scoring pass the stats
+  * are broadcast back into — so the corpus is tokenized twice but never
+  * hash-shuffled (BM25's global statistics make a second pass inherent
+  * unless the tokenized projection is materialized; at 100 TB, persist it
+  * or precompute tf columns at ingest). The final top-k is an
+  * `orderBy().limit(k)` that plans as TakeOrderedAndProject (per-partition
+  * heaps + driver merge, no global sort); the rank window at the end runs
+  * over the k surviving rows only.
   */
 object Retrieval {
 
@@ -37,6 +41,11 @@ object Retrieval {
       b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    // the tokenizer only emits lowercase [a-z0-9] runs — any other term
+    // can never match and would silently contribute nothing
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase [a-z0-9]+ to match the tokenizer: $terms")
     val tfCols = terms.map(t => s"tf_$t")
     val withTf = docs
       .withColumn("__tk", gfn.ascii_tokens(col(textCol)))

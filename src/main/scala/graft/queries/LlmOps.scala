@@ -727,7 +727,8 @@ object LlmOps {
            FROM documents
            WHERE doc_id < 200 AND text IS NOT NULL AND length(text) > 0),
          c0 AS (
-           SELECT doc_id, text, unnest(range(0, (len - 1) // 48 + 1)) AS i
+           SELECT doc_id, text,
+             unnest(range(0, greatest((len - 16 - 1) // 48, 0) + 1)) AS i
            FROM d),
          c AS (
            SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
@@ -779,7 +780,7 @@ object LlmOps {
     // positives and negatives) and both cosines. Integer dot products are
     // EXACT in double regardless of accumulation order (|q| <= 127, 64
     // dims), and the float cosine uses the proven round-6 equality, so the
-    // floor(·100) buckets are deterministic across engines.
+    // floor(·1000) buckets are deterministic across engines.
     "q_embed_quantize" ->
       """WITH v AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

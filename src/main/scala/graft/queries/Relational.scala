@@ -118,7 +118,13 @@ object Relational {
     // distribution check accepts). Semantics are identical to the plain
     // join the DuckDB oracle computes.
     "q_join_bucketed" -> ((s, d) => {
-      val tag = Integer.toHexString(d.hashCode)
+      // tag carries the JVM pid: the catalog guard below is per-session
+      // (in-memory catalog) while the files are shared /tmp state, so two
+      // JVMs keyed on the data dir alone would overwrite each other's
+      // bucket files mid-scan. Per-process fixtures are rebuilt once per
+      // session — sub-second at bench scale.
+      val tag = Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid()
       val ot = s"orders_bkt_$tag"
       val ct = s"customer_bkt_$tag"
       if (!s.catalog.tableExists(ot))

@@ -22,11 +22,9 @@ class ChunkingSpec extends SparkSpec {
     val text = "abcdefghijklmnopqrstuvwxyz0123456789"
     val ch = chunksOf(1L -> text)(1L)
     // every chunk starts where chunk_no * stride says, and the stride-sized
-    // prefixes (full last chunk) reassemble the document exactly
+    // prefixes plus the whole last chunk reassemble the document exactly
     ch.foreach { case (no, start, _) => assert(start == no * stride) }
-    val rebuilt = ch.map { case (_, _, c) =>
-      if (c.length > stride) c.take(stride) else c
-    }.mkString
+    val rebuilt = ch.init.map(_._3.take(stride)).mkString + ch.last._3
     assert(rebuilt == text)
   }
 
@@ -46,11 +44,29 @@ class ChunkingSpec extends SparkSpec {
     assert(out(3L) == Seq((0, 0, "abc")))
   }
 
-  test("chunk count matches the stride arithmetic") {
-    for (len <- Seq(1, stride, stride + 1, size, size + 1, 50)) {
+  test("chunk count matches the stride arithmetic — no redundant suffix chunk") {
+    for (len <- Seq(1, overlap, overlap + 1, stride, stride + 1, size, size + 1, 50)) {
       val text = "x" * len
       val n = chunksOf(1L -> text)(1L).size
-      assert(n == (len - 1) / stride + 1, s"len=$len")
+      // chunks are emitted while start + overlap < len (plus chunk 0)
+      val want = if (len <= overlap) 1 else (len - overlap - 1) / stride + 1
+      assert(n == want, s"len=$len")
+    }
+  }
+
+  test("no chunk is a pure suffix of its predecessor; the last chunk reaches the end") {
+    for (len <- Seq(size, size + 1, 2 * stride + overlap, 36)) {
+      val text = "abcdefghijklmnopqrstuvwxyz0123456789".take(len)
+      val ch = chunksOf(1L -> text)(1L)
+      ch.sliding(2).foreach {
+        case Seq((_, sa, a), (_, sb, b)) =>
+          assert(sb + b.length > sa + a.length,
+            s"len=$len: chunk at $sb adds nothing beyond chunk at $sa")
+        case _ =>
+      }
+      val (_, lastStart, lastChunk) = ch.last
+      assert(lastStart + lastChunk.length == text.length,
+        s"len=$len: last chunk must reach end-of-text")
     }
   }
 

@@ -18,8 +18,8 @@ class RetrievalSpec extends SparkSpec {
     val out = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("table"), topK = 10)
       .select("doc_id", "dl", "tf_table", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    // N=5, df=3, avgdl=(3+4+3+1+4)/5=3.0, idf=ln(1+(5-3+0.5)/(3.5))
-    val n = 5.0; val df = 3.0; val avgdl = 3.0
+    // N=5, df=3, avgdl=(3+4+4+1+4)/5=3.2, idf=ln(1+(5-3+0.5)/(3.5))
+    val n = 5.0; val df = 3.0; val avgdl = 3.2
     val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
     def score(tf: Double, dl: Double): Double =
       idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
@@ -32,6 +32,19 @@ class RetrievalSpec extends SparkSpec {
     // (tf=1, longer), and high-tf doc 2 is penalized by its length but not
     // below the tf=1 docs
     assert(out.find(_._1 == 4L).get._4 < out.find(_._1 == 1L).get._4)
+  }
+
+  test("length normalization outweighs raw tf: short tf=1 doc beats long tf=2 doc") {
+    // score(tf=1, dl=1) ≈ 1.588·idf vs score(tf=2, dl=20) ≈ 1.096·idf at
+    // avgdl=10.5 — a scorer that dropped the dl/avgdl normalization would
+    // rank these the other way, so this ordering is normalization-sensitive
+    val corpus = Seq(
+      (1L, "term"),
+      (2L, "term term x x x x x x x x x x x x x x x x x x"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("term"), topK = 2)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 1, 2L -> 2))
   }
 
   test("docs matching no query term are excluded") {
