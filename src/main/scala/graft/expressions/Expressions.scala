@@ -258,4 +258,15 @@ object functions {
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(expr(a), expr(b)))
   def inter_count_sorted(a: Column, b: Column): Column =
     col(InterCountSorted(expr(a), expr(b)))
+
+  /** Spark's own BloomFilterMightContain over a serialized sketch literal
+    * (the [[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]] V1
+    * format). The literal is foldable, which is exactly the shape the
+    * expression's type check admits; probe values are long keys.
+    */
+  def might_contain(bloomBytes: Array[Byte], key: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expr(key.cast("long"))))
 }

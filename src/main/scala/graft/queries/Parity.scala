@@ -221,6 +221,35 @@ object Parity {
         .orderBy("user_id", "event_type")
     }),
 
+    // MERGE semantics (Upsert.applyCdc): the snapshot is the current state
+    // at a fixed cut (2024-01-15, mid-corpus at every SF); everything after
+    // the cut replays as a change log where purchases are deletes and the
+    // rest upserts. Per user the latest entry wins and a final delete
+    // removes the key — the oracle replays the identical merge in SQL, so
+    // a dropped delete, a resurrection, or a cursor-tie inversion flips
+    // the hash. One shuffle total (WindowGroupLimit + the pk exchange);
+    // ties between snapshot and change rows break by event_id desc in
+    // both engines.
+    "q_cdc_apply" -> ((s, d) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"),
+          col("event_type"))
+      val snapshot = graft.sync.Upsert.latestByKey(
+        ev.filter(col("ts") < cut).drop("event_type"),
+        primaryKeys = Seq("user_id"), cursorCol = "ts", tiebreak = Seq("event_id"))
+      val changes = ev.filter(col("ts") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")))
+        .drop("event_type")
+      graft.sync.Upsert.applyCdc(snapshot, changes,
+        primaryKeys = Seq("user_id"), cursorCol = "ts", opCol = "op",
+        tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+        .orderBy("user_id")
+    }),
+
     // Sessionization: the stateful-stream operation (processing-order state
     // ≈ reference's STATE bookkeeping) expressed as lag + windowed cumsum.
     "q_sessionize" -> ((s, d) => {
@@ -295,6 +324,28 @@ object Parity {
                                             ORDER BY ts DESC, event_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q_cdc_apply" ->
+      """WITH snap AS (
+           SELECT user_id, event_id, value, ts, 'U' AS op
+           FROM (SELECT user_id, event_id, value, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1),
+         chg AS (
+           SELECT user_id, event_id, value, ts,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         uni AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+         fin AS (
+           SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+                          FROM uni)
+           WHERE rn = 1)
+         SELECT user_id, event_id, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+         FROM fin WHERE op <> 'D' ORDER BY user_id""",
 
     "q_sessionize" ->
       """WITH g AS (

@@ -146,6 +146,28 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Bloom-pruned join (Prune.bloomPrunedJoin under the oracle): the
+    // selective dim side (high-value orders, ~20% of keys) is sketched
+    // into a Bloom filter that pre-filters lineitem BEFORE the join's
+    // exchange — sideways information passing, the shuffle-reduction move
+    // when the dim side can't broadcast. False positives die in the exact
+    // join, false negatives are impossible, so the oracle is the PLAIN
+    // join; PruneSpec asserts the sketch predicate actually sits below
+    // the join exchange.
+    "q_bloom_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Prune.bloomPrunedJoin(fact, dim,
+        "l_orderkey", "o_orderkey", expectedDimKeys = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_semi_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -443,6 +465,15 @@ object Relational {
       """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // The bloom-pruned join's oracle is the PLAIN join — the sketch
+    // pre-filter must be invisible in the result.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_semi_join" ->

@@ -29,4 +29,34 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** MERGE semantics as a batch step: apply a CDC change log (upserts +
+    * deletes) to a snapshot. The snapshot rows join the log as implicit
+    * upserts (their cursor must order BEFORE any change to the same key —
+    * true by construction when the snapshot was cut at the log's start);
+    * per key the latest entry wins, and keys whose final entry is a delete
+    * leave the result entirely.
+    *
+    * Scale shape: exactly [[latestByKey]]'s — union is free (no shuffle),
+    * WindowGroupLimit keeps one candidate per key per task before the
+    * single hash shuffle on the primary key, the delete filter is narrow.
+    * No join, no second pass; deletes cost nothing extra.
+    */
+  def applyCdc(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      primaryKeys: Seq[String],
+      cursorCol: String,
+      opCol: String,
+      deleteOp: String = "D",
+      upsertOp: String = "U",
+      tiebreak: Seq[String] = Seq.empty): DataFrame = {
+    require(!snapshot.columns.contains(opCol),
+      s"snapshot must not carry '$opCol' — it is implicitly all upserts")
+    latestByKey(
+      snapshot.withColumn(opCol, lit(upsertOp)).unionByName(changes),
+      primaryKeys, cursorCol, tiebreak)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+  }
 }

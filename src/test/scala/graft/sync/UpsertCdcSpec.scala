@@ -1,0 +1,57 @@
+package graft.sync
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UpsertCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, payload, cursor) snapshot; (key, payload, cursor, op) changes
+  private val snapshot = Seq(
+    (1L, "a0", 10L),
+    (2L, "b0", 10L),
+    (3L, "c0", 10L)).toDF("k", "p", "cur")
+
+  test("applyCdc: upsert wins over snapshot, delete removes, unseen key inserts") {
+    val changes = Seq(
+      (1L, "a1", 20L, "U"), // update existing
+      (2L, "b1", 20L, "D"), // delete existing
+      (4L, "d1", 20L, "U")) // brand-new key
+      .toDF("k", "p", "cur", "op")
+    val out = Upsert.applyCdc(snapshot, changes, Seq("k"), "cur", "op")
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a1"), (3L, "c0"), (4L, "d1")))
+  }
+
+  test("applyCdc: later change supersedes earlier, including delete-then-reinsert") {
+    val changes = Seq(
+      (1L, "a1", 20L, "D"), // delete...
+      (1L, "a2", 30L, "U"), // ...then reinsert: key survives with a2
+      (2L, "b1", 20L, "U"),
+      (2L, "b2", 30L, "D")) // update then delete: key gone
+      .toDF("k", "p", "cur", "op")
+    val out = Upsert.applyCdc(snapshot, changes, Seq("k"), "cur", "op")
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a2"), (3L, "c0")))
+  }
+
+  test("applyCdc: cursor ties break by the tiebreak column, deterministically") {
+    val changes = Seq(
+      (1L, "tie-lo", 10L, "U"),
+      (1L, "tie-hi", 10L, "U"))
+      .toDF("k", "p", "cur", "op")
+      .withColumn("tb", when(col("p") === "tie-hi", 9L).otherwise(5L))
+    val snap = snapshot.withColumn("tb", lit(0L))
+    val out = Upsert.applyCdc(snap, changes, Seq("k"), "cur", "op", tiebreak = Seq("tb"))
+      .filter(col("k") === 1L).select("p").as[String].collect().toSeq
+    assert(out == Seq("tie-hi"))
+  }
+
+  test("applyCdc refuses a snapshot that already carries the op column") {
+    val bad = snapshot.withColumn("op", lit("U"))
+    val changes = Seq((1L, "a1", 20L, "U")).toDF("k", "p", "cur", "op")
+    intercept[IllegalArgumentException] {
+      Upsert.applyCdc(bad, changes, Seq("k"), "cur", "op")
+    }
+  }
+}
