@@ -26,13 +26,34 @@ import graft.expressions.{functions => gfn}
   */
 object Prune {
 
-  /** Serialize a dim column's key set into a Bloom filter sketch. */
+  /** The sketch/probe pair only agree for integral keys: the build side
+    * inserts longs (`putLong`) and `BloomFilterMightContain` probes with
+    * `mightContainLong`, while a string key would be INSERTED as UTF-8
+    * bytes but PROBED as a (null or differently-hashed) long — silent
+    * false negatives. Fail loudly instead.
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"bloom pruning requires an integral key; '$keyCol' is $dt — " +
+        "hash non-integral keys to a long (e.g. xxhash64) on BOTH sides first")
+  }
+
+  /** Serialize a dim column's key set into a Bloom filter sketch.
+    * `expectedKeys < 0` derives the capacity with a count over the dim
+    * side (one cheap extra job) — an under-sized sketch saturates toward
+    * fpp 1 and silently stops pruning, so auto-sizing is the safe default
+    * when the dim cardinality isn't known.
+    */
   def bloomOfKeys(
       dim: DataFrame,
       keyCol: String,
-      expectedKeys: Long,
+      expectedKeys: Long = -1L,
       fpp: Double = 0.01): Array[Byte] = {
-    val bf = dim.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    requireIntegralKey(dim, keyCol)
+    val n = if (expectedKeys >= 0) expectedKeys else math.max(dim.count(), 1L)
+    val bf = dim.stat.bloomFilter(keyCol, n, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -41,8 +62,10 @@ object Prune {
   /** Pre-filter `fact` rows to those whose `factKey` might be in the
     * sketch — a narrow codegen'd predicate evaluated before any exchange.
     */
-  def bloomPrune(fact: DataFrame, factKey: String, bloomBytes: Array[Byte]): DataFrame =
+  def bloomPrune(fact: DataFrame, factKey: String, bloomBytes: Array[Byte]): DataFrame = {
+    requireIntegralKey(fact, factKey)
     fact.filter(gfn.might_contain(bloomBytes, col(factKey)))
+  }
 
   /** The composed pattern: sketch the dim keys, prune the fact side,
     * then run the exact equi-join (Catalyst picks the strategy). Result
@@ -53,7 +76,7 @@ object Prune {
       dim: DataFrame,
       factKey: String,
       dimKey: String,
-      expectedDimKeys: Long,
+      expectedDimKeys: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     val pruned = bloomPrune(fact, factKey, bloomOfKeys(dim, dimKey, expectedDimKeys, fpp))
     pruned.join(dim, pruned(factKey) === dim(dimKey))

@@ -227,8 +227,11 @@ object Parity {
     // rest upserts. Per user the latest entry wins and a final delete
     // removes the key — the oracle replays the identical merge in SQL, so
     // a dropped delete, a resurrection, or a cursor-tie inversion flips
-    // the hash. One shuffle total (WindowGroupLimit + the pk exchange);
-    // ties between snapshot and change rows break by event_id desc in
+    // the hash. Two window shuffles as written (the snapshot build's
+    // latestByKey, then the merge's — the union destroys the first
+    // partitioning); applyCdc itself is the single-shuffle operator when
+    // the snapshot is already materialized, which is the production shape.
+    // Ties between snapshot and change rows break by event_id desc in
     // both engines.
     "q_cdc_apply" -> ((s, d) => {
       val cut = lit("2024-01-15 00:00:00").cast("timestamp")

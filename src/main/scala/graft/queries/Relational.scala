@@ -160,8 +160,11 @@ object Relational {
       val dim = Tables.orders(s, d)
         .filter(col("o_totalprice") > 400000.0d)
         .select(col("o_orderkey"), col("o_orderpriority"))
+      // capacity auto-derived from the dim side (one cheap count): a
+      // hard-coded size would saturate the sketch at larger SFs and
+      // silently stop pruning
       graft.operators.Prune.bloomPrunedJoin(fact, dim,
-        "l_orderkey", "o_orderkey", expectedDimKeys = 100000L)
+        "l_orderkey", "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))

@@ -56,7 +56,9 @@ object Upsert {
     latestByKey(
       snapshot.withColumn(opCol, lit(upsertOp)).unionByName(changes),
       primaryKeys, cursorCol, tiebreak)
-      .filter(col(opCol) =!= lit(deleteOp))
+      // null-safe: an unknown/NULL op is treated as an upsert, not a
+      // silent delete (`=!=` would evaluate null and drop the row)
+      .filter(!(col(opCol) <=> lit(deleteOp)))
       .drop(opCol)
   }
 }

@@ -51,6 +51,14 @@ class PruneSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("non-integral keys are rejected loudly (build and probe would hash differently)") {
+    val strDim = Seq(("a", 1), ("b", 2)).toDF("sk", "x")
+    intercept[IllegalArgumentException] { Prune.bloomOfKeys(strDim, "sk", 10) }
+    val longDim = Seq((1L, 1)).toDF("dk", "x")
+    val bytes = Prune.bloomOfKeys(longDim, "dk", 10)
+    intercept[IllegalArgumentException] { Prune.bloomPrune(strDim, "sk", bytes) }
+  }
+
   test("sketch size is bounded driver-side state") {
     val dim = (1L to 10000L).map(k => (k, k)).toDF("dk", "x")
     val bytes = Prune.bloomOfKeys(dim, "dk", expectedKeys = 10000, fpp = 0.01)

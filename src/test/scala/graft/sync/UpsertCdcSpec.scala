@@ -47,6 +47,18 @@ class UpsertCdcSpec extends SparkSpec {
     assert(out == Seq("tie-hi"))
   }
 
+  test("applyCdc: a NULL/unknown op upserts rather than silently deleting") {
+    val changes = Seq(
+      (1L, "a1", 20L, null.asInstanceOf[String]), // malformed op from upstream
+      (2L, "b1", 20L, "X"))                       // unrecognized op code
+      .toDF("k", "p", "cur", "op")
+    val out = Upsert.applyCdc(snapshot, changes, Seq("k"), "cur", "op")
+      .select("k", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // both keys survive with the change payload — data is never dropped
+    // on an op code the mapping didn't recognize
+    assert(out == Set((1L, "a1"), (2L, "b1"), (3L, "c0")))
+  }
+
   test("applyCdc refuses a snapshot that already carries the op column") {
     val bad = snapshot.withColumn("op", lit("U"))
     val changes = Seq((1L, "a1", 20L, "U")).toDF("k", "p", "cur", "op")
