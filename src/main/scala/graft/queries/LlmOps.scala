@@ -374,6 +374,37 @@ object LlmOps {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate-quantile certificate (the q_approx_distinct pattern):
+    // percentile_approx guarantees rank error <= n/accuracy; the
+    // certificate re-ranks the sketch's answer against the REAL data with
+    // integer counts and checks the target rank lands inside the
+    // value's tie-span widened by that bound. Tie-safe by construction —
+    // l_quantity has thousands of rows per integer value, so a naive
+    // "count(<= approx) near n/2" check would be meaningless; the
+    // [count(<v), count(<=v)] span handles it exactly. All-integer
+    // arithmetic; DuckDB certifies with literal `true` plus the exact
+    // group counts (genuinely recomputed).
+    "q_approx_quantile" -> ((s, d) => {
+      val acc = 10000L
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(acc.toInt)).as("approx"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(ap), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          first(col("n")).as("n"),
+          sum((col("l_quantity") < col("approx")).cast("long")).as("n_lt"),
+          sum((col("l_quantity") <= col("approx")).cast("long")).as("n_le"))
+        .select(col("l_returnflag"), col("n"),
+          // rank error bound e = ceil(n/acc) + 1; target rank n/2 must fall
+          // in [n_lt - e, n_le + e] — scaled by 2·acc to stay integral
+          (((col("n_lt") - (col("n") + lit(acc) - 1) / lit(acc) - 1) * 2 <= col("n")) &&
+            (col("n") <= (col("n_le") + (col("n") + lit(acc) - 1) / lit(acc) + 1) * 2))
+            .as("rank_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // Corpus-level document-frequency cut: drop tokens present in >= 80%
     // of documents (boilerplate/stopword discovery from the corpus
     // itself), preserving token order per document.
@@ -619,6 +650,14 @@ object LlmOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_clean" -> textCleanSql,
+
+    // Exact group counts + literal `true`: the hash certifies the
+    // percentile_approx sketch's answer re-ranked within its declared
+    // rank-error bound on the real data (tie-safe integer check,
+    // computed Spark-side — see the query).
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS rank_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // Exact distinct counts + literal `true` bounds: the hash certifies
     // Spark's HLL++ estimate stayed within 5% relative error per group.

@@ -367,6 +367,67 @@ object StreamSync {
     sink.toString
   }
 
+  /** Stream-static enrichment under the oracle: events replay as TWO
+    * micro-batches (so the static dim joins per batch, not once), each
+    * batch broadcast-joined against the nation parquet read as a plain
+    * batch table — the lookup-enrichment step of a sync pipeline. Inner
+    * join loses nothing (user_id % 25 always hits the 25 nation keys),
+    * so the completion marker requires sink count == event count and the
+    * driver hash-compares the enriched rows against DuckDB's batch join.
+    */
+  private def enrichSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_enrich_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    if (!Files.exists(marker)) synchronized {
+      if (!Files.exists(marker)) {
+        deleteRecursively(root)
+        val landing = Files.createDirectories(root.resolve("landing"))
+
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
+        def jsonl(df: org.apache.spark.sql.DataFrame) =
+          df.select(to_json(struct(col("user_id"), col("event_id"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("event_id") % 2 === 0)),
+          root, landing, "batch1_even.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("event_id") % 2 =!= 0)),
+          root, landing, "batch2_odd.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType)))
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("bigint").as("nat_key"), col("n_name"))
+        val enriched = StreamingSync.enrichWithStatic(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1)
+            .withColumn("nat_key", pmod(col("user_id"), lit(25L))),
+          dim, Seq("nat_key"))
+          .select(col("event_id"), col("user_id"), col("n_name"))
+        val q = enriched.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_enrich replay")
+
+        val n = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).count()
+        require(n == expected,
+          s"stream_enrich sink has $n rows, expected $expected — " +
+            "an event missed its dimension row or was duplicated")
+        Files.createFile(marker)
+        ()
+      }
+    }
+    sink.toString
+  }
+
   /** Stream-stream interval join under the oracle: clicks and purchases
     * land as two separate streams; purchases split across two micro-batches
     * (maxFilesPerTrigger = 1), so the second purchase batch must match
@@ -490,6 +551,12 @@ object StreamSync {
       s.read.parquet(sessionizeSinkDir(s, d))
         .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
         .orderBy("user_id", "start_s")
+    }),
+
+    "q_stream_enrich" -> ((s, d) => {
+      s.read.parquet(enrichSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("n_name"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +593,14 @@ object StreamSync {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The streamed broadcast enrichment must equal the batch lookup join
+    // exactly — every event in both micro-batches finds its dim row.
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, n.n_name
+         FROM events e
+         JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         ORDER BY e.event_id""",
 
     // The streamed flatMapGroupsWithState sessions must equal the batch
     // gap-and-island sessions exactly (q_sessionize's proven floored-epoch

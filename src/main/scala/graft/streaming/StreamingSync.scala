@@ -188,4 +188,16 @@ object StreamingSync {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Stream-static enrichment: join each micro-batch against a batch
+    * dimension table, broadcast so the stream side never shuffles and no
+    * join state accumulates (the dim is re-resolvable per batch — Spark's
+    * stream-static join semantics). The standard lookup-enrichment step of
+    * a sync pipeline; stateless, so any watermark policy composes on top.
+    */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinKeys)
 }
