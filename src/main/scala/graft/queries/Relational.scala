@@ -146,6 +146,46 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Clustered write + pruned scan (Layout.clusteredWrite under the
+    // oracle): events land partitioned by day and sorted within partitions
+    // — the write-side layout for time-ranged reads at 100 TB — then the
+    // query reads a 3-day slice. Partition pruning means the scan touches
+    // 3 of ~30 day directories (PartitionFilters asserted in LayoutSpec);
+    // the oracle computes the same slice from the raw table, so layout
+    // and pruning must be invisible in the result. The fixture is keyed
+    // by source (mtime, size) and pid: rewriting is cheap, and per-pid
+    // paths keep concurrent JVMs off each other's files.
+    "q_clustered_scan" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"clustered_${srcFile.lastModified}_${srcFile.length}" +
+        s"_p${ProcessHandle.current().pid()}")
+      val marker = root.resolve("_DONE")
+      val path = root.resolve("data").toString
+      if (!java.nio.file.Files.exists(marker)) synchronized {
+        if (!java.nio.file.Files.exists(marker)) {
+          graft.operators.Layout.clusteredWrite(
+            Tables.events(s, d)
+              .select(col("event_id"), col("user_id"), col("value"),
+                to_date(col("ts")).as("day")),
+            path, "day", sortCols = Seq("user_id", "event_id"))
+          java.nio.file.Files.createDirectories(root)
+          java.nio.file.Files.createFile(marker)
+          ()
+        }
+      }
+      s.read.parquet(path)
+        .filter(col("day") >= lit("2024-01-10").cast("date") &&
+          col("day") <= lit("2024-01-12").cast("date"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("n_users"), col("sum_value"))
+        .orderBy("day")
+    }),
+
     // Bloom-pruned join (Prune.bloomPrunedJoin under the oracle): the
     // selective dim side (high-value orders, ~20% of keys) is sketched
     // into a Bloom filter that pre-filters lineitem BEFORE the join's
@@ -469,6 +509,18 @@ object Relational {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // The clustered layout's oracle is the raw table sliced by day — the
+    // partitioned files and pruning must be invisible in the result.
+    "q_clustered_scan" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+           AND CAST(ts AS DATE) <= DATE '2024-01-12'
+         GROUP BY 1 ORDER BY 1""",
 
     // The bloom-pruned join's oracle is the PLAIN join — the sketch
     // pre-filter must be invisible in the result.

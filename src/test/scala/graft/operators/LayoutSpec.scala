@@ -73,6 +73,15 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
   }
 
+  test("q_clustered_scan prunes to the filtered day partitions") {
+    val df = graft.SparkEntry.queries("q_clustered_scan")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      s"expected day-partition pruning at the scan:\n$plan")
+  }
+
   test("salted aggregate equals direct aggregate") {
     val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong % 5 else 0L, i.toLong))
       .toDF("k", "v")
