@@ -398,9 +398,11 @@ object LlmOps {
           sum((col("l_quantity") <= col("approx")).cast("long")).as("n_le"))
         .select(col("l_returnflag"), col("n"),
           // rank error bound e = ceil(n/acc) + 1; target rank n/2 must fall
-          // in [n_lt - e, n_le + e] — scaled by 2·acc to stay integral
-          (((col("n_lt") - (col("n") + lit(acc) - 1) / lit(acc) - 1) * 2 <= col("n")) &&
-            (col("n") <= (col("n_le") + (col("n") + lit(acc) - 1) / lit(acc) + 1) * 2))
+          // in [n_lt - e, n_le + e], doubled to stay integral. DIV (not /)
+          // keeps the ceil exact: Column./ on longs is double division and
+          // would loosen the bound by a fraction of a rank.
+          (((col("n_lt") - expr(s"(n + ${acc - 1}) DIV $acc") - 1) * 2 <= col("n")) &&
+            (col("n") <= (col("n_le") + expr(s"(n + ${acc - 1}) DIV $acc") + 1) * 2))
             .as("rank_ok"))
         .orderBy("l_returnflag")
     }),

@@ -152,27 +152,22 @@ object Relational {
     // query reads a 3-day slice. Partition pruning means the scan touches
     // 3 of ~30 day directories (PartitionFilters asserted in LayoutSpec);
     // the oracle computes the same slice from the raw table, so layout
-    // and pruning must be invisible in the result. The fixture is keyed
-    // by source (mtime, size) and pid: rewriting is cheap, and per-pid
-    // paths keep concurrent JVMs off each other's files.
+    // and pruning must be invisible in the result. The fixture is shared
+    // across JVMs, keyed by source (mtime, size) and guarded by
+    // Fixtures.ensure's marker + cross-process file lock.
     "q_clustered_scan" -> ((s, d) => {
       val srcFile = new java.io.File(s"$d/events.parquet")
       val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
-        s"clustered_${srcFile.lastModified}_${srcFile.length}" +
-        s"_p${ProcessHandle.current().pid()}")
-      val marker = root.resolve("_DONE")
+        s"clustered_${srcFile.lastModified}_${srcFile.length}")
       val path = root.resolve("data").toString
-      if (!java.nio.file.Files.exists(marker)) synchronized {
-        if (!java.nio.file.Files.exists(marker)) {
-          graft.operators.Layout.clusteredWrite(
-            Tables.events(s, d)
-              .select(col("event_id"), col("user_id"), col("value"),
-                to_date(col("ts")).as("day")),
-            path, "day", sortCols = Seq("user_id", "event_id"))
-          java.nio.file.Files.createDirectories(root)
-          java.nio.file.Files.createFile(marker)
-          ()
-        }
+      Fixtures.ensure(root) {
+        graft.operators.Layout.clusteredWrite(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("value"),
+              to_date(col("ts")).as("day")),
+          path, "day", sortCols = Seq("user_id", "event_id"))
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
       }
       s.read.parquet(path)
         .filter(col("day") >= lit("2024-01-10").cast("date") &&

@@ -31,15 +31,6 @@ import java.nio.file.{Files, Path, Paths}
   */
 object StreamSync {
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
-      finally walk.close()
-    }
-  }
-
   /** Await an AvailableNow query, stopping and failing loudly on timeout —
     * a timed-out query left running would keep writing into the fixture
     * root and race the next attempt's cleanup.
@@ -50,6 +41,12 @@ object StreamSync {
       q.stop()
       sys.error(s"$what did not finish within ${ms / 1000}s — sink left unmarked")
     }
+
+  /** Build-once shared fixture — see [[Fixtures.ensure]] for the
+    * marker/lock safety model.
+    */
+  private def ensureFixture(root: Path)(build: => Unit): Unit =
+    Fixtures.ensure(root)(build)
 
   /** Stage `df` as ONE text part-file and move it to `landing/name` — one
     * landed file is one micro-batch under maxFilesPerTrigger = 1. Shared by
@@ -86,9 +83,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_sync_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         Files.createDirectories(root)
 
         // 1. Bounded connector replay: one RECORD line per nation row, a
@@ -134,7 +129,6 @@ object StreamSync {
           s"stream_sync sink has $n rows, expected ${rows.length}")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }
@@ -165,9 +159,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_window_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
 
         // 1. Real events, full µs precision, ONE file (one micro-batch).
@@ -222,7 +214,6 @@ object StreamSync {
             "a window was dropped or withheld")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }
@@ -244,9 +235,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_dedup_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
 
         val ev = Tables.events(s, d).filter(col("event_id") < 2000)
@@ -291,7 +280,6 @@ object StreamSync {
             "a replayed duplicate leaked through or an original was dropped")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }
@@ -315,9 +303,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_sessionize_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
 
         // epoch SECONDS on both sides: the stream sessionizes over floored
@@ -362,7 +348,6 @@ object StreamSync {
             "a session was dropped, double-closed, or left open")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }
@@ -381,9 +366,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_enrich_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
 
         val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
@@ -423,7 +406,6 @@ object StreamSync {
             "an event missed its dimension row or was duplicated")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }
@@ -443,9 +425,7 @@ object StreamSync {
       s"/tmp/graft_fixtures/stream_join_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
-    if (!Files.exists(marker)) synchronized {
-      if (!Files.exists(marker)) {
-        deleteRecursively(root)
+    ensureFixture(root) {
         val clickDir = Files.createDirectories(root.resolve("clicks"))
         val purchDir = Files.createDirectories(root.resolve("purchases"))
 
@@ -514,7 +494,6 @@ object StreamSync {
             "buffered-state matching dropped or duplicated pairs")
         Files.createFile(marker)
         ()
-      }
     }
     sink.toString
   }

@@ -77,9 +77,11 @@ class LayoutSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q_clustered_scan")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      "PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
-      s"expected day-partition pruning at the scan:\n$plan")
+    // the RANGE predicates must reach PartitionFilters — isnotnull(day)
+    // alone would match a lazier check while every day directory scans
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("day") && pf.contains(">=") && pf.contains("<="),
+      s"expected day range predicates in PartitionFilters, got '$pf' in:\n$plan")
   }
 
   test("salted aggregate equals direct aggregate") {
