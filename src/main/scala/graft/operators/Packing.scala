@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate documents in a
+  * deterministic order and chop the token stream into fixed-size context
+  * windows ("concat-and-chop"), the batching step between a curated corpus
+  * and a training run.
+  *
+  * A single global concatenation order would serialize the whole corpus
+  * through one cumulative sum — a non-starter at 100 TB. Instead documents
+  * are assigned to `nShards` deterministic shards (`id % nShards`) and each
+  * shard packs independently: the cumulative-offset window runs per shard,
+  * so the only shuffle is one hash exchange on the shard key and every
+  * shard's stream is chopped in parallel. Window ids `(shard, win)` are
+  * globally unique, and the per-shard order (ascending id) makes the
+  * layout reproducible across runs, partitionings, and cluster sizes —
+  * the property a resumable data loader needs. At cluster scale set
+  * `nShards` to a small multiple of the executor count; each shard's
+  * window state is one running sum, so memory is O(1) per task.
+  */
+object Packing {
+
+  /** Assign each document its span in the packed token stream of its
+    * shard. Offsets are half-open: a doc occupies `[start_off, end_off)`
+    * and therefore touches context windows `first_win .. last_win`
+    * (`off DIV ctxSize`; integral DIV, not `/` — long division through
+    * doubles would corrupt offsets past 2^53). Zero-token docs are
+    * dropped: they occupy no span and would otherwise alias the window
+    * boundary of their neighbor.
+    *
+    * Output: (`idCol`, shard, `tokensCol`, start_off, first_win,
+    * last_win, n_windows) — all integral, exactly reproducible by any
+    * engine from the same (id, token-count) pairs.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      ctxSize: Int,
+      nShards: Int): DataFrame = {
+    require(ctxSize > 0, s"ctxSize must be positive, got $ctxSize")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("end_off", sum(col(tokensCol)).over(w))
+      .withColumn("start_off", col("end_off") - col(tokensCol))
+      .withColumn("first_win", expr(s"start_off DIV $ctxSize"))
+      .withColumn("last_win", expr(s"(end_off - 1) DIV $ctxSize"))
+      .withColumn("n_windows", col("last_win") - col("first_win") + lit(1L))
+      .select(col(idCol), col("shard"), col(tokensCol), col("start_off"),
+        col("first_win"), col("last_win"), col("n_windows"))
+  }
+}

@@ -82,4 +82,52 @@ object Retrieval {
         row_number().over(Window.orderBy(col("__score").desc, col(idCol))))
       .select(col(idCol) +: col("dl") +: tfCols.map(col) :+ col("rank"): _*)
   }
+
+  /** Reciprocal-rank fusion: merge named rankings (each `(idCol, rank)`
+    * with rank 1-based) by `score(id) = Σ 1/(kConst + rank)` over the
+    * lists that contain the id — the standard way to combine the lexical
+    * (BM25) and semantic (embedding) halves of hybrid retrieval without
+    * calibrating their incomparable scores.
+    *
+    * Output: (`idCol`, one `rank_<name>` per input — 0 where the id was
+    * absent from that list — and `fused_rank`). Integer columns only: the
+    * double-valued RRF score orders but is never emitted, and because it
+    * is a sum of ≤ `rankings.size` exact doubles from small-integer
+    * ranks, any engine recomputing it from the same ranks orders it
+    * identically; ties (symmetric rank profiles) break by id.
+    *
+    * Scale shape: inputs are already top-k lists (k rows each), so the
+    * union, the group-by, and the final rank window all run on
+    * O(Σk) rows — the corpus-sized work happened inside the upstream
+    * rankers. A single-partition window over ≤ Σk rows is not a
+    * bottleneck at any corpus size.
+    */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)],
+      idCol: String,
+      kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"duplicate ranking names: ${rankings.map(_._1)}")
+    require(kConst > 0 && topK > 0)
+    val unioned = rankings.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col(idCol), lit(i).as("__src"), col("rank").cast("long").as("__rank"))
+    }.reduce(_ unionByName _)
+    val perList = rankings.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("__src") === i, col("__rank"))).as(s"rank_$name")
+    }
+    val score = sum(lit(1.0) / (lit(kConst.toDouble) + col("__rank").cast("double")))
+      .as("__score")
+    val fused = unioned.groupBy(col(idCol))
+      .agg(perList.head, (perList.tail :+ score): _*)
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("__score").desc, col(idCol))))
+      .filter(col("fused_rank") <= topK)
+    fused.select(
+      col(idCol) +:
+        rankings.map { case (name, _) =>
+          coalesce(col(s"rank_$name"), lit(0L)).as(s"rank_$name")
+        } :+ col("fused_rank"): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,4 +48,35 @@ object Sampling {
     }
     df.withColumn(splitCol, assigned)
   }
+
+  /** Portable hash-uniform in `[0, 2^32)`: the first 8 hex digits of
+    * `md5(string(key))` as a long. Unlike xxhash64 (Spark-only), md5 is
+    * available bit-identically in every engine, so a sampling decision
+    * derived from it can be replayed — and therefore oracled — outside
+    * Spark. Zero shuffle: one codegen'd projection.
+    */
+  def portableUniform(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Domain-mixture resampling decision: true iff the row's hash-uniform
+    * falls under its domain's target rate `rateNum/rateDen`. Compared in
+    * pure integer math (`u * den < num * 2^32` — u < 2^32 and den is
+    * small, so no overflow and no float threshold to disagree across
+    * engines). Same key ⇒ same decision, independent of partitioning —
+    * and the kept set grows monotonically with the rate, so raising a
+    * domain's weight only ADDS documents (stable curriculum re-mixes).
+    */
+  def mixDecision(keyCol: Column, rateNum: Column, rateDen: Int): Column = {
+    require(rateDen > 0 && rateDen <= (1 << 20), s"rateDen out of range: $rateDen")
+    portableUniform(keyCol) * lit(rateDen.toLong) <
+      rateNum.cast("long") * lit(4294967296L)
+  }
+
+  /** The resampled corpus: rows whose [[mixDecision]] is true. `rateNum`
+    * is a per-row column so each domain carries its own target weight
+    * (e.g. joined from a mixture config, or derived from the domain
+    * name); `rateDen` is the common denominator.
+    */
+  def mixDomains(df: DataFrame, keyCol: String, rateNum: Column, rateDen: Int): DataFrame =
+    df.filter(mixDecision(col(keyCol), rateNum, rateDen))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Chunking, Components, Contamination, Dedup, Multimodal, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Components, Contamination, Dedup, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
@@ -499,6 +499,71 @@ object LlmOps {
         .orderBy("rank")
     }),
 
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
+    // against the vec_id=0 query embedding (semantic) by reciprocal-rank
+    // fusion. Both legs are individually proven green (q_bm25's
+    // integer-rank discipline; q_ann_bruteforce's cross-engine cosine
+    // ordering); this query certifies the fusion: the oracle recomputes
+    // both rankings AND the 1/(60+rank) blend from scratch, so a rank
+    // shift in either leg, a dropped coalesce on a one-list id, or a tie
+    // inverted between engines flips the hash. Integer-only output.
+    "q_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") > 0), emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", kConst = 60,
+        topK = 10)
+        .orderBy("fused_rank")
+    }),
+
+    // Shard-parallel sequence packing ("concat-and-chop"): whitespace
+    // token counts (the proven q_token_count formula) packed into 512-token
+    // context windows across 8 deterministic shards. The oracle re-derives
+    // every document's span from its own window cumulative sums and
+    // integral division, so the shard assignment, the running offsets, the
+    // half-open boundary arithmetic, and the zero-token drop are all
+    // cross-engine-checked per row.
+    "q_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", ctxSize = 512,
+        nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic domain-mixture resampling: each source domain keeps
+    // documents at rate k/4 where k = (domain number % 4) + 1, decided by
+    // a PORTABLE md5-derived uniform (unlike q_hash_split's xxhash64,
+    // which has no DuckDB analog and is honestly rows-only). The oracle
+    // replays every per-row decision — hash, integer threshold, and all —
+    // so this is the fully-certified deterministic sampler. Per-domain
+    // conditional aggregates keep it one shuffle; kept-set emptiness is
+    // coalesced to -1 identically on both sides.
+    "q_mix_domains" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val targetNum =
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1
+      val keep = Sampling.mixDecision(col("doc_id"), targetNum, rateDen = 4)
+      docs
+        .withColumn("target_num", targetNum)
+        .withColumn("__keep", keep)
+        .groupBy(col("source"))
+        .agg(
+          min(col("target_num")).as("target_num"),
+          count(lit(1)).as("n_in"),
+          sum(col("__keep").cast("long")).as("n_kept"),
+          coalesce(min(when(col("__keep"), col("doc_id"))), lit(-1L)).as("min_kept"),
+          coalesce(max(when(col("__keep"), col("doc_id"))), lit(-1L)).as("max_kept"),
+          coalesce(sum(when(col("__keep"), col("n_chars"))), lit(-1L)).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Int8 quantization error certificate: all-pairs (vec_id < 200 — the
     // bounded verification primitive) float-vs-quantized cosine error,
     // histogrammed as floor(round(err, 6)·1000) integer buckets (0.001
@@ -815,6 +880,112 @@ object LlmOps {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          FROM sc WHERE score > 0
          ORDER BY rank LIMIT 20""",
+
+    // Both legs and the blend re-derived from scratch: the BM25 CTE chain
+    // is the proven q_bm25 mirror, the cosine leg is the proven
+    // q_ann_bruteforce mirror (raw-double ordering, id tiebreak), and the
+    // fusion sums 1/(60+rank) in DOUBLE (CAST — a bare 1.0 literal would
+    // be DECIMAL in DuckDB and order differently) over at most two exact
+    // terms, so the fused ordering is bit-deterministic in both engines.
+    "q_rrf_fusion" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
+             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+           FROM tok),
+         st AS (
+           SELECT count(*) AS n, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           FROM f),
+         sc AS (
+           SELECT doc_id,
+               ln(1 + (n - df_table + 0.5) / (df_table + 0.5))
+                 * tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+                 * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                 * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             AS score
+           FROM f, st),
+         lex AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           FROM sc WHERE score > 0 QUALIFY rank <= 20),
+         qv AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         cosd AS (
+           SELECT vec_id AS doc_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+           FROM embeddings, qv WHERE vec_id > 0),
+         sem AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT) AS rank
+           FROM cosd QUALIFY rank <= 20),
+         u AS (
+           SELECT doc_id, 0 AS src, rank FROM lex
+           UNION ALL
+           SELECT doc_id, 1 AS src, rank FROM sem),
+         g AS (
+           SELECT doc_id,
+             max(CASE WHEN src = 0 THEN rank END) AS r_lex,
+             max(CASE WHEN src = 1 THEN rank END) AS r_sem,
+             sum(CAST(1 AS DOUBLE) / (60 + rank)) AS score
+           FROM u GROUP BY doc_id)
+         SELECT doc_id,
+           coalesce(r_lex, 0) AS rank_lex,
+           coalesce(r_sem, 0) AS rank_sem,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS fused_rank
+         FROM g QUALIFY fused_rank <= 10
+         ORDER BY fused_rank""",
+
+    // Every span re-derived: shard by modulus, running offsets from a
+    // window cumulative sum in the same (shard, doc_id) order, window ids
+    // by integral division over the same half-open boundaries.
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS BIGINT) AS end_off
+           FROM t WHERE n_tokens > 0)
+         SELECT doc_id, shard, n_tokens,
+           end_off - n_tokens AS start_off,
+           (end_off - n_tokens) // 512 AS first_win,
+           (end_off - 1) // 512 AS last_win,
+           (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_windows
+         FROM c ORDER BY doc_id""",
+
+    // The per-row decision replayed in full: the same md5-prefix uniform
+    // (('0x' || 8 hex chars)::BIGINT = Spark's conv(..,16,10)), the same
+    // integer threshold u*4 < k*2^32, the same per-domain conditional
+    // aggregates. A single flipped keep decision anywhere in the corpus
+    // moves n_kept/min/max/sum for its domain and flips the hash.
+    "q_mix_domains" ->
+      """WITH t AS (
+           SELECT source, doc_id, n_chars,
+             CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1 AS target_num,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM documents),
+         k AS (
+           SELECT source, doc_id, n_chars, target_num,
+             h * 4 < target_num * 4294967296 AS keep
+           FROM t)
+         SELECT source,
+           min(target_num) AS target_num,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(min(CASE WHEN keep THEN doc_id END), -1) AS min_kept,
+           coalesce(max(CASE WHEN keep THEN doc_id END), -1) AS max_kept,
+           CAST(coalesce(sum(CASE WHEN keep THEN n_chars END), -1) AS BIGINT) AS sum_chars
+         FROM k GROUP BY source ORDER BY source""",
 
     // Full independent re-derivation: DuckDB rebuilds the quantizer
     // (scale = max|x|/127, round half-away matching Spark's HALF_UP on

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences computes spans on a hand-checked shard") {
+    // one shard (nShards = 1), ctx = 10: docs of 4, 8, 10, 3 tokens
+    // concatenate to offsets [0,4) [4,12) [12,22) [22,25)
+    val df = Seq((0L, 4L), (1L, 8L), (2L, 10L), (3L, 3L)).toDF("id", "tok")
+    val out = Packing.packSequences(df, "id", "tok", ctxSize = 10, nShards = 1)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 0L, 1L),   // [0,4)   -> window 0 only
+      (1L, 4L, 0L, 1L, 2L),   // [4,12)  -> windows 0..1 (crosses boundary)
+      (2L, 12L, 1L, 2L, 2L),  // [12,22) -> windows 1..2
+      (3L, 22L, 2L, 2L, 1L))) // [22,25) -> window 2 only
+  }
+
+  test("spans tile each shard exactly: contiguous from zero, no gaps or overlap") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val out = Packing.packSequences(docs, "doc_id", "tok", ctxSize = 512, nShards = 8)
+      .select("doc_id", "shard", "tok", "start_off")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._2) // ascending doc_id = packing order
+      var expect = 0L
+      ordered.foreach { case (_, id, tok, start) =>
+        assert(start == expect, s"shard $shard doc $id starts at $start, expected $expect")
+        assert(tok > 0, s"zero-token doc $id survived the drop")
+        expect += tok
+      }
+    }
+  }
+
+  test("packing is deterministic across repartitionings") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val a = Packing.packSequences(docs, "doc_id", "tok", 512, 8)
+      .collect().map(_.toSeq).toSet
+    val b = Packing.packSequences(docs.repartition(13), "doc_id", "tok", 512, 8)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("one shuffle: the plan has a single hash exchange, on the shard key") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val df = Packing.packSequences(docs, "doc_id", "tok", 512, 8)
+    df.collect()
+    // the AdaptiveSparkPlan string repeats the exchange (final + initial
+    // plan sections), so count shapes, not occurrences: every hash
+    // exchange must be the one on the shard key
+    val plan = df.queryExecution.executedPlan.toString
+    val all = "Exchange hashpartitioning\\(\\w+".r.findAllIn(plan).toSeq
+    assert(all.nonEmpty && all.forall(_.matches("Exchange hashpartitioning\\(shard\\w*")),
+      s"expected only shard-keyed hash exchanges, got $all:\n$plan")
+  }
+}

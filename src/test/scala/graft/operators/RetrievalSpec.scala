@@ -72,4 +72,32 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus must not shuffle for bm25:\n$plan")
   }
+
+  test("rrfFuse blends two rankings: overlap wins, single-list ids coalesce to 0") {
+    // id 10 is rank 2 in both lists: 2/62 > 1/61 (the two solo rank-1s),
+    // so full RRF order is 10, then 20 (lex#1), 30 (sem#1) tied by score
+    // and broken by id, then the tails.
+    val lex = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val sem = Seq((30L, 1), (10L, 2), (50L, 3)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "id", kConst = 60, topK = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (10L, 2L, 2L, 1),
+      (20L, 1L, 0L, 2), // 1/61 ties 30's 1/61; id breaks it
+      (30L, 0L, 1L, 3),
+      (40L, 3L, 0L, 4), // 1/63 ties 50's; id again
+      (50L, 0L, 3L, 5)))
+  }
+
+  test("rrfFuse topK truncates after fusion, not before") {
+    val lex = (1L to 8L).map(i => (i, i.toInt)).toDF("id", "rank")
+    val sem = Seq((8L, 1)).toDF("id", "rank") // last lex id is sem's best
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "id", 60, topK = 3)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    // 8 carries 1/68 + 1/61 — the largest blend — despite being lex's worst
+    assert(out.head == (8L, 1))
+    assert(out.length == 3)
+  }
 }

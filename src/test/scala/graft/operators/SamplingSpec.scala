@@ -42,4 +42,49 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s3 != s1)
   }
+
+  test("portableUniform matches an independent md5 and stays in [0, 2^32)") {
+    val keys = Seq(0L, 1L, 42L, 999999L, -17L)
+    val got = keys.toDF("k")
+      .select(col("k"), Sampling.portableUniform(col("k")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foreach { k =>
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      val expect = java.lang.Long.parseLong(hex, 16)
+      assert(got(k) == expect, s"key $k: got ${got(k)}, md5 says $expect")
+      assert(got(k) >= 0L && got(k) < (1L << 32))
+    }
+  }
+
+  test("mixDomains: kept sets grow monotonically with the rate and ~match it") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val kept = (1 to 4).map { k =>
+      k -> Sampling.mixDomains(docs, "doc_id", lit(k), rateDen = 4)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    (1 to 3).foreach { k =>
+      assert(kept(k).subsetOf(kept(k + 1)),
+        s"raising the rate from $k/4 to ${k + 1}/4 must only add rows")
+    }
+    val n = docs.count().toDouble
+    (1 to 3).foreach { k => // rate 4/4 keeps everything exactly; others ±10%
+      assert(math.abs(kept(k).size / n - k / 4.0) < 0.1,
+        s"rate $k/4 kept ${kept(k).size} of $n")
+    }
+    assert(kept(4).size.toLong == n.toLong)
+  }
+
+  test("mixDomains is deterministic across repartitionings and shuffle-free") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val a = Sampling.mixDomains(docs, "doc_id", lit(2), 4)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixDomains(docs.repartition(11), "doc_id", lit(2), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val plan = Sampling.mixDomains(docs, "doc_id", lit(2), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"the decision is a projection + filter:\n$plan")
+  }
 }
