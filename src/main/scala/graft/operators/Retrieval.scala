@@ -87,14 +87,18 @@ object Retrieval {
     * with rank 1-based) by `score(id) = Σ 1/(kConst + rank)` over the
     * lists that contain the id — the standard way to combine the lexical
     * (BM25) and semantic (embedding) halves of hybrid retrieval without
-    * calibrating their incomparable scores.
+    * calibrating their incomparable scores. An id appearing more than
+    * once in one list (e.g. a multi-query top-k passed undeduped)
+    * contributes its BEST rank in that list, once.
     *
     * Output: (`idCol`, one `rank_<name>` per input — 0 where the id was
     * absent from that list — and `fused_rank`). Integer columns only: the
-    * double-valued RRF score orders but is never emitted, and because it
-    * is a sum of ≤ `rankings.size` exact doubles from small-integer
-    * ranks, any engine recomputing it from the same ranks orders it
-    * identically; ties (symmetric rank profiles) break by id.
+    * double-valued RRF score orders but is never emitted. The score is a
+    * FIXED left-to-right fold over the per-list rank columns (not a SQL
+    * `sum` over rows, whose aggregation order is engine- and
+    * shuffle-dependent and could split mathematical ties by an ulp for
+    * 3+ lists), so any engine recomputing it from the same ranks orders
+    * it identically; exact ties break by id.
     *
     * Scale shape: inputs are already top-k lists (k rows each), so the
     * union, the group-by, and the final rank window all run on
@@ -115,12 +119,15 @@ object Retrieval {
       df.select(col(idCol), lit(i).as("__src"), col("rank").cast("long").as("__rank"))
     }.reduce(_ unionByName _)
     val perList = rankings.zipWithIndex.map { case ((name, _), i) =>
-      max(when(col("__src") === i, col("__rank"))).as(s"rank_$name")
+      min(when(col("__src") === i, col("__rank"))).as(s"rank_$name")
     }
-    val score = sum(lit(1.0) / (lit(kConst.toDouble) + col("__rank").cast("double")))
-      .as("__score")
+    val score = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(kConst.toDouble) + col(s"rank_$name").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
     val fused = unioned.groupBy(col(idCol))
-      .agg(perList.head, (perList.tail :+ score): _*)
+      .agg(perList.head, perList.tail: _*)
+      .withColumn("__score", score)
       .withColumn("fused_rank",
         row_number().over(Window.orderBy(col("__score").desc, col(idCol))))
       .filter(col("fused_rank") <= topK)

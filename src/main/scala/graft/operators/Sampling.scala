@@ -68,8 +68,15 @@ object Sampling {
     */
   def mixDecision(keyCol: Column, rateNum: Column, rateDen: Int): Column = {
     require(rateDen > 0 && rateDen <= (1 << 20), s"rateDen out of range: $rateDen")
+    // clamp the numerator to the denominator: rates >= 1 keep everything,
+    // and an unclamped huge numerator (a bad joined config value) would
+    // overflow `num * 2^32` to negative and silently DROP the domain —
+    // the exact inverse of the intended semantics. Negative numerators
+    // keep nothing, which is the right reading of a negative rate. A
+    // NULL numerator keeps everything (`least` skips nulls — identically
+    // in Spark and DuckDB, so the oracle mirror stays exact).
     portableUniform(keyCol) * lit(rateDen.toLong) <
-      rateNum.cast("long") * lit(4294967296L)
+      least(rateNum.cast("long"), lit(rateDen.toLong)) * lit(4294967296L)
   }
 
   /** The resampled corpus: rows whose [[mixDecision]] is true. `rateNum`

@@ -715,6 +715,39 @@ object LlmOps {
          FROM c ORDER BY doc_id"""
   }
 
+  /** The BM25 mirror's CTE chain (tokenize → tf/dl → corpus stats →
+    * score), shared verbatim by q_bm25 and the lexical leg of
+    * q_rrf_fusion so a tokenizer or constant fix can never drift between
+    * the certified oracle and the fusion's embedded copy.
+    */
+  private val bm25CteSql: String =
+    """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
+             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+           FROM tok),
+         st AS (
+           SELECT count(*) AS n, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           FROM f),
+         sc AS (
+           SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+               ln(1 + (n - df_table + 0.5) / (df_table + 0.5))
+                 * tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+                 * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                 * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
+             AS score
+           FROM f, st)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_text_clean" -> textCleanSql,
 
@@ -850,32 +883,7 @@ object LlmOps {
     // differences can't flip a comparison, and mathematically tied scores
     // tie exactly in both engines and break by doc_id.
     "q_bm25" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
-           FROM documents),
-         f AS (
-           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
-             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
-             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
-           FROM tok),
-         st AS (
-           SELECT count(*) AS n, sum(dl) AS sum_dl,
-             sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
-             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
-             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
-           FROM f),
-         sc AS (
-           SELECT doc_id, dl, tf_table, tf_hash, tf_window,
-               ln(1 + (n - df_table + 0.5) / (df_table + 0.5))
-                 * tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
-                 * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
-                 * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             AS score
-           FROM f, st)
+      s"""$bm25CteSql
          SELECT doc_id, dl, tf_table, tf_hash, tf_window,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          FROM sc WHERE score > 0
@@ -888,32 +896,7 @@ object LlmOps {
     // be DECIMAL in DuckDB and order differently) over at most two exact
     // terms, so the fused ordering is bit-deterministic in both engines.
     "q_rrf_fusion" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
-           FROM documents),
-         f AS (
-           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
-             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
-             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
-           FROM tok),
-         st AS (
-           SELECT count(*) AS n, sum(dl) AS sum_dl,
-             sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
-             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
-             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
-           FROM f),
-         sc AS (
-           SELECT doc_id,
-               ln(1 + (n - df_table + 0.5) / (df_table + 0.5))
-                 * tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
-                 * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
-                 * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
-             AS score
-           FROM f, st),
+      s"""$bm25CteSql,
          lex AS (
            SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
            FROM sc WHERE score > 0 QUALIFY rank <= 20),
@@ -932,15 +915,19 @@ object LlmOps {
            SELECT doc_id, 1 AS src, rank FROM sem),
          g AS (
            SELECT doc_id,
-             max(CASE WHEN src = 0 THEN rank END) AS r_lex,
-             max(CASE WHEN src = 1 THEN rank END) AS r_sem,
-             sum(CAST(1 AS DOUBLE) / (60 + rank)) AS score
-           FROM u GROUP BY doc_id)
+             min(CASE WHEN src = 0 THEN rank END) AS r_lex,
+             min(CASE WHEN src = 1 THEN rank END) AS r_sem
+           FROM u GROUP BY doc_id),
+         b AS (
+           SELECT doc_id, r_lex, r_sem,
+             coalesce(CAST(1 AS DOUBLE) / (60 + r_lex), CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / (60 + r_sem), CAST(0 AS DOUBLE)) AS score
+           FROM g)
          SELECT doc_id,
            coalesce(r_lex, 0) AS rank_lex,
            coalesce(r_sem, 0) AS rank_sem,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS fused_rank
-         FROM g QUALIFY fused_rank <= 10
+         FROM b QUALIFY fused_rank <= 10
          ORDER BY fused_rank""",
 
     // Every span re-derived: shard by modulus, running offsets from a
@@ -948,7 +935,7 @@ object LlmOps {
     // by integral division over the same half-open boundaries.
     "q_pack_sequences" ->
       """WITH t AS (
-           SELECT doc_id, doc_id % 8 AS shard,
+           SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
            FROM documents),
          c AS (
@@ -971,12 +958,12 @@ object LlmOps {
     "q_mix_domains" ->
       """WITH t AS (
            SELECT source, doc_id, n_chars,
-             CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1 AS target_num,
+             TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1 AS target_num,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
            FROM documents),
          k AS (
            SELECT source, doc_id, n_chars, target_num,
-             h * 4 < target_num * 4294967296 AS keep
+             h * 4 < least(target_num, 4) * 4294967296 AS keep
            FROM t)
          SELECT source,
            min(target_num) AS target_num,

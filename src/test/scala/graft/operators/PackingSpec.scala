@@ -22,6 +22,13 @@ class PackingSpec extends SparkSpec {
       (3L, 22L, 2L, 2L, 1L))) // [22,25) -> window 2 only
   }
 
+  test("negative ids shard non-negatively (pmod, not %)") {
+    val df = Seq((-3L, 5L), (5L, 5L)).toDF("id", "tok")
+    val out = Packing.packSequences(df, "id", "tok", ctxSize = 10, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(-3L) == 5L && out(5L) == 5L) // pmod(-3, 8) = 5: same shard
+  }
+
   test("spans tile each shard exactly: contiguous from zero, no gaps or overlap") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))

@@ -90,6 +90,18 @@ class RetrievalSpec extends SparkSpec {
       (50L, 0L, 3L, 5)))
   }
 
+  test("rrfFuse scores a duplicated id once, by its best rank in the list") {
+    // id 10 appears at ranks 1 and 3 in lex (an undeduped multi-query
+    // top-k): it must contribute 1/61 once, not 1/61 + 1/63
+    val lex = Seq((10L, 1), (20L, 2), (10L, 3)).toDF("id", "rank")
+    val sem = Seq((20L, 1)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "id", 60, topK = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // 20 blends 1/62 + 1/61 > 10's single 1/61
+    assert(out.toSeq == Seq((20L, 2L, 1L, 1), (10L, 1L, 0L, 2)))
+  }
+
   test("rrfFuse topK truncates after fusion, not before") {
     val lex = (1L to 8L).map(i => (i, i.toInt)).toDF("id", "rank")
     val sem = Seq((8L, 1)).toDF("id", "rank") // last lex id is sem's best
