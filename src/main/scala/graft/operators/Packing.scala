@@ -54,4 +54,62 @@ object Packing {
       .select(col(idCol), col("shard"), col(tokensCol), col("start_off"),
         col("first_win"), col("last_win"), col("n_windows"))
   }
+
+  /** Greedy no-split packing (next-fit): documents keep their boundaries —
+    * a doc goes into the current bin if it fits, else opens the next bin.
+    * The other standard packing mode, used when examples must not cross
+    * document boundaries (SFT, eval sets). A doc longer than `binSize`
+    * gets a bin of its own (it can never fit a shared one).
+    *
+    * The fold is inherently sequential per shard — each decision depends
+    * on the running fill — so no window/cumsum expresses it. Rather than
+    * a driver loop or whole-group materialization, the implementation
+    * repartitions on the shard key, sorts within partitions on
+    * (shard, id), and streams a per-partition fold that resets at shard
+    * boundaries: O(1) state per task, every shard packed in parallel,
+    * bounded memory at any corpus size. (`mapPartitions` is the right
+    * tool here for the same reason it is in the multimodal codec:
+    * genuinely imperative per-partition logic that Catalyst expressions
+    * cannot express.)
+    *
+    * Output: (`idCol`, shard, `tokensCol`, bin, bin_fill) — bin is the
+    * 0-based bin index within the shard, bin_fill the running token count
+    * of that bin after placing the doc. All integral and exactly
+    * reproducible from the same (id, token-count) pairs by any engine
+    * replaying the fold (the oracle does, via a recursive CTE).
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      binSize: Int,
+      nShards: Int): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.filter(col(tokensCol) > 0)
+      .select(pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+    val packed = prepared.mapPartitions { rows =>
+      // streaming fold; state resets when the shard changes (a partition
+      // holds whole shards, possibly several — hash partitioning never
+      // splits one)
+      var curShard = -1L
+      var bin = 0L
+      var fill = 0L
+      rows.map { case (shard, id, tok) =>
+        if (shard != curShard) { curShard = shard; bin = 0L; fill = tok }
+        else if (fill + tok <= binSize) { fill += tok }
+        else { bin += 1L; fill = tok }
+        (id, shard, tok, bin, fill)
+      }
+    }
+    packed.toDF("id", "shard", "tok", "bin", "bin_fill")
+      .select(col("id").as(idCol), col("shard"), col("tok").as(tokensCol),
+        col("bin"), col("bin_fill"))
+  }
 }

@@ -86,4 +86,34 @@ object Sampling {
     */
   def mixDomains(df: DataFrame, keyCol: String, rateNum: Column, rateDen: Int): DataFrame =
     df.filter(mixDecision(col(keyCol), rateNum, rateDen))
+
+  /** Sample each domain down to a TOKEN budget (not a row count): rows are
+    * ordered by their [[portableUniform]] priority — a deterministic
+    * stand-in for a random shuffle — and kept while the domain's running
+    * token total stays within `budget`. The row that would cross the
+    * budget is dropped, as is everything after it, so `Σ tokens <=
+    * budget` holds exactly per domain. This is how a mixture spec given
+    * in tokens ("200M tokens of code, 50M of forums") turns into a
+    * concrete corpus, and the hash priority makes the draw reproducible
+    * and monotone: a bigger budget only ADDS documents.
+    *
+    * One shuffle (the per-domain window); the cumulative sum is O(1)
+    * state per row. Skewed domains behave like any skewed window key —
+    * at 100 TB pre-filter obvious bulk (e.g. with [[mixDomains]]) so no
+    * single domain's candidate set dwarfs the rest.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__prio").asc, col(keyCol).asc)
+    df.withColumn("__prio", portableUniform(col(keyCol)))
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__prio", "__cum")
+  }
 }

@@ -537,6 +537,34 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Greedy no-split packing (next-fit): documents keep their boundaries,
+    // 256-token bins, 8 shards. The fold is sequential per shard — each
+    // bin decision depends on the running fill — so the oracle replays it
+    // with a recursive CTE walking each shard's docs in order. Any
+    // divergence in the fold (a doc split, a bin opened early, a fill
+    // miscount) flips the per-row (bin, bin_fill) columns.
+    "q_pack_greedy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Packing.packGreedy(docs, "doc_id", "n_tokens", binSize = 256, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain token-budget sampling: each source domain keeps documents
+    // in deterministic md5-priority order while its running token total
+    // stays within 600 (roughly half of each synthetic domain's ~1200
+    // tokens, so the budget genuinely bites). Emits every kept document,
+    // so the oracle's replay of the priority order, the cumulative sums,
+    // and the budget cutoff is checked row by row.
+    "q_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens", budget = 600L)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic domain-mixture resampling: each source domain keeps
     // documents at rate k/4 where k = (domain number % 4) + 1, decided by
     // a PORTABLE md5-derived uniform (unlike q_hash_split's xxhash64,
@@ -949,6 +977,47 @@ object LlmOps {
            (end_off - 1) // 512 AS last_win,
            (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_windows
          FROM c ORDER BY doc_id""",
+
+    // The greedy fold replayed exactly: a recursive CTE walks each shard's
+    // documents in id order carrying (bin, bin_fill) — all shards advance
+    // in parallel within the recursion, depth = max docs per shard.
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM t WHERE n_tokens > 0),
+         s AS (
+           SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS bin_fill
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+             CASE WHEN s.bin_fill + o.n_tokens <= 256 THEN s.bin ELSE s.bin + 1 END,
+             CASE WHEN s.bin_fill + o.n_tokens <= 256 THEN s.bin_fill + o.n_tokens ELSE o.n_tokens END
+           FROM s JOIN o ON o.shard = s.shard AND o.rn = s.rn + 1)
+         SELECT doc_id, shard, n_tokens, bin, bin_fill
+         FROM s ORDER BY doc_id""",
+
+    // Priority order, cumulative sums, and the cutoff all replayed from
+    // the same md5 uniform; emitting every kept row makes a single
+    // swapped priority or off-by-one budget comparison visible.
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS prio
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id)
+               AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tokens
+         FROM c WHERE cum <= 600 ORDER BY doc_id""",
 
     // The per-row decision replayed in full: the same md5-prefix uniform
     // (('0x' || 8 hex chars)::BIGINT = Spark's conv(..,16,10)), the same

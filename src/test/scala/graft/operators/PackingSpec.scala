@@ -58,6 +58,45 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packGreedy next-fit on a hand-checked shard, including an oversized doc") {
+    // bin 10: docs 4, 5 fill bin 0 (9); 3 overflows -> bin 1 (3); 12 is
+    // oversized -> bin 2 alone; 2 can't join it (14 > 10) -> bin 3
+    val df = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 12L), (4L, 2L)).toDF("id", "tok")
+    val out = Packing.packGreedy(df, "id", "tok", binSize = 10, nShards = 1)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L), (1L, 0L, 9L), (2L, 1L, 3L), (3L, 2L, 12L), (4L, 3L, 2L)))
+  }
+
+  test("packGreedy bins never exceed binSize except a lone oversized doc") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val rows = Packing.packGreedy(docs, "doc_id", "tok", binSize = 256, nShards = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((shard, bin), docs) =>
+      val total = docs.map(_._3).sum
+      assert(total <= 256 || docs.length == 1,
+        s"shard $shard bin $bin holds $total tokens across ${docs.length} docs")
+    }
+    // bins are consecutive from 0 in every shard
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val bins = docs.map(_._2).distinct.sorted.toSeq
+      assert(bins == (0L until bins.length.toLong), s"shard $shard bins: $bins")
+    }
+  }
+
+  test("packGreedy is deterministic across repartitionings") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val a = Packing.packGreedy(docs, "doc_id", "tok", 256, 8)
+      .collect().map(_.toSeq).toSet
+    val b = Packing.packGreedy(docs.repartition(17), "doc_id", "tok", 256, 8)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("one shuffle: the plan has a single hash exchange, on the shard key") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))

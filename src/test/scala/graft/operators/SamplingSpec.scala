@@ -76,6 +76,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept(4).size.toLong == n.toLong)
   }
 
+  test("tokenBudget: per-domain totals respect the budget and bigger budgets only add") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    def kept(b: Long) = Sampling.tokenBudget(docs, "doc_id", "source", "tok", b)
+    val small = kept(300L).collect().map(_.getLong(0)).toSet
+    val big = kept(600L)
+    val totals = big.groupBy("source").agg(sum("tok").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.nonEmpty && totals.forall(_ <= 600L))
+    val bigIds = big.collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(bigIds), "raising the budget must only add documents")
+    assert(small.size < bigIds.size, "the 300-token budget should bite harder")
+  }
+
   test("mixDomains is deterministic across repartitionings and shuffle-free") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     val a = Sampling.mixDomains(docs, "doc_id", lit(2), 4)
