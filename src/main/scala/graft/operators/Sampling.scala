@@ -111,7 +111,13 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("__prio").asc, col(keyCol).asc)
-    df.withColumn("__prio", portableUniform(col(keyCol)))
+    // non-positive token counts are dropped (as in both packers): zero-token
+    // rows are useless in a token-denominated sample, and a NEGATIVE count
+    // (a bad upstream join) would make the cumulative sum non-monotone —
+    // rows after the budget-crossing row could sneak back in, breaking the
+    // bigger-budget-only-adds guarantee
+    df.filter(col(tokensCol) > 0)
+      .withColumn("__prio", portableUniform(col(keyCol)))
       .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
       .filter(col("__cum") <= budget)
       .drop("__prio", "__cum")

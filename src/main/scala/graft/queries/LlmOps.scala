@@ -1015,7 +1015,7 @@ object LlmOps {
            SELECT doc_id, source, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id)
                AS BIGINT) AS cum
-           FROM t)
+           FROM t WHERE n_tokens > 0)
          SELECT doc_id, source, n_tokens
          FROM c WHERE cum <= 600 ORDER BY doc_id""",
 

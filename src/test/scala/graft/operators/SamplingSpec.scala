@@ -91,6 +91,14 @@ class SamplingSpec extends SparkSpec {
     assert(small.size < bigIds.size, "the 300-token budget should bite harder")
   }
 
+  test("tokenBudget drops non-positive token counts (monotonicity guard)") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 0L), (3L, "a", -5L), (4L, "a", 10L))
+      .toDF("id", "dom", "tok")
+    val kept = Sampling.tokenBudget(df, "id", "dom", "tok", budget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"zero/negative-token rows must be dropped, got $kept")
+  }
+
   test("mixDomains is deterministic across repartitionings and shuffle-free") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     val a = Sampling.mixDomains(docs, "doc_id", lit(2), 4)
