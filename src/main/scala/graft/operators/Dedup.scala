@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.{functions => gfn}
 
@@ -291,4 +292,75 @@ object Dedup {
 
   private def firstVectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  // ------------------------------------------------------------------
+  // Exact duplicated substrings (span-level dedup)
+  // ------------------------------------------------------------------
+
+  /** Per-document duplicated-substring report: which character spans of
+    * each document also occur elsewhere in the corpus (or again in the
+    * same document). This is the span-level exact dedup real pretraining
+    * pipelines run after document-level passes — repeated boilerplate
+    * inside otherwise-unique pages is what document-hash dedup can't see
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"; the reference pipeline's analog is a suffix-array
+    * pass).
+    *
+    * Distributed shape (the practical cluster analog of the suffix
+    * array): every k-char shingle position explodes to a row —
+    * O(total corpus chars), the honest cost of this operator — a
+    * shingle is "duplicated" iff it occurs ≥ 2 times corpus-wide
+    * (within-document repeats count), duplicated positions join back and
+    * overlapping-or-adjacent spans merge per document with a
+    * gaps-and-islands window (cumulative max over span ends — the
+    * q_sessionize discipline). Three shuffles over char-count-sized
+    * data: shingle group, position join, per-doc window.
+    *
+    * `hashShingles = true` (production default) shuffles 8-byte xxhash64
+    * keys instead of k-char strings — identical semantics modulo 2^-64
+    * collisions, k× fewer shuffle bytes. The oracle query passes `false`
+    * so every byte of the decision is replayed in another engine.
+    *
+    * Output: (`idCol`, n_chars, n_dup_spans, dup_chars) — one row per
+    * input document (0/0 where nothing repeats), integer-only.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      hashShingles: Boolean = true): DataFrame = {
+    require(k > 0, s"shingle width must be positive, got $k")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(textCol).as("text"), length(col(textCol)).cast("long").as("n_chars"))
+    val shingleStr = expr(s"substring(text, pos + 1, $k)")
+    val occ = base
+      .filter(col("n_chars") >= k)
+      .select(col("id"),
+        explode(sequence(lit(0L), col("n_chars") - k)).as("pos"), col("text"))
+      .select(col("id"), col("pos"),
+        (if (hashShingles) xxhash64(shingleStr) else shingleStr).as("sh"))
+    val dup = occ.groupBy("sh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sh")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val spans = occ.join(dup, Seq("sh"))
+      .select(col("id"), col("pos"), (col("pos") + k).as("end"))
+      .withColumn("prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      // new island iff this span starts past everything seen so far
+      // (adjacent spans merge: a dup region is contiguous text)
+      .withColumn("new_isl",
+        (col("prev_max_end").isNull || col("pos") > col("prev_max_end")).cast("long"))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("s0"), max(col("end")).as("e0"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e0") - col("s0")).as("dup_chars"))
+    base.select(col("id"), col("n_chars"))
+      .join(spans, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
 }

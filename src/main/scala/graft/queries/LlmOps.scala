@@ -537,6 +537,19 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Span-level exact dedup (the Lee-et-al duplicated-substring pass):
+    // every 32-char shingle occurring >= 2 times corpus-wide marks its
+    // span; overlapping spans merge per document. hashShingles = false
+    // here so the oracle replays every byte of the decision — the
+    // production path shuffles xxhash64 keys instead (same semantics,
+    // 32x fewer shuffle bytes; DedupSpec proves the two paths identical
+    // on the graded corpus).
+    "q_dedup_substring" -> ((s, d) => {
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 32,
+        hashShingles = false)
+        .orderBy("doc_id")
+    }),
+
     // Greedy no-split packing (next-fit): documents keep their boundaries,
     // 256-token bins, 8 shards. The fold is sequential per shard — each
     // bin decision depends on the running fill — so the oracle replays it
@@ -977,6 +990,47 @@ object LlmOps {
            (end_off - 1) // 512 AS last_win,
            (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_windows
          FROM c ORDER BY doc_id""",
+
+    // Every shingle position, the >= 2 duplication rule, the island merge
+    // (cumulative max over span ends), and the per-doc totals all
+    // re-derived; a single off-by-one in any span boundary flips the hash.
+    "q_dedup_substring" ->
+      """WITH d AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents WHERE text IS NOT NULL),
+         p AS (
+           SELECT doc_id, CAST(unnest(range(0, n_chars - 32 + 1)) AS BIGINT) AS pos, text
+           FROM d WHERE n_chars >= 32),
+         s AS (
+           SELECT doc_id, pos, substr(text, CAST(pos + 1 AS BIGINT), 32) AS sh
+           FROM p),
+         dup AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+         dp AS (
+           SELECT s.doc_id, s.pos, s.pos + 32 AS e
+           FROM s JOIN dup USING (sh)),
+         isl AS (
+           SELECT doc_id, pos, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_isl
+           FROM dp),
+         g AS (
+           SELECT doc_id, pos, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+           FROM isl),
+         sp AS (
+           SELECT doc_id, isl_id, min(pos) AS s0, max(e) AS e0
+           FROM g GROUP BY doc_id, isl_id),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(e0 - s0) AS BIGINT) AS dup_chars
+           FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, d.n_chars,
+           coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(a.dup_chars, 0) AS dup_chars
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
 
     // The greedy fold replayed exactly: a recursive CTE walks each shard's
     // documents in id order carrying (bin, bin_fill) — all shards advance

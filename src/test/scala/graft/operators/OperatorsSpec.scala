@@ -9,6 +9,39 @@ class OperatorsSpec extends SparkSpec {
 
   // ---------------- Dedup ----------------
 
+  test("duplicateSpans finds and merges repeated substrings, hand-checked") {
+    // k=4: "ABCDEFGH" vs "XXABCDEFYY": shared run "ABCDEF" gives shingle
+    // positions {0,1,2} in doc 1 and {2,3,4} in doc 2 -> one merged span
+    // of 6 chars in each. Doc 3 shares nothing.
+    val df = Seq(
+      (1L, "ABCDEFGH"), (2L, "XXABCDEFYY"), (3L, "qrstuvwxyz")).toDF("id", "text")
+    val out = Dedup.duplicateSpans(df, "id", "text", k = 4, hashShingles = false)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 8L, 1L, 6L),   // span [0,6)
+      (2L, 10L, 1L, 6L),  // span [2,8)
+      (3L, 10L, 0L, 0L)))
+  }
+
+  test("duplicateSpans counts within-document repetition too") {
+    // "abcd...abcd": the repeated 4-gram marks both occurrences
+    val df = Seq((1L, "abcdZZZZabcd")).toDF("id", "text")
+    val out = Dedup.duplicateSpans(df, "id", "text", k = 4, hashShingles = false)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(out == ((2L, 8L)), s"expected two 4-char spans, got $out")
+  }
+
+  test("duplicateSpans: hashed and string shingle paths agree on the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Dedup.duplicateSpans(docs, "doc_id", "text", k = 32, hashShingles = true)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.duplicateSpans(docs, "doc_id", "text", k = 32, hashShingles = false)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("exact dedup keeps deterministic min-id winner per key") {
     val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("id", "text")
     val out = Dedup.exact(df, "id", Seq("text")).orderBy("id").collect()
