@@ -308,21 +308,31 @@ object Dedup {
     *
     * Distributed shape (the practical cluster analog of the suffix
     * array): every k-char shingle position explodes to a row —
-    * O(total corpus chars), the honest cost of this operator — a
-    * shingle is "duplicated" iff it occurs ≥ 2 times corpus-wide
-    * (within-document repeats count), duplicated positions join back and
+    * O(total corpus chars), the honest cost of this operator, paid
+    * ONCE — a shingle is "duplicated" iff it occurs ≥ 2 times
+    * corpus-wide (within-document repeats count), decided by a count
+    * window over the shingle key (one shuffle; a groupBy + self-join
+    * would re-run the explode scan as the probe side), then
     * overlapping-or-adjacent spans merge per document with a
     * gaps-and-islands window (cumulative max over span ends — the
-    * q_sessionize discipline). Three shuffles over char-count-sized
-    * data: shingle group, position join, per-doc window.
+    * q_sessionize discipline). Two shuffles over char-count-sized data:
+    * shingle window, per-doc window.
     *
     * `hashShingles = true` (production default) shuffles 8-byte xxhash64
     * keys instead of k-char strings — identical semantics modulo 2^-64
-    * collisions, k× fewer shuffle bytes. The oracle query passes `false`
-    * so every byte of the decision is replayed in another engine.
+    * collisions, k× fewer shuffle/sort bytes. The oracle query passes
+    * `false` so every byte of the decision is replayed in another
+    * engine.
     *
     * Output: (`idCol`, n_chars, n_dup_spans, dup_chars) — one row per
-    * input document (0/0 where nothing repeats), integer-only.
+    * non-null-text input document (0/0 where nothing repeats; documents
+    * with NULL `textCol` are dropped, not reported), integer-only.
+    *
+    * Per-row hazard: the position generator materializes an
+    * O(doc length) array per document before exploding, so a single
+    * pathological document (a 50 MB page) allocates proportionally
+    * inside one task. Pre-split such documents (e.g.
+    * [[Chunking.chunkByChars]] with overlap k-1) before this pass.
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -341,10 +351,10 @@ object Dedup {
         explode(sequence(lit(0L), col("n_chars") - k)).as("pos"), col("text"))
       .select(col("id"), col("pos"),
         (if (hashShingles) xxhash64(shingleStr) else shingleStr).as("sh"))
-    val dup = occ.groupBy("sh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("sh")
     val w = Window.partitionBy("id").orderBy("pos")
-    val spans = occ.join(dup, Seq("sh"))
+    val spans = occ
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__n") >= 2)
       .select(col("id"), col("pos"), (col("pos") + k).as("end"))
       .withColumn("prev_max_end",
         max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))

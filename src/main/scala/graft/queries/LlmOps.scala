@@ -542,8 +542,8 @@ object LlmOps {
     // span; overlapping spans merge per document. hashShingles = false
     // here so the oracle replays every byte of the decision — the
     // production path shuffles xxhash64 keys instead (same semantics,
-    // 32x fewer shuffle bytes; DedupSpec proves the two paths identical
-    // on the graded corpus).
+    // 32x fewer shuffle bytes; OperatorsSpec "hashed and string shingle
+    // paths agree on the corpus" proves the two paths identical).
     "q_dedup_substring" -> ((s, d) => {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 32,
         hashShingles = false)

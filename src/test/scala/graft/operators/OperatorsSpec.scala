@@ -39,7 +39,10 @@ class OperatorsSpec extends SparkSpec {
     val b = Dedup.duplicateSpans(docs, "doc_id", "text", k = 32, hashShingles = false)
       .collect().map(_.toSeq).toSet
     assert(a == b)
-    assert(a.nonEmpty)
+    // non-vacuity: the corpus must actually contain duplicated spans, or
+    // this proves nothing about the hashed path (47 of 500 docs at sf0.01)
+    assert(a.exists(r => r(2).asInstanceOf[Long] > 0),
+      "corpus has no duplicated 32-char shingles — agreement test is vacuous")
   }
 
   test("exact dedup keeps deterministic min-id winner per key") {
