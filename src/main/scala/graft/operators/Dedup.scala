@@ -294,6 +294,30 @@ object Dedup {
     df.select(size(col(vecCol))).head().getInt(0)
 
   // ------------------------------------------------------------------
+  // Incremental (delta-vs-corpus) dedup
+  // ------------------------------------------------------------------
+
+  /** Dedupe a delta batch (today's crawl) without touching the corpus's
+    * payloads: the delta is first deduped within itself ([[exact]] —
+    * deterministic min-id winner), then anti-joined against the corpus's
+    * DISTINCT content keys. Only `keyCols` are ever read from the corpus
+    * (column pruning keeps its payload bytes out of the scan), so at
+    * 100 TB the corpus side is a key/hash index — precompute it once and
+    * reuse it every increment rather than re-deriving it from raw text.
+    * Delta-sized work dominates: the anti-join shuffles the (small)
+    * delta against the corpus key set.
+    */
+  def incremental(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one content key column")
+    exact(delta, idCol, keyCols)
+      .join(corpus.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // Exact duplicated substrings (span-level dedup)
   // ------------------------------------------------------------------
 

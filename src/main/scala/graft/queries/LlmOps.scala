@@ -537,6 +537,26 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup (the daily-crawl increment): corpus = docs < 400;
+    // the delta replays docs < 100 re-keyed +1000 (recrawled pages — must
+    // drop against the CORPUS) and docs 400-449 re-keyed +2000 (a
+    // same-batch double-fetch — must lose to the min-id winner WITHIN the
+    // delta), plus the genuinely new docs >= 400. Survivors are exactly
+    // 400-499; either drop path failing admits extra rows and flips the
+    // hash. The corpus contributes only its distinct text keys.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val delta = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + 1000))
+        .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .withColumn("doc_id", col("doc_id") + 2000))
+      Dedup.incremental(corpus, delta, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Span-level exact dedup (the Lee-et-al duplicated-substring pass):
     // every 32-char shingle occurring >= 2 times corpus-wide marks its
     // span; overlapping spans merge per document. hashShingles = false
@@ -990,6 +1010,25 @@ object LlmOps {
            (end_off - 1) // 512 AS last_win,
            (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_windows
          FROM c ORDER BY doc_id""",
+
+    // Both drop paths replayed: the within-delta min-id rule (the
+    // q_dedup_exact mirror over the constructed delta) and the
+    // corpus-key anti-join (NOT IN over non-null text).
+    "q_dedup_incremental" ->
+      """WITH delta AS (
+           SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id >= 400
+           UNION ALL
+           SELECT doc_id + 1000, text, lang, n_chars FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT doc_id + 2000, text, lang, n_chars FROM documents
+           WHERE doc_id >= 400 AND doc_id < 450),
+         dd AS (
+           SELECT * FROM delta
+           WHERE doc_id IN (SELECT min(doc_id) FROM delta GROUP BY text)),
+         corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id < 400)
+         SELECT doc_id, lang, n_chars FROM dd
+         WHERE text NOT IN (SELECT text FROM corpus)
+         ORDER BY doc_id""",
 
     // Every shingle position, the >= 2 duplication rule, the island merge
     // (cumulative max over span ends), and the per-doc totals all

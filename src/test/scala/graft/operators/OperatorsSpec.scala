@@ -45,6 +45,33 @@ class OperatorsSpec extends SparkSpec {
       "corpus has no duplicated 32-char shingles — agreement test is vacuous")
   }
 
+  test("incremental dedup drops corpus replays AND same-batch doubles") {
+    val corpus = Seq((1L, "old page"), (2L, "boilerplate")).toDF("id", "text")
+    val delta = Seq(
+      (10L, "fresh content"),  // genuinely new -> kept
+      (11L, "boilerplate"),    // recrawl of corpus content -> dropped
+      (12L, "double fetch"),   // same-batch dup, min id -> kept
+      (13L, "double fetch")    // same-batch dup, loses to 12 -> dropped
+    ).toDF("id", "text")
+    val out = Dedup.incremental(corpus, delta, "id", Seq("text"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L, 12L))
+  }
+
+  test("incremental dedup reads only the key columns from the corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val df = Dedup.incremental(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400), "doc_id", Seq("text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-side scan must be pruned to the key column plus the
+    // pushed id filter — its payload/meta columns (lang, source,
+    // n_chars) stay out of the anti-join entirely
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(plan).isDefined,
+      s"expected a corpus scan pruned to filter + key columns:\n$plan")
+  }
+
   test("exact dedup keeps deterministic min-id winner per key") {
     val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("id", "text")
     val out = Dedup.exact(df, "id", Seq("text")).orderBy("id").collect()
