@@ -146,6 +146,37 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Per-user daily spine + forward fill (TimeSeries.gapFillDaily under
+    // the oracle): missing days materialize with n_events=0 and carry the
+    // last seen daily total. Totals route through DECIMAL(18,2) so the
+    // fill copies exact values and the final DOUBLE cast agrees across
+    // engines.
+    "q_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("__total"))
+      graft.operators.TimeSeries.gapFillDaily(daily, Seq("user_id"), "day", Seq("__total"))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("n_events").isNull.as("is_gap"),
+          col("__total_filled").cast("double").as("total_filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Fuzzy self-join (FuzzyJoin.editDistanceSelfJoin under the oracle):
+    // all part pairs whose names are within 2 edits. The oracle is the
+    // NAIVE all-pairs levenshtein join in DuckDB — the Ed-Join prefix
+    // filter, the short-string escape hatch, and the distinct-value
+    // canonicalization must all be invisible in the result (any missed
+    // pair or false positive flips the hash).
+    "q_fuzzy_join" -> ((s, d) => {
+      graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Clustered write + pruned scan (Layout.clusteredWrite under the
     // oracle): events land partitioned by day and sorted within partitions
     // — the write-side layout for time-ranged reads at 100 TB — then the
@@ -463,6 +494,40 @@ object Relational {
            CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM f JOIN nation n ON f.skew_key = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(18,2))) AS total
+           FROM events WHERE user_id < 50 GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+               CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM daily GROUP BY user_id),
+         j AS (
+           SELECT s.user_id, s.day, d.n_events, d.total
+           FROM spine s LEFT JOIN daily d
+             ON s.user_id = d.user_id AND s.day = d.day)
+         SELECT user_id, day,
+           coalesce(n_events, 0) AS n_events,
+           n_events IS NULL AS is_gap,
+           CAST(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS total_filled
+         FROM j ORDER BY user_id, day""",
+
+    // The fuzzy join's oracle is the naive quadratic join — sound blocking
+    // means the clever plan and the brute force agree exactly.
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
 
     // The bucketed join's oracle is the PLAIN join — the physical layout
     // (bucket files, zero-exchange plan) must be invisible in the result.
