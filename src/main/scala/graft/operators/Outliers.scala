@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier statistics — median / MAD (median absolute
+  * deviation) with a Hampel-style cutoff `|x − med| > c·MAD`. The robust
+  * scale estimate is the standard pre-training data-quality screen where
+  * mean/stddev would be dragged by the very outliers being hunted.
+  *
+  * Determinism is a design constraint here, not an accident: median and
+  * MAD are SELECTIONS (order statistics), not summations, so there is no
+  * floating-point accumulation order to drift between engines or between
+  * cluster runs. Both median legs materialize row_number/count windows and
+  * average the (at most two) middle values — every arithmetic step is a
+  * single exact-rounded FP op, so a DuckDB oracle reproduces the output
+  * bit-for-bit. (A mean/stddev z-score can flip membership on an ulp; this
+  * cannot.)
+  *
+  * Scale shape: two window passes (shuffle on the group keys) + two
+  * aggregated per-group tables joined back (one row per group — AQE
+  * broadcasts them). Group count is the only driver-independent small
+  * dimension; rows never collect.
+  */
+object Outliers {
+
+  /** Per-group robust stats: (groupCols..., n, med, mad, n_outliers) with
+    * outliers defined as |value − med| > c·MAD.
+    */
+  def madOutlierStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      c: Double = 3.0): DataFrame = {
+    val keys = groupCols.map(col)
+    val base = df
+      .select((groupCols :+ idCol :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+
+    // Median as an explicit order statistic: rows at 1-indexed positions
+    // (n+1) div 2 and (n+2) div 2 (identical for odd n), averaged.
+    def medianOf(in: DataFrame, vc: String, outName: String): DataFrame = {
+      val wOrd = Window.partitionBy(keys: _*).orderBy(col(vc).asc, col(idCol).asc)
+      val wAll = Window.partitionBy(keys: _*)
+      in.withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === expr("(__n + 1) DIV 2") ||
+          col("__rn") === expr("(__n + 2) DIV 2"))
+        .groupBy(keys: _*)
+        .agg(avg(col(vc)).as(outName))
+    }
+
+    val med = medianOf(base, valueCol, "med")
+    val dev = base.join(med, groupCols)
+      .withColumn("__adev", abs(col(valueCol) - col("med")))
+    val mad = medianOf(dev, "__adev", "mad")
+    dev.join(mad, groupCols)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__adev") > lit(c) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}

@@ -146,6 +146,54 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Column census (Profile.profile under the oracle): one aggregate
+    // pass, long-format output. min/max are selections (exact), ranges
+    // surface as doubles / epoch-micros — never a double→string render,
+    // so DuckDB reproduces values exactly.
+    "q_profile" -> ((s, d) => {
+      graft.operators.Profile.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")
+    }),
+
+    // Data-contract audit (Validate.report under the oracle). The
+    // customer_acctbal_nonneg rule REALLY fails on this corpus (122
+    // negative balances at sf0.01) — the counter is observably counting,
+    // not rubber-stamping zeros.
+    "q_validate" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val events = Tables.events(s, d)
+      graft.operators.Validate.report(Seq(
+        "customer_acctbal_nonneg" ->
+          graft.operators.Validate.inRange(customer, "c_acctbal", Some(lit(0.0)), None),
+        "events_value_notnull" ->
+          graft.operators.Validate.notNull(events, "value"),
+        "fk_lineitem_orders" ->
+          graft.operators.Validate.foreignKey(lineitem, "l_orderkey", orders, "o_orderkey"),
+        "fk_orders_customer" ->
+          graft.operators.Validate.foreignKey(orders, "o_custkey", customer, "c_custkey"),
+        "orders_status_domain" ->
+          graft.operators.Validate.inSet(orders, "o_orderstatus", Seq("O", "F", "P")),
+        "orders_totalprice_positive" ->
+          graft.operators.Validate.inRange(orders, "o_totalprice", Some(lit(0.0)), None),
+        "pk_orders_unique" ->
+          graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
+    }),
+
+    // Robust outlier screen (Outliers.madOutlierStats under the oracle):
+    // median/MAD are order STATISTICS — selections, not sums — so both
+    // engines compute bit-identical doubles and the Hampel cutoff
+    // |x-med| > 3*MAD cannot flip on accumulation-order ulps the way a
+    // mean/stddev z-score would.
+    "q_outliers" -> ((s, d) => {
+      graft.operators.Outliers.madOutlierStats(
+        Tables.events(s, d), Seq("event_type"), "event_id", "value", c = 3.0)
+        .orderBy("event_type")
+    }),
+
     // Per-user daily spine + forward fill (TimeSeries.gapFillDaily under
     // the oracle): missing days materialize with n_events=0 and carry the
     // last seen daily total. Totals route through DECIMAL(18,2) so the
@@ -494,6 +542,110 @@ object Relational {
            CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM f JOIN nation n ON f.skew_key = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+
+    "q_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE) AS min_num,
+           CAST(max(o_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(max(o_orderdate)) AS DOUBLE), NULL, NULL
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+           NULL, NULL
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice), NULL, NULL
+         FROM orders
+         ORDER BY col_name""",
+
+    "q_validate" ->
+      """WITH v AS (
+           SELECT 'customer_acctbal_nonneg' AS "constraint",
+             (SELECT count(*) FROM customer
+              WHERE c_acctbal IS NOT NULL AND c_acctbal < 0) AS n_violations
+           UNION ALL
+           SELECT 'events_value_notnull',
+             (SELECT count(*) FROM events WHERE value IS NULL)
+           UNION ALL
+           SELECT 'fk_lineitem_orders',
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'fk_orders_customer',
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'orders_status_domain',
+             (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P'))
+           UNION ALL
+           SELECT 'orders_totalprice_positive',
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice < 0)
+           UNION ALL
+           SELECT 'pk_orders_unique',
+             (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+         SELECT "constraint", n_violations, n_violations = 0 AS passed
+         FROM v ORDER BY "constraint"""",
+
+    // Median/MAD re-derived as the same explicit order statistics: the two
+    // middle positions by (value, event_id) row_number, averaged — every
+    // FP step single-rounded, so equality is exact, no tolerance games.
+    "q_outliers" ->
+      """WITH b AS (
+           SELECT event_type, event_id, value FROM events
+           WHERE value IS NOT NULL),
+         r AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM b),
+         med AS (
+           SELECT event_type, avg(value) AS med FROM r
+           WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY event_type),
+         d AS (
+           SELECT b.event_type, b.event_id, abs(b.value - m.med) AS adev, m.med
+           FROM b JOIN med m USING (event_type)),
+         r2 AS (
+           SELECT event_type, event_id, adev, med,
+             row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+         mad AS (
+           SELECT event_type, avg(adev) AS mad FROM r2
+           WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY event_type)
+         SELECT d.event_type, count(*) AS n, min(d.med) AS med,
+           min(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > CAST(3 AS DOUBLE) * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
 
     "q_gap_fill" ->
       """WITH daily AS (

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class OutliersSpec extends SparkSpec {
+
+  test("madOutlierStats computes median/MAD as order statistics and flags Hampel outliers") {
+    // group g: values 1..9 plus a wild 1000 → n=10 (even), med=(5+6)/2=5.5,
+    // adevs = {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5}, sorted middles
+    // (2.5, 2.5) → MAD=2.5, cutoff 7.5 → only 1000 is an outlier.
+    val rows = (1 to 9).map(i => ("g", i.toLong, i.toDouble)) :+ (("g", 10L, 1000.0))
+    val df = spark.createDataFrame(rows).toDF("k", "id", "v")
+    val out = Outliers.madOutlierStats(df, Seq("k"), "id", "v").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("med") === 5.5)
+    assert(r.getAs[Double]("mad") === 2.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("odd-count groups take the single middle value; nulls are dropped") {
+    val rows = Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
+      ("a", 3L, Some(30.0)), ("a", 4L, None))
+    val df = spark.createDataFrame(
+      rows.map { case (k, id, v) => (k, id, v.map(Double.box).orNull) })
+      .toDF("k", "id", "v")
+    val r = Outliers.madOutlierStats(df, Seq("k"), "id", "v").collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Double]("med") === 20.0)
+    assert(r.getAs[Double]("mad") === 10.0)
+    assert(r.getAs[Long]("n_outliers") === 0L)
+  }
+}
