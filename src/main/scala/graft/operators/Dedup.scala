@@ -274,6 +274,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — public literature): k-means the embedding space,
+    * then compare pairs ONLY within a cluster, with exact cosine as the
+    * verdict. Complementary to [[embeddingNearDupPairs]]: hyperplane LSH
+    * buckets by random geometry, SemDeDup buckets by LEARNED geometry —
+    * at web scale the cluster count grows with the corpus (the paper runs
+    * ~50k clusters on 100M+ docs) so per-cluster work stays bounded while
+    * the clusters track real semantic density instead of random cuts.
+    *
+    * Reuses the IVF trainer (Similarity.trainCentroids — bounded
+    * hash-stratified sample, driver-side KB model) and the zero-shuffle
+    * nearest-centroid codegen assignment; the within-cluster self-join
+    * shuffles (cid, id, v) once on cid. Precision is exact by
+    * construction (cosine filter); recall misses only cross-cluster pairs
+    * — the certificate a driven query should grade.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nClusters: Int = 16,
+      refineIters: Int = 1,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = Similarity.trainCentroids(v, nClusters, refineIters, maxTrainRows)
+    val assigned = v.withColumn("cid", gfn.nearest_centroid(col("v"), centroids))
+    assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", gfn.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"),
+        col("cid"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 stream on the
     * seed — no `Math.random`, reproducible across runs and partitions).
     */

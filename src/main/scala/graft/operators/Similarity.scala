@@ -137,7 +137,7 @@ object Similarity {
     * (shared by [[ivfTopK]] and [[writeIndex]] — see ivfTopK's scaladoc
     * for the sampling rationale). `df` must have columns (id, v).
     */
-  private def trainCentroids(
+  private[graft] def trainCentroids(
       c: DataFrame,
       nCentroids: Int,
       refineIters: Int,
