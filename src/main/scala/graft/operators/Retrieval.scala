@@ -137,4 +137,32 @@ object Retrieval {
           coalesce(col(s"rank_$name"), lit(0L)).as(s"rank_$name")
         } :+ col("fused_rank"): _*)
   }
+
+  /** Hard-negative mining: the top `nNeg` retrieved-but-not-relevant docs
+    * — the highest-ranked rows of `ranked` that do NOT appear in
+    * `positives` — re-ranked 1..nNeg as `neg_rank`. This is the standard
+    * contrastive-training data op (DPR / sentence-transformers "mine the
+    * negatives the retriever itself finds confusing").
+    *
+    * Scale shape: `ranked` is already a top-k list, so the anti-join and
+    * the single-partition re-rank window run on O(k) rows; the positive
+    * set joins by id only. The corpus-sized work happened in the upstream
+    * ranker, where it belongs.
+    */
+  def hardNegatives(
+      ranked: DataFrame,
+      idCol: String,
+      positives: DataFrame,
+      posIdCol: String,
+      nNeg: Int,
+      rankCol: String = "rank"): DataFrame = {
+    require(nNeg > 0)
+    ranked
+      .join(positives.select(col(posIdCol).as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .withColumn("neg_rank",
+        row_number().over(Window.orderBy(col(rankCol).asc, col(idCol).asc))
+          .cast("int"))
+      .filter(col("neg_rank") <= nNeg)
+  }
 }

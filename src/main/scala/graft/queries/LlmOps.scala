@@ -534,6 +534,22 @@ object LlmOps {
         .orderBy("rank")
     }),
 
+    // Hard-negative mining (Retrieval.hardNegatives under the oracle):
+    // from the proven BM25 top-20, drop the synthetically "relevant" docs
+    // (doc_id % 7 = 0 — a deterministic label set both engines derive)
+    // and re-rank what the retriever still surfaces: those are the
+    // contrastive-training negatives. Integer-only output, same rank
+    // discipline as q_bm25.
+    "q_hard_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 20)
+      Retrieval.hardNegatives(ranked, "doc_id",
+        positives = docs.filter(col("doc_id") % 7 === 0), posIdCol = "doc_id",
+        nNeg = 8)
+        .orderBy("neg_rank")
+    }),
+
     // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
     // against the vec_id=0 query embedding (semantic) by reciprocal-rank
     // fusion. Both legs are individually proven green (q_bm25's
@@ -996,6 +1012,21 @@ object LlmOps {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          FROM sc WHERE score > 0
          ORDER BY rank LIMIT 20""",
+
+    // The ranking leg is the proven q_bm25 mirror; the negatives drop the
+    // % 7 label set AFTER the top-20 cut (order matters: a positive inside
+    // the top-20 must consume a slot there, exactly as the Spark side's
+    // anti-join on the ranked list does).
+    "q_hard_negatives" ->
+      s"""$bm25CteSql,
+         r AS (
+           SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+           FROM sc WHERE score > 0 QUALIFY rank <= 20)
+         SELECT doc_id, dl, tf_table, tf_hash, tf_window, rank,
+           CAST(row_number() OVER (ORDER BY rank) AS INTEGER) AS neg_rank
+         FROM r WHERE doc_id % 7 <> 0
+         QUALIFY neg_rank <= 8 ORDER BY neg_rank""",
 
     // Both legs and the blend re-derived from scratch: the BM25 CTE chain
     // is the proven q_bm25 mirror, the cosine leg is the proven

@@ -351,6 +351,43 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // Temporal (fact → SCD2 dimension) join: every line item picks up the
+    // customer's order-priority VERSION valid at its ship date — the
+    // warehouse "join to the dimension as of event time" op, executed as
+    // the custom AsOfJoinExec rather than a quadratic range predicate.
+    // Same-day re-changes collapse to the end-of-day state first (a
+    // zero-width SCD2 interval matches nothing, and the collapse is what
+    // makes the as-of tie deterministic in both engines). Oracle: DuckDB's
+    // native ASOF JOIN over the mirrored dimension.
+    "q_temporal_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val wCh = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wDay = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val dim = o.select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("__prev", lag(col("o_orderpriority"), 1).over(wCh))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderpriority"))
+        .withColumn("__rn", row_number().over(wDay))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey").as("custkey"), col("o_orderdate").as("t"),
+          col("o_orderpriority").as("priority_asof"))
+      val fact = Tables.lineitem(s, d)
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_shipdate").as("t"))
+      graft.plans.AsOfJoin.backward(fact, dim, by = Seq("custkey"), on = "t",
+        rightValueCols = Seq("priority_asof"))
+        .select(col("custkey"), col("l_orderkey"), col("l_linenumber"),
+          date_format(col("t"), "yyyy-MM-dd").as("ship_date"),
+          col("priority_asof"))
+        // the synthetic lineitem is NOT PK-clean on (orderkey, linenumber)
+        // — ship_date completes the unique sort both engines agree on
+        .orderBy("custkey", "l_orderkey", "l_linenumber", "ship_date")
+    }),
+
     "q_topk" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -689,6 +726,28 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    "q_temporal_join" ->
+      """WITH ch AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         dim AS (
+           SELECT o_custkey AS custkey, o_orderdate AS t,
+             o_orderpriority AS priority_asof
+           FROM ch WHERE prev IS NULL OR prev <> o_orderpriority
+           QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             ORDER BY o_orderkey DESC) = 1),
+         fact AS (
+           SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber,
+             l.l_shipdate AS t
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT f.custkey, f.l_orderkey, f.l_linenumber,
+           strftime(f.t, '%Y-%m-%d') AS ship_date, d.priority_asof
+         FROM fact f ASOF LEFT JOIN dim d
+           ON f.custkey = d.custkey AND f.t >= d.t
+         ORDER BY f.custkey, f.l_orderkey, f.l_linenumber, ship_date""",
 
     "q_scd2" ->
       """WITH ch AS (
