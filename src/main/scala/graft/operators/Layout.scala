@@ -86,6 +86,95 @@ object Layout {
   /** Repartition-and-sort-within-partitions by key: the write-side layout
     * for downstream merge reads (range-partitioned files, clustered rows).
     */
+  import org.apache.spark.sql.Column
+
+  /** Morton bit-spread: 16-bit value → its bits at even positions of a
+    * 32-bit lane (the classic mask-shift cascade; long arithmetic so bit
+    * 31 never touches a sign bit). All built-in bitwise ops — codegen'd.
+    */
+  private def spread16(x: Column): Column = {
+    val x0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton (z-order) value of two 16-bit-scaled columns: a's bits at
+    * even positions, b's at odd. Callers pre-scale both dims into
+    * [0, 65535] with a DATA-INDEPENDENT mapping (determinism).
+    */
+  def zvalue2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-order clustered write: rows land in `2^bucketBits` directories by
+    * the top z-value bits, z-sorted within each. A bucket is an aligned
+    * z-curve segment, i.e. an axis-aligned RECTANGLE in (a, b) space — so
+    * a 2-D range query touches only the directories whose rectangle
+    * intersects its box ([[zorderBuckets]]), and parquet min/max row-group
+    * stats on the ORIGINAL columns skip within each directory thanks to
+    * the z-sort's locality. This is the multi-dimensional complement of
+    * [[clusteredWrite]]: one sort key can serve range predicates on TWO
+    * columns at once — the Databricks/Iceberg Z-ORDER layout, rebuilt on
+    * open Spark primitives.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      aCol: String,
+      bCol: String,
+      bucketBits: Int = 6): Unit = {
+    require(bucketBits > 0 && bucketBits % 2 == 0 && bucketBits <= 16,
+      s"bucketBits must be even in [2,16], got $bucketBits")
+    df.withColumn("__z", zvalue2(col(aCol), col(bCol)))
+      .withColumn("zbucket", shiftright(col("__z"), 32 - bucketBits))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("zbucket")
+      .parquet(path)
+  }
+
+  /** The z-buckets whose (a, b) rectangle intersects the query box — the
+    * driver-side index lookup for a [[zorderWrite]] layout. Bounded work:
+    * 2^bucketBits iterations over KB of arithmetic, never data.
+    */
+  def zorderBuckets(
+      bucketBits: Int,
+      aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): Seq[Long] = {
+    val p = bucketBits / 2
+    val cell = 1L << (16 - p)
+    (0L until (1L << bucketBits)).filter { bucket =>
+      // bucket bit 2i is bit (13+i… generally (16-p)+i) of a, 2i+1 of b
+      var aP = 0L; var bP = 0L
+      var i = 0
+      while (i < p) {
+        aP |= ((bucket >> (2 * i)) & 1L) << i
+        bP |= ((bucket >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      val aLo = aP * cell; val bLo = bP * cell
+      aLo + cell - 1 >= aMin && aLo <= aMax && bLo + cell - 1 >= bMin && bLo <= bMax
+    }
+  }
+
+  /** Read a [[zorderWrite]] layout pruned to the buckets intersecting the
+    * scaled query box. Callers still apply their exact predicates — the
+    * bucket filter is a superset by construction, so pruning is invisible
+    * in the result (the property a driven query's oracle certifies).
+    */
+  def zorderScan(
+      spark: SparkSession,
+      path: String,
+      bucketBits: Int,
+      aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): DataFrame = {
+    val keep = zorderBuckets(bucketBits, aMin, aMax, bMin, bMax)
+    spark.read.parquet(path).filter(col("zbucket").isin(keep: _*))
+  }
+
   def clusteredWrite(
       df: DataFrame,
       path: String,

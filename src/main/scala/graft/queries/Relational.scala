@@ -351,6 +351,39 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // Z-order layout + 2-D pruned scan (Layout.zorderWrite/zorderScan
+    // under the oracle): events cluster by the Morton interleave of
+    // (user_id, day) into 64 z-bucket directories; the 2-D range query
+    // prunes to the directories whose rectangle intersects its box (the
+    // driver-side index lookup) and the exact predicates run residually,
+    // so the layout is invisible in the result — the oracle computes the
+    // same slice from the raw table. ZorderSpec asserts the pruning is
+    // real (PartitionFilters) and sound (brute-force rectangle check).
+    "q_zorder_scan" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"zorder_${srcFile.lastModified}_${srcFile.length}")
+      val path = root.resolve("data").toString
+      Fixtures.ensure(root) {
+        graft.operators.Layout.zorderWrite(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("value"),
+              dayofmonth(col("ts")).as("day"))
+            .withColumn("za", least(col("user_id") * 32, lit(65535L)))
+            .withColumn("zb", col("day").cast("long") * 2048),
+          path, "za", "zb", bucketBits = 6)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      graft.operators.Layout.zorderScan(s, path, 6,
+        aMin = 100L * 32, aMax = 199L * 32, bMin = 10L * 2048, bMax = 12L * 2048)
+        .filter(col("user_id").between(100, 199) && col("day").between(10, 12))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy("day")
+    }),
+
     // Temporal (fact → SCD2 dimension) join: every line item picks up the
     // customer's order-priority VERSION valid at its ship date — the
     // warehouse "join to the dimension as of event time" op, executed as
@@ -726,6 +759,17 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    // The z-order layout's oracle is the plain 2-D slice on the raw table
+    // — bucket pruning must be a strict superset of the matching rows.
+    "q_zorder_scan" ->
+      """SELECT CAST(date_part('day', ts) AS INTEGER) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 100 AND 199
+           AND date_part('day', ts) BETWEEN 10 AND 12
+         GROUP BY 1 ORDER BY 1""",
 
     "q_temporal_join" ->
       """WITH ch AS (
