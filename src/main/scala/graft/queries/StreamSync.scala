@@ -498,6 +498,93 @@ object StreamSync {
     sink.toString
   }
 
+  /** Left-outer stream-stream interval join replay: clicks left-join
+    * purchases within [c_ts, c_ts + 1h]; clicks with no purchase emit
+    * with a null purchase_id — but only once the GLOBAL watermark (the
+    * min of both sides') proves no match can still arrive. A bounded
+    * replay therefore lands a far-future sentinel row as the LAST file on
+    * EACH side (one laggard side would pin the min), pushing the
+    * watermark past every real event so the buffered unmatched clicks
+    * flush before the query ends; sentinels carry negative ids and are
+    * filtered in the driven query. Verified in-fixture against the batch
+    * left-outer join before the completion marker lands.
+    */
+  private def outerJoinSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_ojoin_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val clickDir = Files.createDirectories(root.resolve("clicks"))
+        val purchDir = Files.createDirectories(root.resolve("purchases"))
+
+        def land(eventType: String, dir: Path): Path = {
+          val ev = Tables.events(s, d).filter(col("event_type") === eventType)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+          val whole = landOne(ev, root, root, s"whole_o_$eventType.jsonl")
+          val b1 = dir.resolve("batch1.jsonl")
+          Files.move(whole, b1)
+          b1
+        }
+        def sentinel(dir: Path, prev: Path, userId: Long): Unit = {
+          val f = dir.resolve("batch2_sentinel.jsonl")
+          Files.write(f, java.util.Arrays.asList(
+            s"""{"event_id":-1,"user_id":$userId,"ts":"2024-06-01T00:00:00.000000"}"""))
+          mtimeAfter(f, prev, 4000L)
+        }
+        // distinct sentinel user ids: the two sentinels must not join
+        sentinel(clickDir, land("click", clickDir), -1L)
+        sentinel(purchDir, land("purchase", purchDir), -2L)
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val clicks = StreamingSync.readJsonlStream(s, s"$clickDir/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val purchases = StreamingSync.readJsonlStream(s, s"$purchDir/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val joined = StreamingSync.intervalJoinStreamOuter(
+          clicks, "c_ts", purchases, "p_ts",
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour",
+          delay = "40 days")
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+        val q = joined.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_outer_join replay")
+
+        val n = s.read.parquet(sink.toString).count()
+        val c = Tables.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val expected = c.join(p, expr(
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
+          "left_outer").count() // the sentinel click itself stays buffered:
+        // the watermark it pushes (its ts − delay) never passes its OWN
+        // eviction time, so it is never emitted — only the real rows flush
+        require(n == expected,
+          s"stream_outer_join sink has $n rows, batch left join expects $expected — " +
+            "unmatched clicks not flushed (watermark pinned?) or pairs duplicated")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
@@ -523,6 +610,14 @@ object StreamSync {
     "q_stream_join" -> ((s, d) => {
       s.read.parquet(joinSinkDir(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    "q_stream_outer_join" -> ((s, d) => {
+      s.read.parquet(outerJoinSinkDir(s, d))
+        .filter(col("click_id") >= 0) // drop the watermark sentinel
+        .select(col("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
@@ -571,6 +666,18 @@ object StreamSync {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The streamed left-outer interval join must equal the batch left
+    // join exactly: every matched pair AND every never-matched click
+    // (purchase_id -1), no row held back in state.
+    "q_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           coalesce(p.event_id, -1) AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          ORDER BY c.user_id, click_id, purchase_id""",
 
     // The streamed broadcast enrichment must equal the batch lookup join

@@ -174,6 +174,27 @@ object StreamingSync {
     left.withWatermark(leftTsCol, delay)
       .join(right.withWatermark(rightTsCol, delay), expr(condition))
 
+  /** Stream-stream OUTER interval join: like [[intervalJoinStream]], but
+    * unmatched left rows ALSO emit (with nulls) — once the global
+    * watermark (the MIN of both sides') passes the point where a match
+    * has provably become impossible. That "provably impossible" clause is
+    * the operational difference from batch: an outer result row is held
+    * in state until eviction time, so a bounded replay must push the
+    * watermark past every real event (e.g. with a final far-future
+    * sentinel row on EACH side — min-of-watermarks means one laggard side
+    * pins the join) or the unmatched rows never flush.
+    */
+  def intervalJoinStreamOuter(
+      left: DataFrame,
+      leftTsCol: String,
+      right: DataFrame,
+      rightTsCol: String,
+      condition: String,
+      delay: String,
+      joinType: String = "left_outer"): DataFrame =
+    left.withWatermark(leftTsCol, delay)
+      .join(right.withWatermark(rightTsCol, delay), expr(condition), joinType)
+
   /** Windowed event-time aggregation with a watermark — the late-data
     * policy the reference has no notion of: counts per (event_type,
     * 10-minute window), dropping events later than the watermark.
