@@ -9,6 +9,11 @@ object Verify {
     // Optional third arg: comma-separated query names — builder-side fast
     // iteration on a subset (the driver always runs the full inventory).
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -52,11 +52,24 @@ object Outliers {
         .agg(avg(col(vc)).as(outName))
     }
 
+    // Null-safe key equality (<=>): a null-keyed group — the rows a
+    // data-quality screen most needs to see — must join back to its own
+    // median/MAD row instead of silently vanishing through `=` semantics.
+    def joinOnKeys(l: DataFrame, r: DataFrame): DataFrame = {
+      // alias both sides: r derives from l, so bare column refs would be
+      // ambiguous against the shared lineage
+      val cond = groupCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+      l.alias("__l").join(r.alias("__r"), cond).select(
+        (groupCols.map(c => col(s"__l.$c").as(c)) ++
+          l.columns.filterNot(groupCols.contains).map(c => col(s"__l.$c")) ++
+          r.columns.filterNot(groupCols.contains).map(c => col(s"__r.$c"))): _*)
+    }
+
     val med = medianOf(base, valueCol, "med")
-    val dev = base.join(med, groupCols)
+    val dev = joinOnKeys(base, med)
       .withColumn("__adev", abs(col(valueCol) - col("med")))
     val mad = medianOf(dev, "__adev", "mad")
-    dev.join(mad, groupCols)
+    joinOnKeys(dev, mad)
       .groupBy(keys: _*)
       .agg(
         count(lit(1)).as("n"),

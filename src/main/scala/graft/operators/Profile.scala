@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   *
   * Numeric and timestamp columns report min/max through `min_num/max_num`
   * (timestamps as exact epoch-microsecond doubles — |µs| < 2^53, so the
-  * cast is lossless); string columns report `min_str/max_str` under binary
-  * collation. Nothing is ever rendered double→string, so an oracle can
+  * cast is lossless; DATE columns as days-since-epoch, the unit DuckDB's
+  * `date - DATE '1970-01-01'` reproduces — note the two temporal units
+  * differ and an oracle must pick per column type); string columns report
+  * `min_str/max_str` under binary collation. Nothing is ever rendered double→string, so an oracle can
   * reproduce the values exactly instead of fighting repr conventions.
   *
   * Scale shape: ONE aggregate job over one scan. The multiple exact

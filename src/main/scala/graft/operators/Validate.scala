@@ -36,6 +36,8 @@ object Validate {
 
   /** Non-null rows outside [lo, hi] (either bound optional). */
   def inRange(df: DataFrame, c: String, lo: Option[Column], hi: Option[Column]): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      s"inRange($c): at least one bound is required")
     val out = (lo.map(col(c) < _).toSeq ++ hi.map(col(c) > _).toSeq)
       .reduce(_ || _)
     df.filter(col(c).isNotNull)

@@ -170,9 +170,10 @@ object StreamingSync {
       right: DataFrame,
       rightTsCol: String,
       condition: String,
-      delay: String): DataFrame =
+      delay: String,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTsCol, delay)
-      .join(right.withWatermark(rightTsCol, delay), expr(condition))
+      .join(right.withWatermark(rightTsCol, delay), expr(condition), joinType)
 
   /** Stream-stream OUTER interval join: like [[intervalJoinStream]], but
     * unmatched left rows ALSO emit (with nulls) — once the global
@@ -192,8 +193,7 @@ object StreamingSync {
       condition: String,
       delay: String,
       joinType: String = "left_outer"): DataFrame =
-    left.withWatermark(leftTsCol, delay)
-      .join(right.withWatermark(rightTsCol, delay), expr(condition), joinType)
+    intervalJoinStream(left, leftTsCol, right, rightTsCol, condition, delay, joinType)
 
   /** Windowed event-time aggregation with a watermark — the late-data
     * policy the reference has no notion of: counts per (event_type,

@@ -19,6 +19,17 @@ class OutliersSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") === 1L)
   }
 
+  test("a null group key forms its own screened group instead of vanishing") {
+    val rows = Seq((null.asInstanceOf[String], 1L, 1.0),
+      (null.asInstanceOf[String], 2L, 2.0), (null.asInstanceOf[String], 3L, 3.0),
+      ("g", 4L, 5.0))
+    val df = spark.createDataFrame(rows).toDF("k", "id", "v")
+    val out = Outliers.madOutlierStats(df, Seq("k"), "id", "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("n")).toMap
+    assert(out(None) === 3L)
+    assert(out(Some("g")) === 1L)
+  }
+
   test("odd-count groups take the single middle value; nulls are dropped") {
     val rows = Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)),
       ("a", 3L, Some(30.0)), ("a", 4L, None))
