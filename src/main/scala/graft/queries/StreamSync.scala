@@ -585,6 +585,88 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming UPSERT sink (update-mode semantics on an append-only
+    * format): each micro-batch folds into a latest-per-key state table
+    * via foreachBatch — batch-local latest (Upsert.latestByKey), merge
+    * with the current state, write a NEW state version, atomically
+    * repoint a _CURRENT pointer file (write-temp + ATOMIC_MOVE). The
+    * reader of the pointer always sees a complete version; a killed
+    * batch leaves the previous version current — the same crash story as
+    * a table format's snapshot pointer, built on open primitives.
+    *
+    * The replay splits events at mid-month so most users appear in BOTH
+    * micro-batches and the second genuinely overwrites the first's state
+    * rows. Oracle: the batch latest-event-per-user over the raw table.
+    */
+  private def upsertSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_upsert_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val ptr = root.resolve("_CURRENT")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        def land(pred: org.apache.spark.sql.Column, name: String): Path = {
+          val ev = Tables.events(s, d).filter(pred)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"),
+              col("value"))).as("j"))
+          landOne(ev, root, landing, name)
+        }
+        val mid = lit("2024-01-16").cast("timestamp")
+        val b1 = land(col("ts") < mid, "batch1.jsonl")
+        val b2 = land(col("ts") >= mid, "batch2.jsonl")
+        mtimeAfter(b2, b1, 4000L)
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val stream = StreamingSync.readJsonlStream(s, s"$landing/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              val latest = graft.sync.Upsert.latestByKey(
+                batch, Seq("user_id"), "ts", Seq("event_id"))
+              val merged =
+                if (Files.exists(ptr))
+                  graft.sync.Upsert.latestByKey(
+                    s.read.parquet(Files.readString(ptr)).unionByName(latest),
+                    Seq("user_id"), "ts", Seq("event_id"))
+                else latest
+              val out = root.resolve("state").resolve(s"v$batchId").toString
+              merged.coalesce(1).write.mode("overwrite").parquet(out)
+              val tmp = root.resolve("_CURRENT.tmp")
+              Files.writeString(tmp, out)
+              Files.move(tmp, ptr,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              ()
+            }
+          }
+          .start()
+        awaitOrFail(q, 180000, "stream_upsert replay")
+
+        val n = s.read.parquet(Files.readString(ptr)).count()
+        val expected = Tables.events(s, d)
+          .select(countDistinct(col("user_id"))).head().getLong(0)
+        require(n == expected,
+          s"stream_upsert state has $n rows, expected one per user ($expected) — " +
+            "merge dropped or duplicated keys")
+        Files.createFile(marker)
+        ()
+    }
+    Files.readString(ptr)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
@@ -611,6 +693,13 @@ object StreamSync {
       s.read.parquet(joinSinkDir(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    "q_stream_upsert" -> ((s, d) => {
+      s.read.parquet(upsertSinkDir(s, d))
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("value").as("latest_value"))
+        .orderBy("user_id")
     }),
 
     "q_stream_outer_join" -> ((s, d) => {
@@ -667,6 +756,16 @@ object StreamSync {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The streamed foreachBatch upsert state must equal the batch
+    // latest-event-per-user exactly — cross-batch overwrites applied,
+    // absent-in-batch-2 users retained, no key dropped or duplicated.
+    "q_stream_upsert" ->
+      """SELECT user_id, event_id AS latest_event_id, value AS latest_value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
 
     // The streamed left-outer interval join must equal the batch left
     // join exactly: every matched pair AND every never-matched click
