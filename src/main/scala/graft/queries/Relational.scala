@@ -146,6 +146,24 @@ object Relational {
         .orderBy("o_custkey")
     }),
 
+    // Incremental matview maintenance (Matview under the oracle): the
+    // view is built from an initial load plus TWO delta refreshes —
+    // key-wise addition of partial aggregates, never a rescan — and must
+    // equal the one-shot full aggregate the oracle computes. DECIMAL
+    // state makes the fold exactly associative, so any refresh schedule
+    // is bit-identical (MatviewSpec).
+    "q_matview_update" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = lit("2024-01-11").cast("timestamp")
+      val t2 = lit("2024-01-21").cast("timestamp")
+      val m = graft.operators.Matview
+      val v0 = m.partial(ev.filter(col("ts") < t1), Seq("user_id"), "value")
+      val v1 = m.refresh(v0, ev.filter(col("ts") >= t1 && col("ts") < t2),
+        Seq("user_id"), "value")
+      val v2 = m.refresh(v1, ev.filter(col("ts") >= t2), Seq("user_id"), "value")
+      m.read(v2, Seq("user_id")).orderBy("user_id")
+    }),
+
     // Column census (Profile.profile under the oracle): one aggregate
     // pass, long-format output. min/max are selections (exact), ranges
     // surface as doubles / epoch-micros — never a double→string render,
@@ -612,6 +630,15 @@ object Relational {
            CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM f JOIN nation n ON f.skew_key = n.n_nationkey
          GROUP BY n.n_name ORDER BY n.n_name""",
+
+    // The matview's oracle is the ONE-SHOT full aggregate — three
+    // incremental folds must be invisible in the result.
+    "q_matview_update" ->
+      """SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q_profile" ->
       """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
