@@ -116,6 +116,36 @@ object LlmOps {
       Components.minLabel(pairs).orderBy("id")
     }),
 
+    // Canonical-document selection: the step AFTER duplicate clustering —
+    // per connected component keep the BEST-quality member (argmax by
+    // quality score, id tiebreak), not the arbitrary min-id. Composes the
+    // proven pieces: q_dedup_cc's blocking+components and q_text_quality's
+    // score, both of whose oracles this one's mirrors. Singleton docs are
+    // their own canonical (left join + coalesce).
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"))
+      val pairs = a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 1)
+        .select("id_a", "id_b")
+      val comp = Components.minLabel(pairs)
+      val labeled = docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val wSel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("q").desc, col("doc_id").asc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      labeled
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .withColumn("__rn", row_number().over(wSel))
+        .filter(col("__rn") === 1)
+        .select(col("label"), col("doc_id").as("canonical_id"),
+          col("n_members"), col("q").as("best_quality"))
+        .orderBy("label")
+    }),
+
     "q_simhash_fingerprints" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
@@ -1392,6 +1422,50 @@ object LlmOps {
            UNION
            SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(m) AS label FROM reach GROUP BY id ORDER BY id""",
+
+    // Components mirror = q_dedup_cc's proven recursive CTE; quality
+    // mirror = q_text_quality's proven arithmetic; the argmax runs on the
+    // same rounded doubles with the same id tiebreak.
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id < 500),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM verts
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id),
+         lab AS (SELECT id, min(m) AS label FROM reach GROUP BY id),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE CAST(length(text) AS DOUBLE) END AS safe_len,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct
+           FROM d),
+         qv AS (
+           SELECT doc_id,
+             round(least(n_tokens / 20.0, 1.0) * 0.3
+                   + (n_alpha / safe_len) * 0.5
+                   + greatest(0.0, 1.0 - (n_punct / safe_len) * 4.0) * 0.2, 4) AS q
+           FROM f),
+         lb AS (
+           SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label, qv.q
+           FROM d LEFT JOIN lab l ON l.id = d.doc_id
+           JOIN qv ON qv.doc_id = d.doc_id)
+         SELECT label, doc_id AS canonical_id,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_members,
+           q AS best_quality
+         FROM lb
+         QUALIFY row_number() OVER (PARTITION BY label ORDER BY q DESC, doc_id) = 1
+         ORDER BY label""",
 
     "q_df_cut" ->
       """WITH toks AS (
