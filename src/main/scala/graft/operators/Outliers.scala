@@ -78,4 +78,38 @@ object Outliers {
         sum(when(col("__adev") > lit(c) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Per-group winsorization: clamp each value into
+    * [v(ceil(n/den)), v(n+1−ceil(n/den))] of its group's order statistics
+    * (den=10 → the classic 10%/90% tails). Same determinism argument as
+    * [[madOutlierStats]]: the clamp bounds are SELECTED values and the
+    * clamp itself is min/max — no arithmetic at all, so any engine
+    * reproduces the output exactly. One window shuffle on the group keys.
+    * Adds `<valueCol>_w`; null values pass through unclamped.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      den: Int = 10): DataFrame = {
+    require(den >= 2, s"den must be >= 2, got $den")
+    val keys = groupCols.map(col)
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("__rn",
+        when(col(valueCol).isNotNull, row_number().over(
+          Window.partitionBy(keys: _*)
+            .orderBy(col(valueCol).asc_nulls_last, col(idCol).asc))))
+      .withColumn("__n", count(col(valueCol)).over(wAll))
+      .withColumn("__lo_rank", expr(s"(__n + ${den - 1}) DIV $den"))
+      .withColumn("__hi_rank", col("__n") + 1 - col("__lo_rank"))
+      .withColumn("__v_lo",
+        max(when(col("__rn") === col("__lo_rank"), col(valueCol))).over(wAll))
+      .withColumn("__v_hi",
+        max(when(col("__rn") === col("__hi_rank"), col(valueCol))).over(wAll))
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__v_lo")), col("__v_hi"))))
+      .drop("__rn", "__n", "__lo_rank", "__hi_rank", "__v_lo", "__v_hi")
+  }
 }

@@ -224,4 +224,36 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Vocabulary build: the top `size` corpus tokens by frequency
+    * (freq-desc, token-asc — fully deterministic ids 1..size). The final
+    * ranking window runs single-partition over the DISTINCT-token table —
+    * already reduced by a map-side-combined count; for web-scale vocab
+    * cut the tail with a freq floor first, the ranking itself is O(vocab).
+    */
+  def buildVocab(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .filter(col("token_id") <= size)
+      .select("token", "token_id")
+  }
+
+  /** Encode documents against a [[buildVocab]] dictionary as long-format
+    * (id, pos, token_id) with OOV → 0 — the id-mapping step before
+    * sequence packing. The vocab broadcasts (bounded by `size`); the
+    * explode is narrow; nothing else shuffles.
+    */
+  def encodeTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
 }

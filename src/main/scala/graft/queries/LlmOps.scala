@@ -377,6 +377,19 @@ object LlmOps {
     // Zipf head: top-5 tokens per language by frequency (token-asc
     // tiebreak → deterministic) — the corpus-stats composition of
     // explode + groupBy + window top-k.
+    // Vocabulary build + id encoding (TextAnalysis.buildVocab/encodeTokens
+    // under the oracle): top-1000 corpus tokens get deterministic ids,
+    // the first 200 docs encode as (doc_id, pos, token_id) with OOV → 0 —
+    // the dictionary step before sequence packing. The oracle re-derives
+    // the full ranking and every positional id in DuckDB.
+    "q_vocab_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 1000)
+      TextAnalysis.encodeTokens(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", vocab)
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_zipf_tokens" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -1559,6 +1572,24 @@ object LlmOps {
            CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
            len(bg) > 0 AND len(list_distinct(bg)) * 10 <= len(bg) * 8 AS is_repetitive
          FROM b ORDER BY doc_id""",
+
+    "q_vocab_encode" ->
+      """WITH ct AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         vc AS (SELECT token, count(*) AS freq FROM ct GROUP BY token),
+         vocab AS (
+           SELECT token,
+             CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id
+           FROM vc QUALIFY token_id <= 1000),
+         tok AS (
+           SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents WHERE doc_id < 200)
+         SELECT t.doc_id, CAST(t.pos - 1 AS INTEGER) AS pos,
+           coalesce(v.token_id, 0) AS token_id
+         FROM tok t LEFT JOIN vocab v USING (token)
+         ORDER BY doc_id, pos""",
 
     "q_zipf_tokens" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),

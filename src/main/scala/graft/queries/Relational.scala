@@ -201,6 +201,18 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Winsorization (Outliers.winsorize under the oracle): clamp into the
+    // per-group [p10, p90] order statistics — selections and min/max
+    // only, zero arithmetic, so the doubles compare exactly cross-engine.
+    "q_winsorize" -> ((s, d) => {
+      graft.operators.Outliers.winsorize(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        Seq("event_type"), "event_id", "value", den = 10)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_w"))
+        .orderBy("event_id")
+    }),
+
     // Robust outlier screen (Outliers.madOutlierStats under the oracle):
     // median/MAD are order STATISTICS — selections, not sums — so both
     // engines compute bit-identical doubles and the Hampel cutoff
@@ -708,6 +720,31 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    "q_winsorize" ->
+      """WITH r AS (
+           SELECT event_id, event_type, value,
+             CASE WHEN value IS NOT NULL THEN
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value ASC NULLS LAST, event_id) END AS rn,
+             count(value) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         b AS (
+           SELECT event_id, event_type, value, rn, n,
+             (n + 9) // 10 AS lo_rank,
+             n + 1 - (n + 9) // 10 AS hi_rank
+           FROM r),
+         v AS (
+           SELECT event_id, event_type, value,
+             max(CASE WHEN rn = lo_rank THEN value END)
+               OVER (PARTITION BY event_type) AS v_lo,
+             max(CASE WHEN rn = hi_rank THEN value END)
+               OVER (PARTITION BY event_type) AS v_hi
+           FROM b)
+         SELECT event_id, event_type, value,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(value, v_lo), v_hi) END AS value_w
+         FROM v ORDER BY event_id""",
 
     // Median/MAD re-derived as the same explicit order statistics: the two
     // middle positions by (value, event_id) row_number, averaged — every

@@ -19,6 +19,31 @@ class OutliersSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") === 1L)
   }
 
+  test("winsorize clamps into the per-group order-statistic tails") {
+    // n=10, den=10 → lo_rank=1, hi_rank=10: bounds are min and max (no-op);
+    // den=4 → lo_rank=3, hi_rank=8: clamp into [3.0, 8.0]
+    val rows = (1 to 10).map(i => ("g", i.toLong, i.toDouble))
+    val df = spark.createDataFrame(rows).toDF("k", "id", "v")
+    val w4 = Outliers.winsorize(df, Seq("k"), "id", "v", den = 4)
+      .orderBy("id").collect().map(_.getAs[Double]("v_w")).toSeq
+    assert(w4 === Seq(3.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0))
+    val w10 = Outliers.winsorize(df, Seq("k"), "id", "v", den = 10)
+      .orderBy("id").collect().map(_.getAs[Double]("v_w")).toSeq
+    assert(w10 === (1 to 10).map(_.toDouble))
+  }
+
+  test("winsorize passes null values through and ranks around them") {
+    val rows = Seq(("g", 1L, Some(1.0)), ("g", 2L, None), ("g", 3L, Some(100.0)),
+      ("g", 4L, Some(2.0)), ("g", 5L, Some(3.0)))
+    val df = spark.createDataFrame(rows.map { case (k, id, v) =>
+      (k, id, v.map(Double.box).orNull) }).toDF("k", "id", "v")
+    val out = Outliers.winsorize(df, Seq("k"), "id", "v", den = 4)
+      .orderBy("id").collect().map(r => Option(r.getAs[java.lang.Double]("v_w")))
+    assert(out(1) === None)
+    // n=4 non-null → lo_rank=1, hi_rank=4: bounds [1.0, 100.0] → no-op here
+    assert(out.flatten.map(_.toDouble).toSeq === Seq(1.0, 100.0, 2.0, 3.0))
+  }
+
   test("a null group key forms its own screened group instead of vanishing") {
     val rows = Seq((null.asInstanceOf[String], 1L, 1.0),
       (null.asInstanceOf[String], 2L, 2.0), (null.asInstanceOf[String], 3L, 3.0),
