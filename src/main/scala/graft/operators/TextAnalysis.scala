@@ -235,6 +235,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("token").asc)
     docs.select(explode(split(col(textCol), " ")).as("token"))
+      // split() manufactures "" around doubled/leading/trailing spaces —
+      // a phantom token that could otherwise claim a top vocabulary slot;
+      // encodeTokens keeps those positions and maps them to OOV (0)
+      .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .withColumn("token_id", row_number().over(w).cast("long"))
       .filter(col("token_id") <= size)

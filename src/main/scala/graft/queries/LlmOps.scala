@@ -28,6 +28,19 @@ import graft.expressions.{functions => gfn}
   */
 object LlmOps {
 
+  /** The q_dedup_cc / q_dedup_canonical blocking graph: same-lang pairs
+    * with n_chars within ±1 over the bounded doc set. ONE definition so
+    * the two queries (and their paired oracle CTEs) cannot
+    * desynchronize on the predicate.
+    */
+  private def ccBlockingPairs(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 1)
+      .select("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- dedup ----------------
     "q_dedup_exact" -> ((s, d) => {
@@ -108,12 +121,7 @@ object LlmOps {
     "q_dedup_cc" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"))
-      val pairs = a.join(b, Seq("lang"))
-        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 1)
-        .select("id_a", "id_b")
-      Components.minLabel(pairs).orderBy("id")
+      Components.minLabel(ccBlockingPairs(docs)).orderBy("id")
     }),
 
     // Canonical-document selection: the step AFTER duplicate clustering —
@@ -125,12 +133,7 @@ object LlmOps {
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      val a = docs.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"))
-      val pairs = a.join(b, Seq("lang"))
-        .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 1)
-        .select("id_a", "id_b")
-      val comp = Components.minLabel(pairs)
+      val comp = Components.minLabel(ccBlockingPairs(docs))
       val labeled = docs.join(comp, docs("doc_id") === comp("id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"),
           TextAnalysis.qualityScore(col("text")).as("q"))
@@ -374,9 +377,6 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
-    // Zipf head: top-5 tokens per language by frequency (token-asc
-    // tiebreak → deterministic) — the corpus-stats composition of
-    // explode + groupBy + window top-k.
     // Vocabulary build + id encoding (TextAnalysis.buildVocab/encodeTokens
     // under the oracle): top-1000 corpus tokens get deterministic ids,
     // the first 200 docs encode as (doc_id, pos, token_id) with OOV → 0 —
@@ -390,6 +390,9 @@ object LlmOps {
         .orderBy("doc_id", "pos")
     }),
 
+    // Zipf head: top-5 tokens per language by frequency (token-asc
+    // tiebreak → deterministic) — the corpus-stats composition of
+    // explode + groupBy + window top-k.
     "q_zipf_tokens" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -1576,7 +1579,8 @@ object LlmOps {
     "q_vocab_encode" ->
       """WITH ct AS (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-         vc AS (SELECT token, count(*) AS freq FROM ct GROUP BY token),
+         vc AS (SELECT token, count(*) AS freq FROM ct
+                WHERE token <> '' GROUP BY token),
          vocab AS (
            SELECT token,
              CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id

@@ -14,6 +14,19 @@ class VocabSpec extends SparkSpec {
     assert(v === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
   }
 
+  test("phantom empty tokens from doubled spaces never enter the vocab") {
+    val messy = spark.createDataFrame(Seq(
+      (1L, "x  x "), (2L, " x"))).toDF("doc_id", "text") // 3 empties, 3 x's
+    val v = TextAnalysis.buildVocab(messy, "text", size = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("x" -> 1L))
+    // the empty positions survive encoding as OOV, keeping offsets honest
+    val enc = TextAnalysis.encodeTokens(messy.filter("doc_id = 1"), "doc_id", "text",
+      TextAnalysis.buildVocab(messy, "text", size = 2))
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(enc.toSeq === Seq((0, 1L), (1, 0L), (2, 1L), (3, 0L)))
+  }
+
   test("encodeTokens emits positional ids with OOV as 0") {
     val vocab = TextAnalysis.buildVocab(docs, "text", size = 3)
     val enc = TextAnalysis.encodeTokens(docs.filter("doc_id = 2"), "doc_id", "text", vocab)
