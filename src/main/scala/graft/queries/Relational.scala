@@ -243,6 +243,24 @@ object Relational {
         .orderBy("user_id", "day")
     }),
 
+    // End-to-end entity resolution: fuzzy pairs (the proven q_fuzzy_join
+    // blocking + verify) → connected components (the proven minLabel
+    // loop) → one row per entity cluster. Certifies the COMPOSITION the
+    // way q_pipeline_e2e does for corpus cleaning: the oracle re-derives
+    // the pairs with naive levenshtein and the clusters with a recursive
+    // CTE, so a drift in either stage or in their hand-off flips the
+    // hash.
+    "q_er_resolve" -> ((s, d) => {
+      val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+        .select("id_a", "id_b")
+      val comp = graft.operators.Components.minLabel(pairs)
+      comp.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("entity_id"), col("n_members"))
+        .orderBy("entity_id")
+    }),
+
     // Fuzzy self-join (FuzzyJoin.editDistanceSelfJoin under the oracle):
     // all part pairs whose names are within 2 edits. The oracle is the
     // NAIVE all-pairs levenshtein join in DuckDB — the Ed-Join prefix
@@ -804,6 +822,23 @@ object Relational {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS total_filled
          FROM j ORDER BY user_id, day""",
+
+    "q_er_resolve" ->
+      """WITH RECURSIVE prs AS (
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+           FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM verts
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id),
+         lab AS (SELECT id, min(m) AS label FROM reach GROUP BY id)
+         SELECT label AS entity_id, count(*) AS n_members
+         FROM lab GROUP BY label ORDER BY entity_id""",
 
     // The fuzzy join's oracle is the naive quadratic join — sound blocking
     // means the clever plan and the brute force agree exactly.
