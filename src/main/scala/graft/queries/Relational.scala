@@ -201,6 +201,20 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Per-group regression/correlation (Stats.regression under the
+    // oracle): value regressed on day-of-month per event type. The moment
+    // sums are exact decimals; the closed-form combination is a fixed
+    // double expression tree mirrored verbatim in the oracle — bitwise
+    // cross-engine equality without the built-in corr's order-dependent
+    // running moments.
+    "q_regression" -> ((s, d) => {
+      graft.operators.Stats.regression(
+        Tables.events(s, d)
+          .select(col("event_type"), dayofmonth(col("ts")).as("day"), col("value")),
+        Seq("event_type"), "day", "value")
+        .orderBy("event_type")
+    }),
+
     // Winsorization (Outliers.winsorize under the oracle): clamp into the
     // per-group [p10, p90] order statistics — selections and min/max
     // only, zero arithmetic, so the doubles compare exactly cross-engine.
@@ -738,6 +752,28 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    "q_regression" ->
+      """WITH m AS (
+           SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(date_part('day', ts) AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(date_part('day', ts) AS DECIMAL(12,0))
+                      * CAST(date_part('day', ts) AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(date_part('day', ts) AS DECIMAL(12,0))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+         FROM m ORDER BY event_type""",
 
     "q_winsorize" ->
       """WITH r AS (
