@@ -49,4 +49,56 @@ object Stats {
         ((col("__sy") - slope * col("__sx")) / col("__n")).as("intercept"),
         (covN / sqrt(varXN * varYN)).as("corr")): _*)
   }
+
+  /** Fixed-width histogram per group: bucket = floor((v − lo) / width),
+    * clamped into [0, nBuckets−1]. The bucket arithmetic is two
+    * single-rounded FP ops + an exact floor — identical in any engine —
+    * and the outputs are integer counts. One hash aggregate; empty
+    * buckets are omitted (join a spine downstream if a dense grid is
+    * needed).
+    */
+  def histogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0)
+    val raw = floor((col(valueCol) - lit(lo)) / lit(width))
+    val bucket = least(greatest(raw, lit(0.0)), lit((nBuckets - 1).toDouble))
+      .cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Ordered funnel (the ClickHouse windowFunnel shape, strict ordering):
+    * per entity, stage k is reached iff the EARLIEST occurrence of each
+    * stage is strictly later than the previous stage's earliest
+    * occurrence. One conditional-min aggregate per entity (single
+    * shuffle), then a count per depth — timestamps compare exactly, so
+    * the result is deterministic.
+    */
+  def funnel(
+      df: DataFrame,
+      entityCol: String,
+      stageCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val minCols = stages.map(s0 =>
+      min(when(col(stageCol) === s0, col(tsCol))).as(s"__t_$s0"))
+    val mins = df.groupBy(col(entityCol)).agg(minCols.head, minCols.tail: _*)
+    // depth = number of stages reached in strict order
+    val depth = stages.zipWithIndex.tail.foldLeft(
+      when(col(s"__t_${stages.head}").isNotNull, 1).otherwise(0)) {
+      case (acc, (s0, i)) =>
+        when(acc === i && col(s"__t_$s0") > col(s"__t_${stages(i - 1)}"), i + 1)
+          .otherwise(acc)
+    }
+    mins.select(col(entityCol), depth.as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

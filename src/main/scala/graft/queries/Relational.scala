@@ -201,6 +201,24 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Fixed-width histogram (Stats.histogram under the oracle): two
+    // single-rounded FP ops + exact floor per row, integer counts out.
+    "q_histogram" -> ((s, d) => {
+      graft.operators.Stats.histogram(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", lo = 0.0, width = 25.0, nBuckets = 20)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Ordered funnel view → click → purchase (Stats.funnel under the
+    // oracle): strict-order stage progression from per-user earliest
+    // stage timestamps — exact timestamp comparisons, integer counts.
+    "q_funnel" -> ((s, d) => {
+      graft.operators.Stats.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("depth")
+    }),
+
     // Per-group regression/correlation (Stats.regression under the
     // oracle): value regressed on day-of-month per event type. The moment
     // sums are exact decimals; the closed-form combination is a fixed
@@ -752,6 +770,31 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    "q_histogram" ->
+      """SELECT event_type,
+           CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 19.0)
+                AS INTEGER) AS bucket,
+           count(*) AS n
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q_funnel" ->
+      """WITH m AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id),
+         dpt AS (
+           SELECT user_id,
+             CASE WHEN t_view IS NULL THEN 0
+                  WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                  WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                  ELSE 3 END AS depth
+           FROM m)
+         SELECT depth, count(*) AS n_entities
+         FROM dpt GROUP BY depth ORDER BY depth""",
 
     "q_regression" ->
       """WITH m AS (

@@ -15,6 +15,29 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("corr") === 1.0)
   }
 
+  test("funnel counts strict-order stage progression") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)), // depth 3
+      (2L, "view", ts(1)), (2L, "click", ts(2)),                          // depth 2
+      (3L, "click", ts(1)), (3L, "view", ts(2)),                          // click BEFORE view -> depth 1
+      (4L, "purchase", ts(1)))                                            // no view -> depth 0
+    val df = spark.createDataFrame(rows).toDF("uid", "stage", "t")
+    val out = Stats.funnel(df, "uid", "stage", "t", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(3 -> 1L, 2 -> 1L, 1 -> 1L, 0 -> 1L))
+  }
+
+  test("histogram clamps out-of-range values into the edge buckets") {
+    val df = spark.createDataFrame(Seq(
+      ("g", -5.0), ("g", 0.0), ("g", 24.9), ("g", 25.0), ("g", 1e9)))
+      .toDF("k", "v")
+    val out = Stats.histogram(df, Seq("k"), "v", lo = 0.0, width = 25.0, nBuckets = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out === Map(0 -> 3L, 1 -> 1L, 2 -> 1L))
+  }
+
   test("an anti-correlated group reports corr -1; nulls are dropped") {
     val rows = Seq(("a", 1, Some(3.0)), ("a", 2, Some(2.0)), ("a", 3, Some(1.0)),
       ("a", 4, None))
