@@ -24,6 +24,21 @@ object Components {
   /** (id, component) for every vertex in `pairs` (columns idA, idB),
     * where `component` is the minimum vertex id reachable from `id`.
     */
+  /** Triangle count over an undirected edge list given as (id_a < id_b)
+    * pairs: the canonical two-join counting shape — for every wedge
+    * a<b<c with edges (a,b) and (b,c), probe for the closing edge (a,c).
+    * Each join is hash-partitioned on its key; at web scale, order
+    * vertices by degree first (the node-iterator optimization) so hubs
+    * don't dominate the wedge join — noted, not needed at oracle scale.
+    */
+  def triangleCount(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def minLabel(
       pairs: DataFrame,
       idA: String = "id_a",

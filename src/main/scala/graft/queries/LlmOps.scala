@@ -124,6 +124,15 @@ object LlmOps {
       Components.minLabel(ccBlockingPairs(docs)).orderBy("id")
     }),
 
+    // Triangle count (Components.triangleCount): the wedge-close two-join
+    // shape over the same blocking graph as q_dedup_cc — graph analytics
+    // beyond components, oracled against DuckDB's 3-way self-join.
+    "q_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Components.triangleCount(ccBlockingPairs(docs))
+    }),
+
     // Canonical-document selection: the step AFTER duplicate clustering —
     // per connected component keep the BEST-quality member (argmax by
     // quality score, id tiebreak), not the arbitrary min-id. Composes the
@@ -1438,6 +1447,18 @@ object LlmOps {
            UNION
            SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(m) AS label FROM reach GROUP BY id ORDER BY id""",
+
+    "q_triangles" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
+         e AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1)
+         SELECT count(*) AS n_triangles
+         FROM e e1
+         JOIN e e2 ON e1.b = e2.a
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
 
     // Components mirror = q_dedup_cc's proven recursive CTE; quality
     // mirror = q_text_quality's proven arithmetic; the argmax runs on the

@@ -201,6 +201,33 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Event-transition matrix: per-user next-event via lead() over the
+    // (ts, event_id) order both engines agree on — the Sankey/path input.
+    "q_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Cohort retention: users grouped by first-activity week, counted in
+    // every week they return — integer bucket arithmetic, exact oracle.
+    "q_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST((day(ts) - 1) DIV 7 AS INT)").as("week"))
+        .distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      coh.join(act, Seq("user_id"))
+        .groupBy(col("cohort"), col("week"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "week")
+    }),
+
     // Fixed-width histogram (Stats.histogram under the oracle): two
     // single-rounded FP ops + exact floor per row, integer counts out.
     "q_histogram" -> ((s, d) => {
@@ -770,6 +797,26 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    "q_transitions" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+         FROM t WHERE next_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+
+    "q_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST((date_part('day', ts) - 1) // 7 AS INTEGER) AS week
+           FROM events),
+         coh AS (SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id)
+         SELECT c.cohort, a.week, count(*) AS n_active
+         FROM coh c JOIN act a USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, week""",
 
     "q_histogram" ->
       """SELECT event_type,
