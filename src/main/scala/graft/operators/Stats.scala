@@ -50,6 +50,46 @@ object Stats {
         (covN / sqrt(varXN * varYN)).as("corr")): _*)
   }
 
+  /** Five-number summary per group — min, q1, median, q3, max — with the
+    * quartiles as EXPLICIT type-7 order statistics (the numpy/R default):
+    * position (n−1)·p is split into an exact floor rank and an exact
+    * fractional part ((n−1)·p is exact in double for p ∈ {.25,.5,.75}),
+    * and the interpolation v_lo + (v_hi − v_lo)·frac is three
+    * single-rounded ops in a fixed tree — an oracle mirroring the formula
+    * reproduces every double bitwise (the [[Outliers]] determinism
+    * discipline extended to arbitrary quartiles). One window shuffle on
+    * the group keys + one final aggregate.
+    */
+  def summary(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc, col(idCol).asc)
+    val wAll = Window.partitionBy(keys: _*)
+    def quantile(tagged: DataFrame, p: Double, name: String): DataFrame = {
+      val pos = (col("__n") - 1) * lit(p)
+      val k = floor(pos).cast("long") + 1
+      val frac = pos - floor(pos)
+      val vLo = max(when(col("__rn") === k, col(valueCol))).over(wAll)
+      val vHi = max(when(col("__rn") === k + 1, col(valueCol))).over(wAll)
+      tagged.withColumn(name,
+        vLo + (coalesce(vHi, vLo) - vLo) * frac)
+    }
+    val tagged = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    Seq(0.25 -> "q1", 0.5 -> "med", 0.75 -> "q3")
+      .foldLeft(tagged) { case (acc, (p, name)) => quantile(acc, p, name) }
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("v_min"), min(col("q1")).as("q1"),
+        min(col("med")).as("med"), min(col("q3")).as("q3"),
+        max(col(valueCol)).as("v_max"))
+  }
+
   /** Fixed-width histogram per group: bucket = floor((v − lo) / width),
     * clamped into [0, nBuckets−1]. The bucket arithmetic is two
     * single-rounded FP ops + an exact floor — identical in any engine —

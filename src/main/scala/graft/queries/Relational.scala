@@ -201,6 +201,16 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Five-number summary (Stats.summary under the oracle): type-7
+    // quartiles as explicit order statistics with a fixed interpolation
+    // tree — every double bitwise-reproducible cross-engine.
+    "q_summary" -> ((s, d) => {
+      graft.operators.Stats.summary(
+        Tables.events(s, d).select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "event_id", "value")
+        .orderBy("event_type")
+    }),
+
     // Event-transition matrix: per-user next-event via lead() over the
     // (ts, event_id) order both engines agree on — the Sankey/path input.
     "q_transitions" -> ((s, d) => {
@@ -797,6 +807,43 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    "q_summary" ->
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         q AS (
+           SELECT event_type, value, rn, n,
+             (n - 1) * 0.25 AS p1, (n - 1) * 0.5 AS p2, (n - 1) * 0.75 AS p3
+           FROM r),
+         w AS (
+           SELECT event_type, value, n,
+             max(CASE WHEN rn = CAST(floor(p1) AS BIGINT) + 1 THEN value END)
+               OVER (PARTITION BY event_type) AS lo1,
+             max(CASE WHEN rn = CAST(floor(p1) AS BIGINT) + 2 THEN value END)
+               OVER (PARTITION BY event_type) AS hi1,
+             p1 - floor(p1) AS f1,
+             max(CASE WHEN rn = CAST(floor(p2) AS BIGINT) + 1 THEN value END)
+               OVER (PARTITION BY event_type) AS lo2,
+             max(CASE WHEN rn = CAST(floor(p2) AS BIGINT) + 2 THEN value END)
+               OVER (PARTITION BY event_type) AS hi2,
+             p2 - floor(p2) AS f2,
+             max(CASE WHEN rn = CAST(floor(p3) AS BIGINT) + 1 THEN value END)
+               OVER (PARTITION BY event_type) AS lo3,
+             max(CASE WHEN rn = CAST(floor(p3) AS BIGINT) + 2 THEN value END)
+               OVER (PARTITION BY event_type) AS hi3,
+             p3 - floor(p3) AS f3
+           FROM q)
+         SELECT event_type, count(*) AS n,
+           min(value) AS v_min,
+           min(lo1 + (coalesce(hi1, lo1) - lo1) * f1) AS q1,
+           min(lo2 + (coalesce(hi2, lo2) - lo2) * f2) AS med,
+           min(lo3 + (coalesce(hi3, lo3) - lo3) * f3) AS q3,
+           max(value) AS v_max
+         FROM w GROUP BY event_type ORDER BY event_type""",
 
     "q_transitions" ->
       """WITH t AS (

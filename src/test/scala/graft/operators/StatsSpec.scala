@@ -15,6 +15,21 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("corr") === 1.0)
   }
 
+  test("summary computes type-7 quartiles (numpy default) exactly") {
+    // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
+    val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
+      .toDF("k", "id", "v")
+    val r = Stats.summary(df, Seq("k"), "id", "v").collect().head
+    assert((r.getAs[Double]("v_min"), r.getAs[Double]("q1"), r.getAs[Double]("med"),
+      r.getAs[Double]("q3"), r.getAs[Double]("v_max")) === ((1.0, 2.0, 3.0, 4.0, 5.0)))
+    // values 1..4: interpolated — q1 = 1.75, med = 2.5, q3 = 3.25
+    val df4 = spark.createDataFrame((1 to 4).map(i => ("g", i.toLong, i.toDouble)))
+      .toDF("k", "id", "v")
+    val r4 = Stats.summary(df4, Seq("k"), "id", "v").collect().head
+    assert((r4.getAs[Double]("q1"), r4.getAs[Double]("med"), r4.getAs[Double]("q3"))
+      === ((1.75, 2.5, 3.25)))
+  }
+
   test("funnel counts strict-order stage progression") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
