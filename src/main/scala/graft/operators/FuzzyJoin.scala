@@ -53,9 +53,15 @@ object FuzzyJoin {
     * edits (Levenshtein). Output: (id_a, id_b, name_a, name_b, dist) where
     * name_x is id_x's value and dist is the exact edit distance.
     */
-  def editDistanceSelfJoin(
+  /** Distinct-VALUE pairs within `maxDist` edits: (__sa, __sb, __dist)
+    * with __sa < __sb. This is the scale unit of the whole operator —
+    * everything downstream of it (id expansion in
+    * [[editDistanceSelfJoin]], value-graph clustering in an
+    * entity-resolution pipeline) is value-vocabulary-sized, not
+    * corpus-sized.
+    */
+  def valuePairs(
       df: DataFrame,
-      idCol: String,
       strCol: String,
       maxDist: Int,
       q: Int = 2): DataFrame = {
@@ -63,11 +69,8 @@ object FuzzyJoin {
     require(q >= 2, s"q must be >= 2, got $q")
     val k = maxDist
     val kq = k * q
-
-    val base = df
-      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull)
-    val values = base.select("__s").distinct()
+    val values = df.select(col(strCol).as("__s"))
+      .filter(col("__s").isNotNull).distinct()
 
     // Distinct q-grams (set semantics — the pigeonhole bound above is the
     // set version: one edit removes at most q elements from the gram SET).
@@ -108,9 +111,21 @@ object FuzzyJoin {
           abs(length(col("__sa")) - length(col("__sb"))) <= k)
 
     // Banded exact verify: levenshtein(a, b, k) returns -1 above k.
-    val vpairs = candLong.unionByName(candShort)
+    candLong.unionByName(candShort)
       .withColumn("__dist", levenshtein(col("__sa"), col("__sb"), k))
       .filter(col("__dist") >= 0)
+  }
+
+  def editDistanceSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      q: Int = 2): DataFrame = {
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    val vpairs = valuePairs(df, strCol, maxDist, q)
 
     // Expand distinct-value pairs back to id pairs; names follow ids after
     // the least/greatest normalization (distance is symmetric).
