@@ -37,17 +37,20 @@ object Stats {
         sum(x * x).cast("double").as("__sxx"),
         sum(y * y).cast("double").as("__syy"),
         sum(x * y).cast("double").as("__sxy"))
-    // fixed expression tree — mirror EXACTLY in any oracle
+    // fixed expression tree — mirror EXACTLY in any oracle. Degenerate
+    // groups (n = 1, constant x, constant y) yield NULL via nullif in
+    // BOTH engines — without it Spark's non-ANSI 0/0 is NULL while
+    // DuckDB's IEEE mode says NaN/inf, and the bitwise contract breaks.
     val covN = col("__n") * col("__sxy") - col("__sx") * col("__sy")
     val varXN = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     val varYN = col("__n") * col("__syy") - col("__sy") * col("__sy")
-    val slope = covN / varXN
+    val slope = covN / nullif(varXN, lit(0.0))
     agg.select(
       groupCols.map(col) ++ Seq(
         col("__n").cast("long").as("n"),
         slope.as("slope"),
         ((col("__sy") - slope * col("__sx")) / col("__n")).as("intercept"),
-        (covN / sqrt(varXN * varYN)).as("corr")): _*)
+        (covN / sqrt(nullif(varXN * varYN, lit(0.0)))).as("corr")): _*)
   }
 
   /** Five-number summary per group — min, q1, median, q3, max — with the

@@ -327,8 +327,14 @@ object Relational {
     // graph is 64 nodes).
     "q_er_resolve" -> ((s, d) => {
       val part = Tables.part(s, d)
-      val vals = part.groupBy(col("p_name").as("__s"))
+      // non-null filter mirrors valuePairs (and the oracle, where
+      // levenshtein(NULL, ...) joins nothing); localCheckpoint
+      // materializes the vocabulary-sized aggregate once instead of
+      // re-scanning part for both the edge build and the final join
+      val vals = part.filter(col("p_name").isNotNull)
+        .groupBy(col("p_name").as("__s"))
         .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("min_id"))
+        .localCheckpoint(true)
       val vp = graft.operators.FuzzyJoin.valuePairs(part, "p_name", maxDist = 2)
       val edges = vp
         .join(vals.select(col("__s").as("__sa"), col("min_id").as("id_a")), Seq("__sa"))
@@ -923,10 +929,11 @@ object Relational {
            WHERE ts IS NOT NULL AND value IS NOT NULL
            GROUP BY event_type)
          SELECT event_type, CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope,
+           (sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx) / n
+             AS intercept,
            (n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+             / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)) AS corr
          FROM m ORDER BY event_type""",
 
     "q_winsorize" ->

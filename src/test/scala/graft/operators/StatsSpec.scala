@@ -15,6 +15,17 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("corr") === 1.0)
   }
 
+  test("degenerate regression groups (n=1, constant x) report NULL, not NaN/inf") {
+    val df = spark.createDataFrame(Seq(
+      ("one", 5, 1.0),                     // n = 1
+      ("constx", 3, 1.0), ("constx", 3, 2.0))) // var(x) = 0
+      .toDF("k", "x", "y")
+    val out = Stats.regression(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("one", "constx"); c <- Seq("slope", "intercept", "corr"))
+      assert(out(g).isNullAt(out(g).fieldIndex(c)), s"$g.$c should be null")
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
