@@ -365,6 +365,76 @@ object Relational {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corrupt-tolerant ingestion: a landing file with deterministically
+    // planted garbage lines (one after every 500th event) reads in
+    // PERMISSIVE mode — good rows recovered EXACTLY (none lost to a
+    // corrupt neighbor), corrupt rows counted via _corrupt, never
+    // crashing the sync. The oracle derives both counts from the clean
+    // table + the planting rule.
+    "q_corrupt_tolerant" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"corrupt_${srcFile.lastModified}_${srcFile.length}")
+      Fixtures.ensure(root) {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val good = ev.select((col("event_id") * 2).as("__ord"),
+          to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
+        val bad = ev.filter(col("event_id") % 500 === 0)
+          .select((col("event_id") * 2 + 1).as("__ord"),
+            concat(lit("{\"event_id\": BROKEN "), col("event_id")).as("line"))
+        good.unionByName(bad).orderBy("__ord").select("line")
+          .coalesce(1).write.text(root.resolve("data").toString)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(root.resolve("data").toString)
+        .agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("value").cast(dec)))
+            .cast("double").as("total"))
+    }),
+
+    // Schema evolution (mergeSchema scan): half the corpus lands with the
+    // v1 schema (no value column), half with v2 — the mixed-version
+    // directory every long-lived ingest accumulates. The merged read must
+    // surface v1 rows with NULL value, v2 rows intact; DuckDB mirrors via
+    // read_parquet(union_by_name). Integer/decimal outputs.
+    "q_schema_evolution" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"schemaevo_${srcFile.lastModified}_${srcFile.length}")
+      Fixtures.ensure(root) {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"))
+          .coalesce(1).write.parquet(root.resolve("v1").toString)
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .coalesce(1).write.parquet(root.resolve("v2").toString)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(root.resolve("v1").toString, root.resolve("v2").toString)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          sum(col("value").cast(dec)).cast("double").as("total"))
+    }),
+
     // Clustered write + pruned scan (Layout.clusteredWrite under the
     // oracle): events land partitioned by day and sorted within partitions
     // — the write-side layout for time-ranged reads at 100 TB — then the
@@ -1055,6 +1125,27 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    // Both counts derived from the clean table + the planting rule: the
+    // permissive read must lose nothing and quarantine exactly the
+    // planted lines.
+    "q_corrupt_tolerant" ->
+      """SELECT count(*) AS n_good,
+           CAST(sum(CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events""",
+
+    // The mixed-schema directory must read exactly like the raw table
+    // with value nulled on the v1 half.
+    "q_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+           sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_with_value,
+           CAST(sum(CASE WHEN event_id % 2 = 1
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS total
+         FROM events""",
 
     // The z-order layout's oracle is the plain 2-D slice on the raw table
     // — bucket pruning must be a strict superset of the matching rows.
