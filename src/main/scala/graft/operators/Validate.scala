@@ -49,6 +49,34 @@ object Validate {
     df.filter(col(c).isNotNull)
       .agg(sum(when(!col(c).isin(values: _*), 1L).otherwise(0L)).as("n_violations"))
 
+  /** Snapshot diff — the change audit between two versions of a table
+    * (the Datafold/data-diff shape): full outer join on the primary key,
+    * rows classified added / removed / changed / unchanged, with value
+    * comparison null-safe (<=>) per compared column. Violation-counting
+    * philosophy as above: the output is per-status counts; row-level
+    * triage is a filtered query once the counts look wrong. One key-wise
+    * shuffle join, integer outputs.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      pk: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(pk).as("__pk"),
+      struct(compareCols.map(col): _*).as("__o"))
+    val n = newDf.select(col(pk).as("__pk"),
+      struct(compareCols.map(col): _*).as("__n"))
+    o.join(n, Seq("__pk"), "full_outer")
+      .select(
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(col("__o") <=> col("__n"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("status")
+  }
+
   /** Union named rules into the audit table:
     * (constraint, n_violations, passed), ordered by constraint name.
     */

@@ -365,6 +365,25 @@ object Relational {
         .orderBy("id_a", "id_b")
     }),
 
+    // Snapshot diff (Validate.snapshotDiff under the oracle): old = the
+    // first 20 days, new = day 5 onward with values rewritten for every
+    // 10th user — added/removed/changed/unchanged counts from one
+    // full-outer key join. Value comparison is exact (the rewrite is a
+    // *2 — exact in FP — and comparison is null-safe equality).
+    "q_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t5 = lit("2024-01-05").cast("timestamp")
+      val t20 = lit("2024-01-20").cast("timestamp")
+      val old = ev.filter(col("ts") < t20)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val neu = ev.filter(col("ts") >= t5)
+        .select(col("event_id"), col("user_id"),
+          when(col("user_id") % 10 === 0, col("value") * 2)
+            .otherwise(col("value")).as("value"))
+      graft.operators.Validate.snapshotDiff(old, neu, "event_id",
+        Seq("user_id", "value"))
+    }),
+
     // Corrupt-tolerant ingestion: a landing file with deterministically
     // planted garbage lines (one after every 500th event) reads in
     // PERMISSIVE mode — good rows recovered EXACTLY (none lost to a
@@ -1125,6 +1144,24 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+           SELECT event_id, user_id, value FROM events
+           WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+         n AS (
+           SELECT event_id, user_id,
+             CASE WHEN user_id % 10 = 0 THEN value * 2 ELSE value END AS value
+           FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'),
+         j AS (
+           SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+                       WHEN n.event_id IS NULL THEN 'removed'
+                       WHEN o.user_id IS NOT DISTINCT FROM n.user_id
+                        AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+         SELECT status, count(*) AS n_rows FROM j
+         GROUP BY status ORDER BY status""",
 
     // Both counts derived from the clean table + the planting rule: the
     // permissive read must lose nothing and quarantine exactly the

@@ -49,6 +49,20 @@ class QualitySpec extends SparkSpec {
     assert(audit("s_domain") === ((1L, false)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged; null values compare null-safe") {
+    val old = spark.createDataFrame(Seq(
+      (1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, Some(4.0)))
+      .map { case (k, v) => (k, v.map(Double.box).orNull) }).toDF("pk", "v")
+    val neu = spark.createDataFrame(Seq(
+      (2L, Some(2.0)), (3L, None), (4L, Some(40.0)), (5L, Some(5.0)))
+      .map { case (k, v) => (k, v.map(Double.box).orNull) }).toDF("pk", "v")
+    val out = Validate.snapshotDiff(old, neu, "pk", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1 removed, 5 added, 4 changed, 2 unchanged, 3 unchanged (null <=> null)
+    assert(out === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 2L))
+  }
+
   test("a clean table passes every rule") {
     val clean = spark.createDataFrame(Seq((1L, 1.0, "x"), (2L, 2.0, "x")))
       .toDF("id", "v", "s")
