@@ -224,6 +224,23 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
+    // Rolling 7-day active users (the WAU curve): per calendar day, the
+    // distinct users active in the trailing week. COUNT DISTINCT over a
+    // RANGE frame isn't expressible as a window, so the day spine
+    // (bounded, broadcast) range-joins the distinct (user, day) activity
+    // — integer outputs, exact oracle.
+    "q_rolling_active" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), dayofmonth(col("ts")).as("day"))
+        .distinct()
+      val spine = act.select(col("day").as("d")).distinct()
+      act.join(broadcast(spine),
+          col("day") >= col("d") - 6 && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("d")
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted in
     // every week they return — integer bucket arithmetic, exact oracle.
     "q_retention" -> ((s, d) => {
@@ -425,6 +442,63 @@ object Relational {
           sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
           sum(when(col("_corrupt").isNull, col("value").cast(dec)))
             .cast("double").as("total"))
+    }),
+
+    // Ingestion-robustness composition (the q_pipeline_e2e discipline for
+    // the ops family): PERMISSIVE read of the corrupt landing file →
+    // quarantine accounting → data-contract gates on the recovered rows,
+    // emitted as ONE audit table. Certifies the hand-off: rows lost in
+    // recovery or mis-quarantined flip the contract counts or the
+    // quarantine gate.
+    "q_ingest_e2e" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"corrupt_${srcFile.lastModified}_${srcFile.length}")
+      // fixture shared with q_corrupt_tolerant (same key, same builder)
+      Fixtures.ensure(root) {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val good = ev.select((col("event_id") * 2).as("__ord"),
+          to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
+        val bad = ev.filter(col("event_id") % 500 === 0)
+          .select((col("event_id") * 2 + 1).as("__ord"),
+            concat(lit("{\"event_id\": BROKEN "), col("event_id")).as("line"))
+        good.unionByName(bad).orderBy("__ord").select("line")
+          .coalesce(1).write.text(root.resolve("data").toString)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      // cached: Spark's documented workaround for the corrupt-column-only
+      // query restriction (the quarantine agg projects just _corrupt);
+      // the parsed landing batch is bounded and re-read by four gates
+      val raw = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(root.resolve("data").toString)
+        .cache()
+      val good = raw.filter(col("_corrupt").isNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val audit = graft.operators.Validate.report(Seq(
+        "pk_event_unique" -> graft.operators.Validate.unique(good, Seq("event_id")),
+        "user_nonneg" -> graft.operators.Validate.inRange(good, "user_id",
+          Some(lit(0L)), None),
+        "value_notnull" -> graft.operators.Validate.notNull(good, "value")))
+      val quarantine = raw.agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+        .select(lit("quarantined_lines").as("constraint"),
+          col("n_corrupt").as("n_violations"),
+          (col("n_corrupt") * 100 < col("n_good")).as("passed"))
+      audit.unionByName(quarantine).orderBy("constraint")
     }),
 
     // Schema evolution (mergeSchema scan): half the corpus lands with the
@@ -967,6 +1041,16 @@ object Relational {
          FROM t WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
 
+    "q_rolling_active" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST(date_part('day', ts) AS INTEGER) AS day
+           FROM events),
+         spine AS (SELECT DISTINCT day AS d FROM act)
+         SELECT s.d, count(DISTINCT a.user_id) AS wau
+         FROM spine s JOIN act a ON a.day >= s.d - 6 AND a.day <= s.d
+         GROUP BY s.d ORDER BY s.d""",
+
     "q_retention" ->
       """WITH act AS (
            SELECT DISTINCT user_id,
@@ -1144,6 +1228,25 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    // The contract zeros are engine-verified claims (the recovered rows
+    // must really be clean); the quarantine row re-derives both counts
+    // from the clean table + the planting rule, gated under 1%.
+    "q_ingest_e2e" ->
+      """WITH g AS (SELECT count(*) AS n_good FROM events),
+         c AS (SELECT CAST(sum(CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_corrupt FROM events)
+         SELECT * FROM (
+           SELECT 'pk_event_unique' AS "constraint",
+             CAST(0 AS BIGINT) AS n_violations, true AS passed
+           UNION ALL
+           SELECT 'quarantined_lines', c.n_corrupt,
+             c.n_corrupt * 100 < g.n_good FROM g, c
+           UNION ALL
+           SELECT 'user_nonneg', CAST(0 AS BIGINT), true
+           UNION ALL
+           SELECT 'value_notnull', CAST(0 AS BIGINT), true)
+         ORDER BY "constraint"""",
 
     "q_snapshot_diff" ->
       """WITH o AS (
