@@ -444,6 +444,37 @@ object Relational {
             .cast("double").as("total"))
     }),
 
+    // Dynamic partition overwrite: the idempotent day-level re-land every
+    // incremental pipeline depends on — rewriting days 10-12 with
+    // partitionOverwriteMode=dynamic must touch ONLY those directories
+    // (static mode would wipe the table). The re-landed days carry a
+    // deterministic value rewrite (*2 for every 10th user) so a silent
+    // full-table clobber OR a no-op both flip the oracle hash.
+    "q_dynamic_overwrite" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"dynover_${srcFile.lastModified}_${srcFile.length}")
+      val path = root.resolve("data").toString
+      Fixtures.ensure(root) {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("value"), dayofmonth(col("ts")).as("day"))
+        ev.write.partitionBy("day").parquet(path)
+        val rewrite = ev.filter(col("day").between(10, 12))
+          .withColumn("value",
+            when(col("user_id") % 10 === 0, col("value") * 2).otherwise(col("value")))
+        rewrite.write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("day").parquet(path)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      s.read.parquet(path)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total"))
+        .orderBy("day")
+    }),
+
     // Ingestion-robustness composition (the q_pipeline_e2e discipline for
     // the ops family): PERMISSIVE read of the corrupt landing file →
     // quarantine accounting → data-contract gates on the recovered rows,
@@ -1228,6 +1259,18 @@ object Relational {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY o.o_custkey, c.c_mktsegment
          ORDER BY o.o_custkey""",
+
+    // Untouched days must read back pristine; the re-landed days carry
+    // the rewrite — both directions of the dynamic-overwrite contract.
+    "q_dynamic_overwrite" ->
+      """SELECT CAST(date_part('day', ts) AS INTEGER) AS day,
+           count(*) AS n,
+           CAST(sum(CASE WHEN date_part('day', ts) BETWEEN 10 AND 12
+                          AND user_id % 10 = 0
+                         THEN CAST(value * 2 AS DECIMAL(18,2))
+                         ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS total
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // The contract zeros are engine-verified claims (the recovered rows
     // must really be clean); the quarantine row re-derives both counts
