@@ -62,11 +62,14 @@ object Validate {
       newDf: DataFrame,
       pk: String,
       compareCols: Seq[String]): DataFrame = {
-    val o = oldDf.select(col(pk).as("__pk"),
+    // null-safe key join (<=>): a null-pk row present unchanged in both
+    // snapshots must read as unchanged, not as removed + added (the same
+    // null-key discipline `unique` documents for PKs)
+    val o = oldDf.select(col(pk).as("__pko"),
       struct(compareCols.map(col): _*).as("__o"))
-    val n = newDf.select(col(pk).as("__pk"),
+    val n = newDf.select(col(pk).as("__pkn"),
       struct(compareCols.map(col): _*).as("__n"))
-    o.join(n, Seq("__pk"), "full_outer")
+    o.join(n, col("__pko") <=> col("__pkn"), "full_outer")
       .select(
         when(col("__o").isNull, lit("added"))
           .when(col("__n").isNull, lit("removed"))

@@ -46,6 +46,45 @@ object Relational {
 
   private val dec = DecimalType(18, 2)
 
+  private val corruptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("_corrupt",
+      org.apache.spark.sql.types.StringType)))
+
+  /** The corrupt-landing fixture (good JSONL + one planted garbage line
+    * after every 500th event) and its PERMISSIVE parse — ONE builder and
+    * ONE schema shared by q_corrupt_tolerant and q_ingest_e2e, so the
+    * planting rule their oracles both derive counts from cannot diverge
+    * between the two queries.
+    */
+  private def corruptParsed(s: SparkSession, d: String): DataFrame = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+      s"corrupt_${srcFile.lastModified}_${srcFile.length}")
+    Fixtures.ensure(root) {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val good = ev.select((col("event_id") * 2).as("__ord"),
+        to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
+      val bad = ev.filter(col("event_id") % 500 === 0)
+        .select((col("event_id") * 2 + 1).as("__ord"),
+          concat(lit("{\"event_id\": BROKEN "), col("event_id")).as("line"))
+      good.unionByName(bad).orderBy("__ord").select("line")
+        .coalesce(1).write.text(root.resolve("data").toString)
+      java.nio.file.Files.createFile(root.resolve("_DONE"))
+      ()
+    }
+    s.read.schema(corruptSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(root.resolve("data").toString)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -230,12 +269,14 @@ object Relational {
     // (bounded, broadcast) range-joins the distinct (user, day) activity
     // — integer outputs, exact oracle.
     "q_rolling_active" -> ((s, d) => {
+      // calendar DATE keys, not day-of-month: a month boundary must not
+      // truncate the trailing window or collapse distinct months' users
       val act = Tables.events(s, d)
-        .select(col("user_id"), dayofmonth(col("ts")).as("day"))
+        .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
       val spine = act.select(col("day").as("d")).distinct()
       act.join(broadcast(spine),
-          col("day") >= col("d") - 6 && col("day") <= col("d"))
+          col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
         .groupBy(col("d"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy("d")
@@ -406,37 +447,10 @@ object Relational {
     // PERMISSIVE mode — good rows recovered EXACTLY (none lost to a
     // corrupt neighbor), corrupt rows counted via _corrupt, never
     // crashing the sync. The oracle derives both counts from the clean
-    // table + the planting rule.
+    // table + the planting rule. Fixture + parse shared with
+    // q_ingest_e2e via [[corruptParsed]].
     "q_corrupt_tolerant" -> ((s, d) => {
-      val srcFile = new java.io.File(s"$d/events.parquet")
-      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
-        s"corrupt_${srcFile.lastModified}_${srcFile.length}")
-      Fixtures.ensure(root) {
-        val ev = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("value"))
-        val good = ev.select((col("event_id") * 2).as("__ord"),
-          to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
-        val bad = ev.filter(col("event_id") % 500 === 0)
-          .select((col("event_id") * 2 + 1).as("__ord"),
-            concat(lit("{\"event_id\": BROKEN "), col("event_id")).as("line"))
-        good.unionByName(bad).orderBy("__ord").select("line")
-          .coalesce(1).write.text(root.resolve("data").toString)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-        ()
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("_corrupt",
-          org.apache.spark.sql.types.StringType)))
-      s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(root.resolve("data").toString)
+      corruptParsed(s, d)
         .agg(
           sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
           sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
@@ -482,40 +496,7 @@ object Relational {
     // recovery or mis-quarantined flip the contract counts or the
     // quarantine gate.
     "q_ingest_e2e" -> ((s, d) => {
-      val srcFile = new java.io.File(s"$d/events.parquet")
-      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
-        s"corrupt_${srcFile.lastModified}_${srcFile.length}")
-      // fixture shared with q_corrupt_tolerant (same key, same builder)
-      Fixtures.ensure(root) {
-        val ev = Tables.events(s, d)
-          .select(col("event_id"), col("user_id"), col("value"))
-        val good = ev.select((col("event_id") * 2).as("__ord"),
-          to_json(struct(col("event_id"), col("user_id"), col("value"))).as("line"))
-        val bad = ev.filter(col("event_id") % 500 === 0)
-          .select((col("event_id") * 2 + 1).as("__ord"),
-            concat(lit("{\"event_id\": BROKEN "), col("event_id")).as("line"))
-        good.unionByName(bad).orderBy("__ord").select("line")
-          .coalesce(1).write.text(root.resolve("data").toString)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-        ()
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("_corrupt",
-          org.apache.spark.sql.types.StringType)))
-      // cached: Spark's documented workaround for the corrupt-column-only
-      // query restriction (the quarantine agg projects just _corrupt);
-      // the parsed landing batch is bounded and re-read by four gates
-      val raw = s.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(root.resolve("data").toString)
-        .cache()
+      val raw = corruptParsed(s, d)
       val good = raw.filter(col("_corrupt").isNull)
         .select(col("event_id"), col("user_id"), col("value"))
       val audit = graft.operators.Validate.report(Seq(
@@ -523,12 +504,18 @@ object Relational {
         "user_nonneg" -> graft.operators.Validate.inRange(good, "user_id",
           Some(lit(0L)), None),
         "value_notnull" -> graft.operators.Validate.notNull(good, "value")))
+      // __touch folds into `passed` (always-true conjunct) so the scan
+      // keeps a data column: Spark refuses a JSON query whose only
+      // referenced column is the corrupt record, and an UNUSED extra
+      // aggregate would be pruned right back out by the optimizer
       val quarantine = raw.agg(
           sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
-          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          count(col("event_id")).as("__touch"))
         .select(lit("quarantined_lines").as("constraint"),
           col("n_corrupt").as("n_violations"),
-          (col("n_corrupt") * 100 < col("n_good")).as("passed"))
+          (col("n_corrupt") * 100 < col("n_good") && col("__touch") >= 0)
+            .as("passed"))
       audit.unionByName(quarantine).orderBy("constraint")
     }),
 
@@ -1074,9 +1061,7 @@ object Relational {
 
     "q_rolling_active" ->
       """WITH act AS (
-           SELECT DISTINCT user_id,
-             CAST(date_part('day', ts) AS INTEGER) AS day
-           FROM events),
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
          spine AS (SELECT DISTINCT day AS d FROM act)
          SELECT s.d, count(DISTINCT a.user_id) AS wau
          FROM spine s JOIN act a ON a.day >= s.d - 6 AND a.day <= s.d

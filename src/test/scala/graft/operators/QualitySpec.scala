@@ -63,6 +63,16 @@ class QualitySpec extends SparkSpec {
       "changed" -> 1L, "unchanged" -> 2L))
   }
 
+  test("snapshotDiff treats an unchanged null-pk row as unchanged, not removed+added") {
+    val old = spark.createDataFrame(Seq((null.asInstanceOf[java.lang.Long], 1.0)))
+      .toDF("pk", "v")
+    val neu = spark.createDataFrame(Seq((null.asInstanceOf[java.lang.Long], 1.0)))
+      .toDF("pk", "v")
+    val out = Validate.snapshotDiff(old, neu, "pk", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("unchanged" -> 1L))
+  }
+
   test("a clean table passes every rule") {
     val clean = spark.createDataFrame(Seq((1L, 1.0, "x"), (2L, 2.0, "x")))
       .toDF("id", "v", "s")
