@@ -743,6 +743,23 @@ object Relational {
         .orderBy("custkey", "l_orderkey", "l_linenumber", "ship_date")
     }),
 
+    // Top-k WITH TIES per group: rank() (not row_number) keeps every row
+    // tied at the boundary — the semantics SQL's FETCH ... WITH TIES
+    // pins; l_quantity has heavy ties so the tie branch is exercised.
+    "q_topk_ties" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("rk", rank().over(w).cast("int"))
+        .filter(col("rk") <= 2)
+        .groupBy(col("l_returnflag"), col("rk"))
+        .agg(count(lit(1)).as("n_tied"),
+          min(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag", "rk")
+    }),
+
     "q_topk" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1326,6 +1343,16 @@ object Relational {
          WHERE user_id BETWEEN 100 AND 199
            AND date_part('day', ts) BETWEEN 10 AND 12
          GROUP BY 1 ORDER BY 1""",
+
+    "q_topk_ties" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_quantity,
+             CAST(rank() OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity DESC) AS INTEGER) AS rk
+           FROM lineitem)
+         SELECT l_returnflag, rk, count(*) AS n_tied, min(l_quantity) AS qty
+         FROM r WHERE rk <= 2
+         GROUP BY 1, 2 ORDER BY l_returnflag, rk""",
 
     "q_temporal_join" ->
       """WITH ch AS (
