@@ -122,6 +122,17 @@ object FuzzyJoin {
       strCol: String,
       maxDist: Int,
       q: Int = 2): DataFrame = {
+    // The id is normalized to long for the least/greatest canonical
+    // ordering below. That cast is lossless ONLY for integral ids — any
+    // other type would silently null (dropping rows from the expansion
+    // joins), so non-integral ids are rejected up front.
+    val idType = df.schema(idCol).dataType
+    require(
+      idType.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        idType.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"editDistanceSelfJoin: id column $idCol must be an integral type, got $idType")
     val base = df
       .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)

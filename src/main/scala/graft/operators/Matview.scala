@@ -36,11 +36,22 @@ object Matview {
         lit(s"matview: $valueCol overflows DECIMAL(18,2): "),
         col(valueCol).cast("string"))).cast(dec))
       .otherwise(casted)
-    // coalesce: an all-null-valued group contributes 0, not null — so in
-    // refresh() a null accumulator can ONLY mean overflow (raised below)
+    // Sum at FULL accumulator precision: sum over DECIMAL(18,2) would be
+    // DECIMAL(28,2), whose overflow nulls BEFORE any cast to the (38,2)
+    // accumulator — and a bare coalesce would mask that null as total=0
+    // with n > 0 (corrupted state, no error). Summing (38,2) values keeps
+    // the 1e36 headroom, and a null sum alongside non-null inputs is
+    // raised here, so the coalesce-to-0 only covers genuinely all-null
+    // groups.
     delta.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(guarded), lit(0).cast(acc)).cast(acc).as("total"))
+        sum(guarded.cast(acc)).as("__s"),
+        count(col(valueCol)).as("__nv"))
+      .withColumn("total",
+        when(col("__s").isNull && col("__nv") > 0,
+          raise_error(lit("matview: accumulator overflow in partial")).cast(acc))
+          .otherwise(coalesce(col("__s"), lit(0).cast(acc))).cast(acc))
+      .drop("__s", "__nv")
   }
 
   /** Fold a delta's partial state into the view: key-wise addition. A

@@ -49,6 +49,31 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** [[hashSplit]] on the PORTABLE md5 uniform: identical split
+    * semantics (same key → same split, zero shuffle, one codegen'd
+    * projection) but every assignment is replayable bit-identically in
+    * any engine with md5 — so the whole split is oracle-checkable, not
+    * just determinism-property-tested. Cuts are integer thresholds on
+    * the full `[0, 2^32)` hash range; each cut constant is
+    * `(cumWeight / total * 2^32).toLong`, a Scala-side constant an
+    * external replay mirrors verbatim.
+    */
+  def portableSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0))
+    val total = splits.map(_._2).sum
+    val range = 4294967296L // 2^32: portableUniform's exclusive upper bound
+    val u = portableUniform(col(keyCol))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c / total * range).toLong)
+    val assigned = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), elseCol) => when(u < cut, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Portable hash-uniform in `[0, 2^32)`: the first 8 hex digits of
     * `md5(string(key))` as a long. Unlike xxhash64 (Spark-only), md5 is
     * available bit-identically in every engine, so a sampling decision

@@ -111,7 +111,11 @@ object Stats {
     val raw = floor((col(valueCol) - lit(lo)) / lit(width))
     val bucket = least(greatest(raw, lit(0.0)), lit((nBuckets - 1).toDouble))
       .cast("int")
-    df.filter(col(valueCol).isNotNull)
+    // NaN is dropped alongside null: it passes isNotNull but its bucket
+    // placement via least/greatest is engine-dependent (Spark orders NaN
+    // largest; IEEE comparisons say neither) — excluding it keeps the
+    // bitwise oracle contract.
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }

@@ -556,10 +556,12 @@ object LlmOps {
     }),
 
     // Leakage-free hash split: same doc_id → same split on every run.
-    // rows-only (xxhash64 has no DuckDB analog); determinism is asserted
-    // in SamplingSpec across repartitionings.
+    // Portable variant (md5-prefix uniform, integer cut thresholds) so the
+    // oracle replays EVERY per-row assignment — one flipped split anywhere
+    // moves its group's (n, min_id) and the hash. The xxhash64 hashSplit
+    // keeps its determinism properties in SamplingSpec.
     "q_hash_split" -> ((s, d) => {
-      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+      Sampling.portableSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
@@ -1259,6 +1261,23 @@ object LlmOps {
     // Priority order, cumulative sums, and the cutoff all replayed from
     // the same md5 uniform; emitting every kept row makes a single
     // swapped priority or off-by-one budget comparison visible.
+    // Every assignment replayed: the same md5-prefix uniform and the same
+    // integer cuts (0.8·2^32 = 3435973836, 0.9·2^32 = 3865470566,
+    // truncated exactly as portableSplit's .toLong does).
+    "q_hash_split" ->
+      """WITH t AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN h < 3435973836 THEN 'train'
+                  WHEN h < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM t)
+         SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+         FROM s GROUP BY split ORDER BY split""",
+
     "q_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,

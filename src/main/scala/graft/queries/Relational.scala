@@ -167,8 +167,10 @@ object Relational {
       // tag carries the JVM pid: the catalog guard below is per-session
       // (in-memory catalog) while the files are shared /tmp state, so two
       // JVMs keyed on the data dir alone would overwrite each other's
-      // bucket files mid-scan. Per-process fixtures are rebuilt once per
-      // session — sub-second at bench scale.
+      // bucket files mid-scan. The two bucketed writes are a one-time
+      // per-process cost (a few seconds at bench scale) paid on first
+      // execution — the bench's cold pass — after which the query is the
+      // zero-exchange SMJ read alone.
       val tag = Integer.toHexString(d.hashCode) +
         "_p" + ProcessHandle.current().pid()
       val ot = s"orders_bkt_$tag"
@@ -190,6 +192,37 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
         .orderBy("o_custkey")
+    }),
+
+    // 5-table star join (TPC-H Q3/Q5 shape): lineitem fact ⋈ orders ⋈
+    // customer ⋈ nation ⋈ region with selective filters on three of the
+    // dims. The 100 TB plan this declares: region/nation are explicit
+    // broadcasts (KB-sized — never shuffle a fact for them), customer is
+    // AQE's choice (broadcast at bench scale, shuffle at 100 TB), and the
+    // only unavoidable exchange is the fact side of orders ⋈ lineitem.
+    // Filters (r_name, c_mktsegment, o_orderdate range) reach the parquet
+    // scans as PushedFilters — asserted in StarJoinSpec.
+    "q_star_join" -> ((s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, d)
+      val customer = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = Tables.lineitem(s, d)
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .join(orders, customer("c_custkey") === orders("o_custkey"))
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy("n_name")
     }),
 
     // Incremental matview maintenance (Matview under the oracle): the
@@ -1278,6 +1311,10 @@ object Relational {
     // The contract zeros are engine-verified claims (the recovered rows
     // must really be clean); the quarantine row re-derives both counts
     // from the clean table + the planting rule, gated under 1%.
+    // DATA-DEPENDENT CONSTANT: the hardcoded zero violations assume the
+    // synthetic events corpus has unique event_ids, non-negative user_ids,
+    // and no null values (true today; re-pin, don't debug, if the
+    // generator changes).
     "q_ingest_e2e" ->
       """WITH g AS (SELECT count(*) AS n_good FROM events),
          c AS (SELECT CAST(sum(CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END)
@@ -1324,6 +1361,9 @@ object Relational {
 
     // The mixed-schema directory must read exactly like the raw table
     // with value nulled on the v1 half.
+    // DATA-DEPENDENT CONSTANT: equating n_with_value with the odd-event_id
+    // row count assumes events.value is never null in the synthetic corpus
+    // (true today; re-pin, don't debug, if the generator changes).
     "q_schema_evolution" ->
       """SELECT count(*) AS n_rows,
            sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
@@ -1407,6 +1447,22 @@ object Relational {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_star_join" ->
+      """SELECT n_name,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE r_name = 'ASIA'
+           AND c_mktsegment = 'BUILDING'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
 
     // The clustered layout's oracle is the raw table sliced by day — the
     // partitioned files and pruning must be invisible in the result.

@@ -77,4 +77,76 @@ class CertificateSpec extends SparkSpec {
     assert(recallOk)
     assert(truth.nonEmpty && !(0L * 5 >= truth.size.toLong * 3))
   }
+
+  // -------------------------------------------------------------------
+  // The rows-only queries (engine-hash surfaces with no DuckDB analog)
+  // carry the same proven-red discipline as the oracled certificates:
+  // an independent driver-side recount of the exact truth, plus a flip
+  // that shows the equality would actually go red on a broken engine leg.
+  // -------------------------------------------------------------------
+
+  test("q_dedup_simhash: independent exact-Hamming truth; threshold flip goes red") {
+    val fps = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fps.keys.toSeq.sorted
+    // exact all-pairs truth by driver-side bit count — no banding, no join
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield (i, j)).toSet
+    val got = graft.SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"banded pairs diverge: missed=${(truth -- got).size} extra=${(got -- truth).size}")
+    // FLIP: a banding/verify that loses threshold-distance pairs (simulated
+    // by the tighter maxHamming = 2) must go RED against the same truth —
+    // the sf0.01 corpus has hamming == 3 pairs (4 of them; data-dependent
+    // constant, re-pin if the generator changes), so the equality binds.
+    val flipped = Dedup.simhashNearDupPairs(
+      Tables.documents(spark, sf), "doc_id", "text", maxHamming = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flipped != truth && (truth -- flipped).nonEmpty,
+      "threshold flip failed to go red — the recall equality is not binding")
+  }
+
+  test("q_simhash_fingerprints: driver-side kernel recount over the codegen path") {
+    val out = graft.SparkEntry.queries("q_simhash_fingerprints")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val expect = graft.expressions.TextKernels.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(out(id) == expect, s"doc $id: codegen fp ${out(id)} != kernel $expect")
+    }
+    // the surface is non-degenerate: real variety, not a constant column
+    assert(out.values.toSet.size > 100)
+  }
+
+  test("portableSplit: independent md5 recount; perturbed cuts go red") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = graft.operators.Sampling
+      .portableSplit(Tables.documents(spark, sf).select("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uniform(k: Long): Long = java.lang.Long.parseLong(
+      md.digest(k.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8), 16)
+    def assign(cut1: Long, cut2: Long): Map[Long, String] =
+      got.keys.map { k =>
+        val u = uniform(k)
+        k -> (if (u < cut1) "train" else if (u < cut2) "val" else "test")
+      }.toMap
+    // the exact cut constants portableSplit derives ((w/total·2^32).toLong)
+    val truth = assign(3435973836L, 3865470566L)
+    assert(got == truth, "portableSplit diverges from the independent md5 replay")
+    // FLIP: wrong cut constants (a 0.7/0.2 boundary) must go red — ~10% of
+    // the uniform range moves between splits, so some doc lands in it
+    val wrong = assign(3006477107L, 3865470566L)
+    assert(wrong != truth,
+      "cut perturbation failed to go red — the recount does not bind the constants")
+  }
 }
