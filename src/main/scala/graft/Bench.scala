@@ -6,14 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
   * Steady-state methodology (round 7): every query executes TWICE in
-  * sorted name order. Pass 1 ("cold") absorbs all one-time costs —
-  * /tmp fixture builds (corrupt landing, bucketed/z-order/clustered
-  * layouts, streaming replays), JIT/codegen compilation, disk-cache
-  * population. Pass 2 ("warm") is the steady-state measurement a long-
-  * running cluster job would see; it is the headline `queries`/`value`.
-  * Both maps are reported so regressions can be attributed to fixture
-  * churn vs. real plan cost. Queries are idempotent by construction
-  * (Verify and the oracle harness already run them repeatedly).
+  * sorted name order. Pass 1 ("cold") absorbs this process's one-time
+  * costs — JIT/codegen compilation, per-process bucketed-table writes,
+  * disk-cache population, and any /tmp fixture builds not already on
+  * disk. Pass 2 ("warm") is the steady-state measurement a long-running
+  * cluster job would see; it is the headline `queries`/`value`. Both
+  * maps are reported so regressions can be attributed to one-time churn
+  * vs. real plan cost. Caveat: shared /tmp fixtures are keyed by source
+  * (mtime, size) and survive JVM restarts, so on a machine with a warm
+  * /tmp the "cold" pass does not pay their build either — cold is
+  * within-process cold, a genuine full build only on a fresh container
+  * (the driver's case). Queries are idempotent by construction (Verify
+  * and the oracle harness already run them repeatedly).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,13 +32,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // A failing query must be LOUD: it is reported per-name on stderr and
-    // in the JSON, never silently timed as ~0 s (which would make a broken
-    // query look like a speedup).
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // A failing query must be LOUD: it is reported per-name AND per-pass
+    // in the JSON, never silently timed as ~0 s (which would make a
+    // broken query look like a speedup). Separate maps per pass: a
+    // cold-only blip (fixture race) leaves the warm headline valid, while
+    // a warm failure poisons the headline and must be visible as such.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    def runPass(pass: String): Seq[(String, Double)] = sorted.map { case (name, fn) =>
+    def runPass(pass: String, errors: scala.collection.mutable.Map[String, String])
+        : Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () }
       catch {
@@ -45,8 +51,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val cold = runPass("cold") // builds every fixture + warms JIT/codegen
-    val warm = runPass("warm") // steady-state: the headline numbers
+    val coldErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val warmErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cold = runPass("cold", coldErrors) // one-time costs + fixture builds
+    val warm = runPass("warm", warmErrors) // steady-state: the headline numbers
 
     // 3 decimal places: millisecond resolution is all sub-minute timings
     // carry (run variance is larger), and the shorter line keeps EVERY
@@ -59,10 +67,13 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     // strip ALL control chars (<0x20), not just the common escapes — a \b
     // or \f in an exception message must not break the report's JSON
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","queries":${toJson(warm)},"cold_total":${f3(coldTotal)},"cold":${toJson(cold)},"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    def errJson(errors: scala.collection.Map[String, String]): String =
+      errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
+      }.mkString("{", ",", "}")
+    // n_failed counts WARM failures — the ones that corrupt the headline;
+    // cold-only failures are reported separately and leave `value` valid.
+    val line = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","queries":${toJson(warm)},"cold_total":${f3(coldTotal)},"cold":${toJson(cold)},"n_failed":${warmErrors.size},"errors":${errJson(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold":${errJson(coldErrors)},"sf":"$sfDir"}"""
     println(line)
     // Belt and braces: the same line as a committed artifact, so the full
     // per-query map survives even if a capture window truncates stdout.

@@ -38,15 +38,26 @@ object Sampling {
       splits: Seq[(String, Double)],
       seed: Long = 42L,
       splitCol: String = "split"): DataFrame = {
+    val buckets = 1L << 20
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
+    df.withColumn(splitCol, assignByCuts(bucket, buckets, splits))
+  }
+
+  /** Shared cut-threshold assignment: weight prefix sums scaled onto the
+    * uniform's `[0, range)` as long cuts, folded into a when-chain. One
+    * implementation for both split flavors so a boundary fix can never
+    * diverge them.
+    */
+  private def assignByCuts(
+      uniform: Column,
+      range: Long,
+      splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0))
     val total = splits.map(_._2).sum
-    val buckets = 1 << 20
-    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets.toLong))
-    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c / total * buckets).toLong)
-    val assigned = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
-      case (((name, _), cut), elseCol) => when(bucket < cut, lit(name)).otherwise(elseCol)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c / total * range).toLong)
+    splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), elseCol) => when(uniform < cut, lit(name)).otherwise(elseCol)
     }
-    df.withColumn(splitCol, assigned)
   }
 
   /** [[hashSplit]] on the PORTABLE md5 uniform: identical split
@@ -63,15 +74,9 @@ object Sampling {
       keyCol: String,
       splits: Seq[(String, Double)],
       splitCol: String = "split"): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0))
-    val total = splits.map(_._2).sum
     val range = 4294967296L // 2^32: portableUniform's exclusive upper bound
-    val u = portableUniform(col(keyCol))
-    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c / total * range).toLong)
-    val assigned = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
-      case (((name, _), cut), elseCol) => when(u < cut, lit(name)).otherwise(elseCol)
-    }
-    df.withColumn(splitCol, assigned)
+    df.withColumn(splitCol,
+      assignByCuts(portableUniform(col(keyCol)), range, splits))
   }
 
   /** Portable hash-uniform in `[0, 2^32)`: the first 8 hex digits of

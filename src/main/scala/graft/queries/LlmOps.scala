@@ -736,8 +736,9 @@ object LlmOps {
 
     // Deterministic domain-mixture resampling: each source domain keeps
     // documents at rate k/4 where k = (domain number % 4) + 1, decided by
-    // a PORTABLE md5-derived uniform (unlike q_hash_split's xxhash64,
-    // which has no DuckDB analog and is honestly rows-only). The oracle
+    // the PORTABLE md5-derived uniform (the same one q_hash_split's
+    // portableSplit rides — xxhash64's hashSplit keeps its determinism
+    // properties in SamplingSpec but has no DuckDB analog). The oracle
     // replays every per-row decision — hash, integer threshold, and all —
     // so this is the fully-certified deterministic sampler. Per-domain
     // conditional aggregates keep it one shuffle; kept-set emptiness is
@@ -1258,9 +1259,6 @@ object LlmOps {
          SELECT doc_id, shard, n_tokens, bin, bin_fill
          FROM s ORDER BY doc_id""",
 
-    // Priority order, cumulative sums, and the cutoff all replayed from
-    // the same md5 uniform; emitting every kept row makes a single
-    // swapped priority or off-by-one budget comparison visible.
     // Every assignment replayed: the same md5-prefix uniform and the same
     // integer cuts (0.8·2^32 = 3435973836, 0.9·2^32 = 3865470566,
     // truncated exactly as portableSplit's .toLong does).
@@ -1278,6 +1276,9 @@ object LlmOps {
          SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
          FROM s GROUP BY split ORDER BY split""",
 
+    // Priority order, cumulative sums, and the cutoff all replayed from
+    // the same md5 uniform; emitting every kept row makes a single
+    // swapped priority or off-by-one budget comparison visible.
     "q_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,

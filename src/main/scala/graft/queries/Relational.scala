@@ -1133,7 +1133,7 @@ object Relational {
            CAST(least(greatest(floor((value - 0.0) / 25.0), 0.0), 19.0)
                 AS INTEGER) AS bucket,
            count(*) AS n
-         FROM events WHERE value IS NOT NULL
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
          GROUP BY 1, 2 ORDER BY event_type, bucket""",
 
     "q_funnel" ->
