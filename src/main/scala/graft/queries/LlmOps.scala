@@ -456,6 +456,18 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Collocation mining (Cooccur.bigramPmi under the oracle): adjacent-
+    // token bigram counts with both unigram margins and the integer
+    // cross-multiplied PMI >= 0 test (n_xy·N² >= B·n_x·n_y in
+    // DECIMAL(38,0) — never a float log; splits 437/463 on this corpus,
+    // genuinely discriminative). DuckDB re-derives every count and the
+    // same integer comparison (HUGEINT), so one drifted margin or a
+    // flipped threshold anywhere flips the hash.
+    "q_cooccur_pmi" -> ((s, d) => {
+      graft.operators.Cooccur.bigramPmi(Tables.documents(s, d), "text", minCount = 10L)
+        .orderBy("bigram")
+    }),
+
     // Heavy hitters: top-5 tokens per language via the Misra-Gries
     // TypedImperativeAggregate (exact at this vocabulary size — capacity
     // exceeds distinct tokens — hence oracle-checkable).
@@ -469,6 +481,26 @@ object LlmOps {
         .select(col("lang"), explode(col("hh")).as("h"))
         .select(col("lang"), col("h.token").as("token"), col("h.cnt").as("cnt"))
         .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
+    // Count-min sketch (CMSketch under the oracle): frequency estimates
+    // from a d×w cell table whose md5-portable hash family lets DuckDB
+    // rebuild EVERY cell and estimate bit-identically — the first sketch
+    // here whose approximate VALUES (not just error bounds) are fully
+    // oracled. w = 64 on ~1000 distinct users makes collisions real, so
+    // est > exact rows genuinely occur; is_over must still be true on
+    // every row (the structural never-undercount guarantee).
+    "q_cm_sketch" -> ((s, d) => {
+      import graft.operators.CMSketch
+      val ev = Tables.events(s, d)
+      val sketch = CMSketch.build(ev, "user_id", d = 3, w = 64)
+      val probes = ev.filter(col("user_id") < 50)
+      val exact = probes.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      CMSketch.estimate(sketch, probes, "user_id", d = 3, w = 64)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("cm_est"),
+          (col("cm_est") >= col("n_exact")).as("is_over"))
+        .orderBy("user_id")
     }),
 
     // Cardinality sketch (the HyperLogLog++ counterpart of the Misra-Gries
@@ -967,6 +999,57 @@ object LlmOps {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // Word-trigram shingle sets as strings (distinctness ≡ the engine's
+    // Every count re-derived from the shared [^a-z0-9]+ tokenizer; the
+    // PMI threshold is the same cross-multiplied integer comparison in
+    // HUGEINT (DuckDB's exact 128-bit), mirroring Spark's DECIMAL(38,0).
+    "q_cooccur_pmi" ->
+      """WITH tok AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         uni AS (SELECT unnest(tk) AS w FROM tok),
+         un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM uni),
+         big AS (
+           SELECT unnest(list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM tok),
+         bn AS (SELECT bg, count(*) AS n_xy FROM big GROUP BY 1),
+         btot AS (SELECT count(*) AS b FROM big),
+         j AS (
+           SELECT bg, n_xy, split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2
+           FROM bn WHERE n_xy >= 10)
+         SELECT j.bg AS bigram, j.n_xy, u1.n_w AS n_x, u2.n_w AS n_y,
+           CAST(j.n_xy AS HUGEINT) * (SELECT n FROM tot) * (SELECT n FROM tot)
+             >= CAST((SELECT b FROM btot) AS HUGEINT) * u1.n_w * u2.n_w
+             AS pmi_ge_0
+         FROM j
+           JOIN un u1 ON j.w1 = u1.w
+           JOIN un u2 ON j.w2 = u2.w
+         ORDER BY bigram""",
+
+    // The whole sketch rebuilt cell by cell: the same md5-prefix hash
+    // family, the same d=3 × w=64 cell grid, the same min-over-rows
+    // estimates — approximate values oracled exactly, not just bounded.
+    "q_cm_sketch" ->
+      """WITH hashes AS (
+           SELECT user_id, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+           FROM events, (SELECT unnest([0, 1, 2]) AS j) js
+           WHERE user_id IS NOT NULL),
+         sk AS (SELECT j, bucket, count(*) AS cnt FROM hashes GROUP BY 1, 2),
+         pe AS (SELECT DISTINCT user_id, j, bucket FROM hashes WHERE user_id < 50),
+         est AS (
+           SELECT user_id, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+           FROM pe LEFT JOIN sk USING (j, bucket) GROUP BY user_id),
+         ex AS (
+           SELECT user_id, count(*) AS n_exact FROM events
+           WHERE user_id < 50 GROUP BY 1)
+         SELECT ex.user_id, ex.n_exact, est.cm_est,
+           est.cm_est >= ex.n_exact AS is_over
+         FROM ex JOIN est USING (user_id) ORDER BY user_id""",
+
     // FNV-hash distinctness, no collisions at this size). Replicates
     // TextKernels.shingleHashes' short-text rule: 1-2 tokens still yield
     // ONE shingle of whatever tokens exist.

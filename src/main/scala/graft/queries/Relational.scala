@@ -225,6 +225,56 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Market-share shape (TPC-H Q8): per order-year, one nation's slice
+    // of ASIA-region revenue. Numerator and denominator emitted as
+    // separate DECIMAL sums — never the ratio, whose FP division could
+    // tie-break differently across engines. Same star as q_star_join;
+    // one fact-side exchange after broadcast dims, then a year rollup.
+    "q_market_share" -> ((s, d) => {
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val customer = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1.0).cast(dec) - col("l_discount").cast(dec))
+      customer
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .join(orders, customer("c_custkey") === orders("o_custkey"))
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          coalesce(sum(when(col("n_name") === "NATION_2", rev)),
+            lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("nation_rev"),
+          sum(rev).cast(DecimalType(38, 4)).as("region_rev"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    }),
+
+    // Returned-revenue ranking (TPC-H Q10): customers ranked by revenue
+    // lost to returns, top 20. The limit plans as TakeOrderedAndProject
+    // (per-partition heaps, driver merge — no global sort), and the
+    // (revenue DESC, c_custkey) order is total, so the cut is
+    // deterministic on any cluster.
+    "q_top_returns" -> ((s, d) => {
+      val customer = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val nation = Tables.nation(s, d)
+      customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"))
+        .join(returned, orders("o_orderkey") === returned("l_orderkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy(customer("c_custkey"), col("c_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Incremental matview maintenance (Matview under the oracle): the
     // view is built from an initial load plus TWO delta refreshes —
     // key-wise addition of partial aggregates, never a rescan — and must
@@ -1463,6 +1513,35 @@ object Relational {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+
+    "q_market_share" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           CAST(coalesce(sum(CASE WHEN n_name = 'NATION_2'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END), 0)
+             AS DECIMAL(38,4)) AS nation_rev,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS region_rev,
+           count(*) AS n_lines
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_top_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_items
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     // The clustered layout's oracle is the raw table sliced by day — the
     // partitioned files and pruning must be invisible in the result.

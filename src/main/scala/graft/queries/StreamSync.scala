@@ -218,6 +218,107 @@ object StreamSync {
     sink.toString
   }
 
+  /** Watermark LATE-DROP accounting under the oracle: the missing half of
+    * q_stream_window's contract. That fixture proves on-time rows all
+    * flush; this one proves genuinely late rows are DROPPED — the
+    * behavior that bounds streaming state at 100 TB (without it, state
+    * grows with the corpus and the job eventually dies).
+    *
+    * Replay (maxFilesPerTrigger = 1, mtime order):
+    *   batch 1 — every on-time event (all events EXCEPT the planted
+    *     stragglers). Watermark during the batch is still -inf, so
+    *     nothing here is late; max real ts M establishes wm = M - 30 m.
+    *   batch 2 — a single sentinel row AT ts = M: Spark filters late
+    *     events with the watermark lagged ONE batch behind eviction
+    *     (the SPARK-40925 late/eviction split), so stragglers landing
+    *     in the very batch after the wm-advancing data are NOT dropped
+    *     — this spacer batch lets M - 30 m become the late-filter
+    *     watermark before the stragglers arrive (empirically verified:
+    *     without it all 100 stragglers leak into the aggregate).
+    *   batch 3 — the stragglers: events with event_id % 97 == 0 AND
+    *     ts < M - 1 day, re-landed now. Every one is > 23.5 h older than
+    *     the late-filter watermark — far beyond any boundary subtlety —
+    *     so the aggregation must drop ALL of them.
+    *   batches 4/5 — the q_stream_window sentinel pair (+2 h / +4 h)
+    *     flushing every real window out of append-mode state.
+    * The completion marker requires sum(n) == the on-time count exactly:
+    * a single straggler sneaking in (or an on-time window withheld) fails
+    * the build. The oracle recomputes the same windows over the same
+    * NOT-straggler predicate in DuckDB.
+    */
+  private def lateSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_late_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+
+        val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+        val straggler = col("event_id") % 97 === 0 &&
+          col("ts") < lit(maxTs) - expr("INTERVAL 1 DAY")
+        def jsonl(df: DataFrame): DataFrame = df.select(
+          to_json(struct(col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+
+        // batch 1: on-time events
+        val realFile = landOne(jsonl(Tables.events(s, d).filter(!straggler)),
+          root, landing, "batch1_ontime.jsonl")
+
+        def sentinel(name: String, offsetMs: Long, mtimeOffsetMs: Long): Unit = {
+          val iso = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochMilli(maxTs.getTime + offsetMs))
+          val f = landing.resolve(name)
+          Files.writeString(f,
+            s"""{"event_id":-1,"event_type":"__sentinel__","ts":"$iso"}\n""")
+          mtimeAfter(f, realFile, mtimeOffsetMs)
+        }
+        // batch 2: wm-propagation spacer AT ts = M (advances nothing, but
+        // lets M - 30 m become the LATE-FILTER watermark — see scaladoc)
+        sentinel("batch2_spacer.jsonl", 0L, 2000)
+        // batch 3: the stragglers, now genuinely behind the late filter
+        val lateFile = landOne(jsonl(Tables.events(s, d).filter(straggler)),
+          root, landing, "batch3_late.jsonl")
+        mtimeAfter(lateFile, realFile, 4000)
+        // batches 4/5: flush every real window out of append-mode state
+        sentinel("batch4_sentinel.jsonl", 2L * 3600 * 1000, 6000)
+        sentinel("batch5_sentinel.jsonl", 4L * 3600 * 1000, 8000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val counts = StreamingSync.windowedCounts(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1),
+          "ts", watermarkDelay = "30 minutes", windowLen = "10 minutes")
+        val q = counts.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_late replay")
+
+        val emitted = s.read.parquet(sink.toString)
+          .filter(col("event_type") =!= "__sentinel__")
+          .agg(sum(col("n"))).head().getLong(0)
+        val expected = Tables.events(s, d).filter(!straggler).count()
+        require(emitted == expected,
+          s"stream_late sink covers $emitted events, expected $expected on-time — " +
+            "a straggler leaked in or an on-time window was withheld")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming exact-dedup under the oracle: a bounded event subset lands
     * as one file, then the SAME file is replayed twice more (a connector
     * retry re-emitting every record — the reference's resume behavior),
@@ -683,6 +784,15 @@ object StreamSync {
         .orderBy("ws", "event_type")
     }),
 
+    "q_stream_late" -> ((s, d) => {
+      s.read.parquet(lateSinkDir(s, d))
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }),
+
     "q_stream_dedup" -> ((s, d) => {
       s.read.parquet(dedupSinkDir(s, d))
         .select(col("event_id"), col("event_type"), col("value"))
@@ -736,6 +846,21 @@ object StreamSync {
                          '%Y-%m-%d %H:%M:%S') AS ws,
                 event_type, count(*) AS n
          FROM events
+         GROUP BY 1, 2
+         ORDER BY ws, event_type""",
+
+    // The same 10-minute windows over the NOT-straggler predicate: the
+    // stream must have dropped exactly the planted late rows (event_id %
+    // 97 == 0 landing a day+ behind the watermark) and nothing else.
+    "q_stream_late" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+         keep AS (
+           SELECT e.* FROM events e, m
+           WHERE NOT (e.event_id % 97 = 0 AND e.ts < m.mx - INTERVAL 1 DAY))
+         SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000),
+                         '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n
+         FROM keep
          GROUP BY 1, 2
          ORDER BY ws, event_type""",
 
