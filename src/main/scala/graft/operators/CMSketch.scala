@@ -47,8 +47,11 @@ object CMSketch {
   }
 
   /** Point estimates for the distinct keys of `probes`: min over the `d`
-    * cells each key hashes to. Keys absent from the corpus read 0 via the
-    * left join's coalesce.
+    * cells each key hashes to. A key absent from the corpus reads 0 only
+    * if at least one of its `d` cells is unoccupied (the left join's
+    * coalesce); when every cell collides with corpus keys it reads the
+    * min colliding count — the classic CM false positive, bounded like
+    * any other overestimate.
     */
   def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
     require(d > 0 && w > 0, s"d and w must be positive, got d=$d w=$w")

@@ -487,9 +487,10 @@ object LlmOps {
     // from a d×w cell table whose md5-portable hash family lets DuckDB
     // rebuild EVERY cell and estimate bit-identically — the first sketch
     // here whose approximate VALUES (not just error bounds) are fully
-    // oracled. w = 64 on ~1000 distinct users makes collisions real, so
-    // est > exact rows genuinely occur; is_over must still be true on
-    // every row (the structural never-undercount guarantee).
+    // oracled. w = 64 over the 150 distinct users at oracle scale makes
+    // collisions real (38 of 50 probes overestimate), so est > exact rows
+    // genuinely occur; is_over must still be true on every row (the
+    // structural never-undercount guarantee).
     "q_cm_sketch" -> ((s, d) => {
       import graft.operators.CMSketch
       val ev = Tables.events(s, d)
@@ -998,7 +999,6 @@ object LlmOps {
            true AS parts_ok, true AS supps_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
-    // Word-trigram shingle sets as strings (distinctness ≡ the engine's
     // Every count re-derived from the shared [^a-z0-9]+ tokenizer; the
     // PMI threshold is the same cross-multiplied integer comparison in
     // HUGEINT (DuckDB's exact 128-bit), mirroring Spark's DECIMAL(38,0).
@@ -1050,6 +1050,7 @@ object LlmOps {
            est.cm_est >= ex.n_exact AS is_over
          FROM ex JOIN est USING (user_id) ORDER BY user_id""",
 
+    // Word-trigram shingle sets as strings (distinctness ≡ the engine's
     // FNV-hash distinctness, no collisions at this size). Replicates
     // TextKernels.shingleHashes' short-text rule: 1-2 tokens still yield
     // ONE shingle of whatever tokens exist.

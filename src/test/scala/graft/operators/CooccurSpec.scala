@@ -20,6 +20,18 @@ class CooccurSpec extends SparkSpec {
     assert(out.values.forall(_._4))
   }
 
+  test("each count table is materialized once — the joined plan reads no corpus scans") {
+    val df = Cooccur.bigramPmi(graft.Tables.documents(spark, sf), "text", 2L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the two corpus passes happen inside the localCheckpoint builds; the
+    // final join/threshold plan must consume ONLY the materialized tables
+    // (without the checkpoints the tokenizer re-scans per consumer —
+    // measured 8 parquet scans in this plan)
+    assert(!plan.contains("Scan parquet"),
+      s"joined plan re-scans the corpus:\n$plan")
+  }
+
   test("single-token and empty docs contribute margins but no pairs") {
     val df = Seq("x", "", "x y").toDF("text")
     val out = Cooccur.bigramPmi(df, "text", minCount = 1L)
