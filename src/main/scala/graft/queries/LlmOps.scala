@@ -468,6 +468,40 @@ object LlmOps {
         .orderBy("bigram")
     }),
 
+    // Boilerplate scrub (Boilerplate.scrubFrequentNgrams under the
+    // oracle): token positions covered by a trigram recurring in >= 4
+    // distinct docs are removed and the survivors re-joined in order —
+    // DuckDB replays the whole pipeline (frequent set, coverage,
+    // ordered reassembly) including the reassembled STRINGS, so one
+    // mis-merged position anywhere flips the hash.
+    "q_boilerplate_scrub" -> ((s, d) => {
+      graft.operators.Boilerplate
+        .scrubFrequentNgrams(Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 4L)
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-familiarity quality score (a perplexity proxy without
+    // floats): fraction of a doc's bigrams occurring >= 30 times in the
+    // corpus, emitted as the integer pair + the 2·familiar >= total
+    // majority test (splits the corpus genuinely — the median corpus
+    // bigram count is 29 at sf0.01, the driver's oracle scale; 30 at
+    // sf0.001 — the documents corpora DIFFER per sf dir. Data-dependent
+    // constant: re-pin, don't debug, if the generator changes).
+    "q_bigram_familiarity" -> ((s, d) => {
+      graft.operators.Boilerplate
+        .bigramFamiliarity(Tables.documents(s, d), "doc_id", "text", minCount = 30L)
+        .orderBy("doc_id")
+    }),
+
+    // Tf-idf top-3 terms per doc on the EXACT integer sort key
+    // (tf·n_docs·1e6 div df) — no float log anywhere, term-string
+    // tie-break, so the per-doc cut is total and bit-replayable.
+    "q_tfidf_topk" -> ((s, d) => {
+      graft.operators.Boilerplate
+        .tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    }),
+
     // Heavy hitters: top-5 tokens per language via the Misra-Gries
     // TypedImperativeAggregate (exact at this vocabulary size — capacity
     // exceeds distinct tokens — hence oracle-checkable).
@@ -1028,6 +1062,92 @@ object LlmOps {
            JOIN un u1 ON j.w1 = u1.w
            JOIN un u2 ON j.w2 = u2.w
          ORDER BY bigram""",
+
+    // The full scrub replayed: same tokenizer, same >= 4-distinct-doc
+    // frequent-trigram set, same position coverage, and the surviving
+    // tokens re-joined in order — the reassembled strings themselves are
+    // hashed, not just the counts.
+    "q_boilerplate_scrub" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, s.i AS i, s.g AS gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+               i -> struct_pack(i := i, g := array_to_string(tk[i:i+2], ' ')))) AS s
+             FROM tok WHERE len(tk) >= 3)),
+         freq AS (
+           SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 4),
+         cov AS (
+           SELECT DISTINCT doc_id, p FROM (
+             SELECT doc_id, unnest(range(i, i + 3)) AS p
+             FROM g WHERE gram IN (SELECT gram FROM freq))),
+         t2 AS (
+           SELECT doc_id, s.i AS i, s.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+               i -> struct_pack(i := i, w := tk[i]))) AS s
+             FROM tok)),
+         kept AS (
+           SELECT t2.doc_id, t2.i, t2.w FROM t2
+           ANTI JOIN cov ON t2.doc_id = cov.doc_id AND t2.i = cov.p),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY i) AS scrubbed_text
+           FROM kept GROUP BY doc_id)
+         SELECT tok.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_scrubbed,
+           coalesce(scrubbed_text, '') AS scrubbed_text
+         FROM tok LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // Integer familiarity: corpus bigram counts >= 30 (a data-dependent
+    // constant — the synthetic corpus's median bigram count is 29, so
+    // the cut genuinely splits), per-doc familiar/total pair, majority
+    // test as 2·familiar >= total — never a float ratio.
+    "q_bigram_familiarity" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> tk[i] || ' ' || tk[i+1])) AS gram
+           FROM tok WHERE len(tk) >= 2),
+         fam AS (
+           SELECT gram FROM bg GROUP BY gram HAVING count(*) >= 30),
+         pd AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             count(*) FILTER (WHERE gram IN (SELECT gram FROM fam)) AS n_familiar
+           FROM bg GROUP BY doc_id)
+         SELECT tok.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_familiar, 0) AS n_familiar,
+           coalesce(n_familiar, 0) * 2 >= coalesce(n_bigrams, 0) AS familiar_majority
+         FROM tok LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+
+    // The exact integer tf-idf key replayed: (tf·n_docs·1e6) // df with
+    // BIGINT floor-division, rank over (key DESC, term) — bit-identical
+    // ordering, no float log on either side.
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(tk) AS term FROM tok) GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             (tf * (SELECT n_docs FROM nd) * 1000000) // df AS score_key
+           FROM tf JOIN dfq USING (term)),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_key DESC, term) AS INTEGER) AS rk
+           FROM scored)
+         SELECT doc_id, term, tf, df, score_key, rk
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     // The whole sketch rebuilt cell by cell: the same md5-prefix hash
     // family, the same d=3 × w=64 cell grid, the same min-over-rows

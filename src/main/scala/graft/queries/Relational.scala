@@ -275,6 +275,73 @@ object Relational {
         .limit(20)
     }),
 
+    // Small-quantity revenue (TPC-H Q17 shape): the correlated
+    // avg-quantity subquery decorrelated the way a 100 TB plan wants it —
+    // ONE per-part aggregate (|part|-sized, shuffled on partkey, never
+    // the fact twice through a nested loop), joined back to the fact,
+    // with the 0.2·avg cut as the cross-multiplied integer test
+    // 5·qty·cnt < sum_qty in DECIMAL (no float division on either side).
+    "q_small_qty" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast(dec)).as("sum_qty"))
+      val smallParts = Tables.part(s, d).filter(col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+      li.join(stats, Seq("l_partkey"))
+        .filter(col("l_quantity").cast(dec) * col("cnt") * 5 < col("sum_qty"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(38, 4)).as("small_rev"))
+        .orderBy("p_brand")
+    }),
+
+    // Max-revenue supplier (TPC-H Q15 shape): the revenue view aggregated
+    // once, its max taken as a single-row broadcast, and the winners
+    // selected by exact DECIMAL equality — the classic "view joined to
+    // its own aggregate" pattern with zero second fact scans.
+    "q_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(38, 4)).as("total_rev"))
+        .localCheckpoint(true) // feeds both the max and the equality join
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Waiting-supplier shape (TPC-H Q21 re-keyed to this schema's
+    // columns): suppliers whose RETURNED line is the only return on a
+    // multi-supplier order — one semi-join (another supplier exists) and
+    // one anti-join (no other supplier returned) against the same fact,
+    // both equi on orderkey with the suppkey inequality as the join
+    // residual. At 100 TB all three legs shuffle on orderkey once each;
+    // no nested-loop correlation anywhere.
+    "q_waiting_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_key"), col("l_suppkey").as("s_key"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("o_key") === col("o2") && col("s_key") =!= col("s2"), "left_semi")
+        .join(l3, col("o_key") === col("o3") && col("s_key") =!= col("s3"), "left_anti")
+        .groupBy(col("s_key"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("s_key") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Incremental matview maintenance (Matview under the oracle): the
     // view is built from an initial load plus TWO delta refreshes —
     // key-wise addition of partial aggregates, never a rescan — and must
@@ -1542,6 +1609,53 @@ object Relational {
          WHERE l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    // The decorrelated Q17: the same one-pass per-part aggregate and the
+    // same cross-multiplied 5·qty·cnt < sum_qty cut, DECIMAL end to end.
+    "q_small_qty" ->
+      """WITH stats AS (
+           SELECT l_partkey, count(*) AS cnt,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, count(*) AS n_small,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS small_rev
+         FROM lineitem
+           JOIN stats USING (l_partkey)
+           JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10
+           AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    // Q15: the quarter's revenue view joined to its own max by exact
+    // DECIMAL equality — float revenue would make the winner engine-
+    // dependent; DECIMAL makes it bit-identical.
+    "q_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+
+    // Q21 re-keyed: EXISTS/NOT EXISTS correlated on the order key with a
+    // supplier inequality — DuckDB runs the textbook correlated form, the
+    // engine the decorrelated semi/anti pair; identical answers or the
+    // hash flips.
+    "q_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_name LIMIT 10""",
 
     // The clustered layout's oracle is the raw table sliced by day — the
     // partitioned files and pruning must be invisible in the result.
