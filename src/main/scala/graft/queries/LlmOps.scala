@@ -133,6 +133,30 @@ object LlmOps {
       Components.triangleCount(ccBlockingPairs(docs))
     }),
 
+    // Integer PageRank (PageRank.integerPageRank under the oracle): 3
+    // exact fixed-point iterations over the DIRECTED supplier graph
+    // "R-supplier → A-supplier within one order". The direction makes
+    // the edge set asymmetric and the sf0.01 degrees spread 1..93, so a
+    // src/dst swap, an in-for-out-degree mixup, or a missed round all
+    // change scores (the undirected co-supply graph is COMPLETE at
+    // sf0.01 — uniform scores, vacuous oracle). Float PageRank can
+    // never be hash-compared across engines; the integer formulation
+    // makes a fixed iteration count bit-identical, so DuckDB replays
+    // every round. The per-order pair expansion is bounded by order
+    // width, the standard within-group blocking shape.
+    "q_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.PageRank.integerPageRank(pairs, "src", "dst", iters = 3)
+        .select(col("id").as("s_suppkey"), col("score").as("pr"))
+        .orderBy("s_suppkey")
+    }),
+
     // Canonical-document selection: the step AFTER duplicate clustering —
     // per connected component keep the BEST-quality member (argmax by
     // quality score, id tiebreak), not the arbitrary min-id. Composes the
@@ -1711,6 +1735,47 @@ object LlmOps {
          FROM e e1
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+
+    // The whole 3-round fixed-point iteration replayed: same integer
+    // floor-divisions, same DECIMAL/HUGEINT message sums, same teleport
+    // constant (15% of the 1e12 scale). One drifted division anywhere in
+    // any round flips every downstream score.
+    "q_pagerank" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY 1),
+         s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+         m1 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s0 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s1 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m1.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s1 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s2 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m2.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s2 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s3 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
+         SELECT id AS s_suppkey, score AS pr FROM s3 ORDER BY s_suppkey""",
 
     // Components mirror = q_dedup_cc's proven recursive CTE; quality
     // mirror = q_text_quality's proven arithmetic; the argmax runs on the

@@ -296,6 +296,22 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Late-order priority count (TPC-H Q4 shape): EXISTS against the
+    // fact with a non-equi residual (shipped after the order date),
+    // planned as ONE semi hash join on the order key — the fact is
+    // touched once, never per order.
+    "q_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Max-revenue supplier (TPC-H Q15 shape): the revenue view aggregated
     // once, its max taken as a single-row broadcast, and the winners
     // selected by exact DECIMAL equality — the classic "view joined to
@@ -1625,6 +1641,17 @@ object Relational {
          WHERE p_size <= 10
            AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
          GROUP BY p_brand ORDER BY p_brand""",
+
+    // Q4: the textbook correlated EXISTS; the engine runs the
+    // decorrelated semi join.
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // Q15: the quarter's revenue view joined to its own max by exact
     // DECIMAL equality — float revenue would make the winner engine-

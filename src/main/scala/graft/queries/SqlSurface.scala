@@ -254,6 +254,41 @@ object SqlSurface {
         ORDER BY doc_id""")
     }),
 
+    // IGNORE NULLS navigation: lag and running last_value skipping the
+    // planted nulls (every third key) — DECIMAL values so the carried
+    // numbers hash identically. Partitioned window: no global sort.
+    "q_window_ignore_nulls" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v,
+          lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) IGNORE NULLS
+            OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_v,
+          last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) IGNORE NULLS
+            OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+        FROM orders ORDER BY o_orderkey""")
+    }),
+
+    // Rank-family functions: ntile buckets plus percent_rank/cume_dist.
+    // The ratios are IEEE divisions of small exact integers — correctly
+    // rounded, hence bit-identical in any engine. Partitioned by
+    // priority, ordered by the unique key: the cut is total.
+    "q_ntile" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority,
+          ntile(8) OVER w AS bucket,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        ORDER BY o_orderkey""")
+    }),
+
     // ANSI-safe arithmetic: Spark 4 runs ANSI mode ON, so the try_* family
     // (null-on-error instead of job-killing exceptions) is the production
     // path for dirty data — division by a zero derived from data, casts of
@@ -272,6 +307,30 @@ object SqlSurface {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB spells IGNORE NULLS inside the call parens; Spark after
+    // them — same semantics, dialect-local placement.
+    "q_window_ignore_nulls" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v,
+           lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END IGNORE NULLS)
+             OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_v,
+           last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END IGNORE NULLS)
+             OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(8) OVER w AS INTEGER) AS bucket,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+         ORDER BY o_orderkey""",
+
     "q_correlated_subquery" ->
       """SELECT c_custkey,
            (SELECT count(*) FROM orders
