@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One merge step of byte-pair-encoding tokenizer training (Sennrich et
+  * al. 2016): count adjacent symbol pairs over the weighted word
+  * vocabulary, pick the most frequent pair (count desc, then pair
+  * lexicographic — a total tie-break), and apply the merge to every word
+  * with the canonical greedy LEFT-TO-RIGHT, NON-OVERLAPPING rule.
+  *
+  * The non-overlap rule is the subtle part: in `aaaa` merging (a,a)
+  * yields [aa, aa], not three overlapping merges. Runs of consecutive
+  * match positions are found as gaps-and-islands (position minus rank),
+  * and within each run every ODD-ranked position is a merge start — the
+  * exact greedy semantics, computed as two window functions instead of a
+  * sequential scan, so it distributes.
+  *
+  * Integer-only (weights, counts, positions) and string-exact, so any
+  * engine replays the chosen pair AND every merged word bit-identically.
+  *
+  * 100 TB shape: BPE training never touches the corpus — it runs on the
+  * WEIGHTED VOCABULARY (one corpus scan builds it, upstream). Pair
+  * counts are a vocabulary-sized map-side-combined aggregate; the best
+  * pair is a single-row broadcast; the merge application windows over
+  * words (shuffle keyed on the word, vocabulary-sized). Iterating the
+  * step re-feeds the emitted representation — each round is the same
+  * bounded shape.
+  */
+object Bpe {
+
+  /** Applies one merge to the initial (per-character) symbolization of
+    * each word. Output per word: the weight, the chosen pair (constant
+    * columns `b1`,`b2`), the number of merges applied, and the new
+    * space-joined symbol representation.
+    *
+    * A vocabulary with no word of length >= 2 has no pairs, hence no
+    * best pair, and returns EMPTY (the oracle mirrors this via its
+    * cross join against the empty best set) — a real tokenizer-training
+    * run never meets this, but the degenerate semantics are pinned.
+    */
+  def mergeStep(words: DataFrame, wordCol: String, weightCol: String): DataFrame = {
+    val base = words.filter(col(wordCol).isNotNull && length(col(wordCol)) >= 1)
+      .select(col(wordCol).as("word"), col(weightCol).cast("long").as("wt"))
+    // adjacent char pairs, 0-based anchor i (the >= 2 guard keeps
+    // sequence() ascending — the Cooccur 1-token-doc trap)
+    val pairs = base.filter(length(col("word")) >= 2)
+      .select(col("word"), col("wt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> struct(i - 1 AS i, " +
+          "substring(word, i, 1) AS p1, substring(word, i + 1, 1) AS p2))")).as("p"))
+      .select(col("word"), col("wt"), col("p.i"), col("p.p1"), col("p.p2"))
+    val best = pairs.groupBy(col("p1"), col("p2"))
+      .agg(sum(col("wt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+      .limit(1)
+      .select(col("p1").as("b1"), col("p2").as("b2"))
+      .localCheckpoint(true) // single row, consumed by matches + rebuild
+    // greedy non-overlap: islands of consecutive match positions, odd
+    // offsets within each island are the merge starts
+    val wRun = Window.partitionBy(col("word")).orderBy(col("i"))
+    val starts = pairs.join(broadcast(best),
+        col("p1") === col("b1") && col("p2") === col("b2"), "left_semi")
+      .withColumn("rn", row_number().over(wRun))
+      .withColumn("isl", col("i") - col("rn"))
+      .withColumn("off", row_number().over(
+        Window.partitionBy(col("word"), col("isl")).orderBy(col("i"))))
+      .filter(col("off") % 2 === 1)
+      .select(col("word"), col("i").as("mi"))
+    val chars = base.select(col("word"), col("wt"), posexplode(expr(
+        "transform(sequence(1, length(word)), j -> substring(word, j, 1))")).as(Seq("j", "c")))
+    val rebuilt = chars
+      .join(starts.select(col("word"), col("mi").as("j"), lit(true).as("is_start")),
+        Seq("word", "j"), "left_outer")
+      .join(starts.select(col("word"), (col("mi") + 1).as("j"), lit(true).as("is_covered")),
+        Seq("word", "j"), "left_outer")
+      .filter(col("is_covered").isNull)
+      .crossJoin(broadcast(best))
+      .select(col("word"), col("j"), col("is_start"),
+        when(col("is_start"), concat(col("b1"), col("b2"))).otherwise(col("c")).as("sym"))
+      .groupBy(col("word"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(j, sym))), s -> s.sym)"), " ")
+          .as("new_repr"),
+        // merge starts survive the covered-filter (starts are >= 2 apart,
+        // so no start is another start's covered position)
+        sum(when(col("is_start"), 1L).otherwise(0L)).as("n_merges_raw"))
+    base.join(rebuilt, Seq("word"))
+      .crossJoin(broadcast(best))
+      .select(col("word").as(wordCol), col("wt").as(weightCol),
+        col("b1"), col("b2"), col("n_merges_raw").as("n_merges"), col("new_repr"))
+  }
+}

@@ -562,6 +562,49 @@ object LlmOps {
         .orderBy("user_id")
     }),
 
+    // One BPE tokenizer-training merge step (Bpe.mergeStep under the
+    // oracle): weighted pair counts over the corpus vocabulary, the
+    // argmax pair by (count, lexicographic) total order, and the
+    // canonical greedy non-overlapping merge applied per word via
+    // gaps-and-islands windows — DuckDB replays the chosen pair and
+    // every merged representation string.
+    "q_bpe_merge" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(gfn.ascii_tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wt"))
+      graft.operators.Bpe.mergeStep(words, "w", "wt").orderBy("w")
+    }),
+
+    // KMV distinct sketch (KmvSketchAgg + the portable md5 hash): the
+    // k-minimum-values state is a SET property (order- and partition-
+    // independent), so unlike HLL the approximate estimates themselves
+    // are oracled — DuckDB rebuilds every hash, ranks them, and derives
+    // the same (k-1)·2^32 div h_k. Two legs: 'full' (10,000 distinct
+    // event_ids >> k, approximate path) and 'small' (40 users < k,
+    // exact path) — both modes under the hash gate. Null keys and null
+    // group keys are filtered on BOTH sides (the oracle's WHERE +
+    // USING-join would silently drop such groups otherwise).
+    "q_kmv_distinct" -> ((s, d) => {
+      import graft.expressions.KmvSketchAgg
+      val k = 64
+      val estNum = (k - 1L) * 4294967296L // (k-1)·2^32
+      val ev = Tables.events(s, d)
+      def leg(df: DataFrame, key: String, label: String): DataFrame =
+        df.filter(col(key).isNotNull && col("event_type").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(
+            KmvSketchAgg.kmv_sketch(
+              graft.operators.Sampling.portableUniform(col(key)), k).as("mh"),
+            countDistinct(col(key)).as("n_exact"))
+          .select(lit(label).as("leg"), col("event_type"), col("n_exact"),
+            when(size(col("mh")) < k, size(col("mh")).cast("long"))
+              .otherwise(expr(s"${estNum}L div greatest(element_at(mh, $k), 1L)"))
+              .as("kmv_est"))
+      leg(ev, "event_id", "full")
+        .unionByName(leg(ev.filter(col("user_id") < 40), "user_id", "small"))
+        .orderBy("leg", "event_type")
+    }),
+
     // Cardinality sketch (the HyperLogLog++ counterpart of the Misra-Gries
     // heavy-hitters sketch): bounded-memory distinct counts per group. The
     // sketch value is engine-specific, so the ORACLE certifies the exact
@@ -1172,6 +1215,99 @@ object LlmOps {
            FROM scored)
          SELECT doc_id, term, tf, df, score_key, rk
          FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // The full merge step replayed: same tokenizer, same weighted pair
+    // argmax (count DESC, pair lexicographic), same islands/odd-offset
+    // greedy non-overlap, same reassembled symbol strings.
+    "q_bpe_merge" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         words AS (SELECT w, count(*) AS wt FROM toks GROUP BY 1),
+         pairs AS (
+           SELECT w, wt, p.i AS i, p.p1 AS p1, p.p2 AS p2 FROM (
+             SELECT w, wt, unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(i := i - 1, p1 := w[i:i], p2 := w[i+1:i+1]))) AS p
+             FROM words WHERE len(w) >= 2)),
+         best AS (
+           SELECT p1 AS b1, p2 AS b2 FROM pairs GROUP BY p1, p2
+           ORDER BY sum(wt) DESC, p1, p2 LIMIT 1),
+         m AS (SELECT w, i FROM pairs JOIN best ON p1 = b1 AND p2 = b2),
+         st AS (
+           SELECT w, i AS mi FROM (
+             SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS off
+             FROM (SELECT w, i,
+                     i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+                   FROM m))
+           WHERE off % 2 = 1),
+         chars AS (
+           SELECT w, wt, c.j AS j, c.c AS c FROM (
+             SELECT w, wt, unnest(list_transform(range(1, len(w) + 1),
+               j -> struct_pack(j := j - 1, c := w[j:j]))) AS c
+             FROM words)),
+         reb AS (
+           SELECT ch.w,
+             string_agg(CASE WHEN s1.mi IS NOT NULL
+                             THEN (SELECT b1 || b2 FROM best)
+                             ELSE ch.c END, ' ' ORDER BY ch.j) AS new_repr,
+             count(s1.mi) AS n_merges
+           FROM chars ch
+           LEFT JOIN st s1 ON ch.w = s1.w AND ch.j = s1.mi
+           LEFT JOIN st s2 ON ch.w = s2.w AND ch.j = s2.mi + 1
+           WHERE s2.mi IS NULL
+           GROUP BY ch.w)
+         SELECT words.w, wt, best.b1, best.b2,
+           CAST(n_merges AS BIGINT) AS n_merges, new_repr
+         FROM words JOIN reb ON words.w = reb.w CROSS JOIN best
+         ORDER BY words.w""",
+
+    // The sketch as a set property: DuckDB re-hashes every key with the
+    // same md5 prefix, ranks the distinct hashes, and replays both the
+    // exact (< k) and approximate (kth-min division) paths. 270582939648
+    // = 63·2^32.
+    "q_kmv_distinct" ->
+      """WITH hf AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM events WHERE event_id IS NOT NULL),
+         rf AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM hf),
+         kf AS (
+           SELECT event_type, count(*) AS n_h,
+             max(CASE WHEN rn = 64 THEN h END) AS h_k
+           FROM rf GROUP BY 1),
+         ef AS (
+           SELECT event_type, count(DISTINCT event_id) AS n_exact
+           FROM events GROUP BY 1),
+         hs AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+           FROM events WHERE user_id < 40),
+         rs AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM hs),
+         ks AS (
+           SELECT event_type, count(*) AS n_h,
+             max(CASE WHEN rn = 64 THEN h END) AS h_k
+           FROM rs GROUP BY 1),
+         es AS (
+           SELECT event_type, count(DISTINCT user_id) AS n_exact
+           FROM events WHERE user_id < 40 GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'full' AS leg, event_type, n_exact,
+             CASE WHEN n_h < 64 THEN n_h
+                  ELSE 270582939648 // greatest(h_k, 1) END AS kmv_est
+           FROM kf JOIN ef USING (event_type)
+           UNION ALL
+           SELECT 'small', event_type, n_exact,
+             CASE WHEN n_h < 64 THEN n_h
+                  ELSE 270582939648 // greatest(h_k, 1) END
+           FROM ks JOIN es USING (event_type))
+         ORDER BY leg, event_type""",
 
     // The whole sketch rebuilt cell by cell: the same md5-prefix hash
     // family, the same d=3 × w=64 cell grid, the same min-over-rows
