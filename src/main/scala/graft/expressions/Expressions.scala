@@ -259,6 +259,18 @@ object functions {
   def inter_count_sorted(a: Column, b: Column): Column =
     col(InterCountSorted(expr(a), expr(b)))
 
+  /** Adjacent word bigrams of a token array as "w1 w2" strings, with the
+    * size >= 2 guard BUNDLED: sequence(0, size-2) on a shorter array
+    * would run DESCENDING and silently emit phantom unigram pairs — the
+    * trap every ad-hoc copy of this expression has to re-remember.
+    */
+  def word_bigrams(tk: Column): Column = {
+    import org.apache.spark.sql.functions.{array, concat_ws, element_at, lit, sequence, size => fsize, transform => ftransform, when}
+    val pairs = ftransform(sequence(lit(0), fsize(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2)))
+    when(fsize(tk) >= 2, pairs).otherwise(array().cast("array<string>"))
+  }
+
   /** Spark's own BloomFilterMightContain over a serialized sketch literal
     * (the [[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]] V1
     * format). The literal is foldable, which is exactly the shape the

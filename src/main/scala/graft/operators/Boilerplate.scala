@@ -104,9 +104,8 @@ object Boilerplate {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         graft.expressions.functions.ascii_tokens(col(textCol)).as("tk"))
-    val bg = base.filter(size(col("tk")) >= 2)
-      .select(col("id"), explode(expr(
-        "transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i + 1]))")).as("gram"))
+    val bg = base.select(col("id"),
+      explode(graft.expressions.functions.word_bigrams(col("tk"))).as("gram"))
     val familiar = bg.groupBy(col("gram")).agg(count(lit(1)).as("n_g"))
       .filter(col("n_g") >= minCount)
       .select(col("gram"), lit(1L).as("fam"))

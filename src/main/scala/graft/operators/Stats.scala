@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -68,7 +69,6 @@ object Stats {
       groupCols: Seq[String],
       idCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc, col(idCol).asc)
     val wAll = Window.partitionBy(keys: _*)
@@ -118,6 +118,34 @@ object Stats {
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Equi-depth histogram per group: `nBuckets` buckets of (near-)equal
+    * row count via ntile over a TOTAL order — the value plus a unique
+    * tie-break key, so bucket boundaries are bit-identical in any
+    * engine even with duplicate values. Emits per bucket the count and
+    * the inclusive [lo, hi] value range. The within-group sort is the
+    * cost (ntile needs the group's total order); per-group windows keep
+    * it partition-parallel, and at corpus scale the approximate-quantile
+    * certificate (q_approx_quantile) is the cheap alternative — this is
+    * the exact formulation.
+    */
+  def equidepthHistogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    // NaN dropped alongside null — the sibling histogram's bitwise-
+    // oracle discipline (NaN ordering is engine-dependent)
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("v_lo"), max(col(valueCol)).as("v_hi"))
   }
 
   /** Ordered funnel (the ClickHouse windowFunnel shape, strict ordering):

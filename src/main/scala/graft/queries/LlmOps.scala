@@ -562,6 +562,22 @@ object LlmOps {
         .orderBy("user_id")
     }),
 
+    // Prefix-filtered set-similarity self-join (SimilarityJoin under
+    // the oracle): every doc pair with bigram-set Jaccard >= 3/10,
+    // found via the LOSSLESS rarest-first prefix filter instead of the
+    // all-pairs scan. The oracle IS the naive quadratic join, so a
+    // prefix bug that loses one qualifying pair (or a verify bug that
+    // admits one) flips the hash — exact equivalence, stronger than a
+    // recall floor.
+    "q_jaccard_join" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          gfn.word_bigrams(gfn.ascii_tokens(col("text"))).as("bgs"))
+        .filter(size(col("bgs")) >= 1)
+      graft.operators.SimilarityJoin.jaccardJoin(tk, "doc_id", "bgs", tNum = 3, tDen = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // One BPE tokenizer-training merge step (Bpe.mergeStep under the
     // oracle): weighted pair counts over the corpus vocabulary, the
     // argmax pair by (count, lexicographic) total order, and the
@@ -1215,6 +1231,31 @@ object LlmOps {
            FROM scored)
          SELECT doc_id, term, tf, df, score_key, rk
          FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    // The naive quadratic truth: distinct (doc, bigram) self-joined on
+    // the bigram, exact integer cross-multiplied threshold. The engine's
+    // prefix-filtered plan must emit EXACTLY these pairs.
+    "q_jaccard_join" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         bg AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+           FROM tok WHERE len(tk) >= 2),
+         sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM bg a JOIN bg b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+         FROM inter
+           JOIN sz sa ON id_a = sa.doc_id
+           JOIN sz sb ON id_b = sb.doc_id
+         WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 3
+         ORDER BY id_a, id_b""",
 
     // The full merge step replayed: same tokenizer, same weighted pair
     // argmax (count DESC, pair lexicographic), same islands/odd-offset

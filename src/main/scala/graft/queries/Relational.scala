@@ -478,6 +478,16 @@ object Relational {
         .orderBy("event_type", "bucket")
     }),
 
+    // Equi-depth histogram (Stats.equidepthHistogram under the oracle):
+    // ntile over the (value, unique key) total order, per-bucket count
+    // and inclusive value range — exact order statistics, no FP math.
+    "q_equidepth" -> ((s, d) => {
+      graft.operators.Stats.equidepthHistogram(
+        Tables.events(s, d).select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), "value", "event_id", nBuckets = 8)
+        .orderBy("event_type", "bucket")
+    }),
+
     // Ordered funnel view → click → purchase (Stats.funnel under the
     // oracle): strict-order stage progression from per-user earliest
     // stage timestamps — exact timestamp comparisons, integer counts.
@@ -1267,6 +1277,15 @@ object Relational {
                 AS INTEGER) AS bucket,
            count(*) AS n
          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q_equidepth" ->
+      """SELECT event_type, CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+           min(value) AS v_lo, max(value) AS v_hi
+         FROM (
+           SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value))
          GROUP BY 1, 2 ORDER BY event_type, bucket""",
 
     "q_funnel" ->

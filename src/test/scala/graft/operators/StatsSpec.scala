@@ -64,6 +64,28 @@ class StatsSpec extends SparkSpec {
     assert(out === Map(0 -> 3L, 1 -> 1L, 2 -> 1L))
   }
 
+  test("equidepth: bucket sizes differ by at most one; duplicate values split by the tie key") {
+    // 10 rows into 4 buckets -> sizes 3,3,2,2; the five duplicate 1.0s
+    // straddle buckets deterministically by id
+    val df = spark.createDataFrame(
+      (1 to 5).map(i => ("g", 1.0, i.toLong)) ++ (6 to 10).map(i => ("g", i.toDouble, i.toLong)))
+      .toDF("k", "v", "id")
+    val out = Stats.equidepthHistogram(df, Seq("k"), "v", "id", nBuckets = 4)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.values.map(_._1).toSeq.sorted == Seq(2L, 2L, 3L, 3L))
+    assert(out(1) == ((3L, 1.0, 1.0)))  // ids 1-3
+    assert(out(2) == ((3L, 1.0, 6.0)))  // ids 4,5 then value 6
+    assert(out(4) == ((2L, 9.0, 10.0)))
+  }
+
+  test("equidepth: more buckets than rows yields one row per non-empty bucket") {
+    val df = spark.createDataFrame(Seq(("g", 5.0, 1L), ("g", 3.0, 2L)))
+      .toDF("k", "v", "id")
+    val out = Stats.equidepthHistogram(df, Seq("k"), "v", "id", nBuckets = 8)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1 -> 3.0, 2 -> 5.0))
+  }
+
   test("an anti-correlated group reports corr -1; nulls are dropped") {
     val rows = Seq(("a", 1, Some(3.0)), ("a", 2, Some(2.0)), ("a", 3, Some(1.0)),
       ("a", 4, None))
