@@ -259,17 +259,20 @@ object functions {
   def inter_count_sorted(a: Column, b: Column): Column =
     col(InterCountSorted(expr(a), expr(b)))
 
-  /** Adjacent word bigrams of a token array as "w1 w2" strings, with the
-    * size >= 2 guard BUNDLED: sequence(0, size-2) on a shorter array
-    * would run DESCENDING and silently emit phantom unigram pairs — the
-    * trap every ad-hoc copy of this expression has to re-remember.
+  /** Adjacent word n-grams of a token array as space-joined strings,
+    * with the size >= n guard BUNDLED: sequence(0, size-n) on a shorter
+    * array would run DESCENDING and silently emit phantom short grams —
+    * the trap every ad-hoc copy of this expression has to re-remember.
     */
-  def word_bigrams(tk: Column): Column = {
+  def word_ngrams(tk: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram width must be >= 2, got $n")
     import org.apache.spark.sql.functions.{array, concat_ws, element_at, lit, sequence, size => fsize, transform => ftransform, when}
-    val pairs = ftransform(sequence(lit(0), fsize(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2)))
-    when(fsize(tk) >= 2, pairs).otherwise(array().cast("array<string>"))
+    val grams = ftransform(sequence(lit(0), fsize(tk) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(tk, i + j)): _*))
+    when(fsize(tk) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  def word_bigrams(tk: Column): Column = word_ngrams(tk, 2)
 
   /** Spark's own BloomFilterMightContain over a serialized sketch literal
     * (the [[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]] V1

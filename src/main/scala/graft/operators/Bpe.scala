@@ -41,8 +41,12 @@ object Bpe {
     * run never meets this, but the degenerate semantics are pinned.
     */
   def mergeStep(words: DataFrame, wordCol: String, weightCol: String): DataFrame = {
+    // vocabulary-sized and consumed by three subtrees (pair counts, the
+    // char rebuild, the final join) — checkpoint so the caller's corpus
+    // aggregation runs ONCE, not per consumer (the Cooccur trap)
     val base = words.filter(col(wordCol).isNotNull && length(col(wordCol)) >= 1)
       .select(col(wordCol).as("word"), col(weightCol).cast("long").as("wt"))
+      .localCheckpoint(true)
     // adjacent char pairs, 0-based anchor i (the >= 2 guard keeps
     // sequence() ascending — the Cooccur 1-token-doc trap)
     val pairs = base.filter(length(col("word")) >= 2)

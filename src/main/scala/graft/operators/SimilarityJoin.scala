@@ -35,16 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  /** Pairs `(id_a < id_b, n_inter, n_union)` with
-    * `n_inter/n_union >= tNum/tDen`, over the DISTINCT elements of
-    * `elemsCol` (an `array<string>` column). Rows with NULL ids or NULL
-    * element arrays are dropped.
-    */
   /** The checkpointed per-document representation: elements sorted
     * rarest-first, the prefix length, and the sorted hash array for
     * verification.
     */
-  private[operators] def sortedRepr(
+  def sortedRepr(
       docs: DataFrame,
       idCol: String,
       elemsCol: String,
@@ -52,6 +47,12 @@ object SimilarityJoin {
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    // els is consumed twice (frequency aggregate + re-join) — the
+    // explode re-evaluates per consumer, which is CHEAPER here than a
+    // checkpoint materialization (measured equal at sf0.1); callers
+    // should keep HOF-built element arrays out of filters upstream (an
+    // interpreted transform re-evaluates per reference — see the
+    // q_jaccard_join comment)
     val els = docs.filter(col(idCol).isNotNull && col(elemsCol).isNotNull)
       .select(col(idCol).as("id"), explode(array_distinct(col(elemsCol))).as("el"))
     val freq = els.groupBy(col("el")).agg(count(lit(1)).as("cnt"))
@@ -83,6 +84,11 @@ object SimilarityJoin {
   private def prefixStream(sorted: DataFrame): DataFrame = sorted
     .select(col("id"), col("n"), explode(expr("slice(arr, 1, CAST(plen AS INT))")).as("el"))
 
+  /** Pairs `(id_a < id_b, n_inter, n_union)` with
+    * `n_inter/n_union >= tNum/tDen`, over the DISTINCT elements of
+    * `elemsCol` (an `array<string>` column). Rows with NULL ids or NULL
+    * element arrays are dropped.
+    */
   def jaccardJoin(
       docs: DataFrame,
       idCol: String,

@@ -563,18 +563,37 @@ object LlmOps {
     }),
 
     // Prefix-filtered set-similarity self-join (SimilarityJoin under
-    // the oracle): every doc pair with bigram-set Jaccard >= 3/10,
+    // the oracle): every doc pair with bigram-set Jaccard >= 7/10,
     // found via the LOSSLESS rarest-first prefix filter instead of the
     // all-pairs scan. The oracle IS the naive quadratic join, so a
     // prefix bug that loses one qualifying pair (or a verify bug that
     // admits one) flips the hash — exact equivalence, stronger than a
-    // recall floor.
+    // recall floor. Elements are word TRIGRAMS and t = 7/10: prefix
+    // filtering needs a SPARSE element universe and a selective
+    // threshold to prune (bigrams at t=0.3 collapsed to a disguised
+    // all-pairs join at sf0.1 — 5.9M candidates; trigrams at 0.7 give
+    // 202k for the same 256 true pairs). The qualifying set is the
+    // J≈1 planted near-dups either way, so the sparser universe costs
+    // nothing and the bench exercises the filter's working regime.
     "q_jaccard_join" -> ((s, d) => {
+      // tokenize in its OWN projection: word_ngrams references its input
+      // many times per row, and HOF lambdas are excluded from
+      // subexpression elimination — inlining the tokenizer would re-run
+      // it per reference (the Kernels.scala bigramRepetitive trap). The
+      // repartition parallelizes the expensive tokenize+ngram+distinct
+      // stage: the small documents parquet reads as ONE split locally,
+      // which serialized the whole element build on a single core
+      // (measured 8.7 s → ~0.4 s at sf0.1); at real scale input splits
+      // provide this parallelism for free.
+      // NO size() filter on bgs: the HOF transform is interpreted (not
+      // codegen), and a filter referencing it forces re-evaluation per
+      // consumer (measured 0.4 s → 3.8 s); empty gram arrays explode to
+      // nothing inside the operator anyway, so the filter was redundant.
       val tk = Tables.documents(s, d)
-        .select(col("doc_id"),
-          gfn.word_bigrams(gfn.ascii_tokens(col("text"))).as("bgs"))
-        .filter(size(col("bgs")) >= 1)
-      graft.operators.SimilarityJoin.jaccardJoin(tk, "doc_id", "bgs", tNum = 3, tDen = 10)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), gfn.ascii_tokens(col("text")).as("tk"))
+        .select(col("doc_id"), gfn.word_ngrams(col("tk"), 3).as("bgs"))
+      graft.operators.SimilarityJoin.jaccardJoin(tk, "doc_id", "bgs", tNum = 7, tDen = 10)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1232,8 +1251,8 @@ object LlmOps {
          SELECT doc_id, term, tf, df, score_key, rk
          FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
 
-    // The naive quadratic truth: distinct (doc, bigram) self-joined on
-    // the bigram, exact integer cross-multiplied threshold. The engine's
+    // The naive quadratic truth: distinct (doc, trigram) self-joined on
+    // the gram, exact integer cross-multiplied threshold. The engine's
     // prefix-filtered plan must emit EXACTLY these pairs.
     "q_jaccard_join" ->
       """WITH tok AS (
@@ -1242,8 +1261,9 @@ object LlmOps {
            FROM documents WHERE text IS NOT NULL),
          bg AS (
            SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
-           FROM tok WHERE len(tk) >= 2),
+             unnest(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM tok WHERE len(tk) >= 3),
          sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1254,7 +1274,7 @@ object LlmOps {
          FROM inter
            JOIN sz sa ON id_a = sa.doc_id
            JOIN sz sb ON id_b = sb.doc_id
-         WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 3
+         WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 7
          ORDER BY id_a, id_b""",
 
     // The full merge step replayed: same tokenizer, same weighted pair

@@ -296,6 +296,25 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Large-volume orders (TPC-H Q18 shape): the HAVING-IN aggregate
+    // subquery decorrelated to one per-order rollup joined back — fact
+    // aggregated once, then a key join; the (sum_qty DESC, o_orderkey)
+    // order is total so the LIMIT cut is deterministic on any cluster.
+    "q_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+        .filter(col("sq") > lit(180).cast(dec))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("sq").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Late-order priority count (TPC-H Q4 shape): EXISTS against the
     // fact with a non-equi residual (shipped after the order date),
     // planned as ONE semi hash join on the order key — the fact is
@@ -1660,6 +1679,21 @@ object Relational {
          WHERE p_size <= 10
            AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
          GROUP BY p_brand ORDER BY p_brand""",
+
+    // Q18: the textbook HAVING-IN form; the engine runs the decorrelated
+    // rollup-join. Plain decimal sums render as CAST(... AS DOUBLE) per
+    // the proven rendering law.
+    "q_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(sq AS DOUBLE) AS sum_qty
+         FROM orders
+           JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty DESC, o_orderkey LIMIT 20""",
 
     // Q4: the textbook correlated EXISTS; the engine runs the
     // decorrelated semi join.

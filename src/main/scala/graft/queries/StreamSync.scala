@@ -768,7 +768,91 @@ object StreamSync {
     Files.readString(ptr)
   }
 
+  /** Streaming incremental matview: three micro-batches fold through
+    * `Matview.partial`/`refresh` inside foreachBatch — O(batch) work plus
+    * a changed-keys merge per trigger, never a rescan — with the
+    * streaming-upsert sink's versioned-state + atomic `_CURRENT` pointer
+    * crash story. The DECIMAL state makes the fold exactly associative,
+    * so the streamed refresh schedule must equal the one-shot batch
+    * aggregate bit-for-bit (the oracle).
+    */
+  private def matviewSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_matview_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val ptr = root.resolve("_CURRENT")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        def land(pred: org.apache.spark.sql.Column, name: String): Path = {
+          val ev = Tables.events(s, d).filter(pred)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"),
+              col("value"))).as("j"))
+          landOne(ev, root, landing, name)
+        }
+        val t1 = lit("2024-01-11").cast("timestamp")
+        val t2 = lit("2024-01-21").cast("timestamp")
+        val b1 = land(col("ts") < t1, "batch1.jsonl")
+        val b2 = land(col("ts") >= t1 && col("ts") < t2, "batch2.jsonl")
+        val b3 = land(col("ts") >= t2, "batch3.jsonl")
+        mtimeAfter(b2, b1, 4000L)
+        mtimeAfter(b3, b2, 8000L)
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val stream = StreamingSync.readJsonlStream(s, s"$landing/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              val m = graft.operators.Matview
+              val state =
+                if (Files.exists(ptr))
+                  m.refresh(s.read.parquet(Files.readString(ptr)), batch,
+                    Seq("user_id"), "value")
+                else m.partial(batch, Seq("user_id"), "value")
+              val out = root.resolve("state").resolve(s"v$batchId").toString
+              state.coalesce(1).write.mode("overwrite").parquet(out)
+              val tmp = root.resolve("_CURRENT.tmp")
+              Files.writeString(tmp, out)
+              Files.move(tmp, ptr,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              ()
+            }
+          }
+          .start()
+        awaitOrFail(q, 180000, "stream_matview replay")
+
+        val totalN = s.read.parquet(Files.readString(ptr))
+          .agg(sum(col("n")).cast("long")).head().getLong(0)
+        val expected = Tables.events(s, d).count()
+        require(totalN == expected,
+          s"stream_matview state counts $totalN rows, expected $expected — " +
+            "a refresh dropped or double-counted a batch")
+        Files.createFile(marker)
+        ()
+    }
+    Files.readString(ptr)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_matview" -> ((s, d) => {
+      graft.operators.Matview.read(
+        s.read.parquet(matviewSinkDir(s, d)), Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     "q_stream_sync" -> ((s, d) => {
       s.read.parquet(sinkDir(s, d))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -833,6 +917,16 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // The streamed three-batch refresh schedule must equal the one-shot
+    // aggregate exactly — DECIMAL state makes the fold associative, so
+    // any drift (dropped batch, double merge) flips the hash.
+    "q_stream_matview" ->
+      """SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
     // BIGINT casts: the sink's JSON-schema "integer" columns are int64
     // while the nation parquet is int32 — same discipline as q_dsv2_source.
     "q_stream_sync" ->

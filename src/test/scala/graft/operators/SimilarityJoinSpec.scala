@@ -22,8 +22,8 @@ class SimilarityJoinSpec extends SparkSpec {
 
   test("lossless vs the naive quadratic join on the real corpus") {
     val tk = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), graft.expressions.functions.word_bigrams(
-        graft.expressions.functions.ascii_tokens(col("text"))).as("bgs"))
+      .select(col("doc_id"), graft.expressions.functions.ascii_tokens(col("text")).as("tk"))
+      .select(col("doc_id"), graft.expressions.functions.word_bigrams(col("tk")).as("bgs"))
       .filter(size(col("bgs")) >= 1)
     val fast = SimilarityJoin.jaccardJoin(tk, "doc_id", "bgs", 3, 10)
       .select("id_a", "id_b", "n_inter", "n_union")
