@@ -162,4 +162,78 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__prio", "__cum")
   }
+
+  /** Exact integer square root `⌊√x⌋` of a non-negative long column.
+    * `floor(sqrt(double))` alone is exact only while x and the root's
+    * square stay inside the double mantissa; the ±1 correction makes the
+    * result exact for ANY non-negative long, in Spark and in every
+    * engine that replays the same three integer comparisons (sqrt is
+    * IEEE correctly-rounded, so the seed differs from the truth by at
+    * most 1 either way).
+    */
+  def isqrt(x: Column): Column = {
+    val r0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((r0 + 1) * (r0 + 1) <= x, r0 + 1)
+      .when(r0 * r0 > x, r0 - 1)
+      .otherwise(r0)
+  }
+
+  /** Temperature-scaled domain mixing (the multilingual-pretraining
+    * resampler of XLM-R / mT5): sample `totalRows` rows across domains
+    * with per-domain share ∝ count^α at α = 1/2, boosting small domains
+    * relative to their natural share without letting one giant domain
+    * swamp the mix. α = 1/2 is the one exponent whose scaling —
+    * [[isqrt]] — is EXACT integer math, which is what makes every
+    * allocation and every per-row keep decision replayable in any
+    * engine (general α needs pow(), which is not correctly-rounded and
+    * can flip allocations across libm builds).
+    *
+    * Allocation is largest-remainder (Hamilton) apportionment in pure
+    * integer arithmetic: base share `totalRows·w_d div W`, the shortfall
+    * distributed one row each to the domains with the largest remainders
+    * (ties to the lexicographically smaller domain — a total order).
+    * Each domain's target is then capped at its population (sampling is
+    * WITHOUT replacement, so an over-allocated small domain contributes
+    * what it has; the result can undershoot `totalRows` only in that
+    * case). Rows are drawn per domain by ascending [[portableUniform]]
+    * priority — deterministic, and a bigger `totalRows` only adds rows
+    * within any domain.
+    *
+    * Scale shape: the domain table (counts → weights → targets) is
+    * vocabulary-sized, its windows run on #domains rows, and it joins
+    * back broadcast; the corpus pays one count aggregate and one
+    * per-domain window — the [[tokenBudget]] skew note applies to the
+    * window key.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      totalRows: Long): DataFrame = {
+    require(totalRows > 0, s"totalRows must be positive, got $totalRows")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
+    // domain-level table: #domains rows, so the empty-frame windows are
+    // single-partition over a handful of rows, not a data-volume term
+    val all = Window.partitionBy(lit(1))
+    val targets = counts
+      .withColumn("w", isqrt(col("cnt")))
+      .withColumn("__W", sum(col("w")).over(all))
+      .withColumn("__base", expr(s"($totalRows * w) div __W"))
+      .withColumn("__rem", expr(s"($totalRows * w) % __W"))
+      .withColumn("__short", lit(totalRows) - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__rem").desc, col(domainCol).asc)))
+      .withColumn("target",
+        least(col("__base") +
+          when(col("__rk") <= col("__short"), lit(1L)).otherwise(lit(0L)),
+          col("cnt")))
+      .select(col(domainCol), col("cnt"), col("w"), col("target"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__prio").asc, col(keyCol).asc)
+    df.join(broadcast(targets), Seq(domainCol))
+      .withColumn("__prio", portableUniform(col(keyCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("target"))
+      .drop("__prio", "__rn")
+  }
 }

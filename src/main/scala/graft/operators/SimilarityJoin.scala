@@ -35,8 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  /** The checkpointed per-document representation: elements sorted
-    * rarest-first, the prefix length, and the sorted hash array for
+  /** The checkpointed per-document representation: element hashes sorted
+    * rarest-first, the prefix length, and the ascending hash array for
     * verification.
     */
   def sortedRepr(
@@ -47,31 +47,54 @@ object SimilarityJoin {
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1], got $tNum/$tDen")
-    // els is consumed twice (frequency aggregate + re-join) — the
-    // explode re-evaluates per consumer, which is CHEAPER here than a
-    // checkpoint materialization (measured equal at sf0.1); callers
-    // should keep HOF-built element arrays out of filters upstream (an
-    // interpreted transform re-evaluates per reference — see the
-    // q_jaccard_join comment)
-    val els = docs.filter(col(idCol).isNotNull && col(elemsCol).isNotNull)
+    // Two traps around the (typically HOF-built, interpreted) element
+    // array, both measured at sf0.1:
+    //  * NO null filter on elemsCol: a filter referencing the array
+    //    forces the interpreted lambda to re-evaluate per consumer
+    //    (4.4 s → 0.5 s warm for the element build when dropped), and it
+    //    is redundant — explode(array_distinct(NULL)) yields no rows, so
+    //    null element arrays drop out in the explode itself.
+    //  * els is CHECKPOINTED: it feeds the frequency aggregate AND the
+    //    re-join, and without materialization each consumer re-runs the
+    //    tokenize+explode subtree. Post-hash it is two longs per element
+    //    occurrence — the cheapest point in the pipeline to cut.
+    // Elements are replaced by xxhash64 right after the per-doc
+    // distinct: every downstream shuffle — the frequency aggregate, its
+    // re-join, and above all the candidate equi-join on prefix elements —
+    // carries 8-byte longs instead of element strings, and the per-doc
+    // collect/sort handles long structs instead of string structs.
+    // Together the three changes take the full q_jaccard_join from ~8 s
+    // to ~2.5 s warm at sf0.1 (isolated reruns). Soundness
+    // is unchanged: (cnt, hash) is as valid a global total order as
+    // (cnt, string) — the prefix principle needs only ONE total order —
+    // and a 64-bit collision can only ADD a candidate pair (verified
+    // afterwards) or overcount an intersection, the same no-collision
+    // discipline the hash-array verify step already carried. `n` still
+    // counts distinct element STRINGS (hashing happens after the
+    // distinct, one row per element either way); xxhash64 on the
+    // exploded scalar is native codegen, not an interpreted HOF pass.
+    val els = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), explode(array_distinct(col(elemsCol))).as("el"))
-    val freq = els.groupBy(col("el")).agg(count(lit(1)).as("cnt"))
-    // one sorted representation per doc: rarest-first (cnt, el) is a
+      .select(col("id"), xxhash64(col("el")).as("h"))
+      .localCheckpoint(true)
+    val freq = els.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    // one sorted representation per doc: rarest-first (cnt, h) is a
     // total order, so every engine derives the same prefix
-    els.join(freq, Seq("el"))
+    els.join(freq, Seq("h"))
       .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(cnt, el))), s -> s.el)").as("arr"),
+      .agg(expr("transform(array_sort(collect_list(struct(cnt, h))), s -> s.h)").as("arr"),
         count(lit(1)).as("n"))
       .withColumn("plen",
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1L))
-      .withColumn("harr",
-        expr("array_sort(transform(arr, x -> xxhash64(x)))"))
+      // the verify array is the SAME hashes re-sorted ascending — no
+      // second hashing pass over the elements
+      .withColumn("harr", expr("array_sort(arr)"))
       .localCheckpoint(true) // consumed by both candidate sides + verify
   }
 
-  /** The candidate-generating prefix element stream `(id, n, el)` —
-    * public so the pruning property (prefix rows << element rows) is
-    * testable, not just the end-to-end pair set.
+  /** The candidate-generating prefix element stream `(id, n, el)` (`el`
+    * is the element's xxhash64) — public so the pruning property (prefix
+    * rows << element rows) is testable, not just the end-to-end pair set.
     */
   def prefixes(
       docs: DataFrame,

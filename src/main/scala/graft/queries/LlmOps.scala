@@ -903,6 +903,31 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled domain mixing (XLM-R α = 1/2): 130 rows
+    // apportioned across source domains ∝ isqrt(count) by
+    // largest-remainder — all integer math, so the oracle replays the
+    // exact square roots, the Hamilton allocation (including the
+    // remainder ranking and its lexicographic tie-break), and every
+    // per-row md5-priority draw. 130 is deliberately not a multiple of
+    // the domain count, so the shortfall distribution genuinely runs.
+    "q_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMix(
+        Tables.documents(s, d), "source", "doc_id", totalRows = 130L)
+        .select(col("doc_id"), col("source"), col("cnt"), col("w"), col("target"))
+        .orderBy("doc_id")
+    }),
+
+    // Length-sorted inference batching: longest-first batches of 16 per
+    // shard, with the padded-tensor size and padding waste the batcher
+    // exists to minimize. Every batch boundary, max, and sum is integer
+    // and replayed by the oracle from the same (id, token-count) pairs.
+    "q_length_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Packing.lengthBatch(docs, "doc_id", "n_tokens", batchSize = 16, nShards = 4)
+        .orderBy("shard", "batch")
+    }),
+
     // Deterministic domain-mixture resampling: each source domain keeps
     // documents at rate k/4 where k = (domain number % 4) + 1, decided by
     // the PORTABLE md5-derived uniform (the same one q_hash_split's
@@ -1717,6 +1742,60 @@ object LlmOps {
            FROM t WHERE n_tokens > 0)
          SELECT doc_id, source, n_tokens
          FROM c WHERE cum <= 600 ORDER BY doc_id""",
+
+    // Full integer replay of the temperature mix: exact isqrt (seed ±1
+    // correction), Hamilton base/remainder shares over the summed
+    // weights, the shortfall ranking with its (rem DESC, source ASC)
+    // total order, the population cap, and the per-domain md5-priority
+    // draw. A single mis-allocated row anywhere flips the hash.
+    "q_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+         sq AS (SELECT source, cnt,
+                  CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS r0 FROM counts),
+         wt AS (SELECT source, cnt,
+                  CASE WHEN (r0+1)*(r0+1) <= cnt THEN r0+1
+                       WHEN r0*r0 > cnt THEN r0-1 ELSE r0 END AS w FROM sq),
+         tot AS (SELECT source, cnt, w,
+                  CAST(sum(w) OVER () AS BIGINT) AS wsum FROM wt),
+         base AS (SELECT source, cnt, w,
+                  (130 * w) // wsum AS base, (130 * w) % wsum AS rem FROM tot),
+         fin AS (SELECT source, cnt, w, base, rem,
+                  130 - CAST(sum(base) OVER () AS BIGINT) AS short,
+                  row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM base),
+         tgt AS (SELECT source, cnt, w,
+                  least(base + CASE WHEN rk <= short THEN 1 ELSE 0 END, cnt) AS target
+                FROM fin),
+         pri AS (SELECT d.doc_id, d.source, t.cnt, t.w, t.target,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                      d.doc_id) AS rn
+                FROM documents d JOIN tgt t USING (source))
+         SELECT doc_id, source, cnt, w, target
+         FROM pri WHERE rn <= target ORDER BY doc_id""",
+
+    // Every batch boundary replayed: same longest-first (n_tokens DESC,
+    // doc_id ASC) total order per shard, same (rn-1)//16 cut, same
+    // padded/waste integer accounting.
+    "q_length_batch" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 4 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT shard, n_tokens,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+           FROM t WHERE n_tokens > 0),
+         b AS (
+           SELECT shard, (rn - 1) // 16 AS batch,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n_tokens) AS BIGINT) AS max_tok,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tok
+           FROM r GROUP BY 1, 2)
+         SELECT shard, batch, n_docs, max_tok, sum_tok,
+           n_docs * max_tok AS padded,
+           n_docs * max_tok - sum_tok AS waste
+         FROM b ORDER BY shard, batch""",
 
     // The per-row decision replayed in full: the same md5-prefix uniform
     // (('0x' || 8 hex chars)::BIGINT = Spark's conv(..,16,10)), the same
