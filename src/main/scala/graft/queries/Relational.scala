@@ -1120,6 +1120,64 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
         .filter(col("n") >= 20)
         .orderBy("l_partkey")
+    }),
+
+    // TPC-H Q15 shape: an aggregate VIEW (per-supplier quarter revenue),
+    // the scalar max over the view, and the join back to the winners —
+    // the argmax-over-aggregate pattern. The view is built once and
+    // feeds both the max and the final join (Spark plans the 1-row max
+    // side as a broadcast); revenue is the proven column-operand
+    // decimal-product sum, compared exactly — no float argmax ties.
+    "q_revenue_view" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(38, 4)).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("__max_rev"))
+      rev.join(broadcast(maxRev))
+        .filter(col("total_rev") === col("__max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Most-frequent value per group (MODE) with a deterministic
+    // (count DESC, value ASC) tiebreak — argmax via one aggregate and a
+    // WindowGroupLimit-prunable rank, never a per-group collect.
+    "q_mode" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("n").desc, col("o_orderpriority").asc)))
+        .filter(col("__rk") === 1)
+        .drop("__rk")
+        .orderBy("c_mktsegment")
+    }),
+
+    // Running COUNT(DISTINCT) over an ordered window — an aggregate
+    // neither engine's window frames support natively — composed from
+    // supported pieces: a first-occurrence flag (row_number = 1 over the
+    // (user, type) key) summed cumulatively per user. Two window
+    // exchanges, both on user-prefixed keys; the (ts, event_id) order is
+    // a total order so the running count is engine-independent.
+    "q_window_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)) === 1
+      ev.withColumn("__f", first.cast("long"))
+        .withColumn("n_distinct_types", sum(col("__f")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)))
+        .select(col("event_id"), col("user_id"), col("n_distinct_types"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1887,5 +1945,43 @@ object Relational {
       """SELECT l_partkey, count(*) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
-         ORDER BY l_partkey""")
+         ORDER BY l_partkey""",
+
+    "q_revenue_view" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS DECIMAL(38,4)) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    "q_mode" ->
+      """WITH c AS (
+           SELECT c_mktsegment, o_orderpriority, count(*) AS n
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY n DESC, o_orderpriority ASC) AS rk
+           FROM c)
+         SELECT c_mktsegment, o_orderpriority, n
+         FROM r WHERE rk = 1 ORDER BY c_mktsegment""",
+
+    "q_window_distinct" ->
+      """WITH f AS (
+           SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS fst
+           FROM events)
+         SELECT event_id, user_id,
+           CAST(sum(fst) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS BIGINT) AS n_distinct_types
+         FROM f ORDER BY event_id""")
 }

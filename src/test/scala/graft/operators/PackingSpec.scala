@@ -97,6 +97,34 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("lengthBatch on a hand-checked shard: longest-first cuts, padded/waste arithmetic") {
+    // one shard (nShards=1), batchSize=2: lengths sorted desc = 9,7,5,3,1
+    // batches: [9,7] [5,3] [1] → padded 18,10,1 waste 2,2,0
+    val df = Seq((0L, 5L), (1L, 9L), (2L, 1L), (3L, 7L), (4L, 3L))
+      .toDF("id", "tok")
+    val out = Packing.lengthBatch(df, "id", "tok", batchSize = 2, nShards = 1)
+      .orderBy("batch")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 9L, 16L, 18L, 2L),
+      (1L, 2L, 5L, 8L, 10L, 2L),
+      (2L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("lengthBatch: every batch holds at most batchSize docs and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val a = Packing.lengthBatch(docs, "doc_id", "tok", 16, 4)
+    val rows = a.collect()
+    assert(rows.forall(_.getLong(2) <= 16L), "n_docs must be <= batchSize")
+    assert(rows.forall(r => r.getLong(6) == r.getLong(5) - r.getLong(4)),
+      "waste = padded - sum_tok")
+    val b = Packing.lengthBatch(docs.repartition(13), "doc_id", "tok", 16, 4)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == b)
+  }
+
   test("one shuffle: the plan has a single hash exchange, on the shard key") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))

@@ -99,6 +99,55 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Set(1L, 4L), s"zero/negative-token rows must be dropped, got $kept")
   }
 
+  test("isqrt is exact on perfect squares, off-by-one neighbors, and the 2^62 domain edge") {
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 10L, 24L, 25L, 26L,
+      (1L << 31) * (1L << 31) - 1L, (1L << 31) * (1L << 31),
+      (1L << 62) - 1L) // domain edge: floor(sqrt) = 2^31 - 1
+    val got = cases.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { x =>
+      val r = BigInt(got(x))
+      assert(r * r <= x && (r + 1) * (r + 1) > x,
+        s"isqrt($x) = $r is not the floor square root")
+    }
+  }
+
+  test("temperatureMix: Hamilton targets sum to totalRows, obey the cap, and draws are monotone") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, "source", "doc_id", totalRows = 130L)
+    val rows = out.select("doc_id", "source", "cnt", "w", "target").collect()
+    assert(rows.length == 130,
+      s"no domain cap binds at sf0.001 → the apportionment must land exactly, got ${rows.length}")
+    // per-domain kept counts equal the published target
+    val perDomain = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val targets = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+    perDomain.foreach { case (dom, n) =>
+      assert(n.toLong == targets(dom), s"domain $dom kept $n != target ${targets(dom)}")
+      assert(targets(dom) <= rows.find(_.getString(1) == dom).get.getLong(2),
+        s"domain $dom target exceeds its population")
+    }
+    // a bigger draw only adds rows (within-domain md5-priority prefix)
+    val small = Sampling.temperatureMix(docs, "source", "doc_id", totalRows = 60L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bigIds = rows.map(_.getLong(0)).toSet
+    // monotone per domain in target; global set is monotone because every
+    // domain's target is non-decreasing in totalRows (w/W fixed)
+    assert(small.subsetOf(bigIds), "raising totalRows must only add rows")
+  }
+
+  test("temperatureMix caps a tiny domain at its population") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ Seq((1000L, "tiny")))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureMix(df, "dom", "id", totalRows = 50L)
+      .select("dom").collect().map(_.getString(0))
+    val byDom = out.groupBy(identity).view.mapValues(_.length).toMap
+    // w(big)=10, w(tiny)=1, W=11: tiny's share 50*1/11 = 4 (+maybe 1) but
+    // its population is 1 — the cap must bind
+    assert(byDom("tiny") == 1, s"tiny domain must cap at its 1 row, got $byDom")
+    assert(byDom("big") >= 45, s"big domain takes its Hamilton share, got $byDom")
+  }
+
   test("mixDomains is deterministic across repartitionings and shuffle-free") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     val a = Sampling.mixDomains(docs, "doc_id", lit(2), 4)
