@@ -163,13 +163,14 @@ object Sampling {
       .drop("__prio", "__cum")
   }
 
-  /** Exact integer square root `⌊√x⌋` of a non-negative long column.
-    * `floor(sqrt(double))` alone is exact only while x and the root's
-    * square stay inside the double mantissa; the ±1 correction makes the
-    * result exact for ANY non-negative long, in Spark and in every
-    * engine that replays the same three integer comparisons (sqrt is
-    * IEEE correctly-rounded, so the seed differs from the truth by at
-    * most 1 either way).
+  /** Exact integer square root `⌊√x⌋` of a non-negative long column,
+    * for `0 <= x < 2^62`. `floor(sqrt(double))` alone is exact only
+    * while x and the root's square stay inside the double mantissa; the
+    * ±1 correction makes the result exact across the whole domain, in
+    * Spark and in every engine that replays the same three integer
+    * comparisons (sqrt is IEEE correctly-rounded, so the seed differs
+    * from the truth by at most 1 either way). The 2^62 bound keeps the
+    * `(r+1)²` probe inside long range — row counts cannot approach it.
     */
   def isqrt(x: Column): Column = {
     val r0 = floor(sqrt(x.cast("double"))).cast("long")

@@ -686,6 +686,99 @@ object StreamSync {
     sink.toString
   }
 
+  /** FULL-outer stream-stream interval join replay: the left-outer
+    * fixture's shape with `full_outer`, so unmatched rows flush from BOTH
+    * sides' state — never-purchased clicks emit with a null purchase_id
+    * AND never-clicked purchases emit with null click columns, each only
+    * once the min-of-watermarks proves its match impossible. The same
+    * per-side far-future sentinels do the flushing; sentinel rows carry
+    * negative user ids and are filtered in the driven query (a click_id
+    * filter would also kill the legitimate unmatched-purchase rows, whose
+    * click columns are null). Verified in-fixture against the batch full
+    * join before the completion marker lands.
+    */
+  private def fullOuterJoinSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_fojoin_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val clickDir = Files.createDirectories(root.resolve("clicks"))
+        val purchDir = Files.createDirectories(root.resolve("purchases"))
+
+        def land(eventType: String, dir: Path): Path = {
+          val ev = Tables.events(s, d).filter(col("event_type") === eventType)
+            .select(to_json(struct(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+          val whole = landOne(ev, root, root, s"whole_fo_$eventType.jsonl")
+          val b1 = dir.resolve("batch1.jsonl")
+          Files.move(whole, b1)
+          b1
+        }
+        def sentinel(dir: Path, prev: Path, userId: Long): Unit = {
+          val f = dir.resolve("batch2_sentinel.jsonl")
+          Files.write(f, java.util.Arrays.asList(
+            s"""{"event_id":-1,"user_id":$userId,"ts":"2024-06-01T00:00:00.000000"}"""))
+          mtimeAfter(f, prev, 4000L)
+        }
+        // distinct sentinel user ids: the two sentinels must not join
+        sentinel(clickDir, land("click", clickDir), -1L)
+        sentinel(purchDir, land("purchase", purchDir), -2L)
+
+        val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val clicks = StreamingSync.readJsonlStream(s, s"$clickDir/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val purchases = StreamingSync.readJsonlStream(s, s"$purchDir/*.jsonl",
+          lineSchema, maxFilesPerTrigger = 1)
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val joined = StreamingSync.intervalJoinStreamOuter(
+          clicks, "c_ts", purchases, "p_ts",
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour",
+          delay = "40 days", joinType = "full_outer")
+          // unmatched purchases have a null left side — surface ONE
+          // user_id column so the driven query needn't know which side
+          // produced the row
+          .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+            col("click_id"), col("purchase_id"))
+        val q = joined.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_full_outer_join replay")
+
+        // each side's sentinel stays buffered in ITS OWN state (the
+        // watermark it pushes never passes its own eviction time), so only
+        // real rows flush — mirror the batch count over real events
+        val n = s.read.parquet(sink.toString)
+          .filter(col("user_id") >= 0).count()
+        val c = Tables.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+        val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val expected = c.join(p, expr(
+          "user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"),
+          "full_outer").count()
+        require(n == expected,
+          s"stream_full_outer_join sink has $n real rows, batch full join expects " +
+            s"$expected — a side's unmatched rows did not flush or pairs duplicated")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming UPSERT sink (update-mode semantics on an append-only
     * format): each micro-batch folds into a latest-per-key state table
     * via foreachBatch — batch-local latest (Upsert.latestByKey), merge
@@ -904,6 +997,15 @@ object StreamSync {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    "q_stream_full_outer" -> ((s, d) => {
+      s.read.parquet(fullOuterJoinSinkDir(s, d))
+        .filter(col("user_id") >= 0) // drop the two watermark sentinels
+        .select(col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "q_stream_sessionize" -> ((s, d) => {
       s.read.parquet(sessionizeSinkDir(s, d))
         .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
@@ -997,6 +1099,20 @@ object StreamSync {
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The streamed full-outer interval join must equal the batch full
+    // join exactly: every matched pair, every never-purchased click
+    // (purchase_id -1), AND every never-clicked purchase (click_id -1) —
+    // both sides' buffered state must flush, not just the left's.
+    "q_stream_full_outer" ->
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.event_id, -1) AS click_id,
+           coalesce(p.event_id, -1) AS purchase_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         ORDER BY user_id, click_id, purchase_id""",
 
     // The streamed broadcast enrichment must equal the batch lookup join
     // exactly — every event in both micro-batches finds its dim row.
