@@ -197,8 +197,13 @@ object Sampling {
     * WITHOUT replacement, so an over-allocated small domain contributes
     * what it has; the result can undershoot `totalRows` only in that
     * case). Rows are drawn per domain by ascending [[portableUniform]]
-    * priority — deterministic, and a bigger `totalRows` only adds rows
-    * within any domain.
+    * priority — deterministic, and within a domain the draw is a
+    * priority PREFIX, so whenever a domain's target grows it only adds
+    * rows. Hamilton apportionment itself is NOT house-monotone (the
+    * Alabama paradox: raising `totalRows` can shrink one domain's target
+    * by a row while others gain) — callers needing a globally
+    * append-only corpus across re-draws should grow per-domain targets
+    * explicitly rather than re-apportioning.
     *
     * Scale shape: the domain table (counts → weights → targets) is
     * vocabulary-sized, its windows run on #domains rows, and it joins
@@ -212,7 +217,12 @@ object Sampling {
       keyCol: String,
       totalRows: Long): DataFrame = {
     require(totalRows > 0, s"totalRows must be positive, got $totalRows")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
+    // null domains are excluded UP FRONT: they could never join back to
+    // the weight table anyway, and leaving them in the counts would hand
+    // a weight share to rows that can never be drawn — a silent
+    // undershoot of totalRows
+    val rows = df.filter(col(domainCol).isNotNull)
+    val counts = rows.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))
     // domain-level table: #domains rows, so the empty-frame windows are
     // single-partition over a handful of rows, not a data-volume term
     val all = Window.partitionBy(lit(1))
@@ -231,7 +241,7 @@ object Sampling {
       .select(col(domainCol), col("cnt"), col("w"), col("target"))
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("__prio").asc, col(keyCol).asc)
-    df.join(broadcast(targets), Seq(domainCol))
+    rows.join(broadcast(targets), Seq(domainCol))
       .withColumn("__prio", portableUniform(col(keyCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("target"))

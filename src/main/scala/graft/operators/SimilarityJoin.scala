@@ -75,6 +75,13 @@ object SimilarityJoin {
     // exploded scalar is native codegen, not an interpreted HOF pass.
     val els = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), explode(array_distinct(col(elemsCol))).as("el"))
+      // null ELEMENTS are dropped before hashing: xxhash64(NULL) is the
+      // seed constant, not null, so an unfiltered null would become a
+      // real "element" shared by every doc that carries one — the string
+      // pipeline's null-unsafe equi-join dropped them, and this filter
+      // (on the exploded scalar, not the HOF array — no re-eval trap)
+      // preserves that contract
+      .filter(col("el").isNotNull)
       .select(col("id"), xxhash64(col("el")).as("h"))
       .localCheckpoint(true)
     val freq = els.groupBy(col("h")).agg(count(lit(1)).as("cnt"))

@@ -1749,7 +1749,8 @@ object LlmOps {
     // total order, the population cap, and the per-domain md5-priority
     // draw. A single mis-allocated row anywhere flips the hash.
     "q_temperature_mix" ->
-      """WITH counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+      """WITH counts AS (SELECT source, count(*) AS cnt FROM documents
+                         WHERE source IS NOT NULL GROUP BY 1),
          sq AS (SELECT source, cnt,
                   CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS r0 FROM counts),
          wt AS (SELECT source, cnt,

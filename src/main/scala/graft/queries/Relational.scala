@@ -1124,10 +1124,12 @@ object Relational {
 
     // TPC-H Q15 shape: an aggregate VIEW (per-supplier quarter revenue),
     // the scalar max over the view, and the join back to the winners —
-    // the argmax-over-aggregate pattern. The view is built once and
-    // feeds both the max and the final join (Spark plans the 1-row max
-    // side as a broadcast); revenue is the proven column-operand
-    // decimal-product sum, compared exactly — no float argmax ties.
+    // the argmax-over-aggregate pattern. The view is CHECKPOINTED so the
+    // lineitem scan + aggregate genuinely runs once for both consumers
+    // (uncached, each subtree would recompute it; the view is
+    // #suppliers rows, the cheapest point to cut). The 1-row max side
+    // broadcasts; revenue is the proven column-operand decimal-product
+    // sum, compared exactly — no float argmax ties.
     "q_revenue_view" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1136,6 +1138,7 @@ object Relational {
         .agg(sum(col("l_extendedprice").cast(dec) *
           (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
           .cast(DecimalType(38, 4)).as("total_rev"))
+        .localCheckpoint(true)
       val maxRev = rev.agg(max(col("total_rev")).as("__max_rev"))
       rev.join(broadcast(maxRev))
         .filter(col("total_rev") === col("__max_rev"))

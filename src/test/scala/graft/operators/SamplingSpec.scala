@@ -127,13 +127,33 @@ class SamplingSpec extends SparkSpec {
       assert(targets(dom) <= rows.find(_.getString(1) == dom).get.getLong(2),
         s"domain $dom target exceeds its population")
     }
-    // a bigger draw only adds rows (within-domain md5-priority prefix)
+    // Within a domain the draw is a priority prefix: whenever a domain's
+    // target is no smaller in the bigger draw, its kept set must be a
+    // superset. (Hamilton apportionment is NOT house-monotone — the
+    // Alabama paradox — so the per-domain guard is the honest property,
+    // not a global subset claim.)
     val small = Sampling.temperatureMix(docs, "source", "doc_id", totalRows = 60L)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val bigIds = rows.map(_.getLong(0)).toSet
-    // monotone per domain in target; global set is monotone because every
-    // domain's target is non-decreasing in totalRows (w/W fixed)
-    assert(small.subsetOf(bigIds), "raising totalRows must only add rows")
+      .select("source", "doc_id", "target").collect()
+    val smallByDom = small.groupBy(_.getString(0))
+    val bigByDom = rows.groupBy(_.getString(1))
+    smallByDom.foreach { case (dom, srows) =>
+      val sTarget = srows.head.getLong(2)
+      val bTarget = targets(dom)
+      if (bTarget >= sTarget) {
+        val sIds = srows.map(_.getLong(1)).toSet
+        val bIds = bigByDom(dom).map(_.getLong(0)).toSet
+        assert(sIds.subsetOf(bIds),
+          s"domain $dom: target grew $sTarget → $bTarget but kept set is not a prefix extension")
+      }
+    }
+  }
+
+  test("temperatureMix excludes null domains from weights AND draws") {
+    val df = ((1L to 20L).map(i => (i, Some("a"))) ++
+      (21L to 40L).map(i => (i, Option.empty[String]))).toDF("id", "dom")
+    val out = Sampling.temperatureMix(df, "dom", "id", totalRows = 10L).collect()
+    assert(out.length == 10, s"null-domain rows must not dilute the draw, got ${out.length}")
+    assert(out.forall(_.getString(0) == "a")) // join key (dom) leads the output
   }
 
   test("temperatureMix caps a tiny domain at its population") {
