@@ -377,6 +377,151 @@ object Relational {
         .limit(10)
     }),
 
+    // Volume shipping (TPC-H Q7 shape): revenue flowing between a PAIR of
+    // nations in either direction. Both nation dims are filtered to the
+    // two nations BEFORE their broadcast joins — the pair predicate then
+    // only has to exclude the two same-nation combinations, so ~92% of
+    // the fact drops at the first broadcast probe instead of surviving to
+    // a post-join filter. Exchanges: fact-side only (li⋈orders, ⋈cust).
+    "q_volume_shipping" -> ((s, d) => {
+      val two = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(two: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Important-part value (TPC-H Q11 shape, re-keyed: lineitem plays
+    // partsupp). The global-threshold scalar subquery is ONE extra
+    // reduction over the per-part aggregate (never a second fact scan),
+    // broadcast back as a single row, and the fraction cut is the
+    // cross-multiplied DECIMAL test value·700 > total — no float division
+    // whose rounding could flip a borderline part between engines.
+    "q_important_parts" -> ((s, d) => {
+      val natSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val perPart = Tables.lineitem(s, d)
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("value"))
+        .localCheckpoint(true) // feeds both the total and the threshold cut
+      val total = perPart.agg(sum(col("value")).as("total"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") * 700 > col("total"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value").cast("double").as("part_value"))
+        .orderBy("p_partkey")
+    }),
+
+    // Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    // with the priority exclusion in the JOIN condition (not a WHERE —
+    // customers with only urgent orders must still appear with count 0),
+    // then a second aggregate over the counts. Both aggregates shuffle
+    // |customer|-sized data at most; the histogram is |distinct counts|.
+    "q_order_count_dist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Supplier variety (TPC-H Q16 shape, re-keyed: lineitem plays
+    // partsupp): distinct suppliers per (brand, type, size) bucket,
+    // excluding one brand, a size whitelist, and a NOT-IN supplier
+    // exclusion planned as a broadcast anti join (the exclusion set is
+    // dim-sized). count(DISTINCT) runs as Spark's two-phase expand —
+    // partial distinct on (group, suppkey) before the final exchange.
+    "q_supplier_variety" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val negSup = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(negSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Lost customers (TPC-H Q22 shape): above-average-balance customers
+    // with no RECENT orders (every synthetic customer has SOME order, so
+    // the cut is dated — non-empty by construction, and the date filter
+    // pushes to the orders scan before the anti join). The global average
+    // is the cross-multiplied DECIMAL test bal·n_pos > total_pos (one
+    // tiny broadcast row, no float division), and NOT EXISTS is a
+    // broadcast-able anti join on the customer key. Group code re-keyed
+    // to c_nationkey % 10 (this schema's c_name has no country prefix).
+    "q_lost_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val posStats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(dec)).as("total_pos"),
+          count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(posStats))
+        .filter(col("c_acctbal").cast(dec) * col("n_pos") > col("total_pos"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
+    // Min-cost supplier (TPC-H Q2 shape, re-keyed: lineitem's unit price
+    // plays ps_supplycost). The correlated min subquery is decorrelated
+    // as a WINDOW min over the part key — one shuffle on l_partkey covers
+    // both the min and the equality cut, with no join-back and no second
+    // fact scan. Exact DECIMAL equality keeps the winner set engine-
+    // independent; DISTINCT collapses multi-line (part, supplier) ties.
+    "q_min_cost_supplier" -> ((s, d) => {
+      val parts = Tables.part(s, d).filter(col("p_size") === 15)
+        .select("p_partkey", "p_brand")
+      val priced = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").cast(dec).as("price"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val w = Window.partitionBy(col("p_partkey"))
+      priced.withColumn("min_price", min(col("price")).over(w))
+        .filter(col("price") === col("min_price"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("min_price").cast("double").as("min_price"))
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
     // Incremental matview maintenance (Matview under the oracle): the
     // view is built from an initial load plus TWO delta refreshes —
     // key-wise addition of partial aggregates, never a rescan — and must
@@ -1797,6 +1942,93 @@ object Relational {
              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_returnflag = 'R')
          GROUP BY s_suppkey, s_name ORDER BY numwait DESC, s_name LIMIT 10""",
+
+    // Q7: both nation legs restricted to the pair; the engine pushes the
+    // restriction into the broadcast dims, DuckDB runs it as written.
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // Q11 re-keyed: the textbook scalar-subquery threshold, with the
+    // fraction as the cross-multiplied DECIMAL test in both engines.
+    "q_important_parts" ->
+      """WITH per_part AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+           FROM lineitem
+           WHERE l_suppkey IN (
+             SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3')
+           GROUP BY 1)
+         SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+         FROM per_part
+         WHERE value * 700 > (SELECT sum(value) FROM per_part)
+         ORDER BY 1""",
+
+    // Q13: the priority exclusion must live in the JOIN's ON clause —
+    // moving it to WHERE would silently drop zero-order customers.
+    "q_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // Q16 re-keyed: NOT IN over a null-free dim key (s_suppkey is the
+    // supplier PK) — the engine plans the broadcast anti join.
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (1, 5, 10, 15, 20, 25)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q22 re-keyed: the positive-balance average as a cross-multiplied
+    // DECIMAL comparison against (sum, count) — no float division.
+    "q_lost_customers" ->
+      """WITH pos AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos,
+             count(*) AS n_pos
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, pos
+         WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY 1 ORDER BY 1""",
+
+    // Q2 re-keyed: the textbook correlated min; the engine decorrelates
+    // to a window min with exact DECIMAL equality.
+    "q_min_cost_supplier" ->
+      """WITH priced AS (
+           SELECT l_partkey AS p_partkey, p_brand, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size = 15)
+         SELECT DISTINCT p_partkey, p_brand, l_suppkey AS s_suppkey, s_name,
+           CAST(price AS DOUBLE) AS min_price
+         FROM priced JOIN supplier ON l_suppkey = s_suppkey
+         WHERE price = (SELECT min(p2.price) FROM priced p2
+                        WHERE p2.p_partkey = priced.p_partkey)
+         ORDER BY p_partkey, s_suppkey""",
 
     // The clustered layout's oracle is the raw table sliced by day — the
     // partitioned files and pruning must be invisible in the result.
