@@ -619,6 +619,33 @@ object Relational {
         .orderBy("d")
     }),
 
+    // 2-D skyline (Skyline.skyline2d under the oracle): parts on the
+    // (cheapest price, largest size) Pareto frontier. The engine runs
+    // the group + running-max decomposition — one shuffle on the price
+    // plus a window over DISTINCT prices; the oracle runs the textbook
+    // quadratic NOT EXISTS dominance test. Comparisons only, so the
+    // double prices hash identically cross-engine.
+    "q_skyline" -> ((s, d) => {
+      graft.operators.Skyline.skyline2d(
+        Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // Interval-concurrency sweep (TimeSeries.intervalConcurrency under
+    // the oracle): open orders per change day, each order live for 30
+    // days. The engine sweeps +1/-1 deltas with a running sum; the
+    // oracle recounts every day's open set with an independent
+    // correlated COUNT over the raw intervals — the sweep's algebra is
+    // verified, not replayed.
+    "q_interval_sweep" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("interval 30 days")).as("end_ts"))
+      graft.operators.TimeSeries.intervalConcurrency(o, "start_ts", "end_ts")
+        .orderBy("day")
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted in
     // every week they return — integer bucket arithmetic, exact oracle.
     "q_retention" -> ((s, d) => {
@@ -2029,6 +2056,30 @@ object Relational {
          WHERE price = (SELECT min(p2.price) FROM priced p2
                         WHERE p2.p_partkey = priced.p_partkey)
          ORDER BY p_partkey, s_suppkey""",
+
+    // Skyline: the oracle is the textbook quadratic dominance test — a
+    // deliberately DIFFERENT algorithm from the engine's running-max
+    // decomposition, so the decomposition itself is what's verified.
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p_partkey""",
+
+    // Interval sweep: the oracle recounts each change day's open set
+    // with a correlated COUNT over the raw intervals — independent of
+    // the engine's +1/-1 running-sum algebra.
+    "q_interval_sweep" ->
+      """WITH days AS (
+           SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+           UNION
+           SELECT DISTINCT CAST(o_orderdate + INTERVAL 30 DAY AS DATE) FROM orders)
+         SELECT day,
+           (SELECT count(*) FROM orders
+            WHERE CAST(o_orderdate AS DATE) <= day
+              AND day < CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS n_open
+         FROM days ORDER BY day""",
 
     // The clustered layout's oracle is the raw table sliced by day — the
     // partitioned files and pruning must be invisible in the result.
