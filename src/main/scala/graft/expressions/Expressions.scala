@@ -128,6 +128,18 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** strip_accents(string) → string: NFD → drop Mn marks → NFC, with an
+  * allocation-free ASCII fast path (see TextKernels.stripAccents).
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stripAccents(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.stripAccents($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** bigram_repetitive(string) → boolean; one-pass kernel verdict (see
   * TextKernels.bigramRepetitive for why this is not a Column formula).
   */
@@ -211,6 +223,7 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("ascii_tokens", es => AsciiTokens(es.head), "built-in")
+    reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigram_repetitive",
       es => BigramRepetitive(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
@@ -250,6 +263,7 @@ object functions {
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
+  def strip_accents(text: Column): Column = col(StripAccents(expr(text)))
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))

@@ -161,6 +161,34 @@ object TextKernels {
     fnv64(b, 0, b.length)
   }
 
+  /** Accent stripping: NFD-decompose, drop combining marks (Unicode
+    * category Mn), NFC-recompose — the standard diacritic fold every
+    * text-normalization pipeline runs before tokenizing (utf8proc's
+    * `strip_accents`, Lucene's ASCIIFoldingFilter for the Latin range).
+    * Oracle-verified against DuckDB `strip_accents` over the Latin-1
+    * accent range; the ASCII fast path returns the input UTF8String
+    * untouched (zero allocation — the common case in a mostly-ASCII
+    * corpus costs one byte scan).
+    */
+  def stripAccents(text: UTF8String): UTF8String = {
+    val n = text.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if ((text.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return text
+    val nfd = java.text.Normalizer.normalize(text.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val c = nfd.charAt(j)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      j += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
   /** Lowercased runs of [a-z0-9] as an ArrayData of strings — the exact
     * semantics of `string_split_regex(lower(s), '[^a-z0-9]+')` minus
     * empties (shared with the DuckDB heavy-hitters oracle), as one codegen

@@ -474,6 +474,27 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Accent folding (StripAccents codegen Expression under the oracle):
+    // the synthetic corpus is pure ASCII, so the query FIRST accents
+    // every vowel via translate (same table function in DuckDB), then
+    // folds the accents back off with the custom NFD→drop-Mn→NFC
+    // expression — the oracle's strip_accents must reproduce the exact
+    // strings AND the byte-count drop (2-byte Latin-1 vowels back to 1),
+    // so an expression that passed text through untouched, or folded to
+    // the wrong form, flips the hash on every row.
+    "q_text_normalize" -> ((s, d) => {
+      val accented = translate(col("text"), "aeiou", "áèîöü")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.expressions.functions.strip_accents(accented).as("norm"),
+          // cast: Spark octet_length is INT, DuckDB strlen is BIGINT —
+          // the driver's schema compare needs the types identical too
+          octet_length(accented).cast("long").as("n_bytes_accented"),
+          octet_length(graft.expressions.functions.strip_accents(accented))
+            .cast("long").as("n_bytes_norm"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1142,6 +1163,16 @@ object LlmOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_text_clean" -> textCleanSql,
+
+    // DuckDB accents the same vowels with its own translate, then its
+    // utf8proc strip_accents must agree with the engine's NFD→Mn→NFC
+    // expression byte for byte (strlen = bytes, like Spark octet_length).
+    "q_text_normalize" ->
+      """SELECT doc_id,
+           strip_accents(translate(text, 'aeiou', 'áèîöü')) AS norm,
+           strlen(translate(text, 'aeiou', 'áèîöü')) AS n_bytes_accented,
+           strlen(strip_accents(translate(text, 'aeiou', 'áèîöü'))) AS n_bytes_norm
+         FROM documents ORDER BY doc_id""",
 
     // Exact group counts + literal `true`: the hash certifies the
     // percentile_approx sketch's answer re-ranked within its declared

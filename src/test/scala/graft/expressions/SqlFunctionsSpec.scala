@@ -37,4 +37,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(TextKernels.shingleHashes(u, 2, ascii = true).toLongArray().toSeq !=
       TextKernels.shingleHashes(u, 2, ascii = false).toLongArray().toSeq)
   }
+
+  test("strip_accents folds marks, keeps non-mark unicode, and ASCII is identity by reference") {
+    def strip(s: String): String =
+      TextKernels.stripAccents(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(strip("áèîöü çñ ÀÉÎ") == "aeiou cn AEI")
+    // precomposed (U+00E9) and combining-mark (e + U+0301) forms fold alike
+    assert(strip("café") == "cafe" && strip("café") == "cafe")
+    // non-mark non-ASCII survives (ß and € are not combining marks)
+    assert(strip("straße €5 über") == "straße €5 uber")
+    // the ASCII fast path returns the SAME UTF8String instance
+    val a = org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii 42")
+    assert(TextKernels.stripAccents(a) eq a)
+    // callable from SQL and null-safe
+    val r = spark.sql("SELECT strip_accents('él'), strip_accents(CAST(NULL AS STRING))").head()
+    assert(r.getString(0) == "el" && r.isNullAt(1))
+  }
 }
