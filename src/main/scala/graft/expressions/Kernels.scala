@@ -162,13 +162,23 @@ object TextKernels {
   }
 
   /** Accent stripping: NFD-decompose, drop combining marks (Unicode
-    * category Mn), NFC-recompose — the standard diacritic fold every
-    * text-normalization pipeline runs before tokenizing (utf8proc's
-    * `strip_accents`, Lucene's ASCIIFoldingFilter for the Latin range).
-    * Oracle-verified against DuckDB `strip_accents` over the Latin-1
-    * accent range; the ASCII fast path returns the input UTF8String
-    * untouched (zero allocation — the common case in a mostly-ASCII
-    * corpus costs one byte scan).
+    * categories Mn/Mc/Me — the set utf8proc's STRIPMARK removes),
+    * NFC-recompose — the standard diacritic fold every
+    * text-normalization pipeline runs before tokenizing. Iterates by
+    * CODE POINT, so supplementary-plane marks (e.g. Adlam U+1E944) are
+    * stripped too, never leaked as surrogate halves.
+    *
+    * Engine contract: NFD → drop marks → NFC. This agrees with DuckDB's
+    * `strip_accents` wherever recomposition is a no-op after the marks
+    * are gone — all Latin/Cyrillic/Greek accent folding, and exactly the
+    * range q_text_normalize's oracle exercises. It intentionally does
+    * NOT reproduce utf8proc's decompose-without-recompose tail (which
+    * would leave Hangul as disassembled jamo — a worse engine contract);
+    * an oracle over such scripts would need a rows-only check.
+    *
+    * The ASCII fast path returns the input UTF8String untouched (zero
+    * allocation — the common case in a mostly-ASCII corpus costs one
+    * byte scan).
     */
   def stripAccents(text: UTF8String): UTF8String = {
     val n = text.numBytes
@@ -181,9 +191,11 @@ object TextKernels {
     val sb = new java.lang.StringBuilder(nfd.length)
     var j = 0
     while (j < nfd.length) {
-      val c = nfd.charAt(j)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      j += 1
+      val cp = nfd.codePointAt(j)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
     }
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

@@ -34,15 +34,24 @@ object Skyline {
   /** Rows of `df` on the Pareto frontier of (minimize `minimizeCol`,
     * maximize `maximizeCol`). Duplicate criterion pairs are all kept
     * (classic skyline semantics: equal points do not dominate).
+    *
+    * Rows with a null in EITHER criterion are excluded up front — a null
+    * score neither dominates nor competes. (Without the explicit filter
+    * a null minimize value would sort first in the running-max window
+    * and poison `__amax` for every real row.) NaN criteria are a
+    * precondition violation, as in [[Stats.histogram]]: Spark orders
+    * NaN largest, so a NaN minimize value would never be reported
+    * dominated.
     */
   def skyline2d(df: DataFrame, minimizeCol: String, maximizeCol: String)
       : DataFrame = {
-    val perMin = df.groupBy(col(minimizeCol))
+    val pts = df.filter(col(minimizeCol).isNotNull && col(maximizeCol).isNotNull)
+    val perMin = pts.groupBy(col(minimizeCol))
       .agg(max(col(maximizeCol)).as("__gmax"))
     val w = Window.orderBy(col(minimizeCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val pref = perMin.withColumn("__amax", max(col("__gmax")).over(w))
-    df.join(pref, Seq(minimizeCol))
+    pts.join(pref, Seq(minimizeCol))
       .filter(!(coalesce(col("__amax") >= col(maximizeCol), lit(false)) ||
         col("__gmax") > col(maximizeCol)))
       .drop("__gmax", "__amax")

@@ -64,9 +64,18 @@ object TimeSeries {
     */
   def intervalConcurrency(df: DataFrame, startCol: String, endCol: String)
       : DataFrame = {
-    val deltas = df.select(to_date(col(startCol)).as("day"), lit(1L).as("delta"))
-      .unionAll(df.select(to_date(col(endCol)).as("day"), lit(-1L).as("delta")))
-      .groupBy(col("day")).agg(sum(col("delta")).as("__net"))
+    // Both deltas come from ONE pass over the input (explode of a 2-row
+    // struct array) — a unionAll of two selects would execute the whole
+    // upstream plan twice. Null-dated intervals are excluded up front:
+    // an open-ended interval must be closed upstream (coalesce the end
+    // to a horizon date), otherwise its -1 would land in a null day
+    // group that sorts first and understates every real day's count.
+    val deltas = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(explode(array(
+        struct(to_date(col(startCol)).as("day"), lit(1L).as("delta")),
+        struct(to_date(col(endCol)).as("day"), lit(-1L).as("delta")))).as("d"))
+      .groupBy(col("d.day").as("day")).agg(sum(col("d.delta")).as("__net"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas.withColumn("n_open", sum(col("__net")).over(w))

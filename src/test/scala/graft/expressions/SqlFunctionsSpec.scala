@@ -47,6 +47,11 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(strip("café") == "cafe" && strip("café") == "cafe")
     // non-mark non-ASCII survives (ß and € are not combining marks)
     assert(strip("straße €5 über") == "straße €5 uber")
+    // supplementary-plane marks strip by CODE POINT (U+1E944 is an Adlam
+    // combining mark: a char-wise loop would leak its surrogate halves)
+    assert(strip("a" + new String(Character.toChars(0x1E944)) + "b") == "ab")
+    // spacing combining marks (category Mc) strip too — utf8proc's set
+    assert(strip("का") == "क") // Devanagari KA + vowel AA
     // the ASCII fast path returns the SAME UTF8String instance
     val a = org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii 42")
     assert(TextKernels.stripAccents(a) eq a)

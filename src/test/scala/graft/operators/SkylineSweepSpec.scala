@@ -56,4 +56,24 @@ class SkylineSweepSpec extends SparkSpec {
     assert(got.minBy(_._1)._2 > 0)
     assert(got.maxBy(_._1)._2 == 0, "last end day should close every interval")
   }
+
+  test("null criteria are excluded, not frontier-poisoning or count-shifting") {
+    import spark.implicits._
+    // skyline: a null-price row must neither appear nor dominate
+    val sky = Seq((1L, Option.empty[Double], Option(100)),
+      (2L, Option(5.0), Option(50)), (3L, Option(4.0), Option.empty[Int]))
+      .toDF("id", "price", "size")
+    val ids = Skyline.skyline2d(sky, "price", "size")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L), s"got $ids — null rows must drop, (5.0, 50) must survive")
+
+    // sweep: an open-ended (null end) interval is excluded entirely —
+    // its +1 must not land either, or every later day over-counts
+    val iv = Seq(("2020-01-01", "2020-01-03"), ("2020-01-02", null))
+      .toDF("s0", "e0")
+      .select(to_date(col("s0")).as("s"), to_date(col("e0")).as("e"))
+    val swept = TimeSeries.intervalConcurrency(iv, "s", "e")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(swept == Map("2020-01-01" -> 1L, "2020-01-03" -> 0L), s"got $swept")
+  }
 }
