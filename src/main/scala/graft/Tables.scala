@@ -2,24 +2,42 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Uniform access to the driver testdata tables.
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]); we read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` and rebuild `ts` as
-  * TimestampType via integral `DIV 1000` (ns → µs, truncation — the same
-  * conversion DuckDB applies when it narrows ns to its µs timestamps, so
-  * oracle comparisons agree). Integer division matters: ns-epoch values
-  * (~1.7e18) exceed 2^53 and would lose precision through a double.
+  * `events.parquet`'s `ts` column has shipped with different physical types
+  * across testdata generations, so the reader dispatches on the schema it
+  * actually finds rather than hard-coding one:
+  *
+  *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+  *    ([PARQUET_TYPE_ILLEGAL]), so we read with
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (set up-front — it is
+  *    inert for non-nanos files) and rebuild TimestampType via integral
+  *    `DIV 1000` (ns → µs truncation, matching DuckDB's narrowing).
+  *    Integer division matters: ns-epoch values (~1.7e18) exceed 2^53 and
+  *    would lose precision through a double.
+  *  - timestamp[us] without UTC adjustment: Spark reads TIMESTAMP_NTZ; we
+  *    cast to TimestampType. The cast interprets the wall clock in the
+  *    session timezone, so we pin the session to UTC first (every entry
+  *    point in this repo already does; this is a safety net) — then the
+  *    stored instant equals the naive wall clock DuckDB sees, and parquet
+  *    round-trips hash-match.
+  *  - already TimestampType: pass through.
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => raw
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 

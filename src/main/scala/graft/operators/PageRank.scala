@@ -13,12 +13,22 @@ import org.apache.spark.sql.types.DecimalType
   * (float PageRank differs in the last ulps across engines and
   * summation orders; integer PageRank cannot).
   *
-  * 100 TB shape: the edge list (pre-joined with out-degrees, checkpointed
-  * once) is the only corpus-sized state; each iteration is ONE shuffle —
-  * messages grouped by destination, map-side-combined — plus a broadcast-
-  * able node-spine join, and each round's scores are localCheckpoint-
-  * pinned so the logical plan stays flat (the [[Components.minLabel]]
-  * lineage discipline).
+  * 100 TB shape: the edge list (pre-joined with out-degrees, hash-
+  * partitioned on `src` and checkpointed once) is the only corpus-sized
+  * state; each iteration is ONE shuffle — messages grouped by
+  * destination, map-side-combined; the scores side co-partitions onto
+  * the pinned `src` layout, so the edge list never re-exchanges. There
+  * is NO per-round node-spine join: every aggregation key is a node
+  * with in-edges, and nodes WITHOUT in-edges sit at the constant
+  * teleport floor every round, so the full spine is just the union of
+  * the round's aggregate with that precomputed constant slice. Each
+  * round's scores are localCheckpoint-pinned (lazily — no blocking job
+  * per round; the whole iteration materializes in one action) so the
+  * logical plan stays flat (the [[Components.minLabel]] lineage
+  * discipline). Lazy pinning keeps every round's node-spine-sized RDD
+  * cached until the final action — O(iters · |V|) executor memory; for
+  * very deep iteration counts on very large graphs, chunk the loop and
+  * materialize between chunks.
   *
   * PRECONDITION (the NaN-precondition discipline of [[Stats]]): message
   * sums accumulate in DECIMAL(38,0) — safe to ~1e36 — but the damped
@@ -45,32 +55,36 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100, s"scale must be >= 100, got $scale")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ewd = e.join(deg, Seq("src")).localCheckpoint(true)
-    e.unpersist()
-    val nodes = ewd.select(col("src").as("id"))
-      .union(ewd.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
+    // pin the message-side layout once: hash-partitioned on src, so the
+    // per-round join only exchanges the (node-spine-sized) scores side
+    val ewd = e.join(deg, Seq("src")).repartition(col("src"))
+      .localCheckpoint(false)
     val teleport = (scale * 15L) / 100L
-    var scores = nodes.select(col("id"), lit(scale).as("score"))
+    // nodes with in-edges are exactly the aggregation keys of every
+    // round; nodes without in-edges never receive mass and sit at the
+    // teleport floor from round 1 on — a constant slice, computed once
+    val dstNodes = ewd.select(col("dst").as("id")).distinct()
+    val floorNodes = deg.select(col("src").as("id"))
+      .join(dstNodes, Seq("id"), "left_anti")
+    val floorScores = floorNodes.select(col("id"), lit(teleport).as("score"))
+      .localCheckpoint(false)
+    var scores = dstNodes.union(floorNodes)
+      .select(col("id"), lit(scale).as("score"))
     for (_ <- 1 to iters) {
       val inSum = ewd.join(scores, col("src") === col("id"))
-        .select(col("dst").as("id"), expr("score div deg").as("c"))
-        .groupBy(col("id"))
+        .select(col("dst").as("to"), expr("score div deg").as("c"))
+        .groupBy(col("to"))
         .agg(sum(col("c").cast(DecimalType(38, 0))).as("in_sum"))
-      val prev = scores
-      // the no-in-edges NULL is resolved BEFORE the division, so an
-      // overflow NULL from the jump itself still propagates (a hub past
-      // the precondition scores NULL, never the teleport floor)
-      scores = nodes.join(inSum, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(teleport) +
-            when(col("in_sum").isNull, lit(0L))
-              .otherwise(expr("(in_sum * 85) div 100"))).as("score"))
-        .localCheckpoint(true)
-      prev.unpersist()
+      // an overflow NULL from the damped jump propagates into a NULL
+      // score (a hub past the precondition never silently ranks); the
+      // no-in-edges case cannot reach here — those ids live in the
+      // constant floor slice
+      scores = inSum
+        .select(col("to").as("id"),
+          (lit(teleport) + expr("(in_sum * 85) div 100")).as("score"))
+        .union(floorScores)
+        .localCheckpoint(false)
     }
     scores
   }

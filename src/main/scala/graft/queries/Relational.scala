@@ -227,9 +227,12 @@ object Relational {
 
     // Market-share shape (TPC-H Q8): per order-year, one nation's slice
     // of ASIA-region revenue. Numerator and denominator emitted as
-    // separate DECIMAL sums — never the ratio, whose FP division could
-    // tie-break differently across engines. Same star as q_star_join;
-    // one fact-side exchange after broadcast dims, then a year rollup.
+    // separate sums — never the ratio, whose FP division could
+    // tie-break differently across engines. Sums are DECIMAL internally
+    // and rendered via the proven CAST(... AS DOUBLE) finish (the bare
+    // DECIMAL render hash-diverges between engines). Same star as
+    // q_star_join; one fact-side exchange after broadcast dims, then a
+    // year rollup.
     "q_market_share" -> ((s, d) => {
       val nation = Tables.nation(s, d)
       val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
@@ -245,9 +248,9 @@ object Relational {
         .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
-          coalesce(sum(when(col("n_name") === "NATION_2", rev)),
-            lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("nation_rev"),
-          sum(rev).cast(DecimalType(38, 4)).as("region_rev"),
+          coalesce(sum(when(col("n_name") === "NATION_2", rev)).cast("double"),
+            lit(0.0)).as("nation_rev"),
+          sum(rev).cast("double").as("region_rev"),
           count(lit(1)).as("n_lines"))
         .orderBy("o_year")
     }),
@@ -292,7 +295,7 @@ object Relational {
         .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_small"),
-          sum(col("l_extendedprice").cast(dec)).cast(DecimalType(38, 4)).as("small_rev"))
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("small_rev"))
         .orderBy("p_brand")
     }),
 
@@ -1718,7 +1721,8 @@ object Relational {
     // DATA-DEPENDENT CONSTANT: the hardcoded zero violations assume the
     // synthetic events corpus has unique event_ids, non-negative user_ids,
     // and no null values (true today; re-pin, don't debug, if the
-    // generator changes).
+    // generator changes). The quarantine row is derived, not pinned:
+    // counts follow the every-500th planting rule.
     "q_ingest_e2e" ->
       """WITH g AS (SELECT count(*) AS n_good FROM events),
          c AS (SELECT CAST(sum(CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END)
@@ -1870,11 +1874,11 @@ object Relational {
 
     "q_market_share" ->
       """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
-           CAST(coalesce(sum(CASE WHEN n_name = 'NATION_2'
-               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END), 0)
-             AS DECIMAL(38,4)) AS nation_rev,
+           coalesce(CAST(sum(CASE WHEN n_name = 'NATION_2'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+             AS DOUBLE), 0.0) AS nation_rev,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-             AS DECIMAL(38,4)) AS region_rev,
+             AS DOUBLE) AS region_rev,
            count(*) AS n_lines
          FROM customer
            JOIN nation ON c_nationkey = n_nationkey
@@ -1905,7 +1909,7 @@ object Relational {
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
            FROM lineitem GROUP BY 1)
          SELECT p_brand, count(*) AS n_small,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS small_rev
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_rev
          FROM lineitem
            JOIN stats USING (l_partkey)
            JOIN part ON l_partkey = p_partkey

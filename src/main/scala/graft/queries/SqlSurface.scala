@@ -255,19 +255,23 @@ object SqlSurface {
     }),
 
     // IGNORE NULLS navigation: lag and running last_value skipping the
-    // planted nulls (every third key) — DECIMAL values so the carried
-    // numbers hash identically. Partitioned window: no global sort.
+    // planted nulls (every third key). The carried payload is integer
+    // cents (round(price*100) as BIGINT) — casting a parquet DOUBLE to
+    // DECIMAL rounds HALF_UP in Spark but HALF_EVEN in DuckDB, while
+    // integers hash identically; the navigation semantics under test
+    // don't care about the payload type. Partitioned window: no global
+    // sort.
     "q_window_ignore_nulls" -> ((s, d) => {
       view(s, d, "orders")
       s.sql("""
         SELECT o_orderkey,
           CASE WHEN o_orderkey % 3 = 0 THEN NULL
-               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v,
+               ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v,
           lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                   ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) IGNORE NULLS
+                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) IGNORE NULLS
             OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_v,
           last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) IGNORE NULLS
+                          ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) IGNORE NULLS
             OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
         FROM orders ORDER BY o_orderkey""")
@@ -312,12 +316,12 @@ object SqlSurface {
     "q_window_ignore_nulls" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v,
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS v,
            lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END IGNORE NULLS)
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END IGNORE NULLS)
              OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_v,
            last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END IGNORE NULLS)
+                           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END IGNORE NULLS)
              OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
          FROM orders ORDER BY o_orderkey""",

@@ -32,7 +32,10 @@ object PlanAudit {
         val smj = count("SortMergeJoin")
         val bnl = count("BroadcastNestedLoopJoin")
         val cart = count("CartesianProduct")
-        val scanCols = "ReadSchema: struct<([^>]*)".r.findAllMatchIn(plan)
+        // stop at end-of-line as well as '>': the plan string truncates
+        // long schemas ("...") without a closing '>', and an unanchored
+        // scan would swallow the NEXT scan's schema into one count
+        val scanCols = "ReadSchema: struct<([^>\n]*)".r.findAllMatchIn(plan)
           .map(_.group(1).count(_ == ':')).toSeq
         val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
         // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
