@@ -299,6 +299,199 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Shipping priority (TPC-H Q3): top-10 unshipped orders by revenue
+    // for one market segment. The (revenue DESC, l_orderkey) order is
+    // total so the LIMIT cut is deterministic; the limit plans as
+    // TakeOrderedAndProject (per-partition heaps, no global sort).
+    // Revenue is the proven column-operand DECIMAL(38,4) product sum.
+    "q_ship_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val cut = lit("1996-03-15").cast("timestamp")
+      val orders = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Local-supplier volume (TPC-H Q5): revenue per nation where the
+    // customer and the line's supplier share the nation — the classic
+    // 6-table star plus the cross-dimension equality (c_nationkey =
+    // s_nationkey) that makes Q5 more than a chain of lookups. All dims
+    // broadcast; ONE fact-side exchange for the join spine, one for the
+    // nation rollup. (n_name, revenue) ordered by revenue DESC with the
+    // name tiebreak: total order.
+    "q_local_supplier" -> ((s, d) => {
+      val asia = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Forecast-revenue change (TPC-H Q6): the pure scan-side aggregate —
+    // no join at all; the year + discount-band + quantity predicates all
+    // push to the parquet scan. The discount×price product pairs two
+    // (18,2) columns, whose declared sum precision differs across
+    // engines, so the exact sum is finished with the proven
+    // CAST(... AS DOUBLE).
+    "q_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Product-type profit (TPC-H Q9 shape, re-keyed: p_retailprice plays
+    // ps_supplycost since there is no partsupp). Profit per supplier
+    // nation per year over one product family; the name filter prunes
+    // part BEFORE the broadcast, the fact is scanned once, and the
+    // mixed-precision profit difference is exact DECIMAL finished as
+    // DOUBLE.
+    "q_product_profit" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(
+          col("l_extendedprice").cast(dec) *
+            (lit(1.0).cast(dec) - col("l_discount").cast(dec)) -
+          col("p_retailprice").cast(dec) * col("l_quantity").cast(dec))
+          .cast("double").as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name", "o_year")
+    }),
+
+    // Late-shipment priority split (TPC-H Q12 shape, re-keyed:
+    // l_linestatus plays l_shipmode, and "late" = shipped more than 60
+    // days after the order date since there are no commit/receipt
+    // dates). One fact-side equi-join with the date residual, then a
+    // two-way conditional count per status — the classic
+    // sum(CASE ...) pivot, one exchange.
+    "q_late_shipmode" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      Tables.lineitem(s, d).select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Promotion revenue share (TPC-H Q14): promo vs total revenue in one
+    // month. Emitted as the two separate sums — never the percentage,
+    // whose FP division could differ in the last ulp — both through the
+    // proven DOUBLE finish; the conditional numerator coalesces AFTER
+    // the cast (no literal-operand decimal arithmetic).
+    "q_promo_share" -> ((s, d) => {
+      val rev = col("l_extendedprice").cast(dec) *
+        (lit(1.0).cast(dec) - col("l_discount").cast(dec))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          coalesce(sum(when(col("p_type") === "PROMO", rev)).cast("double"),
+            lit(0.0)).as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Discounted-revenue disjunction (TPC-H Q19 shape, re-keyed:
+    // p_size bands play p_container). The OR-of-three-conjunctions
+    // predicate is the planner stress: each branch pairs part attributes
+    // with a lineitem quantity band, so the filter can only apply AFTER
+    // the join — but the shared l_quantity <= 30 and p_size >= 1 bounds
+    // still push to the scans. One broadcast join, one scalar aggregate.
+    "q_or_triplet" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val parts = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val branch =
+        (col("p_brand") === "Brand#15" &&
+          col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#19" &&
+          col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+      li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1.0).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Part-promotion suppliers (TPC-H Q20 shape, re-keyed: per-
+    // (part, supplier) shipped quantity plays partsupp availability).
+    // Suppliers holding an outsized share (>50%) of any 'small'-part's
+    // 1996 volume: BOTH aggregates come from ONE fact pass (the per-part
+    // total is a second reduction of the per-(part,supplier) aggregate,
+    // never a second scan), the share cut is the cross-multiplied exact
+    // DECIMAL test qty·2 > total, and the supplier list arrives via a
+    // semi join.
+    "q_part_promotion" -> ((s, d) => {
+      val smallParts = Tables.part(s, d)
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("qty"))
+      val totals = ps.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("total_qty"))
+      val big = ps.join(totals, Seq("l_partkey"))
+        .filter(col("qty") * 2 > col("total_qty"))
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // Large-volume orders (TPC-H Q18 shape): the HAVING-IN aggregate
     // subquery decorrelated to one per-order rollup joined back — fact
     // aggregated once, then a key join; the (sum_qty DESC, o_orderkey)
@@ -1916,6 +2109,106 @@ object Relational {
          WHERE p_size <= 10
            AND CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty
          GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+           AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_local_supplier" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_forecast_revenue" ->
+      """SELECT
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.02 AND l_discount <= 0.04
+           AND l_quantity < 24""",
+
+    "q_product_profit" ->
+      """SELECT n_name, CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+             AS DOUBLE) AS profit,
+           count(*) AS n_lines
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY n_name, o_year""",
+
+    "q_late_shipmode" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q_promo_share" ->
+      """SELECT
+           coalesce(CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+             AS DOUBLE), 0.0) AS promo_rev,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS total_rev,
+           count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+
+    "q_or_triplet" ->
+      """SELECT
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#15' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+
+    "q_part_promotion" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             AND l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+           GROUP BY 1, 2),
+         t AS (SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+                             JOIN t USING (l_partkey)
+                             WHERE qty * 2 > total_qty)
+         ORDER BY s_suppkey""",
 
     // Q18: the textbook HAVING-IN form; the engine runs the decorrelated
     // rollup-join. Plain decimal sums render as CAST(... AS DOUBLE) per
