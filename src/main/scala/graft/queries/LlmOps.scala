@@ -41,7 +41,89 @@ object LlmOps {
       .select("id_a", "id_b")
   }
 
+  /** Distinct (key, token-3-gram-shingle) pairs over `keyCol`, the shared
+    * substrate of q_source_overlap and q_set_cover. Shingles are built
+    * with index-lambda `transform` over the whitespace token array —
+    * pure projection, codegen-friendly, and byte-mirrored by a DuckDB
+    * list comprehension in the oracles.
+    */
+  private def keyedShingles(docs: DataFrame, keyCol: String): DataFrame =
+    docs
+      .withColumn("toks", filter(split(col("text"), " "), x => x =!= ""))
+      .filter(size(col("toks")) >= 3)
+      .select(col(keyCol), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .distinct()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cross-source shingle overlap: for every source pair, how many
+    // distinct token-3-gram shingles they share — the exact form of the
+    // corpus-contamination / provenance-audit matrix. One shingle-keyed
+    // exchange builds the distinct (source, shingle) set; the pair
+    // expansion joins that set to itself ON THE SHINGLE KEY, so a
+    // shingle shared by s sources expands to s·(s-1)/2 rows — bounded
+    // by the (small) source count, never by the corpus. At real corpus
+    // scale the same matrix comes from per-source MinHash signatures;
+    // this is the exact formulation the sketch estimates.
+    "q_source_overlap" -> ((s, d) => {
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val sh = keyedShingles(
+        Tables.documents(s, d).filter(col("source").isin(srcs: _*)), "source")
+        .localCheckpoint(false)
+      val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val ca = counts.select(col("source").as("src_a"), col("n").as("n_a"))
+      val cb = counts.select(col("source").as("src_b"), col("n").as("n_b"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(ca), Seq("src_a"))
+        .join(broadcast(cb), Seq("src_b"))
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Greedy maximum-coverage data selection
+    // ([[graft.operators.SetCover.greedyMaxCoverage]] under the oracle):
+    // 3 rounds over the doc/shingle incidence set, each selecting the
+    // doc that covers the most still-uncovered shingles,
+    // smallest-doc_id tie-break. The oracle unrolls the same greedy as
+    // a 3-stage CTE chain — every pick and every gain replayed exactly.
+    "q_set_cover" -> ((s, d) => {
+      val td = keyedShingles(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id")
+      val picks = graft.operators.SetCover
+        .greedyMaxCoverage(td, "doc_id", "sh", k = 3)
+      import s.implicits._
+      picks.toDF("round", "doc_id", "gain")
+    }),
+
+    // Deterministic domain interleave (the epoch-schedule step after
+    // mixture sampling): global training position pos = rank·|domains| +
+    // domain_index, a CLOSED FORM — one per-domain window for the rank
+    // plus a broadcast of the (vocabulary-sized) domain index; no global
+    // row_number, no single-partition window, nothing corpus-global. The
+    // schedule round-robins domains so no training window sees a
+    // single-domain run, and re-runs reproduce it bit-for-bit on any
+    // engine (pure integer arithmetic).
+    "q_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = docs.select(col("source")).distinct()
+        .withColumn("src_idx",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("source"))) - 1).cast("long"))
+      val nSrc = idx.agg(count(lit(1)).as("n_src"))
+      val ranked = docs.select(col("doc_id"), col("source"))
+        .withColumn("rk",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id"))) - 1).cast("long"))
+      ranked.join(broadcast(idx), Seq("source"))
+        .crossJoin(broadcast(nSrc))
+        .select(col("doc_id"), col("source"), col("src_idx"), col("rk"),
+          (col("rk") * col("n_src") + col("src_idx")).as("pos"))
+        .orderBy("pos")
+    }),
     // ---------------- dedup ----------------
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exact(Tables.documents(s, d), "doc_id", Seq("text"))
@@ -1162,6 +1244,75 @@ object LlmOps {
            FROM f, st)"""
 
   def oracleSql: Map[String, String] = Map(
+    // The shared distinct (key, 3-gram shingle) substrate of the two
+    // queries below, as a DuckDB list comprehension — byte-identical to
+    // the engine's index-lambda transform.
+    "q_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT source,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, greatest(len(t)-1, 1))]) AS sh
+           FROM (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents
+                 WHERE source IN ('src0','src1','src2','src3','src4'))
+           WHERE len(t) >= 3),
+         c AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         p AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.n_shared, ca.n AS n_a, cb.n AS n_b
+         FROM p
+           JOIN c ca ON p.src_a = ca.source
+           JOIN c cb ON p.src_b = cb.source
+         ORDER BY p.src_a, p.src_b""",
+
+    // The greedy unrolled: wN picks round N's winner, cN accumulates its
+    // shingles, gN+1 recounts gains over the uncovered remainder.
+    "q_set_cover" ->
+      """WITH td AS (
+           SELECT DISTINCT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, greatest(len(t)-1, 1))]) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents WHERE doc_id < 100)
+           WHERE len(t) >= 3),
+         w1 AS (SELECT doc_id, count(*) AS gain FROM td GROUP BY 1
+                ORDER BY gain DESC, doc_id LIMIT 1),
+         c1 AS (SELECT DISTINCT sh FROM td
+                WHERE doc_id IN (SELECT doc_id FROM w1)),
+         g2 AS (SELECT doc_id, count(*) AS gain FROM td
+                WHERE sh NOT IN (SELECT sh FROM c1) GROUP BY 1),
+         w2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+         c2 AS (SELECT sh FROM c1 UNION
+                SELECT DISTINCT sh FROM td
+                WHERE doc_id IN (SELECT doc_id FROM w2)),
+         g3 AS (SELECT doc_id, count(*) AS gain FROM td
+                WHERE sh NOT IN (SELECT sh FROM c2) GROUP BY 1),
+         w3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+         SELECT CAST(1 AS INTEGER) AS round, doc_id, gain FROM w1
+         UNION ALL SELECT 2, doc_id, gain FROM w2
+         UNION ALL SELECT 3, doc_id, gain FROM w3
+         ORDER BY round""",
+
+    "q_interleave" ->
+      """WITH idx AS (
+           SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         ns AS (SELECT count(*) AS n_src FROM idx),
+         r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS BIGINT) AS rk
+           FROM documents)
+         SELECT r.doc_id, r.source, i.src_idx, r.rk,
+           r.rk * ns.n_src + i.src_idx AS pos
+         FROM r JOIN idx i USING (source), ns
+         ORDER BY pos""",
+
     "q_text_clean" -> textCleanSql,
 
     // DuckDB accents the same vowels with its own translate, then its
