@@ -80,5 +80,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: java.io.IOException => } // read-only cwd must not fail the bench
     spark.stop()
+    // rc mirrors the headline's validity: a warm-pass query failure
+    // poisons `value`, so gates keyed on the exit code see it too (the
+    // JSON line and artifact are already written above — nothing is
+    // lost by exiting nonzero). Cold-only blips stay rc=0: the warm
+    // headline they leave behind is valid.
+    if (warmErrors.nonEmpty) sys.exit(2)
   }
 }

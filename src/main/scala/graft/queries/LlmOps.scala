@@ -99,6 +99,23 @@ object LlmOps {
       picks.toDF("round", "doc_id", "gain")
     }),
 
+    // Quantile normalization across sources
+    // ([[graft.operators.QuantileNorm.normalize]] under the oracle):
+    // every doc's length score re-expressed as the POOLED order
+    // statistic at its within-source quantile — Bolstad et al. 2003's
+    // batch-effect correction, the calibration step before per-source
+    // quality scores feed one mixture policy. All integer rank
+    // arithmetic; the pooled statistic resolves against the
+    // distinct-value cumulative spine (broadcast), never a
+    // corpus-global window.
+    "q_quantile_norm" -> ((s, d) => {
+      graft.operators.QuantileNorm.normalize(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id")
+        .select("doc_id", "source", "n_chars", "src_rank", "target_idx", "norm_val")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic domain interleave (the epoch-schedule step after
     // mixture sampling): global training position pos = rank·|domains| +
     // domain_index, a CLOSED FORM — one per-domain window for the rank
@@ -1296,6 +1313,31 @@ object LlmOps {
          UNION ALL SELECT 2, doc_id, gain FROM w2
          UNION ALL SELECT 3, doc_id, gain FROM w3
          ORDER BY round""",
+
+    "q_quantile_norm" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS src_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_grp
+           FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         spine AS (
+           SELECT v, hi - cnt AS lo, hi FROM (
+             SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS hi
+             FROM documents GROUP BY 1)),
+         ti AS (
+           SELECT doc_id, source, n_chars, src_rank,
+             CASE WHEN n_grp = 1 THEN 0
+                  ELSE (src_rank * (n_total - 1)) // (n_grp - 1)
+             END AS target_idx
+           FROM ranked, t)
+         SELECT ti.doc_id, ti.source, ti.n_chars, ti.src_rank,
+           ti.target_idx, s.v AS norm_val
+         FROM ti JOIN spine s
+           ON ti.target_idx >= s.lo AND ti.target_idx < s.hi
+         ORDER BY ti.doc_id""",
 
     "q_interleave" ->
       """WITH idx AS (
