@@ -44,6 +44,52 @@ object Parity {
       new graft.state.StateStore())(s"${table}_$format")
   }
 
+  /** Shared DSv2 connector fixture: nation rows replayed through a
+    * protocol-speaking child process (a generated shell script keyed by
+    * the source parquet's (mtime, size), atomically published) and read
+    * back via `format("graft-airbyte")`. Used by q_dsv2_source (plain
+    * round-trip) and q_dsv2_pushdown (filters pushed into the scan).
+    */
+  private def dsv2NationFrame(s: SparkSession, d: String): DataFrame = {
+    val srcFile = new java.io.File(s"$d/nation.parquet")
+    val dir = s"/tmp/graft_fixtures/dsv2_${srcFile.lastModified}_${srcFile.length}"
+    val script = s"$dir/c.sh"
+    if (!new java.io.File(script).exists()) {
+      new java.io.File(dir).mkdirs()
+      val rows = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey").collect() // 25 rows
+      // JSON-escape the string value and keep it shell-safe inside
+      // single quotes — plain interpolation only works while the data
+      // happens to be quote-free ASCII
+      def esc(v: String): String = v.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\'' => "'\\''"
+        case c    => c.toString
+      }
+      val lines = rows.map(r =>
+        s"""echo '{"type":"RECORD","record":{"stream":"nation","data":{""" +
+          s""""n_nationkey":${r.get(0)},"n_name":"${esc(r.getString(1))}",""" +
+          s""""n_regionkey":${r.get(2)}}}}'""")
+      // atomic publish: a run killed mid-write must not leave a partial
+      // script that later runs would replay as complete
+      val tmpScript = java.nio.file.Paths.get(s"$script.tmp")
+      java.nio.file.Files.writeString(tmpScript,
+        ("#!/bin/sh" +: lines.toSeq).mkString("\n") + "\n")
+      java.nio.file.Files.move(tmpScript, java.nio.file.Paths.get(script),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    s.read.format("graft-airbyte")
+      .option("commands", s"""[["/bin/sh","$script"]]""")
+      .option("stream", "nation")
+      .option("json_schema",
+        """{"type":"object","properties":{
+           "n_nationkey":{"type":["null","integer"]},
+           "n_name":{"type":["null","string"]},
+           "n_regionkey":{"type":["null","integer"]}}}""".replaceAll("\n\\s*", ""))
+      .load()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stream selection + field projection (SURVEY §2.1 #7, #18): only the
     // selected columns reach the scan (check ReadSchema in explain).
@@ -155,48 +201,25 @@ object Parity {
     // protocol-speaking child process and read back via
     // format("graft-airbyte") — the DSv2 partition reader + JSON row
     // converter under the hash oracle, not just unit tests.
-    "q_dsv2_source" -> ((s, d) => {
-      val srcFile = new java.io.File(s"$d/nation.parquet")
-      val dir = s"/tmp/graft_fixtures/dsv2_${srcFile.lastModified}_${srcFile.length}"
-      val script = s"$dir/c.sh"
-      if (!new java.io.File(script).exists()) {
-        new java.io.File(dir).mkdirs()
-        val rows = Tables.nation(s, d)
-          .select("n_nationkey", "n_name", "n_regionkey").collect() // 25 rows
-        // JSON-escape the string value and keep it shell-safe inside
-        // single quotes — plain interpolation only works while the data
-        // happens to be quote-free ASCII
-        def esc(v: String): String = v.flatMap {
-          case '"'  => "\\\""
-          case '\\' => "\\\\"
-          case '\'' => "'\\''"
-          case c    => c.toString
-        }
-        val lines = rows.map(r =>
-          s"""echo '{"type":"RECORD","record":{"stream":"nation","data":{""" +
-            s""""n_nationkey":${r.get(0)},"n_name":"${esc(r.getString(1))}",""" +
-            s""""n_regionkey":${r.get(2)}}}}'""")
-        // atomic publish: a run killed mid-write must not leave a partial
-        // script that later runs would replay as complete
-        val tmpScript = java.nio.file.Paths.get(s"$script.tmp")
-        java.nio.file.Files.writeString(tmpScript,
-          ("#!/bin/sh" +: lines.toSeq).mkString("\n") + "\n")
-        java.nio.file.Files.move(tmpScript, java.nio.file.Paths.get(script),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      s.read.format("graft-airbyte")
-        .option("commands", s"""[["/bin/sh","$script"]]""")
-        .option("stream", "nation")
-        .option("json_schema",
-          """{"type":"object","properties":{
-             "n_nationkey":{"type":["null","integer"]},
-             "n_name":{"type":["null","string"]},
-             "n_regionkey":{"type":["null","integer"]}}}""".replaceAll("\n\\s*", ""))
-        .load()
+    "q_dsv2_source" -> ((s, d) =>
+      dsv2NationFrame(s, d)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
-        .orderBy("n_regionkey")
-    }),
+        .orderBy("n_regionkey")),
+
+    // The DSv2 FILTER pushdown under the oracle: the same connector
+    // replay with predicates Catalyst pushes into the scan
+    // (SupportsPushDownFilters — rows drop at the connector boundary,
+    // best-effort, Spark re-filters after). DuckDB applies the same
+    // WHERE to the raw table, so a pushdown that dropped or leaked a
+    // row hash-fails.
+    "q_dsv2_pushdown" -> ((s, d) =>
+      dsv2NationFrame(s, d)
+        .filter(col("n_regionkey") >= 1 && col("n_regionkey") <= 3 &&
+          col("n_name") =!= "NATION_7")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")),
 
     // ORC round-trip through the file-native source (columnar format
     // breadth beside parquet/csv/json).
@@ -315,6 +338,13 @@ object Parity {
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
            max(n_name) AS max_name
          FROM nation GROUP BY 1 ORDER BY 1""",
+
+    "q_dsv2_pushdown" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+           max(n_name) AS max_name
+         FROM nation
+         WHERE n_regionkey BETWEEN 1 AND 3 AND n_name <> 'NATION_7'
+         GROUP BY 1 ORDER BY 1""",
 
     "q_orc_source" ->
       """SELECT s_nationkey, count(*) AS n, max(s_suppkey) AS max_key

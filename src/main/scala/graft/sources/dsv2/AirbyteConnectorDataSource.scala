@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,10 @@ import scala.jdk.CollectionConverters._
   * genuine `SupportsPushDownRequiredColumns` (deselected record fields are
   * never materialized into rows — stream-map projection pushed INTO the
   * source, the DSv2 analog of the reference's stream-granularity
-  * selection), and plan visibility (`BatchScan graft-airbyte`).
+  * selection), best-effort `SupportsPushDownFilters` (supported
+  * predicates drop rows at the connector boundary before row conversion;
+  * Spark re-applies every filter post scan, so the early drop can never
+  * change results), and plan visibility (`BatchScan graft-airbyte`).
   */
 class AirbyteConnectorDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-airbyte"
@@ -62,9 +65,10 @@ final class ConnectorTable(schema: StructType, properties: Map[String, String])
 }
 
 final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   /** Column pruning pushdown: only the requested record fields are parsed
     * into rows on the executors.
@@ -74,9 +78,27 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
     ()
   }
 
+  /** Filter pushdown, BEST-EFFORT: supported predicates are evaluated on
+    * the raw JSON record in the partition reader, so non-matching rows
+    * are dropped at the connector boundary before row conversion. Every
+    * filter is also RETURNED as residual — Spark re-applies them post
+    * scan — so the source-side drop is purely an optimization and a
+    * mismatch between the JSON-level and Catalyst-level evaluation can
+    * never change results (the conservative contract the parquet source
+    * uses for its own pushdown).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(ConnectorFilterEval.supported(fullSchema))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-airbyte stream=${options.getOrElse("stream", "")} " +
+        s"PushedFilters: [${pushed.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val mapper = new ObjectMapper()
@@ -88,7 +110,7 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
       }
       JsonRowConverter.validateSupported(required)
       commands.zipWithIndex.map { case (cmd, i) =>
-        ConnectorInputPartition(i, cmd, options.getOrElse("stream", ""))
+        ConnectorInputPartition(i, cmd, options.getOrElse("stream", ""), pushed.toSeq)
       }.toArray
     }
 
@@ -97,7 +119,70 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
   }
 }
 
-final case class ConnectorInputPartition(index: Int, command: Seq[String], stream: String)
+/** JSON-level evaluation of pushed filters — the executor-side half of the
+  * best-effort pushdown. `supported` admits only top-level fields compared
+  * to string/number/boolean literals (exactly what a Singer RECORD carries
+  * at depth 1); `eval` follows SQL three-valued logic: a missing or null
+  * field fails every comparison (Spark's residual filter would drop the
+  * row anyway, so dropping it early is always safe).
+  */
+object ConnectorFilterEval {
+  def supported(schema: StructType)(f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => simple(schema, a, v)
+    case GreaterThan(a, v)        => simple(schema, a, v)
+    case GreaterThanOrEqual(a, v) => simple(schema, a, v)
+    case LessThan(a, v)           => simple(schema, a, v)
+    case LessThanOrEqual(a, v)    => simple(schema, a, v)
+    case IsNotNull(a)             => topLevel(schema, a)
+    case _                        => false
+  }
+
+  private def topLevel(schema: StructType, a: String): Boolean =
+    !a.contains(".") && schema.fieldNames.contains(a)
+
+  private def simple(schema: StructType, a: String, v: Any): Boolean =
+    topLevel(schema, a) && (v match {
+      case _: String | _: java.lang.Boolean | _: java.lang.Number => true
+      case _ => false
+    })
+
+  def eval(f: Filter, data: JsonNode): Boolean = f match {
+    case IsNotNull(a) =>
+      val n = data.get(a); n != null && !n.isNull
+    case EqualTo(a, v)            => cmp(data, a, v).contains(0)
+    case GreaterThan(a, v)        => cmp(data, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(data, a, v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(data, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(data, a, v).exists(_ <= 0)
+    case _                        => true // unsupported filters never reach partitions
+  }
+
+  /** None = incomparable (missing/null/type-mismatched field) — which
+    * fails every comparison, mirroring SQL null semantics.
+    */
+  private def cmp(data: JsonNode, a: String, v: Any): Option[Int] = {
+    val n = data.get(a)
+    if (n == null || n.isNull) None
+    else v match {
+      case s: String =>
+        if (n.isTextual) Some(n.asText.compareTo(s)) else None
+      case b: java.lang.Boolean =>
+        if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, b)) else None
+      case num: java.lang.Number =>
+        if (n.isNumber)
+          Some(new java.math.BigDecimal(n.asText)
+            .compareTo(new java.math.BigDecimal(num.toString)))
+        else None
+      case _ => None
+    }
+  }
+}
+
+final case class ConnectorInputPartition(
+    index: Int,
+    command: Seq[String],
+    stream: String,
+    filters: Seq[Filter] = Seq.empty)
     extends InputPartition
 
 final class ConnectorReaderFactory(schema: StructType) extends PartitionReaderFactory {
@@ -132,7 +217,8 @@ final class ConnectorPartitionReader(partition: ConnectorInputPartition, schema:
         val node = mapper.readTree(line)
         if (node.path("type").asText == "RECORD") {
           val rec = node.get("record")
-          if (partition.stream.isEmpty || rec.path("stream").asText == partition.stream)
+          if ((partition.stream.isEmpty || rec.path("stream").asText == partition.stream) &&
+              partition.filters.forall(ConnectorFilterEval.eval(_, rec.get("data"))))
             current = convert(rec.get("data"))
         } else if (node.path("type").asText == "TRACE" &&
             node.path("trace").path("type").asText == "ERROR") {

@@ -115,6 +115,54 @@ class AirbyteConnectorDataSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unsupported field type")))
   }
 
+  test("filter pushdown: supported predicates drop rows at the connector boundary") {
+    val cmds = Seq(fakeSegment(4, 1 to 9))
+    val df = spark.read.format("graft-airbyte")
+      .option("commands", commandsJson(cmds))
+      .option("stream", "s1")
+      .schema(schema)
+      .load()
+      .filter(col("id") >= 3 && col("id") < 7 && col("name") =!= "row5")
+    // the scan's description must report the comparisons it evaluates
+    // source-side (best-effort: Spark still re-filters after the scan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(id,3)"),
+      s"filters not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 6L))
+  }
+
+  test("JSON-level filter eval follows SQL null semantics") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree("""{"id":5,"name":"x","missing_is":null}""")
+    import org.apache.spark.sql.sources._
+    assert(ConnectorFilterEval.eval(EqualTo("id", 5L), node))
+    assert(!ConnectorFilterEval.eval(EqualTo("id", 6L), node))
+    assert(ConnectorFilterEval.eval(LessThanOrEqual("id", 5L), node))
+    assert(ConnectorFilterEval.eval(GreaterThan("name", "w"), node))
+    assert(ConnectorFilterEval.eval(IsNotNull("id"), node))
+    // null field and absent field fail IsNotNull AND every comparison
+    assert(!ConnectorFilterEval.eval(IsNotNull("missing_is"), node))
+    assert(!ConnectorFilterEval.eval(IsNotNull("absent"), node))
+    assert(!ConnectorFilterEval.eval(EqualTo("absent", 1L), node))
+    assert(!ConnectorFilterEval.eval(LessThan("missing_is", 1L), node))
+    // type-mismatched comparison is incomparable, not an error
+    assert(!ConnectorFilterEval.eval(GreaterThan("name", 3L), node))
+    // exact numeric compare crosses JSON int/double representations
+    val frac = mapper.readTree("""{"score":2.5}""")
+    assert(ConnectorFilterEval.eval(GreaterThan("score", 2L), frac))
+    assert(!ConnectorFilterEval.eval(GreaterThan("score", java.lang.Double.valueOf(2.5)), frac))
+  }
+
+  test("unsupported filter shapes are not claimed (nested field, IN, null-equal)") {
+    import org.apache.spark.sql.sources._
+    val sup = ConnectorFilterEval.supported(schema) _
+    assert(sup(EqualTo("id", 3L)) && sup(IsNotNull("name")))
+    assert(!sup(EqualTo("tags.gen", "2")))     // nested path
+    assert(!sup(In("id", Array(1L, 2L))))      // not a simple comparison
+    assert(!sup(EqualTo("id", null)))          // null literal
+    assert(!sup(EqualTo("nope", 1L)))          // unknown field
+  }
+
   test("schema can come from a JSON Schema option (discovery-shaped)") {
     val cmds = Seq(fakeSegment(3, 1 to 2))
     val df = spark.read.format("graft-airbyte")
