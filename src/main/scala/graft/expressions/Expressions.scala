@@ -140,6 +140,22 @@ case class StripAccents(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** jaro_winkler(string, string) → double, the classic-parameter edit
+  * similarity (see TextKernels.jaroWinkler; oracle-checked against
+  * DuckDB's native jaro_winkler_similarity).
+  */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** bigram_repetitive(string) → boolean; one-pass kernel verdict (see
   * TextKernels.bigramRepetitive for why this is not a Column formula).
   */
@@ -226,6 +242,7 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigram_repetitive",
       es => BigramRepetitive(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("inter_count_sorted",
       es => InterCountSorted(es(0), es(1)), "built-in")
@@ -265,6 +282,7 @@ object functions {
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
   def strip_accents(text: Column): Column = col(StripAccents(expr(text)))
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
+  def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))
   def minhash_signature(text: Column, shingleN: Int, k: Int, ascii: Boolean = false): Column =

@@ -201,6 +201,63 @@ object TextKernels {
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
   }
 
+  /** Jaro-Winkler similarity (Winkler 1990) with the classic parameters
+    * every mainstream implementation (including DuckDB's
+    * `jaro_winkler_similarity`, which this kernel is oracle-checked
+    * against) agrees on: match window floor(max(|a|,|b|)/2)-1,
+    * transpositions = half the out-of-order matches, prefix boost only
+    * when jaro > 0.7, prefix capped at 4, scaling p = 0.1, and 0.0 when
+    * either side is empty (DuckDB scores even ''≡'' as 0). Operates on
+    * UTF-16 code units — identical to char-indexed reference
+    * implementations for the BMP text this engine processes.
+    */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val la = s.length
+    val lb = t.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val sMatch = new Array[Boolean](la)
+    val tMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var halfTrans = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) halfTrans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val trans = halfTrans / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - trans) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val cap = math.min(4, math.min(la, lb))
+      while (l < cap && s.charAt(l) == t.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
   /** Lowercased runs of [a-z0-9] as an ArrayData of strings — the exact
     * semantics of `string_split_regex(lower(s), '[^a-z0-9]+')` minus
     * empties (shared with the DuckDB heavy-hitters oracle), as one codegen

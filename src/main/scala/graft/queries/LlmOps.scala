@@ -99,6 +99,27 @@ object LlmOps {
       picks.toDF("round", "doc_id", "gain")
     }),
 
+    // Jaro-Winkler name-similarity matrix
+    // ([[graft.expressions.JaroWinkler]], a codegen Catalyst expression,
+    // under DuckDB's NATIVE jaro_winkler_similarity — two independent
+    // implementations of Winkler 1990 agreeing pair-by-pair to 6
+    // decimals, thresholds applied to the ROUNDED value so the kept set
+    // is boundary-stable). Pairs come from the DISTINCT name vocabulary
+    // (value-pair pattern — bounded by the vocabulary, not the table);
+    // for unbounded name sets the Ed-Join prefix filter
+    // ([[graft.operators.FuzzyJoin]]) is the scale path.
+    "q_name_similarity" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .localCheckpoint(false)
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("jw", round(gfn.jaro_winkler(col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.8)
+        .select("name_a", "name_b", "jw")
+        .orderBy("name_a", "name_b")
+    }),
+
     // Quantile normalization across sources
     // ([[graft.operators.QuantileNorm.normalize]] under the oracle):
     // every doc's length score re-expressed as the POOLED order
@@ -1313,6 +1334,14 @@ object LlmOps {
          UNION ALL SELECT 2, doc_id, gain FROM w2
          UNION ALL SELECT 3, doc_id, gain FROM w3
          ORDER BY round""",
+
+    "q_name_similarity" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+         FROM n a JOIN n b ON a.p_name < b.p_name
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+         ORDER BY name_a, name_b""",
 
     "q_quantile_norm" ->
       """WITH ranked AS (

@@ -22,6 +22,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getInt(4) == 16)
   }
 
+  test("jaro_winkler matches the published reference values and DuckDB semantics") {
+    def jw(a: String, b: String): Double = TextKernels.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // Winkler's own canonical pairs (values confirmed against DuckDB's
+    // jaro_winkler_similarity to 10 decimal places)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333) < 1e-9)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962963) < 1e-9)
+    // boost threshold: jaro <= 0.7 gets NO prefix boost even with a
+    // common prefix (AB/AA jaro = 2/3; ABCDEFG/ABQRSTU jaro ~ 0.524)
+    assert(math.abs(jw("AB", "AA") - 2.0 / 3.0) < 1e-9)
+    assert(math.abs(jw("ABCDEFG", "ABQRSTU") - 0.5238095238) < 1e-9)
+    // prefix caps at 4 ('red ' shared): 0.825 + 4*0.1*0.175 = 0.895
+    assert(math.abs(jw("red widget", "red gadget") - 0.895) < 1e-9)
+    // transpositions: CRATE/TRACE has 3 in-order matches, no boost prefix
+    assert(math.abs(jw("CRATE", "TRACE") - 0.7333333333) < 1e-9)
+    // DuckDB scores empty sides 0 — including '' vs ''
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // SQL surface + codegen path (whole-stage codegen compiles the call)
+    SqlFunctions.registerAll(spark)
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-9)
+  }
+
   test("ascii tokenizer mirrors the oracle regex; unicode tokenizer keeps non-ASCII letters") {
     // tokenizeAscii must equal string_split_regex(lower(s), '[^a-z0-9]+')
     // minus empties: non-ASCII letters are separators, not token chars.
