@@ -156,6 +156,38 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** damerau_levenshtein(string, string) → int, the FULL (unrestricted)
+  * variant (see TextKernels.damerauLevenshtein).
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.damerauLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextKernels.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** hamming(string, string) → int; -1 on unequal lengths (see
+  * TextKernels.hammingDistance).
+  */
+case class HammingDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.hammingDistance(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextKernels.hammingDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** bigram_repetitive(string) → boolean; one-pass kernel verdict (see
   * TextKernels.bigramRepetitive for why this is not a Column formula).
   */
@@ -243,6 +275,9 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("bigram_repetitive",
       es => BigramRepetitive(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming", es => HammingDistance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("inter_count_sorted",
       es => InterCountSorted(es(0), es(1)), "built-in")
@@ -283,6 +318,9 @@ object functions {
   def strip_accents(text: Column): Column = col(StripAccents(expr(text)))
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    col(DamerauLevenshtein(expr(a), expr(b)))
+  def hamming(a: Column, b: Column): Column = col(HammingDistance(expr(a), expr(b)))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))
   def minhash_signature(text: Column, shingleN: Int, k: Int, ascii: Boolean = false): Column =

@@ -258,6 +258,65 @@ object TextKernels {
     }
   }
 
+  /** FULL Damerau-Levenshtein distance (Lowrance-Wagner 1975, the
+    * alphabet-indexed DP) — adjacent transpositions cost 1 even with
+    * edits between them (CA→ABC = 2), matching DuckDB's
+    * `damerau_levenshtein` (which this kernel is oracle-checked
+    * against), NOT the cheaper restricted/OSA variant (which would
+    * score CA→ABC as 3). O(|a|·|b|) time and space; edit-distance
+    * candidates at corpus scale should be pre-pruned (FuzzyJoin's
+    * prefix signatures) before this exact verify.
+    */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val inf = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= la) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= lb) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val last = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = Option(last.get(b.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1,
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+        j += 1
+      }
+      last.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+
+  /** Hamming distance over UTF-16 code units; -1 when lengths differ
+    * (DuckDB's `hamming` ERRORS on unequal lengths — callers guard with
+    * a length-equality predicate, and -1 makes an unguarded call loud
+    * in results rather than silently wrong).
+    */
+  def hammingDistance(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    if (a.length != b.length) return -1
+    var n = 0
+    var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) n += 1; i += 1 }
+    n
+  }
+
   /** Lowercased runs of [a-z0-9] as an ArrayData of strings — the exact
     * semantics of `string_split_regex(lower(s), '[^a-z0-9]+')` minus
     * empties (shared with the DuckDB heavy-hitters oracle), as one codegen

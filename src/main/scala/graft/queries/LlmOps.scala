@@ -120,6 +120,28 @@ object LlmOps {
         .orderBy("name_a", "name_b")
     }),
 
+    // Three edit metrics side by side over the distinct-name pairs —
+    // Spark's built-in levenshtein beside the repo's codegen
+    // [[graft.expressions.DamerauLevenshtein]] (full variant) and
+    // [[graft.expressions.HammingDistance]] (equal-length pairs only,
+    // null otherwise — DuckDB's hamming ERRORS on unequal lengths, so
+    // both engines guard with the same length predicate). All-integer
+    // outputs: the hash compares exactly, no rounding layer.
+    "q_edit_distances" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .localCheckpoint(false)
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 4)
+        .select(col("name_a"), col("name_b"), col("lev"),
+          gfn.damerau_levenshtein(col("name_a"), col("name_b")).cast("long").as("dlev"),
+          when(length(col("name_a")) === length(col("name_b")),
+            gfn.hamming(col("name_a"), col("name_b"))).cast("long").as("ham"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // Quantile normalization across sources
     // ([[graft.operators.QuantileNorm.normalize]] under the oracle):
     // every doc's length score re-expressed as the POOLED order
@@ -1341,6 +1363,17 @@ object LlmOps {
            round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
          FROM n a JOIN n b ON a.p_name < b.p_name
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+         ORDER BY name_a, name_b""",
+
+    "q_edit_distances" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+           CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dlev,
+           CASE WHEN length(a.p_name) = length(b.p_name)
+                THEN CAST(hamming(a.p_name, b.p_name) AS BIGINT) END AS ham
+         FROM n a JOIN n b ON a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
 
     "q_quantile_norm" ->

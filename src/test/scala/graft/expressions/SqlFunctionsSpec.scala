@@ -48,6 +48,27 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-9)
   }
 
+  test("damerau_levenshtein is the FULL variant; hamming guards unequal lengths") {
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def dl(a: String, b: String) = TextKernels.damerauLevenshtein(u(a), u(b))
+    def hm(a: String, b: String) = TextKernels.hammingDistance(u(a), u(b))
+    // CA->ABC distinguishes full Damerau (2: transpose CA->AC, insert B)
+    // from the restricted/OSA variant (3) — DuckDB agrees on 2
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abcdef", "abcfed") == 2)
+    assert(dl("kitten", "sitting") == 3) // no transpositions: = levenshtein
+    assert(dl("", "xyz") == 3 && dl("x", "") == 1 && dl("same", "same") == 0)
+    assert(hm("karolin", "kathrin") == 3) // the textbook pair
+    assert(hm("abc", "abc") == 0)
+    assert(hm("ab", "abc") == -1) // DuckDB errors here; we return -1, callers guard
+    // SQL surface through codegen
+    SqlFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT damerau_levenshtein('CA', 'ABC'), hamming('karolin', 'kathrin')").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+  }
+
   test("ascii tokenizer mirrors the oracle regex; unicode tokenizer keeps non-ASCII letters") {
     // tokenizeAscii must equal string_split_regex(lower(s), '[^a-z0-9]+')
     // minus empties: non-ASCII letters are separators, not token chars.
