@@ -120,6 +120,31 @@ object LlmOps {
         .orderBy("name_a", "name_b")
     }),
 
+    // Cross-fold leakage audit — the composition every CV split needs
+    // before anyone trusts a validation score: near-duplicate pairs
+    // (q_ngram_jaccard's exact cross-multiplied cut) joined to the
+    // portable-md5 fold assignment (q_kfold's); a pair spanning folds
+    // is leakage (its validation half is memorized by its training
+    // half). Both ingredients are already independently oracled; here
+    // DuckDB replays their composition — every pair, both folds, and
+    // the leak verdict.
+    "q_fold_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val a = docs.select(col("doc_id").as("id_a"),
+        Dedup.shingles(col("text"), 2, ascii = true).as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"),
+        Dedup.shingles(col("text"), 2, ascii = true).as("sh_b"))
+      val inter = gfn.inter_count_sorted(col("sh_a"), col("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), inter.as("n_inter"),
+          (size(col("sh_a")) + size(col("sh_b")) - inter).as("n_union"))
+        .filter(col("n_inter") * 20 >= col("n_union") && col("n_union") > 0)
+        .withColumn("fold_a", Sampling.kFold(col("id_a"), 5))
+        .withColumn("fold_b", Sampling.kFold(col("id_b"), 5))
+        .withColumn("leaks", col("fold_a") =!= col("fold_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Three edit metrics side by side over the distinct-name pairs —
     // Spark's built-in levenshtein beside the repo's codegen
     // [[graft.expressions.DamerauLevenshtein]] (full variant) and
@@ -1364,6 +1389,35 @@ object LlmOps {
          FROM n a JOIN n b ON a.p_name < b.p_name
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
          ORDER BY name_a, name_b""",
+
+    // The q_ngram_jaccard pair CTEs composed with the q_kfold fold
+    // arithmetic — one replayed audit.
+    "q_fold_leakage" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 50),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 2
+                  THEN list_distinct(list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i+1]))
+                  WHEN len(tk) = 1 THEN [tk[1]]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM tok),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter,
+           CAST(n_union AS INTEGER) AS n_union,
+           ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold_a,
+           ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold_b,
+           (('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 5 <>
+            ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 5) AS leaks
+         FROM p WHERE n_inter * 20 >= n_union AND n_union > 0
+         ORDER BY id_a, id_b""",
 
     "q_edit_distances" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
