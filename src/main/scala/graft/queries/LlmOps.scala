@@ -194,10 +194,14 @@ object LlmOps {
     // engine (pure integer arithmetic).
     "q_interleave" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // pinned so the n_src aggregate and the broadcast join share ONE
+      // materialization of the domain index (unpinned, each subtree
+      // would re-scan the corpus for the distinct)
       val idx = docs.select(col("source")).distinct()
         .withColumn("src_idx",
           (row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("source"))) - 1).cast("long"))
+        .localCheckpoint(false)
       val nSrc = idx.agg(count(lit(1)).as("n_src"))
       val ranked = docs.select(col("doc_id"), col("source"))
         .withColumn("rk",
