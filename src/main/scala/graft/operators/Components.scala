@@ -76,10 +76,15 @@ object Components {
       // The previous label rides along as `old` so convergence is read
       // off the checkpointed rows with a plain scan, not another join.
       val byId = afterProp.select(col("id").as("label"), col("label").as("plabel"))
+      // LAZY checkpoint: the convergence count right below is the
+      // round's one action and materializes it — an eager checkpoint
+      // here would run a second, redundant job per round (the exact
+      // fixed overhead that made PageRank's toy-graph rounds cost
+      // seconds each)
       val next = afterProp.join(byId, Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("label") < col("old")).count()
       // only the current round's checkpoint stays persisted — without the
       // explicit unpersist every historical label table accumulates in
