@@ -46,6 +46,60 @@ object PageRank {
     * non-normalizing treatment); a node with no in-edges settles at the
     * teleport floor (S·15) div 100.
     */
+  /** Personalized PageRank (Haveliwala 2002): identical fixed-point
+    * integer iteration, but teleport mass lands ONLY on the seed set —
+    * scores measure proximity to the seeds, the related-item /
+    * recommendation primitive. Init: seeds at full scale, everything
+    * else 0; per round: score(v) = (v∈seeds ? (S·15) div 100 : 0) +
+    * (85·Σ msgs) div 100. Same 100 TB shape as [[integerPageRank]] plus
+    * one broadcast join per round against the (small by definition)
+    * seed set; a node with no in-edges is constant at its teleport term
+    * (seed floor or hard 0), precomputed once.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, Seq("src")).repartition(col("src"))
+      .localCheckpoint(false)
+    val teleport = (scale * 15L) / 100L
+    val seedSet = seeds.select(col(seedCol).as("id"), lit(1L).as("__seed"))
+      .distinct().localCheckpoint(false)
+    def withSeedFlag(df: DataFrame): DataFrame =
+      df.join(broadcast(seedSet), Seq("id"), "left")
+    val dstNodes = ewd.select(col("dst").as("id")).distinct()
+    val floorNodes = deg.select(col("src").as("id"))
+      .join(dstNodes, Seq("id"), "left_anti")
+    val floorScores = withSeedFlag(floorNodes)
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)).as("score"))
+      .localCheckpoint(false)
+    var scores = withSeedFlag(dstNodes.union(floorNodes))
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("score"))
+    for (_ <- 1 to iters) {
+      val inSum = ewd.join(scores, col("src") === col("id"))
+        .select(col("dst").as("to"), expr("score div deg").as("c"))
+        .groupBy(col("to"))
+        .agg(sum(col("c").cast(DecimalType(38, 0))).as("in_sum"))
+      scores = withSeedFlag(inSum.withColumnRenamed("to", "id"))
+        .select(col("id"),
+          (when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)) +
+            expr("(in_sum * 85) div 100")).as("score"))
+        .union(floorScores)
+        .localCheckpoint(false)
+    }
+    scores
+  }
+
   def integerPageRank(
       edges: DataFrame,
       srcCol: String,

@@ -328,6 +328,28 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // Personalized PageRank ([[graft.operators.PageRank
+    // .personalizedPageRank]] under the oracle): the same directed
+    // supplier graph as q_pagerank, but teleport mass lands only on
+    // NATION_1's suppliers — scores measure proximity to that seed set,
+    // the related-item primitive. Integer fixed point: DuckDB replays
+    // all 3 rounds bit-identically, seed conditionals included.
+    "q_ppr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey"))
+      graft.operators.PageRank
+        .personalizedPageRank(pairs, "src", "dst", seeds, "s_suppkey", iters = 3)
+        .select(col("id").as("s_suppkey"), col("score").as("ppr"))
+        .orderBy("s_suppkey")
+    }),
+
     // Canonical-document selection: the step AFTER duplicate clustering —
     // per connected component keep the BEST-quality member (argmax by
     // quality score, id tiebreak), not the arbitrary min-id. Composes the
@@ -2397,6 +2419,55 @@ object LlmOps {
              CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
            FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id AS s_suppkey, score AS pr FROM s3 ORDER BY s_suppkey""",
+
+    // q_pagerank's replay with the seed conditionals: teleport (and the
+    // full-scale init) only where id is in the NATION_1 seed set.
+    "q_ppr" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         seeds AS (SELECT s_suppkey AS id FROM supplier WHERE s_nationkey = 1),
+         deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY 1),
+         s0 AS (
+           SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000000000 ELSE 0 END AS BIGINT) AS score
+           FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id),
+         m1 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s0 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s1 AS (
+           SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN 150000000000 ELSE 0 END
+               + CAST(coalesce(m1.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+             LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s1 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s2 AS (
+           SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN 150000000000 ELSE 0 END
+               + CAST(coalesce(m2.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+             LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s2 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s3 AS (
+           SELECT n.id,
+             CAST(CASE WHEN sd.id IS NOT NULL THEN 150000000000 ELSE 0 END
+               + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+             LEFT JOIN m3 ON n.id = m3.id)
+         SELECT id AS s_suppkey, score AS ppr FROM s3 ORDER BY s_suppkey""",
 
     // Components mirror = q_dedup_cc's proven recursive CTE; quality
     // mirror = q_text_quality's proven arithmetic; the argmax runs on the

@@ -40,6 +40,31 @@ class PageRankSpec extends SparkSpec {
     assert(out(1L) == T)
   }
 
+  test("personalized: teleport and init land only on seeds (2-cycle hand check)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r2 = PageRank.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iters = 2, scale = S)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s0: 1 -> S, 2 -> 0
+    // r1: node1 = T + 85% of node2's 0 = T; node2 = 0 + 85% of S
+    // r2: node1 = T + 85% of (85% of S); node2 = 0 + 85% of T
+    val d85 = (x: Long) => (x * 85L) / 100L
+    assert(r2 == Map(1L -> (T + d85(d85(S))), 2L -> d85(T)))
+  }
+
+  test("personalized: non-seed no-in-edge nodes sit at hard 0, seed ones at T") {
+    // spokes 1,2,3 -> hub 9; only spoke 1 is a seed
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r1 = PageRank.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iters = 1, scale = S)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) == T && r1(2L) == 0L && r1(3L) == 0L)
+    // hub receives only the seed spoke's initial mass
+    assert(r1(9L) == (S * 85L) / 100L)
+  }
+
   test("iteration plans stay flat: the loop checkpoints each round") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val df = PageRank.integerPageRank(edges, "src", "dst", iters = 5, scale = S)
