@@ -120,6 +120,55 @@ object LlmOps {
         .orderBy("name_a", "name_b")
     }),
 
+    // Inverted-index construction — the IR artifact BM25 serves from,
+    // materialized: per token, document frequency, total postings, and
+    // the head of the (doc_id, position)-sorted posting list rendered
+    // as a string (string_agg-with-ORDER semantics exist in both
+    // engines; raw collect_list order would be partition-dependent).
+    // One exchange on the token key; posting lists are per-token state,
+    // exactly how a sharded index builds at scale.
+    "q_inverted_index" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), x => x =!= "")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      toks.groupBy(col("tok"))
+        .agg(
+          countDistinct(col("doc_id")).as("df_docs"),
+          count(lit(1)).as("n_postings"),
+          array_join(
+            transform(
+              slice(sort_array(collect_list(struct(col("doc_id"), col("pos")))), 1, 3),
+              e => concat(e.getField("doc_id"), lit(":"), e.getField("pos"))),
+            ",").as("head_postings"))
+        .orderBy("tok")
+    }),
+
+    // Last-touch attribution — each purchase credited to the user's most
+    // recent preceding click/view (the marketing-analytics as-of over an
+    // event stream), via IGNORE-NULLS last_value over a 1-PRECEDING
+    // frame on the (ts, event_id) total order. Gap emitted in exact
+    // integer microseconds (unix_micros/epoch_us — no float time
+    // arithmetic). Per-user window: no global sort.
+    "q_attribution" -> ((s, d) => {
+      val touch = when(col("event_type").isin("click", "view"), col("event_id"))
+      val touchTy = when(col("event_type").isin("click", "view"), col("event_type"))
+      val touchTs = when(col("event_type").isin("click", "view"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("touch_id", last(touch, ignoreNulls = true).over(w))
+        .withColumn("touch_type", last(touchTy, ignoreNulls = true).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(last(touchTs, ignoreNulls = true).over(w)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("touch_id"), col("touch_type"), col("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Cross-fold leakage audit — the composition every CV split needs
     // before anyone trusts a validation score: near-duplicate pairs
     // (q_ngram_jaccard's exact cross-multiplied cut) joined to the
@@ -1415,6 +1464,40 @@ object LlmOps {
          FROM n a JOIN n b ON a.p_name < b.p_name
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
          ORDER BY name_a, name_b""",
+
+    // Parallel unnests zip in DuckDB, giving the 0-based positions
+    // posexplode emits; list(... ORDER BY) pins the posting head.
+    "q_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(t) AS tok,
+             unnest(range(0, len(t))) AS pos
+           FROM toks)
+         SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs,
+           count(*) AS n_postings,
+           array_to_string(list(doc_id || ':' || pos ORDER BY doc_id, pos)[1:3], ',')
+             AS head_postings
+         FROM p GROUP BY tok ORDER BY tok""",
+
+    // DuckDB spells IGNORE NULLS inside the call parens (the
+    // q_window_ignore_nulls dialect note); epoch_us mirrors unix_micros
+    // exactly.
+    "q_attribution" ->
+      """WITH t AS (
+           SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             epoch_us(ts) - last_value(CASE WHEN event_type IN ('click','view')
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id AS purchase_id, user_id, touch_id, touch_type, gap_us
+         FROM t WHERE event_type = 'purchase' ORDER BY purchase_id""",
 
     // The q_ngram_jaccard pair CTEs composed with the q_kfold fold
     // arithmetic — one replayed audit.
