@@ -397,6 +397,66 @@ object StreamSync {
     * completion marker requires sum(n_events) == real event count — a
     * session dropped, double-closed, or left open can never pass as done.
     */
+  /** Streaming last-touch attribution fixture: events replay as TWO
+    * micro-batches cut at a global timeline point (2024-01-15), so
+    * purchases in batch 2 must be credited to touches whose state was
+    * carried over from batch 1 — the cross-batch state persistence the
+    * batch window gets for free. Completion marker requires sink rows ==
+    * total purchases; the driver then hash-compares every attribution
+    * against DuckDB's batch IGNORE-NULLS window over the same events.
+    */
+  private def attributionSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_attribution_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("event_type"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType)))
+        import s.implicits._
+        val attributed = StreamingSync.attributeStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TouchEvent])
+        val q = attributed.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_attribution replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d)
+          .filter(col("event_type") === "purchase").count()
+        require(got == expected,
+          s"stream_attribution sink has $got purchases, expected $expected — " +
+            "a purchase was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def sessionizeSinkDir(s: SparkSession, d: String): String = {
     val gapSeconds = 1800L
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -1012,6 +1072,13 @@ object StreamSync {
         .orderBy("user_id", "start_s")
     }),
 
+    "q_stream_attribution" -> ((s, d) => {
+      s.read.parquet(attributionSinkDir(s, d))
+        .select(col("purchase_id"), col("user_id"), col("touch_id"),
+          col("touch_type"), col("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     "q_stream_enrich" -> ((s, d) => {
       s.read.parquet(enrichSinkDir(s, d))
         .select(col("event_id"), col("user_id"), col("n_name"))
@@ -1121,6 +1188,25 @@ object StreamSync {
          FROM events e
          JOIN nation n ON e.user_id % 25 = n.n_nationkey
          ORDER BY e.event_id""",
+
+    // The streamed stateful attribution must equal the batch
+    // IGNORE-NULLS window over the same events (q_attribution's shape on
+    // exact integer microseconds) — cross-batch state carried per user
+    // is invisible in the result iff it is correct.
+    "q_stream_attribution" ->
+      """WITH t AS (
+           SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             epoch_us(ts) - last_value(CASE WHEN event_type IN ('click','view')
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id AS purchase_id, user_id, touch_id, touch_type, gap_us
+         FROM t WHERE event_type = 'purchase' ORDER BY purchase_id""",
 
     // The streamed flatMapGroupsWithState sessions must equal the batch
     // gap-and-island sessions exactly (q_sessionize's proven floored-epoch

@@ -100,6 +100,52 @@ object StreamingSync {
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class ClosedSession(user_id: Long, start_s: Long, end_s: Long, n_events: Int)
 
+  final case class TouchEvent(event_id: Long, user_id: Long, ts_us: Long, event_type: String)
+  final case class TouchState(touch_id: Long, touch_type: String, ts_us: Long)
+  final case class AttributedPurchase(
+      purchase_id: Long,
+      user_id: Long,
+      touch_id: Option[Long],
+      touch_type: Option[String],
+      gap_us: Option[Long])
+
+  /** Streaming last-touch attribution: each purchase is credited to the
+    * user's most recent preceding click/view, with per-user state carrying
+    * the latest touch ACROSS micro-batches — the stateful-stream analog of
+    * the batch IGNORE-NULLS window (q_attribution), and the shape every
+    * real-time conversion pipeline runs. State is O(users), one small
+    * record each; events are ordered (ts_us, event_id) WITHIN a batch by
+    * the function, so correctness requires only that batches arrive in
+    * timeline order per user (the replay fixture cuts the timeline
+    * globally), the same per-key-monotonic contract as the bookmark
+    * cursor.
+    */
+  def attributeStream(events: Dataset[TouchEvent]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[TouchState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[AttributedPurchase]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" | "view" =>
+                st = Some(TouchState(e.event_id, e.event_type, e.ts_us))
+              case "purchase" =>
+                out += AttributedPurchase(e.event_id, user,
+                  st.map(_.touch_id), st.map(_.touch_type),
+                  st.map(t => e.ts_us - t.ts_us))
+              case _ => () // signup/error: neither touch nor conversion
+            }
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

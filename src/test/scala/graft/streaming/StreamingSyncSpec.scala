@@ -168,6 +168,35 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful attribution credits purchases to the carried last touch across batches") {
+    import spark.implicits._
+    import StreamingSync.{TouchEvent, AttributedPurchase}
+    val input = MemoryStream[TouchEvent](spark)
+    val q = StreamingSync.attributeStream(input.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // batch 1: a click, then a purchase (in-batch attribution), then a
+      // view that becomes the new last touch; out-of-order WITHIN the
+      // batch is sorted by (ts_us, event_id) before state applies
+      input.addData(
+        TouchEvent(3L, 7L, 300L, "view"),
+        TouchEvent(1L, 7L, 100L, "click"),
+        TouchEvent(2L, 7L, 200L, "purchase"),
+        TouchEvent(4L, 9L, 100L, "purchase")) // user 9: no prior touch
+      q.processAllAvailable()
+      // batch 2: a purchase only — its touch must come from batch-1 STATE
+      input.addData(TouchEvent(5L, 7L, 900L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM attrib").as[AttributedPurchase]
+        .collect().sortBy(_.purchase_id)
+      assert(rows.toSeq == Seq(
+        AttributedPurchase(2L, 7L, Some(1L), Some("click"), Some(100L)),
+        AttributedPurchase(4L, 9L, None, None, None),
+        AttributedPurchase(5L, 7L, Some(3L), Some("view"), Some(600L))))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark aggregate per event-time window") {
     import spark.implicits._
     val input = MemoryStream[(java.sql.Timestamp, String)](spark)
