@@ -188,6 +188,22 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
 }
 
+/** hilbert_index(long, long) → long: order-16 Hilbert curve index of two
+  * 16-bit-scaled coordinates (see CurveKernels.hilbertXY2D) — the
+  * locality-better alternative to the Morton interleave for clustered
+  * layouts.
+  */
+case class HilbertIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CurveKernels.hilbertXY2D(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.CurveKernels.hilbertXY2D($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** bigram_repetitive(string) → boolean; one-pass kernel verdict (see
   * TextKernels.bigramRepetitive for why this is not a Column formula).
   */
@@ -321,6 +337,8 @@ object functions {
   def damerau_levenshtein(a: Column, b: Column): Column =
     col(DamerauLevenshtein(expr(a), expr(b)))
   def hamming(a: Column, b: Column): Column = col(HammingDistance(expr(a), expr(b)))
+  def hilbert_index(a: Column, b: Column): Column =
+    col(HilbertIndex(expr(a.cast("long")), expr(b.cast("long"))))
   def shingle_hashes(text: Column, n: Int, ascii: Boolean = false): Column =
     col(ShingleHashes(expr(text), n, ascii))
   def minhash_signature(text: Column, shingleN: Int, k: Int, ascii: Boolean = false): Column =

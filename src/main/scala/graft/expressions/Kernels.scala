@@ -513,3 +513,66 @@ object TextKernels {
     fp
   }
 }
+
+/** Space-filling-curve kernels for the Layout operators. The Hilbert
+  * mapping is the classic iterative bit algorithm (Hilbert 1891;
+  * algorithmic form per Warren, Hacker's Delight §16 and the public
+  * xy2d/d2xy formulation): reflections/rotations applied at each scale
+  * `s`, giving a curve where consecutive indices are unit Manhattan
+  * steps — strictly better range locality than the Morton/Z interleave
+  * ([[graft.operators.Layout.zvalue2]]), at the cost of not being a
+  * pure bit-shuffle.
+  */
+object CurveKernels {
+
+  /** Hilbert index at order 16 (inputs clamped to [0, 65535]; output in
+    * [0, 2^32)). Same fixed 16-bit domain contract as the z-order path:
+    * callers pre-scale with a data-independent mapping.
+    */
+  def hilbertXY2D(xIn: Long, yIn: Long): Long = {
+    var x = math.min(math.max(xIn, 0L), 65535L)
+    var y = math.min(math.max(yIn, 0L), 65535L)
+    var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate the quadrant at scale s
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse mapping at arbitrary order — driver-side only (bucket
+    * rectangle lookup); returns (x, y) of index `d` on the order-`order`
+    * curve. Consistent with [[hilbertXY2D]]'s orientation, and with the
+    * quadtree-prefix property the bucket pruning relies on: the top 2p
+    * bits of an order-q index are the order-p index of the containing
+    * cell.
+    */
+  def hilbertD2XY(order: Int, dIn: Long): (Long, Long) = {
+    var x = 0L
+    var y = 0L
+    var t = dIn
+    var s = 1L
+    val n = 1L << order
+    while (s < n) {
+      val rx = 1L & (t / 2L)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1L - x; y = s - 1L - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4L
+      s <<= 1
+    }
+    (x, y)
+  }
+}

@@ -175,6 +175,66 @@ object Layout {
     spark.read.parquet(path).filter(col("zbucket").isin(keep: _*))
   }
 
+  /** Hilbert-clustered write — same directory/bucket contract as
+    * [[zorderWrite]] but along the Hilbert curve
+    * ([[graft.expressions.functions.hilbert_index]]): consecutive
+    * indices are unit Manhattan steps, so a bucket's curve segment stays
+    * more compact than the Morton equivalent (fewer touched buckets per
+    * 2-D box, the classic Hilbert-vs-Z locality result). A bucket (top
+    * 2p index bits) is an aligned square of the quadtree — the prefix
+    * property [[hilbertBuckets]] relies on.
+    */
+  def hilbertWrite(
+      df: DataFrame,
+      path: String,
+      aCol: String,
+      bCol: String,
+      bucketBits: Int = 6): Unit = {
+    require(bucketBits > 0 && bucketBits % 2 == 0 && bucketBits <= 16,
+      s"bucketBits must be even in [2,16], got $bucketBits")
+    df.withColumn("__h",
+        graft.expressions.functions.hilbert_index(col(aCol), col(bCol)))
+      .withColumn("hbucket", shiftright(col("__h"), 32 - bucketBits))
+      .repartition(col("hbucket"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("hbucket")
+      .parquet(path)
+  }
+
+  /** The Hilbert buckets whose square intersects the query box: bucket k
+    * at order p = 2^(bucketBits/2) is the k-th cell ALONG the order-p
+    * Hilbert curve, located by the inverse mapping — bounded driver-side
+    * arithmetic, never data.
+    */
+  def hilbertBuckets(
+      bucketBits: Int,
+      aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): Seq[Long] = {
+    val p = bucketBits / 2
+    val cell = 1L << (16 - p)
+    (0L until (1L << bucketBits)).filter { bucket =>
+      val (aP, bP) = graft.expressions.CurveKernels.hilbertD2XY(p, bucket)
+      val aLo = aP * cell; val bLo = bP * cell
+      aLo + cell - 1 >= aMin && aLo <= aMax && bLo + cell - 1 >= bMin && bLo <= bMax
+    }
+  }
+
+  /** Read a [[hilbertWrite]] layout pruned to the intersecting buckets;
+    * callers apply their exact predicates residually (superset pruning,
+    * invisible in results — the zorderScan contract).
+    */
+  def hilbertScan(
+      spark: SparkSession,
+      path: String,
+      bucketBits: Int,
+      aMin: Long, aMax: Long,
+      bMin: Long, bMax: Long): DataFrame = {
+    val keep = hilbertBuckets(bucketBits, aMin, aMax, bMin, bMax)
+    spark.read.parquet(path).filter(col("hbucket").isin(keep: _*))
+  }
+
   def clusteredWrite(
       df: DataFrame,
       path: String,

@@ -1244,6 +1244,36 @@ object Relational {
     // so the layout is invisible in the result — the oracle computes the
     // same slice from the raw table. ZorderSpec asserts the pruning is
     // real (PartitionFilters) and sound (brute-force rectangle check).
+    // The Hilbert twin of q_zorder_scan (Layout.hilbertWrite/hilbertScan):
+    // same scaled (user_id, day) domain, same superset-pruning contract,
+    // but buckets follow the Hilbert curve — HilbertSpec asserts the
+    // pruning is real AND touches no more buckets than the Morton layout
+    // for the same box (the locality claim, checked, not asserted).
+    "q_hilbert_scan" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/events.parquet")
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
+        s"hilbert_${srcFile.lastModified}_${srcFile.length}")
+      val path = root.resolve("data").toString
+      Fixtures.ensure(root) {
+        graft.operators.Layout.hilbertWrite(
+          Tables.events(s, d)
+            .select(col("event_id"), col("user_id"), col("value"),
+              dayofmonth(col("ts")).as("day"))
+            .withColumn("ha", least(col("user_id") * 32, lit(65535L)))
+            .withColumn("hb", col("day").cast("long") * 2048),
+          path, "ha", "hb", bucketBits = 6)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+        ()
+      }
+      graft.operators.Layout.hilbertScan(s, path, 6,
+        aMin = 100L * 32, aMax = 199L * 32, bMin = 10L * 2048, bMax = 12L * 2048)
+        .filter(col("user_id").between(100, 199) && col("day").between(10, 12))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy("day")
+    }),
+
     "q_zorder_scan" -> ((s, d) => {
       val srcFile = new java.io.File(s"$d/events.parquet")
       val root = java.nio.file.Paths.get("/tmp/graft_fixtures/" +
@@ -1973,6 +2003,17 @@ object Relational {
                          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
              AS total
          FROM events""",
+
+    // The Hilbert layout's oracle is the same plain 2-D slice — layout
+    // and pruning must be invisible in the result.
+    "q_hilbert_scan" ->
+      """SELECT CAST(date_part('day', ts) AS INTEGER) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id BETWEEN 100 AND 199
+           AND date_part('day', ts) BETWEEN 10 AND 12
+         GROUP BY 1 ORDER BY 1""",
 
     // The z-order layout's oracle is the plain 2-D slice on the raw table
     // — bucket pruning must be a strict superset of the matching rows.
