@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_micros}
 import graft.Tables
 
 /** Queries exercised through the SQL interface (`spark.sql` over temp
@@ -277,6 +278,26 @@ object SqlSurface {
         FROM orders ORDER BY o_orderkey""")
     }),
 
+    // Spark's native session_window aggregation — the THIRD sessionizer
+    // beside the gap-island SQL (q_sessionize) and the stateful stream
+    // (q_stream_sessionize), here as the built-in grouping Catalyst
+    // plans directly (UpdatingSessionsExec + merge). Boundaries on exact
+    // integer microseconds; a session's end is last event + gap, and an
+    // event landing exactly on a session end starts a NEW session
+    // (window ends are exclusive) — the oracle's island flag uses >= to
+    // match.
+    "q_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Rank-family functions: ntile buckets plus percent_rank/cume_dist.
     // The ratios are IEEE divisions of small exact integers — correctly
     // rounded, hence bit-identical in any engine. Partitioned by
@@ -311,6 +332,27 @@ object SqlSurface {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // gap-island on exact epoch micros; the >= flag mirrors
+    // session_window's exclusive window ends.
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         g AS (
+           SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 OR
+                       lag(ts_us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         s AS (
+           SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts_us) AS start_us,
+           max(ts_us) + 1800000000 AS end_us,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
     // DuckDB spells IGNORE NULLS inside the call parens; Spark after
     // them — same semantics, dialect-local placement.
     "q_window_ignore_nulls" ->
