@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, session_window, unix_micros}
+import org.apache.spark.sql.functions.{col, count, lit, session_window, sum, unix_micros, window}
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Queries exercised through the SQL interface (`spark.sql` over temp
@@ -298,6 +299,25 @@ object SqlSurface {
         .orderBy("user_id", "start_us")
     }),
 
+    // Batch SLIDING window aggregation via the native window() grouping
+    // (1-day windows every 12 h — each event lands in exactly two):
+    // the overlapping-bucket replication Spark plans as a generator +
+    // aggregate, distinct from the streaming tumbling use
+    // (q_stream_window) and from OVER-clause frames. Boundaries in
+    // exact integer microseconds; the per-window value sum finishes as
+    // the proven CAST(... AS DOUBLE).
+    "q_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("start_us", "event_type")
+    }),
+
     // Rank-family functions: ntile buckets plus percent_rank/cume_dist.
     // The ratios are IEEE divisions of small exact integers — correctly
     // rounded, hence bit-identical in any engine. Partitioned by
@@ -332,6 +352,27 @@ object SqlSurface {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // every event replicated into its two candidate 12h-aligned window
+    // starts, then filtered to containment — the unnest mirror of
+    // Spark's window() generator.
+    "q_sliding_window" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS tu, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         c AS (
+           SELECT event_type, tu, v,
+             unnest([(tu // 43200000000) * 43200000000,
+                     (tu // 43200000000) * 43200000000 - 43200000000]) AS ws
+           FROM e)
+         SELECT ws AS start_us, ws + 86400000000 AS end_us, event_type,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+         FROM c
+         WHERE tu >= ws AND tu < ws + 86400000000
+         GROUP BY 1, 2, 3
+         ORDER BY start_us, event_type""",
+
     // gap-island on exact epoch micros; the >= flag mirrors
     // session_window's exclusive window ends.
     "q_session_window" ->
