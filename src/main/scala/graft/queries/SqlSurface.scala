@@ -318,6 +318,43 @@ object SqlSurface {
         .orderBy("start_us", "event_type")
     }),
 
+    // Array-function surface: distinct/intersect/except/position over
+    // the token arrays. Set-valued results are sorted-then-joined before
+    // comparison (Spark's set ops keep first-list order, DuckDB's keep
+    // theirs — only the SET is the contract); the not-found position is
+    // pinned to 0 on both sides (Spark's convention; DuckDB returns
+    // NULL, coalesced), and DuckDB's array_to_string of an EMPTY list is
+    // NULL where Spark's array_join is '' — coalesced in the oracle.
+    "q_array_funcs" -> ((s, d) => {
+      view(s, d, "documents")
+      s.sql("""
+        SELECT doc_id,
+          size(array_distinct(toks)) AS n_distinct,
+          array_join(array_sort(array_intersect(toks, array('table','row','key'))), ',') AS common,
+          size(array_except(toks, array('table','row','key'))) AS n_rest,
+          CAST(array_position(toks, 'table') AS BIGINT) AS table_pos
+        FROM (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS toks
+              FROM documents)
+        ORDER BY doc_id""")
+    }),
+
+    // Bitwise aggregate + scalar surface: BIT_AND/BIT_OR/BIT_XOR folds
+    // and per-row popcount — pure integer lattice operations, exact in
+    // any engine and order-independent by algebra (the rare aggregate
+    // family where no rendering discipline is even needed).
+    "q_bitwise" -> ((s, d) => {
+      view(s, d, "orders")
+      s.sql("""
+        SELECT o_orderpriority,
+          bit_and(o_orderkey) AS and_keys,
+          bit_or(o_orderkey) AS or_keys,
+          bit_xor(o_orderkey) AS xor_keys,
+          sum(CAST(bit_count(o_orderkey) AS BIGINT)) AS total_bits,
+          count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // Rank-family functions: ntile buckets plus percent_rank/cume_dist.
     // The ratios are IEEE divisions of small exact integers — correctly
     // rounded, hence bit-identical in any engine. Partitioned by
@@ -372,6 +409,30 @@ object SqlSurface {
          WHERE tu >= ws AND tu < ws + 86400000000
          GROUP BY 1, 2, 3
          ORDER BY start_us, event_type""",
+
+    "q_array_funcs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_intersect(toks, ['table','row','key']))), ','), '') AS common,
+           CAST(len(list_filter(list_distinct(toks),
+             x -> NOT list_contains(['table','row','key'], x))) AS INTEGER) AS n_rest,
+           CAST(coalesce(list_position(toks, 'table'), 0) AS BIGINT) AS table_pos
+         FROM t ORDER BY doc_id""",
+
+    "q_bitwise" ->
+      """SELECT o_orderpriority,
+           bit_and(o_orderkey) AS and_keys,
+           bit_or(o_orderkey) AS or_keys,
+           bit_xor(o_orderkey) AS xor_keys,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_bits,
+           count(*) AS n
+         FROM orders
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // gap-island on exact epoch micros; the >= flag mirrors
     // session_window's exclusive window ends.
