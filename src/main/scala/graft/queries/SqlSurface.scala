@@ -284,9 +284,10 @@ object SqlSurface {
     // (q_stream_sessionize), here as the built-in grouping Catalyst
     // plans directly (UpdatingSessionsExec + merge). Boundaries on exact
     // integer microseconds; a session's end is last event + gap, and an
-    // event landing exactly on a session end starts a NEW session
-    // (window ends are exclusive) — the oracle's island flag uses >= to
-    // match.
+    // event landing EXACTLY on a session end MERGES into it (session
+    // merge is inclusive — pinned by SessionWindowSpec against synthetic
+    // boundary data, since the corpus's micros gaps never hit the
+    // boundary) — the oracle's island flag uses strict > to match.
     "q_session_window" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("user_id"),
@@ -434,14 +435,15 @@ object SqlSurface {
          FROM orders
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
-    // gap-island on exact epoch micros; the >= flag mirrors
-    // session_window's exclusive window ends.
+    // gap-island on exact epoch micros; the STRICT > flag mirrors
+    // session_window's inclusive merge (an exact-boundary event joins
+    // the session — SessionWindowSpec pins this).
     "q_session_window" ->
       """WITH e AS (
            SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
          g AS (
            SELECT user_id, ts_us,
-             CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 OR
+             CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 OR
                        lag(ts_us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
