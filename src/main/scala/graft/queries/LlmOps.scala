@@ -216,6 +216,34 @@ object LlmOps {
         .orderBy("name_a", "name_b")
     }),
 
+    // Robust per-source scaling statistics — the outlier-insensitive
+    // (median, MAD) pair feature pipelines standardize with when means
+    // are skew-poisoned. Both statistics are LOWER order statistics
+    // (rank (n+1) div 2 on a (value, id) total order), so everything
+    // stays integer and replays exactly; two per-source rank windows,
+    // no global window, per-source stats broadcast back onto the docs.
+    "q_robust_scale" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = docs
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("source"))))
+      val med = ranked.filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("source"), col("n_chars").as("med"))
+      val dev = docs.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = dev
+        .withColumn("rk", row_number().over(
+          w.partitionBy(col("source")).orderBy(col("dev"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w.partitionBy(col("source"))))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("source"), col("dev").as("mad"))
+      dev.join(broadcast(mad), Seq("source"))
+        .select("doc_id", "source", "n_chars", "med", "dev", "mad")
+        .orderBy("doc_id")
+    }),
+
     // Quantile normalization across sources
     // ([[graft.operators.QuantileNorm.normalize]] under the oracle):
     // every doc's length score re-expressed as the POOLED order
@@ -1538,6 +1566,30 @@ object LlmOps {
          FROM n a JOIN n b ON a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY name_a, name_b""",
+
+    "q_robust_scale" ->
+      """WITH ranked AS (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         med AS (
+           SELECT source, n_chars AS med FROM ranked
+           WHERE rk = (n + 1) // 2),
+         dev AS (
+           SELECT d.doc_id, d.source, d.n_chars, m.med,
+             abs(d.n_chars - m.med) AS dev
+           FROM documents d JOIN med m USING (source)),
+         dr AS (
+           SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY dev, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM dev),
+         mad AS (SELECT source, dev AS mad FROM dr WHERE rk = (n + 1) // 2)
+         SELECT v.doc_id, v.source, v.n_chars, v.med, v.dev, a.mad
+         FROM dev v JOIN mad a USING (source)
+         ORDER BY v.doc_id""",
 
     "q_quantile_norm" ->
       """WITH ranked AS (
