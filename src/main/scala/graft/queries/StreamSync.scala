@@ -397,6 +397,74 @@ object StreamSync {
     * completion marker requires sum(n_events) == real event count — a
     * session dropped, double-closed, or left open can never pass as done.
     */
+  /** Streaming SLIDING-window fixture: the overlapping twin of
+    * windowSinkDir — 1-day windows every 12 h, so every real event must
+    * be counted TWICE (once per covering window). Sentinels at +26 h and
+    * +28 h push the watermark past every real window's end (latest real
+    * end ≤ max ts + 24 h < wm = sentinel - 30 m) so append mode flushes
+    * them all; the completion marker requires sum(n) == 2 × events. The
+    * driver hash-compares against the same unnest-replication oracle the
+    * batch q_sliding_window proves.
+    */
+  private def slidingSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_sliding_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).select(
+          to_json(struct(col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))).as("j"))
+        val realFile = landOne(ev, root, landing, "batch1_events.jsonl")
+        val maxTs = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+        def sentinel(name: String, offsetMs: Long, mtimeOffsetMs: Long): Unit = {
+          val iso = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.ofEpochMilli(maxTs.getTime + offsetMs))
+          val f = landing.resolve(name)
+          Files.writeString(f,
+            s"""{"event_id":-1,"event_type":"__sentinel__","ts":"$iso"}\n""")
+          mtimeAfter(f, realFile, mtimeOffsetMs)
+        }
+        sentinel("batch2_sentinel.jsonl", 26L * 3600 * 1000, 2000)
+        sentinel("batch3_sentinel.jsonl", 28L * 3600 * 1000, 4000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val counts = StreamingSync.slidingCounts(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1),
+          "ts", watermarkDelay = "30 minutes",
+          windowLen = "1 day", slide = "12 hours")
+        val q = counts.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_sliding replay")
+
+        val emitted = s.read.parquet(sink.toString)
+          .filter(col("event_type") =!= "__sentinel__")
+          .agg(sum(col("n"))).head().getLong(0)
+        val expected = 2L * Tables.events(s, d).count()
+        require(emitted == expected,
+          s"stream_sliding sink covers $emitted window-events, expected $expected — " +
+            "an overlapping window was dropped or withheld")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming last-touch attribution fixture: events replay as TWO
     * micro-batches cut at a global timeline point (2024-01-15), so
     * purchases in batch 2 must be credited to touches whose state was
@@ -1072,6 +1140,13 @@ object StreamSync {
         .orderBy("user_id", "start_s")
     }),
 
+    "q_stream_sliding" -> ((s, d) => {
+      s.read.parquet(slidingSinkDir(s, d))
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("start_us"), col("end_us"), col("event_type"), col("n"))
+        .orderBy("start_us", "event_type")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1188,6 +1263,23 @@ object StreamSync {
          FROM events e
          JOIN nation n ON e.user_id % 25 = n.n_nationkey
          ORDER BY e.event_id""",
+
+    // The streamed sliding windows must equal the batch unnest
+    // replication (q_sliding_window's oracle, count-only).
+    "q_stream_sliding" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) AS tu, event_type FROM events),
+         c AS (
+           SELECT event_type, tu,
+             unnest([(tu // 43200000000) * 43200000000,
+                     (tu // 43200000000) * 43200000000 - 43200000000]) AS ws
+           FROM e)
+         SELECT ws AS start_us, ws + 86400000000 AS end_us, event_type,
+           count(*) AS n
+         FROM c
+         WHERE tu >= ws AND tu < ws + 86400000000
+         GROUP BY 1, 2, 3
+         ORDER BY start_us, event_type""",
 
     // The streamed stateful attribution must equal the batch
     // IGNORE-NULLS window over the same events (q_attribution's shape on

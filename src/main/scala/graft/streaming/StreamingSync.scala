@@ -256,6 +256,26 @@ object StreamingSync {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** SLIDING windowed counts: each event lands in len/slide overlapping
+    * windows (the generator runs before the partial aggregate, so
+    * map-side combine still applies); append-mode flush per window end,
+    * exactly like the tumbling form. Boundaries emitted as exact integer
+    * microseconds for the cross-engine compare.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "30 minutes",
+      windowLen: String = "1 day",
+      slide: String = "12 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("start_us"),
+        unix_micros(col("window.end")).as("end_us"),
+        col("event_type"), col("n"))
+
   /** Stream-static enrichment: join each micro-batch against a batch
     * dimension table, broadcast so the stream side never shuffles and no
     * join state accumulates (the dim is re-resolvable per batch — Spark's
