@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -23,12 +25,12 @@ import org.apache.spark.sql.types.DecimalType
   * teleport floor every round, so the full spine is just the union of
   * the round's aggregate with that precomputed constant slice. Each
   * round's scores are localCheckpoint-pinned (lazily — no blocking job
-  * per round; the whole iteration materializes in one action) so the
-  * logical plan stays flat (the [[Components.minLabel]] lineage
-  * discipline). Lazy pinning keeps every round's node-spine-sized RDD
-  * cached until the final action — O(iters · |V|) executor memory; for
-  * very deep iteration counts on very large graphs, chunk the loop and
-  * materialize between chunks.
+  * per round) so the logical plan stays flat (the [[Components.minLabel]]
+  * lineage discipline); the FINAL round is checkpointed eagerly — one
+  * action materializes the whole iteration — and every intermediate pin
+  * (per-round spines, the edge list, the floor slice) is unpersisted
+  * before returning, so repeated calls in one session hold only the
+  * final node-spine-sized result, not O(iters · |V|) of history.
   *
   * PRECONDITION (the NaN-precondition discipline of [[Stats]]): message
   * sums accumulate in DECIMAL(38,0) — safe to ~1e36 — but the damped
@@ -40,66 +42,24 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PageRank {
 
+  /** The RDD a Dataset.localCheckpoint pinned: the checkpointed Dataset's
+    * plan is a LogicalRDD over the persisted internal-row RDD. Used to
+    * release intermediate pins once the final round is materialized —
+    * safe because the final eager checkpoint truncates its lineage, so
+    * nothing downstream can ever recompute through the released rounds.
+    */
+  private def pinnedRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+
+  private def release(dfs: Seq[DataFrame]): Unit =
+    dfs.foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))
+
   /** Ranks after exactly `iters` rounds over the directed edge list
     * (`srcCol`, `dstCol`). Nodes = every endpoint; a node with no
     * out-edges contributes nothing (its mass evaporates — the standard
     * non-normalizing treatment); a node with no in-edges settles at the
     * teleport floor (S·15) div 100.
     */
-  /** Personalized PageRank (Haveliwala 2002): identical fixed-point
-    * integer iteration, but teleport mass lands ONLY on the seed set —
-    * scores measure proximity to the seeds, the related-item /
-    * recommendation primitive. Init: seeds at full scale, everything
-    * else 0; per round: score(v) = (v∈seeds ? (S·15) div 100 : 0) +
-    * (85·Σ msgs) div 100. Same 100 TB shape as [[integerPageRank]] plus
-    * one broadcast join per round against the (small by definition)
-    * seed set; a node with no in-edges is constant at its teleport term
-    * (seed floor or hard 0), precomputed once.
-    */
-  def personalizedPageRank(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      seeds: DataFrame,
-      seedCol: String,
-      iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(scale >= 100, s"scale must be >= 100, got $scale")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ewd = e.join(deg, Seq("src")).repartition(col("src"))
-      .localCheckpoint(false)
-    val teleport = (scale * 15L) / 100L
-    val seedSet = seeds.select(col(seedCol).as("id"), lit(1L).as("__seed"))
-      .distinct().localCheckpoint(false)
-    def withSeedFlag(df: DataFrame): DataFrame =
-      df.join(broadcast(seedSet), Seq("id"), "left")
-    val dstNodes = ewd.select(col("dst").as("id")).distinct()
-    val floorNodes = deg.select(col("src").as("id"))
-      .join(dstNodes, Seq("id"), "left_anti")
-    val floorScores = withSeedFlag(floorNodes)
-      .select(col("id"),
-        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)).as("score"))
-      .localCheckpoint(false)
-    var scores = withSeedFlag(dstNodes.union(floorNodes))
-      .select(col("id"),
-        when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("score"))
-    for (_ <- 1 to iters) {
-      val inSum = ewd.join(scores, col("src") === col("id"))
-        .select(col("dst").as("to"), expr("score div deg").as("c"))
-        .groupBy(col("to"))
-        .agg(sum(col("c").cast(DecimalType(38, 0))).as("in_sum"))
-      scores = withSeedFlag(inSum.withColumnRenamed("to", "id"))
-        .select(col("id"),
-          (when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)) +
-            expr("(in_sum * 85) div 100")).as("score"))
-        .union(floorScores)
-        .localCheckpoint(false)
-    }
-    scores
-  }
-
   def integerPageRank(
       edges: DataFrame,
       srcCol: String,
@@ -125,7 +85,8 @@ object PageRank {
       .localCheckpoint(false)
     var scores = dstNodes.union(floorNodes)
       .select(col("id"), lit(scale).as("score"))
-    for (_ <- 1 to iters) {
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 1 to iters) {
       val inSum = ewd.join(scores, col("src") === col("id"))
         .select(col("dst").as("to"), expr("score div deg").as("c"))
         .groupBy(col("to"))
@@ -134,12 +95,85 @@ object PageRank {
       // score (a hub past the precondition never silently ranks); the
       // no-in-edges case cannot reach here — those ids live in the
       // constant floor slice
-      scores = inSum
+      val next = inSum
         .select(col("to").as("id"),
           (lit(teleport) + expr("(in_sum * 85) div 100")).as("score"))
         .union(floorScores)
-        .localCheckpoint(false)
+      scores =
+        if (i == iters) next.localCheckpoint(true)
+        else { val p = next.localCheckpoint(false); pins += p; p }
     }
+    release(pins.toSeq :+ ewd :+ floorScores)
+    scores
+  }
+
+  /** Personalized PageRank (Haveliwala 2002): identical fixed-point
+    * integer iteration, but teleport mass lands ONLY on the seed set —
+    * scores measure proximity to the seeds, the related-item /
+    * recommendation primitive. Init: seeds at full scale, everything
+    * else 0; per round: score(v) = (v∈seeds ? (S·15) div 100 : 0) +
+    * (85·Σ msgs) div 100. Seed membership is a static property of the
+    * NODE, not of the round, so the destination's per-node teleport term
+    * `dst_tp` is folded into the pinned edge list ONCE (one broadcast
+    * join at build time) and simply rides the per-round aggregation as
+    * an extra grouping column functionally dependent on the key — each
+    * round is then exactly [[integerPageRank]]'s shape: one shuffle,
+    * zero joins or broadcasts beyond the co-partitioned score join.
+    * A node with no in-edges is constant at its teleport term (seed
+    * floor or hard 0), precomputed once.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val teleport = (scale * 15L) / 100L
+    val seedSet = seeds.select(col(seedCol).as("id"), lit(1L).as("__seed"))
+      .distinct().localCheckpoint(false)
+    def seedFlag(df: DataFrame): DataFrame =
+      df.join(broadcast(seedSet), Seq("id"), "left")
+    // the static per-destination teleport term, carried on the edge side
+    val ewd = e.join(deg, Seq("src"))
+      .join(broadcast(seedSet.withColumnRenamed("id", "dst")), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("deg"),
+        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))
+          .as("dst_tp"))
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    val dstNodes = ewd.select(col("dst").as("id")).distinct()
+    val floorNodes = deg.select(col("src").as("id"))
+      .join(dstNodes, Seq("id"), "left_anti")
+    val floorScores = seedFlag(floorNodes)
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))
+          .as("score"))
+      .localCheckpoint(false)
+    var scores = seedFlag(dstNodes.union(floorNodes))
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("score"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val inSum = ewd.join(scores, col("src") === col("id"))
+        .select(col("dst").as("to"), col("dst_tp"),
+          expr("score div deg").as("c"))
+        .groupBy(col("to"), col("dst_tp"))
+        .agg(sum(col("c").cast(DecimalType(38, 0))).as("in_sum"))
+      val next = inSum
+        .select(col("to").as("id"),
+          (col("dst_tp") + expr("(in_sum * 85) div 100")).as("score"))
+        .union(floorScores)
+      scores =
+        if (i == iters) next.localCheckpoint(true)
+        else { val p = next.localCheckpoint(false); pins += p; p }
+    }
+    release(pins.toSeq :+ ewd :+ floorScores :+ seedSet)
     scores
   }
 }

@@ -22,9 +22,9 @@ import graft.expressions.{functions => gfn}
   * the driver hash fails iff the invariant breaks. The MinHash-LSH and
   * embedding-LSH paths are graded by exact-ground-truth certificates
   * (DuckDB recomputes the all-pairs truth; zero false positives + a recall
-  * floor). Only the SimHash surfaces (the 64-bit engine fingerprint has no
-  * independent DuckDB analog) and the xxhash64 hash split remain
-  * rows-only; those carry property suites instead.
+  * floor). The SimHash surfaces, rows-only through r8, are now replayed
+  * in full: FNV-1a 64 as a HUGEINT lambda fold, bit-majority votes, and
+  * the banded pair join checked against the quadratic Hamming truth.
   */
 object LlmOps {
 
@@ -2821,5 +2821,63 @@ object LlmOps {
                  string_split(regexp_replace(trim(regexp_replace(text, '[^ -~]', '', 'g')), '\s+', ' ', 'g'), ''),
                  c -> CAST(unicode(c) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+
+    // The full SimHash replay in SQL (closing the last two rows-only
+    // entries): FNV-1a 64 per distinct token as a HUGEINT lambda fold
+    // (wrap-around multiply = mod 2^64 — exact, since hugeint holds the
+    // 104-bit intermediate), per-(doc, bit) majority vote, then the
+    // 64-bit fingerprint reassembled by shifted sums and re-signed into
+    // BIGINT two's complement. The testdata corpus is printable ASCII
+    // (driver-generated), so the engine's Unicode tokenizer is exactly
+    // `[a-z0-9]+` over lower(text) and token bytes are code points.
+    "q_simhash_fingerprints" ->
+      s"""WITH $simhashFingerprintsCte
+         SELECT doc_id, simhash64 FROM fps ORDER BY doc_id""",
+
+    // All-pairs Hamming ≤ 3 over the recomputed fingerprints — the exact
+    // reference for the engine's pigeonhole-banded candidate join, whose
+    // recall at the threshold is exact by construction, so the outputs
+    // must agree pair-for-pair (the quadratic mirror is the oracle-scale
+    // analog of the minhash/embedding truth joins).
+    "q_dedup_simhash" ->
+      s"""WITH $simhashFingerprintsCte
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.uf, b.uf)) AS INTEGER) AS hamming
+         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.uf, b.uf)) <= 3
+         ORDER BY id_a, id_b""")
+
+  /** Shared CTE chain recomputing every document's 64-bit SimHash in
+    * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).
+    * Mirrors `TextKernels.simhash64` exactly on the ASCII corpus.
+    */
+  private def simhashFingerprintsCte: String =
+    """tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+         vh AS (
+           SELECT token,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(string_split(token, ''), c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, b) -> (xor(acc, b) * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+             ) AS h
+           FROM (SELECT DISTINCT token FROM tok)),
+         th AS (SELECT doc_id, h FROM tok JOIN vh USING (token)),
+         bits AS (
+           SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+           GROUP BY doc_id, bit),
+         fps AS (
+           SELECT doc_id, uf,
+             CAST(CASE WHEN uf >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN uf - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE uf END AS BIGINT) AS simhash64
+           FROM (
+             SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (CAST(1 AS HUGEINT) << bit)
+                   ELSE CAST(0 AS HUGEINT) END) AS uf
+             FROM bits GROUP BY doc_id))"""
 }
