@@ -208,8 +208,13 @@ object TextKernels {
     * transpositions = half the out-of-order matches, prefix boost only
     * when jaro > 0.7, prefix capped at 4, scaling p = 0.1, and 0.0 when
     * either side is empty (DuckDB scores even ''≡'' as 0). Operates on
-    * UTF-16 code units — identical to char-indexed reference
-    * implementations for the BMP text this engine processes.
+    * UTF-16 code units — identical to DuckDB's byte-counted distance
+    * family ONLY for ASCII input (one byte = one code unit). Non-ASCII
+    * BMP text (accented names: 2-3 UTF-8 bytes but one code unit)
+    * yields different distances than DuckDB; the oracles exercise the
+    * ASCII p_name corpus, where the two coincide exactly. Callers
+    * comparing against byte-counted references on non-ASCII text must
+    * normalize both sides first.
     */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
     val s = a.toString

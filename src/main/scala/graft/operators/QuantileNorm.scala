@@ -51,10 +51,15 @@ object QuantileNorm {
       .withColumn("__hi",
         sum(col("__cnt")).over(Window.orderBy(col("__v"))).cast("long"))
       .select(col("__v"), (col("__hi") - col("__cnt")).as("__lo"), col("__hi"))
+    // the rank·total product runs through DECIMAL(38,0): at corpus scale
+    // (group rank ~1e9 × total ~1e10) a 64-bit product would wrap
+    // silently under non-ANSI mode and the garbage index would match no
+    // spine interval — a silently dropped row; the decimal product is
+    // exact and `div` lands back in BIGINT (the quotient is < n_total)
     ranked.crossJoin(broadcast(total))
       .withColumn("target_idx",
         when(col("n_grp") === 1L, lit(0L)).otherwise(
-          expr("(src_rank * (n_total - 1)) div (n_grp - 1)")))
+          expr("(CAST(src_rank AS DECIMAL(38,0)) * (n_total - 1)) div (n_grp - 1)")))
       .join(broadcast(spine),
         col("target_idx") >= col("__lo") && col("target_idx") < col("__hi"))
       .withColumn("norm_val", col("__v"))

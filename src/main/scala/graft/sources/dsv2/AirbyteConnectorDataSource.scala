@@ -120,11 +120,28 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
 }
 
 /** JSON-level evaluation of pushed filters — the executor-side half of the
-  * best-effort pushdown. `supported` admits only top-level fields compared
-  * to string/number/boolean literals (exactly what a Singer RECORD carries
-  * at depth 1); `eval` follows SQL three-valued logic: a missing or null
-  * field fails every comparison (Spark's residual filter would drop the
-  * row anyway, so dropping it early is always safe).
+  * best-effort pushdown. `supported` admits only top-level fields of
+  * directly-comparable scalar types compared to string/number/boolean
+  * literals (exactly what a Singer RECORD carries at depth 1).
+  *
+  * `eval` must be a provable SUPERSET of the Catalyst residual filter:
+  * dropping a row the residual would keep changes results, keeping one it
+  * would drop only wastes a few cycles. Two rules enforce that:
+  *
+  *   1. The field value is coerced through the SAME
+  *      [[JsonRowConverter]] code path that materializes the row, so the
+  *      source-side comparand is bit-identical to what Catalyst will see
+  *      (a textual-numeric `"5"` coerces to 5 for a LongType field here
+  *      exactly as it does in the row; the old raw-JSON eval dropped it).
+  *   2. Any evaluation that cannot be mirrored exactly — conversion
+  *      throwing, a literal type not matching the field type — returns
+  *      KEEP, never drop. Only a definitively null/missing field short-
+  *      circuits to drop, because its row value is null and SQL
+  *      three-valued logic fails every comparison on null.
+  *
+  * Strings compare as [[UTF8String]] (UTF-8 byte order, Catalyst's
+  * ordering) — `String.compareTo`'s UTF-16 code-unit order flips sign on
+  * supplementary characters.
   */
 object ConnectorFilterEval {
   def supported(schema: StructType)(f: Filter): Boolean = f match {
@@ -140,40 +157,85 @@ object ConnectorFilterEval {
   private def topLevel(schema: StructType, a: String): Boolean =
     !a.contains(".") && schema.fieldNames.contains(a)
 
+  /** Types whose Catalyst comparison this eval mirrors exactly. */
+  private def comparable(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | LongType | IntegerType | ShortType |
+        ByteType | DoubleType | FloatType | _: DecimalType => true
+    case _ => false
+  }
+
   private def simple(schema: StructType, a: String, v: Any): Boolean =
-    topLevel(schema, a) && (v match {
+    topLevel(schema, a) && comparable(schema(a).dataType) && (v match {
       case _: String | _: java.lang.Boolean | _: java.lang.Number => true
       case _ => false
     })
 
-  def eval(f: Filter, data: JsonNode): Boolean = f match {
-    case IsNotNull(a) =>
-      val n = data.get(a); n != null && !n.isNull
-    case EqualTo(a, v)            => cmp(data, a, v).contains(0)
-    case GreaterThan(a, v)        => cmp(data, a, v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(data, a, v).exists(_ >= 0)
-    case LessThan(a, v)           => cmp(data, a, v).exists(_ < 0)
-    case LessThanOrEqual(a, v)    => cmp(data, a, v).exists(_ <= 0)
-    case _                        => true // unsupported filters never reach partitions
+  private sealed trait Res
+  private case object NullField extends Res // row value WILL be null → drop-safe
+  private case object Unknown extends Res   // not exactly mirrorable → keep
+  private final case class Cmp(c: Int) extends Res
+
+  def eval(schema: StructType)(f: Filter, data: JsonNode): Boolean = {
+    def decide(a: String, v: Any)(op: Int => Boolean): Boolean =
+      cmp(schema, data, a, v) match {
+        case Cmp(c)    => op(c)
+        case NullField => false
+        case Unknown   => true
+      }
+    f match {
+      case IsNotNull(a) =>
+        // node-level check is a superset: a non-null node that converts
+        // to null (e.g. unparseable temporal text) is kept here and
+        // dropped by the residual
+        val n = data.get(a); n != null && !n.isNull
+      case EqualTo(a, v)            => decide(a, v)(_ == 0)
+      case GreaterThan(a, v)        => decide(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => decide(a, v)(_ >= 0)
+      case LessThan(a, v)           => decide(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => decide(a, v)(_ <= 0)
+      case _                        => true // unsupported filters never reach partitions
+    }
   }
 
-  /** None = incomparable (missing/null/type-mismatched field) — which
-    * fails every comparison, mirroring SQL null semantics.
-    */
-  private def cmp(data: JsonNode, a: String, v: Any): Option[Int] = {
+  /** -0.0 orders equal to 0.0 in Catalyst; Double.compare says less. */
+  private def norm(d: Double): Double = if (d == 0.0d) 0.0d else d
+  private def norm(f: Float): Float = if (f == 0.0f) 0.0f else f
+
+  private def cmp(schema: StructType, data: JsonNode, a: String, v: Any): Res = {
     val n = data.get(a)
-    if (n == null || n.isNull) None
-    else v match {
-      case s: String =>
-        if (n.isTextual) Some(n.asText.compareTo(s)) else None
-      case b: java.lang.Boolean =>
-        if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, b)) else None
-      case num: java.lang.Number =>
-        if (n.isNumber)
-          Some(new java.math.BigDecimal(n.asText)
-            .compareTo(new java.math.BigDecimal(num.toString)))
-        else None
-      case _ => None
+    if (n == null || n.isNull) return NullField
+    val dt = schema.fields.find(_.name == a) match {
+      case Some(f) => f.dataType
+      case None    => return Unknown // pruned past the filter column: keep
+    }
+    val converted =
+      try JsonRowConverter.convertScalar(n, dt)
+      catch { case _: Exception => return Unknown }
+    if (converted == null) return NullField
+    (converted, v) match {
+      case (u: UTF8String, s: String) =>
+        Cmp(u.compareTo(UTF8String.fromString(s)))
+      case (b: java.lang.Boolean, bv: java.lang.Boolean) =>
+        Cmp(java.lang.Boolean.compare(b, bv))
+      case (d: java.lang.Double, num: java.lang.Number) =>
+        Cmp(java.lang.Double.compare(norm(d), norm(num.doubleValue)))
+      case (fl: java.lang.Float, num: java.lang.Number) =>
+        Cmp(java.lang.Float.compare(norm(fl), norm(num.floatValue)))
+      case (dec: Decimal, _) =>
+        v match {
+          case bd: java.math.BigDecimal => Cmp(dec.toJavaBigDecimal.compareTo(bd))
+          case bd: scala.math.BigDecimal => Cmp(dec.toJavaBigDecimal.compareTo(bd.bigDecimal))
+          case num: java.lang.Number =>
+            Cmp(dec.toJavaBigDecimal.compareTo(new java.math.BigDecimal(num.toString)))
+          case _ => Unknown
+        }
+      case (i: java.lang.Number, num: java.lang.Number) =>
+        // integral field types (Long/Int/Short/Byte): exact decimal compare
+        // so a fractional literal (never pushed by Catalyst, but defended)
+        // cannot mis-order through truncation
+        Cmp(new java.math.BigDecimal(i.toString)
+          .compareTo(new java.math.BigDecimal(num.toString)))
+      case _ => Unknown
     }
   }
 }
@@ -218,7 +280,7 @@ final class ConnectorPartitionReader(partition: ConnectorInputPartition, schema:
         if (node.path("type").asText == "RECORD") {
           val rec = node.get("record")
           if ((partition.stream.isEmpty || rec.path("stream").asText == partition.stream) &&
-              partition.filters.forall(ConnectorFilterEval.eval(_, rec.get("data"))))
+              partition.filters.forall(ConnectorFilterEval.eval(schema)(_, rec.get("data"))))
             current = convert(rec.get("data"))
         } else if (node.path("type").asText == "TRACE" &&
             node.path("trace").path("type").asText == "ERROR") {

@@ -70,6 +70,12 @@ object JsonRowConverter {
     millis * 1000L
   }
 
+  /** Single-field conversion for the source-side filter eval
+    * ([[ConnectorFilterEval]]) — the same code path row materialization
+    * uses, so eval-vs-residual coercion can never diverge.
+    */
+  def convertScalar(v: JsonNode, dt: DataType): Any = convertValue(v, dt)
+
   private def convertValue(v: JsonNode, dt: DataType): Any = {
     if (v == null || v.isNull) return null
     dt match {

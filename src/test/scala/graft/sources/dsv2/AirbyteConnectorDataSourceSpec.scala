@@ -135,22 +135,52 @@ class AirbyteConnectorDataSourceSpec extends SparkSpec {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree("""{"id":5,"name":"x","missing_is":null}""")
     import org.apache.spark.sql.sources._
-    assert(ConnectorFilterEval.eval(EqualTo("id", 5L), node))
-    assert(!ConnectorFilterEval.eval(EqualTo("id", 6L), node))
-    assert(ConnectorFilterEval.eval(LessThanOrEqual("id", 5L), node))
-    assert(ConnectorFilterEval.eval(GreaterThan("name", "w"), node))
-    assert(ConnectorFilterEval.eval(IsNotNull("id"), node))
+    val evalSchema = StructType(schema.fields :+ StructField("missing_is", LongType))
+    val ev = ConnectorFilterEval.eval(evalSchema) _
+    assert(ev(EqualTo("id", 5L), node))
+    assert(!ev(EqualTo("id", 6L), node))
+    assert(ev(LessThanOrEqual("id", 5L), node))
+    assert(ev(GreaterThan("name", "w"), node))
+    assert(ev(IsNotNull("id"), node))
     // null field and absent field fail IsNotNull AND every comparison
-    assert(!ConnectorFilterEval.eval(IsNotNull("missing_is"), node))
-    assert(!ConnectorFilterEval.eval(IsNotNull("absent"), node))
-    assert(!ConnectorFilterEval.eval(EqualTo("absent", 1L), node))
-    assert(!ConnectorFilterEval.eval(LessThan("missing_is", 1L), node))
-    // type-mismatched comparison is incomparable, not an error
-    assert(!ConnectorFilterEval.eval(GreaterThan("name", 3L), node))
+    assert(!ev(IsNotNull("missing_is"), node))
+    assert(!ev(IsNotNull("absent"), node))
+    assert(!ev(EqualTo("absent", 1L), node))
+    assert(!ev(LessThan("missing_is", 1L), node))
+    // a literal type that doesn't match the field type can't be mirrored
+    // exactly → KEEP (the residual filter decides), never drop
+    assert(ev(GreaterThan("name", 3L), node))
     // exact numeric compare crosses JSON int/double representations
     val frac = mapper.readTree("""{"score":2.5}""")
-    assert(ConnectorFilterEval.eval(GreaterThan("score", 2L), frac))
-    assert(!ConnectorFilterEval.eval(GreaterThan("score", java.lang.Double.valueOf(2.5)), frac))
+    assert(ev(GreaterThan("score", 2L), frac))
+    assert(!ev(GreaterThan("score", java.lang.Double.valueOf(2.5)), frac))
+  }
+
+  test("filter eval coerces through JsonRowConverter and compares UTF-8 bytes (superset contract)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import org.apache.spark.sql.sources._
+    val ev = ConnectorFilterEval.eval(schema) _
+    // textual-numeric JSON: the row materializes id=5, so the residual
+    // KEEPS it — the source eval must agree (the raw-JSON eval dropped it)
+    val textual = mapper.readTree("""{"id":"5","score":"2.5"}""")
+    assert(ev(EqualTo("id", 5L), textual))
+    assert(!ev(EqualTo("id", 6L), textual))
+    assert(ev(GreaterThan("score", 2.0d.asInstanceOf[java.lang.Double]), textual))
+    // supplementary characters: UTF-16 code-unit order says "𐀀"
+    // (U+10000, surrogate pair) < "�", UTF-8 byte order says >.
+    // Catalyst compares UTF8String bytes, so eval must too.
+    val supp = mapper.readTree(
+      s"""{"name":"${"\\uD800\\uDC00"}"}""")
+    val boundary = "�"
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(UTF8String.fromString("𐀀").compareTo(UTF8String.fromString(boundary)) > 0)
+    assert("𐀀".compareTo(boundary) < 0) // the divergence being tested
+    assert(ev(GreaterThan("name", boundary), supp))
+    assert(!ev(LessThan("name", boundary), supp))
+    // a present field the pruned schema lacks → keep (residual decides)
+    val pruned = StructType(Seq(StructField("id", LongType)))
+    val named = mapper.readTree("""{"id":1,"name":"a"}""")
+    assert(ConnectorFilterEval.eval(pruned)(EqualTo("name", "z"), named))
   }
 
   test("unsupported filter shapes are not claimed (nested field, IN, null-equal)") {
