@@ -56,7 +56,9 @@ object Components {
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    p.unpersist()
+    // RDD-level release: Dataset.unpersist goes through the CacheManager
+    // and leaves checkpoint storage pinned (see Checkpoints)
+    Checkpoints.release(Seq(p))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -87,14 +89,16 @@ object Components {
         .localCheckpoint(false)
       changed = next.filter(col("label") < col("old")).count()
       // only the current round's checkpoint stays persisted — without the
-      // explicit unpersist every historical label table accumulates in
-      // executor storage for the whole run
-      prevRound.unpersist()
+      // explicit release every historical label table accumulates in
+      // executor storage for the whole run (the count() above is the
+      // action that materialized `next`, so the superseded round is
+      // provably no longer needed)
+      Checkpoints.release(Seq(prevRound))
       prevRound = next
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    edges.unpersist()
+    Checkpoints.release(Seq(edges))
     log.info(s"minLabel ran $iter rounds (the last confirming quiescence)")
     if (changed > 0)
       throw new IllegalStateException(

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frontier-style graph primitives beyond ranking ([[PageRank]]) and
+  * clustering ([[Components]]): multi-source BFS hop counts (the
+  * "distance from a trusted seed set" signal of crawl-frontier
+  * prioritization and graph-based quality propagation) and fixed-round
+  * k-core peeling (the standard dense-subgraph/spam-farm detector).
+  * Both are pure integer computations with a fixed round count, so any
+  * engine replays them bit-identically — the [[PageRank]] determinism
+  * discipline.
+  *
+  * 100 TB shape (both): the edge list pins once (hash-partitioned on
+  * `src`, localCheckpoint); every round shuffles node-spine-sized
+  * frames only (frontier ids / surviving ids), never re-exchanging the
+  * edge list's layout; per-round frames are lazily checkpointed so the
+  * logical plan stays flat, and every superseded pin is released after
+  * the round's action proves it unreachable ([[Checkpoints]]).
+  */
+object Graphs {
+
+  /** Minimum hop count from any seed, following directed edges, capped
+    * at `maxHops`: `(id, hop)` for every node reachable in <= maxHops
+    * hops (seeds themselves at hop 0; unreachable nodes absent). Stops
+    * early when a frontier empties, so the cap is a bound, not a cost.
+    * Each round: one join of the pinned edge list against the frontier
+    * (frontier ids only), one distinct, one anti-join against the
+    * settled set — all node-spine-sized shuffles.
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val seed0 = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    var dist = seed0
+    var frontier = seed0.select("id")
+    var h = 1
+    var more = maxHops >= 1
+    while (more) {
+      // first-visit-wins IS min-hop: a node enters `dist` in the round
+      // of its shortest path and the anti-join blocks every later visit
+      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(false)
+      val grew = nxt.count() // the round's one action; materializes nxt
+      pins += nxt
+      val d = dist.union(nxt).localCheckpoint(false)
+      pins += d
+      dist = d
+      frontier = nxt.select("id")
+      h += 1
+      more = h <= maxHops && grew > 0
+    }
+    val result = dist.localCheckpoint(true)
+    Checkpoints.release(pins.toSeq :+ e)
+    result
+  }
+
+  /** Fixed-round k-core peeling over the undirected graph of `pairs`:
+    * each round drops every node whose degree in the surviving subgraph
+    * is < k, then restricts the edges to survivors. Exactly `rounds`
+    * rounds run (converged or not — the [[PageRank]] fixed-iteration
+    * replay contract); the result is `(id, deg)` for surviving nodes
+    * with their degree inside the FINAL surviving subgraph. With enough
+    * rounds this is the k-core (Seidman 1983); a fixed small count is
+    * the bounded-cost variant a corpus-scale spam sweep runs.
+    */
+  def kcoreRounds(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    var e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](e)
+    for (r <- 1 to rounds) {
+      val surv = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      val next = e
+        .join(surv.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      e =
+        if (r == rounds) next.localCheckpoint(true)
+        else { val pin = next.localCheckpoint(false); pins += pin; pin }
+    }
+    Checkpoints.release(pins.toSeq)
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
+}

@@ -1,8 +1,6 @@
 package graft.operators
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -42,17 +40,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PageRank {
 
-  /** The RDD a Dataset.localCheckpoint pinned: the checkpointed Dataset's
-    * plan is a LogicalRDD over the persisted internal-row RDD. Used to
-    * release intermediate pins once the final round is materialized —
-    * safe because the final eager checkpoint truncates its lineage, so
-    * nothing downstream can ever recompute through the released rounds.
+  /** Intermediate pins release through [[Checkpoints.release]] once the
+    * final round is eagerly materialized — the final checkpoint truncates
+    * its lineage, so nothing downstream recomputes through released
+    * rounds.
     */
-  private def pinnedRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
-
-  private def release(dfs: Seq[DataFrame]): Unit =
-    dfs.foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))
+  private def release(dfs: Seq[DataFrame]): Unit = Checkpoints.release(dfs)
 
   /** Ranks after exactly `iters` rounds over the directed edge list
     * (`srcCol`, `dstCol`). Nodes = every endpoint; a node with no

@@ -146,4 +146,71 @@ object SimilarityJoin {
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
   }
+
+  /** All-pairs COSINE similarity join over integer term-frequency
+    * vectors — the classic inverted-index (term-at-a-time) formulation:
+    * postings `(term, id, tf)` self-join on the term, partial dot
+    * products map-side-combine into `dot(a,b)`, and the cosine
+    * threshold applies as the integer cross-multiplied test
+    * `tDen²·dot² >= tNum²·‖a‖²·‖b‖²` (valid because tf >= 0 ⇒ dot >= 0)
+    * — no float anywhere, so the pair set replays bit-identically in
+    * any engine. Emits `(id_a < id_b, dot, na2, nb2)`.
+    *
+    * `maxDf` redefines the vector space to tokens with document
+    * frequency <= maxDf — the standard stop-term cut that bounds the
+    * hottest posting lists' quadratic pair expansion. It is a SEMANTIC
+    * parameter, not an approximation knob: the result is exactly the
+    * cosine join over the df-filtered vocabulary (an oracle mirrors the
+    * same cut), unlike a recall-trading LSH bucket cap. At corpus scale
+    * always set it (df-capped postings bound the per-term join at
+    * maxDf²; the df table itself is vocabulary-sized), and compose with
+    * [[Boilerplate]]'s df-cut for the text-cleaning variant.
+    *
+    * The comparison runs in DECIMAL(38,0) ([[QuantileNorm]]'s overflow
+    * law): dot can reach ~1e9 on long documents, so tDen²·dot² would
+    * silently wrap a 64-bit product under non-ANSI mode.
+    *
+    * Elements hash through xxhash64 before the postings join (8-byte
+    * shuffle keys, the [[sortedRepr]] discipline); a 64-bit collision
+    * merges two terms' postings — the q_ngram_jaccard
+    * modulo-collisions contract, none at tested vocabulary sizes.
+    */
+  def tfCosineJoin(
+      docs: DataFrame,
+      idCol: String,
+      elemsCol: String,
+      tNum: Int,
+      tDen: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val tf = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(col(elemsCol)).as("el"))
+      .filter(col("el").isNotNull)
+      .select(col("id"), xxhash64(col("el")).as("h"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("tf"))
+      // feeds the df cut (when set), the norms, and both posting sides —
+      // checkpoint so the tokenize+explode subtree runs once
+      .localCheckpoint(true)
+    val kept = maxDf match {
+      case Some(cap) =>
+        val dfOk = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("h"))
+        tf.join(dfOk, Seq("h"), "left_semi").localCheckpoint(true)
+      case None => tf
+    }
+    val norms = kept.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.select(col("h"), col("id").as("id_a"), col("tf").as("tf_a"))
+      .join(kept.select(col("h"), col("id").as("id_b"), col("tf").as("tf_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      .filter(lit(tDen.toLong * tDen).cast(dec) * col("dot") * col("dot") >=
+        lit(tNum.toLong * tNum).cast(dec) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+  }
 }

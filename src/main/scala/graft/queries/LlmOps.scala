@@ -427,6 +427,55 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // Multi-source BFS hop counts ([[graft.operators.Graphs.bfsHops]]
+    // under the oracle): min-hop distance from the src0 seed docs over
+    // the q_dedup_cc blocking graph — the "distance from a trusted seed
+    // set" signal of crawl prioritization / graph quality propagation.
+    // The blocking graph is sparse and chained by n_chars, so hops
+    // spread 0..2 at sf0.01 and the maxHops=4 cap exercises the
+    // empty-frontier early stop; DuckDB replays via a recursive CTE
+    // (first-visit-wins ≡ min(hop) under the hop<cap guard).
+    "q_bfs_hops" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = ccBlockingPairs(docs.select("doc_id", "lang", "n_chars"))
+      // blocking similarity is symmetric: direct both ways
+      val edges = pairs.union(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val seeds = docs.filter(col("source") === "src0").select("doc_id")
+      graft.operators.Graphs.bfsHops(edges, "id_a", "id_b", seeds, "doc_id", maxHops = 4)
+        .orderBy("id")
+    }),
+
+    // Fixed-round k-core peeling ([[graft.operators.Graphs.kcoreRounds]]
+    // under the oracle): 3 peeling rounds at k=3 over the same blocking
+    // graph (34 -> 28 -> 28 survivors at sf0.01 — genuinely iterative,
+    // converged inside the budget). Fixed rounds keep the DuckDB replay
+    // a straight-line CTE chain, the integer-PageRank contract.
+    "q_kcore" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.kcoreRounds(ccBlockingPairs(docs), "id_a", "id_b",
+          k = 3, rounds = 3)
+        .orderBy("id")
+    }),
+
+    // Inverted-index cosine similarity join
+    // ([[graft.operators.SimilarityJoin.tfCosineJoin]] under the
+    // oracle): all pairs with tf-vector cosine >= 17/20 over the ascii
+    // token space, emitted as the INTEGER witness (dot, na2, nb2) —
+    // 400·dot² >= 289·na2·nb2 replays exactly, a rounded cosine can tie
+    // at the rounding digit (the q_ngram_jaccard discipline). Bounded to
+    // 300 docs: the exact join is quadratic in the hottest posting list;
+    // the operator's maxDf cut is the corpus-scale path (documented, and
+    // semantic rather than recall-trading).
+    "q_cosine_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          graft.expressions.functions.ascii_tokens(col("text")).as("toks"))
+      graft.operators.SimilarityJoin.tfCosineJoin(docs, "doc_id", "toks", 17, 20)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Canonical-document selection: the step AFTER duplicate clustering —
     // per connected component keep the BEST-quality member (argmax by
     // quality score, id tiebreak), not the arbitrary min-id. Composes the
@@ -2846,6 +2895,55 @@ object LlmOps {
            CAST(bit_count(xor(a.uf, b.uf)) AS INTEGER) AS hamming
          FROM fps a JOIN fps b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.uf, b.uf)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "q_bfs_hops" ->
+      """WITH RECURSIVE bedges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         bfs(id, hop) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id < 500 AND source = 'src0'
+           UNION
+           SELECT e.dst, b.hop + 1 FROM bfs b JOIN bedges e ON e.src = b.id
+           WHERE b.hop < 4)
+         SELECT id, CAST(min(hop) AS INTEGER) AS hop
+         FROM bfs GROUP BY id ORDER BY id""",
+
+    "q_kcore" ->
+      """WITH pairs AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         s1 AS (SELECT src AS id FROM pairs GROUP BY src HAVING count(*) >= 3),
+         e1 AS (SELECT e.src, e.dst FROM pairs e
+                JOIN s1 a ON e.src = a.id JOIN s1 b ON e.dst = b.id),
+         s2 AS (SELECT src AS id FROM e1 GROUP BY src HAVING count(*) >= 3),
+         e2 AS (SELECT e.src, e.dst FROM e1 e
+                JOIN s2 a ON e.src = a.id JOIN s2 b ON e.dst = b.id),
+         s3 AS (SELECT src AS id FROM e2 GROUP BY src HAVING count(*) >= 3),
+         e3 AS (SELECT e.src, e.dst FROM e2 e
+                JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
+         SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    "q_cosine_join" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+           FROM documents WHERE doc_id < 300),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                WHERE token <> '' GROUP BY 1, 2),
+         norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+         dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    sum(a.tf * b.tf) AS dot
+                  FROM tf a JOIN tf b
+                    ON a.token = b.token AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+         FROM dots JOIN norms na ON na.doc_id = id_a
+                   JOIN norms nb ON nb.doc_id = id_b
+         WHERE 400 * dot * dot >= 289 * na.n2 * nb.n2
          ORDER BY id_a, id_b""")
 
   /** Shared CTE chain recomputing every document's 64-bit SimHash in

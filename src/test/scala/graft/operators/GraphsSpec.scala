@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a directed path 1→2→3→4→5 plus a detour 1→3 (shortcut) and an
+  // unreachable island 9→10
+  private def pathEdges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (9L, 10L)
+  ).toDF("src", "dst")
+
+  test("bfsHops: min-hop wins over a longer path; unreachable absent") {
+    val seeds = Seq(1L).toDF("id")
+    val out = Graphs.bfsHops(pathEdges, "src", "dst", seeds, "id", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is 1 hop via the shortcut, not 2 via the path
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("bfsHops: the cap truncates and seeds always report hop 0") {
+    val seeds = Seq(1L, 9L).toDF("id")
+    val out = Graphs.bfsHops(pathEdges, "src", "dst", seeds, "id", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 1, 10L -> 1))
+    // maxHops = 0: exactly the seed set
+    val just = Graphs.bfsHops(pathEdges, "src", "dst", seeds, "id", maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(just == Map(1L -> 0, 9L -> 0))
+  }
+
+  test("bfsHops: multi-source takes the nearest seed") {
+    val seeds = Seq(1L, 4L).toDF("id")
+    val out = Graphs.bfsHops(pathEdges, "src", "dst", seeds, "id", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(5L) == 1) // via seed 4, not 4 hops via seed 1
+    assert(out(3L) == 1)
+  }
+
+  test("kcoreRounds peels a pendant chain off a triangle") {
+    // triangle {1,2,3} (2-core) with a pendant path 3-4-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    // round 1 drops 5 (deg 1); round 2 drops 4 (deg fell to 1);
+    // round 3 confirms the triangle stable at deg 2
+    val out = Graphs.kcoreRounds(pairs, "id_a", "id_b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2, 2L -> 2, 3L -> 2))
+  }
+
+  test("kcoreRounds honors the FIXED round count (not converged-to-fixpoint)") {
+    // chain 1-2-3-4-5 at k=2: each round peels both endpoints; after
+    // round 1 survivors {2,3,4}, after round 2 {3}, whose degree is then 0
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val r1 = Graphs.kcoreRounds(chain, "id_a", "id_b", k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(r1 == Set(2L, 3L, 4L))
+    val r2 = Graphs.kcoreRounds(chain, "id_a", "id_b", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(r2.isEmpty) // 3 survives the degree cut but keeps no edges
+  }
+
+  test("kcoreRounds leaves no checkpoint pins behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Graphs.kcoreRounds(pairs, "id_a", "id_b", k = 2, rounds = 2)
+    out.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final round's eager checkpoint may remain
+    assert(after <= before + 1, s"pins leaked: $before -> $after")
+  }
+}

@@ -70,4 +70,68 @@ class SimilarityJoinSpec extends SparkSpec {
     ).toDF("id", "els")
     assert(SimilarityJoin.jaccardJoin(docs, "id", "els", 1, 2).count() == 0)
   }
+
+  test("tfCosineJoin: hand-checked integer witnesses") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "b")),      // tf {a:2, b:1}, ‖·‖² = 5
+      (2L, Seq("a", "b", "b")),      // cos vs 1 = 4/5 = 0.8
+      (3L, Seq("a", "a", "b", "b")), // cos vs 1 = 6/sqrt(5·8) ≈ 0.949
+      (4L, Seq("x", "y"))            // disjoint from all
+    ).toDF("id", "toks")
+    val at45 = SimilarityJoin.tfCosineJoin(docs, "id", "toks", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 0.8 makes the >= 4/5 cut exactly (25·16 >= 16·25); 0.949 clears it
+    assert(at45.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(at45((1L, 2L)) == ((4L, 5L, 5L)))
+    assert(at45((1L, 3L)) == ((6L, 5L, 8L)))
+    val at9 = SimilarityJoin.tfCosineJoin(docs, "id", "toks", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the two ≈0.949 pairs survive 0.9 ((2,3) mirrors (1,3)); 0.8 doesn't
+    assert(at9 == Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("tfCosineJoin: maxDf redefines the vector space, exactly") {
+    val docs = Seq(
+      (1L, Seq("stop", "rare1")),
+      (2L, Seq("stop", "rare1")),
+      (3L, Seq("stop", "rare2"))
+    ).toDF("id", "toks")
+    // "stop" has df 3: with maxDf = 2 it vanishes from dots AND norms,
+    // so 1-2 stay identical (cos 1) and 1-3/2-3 share nothing
+    val out = SimilarityJoin.tfCosineJoin(docs, "id", "toks", 9, 10, maxDf = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((1L, 1L, 1L)))
+    // without the cut, all three pair at cos = 1/2... none ≥ 0.9, but
+    // 1-2 at cos 1 still qualifies with the stopword counted
+    val full = SimilarityJoin.tfCosineJoin(docs, "id", "toks", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full.keySet == Set((1L, 2L)) && full((1L, 2L)) == 2L)
+  }
+
+  test("tfCosineJoin matches the naive quadratic cosine on the real corpus") {
+    val tk = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.expressions.functions.ascii_tokens(col("text")).as("toks"))
+    val fast = SimilarityJoin.tfCosineJoin(tk, "doc_id", "toks", 17, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tf = tk.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val n2 = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val naive = tf.select(col("doc_id").as("id_a"), col("t"), col("tf").as("fa"))
+      .join(tf.select(col("doc_id").as("id_b"), col("t"), col("tf").as("fb")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("fa") * col("fb")).as("dot"))
+      .join(n2.select(col("doc_id").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(n2.select(col("doc_id").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      .filter(lit(400L) * col("dot") * col("dot") >= lit(289L) * col("na2") * col("nb2"))
+      // using-column joins move the key first: re-select the pair order
+      .select("id_a", "id_b", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == naive,
+      s"missing=${naive -- fast}, extra=${fast -- naive}")
+    assert(naive.nonEmpty, "vacuous: no qualifying pairs in the fixture")
+  }
 }
