@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Frontier-style graph primitives beyond ranking ([[PageRank]]) and
   * clustering ([[Components]]): multi-source BFS hop counts (the
@@ -65,6 +66,81 @@ object Graphs {
     }
     val result = dist.localCheckpoint(true)
     Checkpoints.release(pins.toSeq :+ e)
+    result
+  }
+
+  /** Fixed-round HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") in pure integer arithmetic: per round,
+    * raw authority(v) = Σ_{u→v} hub(u) and raw hub(u) = Σ_{u→v}
+    * auth(v), each renormalized onto the fixed-point scale by integer
+    * division against the round's MAXIMUM raw score — `(raw·S) div
+    * max_raw` — instead of the float L2 norm, so any engine replays
+    * every round bit-identically (the [[PageRank.integerPageRank]]
+    * determinism contract; max-normalization preserves the ranking and
+    * the fixed point of the power iteration, which is scale-invariant).
+    * Exactly `rounds` rounds run; hubs start at S. Nodes with no
+    * in-edges hold authority 0, nodes with no out-edges hold hub 0.
+    *
+    * Result: `(id, hub, auth)` over all endpoints, both BIGINT in
+    * [0, S].
+    *
+    * 100 TB shape: the edge list pins once; each half-round is ONE
+    * shuffle (messages map-side-combined onto dst resp. src) plus a
+    * single-row max aggregate broadcast back (the documented
+    * bounded-broadcast stat shape). Sums run in DECIMAL(38,0): with
+    * S = 1e6 a raw score stays ≤ maxDeg·1e6 and the renorm product
+    * ≤ maxDeg·1e12 — overflow at maxDeg ~1e26, far past any corpus,
+    * and past it the DECIMAL goes NULL loudly rather than wrapping.
+    */
+  def hitsRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](e, nodes)
+    // renormalize raw integer sums onto [0, S] by the round's max —
+    // the integer-exact stand-in for the L2 norm of float HITS
+    def renorm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div mx AS BIGINT)")
+            .as("score"))
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("score"))
+    var auth: DataFrame = null
+    for (r <- 1 to rounds) {
+      val rawAuth = e.join(hub, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw"))
+        .select(col("dst").as("id"), col("raw"))
+      val a = renorm(rawAuth).localCheckpoint(false)
+      pins += a
+      auth = a
+      val rawHub = e.join(a, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw"))
+        .select(col("src").as("id"), col("raw"))
+      val h = renorm(rawHub).localCheckpoint(false)
+      pins += h
+      hub = h
+    }
+    val result = nodes
+      .join(hub.select(col("id"), col("score").as("hub")), Seq("id"), "left")
+      .join(auth.select(col("id"), col("score").as("auth")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+      .localCheckpoint(true)
+    Checkpoints.release(pins.toSeq)
     result
   }
 

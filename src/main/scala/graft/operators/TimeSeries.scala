@@ -48,6 +48,54 @@ object TimeSeries {
     }
   }
 
+  /** Per-key exponentially weighted moving average (the classic
+    * exponential-smoothing forecast: Brown 1956 / Hunter 1986's EWMA
+    * chart) with a DYADIC smoothing factor α = 1/2^halvings:
+    * s_1 = x_1; s_t = s_{t-1} + (x_t − s_{t-1})·α. Restricting α to
+    * powers of two makes every step EXACT in IEEE doubles when the
+    * inputs are integers (subtraction of same-scale dyadics, an exact
+    * power-of-two division, an exact aligned add), so any engine
+    * replays the fold bit-identically — float EWMA with α = 0.3 differs
+    * in the last ulps across engines; dyadic EWMA cannot, while still
+    * spanning the useful smoothing range (1/2, 1/4, 1/8, …).
+    *
+    * PRECONDITIONS (documented, not silently degraded): `orderCol` must
+    * be unique within a key (it is the sort key of the fold), and
+    * |values|·2^(halvings·series_len) must fit 53 mantissa bits for the
+    * exactness claim — daily aggregates over bounded windows (the
+    * intended shape) sit far inside it.
+    *
+    * Result: one row per key — `(keyCols*, n_points, ewma)`.
+    *
+    * Scale shape: ONE shuffle (the groupBy); the fold is a codegen
+    * higher-order `aggregate` over the collected per-key series, so
+    * state is bounded by series length (a calendar, not the corpus).
+    * The inherently sequential recurrence lives inside one combinator —
+    * the same altitude as DuckDB's `list_reduce`, which the oracle uses
+    * to replay it.
+    */
+  def ewmaDyadic(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      halvings: Int = 1): DataFrame = {
+    require(halvings >= 1 && halvings <= 20,
+      s"halvings must be in [1, 20], got $halvings")
+    val keys = keyCols.map(col)
+    val den = (1L << halvings).toDouble
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).as("o"), col(valueCol).cast("double").as("v"))))
+        .as("__series"))
+      .select(keys :+ size(col("__series")).cast("long").as("n_points") :+
+        expr(
+          s"""aggregate(
+                slice(transform(__series, s -> s.v), 2, size(__series) - 1),
+                element_at(transform(__series, s -> s.v), 1),
+                (acc, x) -> acc + (x - acc) / ${den}D)""").as("ewma"): _*)
+  }
+
   /** Interval-concurrency sweep line: for every day on which the open
     * set changes, the number of [start, end) intervals covering it —
     * max-concurrent-sessions / open-orders / live-connections, computed

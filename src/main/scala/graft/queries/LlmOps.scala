@@ -459,6 +459,27 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Fixed-round integer HITS ([[graft.operators.Graphs.hitsRounds]]
+    // under the oracle): hubs/authorities over the same directed
+    // supplier graph as q_pagerank — the link-analysis complement
+    // (PageRank's single score vs HITS's producer/consumer split).
+    // Max-renormalized integer power iteration: every round is integer
+    // sums + one `(raw·S) div max` rescale, so DuckDB replays both
+    // rounds bit-identically (HUGEINT sums mirror the DECIMAL(38,0)
+    // accumulators).
+    "q_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.Graphs.hitsRounds(pairs, "src", "dst", rounds = 2)
+        .select(col("id").as("s_suppkey"), col("hub"), col("auth"))
+        .orderBy("s_suppkey")
+    }),
+
     // Inverted-index cosine similarity join
     // ([[graft.operators.SimilarityJoin.tfCosineJoin]] under the
     // oracle): all pairs with tf-vector cosine >= 17/20 over the ascii
@@ -2927,6 +2948,43 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    "q_hits" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM nodes),
+         ra1 AS (SELECT p.dst AS id, sum(h.score) AS raw
+                 FROM pairs p JOIN h0 h ON p.src = h.id GROUP BY 1),
+         a1 AS (SELECT id,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM ra1) AS BIGINT) AS score
+                FROM ra1),
+         rh1 AS (SELECT p.src AS id, sum(a.score) AS raw
+                 FROM pairs p JOIN a1 a ON p.dst = a.id GROUP BY 1),
+         h1 AS (SELECT id,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM rh1) AS BIGINT) AS score
+                FROM rh1),
+         ra2 AS (SELECT p.dst AS id, sum(h.score) AS raw
+                 FROM pairs p JOIN h1 h ON p.src = h.id GROUP BY 1),
+         a2 AS (SELECT id,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM ra2) AS BIGINT) AS score
+                FROM ra2),
+         rh2 AS (SELECT p.src AS id, sum(a.score) AS raw
+                 FROM pairs p JOIN a2 a ON p.dst = a.id GROUP BY 1),
+         h2 AS (SELECT id,
+                  CAST(raw * 1000000 // (SELECT max(raw) FROM rh2) AS BIGINT) AS score
+                FROM rh2)
+         SELECT n.id AS s_suppkey,
+           coalesce(h2.score, 0) AS hub, coalesce(a2.score, 0) AS auth
+         FROM nodes n
+         LEFT JOIN h2 ON n.id = h2.id
+         LEFT JOIN a2 ON n.id = a2.id
+         ORDER BY s_suppkey""",
 
     "q_cosine_join" ->
       """WITH tok AS (

@@ -945,6 +945,45 @@ object Relational {
         .orderBy("user_id", "day")
     }),
 
+    // Dyadic exponential smoothing ([[graft.operators.TimeSeries
+    // .ewmaDyadic]] under the oracle): per-priority EWMA of daily order
+    // counts over one bounded month, α = 1/2. Integer inputs + a
+    // power-of-two smoothing factor keep every fold step exact in IEEE
+    // doubles, so DuckDB's list_reduce replays the recurrence
+    // bit-identically — the float-free determinism contract applied to
+    // a genuinely sequential time-series op.
+    "q_ewma" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1995-03-01", "1995-03-31"))
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.ewmaDyadic(daily, Seq("o_orderpriority"),
+          "o_orderdate", "cnt", halvings = 1)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ANSI MERGE INTO ([[graft.sync.Upsert.mergeInto]] under the
+    // oracle): reconcile a customer balance snapshot against per-key
+    // order aggregates with the full clause ladder — matched & heavy
+    // buyer → DELETE (churn), matched → UPDATE (add the integer mean
+    // order value), unmatched source key → INSERT. Integer cents end to
+    // end, so every action's arithmetic replays exactly; the oracle is
+    // the textbook full-outer-join + CASE expansion of MERGE.
+    "q_merge_into" -> ((s, d) => {
+      val tgt = Tables.customer(s, d).filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      val src = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+      graft.sync.Upsert.mergeInto(tgt, src, "c_custkey", "custkey",
+          deleteWhen = col("n_orders") >= 20,
+          updateSet = Map("bal" -> (col("bal") + expr("total_cents div n_orders"))),
+          insertSet = Map("bal" -> expr("total_cents div 100")))
+        .select(col("c_custkey"), col("bal").as("bal_cents"), col("action"))
+        .orderBy("c_custkey")
+    }),
+
     // End-to-end entity resolution: fuzzy pairs (the proven q_fuzzy_join
     // blocking + verify) → connected components (the proven minLabel
     // loop) → one row per entity cluster. Certifies the COMPOSITION the
@@ -1894,6 +1933,40 @@ object Relational {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS total_filled
          FROM j ORDER BY user_id, day""",
+
+    "q_ewma" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, o_orderdate, count(*) AS cnt
+           FROM orders
+           WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+           GROUP BY 1, 2)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_points,
+           list_reduce(list(CAST(cnt AS DOUBLE) ORDER BY o_orderdate),
+             (acc, x) -> acc + (x - acc) / 2.0) AS ewma
+         FROM daily GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q_merge_into" ->
+      """WITH tgt AS (
+           SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           FROM customer WHERE c_custkey < 1000),
+         src AS (
+           SELECT o_custkey AS custkey, count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           FROM orders GROUP BY 1),
+         m AS (
+           SELECT coalesce(t.c_custkey, s.custkey) AS c_custkey,
+             t.bal, s.n_orders, s.total_cents,
+             CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                  WHEN s.custkey IS NULL THEN 'keep'
+                  WHEN s.n_orders >= 20 THEN 'delete'
+                  ELSE 'update' END AS action
+           FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.custkey)
+         SELECT c_custkey,
+           CAST(CASE action WHEN 'insert' THEN total_cents // 100
+                WHEN 'update' THEN bal + total_cents // n_orders
+                ELSE bal END AS BIGINT) AS bal_cents,
+           action
+         FROM m WHERE action <> 'delete' ORDER BY c_custkey""",
 
     "q_er_resolve" ->
       """WITH RECURSIVE prs AS (

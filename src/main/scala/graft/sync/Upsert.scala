@@ -1,6 +1,6 @@
 package graft.sync
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,5 +60,62 @@ object Upsert {
       // silent delete (`=!=` would evaluate null and drop the row)
       .filter(!(col(opCol) <=> lit(deleteOp)))
       .drop(opCol)
+  }
+
+  /** ANSI `MERGE INTO` as a batch step (SQL:2003 14.9; the Delta/Iceberg
+    * upsert statement): reconcile a target snapshot against a source in
+    * one pass with the standard clause ladder —
+    * `WHEN MATCHED AND <deleteWhen> THEN DELETE`,
+    * `WHEN MATCHED THEN UPDATE SET <updateSet>`,
+    * `WHEN NOT MATCHED THEN INSERT <insertSet>`; target rows without a
+    * source match pass through unchanged. Complements [[applyCdc]]:
+    * that replays an explicit op-tagged change log, this DERIVES the
+    * action from the join and caller conditions (the "merge computed
+    * aggregates into a dimension" shape).
+    *
+    * `deleteWhen`/`updateSet` see the matched row (target + source
+    * columns — names must be disjoint, enforced); `insertSet` sees only
+    * source columns. Result: the target schema plus an `action` column
+    * (`insert` / `update` / `keep`) — deleted keys are absent; callers
+    * not wanting provenance drop it.
+    *
+    * Scale shape: ONE full-outer hash join on the key (broadcast when
+    * the source is dim-sized) and a narrow conditional projection — no
+    * window, no second pass; the clause ladder is a single codegen
+    * CASE.
+    */
+  def mergeInto(
+      target: DataFrame,
+      source: DataFrame,
+      targetKey: String,
+      sourceKey: String,
+      deleteWhen: Column,
+      updateSet: Map[String, Column],
+      insertSet: Map[String, Column]): DataFrame = {
+    require(targetKey != sourceKey,
+      s"target and source key columns must be named differently " +
+        s"(rename one side), both are '$targetKey'")
+    val overlap = target.columns.toSet intersect source.columns.toSet
+    require(overlap.isEmpty,
+      s"target/source column names must be disjoint, overlap: " +
+        overlap.toSeq.sorted.mkString(", "))
+    require(updateSet.keySet.subsetOf(target.columns.toSet),
+      "updateSet must assign only target columns")
+    val j = target.join(source, col(targetKey) === col(sourceKey), "full_outer")
+    val action = when(col(targetKey).isNull, lit("insert"))
+      .when(col(sourceKey).isNull, lit("keep"))
+      .when(deleteWhen, lit("delete"))
+      .otherwise(lit("update"))
+    val outCols = target.columns.toSeq.map { c =>
+      if (c == targetKey) coalesce(col(targetKey), col(sourceKey)).as(c)
+      else
+        when(col("__action") === "insert",
+          insertSet.getOrElse(c, lit(null).cast(target.schema(c).dataType)))
+          .when(col("__action") === "update", updateSet.getOrElse(c, col(c)))
+          .otherwise(col(c)).as(c)
+    }
+    j.withColumn("__action", action)
+      .filter(col("__action") =!= "delete")
+      .select(outCols :+ col("__action").as("action"): _*)
   }
 }

@@ -62,6 +62,31 @@ class GraphsSpec extends SparkSpec {
     assert(r2.isEmpty) // 3 survives the degree cut but keeps no edges
   }
 
+  test("hitsRounds matches the hand-computed integer power iteration") {
+    // 1→3, 2→3, 2→4: node 2 links to both authorities (best hub),
+    // node 3 is cited by both hubs (best authority)
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = Graphs.hitsRounds(edges, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: rawAuth 3←2S, 4←S → a=(S, S/2); rawHub 1←S, 2←1.5S
+    //   → h=(666666, S)
+    // round 2: rawAuth 3←1666666, 4←1000000 → a=(S, 600000);
+    //   rawHub 1←S, 2←1600000 → h=(625000, S)
+    assert(out == Map(
+      1L -> ((625000L, 0L)),
+      2L -> ((1000000L, 0L)),
+      3L -> ((0L, 1000000L)),
+      4L -> ((0L, 600000L))))
+  }
+
+  test("hitsRounds leaves no checkpoint pins behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    Graphs.hitsRounds(edges, "src", "dst", rounds = 2).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"pins leaked: $before -> $after")
+  }
+
   test("kcoreRounds leaves no checkpoint pins behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")

@@ -34,4 +34,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(r => Option(r.getAs[java.lang.Double]("v_filled"))).toSeq ===
       Seq(None, None, Some(3.0)))
   }
+
+  test("ewmaDyadic folds the ordered recurrence exactly") {
+    // series 8, 4, 2 at α=1/2: s1=8, s2=(8+4)/2=6, s3=(6+2)/2=4 — every
+    // step an exact dyadic halving
+    val df = daily(
+      ("a", "2024-01-01", 8.0), ("a", "2024-01-02", 4.0),
+      ("a", "2024-01-03", 2.0), ("b", "2024-01-05", 9.0))
+    val out = TimeSeries.ewmaDyadic(df, Seq("k"), "day", "v", halvings = 1)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("a", 3L, 4.0), ("b", 1L, 9.0)))
+  }
+
+  test("ewmaDyadic orders by the sort key, not input order") {
+    // rows arrive reversed; the fold must still run 8 → 4 → 2
+    val df = daily(
+      ("a", "2024-01-03", 2.0), ("a", "2024-01-02", 4.0),
+      ("a", "2024-01-01", 8.0))
+    val out = TimeSeries.ewmaDyadic(df, Seq("k"), "day", "v", halvings = 1)
+      .collect()
+    assert(out.head.getDouble(2) === 4.0)
+  }
+
+  test("ewmaDyadic honors deeper halvings (α = 1/4)") {
+    // s1=8, s2=8+(0-8)/4=6: α=1/4 weights history 3:1
+    val df = daily(("a", "2024-01-01", 8.0), ("a", "2024-01-02", 0.0))
+    val out = TimeSeries.ewmaDyadic(df, Seq("k"), "day", "v", halvings = 2)
+      .collect()
+    assert(out.head.getDouble(2) === 6.0)
+  }
 }

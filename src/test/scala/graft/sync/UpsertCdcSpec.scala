@@ -66,4 +66,46 @@ class UpsertCdcSpec extends SparkSpec {
       Upsert.applyCdc(bad, changes, Seq("k"), "cur", "op")
     }
   }
+
+  test("mergeInto: the full clause ladder on one joined pass") {
+    val target = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("tk", "bal")
+    val source = Seq((1L, 5L), (2L, 50L), (9L, 7L)).toDF("sk", "amt")
+    val out = Upsert.mergeInto(target, source, "tk", "sk",
+        deleteWhen = col("amt") >= 50,               // key 2 deleted
+        updateSet = Map("bal" -> (col("bal") + col("amt"))), // key 1: 105
+        insertSet = Map("bal" -> (col("amt") * 10))) // key 9: 70
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 105L, "update"),
+      (3L, 300L, "keep"),   // no source match: unchanged
+      (9L, 70L, "insert")))
+  }
+
+  test("mergeInto: untouched target columns survive updates and null on inserts") {
+    val target = Seq((1L, 100L, "x"), (2L, 200L, "y")).toDF("tk", "bal", "tag")
+    val source = Seq((1L, 5L), (9L, 7L)).toDF("sk", "amt")
+    val rows = Upsert.mergeInto(target, source, "tk", "sk",
+        deleteWhen = lit(false),
+        updateSet = Map("bal" -> (col("bal") + col("amt"))),
+        insertSet = Map("bal" -> col("amt")))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.getString(2)), r.getString(3)))).toMap
+    assert(rows(1L) == ((105L, Some("x"), "update"))) // tag untouched by update
+    assert(rows(2L) == ((200L, Some("y"), "keep")))
+    assert(rows(9L) == ((7L, None, "insert")))        // no insertSet entry → null
+  }
+
+  test("mergeInto rejects colliding column names loudly") {
+    val target = Seq((1L, 100L)).toDF("k", "bal")
+    val source = Seq((1L, 5L)).toDF("k", "amt")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(target, source, "k", "k",
+        lit(false), Map.empty, Map.empty)
+    }
+    val source2 = Seq((1L, 5L)).toDF("sk", "bal") // non-key overlap
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(target, source2, "k", "sk",
+        lit(false), Map.empty, Map.empty)
+    }
+  }
 }
