@@ -522,6 +522,25 @@ object LlmOps {
         .orderBy("label")
     }),
 
+    // Fixed-round integer k-means ([[graft.operators.KMeansInt
+    // .lloydRounds]] under the oracle): 2 Lloyd rounds at k=4 over the
+    // embedding corpus quantized by an EXACT power-of-two scale
+    // (round(x·256)+512 — the float→double cast and ·256 are exact, the
+    // +512 shift keeps sums non-negative so floor-division agrees across
+    // engines). Integer distances + floor-mean centroids + smallest-cid
+    // tie-break make both rounds replay bit-identically in DuckDB — the
+    // cluster-then-curate primitive (SemDeDup-style) as a certified op.
+    "q_kmeans" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)")
+            .as("v"))
+      graft.operators.KMeansInt.lloydRounds(vecs, "vec_id", "v", k = 4, rounds = 2)
+        .select(col("id").as("vec_id"), col("cid"), col("dist"))
+        .orderBy("vec_id")
+    }),
+
     "q_simhash_fingerprints" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
@@ -2948,6 +2967,43 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    "q_kmeans" ->
+      """WITH v AS (
+           SELECT vec_id AS id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(x * 256) AS BIGINT) + 512) AS v
+           FROM embeddings),
+         c0 AS (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v
+           FROM (SELECT * FROM v ORDER BY id LIMIT 4)),
+         d1 AS (
+           SELECT x.id, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS dist
+           FROM v x CROSS JOIN c0 c),
+         a1 AS (
+           SELECT id, cid, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+         m1 AS (
+           SELECT a.cid, i.i AS pos, sum(x.v[i.i]) // count(*) AS m
+           FROM a1 a JOIN v x USING (id)
+           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+           GROUP BY 1, 2),
+         c1 AS (SELECT cid, list(m ORDER BY pos) AS v FROM m1 GROUP BY cid),
+         d2 AS (
+           SELECT x.id, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS dist
+           FROM v x CROSS JOIN c1 c),
+         a2 AS (
+           SELECT id, cid, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+         SELECT id AS vec_id, CAST(cid AS BIGINT) AS cid,
+           CAST(dist AS BIGINT) AS dist
+         FROM a2 ORDER BY vec_id""",
 
     "q_hits" ->
       """WITH pairs AS (
