@@ -525,6 +525,61 @@ object StreamSync {
     sink.toString
   }
 
+  private def ewmaSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_ewma_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        // integer cents via the proven round(x*100) rendering; the EWMA
+        // fold itself runs in doubles on both sides
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val smoothed = StreamingSync.ewmaStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
+        val q = smoothed.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_ewma replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        require(got == expected,
+          s"stream_ewma sink has $got rows, expected $expected — " +
+            "an event was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def sessionizeSinkDir(s: SparkSession, d: String): String = {
     val gapSeconds = 1800L
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -1147,6 +1202,12 @@ object StreamSync {
         .orderBy("start_us", "event_type")
     }),
 
+    "q_stream_ewma" -> ((s, d) => {
+      s.read.parquet(ewmaSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1280,6 +1341,28 @@ object StreamSync {
          WHERE tu >= ws AND tu < ws + 86400000000
          GROUP BY 1, 2, 3
          ORDER BY start_us, event_type""",
+
+    // The streamed numeric state must equal the batch recurrence: the
+    // recursive CTE replays the per-user fold s ← s + (x − s)/2 over the
+    // SAME (epoch_us, event_id) order the stream sorts by, and the fold
+    // expression is the identical IEEE double sequence — any cross-batch
+    // state drift (a reset, a double-fed batch) flips the hash.
+    "q_stream_ewma" ->
+      """WITH RECURSIVE o AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id < 30),
+         r AS (
+           SELECT user_id, event_id, rn, CAST(v AS DOUBLE) AS s
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, o.rn,
+             r.s + (CAST(o.v AS DOUBLE) - r.s) / 2.0
+           FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         SELECT event_id, user_id, s AS ewma
+         FROM r ORDER BY event_id""",
 
     // The streamed stateful attribution must equal the batch
     // IGNORE-NULLS window over the same events (q_attribution's shape on

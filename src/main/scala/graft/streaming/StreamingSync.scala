@@ -146,6 +146,50 @@ object StreamingSync {
       }
   }
 
+  final case class ValueEvent(event_id: Long, user_id: Long, ts_us: Long, v: Long)
+  final case class EwmaState(s: Double)
+  final case class EwmaRow(event_id: Long, user_id: Long, ewma: Double)
+
+  /** Streaming per-key EWMA: the dyadic exponential smoothing of
+    * [[graft.operators.TimeSeries.ewmaDyadic]] as a stateful stream —
+    * one double of state per key carried ACROSS micro-batches, a row
+    * emitted per event with the running smoothed value (append-safe: a
+    * row, once emitted, never revises). The fold step is the identical
+    * IEEE expression `s + (x − s)/2^halvings` in the identical
+    * (ts_us, event_id) order, so the streamed result hash-equals the
+    * batch recurrence replayed by the oracle — numeric state, not just
+    * counters, surviving the batch/stream split. Events are ordered
+    * within a batch by the function; batches must arrive in timeline
+    * order per key (the same per-key-monotonic contract as
+    * [[attributeStream]]).
+    */
+  def ewmaStream(events: Dataset[ValueEvent], halvings: Int = 1): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    require(halvings >= 1 && halvings <= 20,
+      s"halvings must be in [1, 20], got $halvings")
+    val den = (1L << halvings).toDouble
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[EwmaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[EwmaRow]
+          sorted.foreach { e =>
+            val x = e.v.toDouble
+            val s = st match {
+              case None    => x
+              case Some(p) => p.s + (x - p.s) / den
+            }
+            st = Some(EwmaState(s))
+            out += EwmaRow(e.event_id, user, s)
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

@@ -213,4 +213,24 @@ class StreamingSyncSpec extends SparkSpec {
       assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("click", 2L), ("view", 1L)))
     } finally q.stop()
   }
+
+  test("ewmaStream carries the smoothed value across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.ewmaStream(input.toDS()).writeStream
+      .format("memory").queryName("ewma_sink").outputMode("append").start()
+    try {
+      // batch 1: user 1 sees 8 then 4 → s=8, then (8+4)/2=6
+      input.addData(
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 4L),  // out of order in batch:
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 8L))  // function sorts by ts_us
+      q.processAllAvailable()
+      // batch 2: continues from state 6, not from scratch → (6+2)/2=4
+      input.addData(StreamingSync.ValueEvent(3L, 1L, 3000L, 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_sink").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+        Seq((1L, 8.0), (2L, 6.0), (3L, 4.0)))
+    } finally q.stop()
+  }
 }
