@@ -79,6 +79,30 @@ object Sampling {
       assignByCuts(portableUniform(col(keyCol)), range, splits))
   }
 
+  /** Deterministic uniform sample of exactly `k` rows: the k smallest
+    * [[portableUniform]] values over `keyCol` (key tiebreak — exact-k
+    * even under hash collisions). The distributed, REPLAYABLE
+    * equivalent of reservoir sampling (Vitter 1985 draws a random
+    * k-subset once; bottom-k on a uniform hash draws the SAME k-subset
+    * on every engine, run, and partitioning — Cohen & Kaplan 2007's
+    * bottom-k sketch as a sampler, and the property a reproducible
+    * pipeline audit needs). Rows must be key-unique upstream.
+    *
+    * Scale shape: plans as TakeOrderedAndProject — every partition
+    * keeps its local k before the single k·partitions-row merge; no
+    * full sort, no shuffle of the corpus. The merge is driver-side but
+    * bounded by k·partitions (the documented bounded-collect class);
+    * for corpus-scale k, swap the limit for a threshold filter
+    * `u < k/N·2^32` (one scan, no merge) at the cost of approximate k.
+    */
+  def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("__u", portableUniform(col(keyCol)))
+      .orderBy(col("__u"), col(keyCol))
+      .limit(k)
+      .drop("__u")
+  }
+
   /** Portable hash-uniform in `[0, 2^32)`: the first 8 hex digits of
     * `md5(string(key))` as a long. Unlike xxhash64 (Spark-only), md5 is
     * available bit-identically in every engine, so a sampling decision

@@ -1109,6 +1109,18 @@ object LlmOps {
     // oracle replays EVERY per-row assignment — one flipped split anywhere
     // moves its group's (n, min_id) and the hash. The xxhash64 hashSplit
     // keeps its determinism properties in SamplingSpec.
+    // Deterministic bottom-k uniform sample ([[graft.operators.Sampling
+    // .bottomK]] under the oracle): the 50 smallest portable-md5-uniform
+    // doc_ids — the replayable reservoir sample (same k-subset on any
+    // engine/run/partitioning). Plans as TakeOrderedAndProject: local
+    // top-k per partition, one bounded merge, no corpus sort.
+    "q_bottomk_sample" -> ((s, d) => {
+      graft.operators.Sampling.bottomK(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+        "doc_id", k = 50)
+        .orderBy("doc_id")
+    }),
+
     "q_hash_split" -> ((s, d) => {
       Sampling.portableSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2302,6 +2314,14 @@ object LlmOps {
     // Every assignment replayed: the same md5-prefix uniform and the same
     // integer cuts (0.8·2^32 = 3435973836, 0.9·2^32 = 3865470566,
     // truncated exactly as portableSplit's .toLong does).
+    "q_bottomk_sample" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+           FROM documents
+           ORDER BY u, doc_id LIMIT 50)
+         ORDER BY doc_id""",
+
     "q_hash_split" ->
       """WITH t AS (
            SELECT doc_id,

@@ -945,6 +945,28 @@ object Relational {
         .orderBy("user_id", "day")
     }),
 
+    // Exact rolling median: the trailing-7-row lower median per user —
+    // an ORDER-STATISTIC window (robust rolling baseline for anomaly
+    // cutoffs) where mean-based frames would be outlier-skewed. Integer
+    // cents sorted inside the frame, picked at (n+1) div 2 — exactly
+    // DuckDB's quantile_disc(0.5) window semantics (probed: lower
+    // median on even counts), so the hash compare is exact. Scale: one
+    // window pass; frame state is 7 longs per row.
+    "q_rolling_median" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-6, 0)
+      ev.withColumn("__vals", collect_list(col("v")).over(w))
+        .select(col("event_id"), col("user_id"),
+          expr("element_at(array_sort(__vals), " +
+            "CAST((size(__vals) + 1) div 2 AS INT))").as("med_cents"))
+        .orderBy("event_id")
+    }),
+
     // Dyadic exponential smoothing ([[graft.operators.TimeSeries
     // .ewmaDyadic]] under the oracle): per-priority EWMA of daily order
     // counts over one bounded month, α = 1/2. Integer inputs + a
@@ -1933,6 +1955,14 @@ object Relational {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS total_filled
          FROM j ORDER BY user_id, day""",
+
+    "q_rolling_median" ->
+      """SELECT event_id, user_id,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+         FROM events WHERE user_id < 30
+         ORDER BY event_id""",
 
     "q_ewma" ->
       """WITH daily AS (

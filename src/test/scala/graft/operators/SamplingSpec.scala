@@ -179,4 +179,22 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"the decision is a projection + filter:\n$plan")
   }
+
+  test("bottomK draws the same exact-k subset under any partitioning") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val a = Sampling.bottomK(docs, "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.bottomK(docs.repartition(13), "doc_id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 20 && a == b)
+    // bottom-k nests: growing the budget only ADDS rows (the sketch
+    // property that makes the sample auditable incrementally)
+    val c = Sampling.bottomK(docs, "doc_id", 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(c))
+    // local top-k + bounded merge, not a corpus sort
+    val plan = Sampling.bottomK(docs, "doc_id", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
