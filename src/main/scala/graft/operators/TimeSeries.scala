@@ -96,6 +96,46 @@ object TimeSeries {
                 (acc, x) -> acc + (x - acc) / ${den}D)""").as("ewma"): _*)
   }
 
+  /** One-sided CUSUM change detection (Page 1954, "Continuous
+    * inspection schemes"): per key, over the ordered series,
+    * c⁺_t = max(0, c⁺_{t-1} + x_t − target − slack), alarming where
+    * c⁺_t ≥ threshold — the standard drift detector for data-quality
+    * monitoring (a source whose value distribution shifts upward trips
+    * the alarm long before a mean-over-everything would move). The
+    * baseline `target` is the key's FIRST observation.
+    *
+    * The recurrence NEVER runs as a sequential fold: by the classic
+    * identity c⁺_t = S_t − min(0, min_{j≤t} S_j) with
+    * S_t = Σ_{i≤t}(x_i − target − slack), it is a running sum minus a
+    * running min — TWO stock window aggregates over one partitioning,
+    * exact in integer arithmetic, one shuffle, scale-independent state.
+    * `orderCols` must be unique per key.
+    *
+    * Result: input columns + `c_plus` + `alarm`.
+    */
+  def cusumUpper(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      slack: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val keys = keyCols.map(col)
+    val ord = orderCols.map(c => col(c).asc)
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // three stacked passes over ONE partitioning (baseline → running
+    // sum → running min): Catalyst plans a single exchange + sort
+    df.withColumn("__t", first(col(valueCol)).over(w))
+      .withColumn("__s",
+        sum(col(valueCol) - col("__t") - lit(slack)).over(w))
+      .withColumn("c_plus",
+        col("__s") - least(lit(0L), min(col("__s")).over(w)))
+      .withColumn("alarm", col("c_plus") >= threshold)
+      .drop("__t", "__s")
+  }
+
   /** Interval-concurrency sweep line: for every day on which the open
     * set changes, the number of [start, end) intervals covering it —
     * max-concurrent-sessions / open-orders / live-connections, computed

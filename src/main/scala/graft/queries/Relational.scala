@@ -967,6 +967,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // One-sided CUSUM drift detection ([[graft.operators.TimeSeries
+    // .cusumUpper]] under the oracle): per-user upward-shift alarm over
+    // integer cents, baseline = first observation, slack 20.00,
+    // threshold 300.00 (812 alarms over 19/30 users at sf0.01 — a real
+    // split). The recurrence runs as running-sum − running-min (Page
+    // 1954's identity), never a sequential fold — pure stock window
+    // aggregates, exact integers.
+    "q_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.operators.TimeSeries.cusumUpper(ev, Seq("user_id"),
+          Seq("ts_us", "event_id"), "v", slack = 2000L, threshold = 30000L)
+        .select(col("event_id"), col("user_id"), col("c_plus"), col("alarm"))
+        .orderBy("event_id")
+    }),
+
     // Dyadic exponential smoothing ([[graft.operators.TimeSeries
     // .ewmaDyadic]] under the oracle): per-priority EWMA of daily order
     // counts over one bounded month, α = 1/2. Integer inputs + a
@@ -1272,6 +1290,26 @@ object Relational {
             .cast("double").as("running_total"),
           lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
         .orderBy("o_custkey", "rn")
+    }),
+
+    // Relative-rank window surface: percent_rank / cume_dist /
+    // nth_value over a UNIQUE order (cents, orderkey). The doubles are
+    // single IEEE divisions of small integers — (rank−1)/(N−1) and
+    // n_le/N compute bit-identically in any engine — and nth_value
+    // rides the default running frame on both sides (null until the
+    // 3rd row; RANGE≡ROWS under a unique order).
+    "q_window_ranks" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      o.select(
+          col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderkey")
     }),
 
     // SCD Type-2 dimension build from a keyed change stream: per customer,
@@ -1964,6 +2002,27 @@ object Relational {
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
 
+    "q_cusum" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS u,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE user_id < 30),
+         t AS (
+           SELECT *, first_value(v) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS tgt FROM e),
+         s AS (
+           SELECT *, sum(v - tgt - 2000) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS s FROM t),
+         c AS (
+           SELECT *, s - least(0, min(s) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)) AS cp FROM s)
+         SELECT event_id, user_id, CAST(cp AS BIGINT) AS c_plus,
+           cp >= 30000 AS alarm
+         FROM c ORDER BY event_id""",
+
     "q_ewma" ->
       """WITH daily AS (
            SELECT o_orderpriority, o_orderdate, count(*) AS cnt
@@ -2563,6 +2622,19 @@ object Relational {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q_window_ranks" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_custkey < 200)
+         SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(o_orderkey, 3) OVER w AS third_key
+         FROM o
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+         ORDER BY o_orderkey""",
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey,

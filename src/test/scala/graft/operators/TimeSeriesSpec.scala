@@ -57,6 +57,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 4.0)
   }
 
+  test("cusumUpper accumulates upward drift and clamps at zero") {
+    // tgt=10, slack=2: d=-2,-12,8,8 → S=-2,-14,-6,2; min(0,minS)=-2,-14,-14,-14
+    // → c⁺=0,0,8,16; threshold 10 alarms only the last row
+    val df = daily(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 0.0),
+      ("a", "2024-01-03", 20.0), ("a", "2024-01-04", 20.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("v"))
+    val out = TimeSeries.cusumUpper(df, Seq("k"), Seq("day"), "v",
+        slack = 2L, threshold = 10L)
+      .orderBy("day").collect()
+    assert(out.map(_.getAs[Long]("c_plus")).toSeq === Seq(0L, 0L, 8L, 16L))
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ===
+      Seq(false, false, false, true))
+  }
+
+  test("cusumUpper never goes negative on downward drift") {
+    val df = daily(("a", "2024-01-01", 20.0), ("a", "2024-01-02", 0.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("v"))
+    val out = TimeSeries.cusumUpper(df, Seq("k"), Seq("day"), "v",
+        slack = 0L, threshold = 5L)
+      .orderBy("day").collect()
+    assert(out.map(_.getAs[Long]("c_plus")).toSeq === Seq(0L, 0L))
+  }
+
   test("ewmaDyadic honors deeper halvings (α = 1/4)") {
     // s1=8, s2=8+(0-8)/4=6: α=1/4 weights history 3:1
     val df = daily(("a", "2024-01-01", 8.0), ("a", "2024-01-02", 0.0))
