@@ -175,6 +175,63 @@ object SimilarityJoin {
     * merges two terms' postings — the q_ngram_jaccard
     * modulo-collisions contract, none at tested vocabulary sizes.
     */
+  /** All-pairs set-CONTAINMENT join: for unordered pairs sharing any
+    * element, the distinct-element overlap `inter = |A∩B|` with both
+    * set sizes and the two DIRECTED containment verdicts
+    * `a_in_b ⇔ tDen·inter >= tNum·|A|` (and symmetrically) — kept when
+    * either direction passes. Containment is the ASYMMETRIC similarity
+    * (Broder 1997's "containment"): a short quote inside a long
+    * document scores near 1 where Jaccard scores near 0 — the
+    * quote/subset-duplicate detector a corpus cleaner runs beside the
+    * symmetric joins. Pure integer tests — the pair set replays
+    * bit-identically in any engine.
+    *
+    * Same machinery and scale posture as [[tfCosineJoin]]: xxhash64'd
+    * postings, one self-join on the element key with map-side-combined
+    * intersection counts, and the same SEMANTIC `maxDf` stop-element
+    * cut bounding hot posting lists. Counts stay far inside 64 bits
+    * (inter ≤ min set size), so no DECIMAL widening is needed.
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      idCol: String,
+      elemsCol: String,
+      tNum: Int,
+      tDen: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1], got $tNum/$tDen")
+    val sets = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(col(elemsCol)).as("el"))
+      .filter(col("el").isNotNull)
+      .select(col("id"), xxhash64(col("el")).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val kept = maxDf match {
+      case Some(cap) =>
+        val dfOk = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("h"))
+        sets.join(dfOk, Seq("h"), "left_semi").localCheckpoint(true)
+      case None => sets
+    }
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("h"), col("id").as("id_a"))
+      .join(kept.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("a_in_b",
+        lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("na"))
+      .withColumn("b_in_a",
+        lit(tDen.toLong) * col("inter") >= lit(tNum.toLong) * col("nb"))
+      .filter(col("a_in_b") || col("b_in_a"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        col("a_in_b"), col("b_in_a"))
+  }
+
   def tfCosineJoin(
       docs: DataFrame,
       idCol: String,

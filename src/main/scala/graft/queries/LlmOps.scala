@@ -497,6 +497,22 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Set-containment join ([[graft.operators.SimilarityJoin
+    // .containmentJoin]] under the oracle): directed quote/subset-dup
+    // detection over trigram shingles at 9/10 — the ASYMMETRIC
+    // similarity (a short quote inside a long doc scores ~1 where
+    // Jaccard ~0). Trigrams are the discriminative setting on this
+    // corpus (the q_decontaminate finding); integer tests replay
+    // exactly, and the oracle mirrors the shingle SETS as word-trigram
+    // strings incl. the kernel's short-doc collapse (all tokens → one
+    // shingle when len < n).
+    "q_containment_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3, ascii = true).as("sh"))
+      graft.operators.SimilarityJoin.containmentJoin(docs, "doc_id", "sh", 9, 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Canonical-document selection: the step AFTER duplicate clustering —
     // per connected component keep the BEST-quality member (argmax by
     // quality score, id tiebreak), not the arbitrary min-id. Composes the
@@ -2987,6 +3003,33 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    "q_containment_join" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 300),
+         s AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                  WHEN len(tk) >= 1 THEN [array_to_string(tk, ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM tok),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+         i AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, na.n AS na, nb.n AS nb,
+           10 * inter >= 9 * na.n AS a_in_b,
+           10 * inter >= 9 * nb.n AS b_in_a
+         FROM i JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+         WHERE 10 * inter >= 9 * na.n OR 10 * inter >= 9 * nb.n
+         ORDER BY id_a, id_b""",
 
     "q_kmeans" ->
       """WITH v AS (

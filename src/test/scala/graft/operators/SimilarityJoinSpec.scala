@@ -134,4 +134,31 @@ class SimilarityJoinSpec extends SparkSpec {
       s"missing=${naive -- fast}, extra=${fast -- naive}")
     assert(naive.nonEmpty, "vacuous: no qualifying pairs in the fixture")
   }
+
+  test("containmentJoin flags the asymmetric subset direction") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),                     // ⊂ 2: containment 1.0
+      (2L, Seq("a", "b", "c", "d", "e", "f")),      // reverse: 3/6 < 9/10
+      (3L, Seq("z")),                               // disjoint: absent
+      (4L, Seq("a", "b", "c"))                      // = 1: both directions
+    ).toDF("id", "els")
+    val out = SimilarityJoin.containmentJoin(docs, "id", "els", 9, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out((1L, 2L)) == ((3L, true, false)))  // 1 in 2, not 2 in 1
+    assert(out((1L, 4L)) == ((3L, true, true)))   // exact duplicates
+    assert(out((2L, 4L)) == ((3L, false, true)))  // 4 in 2
+  }
+
+  test("containmentJoin is set-semantic: repeated elements count once") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "a", "b")),  // set {a,b}
+      (2L, Seq("a", "b", "b"))        // set {a,b} → identical sets
+    ).toDF("id", "els")
+    val out = SimilarityJoin.containmentJoin(docs, "id", "els", 1, 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((2L, 2L, 2L)))
+  }
 }
