@@ -580,6 +580,60 @@ object StreamSync {
     sink.toString
   }
 
+  private def cusumSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_cusum_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val monitored = StreamingSync.cusumStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent],
+          slack = 2000L, threshold = 30000L)
+        val q = monitored.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_cusum replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        require(got == expected,
+          s"stream_cusum sink has $got rows, expected $expected — " +
+            "an event was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def sessionizeSinkDir(s: SparkSession, d: String): String = {
     val gapSeconds = 1800L
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -1202,6 +1256,12 @@ object StreamSync {
         .orderBy("start_us", "event_type")
     }),
 
+    "q_stream_cusum" -> ((s, d) => {
+      s.read.parquet(cusumSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("c_plus"), col("alarm"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_ewma" -> ((s, d) => {
       s.read.parquet(ewmaSinkDir(s, d))
         .select(col("event_id"), col("user_id"), col("ewma"))
@@ -1341,6 +1401,31 @@ object StreamSync {
          WHERE tu >= ws AND tu < ws + 86400000000
          GROUP BY 1, 2, 3
          ORDER BY start_us, event_type""",
+
+    // The streamed CUSUM monitor must equal the batch window
+    // formulation (q_cusum's running-sum − running-min identity) row
+    // for row — three longs of per-key state crossing the micro-batch
+    // boundary, pure integers, same (epoch_us, event_id) order.
+    "q_stream_cusum" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS u,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE user_id < 30),
+         t AS (
+           SELECT *, first_value(v) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS tgt FROM e),
+         s AS (
+           SELECT *, sum(v - tgt - 2000) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS s FROM t),
+         c AS (
+           SELECT *, s - least(0, min(s) OVER (PARTITION BY user_id
+             ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)) AS cp FROM s)
+         SELECT event_id, user_id, CAST(cp AS BIGINT) AS c_plus,
+           cp >= 30000 AS alarm
+         FROM c ORDER BY event_id""",
 
     // The streamed numeric state must equal the batch recurrence: the
     // recursive CTE replays the per-user fold s ← s + (x − s)/2 over the

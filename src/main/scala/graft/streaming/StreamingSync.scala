@@ -190,6 +190,46 @@ object StreamingSync {
       }
   }
 
+  final case class CusumState(tgt: Long, s: Long, minS: Long)
+  final case class CusumRow(event_id: Long, user_id: Long, c_plus: Long, alarm: Boolean)
+
+  /** Streaming one-sided CUSUM (Page 1954) — the drift detector in its
+    * natural habitat (a LIVE data-quality monitor): per-key state is
+    * three longs (baseline = first observation, running sum, running
+    * min) carried across micro-batches; each event emits its
+    * c⁺ = S − min(0, min S) and alarm verdict (append-safe). Pure
+    * integer arithmetic in the same (ts_us, event_id) order as the
+    * batch window formulation ([[graft.operators.TimeSeries
+    * .cusumUpper]]), so the streamed sink hash-equals the batch
+    * oracle row for row.
+    */
+  def cusumStream(
+      events: Dataset[ValueEvent],
+      slack: Long,
+      threshold: Long): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[CusumState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[CusumRow]
+          sorted.foreach { e =>
+            val tgt = st.map(_.tgt).getOrElse(e.v)
+            val s = st.map(_.s).getOrElse(0L) + (e.v - tgt - slack)
+            val minS = math.min(st.map(_.minS).getOrElse(0L), s)
+            st = Some(CusumState(tgt, s, minS))
+            val cPlus = s - math.min(0L, minS)
+            out += CusumRow(e.event_id, user, cPlus, cPlus >= threshold)
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

@@ -214,6 +214,29 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream carries baseline/sum/min state across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.cusumStream(input.toDS(), slack = 2L, threshold = 10L)
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").start()
+    try {
+      // tgt=10: d=-2,-12 → S=-2,-14; c⁺=0,0
+      input.addData(
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 10L),
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 0L))
+      q.processAllAvailable()
+      // batch 2 continues: d=8,8 → S=-6,2; floor=-14 → c⁺=8,16 (alarm)
+      input.addData(
+        StreamingSync.ValueEvent(3L, 1L, 3000L, 20L),
+        StreamingSync.ValueEvent(4L, 1L, 4000L, 20L))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_sink").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(2), r.getBoolean(3))).toSeq ===
+        Seq((0L, false), (0L, false), (8L, false), (16L, true)))
+    } finally q.stop()
+  }
+
   test("ewmaStream carries the smoothed value across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.ValueEvent](spark)
