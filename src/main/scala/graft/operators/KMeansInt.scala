@@ -48,6 +48,24 @@ object KMeansInt {
       vecCol: String,
       k: Int,
       rounds: Int): DataFrame = {
+    val (assign, cents) = lloydRoundsFull(df, idCol, vecCol, k, rounds)
+    Checkpoints.release(Seq(cents)) // codebook unused by this caller
+    assign
+  }
+
+  /** [[lloydRounds]] plus the codebook: returns `(assignment,
+    * centroids)` where `centroids` is `(cid, cv: array<long>)` — the
+    * table the FINAL assignment was scored against (the model a
+    * product-quantization encoder or a serving-time cell router needs
+    * alongside the codes). Both frames are eagerly checkpointed;
+    * intermediates are released.
+    */
+  def lloydRoundsFull(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -87,7 +105,8 @@ object KMeansInt {
       }
     }
     val result = assign.localCheckpoint(true)
-    Checkpoints.release(pins.toSeq)
-    result
+    val finalCents = cents
+    Checkpoints.release(pins.filterNot(_ eq finalCents).toSeq)
+    (result, finalCents)
   }
 }

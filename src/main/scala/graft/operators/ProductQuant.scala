@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+  * quantization for nearest neighbor search"): split the vector space
+  * into `nSub` subspaces, learn a small codebook per subspace, encode
+  * each corpus vector as `nSub` codes, and serve queries by ASYMMETRIC
+  * distance computation — the query stays exact, each corpus vector is
+  * approximated by its per-subspace codewords, and the query↔codeword
+  * distances are precomputed once into a table the scan only LOOKS UP.
+  *
+  * Deterministic end to end, unlike float PQ: codebooks come from
+  * [[KMeansInt.lloydRoundsFull]] (integer Lloyd, replayable), distance
+  * tables are integer squared-L2, and the top-k total-orders on
+  * (adist, id) — so the approximate result is still an exactly
+  * oracle-checkable one. The [[Similarity]] posture: approximation
+  * lives in the MODEL (codes), the arithmetic over it is exact.
+  *
+  * 100 TB shape (the point of PQ): the corpus compresses to `nSub`
+  * small ints per vector — 64 quantized dims become 4 codes — and
+  * serving is (a) a query-side distance table of |Q|·nSub·kCode longs
+  * built against KB-sized codebooks, broadcast; (b) ONE narrow
+  * projection over the codes (an `aggregate` of `nSub` array lookups —
+  * no join, no shuffle touching vectors); (c) a per-query top-k whose
+  * rank shuffle is WindowGroupLimit-bounded at k·partitions rows.
+  * Training cost is `nSub` independent [[KMeansInt]] runs on sliced
+  * vectors.
+  */
+object ProductQuant {
+
+  /** Top `topK` corpus ids per query by PQ-ADC distance. `corpus` is
+    * `(idCol, vecCol: array<long>)` with dimension exactly
+    * `nSub·subDim` (enforce upstream); `queries` likewise. Returns
+    * `(qid, id, adist)`.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int,
+      topK: Int): DataFrame = {
+    require(nSub >= 1 && subDim >= 1 && kCode >= 1 && topK >= 1,
+      s"nSub/subDim/kCode/topK must be >= 1, got $nSub/$subDim/$kCode/$topK")
+    // train one integer-Lloyd codebook per subspace; the per-subspace
+    // assignment IS the corpus encoding
+    val parts = (0 until nSub).map { m =>
+      val sv = corpus.select(col(idCol).as("id"),
+        expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)").as("v"))
+      val (assign, cents) =
+        KMeansInt.lloydRoundsFull(sv, "id", "v", kCode, rounds)
+      (assign.select(col("id"), col("cid")).withColumn("m", lit(m)),
+        cents.withColumn("m", lit(m)))
+    }
+    // codes wide: one row per id, codes[m] = codeword in subspace m
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
+      .select(col("id"), expr("transform(mc, p -> p.cid)").as("codes"))
+    val cents = parts.map(_._2).reduce(_ unionByName _)
+    // ADC distance table per query: darr[m·kCode + cid] = ‖q_m − c_cid‖²
+    val qs = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), explode(sequence(lit(0), lit(nSub - 1))).as("m"),
+        col("qv"))
+      .select(col("qid"), col("m"),
+        expr(s"slice(qv, m * $subDim + 1, $subDim)").as("qv"))
+    val dtab = qs.join(cents, Seq("m"))
+      .withColumn("d",
+        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cid"), col("d"))))
+        .as("mcd"))
+      // keyed by m·kCode+cid (a MAP, not a flat array: were a codebook
+      // cluster to empty, a positional array would silently misindex
+      // every later slot — the map makes a vanished codeword a loud
+      // NULL adist instead)
+      .select(col("qid"),
+        expr(s"map_from_arrays(transform(mcd, p -> p.m * $kCode + p.cid), " +
+          "transform(mcd, p -> p.d))").as("dmap"))
+    // serving: broadcast the tables, sum nSub lookups per (vector, query)
+    val adist = codes.crossJoin(broadcast(dtab))
+      .select(col("qid"), col("id"),
+        expr(s"""aggregate(sequence(0, ${nSub - 1}), 0L, (acc, m) ->
+             acc + element_at(dmap, m * ${kCode}L + element_at(codes, m + 1)))""")
+          .as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+    adist.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("qid"), col("id"), col("adist"))
+  }
+}

@@ -721,6 +721,24 @@ object LlmOps {
     // (query_id × rank) grid with `true` — the hash fails iff the index
     // round-trip changes any neighbor or cosine. Typed partition-pruning
     // assertion stays IvfIndexSpec's.
+    // Product-quantization ANN ([[graft.operators.ProductQuant.pqTopK]]
+    // under the oracle): 64 quantized dims → 4 subspaces × 16, one
+    // integer-Lloyd codebook (k=4, 2 rounds) per subspace, ADC serving
+    // from a broadcast query↔codeword distance map — the compressed-
+    // corpus path of the ANN family (codes are 4 small ints per
+    // vector). Every stage is integer arithmetic, so the APPROXIMATE
+    // top-10 is still an exactly replayable result: the oracle re-runs
+    // all 4 codebook trainings and the ADC ranking as CTE chains.
+    "q_ann_pq" -> ((s, d) => {
+      val vq = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      graft.operators.ProductQuant.pqTopK(
+          vq, vq.filter(col("vec_id") < 5), "vec_id", "vec_id", "v",
+          nSub = 4, subDim = 16, kCode = 4, rounds = 2, topK = 10)
+        .orderBy("qid", "id")
+    }),
+
     "q_ann_ivf_indexed" -> ((s, d) => {
       val (nCentroids, refineIters, split) = (16, 1, 5)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
@@ -3031,6 +3049,8 @@ object LlmOps {
          WHERE 10 * inter >= 9 * na.n OR 10 * inter >= 9 * nb.n
          ORDER BY id_a, id_b""",
 
+    "q_ann_pq" -> pqOracleSql,
+
     "q_kmeans" ->
       """WITH v AS (
            SELECT vec_id AS id,
@@ -3127,6 +3147,79 @@ object LlmOps {
     * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).
     * Mirrors `TextKernels.simhash64` exactly on the ASCII corpus.
     */
+  /** q_ann_pq's oracle: 4 mechanical per-subspace integer-Lloyd chains
+    * (the q_kmeans CTE shape sliced to dims [16m+1, 16m+16]) + the ADC
+    * distance-table join and ranking. Built by string assembly because
+    * the 4 chains differ only in the slice bounds.
+    */
+  private def pqOracleSql: String = {
+    val subChains = (0 until 4).map { m =>
+      val lo = m * 16 + 1
+      val hi = (m + 1) * 16
+      s"""v$m AS (SELECT id, list_slice(v, $lo, $hi) AS v FROM vq),
+         c0_$m AS (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v
+           FROM (SELECT * FROM v$m ORDER BY id LIMIT 4)),
+         d1_$m AS (
+           SELECT x.id, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS dist
+           FROM v$m x CROSS JOIN c0_$m c),
+         a1_$m AS (
+           SELECT id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY dist, cid) AS rn FROM d1_$m) WHERE rn = 1),
+         m1_$m AS (
+           SELECT a.cid, i.i AS pos, sum(x.v[i.i]) // count(*) AS mv
+           FROM a1_$m a JOIN v$m x USING (id)
+           CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+           GROUP BY 1, 2),
+         c1_$m AS (SELECT cid, list(mv ORDER BY pos) AS v FROM m1_$m GROUP BY cid),
+         d2_$m AS (
+           SELECT x.id, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS dist
+           FROM v$m x CROSS JOIN c1_$m c),
+         a2_$m AS (
+           SELECT id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY dist, cid) AS rn FROM d2_$m) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val codesUnion =
+      (0 until 4).map(m => s"SELECT id, $m AS m, cid FROM a2_$m")
+        .mkString(" UNION ALL ")
+    val centsUnion =
+      (0 until 4).map(m => s"SELECT $m AS m, cid, v FROM c1_$m")
+        .mkString(" UNION ALL ")
+    s"""WITH vq AS (
+         SELECT vec_id AS id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 256) AS BIGINT) + 512) AS v
+         FROM embeddings),
+         $subChains,
+         codes AS ($codesUnion),
+         cents AS ($centsUnion),
+         q AS (SELECT id AS qid, v FROM vq WHERE id < 5),
+         qs AS (
+           SELECT qid, m.m AS m,
+             list_slice(v, m.m * 16 + 1, m.m * 16 + 16) AS qv
+           FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+         dtab AS (
+           SELECT qs.qid, qs.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (qs.qv[i] - c.v[i]) * (qs.qv[i] - c.v[i]))) AS d
+           FROM qs JOIN cents c ON c.m = qs.m),
+         ad AS (
+           SELECT dt.qid, cd.id, sum(dt.d) AS adist
+           FROM codes cd JOIN dtab dt ON dt.m = cd.m AND dt.cid = cd.cid
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY adist, id) AS rn FROM ad)
+         SELECT qid, id, CAST(adist AS BIGINT) AS adist
+         FROM rk WHERE rn <= 10 ORDER BY qid, id"""
+  }
+
   private def simhashFingerprintsCte: String =
     """tok AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

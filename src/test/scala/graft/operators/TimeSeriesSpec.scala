@@ -72,6 +72,21 @@ class TimeSeriesSpec extends SparkSpec {
       Seq(false, false, false, true))
   }
 
+  test("cusumUpper and ewmaDyadic each plan exactly one exchange") {
+    val df = daily(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("b", "2024-01-03", 3.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("v"))
+    // three stacked window passes over one partitioning → one shuffle
+    val cusumPlan = TimeSeries.cusumUpper(df, Seq("k"), Seq("day"), "v", 0L, 1L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(cusumPlan).length == 1, cusumPlan)
+    // the fold happens inside one partial+final aggregate → one shuffle
+    val ewmaPlan = TimeSeries.ewmaDyadic(df, Seq("k"), "day", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(ewmaPlan).length == 1, ewmaPlan)
+  }
+
   test("cusumUpper never goes negative on downward drift") {
     val df = daily(("a", "2024-01-01", 20.0), ("a", "2024-01-02", 0.0))
       .select(col("k"), col("day"), col("v").cast("long").as("v"))
