@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Property tests for the TimeSeries recurrences against independent
+  * plain-Scala sequential folds: [[TimeSeries.cusumUpper]]'s
+  * running-sum − running-min window identity must equal the textbook
+  * clamped recurrence c⁺ ← max(0, c⁺ + x − x₁ − slack) on arbitrary
+  * series, and [[TimeSeries.ewmaDyadic]] must equal the direct fold —
+  * multiple keys, negative values, duplicate values, slack ∈ {0,…}.
+  */
+object TimeSeriesProps extends Properties("TimeSeries") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("time-series-props").getOrCreate()
+
+  // (key, ord, value) with unique (key, ord)
+  private val genRows: Gen[(Seq[(String, Long, Long)], Long)] = for {
+    n <- Gen.chooseNum(1, 30)
+    groups <- Gen.chooseNum(1, 3)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+    slack <- Gen.chooseNum(0L, 10L)
+  } yield (vals.zipWithIndex.map { case (v, i) =>
+    (s"g${i % groups}", i.toLong, v)
+  }, slack)
+
+  private def cusumRef(series: Seq[Long], slack: Long): Seq[Long] = {
+    val tgt = series.head
+    series.scanLeft(0L)((c, x) => math.max(0L, c + x - tgt - slack)).tail
+  }
+
+  property("cusumUpper equals the clamped sequential recurrence") =
+    Prop.forAll(genRows) { case (rows, slack) =>
+      import spark.implicits._
+      val df = rows.toDF("k", "ord", "v")
+      val got = TimeSeries.cusumUpper(df, Seq("k"), Seq("ord"), "v", slack, 1L)
+        .select("k", "ord", "c_plus")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, grp) =>
+        val ordered = grp.sortBy(_._2)
+        ordered.map(_._2).zip(cusumRef(ordered.map(_._3), slack))
+          .map { case (ord, c) => (k, ord) -> c }
+      }
+      got == want
+    }
+
+  property("ewmaDyadic equals the direct fold") =
+    Prop.forAll(genRows) { case (rows, _) =>
+      import spark.implicits._
+      val df = rows.toDF("k", "ord", "v")
+      val got = TimeSeries.ewmaDyadic(df, Seq("k"), "ord", "v", halvings = 1)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (k, grp) =>
+        val vs = grp.sortBy(_._2).map(_._3.toDouble)
+        k -> ((vs.length.toLong, vs.tail.foldLeft(vs.head)((s, x) => s + (x - s) / 2.0)))
+      }
+      got == want
+    }
+}
