@@ -69,6 +69,44 @@ object Graphs {
     result
   }
 
+  /** One-row structural profile of a directed graph — the census a
+    * link-graph pipeline runs before committing to PageRank/HITS
+    * parameters: node/edge counts, reciprocity (edges whose reverse
+    * exists — the spam-ring / mutual-link signal), max in/out degree
+    * (the hub precondition for [[PageRank]]'s overflow bound), and
+    * source/sink counts (teleport-floor mass). All integer aggregates.
+    *
+    * Scale shape: the deduped edge list pins once; every stat is one
+    * map-side-combined aggregate (the reciprocity check is a left-semi
+    * self-join on the reversed key); the single-row frames compose via
+    * the documented bounded single-row crossJoin shape, and the result
+    * eager-checkpoints before the edge pin releases.
+    */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val inDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val result = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(e.join(rev, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal")))
+      .crossJoin(outDeg.agg(max(col("d")).as("max_out_deg")))
+      .crossJoin(inDeg.agg(max(col("d")).as("max_in_deg")))
+      .crossJoin(nodes.join(inDeg.select(col("dst").as("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_sources")))
+      .crossJoin(nodes.join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_sinks")))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        col("max_out_deg"), col("max_in_deg"), col("n_sources"), col("n_sinks"))
+      .localCheckpoint(true)
+    Checkpoints.release(Seq(e))
+    result
+  }
+
   /** Fixed-round HITS (Kleinberg 1999, "Authoritative sources in a
     * hyperlinked environment") in pure integer arithmetic: per round,
     * raw authority(v) = Σ_{u→v} hub(u) and raw hub(u) = Σ_{u→v}

@@ -136,6 +136,55 @@ object TimeSeries {
       .drop("__t", "__s")
   }
 
+  /** Per-key time-weighted average over an irregular series — the
+    * metrics-correct mean when samples arrive unevenly (a value held
+    * for an hour must weigh 60× one held a minute; the plain AVG every
+    * naive dashboard computes is wrong the moment sampling is bursty).
+    * Left-constant (zero-order-hold) semantics: each sample's value
+    * holds until the next sample; the final sample spans zero time and
+    * contributes only when it is the key's ONLY sample (degenerate
+    * span → plain value, documented below).
+    *
+    * Exactness: the integral `Σ v·Δt` runs in DECIMAL(38,0) over
+    * integer values × integer time deltas (loud NULL past 1e38, never
+    * a wrap); the single final division is one IEEE double op — both
+    * deterministic on any engine. Result: `(keyCols*, area, span_t,
+    * twa)` where `twa = area/span` (double) or the plain value for a
+    * single-sample key.
+    *
+    * Scale shape: one window pass (lead) + one aggregate over the same
+    * partitioning — Catalyst plans a single exchange.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = keyCols.map(col)
+    // tieCols pin the hold order under equal timestamps (their Δt
+    // segments are zero-width, so they cannot change area — only make
+    // the lead() deterministic)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy((tsCol +: tieCols).map(c => col(c).asc): _*)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.withColumn("__next", lead(col(tsCol), 1).over(w))
+      .withColumn("__dt", col("__next") - col(tsCol))
+      .groupBy(keys: _*)
+      .agg(
+        sum((col(valueCol) * col("__dt")).cast(dec)).as("__area"),
+        sum(col("__dt").cast(dec)).as("__span"),
+        min(col(valueCol)).as("__only"), // the single-sample fallback
+        count(lit(1)).as("__n"))
+      .select(keys :+
+        coalesce(col("__area"), lit(0).cast(dec)).cast("long").as("area") :+
+        coalesce(col("__span"), lit(0).cast(dec)).cast("long").as("span_t") :+
+        when(col("__n") === 1 || col("__span") === 0,
+          col("__only").cast("double"))
+          .otherwise(col("__area").cast("double") / col("__span").cast("double"))
+          .as("twa"): _*)
+  }
+
   /** Interval-concurrency sweep line: for every day on which the open
     * set changes, the number of [start, end) intervals covering it —
     * max-concurrent-sessions / open-orders / live-connections, computed

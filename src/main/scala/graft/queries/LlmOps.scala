@@ -459,6 +459,23 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Directed-graph census ([[graft.operators.Graphs.degreeStats]]
+    // under the oracle): node/edge/reciprocity counts and degree
+    // extremes over the supplier graph — the structural profile run
+    // before committing PageRank/HITS parameters (reciprocity is the
+    // mutual-link spam signal; max in-degree is integerPageRank's
+    // overflow precondition).
+    "q_graph_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.Graphs.degreeStats(pairs, "src", "dst")
+    }),
+
     // Fixed-round integer HITS ([[graft.operators.Graphs.hitsRounds]]
     // under the oracle): hubs/authorities over the same directed
     // supplier graph as q_pagerank — the link-analysis complement
@@ -3087,6 +3104,30 @@ object LlmOps {
          SELECT id AS vec_id, CAST(cid AS BIGINT) AS cid,
            CAST(dist AS BIGINT) AS dist
          FROM a2 ORDER BY vec_id""",
+
+    "q_graph_stats" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         od AS (SELECT src, count(*) AS d FROM pairs GROUP BY 1),
+         idg AS (SELECT dst, count(*) AS d FROM pairs GROUP BY 1)
+         SELECT
+           (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*) FROM pairs p WHERE EXISTS (
+              SELECT 1 FROM pairs r
+              WHERE r.src = p.dst AND r.dst = p.src)) AS n_reciprocal,
+           (SELECT max(d) FROM od) AS max_out_deg,
+           (SELECT max(d) FROM idg) AS max_in_deg,
+           (SELECT count(*) FROM nodes n WHERE NOT EXISTS (
+              SELECT 1 FROM idg i WHERE i.dst = n.id)) AS n_sources,
+           (SELECT count(*) FROM nodes n WHERE NOT EXISTS (
+              SELECT 1 FROM od o WHERE o.src = n.id)) AS n_sinks""",
 
     "q_hits" ->
       """WITH pairs AS (

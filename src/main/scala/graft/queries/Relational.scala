@@ -967,6 +967,47 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Map-type surface: build per-customer priority→count maps, then
+    // exercise the map lambda functions (map_filter / transform_values
+    // / element_at / size). Maps have no portable ordering, so every
+    // map-valued output renders as SORTED entry arrays
+    // (sort_array(map_entries(...)) ↔ DuckDB's ordered struct lists) —
+    // the rendering that makes a map hash-comparable at all.
+    "q_map_funcs" -> ((s, d) => {
+      val counts = Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      def entriesStr(mapExpr: String): org.apache.spark.sql.Column =
+        expr(s"array_join(transform(sort_array(map_entries($mapExpr)), " +
+          "e -> concat(e.key, ':', CAST(e.value AS STRING))), ',')")
+      counts.groupBy(col("o_custkey"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderpriority"), col("n"))))).as("m"))
+        .select(col("o_custkey"),
+          entriesStr("map_filter(m, (k, v) -> v >= 2)").as("hot"),
+          entriesStr("transform_values(m, (k, v) -> v * 10)").as("scaled"),
+          expr("element_at(m, '1-URGENT')").as("urgent_n"),
+          size(col("m")).as("n_keys"))
+        .orderBy("o_custkey")
+    }),
+
+    // Time-weighted average ([[graft.operators.TimeSeries
+    // .timeWeightedAvg]] under the oracle): per-user zero-order-hold
+    // mean of integer cents over irregular event times — the
+    // metrics-correct mean under bursty sampling (plain AVG overweights
+    // bursts). The `Σ v·Δt` integral runs in DECIMAL(38,0); area and
+    // span emit as exact integers and the single final division is one
+    // IEEE double op.
+    "q_twa" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      graft.operators.TimeSeries.timeWeightedAvg(ev, Seq("user_id"),
+          "ts_us", "v", tieCols = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
     // One-sided CUSUM drift detection ([[graft.operators.TimeSeries
     // .cusumUpper]] under the oracle): per-user upward-shift alarm over
     // integer cents, baseline = first observation, slack 20.00,
@@ -2001,6 +2042,46 @@ object Relational {
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
+
+    "q_map_funcs" ->
+      """WITH c AS (
+           SELECT o_custkey, o_orderpriority AS k, count(*) AS v
+           FROM orders WHERE o_custkey < 200 GROUP BY 1, 2),
+         g AS (
+           SELECT o_custkey,
+             list(struct_pack(key := k, value := v) ORDER BY k) AS entries
+           FROM c GROUP BY 1)
+         SELECT o_custkey,
+           coalesce(array_to_string(list_transform(
+             list_filter(entries, e -> e.value >= 2),
+             e -> e.key || ':' || CAST(e.value AS VARCHAR)), ','), '') AS hot,
+           array_to_string(list_transform(entries,
+             e -> e.key || ':' || CAST(e.value * 10 AS VARCHAR)), ',') AS scaled,
+           (SELECT max(CASE WHEN k = '1-URGENT' THEN v END)
+            FROM c WHERE c.o_custkey = g.o_custkey) AS urgent_n,
+           CAST(len(entries) AS INTEGER) AS n_keys
+         FROM g ORDER BY o_custkey""",
+
+    "q_twa" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS u,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE user_id < 30),
+         l AS (
+           SELECT user_id, v,
+             lead(u) OVER (PARTITION BY user_id
+               ORDER BY u, event_id) - u AS dt
+           FROM e),
+         a AS (
+           SELECT user_id, sum(v * dt) AS area, sum(dt) AS span,
+             min(v) AS only_v, count(*) AS n
+           FROM l GROUP BY 1)
+         SELECT user_id,
+           CAST(coalesce(area, 0) AS BIGINT) AS area,
+           CAST(coalesce(span, 0) AS BIGINT) AS span_t,
+           CASE WHEN n = 1 OR span = 0 THEN CAST(only_v AS DOUBLE)
+                ELSE CAST(area AS DOUBLE) / CAST(span AS DOUBLE) END AS twa
+         FROM a ORDER BY user_id""",
 
     "q_cusum" ->
       """WITH e AS (

@@ -62,6 +62,19 @@ class GraphsSpec extends SparkSpec {
     assert(r2.isEmpty) // 3 survives the degree cut but keeps no edges
   }
 
+  test("degreeStats profiles the path graph correctly") {
+    // 1→2→3→4→5, shortcut 1→3, island 9→10, plus a mutual pair 4⇄5
+    val edges = pathEdges.union(Seq((5L, 4L)).toDF("src", "dst"))
+    val r = Graphs.degreeStats(edges, "src", "dst").collect().head
+    assert(r.getLong(0) == 7)  // nodes 1..5, 9, 10
+    assert(r.getLong(1) == 7)  // 6 path edges + the back edge
+    assert(r.getLong(2) == 2)  // 4→5 and 5→4
+    assert(r.getLong(3) == 2)  // node 1 out-degree
+    assert(r.getLong(4) == 2)  // node 3 in-degree (from 2 and 1)
+    assert(r.getLong(5) == 2)  // sources: 1 and 9
+    assert(r.getLong(6) == 1)  // sinks: 10 (5 gained an out-edge)
+  }
+
   test("hitsRounds matches the hand-computed integer power iteration") {
     // 1→3, 2→3, 2→4: node 2 links to both authorities (best hub),
     // node 3 is cited by both hubs (best authority)

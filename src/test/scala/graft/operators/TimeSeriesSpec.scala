@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
 
   private def daily(rows: (String, String, java.lang.Double)*) = {
     spark.createDataFrame(rows).toDF("k", "d", "v")
@@ -94,6 +95,34 @@ class TimeSeriesSpec extends SparkSpec {
         slack = 0L, threshold = 5L)
       .orderBy("day").collect()
     assert(out.map(_.getAs[Long]("c_plus")).toSeq === Seq(0L, 0L))
+  }
+
+  test("timeWeightedAvg holds each value until the next sample") {
+    // v=10 held 1s, v=0 held 3s, v=100 terminal (zero span):
+    // area = 10·1 + 0·3 = 10, span 4 → twa 2.5 — a plain AVG says 36.7
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 1L, 0L), ("a", 4L, 100L),
+      ("b", 7L, 42L)) // single sample → twa = value
+      .toDF("k", "t", "v")
+    val out = TimeSeries.timeWeightedAvg(df, Seq("k"), "t", "v")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ===
+      Seq(("a", 10L, 4L, 2.5), ("b", 0L, 0L, 42.0)))
+  }
+
+  test("timeWeightedAvg: equal timestamps hold zero width under tie order") {
+    val df = Seq(
+      ("a", 1L, 0L, 10L), ("a", 2L, 0L, 999L), // tied ts: 999 holds 0s
+      ("a", 3L, 2L, 4L))
+      .toDF("id", "k2", "t", "v") // k2 unused; id is the tiebreak
+      .select(lit("a").as("k"), col("t"), col("v"), col("id"))
+    val out = TimeSeries.timeWeightedAvg(df, Seq("k"), "t", "v",
+        tieCols = Seq("id"))
+      .collect()
+    // area = 10·0 (tied) + 999·2 = 1998, span 2 → twa 999
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      Seq((1998L, 2L, 999.0)))
   }
 
   test("ewmaDyadic honors deeper halvings (α = 1/4)") {
