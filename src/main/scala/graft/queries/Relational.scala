@@ -967,6 +967,30 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Trending detection: per event type, flag days whose count
+    // exceeds 6/5 of the trailing-7-day mean (a 20% burst — the level
+    // that actually splits this corpus: 11 of 150 days fire) — the
+    // burst detector of monitoring/topic pipelines, kept EXACT by
+    // cross-multiplying the mean test into integers
+    // (5·cnt7·n > 6·sum7; a rounded mean could tie at the rounding
+    // digit). Leading days with no history are not trending by
+    // definition. One window pass.
+    "q_trending" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("sum7", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("cnt7", count(col("n")).over(w))
+        .withColumn("trending",
+          col("cnt7") > 0 &&
+            lit(5L) * col("cnt7") * col("n") > lit(6L) * col("sum7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Map-type surface: build per-customer priority→count maps, then
     // exercise the map lambda functions (map_filter / transform_values
     // / element_at / size). Maps have no portable ordering, so every
@@ -2042,6 +2066,23 @@ object Relational {
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
+
+    "q_trending" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, n,
+             coalesce(sum(n) OVER w, 0) AS sum7,
+             count(n) OVER w AS cnt7
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n,
+           CAST(sum7 AS BIGINT) AS sum7, CAST(cnt7 AS BIGINT) AS cnt7,
+           cnt7 > 0 AND 5 * cnt7 * n > 6 * sum7 AS trending
+         FROM t ORDER BY event_type, day""",
 
     "q_map_funcs" ->
       """WITH c AS (
