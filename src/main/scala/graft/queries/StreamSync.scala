@@ -634,6 +634,59 @@ object StreamSync {
     sink.toString
   }
 
+  private def twaSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_twa_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val averaged = StreamingSync.twaStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
+        val q = averaged.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_twa replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        require(got == expected,
+          s"stream_twa sink has $got rows, expected $expected — " +
+            "an event was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def sessionizeSinkDir(s: SparkSession, d: String): String = {
     val gapSeconds = 1800L
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -1256,6 +1309,13 @@ object StreamSync {
         .orderBy("start_us", "event_type")
     }),
 
+    "q_stream_twa" -> ((s, d) => {
+      s.read.parquet(twaSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("area"),
+          col("span_t"), col("twa"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_cusum" -> ((s, d) => {
       s.read.parquet(cusumSinkDir(s, d))
         .select(col("event_id"), col("user_id"), col("c_plus"), col("alarm"))
@@ -1401,6 +1461,36 @@ object StreamSync {
          WHERE tu >= ws AND tu < ws + 86400000000
          GROUP BY 1, 2, 3
          ORDER BY start_us, event_type""",
+
+    // The streamed running TWA must equal the batch window
+    // formulation: per-row area = sum of COMPLETED hold segments
+    // (lag(v)·Δu), span = distance from the key's first sample; four
+    // longs of state crossing the micro-batch boundary, one double
+    // division per row.
+    "q_stream_twa" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS u,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE user_id < 30),
+         l AS (
+           SELECT *,
+             lag(v) OVER (PARTITION BY user_id ORDER BY u, event_id) AS pv,
+             lag(u) OVER (PARTITION BY user_id ORDER BY u, event_id) AS pu
+           FROM e),
+         s AS (
+           SELECT *,
+             coalesce(sum(pv * (u - pu)) OVER (PARTITION BY user_id
+               ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW), 0) AS area,
+             u - first_value(u) OVER (PARTITION BY user_id
+               ORDER BY u, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS span
+           FROM l)
+         SELECT event_id, user_id, CAST(area AS BIGINT) AS area,
+           CAST(span AS BIGINT) AS span_t,
+           CASE WHEN span = 0 THEN CAST(v AS DOUBLE)
+                ELSE CAST(area AS DOUBLE) / CAST(span AS DOUBLE) END AS twa
+         FROM s ORDER BY event_id""",
 
     // The streamed CUSUM monitor must equal the batch window
     // formulation (q_cusum's running-sum − running-min identity) row

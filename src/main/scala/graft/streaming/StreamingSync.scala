@@ -230,6 +230,48 @@ object StreamingSync {
       }
   }
 
+  final case class TwaState(lastU: Long, lastV: Long, area: Long, span: Long)
+  final case class TwaRow(
+      event_id: Long, user_id: Long, area: Long, span_t: Long, twa: Double)
+
+  /** Streaming time-weighted average — the live counterpart of
+    * [[graft.operators.TimeSeries.timeWeightedAvg]]: per-key state is
+    * four longs (last sample, accumulated `Σ v·Δt` area, covered
+    * span); each event emits the running zero-order-hold mean so far
+    * (append-safe). Pure integer accumulation + one final double
+    * division per row, in the same (ts_us, event_id) order as the
+    * batch window formulation — hash-equal to its oracle row for row.
+    * A key's first event reports its own value (zero span).
+    */
+  def twaStream(events: Dataset[ValueEvent]): Dataset[TwaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwaState, TwaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[TwaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[TwaRow]
+          sorted.foreach { e =>
+            val next = st match {
+              case None => TwaState(e.ts_us, e.v, 0L, 0L)
+              case Some(p) =>
+                TwaState(e.ts_us, e.v,
+                  p.area + p.lastV * (e.ts_us - p.lastU),
+                  p.span + (e.ts_us - p.lastU))
+            }
+            st = Some(next)
+            val twa =
+              if (next.span == 0L) e.v.toDouble
+              else next.area.toDouble / next.span.toDouble
+            out += TwaRow(e.event_id, user, next.area, next.span, twa)
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

@@ -214,6 +214,26 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twaStream accumulates hold segments across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.twaStream(input.toDS()).writeStream
+      .format("memory").queryName("twa_sink").outputMode("append").start()
+    try {
+      // v=10 held 1s: first event reports itself; second has area 10/span 1
+      input.addData(
+        StreamingSync.ValueEvent(1L, 1L, 0L, 10L),
+        StreamingSync.ValueEvent(2L, 1L, 1L, 0L))
+      q.processAllAvailable()
+      // batch 2 continues the hold: 0 held 3s → area 10, span 4 → 2.5
+      input.addData(StreamingSync.ValueEvent(3L, 1L, 4L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("twa_sink").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq ===
+        Seq((0L, 0L, 10.0), (10L, 1L, 10.0), (10L, 4L, 2.5)))
+    } finally q.stop()
+  }
+
   test("cusumStream carries baseline/sum/min state across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.ValueEvent](spark)
