@@ -100,6 +100,60 @@ object PageRank {
     scores
   }
 
+  /** Weighted PageRank (the edge-weighted generalization in Xing &
+    * Ghorbani 2004): mass leaves each node proportionally to edge
+    * weight — message along (u→v, w) is `(score(u)·w) div W_u` with
+    * `W_u = Σ out-weights of u` — instead of the uniform
+    * `score div deg`. The natural form when edges carry multiplicity
+    * (co-occurrence counts, link frequencies): collapsing a multigraph
+    * to distinct edges and ranking unweighted throws that signal away.
+    * Same integer determinism contract as [[integerPageRank]] (the
+    * per-edge product runs in DECIMAL(38,0) before the floor-division,
+    * so weight·score cannot silently wrap), same one-shuffle round
+    * shape, same constant teleport floor for in-edge-less nodes, same
+    * pin-release discipline. Weights must be >= 1.
+    */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 100, s"scale must be >= 100, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).as("w"))
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ewd = e.join(wout, Seq("src")).repartition(col("src"))
+      .localCheckpoint(false)
+    val teleport = (scale * 15L) / 100L
+    val dstNodes = ewd.select(col("dst").as("id")).distinct()
+    val floorNodes = wout.select(col("src").as("id"))
+      .join(dstNodes, Seq("id"), "left_anti")
+    val floorScores = floorNodes.select(col("id"), lit(teleport).as("score"))
+      .localCheckpoint(false)
+    var scores = dstNodes.union(floorNodes)
+      .select(col("id"), lit(scale).as("score"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val inSum = ewd.join(scores, col("src") === col("id"))
+        .select(col("dst").as("to"),
+          expr("(CAST(score AS DECIMAL(38,0)) * w) div wsum").as("c"))
+        .groupBy(col("to"))
+        .agg(sum(col("c").cast(DecimalType(38, 0))).as("in_sum"))
+      val next = inSum
+        .select(col("to").as("id"),
+          (lit(teleport) + expr("(in_sum * 85) div 100")).as("score"))
+        .union(floorScores)
+      scores =
+        if (i == iters) next.localCheckpoint(true)
+        else { val p = next.localCheckpoint(false); pins += p; p }
+    }
+    release(pins.toSeq :+ ewd :+ floorScores)
+    scores
+  }
+
   /** Personalized PageRank (Haveliwala 2002): identical fixed-point
     * integer iteration, but teleport mass lands ONLY on the seed set —
     * scores measure proximity to the seeds, the related-item /

@@ -405,6 +405,26 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // Weighted PageRank ([[graft.operators.PageRank.weightedPageRank]]
+    // under the oracle): the SAME supplier graph kept as a weighted
+    // multigraph (edge weight = number of shared orders) instead of
+    // collapsed to distinct pairs — mass flows proportionally to
+    // co-occurrence frequency, the signal the unweighted rank throws
+    // away. Integer fixed point with the per-edge product in
+    // DECIMAL(38,0); DuckDB replays all 3 rounds bit-identically.
+    "q_wpagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.weightedPageRank(pairs, "src", "dst", "w", iters = 3)
+        .select(col("id").as("s_suppkey"), col("score").as("wpr"))
+        .orderBy("s_suppkey")
+    }),
+
     // Personalized PageRank ([[graft.operators.PageRank
     // .personalizedPageRank]] under the oracle): the same directed
     // supplier graph as q_pagerank, but teleport mass lands only on
@@ -3104,6 +3124,44 @@ object LlmOps {
          SELECT id AS vec_id, CAST(cid AS BIGINT) AS cid,
            CAST(dist AS BIGINT) AS dist
          FROM a2 ORDER BY vec_id""",
+
+    "q_wpagerank" ->
+      """WITH pairs AS (
+           SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'
+           GROUP BY 1, 2),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         wo AS (SELECT src, sum(w) AS wsum FROM pairs GROUP BY 1),
+         s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+         m1 AS (
+           SELECT p.dst AS id, sum((s.score * p.w) // o.wsum) AS in_sum
+           FROM pairs p JOIN s0 s ON p.src = s.id JOIN wo o ON p.src = o.src
+           GROUP BY 1),
+         s1 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m1.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (
+           SELECT p.dst AS id, sum((s.score * p.w) // o.wsum) AS in_sum
+           FROM pairs p JOIN s1 s ON p.src = s.id JOIN wo o ON p.src = o.src
+           GROUP BY 1),
+         s2 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m2.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (
+           SELECT p.dst AS id, sum((s.score * p.w) // o.wsum) AS in_sum
+           FROM pairs p JOIN s2 s ON p.src = s.id JOIN wo o ON p.src = o.src
+           GROUP BY 1),
+         s3 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
+         SELECT id AS s_suppkey, score AS wpr FROM s3 ORDER BY s_suppkey""",
 
     "q_graph_stats" ->
       """WITH pairs AS (

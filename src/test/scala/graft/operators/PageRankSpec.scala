@@ -65,6 +65,29 @@ class PageRankSpec extends SparkSpec {
     assert(r1(9L) == (S * 85L) / 100L)
   }
 
+  test("weighted: mass splits by edge weight, not uniformly") {
+    // 1→2 w=3, 1→3 w=1 at S=1000, teleport 150, W₁=4:
+    // r1: msgs 750/250 → scores 2:787, 3:362 (1 floors at 150)
+    // r2: from score 150 → msgs 112/37 → 2:245, 3:181
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r1 = PageRank.weightedPageRank(edges, "src", "dst", "w",
+        iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 150L, 2L -> 787L, 3L -> 362L))
+    val r2 = PageRank.weightedPageRank(edges, "src", "dst", "w",
+        iters = 2, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 150L, 2L -> 245L, 3L -> 181L))
+    // equal weights reduce to the unweighted rank
+    val ew = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val uw = ew.select($"src", $"dst")
+    val a = PageRank.weightedPageRank(ew, "src", "dst", "w", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.integerPageRank(uw, "src", "dst", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("iteration plans stay flat: the loop checkpoints each round") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val df = PageRank.integerPageRank(edges, "src", "dst", iters = 5, scale = S)
