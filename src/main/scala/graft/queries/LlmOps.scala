@@ -594,6 +594,27 @@ object LlmOps {
         .orderBy("vec_id")
     }),
 
+    // Exact binary-media dedup by content hash: md5 over the raw PNG
+    // payload (the portable binary hash — the first dedup pass of any
+    // multimodal corpus, before perceptual hashing). The fixture
+    // plants exact duplicates by re-keying ids 1-20 to 1001-1020; the
+    // closed-form oracle expects EXACTLY those 20 groups of 2 — which
+    // certifies (a) the PNG encoder is byte-deterministic per id (a
+    // nondeterministic encoder breaks the planted groups) and (b) no
+    // two distinct base ids byte-collide (an accidental collision
+    // would add rows / inflate a group).
+    "q_media_dedup" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, 120)
+      val planted = media.filter(col("media_id") <= 20)
+        .withColumn("media_id", col("media_id") + 1000)
+      media.unionByName(planted)
+        .groupBy(md5(col("payload")).as("content_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
     "q_simhash_fingerprints" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
@@ -3087,6 +3108,10 @@ object LlmOps {
          ORDER BY id_a, id_b""",
 
     "q_ann_pq" -> pqOracleSql,
+
+    "q_media_dedup" ->
+      """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
+         FROM range(1, 21) t(i) ORDER BY keep_id""",
 
     "q_kmeans" ->
       """WITH v AS (
