@@ -406,4 +406,26 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(3) == Multimodal.audioSamples(i).toLong * 1000 / Multimodal.audioRate(i))
     }
   }
+
+  test("multimodal: content-hash dedup is falsifiable — one flipped byte breaks the group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, md5, min, udf}
+    val media = Multimodal.syntheticMedia(spark, 5)
+    def dupGroups(all: org.apache.spark.sql.DataFrame): Set[Long] =
+      all.groupBy(md5(col("payload")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("media_id")).as("keep"))
+        .filter(col("n") > 1).collect().map(_.getLong(2)).toSet
+    // exact re-keyed copies all pair up...
+    val copies = media.withColumn("media_id", col("media_id") + 100)
+    assert(dupGroups(media.unionByName(copies)) == Set(1L, 2L, 3L, 4L, 5L))
+    // ...but flipping ONE payload byte in one copy must break that pair
+    val flip = udf { (b: Array[Byte]) =>
+      val c = b.clone(); c(c.length / 2) = (c(c.length / 2) ^ 1).toByte; c
+    }
+    val tampered = copies.withColumn("payload",
+      org.apache.spark.sql.functions
+        .when(col("media_id") === 103L, flip(col("payload")))
+        .otherwise(col("payload")))
+    assert(dupGroups(media.unionByName(tampered)) == Set(1L, 2L, 4L, 5L))
+  }
 }
