@@ -50,14 +50,27 @@ object ProductQuant {
     require(nSub >= 1 && subDim >= 1 && kCode >= 1 && topK >= 1,
       s"nSub/subDim/kCode/topK must be >= 1, got $nSub/$subDim/$kCode/$topK")
     // train one integer-Lloyd codebook per subspace; the per-subspace
-    // assignment IS the corpus encoding
-    val parts = (0 until nSub).map { m =>
-      val sv = corpus.select(col(idCol).as("id"),
-        expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)").as("v"))
-      val (assign, cents) =
-        KMeansInt.lloydRoundsFull(sv, "id", "v", kCode, rounds)
-      (assign.select(col("id"), col("cid")).withColumn("m", lit(m)),
-        cents.withColumn("m", lit(m)))
+    // assignment IS the corpus encoding. The nSub trainings are
+    // INDEPENDENT, so they submit as concurrent Spark jobs (the
+    // standard multi-tenant scheduler path) — each training's internal
+    // rounds stay sequential, but subspaces overlap instead of
+    // serializing nSub × rounds bounded actions. Results are
+    // deterministic regardless of completion order (each future's
+    // lineage is self-contained).
+    val parts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until nSub).map { m =>
+        Future {
+          val sv = corpus.select(col(idCol).as("id"),
+            expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)").as("v"))
+          val (assign, cents) =
+            KMeansInt.lloydRoundsFull(sv, "id", "v", kCode, rounds)
+          (assign.select(col("id"), col("cid")).withColumn("m", lit(m)),
+            cents.withColumn("m", lit(m)))
+        }
+      }), Duration.Inf)
     }
     // codes wide: one row per id, codes[m] = codeword in subspace m
     val codes = parts.map(_._1).reduce(_ unionByName _)
