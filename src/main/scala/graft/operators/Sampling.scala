@@ -97,6 +97,8 @@ object Sampling {
     */
   def bottomK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__u"),
+      "bottomK writes '__u' — the input already carries one")
     df.withColumn("__u", portableUniform(col(keyCol)))
       .orderBy(col("__u"), col(keyCol))
       .limit(k)

@@ -75,7 +75,10 @@ object Upsert {
     *
     * `deleteWhen`/`updateSet` see the matched row (target + source
     * columns — names must be disjoint, enforced); `insertSet` sees only
-    * source columns. Result: the target schema plus an `action` column
+    * source columns. PRECONDITION: `source` must be key-unique
+    * (aggregate upstream, as the standard MERGE "cardinality
+    * violation" rule requires) — a duplicate source key would fan out
+    * its target row. Result: the target schema plus an `action` column
     * (`insert` / `update` / `keep`) — deleted keys are absent; callers
     * not wanting provenance drop it.
     *
