@@ -182,6 +182,52 @@ object Graphs {
     result
   }
 
+  /** Fixed-round Bellman-Ford (Bellman 1958) from a seed set over a
+    * weighted directed graph: after exactly `rounds` relaxation rounds,
+    * `(id, dist)` holds the exact shortest weighted distance for every
+    * node reachable within `rounds` edges (Bellman-Ford's invariant),
+    * seeds at 0. The weighted complement of [[bfsHops]] — hop counts
+    * treat every edge equally; this is the cost-aware proximity
+    * (routing, weighted trust propagation). Integer weights make every
+    * round replayable bit-identically; `rounds` >= graph diameter gives
+    * the full single-source-shortest-path answer. Weights must be
+    * >= 0 (negative cycles would make a fixed-round answer
+    * path-length-dependent; enforce upstream).
+    *
+    * Per round: one join of the pinned edge list against the current
+    * distance frame, one min-aggregate over (old ∪ relaxed) — all
+    * node-spine-sized shuffles; pins release as rounds supersede.
+    */
+  def bellmanFordRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src")).localCheckpoint(false)
+    val d0 = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](e, d0)
+    var dist = d0
+    for (r <- 1 to rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      dist =
+        if (r == rounds) next.localCheckpoint(true)
+        else { val p = next.localCheckpoint(false); pins += p; p }
+    }
+    Checkpoints.release(pins.toSeq)
+    dist
+  }
+
   /** Fixed-round k-core peeling over the undirected graph of `pairs`:
     * each round drops every node whose degree in the surviving subgraph
     * is < k, then restricts the edges to survivors. Exactly `rounds`

@@ -479,6 +479,32 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Fixed-round Bellman-Ford ([[graft.operators.Graphs
+    // .bellmanFordRounds]] under the oracle): cost-aware shortest
+    // distance from NATION_1's suppliers over the co-occurrence
+    // multigraph, edge cost = 20 div (shared_orders + 1) + 1 (frequent
+    // co-occurrence = cheap hop — the weighted trust-propagation
+    // complement of q_bfs_hops' uniform hops). 3 relaxation rounds,
+    // pure integer arithmetic; DuckDB replays them as a straight-line
+    // min-union chain.
+    "q_shortest_path" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .select(col("src"), col("dst"),
+          (expr("20 div (n + 1)") + lit(1L)).as("cost"))
+      val seeds = Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+        .select(col("s_suppkey"))
+      graft.operators.Graphs.bellmanFordRounds(pairs, "src", "dst", "cost",
+          seeds, "s_suppkey", rounds = 3)
+        .select(col("id").as("s_suppkey"), col("dist"))
+        .orderBy("s_suppkey")
+    }),
+
     // Directed-graph census ([[graft.operators.Graphs.degreeStats]]
     // under the oracle): node/edge/reciprocity counts and degree
     // extremes over the supplier graph — the structural profile run
@@ -3187,6 +3213,38 @@ object LlmOps {
              CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
            FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id AS s_suppkey, score AS wpr FROM s3 ORDER BY s_suppkey""",
+
+    "q_shortest_path" ->
+      """WITH pairs AS (
+           SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS n
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'
+           GROUP BY 1, 2),
+         e AS (SELECT src, dst, 20 // (n + 1) + 1 AS cost FROM pairs),
+         d0 AS (
+           SELECT DISTINCT s_suppkey AS id, CAST(0 AS BIGINT) AS dist
+           FROM supplier WHERE s_nationkey = 1),
+         r1 AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM d0
+             UNION ALL
+             SELECT e.dst, d.dist + e.cost FROM d0 d JOIN e ON e.src = d.id)
+           GROUP BY id),
+         r2 AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r1
+             UNION ALL
+             SELECT e.dst, d.dist + e.cost FROM r1 d JOIN e ON e.src = d.id)
+           GROUP BY id),
+         r3 AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r2
+             UNION ALL
+             SELECT e.dst, d.dist + e.cost FROM r2 d JOIN e ON e.src = d.id)
+           GROUP BY id)
+         SELECT id AS s_suppkey, CAST(dist AS BIGINT) AS dist
+         FROM r3 ORDER BY s_suppkey""",
 
     "q_graph_stats" ->
       """WITH pairs AS (

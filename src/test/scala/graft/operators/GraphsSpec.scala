@@ -62,6 +62,19 @@ class GraphsSpec extends SparkSpec {
     assert(r2.isEmpty) // 3 survives the degree cut but keeps no edges
   }
 
+  test("bellmanFordRounds relaxes the cheaper two-hop path over the direct edge") {
+    // 1→2 (5), 2→3 (5), 1→3 (20): direct is pricier than the detour
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 20L), (9L, 10L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = Graphs.bellmanFordRounds(edges, "src", "dst", "w", seeds, "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 20L)) // 1 round: direct only
+    val r2 = Graphs.bellmanFordRounds(edges, "src", "dst", "w", seeds, "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L)) // detour wins; island absent
+  }
+
   test("degreeStats profiles the path graph correctly") {
     // 1→2→3→4→5, shortcut 1→3, island 9→10, plus a mutual pair 4⇄5
     val edges = pathEdges.union(Seq((5L, 4L)).toDF("src", "dst"))
