@@ -967,6 +967,28 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Weekly OHLC resample: per event type, the open/high/low/close
+    // candle over integer cents — the downsample every metrics or
+    // finance pipeline runs before charting. Open/close are exact
+    // order statistics (min/max of the (ts, event_id, v) struct — the
+    // unique order makes first/last deterministic), high/low/count are
+    // plain aggregates; one shuffle, no window.
+    "q_ohlc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(date_trunc('week', ts) AS DATE)").as("week"),
+          unix_micros(col("ts")).as("u"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      ev.groupBy(col("event_type"), col("week"))
+        .agg(min(struct(col("u"), col("event_id"), col("v"))).as("o"),
+          max(struct(col("u"), col("event_id"), col("v"))).as("c"),
+          max(col("v")).as("high"), min(col("v")).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("week"), col("o.v").as("open"),
+          col("c.v").as("close"), col("high"), col("low"), col("n"))
+        .orderBy("event_type", "week")
+    }),
+
     // Trending detection: per event type, flag days whose count
     // exceeds 6/5 of the trailing-7-day mean (a 20% burst — the level
     // that actually splits this corpus: 11 of 150 days fire) — the
@@ -2066,6 +2088,26 @@ object Relational {
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
+
+    "q_ohlc" ->
+      """WITH e AS (
+           SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+             epoch_us(ts) AS u, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type, week
+               ORDER BY u, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, week
+               ORDER BY u DESC, event_id DESC) AS rn_d
+           FROM e)
+         SELECT event_type, week,
+           max(CASE WHEN rn_a = 1 THEN v END) AS open,
+           max(CASE WHEN rn_d = 1 THEN v END) AS close,
+           max(v) AS high, min(v) AS low,
+           CAST(count(*) AS BIGINT) AS n
+         FROM r GROUP BY 1, 2 ORDER BY event_type, week""",
 
     "q_trending" ->
       """WITH daily AS (
