@@ -967,6 +967,74 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Change-point detection (the scoring step of binary segmentation,
+    // Scott & Knott 1974): per event type, the day boundary maximizing
+    // the absolute prefix/suffix mean gap of daily counts. The gap
+    // |S_t·(n−t) − (S−S_t)·t| and its scale t·(n−t) are exact integers
+    // (cross-multiplied means — a float mean could tie wrong); the
+    // ratio is one IEEE division, and the argmax tiebreaks on the
+    // earlier day. Complements CUSUM: that monitors a stream, this
+    // retrospectively locates the single strongest shift.
+    "q_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("st", sum(col("c")).over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("c")).over(wAll))
+        .filter(col("t") < col("n"))
+        .withColumn("num",
+          abs(col("st") * (col("n") - col("t")) -
+            (col("s") - col("st")) * col("t")))
+        .withColumn("den", col("t") * (col("n") - col("t")))
+        .withColumn("gap",
+          col("num").cast("double") / col("den").cast("double"))
+      scored.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+            .orderBy(col("gap").desc, col("day").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("num"), col("den"), col("gap"))
+        .orderBy("event_type")
+    }),
+
+    // Gini concentration index per nation (Gini 1912 via the rank
+    // formulation): how unequally customer spend distributes —
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over spend ranked
+    // ascending with a custkey tiebreak. The numerator and denominator
+    // are exact integers (cents · ranks); the single final division is
+    // one IEEE double op — deterministic on any engine. One window +
+    // one aggregate on the same partitioning.
+    "q_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ranked = spend.join(nat, col("o_custkey") === col("c_custkey"))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n_name")).orderBy(col("x"), col("o_custkey"))))
+      ranked.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("n_name"), col("n"), col("sum_cents"),
+          ((lit(2L) * col("ix") - (col("n") + 1) * col("sum_cents"))
+            .cast("double") / (col("n") * col("sum_cents")).cast("double"))
+            .as("gini"))
+        .orderBy("n_name")
+    }),
+
     // Weekly OHLC resample: per event type, the open/high/low/close
     // candle over integer cents — the downsample every metrics or
     // finance pipeline runs before charting. Open/close are exact
@@ -2088,6 +2156,52 @@ object Relational {
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
+
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         sc AS (
+           SELECT event_type, day, c,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             sum(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS s
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         g AS (
+           SELECT event_type, day,
+             abs(st * (n - t) - (s - st) * t) AS num,
+             t * (n - t) AS den,
+             CAST(abs(st * (n - t) - (s - st) * t) AS DOUBLE)
+               / CAST(t * (n - t) AS DOUBLE) AS gap
+           FROM sc WHERE t < n),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY gap DESC, day ASC) AS rn FROM g)
+         SELECT event_type, day AS split_day, CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den, gap
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    "q_gini" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT n.n_name, s.x, s.o_custkey,
+             row_number() OVER (PARTITION BY n.n_name
+               ORDER BY s.x, s.o_custkey) AS i
+           FROM spend s
+           JOIN customer c ON s.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_cents,
+           CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+         FROM ranked GROUP BY 1 ORDER BY n_name""",
 
     "q_ohlc" ->
       """WITH e AS (
