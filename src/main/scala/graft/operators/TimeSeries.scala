@@ -48,6 +48,52 @@ object TimeSeries {
     }
   }
 
+  /** [[gapFillDaily]]'s interpolating sibling: complete the per-key
+    * daily spine and fill interior gaps by LINEAR interpolation
+    * between the surrounding known samples — the resample mode for
+    * continuous quantities (a temperature, a balance) where
+    * carry-forward would step. Leading/trailing gaps stay null (no
+    * extrapolation). Emits `v_interp` (double) beside the original
+    * column; known days pass their value through exactly.
+    *
+    * Determinism: with integer values the interpolation is ONE integer
+    * product/difference pair, one IEEE division, one addition — the
+    * same op sequence on any engine. Scale shape = gapFillDaily's:
+    * per-key spine, one join, two window passes over one partitioning.
+    */
+  def interpolateDaily(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val spine = df.groupBy(keys: _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(keys :+ explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as(dateCol): _*)
+    val joined = spine.join(df, keyCols :+ dateCol, "left")
+    val wb = Window.partitionBy(keys: _*).orderBy(col(dateCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys: _*).orderBy(col(dateCol).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    joined
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wb))
+      .withColumn("__pd", last(when(v.isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wb))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wf))
+      .withColumn("__nd", first(when(v.isNotNull, col(dateCol)),
+        ignoreNulls = true).over(wf))
+      .withColumn("v_interp",
+        when(v.isNotNull, v.cast("double"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv").cast("double") +
+              ((col("__nv") - col("__pv")) *
+                datediff(col(dateCol), col("__pd"))).cast("double") /
+                datediff(col("__nd"), col("__pd")).cast("double")))
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
+
   /** Per-key exponentially weighted moving average (the classic
     * exponential-smoothing forecast: Brown 1956 / Hunter 1986's EWMA
     * chart) with a DYADIC smoothing factor α = 1/2^halvings:

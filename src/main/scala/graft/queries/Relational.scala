@@ -967,6 +967,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Linear-interpolation gap fill ([[graft.operators.TimeSeries
+    // .interpolateDaily]] under the oracle): the resample mode for
+    // continuous quantities — interior gap days take the straight line
+    // between surrounding samples (integer product, ONE division, one
+    // add — the identical IEEE sequence both engines run), known days
+    // pass through exactly, edges stay null. The stepping complement
+    // is q_gap_fill's carry-forward.
+    "q_gap_interp" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      graft.operators.TimeSeries
+        .interpolateDaily(daily, Seq("user_id"), "day", "cents")
+        .select(col("user_id"), col("day"), col("cents"), col("v_interp"))
+        .orderBy("user_id", "day")
+    }),
+
     // Change-point detection (the scoring step of binary segmentation,
     // Scott & Knott 1974): per event type, the day boundary maximizing
     // the absolute prefix/suffix mean gap of daily counts. The gap
@@ -2156,6 +2174,42 @@ object Relational {
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
          FROM events WHERE user_id < 30
          ORDER BY event_id""",
+
+    "q_gap_interp" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+               CAST(max(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM daily GROUP BY user_id),
+         j AS (
+           SELECT s.user_id, s.day, d.cents
+           FROM spine s LEFT JOIN daily d
+             ON s.user_id = d.user_id AND s.day = d.day),
+         f AS (
+           SELECT *,
+             last_value(cents IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN day END
+               IGNORE NULLS) OVER wb AS pd,
+             first_value(cents IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN day END
+               IGNORE NULLS) OVER wf AS nd
+           FROM j
+           WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, day, cents,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  CAST(pv AS DOUBLE) +
+                    CAST((nv - pv) * (day - pd) AS DOUBLE)
+                      / CAST(nd - pd AS DOUBLE)
+           END AS v_interp
+         FROM f ORDER BY user_id, day""",
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -97,6 +97,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("c_plus")).toSeq === Seq(0L, 0L))
   }
 
+  test("interpolateDaily draws the straight line across interior gaps") {
+    // 0 → (gap, gap) → 30: the two gap days take 10 and 20
+    val df = daily(
+      ("a", "2024-01-01", 0.0), ("a", "2024-01-04", 30.0),
+      ("b", "2024-02-10", 7.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("v"))
+    val out = TimeSeries.interpolateDaily(df, Seq("k"), "day", "v")
+      .orderBy("k", "day").collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getAs[Double]("v_interp")).toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+    assert(out.filter(_.getString(0) == "b").head.getAs[Double]("v_interp") === 7.0)
+  }
+
+  test("interpolateDaily never extrapolates past the known range") {
+    // leading null day cannot appear (spine starts at the first KNOWN
+    // day) — but a null VALUE on the first day leaves that edge null
+    val df = daily(
+      ("a", "2024-01-01", null), ("a", "2024-01-02", 4.0),
+      ("a", "2024-01-04", 8.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("v"))
+    val out = TimeSeries.interpolateDaily(df, Seq("k"), "day", "v")
+      .orderBy("day").collect()
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("v_interp"))).toSeq ===
+      Seq(None, Some(4.0), Some(6.0), Some(8.0)))
+  }
+
   test("timeWeightedAvg holds each value until the next sample") {
     // v=10 held 1s, v=0 held 3s, v=100 terminal (zero span):
     // area = 10·1 + 0·3 = 10, span 4 → twa 2.5 — a plain AVG says 36.7
