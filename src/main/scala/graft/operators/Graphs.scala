@@ -228,6 +228,104 @@ object Graphs {
     dist
   }
 
+  /** Fixed-round synchronous label propagation (Raghavan, Albert &
+    * Kumara 2007, "Near linear time algorithm to detect community
+    * structures") over the undirected graph of `pairs`: every node
+    * starts labeled with its own id; each round EVERY node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. The
+    * deterministic synchronous variant (the classic async sweep is
+    * order-dependent and cannot be oracle-replayed); a fixed small
+    * round count is the bounded-cost community sweep a corpus-scale
+    * near-dup/topic pipeline runs, and keeps the cross-engine replay a
+    * straight-line CTE chain (the [[PageRank]] fixed-iteration
+    * contract). Result: `(id, label)` for every endpoint.
+    *
+    * 100 TB shape: the symmetrized edge list pins once (hash-
+    * partitioned on `src`); each round is ONE data-sized shuffle (the
+    * (dst, label) count, map-side combined) plus a node-spine-sized
+    * window rank on the same keys; superseded label frames release
+    * after the round's action ([[Checkpoints]]).
+    */
+  def labelPropRounds(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](e)
+    // every endpoint appears as src after symmetrization
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cnt").desc, col("label").asc)
+    for (r <- 1 to rounds) {
+      val next = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label"))
+      labels =
+        if (r == rounds) next.localCheckpoint(true)
+        else { val pin = next.localCheckpoint(false); pins += pin; pin }
+    }
+    Checkpoints.release(pins.toSeq)
+    labels
+  }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
+    * "The link prediction problem for social networks") over the
+    * undirected graph of `pairs`: for every NON-adjacent pair (u, v)
+    * sharing at least `minCommon` neighbors, emit the integer witness —
+    * `cn` = |N(u) ∩ N(v)|, `uni` = |N(u) ∪ N(v)| = deg(u)+deg(v)−cn —
+    * and the neighborhood-Jaccard score as their single IEEE division
+    * (the cross-engine determinism discipline: an engine compares the
+    * exact integers; the float exists only for ranking downstream).
+    * Canonical orientation id_a < id_b.
+    *
+    * 100 TB shape: the wedge join (e ⋈ e on the shared neighbor) is
+    * the one data-shaped cost, quadratic in the hottest node's degree —
+    * the standard mitigation at corpus scale is a degree cap on the
+    * wedge pivot (drop pivots above a percentile before joining; a
+    * celebrity node predicts links for everyone and informs nothing),
+    * the same hot-key discipline as the LSH hot-bucket caps. Degrees
+    * broadcast-join back onto candidate pairs (node-spine-sized).
+    */
+  def linkPredict(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      minCommon: Int): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val cn = e.select(col("src").as("w"), col("dst").as("u"))
+      .join(e.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val result = cn
+      .join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
+        (col("du") + col("dv") - col("cn")).as("uni"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"))
+      .localCheckpoint(true)
+    Checkpoints.release(Seq(e))
+    result
+  }
+
   /** Fixed-round k-core peeling over the undirected graph of `pairs`:
     * each round drops every node whose degree in the surviving subgraph
     * is < k, then restricts the edges to survivors. Exactly `rounds`

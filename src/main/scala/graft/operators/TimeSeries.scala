@@ -142,6 +142,54 @@ object TimeSeries {
                 (acc, x) -> acc + (x - acc) / ${den}D)""").as("ewma"): _*)
   }
 
+  /** Holt's linear-trend double exponential smoothing (Holt 1957,
+    * reprinted IJF 2004) in PURE INTEGER arithmetic with α = β = 1/2:
+    * per key over the ordered integer series, l_1 = x_1, b_1 = 0, then
+    *   l_t = (x_t + l_{t−1} + b_{t−1}) div 2
+    *   b_t = (b_{t−1} + (l_t − l_{t−1})) div 2
+    * — the level recurrence smooths toward the trend-projected
+    * baseline, the trend recurrence smooths the level delta. `div` is
+    * TRUNCATED integer division, identical in Spark (`div`) and DuckDB
+    * (`//`) including negative operands (probed: −7 div 2 = −3 in
+    * both), so any engine replays the fold bit-identically with NO
+    * mantissa-budget precondition — the fixed-point sibling of
+    * [[ewmaDyadic]]'s exact-dyadic-double contract, trading its
+    * fractional tail for unbounded series length. The one-step
+    * forecast l + b comes out as a plain integer sum.
+    *
+    * `orderCol` must be unique within a key (it sorts the fold).
+    * Result: one row per key — `(keyCols*, n_points, level, trend,
+    * forecast_next)`, all BIGINT.
+    *
+    * Scale shape: ONE shuffle (the groupBy); the inherently sequential
+    * recurrence runs inside one codegen higher-order `aggregate` over
+    * the collected per-key series — state bounded by series length (a
+    * calendar, not the corpus), the [[ewmaDyadic]] altitude. The
+    * oracle replays it as a per-key recursive CTE.
+    */
+  def holtLinear(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).as("o"), col(valueCol).cast("long").as("v"))))
+        .as("__series"))
+      .withColumn("__fold", expr(
+        """aggregate(
+             slice(transform(__series, s -> s.v), 2, size(__series) - 1),
+             named_struct('l', element_at(transform(__series, s -> s.v), 1),
+                          'b', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'l', (x + acc.l + acc.b) div 2,
+               'b', (acc.b + ((x + acc.l + acc.b) div 2 - acc.l)) div 2))"""))
+      .select(keys :+ size(col("__series")).cast("long").as("n_points") :+
+        col("__fold.l").as("level") :+ col("__fold.b").as("trend") :+
+        (col("__fold.l") + col("__fold.b")).as("forecast_next"): _*)
+  }
+
   /** One-sided CUSUM change detection (Page 1954, "Continuous
     * inspection schemes"): per key, over the ordered series,
     * c⁺_t = max(0, c⁺_{t-1} + x_t − target − slack), alarming where

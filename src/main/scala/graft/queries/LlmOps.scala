@@ -479,6 +479,38 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Fixed-round synchronous label propagation ([[graft.operators
+    // .Graphs.labelPropRounds]] under the oracle): 2 deterministic
+    // rounds over the q_dedup_cc blocking graph — most-frequent
+    // neighbor label, min-label tiebreak, everyone updates at once
+    // (the async classic is order-dependent and un-replayable). The
+    // community sweep between q_dedup_cc's transitive components and
+    // q_kcore's density peel; DuckDB replays both rounds as a
+    // straight-line CTE chain of count + row_number picks.
+    "q_label_prop" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.labelPropRounds(ccBlockingPairs(docs),
+          "id_a", "id_b", rounds = 2)
+        .orderBy("id")
+    }),
+
+    // Common-neighbor link prediction ([[graft.operators.Graphs
+    // .linkPredict]] under the oracle): non-adjacent doc pairs of the
+    // blocking graph sharing >= 2 neighbors, with the integer witness
+    // (cn, uni = degA+degB−cn) and the neighborhood Jaccard as its
+    // single division — the "probably the same entity, no direct edge
+    // yet" candidate generator (Liben-Nowell & Kleinberg 2003). DuckDB
+    // re-derives the wedge counts, the adjacency anti-join, and both
+    // degrees, so one phantom edge anywhere flips the hash.
+    "q_link_predict" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.linkPredict(ccBlockingPairs(docs),
+          "id_a", "id_b", minCommon = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fixed-round Bellman-Ford ([[graft.operators.Graphs
     // .bellmanFordRounds]] under the oracle): cost-aware shortest
     // distance from NATION_1's suppliers over the co-occurrence
@@ -760,6 +792,31 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // k-NN label vote (Fix & Hodges 1951; Cover & Hart 1967): classify
+    // 20 probe vectors by the MAJORITY label of their exact cosine
+    // top-10 (the proven q_ann_bruteforce kernel), integer vote counts,
+    // ties toward the smaller label — the label-transfer/weak-
+    // supervision step of embedding-space data curation. DuckDB replays
+    // the full ranking AND the vote, so one swapped neighbor at the
+    // rank boundary flips the hash.
+    "q_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val knn = Similarity.bruteForceTopK(corpus, probes,
+        "vec_id", "embedding", "vec_id", k = 10)
+      knn.join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("label").cast("int").as("label")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("votes").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy("query_id")
+    }),
+
     // IVF recall certificate (oracled since r4): the IVF result itself is
     // engine-specific (probed cells), but its RECALL against the already-
     // oracled brute-force top-k is deterministic — computed Spark-side as
@@ -878,6 +935,55 @@ object LlmOps {
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+
+    // Flesch-Kincaid grade level (Kincaid et al. 1975) as EXACT integer
+    // counts + one division: words (\S+ runs), sentences ([.!?] runs,
+    // floored at 1), syllables (vowel-group runs — the standard
+    // heuristic). The grade 0.39·w/s + 11.8·sy/w − 15.59 is rendered as
+    // the single ratio of the integer cross-multiplication
+    // (39·w² + 1180·sy·s − 1559·w·s) / (100·w·s), so both engines
+    // compute identical hundredth-scaled integers and ONE IEEE divide —
+    // never three accumulated float terms (the q_gini discipline). The
+    // readability cut every pretraining quality pipeline runs.
+    "q_readability" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("w", greatest(
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")), lit(1))
+          .cast("long"))
+        .withColumn("sen", greatest(
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long"))
+        .withColumn("sy", size(
+          expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long"))
+      t.select(col("doc_id"), col("w").as("n_words"), col("sen").as("n_sents"),
+          col("sy").as("n_syllables"),
+          ((lit(39L) * col("w") * col("w") + lit(1180L) * col("sy") * col("sen")
+            - lit(1559L) * col("w") * col("sen")).cast("double")
+            / (lit(100L) * col("w") * col("sen")).cast("double")).as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
+    // Hashing-trick feature buckets (Weinberger et al. 2009, "Feature
+    // hashing for large scale multitask learning"): each [a-z0-9]+ token
+    // of the lowercased text maps to bucket polyhash(token) mod 64 via
+    // the SAME portable rolling hash as q_fingerprint ((acc·31 + byte)
+    // mod 1e9+7 — not a JVM-private hash), and the engine emits the
+    // per-(doc, bucket) count matrix — the fixed-width sparse featurizer
+    // that needs no vocabulary shuffle at 100 TB. DuckDB re-hashes every
+    // token and recounts every bucket, so one drifted byte anywhere
+    // flips the hash.
+    "q_feature_hash" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .withColumn("bucket", expr(
+          """pmod(aggregate(filter(split(tok, ''), c -> length(c) > 0),
+               CAST(0 AS BIGINT),
+               (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007)), 64)"""))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
     }),
 
     // Bigram repetition filter (integer outputs — exact hash; see
@@ -2919,6 +3025,27 @@ object LlmOps {
          SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings WHERE vec_id >= 20),
+         s AS (SELECT query_id, id, label,
+                 list_cosine_similarity(v, qv) AS cos FROM c, q),
+         r AS (SELECT query_id, id, label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, id ASC) AS rank
+               FROM s),
+         v AS (SELECT query_id, CAST(label AS INTEGER) AS label,
+                 count(*) AS votes
+               FROM r WHERE rank <= 10 GROUP BY 1, 2),
+         p AS (SELECT query_id, label, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, label ASC) AS rn
+               FROM v)
+         SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+         FROM p WHERE rn = 1 ORDER BY query_id""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
@@ -2953,6 +3080,37 @@ object LlmOps {
          FROM f ORDER BY doc_id""",
 
     "q_langid" -> langIdSql,
+
+    "q_readability" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1)
+               AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sen,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS sy
+           FROM documents)
+         SELECT doc_id, w AS n_words, sen AS n_sents, sy AS n_syllables,
+           CAST(39 * w * w + 1180 * sy * sen - 1559 * w * sen AS DOUBLE)
+             / CAST(100 * w * sen AS DOUBLE) AS fk_grade
+         FROM f ORDER BY doc_id""",
+
+    "q_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents WHERE doc_id < 300),
+         h AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+           FROM tok)
+         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""",
 
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -3105,6 +3263,50 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    "q_label_prop" ->
+      """WITH pairs AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         l0 AS (SELECT DISTINCT src AS id, src AS label FROM pairs),
+         r1 AS (
+           SELECT id, label FROM (
+             SELECT e.dst AS id, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+             FROM pairs e JOIN l0 l ON e.src = l.id
+             GROUP BY e.dst, l.label) WHERE rn = 1),
+         r2 AS (
+           SELECT id, label FROM (
+             SELECT e.dst AS id, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+             FROM pairs e JOIN r1 l ON e.src = l.id
+             GROUP BY e.dst, l.label) WHERE rn = 1)
+         SELECT id, label FROM r2 ORDER BY id""",
+
+    "q_link_predict" ->
+      """WITH pairs AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         deg AS (SELECT src AS id, count(*) AS d FROM pairs GROUP BY 1),
+         cn AS (
+           SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+           FROM pairs a JOIN pairs b ON a.src = b.src AND a.dst < b.dst
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         cand AS (
+           SELECT u, v, cn FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM pairs e
+                             WHERE e.src = cn.u AND e.dst = cn.v))
+         SELECT u AS id_a, v AS id_b, CAST(cn AS BIGINT) AS cn,
+           CAST(du.d + dv.d - cn AS BIGINT) AS uni,
+           CAST(cn AS DOUBLE) / CAST(du.d + dv.d - cn AS DOUBLE) AS jaccard
+         FROM cand JOIN deg du ON cand.u = du.id JOIN deg dv ON cand.v = dv.id
+         ORDER BY id_a, id_b""",
 
     "q_containment_join" ->
       """WITH tok AS (

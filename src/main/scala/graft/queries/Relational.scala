@@ -1175,6 +1175,137 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Holt double exponential smoothing ([[graft.operators.TimeSeries
+    // .holtLinear]] under the oracle): per-priority level + trend +
+    // one-step forecast over the FULL daily order-count history —
+    // the trend-aware sibling of q_ewma, in pure integer arithmetic
+    // (truncated halving, identical in Spark `div` and DuckDB `//`),
+    // so the series length is unbounded where the dyadic-double EWMA
+    // needs a mantissa budget. DuckDB replays every step of the
+    // recurrence as a per-key recursive CTE.
+    "q_holt" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.holtLinear(daily, Seq("o_orderpriority"),
+          "o_orderdate", "cnt")
+        .orderBy("o_orderpriority")
+    }),
+
+    // Lag-k autocorrelation (Box & Jenkins 1970) of daily event counts
+    // per type, k = 1..3 — the seasonality probe run before choosing
+    // resample windows. Exact integer witnesses via the n-scaled
+    // centered products: num_k = Σ(n·x_t − S)(n·x_{t−k} − S) over the
+    // lag-aligned rows and den = Σ(n·x_t − S)² (a float mean would
+    // smear every term); each acf_k is ONE IEEE division of the two
+    // integers. One window pass + one aggregate on the same keys.
+    "q_acf" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("c")).over(wAll))
+        .withColumn("cd", col("n") * col("c") - col("s"))
+        .withColumn("l1", lag(col("cd"), 1).over(wOrd))
+        .withColumn("l2", lag(col("cd"), 2).over(wOrd))
+        .withColumn("l3", lag(col("cd"), 3).over(wOrd))
+      daily.groupBy(col("event_type"))
+        .agg(sum(col("cd") * col("cd")).as("den"),
+          sum(col("cd") * col("l1")).as("num1"),
+          sum(col("cd") * col("l2")).as("num2"),
+          sum(col("cd") * col("l3")).as("num3"))
+        .select(col("event_type"), col("den"), col("num1"), col("num2"),
+          col("num3"),
+          (col("num1").cast("double") / col("den").cast("double")).as("acf1"),
+          (col("num2").cast("double") / col("den").cast("double")).as("acf2"),
+          (col("num3").cast("double") / col("den").cast("double")).as("acf3"))
+        .orderBy("event_type")
+    }),
+
+    // Herfindahl-Hirschman concentration index per nation (Herfindahl
+    // 1950): how concentrated customer spend is — HHI = Σxᵢ²/S² over
+    // per-customer cents, the market-concentration complement of
+    // q_gini's inequality rank formulation. Numerator and denominator
+    // are exact integers (DECIMAL(38,0) guards the squared sums); the
+    // single final division is the one IEEE op.
+    "q_hhi" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      spend.join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sum_sq"),
+          sum(col("x")).as("sum_cents"))
+        .select(col("n_name"), col("n"), col("sum_sq").cast("string").as("sum_sq"),
+          col("sum_cents"),
+          (col("sum_sq").cast("double") /
+            (col("sum_cents").cast(DecimalType(38, 0)) * col("sum_cents"))
+              .cast("double")).as("hhi"))
+        .orderBy("n_name")
+    }),
+
+    // Kaplan-Meier survival curve ([[graft.operators.Survival
+    // .kaplanMeier]] under the oracle): user "lifetime" = distinct
+    // active days, observed = the user converted (has a purchase),
+    // censored otherwise — the right-censoring-aware churn curve. The
+    // life table is exact integers; each S(t) is the SEQUENTIAL
+    // divide→subtract→multiply fold over its prefix, replayed
+    // bit-identically by DuckDB's list_reduce over the same prefix.
+    "q_survival" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("t"),
+          (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+            .as("obs"))
+      graft.operators.Survival.kaplanMeier(perUser, "t", "obs")
+        .orderBy("t")
+    }),
+
+    // Pairwise Pearson correlation witnesses (Pearson 1895) between
+    // event types' daily count series: for each type pair over their
+    // shared days, the classic integer moments — num = n·Σxy − Σx·Σy,
+    // den_x = n·Σx² − (Σx)², den_y likewise — plus sign(num) and the
+    // single-division signed r² = num²/(den_x·den_y) (numerator and
+    // denominator squared in DECIMAL(38,0); a float sqrt would not
+    // replay across engines, r² with an explicit sign carries the same
+    // information). One aggregation from raw integer sums — no second
+    // pass over centered values.
+    "q_corr_pairs" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type").as("type_a"), col("day"),
+        col("c").as("x"))
+      val b = daily.select(col("event_type").as("type_b"), col("day"),
+        col("c").as("y"))
+      a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+        .select(col("type_a"), col("type_b"), col("n"), col("num"),
+          col("den_x"), col("den_y"),
+          signum(col("num")).cast("int").as("sign"),
+          ((col("num").cast(DecimalType(38, 0)) * col("num")).cast("double")
+            / (col("den_x").cast(DecimalType(38, 0)) * col("den_y"))
+              .cast("double")).as("r2"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ANSI MERGE INTO ([[graft.sync.Upsert.mergeInto]] under the
     // oracle): reconcile a customer balance snapshot against per-key
     // order aggregates with the full clause ladder — matched & heavy
@@ -2365,6 +2496,129 @@ object Relational {
            list_reduce(list(CAST(cnt AS DOUBLE) ORDER BY o_orderdate),
              (acc, x) -> acc + (x - acc) / 2.0) AS ewma
          FROM daily GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+           SELECT o_orderpriority AS k, o_orderdate AS d,
+             CAST(count(*) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         num AS (
+           SELECT k, d, v,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM daily),
+         rec AS (
+           SELECT k, rn, n, v AS l, CAST(0 AS BIGINT) AS b
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             (d.v + r.l + r.b) // 2 AS l,
+             (r.b + ((d.v + r.l + r.b) // 2 - r.l)) // 2 AS b
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
+           l + b AS forecast_next
+         FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_acf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, c,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS s
+           FROM daily),
+         x AS (
+           SELECT event_type, day, n * c - s AS cd,
+             lag(n * c - s, 1) OVER w AS l1,
+             lag(n * c - s, 2) OVER w AS l2,
+             lag(n * c - s, 3) OVER w AS l3
+           FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type,
+           CAST(sum(cd * cd) AS BIGINT) AS den,
+           CAST(sum(cd * l1) AS BIGINT) AS num1,
+           CAST(sum(cd * l2) AS BIGINT) AS num2,
+           CAST(sum(cd * l3) AS BIGINT) AS num3,
+           CAST(sum(cd * l1) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf1,
+           CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
+           CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
+         FROM x GROUP BY 1 ORDER BY event_type""",
+
+    "q_hhi" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT n.n_name, s.x FROM spend s
+           JOIN customer c ON s.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sum_sq,
+           CAST(sum(x) AS BIGINT) AS sum_cents,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+             / CAST(CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE) AS hhi
+         FROM j GROUP BY 1 ORDER BY n_name""",
+
+    "q_survival" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS obs
+           FROM events GROUP BY 1),
+         per_t AS (
+           SELECT t,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM per_user GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+           FROM per_t),
+         arr AS (
+           SELECT list(struct_pack(t := t, d := d, c := c, n := n_risk)
+             ORDER BY t) AS a
+           FROM risk),
+         idx AS (
+           SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr)
+         SELECT a[i].t AS t, a[i].n AS n_risk, a[i].d AS d, a[i].c AS c,
+           list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(a[1:i],
+                 y -> 1.0 - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))),
+             (acc, x) -> acc * x) AS survival
+         FROM idx ORDER BY t""",
+
+    "q_corr_pairs" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.c AS x, b.c AS y
+           FROM daily a JOIN daily b
+             ON a.day = b.day AND a.event_type < b.event_type),
+         m AS (
+           SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM j GROUP BY 1, 2)
+         SELECT type_a, type_b, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(sign(n * sxy - sx * sy) AS INTEGER) AS sign,
+           CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+                  * (n * sxy - sx * sy) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+                  * (n * syy - sy * sy) AS DOUBLE) AS r2
+         FROM m ORDER BY type_a, type_b""",
 
     "q_merge_into" ->
       """WITH tgt AS (

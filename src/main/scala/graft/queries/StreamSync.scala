@@ -580,6 +580,60 @@ object StreamSync {
     sink.toString
   }
 
+  private def holtSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_holt_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        // integer cents; the Holt recurrence is pure integer on both sides
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val smoothed = StreamingSync.holtStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
+        val q = smoothed.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_holt replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        require(got == expected,
+          s"stream_holt sink has $got rows, expected $expected — " +
+            "an event was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def cusumSinkDir(s: SparkSession, d: String): String = {
     val srcFile = new java.io.File(s"$d/events.parquet")
     val root = Paths.get(
@@ -1328,6 +1382,13 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    "q_stream_holt" -> ((s, d) => {
+      s.read.parquet(holtSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("level"),
+          col("trend"), col("forecast_next"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1537,6 +1598,29 @@ object StreamSync {
              r.s + (CAST(o.v AS DOUBLE) - r.s) / 2.0
            FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
          SELECT event_id, user_id, s AS ewma
+         FROM r ORDER BY event_id""",
+
+    // The streamed integer Holt recurrence must equal the batch fold
+    // replayed step by step — the trend-aware sibling of q_stream_ewma,
+    // with TWO integers of cross-batch state per key instead of one
+    // double (truncated division, identical in the JVM and DuckDB).
+    "q_stream_holt" ->
+      """WITH RECURSIVE o AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events WHERE user_id < 30),
+         r AS (
+           SELECT user_id, event_id, rn, v AS l, CAST(0 AS BIGINT) AS b
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.user_id, o.event_id, o.rn,
+             (o.v + r.l + r.b) // 2 AS l,
+             (r.b + ((o.v + r.l + r.b) // 2 - r.l)) // 2 AS b
+           FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+         SELECT event_id, user_id, l AS level, b AS trend,
+           l + b AS forecast_next
          FROM r ORDER BY event_id""",
 
     // The streamed stateful attribution must equal the batch

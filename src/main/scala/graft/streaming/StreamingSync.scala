@@ -272,6 +272,47 @@ object StreamingSync {
       }
   }
 
+  final case class HoltState(l: Long, b: Long)
+  final case class HoltRow(
+      event_id: Long, user_id: Long, level: Long, trend: Long, forecast_next: Long)
+
+  /** Streaming Holt linear-trend smoothing — the live counterpart of
+    * [[graft.operators.TimeSeries.holtLinear]], completing the numeric
+    * batch/stream quartet (EWMA, CUSUM, TWA, Holt): per-key state is
+    * TWO longs (level, trend) carried across micro-batches; each event
+    * emits the running level/trend/one-step forecast (append-safe).
+    * Pure integer recurrence — l' = (x + l + b) div 2, b' = (b + (l' −
+    * l)) div 2 with TRUNCATED division (JVM `/` on Long, identical to
+    * Spark `div` and DuckDB `//`) — in the same (ts_us, event_id)
+    * order as the batch fold, so the streamed sink hash-equals the
+    * batch oracle row for row. Same per-key-monotonic batch-arrival
+    * contract as [[ewmaStream]].
+    */
+  def holtStream(events: Dataset[ValueEvent]): Dataset[HoltRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[HoltState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[HoltRow]
+          sorted.foreach { e =>
+            val next = st match {
+              case None => HoltState(e.v, 0L)
+              case Some(p) =>
+                val ln = (e.v + p.l + p.b) / 2
+                HoltState(ln, (p.b + (ln - p.l)) / 2)
+            }
+            st = Some(next)
+            out += HoltRow(e.event_id, user, next.l, next.b, next.l + next.b)
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

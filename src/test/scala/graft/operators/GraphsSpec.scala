@@ -122,4 +122,79 @@ class GraphsSpec extends SparkSpec {
     // only the final round's eager checkpoint may remain
     assert(after <= before + 1, s"pins leaked: $before -> $after")
   }
+
+  test("labelPropRounds: one round adopts the min neighbor id on a path") {
+    // path 1-2-3: all neighbor multisets are distinct singletons/pairs,
+    // so round 1 is pure min-neighbor-id adoption
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graphs.labelPropRounds(pairs, "id_a", "id_b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2, 2L -> 1, 3L -> 2))
+  }
+
+  test("labelPropRounds: majority beats the smaller label") {
+    // star: node 9 has neighbors {1, 7, 7'}… model with a triangle of
+    // 7s: neighbors of 9 are 1, 7, 8 after round 1 all carrying label 7
+    // simpler direct case — node 5 adjacent to 1, 7, 8 where 7 and 8
+    // are mutually adjacent to 7's label after symmetrization:
+    // round 1: labels become min-neighbor; craft counts directly
+    // clique {7,8,9} + pendant 5-7, 5-8, 5-1, 1 isolated-ish via 5
+    val pairs = Seq(
+      (7L, 8L), (8L, 9L), (7L, 9L), // clique
+      (5L, 7L), (5L, 8L), (5L, 1L), // 5 sees clique twice + 1 once
+      (1L, 5L)
+    ).toDF("id_a", "id_b")
+    // round 1: N(5) = {1, 7, 8} labels {1, 7, 8} → tie, min = 1
+    // round 2: labels after r1: 1→5, 7→5? N(7)={5,8,9} → min 5 …
+    // assert just the synchronous determinism of two runs instead of a
+    // hand trace for every node, plus the majority case for node 9:
+    // N(9) = {7, 8} → round 1 tie min(7,8) = 7
+    val r1 = Graphs.labelPropRounds(pairs, "id_a", "id_b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(9L) == 7L) // tie toward smaller label
+    assert(r1(5L) == 1L)
+    // round 2 from r1 state: N(5) labels = {l1(1), l1(7), l1(8)} =
+    // {5, 5, 5} → majority 5 (prove the COUNT path, not just ties)
+    val r2 = Graphs.labelPropRounds(pairs, "id_a", "id_b", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(5L) == 5L)
+  }
+
+  test("labelPropRounds is deterministic across runs and leaves no pins") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val a = Graphs.labelPropRounds(pairs, "id_a", "id_b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graphs.labelPropRounds(pairs, "id_a", "id_b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 2, s"pins leaked: $before -> $after")
+  }
+
+  test("linkPredict finds the open wedge pair with exact witnesses") {
+    // path 1-2-3 plus 2-4: non-adjacent pairs through 2: (1,3), (1,4),
+    // (3,4) each share exactly the neighbor 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val out = Graphs.linkPredict(pairs, "id_a", "id_b", minCommon = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // deg: 1→1, 2→3, 3→1, 4→1; each candidate pair: cn=1, uni=1+1−1=1
+    assert(out.keySet == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    assert(out((1L, 3L)) == ((1L, 1L, 1.0)))
+  }
+
+  test("linkPredict excludes adjacent pairs and honors minCommon") {
+    // square 1-2-3-4-1 with diagonal 1-3: (2,4) share {1,3} → cn 2;
+    // (1,3) are ADJACENT → excluded despite cn 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val out = Graphs.linkPredict(pairs, "id_a", "id_b", minCommon = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // deg: 1→3, 2→2, 3→3, 4→2; (2,4): cn=2, uni=2+2−2=2, jaccard 1.0
+    assert(out == Map((2L, 4L) -> ((2L, 2L, 1.0))))
+  }
 }

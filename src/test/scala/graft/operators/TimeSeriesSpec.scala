@@ -158,4 +158,49 @@ class TimeSeriesSpec extends SparkSpec {
       .collect()
     assert(out.head.getDouble(2) === 6.0)
   }
+
+  test("holtLinear replays the hand-traced integer recurrence") {
+    // series 10, 20, 30 (a clean +10 trend):
+    // t1: l=10, b=0
+    // t2: l=(20+10+0) div 2=15, b=(0+(15−10)) div 2=2
+    // t3: l=(30+15+2) div 2=23, b=(2+(23−15)) div 2=5  → forecast 28
+    val df = daily(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+      ("a", "2024-01-03", 30.0))
+    val out = TimeSeries.holtLinear(df, Seq("k"), "day", "v").collect()
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((3L, 23L, 5L, 28L)))
+  }
+
+  test("holtLinear: single point is its own level with zero trend") {
+    val df = daily(("a", "2024-01-01", 7.0))
+    val r = TimeSeries.holtLinear(df, Seq("k"), "day", "v").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 7L, 0L, 7L)))
+  }
+
+  test("holtLinear truncates negative trend like both engines' div") {
+    // declining series 30, 20: l2=(20+30+0) div 2=25,
+    // b2=(0+(25−30)) div 2 = (−5) div 2 = −2 (TRUNCATION, not floor −3)
+    val df = daily(("a", "2024-01-01", 30.0), ("a", "2024-01-02", 20.0))
+    val r = TimeSeries.holtLinear(df, Seq("k"), "day", "v").collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((25L, -2L, 23L)))
+  }
+
+  test("holtLinear matches a sequential Scala fold on a longer series") {
+    val vals = Seq(3L, 9L, 1L, 14L, 7L, 7L, 20L, 0L, 5L, 12L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k", f"2024-02-${i + 1}%02d", Double.box(v.toDouble))
+    }
+    val df = daily(rows: _*)
+    var l = vals.head; var b = 0L
+    vals.tail.foreach { x =>
+      val ln = (x + l + b) / 2 // Scala / on Long truncates — same as div
+      b = (b + (ln - l)) / 2
+      l = ln
+    }
+    val r = TimeSeries.holtLinear(df, Seq("k"), "day", "v").collect().head
+    assert((r.getLong(2), r.getLong(3)) === ((l, b)))
+  }
 }

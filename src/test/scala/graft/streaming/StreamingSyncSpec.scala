@@ -276,4 +276,24 @@ class StreamingSyncSpec extends SparkSpec {
         Seq((1L, 8.0), (2L, 6.0), (3L, 4.0)))
     } finally q.stop()
   }
+
+  test("holtStream carries level AND trend across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.holtStream(input.toDS()).writeStream
+      .format("memory").queryName("holt_sink").outputMode("append").start()
+    try {
+      // batch 1: 10, 20 → (l,b) = (10,0) then l=(20+10+0)/2=15, b=(0+5)/2=2
+      input.addData(
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 20L), // out of order in batch:
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 10L)) // function sorts by ts_us
+      q.processAllAvailable()
+      // batch 2: 30 continues from (15,2) → l=(30+15+2)/2=23, b=(2+8)/2=5
+      input.addData(StreamingSync.ValueEvent(3L, 1L, 3000L, 30L))
+      q.processAllAvailable()
+      val rows = spark.table("holt_sink").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ===
+        Seq((10L, 0L, 10L), (15L, 2L, 17L), (23L, 5L, 28L)))
+    } finally q.stop()
+  }
 }
