@@ -105,6 +105,36 @@ object Sampling {
       .drop("__u")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2005, "Priority
+    * sampling for estimation of arbitrary subset sums"): the
+    * weight-sensitive sibling of [[bottomK]] — each row's priority is
+    * q = w / u with u its [[portableUniform]] draw (shifted off zero),
+    * and the sample is the k LARGEST priorities, so heavy rows surface
+    * proportionally to weight while staying a pure deterministic
+    * function of the key. The priority is ONE IEEE division of two
+    * integers (the single-division determinism discipline), so any
+    * engine replays the exact ordering; ties break on the key.
+    *
+    * Scale shape: zero-shuffle projection + distributed top-k
+    * (TakeOrderedAndProject — per-partition heaps, never a full sort),
+    * the [[bottomK]] plan. Weights must be > 0 (enforce upstream).
+    */
+  def priorityK(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__u") && !df.columns.contains("__p"),
+      "priorityK writes '__u'/'__p' — the input already carries one")
+    df.withColumn("__u", portableUniform(col(keyCol)) + lit(1L))
+      .withColumn("__p",
+        col(weightCol).cast("double") / col("__u").cast("double"))
+      .orderBy(col("__p").desc, col(keyCol))
+      .limit(k)
+      .drop("__u", "__p")
+  }
+
   /** Portable hash-uniform in `[0, 2^32)`: the first 8 hex digits of
     * `md5(string(key))` as a long. Unlike xxhash64 (Spark-only), md5 is
     * available bit-identically in every engine, so a sampling decision

@@ -1353,6 +1353,20 @@ object LlmOps {
         .orderBy("split")
     }),
 
+    // Priority sampling ([[graft.operators.Sampling.priorityK]] under
+    // the oracle): top-50 docs by priority w/u with w = n_chars and u
+    // the portable md5 uniform — the weight-proportional sample
+    // (Duffield-Lund-Thorup 2005) beside q_bottomk_sample's uniform
+    // one. DuckDB re-derives every uniform, every single-division
+    // priority, and the ordering, so one drifted hash byte or a
+    // swapped boundary row flips the hash.
+    "q_weighted_sample" -> ((s, d) => {
+      graft.operators.Sampling.priorityK(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: docs 0-24 stand in as the "eval set";
     // flag overlapping docs among the rest. Trigram shingles are the
     // discriminative setting on this corpus (bigrams mark ~95% of docs as
@@ -2544,6 +2558,16 @@ object LlmOps {
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
            FROM documents
            ORDER BY u, doc_id LIMIT 50)
+         ORDER BY doc_id""",
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) /
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 1 AS DOUBLE) AS p
+           FROM documents
+           ORDER BY p DESC, doc_id LIMIT 50)
          ORDER BY doc_id""",
 
     "q_hash_split" ->

@@ -1253,6 +1253,77 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Weekday seasonal decomposition: per event type and day-of-week,
+    // the seasonal index — mean daily count on that weekday over the
+    // type's overall daily mean — as the integer cross-multiplication
+    // idx_num = sum_w·cnt_all, idx_den = cnt_w·sum_all plus its single
+    // division. Day-of-week from pure integer date arithmetic
+    // ((epoch_days + 3) mod 7, 0 = Monday — dayofweek() disagrees
+    // across engines on its anchor; datediff does not). The
+    // periodicity probe beside q_acf's lag correlation.
+    "q_seasonality" -> ((s, d) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 3, lit(7))
+            .cast("long"))
+        .withColumn("cnt_all", count(lit(1)).over(wAll))
+        .withColumn("sum_all", sum(col("c")).over(wAll))
+      daily.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("cnt_w"), sum(col("c")).as("sum_w"),
+          max(col("cnt_all")).as("cnt_all"), max(col("sum_all")).as("sum_all"))
+        .select(col("event_type"), col("dow"), col("cnt_w"), col("sum_w"),
+          (col("sum_w") * col("cnt_all")).as("idx_num"),
+          (col("cnt_w") * col("sum_all")).as("idx_den"),
+          ((col("sum_w") * col("cnt_all")).cast("double")
+            / (col("cnt_w") * col("sum_all")).cast("double"))
+            .as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Mann-Whitney U (Mann & Whitney 1947) per nation: do URGENT
+    // orders carry different totals than LOW ones? Rank-sum over the
+    // combined per-nation sample in EXACT integers — doubled midranks
+    // 2r(v) = 2·|{< v}| + |{= v}| + 1 keep ties integral; U₁·2 =
+    // Σ_A 2r − n₁(n₁+1), U₂·2 = 2n₁n₂ − U₁·2; the probability-of-
+    // superiority AUC = U₁/(n₁n₂) is the single IEEE division. One
+    // value-level aggregate + one prefix window + one final aggregate.
+    "q_mannwhitney" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val perV = o.groupBy(col("n_name"), col("v"))
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("a_cnt"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = perV
+        .withColumn("cum_lt", coalesce(sum(col("m")).over(wOrd), lit(0L)))
+      ranked.groupBy(col("n_name"))
+        .agg(sum(col("a_cnt")).as("n1"),
+          sum(col("m") - col("a_cnt")).as("n2"),
+          sum(col("a_cnt") * (lit(2L) * col("cum_lt") + col("m") + 1L))
+            .as("sum_2r"))
+        .select(col("n_name"), col("n1"), col("n2"),
+          (col("sum_2r") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+          (lit(2L) * col("n1") * col("n2")
+            - (col("sum_2r") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+          ((col("sum_2r") - col("n1") * (col("n1") + 1)).cast("double")
+            / (lit(2L) * col("n1") * col("n2")).cast("double")).as("auc"))
+        .orderBy("n_name")
+    }),
+
     // Kaplan-Meier survival curve ([[graft.operators.Survival
     // .kaplanMeier]] under the oracle): user "lifetime" = distinct
     // active days, observed = the user converted (has a purchase),
@@ -2560,6 +2631,57 @@ object Relational {
            CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
              / CAST(CAST(sum(x) AS HUGEINT) * sum(x) AS DOUBLE) AS hhi
          FROM j GROUP BY 1 ORDER BY n_name""",
+
+    "q_seasonality" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, c,
+             CAST(((day - DATE '1970-01-01') + 3) % 7 AS BIGINT) AS dow,
+             count(*) OVER (PARTITION BY event_type) AS cnt_all,
+             sum(c) OVER (PARTITION BY event_type) AS s_all
+           FROM daily)
+         SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt_w,
+           CAST(sum(c) AS BIGINT) AS sum_w,
+           CAST(sum(c) * max(cnt_all) AS BIGINT) AS idx_num,
+           CAST(count(*) * max(s_all) AS BIGINT) AS idx_den,
+           CAST(sum(c) * max(cnt_all) AS DOUBLE)
+             / CAST(count(*) * max(s_all) AS DOUBLE) AS seasonal_idx
+         FROM t GROUP BY 1, 2 ORDER BY event_type, dow""",
+
+    "q_mannwhitney" ->
+      """WITH o AS (
+           SELECT n.n_name,
+             o.o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+         per_v AS (
+           SELECT n_name, v, count(*) AS m,
+             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS a_cnt
+           FROM o GROUP BY 1, 2),
+         r AS (
+           SELECT n_name, v, m, a_cnt,
+             coalesce(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lt
+           FROM per_v),
+         agg AS (
+           SELECT n_name,
+             CAST(sum(a_cnt) AS BIGINT) AS n1,
+             CAST(sum(m - a_cnt) AS BIGINT) AS n2,
+             CAST(sum(a_cnt * (2 * cum_lt + m + 1)) AS BIGINT) AS sum_2r
+           FROM r GROUP BY 1)
+         SELECT n_name, n1, n2,
+           sum_2r - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (sum_2r - n1 * (n1 + 1)) AS u2_x2,
+           CAST(sum_2r - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+         FROM agg ORDER BY n_name""",
 
     "q_survival" ->
       """WITH per_user AS (

@@ -197,4 +197,27 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("priorityK is partition-stable, weight-sensitive, and heap-planned") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val a = Sampling.priorityK(docs, "doc_id", "n_chars", 20)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.priorityK(docs.repartition(13), "doc_id", "n_chars", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 20 && a == b)
+    // weight sensitivity: a 1000x weight boost must pull a doc into the
+    // sample that the unboosted draw left out
+    import org.apache.spark.sql.functions._
+    val outsider = docs.filter(!col("doc_id").isInCollection(a.toSeq))
+      .select(min(col("doc_id"))).collect().head.getLong(0)
+    val boosted = docs.withColumn("n_chars",
+      when(col("doc_id") === outsider, col("n_chars") * 100000L)
+        .otherwise(col("n_chars")))
+    val c = Sampling.priorityK(boosted, "doc_id", "n_chars", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(c.contains(outsider))
+    val plan = Sampling.priorityK(docs, "doc_id", "n_chars", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
