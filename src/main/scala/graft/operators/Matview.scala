@@ -77,4 +77,32 @@ object Matview {
         col("n"),
         col("total").cast("double").as("total"),
         (col("total").cast("double") / col("n").cast("double")).as("avg")): _*)
+
+  /** Incremental JOIN-view maintenance — the classic delta rule
+    * (Blakeley, Larson & Tompa 1986, "Efficiently updating
+    * materialized views"): for the inner-join view V = A ⋈ B under
+    * append-only deltas,
+    *
+    *   V' = V ∪ (ΔA ⋈ (B ∪ ΔB)) ∪ ((A \ ΔA… i.e. the PRE-delta A) ⋈ ΔB)
+    *
+    * — the new-left×all-right term plus the old-left×new-right term
+    * cover every new pair exactly once (ΔA⋈ΔB lands in the first
+    * term), so the refreshed view equals the full recompute without
+    * ever rescanning A ⋈ B. Per refresh the joins are O(|Δ| ⋈) with
+    * the delta side BROADCAST when small — the 100 TB shape of
+    * maintaining a fact⋈fact view under hourly appends. Both inputs
+    * must be append-only for this rule (deletes need the multiset
+    * counting extension); `aPre`/`b`/`deltaB` are the pre-refresh A,
+    * pre-refresh B, and the two delta batches.
+    */
+  def refreshJoin(
+      view: DataFrame,
+      aPre: DataFrame,
+      deltaA: DataFrame,
+      b: DataFrame,
+      deltaB: DataFrame,
+      keys: Seq[String]): DataFrame =
+    view
+      .unionByName(deltaA.join(b.unionByName(deltaB), keys))
+      .unionByName(aPre.join(deltaB, keys))
 }

@@ -741,6 +741,31 @@ object Relational {
       m.read(v2, Seq("user_id")).orderBy("user_id")
     }),
 
+    // Incremental JOIN-view maintenance ([[graft.operators.Matview
+    // .refreshJoin]] under the oracle): the orders⋈lineitem view kept
+    // current across two append batches by the Blakeley delta rule —
+    // ΔA⋈B' plus A⋈ΔB, never a rescan of the standing view. The
+    // oracle is the one-shot join, so a pair double-counted or missed
+    // by the delta algebra flips the count/sum digest immediately.
+    "q_matview_join" -> ((s, d) => {
+      val m = graft.operators.Matview
+      val cut = lit("1996-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val (o0, dO) = (o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut))
+      val (l0, dL) = (li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut))
+      val v0 = o0.join(l0, Seq("o_orderkey"))
+      val v1 = m.refreshJoin(v0, o0, dO, l0, dL, Seq("o_orderkey"))
+      v1.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Column census (Profile.profile under the oracle): one aggregate
     // pass, long-format output. min/max are selections (exact), ranges
     // surface as doubles / epoch-micros — never a double→string render,
@@ -2093,6 +2118,14 @@ object Relational {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS avg
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // the incrementally-maintained join view must equal the one-shot join
+    "q_matview_join" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     "q_profile" ->
       """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,

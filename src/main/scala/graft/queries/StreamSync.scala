@@ -634,6 +634,59 @@ object StreamSync {
     sink.toString
   }
 
+  private def anomalySinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_anomaly_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).filter(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val flagged = StreamingSync.anomalyStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
+        val q = flagged.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_anomaly replay")
+
+        val got = s.read.parquet(sink.toString).count()
+        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        require(got == expected,
+          s"stream_anomaly sink has $got rows, expected $expected — " +
+            "an event was dropped or duplicated across batches")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def cusumSinkDir(s: SparkSession, d: String): String = {
     val srcFile = new java.io.File(s"$d/events.parquet")
     val root = Paths.get(
@@ -1389,6 +1442,13 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    "q_stream_anomaly" -> ((s, d) => {
+      s.read.parquet(anomalySinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("n_prior"),
+          col("lhs"), col("rhs"), col("anomaly"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1622,6 +1682,39 @@ object StreamSync {
          SELECT event_id, user_id, l AS level, b AS trend,
            l + b AS forecast_next
          FROM r ORDER BY event_id""",
+
+    // The streamed 3-sigma tripwire must equal the batch EXCLUSIVE
+    // prefix-moment windows — same cross-multiplied integer verdict
+    // (n·x − Σx)² > 9·(n·Σx² − Σx²), no float mean/stddev anywhere.
+    "q_stream_anomaly" ->
+      """WITH o AS (
+           SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER w AS rn,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS sx,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS sxx
+           FROM events WHERE user_id < 30
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         f AS (
+           SELECT event_id, user_id, rn - 1 AS n_prior,
+             CASE WHEN rn >= 3
+                  THEN ((rn - 1) * v - sx) * ((rn - 1) * v - sx)
+                  ELSE 0 END AS lhs,
+             CASE WHEN rn >= 3
+                  THEN 9 * ((rn - 1) * sxx - sx * sx)
+                  ELSE 0 END AS rhs
+           FROM o)
+         SELECT event_id, user_id, CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(lhs AS BIGINT) AS lhs, CAST(rhs AS BIGINT) AS rhs,
+           n_prior >= 2 AND lhs > rhs AS anomaly
+         FROM f ORDER BY event_id""",
 
     // The streamed stateful attribution must equal the batch
     // IGNORE-NULLS window over the same events (q_attribution's shape on

@@ -313,6 +313,52 @@ object StreamingSync {
       }
   }
 
+  final case class MomentState(n: Long, sx: Long, sxx: Long)
+  final case class AnomalyRow(
+      event_id: Long, user_id: Long, n_prior: Long,
+      lhs: Long, rhs: Long, anomaly: Boolean)
+
+  /** Streaming 3-sigma anomaly monitor over integer values: per-key
+    * state is the raw moments (n, Σx, Σx²) of everything seen BEFORE
+    * the current event; the event is flagged iff its squared deviation
+    * exceeds nine prior variances — entirely in cross-multiplied
+    * integers, (n·x − Σx)² > 9·(n·Σx² − (Σx)²), so the verdict
+    * replays bit-identically on any engine (a float mean/stddev would
+    * tie differently at the boundary). Events with fewer than 2 prior
+    * observations report lhs/rhs = 0 and no anomaly (variance
+    * undefined). The live data-quality tripwire beside [[cusumStream]]
+    * (CUSUM detects sustained drift; this flags single spikes), same
+    * (ts_us, event_id) order and per-key-monotonic batch contract.
+    *
+    * Overflow bound: |x| ≤ 1e6 and n ≤ 1e5 keep every product under
+    * 2^62; enforce upstream (event values in cents sit far inside).
+    */
+  def anomalyStream(events: Dataset[ValueEvent]): Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[MomentState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = scala.collection.mutable.Buffer.empty[AnomalyRow]
+          sorted.foreach { e =>
+            val (lhs, rhs) =
+              if (st.n < 2) (0L, 0L)
+              else {
+                val d = st.n * e.v - st.sx
+                (d * d, 9L * (st.n * st.sxx - st.sx * st.sx))
+              }
+            out += AnomalyRow(e.event_id, user, st.n, lhs, rhs,
+              st.n >= 2 && lhs > rhs)
+            st = MomentState(st.n + 1, st.sx + e.v, st.sxx + e.v * e.v)
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

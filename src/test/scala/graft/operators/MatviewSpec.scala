@@ -37,4 +37,26 @@ class MatviewSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(full === direct)
   }
+
+  test("refreshJoin's delta algebra equals the one-shot join exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (2L, "a2bis"))
+      .toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (4L, "b4")).toDF("k", "bv")
+    val da = Seq((2L, "a2new"), (4L, "a4new")).toDF("k", "av")
+    val db = Seq((2L, "b2new"), (3L, "b3new")).toDF("k", "bv")
+    val v0 = a.join(b, Seq("k"))
+    val got = Matview.refreshJoin(v0, a, da, b, db, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val want = a.unionByName(da).join(b.unionByName(db), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    // every pair class exercised: ΔA⋈B (4,b4), A⋈ΔB (3,b3new; a2bis
+    // dupes), ΔA⋈ΔB (2-new pairs), standing V (1, 2 originals)
+    assert(got === want)
+    assert(got.contains((4L, "a4new", "b4")) &&
+      got.contains((3L, "a3", "b3new")) &&
+      got.contains((2L, "a2new", "b2new")))
+  }
 }

@@ -296,4 +296,49 @@ class StreamingSyncSpec extends SparkSpec {
         Seq((10L, 0L, 10L), (15L, 2L, 17L), (23L, 5L, 28L)))
     } finally q.stop()
   }
+
+  test("anomalyStream flags a spike against PRIOR moments across batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.anomalyStream(input.toDS()).writeStream
+      .format("memory").queryName("anomaly_sink").outputMode("append").start()
+    try {
+      // batch 1: steady 10, 10, 10 — first two unguarded (n<2), third has
+      // prior n=2, Sx=20, Sxx=200: lhs=(2·10−20)²=0, rhs=9·(400−400)=0
+      input.addData(
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 10L),
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 10L),
+        StreamingSync.ValueEvent(3L, 1L, 3000L, 10L))
+      q.processAllAvailable()
+      // batch 2: spike 100 against prior (3, 30, 300):
+      // lhs=(3·100−30)²=72900, rhs=9·(3·300−900)=0 → anomaly
+      input.addData(StreamingSync.ValueEvent(4L, 1L, 4000L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_sink").orderBy("event_id").collect()
+      assert(rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq === Seq(
+        (0L, 0L, 0L, false), (1L, 0L, 0L, false), (2L, 0L, 0L, false),
+        (3L, 72900L, 0L, true)))
+    } finally q.stop()
+  }
+
+  test("anomalyStream tolerates in-distribution values after variance exists") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    val q = StreamingSync.anomalyStream(input.toDS()).writeStream
+      .format("memory").queryName("anomaly_sink2").outputMode("append").start()
+    try {
+      // varied history 10, 20, 30 then an in-band 25:
+      // prior (3, 60, 1400): lhs=(75−60)²=225, rhs=9·(4200−3600)=5400 → ok
+      input.addData(
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 10L),
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 20L),
+        StreamingSync.ValueEvent(3L, 1L, 3000L, 30L),
+        StreamingSync.ValueEvent(4L, 1L, 4000L, 25L))
+      q.processAllAvailable()
+      val r = spark.table("anomaly_sink2").orderBy("event_id").collect().last
+      assert((r.getLong(3), r.getLong(4), r.getBoolean(5)) ===
+        ((225L, 5400L, false)))
+    } finally q.stop()
+  }
 }
