@@ -1349,6 +1349,107 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Lorenz curve by spend decile (Lorenz 1905): per nation, customers
+    // ranked ascending by spend into ntile(10) buckets (unique
+    // (x, custkey) order makes ntile deterministic), each decile
+    // emitting its exact cumulative cents against the nation total —
+    // the curve q_gini summarizes into one number. Integer cumulative
+    // witness + one division per decile.
+    "q_lorenz" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val deciled = spend.join(nat, col("o_custkey") === col("c_custkey"))
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n_name")).orderBy(col("x"), col("o_custkey")))
+          .cast("long"))
+      val perD = deciled.groupBy(col("n_name"), col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("cents"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name"))
+      perD
+        .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        .withColumn("total_cents", sum(col("cents")).over(wAll))
+        .select(col("n_name"), col("decile"), col("n_cust"),
+          col("cum_cents"), col("total_cents"),
+          (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+            .as("cum_share"))
+        .orderBy("n_name", "decile")
+    }),
+
+    // Kendall rank correlation witnesses (Kendall 1938) between two
+    // nation rankings — total spend vs customer count: every pair
+    // classified concordant/discordant/tied by the SIGN of the integer
+    // cross product (m1ᵢ−m1ⱼ)(m2ᵢ−m2ⱼ); τ = (C−D)/(n(n−1)/2) is the
+    // single division. The rank-agreement complement of q_corr_pairs'
+    // linear Pearson; 25 nations → a trivially bounded self-join.
+    "q_kendall" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val m = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m1"),
+          countDistinct(col("o_custkey")).as("m2"))
+      val a = m.select(col("n_name").as("na"), col("m1").as("m1a"),
+        col("m2").as("m2a"))
+      val b = m.select(col("n_name").as("nb"), col("m1").as("m1b"),
+        col("m2").as("m2b"))
+      a.join(b, col("na") < col("nb"))
+        .select(signum((col("m1a") - col("m1b")).cast("double")).cast("long")
+          .as("s1"),
+          signum((col("m2a") - col("m2b")).cast("double")).cast("long")
+            .as("s2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("s1") * col("s2") > 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("s1") * col("s2") < 0, 1L).otherwise(0L)).as("d"),
+          sum(when(col("s1") * col("s2") === 0, 1L).otherwise(0L)).as("ties"))
+        .select(col("n_pairs"), col("c"), col("d"), col("ties"),
+          ((col("c") - col("d")).cast("double") / col("n_pairs").cast("double"))
+            .as("tau"))
+    }),
+
+    // Benford first-digit audit (Benford 1938; Newcomb 1881): the
+    // leading digit of order cents against the log-law expectation —
+    // the classic fabricated-data tripwire. Expected shares enter as
+    // EXACT micro-scaled integer literals (301030 = ⌊1e6·log10 2⌋, …,
+    // summing to exactly 1e6 — never a runtime log), the deviation
+    // witness 1e6·obs − benford_micro·N is a signed integer, and the
+    // observed share is the single division. Digit via substring of
+    // the integer's decimal rendering — portable to any engine.
+    "q_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(substring(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      val expect = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+        66947L, 57992L, 51153L, 45757L)
+      val bmap = expect.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}L" }
+        .mkString("CASE digit ", " ", " END")
+      digits.groupBy(col("digit"))
+        .agg(count(lit(1)).as("obs"))
+        // single-row crossJoin, the documented bounded stat shape (a
+        // global window would single-partition the exchange instead)
+        .crossJoin(broadcast(digits.agg(count(lit(1)).as("n_total"))))
+        .withColumn("benford_micro", expr(bmap))
+        .select(col("digit"), col("obs"), col("n_total"), col("benford_micro"),
+          (lit(1000000L) * col("obs") - col("benford_micro") * col("n_total"))
+            .as("dev_micro"),
+          (col("obs").cast("double") / col("n_total").cast("double"))
+            .as("obs_share"))
+        .orderBy("digit")
+    }),
+
     // Kaplan-Meier survival curve ([[graft.operators.Survival
     // .kaplanMeier]] under the oracle): user "lifetime" = distinct
     // active days, observed = the user converted (has a purchase),
@@ -2715,6 +2816,77 @@ object Relational {
            CAST(sum_2r - n1 * (n1 + 1) AS DOUBLE)
              / CAST(2 * n1 * n2 AS DOUBLE) AS auc
          FROM agg ORDER BY n_name""",
+
+    "q_lorenz" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT n.n_name, s.x, s.o_custkey,
+             CAST(ntile(10) OVER (PARTITION BY n.n_name
+               ORDER BY s.x, s.o_custkey) AS BIGINT) AS decile
+           FROM spend s
+           JOIN customer c ON s.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         per_d AS (
+           SELECT n_name, decile, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(x) AS BIGINT) AS cents
+           FROM r GROUP BY 1, 2)
+         SELECT n_name, decile, n_cust,
+           CAST(sum(cents) OVER (PARTITION BY n_name ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT)
+             AS total_cents,
+           CAST(sum(cents) OVER (PARTITION BY n_name ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(cents) OVER (PARTITION BY n_name) AS DOUBLE)
+             AS cum_share
+         FROM per_d ORDER BY n_name, decile""",
+
+    "q_kendall" ->
+      """WITH m AS (
+           SELECT n.n_name,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS m1,
+             count(DISTINCT o.o_custkey) AS m2
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1),
+         p AS (
+           SELECT sign(a.m1 - b.m1) * sign(a.m2 - b.m2) AS s
+           FROM m a JOIN m b ON a.n_name < b.n_name)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS tau
+         FROM p""",
+
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+         g AS (
+           SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+         t AS (
+           SELECT digit, obs,
+             CAST(sum(obs) OVER () AS BIGINT) AS n_total,
+             CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+               WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+               WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+               WHEN 9 THEN 45757 END AS benford_micro
+           FROM g)
+         SELECT digit, obs, n_total, CAST(benford_micro AS BIGINT)
+             AS benford_micro,
+           CAST(1000000 * obs - benford_micro * n_total AS BIGINT)
+             AS dev_micro,
+           CAST(obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share
+         FROM t ORDER BY digit""",
 
     "q_survival" ->
       """WITH per_user AS (
