@@ -1405,7 +1405,9 @@ object Relational {
         col("m2").as("m2a"))
       val b = m.select(col("n_name").as("nb"), col("m1").as("m1b"),
         col("m2").as("m2b"))
-      a.join(b, col("na") < col("nb"))
+      // 25-row side broadcast + filter: the documented bounded-broadcast
+      // shape (a bare inequality join would plan a CartesianProduct)
+      a.crossJoin(broadcast(b)).filter(col("na") < col("nb"))
         .select(signum((col("m1a") - col("m1b")).cast("double")).cast("long")
           .as("s1"),
           signum((col("m2a") - col("m2b")).cast("double")).cast("long")

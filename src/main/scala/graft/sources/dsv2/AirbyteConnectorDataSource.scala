@@ -33,7 +33,12 @@ import scala.jdk.CollectionConverters._
   * selection), best-effort `SupportsPushDownFilters` (supported
   * predicates drop rows at the connector boundary before row conversion;
   * Spark re-applies every filter post scan, so the early drop can never
-  * change results), and plan visibility (`BatchScan graft-airbyte`).
+  * change results), `SupportsPushDownLimit` (a `LIMIT n` stops consuming
+  * and kills each connector child after n records instead of draining
+  * the stream — Spark only plans this pushdown when no post-scan filters
+  * remain, so the early stop is exact, and `isPartiallyPushed` keeps the
+  * global Limit node for the cross-partition cap), and plan visibility
+  * (`BatchScan graft-airbyte`).
   */
 class AirbyteConnectorDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-airbyte"
@@ -65,10 +70,24 @@ final class ConnectorTable(schema: StructType, properties: Map[String, String])
 }
 
 final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** Limit pushdown: each partition reader stops consuming (and kills
+    * its connector child) after `l` emitted rows. Spark's planner only
+    * pushes a limit when no post-scan filters remain, so every emitted
+    * row survives to the result and the early stop is exact;
+    * `isPartiallyPushed` (default true) keeps the global Limit for the
+    * cross-partition cap.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = l
+    true
+  }
 
   /** Column pruning pushdown: only the requested record fields are parsed
     * into rows on the executors.
@@ -98,7 +117,8 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-airbyte stream=${options.getOrElse("stream", "")} " +
-        s"PushedFilters: [${pushed.mkString(", ")}]"
+        s"PushedFilters: [${pushed.mkString(", ")}]" +
+        (if (limit >= 0) s" PushedLimit: $limit" else "")
 
     override def planInputPartitions(): Array[InputPartition] = {
       val mapper = new ObjectMapper()
@@ -110,7 +130,8 @@ final class ConnectorScanBuilder(fullSchema: StructType, options: Map[String, St
       }
       JsonRowConverter.validateSupported(required)
       commands.zipWithIndex.map { case (cmd, i) =>
-        ConnectorInputPartition(i, cmd, options.getOrElse("stream", ""), pushed.toSeq)
+        ConnectorInputPartition(i, cmd, options.getOrElse("stream", ""),
+          pushed.toSeq, limit)
       }.toArray
     }
 
@@ -244,7 +265,8 @@ final case class ConnectorInputPartition(
     index: Int,
     command: Seq[String],
     stream: String,
-    filters: Seq[Filter] = Seq.empty)
+    filters: Seq[Filter] = Seq.empty,
+    limit: Int = -1)
     extends InputPartition
 
 final class ConnectorReaderFactory(schema: StructType) extends PartitionReaderFactory {
@@ -264,9 +286,17 @@ final class ConnectorPartitionReader(partition: ConnectorInputPartition, schema:
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
   private var current: InternalRow = _
+  private var emitted: Long = 0L
 
   override def next(): Boolean = {
     current = null
+    // pushed limit reached: stop consuming and kill the child instead of
+    // draining the rest of the stream (exact — limits are only pushed
+    // when no post-scan filter could drop an emitted row)
+    if (partition.limit >= 0 && emitted >= partition.limit) {
+      if (proc.isAlive) { proc.destroyForcibly(); () }
+      return false
+    }
     while (current == null) {
       val line = reader.readLine()
       if (line == null) {
@@ -292,6 +322,7 @@ final class ConnectorPartitionReader(partition: ConnectorInputPartition, schema:
         case _: Exception => // undecodable line: warn-and-skip semantics
       }
     }
+    emitted += 1
     true
   }
 

@@ -204,4 +204,58 @@ class AirbyteConnectorDataSourceSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
     assert(df.count() == 2)
   }
+
+  test("limit pushdown stops consuming and kills the child early") {
+    // segment emits 3 rows, then sleeps, then writes a marker: a pushed
+    // LIMIT 2 must return without waiting for EOF, and the killed child
+    // never reaches the marker write
+    val dir = Files.createTempDirectory("dsv2limit")
+    val marker = dir.resolve("drained.marker")
+    val script = dir.resolve("c.sh")
+    val lines = (1 to 3).map(i =>
+      s"""echo '{"type":"RECORD","record":{"stream":"s1","data":{"id":$i,"seg":0,"name":"row$i","score":1.0}}}'""")
+    Files.writeString(script,
+      (("#!/bin/sh" +: lines) ++ Seq("sleep 30", s"touch $marker"))
+        .mkString("\n") + "\n")
+    script.toFile.setExecutable(true)
+    val df = spark.read.format("graft-airbyte")
+      .option("commands", commandsJson(Seq(Seq("/bin/sh", script.toString))))
+      .option("stream", "s1")
+      .schema(schema)
+      .load()
+      .limit(2)
+    // the pushed limit shows in the scan's description
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.scan.description().contains("PushedLimit: 2"),
+      scan.head.scan.description())
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 2 && rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(secs < 25.0, s"limit did not stop the drain: ${secs}s")
+    assert(!Files.exists(marker), "child ran to completion despite the limit")
+  }
+
+  test("limit is NOT pushed when a residual filter could drop rows") {
+    val cmds = Seq(fakeSegment(4, 1 to 5))
+    val df = spark.read.format("graft-airbyte")
+      .option("commands", commandsJson(cmds))
+      .option("stream", "s1")
+      .schema(schema)
+      .load()
+      .filter(col("id") >= 3L)
+      .limit(2)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.nonEmpty)
+    // every filter is returned as residual, so Spark must keep the limit
+    // above the filter — a pushed limit here could under-deliver
+    assert(!scan.head.scan.description().contains("PushedLimit"),
+      scan.head.scan.description())
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+  }
 }
