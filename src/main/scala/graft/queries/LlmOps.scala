@@ -964,6 +964,53 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Lexical diversity: per-doc type-token ratio — n_types distinct
+    // [a-z0-9]+ tokens over n_tokens total, integers + the single
+    // division. The repetition/quality signal at its simplest; the
+    // corpus-level counterpart is q_vocab_growth's Heaps curve.
+    "q_ttr" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary growth curve (Heaps 1978): cumulative distinct types
+    // vs cumulative tokens in doc_id order — the corpus statistic that
+    // says when more data stops buying new vocabulary. Exact integers
+    // throughout: a type's contribution lands at its FIRST doc
+    // (min(doc_id) per token), so cum_vocab is a running sum of
+    // first-occurrence counts — never a running set union. The global
+    // cumulative window is single-partition BY SEMANTICS (one row per
+    // doc — corpus-order, the q_curriculum class); at 100 TB emit
+    // per-bucket growth from a range-partitioned prefix instead.
+    "q_vocab_growth" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      val perDoc = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firsts = toks.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDoc.join(firsts, Seq("doc_id"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_vocab", sum(col("new_types")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("new_types"),
+          col("cum_tokens"), col("cum_vocab"))
+        .orderBy("doc_id")
+    }),
+
     // Hashing-trick feature buckets (Weinberger et al. 2009, "Feature
     // hashing for large scale multitask learning"): each [a-z0-9]+ token
     // of the lowercased text maps to bucket polyhash(token) mod 64 via
@@ -3119,6 +3166,41 @@ object LlmOps {
            CAST(39 * w * w + 1180 * sy * sen - 1559 * w * sen AS DOUBLE)
              / CAST(100 * w * sen AS DOUBLE) AS fk_grade
          FROM f ORDER BY doc_id""",
+
+    "q_ttr" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS ttr
+         FROM tok GROUP BY 1 ORDER BY doc_id""",
+
+    "q_vocab_growth" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         per_doc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY 1),
+         firsts AS (
+           SELECT min(doc_id) AS doc_id FROM tok GROUP BY tok),
+         news AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+           FROM firsts GROUP BY 1)
+         SELECT p.doc_id, p.n_tokens,
+           CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+         FROM per_doc p LEFT JOIN news n ON p.doc_id = n.doc_id
+         ORDER BY p.doc_id""",
 
     "q_feature_hash" ->
       """WITH tok AS (
