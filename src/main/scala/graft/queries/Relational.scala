@@ -826,6 +826,59 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
+    // Frequent-path mining: each user-day's ordered event-type sequence
+    // joined into a path string (the unique (ts, event_id) order makes
+    // the concatenation deterministic), then the top paths by exact
+    // count with a path tiebreak — the navigation-pattern complement of
+    // q_transitions' first-order Markov counts. Per-day sequences keep
+    // path length bounded by the day, not the user's history.
+    "q_path_mining" -> ((s, d) => {
+      val paths = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("u"), col("event_id"), col("event_type"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("u"), col("event_id"),
+            col("event_type")))), s_ => s_.getField("event_type")), ">")
+          .as("path"))
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
+    // A/B experiment readout over the portable hash split: users land
+    // in arm A iff their md5 uniform is even — re-derivable on any
+    // engine, the q_hash_split discipline — and the verdict "A converts
+    // better" is the INTEGER cross-multiplication conv_a·n_b >
+    // conv_b·n_a (a float rate comparison could tie differently at the
+    // boundary); the per-arm rates and lift are the only divisions.
+    "q_ab_lift" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm",
+          when(pmod(graft.operators.Sampling.portableUniform(col("user_id")),
+            lit(2L)) === 0, "A").otherwise("B"))
+      val agg = users.groupBy()
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+            .as("conv_b"))
+      agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        (col("conv_a") * col("n_b") > col("conv_b") * col("n_a"))
+          .as("a_wins"),
+        (col("conv_a").cast("double") / col("n_a").cast("double"))
+          .as("rate_a"),
+        (col("conv_b").cast("double") / col("n_b").cast("double"))
+          .as("rate_b"),
+        ((col("conv_a") * col("n_b")).cast("double")
+          / (col("conv_b") * col("n_a")).cast("double")).as("lift"))
+    }),
+
     // Rolling 7-day active users (the WAU curve): per calendar day, the
     // distinct users active in the trailing week. COUNT DISTINCT over a
     // RANGE frame isn't expressible as a window, so the day spine
@@ -2336,8 +2389,46 @@ object Relational {
            max(value) AS v_max
          FROM w GROUP BY event_type ORDER BY event_type""",
 
+    "q_path_mining" ->
+      """WITH p AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             string_agg(event_type, '>'
+               ORDER BY epoch_us(ts), event_id) AS path
+           FROM events GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+    "q_ab_lift" ->
+      """WITH c AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+               1, 8))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm, conv
+           FROM c),
+         a AS (
+           SELECT
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+           FROM u)
+         SELECT n_a, conv_a, n_b, conv_b,
+           conv_a * n_b > conv_b * n_a AS a_wins,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CAST(conv_a * n_b AS DOUBLE) / CAST(conv_b * n_a AS DOUBLE)
+             AS lift
+         FROM a""",
+
     "q_transitions" ->
-      """WITH t AS (
+"""WITH t AS (
            SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) AS next_type
