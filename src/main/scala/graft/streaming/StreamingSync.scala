@@ -330,8 +330,11 @@ object StreamingSync {
     * (CUSUM detects sustained drift; this flags single spikes), same
     * (ts_us, event_id) order and per-key-monotonic batch contract.
     *
-    * Overflow bound: |x| ≤ 1e6 and n ≤ 1e5 keep every product under
-    * 2^62; enforce upstream (event values in cents sit far inside).
+    * Overflow bound: the largest product is (n·x − Σx)², so n·|x|
+    * must stay ≤ ~1.5e9 (√2^62 / 2) — e.g. |x| ≤ 1e6 cents with
+    * n ≤ 1500 per key, or |x| ≤ 1e4 with n ≤ 1.5e5; enforce upstream
+    * (this fixture peaks at n·x ≈ 5e6). Past the bound, switch the
+    * squares to DECIMAL(38,0)-style wide state.
     */
   def anomalyStream(events: Dataset[ValueEvent]): Dataset[AnomalyRow] = {
     import events.sparkSession.implicits._
