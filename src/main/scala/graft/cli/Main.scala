@@ -196,6 +196,25 @@ object Main {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** Parquet sink with the record count OBSERVED on the write job itself
+    * (`Dataset.observe` — the metric rides the same pass), so the stream
+    * is computed exactly once. A follow-up `df.count()` would rescan
+    * everything — and for a subprocess-backed source, re-run the
+    * connector child, so the reported count could even disagree with
+    * what was written. The reference pays the same single pass: its
+    * counts fold over the one stdout stream (tap.py:899-902).
+    */
+  private[cli] def writeParquetCounted(
+      name: String,
+      df: org.apache.spark.sql.DataFrame,
+      dir: String): (String, Long) = {
+    val obs = org.apache.spark.sql.Observation(s"graft_sync_$name")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/$name")
+    name -> obs.get("n").asInstanceOf[Long]
+  }
+
   private def sync(
       spark: SparkSession,
       source: AirbyteSource,
@@ -261,10 +280,7 @@ object Main {
     // exactly like the reference's STDOUT_LOCK.
     val jobs = opts.get("jobs").flatMap(_.toIntOption).getOrElse(1)
     val parquetSink: ((String, org.apache.spark.sql.DataFrame)) => (String, Long) = {
-      case (name, df) =>
-        val dir = opts("out")
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        name -> df.count()
+      case (name, df) => writeParquetCounted(name, df, opts("out"))
     }
     val counts: Seq[(String, Long)] =
       if (opts.contains("out") && jobs > 1) {

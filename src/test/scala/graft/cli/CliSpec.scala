@@ -90,4 +90,18 @@ class CliSpec extends SparkSpec {
       "-v", "/host/data:/data:ro", "airbyte/source-file:0.5.3"))
     assert(CommandBuilder.native("tap-foo") == Seq("tap-foo"))
   }
+
+  test("writeParquetCounted: the count rides the write job — ONE pass") {
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("scan_probe")
+    val probe = udf { (x: Long) => acc.add(1); true }
+    val df = spark.range(0, 1234).toDF("id").filter(probe(col("id")))
+    val dir = java.nio.file.Files.createTempDirectory("sync_obs").toString
+    val (name, n) = Main.writeParquetCounted("s1", df, dir)
+    assert(name == "s1" && n == 1234L)
+    assert(spark.read.parquet(s"$dir/s1").count() == 1234L)
+    // a count() after the write would have driven a SECOND scan and
+    // doubled the accumulator — the observe-based count must not
+    assert(acc.value == 1234L, s"stream was computed ${acc.value / 1234.0}x")
+  }
 }
