@@ -63,4 +63,90 @@ class GraftExtensionsSpec extends SparkSpec {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // injectOptimizerRule must accept the rule
   }
+
+  private def bandData() = {
+    import spark.implicits._
+    // negatives, boundary-adjacent values, duplicates, and nulls
+    val xs = Seq[Integer](-7, -7, -3, -1, 0, 1, 4, 9, 12, null)
+    val ys = Seq[Integer](-9, -2, -2, 0, 3, 3, 8, 15, null)
+    (xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id_a", "x"),
+      ys.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id_b", "y"))
+  }
+
+  test("band-join rewrite: bucketed equi-join, results identical to the exact plan") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteBandJoin
+    try {
+      for (w <- Seq(0, 1, 3)) {
+        val (a, b) = bandData()
+        def q() = a.crossJoin(b).filter(abs(col("x") - col("y")) <= w)
+          .select("id_a", "id_b")
+        spark.conf.set("spark.graft.band.rewrite.enabled", "true")
+        val rewritten = q()
+        val opt = rewritten.queryExecution.optimizedPlan.toString
+        assert(opt.contains("__band_bucket"), s"w=$w did not rewrite:\n$opt")
+        val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        rewritten.collect() // finalize AQE before reading the physical plan
+        val phys = rewritten.queryExecution.executedPlan.toString
+        assert(!phys.contains("CartesianProduct") && !phys.contains("NestedLoop"),
+          s"w=$w kept the quadratic join:\n$phys")
+        spark.conf.set("spark.graft.band.rewrite.enabled", "false")
+        val exact = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(got == exact, s"w=$w: rewrite changed results")
+        assert(exact.nonEmpty) // the equivalence is not vacuous
+      }
+    } finally {
+      spark.conf.set("spark.graft.band.rewrite.enabled", "false")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("band-join rewrite preserves duplicate-row multiset semantics") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteBandJoin
+    try {
+      import spark.implicits._
+      // duplicate rows on both sides: counts must multiply exactly
+      val a = Seq(5, 5, 5).toDF("x")
+      val b = Seq(6, 6).toDF("y")
+      spark.conf.set("spark.graft.band.rewrite.enabled", "true")
+      val q = a.crossJoin(b).filter(abs(col("x") - col("y")) <= 1)
+      assert(q.queryExecution.optimizedPlan.toString.contains("__band_bucket"))
+      assert(q.count() == 6L) // 3 x 2, each pair exactly once
+    } finally {
+      spark.conf.set("spark.graft.band.rewrite.enabled", "false")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("band-join rewrite leaves non-band and non-int shapes alone") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteBandJoin
+    try {
+      import spark.implicits._
+      spark.conf.set("spark.graft.band.rewrite.enabled", "true")
+      // long operands: subtraction could wrap, pigeonhole unsound -> skip
+      val al = Seq(1L, 2L).toDF("x"); val bl = Seq(2L, 3L).toDF("y")
+      val ql = al.crossJoin(bl).filter(abs(col("x") - col("y")) <= 1L)
+      assert(!ql.queryExecution.optimizedPlan.toString.contains("__band_bucket"))
+      assert(ql.count() == 3L)
+      // same-side band (both refs from one table) must not rewrite
+      val ab = Seq((1, 2), (5, 9)).toDF("x", "x2")
+      val cd = Seq(7, 8).toDF("z")
+      val qs = ab.crossJoin(cd).filter(abs(col("x") - col("x2")) <= 1)
+      assert(!qs.queryExecution.optimizedPlan.toString.contains("__band_bucket"))
+      assert(qs.count() == 2L)
+      // an existing equi-key already makes the join hash-partitionable:
+      // replacing it with bucket keys would be a pessimization -> skip
+      val ae = Seq((1, 10), (2, 20)).toDF("k", "x")
+      val be = Seq((1, 11), (2, 99)).toDF("k2", "y")
+      val qe = ae.join(be, col("k") === col("k2"))
+        .filter(abs(col("x") - col("y")) <= 1)
+      assert(!qe.queryExecution.optimizedPlan.toString.contains("__band_bucket"))
+      assert(qe.count() == 1L)
+    } finally {
+      spark.conf.set("spark.graft.band.rewrite.enabled", "false")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
 }
