@@ -1896,6 +1896,61 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // AS OF time travel over the SCD2 change stream: reconstruct each
+    // customer's priority attribute as it was valid on 1995-06-01 — the
+    // temporal read every warehouse pairs with slowly-changing
+    // dimensions (the q_scd2 frame queried at a point in time). Per key
+    // the last change at-or-before the date wins; keys whose first
+    // change is later don't exist yet and are absent.
+    "q_time_travel" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("__prev", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("o_orderpriority"))
+      val asOf = lit("1995-06-01").cast("date")
+      changes.filter(col("o_orderdate") <= asOf)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("attr_at"),
+          col("o_orderdate").as("since_date"),
+          col("o_orderkey").as("change_key"))
+        .orderBy("o_custkey")
+    }),
+
+    // k-anonymity audit (Sweeney 2002): quasi-identifier (nation,
+    // market segment) — every combination's population with the k = 10
+    // re-identification verdict, the governance gate run before any
+    // demographic slice ships. Pure integer counts.
+    "q_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          (col("n") < 10).as("violates_k10"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // l-diversity audit (Machanavajjhala et al. 2007): within each
+    // quasi-identifier group, the sensitive attribute (order priority)
+    // must take >= 3 distinct values — k-anonymity's complement against
+    // homogeneity attacks (a group of 10 that all share one priority
+    // still leaks it). Integer distinct counts.
+    "q_l_diversity" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderpriority")).as("n_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_orders"),
+          col("n_sensitive"), (col("n_sensitive") < 3).as("violates_l3"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // Z-order layout + 2-D pruned scan (Layout.zorderWrite/zorderScan
     // under the oracle): events cluster by the Morton interleave of
     // (user_id, day) into 64 z-bucket directories; the 2-D range query
@@ -3248,6 +3303,37 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_time_travel" ->
+      """WITH ch AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         sc AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+           FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+         r AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM sc WHERE o_orderdate <= DATE '1995-06-01')
+         SELECT o_custkey, o_orderpriority AS attr_at,
+           o_orderdate AS since_date, o_orderkey AS change_key
+         FROM r WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           count(*) < 10 AS violates_k10
+         FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
+
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+           count(DISTINCT o_orderpriority) < 3 AS violates_l3
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
