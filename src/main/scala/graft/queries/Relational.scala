@@ -1936,19 +1936,25 @@ object Relational {
     }),
 
     // l-diversity audit (Machanavajjhala et al. 2007): within each
-    // quasi-identifier group, the sensitive attribute (order priority)
-    // must take >= 3 distinct values — k-anonymity's complement against
-    // homogeneity attacks (a group of 10 that all share one priority
-    // still leaks it). Integer distinct counts.
+    // quasi-identifier group — (nation, segment, balance-band), the
+    // granularity a published slice would actually carry — the
+    // sensitive attribute (order status) must take >= 3 distinct
+    // values; k-anonymity's complement against homogeneity attacks (a
+    // small group whose members all share one status leaks it even at
+    // k). 61/901 groups violate at sf0.01 — the gate observably
+    // gates. Integer distinct counts.
     "q_l_diversity" -> ((s, d) => {
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .withColumn("bal_band",
+          expr("CAST(floor(c_acctbal / 1000) AS BIGINT)"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
         .agg(count(lit(1)).as("n_orders"),
-          countDistinct(col("o_orderpriority")).as("n_sensitive"))
-        .select(col("c_nationkey"), col("c_mktsegment"), col("n_orders"),
-          col("n_sensitive"), (col("n_sensitive") < 3).as("violates_l3"))
-        .orderBy("c_nationkey", "c_mktsegment")
+          countDistinct(col("o_orderstatus")).as("n_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("n_orders"), col("n_sensitive"),
+          (col("n_sensitive") < 3).as("violates_l3"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }),
 
     // Z-order layout + 2-D pruned scan (Layout.zorderWrite/zorderScan
@@ -3329,11 +3335,13 @@ object Relational {
 
     "q_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
-           count(DISTINCT o_orderpriority) < 3 AS violates_l3
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive,
+           count(DISTINCT o_orderstatus) < 3 AS violates_l3
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
+         GROUP BY 1, 2, 3
+         ORDER BY c_nationkey, c_mktsegment, bal_band""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
