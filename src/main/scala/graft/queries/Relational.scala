@@ -1896,6 +1896,28 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // Grouped exact top-k as a typed Aggregator
+    // ([[graft.functions.Aggregators.TopKLong]] under the oracle): per
+    // order priority, the 5 largest order totals in cents via a bounded
+    // k-array aggregate — map-side combine ships ≤ k values per
+    // (partition, group) where the window-rank formulation (q_topk)
+    // shuffles and sorts every row. Value-set semantics (sorted
+    // descending) need no tiebreak; the array renders for the hash via
+    // the proven sorted-array rendering.
+    "q_grouped_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.Aggregators.TopKLong.topk(col("cents"), 5)
+          .as("__top"))
+        // arrays render as joined strings — the portable-hash law for
+        // list-valued outputs (see q_map_funcs)
+        .select(col("o_orderpriority"),
+          array_join(col("__top"), ",").as("top5_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // AS OF time travel over the SCD2 change stream: reconstruct each
     // customer's priority attribute as it was valid on 1995-06-01 — the
     // temporal read every warehouse pairs with slowly-changing
@@ -3309,6 +3331,22 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_grouped_topk" ->
+      """WITH c AS (
+           SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY cents DESC) AS rn
+           FROM c)
+         SELECT o_orderpriority,
+           array_to_string(list(cents ORDER BY cents DESC), ',')
+             AS top5_cents
+         FROM r WHERE rn <= 5
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     "q_time_travel" ->
       """WITH ch AS (
