@@ -119,11 +119,12 @@ object RewriteSimilarityJoin extends Rule[LogicalPlan] {
   * rule this one is exact, and is therefore enabled by default
   * (`spark.graft.band.rewrite.enabled=false` to opt out).
   *
-  * Scope guards: operands must be int-width (byte/short/int — bucket
-  * math then runs overflow-free in Long; a 64-bit operand whose
-  * subtraction wraps would make the original predicate and the bucket
-  * pigeonhole disagree), deterministic, and one per join side. Null
-  * operands fall out identically on both paths (null bucket never
+  * Scope guards: operands must be byte/short always, or int under ANSI
+  * mode (see [[RewriteBandJoin.intWidth]] for the overflow analysis —
+  * a 64-bit or non-ANSI-int subtraction can wrap where the Long bucket
+  * math cannot, and the two would disagree), deterministic, and one
+  * per join side; joins already carrying an equi-key are left alone.
+  * Null operands fall out identically on both paths (null bucket never
   * equi-joins; null band conjunct never passes the filter).
   */
 object RewriteBandJoin extends Rule[LogicalPlan] {
@@ -144,8 +145,20 @@ object RewriteBandJoin extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Operand admission. Byte/short operands can never overflow their
+    * int-typed subtraction, so the rewrite is unconditionally exact.
+    * Int operands CAN overflow `x − y` at extreme spans: under ANSI
+    * (the default) the exact plan would THROW on such a pair while the
+    * bucket join prunes it first — acceptable, the same best-effort
+    * error semantics Spark's own pruning/pushdown already has — but
+    * under non-ANSI the wrapped difference can spuriously satisfy the
+    * band and the pruned rewrite would silently drop that pair, so int
+    * operands are only admitted when ANSI is on.
+    */
   private def intWidth(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType => true
+    case ByteType | ShortType => true
+    case IntegerType =>
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.ANSI_ENABLED)
     case _ => false
   }
 

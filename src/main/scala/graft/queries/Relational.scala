@@ -868,15 +868,18 @@ object Relational {
           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
           sum(when(col("arm") === "B", col("converted")).otherwise(0L))
             .as("conv_b"))
+      // empty arms / zero conversions yield NULL rates and lift like
+      // the oracle's double division — never an ANSI divide error
       agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         (col("conv_a") * col("n_b") > col("conv_b") * col("n_a"))
           .as("a_wins"),
-        (col("conv_a").cast("double") / col("n_a").cast("double"))
-          .as("rate_a"),
-        (col("conv_b").cast("double") / col("n_b").cast("double"))
-          .as("rate_b"),
+        (col("conv_a").cast("double") /
+          when(col("n_a") =!= 0L, col("n_a")).cast("double")).as("rate_a"),
+        (col("conv_b").cast("double") /
+          when(col("n_b") =!= 0L, col("n_b")).cast("double")).as("rate_b"),
         ((col("conv_a") * col("n_b")).cast("double")
-          / (col("conv_b") * col("n_a")).cast("double")).as("lift"))
+          / when(col("conv_b") * col("n_a") =!= 0L,
+              col("conv_b") * col("n_a")).cast("double")).as("lift"))
     }),
 
     // Rolling 7-day active users (the WAU curve): per calendar day, the
@@ -1298,9 +1301,15 @@ object Relational {
           sum(col("cd") * col("l3")).as("num3"))
         .select(col("event_type"), col("den"), col("num1"), col("num2"),
           col("num3"),
-          (col("num1").cast("double") / col("den").cast("double")).as("acf1"),
-          (col("num2").cast("double") / col("den").cast("double")).as("acf2"),
-          (col("num3").cast("double") / col("den").cast("double")).as("acf3"))
+          // degenerate series (constant counts) has den = 0: NULL, the
+          // same answer DuckDB's double division yields — an unguarded
+          // divide would THROW under the session's default ANSI mode
+          (col("num1").cast("double") /
+            when(col("den") =!= 0L, col("den")).cast("double")).as("acf1"),
+          (col("num2").cast("double") /
+            when(col("den") =!= 0L, col("den")).cast("double")).as("acf2"),
+          (col("num3").cast("double") /
+            when(col("den") =!= 0L, col("den")).cast("double")).as("acf3"))
         .orderBy("event_type")
     }),
 
@@ -1397,8 +1406,11 @@ object Relational {
           (col("sum_2r") - col("n1") * (col("n1") + 1)).as("u1_x2"),
           (lit(2L) * col("n1") * col("n2")
             - (col("sum_2r") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+          // a one-arm nation (n1 or n2 = 0) yields NULL like the
+          // oracle, never an ANSI divide error
           ((col("sum_2r") - col("n1") * (col("n1") + 1)).cast("double")
-            / (lit(2L) * col("n1") * col("n2")).cast("double")).as("auc"))
+            / when(col("n1") =!= 0L && col("n2") =!= 0L,
+                lit(2L) * col("n1") * col("n2")).cast("double")).as("auc"))
         .orderBy("n_name")
     }),
 
@@ -1470,7 +1482,9 @@ object Relational {
           sum(when(col("s1") * col("s2") < 0, 1L).otherwise(0L)).as("d"),
           sum(when(col("s1") * col("s2") === 0, 1L).otherwise(0L)).as("ties"))
         .select(col("n_pairs"), col("c"), col("d"), col("ties"),
-          ((col("c") - col("d")).cast("double") / col("n_pairs").cast("double"))
+          // a single-group input has no pairs: NULL tau like the oracle
+          ((col("c") - col("d")).cast("double") /
+            when(col("n_pairs") =!= 0L, col("n_pairs")).cast("double"))
             .as("tau"))
     }),
 
@@ -1552,8 +1566,11 @@ object Relational {
         .select(col("type_a"), col("type_b"), col("n"), col("num"),
           col("den_x"), col("den_y"),
           signum(col("num")).cast("int").as("sign"),
+          // a constant series gives den_x or den_y = 0: NULL like the
+          // oracle's double division, never an ANSI divide error
           ((col("num").cast(DecimalType(38, 0)) * col("num")).cast("double")
-            / (col("den_x").cast(DecimalType(38, 0)) * col("den_y"))
+            / when(col("den_x") =!= 0L && col("den_y") =!= 0L,
+                (col("den_x").cast(DecimalType(38, 0)) * col("den_y")))
               .cast("double")).as("r2"))
         .orderBy("type_a", "type_b")
     }),

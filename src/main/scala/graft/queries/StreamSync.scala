@@ -525,16 +525,26 @@ object StreamSync {
     sink.toString
   }
 
-  private def ewmaSinkDir(s: SparkSession, d: String): String = {
+  /** Shared replay fixture for the numeric-state ValueEvent family
+    * (EWMA / Holt / anomaly / CUSUM / TWA): events of users < 30 as
+    * integer cents, landed as two mtime-ordered jsonl micro-batches cut
+    * at 2024-01-15T00:00:00Z, replayed through `transform` under
+    * AvailableNow into a parquet sink, with the row-conservation check.
+    * One definition keeps the cut constant, the schema, and the
+    * got == expected invariant from drifting apart across the family.
+    */
+  private def valueEventSinkDir(
+      s: SparkSession, d: String, name: String)(
+      transform: org.apache.spark.sql.Dataset[StreamingSync.ValueEvent] =>
+        org.apache.spark.sql.Dataset[_]): String = {
     val srcFile = new java.io.File(s"$d/events.parquet")
     val root = Paths.get(
-      s"/tmp/graft_fixtures/stream_ewma_${srcFile.lastModified}_${srcFile.length}")
+      s"/tmp/graft_fixtures/stream_${name}_${srcFile.lastModified}_${srcFile.length}")
     val marker = root.resolve("_DONE")
     val sink = root.resolve("sink")
     ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
-        // integer cents via the proven round(x*100) rendering; the EWMA
-        // fold itself runs in doubles on both sides
+        // integer cents via the proven round(x*100) rendering
         val ev = Tables.events(s, d).filter(col("user_id") < 30)
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
@@ -558,21 +568,21 @@ object StreamSync {
           org.apache.spark.sql.types.StructField("v",
             org.apache.spark.sql.types.LongType)))
         import s.implicits._
-        val smoothed = StreamingSync.ewmaStream(
+        val out = transform(
           StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
             maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
-        val q = smoothed.writeStream
+        val q = out.writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", root.resolve("ckpt").toString)
           .format("parquet")
           .option("path", sink.toString)
           .start()
-        awaitOrFail(q, 180000, "stream_ewma replay")
+        awaitOrFail(q, 180000, s"stream_$name replay")
 
         val got = s.read.parquet(sink.toString).count()
         val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
         require(got == expected,
-          s"stream_ewma sink has $got rows, expected $expected — " +
+          s"stream_$name sink has $got rows, expected $expected — " +
             "an event was dropped or duplicated across batches")
         Files.createFile(marker)
         ()
@@ -580,219 +590,21 @@ object StreamSync {
     sink.toString
   }
 
-  private def holtSinkDir(s: SparkSession, d: String): String = {
-    val srcFile = new java.io.File(s"$d/events.parquet")
-    val root = Paths.get(
-      s"/tmp/graft_fixtures/stream_holt_${srcFile.lastModified}_${srcFile.length}")
-    val marker = root.resolve("_DONE")
-    val sink = root.resolve("sink")
-    ensureFixture(root) {
-        val landing = Files.createDirectories(root.resolve("landing"))
-        // integer cents; the Holt recurrence is pure integer on both sides
-        val ev = Tables.events(s, d).filter(col("user_id") < 30)
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
-        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
-          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
-        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
-          root, landing, "batch1_early.jsonl")
-        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
-          root, landing, "batch2_late.jsonl")
-        mtimeAfter(b2, b1, 2000)
+  private def ewmaSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "ewma")(StreamingSync.ewmaStream(_))
 
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts_us",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType)))
-        import s.implicits._
-        val smoothed = StreamingSync.holtStream(
-          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
-            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
-        val q = smoothed.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .format("parquet")
-          .option("path", sink.toString)
-          .start()
-        awaitOrFail(q, 180000, "stream_holt replay")
+  private def holtSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "holt")(StreamingSync.holtStream(_))
 
-        val got = s.read.parquet(sink.toString).count()
-        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
-        require(got == expected,
-          s"stream_holt sink has $got rows, expected $expected — " +
-            "an event was dropped or duplicated across batches")
-        Files.createFile(marker)
-        ()
-    }
-    sink.toString
-  }
+  private def anomalySinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "anomaly")(StreamingSync.anomalyStream(_))
 
-  private def anomalySinkDir(s: SparkSession, d: String): String = {
-    val srcFile = new java.io.File(s"$d/events.parquet")
-    val root = Paths.get(
-      s"/tmp/graft_fixtures/stream_anomaly_${srcFile.lastModified}_${srcFile.length}")
-    val marker = root.resolve("_DONE")
-    val sink = root.resolve("sink")
-    ensureFixture(root) {
-        val landing = Files.createDirectories(root.resolve("landing"))
-        val ev = Tables.events(s, d).filter(col("user_id") < 30)
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
-        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
-          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
-        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
-          root, landing, "batch1_early.jsonl")
-        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
-          root, landing, "batch2_late.jsonl")
-        mtimeAfter(b2, b1, 2000)
+  private def cusumSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "cusum")(
+      StreamingSync.cusumStream(_, slack = 2000L, threshold = 30000L))
 
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts_us",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType)))
-        import s.implicits._
-        val flagged = StreamingSync.anomalyStream(
-          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
-            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
-        val q = flagged.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .format("parquet")
-          .option("path", sink.toString)
-          .start()
-        awaitOrFail(q, 180000, "stream_anomaly replay")
-
-        val got = s.read.parquet(sink.toString).count()
-        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
-        require(got == expected,
-          s"stream_anomaly sink has $got rows, expected $expected — " +
-            "an event was dropped or duplicated across batches")
-        Files.createFile(marker)
-        ()
-    }
-    sink.toString
-  }
-
-  private def cusumSinkDir(s: SparkSession, d: String): String = {
-    val srcFile = new java.io.File(s"$d/events.parquet")
-    val root = Paths.get(
-      s"/tmp/graft_fixtures/stream_cusum_${srcFile.lastModified}_${srcFile.length}")
-    val marker = root.resolve("_DONE")
-    val sink = root.resolve("sink")
-    ensureFixture(root) {
-        val landing = Files.createDirectories(root.resolve("landing"))
-        val ev = Tables.events(s, d).filter(col("user_id") < 30)
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
-        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
-          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
-        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
-          root, landing, "batch1_early.jsonl")
-        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
-          root, landing, "batch2_late.jsonl")
-        mtimeAfter(b2, b1, 2000)
-
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts_us",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType)))
-        import s.implicits._
-        val monitored = StreamingSync.cusumStream(
-          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
-            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent],
-          slack = 2000L, threshold = 30000L)
-        val q = monitored.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .format("parquet")
-          .option("path", sink.toString)
-          .start()
-        awaitOrFail(q, 180000, "stream_cusum replay")
-
-        val got = s.read.parquet(sink.toString).count()
-        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
-        require(got == expected,
-          s"stream_cusum sink has $got rows, expected $expected — " +
-            "an event was dropped or duplicated across batches")
-        Files.createFile(marker)
-        ()
-    }
-    sink.toString
-  }
-
-  private def twaSinkDir(s: SparkSession, d: String): String = {
-    val srcFile = new java.io.File(s"$d/events.parquet")
-    val root = Paths.get(
-      s"/tmp/graft_fixtures/stream_twa_${srcFile.lastModified}_${srcFile.length}")
-    val marker = root.resolve("_DONE")
-    val sink = root.resolve("sink")
-    ensureFixture(root) {
-        val landing = Files.createDirectories(root.resolve("landing"))
-        val ev = Tables.events(s, d).filter(col("user_id") < 30)
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
-        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
-          col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
-        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
-          root, landing, "batch1_early.jsonl")
-        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
-          root, landing, "batch2_late.jsonl")
-        mtimeAfter(b2, b1, 2000)
-
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts_us",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType)))
-        import s.implicits._
-        val averaged = StreamingSync.twaStream(
-          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
-            maxFilesPerTrigger = 1).as[StreamingSync.ValueEvent])
-        val q = averaged.writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", root.resolve("ckpt").toString)
-          .format("parquet")
-          .option("path", sink.toString)
-          .start()
-        awaitOrFail(q, 180000, "stream_twa replay")
-
-        val got = s.read.parquet(sink.toString).count()
-        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
-        require(got == expected,
-          s"stream_twa sink has $got rows, expected $expected — " +
-            "an event was dropped or duplicated across batches")
-        Files.createFile(marker)
-        ()
-    }
-    sink.toString
-  }
+  private def twaSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "twa")(StreamingSync.twaStream(_))
 
   private def sessionizeSinkDir(s: SparkSession, d: String): String = {
     val gapSeconds = 1800L
