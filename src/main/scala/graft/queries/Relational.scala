@@ -1913,6 +1913,45 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // Two-sample Kolmogorov-Smirnov drift (Kolmogorov 1933; Smirnov
+    // 1939): per priority, the largest CDF gap between 1994 and 1995
+    // order totals — the standard distribution-drift gate between two
+    // data vintages. D = max|F₁(x) − F₂(x)| cross-multiplies to the
+    // exact integer witness max|cum₁·n₂ − cum₂·n₁| (a float CDF could
+    // tie differently at the argmax); the argmax value tiebreaks
+    // low, and D itself is the single division. One value-level
+    // aggregate + cumulative windows on the same partitioning.
+    "q_ks_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1994, 1995))
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+          (year(col("o_orderdate")) === 1994).as("in_a"))
+      val perV = o.groupBy(col("prio"), col("v"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+      val wCum = Window.partitionBy(col("prio")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("prio"))
+      val scored = perV
+        .withColumn("cum_a", sum(col("a")).over(wCum))
+        .withColumn("cum_b", sum(col("b")).over(wCum))
+        .withColumn("n_a", sum(col("a")).over(wAll))
+        .withColumn("n_b", sum(col("b")).over(wAll))
+        .withColumn("gap",
+          abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("prio"))
+            .orderBy(col("gap").desc, col("v").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("prio"), col("n_a"), col("n_b"),
+          col("gap").as("ks_num"), col("v").as("at_value"),
+          (col("gap").cast("double") /
+            when(col("n_a") * col("n_b") =!= 0L, col("n_a") * col("n_b"))
+              .cast("double")).as("ks"))
+        .orderBy("prio")
+    }),
+
     // Grouped exact top-k as a typed Aggregator
     // ([[graft.functions.Aggregators.TopKLong]] under the oracle): per
     // order priority, the 5 largest order totals in cents via a bounded
@@ -3348,6 +3387,36 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_ks_drift" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             year(o_orderdate) = 1994 AS in_a
+           FROM orders WHERE year(o_orderdate) IN (1994, 1995)),
+         per_v AS (
+           SELECT prio, v,
+             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+           FROM o GROUP BY 1, 2),
+         c AS (
+           SELECT prio, v,
+             sum(a) OVER w AS cum_a, sum(b) OVER w AS cum_b,
+             sum(a) OVER p AS n_a, sum(b) OVER p AS n_b
+           FROM per_v
+           WINDOW w AS (PARTITION BY prio ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  p AS (PARTITION BY prio)),
+         g AS (
+           SELECT prio, v, n_a, n_b,
+             abs(cum_a * n_b - cum_b * n_a) AS gap,
+             row_number() OVER (PARTITION BY prio
+               ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC) AS rn
+           FROM c)
+         SELECT prio, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(gap AS BIGINT) AS ks_num, v AS at_value,
+           CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks
+         FROM g WHERE rn = 1 ORDER BY prio""",
 
     "q_grouped_topk" ->
       """WITH c AS (
