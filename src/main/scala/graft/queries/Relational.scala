@@ -1913,6 +1913,75 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // RFM segmentation (Hughes 1994): per customer, recency (days from
+    // last order to the corpus max date), frequency (order count), and
+    // monetary (cents), each scored 1-5 by deterministic ntile over the
+    // unique (metric, custkey) order — then the segment census. The
+    // classic lifecycle-marketing cut, exact integers end to end.
+    "q_rfm" -> ((s, d) => {
+      val maxD = Tables.orders(s, d).agg(max(col("o_orderdate")).as("mx"))
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
+        .crossJoin(broadcast(maxD))
+        .withColumn("rec", datediff(col("mx"), col("last_d")).cast("long"))
+      def score(c: String, asc: Boolean) = ntile(5).over(
+        Window.orderBy(
+          (if (asc) col(c).asc else col(c).desc), col("o_custkey").asc))
+        .cast("long")
+      // global ntile is single-partition BY SEMANTICS (a total order
+      // over customers — the q_curriculum class; at 100 TB score from
+      // approx quantile cuts instead)
+      per
+        .withColumn("r_score", score("rec", asc = true)) // recent = best
+        .withColumn("f_score", score("freq", asc = false))
+        .withColumn("m_score", score("mon", asc = false))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon")).as("segment_cents"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // Market-basket lift (Agrawal, Imieliński & Swami 1993): part pairs
+    // co-ordered within an order, support >= 3 orders (63 pairs at
+    // sf0.01 — the gate observably gates), ranked by the
+    // exact integer lift witness — lift > 1 ⇔ n_ab·N > n_a·n_b, a
+    // cross-multiplication that can never tie differently across
+    // engines; the float lift is the single division. The within-order
+    // pair expansion is bounded by order width (the q_pagerank
+    // blocking shape), and margins join back part-spine-sized.
+    "q_basket_lift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // single-row crossJoin, the documented bounded stat shape — no
+      // driver-side action inside query construction
+      val total = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val margin = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(margin.select(col("l_partkey").as("pa"), col("n_part").as("n_a")),
+          Seq("pa"))
+        .join(margin.select(col("l_partkey").as("pb"), col("n_part").as("n_b")),
+          Seq("pb"))
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          col("n_orders"),
+          (col("n_ab") * col("n_orders") > col("n_a") * col("n_b"))
+            .as("lift_gt1"),
+          ((col("n_ab") * col("n_orders")).cast("double") /
+            when(col("n_a") * col("n_b") =!= 0L, col("n_a") * col("n_b"))
+              .cast("double")).as("lift"))
+        .orderBy("pa", "pb")
+    }),
+
     // Two-sample Kolmogorov-Smirnov drift (Kolmogorov 1933; Smirnov
     // 1939): per priority, the largest CDF gap between 1994 and 1995
     // order totals — the standard distribution-drift gate between two
@@ -3387,6 +3456,55 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+         per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+           FROM orders GROUP BY 1),
+         scored AS (
+           SELECT o_custkey, mon,
+             CAST(ntile(5) OVER (ORDER BY
+               CAST(date_diff('day', last_d, mx.mx) AS BIGINT) ASC,
+               o_custkey ASC) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC)
+               AS BIGINT) AS m_score
+           FROM per, mx)
+         SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS segment_cents
+         FROM scored GROUP BY 1, 2, 3
+         ORDER BY r_score, f_score, m_score""",
+
+    "q_basket_lift" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         total AS (
+           SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+           FROM li),
+         margin AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+           FROM li GROUP BY 1),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT p.pa, p.pb, p.n_ab, ma.n_part AS n_a, mb.n_part AS n_b,
+           t.n_orders,
+           p.n_ab * t.n_orders > ma.n_part * mb.n_part AS lift_gt1,
+           CAST(p.n_ab * t.n_orders AS DOUBLE)
+             / CAST(ma.n_part * mb.n_part AS DOUBLE) AS lift
+         FROM pairs p
+         JOIN margin ma ON p.pa = ma.l_partkey
+         JOIN margin mb ON p.pb = mb.l_partkey
+         CROSS JOIN total t
+         ORDER BY pa, pb""",
 
     "q_ks_drift" ->
       """WITH o AS (
