@@ -190,6 +190,73 @@ object TimeSeries {
         (col("__fold.l") + col("__fold.b")).as("forecast_next"): _*)
   }
 
+  /** Holt-Winters additive seasonal smoothing (Winters 1960) in PURE
+    * INTEGER arithmetic with α = β = γ = 1/2 and period `m`: per key
+    * over the ordered integer series, with step ordinal t (1-based)
+    * and seasonal slot idx = (t−1) mod m,
+    *   l_1 = x_1, b_1 = 0, s = all-zero
+    *   l_t = ((x_t − s[idx]) + (l + b)) div 2
+    *   b_t = (b + (l_t − l)) div 2
+    *   s[idx] ← (s[idx] + (x_t − l_t)) div 2
+    * — deseasonalized level, smoothed trend, and a per-slot seasonal
+    * correction that converges from the zero start (the deterministic
+    * cold-start initialization; classic first-period seeding is a
+    * different, equally arbitrary constant). Truncated division is
+    * identical in Spark `div`, DuckDB `//`, and JVM `/`, so the fold
+    * replays bit-identically — completing the forecasting trio
+    * ([[ewmaDyadic]] level-only, [[holtLinear]] +trend, this +season).
+    * One-step forecast: l + b + s[t mod m].
+    *
+    * `orderCol` must be unique within a key. Result per key:
+    * `(keyCols*, n_points, level, trend, season_next, forecast_next)`.
+    *
+    * Scale shape: ONE shuffle to calendar-sized per-key series; the
+    * recurrence folds inside one codegen `aggregate` whose state is a
+    * struct of two longs + an m-array — bounded by the period, not the
+    * corpus. The oracle replays it as a per-key recursive CTE carrying
+    * the seasonal list.
+    */
+  def holtWinters(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 366, s"period out of range: $period")
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).as("o"), col(valueCol).cast("long").as("v"))))
+        .as("__series"))
+      .withColumn("__fold", expr(
+        s"""aggregate(
+             slice(transform(__series, s -> s.v), 2, size(__series) - 1),
+             named_struct(
+               'l', element_at(transform(__series, s -> s.v), 1),
+               'b', CAST(0 AS BIGINT),
+               't', CAST(1 AS BIGINT),
+               's', array_repeat(CAST(0 AS BIGINT), $period)),
+             (acc, x) -> named_struct(
+               'l', ((x - element_at(acc.s, CAST(pmod(acc.t, $period) AS INT) + 1))
+                      + (acc.l + acc.b)) div 2,
+               'b', (acc.b + (((x - element_at(acc.s, CAST(pmod(acc.t, $period) AS INT) + 1))
+                      + (acc.l + acc.b)) div 2 - acc.l)) div 2,
+               't', acc.t + 1,
+               's', transform(acc.s, (sv, i) ->
+                 IF(i = CAST(pmod(acc.t, $period) AS INT),
+                    (sv + (x - (((x - sv) + (acc.l + acc.b)) div 2))) div 2,
+                    sv))))"""))
+      .select(keys ++ Seq(
+        size(col("__series")).cast("long").as("n_points"),
+        col("__fold.l").as("level"),
+        col("__fold.b").as("trend"),
+        expr(s"element_at(__fold.s, CAST(pmod(__fold.t, $period) AS INT) + 1)")
+          .as("season_next"),
+        (col("__fold.l") + col("__fold.b") +
+          expr(s"element_at(__fold.s, CAST(pmod(__fold.t, $period) AS INT) + 1)"))
+          .as("forecast_next")): _*)
+  }
+
   /** One-sided CUSUM change detection (Page 1954, "Continuous
     * inspection schemes"): per key, over the ordered series,
     * c⁺_t = max(0, c⁺_{t-1} + x_t − target − slack), alarming where

@@ -1273,6 +1273,21 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Holt-Winters additive weekly seasonality ([[graft.operators
+    // .TimeSeries.holtWinters]] under the oracle): level + trend +
+    // 7-slot seasonal state over per-type daily event counts — the
+    // forecasting trio's last member (EWMA level, Holt +trend, this
+    // +season), in pure integer arithmetic so DuckDB's recursive CTE
+    // replays every step including the seasonal-slot updates.
+    "q_holt_winters" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.holtWinters(daily, Seq("event_type"),
+          "day", "cnt", period = 7)
+        .orderBy("event_type")
+    }),
+
     // Lag-k autocorrelation (Box & Jenkins 1970) of daily event counts
     // per type, k = 1..3 — the seasonality probe run before choosing
     // resample windows. Exact integer witnesses via the n-scaled
@@ -3024,6 +3039,38 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         num AS (
+           SELECT k, d, v,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM daily),
+         rec AS (
+           SELECT k, rn, n, v AS l, CAST(0 AS BIGINT) AS b,
+             CAST(1 AS BIGINT) AS t,
+             [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             ((d.v - r.s[CAST(r.t % 7 AS INT) + 1]) + (r.l + r.b)) // 2 AS l,
+             (r.b + (((d.v - r.s[CAST(r.t % 7 AS INT) + 1])
+                + (r.l + r.b)) // 2 - r.l)) // 2 AS b,
+             r.t + 1 AS t,
+             list_transform(r.s, (sv, i) ->
+               CASE WHEN i = CAST(r.t % 7 AS INT) + 1
+                    THEN (sv + (d.v - (((d.v - sv) + (r.l + r.b)) // 2))) // 2
+                    ELSE sv END) AS s
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS event_type, n AS n_points, l AS level, b AS trend,
+           s[CAST(t % 7 AS INT) + 1] AS season_next,
+           l + b + s[CAST(t % 7 AS INT) + 1] AS forecast_next
+         FROM rec WHERE rn = n ORDER BY event_type""",
 
     "q_acf" ->
       """WITH daily AS (

@@ -188,6 +188,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((25L, -2L, 23L)))
   }
 
+  test("holtWinters replays a hand-traced period-2 recurrence") {
+    // m=2, series 10, 20, 30:
+    // t1: l=10, b=0, s=[0,0]
+    // t2 (slot 1): l=((20−0)+(10+0))/2=15, b=(0+5)/2=2,
+    //              s[1]=(0+(20−15))/2=2 → s=[0,2]
+    // t3 (slot 0): l=((30−0)+(15+2))/2=23, b=(2+8)/2=5,
+    //              s[0]=(0+(30−23))/2=3 → s=[3,2]
+    // forecast slot = t=3 → 3%2=1 → s[1]=2 → 23+5+2=30
+    val df = daily(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+      ("a", "2024-01-03", 30.0))
+    val r = TimeSeries.holtWinters(df, Seq("k"), "day", "v", period = 2)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((3L, 23L, 5L, 2L, 30L)))
+  }
+
+  test("holtWinters matches a sequential Scala fold with period 7") {
+    val vals = Seq(12L, 5L, 9L, 30L, 2L, 18L, 25L, 11L, 6L, 8L, 31L, 4L,
+      17L, 24L, 13L, 5L, 10L, 29L, 1L, 19L, 26L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k", f"2024-03-${i + 1}%02d", Double.box(v.toDouble))
+    }
+    val df = daily(rows: _*)
+    var l = vals.head; var b = 0L; var t = 1L
+    val s = Array.fill(7)(0L)
+    vals.tail.foreach { x =>
+      val idx = (t % 7).toInt
+      val ln = ((x - s(idx)) + (l + b)) / 2
+      b = (b + (ln - l)) / 2
+      s(idx) = (s(idx) + (x - ln)) / 2
+      l = ln; t += 1
+    }
+    val r = TimeSeries.holtWinters(df, Seq("k"), "day", "v", period = 7)
+      .collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((l, b, s((t % 7).toInt))))
+  }
+
   test("holtLinear matches a sequential Scala fold on a longer series") {
     val vals = Seq(3L, 9L, 1L, 14L, 7L, 7L, 20L, 0L, 5L, 12L)
     val rows = vals.zipWithIndex.map { case (v, i) =>
