@@ -66,6 +66,28 @@ object LlmOps {
     // by the (small) source count, never by the corpus. At real corpus
     // scale the same matrix comes from per-source MinHash signatures;
     // this is the exact formulation the sketch estimates.
+    // N-gram novelty: per doc, the share of its distinct word trigrams
+    // whose FIRST corpus occurrence (min doc_id over the shingle) is
+    // this doc — near-dups and boilerplate-heavy docs score ~0, fresh
+    // text ~1; the doc-level complement of q_vocab_growth's corpus
+    // curve and a cheap pre-filter before the LSH dedup passes.
+    // Integer counts + one guarded division (docs under 3 tokens have
+    // no shingles and are absent, identically on both sides).
+    "q_ngram_novelty" -> ((s, d) => {
+      val sh = keyedShingles(Tables.documents(s, d), "doc_id")
+        .localCheckpoint(false)
+      val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(firsts, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     "q_source_overlap" -> ((s, d) => {
       val srcs = Seq("src0", "src1", "src2", "src3", "src4")
       val sh = keyedShingles(
@@ -1821,6 +1843,24 @@ object LlmOps {
     // The shared distinct (key, 3-gram shingle) substrate of the two
     // queries below, as a DuckDB list comprehension — byte-identical to
     // the engine's index-lambda transform.
+    "q_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, greatest(len(t)-1, 1))]) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM sh s JOIN f ON s.sh = f.sh
+         GROUP BY 1 ORDER BY s.doc_id""",
+
     "q_source_overlap" ->
       """WITH sh AS (
            SELECT DISTINCT source,
