@@ -1292,6 +1292,52 @@ object LlmOps {
     // exact path) — both modes under the hash gate. Null keys and null
     // group keys are filtered on BOTH sides (the oracle's WHERE +
     // USING-join would silently drop such groups otherwise).
+    // KMV join-cardinality estimation (Beyer et al. 2007, "On synopses
+    // for distinct-value estimation"): estimate the distinct-key
+    // overlap of orders⋈customer from two 64-element min-hash sketches
+    // — the statistics a cost-based optimizer consults BEFORE running
+    // the join, at sketch cost instead of join cost. Union sketch =
+    // min-k of the merged sketches; ρ = members present in BOTH side
+    // sketches; D∩ ≈ ρ·D∪ div k — all deterministic integers over the
+    // portable md5 uniform, so DuckDB replays sketch, estimator, and
+    // the within-2× certificate against the exact semi-join count.
+    "q_join_card_est" -> ((s, d) => {
+      import graft.expressions.KmvSketchAgg
+      val k = 64
+      val estNum = (k - 1L) * 4294967296L
+      val sa = Tables.orders(s, d)
+        .agg(KmvSketchAgg.kmv_sketch(
+          graft.operators.Sampling.portableUniform(col("o_custkey")), k)
+          .as("sa"))
+      val sb = Tables.customer(s, d)
+        .agg(KmvSketchAgg.kmv_sketch(
+          graft.operators.Sampling.portableUniform(col("c_custkey")), k)
+          .as("sb"))
+      val exact = Tables.orders(s, d).select(col("o_custkey").as("ck"))
+        .distinct()
+        .join(Tables.customer(s, d).select(col("c_custkey").as("ck")),
+          Seq("ck"), "left_semi")
+        .agg(count(lit(1)).as("d_inter_exact"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exact))
+        .withColumn("un",
+          expr(s"slice(array_sort(array_distinct(concat(sa, sb))), 1, $k)"))
+        .withColumn("n_un", size(col("un")).cast("long"))
+        .withColumn("u_k", expr("element_at(un, CAST(n_un AS INT))"))
+        .withColumn("d_union_est",
+          when(col("n_un") < k, col("n_un"))
+            .otherwise(expr(s"${estNum}L div greatest(u_k, 1L)")))
+        .withColumn("n_inter_sketch",
+          size(expr("array_intersect(array_intersect(un, sa), sb)"))
+            .cast("long"))
+        .withColumn("d_inter_est",
+          when(col("n_un") < k, col("n_inter_sketch"))
+            .otherwise(expr(s"(n_inter_sketch * d_union_est) div ${k}L")))
+        .select(lit(k.toLong).as("k"), col("n_un"), col("d_union_est"),
+          col("n_inter_sketch"), col("d_inter_est"), col("d_inter_exact"),
+          (col("d_inter_est") * 2 >= col("d_inter_exact") &&
+            col("d_inter_est") <= col("d_inter_exact") * 2).as("within_2x"))
+    }),
+
     "q_kmv_distinct" -> ((s, d) => {
       import graft.expressions.KmvSketchAgg
       val k = 64
@@ -2279,6 +2325,55 @@ object LlmOps {
     // same md5 prefix, ranks the distinct hashes, and replays both the
     // exact (< k) and approximate (kth-min division) paths. 270582939648
     // = 63·2^32.
+    "q_join_card_est" ->
+      """WITH sa AS (
+           SELECT list(h ORDER BY h) AS sa FROM (
+             SELECT h FROM (
+               SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                 1, 8))::BIGINT AS h
+               FROM orders)
+             ORDER BY h LIMIT 64)),
+         sb AS (
+           SELECT list(h ORDER BY h) AS sb FROM (
+             SELECT h FROM (
+               SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                 1, 8))::BIGINT AS h
+               FROM customer)
+             ORDER BY h LIMIT 64)),
+         ex AS (
+           SELECT CAST(count(*) AS BIGINT) AS d_inter_exact FROM (
+             SELECT DISTINCT o_custkey FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM customer))),
+         m AS (
+           SELECT list_sort(list_distinct(sa.sa || sb.sb))[1:64] AS un,
+             sa.sa AS sa, sb.sb AS sb, ex.d_inter_exact
+           FROM sa, sb, ex),
+         c AS (
+           SELECT CAST(len(un) AS BIGINT) AS n_un,
+             un[len(un)] AS u_k,
+             CAST(len(list_filter(un, x ->
+               list_contains(sa, x) AND list_contains(sb, x))) AS BIGINT)
+               AS n_inter_sketch,
+             d_inter_exact
+           FROM m),
+         e AS (
+           SELECT n_un,
+             CASE WHEN n_un < 64 THEN n_un
+                  ELSE 270582939648 // greatest(u_k, 1) END AS d_union_est,
+             n_inter_sketch, d_inter_exact
+           FROM c)
+         SELECT CAST(64 AS BIGINT) AS k, n_un, d_union_est, n_inter_sketch,
+           CASE WHEN n_un < 64 THEN n_inter_sketch
+                ELSE (n_inter_sketch * d_union_est) // 64 END AS d_inter_est,
+           d_inter_exact,
+           (CASE WHEN n_un < 64 THEN n_inter_sketch
+                 ELSE (n_inter_sketch * d_union_est) // 64 END) * 2
+               >= d_inter_exact
+             AND (CASE WHEN n_un < 64 THEN n_inter_sketch
+                  ELSE (n_inter_sketch * d_union_est) // 64 END)
+               <= d_inter_exact * 2 AS within_2x
+         FROM e""",
+
     "q_kmv_distinct" ->
       """WITH hf AS (
            SELECT DISTINCT event_type,
