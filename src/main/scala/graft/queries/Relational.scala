@@ -1997,6 +1997,77 @@ object Relational {
         .orderBy("pa", "pb")
     }),
 
+    // Exact weighted median per nation: the quantity-weighted middle of
+    // extended prices — order by (value, tiebreak), pick the first row
+    // where 2·cum_weight ≥ total_weight (the lower weighted median, an
+    // exact order statistic — never an interpolation). One window +
+    // one rank filter on the same partitioning; all integers.
+    "q_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy(col("n_name"))
+        .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("n_name"))
+      li.withColumn("cum_w", sum(col("w")).over(wOrd))
+        .withColumn("tot_w", sum(col("w")).over(wAll))
+        .filter(col("cum_w") * 2 >= col("tot_w"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("v").asc, col("l_orderkey").asc,
+              col("l_linenumber").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("n_name"), col("v").as("weighted_median_cents"),
+          col("cum_w"), col("tot_w"))
+        .orderBy("n_name")
+    }),
+
+    // Wald-Wolfowitz runs test (1940) on the daily order-count series:
+    // per priority, the count of runs above/below the series median —
+    // too few runs = trending/clustered, too many = oscillating. The
+    // median is the exact lower order statistic, run boundaries are
+    // integer comparisons, and the "fewer runs than expected" verdict
+    // cross-multiplies E[R] = 1 + 2n₁n₂/n to R·n < n + 2·n₁·n₂ — never
+    // a float expectation. Completes the nonparametric family beside
+    // q_mannwhitney and q_ks_drift.
+    "q_runs_test" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      val wOrd = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate").asc)
+      val med = daily
+        .withColumn("__mrn", row_number().over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("c").asc, col("o_orderdate").asc)))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__is_med", col("__mrn") === expr("(__n + 1) div 2"))
+        .withColumn("median_c", max(when(col("__is_med"), col("c"))).over(wAll))
+      val signed = med
+        .withColumn("above", (col("c") > col("median_c")).cast("int"))
+        .withColumn("prev", lag(col("above"), 1).over(wOrd))
+      signed.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("above")).as("n1"),
+          sum(lit(1) - col("above")).as("n2"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+            .otherwise(0L))).as("runs"))
+        .select(col("o_orderpriority"), col("n"), col("n1"), col("n2"),
+          col("runs"),
+          (col("runs") * col("n") < col("n") + lit(2L) * col("n1") * col("n2"))
+            .as("fewer_than_expected"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Two-sample Kolmogorov-Smirnov drift (Kolmogorov 1933; Smirnov
     // 1939): per priority, the largest CDF gap between 1994 and 1995
     // order totals — the standard distribution-drift gate between two
@@ -3503,6 +3574,65 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_weighted_median" ->
+      """WITH li AS (
+           SELECT n.n_name,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(round(l.l_quantity) AS BIGINT) AS w,
+             l.l_orderkey, l.l_linenumber
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         c AS (
+           SELECT n_name, v, l_orderkey, l_linenumber,
+             sum(w) OVER (PARTITION BY n_name
+               ORDER BY v, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             sum(w) OVER (PARTITION BY n_name) AS tot_w
+           FROM li),
+         r AS (
+           SELECT n_name, v, cum_w, tot_w,
+             row_number() OVER (PARTITION BY n_name
+               ORDER BY v, l_orderkey, l_linenumber) AS rn
+           FROM c WHERE cum_w * 2 >= tot_w)
+         SELECT n_name, v AS weighted_median_cents,
+           CAST(cum_w AS BIGINT) AS cum_w, CAST(tot_w AS BIGINT) AS tot_w
+         FROM r WHERE rn = 1 ORDER BY n_name""",
+
+    "q_runs_test" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, o_orderdate, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         m AS (
+           SELECT o_orderpriority, o_orderdate, c,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY c, o_orderdate) AS mrn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM daily),
+         mm AS (
+           SELECT o_orderpriority,
+             max(CASE WHEN mrn = (n + 1) // 2 THEN c END) AS median_c
+           FROM m GROUP BY 1),
+         sgn AS (
+           SELECT d.o_orderpriority, d.o_orderdate,
+             CASE WHEN d.c > mm.median_c THEN 1 ELSE 0 END AS above
+           FROM daily d JOIN mm ON d.o_orderpriority = mm.o_orderpriority),
+         runs AS (
+           SELECT o_orderpriority, above,
+             lag(above) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_orderdate) AS prev
+           FROM sgn)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(above) AS BIGINT) AS n1,
+           CAST(sum(1 - above) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+                    THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+                THEN 1 ELSE 0 END) * count(*) AS BIGINT)
+             < count(*) + 2 * sum(above) * sum(1 - above)
+             AS fewer_than_expected
+         FROM runs GROUP BY 1 ORDER BY o_orderpriority""",
 
     "q_rfm" ->
       """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
