@@ -533,8 +533,18 @@ object StreamSync {
     * One definition keeps the cut constant, the schema, and the
     * got == expected invariant from drifting apart across the family.
     */
+  /** The default ValueEvent projection: users < 30, integer cents via
+    * the proven round(x*100) rendering.
+    */
+  private def centsValueEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+
   private def valueEventSinkDir(
-      s: SparkSession, d: String, name: String)(
+      s: SparkSession, d: String, name: String,
+      project: (SparkSession, String) => DataFrame = centsValueEvents)(
       transform: org.apache.spark.sql.Dataset[StreamingSync.ValueEvent] =>
         org.apache.spark.sql.Dataset[_]): String = {
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -544,11 +554,7 @@ object StreamSync {
     val sink = root.resolve("sink")
     ensureFixture(root) {
         val landing = Files.createDirectories(root.resolve("landing"))
-        // integer cents via the proven round(x*100) rendering
-        val ev = Tables.events(s, d).filter(col("user_id") < 30)
-          .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("ts_us"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val ev = project(s, d)
         val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z in epoch micros
         def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
           col("event_id"), col("user_id"), col("ts_us"), col("v"))).as("j"))
@@ -580,7 +586,7 @@ object StreamSync {
         awaitOrFail(q, 180000, s"stream_$name replay")
 
         val got = s.read.parquet(sink.toString).count()
-        val expected = Tables.events(s, d).filter(col("user_id") < 30).count()
+        val expected = project(s, d).count()
         require(got == expected,
           s"stream_$name sink has $got rows, expected $expected — " +
             "an event was dropped or duplicated across batches")
@@ -592,6 +598,23 @@ object StreamSync {
 
   private def ewmaSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "ewma")(StreamingSync.ewmaStream(_))
+
+  /** Projection for the streaming KMV sketch: the ValueEvent key slot
+    * carries the event type's portable md5 uniform and `v` carries the
+    * counted attribute's (user_id's) — both SQL-re-derivable, so the
+    * oracle replays the sketch evolution from the raw table.
+    */
+  private def kmvDistinctEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        graft.operators.Sampling.portableUniform(col("event_type"))
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        graft.operators.Sampling.portableUniform(col("user_id")).as("v"))
+
+  private def kmvSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "kmvdist", kmvDistinctEvents)(
+      StreamingSync.kmvDistinctStream(_))
 
   private def holtSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "holt")(StreamingSync.holtStream(_))
@@ -1261,6 +1284,13 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    "q_stream_distinct" -> ((s, d) => {
+      s.read.parquet(kmvSinkDir(s, d))
+        .select(col("event_id"), col("user_id").as("key_hash"),
+          col("n_sketch"), col("est"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1494,6 +1524,33 @@ object StreamSync {
          SELECT event_id, user_id, l AS level, b AS trend,
            l + b AS forecast_next
          FROM r ORDER BY event_id""",
+
+    // The streamed KMV sketch must equal the batch prefix replay: per
+    // event type in (ts, event_id) order, the ≤64 smallest distinct
+    // md5 uniforms of the users seen so far, and the running estimate
+    // (exact below saturation, (k−1)·2³² div h_k above).
+    "q_stream_distinct" ->
+      """WITH RECURSIVE o AS (
+           SELECT event_id,
+             ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS key_hash,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT key_hash, rn, event_id, [h] AS s
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.key_hash, o.rn, o.event_id,
+             CASE WHEN list_contains(r.s, o.h) THEN r.s
+                  ELSE list_sort(list_append(r.s, o.h))[1:64] END AS s
+           FROM rec r JOIN o ON o.key_hash = r.key_hash AND o.rn = r.rn + 1)
+         SELECT event_id, key_hash,
+           CAST(len(s) AS BIGINT) AS n_sketch,
+           CAST(CASE WHEN len(s) < 64 THEN len(s)
+                ELSE 270582939648 // greatest(s[64], 1) END AS BIGINT) AS est
+         FROM rec ORDER BY event_id""",
 
     // The streamed 3-sigma tripwire must equal the batch EXCLUSIVE
     // prefix-moment windows — same cross-multiplied integer verdict

@@ -362,6 +362,62 @@ object StreamingSync {
       }
   }
 
+  final case class KmvState(hashes: Array[Long])
+  final case class KmvRow(
+      event_id: Long, user_id: Long, n_sketch: Long, est: Long)
+
+  /** Streaming KMV distinct-count estimation (Beyer et al. 2007): the
+    * k-minimum-values sketch as BOUNDED cross-batch state — per key an
+    * ascending array of at most `k` distinct hash values, updated by
+    * sorted insert + trim; each event emits the RUNNING estimate
+    * (exact `n` while the sketch is unsaturated, `(k−1)·2³² div h_k`
+    * after — the [[graft.expressions.KmvSketchAgg]] estimator). The
+    * input's `v` must already carry the portable md5 uniform of the
+    * counted attribute, so every arithmetic step is deterministic
+    * integers and the batch oracle replays the sketch evolution
+    * row for row. Distinct counting with O(k) state per key where an
+    * exact distinct set grows with the corpus — the streaming face of
+    * the batch sketch family. Same (ts_us, event_id) order and
+    * per-key-monotonic batch contract as [[ewmaStream]].
+    */
+  def kmvDistinctStream(
+      events: Dataset[ValueEvent], k: Int = 64): Dataset[KmvRow] = {
+    import events.sparkSession.implicits._
+    require(k >= 2 && k <= 100000, s"k out of range: $k")
+    val estNum = (k - 1L) * 4294967296L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, evs, gs: GroupState[KmvState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.Buffer.empty[KmvRow]
+          sorted.foreach { e =>
+            val h = e.v
+            val idx = java.util.Arrays.binarySearch(st, h)
+            if (idx < 0) { // absent: sorted insert, trim to k
+              val at = -(idx + 1)
+              if (st.length < k || at < k) {
+                val grown = new Array[Long](math.min(st.length + 1, k))
+                System.arraycopy(st, 0, grown, 0, at)
+                grown(at) = h
+                System.arraycopy(st, at, grown, at + 1,
+                  grown.length - at - 1)
+                st = grown
+              }
+            }
+            val n = st.length.toLong
+            val est =
+              if (n < k) n
+              else estNum / math.max(st(k - 1), 1L)
+            out += KmvRow(e.event_id, key, n, est)
+          }
+          gs.update(KmvState(st))
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,

@@ -322,6 +322,36 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvDistinctStream: sketch state saturates and trims across batches") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingSync.ValueEvent](spark)
+    // k=3, v carries the hash directly
+    val q = StreamingSync.kmvDistinctStream(input.toDS(), k = 3).writeStream
+      .format("memory").queryName("kmv_sink").outputMode("append").start()
+    try {
+      // batch 1: hashes 50, 30, 50(dup) → n=1,2,2 (exact below k)
+      input.addData(
+        StreamingSync.ValueEvent(1L, 1L, 1000L, 50L),
+        StreamingSync.ValueEvent(2L, 1L, 2000L, 30L),
+        StreamingSync.ValueEvent(3L, 1L, 3000L, 50L))
+      q.processAllAvailable()
+      // batch 2: 10 saturates → s=[10,30,50], est=(2·2^32) div 50;
+      // then 20 trims 50 → s=[10,20,30], est=(2·2^32) div 30;
+      // then 99 (beyond max) leaves state → same est
+      input.addData(
+        StreamingSync.ValueEvent(4L, 1L, 4000L, 10L),
+        StreamingSync.ValueEvent(5L, 1L, 5000L, 20L),
+        StreamingSync.ValueEvent(6L, 1L, 6000L, 99L))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_sink").orderBy("event_id").collect()
+      val est50 = 2L * 4294967296L / 50L
+      val est30 = 2L * 4294967296L / 30L
+      assert(rows.map(r => (r.getLong(2), r.getLong(3))).toSeq === Seq(
+        (1L, 1L), (2L, 2L), (2L, 2L),
+        (3L, est50), (3L, est30), (3L, est30)))
+    } finally q.stop()
+  }
+
   test("anomalyStream tolerates in-distribution values after variance exists") {
     import spark.implicits._
     val input = MemoryStream[StreamingSync.ValueEvent](spark)
