@@ -1928,6 +1928,61 @@ object Relational {
         .orderBy("o_custkey", "valid_from", "change_key")
     }),
 
+    // Cohort LTV curve: customers grouped by first-order YEAR, each
+    // cohort's cumulative revenue by order-age year — the
+    // lifetime-value ramp every growth model fits, in exact cents with
+    // the cumulative window on the cohort's own timeline. Age = order
+    // year − cohort year (integer years; month-level is the same shape
+    // on a longer spine).
+    "q_cohort_ltv" -> ((s, d) => {
+      val first = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"))
+        .select(col("o_custkey"), year(col("first_d")).as("cohort"))
+      val aged = Tables.orders(s, d)
+        .join(first, Seq("o_custkey"))
+        .withColumn("age", (year(col("o_orderdate")) - col("cohort")).cast("long"))
+        .groupBy(col("cohort"), col("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      aged.withColumn("cum_cents", sum(col("cents")).over(
+          Window.partitionBy(col("cohort")).orderBy(col("age").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("cohort"), col("age"), col("n_active"), col("cents"),
+          col("cum_cents"))
+        .orderBy("cohort", "age")
+    }),
+
+    // Inter-purchase gap medians: per customer the day gaps between
+    // consecutive orders (a lag window), then per nation the EXACT
+    // lower-median gap — the reorder-cadence statistic behind churn
+    // windows and replenishment models. Integer days; the median is an
+    // order statistic, never an interpolation.
+    "q_purchase_gaps" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val gaps = Tables.orders(s, d)
+        .withColumn("prev_d", lag(col("o_orderdate"), 1).over(wOrd))
+        .filter(col("prev_d").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev_d")).cast("long").as("gap"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val byNation = gaps.join(nat, col("o_custkey") === col("c_custkey"))
+      byNation
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("gap").asc, col("o_custkey").asc)))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("n_name"))))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("n_name"), col("gap").as("median_gap_days"),
+          col("__n").as("n_gaps"))
+        .orderBy("n_name")
+    }),
+
     // RFM segmentation (Hughes 1994): per customer, recency (days from
     // last order to the corpus max date), frequency (order count), and
     // monetary (cents), each scored 1-5 by deterministic ntile over the
@@ -3574,6 +3629,46 @@ object Relational {
            coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
            CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, change_key""",
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+           SELECT o_custkey, year(min(o_orderdate)) AS cohort
+           FROM orders GROUP BY 1),
+         a AS (
+           SELECT f.cohort,
+             CAST(year(o.o_orderdate) - f.cohort AS BIGINT) AS age,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+           GROUP BY 1, 2)
+         SELECT cohort, age, n_active, CAST(cents AS BIGINT) AS cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+         FROM a ORDER BY cohort, age""",
+
+    "q_purchase_gaps" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', lag(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT)
+               AS gap
+           FROM orders),
+         gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+         j AS (
+           SELECT n.n_name, gg.gap, gg.o_custkey
+           FROM gg
+           JOIN customer c ON gg.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         r AS (
+           SELECT n_name, gap,
+             row_number() OVER (PARTITION BY n_name
+               ORDER BY gap, o_custkey) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n
+           FROM j)
+         SELECT n_name, gap AS median_gap_days, CAST(n AS BIGINT) AS n_gaps
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY n_name""",
 
     "q_weighted_median" ->
       """WITH li AS (
