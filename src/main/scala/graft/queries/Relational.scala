@@ -1288,6 +1288,44 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Forecast backtest: hold out the last 7 days per event type, fit
+    // the integer Holt recurrence on the rest, score the h-step
+    // forecasts l + b·h against actuals — the evaluation loop that
+    // turns a smoother into a forecasting system. The error sum is
+    // exact integers (|actual − forecast| over h = 1..7); MAE is the
+    // single guarded division. Horizon alignment is by day arithmetic,
+    // so a missing actual day simply contributes no term (identically
+    // in both engines).
+    "q_forecast_backtest" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val cut = daily.groupBy(col("event_type"))
+        .agg(date_sub(max(col("day")), 7).as("cut_day"))
+      val train = daily.join(cut, Seq("event_type"))
+        .filter(col("day") <= col("cut_day"))
+      val model = graft.operators.TimeSeries
+        .holtLinear(train, Seq("event_type"), "day", "cnt")
+        .join(cut, Seq("event_type"))
+      val test = daily.join(cut, Seq("event_type"))
+        .filter(col("day") > col("cut_day"))
+        .select(col("event_type"), col("day"), col("cnt"))
+      test.join(model.select(col("event_type"), col("level"), col("trend"),
+          col("cut_day")), Seq("event_type"))
+        .withColumn("h", datediff(col("day"), col("cut_day")).cast("long"))
+        .withColumn("forecast", col("level") + col("trend") * col("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(abs(col("cnt") - col("forecast"))).as("abs_err_sum"),
+          sum(col("cnt")).as("actual_sum"))
+        .select(col("event_type"), col("n_points"), col("abs_err_sum"),
+          col("actual_sum"),
+          (col("abs_err_sum").cast("double") /
+            when(col("n_points") =!= 0L, col("n_points")).cast("double"))
+            .as("mae"))
+        .orderBy("event_type")
+    }),
+
     // Lag-k autocorrelation (Box & Jenkins 1970) of daily event counts
     // per type, k = 1..3 — the seasonality probe run before choosing
     // resample windows. Exact integer witnesses via the n-scaled
@@ -3165,6 +3203,46 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         cut AS (
+           SELECT k, max(d) - 7 AS cut_day FROM daily GROUP BY 1),
+         num AS (
+           SELECT daily.k, daily.d, daily.v,
+             CAST(row_number() OVER (PARTITION BY daily.k ORDER BY daily.d)
+               AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY daily.k) AS BIGINT) AS n
+           FROM daily JOIN cut ON daily.k = cut.k
+           WHERE daily.d <= cut.cut_day),
+         rec AS (
+           SELECT k, rn, n, v AS l, CAST(0 AS BIGINT) AS b
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             (d.v + r.l + r.b) // 2 AS l,
+             (r.b + ((d.v + r.l + r.b) // 2 - r.l)) // 2 AS b
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1),
+         model AS (
+           SELECT rec.k, rec.l, rec.b, cut.cut_day
+           FROM rec JOIN cut ON rec.k = cut.k WHERE rec.rn = rec.n),
+         test AS (
+           SELECT daily.k, daily.d, daily.v
+           FROM daily JOIN cut ON daily.k = cut.k
+           WHERE daily.d > cut.cut_day)
+         SELECT t.k AS event_type, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(abs(t.v - (m.l + m.b *
+             CAST(date_diff('day', m.cut_day, t.d) AS BIGINT))))
+             AS BIGINT) AS abs_err_sum,
+           CAST(sum(t.v) AS BIGINT) AS actual_sum,
+           CAST(sum(abs(t.v - (m.l + m.b *
+             CAST(date_diff('day', m.cut_day, t.d) AS BIGINT))))
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae
+         FROM test t JOIN model m ON t.k = m.k
+         GROUP BY 1 ORDER BY event_type""",
 
     "q_holt_winters" ->
       """WITH RECURSIVE daily AS (
