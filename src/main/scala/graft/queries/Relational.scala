@@ -1288,6 +1288,34 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Sorted-neighborhood entity blocking (Hernández & Stolfo 1995,
+    // "The merge/purge problem"): rank parts by name, compare each row
+    // only against its next 3 neighbors in rank order, verify with
+    // exact edit distance ≤ 2 — the classic windowed alternative to
+    // LSH blocking (q_fuzzy_join's signature path): O(n·w) candidates
+    // from one sort instead of signature joins. The rank offsets
+    // explode to an EQUI-join (rnk_b = rnk_a + k), never an inequality
+    // scan. The global rank is single-partition BY SEMANTICS (sorted
+    // neighborhood IS a global sort; at 100 TB range-partition the
+    // sort and overlap each boundary by w rows).
+    "q_dedup_sorted_nbhd" -> ((s, d) => {
+      val w = 3
+      val ranked = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("p_name"), col("p_partkey"))).cast("long"))
+      val a = ranked.select(col("rnk").as("rnk_a"),
+        col("p_partkey").as("id_a"), col("p_name").as("na"))
+        .withColumn("k", explode(expr(s"sequence(1L, ${w}L)")))
+        .withColumn("rnk_b", col("rnk_a") + col("k"))
+      val b = ranked.select(col("rnk").as("rnk_b"),
+        col("p_partkey").as("id_b"), col("p_name").as("nb"))
+      a.join(b, Seq("rnk_b"))
+        .filter(levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Forecast backtest: hold out the last 7 days per event type, fit
     // the integer Holt recurrence on the rest, score the h-step
     // forecasts l + b·h against actuals — the evaluation loop that
@@ -3203,6 +3231,17 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_dedup_sorted_nbhd" ->
+      """WITH r AS (
+           SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+           FROM part)
+         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY id_a, id_b""",
 
     "q_forecast_backtest" ->
       """WITH RECURSIVE daily AS (
