@@ -1292,6 +1292,34 @@ object LlmOps {
     // exact path) — both modes under the hash gate. Null keys and null
     // group keys are filtered on BOTH sides (the oracle's WHERE +
     // USING-join would silently drop such groups otherwise).
+    // Embedding centroid drift: per label, the L1 distance between the
+    // integer floor-mean centroids of the even and odd vec_id halves
+    // (a scale-independent split) — the distribution-shift monitor for
+    // embedding
+    // pipelines (a retrained encoder or upstream drift moves
+    // centroids long before downstream metrics notice). Vectors
+    // quantize to integer milli-units (the q_embed_quantize
+    // rendering), per-dimension sums and floor means are exact
+    // integers, and the shift is a sum of absolute integer
+    // differences — no float aggregation anywhere.
+    "q_centroid_shift" -> ((s, d) => {
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          posexplode(expr(
+            "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+      def leg(f: org.apache.spark.sql.Column, tag: String) =
+        q.filter(f).groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as(s"n_$tag"),
+            expr(s"sum(q) div count(1)").as(s"m_$tag"))
+      leg(pmod(col("vec_id"), lit(2L)) === 0, "a")
+        .join(leg(pmod(col("vec_id"), lit(2L)) === 1, "b"), Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(abs(col("m_a") - col("m_b"))).as("l1_shift"))
+        .orderBy("label")
+    }),
+
     // KMV join-cardinality estimation (Beyer et al. 2007, "On synopses
     // for distinct-value estimation"): estimate the distinct-key
     // overlap of orders⋈customer from two 64-element min-hash sketches
@@ -2325,6 +2353,26 @@ object LlmOps {
     // same md5 prefix, ranks the distinct hashes, and replays both the
     // exact (< k) and approximate (kth-min division) paths. 270582939648
     // = 63·2^32.
+    "q_centroid_shift" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(label AS INTEGER) AS label,
+             unnest(list_transform(embedding,
+               x -> CAST(round(x * 1000) AS BIGINT))) AS qv,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS dim
+           FROM embeddings),
+         a AS (
+           SELECT label, dim, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(qv) // count(*) AS BIGINT) AS m_a
+           FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         b AS (
+           SELECT label, dim, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(qv) // count(*) AS BIGINT) AS m_b
+           FROM q WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+         SELECT a.label, max(a.n_a) AS n_a, max(b.n_b) AS n_b,
+           CAST(sum(abs(a.m_a - b.m_b)) AS BIGINT) AS l1_shift
+         FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
+         GROUP BY 1 ORDER BY a.label""",
+
     "q_join_card_est" ->
       """WITH sa AS (
            SELECT list(h ORDER BY h) AS sa FROM (

@@ -1288,6 +1288,27 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Join-key skew report: the pre-join diagnostic a pipeline runs
+    // before committing a shuffle strategy — the 5 hottest lineitem
+    // order keys with their share witnesses, plus the integer skew
+    // verdict max_count·n_keys > 10·total (a hot key 10× the mean is
+    // where salting/AQE skew handling starts paying). Exact integer
+    // counts; heap-planned top-k, single-row stats by bounded
+    // broadcast.
+    "q_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total"), max(col("cnt")).as("max_cnt"))
+      counts.orderBy(col("cnt").desc, col("l_orderkey").asc).limit(5)
+        .crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("cnt"), col("n_keys"), col("total"),
+          col("max_cnt"),
+          (col("max_cnt") * col("n_keys") > lit(10L) * col("total"))
+            .as("skewed_10x"))
+        .orderBy(col("cnt").desc, col("l_orderkey").asc)
+    }),
+
     // Sorted-neighborhood entity blocking (Hernández & Stolfo 1995,
     // "The merge/purge problem"): rank parts by name, compare each row
     // only against its next 3 neighbors in rank order, verify with
@@ -3231,6 +3252,22 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_skew_report" ->
+      """WITH c AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+           FROM c),
+         t AS (
+           SELECT l_orderkey, cnt FROM c
+           ORDER BY cnt DESC, l_orderkey LIMIT 5)
+         SELECT t.l_orderkey, t.cnt, s.n_keys, s.total, s.max_cnt,
+           s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
+         FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
 
     "q_dedup_sorted_nbhd" ->
       """WITH r AS (
