@@ -1288,6 +1288,64 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Fano factor / burstiness (Fano 1947): per event type, the
+    // variance-to-mean ratio of daily counts — the overdispersion
+    // verdict (> 1 = bursty, < 1 = regular) that picks between Poisson
+    // and clustered traffic models. Exact integer moments: var_num =
+    // n·Σx² − (Σx)², dispersion verdict var_num > n·Σx cross-multiplied
+    // (Fano > 1 ⇔ var·n... the scaled comparison never a float tie);
+    // the ratio var_num/(n·Σx) is the single guarded division.
+    "q_fano" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+        .select(col("event_type"), col("n"), col("sx"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_num"),
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            > col("n") * col("sx")).as("overdispersed"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / when(col("n") * col("sx") =!= 0L, col("n") * col("sx"))
+              .cast("double")).as("fano"))
+        .orderBy("event_type")
+    }),
+
+    // Pareto concentration point: per nation, the smallest customer
+    // count whose cumulative spend reaches 80% of the nation total —
+    // the 80/20 check behind account-tiering. Rank descending by
+    // (spend, custkey), first row where 5·cum ≥ 4·total; everything an
+    // exact integer order statistic.
+    "q_pareto" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val ranked = spend.join(nat, col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("x").desc, col("o_custkey").asc)).cast("long"))
+        .withColumn("cum", sum(col("x")).over(
+          Window.partitionBy(col("n_name"))
+            .orderBy(col("x").desc, col("o_custkey").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("x")).over(
+          Window.partitionBy(col("n_name"))))
+        .withColumn("n_cust", count(lit(1)).over(
+          Window.partitionBy(col("n_name"))))
+      ranked.filter(col("cum") * 5 >= col("total") * 4)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("n_name")).orderBy(col("rnk").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("n_name"), col("rnk").as("n_top80"), col("n_cust"),
+          col("cum").as("cum_cents"), col("total").as("total_cents"))
+        .orderBy("n_name")
+    }),
+
     // Join-key skew report: the pre-join diagnostic a pipeline runs
     // before committing a shuffle strategy — the 5 hottest lineitem
     // order keys with their share witnesses, plus the integer skew
@@ -3252,6 +3310,48 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_fano" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n, sx,
+           n * sxx - sx * sx AS var_num,
+           n * sxx - sx * sx > n * sx AS overdispersed,
+           CAST(n * sxx - sx * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS fano
+         FROM m ORDER BY event_type""",
+
+    "q_pareto" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT n.n_name, s.x, s.o_custkey,
+             CAST(row_number() OVER w AS BIGINT) AS rnk,
+             sum(s.x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum,
+             sum(s.x) OVER (PARTITION BY n.n_name) AS total,
+             count(*) OVER (PARTITION BY n.n_name) AS n_cust
+           FROM spend s
+           JOIN customer c ON s.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WINDOW w AS (PARTITION BY n.n_name ORDER BY s.x DESC, s.o_custkey)),
+         f AS (
+           SELECT n_name, rnk, n_cust, cum, total,
+             row_number() OVER (PARTITION BY n_name ORDER BY rnk) AS frn
+           FROM r WHERE cum * 5 >= total * 4)
+         SELECT n_name, rnk AS n_top80, CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(total AS BIGINT) AS total_cents
+         FROM f WHERE frn = 1 ORDER BY n_name""",
 
     "q_skew_report" ->
       """WITH c AS (
