@@ -1288,6 +1288,68 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Growth accounting: per WEEK, users decomposed into NEW (first
+    // week of activity), RETAINED (active this and previous week),
+    // RESURRECTED (active now, inactive previous, seen before), and
+    // CHURNED (active previous, inactive now) — the canonical growth
+    // ledger over PURCHASE activity (every user fires some event every
+    // week on this dense corpus — purchasing is the sparse signal that
+    // actually churns and resurrects). Pure integer counts from the
+    // distinct (user, week) frame and its self-joins; weeks as
+    // epoch-day div 7 indices so adjacency is plain arithmetic.
+    "q_growth_accounting" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+            .cast("long").as("m"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("m")).as("first_m"))
+      val a = act.join(first, Seq("user_id"))
+      val prev = act.select(col("user_id"), (col("m") + 1).as("m"),
+        lit(1).as("was_prev"))
+      val cur = a.join(prev, Seq("user_id", "m"), "left")
+        .groupBy(col("m"))
+        .agg(sum(when(col("m") === col("first_m"), 1L).otherwise(0L))
+          .as("new_users"),
+          sum(when(col("was_prev").isNotNull &&
+            col("m") =!= col("first_m"), 1L).otherwise(0L)).as("retained"),
+          sum(when(col("was_prev").isNull &&
+            col("m") =!= col("first_m"), 1L).otherwise(0L)).as("resurrected"))
+      val churned = act.select(col("user_id"), (col("m") + 1).as("m"))
+        .join(act.select(col("user_id"), col("m"), lit(1).as("still")),
+          Seq("user_id", "m"), "left")
+        .groupBy(col("m"))
+        .agg(sum(when(col("still").isNull, 1L).otherwise(0L)).as("churned"))
+      cur.join(churned, Seq("m"), "left")
+        .select(col("m").as("week_idx"), col("new_users"), col("retained"),
+          col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+        .orderBy("week_idx")
+    }),
+
+    // DAU/WAU stickiness: per week, the mean daily active count over
+    // the weekly active count — how often the average weekly user
+    // shows up. Integer witnesses (Σ daily actives, day count, WAU);
+    // the ratio sum_dau/(n_days·wau) is the single guarded division.
+    "q_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7")
+            .cast("long").as("m"))
+      val dau = ev.select(col("m"), col("day"), col("user_id")).distinct()
+        .groupBy(col("m"))
+        .agg(sum(lit(1L)).as("sum_dau"), countDistinct(col("day")).as("n_days"))
+      val wau = ev.select(col("m"), col("user_id")).distinct()
+        .groupBy(col("m")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("m"))
+        .select(col("m").as("week_idx"), col("sum_dau"), col("n_days"),
+          col("wau"),
+          (col("sum_dau").cast("double") /
+            when(col("n_days") * col("wau") =!= 0L,
+              col("n_days") * col("wau")).cast("double")).as("stickiness"))
+        .orderBy("week_idx")
+    }),
+
     // Fano factor / burstiness (Fano 1947): per event type, the
     // variance-to-mean ratio of daily counts — the overdispersion
     // verdict (> 1 = bursty, < 1 = regular) that picks between Poisson
@@ -3310,6 +3372,57 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    "q_growth_accounting" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS m
+           FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, min(m) AS first_m FROM act GROUP BY 1),
+         cur AS (
+           SELECT a.m,
+             CAST(sum(CASE WHEN a.m = f.first_m THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN p.user_id IS NOT NULL
+               AND a.m <> f.first_m THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+             CAST(sum(CASE WHEN p.user_id IS NULL
+               AND a.m <> f.first_m THEN 1 ELSE 0 END) AS BIGINT)
+               AS resurrected
+           FROM act a
+           JOIN f ON a.user_id = f.user_id
+           LEFT JOIN act p ON p.user_id = a.user_id AND p.m + 1 = a.m
+           GROUP BY 1),
+         ch AS (
+           SELECT a.m + 1 AS m,
+             CAST(sum(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS churned
+           FROM act a
+           LEFT JOIN act n ON n.user_id = a.user_id AND n.m = a.m + 1
+           GROUP BY 1)
+         SELECT cur.m AS week_idx, cur.new_users, cur.retained,
+           cur.resurrected,
+           CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned
+         FROM cur LEFT JOIN ch ON cur.m = ch.m
+         ORDER BY week_idx""",
+
+    "q_stickiness" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) AS m
+           FROM events),
+         dau AS (
+           SELECT m, CAST(count(*) AS BIGINT) AS sum_dau,
+             CAST(count(DISTINCT day) AS BIGINT) AS n_days
+           FROM (SELECT DISTINCT m, day, user_id FROM ev) GROUP BY 1),
+         wau AS (
+           SELECT m, CAST(count(*) AS BIGINT) AS wau
+           FROM (SELECT DISTINCT m, user_id FROM ev) GROUP BY 1)
+         SELECT dau.m AS week_idx, sum_dau, n_days, wau,
+           CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE)
+             AS stickiness
+         FROM dau JOIN wau ON dau.m = wau.m
+         ORDER BY week_idx""",
 
     "q_fano" ->
       """WITH daily AS (
