@@ -1374,6 +1374,55 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ABC inventory classification: parts ranked by revenue into the
+    // classic A (cumulative ≤ 80%), B (≤ 95%), C (rest) classes by
+    // integer cross-multiplied thresholds (20·cum vs 16·total resp.
+    // 19·total — a float share could tie at the boundary), then the
+    // class census. The q_pareto discipline applied to catalog
+    // stratification.
+    "q_abc_class" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      // global cumulative BY SEMANTICS (one catalog-wide ranking — the
+      // q_curriculum class; range-partition the sort at 100 TB)
+      val classed = rev
+        .withColumn("cum", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("abc",
+          when(col("cum") * 20 <= col("total") * 16, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+      classed.groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"))
+        .orderBy("abc")
+    }),
+
+    // Repeat-purchase rate per nation: customers with 2+ orders over
+    // customers with any — the loyalty baseline behind retention
+    // targets. Integer counts, one guarded division.
+    "q_repeat_rate" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      per.join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("n_name"), col("n_buyers"), col("n_repeat"),
+          (col("n_repeat").cast("double") /
+            when(col("n_buyers") =!= 0L, col("n_buyers")).cast("double"))
+            .as("repeat_rate"))
+        .orderBy("n_name")
+    }),
+
     // Pareto concentration point: per nation, the smallest customer
     // count whose cumulative spend reaches 80% of the nation total —
     // the 80/20 check behind account-tiering. Rank descending by
@@ -3440,6 +3489,41 @@ object Relational {
            CAST(n * sxx - sx * sx AS DOUBLE)
              / CAST(n * sx AS DOUBLE) AS fano
          FROM m ORDER BY event_type""",
+
+    "q_abc_class" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS total
+           FROM rev),
+         k AS (
+           SELECT cents,
+             CASE WHEN cum * 20 <= total * 16 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+           FROM c)
+         SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents
+         FROM k GROUP BY 1 ORDER BY abc""",
+
+    "q_repeat_rate" ->
+      """WITH per AS (
+           SELECT o_custkey, count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_buyers,
+           CAST(sum(CASE WHEN per.n_orders >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_repeat,
+           CAST(sum(CASE WHEN per.n_orders >= 2 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS repeat_rate
+         FROM per
+         JOIN customer c ON per.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
 
     "q_pareto" ->
       """WITH spend AS (
