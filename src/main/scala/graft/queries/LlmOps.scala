@@ -1008,10 +1008,13 @@ object LlmOps {
     // says when more data stops buying new vocabulary. Exact integers
     // throughout: a type's contribution lands at its FIRST doc
     // (min(doc_id) per token), so cum_vocab is a running sum of
-    // first-occurrence counts — never a running set union. The global
-    // cumulative window is single-partition BY SEMANTICS (one row per
-    // doc — corpus-order, the q_curriculum class); at 100 TB emit
-    // per-bucket growth from a range-partitioned prefix instead.
+    // first-occurrence counts — never a running set union. Since r10 the
+    // running totals go through the DISTRIBUTED prefix sum
+    // (PrefixSum.runningTotals: range-bucketed local cumsums + offset
+    // recovery from the numRanges-row totals table) — no data-sized
+    // single-partition window remains; PrefixSumSpec proves row
+    // equality with the one-window form, this oracle proves it vs
+    // DuckDB.
     "q_vocab_growth" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(
@@ -1021,15 +1024,13 @@ object LlmOps {
       val firsts = toks.groupBy(col("tok"))
         .agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      perDoc.join(firsts, Seq("doc_id"), "left")
+      val perDocJoined = perDoc.join(firsts, Seq("doc_id"), "left")
         .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .withColumn("cum_vocab", sum(col("new_types")).over(w))
+      graft.operators.PrefixSum.runningTotals(
+          perDocJoined, "doc_id", Seq("n_tokens", "new_types"), numRanges = 8)
         .select(col("doc_id"), col("n_tokens"), col("new_types"),
-          col("cum_tokens"), col("cum_vocab"))
+          col("cum_n_tokens").as("cum_tokens"),
+          col("cum_new_types").as("cum_vocab"))
         .orderBy("doc_id")
     }),
 
@@ -3810,7 +3811,8 @@ object LlmOps {
                   FROM tf a JOIN tf b
                     ON a.token = b.token AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
-         SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+         SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
          FROM dots JOIN norms na ON na.doc_id = id_a
                    JOIN norms nb ON nb.doc_id = id_b
          WHERE 400 * dot * dot >= 289 * na.n2 * nb.n2

