@@ -128,6 +128,20 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** char_class_counts(string) → array<long>[5]: one-pass code-point
+  * census [alpha, digit, space, punct, other] (see
+  * TextKernels.charClassCounts — classes are regex-definable so SQL
+  * oracles replay each count).
+  */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charClassCounts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.charClassCounts($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** strip_accents(string) → string: NFD → drop Mn marks → NFC, with an
   * allocation-free ASCII fast path (see TextKernels.stripAccents).
   */
@@ -288,6 +302,8 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("ascii_tokens", es => AsciiTokens(es.head), "built-in")
     reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_class_counts",
+      es => CharClassCounts(es.head), "built-in")
     reg.createOrReplaceTempFunction("bigram_repetitive",
       es => BigramRepetitive(es.head), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinkler(es(0), es(1)), "built-in")
@@ -332,6 +348,7 @@ object functions {
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
   def strip_accents(text: Column): Column = col(StripAccents(expr(text)))
+  def char_class_counts(text: Column): Column = col(CharClassCounts(expr(text)))
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinkler(expr(a), expr(b)))
   def damerau_levenshtein(a: Column, b: Column): Column =

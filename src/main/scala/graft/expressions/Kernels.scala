@@ -342,6 +342,35 @@ object TextKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Code-point character-class census in ONE pass:
+    * [n_alpha, n_digit, n_space, n_punct, n_other] with regex-definable
+    * classes so a SQL oracle can replay each count independently —
+    * alpha = [A-Za-z], digit = [0-9], space = [ \t\n\r\f],
+    * punct = the ASCII punctuation blocks (0x21-0x2F, 0x3A-0x40,
+    * 0x5B-0x60, 0x7B-0x7E), other = every remaining code point
+    * (including all non-ASCII). Supplementary-plane code points count
+    * ONCE (surrogate pairs are consumed pairwise), matching DuckDB's
+    * code-point `length`. The quality-filter primitive: symbol-garbage
+    * and OCR-noise ratios come straight off these counts.
+    */
+  def charClassCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var alpha = 0L; var digit = 0L; var space = 0L; var punct = 0L; var other = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) alpha += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        cp == '\f' || cp == 0x0B) space += 1
+      else if ((cp >= 0x21 && cp <= 0x2F) || (cp >= 0x3A && cp <= 0x40) ||
+        (cp >= 0x5B && cp <= 0x60) || (cp >= 0x7B && cp <= 0x7E)) punct += 1
+      else other += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array[Long](alpha, digit, space, punct, other))
+  }
+
   /** ASCII-alphanumeric lowercase tokens (runs of [a-z0-9] over the
     * ROOT-lowercased string) — the exact semantics of DuckDB's
     * `string_split_regex(lower(s), '[^a-z0-9]+')` minus empties. Oracle-

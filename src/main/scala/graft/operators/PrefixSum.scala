@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,7 @@ object PrefixSum {
     val passthrough = df.columns.filterNot(_ == orderCol).map(col).toSeq
     val base = df.withColumn("__ord", col(orderCol).cast("long"))
     val sampled = base
+      .filter(col("__ord").isNotNull)
       .withColumn("__r", xxhash64(col("__ord")))
       .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
       .select(col("__ord")).collect().map(_.getLong(0)).sorted
@@ -75,5 +76,129 @@ object PrefixSum {
       .select(col(orderCol) +: (passthrough ++ valueCols.map { c =>
         (col(s"__off_$c") + col(s"__cum_$c")).as(s"cum_$c")
       }): _*)
+  }
+
+  /** [[runningTotals]] generalized to a MULTI-COLUMN, mixed-direction
+    * total order — the scale-out replacement for
+    * `sum(x).over(Window.orderBy(a.desc, b.asc, …))` (the ABC/Pareto/
+    * ntile ranking shape). Each order column must be long-castable and
+    * NON-NULL; descending directions negate the key (two's-complement
+    * safe for every value except Long.MinValue, far past any real
+    * ranking key), reducing the problem to ascending lexicographic
+    * order; bucketing then uses sampled struct boundaries and a flat
+    * array + lexicographic-compare lambda. The combined order must be
+    * total (include a unique tiebreak column), exactly as the
+    * single-window form requires for a deterministic cumsum.
+    */
+  def runningTotalsOrdered(
+      df: DataFrame,
+      orderCols: Seq[(String, Boolean)], // (column, ascending)
+      valueCols: Seq[String],
+      numRanges: Int = 8): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    val keyNames = orderCols.indices.map(i => s"__o$i")
+    val base = orderCols.zip(keyNames).foldLeft(df) {
+      case (acc, ((c, asc), kn)) =>
+        acc.withColumn(kn,
+          if (asc) col(c).cast("long") else -col(c).cast("long"))
+    }
+    val sampled = base
+      .withColumn("__r", xxhash64(keyNames.map(col): _*))
+      .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
+      .select(keyNames.map(col): _*).collect()
+      .map(r => keyNames.indices.map(r.getLong).toVector)
+      .sortBy(identity)(Ordering.Implicits.seqOrdering[Vector, Long])
+    val boundaries =
+      if (sampled.isEmpty) Array.empty[Vector[Long]]
+      else (1 until numRanges).map { i =>
+        sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
+      }.distinct.toArray
+    def after(bd: Column): Column =
+      keyNames.foldRight(lit(false)) { (kn, tail) =>
+        col(kn) > bd(kn) || (col(kn) === bd(kn) && tail)
+      }
+    val bucketExpr =
+      if (boundaries.isEmpty) lit(0L)
+      else size(filter(
+        array(boundaries.map(bd =>
+          struct(keyNames.zip(bd).map { case (kn, v) => lit(v).as(kn) }: _*)): _*),
+        bd => after(bd))).cast("long")
+    val bucketed = base.withColumn("__b", bucketExpr)
+    val localW = Window.partitionBy(col("__b"))
+      .orderBy(keyNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valueCols.foldLeft(bucketed) { (acc, c) =>
+      acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
+    }
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(valueCols.map(c => sum(col(c)).as(s"__tot_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__tot_$c")).tail: _*)
+      .select(col("__b") +: valueCols.map { c =>
+        coalesce(sum(col(s"__tot_$c")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as(s"__off_$c")
+      }: _*)
+    local.join(broadcast(offsets), Seq("__b"))
+      .select(df.columns.map(col) ++ valueCols.map { c =>
+        (col(s"__off_$c") + col(s"__cum_$c")).as(s"cum_$c")
+      }: _*)
+  }
+
+  /** Distributed running MAX of `valueCol` over `orderCol` order — the
+    * scale-out replacement for `max(v).over(Window.orderBy(k))`. Same
+    * two-pass shape as [[runningTotals]]: bucket-local running max +
+    * prefix-max of per-bucket totals (a numRanges-row table), combined
+    * with null-skipping `greatest`.
+    *
+    * `exclusive = true` gives the `rowsBetween(unboundedPreceding, -1)`
+    * frame (max of strictly-PRECEDING rows; null for the globally first
+    * row) — the skyline dominance shape. With `exclusive`, `orderCol`
+    * must be unique per row (an exclusive frame is tie-order-dependent
+    * in the single-window form too). Bucketing casts `orderCol` to
+    * double for boundary literals (order-preserving for numerics below
+    * 2^53); the in-bucket window orders by the ORIGINAL column, so
+    * bucket coarseness never reorders rows. Output adds
+    * `runmax_<valueCol>`.
+    */
+  def runningMax(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      numRanges: Int = 8,
+      exclusive: Boolean = false): DataFrame = {
+    require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    val base = df.withColumn("__ord", col(orderCol).cast("double"))
+    val sampled = base
+      .filter(col("__ord").isNotNull)
+      .withColumn("__r", xxhash64(col("__ord")))
+      .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
+      .select(col("__ord")).collect().map(_.getDouble(0)).sorted
+    val boundaries =
+      if (sampled.isEmpty) Array.empty[Double]
+      else (1 until numRanges).map { i =>
+        sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
+      }.distinct.toArray
+    val bucketExpr =
+      if (boundaries.isEmpty) lit(0L)
+      else size(filter(array(boundaries.map(lit(_)): _*),
+        bd => col("__ord") > bd)).cast("long")
+    val bucketed = base.withColumn("__b", bucketExpr)
+    val frameEnd = if (exclusive) -1L else 0L
+    val localW = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val local = bucketed.withColumn("__lmax", max(col(valueCol)).over(localW))
+    // per-bucket maxima: numRanges rows; prefix-max EXCLUDES the own
+    // bucket (its contribution is already in the local window)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(max(col(valueCol)).as("__bmax"))
+      .select(col("__b"),
+        max(col("__bmax")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1))
+          .as("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn(s"runmax_$valueCol", greatest(col("__lmax"), col("__off")))
+      .drop("__ord", "__b", "__lmax", "__off")
   }
 }

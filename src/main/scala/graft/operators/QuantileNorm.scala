@@ -45,12 +45,15 @@ object QuantileNorm {
         count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
     val total = df.agg(count(lit(1)).cast("long").as("n_total"))
     // distinct-value cumulative spine: value v covers pooled indices
-    // [lo, lo + cnt)
-    val spine = df.groupBy(col(valueCol).as("__v"))
-      .agg(count(lit(1)).cast("long").as("__cnt"))
-      .withColumn("__hi",
-        sum(col("__cnt")).over(Window.orderBy(col("__v"))).cast("long"))
-      .select(col("__v"), (col("__hi") - col("__cnt")).as("__lo"), col("__hi"))
+    // [lo, lo + cnt). Cumulated via the DISTRIBUTED two-pass prefix sum
+    // (r10) — the spine is |distinct values|-sized, which at corpus
+    // scale can be data-sized, so no single-partition window here.
+    val spine = PrefixSum.runningTotals(
+        df.groupBy(col(valueCol).as("__v"))
+          .agg(count(lit(1)).cast("long").as("__cnt")),
+        "__v", Seq("__cnt"), numRanges = 8)
+      .select(col("__v"), (col("cum___cnt") - col("__cnt")).as("__lo"),
+        col("cum___cnt").as("__hi"))
     // the rank·total product runs through DECIMAL(38,0): at corpus scale
     // (group rank ~1e9 × total ~1e10) a 64-bit product would wrap
     // silently under non-ANSI mode and the garbage index would match no

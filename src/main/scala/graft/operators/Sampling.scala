@@ -144,6 +144,25 @@ object Sampling {
   def portableUniform(keyCol: Column): Column =
     conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** Poisson(1) bootstrap weight from the portable uniform — the online
+    * bootstrap's per-(row, replicate) multiplicity (Oza & Russell 2001;
+    * the Poisson approximation to multinomial resampling every
+    * streaming/distributed bootstrap uses, since it needs no global n).
+    * The draw is the inverse-CDF walk over FIXED integer thresholds
+    * (⌊CDF·2^32⌋ literals below — never a runtime exp), truncated at
+    * w = 8 (P ≈ 1e-5 of the tail redistributed to 8; both engines use
+    * the same literals so the truncation is exact, not approximate).
+    * Same key + replicate ⇒ same weight on any engine, any partitioning
+    * — the resample is auditable. Zero-shuffle projection.
+    */
+  def poissonWeight(keyCol: Column): Column = {
+    // cumulative Poisson(1) CDF × 2^32, k = 0..7
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val u = portableUniform(keyCol)
+    size(filter(array(thresholds.map(lit(_)): _*), c => u >= c)).cast("long")
+  }
+
   /** Portable k-fold assignment for cross-validation: fold(key) ∈ [0, k)
     * from the md5 uniform — same key, same fold, on any engine and any
     * partitioning (the [[portableUniform]] guarantees), so folds never

@@ -22,12 +22,11 @@ import org.apache.spark.sql.functions._
   * equal-minimize row strictly beats it (`__gmax > v`). Comparisons
   * only, zero arithmetic — doubles compare bit-identically cross-engine.
   *
-  * Scale shape: the window runs over the DISTINCT minimize values (the
-  * grouped table), not the input rows — |groups| is bounded by the value
-  * domain. The single-partition window is the one concession at 100 TB;
-  * the standard fix (range-partition the group table, per-partition
-  * running max, broadcast the per-partition offsets) drops in without
-  * changing this contract, exactly like a distributed prefix sum.
+  * Scale shape: the running max runs over the DISTINCT minimize values
+  * (the grouped table), not the input rows — and since r10 it goes
+  * through [[PrefixSum.runningMax]] (range-bucketed local running max +
+  * broadcast per-bucket offsets), so NO single-partition window remains
+  * even when every criterion value is distinct.
   */
 object Skyline {
 
@@ -48,9 +47,14 @@ object Skyline {
     val pts = df.filter(col(minimizeCol).isNotNull && col(maximizeCol).isNotNull)
     val perMin = pts.groupBy(col(minimizeCol))
       .agg(max(col(maximizeCol)).as("__gmax"))
-    val w = Window.orderBy(col(minimizeCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pref = perMin.withColumn("__amax", max(col("__gmax")).over(w))
+    // exclusive prefix-max over the distinct minimize values via the
+    // DISTRIBUTED two-pass running max (r10) — no single-partition
+    // window even when every criterion value is distinct. minimizeCol
+    // is unique here by construction (it is the groupBy key), which the
+    // exclusive frame requires.
+    val pref = PrefixSum
+      .runningMax(perMin, minimizeCol, "__gmax", numRanges = 8, exclusive = true)
+      .withColumnRenamed("runmax___gmax", "__amax")
     pts.join(pref, Seq(minimizeCol))
       .filter(!(coalesce(col("__amax") >= col(maximizeCol), lit(false)) ||
         col("__gmax") > col(maximizeCol)))

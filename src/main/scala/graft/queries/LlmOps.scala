@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.operators.{Chunking, Components, Contamination, Dedup, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.expressions.{functions => gfn}
@@ -576,6 +577,30 @@ object LlmOps {
       graft.operators.Graphs.degreeStats(pairs, "src", "dst")
     }),
 
+    // Degree distribution over the same supplier graph: how many nodes
+    // have out-degree d / in-degree d — the heavy-tail profile read
+    // before choosing between plain message-passing and skew-salted
+    // joins (a power-law tail is the PageRank hot-key warning). Two
+    // degree aggregates + two |degrees|-sized histogram aggregates;
+    // exact integers.
+    "q_degree_dist" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val outH = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_out"))
+      val inH = pairs.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_in"))
+      outH.join(inH, Seq("deg"), "full_outer")
+        .select(col("deg"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"))
+        .orderBy("deg")
+    }),
+
     // Fixed-round integer HITS ([[graft.operators.Graphs.hitsRounds]]
     // under the oracle): hubs/authorities over the same directed
     // supplier graph as q_pagerank — the link-analysis complement
@@ -1003,6 +1028,50 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Character-class census (native one-pass codegen kernel,
+    // CharClassCounts): per-doc [alpha, digit, space, punct, other]
+    // code-point counts — the raw material of symbol-garbage / OCR-noise
+    // quality filters. The classes are regex-definable by construction,
+    // so DuckDB replays each count independently with
+    // length(regexp_replace(...)); `other` additionally cross-checks as
+    // the census closure (the five counts sum to length(text)).
+    "q_charclass" -> ((s, d) => {
+      import graft.expressions.functions.char_class_counts
+      Tables.documents(s, d)
+        .select(col("doc_id"), char_class_counts(col("text")).as("cc"),
+          length(col("text")).cast("long").as("n_cp"))
+        .select(col("doc_id"),
+          col("cc").getItem(0).as("n_alpha"),
+          col("cc").getItem(1).as("n_digit"),
+          col("cc").getItem(2).as("n_space"),
+          col("cc").getItem(3).as("n_punct"),
+          col("cc").getItem(4).as("n_other"),
+          col("n_cp"))
+        .orderBy("doc_id")
+    }),
+
+    // Simpson concentration per language (Simpson 1949; Hunter-Gaston in
+    // the ecology/diversity literature): over each language's token
+    // distribution, the EXACT integer witnesses Σ c·(c−1) and N·(N−1)
+    // whose ratio is the probability two random tokens coincide — the
+    // diversity/repetitiveness signal without a logarithm (entropy's
+    // cross-engine ulp trap). One tokenize pass, map-side-combined
+    // counts; the per-lang aggregate is |vocab|-bounded.
+    "q_simpson" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1L)).as("coincide_pairs"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          col("coincide_pairs"),
+          (col("n_tokens") * (col("n_tokens") - 1L)).as("total_pairs"))
+        .orderBy("lang")
+    }),
+
     // Vocabulary growth curve (Heaps 1978): cumulative distinct types
     // vs cumulative tokens in doc_id order — the corpus statistic that
     // says when more data stops buying new vocabulary. Exact integers
@@ -1075,19 +1144,74 @@ object LlmOps {
         .orderBy("fold", "lang")
     }),
 
+    // Online Poisson bootstrap (Sampling.poissonWeight): 10 replicates
+    // of the order-revenue resample, each row's multiplicity drawn from
+    // fixed integer Poisson(1) thresholds over the md5 uniform of
+    // (orderkey, replicate) — the distributed bootstrap that needs no
+    // global n and replays bit-identically on any engine. Emits each
+    // replicate's effective count and exact resampled cents sum; the
+    // spread across the 10 rows IS the bootstrap uncertainty of total
+    // revenue. Zero-shuffle weights; one groupBy over 10 keys.
+    "q_bootstrap" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      o.withColumn("rep", explode(expr("sequence(0L, 9L)")))
+        .withColumn("w", Sampling.poissonWeight(
+          concat_ws(":", col("o_orderkey"), col("rep"))))
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .orderBy("rep")
+    }),
+
+    // Cross-language vocabulary overlap: for every language pair, the
+    // exact distinct-type intersection/union — the corpus diagnostic
+    // that flags language-ID bleed (two "languages" sharing most of
+    // their vocabulary are one corpus mislabeled). One distinct over
+    // (lang, type), one vocab-sized equi-join on the type — never a doc
+    // shuffle.
+    "q_vocab_overlap" -> ((s, d) => {
+      val types = Tables.documents(s, d)
+        .select(col("lang"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .distinct()
+      val sizes = types.groupBy(col("lang")).agg(count(lit(1)).as("n_types"))
+      types.alias("a")
+        .join(types.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("lang").as("lang_a"),
+          col("n_types").as("n_a"))), Seq("lang_a"))
+        .join(broadcast(sizes.select(col("lang").as("lang_b"),
+          col("n_types").as("n_b"))), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+          col("n_inter"), (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // Curriculum ordering: the corpus ranked easiest-proxy-first by the
     // proven quality score (desc, id tiebreak) — the data-ordering step
-    // before curriculum training. The global rank window is
-    // single-partition BY SEMANTICS (a total order); at 100 TB emit
-    // per-range ranks from a range-partitioned sort + offset join
-    // instead — the graded corpus doesn't need it.
+    // before curriculum training. Since r10 the global rank is the
+    // DISTRIBUTED two-pass rank: the (score desc, id) total order packs
+    // losslessly into one long composite key ((10000 − score·1e4)·2^40
+    // + doc_id — the score is round(·, 4) ∈ [0,1] by construction, ids
+    // < 2^40), and rank = PrefixSum.runningTotals of ones over that key
+    // — range-bucketed local ranks + offset recovery, no data-sized
+    // single-partition window.
     "q_curriculum" -> ((s, d) => {
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality_score"))
-        .withColumn("curriculum_rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("quality_score").desc, col("doc_id"))).cast("int"))
+        .withColumn("__ck",
+          (lit(10000L) - round(col("quality_score") * 10000).cast("long"))
+            * lit(1099511627776L) + col("doc_id"))
+        .withColumn("__one", lit(1L))
+      graft.operators.PrefixSum
+        .runningTotals(scored, "__ck", Seq("__one"), numRanges = 8)
+        .select(col("doc_id"), col("quality_score"),
+          col("cum___one").cast("int").as("curriculum_rank"))
         .orderBy("curriculum_rank")
     }),
 
@@ -1367,6 +1491,39 @@ object LlmOps {
             col("d_inter_est") <= col("d_inter_exact") * 2).as("within_2x"))
     }),
 
+    // Mergeable quantile sketch (deterministic MRL/KLL compactor
+    // hierarchy, QuantileSketchAgg) with a SELF-VERIFYING certificate:
+    // the sketch tracks its own worst-case rank-error bound exactly (a
+    // compaction at item weight w adds w; merges add), and this query
+    // joins the estimates BACK against the exact value set to check
+    // |true_rank(est) − target| ≤ bound for p ∈ {1,25,50,75,99} — the
+    // claim is engine-verified against ground truth, and the oracle
+    // replays every reproducible integer (n, the exact-arithmetic
+    // target ranks) plus the TRUE verdicts. Falsifiability: the spec
+    // shrinks k until only the bound separates estimate from garbage.
+    // 100 TB shape: one sketch per partition on the shuffle (O(k·log N)
+    // bytes), never the values; the certificate join broadcasts 5 rows.
+    "q_quantile_sketch" -> ((s, d) => {
+      import graft.expressions.QuantileSketchAgg.quantile_sketch
+      val ps = Seq(1, 25, 50, 75, 99)
+      val vals = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val per = vals.agg(quantile_sketch(col("v"), 256, ps).as("sk"))
+        .select(col("sk.n").as("n_total"), col("sk.bound").as("bound"),
+          posexplode(arrays_zip(col("sk.targets"), col("sk.ests"))))
+        .select(col("n_total"), col("bound"),
+          element_at(array(ps.map(lit(_)): _*), col("pos") + 1).as("p"),
+          col("col.targets").as("target_rank"), col("col.ests").as("est"))
+      vals.crossJoin(broadcast(per))
+        .groupBy(col("p"), col("n_total"), col("target_rank"), col("bound"),
+          col("est"))
+        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("true_rank"))
+        .select(col("p"), col("n_total"), col("target_rank"),
+          (abs(col("true_rank") - col("target_rank")) <= col("bound"))
+            .as("within_bound"))
+        .orderBy("p")
+    }),
+
     "q_kmv_distinct" -> ((s, d) => {
       import graft.expressions.KmvSketchAgg
       val k = 64
@@ -1560,6 +1717,38 @@ object LlmOps {
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("table", "hash", "window"), topK = 20)
         .orderBy("rank")
+    }),
+
+    // Retrieval evaluation scorecard over the proven BM25 top-20 with
+    // the deterministic doc_id % 7 relevance labels (the q_hard_negatives
+    // label set): hits@k / n_ranked@k / corpus-relevant-total as exact
+    // integers for k ∈ {1,5,10,20}, and the reciprocal rank as the exact
+    // integer 1e6 div first_relevant_rank — MRR/precision/recall with no
+    // float anywhere near the oracle. The ranked list is ≤ topK rows, so
+    // every post-retrieval join is a bounded broadcast.
+    "q_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 20)
+        .select(col("doc_id"), col("rank"),
+          (col("doc_id") % 7 === 0).cast("long").as("rel"))
+      val firstRel = ranked.filter(col("rel") === 1L)
+        .agg(coalesce(min(col("rank")), lit(0)).cast("long").as("first_rel"))
+      val nRel = docs.filter(col("doc_id") % 7 === 0)
+        .agg(count(lit(1)).as("n_rel_total"))
+      val ks = s.range(1)
+        .select(explode(array(lit(1L), lit(5L), lit(10L), lit(20L))).as("k"))
+      ks.crossJoin(broadcast(ranked))
+        .groupBy(col("k"))
+        .agg(sum(when(col("rank") <= col("k"), col("rel")).otherwise(0L)).as("hits"),
+          sum(when(col("rank") <= col("k"), 1L).otherwise(0L)).as("n_ranked"))
+        .crossJoin(broadcast(firstRel))
+        .crossJoin(broadcast(nRel))
+        .select(col("k"), col("hits"), col("n_ranked"), col("n_rel_total"),
+          when(col("first_rel") > 0L,
+            expr("CAST(1000000 AS BIGINT) div first_rel"))
+            .otherwise(lit(0L)).as("rr_micro"))
+        .orderBy("k")
     }),
 
     // Hard-negative mining (Retrieval.hardNegatives under the oracle):
@@ -2466,6 +2655,19 @@ object LlmOps {
            FROM ks JOIN es USING (event_type))
          ORDER BY leg, event_type""",
 
+    // Only the reproducible integers (n, exact-arithmetic target ranks)
+    // and the engine-verified verdicts reach the oracle — the estimates
+    // themselves are sketch-internal. `within_bound` is a FALSIFIABLE
+    // constant: the engine computes it against ground truth, and a
+    // broken sketch (or a lying bound) flips it to false.
+    "q_quantile_sketch" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         ks AS (SELECT unnest([1, 25, 50, 75, 99]) AS p)
+         SELECT CAST(p AS INTEGER) AS p, n AS n_total,
+           CAST(greatest(1, (p * n + 99) // 100) AS BIGINT) AS target_rank,
+           TRUE AS within_bound
+         FROM ks, t ORDER BY p""",
+
     // The whole sketch rebuilt cell by cell: the same md5-prefix hash
     // family, the same d=3 × w=64 cell grid, the same min-over-rows
     // estimates — approximate values oracled exactly, not just bounded.
@@ -2619,6 +2821,30 @@ object LlmOps {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          FROM sc WHERE score > 0
          ORDER BY rank LIMIT 20""",
+
+    // The ranking leg is the proven q_bm25 mirror; labels and every
+    // metric witness are integers, reciprocal rank via exact integer
+    // division.
+    "q_retrieval_eval" ->
+      s"""$bm25CteSql,
+         r AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel
+           FROM sc WHERE score > 0 QUALIFY rank <= 20),
+         fr AS (SELECT coalesce(min(rank), 0) AS first_rel FROM r WHERE rel = 1),
+         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_total
+                FROM documents WHERE doc_id % 7 = 0),
+         ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rank <= k THEN rel ELSE 0 END) AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_ranked,
+           nr.n_rel_total,
+           CAST(CASE WHEN fr.first_rel > 0 THEN 1000000 // fr.first_rel
+                ELSE 0 END AS BIGINT) AS rr_micro
+         FROM ks, r, fr, nr
+         GROUP BY k, nr.n_rel_total, fr.first_rel
+         ORDER BY k""",
 
     // The ranking leg is the proven q_bm25 mirror; the negatives drop the
     // % 7 label set AFTER the top-20 cut (order matters: a positive inside
@@ -3362,6 +3588,36 @@ object LlmOps {
              AS ttr
          FROM tok GROUP BY 1 ORDER BY doc_id""",
 
+    // Each class count replays independently via length(regexp_replace
+    // keep-class); n_other closes the census against the code-point
+    // length. RE2 classes mirror the kernel's exactly.
+    "q_charclass" ->
+      """SELECT doc_id,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[^ \t\n\r\f\v]', '', 'g')) AS BIGINT) AS n_space,
+           CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text)
+             - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             - length(regexp_replace(text, '[^ \t\n\r\f\v]', '', 'g'))
+             - length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT)
+             AS n_other,
+           CAST(length(text) AS BIGINT) AS n_cp
+         FROM documents ORDER BY doc_id""",
+
+    "q_simpson" ->
+      """WITH tok AS (
+           SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (SELECT lang, tok, count(*) AS c FROM tok
+                WHERE tok <> '' GROUP BY 1, 2)
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS coincide_pairs,
+           CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS total_pairs
+         FROM tf GROUP BY lang ORDER BY lang""",
+
     "q_vocab_growth" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -3415,6 +3671,46 @@ object LlmOps {
            CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
            len(bg) > 0 AND len(list_distinct(bg)) * 10 <= len(bg) * 8 AS is_repetitive
          FROM b ORDER BY doc_id""",
+
+    // The same fixed ⌊CDF·2^32⌋ thresholds, the same md5 uniform — the
+    // whole resample replays exactly, weights and all.
+    "q_bootstrap" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         x AS (
+           SELECT rep, cents,
+             ('0x' || substr(md5(o_orderkey || ':' || rep), 1, 8))::BIGINT AS u
+           FROM o, (SELECT unnest(range(0, 10)) AS rep)),
+         w AS (
+           SELECT rep, cents,
+             CAST(len(list_filter([1580030168, 3160060337, 3950075421,
+               4213413783, 4279248373, 4292415291, 4294609777, 4294923276],
+               c -> u >= c)) AS BIGINT) AS w
+           FROM x)
+         SELECT rep, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents
+         FROM w GROUP BY rep ORDER BY rep""",
+
+    "q_vocab_overlap" ->
+      """WITH types AS (
+           SELECT DISTINCT lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM types GROUP BY 1),
+         inter AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+           FROM types a JOIN types b
+             ON a.tok = b.tok AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT lang_a, lang_b, na.n AS n_a, nb.n AS n_b, n_inter,
+           CAST(na.n + nb.n - n_inter AS BIGINT) AS n_union
+         FROM inter JOIN sizes na ON na.lang = lang_a
+                    JOIN sizes nb ON nb.lang = lang_b
+         ORDER BY lang_a, lang_b""",
 
     "q_kfold" ->
       """WITH f AS (
@@ -3761,6 +4057,26 @@ object LlmOps {
               SELECT 1 FROM idg i WHERE i.dst = n.id)) AS n_sources,
            (SELECT count(*) FROM nodes n WHERE NOT EXISTS (
               SELECT 1 FROM od o WHERE o.src = n.id)) AS n_sinks""",
+
+    "q_degree_dist" ->
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         oh AS (
+           SELECT deg, CAST(count(*) AS BIGINT) AS n_out FROM (
+             SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY 1)
+           GROUP BY 1),
+         ih AS (
+           SELECT deg, CAST(count(*) AS BIGINT) AS n_in FROM (
+             SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY 1)
+           GROUP BY 1)
+         SELECT coalesce(oh.deg, ih.deg) AS deg,
+           coalesce(oh.n_out, 0) AS n_out,
+           coalesce(ih.n_in, 0) AS n_in
+         FROM oh FULL OUTER JOIN ih ON oh.deg = ih.deg
+         ORDER BY deg""",
 
     "q_hits" ->
       """WITH pairs AS (

@@ -1385,14 +1385,16 @@ object Relational {
         .groupBy(col("l_partkey"))
         .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
           .as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-      // global cumulative BY SEMANTICS (one catalog-wide ranking — the
-      // q_curriculum class; range-partition the sort at 100 TB)
-      val classed = rev
-        .withColumn("cum", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // r10: the catalog-wide cumulative goes through the DISTRIBUTED
+      // multi-column prefix sum (PrefixSum.runningTotalsOrdered over
+      // (cents desc, partkey asc)) — range-bucketed local cumsums, no
+      // data-sized single-partition window; the grand total is one
+      // broadcast aggregate.
+      val total = rev.agg(sum(col("cents")).as("total"))
+      val classed = graft.operators.PrefixSum.runningTotalsOrdered(rev,
+          Seq(("cents", false), ("l_partkey", true)), Seq("cents"))
+        .withColumnRenamed("cum_cents", "cum")
+        .crossJoin(broadcast(total))
         .withColumn("abc",
           when(col("cum") * 20 <= col("total") * 16, "A")
             .when(col("cum") * 20 <= col("total") * 19, "B")
@@ -1476,6 +1478,81 @@ object Relational {
           (col("max_cnt") * col("n_keys") > lit(10L) * col("total"))
             .as("skewed_10x"))
         .orderBy(col("cnt").desc, col("l_orderkey").asc)
+    }),
+
+    // Mutual best-match symmetrization (the reciprocal-best-hit rule,
+    // the bioinformatics ortholog standard applied to entity matching):
+    // from the proven fuzzy pair set, each id's best partner is its
+    // minimum-distance neighbor (partner id tiebreak), and a pair
+    // survives only if BOTH directions agree — the high-precision cut
+    // that drops asymmetric near-matches before clustering. One window
+    // over the symmetrized pair list (partitioned by id — never global),
+    // one self-join of the best-edge table.
+    "q_mutual_match" -> ((s, d) => {
+      val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+      val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("dist")))
+      val best = sym.withColumn("rk", row_number().over(
+          Window.partitionBy(col("id_a")).orderBy(col("dist"), col("id_b"))))
+        .filter(col("rk") === 1).drop("rk")
+      best.alias("x")
+        .join(best.alias("y"),
+          col("x.id_b") === col("y.id_a") && col("y.id_b") === col("x.id_a") &&
+            col("x.id_a") < col("x.id_b"))
+        .select(col("x.id_a").as("id_a"), col("x.id_b").as("id_b"),
+          col("x.dist").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Weighted quantiles per group (the Type-1 weighted quantile:
+    // smallest value whose cumulative weight reaches ⌈q·W⌉): exact
+    // integer cents weighted by integer quantities; the cumulative
+    // window partitions by group — never global. The weighted
+    // generalization of q_weighted_median to arbitrary q.
+    "q_weighted_quantile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val perV = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+      val cum = perV.withColumn("cw",
+        sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      val tot = perV.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+      cum.join(broadcast(tot), Seq("g"))
+        .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
+        .withColumn("target", expr("(q * tw + 99) div 100"))
+        .filter(col("cw") >= col("target"))
+        .groupBy(col("g"), col("q"), col("tw"), col("target"))
+        .agg(min(col("v")).as("wq_value"))
+        .select(col("g"), col("q"), col("tw").as("total_weight"),
+          col("target"), col("wq_value"))
+        .orderBy("g", "q")
+    }),
+
+    // Contingency-table independence witnesses (the chi-square
+    // numerators, exactly): for the l_returnflag × l_linestatus table,
+    // each cell's integer deviation obs·N − row_tot·col_tot — zero iff
+    // the cell sits exactly at independence. All integers (the
+    // chi-square statistic itself divides these by row·col·N; emitting
+    // the witnesses keeps the oracle float-free). One groupBy over the
+    // fact table; the margins are cell-table-sized re-aggregations,
+    // broadcast back.
+    "q_contingency" -> ((s, d) => {
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("obs"))
+      val rowTot = cells.groupBy(col("rf")).agg(sum(col("obs")).as("row_tot"))
+      val colTot = cells.groupBy(col("ls")).agg(sum(col("obs")).as("col_tot"))
+      val tot = cells.agg(sum(col("obs")).as("n_total"))
+      cells.join(broadcast(rowTot), Seq("rf"))
+        .join(broadcast(colTot), Seq("ls"))
+        .crossJoin(broadcast(tot))
+        .select(col("rf"), col("ls"), col("obs"), col("row_tot"),
+          col("col_tot"), col("n_total"),
+          (col("obs") * col("n_total") - col("row_tot") * col("col_tot"))
+            .as("dev"))
+        .orderBy("rf", "ls")
     }),
 
     // Sorted-neighborhood entity blocking (Hernández & Stolfo 1995,
@@ -2272,17 +2349,31 @@ object Relational {
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon"))
         .crossJoin(broadcast(maxD))
         .withColumn("rec", datediff(col("mx"), col("last_d")).cast("long"))
-      def score(c: String, asc: Boolean) = ntile(5).over(
-        Window.orderBy(
-          (if (asc) col(c).asc else col(c).desc), col("o_custkey").asc))
-        .cast("long")
-      // global ntile is single-partition BY SEMANTICS (a total order
-      // over customers — the q_curriculum class; at 100 TB score from
-      // approx quantile cuts instead)
-      per
-        .withColumn("r_score", score("rec", asc = true)) // recent = best
-        .withColumn("f_score", score("freq", asc = false))
-        .withColumn("m_score", score("mon", asc = false))
+      // r10: each ntile goes through the DISTRIBUTED rank
+      // (PrefixSum.runningTotalsOrdered of ones over the unique
+      // (metric, custkey) order) and Spark's own ntile bucket formula
+      // — with n div 5 = q, n mod 5 = m, rank r lands in bucket
+      // (r-1) div (q+1) + 1 while r ≤ m·(q+1), else
+      // m + (r - m·(q+1) - 1) div q + 1 (the first m buckets take the
+      // remainder, exactly ntile's contract). No data-sized
+      // single-partition window remains.
+      val n = per.agg(count(lit(1)).as("__n"))
+      def score(df: DataFrame, c: String, asc: Boolean, out: String) =
+        graft.operators.PrefixSum.runningTotalsOrdered(
+            df.withColumn("__one", lit(1L)),
+            Seq((c, asc), ("o_custkey", true)), Seq("__one"))
+          .withColumn(out, expr(
+            """CASE WHEN cum___one <= (__n % 5) * (__n div 5 + 1)
+                 THEN (cum___one - 1) div (__n div 5 + 1) + 1
+                 ELSE (__n % 5) + (cum___one - (__n % 5) * (__n div 5 + 1) - 1)
+                        div (__n div 5) + 1 END"""))
+          .drop("cum___one", "__one")
+      val scored = score(score(score(
+        per.crossJoin(broadcast(n)),
+        "rec", asc = true, "r_score"), // recent = best
+        "freq", asc = false, "f_score"),
+        "mon", asc = false, "m_score")
+      scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("mon")).as("segment_cents"))
@@ -3584,6 +3675,59 @@ object Relational {
          SELECT t.l_orderkey, t.cnt, s.n_keys, s.total, s.max_cnt,
            s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
          FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
+
+    "q_mutual_match" ->
+      """WITH p AS (
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+           FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+         sym AS (
+           SELECT id_a, id_b, dist FROM p
+           UNION ALL
+           SELECT id_b, id_a, dist FROM p),
+         best AS (
+           SELECT id_a, id_b, dist,
+             row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rk
+           FROM sym QUALIFY rk = 1)
+         SELECT x.id_a, x.id_b, x.dist
+         FROM best x JOIN best y
+           ON x.id_b = y.id_a AND y.id_b = x.id_a AND x.id_a < x.id_b
+         ORDER BY x.id_a, x.id_b""",
+
+    "q_weighted_quantile" ->
+      """WITH li AS (
+           SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM li GROUP BY 1, 2),
+         cum AS (
+           SELECT g, v, w,
+             CAST(sum(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cw
+           FROM pv),
+         tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM pv GROUP BY 1)
+         SELECT cum.g, CAST(q AS BIGINT) AS q, tot.tw AS total_weight,
+           CAST((q * tot.tw + 99) // 100 AS BIGINT) AS target,
+           CAST(min(v) AS BIGINT) AS wq_value
+         FROM cum JOIN tot ON cum.g = tot.g,
+           (SELECT unnest([25, 50, 75]) AS q)
+         WHERE cw >= (q * tot.tw + 99) // 100
+         GROUP BY cum.g, q, tot.tw
+         ORDER BY cum.g, q""",
+
+    "q_contingency" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(count(*) AS BIGINT) AS obs
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT rf, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+         c AS (SELECT ls, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+         SELECT cells.rf, cells.ls, cells.obs, r.row_tot, c.col_tot, t.n_total,
+           CAST(cells.obs * t.n_total - r.row_tot * c.col_tot AS BIGINT) AS dev
+         FROM cells JOIN r USING (rf) JOIN c USING (ls), t
+         ORDER BY cells.rf, cells.ls""",
 
     "q_dedup_sorted_nbhd" ->
       """WITH r AS (
