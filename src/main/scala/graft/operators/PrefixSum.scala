@@ -10,16 +10,25 @@ import org.apache.spark.sql.functions._
   *
   * Two-pass rank/cumsum (the classic distributed prefix sum):
   *
-  *   1. Bucket the order key into `numRanges` order-preserving ranges
-  *      (deterministic sampled boundaries — a bounded
+  *   1. Bucket the order key into `numRanges` order-preserving ranges —
+  *      either caller-supplied boundaries (domain knowledge, zero extra
+  *      passes) or deterministic sampled boundaries (a bounded
   *      O(numRanges·20)-row driver model, the repo's k-means-trainer
-  *      convention, so the bucket label is a pure column expression that
-  *      cannot disagree between consumers).
+  *      convention). Either way the bucket label is a pure column
+  *      expression that cannot disagree between consumers.
   *   2. Cumulate LOCALLY per bucket in parallel; recover the global
   *      running total as `bucket offset + local cumsum`, where the
   *      offsets come from a `numRanges`-row per-bucket totals table
   *      (broadcast; its cumulative fold is the only sequential work left
   *      — bounded by the bucket count, never the data).
+  *
+  * Plan shape: the per-bucket TOTALS are computed as a second window
+  * over the SAME partitioning as the running window, so the offsets
+  * branch forks ABOVE the one hash exchange and ReuseExchange
+  * materializes the (possibly expensive) input exactly once in the main
+  * job — not once per consumer. With explicit `boundaries` the input is
+  * computed exactly once overall; with sampling, once more for the
+  * bounded sample pass.
   *
   * The result equals the single-window formulation for ANY boundary
   * placement (PrefixSumSpec proves row-for-row equality, including
@@ -29,46 +38,71 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  private val SampleFloor = 100
+
+  /** Bucket label = #boundaries strictly below the key. Two renderings
+    * with the same semantics:
+    *
+    *   - ≤ 64 boundaries (every practical numRanges): a FLAT sum of
+    *     `when(key > bd, 1)` terms. The many TOP-LEVEL references to
+    *     the key stop CollapseProject from inlining an expensive key
+    *     expression into each term (it only inlines single-use or cheap
+    *     expressions), so an order key like a quality score is computed
+    *     once per row, not once per boundary. Measured: the
+    *     array+filter form below evaluated a 2-regex score key
+    *     boundary-count times per row (the HOF lambda body re-evaluates
+    *     per element) — 7× the scan cost at numRanges = 8.
+    *   - > 64 boundaries: array + filter + size (a flat when-sum this
+    *     wide is fine but a fold would overflow the analyzer; the HOF
+    *     keeps the expression tree O(1)). Callers at hundreds of
+    *     buckets should pass a cheap (materialized) key column.
+    */
+  private def bucketCount(key: Column, bds: Seq[Column]): Column =
+    if (bds.isEmpty) lit(0L)
+    else if (bds.length <= 64)
+      bds.map(bd => when(key > bd, 1L).otherwise(0L)).reduce(_ + _)
+    else size(filter(array(bds: _*), bd => key > bd)).cast("long")
+
   def runningTotals(
       df: DataFrame,
       orderCol: String,
       valueCols: Seq[String],
-      numRanges: Int = 8): DataFrame = {
+      numRanges: Int = 8,
+      boundaries: Option[Array[Long]] = None): DataFrame = {
     require(valueCols.nonEmpty, "need at least one value column")
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
     val passthrough = df.columns.filterNot(_ == orderCol).map(col).toSeq
     val base = df.withColumn("__ord", col(orderCol).cast("long"))
-    val sampled = base
-      .filter(col("__ord").isNotNull)
-      .withColumn("__r", xxhash64(col("__ord")))
-      .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
-      .select(col("__ord")).collect().map(_.getLong(0)).sorted
-    val boundaries =
+    val bds: Array[Long] = boundaries.getOrElse {
+      val sampled = base
+        .filter(col("__ord").isNotNull)
+        .withColumn("__r", xxhash64(col("__ord")))
+        .orderBy(col("__r")).limit(math.max(numRanges * 20, SampleFloor))
+        .select(col("__ord")).collect().map(_.getLong(0)).sorted
       if (sampled.isEmpty) Array.empty[Long]
       else (1 until numRanges).map { i =>
         sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
       }.distinct.toArray
-    // bucket = #boundaries strictly below the key. A FLAT array + filter
-    // + size, not a folded when-chain: a fold nests one expression level
-    // per boundary and overflows the analyzer stack past a few hundred
-    // buckets.
-    val bucketExpr =
-      if (boundaries.isEmpty) lit(0L)
-      else size(filter(array(boundaries.map(lit(_)): _*),
-        bd => col("__ord") > bd)).cast("long")
+    }
+    val bucketExpr = bucketCount(col("__ord"), bds.map(lit(_)))
     val bucketed = base.withColumn("__b", bucketExpr)
     val localW = Window.partitionBy(col("__b")).orderBy(col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-bucket totals over the SAME partitioning — shares the one
+    // exchange with the running window (ReuseExchange)
+    val totW = Window.partitionBy(col("__b"))
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>
       acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
+        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
     }
     // numRanges rows: the lone unpartitioned window, bounded by
     // construction (bucket count, not data).
-    val offsets = bucketed.groupBy(col("__b"))
-      .agg(valueCols.map(c => sum(col(c)).as(s"__tot_$c")).head,
-        valueCols.map(c => sum(col(c)).as(s"__tot_$c")).tail: _*)
+    val offsets = local
+      .groupBy(col("__b"))
+      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
+        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
       .select(col("__b") +: valueCols.map { c =>
-        coalesce(sum(col(s"__tot_$c")).over(
+        coalesce(sum(col(s"__bt_$c")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as(s"__off_$c")
       }: _*)
@@ -106,7 +140,7 @@ object PrefixSum {
     }
     val sampled = base
       .withColumn("__r", xxhash64(keyNames.map(col): _*))
-      .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
+      .orderBy(col("__r")).limit(math.max(numRanges * 20, SampleFloor))
       .select(keyNames.map(col): _*).collect()
       .map(r => keyNames.indices.map(r.getLong).toVector)
       .sortBy(identity)(Ordering.Implicits.seqOrdering[Vector, Long])
@@ -115,28 +149,43 @@ object PrefixSum {
       else (1 until numRanges).map { i =>
         sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
       }.distinct.toArray
-    def after(bd: Column): Column =
+    // lexicographic "row is after boundary" with the boundary as plain
+    // LITERALS — the ≤64 path is a flat when-sum (multiple top-level key
+    // references, so CollapseProject keeps expensive key expressions
+    // materialized, see bucketCount); the wide path falls back to the
+    // struct-array HOF.
+    def afterLit(bd: Vector[Long]): Column =
+      keyNames.zip(bd).foldRight(lit(false)) { case ((kn, v), tail) =>
+        col(kn) > lit(v) || (col(kn) === lit(v) && tail)
+      }
+    def afterCol(bd: Column): Column =
       keyNames.foldRight(lit(false)) { (kn, tail) =>
         col(kn) > bd(kn) || (col(kn) === bd(kn) && tail)
       }
     val bucketExpr =
       if (boundaries.isEmpty) lit(0L)
+      else if (boundaries.length <= 64)
+        boundaries.map(bd => when(afterLit(bd), 1L).otherwise(0L))
+          .reduce(_ + _)
       else size(filter(
         array(boundaries.map(bd =>
           struct(keyNames.zip(bd).map { case (kn, v) => lit(v).as(kn) }: _*)): _*),
-        bd => after(bd))).cast("long")
+        bd => afterCol(bd))).cast("long")
     val bucketed = base.withColumn("__b", bucketExpr)
     val localW = Window.partitionBy(col("__b"))
       .orderBy(keyNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("__b"))
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>
       acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
+        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
     }
-    val offsets = bucketed.groupBy(col("__b"))
-      .agg(valueCols.map(c => sum(col(c)).as(s"__tot_$c")).head,
-        valueCols.map(c => sum(col(c)).as(s"__tot_$c")).tail: _*)
+    val offsets = local
+      .groupBy(col("__b"))
+      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
+        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
       .select(col("__b") +: valueCols.map { c =>
-        coalesce(sum(col(s"__tot_$c")).over(
+        coalesce(sum(col(s"__bt_$c")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as(s"__off_$c")
       }: _*)
@@ -173,32 +222,32 @@ object PrefixSum {
     val sampled = base
       .filter(col("__ord").isNotNull)
       .withColumn("__r", xxhash64(col("__ord")))
-      .orderBy(col("__r")).limit(math.max(numRanges * 20, 100))
+      .orderBy(col("__r")).limit(math.max(numRanges * 20, SampleFloor))
       .select(col("__ord")).collect().map(_.getDouble(0)).sorted
     val boundaries =
       if (sampled.isEmpty) Array.empty[Double]
       else (1 until numRanges).map { i =>
         sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
       }.distinct.toArray
-    val bucketExpr =
-      if (boundaries.isEmpty) lit(0L)
-      else size(filter(array(boundaries.map(lit(_)): _*),
-        bd => col("__ord") > bd)).cast("long")
+    val bucketExpr = bucketCount(col("__ord"), boundaries.map(lit(_)))
     val bucketed = base.withColumn("__b", bucketExpr)
     val frameEnd = if (exclusive) -1L else 0L
     val localW = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, frameEnd)
-    val local = bucketed.withColumn("__lmax", max(col(valueCol)).over(localW))
+    val totW = Window.partitionBy(col("__b"))
+    val local = bucketed
+      .withColumn("__lmax", max(col(valueCol)).over(localW))
+      .withColumn("__bmaxw", max(col(valueCol)).over(totW))
     // per-bucket maxima: numRanges rows; prefix-max EXCLUDES the own
     // bucket (its contribution is already in the local window)
-    val offsets = bucketed.groupBy(col("__b"))
-      .agg(max(col(valueCol)).as("__bmax"))
+    val offsets = local.groupBy(col("__b"))
+      .agg(max(col("__bmaxw")).as("__bmax"))
       .select(col("__b"),
         max(col("__bmax")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1))
           .as("__off"))
     local.join(broadcast(offsets), Seq("__b"))
       .withColumn(s"runmax_$valueCol", greatest(col("__lmax"), col("__off")))
-      .drop("__ord", "__b", "__lmax", "__off")
+      .drop("__ord", "__b", "__lmax", "__bmaxw", "__off")
   }
 }

@@ -84,6 +84,19 @@ object TextAnalysis {
     }
   }
 
+  /** Per-language stopword hit counts — langId's scores, exposed: one
+    * (lang, count) column per lexicon from ONE tokenize pass. The raw
+    * material of code-switching / language-mixing detection (a document
+    * hitting two lexicons hard is mixed — or mislabeled).
+    */
+  def stopwordCounts(text: Column): Seq[(String, Column)] = {
+    val tokens = split(lower(text), "[^\\p{L}]+")
+    stopwords.map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      lang -> size(filter(tokens, t => array_contains(set, t))).cast("long")
+    }
+  }
+
   /** Rolling polynomial document fingerprint: base-31 recurrence over the
     * code points of the ASCII-printable, whitespace-normalized text, reduced
     * mod 1e9+7 at every step. The modulus keeps intermediate values far from

@@ -45,7 +45,8 @@ final case class AsOfJoinPlan(
     rightBy: Seq[Attribute],
     leftOn: Attribute,
     rightOn: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -57,8 +58,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lb, rb, lo, ro, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, rv) :: Nil
+    case AsOfJoinPlan(l, r, lb, rb, lo, ro, rv, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, rv, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -70,7 +71,8 @@ final case class AsOfJoinExec(
     rightBy: Seq[Attribute],
     leftOn: Attribute,
     rightOn: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -86,13 +88,21 @@ final case class AsOfJoinExec(
         org.apache.spark.sql.catalyst.plans.physical.AllTuples)
     else Seq(ClusteredDistribution(leftBy), ClusteredDistribution(rightBy))
 
+  // Forward direction: the `on` columns sort DESCENDING (keys still
+  // ascending), which turns "last right row at-or-before" into "last
+  // right row at-or-after in reverse time" = the EARLIEST right row
+  // >= leftOn — the same O(1)-state merge, one flipped comparator.
+  private def onOrder(a: Attribute): SortOrder =
+    SortOrder(a, if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+                 else Ascending)
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending)),
-    (rightBy :+ rightOn).map(a => SortOrder(a, Ascending)))
+    leftBy.map(a => SortOrder(a, Ascending)) :+ onOrder(leftOn),
+    rightBy.map(a => SortOrder(a, Ascending)) :+ onOrder(rightOn))
 
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    (leftBy :+ leftOn).map(a => SortOrder(a, Ascending))
+    leftBy.map(a => SortOrder(a, Ascending)) :+ onOrder(leftOn)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -144,7 +154,10 @@ final case class AsOfJoinExec(
             val kc = keyOrd.compare(rKeyProj(rRow), lKey)
             if (kc < 0) {
               rBuf.next() // earlier key: discard (its key can't come back)
-            } else if (kc == 0 && onOrd.compare(rOnProj(rRow), lOn) <= 0) {
+            } else if (kc == 0 && {
+              val c = onOrd.compare(rOnProj(rRow), lOn)
+              if (forward) c >= 0 else c <= 0
+            }) {
               lastRight = rBuf.next().copy()
             } else {
               advancing = false // right side is past this left row
@@ -174,7 +187,32 @@ object AsOfJoin {
       right: DataFrame,
       by: Seq[String],
       on: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String]): DataFrame =
+    build(left, right, by, on, rightValueCols, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `rightOn >= leftOn` in the same `by` key (DuckDB `ASOF ... ON
+    * l.on <= r.on`, pandas `merge_asof(direction="forward")`) — the
+    * next-event attachment (next purchase after a click, next restock
+    * after a stock-out). Same exec, `on` ordering flipped to descending;
+    * right rows with a null `on` never match (they sort last and are
+    * never at-or-after anything).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      on: String,
+      rightValueCols: Seq[String]): DataFrame =
+    build(left, right, by, on, rightValueCols, forward = true)
+
+  private def build(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      on: String,
+      rightValueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -194,7 +232,8 @@ object AsOfJoin {
       rightBy = by.map(attr(rPlan, _)),
       leftOn = attr(lPlan, on),
       rightOn = attr(rPlan, on),
-      rightValues = rightValueCols.map(attr(rPlan, _)))
+      rightValues = rightValueCols.map(attr(rPlan, _)),
+      forward = forward)
     ColumnBridge.ofRows(spark, plan)
   }
 }

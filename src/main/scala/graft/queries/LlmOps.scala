@@ -984,6 +984,25 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Code-switching / language-mixing detector over the SAME lexicons
+    // as q_langid (TextAnalysis.stopwordCounts — one tokenize pass):
+    // per-language hit counts, the number of languages hit ≥ 2 times,
+    // and the mixed verdict — the corpus-hygiene signal that catches
+    // documents langId can only force into one label. All integers;
+    // the oracle regenerates every lexicon literal from the same
+    // source list, so lexicon drift breaks the hash.
+    "q_codeswitch" -> ((s, d) => {
+      val counts = TextAnalysis.stopwordCounts(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: counts.map { case (l, c) => c.as(s"cnt_$l") }: _*)
+      val nHit = counts.map { case (l, _) =>
+        when(col(s"cnt_$l") >= 2, 1L).otherwise(0L)
+      }.reduce(_ + _)
+      base.withColumn("n_langs_hit", nHit)
+        .withColumn("is_mixed", col("n_langs_hit") >= 2)
+        .orderBy("doc_id")
+    }),
+
     // Flesch-Kincaid grade level (Kincaid et al. 1975) as EXACT integer
     // counts + one division: words (\S+ runs), sentences ([.!?] runs,
     // floored at 1), syllables (vowel-group runs — the standard
@@ -1208,8 +1227,15 @@ object LlmOps {
           (lit(10000L) - round(col("quality_score") * 10000).cast("long"))
             * lit(1099511627776L) + col("doc_id"))
         .withColumn("__one", lit(1L))
+      // STATIC boundaries: the score domain is [0, 10000] by
+      // construction, so the key space splits without a sample pass —
+      // the quality score (two regex passes per doc) is computed exactly
+      // once. Bucket balance tracks the score distribution, never
+      // correctness.
+      val static = (1 until 8).map(i => i * 1250L * 1099511627776L).toArray
       graft.operators.PrefixSum
-        .runningTotals(scored, "__ck", Seq("__one"), numRanges = 8)
+        .runningTotals(scored, "__ck", Seq("__one"), numRanges = 8,
+          boundaries = Some(static))
         .select(col("doc_id"), col("quality_score"),
           col("cum___one").cast("int").as("curriculum_rank"))
         .orderBy("curriculum_rank")
@@ -2052,6 +2078,26 @@ object LlmOps {
          b AS (SELECT doc_id, $best AS best, * FROM c)
          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
          FROM b ORDER BY doc_id"""
+  }
+
+  /** q_codeswitch oracle generated from the SAME stopword lexicons as
+    * the engine's counts — lexicon drift breaks the hash.
+    */
+  private def codeSwitchSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val counts = TextAnalysis.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), t -> list_contains($list, t))) AS BIGINT) AS cnt_$lang"
+    }.mkString(",\n             ")
+    val hits = langs.map(l => s"CASE WHEN cnt_$l >= 2 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH c AS (
+           SELECT doc_id,
+             $counts
+           FROM documents)
+         SELECT doc_id, ${langs.map("cnt_" + _).mkString(", ")},
+           CAST($hits AS BIGINT) AS n_langs_hit,
+           ($hits) >= 2 AS is_mixed
+         FROM c ORDER BY doc_id"""
   }
 
   /** q_text_clean oracle generated from the SAME stopword lexicons. */
@@ -3561,6 +3607,8 @@ object LlmOps {
          FROM f ORDER BY doc_id""",
 
     "q_langid" -> langIdSql,
+
+    "q_codeswitch" -> codeSwitchSql,
 
     "q_readability" ->
       """WITH f AS (

@@ -1480,6 +1480,31 @@ object Relational {
         .orderBy(col("cnt").desc, col("l_orderkey").asc)
     }),
 
+    // Sequential-pattern pair support (the 2-sequence core of
+    // PrefixSpan, Pei et al. 2001): for every ORDERED event-type pair
+    // (a → b), the number of users with some a-event strictly before
+    // some b-event — existence of the subsequence ⇔ min_ts(a) <
+    // max_ts(b), so the whole mining reduces to one per-(user, type)
+    // min/max aggregate (map-side combined) and a per-user type×type
+    // join bounded by the type-alphabet squared — never an event-level
+    // self-join. The behavioral-sequence complement of q_transitions
+    // (adjacent bigrams) and q_funnel (one fixed path).
+    "q_seq_support" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val a = per.select(col("user_id"), col("event_type").as("type_a"),
+        col("first_ts"))
+      val b = per.select(col("user_id"), col("event_type").as("type_b"),
+        col("last_ts"))
+      a.join(b, Seq("user_id"))
+        .filter(col("type_a") =!= col("type_b") &&
+          col("first_ts") < col("last_ts"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Mutual best-match symmetrization (the reciprocal-best-hit rule,
     // the bioinformatics ortholog standard applied to entity matching):
     // from the proven fuzzy pair set, each id's best partner is its
@@ -1489,20 +1514,35 @@ object Relational {
     // over the symmetrized pair list (partitioned by id — never global),
     // one self-join of the best-edge table.
     "q_mutual_match" -> ((s, d) => {
+      // maxDist = 1 (not q_fuzzy_join's 2): best-match symmetrization
+      // shuffles EVERY candidate pair through the per-id window, and the
+      // dist-2 band is ~10× the dist-1 band on this corpus — the tight
+      // band is the realistic reciprocal-best-hit configuration (high
+      // precision is the point of the rule).
       val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
-        Tables.part(s, d), "p_partkey", "p_name", maxDist = 2)
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 1)
         .select(col("id_a"), col("id_b"), col("dist"))
-      val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
-        col("id_a").as("id_b"), col("dist")))
+      // ONE pass over the fuzzy join: both directions explode from each
+      // undirected pair (never a union of two subtrees, which would run
+      // the whole Ed-Join twice), and mutuality = the canonical pair
+      // surviving the per-id best-rank cut from BOTH endpoints — a
+      // count-2 groupBy instead of a best⋈best self-join.
+      val sym = pairs.select(col("dist"), explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("id_a"), col("e.dst").as("id_b"), col("dist"))
+        // exchange barrier the window needs anyway: materializes the
+        // edit-distance column so downstream operators reference the
+        // shuffled value instead of re-running the DP kernel per use
+        .repartition(col("id_a"))
       val best = sym.withColumn("rk", row_number().over(
           Window.partitionBy(col("id_a")).orderBy(col("dist"), col("id_b"))))
         .filter(col("rk") === 1).drop("rk")
-      best.alias("x")
-        .join(best.alias("y"),
-          col("x.id_b") === col("y.id_a") && col("y.id_b") === col("x.id_a") &&
-            col("x.id_a") < col("x.id_b"))
-        .select(col("x.id_a").as("id_a"), col("x.id_b").as("id_b"),
-          col("x.dist").as("dist"))
+      best.select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+        .groupBy(col("id_a"), col("id_b"), col("dist"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 2).drop("__n")
         .orderBy("id_a", "id_b")
     }),
 
@@ -2357,22 +2397,31 @@ object Relational {
       // m + (r - m·(q+1) - 1) div q + 1 (the first m buckets take the
       // remainder, exactly ntile's contract). No data-sized
       // single-partition window remains.
-      val n = per.agg(count(lit(1)).as("__n"))
-      def score(df: DataFrame, c: String, asc: Boolean, out: String) =
+      // pin the customer aggregate once (the q_pagerank final-frame
+      // pattern): the three ranking passes + their boundary samples all
+      // read the materialized customer-spine-sized frame instead of
+      // re-running the orders aggregation per pass
+      val perPinned = per.localCheckpoint(true)
+      val n = perPinned.agg(count(lit(1)).as("__n"))
+      // each metric ranks INDEPENDENTLY off the pinned frame (never
+      // chained: a chained call's boundary sample would re-execute the
+      // previous call's whole pipeline), then the three thin
+      // (custkey, score) frames join back on the key
+      def score(c: String, asc: Boolean, out: String): DataFrame =
         graft.operators.PrefixSum.runningTotalsOrdered(
-            df.withColumn("__one", lit(1L)),
+            perPinned.select(col("o_custkey"), col(c))
+              .crossJoin(broadcast(n)).withColumn("__one", lit(1L)),
             Seq((c, asc), ("o_custkey", true)), Seq("__one"))
           .withColumn(out, expr(
             """CASE WHEN cum___one <= (__n % 5) * (__n div 5 + 1)
                  THEN (cum___one - 1) div (__n div 5 + 1) + 1
                  ELSE (__n % 5) + (cum___one - (__n % 5) * (__n div 5 + 1) - 1)
                         div (__n div 5) + 1 END"""))
-          .drop("cum___one", "__one")
-      val scored = score(score(score(
-        per.crossJoin(broadcast(n)),
-        "rec", asc = true, "r_score"), // recent = best
-        "freq", asc = false, "f_score"),
-        "mon", asc = false, "m_score")
+          .select(col("o_custkey"), col(out))
+      val scored = perPinned
+        .join(score("rec", asc = true, "r_score"), Seq("o_custkey")) // recent = best
+        .join(score("freq", asc = false, "f_score"), Seq("o_custkey"))
+        .join(score("mon", asc = false, "m_score"), Seq("o_custkey"))
       scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
@@ -2864,6 +2913,25 @@ object Relational {
         .select(col("user_id"), col("ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
       graft.plans.AsOfJoin.backward(
+        clicks, purchases, by = Seq("user_id"), on = "ts",
+        rightValueCols = Seq("p_event_id", "p_value"))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy("event_id")
+    }),
+
+    // Forward as-of through the SAME custom operator (r10: one flipped
+    // comparator + descending on-order, AsOfJoin.forward): for every
+    // click, the user's NEXT purchase at or after it — the
+    // time-to-conversion attachment. DuckDB mirrors with
+    // `ASOF ... ON c.ts <= p.ts`.
+    "q_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsOfJoin.forward(
         clicks, purchases, by = Seq("user_id"), on = "ts",
         rightValueCols = Seq("p_event_id", "p_value"))
         .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
@@ -3676,12 +3744,25 @@ object Relational {
            s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
          FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
 
+    "q_seq_support" ->
+      """WITH per AS (
+           SELECT user_id, event_type,
+             min(ts) AS first_ts, max(ts) AS last_ts
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS support
+         FROM per a JOIN per b
+           ON a.user_id = b.user_id AND a.event_type <> b.event_type
+          AND a.first_ts < b.last_ts
+         GROUP BY 1, 2
+         ORDER BY type_a, type_b""",
+
     "q_mutual_match" ->
       """WITH p AS (
            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-           WHERE levenshtein(a.p_name, b.p_name) <= 2),
+           WHERE levenshtein(a.p_name, b.p_name) <= 1),
          sym AS (
            SELECT id_a, id_b, dist FROM p
            UNION ALL
@@ -4979,6 +5060,13 @@ object Relational {
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts >= p.ts
+         ORDER BY c.event_id""",
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event_id, p.value AS p_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
 
     "q_range_join" ->

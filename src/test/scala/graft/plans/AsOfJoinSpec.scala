@@ -51,6 +51,64 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("forward direction: earliest right row at-or-after, incl. misses") {
+    val trades = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 35L),
+      (4L, "B", 5L), (5L, "C", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 9L, Some(1.0)), ("A", 20L, None), ("A", 30L, Some(3.0)),
+      ("B", 6L, Some(9.9)))
+      .toDF("sym", "t", "px")
+
+    val out = AsOfJoin.forward(trades, quotes, by = Seq("sym"), on = "t",
+      rightValueCols = Seq("px"))
+      .orderBy("trade_id").collect()
+
+    assert(out.length == 5)
+    assert(out(0).isNullAt(3))          // t=10 -> next quote is t=20 (null px)
+    assert(out(1).isNullAt(3))          // t=20 -> quote t=20 itself (null px)
+    assert(out(2).isNullAt(3))          // t=35 -> nothing after
+    assert(out(3).getDouble(3) == 9.9)  // B: t=5 -> quote t=6
+    assert(out(4).isNullAt(3))          // C: no quotes at all
+  }
+
+  test("forward agrees with a brute-force reference on the events self-join") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+
+    // brute-force reference: per click, min-(ts, p_event_id) purchase
+    // at-or-after, via a plain join + row_number
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("p_ts").asc, col("p_event_id").asc)
+    val ref = clicks.join(
+        purchases.select(col("user_id"), col("ts").as("p_ts"),
+          col("p_event_id"), col("p_value")),
+        Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("p_ts") >= col("ts"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+
+    val native = norm(AsOfJoin.forward(
+      clicks, purchases, by = Seq("user_id"), on = "ts",
+      rightValueCols = Seq("p_event_id", "p_value")))
+    // the left-join reference loses clicks whose ONLY purchases are
+    // before (all filtered) — re-add them as misses
+    val refRows = norm(clicks.join(ref.drop("user_id"), Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value")))
+    assert(native.nonEmpty && native == refRows)
+  }
+
   test("empty by-key: global as-of join over one series (AllTuples merge)") {
     val trades = Seq((1L, 10L), (2L, 25L), (3L, 5L)).toDF("trade_id", "t")
     val quotes = Seq((9L, 1.0), (20L, 2.0)).toDF("t", "px")
