@@ -1480,6 +1480,77 @@ object Relational {
         .orderBy(col("cnt").desc, col("l_orderkey").asc)
     }),
 
+    // 2-D activity heatmap: (ISO weekday × hour) event counts — the
+    // load-profile census behind capacity planning and anomaly
+    // baselines. Spark weekday() (0 = Monday) = DuckDB isodow − 1; one
+    // map-side-combined groupBy.
+    "q_histogram2d" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(expr("weekday(ts)").cast("int").as("dow"),
+          hour(col("ts")).cast("int").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dow", "hr")
+    }),
+
+    // Null-safe join semantics (<=> / IS NOT DISTINCT FROM): the same
+    // self-pairing once with SQL equality (null keys drop) and once
+    // null-safe (null keys pair together) — both counted per key so the
+    // difference is the observable. Supplier-spine-sized inputs; the
+    // nullable key is derived deterministically (nationkey 3 → null).
+    "q_null_safe_join" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey"), expr("nullif(s_nationkey, 3)").as("k"))
+      val a = su.select(col("k"), col("s_suppkey").as("id_a"))
+      val b = su.select(col("k").as("kb"), col("s_suppkey").as("id_b"))
+      val safePairs = a.join(b, col("k") <=> col("kb") && col("id_a") < col("id_b"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs_nullsafe"))
+      val eqPairs = a.join(b, col("k") === col("kb") && col("id_a") < col("id_b"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs_eq"))
+      safePairs.join(eqPairs, Seq("k"), "left_outer")
+        .select(col("k"), col("n_pairs_nullsafe"),
+          coalesce(col("n_pairs_eq"), lit(0L)).as("n_pairs_eq"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Per-series lag features (the ML feature-prep staple): daily event
+    // counts per type with lag-1 / lag-7 and the day-over-day delta —
+    // windows PARTITION by the series key, never global. Exact integers.
+    "q_lag_features" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("lag1", lag(col("cnt"), 1).over(w))
+        .withColumn("lag7", lag(col("cnt"), 7).over(w))
+        .withColumn("delta1", col("cnt") - col("lag1"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Rolling co-movement witnesses: trailing-7-row integer moment sums
+    // (Σx, Σy, Σxy, Σx², Σy², n) of the daily click/purchase count
+    // pair, per day — everything Pearson needs, with no float until the
+    // reader divides. The frame runs over the calendar-sized daily
+    // table (bounded), ordered by day.
+    "q_moving_corr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .orderBy("day")
+    }),
+
     // Sequential-pattern pair support (the 2-sequence core of
     // PrefixSpan, Pei et al. 2001): for every ORDERED event-type pair
     // (a → b), the number of users with some a-event strictly before
@@ -1568,6 +1639,33 @@ object Relational {
         .select(col("g"), col("q"), col("tw").as("total_weight"),
           col("target"), col("wq_value"))
         .orderBy("g", "q")
+    }),
+
+    // Smoothed target encoding (the m-estimate / empirical-Bayes
+    // category encoder, Micci-Barreca 2001): P(returned | part brand)
+    // shrunk toward the global rate with m = 10 pseudo-observations.
+    // enc = (n_r + m·g_r/g_n) / (n + m) is rendered as ONE exact
+    // integer division of the cross-multiplied micro form —
+    // 1e6·(n_r·g_n + m·g_r) div (g_n·(n + m)) — so both engines emit
+    // identical integers (the q_gini single-division discipline). One
+    // category-spine aggregate + one broadcast of the global row.
+    // 64-bit headroom: 1e6·n_r·g_n tops out ~3e16 at the graded scale;
+    // past ~1e9 rows route the product through DECIMAL(38,0) exactly as
+    // QuantileNorm.scala does for its rank product.
+    "q_target_encoding" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("t"))
+      val per = li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("n_r"))
+      val glob = per.agg(sum(col("n")).as("g_n"), sum(col("n_r")).as("g_r"))
+      per.crossJoin(broadcast(glob))
+        .select(col("p_brand"), col("n"), col("n_r"), col("g_n"), col("g_r"),
+          expr("(1000000 * (n_r * g_n + 10 * g_r)) div (g_n * (n + 10))")
+            .as("enc_micro"))
+        .orderBy("p_brand")
     }),
 
     // Contingency-table independence witnesses (the chi-square
@@ -2938,6 +3036,55 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Time-to-conversion distribution built ON the forward as-of: per
+    // click, hours until the next purchase (exact integer µs math,
+    // floor-div to hour buckets; −1 = never converts) — the funnel
+    // latency histogram marketing actually reads. The µs floor-div
+    // matches DuckDB's epoch_us exactly (both truncate the ns source
+    // identically).
+    "q_conversion_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+      graft.plans.AsOfJoin.forward(
+          clicks, purchases, by = Seq("user_id"), on = "ts",
+          rightValueCols = Seq("p_ts"))
+        .select(
+          when(col("p_ts").isNull, lit(-1L))
+            .otherwise(expr(
+              "(unix_micros(p_ts) - unix_micros(ts)) div 3600000000"))
+            .as("delay_hours"))
+        .groupBy(col("delay_hours"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("delay_hours")
+    }),
+
+    // Survivorship / golden-record construction (the MDM merge rules):
+    // per duplicate cluster (exact p_name groups — 64 clusters of ~31
+    // on this corpus), the deterministic canonical row: min-key
+    // survivor, most-frequent brand (count desc, brand asc tiebreak),
+    // max price, summed size. One groupBy per rule; the mode is a
+    // per-cluster window, never global.
+    "q_golden_record" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val brandMode = p.groupBy(col("p_name"), col("p_brand"))
+        .agg(count(lit(1)).as("bc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_name"))
+            .orderBy(col("bc").desc, col("p_brand").asc)))
+        .filter(col("rk") === 1)
+        .select(col("p_name"), col("p_brand").as("brand_mode"))
+      p.groupBy(col("p_name"))
+        .agg(count(lit(1)).as("n_dups"),
+          min(col("p_partkey")).as("survivor_key"),
+          max(col("p_retailprice").cast(dec)).cast("double").as("max_price"),
+          sum(col("p_size").cast("long")).as("total_size"))
+        .join(brandMode, Seq("p_name"))
+        .orderBy("p_name")
+    }),
+
     // Range (interval) join executed as a bucketed equi-join — lineitem
     // ship dates falling in [o_orderdate, o_orderdate + 30 days] of
     // high-value orders, counted per order.
@@ -3744,6 +3891,64 @@ object Relational {
            s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
          FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
 
+    "q_histogram2d" ->
+      """SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY dow, hr""",
+
+    "q_null_safe_join" ->
+      """WITH su AS (
+           SELECT s_suppkey, nullif(s_nationkey, 3) AS k FROM supplier),
+         safe AS (
+           SELECT a.k, CAST(count(*) AS BIGINT) AS n_pairs_nullsafe
+           FROM su a JOIN su b
+             ON a.k IS NOT DISTINCT FROM b.k AND a.s_suppkey < b.s_suppkey
+           GROUP BY 1),
+         eq AS (
+           SELECT a.k, CAST(count(*) AS BIGINT) AS n_pairs_eq
+           FROM su a JOIN su b
+             ON a.k = b.k AND a.s_suppkey < b.s_suppkey
+           GROUP BY 1)
+         SELECT safe.k, safe.n_pairs_nullsafe,
+           coalesce(eq.n_pairs_eq, 0) AS n_pairs_eq
+         FROM safe LEFT JOIN eq ON safe.k IS NOT DISTINCT FROM eq.k
+         ORDER BY safe.k NULLS FIRST""",
+
+    "q_lag_features" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, cnt,
+           lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1,
+           lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7,
+           cnt - lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day)
+             AS delta1
+         FROM daily ORDER BY event_type, day""",
+
+    "q_moving_corr" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1)
+         SELECT day, x, y,
+           CAST(count(*) OVER w AS BIGINT) AS n_days,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(y) OVER w AS BIGINT) AS sy,
+           CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(sum(y * y) OVER w AS BIGINT) AS syy
+         FROM daily
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+
+    // The comparison runs on epoch_us: the engine reads ns timestamps
+    // truncated to µs (Tables.events), so a ns-level difference inside
+    // one µs must NOT decide the strict < here.
     "q_seq_support" ->
       """WITH per AS (
            SELECT user_id, event_type,
@@ -3753,7 +3958,7 @@ object Relational {
            CAST(count(*) AS BIGINT) AS support
          FROM per a JOIN per b
            ON a.user_id = b.user_id AND a.event_type <> b.event_type
-          AND a.first_ts < b.last_ts
+          AND epoch_us(a.first_ts) < epoch_us(b.last_ts)
          GROUP BY 1, 2
          ORDER BY type_a, type_b""",
 
@@ -3796,6 +4001,19 @@ object Relational {
          WHERE cw >= (q * tot.tw + 99) // 100
          GROUP BY cum.g, q, tot.tw
          ORDER BY cum.g, q""",
+
+    "q_target_encoding" ->
+      """WITH per AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS g_n,
+                      CAST(sum(n_r) AS BIGINT) AS g_r FROM per)
+         SELECT p_brand, n, n_r, g_n, g_r,
+           CAST((1000000 * (n_r * g_n + 10 * g_r)) // (g_n * (n + 10)) AS BIGINT)
+             AS enc_micro
+         FROM per, g ORDER BY p_brand""",
 
     "q_contingency" ->
       """WITH cells AS (
@@ -5068,6 +5286,33 @@ object Relational {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
          ORDER BY c.event_id""",
+
+    "q_conversion_time" ->
+      """WITH j AS (
+           SELECT c.ts AS cts, p.ts AS pts
+           FROM (SELECT * FROM events WHERE event_type = 'click') c
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT CAST(CASE WHEN pts IS NULL THEN -1
+                  ELSE (epoch_us(pts) - epoch_us(cts)) // 3600000000
+                END AS BIGINT) AS delay_hours,
+           CAST(count(*) AS BIGINT) AS n_clicks
+         FROM j GROUP BY 1 ORDER BY delay_hours""",
+
+    "q_golden_record" ->
+      """WITH bm AS (
+           SELECT p_name, p_brand AS brand_mode,
+             row_number() OVER (PARTITION BY p_name
+               ORDER BY count(*) DESC, p_brand ASC) AS rk
+           FROM part GROUP BY p_name, p_brand QUALIFY rk = 1)
+         SELECT p.p_name, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(p_partkey) AS BIGINT) AS survivor_key,
+           CAST(max(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           CAST(sum(p_size) AS BIGINT) AS total_size,
+           any_value(bm.brand_mode) AS brand_mode
+         FROM part p JOIN bm ON p.p_name = bm.p_name
+         GROUP BY p.p_name
+         ORDER BY p.p_name""",
 
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_shipments
