@@ -30,11 +30,16 @@ import scala.collection.mutable.ArrayBuffer
   *     step: the chosen stored value's estimated rank is within
   *     2^maxLevel of the target.
   *
-  * So for every target rank t: |true_rank(est) − t| ≤ err + 2^maxLevel —
-  * an engine-verifiable claim checked by joining the estimates back
-  * against the EXACT data (q_quantile_sketch), and a falsifiable one
-  * (QuantileSketchSpec shrinks k until the bound is the only thing
-  * between the estimate and garbage). Space: O(k · log(N/k)) per group;
+  * So for every target rank t, the certificate (INTERVAL form — exact
+  * even on duplicate-heavy data, where a value's true rank is itself
+  * the interval [count(< v), count(≤ v)]):
+  * t ∈ [count(< est) − bound, count(≤ est) + bound] with
+  * bound = 2·err + 2^maxLevel — an engine-verifiable claim checked by
+  * joining the estimates back against the EXACT data
+  * (q_quantile_sketch), and a falsifiable one (QuantileSketchSpec
+  * shrinks k until the bound is the only thing between the estimate
+  * and garbage, and pins the all-duplicates case a point-rank
+  * formulation cannot satisfy). Space: O(k · log(N/k)) per group;
   * the shuffle carries one sketch per partition, never the values.
   *
   * `eval` output: struct(n, bound, targets, ests) where `targets(i)` =
@@ -77,26 +82,46 @@ case class QuantileSketchAgg(
     val targets = percents.map { p =>
       math.max(1L, (p.toLong * buf.n + 99L) / 100L)
     }.toArray
-    val ests = targets.map { t =>
-      // estRank sweeps the sorted items; pick the value whose estimated
-      // rank is nearest the target (first wins ties — deterministic)
-      var best = if (values.isEmpty) 0L else values(0)
-      var bestDist = Long.MaxValue
-      var cum = 0L
-      var i = 0
+    // Collapse duplicate stored VALUES into runs: a run's estimated rank
+    // is an INTERVAL [cum before the run, cum through the run], exactly
+    // like the true rank of a duplicated value is the interval
+    // [count(< v), count(≤ v)]. Estimates and the certificate both work
+    // on intervals — a point-rank formulation is simply unsatisfiable on
+    // duplicate-heavy data (all-equal input: any answer has
+    // count(≤ est) = n while the median target is n/2).
+    val runs = {
+      val vs = ArrayBuffer.empty[Long]; val lo = ArrayBuffer.empty[Long]
+      val hi = ArrayBuffer.empty[Long]
+      var cum = 0L; var i = 0
       while (i < values.length) {
-        cum += weights(i)
-        val dist = math.abs(cum - t)
-        if (dist < bestDist) { bestDist = dist; best = values(i) }
+        val v = values(i); var w = 0L
+        while (i < values.length && values(i) == v) { w += weights(i); i += 1 }
+        vs += v; lo += cum; hi += cum + w; cum += w
+      }
+      (vs.toArray, lo.toArray, hi.toArray)
+    }
+    val ests = targets.map { t =>
+      // pick the run whose estimated-rank interval is nearest the target
+      // (distance 0 when t falls inside it; first wins ties)
+      val (vs, lo, hi) = runs
+      var best = if (vs.isEmpty) 0L else vs(0)
+      var bestDist = Long.MaxValue
+      var i = 0
+      while (i < vs.length) {
+        val dist =
+          if (t >= lo(i) && t <= hi(i)) 0L
+          else math.min(math.abs(t - lo(i)), math.abs(t - hi(i)))
+        if (dist < bestDist) { bestDist = dist; best = vs(i) }
         i += 1
       }
       best
     }
-    // |true_rank(est) − t| ≤ |true−estRank| + |estRank − t|
-    //                      ≤ err + (err + maxWeight): the second term
-    // because stored cumulative ranks step by ≤ maxWeight inside the
-    // sketch's total weight W, and W ≥ n − err (odd compactions drop at
-    // most err total weight) covers targets beyond W.
+    // Certificate (interval form): the chosen run's estimated interval
+    // is within err+maxWeight of t (successive run endpoints step by
+    // ≤ maxWeight inside the sketch's total weight W ≥ n − err), and
+    // each true endpoint is within err of its estimated endpoint — so
+    // [count(< est) − bound, count(≤ est) + bound] must contain t with
+    // bound = 2·err + maxWeight.
     InternalRow(buf.n, 2L * buf.err + buf.maxWeight,
       new GenericArrayData(targets), new GenericArrayData(ests))
   }
@@ -226,7 +251,7 @@ object QSketch {
 object QuantileSketchAgg {
   /** Column API: quantile_sketch(valueCol, k, percents) →
     * struct(n, bound, targets, ests). The certificate contract:
-    * |count(v ≤ ests(i)) − targets(i)| ≤ bound, exactly.
+    * targets(i) ∈ [count(v < ests(i)) − bound, count(v ≤ ests(i)) + bound].
     */
   def quantile_sketch(value: Column, k: Int, percents: Seq[Int]): Column =
     ExprHelpers.col(

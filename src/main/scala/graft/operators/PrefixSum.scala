@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * The result equals the single-window formulation for ANY boundary
   * placement (PrefixSumSpec proves row-for-row equality, including
   * empty-bucket degenerate splits). Requires `orderCol` to be
-  * long-castable and UNIQUE per row — with duplicate keys a running
-  * total is tie-order-dependent in the single-window form too.
+  * long-castable (the cast is used ONLY for order-preserving bucket
+  * labels; the in-bucket window orders by the original column, so
+  * fractional keys stay distinct) and UNIQUE per row — with duplicate
+  * keys a running total is tie-order-dependent in the single-window
+  * form too.
   */
 object PrefixSum {
 
@@ -86,7 +89,10 @@ object PrefixSum {
     }
     val bucketExpr = bucketCount(col("__ord"), bds.map(lit(_)))
     val bucketed = base.withColumn("__b", bucketExpr)
-    val localW = Window.partitionBy(col("__b")).orderBy(col("__ord"))
+    // the window orders by the ORIGINAL column: the long cast is only
+    // the bucket label, and a fractional-but-castable key (a double
+    // score) must not collapse distinct keys into window ties
+    val localW = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // whole-bucket totals over the SAME partitioning — shares the one
     // exchange with the running window (ReuseExchange)
@@ -172,8 +178,14 @@ object PrefixSum {
           struct(keyNames.zip(bd).map { case (kn, v) => lit(v).as(kn) }: _*)): _*),
         bd => afterCol(bd))).cast("long")
     val bucketed = base.withColumn("__b", bucketExpr)
+    // order by the ORIGINAL columns with their declared directions (the
+    // negated long casts are bucket labels only — a fractional key must
+    // not collapse into ties)
+    val localSort = orderCols.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc
+    }
     val localW = Window.partitionBy(col("__b"))
-      .orderBy(keyNames.map(col): _*)
+      .orderBy(localSort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col("__b"))
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>

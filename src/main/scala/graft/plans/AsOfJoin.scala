@@ -144,6 +144,15 @@ final case class AsOfJoinExec(
             lastRight = null
           }
           val lOn = lOnProj(lRow)
+          // A null left `on` is a MISS in both directions (SQL
+          // comparison semantics — DuckDB ASOF and merge_asof agree).
+          // Backward gets this for free (null sorts first, the advance
+          // condition fails); forward must short-circuit explicitly:
+          // natural ordering calls null smallest, so compare(rOn, null)
+          // > 0 would otherwise satisfy the >= 0 advance for EVERY
+          // right row and attach the key's minimum-on row.
+          if (forward && lOn.isNullAt(0))
+            return outProj(joined(lRow, nullRight))
           // advance the right side through every row at-or-before this
           // left row in (key, on) order; remember the last same-key row.
           // The copy per retained row is unavoidable: sort iterators reuse

@@ -1112,8 +1112,12 @@ object LlmOps {
       val firsts = toks.groupBy(col("tok"))
         .agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+      // pinned once: the boundary sample must not re-run the corpus
+      // tokenize + two aggregations a second time (the q_rfm pattern;
+      // the frame is doc-spine-sized)
       val perDocJoined = perDoc.join(firsts, Seq("doc_id"), "left")
         .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .localCheckpoint(true)
       graft.operators.PrefixSum.runningTotals(
           perDocJoined, "doc_id", Seq("n_tokens", "new_types"), numRanges = 8)
         .select(col("doc_id"), col("n_tokens"), col("new_types"),
@@ -1540,12 +1544,17 @@ object LlmOps {
         .select(col("n_total"), col("bound"),
           element_at(array(ps.map(lit(_)): _*), col("pos") + 1).as("p"),
           col("col.targets").as("target_rank"), col("col.ests").as("est"))
+      // interval certificate: target ∈ [count(v < est) − bound,
+      // count(v ≤ est) + bound] — exact even where est is a duplicated
+      // value whose true rank is itself an interval
       vals.crossJoin(broadcast(per))
         .groupBy(col("p"), col("n_total"), col("target_rank"), col("bound"),
           col("est"))
-        .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("true_rank"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("true_lo"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("true_hi"))
         .select(col("p"), col("n_total"), col("target_rank"),
-          (abs(col("true_rank") - col("target_rank")) <= col("bound"))
+          (col("target_rank") >= col("true_lo") - col("bound") &&
+            col("target_rank") <= col("true_hi") + col("bound"))
             .as("within_bound"))
         .orderBy("p")
     }),
@@ -1829,6 +1838,29 @@ object LlmOps {
       Packing.packSequences(docs, "doc_id", "n_tokens", ctxSize = 512,
         nShards = 8)
         .orderBy("doc_id")
+    }),
+
+    // Packing efficiency scorecard over the proven chop-continuous
+    // layout: per shard, docs, tokens, windows consumed (max last_win
+    // + 1 ≡ ceil(total/512) — the chop packer is gap-free), the tail
+    // waste in the final partial window, and how many documents span a
+    // window boundary (the attention-mask cost of chop packing vs the
+    // padding cost it avoids). All integers off the same per-doc spans.
+    "q_pack_efficiency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", ctxSize = 512,
+          nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("last_win")) + 1L).as("n_windows"),
+          sum(when(col("first_win") =!= col("last_win"), 1L).otherwise(0L))
+            .as("n_spanning_docs"))
+        .withColumn("waste_tokens",
+          col("n_windows") * 512L - col("total_tokens"))
+        .orderBy("shard")
     }),
 
     // Incremental dedup (the daily-crawl increment): corpus = docs < 400;
@@ -2967,6 +2999,30 @@ object LlmOps {
            (end_off - 1) // 512 AS last_win,
            (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_windows
          FROM c ORDER BY doc_id""",
+
+    "q_pack_efficiency" ->
+      """WITH t AS (
+           SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS BIGINT) AS end_off
+           FROM t WHERE n_tokens > 0),
+         spans AS (
+           SELECT shard, n_tokens,
+             (end_off - n_tokens) // 512 AS first_win,
+             (end_off - 1) // 512 AS last_win
+           FROM c)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(last_win) + 1 AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN first_win <> last_win THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_spanning_docs,
+           CAST((max(last_win) + 1) * 512 - sum(n_tokens) AS BIGINT)
+             AS waste_tokens
+         FROM spans GROUP BY shard ORDER BY shard""",
 
     // Both drop paths replayed: the within-delta min-id rule (the
     // q_dedup_exact mirror over the constructed delta) and the

@@ -1389,9 +1389,13 @@ object Relational {
       // multi-column prefix sum (PrefixSum.runningTotalsOrdered over
       // (cents desc, partkey asc)) — range-bucketed local cumsums, no
       // data-sized single-partition window; the grand total is one
-      // broadcast aggregate.
-      val total = rev.agg(sum(col("cents")).as("total"))
-      val classed = graft.operators.PrefixSum.runningTotalsOrdered(rev,
+      // broadcast aggregate. The part-spine aggregate is PINNED once
+      // (q_rfm's pattern): the total, the boundary sample, and the
+      // ranked pass all read the materialized frame instead of
+      // re-running the lineitem aggregation three times.
+      val revPinned = rev.localCheckpoint(true)
+      val total = revPinned.agg(sum(col("cents")).as("total"))
+      val classed = graft.operators.PrefixSum.runningTotalsOrdered(revPinned,
           Seq(("cents", false), ("l_partkey", true)), Seq("cents"))
         .withColumnRenamed("cum_cents", "cum")
         .crossJoin(broadcast(total))

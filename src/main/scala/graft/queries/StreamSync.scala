@@ -544,7 +544,11 @@ object StreamSync {
 
   private def valueEventSinkDir(
       s: SparkSession, d: String, name: String,
-      project: (SparkSession, String) => DataFrame = centsValueEvents)(
+      project: (SparkSession, String) => DataFrame = centsValueEvents,
+      // sink-size invariant: most streams emit one row per event; a
+      // selective emitter (conversions: one row per purchase) supplies
+      // its own expectation so the dropped/duplicated guard still bites
+      expectedSink: DataFrame => Long = _.count())(
       transform: org.apache.spark.sql.Dataset[StreamingSync.ValueEvent] =>
         org.apache.spark.sql.Dataset[_]): String = {
     val srcFile = new java.io.File(s"$d/events.parquet")
@@ -586,7 +590,7 @@ object StreamSync {
         awaitOrFail(q, 180000, s"stream_$name replay")
 
         val got = s.read.parquet(sink.toString).count()
-        val expected = project(s, d).count()
+        val expected = expectedSink(project(s, d))
         require(got == expected,
           s"stream_$name sink has $got rows, expected $expected — " +
             "an event was dropped or duplicated across batches")
@@ -615,6 +619,23 @@ object StreamSync {
   private def kmvSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "kmvdist", kmvDistinctEvents)(
       StreamingSync.kmvDistinctStream(_))
+
+  /** Projection for the streaming conversion counter: clicks and
+    * purchases of users < 30, `v` encoding the type (1 = click,
+    * 2 = purchase) — both SQL-re-derivable.
+    */
+  private def conversionEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 30 &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "click", 1L).otherwise(2L).as("v"))
+
+  private def conversionsSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "conv", conversionEvents,
+      expectedSink = _.filter(col("v") === 2L).count())(
+      StreamingSync.conversionStream(_))
 
   private def holtSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "holt")(StreamingSync.holtStream(_))
@@ -1291,6 +1312,12 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    "q_stream_conversions" -> ((s, d) => {
+      s.read.parquet(conversionsSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("n_clicks_since"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_attribution" -> ((s, d) => {
       s.read.parquet(attributionSinkDir(s, d))
         .select(col("purchase_id"), col("user_id"), col("touch_id"),
@@ -1529,6 +1556,32 @@ object StreamSync {
     // event type in (ts, event_id) order, the ≤64 smallest distinct
     // md5 uniforms of the users seen so far, and the running estimate
     // (exact below saturation, (k−1)·2³² div h_k above).
+    // The streamed cross-batch counter must equal the batch tuple-
+    // interval counts over the raw table: for each purchase, clicks
+    // strictly between the previous purchase and it in the SAME
+    // (epoch_us, event_id) total order the stream processes (epoch_us —
+    // the engine reads ns timestamps truncated to µs).
+    "q_stream_conversions" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events
+           WHERE user_id < 30 AND event_type IN ('click', 'purchase')),
+         pur AS (
+           SELECT event_id, user_id, ts_us,
+             lag(ts_us) OVER w AS prev_us,
+             lag(event_id) OVER w AS prev_id
+           FROM e WHERE event_type = 'purchase'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT pu.event_id, pu.user_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_since
+         FROM pur pu LEFT JOIN e c
+           ON c.user_id = pu.user_id AND c.event_type = 'click'
+          AND (c.ts_us, c.event_id) < (pu.ts_us, pu.event_id)
+          AND (c.ts_us, c.event_id) >
+              (coalesce(pu.prev_us, -1), coalesce(pu.prev_id, -1))
+         GROUP BY pu.event_id, pu.user_id
+         ORDER BY pu.event_id""",
+
     "q_stream_distinct" ->
       """WITH RECURSIVE o AS (
            SELECT event_id,

@@ -362,6 +362,38 @@ object StreamingSync {
       }
   }
 
+  final case class ConvState(n_clicks: Long)
+  final case class ConvRow(event_id: Long, user_id: Long, n_clicks_since: Long)
+
+  /** Streaming conversion attribution counter: per user, count clicks
+    * (`v` = 1) as they stream in; each purchase (`v` = 2) emits how many
+    * clicks arrived since the PREVIOUS purchase, then resets — the
+    * session-free "touches per conversion" signal with O(1) state per
+    * key. Cross-batch correctness is the point: clicks landed in batch 1
+    * must count toward a purchase arriving in batch 2, which the batch
+    * oracle checks by replaying the same (ts_us, event_id)-ordered
+    * tuple-interval counts over the raw table. Same per-key-monotonic
+    * batch contract as [[ewmaStream]].
+    */
+  def conversionStream(events: Dataset[ValueEvent]): Dataset[ConvRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[ConvState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cnt = gs.getOption.map(_.n_clicks).getOrElse(0L)
+          val out = scala.collection.mutable.Buffer.empty[ConvRow]
+          sorted.foreach { e =>
+            if (e.v == 1L) cnt += 1
+            else { out += ConvRow(e.event_id, user, cnt); cnt = 0L }
+          }
+          gs.update(ConvState(cnt))
+          out.iterator
+      }
+  }
+
   final case class KmvState(hashes: Array[Long])
   final case class KmvRow(
       event_id: Long, user_id: Long, n_sketch: Long, est: Long)
