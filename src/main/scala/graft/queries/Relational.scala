@@ -1625,7 +1625,11 @@ object Relational {
     // smallest value whose cumulative weight reaches ⌈q·W⌉): exact
     // integer cents weighted by integer quantities; the cumulative
     // window partitions by group — never global. The weighted
-    // generalization of q_weighted_median to arbitrary q.
+    // generalization of q_weighted_median to arbitrary q. Parallelism
+    // caveat at scale: |groups| = 3 here, so the per-group window is 3
+    // tasks over value-spine-sized partitions; with few heavy groups at
+    // 100 TB, range-bucket WITHIN the group via the PrefixSum pattern
+    // (order key (g, v)) exactly as the de-windowed rank family does.
     "q_weighted_quantile" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("v"),
