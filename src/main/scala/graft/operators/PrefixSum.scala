@@ -43,6 +43,19 @@ object PrefixSum {
 
   private val SampleFloor = 100
 
+  /** Bucket labels come from numeric casts of the order key, and the
+    * in-bucket windows order by the ORIGINAL column — the two agree
+    * only when the cast is monotone in the column's own ordering, which
+    * holds for numeric types (truncation toward zero is monotone) but
+    * NOT for e.g. strings ("10" casts below "9" yet sorts before it) or
+    * NaN doubles (cast 0, sorts last). Reject non-numerics loudly.
+    */
+  private def requireNumeric(df: DataFrame, c: String): Unit = {
+    val dt = df.schema(c).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"PrefixSum order column '$c' must be numeric (cast-monotone), got $dt")
+  }
+
   /** Bucket label = #boundaries strictly below the key. Two renderings
     * with the same semantics:
     *
@@ -74,6 +87,7 @@ object PrefixSum {
       boundaries: Option[Array[Long]] = None): DataFrame = {
     require(valueCols.nonEmpty, "need at least one value column")
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    requireNumeric(df, orderCol)
     val passthrough = df.columns.filterNot(_ == orderCol).map(col).toSeq
     val base = df.withColumn("__ord", col(orderCol).cast("long"))
     val bds: Array[Long] = boundaries.getOrElse {
@@ -138,6 +152,7 @@ object PrefixSum {
     require(orderCols.nonEmpty, "need at least one order column")
     require(valueCols.nonEmpty, "need at least one value column")
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    orderCols.foreach { case (c, _) => requireNumeric(df, c) }
     val keyNames = orderCols.indices.map(i => s"__o$i")
     val base = orderCols.zip(keyNames).foldLeft(df) {
       case (acc, ((c, asc), kn)) =>
@@ -230,6 +245,7 @@ object PrefixSum {
       numRanges: Int = 8,
       exclusive: Boolean = false): DataFrame = {
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    requireNumeric(df, orderCol)
     val base = df.withColumn("__ord", col(orderCol).cast("double"))
     val sampled = base
       .filter(col("__ord").isNotNull)

@@ -35,8 +35,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *
   * Null semantics: by-keys compare with natural null-first ordering, so
   * null keys group together (documented divergence from SQL join
-  * equality, which drops them); a null `rightOn` sorts first and acts as
-  * "earlier than everything".
+  * equality, which drops them); a null `on` on EITHER side never
+  * matches, in either direction (SQL comparison semantics — DuckDB ASOF
+  * and merge_asof agree): null right rows are consumed without being
+  * retained, null left rows emit misses.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -163,6 +165,14 @@ final case class AsOfJoinExec(
             val kc = keyOrd.compare(rKeyProj(rRow), lKey)
             if (kc < 0) {
               rBuf.next() // earlier key: discard (its key can't come back)
+            } else if (kc == 0 && rOnProj(rRow).isNullAt(0)) {
+              // a null right `on` can never match ANY left row (SQL
+              // comparison semantics; DuckDB ASOF and merge_asof agree)
+              // — consume without retaining. Natural ordering would
+              // otherwise call null smallest and retain it in the
+              // backward advance below.
+              rBuf.next()
+              ()
             } else if (kc == 0 && {
               val c = onOrd.compare(rOnProj(rRow), lOn)
               if (forward) c >= 0 else c <= 0

@@ -1559,6 +1559,35 @@ object LlmOps {
         .orderBy("p")
     }),
 
+    // The quantile sketch GROUPED: one sketch per event type (the
+    // per-tenant / per-metric serving shape — partial sketches combine
+    // on the shuffle through the merge path, one O(k·log n) state per
+    // group), each group's median certificate re-checked against its
+    // own exact value set. Null values are excluded on BOTH sides (the
+    // aggregate skips them; the oracle counts non-null).
+    "q_group_quantiles" -> ((s, d) => {
+      import graft.expressions.QuantileSketchAgg.quantile_sketch
+      val vals = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+      val per = vals.groupBy(col("event_type"))
+        .agg(quantile_sketch(col("v"), 128, Seq(50)).as("sk"))
+        .select(col("event_type"), col("sk.n").as("n_vals"),
+          col("sk.bound").as("bound"),
+          element_at(col("sk.targets"), 1).as("target_rank"),
+          element_at(col("sk.ests"), 1).as("est"))
+      vals.join(broadcast(per), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_vals"), col("target_rank"),
+          col("bound"), col("est"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("true_lo"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("true_hi"))
+        .select(col("event_type"), col("n_vals"), col("target_rank"),
+          (col("target_rank") >= col("true_lo") - col("bound") &&
+            col("target_rank") <= col("true_hi") + col("bound"))
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
     "q_kmv_distinct" -> ((s, d) => {
       import graft.expressions.KmvSketchAgg
       val k = 64
@@ -2738,6 +2767,14 @@ object LlmOps {
     // themselves are sketch-internal. `within_bound` is a FALSIFIABLE
     // constant: the engine computes it against ground truth, and a
     // broken sketch (or a lying bound) flips it to false.
+    "q_group_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(greatest(1, (50 * count(*) + 99) // 100) AS BIGINT)
+             AS target_rank,
+           TRUE AS within_bound
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
     "q_quantile_sketch" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
          ks AS (SELECT unnest([1, 25, 50, 75, 99]) AS p)

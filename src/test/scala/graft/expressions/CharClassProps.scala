@@ -14,7 +14,7 @@ object CharClassProps extends Properties("TextKernels.charClassCounts") {
 
   private val genChar: Gen[String] = Gen.frequency(
     6 -> Gen.alphaNumChar.map(_.toString),
-    2 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", ""),
+    2 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", "\u000B"),
     2 -> Gen.oneOf("!", ",", ".", ":", "@", "[", "`", "{", "~", "/"),
     2 -> Gen.oneOf("é", "ß", "中", "文", "λ", "д"),
     1 -> Gen.oneOf("😀", "𐀀", "🎉")) // supplementary plane

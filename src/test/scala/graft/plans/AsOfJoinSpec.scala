@@ -109,6 +109,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty && native == refRows)
   }
 
+  test("null `on` never matches, either side, either direction") {
+    val trades = Seq(
+      (1L, "A", Some(50L)), (2L, "A", None), // null left on
+      (3L, "B", Some(50L)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", None, 7.7), ("A", Some(100L), 8.8), // null right on for A
+      ("B", None, 9.9)) // B's ONLY quote has null on
+      .toDF("sym", "t", "px")
+
+    val back = AsOfJoin.backward(trades, quotes, by = Seq("sym"), on = "t",
+      rightValueCols = Seq("px")).orderBy("trade_id").collect()
+    assert(back(0).isNullAt(3)) // A t=50: only earlier quote has null on -> miss
+    assert(back(1).isNullAt(3)) // null left on -> miss (not the null-on quote)
+    assert(back(2).isNullAt(3)) // B: null-on quote never matches
+
+    val fwd = AsOfJoin.forward(trades, quotes, by = Seq("sym"), on = "t",
+      rightValueCols = Seq("px")).orderBy("trade_id").collect()
+    assert(fwd(0).getDouble(3) == 8.8) // A t=50 -> t=100, skipping the null
+    assert(fwd(1).isNullAt(3))         // null left on -> miss
+    assert(fwd(2).isNullAt(3))         // B: null-on quote never matches
+  }
+
   test("empty by-key: global as-of join over one series (AllTuples merge)") {
     val trades = Seq((1L, 10L), (2L, 25L), (3L, 5L)).toDF("trade_id", "t")
     val quotes = Seq((9L, 1.0), (20L, 2.0)).toDF("t", "px")
