@@ -970,6 +970,37 @@ object Relational {
         .orderBy("depth")
     }),
 
+    // Windowed funnel (the conversion-window variant of q_funnel): each
+    // stage must land within 7 DAYS of the previous stage's time, under
+    // GREEDY earliest-chain semantics (t1 = earliest view; t2 =
+    // earliest click in (t1, t1+7d]; t3 = earliest purchase in
+    // (t2, t2+7d]) — deterministic and join-shaped (stage k+1 filters
+    // against the user-spine-sized stage-k table; no event self-join).
+    // Exact integer µs arithmetic, epoch_us-aligned with DuckDB.
+    "q_funnel_window" -> ((s, d) => {
+      val wUs = 604800000000L // 7 days in µs
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + wUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + wUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      t1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("depth"), lit("view").as("stage"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("depth"), lit("click").as("stage"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("depth"), lit("purchase").as("stage"), col("n_users")))
+        .orderBy("depth")
+    }),
+
     // Per-group regression/correlation (Stats.regression under the
     // oracle): value regressed on day-of-month per event type. The moment
     // sums are exact decimals; the closed-form combination is a fixed
@@ -3409,6 +3440,34 @@ object Relational {
              ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
            FROM events WHERE value IS NOT NULL AND NOT isnan(value))
          GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    "q_funnel_window" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (
+           SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(us) AS t2
+           FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click'
+             AND us > t1 AND us <= t1 + 604800000000
+           GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(us) AS t3
+           FROM e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase'
+             AND us > t2 AND us <= t2 + 604800000000
+           GROUP BY 1)
+         SELECT CAST(depth AS INTEGER) AS depth, stage,
+           CAST(n_users AS BIGINT) AS n_users
+         FROM (
+           SELECT 1 AS depth, 'view' AS stage, (SELECT count(*) FROM t1) AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT count(*) FROM t2)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+         ORDER BY depth""",
 
     "q_funnel" ->
       """WITH m AS (
