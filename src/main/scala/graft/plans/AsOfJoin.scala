@@ -48,7 +48,8 @@ final case class AsOfJoinPlan(
     leftOn: Attribute,
     rightOn: Attribute,
     rightValues: Seq[Attribute],
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -60,8 +61,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lb, rb, lo, ro, rv, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, rv, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lb, rb, lo, ro, rv, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, rv, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +75,8 @@ final case class AsOfJoinExec(
     leftOn: Attribute,
     rightOn: Attribute,
     rightValues: Seq[Attribute],
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -182,10 +184,26 @@ final case class AsOfJoinExec(
               advancing = false // right side is past this left row
             }
           }
-          outProj(joined(lRow, if (lastRight != null) lastRight else nullRight))
+          val matched =
+            if (lastRight == null) nullRight
+            else if (toleranceUs >= 0L && {
+              val delta = math.abs(onMicros(lOn) - onMicros(rOnProj(lastRight)))
+              delta > toleranceUs
+            }) nullRight // retained row exists but lies outside the window
+            else lastRight
+          outProj(joined(lRow, matched))
         }
       }
     }
+  }
+
+  /** Physical long value of an `on` cell for the tolerance check:
+    * TimestampType stores epoch micros, integral types their value.
+    * Restricting tolerance to these types is enforced at build time.
+    */
+  private def onMicros(row: InternalRow): Long = leftOn.dataType match {
+    case org.apache.spark.sql.types.IntegerType => row.getInt(0).toLong
+    case _ => row.getLong(0) // TimestampType (micros) / LongType
   }
 
   protected override def withNewChildrenInternal(
@@ -209,6 +227,25 @@ object AsOfJoin {
       rightValueCols: Seq[String]): DataFrame =
     build(left, right, by, on, rightValueCols, forward = false)
 
+  /** Backward as-of with a TOLERANCE (pandas `merge_asof(tolerance=…)`):
+    * the usual latest-at-or-before match, nulled out when it lies more
+    * than `toleranceUs` behind the left row — "the last quote, but only
+    * if it is fresh enough". The `on` column must be a timestamp
+    * (micros) or integral type; the check is one subtraction at emit
+    * time on the already-retained row, so the merge stays O(1)-state.
+    */
+  def backwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      on: String,
+      rightValueCols: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0L, s"tolerance must be >= 0, got $toleranceUs")
+    build(left, right, by, on, rightValueCols, forward = false,
+      toleranceUs = toleranceUs)
+  }
+
   /** Forward as-of: for every left row, the EARLIEST right row with
     * `rightOn >= leftOn` in the same `by` key (DuckDB `ASOF ... ON
     * l.on <= r.on`, pandas `merge_asof(direction="forward")`) — the
@@ -231,7 +268,8 @@ object AsOfJoin {
       by: Seq[String],
       on: String,
       rightValueCols: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      toleranceUs: Long = -1L): DataFrame = {
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -252,7 +290,15 @@ object AsOfJoin {
       leftOn = attr(lPlan, on),
       rightOn = attr(rPlan, on),
       rightValues = rightValueCols.map(attr(rPlan, _)),
-      forward = forward)
+      forward = forward,
+      toleranceUs = toleranceUs)
+    if (toleranceUs >= 0L) {
+      val dt = attr(lPlan, on).dataType
+      require(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"as-of tolerance requires a timestamp or integral `on` column, got $dt")
+    }
     ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -3075,6 +3075,63 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of (merge_asof direction="nearest") composed from the
+    // two proven custom-operator directions: per click, the closer of
+    // the last purchase before and the first after (exact integer µs
+    // deltas; ties -> backward, documented). Two O(1)-state merges +
+    // one key join — never an event-level inequality join.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"))
+      val b = graft.plans.AsOfJoin.backward(clicks, purchases,
+          by = Seq("user_id"), on = "ts",
+          rightValueCols = Seq("p_ts", "p_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_ts").as("b_ts"), col("p_event_id").as("b_id"))
+      val f = graft.plans.AsOfJoin.forward(clicks, purchases,
+          by = Seq("user_id"), on = "ts",
+          rightValueCols = Seq("p_ts", "p_event_id"))
+        .select(col("event_id"), col("p_ts").as("f_ts"),
+          col("p_event_id").as("f_id"))
+      b.join(f, Seq("event_id"))
+        .withColumn("db", unix_micros(col("ts")) - unix_micros(col("b_ts")))
+        .withColumn("df", unix_micros(col("f_ts")) - unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          when(col("db").isNotNull &&
+              (col("df").isNull || col("db") <= col("df")), col("b_id"))
+            .otherwise(col("f_id")).as("p_event_id"),
+          when(col("db").isNotNull &&
+              (col("df").isNull || col("db") <= col("df")), lit("backward"))
+            .when(col("df").isNotNull, lit("forward"))
+            .otherwise(lit(null).cast("string")).as("chose"))
+        .orderBy("event_id")
+    }),
+
+    // Tolerance as-of (merge_asof's third knob, r10): the last purchase
+    // at-or-before each click, but only if within 3 DAYS — a stale
+    // attribution must be a miss, not a match. One emit-time
+    // subtraction on the already-retained row; DuckDB mirrors by
+    // nulling the plain ASOF match outside the window with the same
+    // exact epoch_us arithmetic.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.AsOfJoin.backwardTolerance(
+        clicks, purchases, by = Seq("user_id"), on = "ts",
+        rightValueCols = Seq("p_event_id", "p_value"),
+        toleranceUs = 259200000000L) // 3 days
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+        .orderBy("event_id")
+    }),
+
     // Time-to-conversion distribution built ON the forward as-of: per
     // click, hours until the next purchase (exact integer µs math,
     // floor-div to hour buckets; −1 = never converts) — the funnel
@@ -5352,6 +5409,43 @@ object Relational {
          FROM (SELECT * FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id""",
+
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         b AS (
+           SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS b_ts, p.event_id AS b_id
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND c.ts >= p.ts),
+         f AS (
+           SELECT c.event_id, p.ts AS f_ts, p.event_id AS f_id
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         SELECT b.event_id, b.user_id,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                  epoch_us(b.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(b.ts))
+                THEN b_id ELSE f_id END AS p_event_id,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                  epoch_us(b.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(b.ts))
+                THEN 'backward'
+                WHEN f_ts IS NOT NULL THEN 'forward'
+           END AS chose
+         FROM b JOIN f ON b.event_id = f.event_id
+         ORDER BY b.event_id""",
+
+    "q_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 259200000000
+                THEN p.event_id END AS p_event_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 259200000000
+                THEN p.value END AS p_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts
          ORDER BY c.event_id""",
 
     "q_conversion_time" ->

@@ -109,6 +109,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.nonEmpty && native == refRows)
   }
 
+  test("tolerance nulls out stale matches but keeps fresh ones") {
+    val trades = Seq(
+      (1L, "A", 100L), (2L, "A", 200L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", 95L, 1.0), ("A", 150L, 2.0), ("B", 10L, 3.0))
+      .toDF("sym", "t", "px")
+
+    val out = AsOfJoin.backwardTolerance(trades, quotes, by = Seq("sym"),
+      on = "t", rightValueCols = Seq("px"), toleranceUs = 10L)
+      .orderBy("trade_id").collect()
+    assert(out(0).getDouble(3) == 1.0) // t=100 -> quote 95 (delta 5 <= 10)
+    assert(out(1).isNullAt(3))         // t=200 -> quote 150 is stale (50 > 10)
+    assert(out(2).isNullAt(3))         // B t=50 -> quote 10 is stale (40 > 10)
+
+    // tolerance 0 means exact-time only
+    val exact = AsOfJoin.backwardTolerance(trades, quotes, by = Seq("sym"),
+      on = "t", rightValueCols = Seq("px"), toleranceUs = 0L)
+      .orderBy("trade_id").collect()
+    assert(exact.forall(_.isNullAt(3)))
+  }
+
   test("null `on` never matches, either side, either direction") {
     val trades = Seq(
       (1L, "A", Some(50L)), (2L, "A", None), // null left on
