@@ -395,6 +395,20 @@ object LlmOps {
       Components.minLabel(ccBlockingPairs(docs)).orderBy("id")
     }),
 
+    // Duplicate-cluster size distribution over the proven components:
+    // how many clusters of each size the blocking graph produces — the
+    // dedup capacity-planning histogram (a fat tail here means a hot
+    // verification bucket later). Two bounded re-aggregations of the
+    // min-label table.
+    "q_dedup_cluster_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Components.minLabel(ccBlockingPairs(docs))
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Triangle count (Components.triangleCount): the wedge-close two-join
     // shape over the same blocking graph as q_dedup_cc — graph analytics
     // beyond components, oracled against DuckDB's 3-way self-join.
@@ -1067,6 +1081,41 @@ object LlmOps {
           col("cc").getItem(4).as("n_other"),
           col("n_cp"))
         .orderBy("doc_id")
+    }),
+
+    // Top-5 terms per language (grouped top-k over the vocabulary — the
+    // per-slice frequency summary every corpus card ships): token
+    // counts per (lang, token), rank windows PARTITIONED by lang
+    // (count desc, token asc tiebreak — total order, deterministic
+    // cut), WindowGroupLimit prunes to the per-group heap before the
+    // full sort.
+    "q_top_terms" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      tf.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank").cast("int").as("rank"),
+          col("tok"), col("cnt"))
+        .orderBy("lang", "rank")
+    }),
+
+    // Power-of-two length histogram (the doc-length distribution every
+    // packing/truncation decision reads): floor(log2(n_chars)) computed
+    // EXACTLY as length(bin(n)) − 1 — an integer bit-length, never a
+    // float log whose ulp could flip a boundary doc between buckets.
+    // One map-side-combined groupBy.
+    "q_length_log2" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select((length(expr("bin(length(text))")) - 1).cast("int")
+          .as("log2_bucket"))
+        .groupBy(col("log2_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("log2_bucket")
     }),
 
     // Simpson concentration per language (Simpson 1949; Hunter-Gaston in
@@ -3455,6 +3504,28 @@ object LlmOps {
            SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(m) AS label FROM reach GROUP BY id ORDER BY id""",
 
+    "q_dedup_cluster_stats" ->
+      """WITH RECURSIVE prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM (SELECT * FROM documents WHERE doc_id < 500) a
+           JOIN (SELECT * FROM documents WHERE doc_id < 500) b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM verts
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id),
+         labels AS (SELECT id, min(m) AS label FROM reach GROUP BY id),
+         sizes AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM labels GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY 1 ORDER BY cluster_size""",
+
     "q_triangles" ->
       """WITH d AS (
            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
@@ -3746,6 +3817,26 @@ object LlmOps {
              AS n_other,
            CAST(length(text) AS BIGINT) AS n_cp
          FROM documents ORDER BY doc_id""",
+
+    "q_top_terms" ->
+      """WITH tf AS (
+           SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM tf GROUP BY 1, 2)
+         SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, tok ASC) AS INTEGER) AS rank,
+           tok, cnt
+         FROM c
+         QUALIFY rank <= 5
+         ORDER BY lang, rank""",
+
+    "q_length_log2" ->
+      """SELECT CAST(length(bin(length(text))) - 1 AS INTEGER) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents WHERE length(text) > 0
+         GROUP BY 1 ORDER BY log2_bucket""",
 
     "q_simpson" ->
       """WITH tok AS (

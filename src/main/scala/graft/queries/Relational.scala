@@ -1515,6 +1515,22 @@ object Relational {
         .orderBy(col("cnt").desc, col("l_orderkey").asc)
     }),
 
+    // Order-fulfillment latency distribution: days from order placement
+    // to the LAST shipment of the order, histogrammed — the SLA curve.
+    // One per-order max (map-side combined on the lineitem scan), one
+    // broadcast-scale days histogram; exact integer day arithmetic.
+    "q_fulfillment" -> ((s, d) => {
+      val lastShip = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+      Tables.orders(s, d)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(datediff(col("last_ship"), col("o_orderdate")).cast("int")
+          .as("days_to_fulfill"))
+        .groupBy(col("days_to_fulfill"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("days_to_fulfill")
+    }),
+
     // 2-D activity heatmap: (ISO weekday × hour) event counts — the
     // load-profile census behind capacity planning and anomaly
     // baselines. Spark weekday() (0 = Monday) = DuckDB isodow − 1; one
@@ -4014,6 +4030,16 @@ object Relational {
          SELECT t.l_orderkey, t.cnt, s.n_keys, s.total, s.max_cnt,
            s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
          FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
+
+    "q_fulfillment" ->
+      """WITH ls AS (
+           SELECT l_orderkey, max(l_shipdate) AS last_ship
+           FROM lineitem GROUP BY 1)
+         SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(last_ship AS DATE)) AS INTEGER) AS days_to_fulfill,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders JOIN ls ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY days_to_fulfill""",
 
     "q_histogram2d" ->
       """SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
