@@ -1515,6 +1515,48 @@ object Relational {
         .orderBy(col("cnt").desc, col("l_orderkey").asc)
     }),
 
+    // Discount-band economics: per discount band (exact integer cents
+    // of discount rate), volume and revenue — the promotion-elasticity
+    // raw table. Bands from the exact cents value, never a float
+    // comparison.
+    "q_discount_bands" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("disc_pct"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("total_qty"),
+          sum(col("cents")).as("gross_cents"),
+          sum(col("cents") * col("disc_pct")).as("discount_cents_x100"))
+        .orderBy("disc_pct")
+    }),
+
+    // Month-over-month revenue growth: monthly cents totals with the
+    // previous month's carried alongside (lag over the calendar-sized
+    // monthly table) — growth as two exact integers, the division left
+    // to the reader.
+    "q_mom_growth" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_cents"), count(lit(1)).as("n_orders"))
+      monthly
+        .withColumn("prev_rev_cents",
+          lag(col("rev_cents"), 1).over(Window.orderBy(col("month"))))
+        .orderBy("month")
+    }),
+
+    // Basket-size distribution: line items per order, histogrammed —
+    // the order-width profile that bounds every within-order pair
+    // expansion (q_basket_lift's blocking guarantee is this histogram's
+    // tail). One map-side-combined aggregate + one tiny histogram.
+    "q_basket_size" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items")
+    }),
+
     // Order-fulfillment latency distribution: days from order placement
     // to the LAST shipment of the order, histogrammed — the SLA curve.
     // One per-order max (map-side combined on the lineitem scan), one
@@ -4030,6 +4072,35 @@ object Relational {
          SELECT t.l_orderkey, t.cnt, s.n_keys, s.total, s.max_cnt,
            s.max_cnt * s.n_keys > 10 * s.total AS skewed_10x
          FROM t, s ORDER BY t.cnt DESC, t.l_orderkey""",
+
+    "q_discount_bands" ->
+      """SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS gross_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS discount_cents_x100
+         FROM lineitem GROUP BY 1 ORDER BY disc_pct""",
+
+    "q_mom_growth" ->
+      """WITH m AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT month, rev_cents, n_orders,
+           lag(rev_cents, 1) OVER (ORDER BY month) AS prev_rev_cents
+         FROM m ORDER BY month""",
+
+    "q_basket_size" ->
+      """WITH per AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+         FROM per GROUP BY 1 ORDER BY n_items""",
 
     "q_fulfillment" ->
       """WITH ls AS (
