@@ -94,4 +94,82 @@ object Bpe {
       .select(col("word").as(wordCol), col("wt").as(weightCol),
         col("b1"), col("b2"), col("n_merges_raw").as("n_merges"), col("new_repr"))
   }
+
+  /** FULL BPE trainer loop (r11 — grows [[mergeStep]] into the actual
+    * tokenizer-training artifact a data pipeline ships): iterates the
+    * merge step to `numMerges`, returning the ORDERED merge list
+    * `(step, b1, b2, cnt)` — the learned merge table — plus the final
+    * per-word symbolization.
+    *
+    * State representation: each word's symbol sequence as a
+    * DOUBLE-SPACE-joined string with double-space sentinels
+    * (`"␣␣l␣␣o␣␣w␣␣"`). This makes one merge step a single plain
+    * `replace(repr, ' b1  b2 ', ' b1b2 ')`: the pattern consumes ONE
+    * space from each doubled gap and the replacement restores it, so
+    * consecutive non-overlapping occurrences stay matchable ("a a a a"
+    * merges to [aa, aa] in one scan) while the invariant (every gap
+    * exactly two spaces) makes cross-symbol false matches impossible —
+    * symbols are space-free and a pattern's interior spaces only align
+    * with real gaps. Left-to-right non-overlapping `replace` is exactly
+    * the canonical greedy merge rule (same semantics as mergeStep's
+    * odd-position islands, BpeTrainSpec proves step-1 agreement), and
+    * both Spark's `replace` and DuckDB's `replace` implement it
+    * identically — so the oracle replays every round bit-for-bit with
+    * NO regex lookarounds (DuckDB's RE2 has none).
+    *
+    * Per round: one vocabulary-sized pair aggregation (map-side
+    * combined) picks the best pair (count desc, then (b1, b2)
+    * lexicographic — a total tie-break); the 1-row collect is the
+    * PageRank-style bounded driver fold; the merge applies as a pure
+    * column expression over the checkpointed state, and superseded
+    * rounds release their checkpoint storage ([[Checkpoints]]). Stops
+    * early when no pairs remain (fully merged vocabulary).
+    *
+    * 100 TB shape: identical to [[mergeStep]] — the corpus is touched
+    * once upstream to build the weighted vocabulary; every round is
+    * vocabulary-sized, the driver state is O(numMerges) merge rows.
+    */
+  def train(
+      words: DataFrame,
+      wordCol: String,
+      weightCol: String,
+      numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var state = words
+      .filter(col(wordCol).isNotNull && length(col(wordCol)) >= 1)
+      .select(col(wordCol).as("word"), col(weightCol).cast("long").as("wt"),
+        concat(lit("  "), regexp_replace(col(wordCol), "(.)", "$1  ")).as("repr"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val bestRows = state
+        .select(col("wt"), split(trim(col("repr")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS s1, syms[i] AS s2))")).as("p"))
+        .groupBy(col("p.s1"), col("p.s2"))
+        .agg(sum(col("wt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect()
+      if (bestRows.isEmpty) exhausted = true
+      else {
+        val (b1, b2, cnt) =
+          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        merges += ((step, b1, b2, cnt))
+        val prev = state
+        // the pair goes through lit() rather than SQL-string
+        // interpolation, so ANY symbol alphabet is safe (quotes included)
+        state = state.withColumn("repr",
+          replace(col("repr"),
+            lit(" " + b1 + "  " + b2 + " "), lit(" " + b1 + b2 + " ")))
+          .localCheckpoint(true)
+        step += 1
+        Checkpoints.release(Seq(prev))
+      }
+    }
+    (merges.toSeq, state.select(col("word"), col("wt"), col("repr")))
+  }
 }

@@ -471,6 +471,14 @@ object Dedup {
       numRanges: Int = 8): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    // Preconditions enforced loudly, not assumed: the sample collect
+    // below reads (String key, long id) rows, so a non-string key or an
+    // id that nulls under cast('long') would otherwise surface as an
+    // opaque driver-side ClassCastException/NPE far from the misuse.
+    require(df.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"sortedNeighborhood key column '$keyCol' must be StringType " +
+        s"(lexicographic blocking key), got ${df.schema(keyCol).dataType}")
     val base = df.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
     // Range boundaries from a DETERMINISTIC bounded sample (xxhash64
     // order + top-k, the repo's bounded-driver-model convention — the
@@ -484,7 +492,13 @@ object Dedup {
       .withColumn("r", xxhash64(col("key"), col("id")))
       .orderBy(col("r")).limit(math.max(numRanges * 20, 100))
       .select(col("key"), col("id")).collect()
-      .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(1),
+          s"sortedNeighborhood id column '$idCol' must be non-null and " +
+            "long-castable (it is the deterministic tiebreak); found a " +
+            "row whose id is null after cast('long')")
+        (Option(r.getString(0)).getOrElse(""), r.getLong(1))
+      }
       .sorted
     val boundaries =
       if (sampled.isEmpty) Array.empty[(String, Long)]

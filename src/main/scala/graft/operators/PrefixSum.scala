@@ -47,14 +47,35 @@ object PrefixSum {
     * in-bucket windows order by the ORIGINAL column — the two agree
     * only when the cast is monotone in the column's own ordering, which
     * holds for numeric types (truncation toward zero is monotone) but
-    * NOT for e.g. strings ("10" casts below "9" yet sorts before it) or
-    * NaN doubles (cast 0, sorts last). Reject non-numerics loudly.
+    * NOT for e.g. strings ("10" casts below "9" yet sorts before it).
+    * Reject non-numerics loudly; NaN doubles (whose ANSI cast THROWS,
+    * and which sort last) get an explicit guarded-cast + last-bucket /
+    * extreme-sentinel override at each call site instead, so floating
+    * order columns are safe as-is.
     */
   private def requireNumeric(df: DataFrame, c: String): Unit = {
     val dt = df.schema(c).dataType
     require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"PrefixSum order column '$c' must be numeric (cast-monotone), got $dt")
   }
+
+  private def isFloating(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+
+  /** Long bucket key for `c`: NaN never reaches the cast (ANSI mode
+    * makes `cast(NaN as long)` THROW, it does not return 0 — so an
+    * unguarded cast turns a NaN row into a query failure, the loud
+    * cousin of the silent wrong-bucket bug). NaN keys are nulled here;
+    * the bucket expression routes them explicitly.
+    */
+  private def ordKey(df: DataFrame, c: String): Column =
+    if (isFloating(df, c))
+      when(isnan(col(c)), lit(null)).otherwise(col(c).cast("long"))
+    else col(c).cast("long")
 
   /** Bucket label = #boundaries strictly below the key. Two renderings
     * with the same semantics:
@@ -89,9 +110,13 @@ object PrefixSum {
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
     requireNumeric(df, orderCol)
     val passthrough = df.columns.filterNot(_ == orderCol).map(col).toSeq
-    val base = df.withColumn("__ord", col(orderCol).cast("long"))
+    val floating = isFloating(df, orderCol)
+    val base = df.withColumn("__ord", ordKey(df, orderCol))
     val bds: Array[Long] = boundaries.getOrElse {
-      val sampled = base
+      val clean =
+        if (floating) base.filter(!isnan(col(orderCol)))
+        else base
+      val sampled = clean
         .filter(col("__ord").isNotNull)
         .withColumn("__r", xxhash64(col("__ord")))
         .orderBy(col("__r")).limit(math.max(numRanges * 20, SampleFloor))
@@ -101,7 +126,16 @@ object PrefixSum {
         sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
       }.distinct.toArray
     }
-    val bucketExpr = bucketCount(col("__ord"), bds.map(lit(_)))
+    // NaN breaks the cast's monotonicity SILENTLY (cast('long') maps it
+    // to 0 — a mid-range bucket — while the in-bucket window sorts NaN
+    // last): route NaN keys to the LAST bucket explicitly, where the
+    // window's NaN-sorts-last rule puts them in the single-window form
+    // too. The sample above already excludes NaN from the boundaries.
+    val rawBucket = bucketCount(col("__ord"), bds.map(lit(_)))
+    val bucketExpr =
+      if (floating)
+        when(isnan(col(orderCol)), lit(bds.length.toLong)).otherwise(rawBucket)
+      else rawBucket
     val bucketed = base.withColumn("__b", bucketExpr)
     // the window orders by the ORIGINAL column: the long cast is only
     // the bucket label, and a fractional-but-castable key (a double
@@ -132,6 +166,89 @@ object PrefixSum {
       }): _*)
   }
 
+  /** [[runningTotals]] WITHIN groups — the scale-out replacement for
+    * `sum(x).over(Window.partitionBy(g…).orderBy(k))` when the group
+    * count is small (parallelism = |groups| in the naive form: a few
+    * heavy groups at 100 TB each funnel through one task). Range-buckets
+    * the order key exactly as [[runningTotals]] does and partitions the
+    * local windows by (group, bucket) — parallelism |groups|·numRanges —
+    * then recovers each group's global running total from a per-(group,
+    * bucket) totals table whose per-group prefix fold is bounded by the
+    * bucket count, never the data.
+    *
+    * Boundaries are sampled GLOBALLY (one bounded pass, not one per
+    * group); the result equals the per-group single-window form for any
+    * boundary placement — a group straddling few buckets just gets less
+    * parallelism, never a different answer (GroupedPrefixSumSpec proves
+    * row equality). `orderCol` must be numeric and unique PER GROUP
+    * (same tie caveat as the single-window form). Null group keys are
+    * fine: the offsets join is NULL-SAFE (`<=>`), matching the window
+    * form's null-is-a-partition semantics instead of silently dropping
+    * null-keyed rows as a plain equi-join would.
+    */
+  def runningTotalsGrouped(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCols: Seq[String],
+      numRanges: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty,
+      "need at least one group column (use runningTotals for the global form)")
+    require(valueCols.nonEmpty, "need at least one value column")
+    require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    requireNumeric(df, orderCol)
+    val floating = isFloating(df, orderCol)
+    val base = df.withColumn("__ord", ordKey(df, orderCol))
+    val clean =
+      if (floating) base.filter(!isnan(col(orderCol)))
+      else base
+    val sampled = clean
+      .filter(col("__ord").isNotNull)
+      .withColumn("__r", xxhash64(col("__ord")))
+      .orderBy(col("__r")).limit(math.max(numRanges * 20, SampleFloor))
+      .select(col("__ord")).collect().map(_.getLong(0)).sorted
+    val bds: Array[Long] =
+      if (sampled.isEmpty) Array.empty[Long]
+      else (1 until numRanges).map { i =>
+        sampled(math.min(sampled.length - 1, i * sampled.length / numRanges))
+      }.distinct.toArray
+    val rawBucket = bucketCount(col("__ord"), bds.map(lit(_)))
+    val bucketExpr =
+      if (floating)
+        when(isnan(col(orderCol)), lit(bds.length.toLong)).otherwise(rawBucket)
+      else rawBucket
+    val bucketed = base.withColumn("__b", bucketExpr)
+    val part = groupCols.map(col) :+ col("__b")
+    val localW = Window.partitionBy(part: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(part: _*)
+    val local = valueCols.foldLeft(bucketed) { (acc, c) =>
+      acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
+        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
+    }
+    // |groups|·numRanges rows; the per-group prefix fold is over ≤
+    // numRanges rows per partition — bounded by construction.
+    val gKeys = groupCols.indices.map(i => s"__g$i")
+    val offsets = local
+      .groupBy(part: _*)
+      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
+        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
+      .select(groupCols.zip(gKeys).map { case (c, g) => col(c).as(g) } ++
+        Seq(col("__b").as("__ob")) ++ valueCols.map { c =>
+          coalesce(sum(col(s"__bt_$c")).over(
+            Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as(s"__off_$c")
+        }: _*)
+    val cond = groupCols.zip(gKeys)
+      .map { case (c, g) => local(c) <=> offsets(g) }
+      .reduce(_ && _) && (local("__b") === offsets("__ob"))
+    local.join(broadcast(offsets), cond)
+      .select(df.columns.map(local(_)) ++ valueCols.map { c =>
+        (col(s"__off_$c") + col(s"__cum_$c")).as(s"cum_$c")
+      }: _*)
+  }
+
   /** [[runningTotals]] generalized to a MULTI-COLUMN, mixed-direction
     * total order — the scale-out replacement for
     * `sum(x).over(Window.orderBy(a.desc, b.asc, …))` (the ABC/Pareto/
@@ -154,10 +271,20 @@ object PrefixSum {
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
     orderCols.foreach { case (c, _) => requireNumeric(df, c) }
     val keyNames = orderCols.indices.map(i => s"__o$i")
+    // NaN would cast to 0 (a mid-range key) while the window sorts it as
+    // the LARGEST value (last ascending, first descending): pin NaN to
+    // the matching extreme of the long key space so the bucket label
+    // stays monotone in window order. Real castable doubles live within
+    // ±2^53, far from either sentinel.
     val base = orderCols.zip(keyNames).foldLeft(df) {
       case (acc, ((c, asc), kn)) =>
-        acc.withColumn(kn,
-          if (asc) col(c).cast("long") else -col(c).cast("long"))
+        val cast = if (asc) col(c).cast("long") else -col(c).cast("long")
+        val key =
+          if (isFloating(df, c)) {
+            val sentinel = if (asc) Long.MaxValue else Long.MinValue
+            when(isnan(col(c)), lit(sentinel)).otherwise(cast)
+          } else cast
+        acc.withColumn(kn, key)
     }
     val sampled = base
       .withColumn("__r", xxhash64(keyNames.map(col): _*))

@@ -292,6 +292,17 @@ object AsOfJoin {
       rightValues = rightValueCols.map(attr(rPlan, _)),
       forward = forward,
       toleranceUs = toleranceUs)
+    // The exec compares BOTH sides' `by`/`on` cells with orderings (and,
+    // under tolerance, a physical long read) keyed on the LEFT attribute
+    // types — a type mismatch would silently misread the right cells
+    // (getInt on a long slot), not error. Reject loudly for every
+    // direction, not just tolerance.
+    (by :+ on).foreach { c =>
+      val (ldt, rdt) = (attr(lPlan, c).dataType, attr(rPlan, c).dataType)
+      require(ldt == rdt,
+        s"as-of join: column '$c' must have the same type on both sides, " +
+          s"got left=$ldt right=$rdt (cast one side before joining)")
+    }
     if (toleranceUs >= 0L) {
       val dt = attr(lPlan, on).dataType
       require(dt == org.apache.spark.sql.types.TimestampType ||

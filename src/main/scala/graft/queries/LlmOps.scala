@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -998,6 +999,20 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // The language-ID CONFUSION MATRIX against the corpus's ground-truth
+    // `lang` labels (r11) — the eval artifact that turns q_langid from
+    // "runs" into "is right where it matters": per (truth, prediction)
+    // cell counts, one groupBy over the per-doc predictions. The oracle
+    // nests the full generated langid oracle (same lexicons) and
+    // recounts every cell — a drifted prediction anywhere moves a cell.
+    "q_langid_confusion" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     // Code-switching / language-mixing detector over the SAME lexicons
     // as q_langid (TextAnalysis.stopwordCounts — one tokenize pass):
     // per-language hit counts, the number of languages hit ≥ 2 times,
@@ -1487,6 +1502,77 @@ object LlmOps {
       graft.operators.Bpe.mergeStep(words, "w", "wt").orderBy("w")
     }),
 
+    // The FULL BPE trainer (r11 — the merge step iterated to a merge
+    // TABLE, the artifact a tokenizer pipeline actually ships): 16
+    // greedy rounds over the weighted [a-z0-9]-token vocabulary, each
+    // round's best pair chosen by (weighted count desc, pair
+    // lexicographic) and applied with the canonical left-to-right
+    // non-overlapping rule via the double-space replace encoding
+    // (Bpe.train scaladoc). The oracle UNROLLS all 16 rounds as a
+    // generated CTE chain — every chosen pair and every count replayed
+    // exactly, so one drifted merge anywhere flips every later row.
+    "q_bpe_train" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(gfn.ascii_tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wt"))
+      val (merges, _) = graft.operators.Bpe.train(words, "w", "wt", BpeTrainSteps)
+      import s.implicits._
+      merges.toDF("step", "b1", "b2", "cnt").orderBy("step")
+    }),
+
+    // ENCODING with the trained tokenizer (r11): the final per-word
+    // symbolization after all 16 learned merges — the other half of the
+    // tokenizer artifact (train emits the merge table, encode applies
+    // it), plus per-word symbol counts, the fertility statistic
+    // tokenizer evaluations report. The oracle replays the identical
+    // 16-round chain and reads the final representations.
+    "q_bpe_encode" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(gfn.ascii_tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wt"))
+      val (_, finalState) = graft.operators.Bpe.train(words, "w", "wt", BpeTrainSteps)
+      finalState.select(col("word").as("w"), col("wt"),
+          size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"),
+          replace(trim(col("repr")), lit("  "), lit(" ")).as("toks"))
+        .orderBy("w")
+    }),
+
+    // Late-interaction multi-vector retrieval (the MaxSim scoring of
+    // ColBERT, Khattab & Zaharia 2020): documents are BAGS of token
+    // vectors (vec_id DIV 10 groups 10 embedding rows into one doc);
+    // score(q, d) = Σ over q's tokens of the max dot product over d's
+    // tokens. Exact-integer milli-quantized dot products (the
+    // q_embed_quantize rendering), so every score is oracled, not
+    // approximated. Plan: the 50-row query-token side BROADCASTS; the
+    // corpus side never shuffles full vectors — the partial max
+    // aggregates map-side down to (query, doc) pairs before the one
+    // thin shuffle; top-3 per query is a 5-partition window over the
+    // score table (|queries| × |docs| rows, never token-sized).
+    "q_maxsim" -> ((s, d) => {
+      val toks = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), expr("vec_id DIV 10").as("doc"),
+          expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+            .as("v"))
+      val qt = toks.filter(col("doc") < 5)
+        .select(col("doc").as("qdoc"), col("vec_id").as("qtok"), col("v").as("qv"))
+      val dt = toks.filter(col("doc") >= 5)
+        .select(col("doc").as("ddoc"), col("v").as("dv"))
+      val best = dt.crossJoin(broadcast(qt))
+        .select(col("qdoc"), col("qtok"), col("ddoc"),
+          expr("aggregate(zip_with(qv, dv, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"))
+        .groupBy(col("qdoc"), col("qtok"), col("ddoc"))
+        .agg(max(col("dot")).as("mx"))
+      best.groupBy(col("qdoc"), col("ddoc"))
+        .agg(sum(col("mx")).as("maxsim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qdoc"))
+            .orderBy(col("maxsim").desc, col("ddoc"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("qdoc"), col("rk"), col("ddoc"), col("maxsim"))
+        .orderBy("qdoc", "rk")
+    }),
+
     // KMV distinct sketch (KmvSketchAgg + the portable md5 hash): the
     // k-minimum-values state is a SET property (order- and partition-
     // independent), so unlike HLL the approximate estimates themselves
@@ -1612,11 +1698,14 @@ object LlmOps {
     // per-tenant / per-metric serving shape — partial sketches combine
     // on the shuffle through the merge path, one O(k·log n) state per
     // group), each group's median certificate re-checked against its
-    // own exact value set. Null values are excluded on BOTH sides (the
-    // aggregate skips them; the oracle counts non-null).
+    // own exact value set. Null AND NaN values are excluded on BOTH
+    // sides (the DECIMAL cast silently nulls NaN so the sketch would
+    // skip it while a bare IS NOT NULL oracle counted it — the two
+    // filters must agree regardless of data).
     "q_group_quantiles" -> ((s, d) => {
       import graft.expressions.QuantileSketchAgg.quantile_sketch
-      val vals = Tables.events(s, d).filter(col("value").isNotNull)
+      val vals = Tables.events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
         .select(col("event_type"),
           (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
       val per = vals.groupBy(col("event_type"))
@@ -2170,6 +2259,64 @@ object LlmOps {
   // Oracles
   // ------------------------------------------------------------------
 
+  /** Rounds of the BPE trainer — one constant feeding BOTH the Spark
+    * loop and the generated oracle chain, so the two cannot drift.
+    */
+  private val BpeTrainSteps = 16
+
+  /** q_bpe_train oracle: the full trainer UNROLLED — `n` rounds of
+    * (pair-count → best-pair → replace) as a generated CTE chain over
+    * the same double-space symbol encoding as [[graft.operators.Bpe.train]].
+    * Plain `replace` (left-to-right, non-overlapping) is the greedy
+    * merge rule in both engines; no regex lookarounds (RE2-safe).
+    */
+  /** The shared n-round CTE chain (toks → words0 → … → words`n`, with
+    * each round's best pair in b`k`), reused by the trainer oracle
+    * (reads every b`k`) and the encoder oracle (reads words`n`).
+    */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         words0 AS MATERIALIZED (
+           SELECT w, count(*) AS wt,
+             '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS repr
+           FROM toks GROUP BY w)"""
+    for (k <- 1 to n) {
+      sb ++= s""",
+         p$k AS (
+           SELECT p.s1 AS s1, p.s2 AS s2, wt FROM (
+             SELECT wt, unnest(list_transform(range(2, len(syms) + 1),
+               i -> struct_pack(s1 := syms[i - 1], s2 := syms[i]))) AS p
+             FROM (SELECT wt, string_split(trim(repr), '  ') AS syms
+                   FROM words${k - 1}) t$k
+             WHERE len(syms) >= 2) u$k),
+         b$k AS MATERIALIZED (
+           SELECT s1, s2, CAST(sum(wt) AS BIGINT) AS cnt FROM p$k
+           GROUP BY s1, s2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         words$k AS MATERIALIZED (
+           SELECT w, wt,
+             replace(repr, ' ' || s1 || '  ' || s2 || ' ',
+                     ' ' || s1 || s2 || ' ') AS repr
+           FROM words${k - 1} CROSS JOIN b$k)"""
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql(n: Int): String =
+    bpeChainSql(n) + (1 to n)
+      .map(k => s"SELECT $k AS step, s1 AS b1, s2 AS b2, cnt FROM b$k")
+      .mkString("\n         SELECT * FROM (", " UNION ALL ", ") mm ORDER BY step")
+
+  private def bpeEncodeSql(n: Int): String =
+    bpeChainSql(n) + s"""
+         SELECT w, CAST(wt AS BIGINT) AS wt,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_syms,
+           replace(trim(repr), '  ', ' ') AS toks
+         FROM words$n ORDER BY w"""
+
   /** langid oracle generated from the SAME stopword lexicons the Scala
     * operator uses — guarantees the two stay in sync.
     */
@@ -2649,6 +2796,49 @@ object LlmOps {
          WHERE n_inter * 10 >= (sa.n + sb.n - n_inter) * 7
          ORDER BY id_a, id_b""",
 
+    // The whole TRAINER replayed: every one of the 16 rounds' chosen
+    // pair and weighted count, from an unrolled CTE chain over the same
+    // double-space merge encoding (see bpeTrainSql).
+    "q_bpe_train" -> bpeTrainSql(BpeTrainSteps),
+
+    // The final symbolizations after the SAME 16 replayed rounds.
+    "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
+
+    // The generated langid oracle nested whole, cells recounted.
+    "q_langid_confusion" ->
+      s"""WITH pred AS ($langIdSql)
+         SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM documents d JOIN pred p USING (doc_id)
+         GROUP BY d.lang, p.lang_pred
+         ORDER BY lang, lang_pred""",
+
+    // Every MaxSim score rebuilt dot-by-dot from the same milli-
+    // quantized integer vectors; top-3 via the same (score desc, doc)
+    // total order.
+    "q_maxsim" ->
+      """WITH toks AS (
+           SELECT vec_id, vec_id // 10 AS doc,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         qt AS (SELECT doc AS qdoc, vec_id AS qtok, v AS qv FROM toks WHERE doc < 5),
+         dt AS (SELECT doc AS ddoc, v AS dv FROM toks WHERE doc >= 5),
+         dots AS (
+           SELECT qdoc, qtok, ddoc,
+             list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * dv[i])) AS dot
+           FROM qt CROSS JOIN dt),
+         best AS (
+           SELECT qdoc, qtok, ddoc, CAST(max(dot) AS BIGINT) AS mx
+           FROM dots GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT qdoc, ddoc, CAST(sum(mx) AS BIGINT) AS maxsim
+           FROM best GROUP BY 1, 2),
+         rk AS (
+           SELECT qdoc, ddoc, maxsim,
+             row_number() OVER (PARTITION BY qdoc ORDER BY maxsim DESC, ddoc) AS rk
+           FROM sc)
+         SELECT qdoc, CAST(rk AS BIGINT) AS rk, ddoc, maxsim
+         FROM rk WHERE rk <= 3 ORDER BY qdoc, rk""",
+
     // The full merge step replayed: same tokenizer, same weighted pair
     // argmax (count DESC, pair lexicographic), same islands/odd-offset
     // greedy non-overlap, same reassembled symbol strings.
@@ -2821,7 +3011,7 @@ object LlmOps {
            CAST(greatest(1, (50 * count(*) + 99) // 100) AS BIGINT)
              AS target_rank,
            TRUE AS within_bound
-         FROM events WHERE value IS NOT NULL
+         FROM events WHERE value IS NOT NULL AND NOT isnan(value)
          GROUP BY event_type ORDER BY event_type""",
 
     "q_quantile_sketch" ->

@@ -1712,20 +1712,23 @@ object Relational {
 
     // Weighted quantiles per group (the Type-1 weighted quantile:
     // smallest value whose cumulative weight reaches ⌈q·W⌉): exact
-    // integer cents weighted by integer quantities; the cumulative
-    // window partitions by group — never global. The weighted
-    // generalization of q_weighted_median to arbitrary q. Parallelism
-    // caveat at scale: |groups| = 3 here, so the per-group window is 3
-    // tasks over value-spine-sized partitions; with few heavy groups at
-    // 100 TB, range-bucket WITHIN the group via the PrefixSum pattern
-    // (order key (g, v)) exactly as the de-windowed rank family does.
+    // integer cents weighted by integer quantities. The per-group
+    // cumulative weight runs through PrefixSum.runningTotalsGrouped
+    // (r11): |groups| = 3 here, so a plain partitionBy(g) window had
+    // parallelism 3 over value-spine-sized partitions — the grouped
+    // prefix sum range-buckets v WITHIN each group ((g, bucket) local
+    // windows + a |groups|·numRanges-row offsets table), the de-windowed
+    // rank-family pattern applied to the weighted generalization of
+    // q_weighted_median. GroupedPrefixSumSpec proves row equality with
+    // the window form; v is unique per group by the (g, v) spine.
     "q_weighted_quantile" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("v"),
         col("l_quantity").cast("long").as("w"))
       val perV = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
-      val cum = perV.withColumn("cw",
-        sum(col("w")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      val cum = graft.operators.PrefixSum
+        .runningTotalsGrouped(perV, Seq("g"), "v", Seq("w"))
+        .withColumnRenamed("cum_w", "cw")
       val tot = perV.groupBy(col("g")).agg(sum(col("w")).as("tw"))
       cum.join(broadcast(tot), Seq("g"))
         .withColumn("q", explode(array(lit(25L), lit(50L), lit(75L))))
@@ -2853,6 +2856,77 @@ object Relational {
           col("n_orders"), col("n_sensitive"),
           (col("n_sensitive") < 3).as("violates_l3"))
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    // leg of the privacy trio (k-anonymity caps group size, l-diversity
+    // demands value variety, t-closeness bounds how far a group's
+    // SENSITIVE-VALUE DISTRIBUTION may drift from the corpus): per
+    // quasi-identifier group (nation, segment), the Earth Mover's
+    // Distance between the group's order-status distribution and the
+    // global one over the ORDERED status domain. EMD over an ordered
+    // domain = Σ_i |cumP(i) − cumQ(i)| — rendered as the exact integer
+    // witness Σ_i |cum_g(i)·N − cum_all(i)·n_g| (cross-multiplied, no
+    // fractions), and the t = 0.2 verdict as the integer comparison
+    // 5·emd_scaled > 2·(m−1)·n_g·N. Cumulatives come from an
+    // inequality join against the ≤m-row status spine (broadcast), so
+    // the fact table shuffles once into the group aggregate — no
+    // per-group window. 64-bit headroom: cum·N tops out ~n_g·N ≈ 2e8
+    // at sf0.1; past ~3e9 total rows route the products through
+    // DECIMAL(38,0) (the QuantileNorm convention).
+    "q_t_closeness" -> ((s, d) => {
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderstatus").as("st"))
+      val statuses = oc.select(col("st").as("s")).distinct()
+      val mDf = statuses.agg(count(lit(1)).as("m"))
+      val nAll = oc.agg(count(lit(1)).as("n_all"))
+      val gTot = oc.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_g"))
+      val gCum = oc.join(broadcast(statuses), col("st") <= col("s"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("s"))
+        .agg(count(lit(1)).as("cum_g"))
+      val aCum = oc.join(broadcast(statuses), col("st") <= col("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("cum_all"))
+      gTot.crossJoin(broadcast(statuses))
+        .join(gCum, Seq("c_nationkey", "c_mktsegment", "s"), "left")
+        .withColumn("cum_g", coalesce(col("cum_g"), lit(0L)))
+        .join(broadcast(aCum), Seq("s"))
+        .crossJoin(broadcast(nAll)).crossJoin(broadcast(mDf))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          col("n_all"), col("m"))
+        .agg(sum(abs(col("cum_g") * col("n_all") - col("cum_all") * col("n_g")))
+          .as("emd_scaled"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          col("emd_scaled"),
+          (lit(5L) * col("emd_scaled") >
+            lit(2L) * (col("m") - 1) * col("n_g") * col("n_all"))
+            .as("violates_t02"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // Longest consecutive-day activity streak per user (the classic
+    // gaps-and-islands engagement metric): distinct active days, rank
+    // them per user, and `day − rank` is constant exactly along each
+    // unbroken run. All windows partition by user — never global — and
+    // the day spine is distinct (user, day) pairs, far smaller than the
+    // event table. Integer day counts, exact oracle.
+    "q_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val runs = days.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+        .withColumn("isl", date_sub(col("day"), col("rnk")))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_days"), max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
     }),
 
     // Z-order layout + 2-D pruned scan (Layout.zorderWrite/zorderScan
@@ -5007,6 +5081,57 @@ object Relational {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2, 3
          ORDER BY c_nationkey, c_mktsegment, bal_band""",
+
+    // Every integer witness recomputed: cumulative counts via the
+    // status-spine inequality join, the cross-multiplied EMD sum, and
+    // the t = 0.2 verdict as the same 5·emd > 2·(m−1)·n_g·N compare.
+    "q_t_closeness" ->
+      """WITH oc AS (
+           SELECT c_nationkey, c_mktsegment, o_orderstatus AS st
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         sts AS (SELECT DISTINCT st AS s FROM oc),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sts),
+         alln AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM oc),
+         tot AS (
+           SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
+           FROM oc GROUP BY 1, 2),
+         gcum AS (
+           SELECT c_nationkey, c_mktsegment, s, CAST(count(*) AS BIGINT) AS cum_g
+           FROM oc JOIN sts ON st <= s GROUP BY 1, 2, 3),
+         acum AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS cum_all
+           FROM oc JOIN sts ON st <= s GROUP BY 1),
+         j AS (
+           SELECT sp.c_nationkey, sp.c_mktsegment, sp.n_g,
+             coalesce(g.cum_g, 0) AS cum_g, a.cum_all
+           FROM (SELECT * FROM tot CROSS JOIN sts) sp
+           LEFT JOIN gcum g USING (c_nationkey, c_mktsegment, s)
+           JOIN acum a USING (s))
+         SELECT c_nationkey, c_mktsegment, n_g,
+           CAST(sum(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT) AS emd_scaled,
+           5 * CAST(sum(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT)
+             > 2 * (m - 1) * n_g * n_all AS violates_t02
+         FROM j CROSS JOIN alln CROSS JOIN mm
+         GROUP BY c_nationkey, c_mktsegment, n_g, n_all, m
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events WHERE user_id IS NOT NULL),
+         runs AS (
+           SELECT user_id,
+             day - CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY day) AS INTEGER) AS isl,
+             day
+           FROM days),
+         lens AS (
+           SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+           FROM runs GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+         FROM lens GROUP BY user_id ORDER BY user_id""",
 
     "q_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
