@@ -1725,7 +1725,11 @@ object Relational {
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("v"),
         col("l_quantity").cast("long").as("w"))
+      // pinned once: the spine feeds THREE passes (boundary sample,
+      // bucketed cumsum, group totals) — without the pin each re-runs
+      // the lineitem scan + aggregation (the q_rfm pattern)
       val perV = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
       val cum = graft.operators.PrefixSum
         .runningTotalsGrouped(perV, Seq("g"), "v", Seq("w"))
         .withColumnRenamed("cum_w", "cw")

@@ -70,10 +70,21 @@ object ScaleCrossover {
         .localCheckpoint(true)
       val wG = Window.orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val vgWin = best(3)(spine
-        .select(sum(col("n_tokens")).over(wG), sum(col("new_types")).over(wG)).count())
-      val vgPfx = best(3)(graft.operators.PrefixSum
-        .runningTotals(spine, "doc_id", Seq("n_tokens", "new_types"), 8).count())
+      // consume the cum columns by COLLECTING their max — a bare count()
+      // (even over .agg) lets Catalyst prune the window/cumsum expression
+      // and times an empty plan instead of the shape under test
+      var vgWinMax = 0L
+      var vgPfxMax = 0L
+      val vgWin = best(3)({
+        vgWinMax = spine
+          .select(sum(col("n_tokens")).over(wG).as("ct"),
+            sum(col("new_types")).over(wG).as("cv"))
+          .agg(max(col("ct"))).collect()(0).getLong(0); vgWinMax })
+      val vgPfx = best(3)({
+        vgPfxMax = graft.operators.PrefixSum
+          .runningTotals(spine, "doc_id", Seq("n_tokens", "new_types"), 8)
+          .agg(max(col("cum_n_tokens"))).collect()(0).getLong(0); vgPfxMax })
+      require(vgWinMax == vgPfxMax, s"vocab shape disagreement: $vgWinMax vs $vgPfxMax")
 
       // --- skyline: exclusive running max over distinct prices ---
       val pts = parts.select("p_partkey", "p_retailprice", "p_size")
@@ -112,6 +123,27 @@ object ScaleCrossover {
       println(f"mult=$m%-4d vocab_win=$vgWin%.2f vocab_pfx=$vgPfx%.2f " +
         f"skyline_win=$skWin%.2f skyline_pfx=$skPfx%.2f " +
         f"nbhd_win=$snWin%.2f nbhd_pfx=$snPfx%.2f")
+    }
+
+    // Primitive-level sweep: the two shapes over a bare N-row spine —
+    // isolates the crossover row count from any operator's upstream
+    // cost. The spine is pinned first so both time ONLY the cumsum.
+    for (n <- Seq(1000000L, 10000000L, 40000000L)) {
+      val spine = spark.range(n).select(col("id").as("k"),
+        (col("id") % 97).as("x")).localCheckpoint(true)
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var winMax = 0L
+      var pfxMax = 0L
+      val tWin = best(3)({
+        winMax = spine.select(sum(col("x")).over(w).as("c"))
+          .agg(max(col("c"))).collect()(0).getLong(0); winMax })
+      val tPfx = best(3)({
+        pfxMax = graft.operators.PrefixSum
+          .runningTotals(spine, "k", Seq("x"), 32)
+          .agg(max(col("cum_x"))).collect()(0).getLong(0); pfxMax })
+      require(winMax == pfxMax, s"shape disagreement: $winMax vs $pfxMax")
+      println(f"spine_rows=$n%-9d win=$tWin%.2f pfx=$tPfx%.2f total=$winMax")
     }
     spark.stop()
   }

@@ -58,4 +58,17 @@ class SortedNeighborhoodSpec extends SparkSpec {
     val ref = referencePairs(part, 7, 2)
     assert(operatorPairs(part, 7, 2, 16) == ref)
   }
+
+  test("misuse fails loudly: non-string key, null-under-cast id (r11 ADVICE)") {
+    import spark.implicits._
+    val intKey = Seq((1L, 42L), (2L, 43L)).toDF("id", "key")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.sortedNeighborhood(intKey, "id", "key"))
+    assert(e1.getMessage.contains("must be StringType"), e1.getMessage)
+    val badId = Seq(("x1", "alpha"), ("7", "beta")).toDF("id", "key")
+    val e2 = intercept[Exception](
+      Dedup.sortedNeighborhood(badId, "id", "key").collect())
+    assert(e2.getMessage.contains("non-null and long-castable") ||
+      e2.getMessage.contains("CAST_INVALID_INPUT"), e2.getMessage)
+  }
 }

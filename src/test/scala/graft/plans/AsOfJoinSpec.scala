@@ -176,4 +176,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Sort"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("mismatched on/by column types are rejected loudly, every direction") {
+    // the exec reads both sides' cells with orderings keyed on the LEFT
+    // attribute types — an int/long mismatch would silently misread the
+    // right cells rather than error (r11 ADVICE finding)
+    val l = Seq((1L, "A", 10)).toDF("id", "sym", "t") // t: Int
+    val r = Seq(("A", 9L, 1.0)).toDF("sym", "t", "px") // t: Long
+    for (build <- Seq(
+        () => AsOfJoin.backward(l, r, Seq("sym"), "t", Seq("px")),
+        () => AsOfJoin.forward(l, r, Seq("sym"), "t", Seq("px")),
+        () => AsOfJoin.backwardTolerance(l, r, Seq("sym"), "t", Seq("px"), 5L))) {
+      val e = intercept[IllegalArgumentException](build())
+      assert(e.getMessage.contains("same type on both sides"), e.getMessage)
+    }
+    // by-key mismatch too (the key ordering reads both sides)
+    val l2 = Seq((1, 10L)).toDF("k", "t")
+    val r2 = Seq((1L, 9L, 1.0)).toDF("k", "t", "px")
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.backward(l2, r2, Seq("k"), "t", Seq("px")))
+    assert(e2.getMessage.contains("'k'"), e2.getMessage)
+  }
 }
