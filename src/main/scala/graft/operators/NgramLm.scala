@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.{functions => gfn}
+
+/** Bigram language-model scoring without floats — the perplexity-style
+  * quality filter of pretraining pipelines (CCNet / Gopher lineage:
+  * docs whose transitions the corpus LM finds improbable are OCR junk,
+  * shuffled text, or wrong-language) rendered in the repo's
+  * integer-cross-multiplication discipline so the DuckDB oracle replays
+  * every decision exactly.
+  *
+  * Model: add-one-smoothed conditional p(w2|w1) = (c12+1)/(c1+V) over
+  * adjacent lowercase-[a-z0-9]+ token bigrams. Instead of summing float
+  * logs (engine-ulp territory, never emitted per the q_cooccur_pmi /
+  * BM25 law), each doc gets an exact SURPRISE-BAND HISTOGRAM: for band
+  * multiple m, the count of its bigrams with p(w2|w1) below 1/(m·V) —
+  * i.e. below 1/m of the uniform share — decided by the integer test
+  *
+  *     (c12 + 1) · m · V  <  c1 + V.
+  *
+  * A doc whose transitions hug the corpus distribution lands few counts
+  * in the m=1 band; shuffled or foreign text lands most of them. The
+  * emitted majority flag (2·band1 ≥ n_bigrams) is the binary filter.
+  *
+  * Scale shape: the MODEL tables are vocab-bounded — c12 is one
+  * groupBy over the bigram stream (|V|² rows max), c1 is |V| rows, V is
+  * a scalar — and all three join back BROADCAST, so the corpus-sized
+  * bigram stream never hash-shuffles; the only data-sized exchange is
+  * the final per-doc groupBy on doc_id. At a real 100 TB vocabulary the
+  * c12 broadcast becomes a shuffle join on (w1,w2) — one line to flip —
+  * while c1/V stay broadcast; everything else is unchanged.
+  */
+object NgramLm {
+
+  /** Per-doc surprise profile: `(idCol, n_bigrams, n_below_u,
+    * n_below_u2, mostly_surprising)`. Docs with fewer than two tokens
+    * keep a row with zero counts (left join from the doc spine), so the
+    * output is total over the input.
+    */
+  def surpriseProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), gfn.ascii_tokens(col(textCol)).as("tk"))
+    val bigrams = toks
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val vRow = bigrams.agg(countDistinct(col("w2")).as("v"))
+    val scored = bigrams
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vRow))
+    def below(m: Int) =
+      sum(when((col("n12") + 1) * m * col("v") < col("n1") + col("v"), 1L)
+        .otherwise(0L)).as(s"n_below_u${if (m == 1) "" else m.toString}")
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"), below(1), below(2))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_below_u"), lit(0L)).as("n_below_u"),
+        coalesce(col("n_below_u2"), lit(0L)).as("n_below_u2"))
+      .withColumn("mostly_surprising", col("n_below_u") * 2 >= col("n_bigrams"))
+  }
+
+  /** Top-p (nucleus) cutoff per context — the sampling-time vocabulary
+    * truncation of LLM decoding (Holtzman et al. 2020, public) computed
+    * over the corpus bigram model: for each context w1 with at least
+    * `minCount` transitions, successors ordered by (count desc, token
+    * asc) are kept while the cumulative count BEFORE a row is still
+    * under pNum/pDen of the context total — the minimal prefix whose
+    * mass reaches p, decided by the integer test cum_prev·pDen <
+    * n1·pNum. `covered_ok` (cumulative mass at the cut ≥ p·n1, again by
+    * cross-multiplication) is a structural certificate: it holds by
+    * construction, so a false anywhere means the cumsum itself drifted.
+    *
+    * Scale shape: all frames here are MODEL-sized — c12 has at most |V|²
+    * rows and the per-context window holds ≤ |V| successors — so the
+    * per-context ordering window is domain-bounded by vocabulary, never
+    * by corpus volume; only the bigram count groupBy touches data scale.
+    */
+  def nucleus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 50L,
+      pNum: Int = 9,
+      pDen: Int = 10): DataFrame = {
+    require(pNum > 0 && pDen > pNum, s"need 0 < pNum < pDen, got $pNum/$pDen")
+    val toks = docs.select(col(idCol), gfn.ascii_tokens(col(textCol)).as("tk"))
+    val bigrams = toks
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      .filter(col("n1") >= minCount)
+    val ordW = Window.partitionBy(col("w1"))
+      .orderBy(col("n12").desc, col("w2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c12.join(broadcast(c1), Seq("w1"))
+      .withColumn("cum", sum(col("n12")).over(ordW))
+      .withColumn("kept", (col("cum") - col("n12")) * pDen < col("n1") * pNum)
+      .groupBy(col("w1"))
+      .agg(max(col("n1")).as("n1"),
+        count(lit(1)).as("n_succ"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("nucleus_size"),
+        max(when(col("kept"), col("cum"))).as("cov_cut"))
+      .withColumn("covered_ok", col("cov_cut") * pDen >= col("n1") * pNum)
+  }
+}

@@ -273,4 +273,37 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
+
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models", App. A1.1 — public) rendered as EXACT integer
+    * tests so every verdict is oracle-replayable: word-count window,
+    * mean-word-length window by cross-multiplication (lo·n ≤ chars ≤
+    * hi·n — never a float division), a stopword-presence floor over the
+    * paper's 8-word list, and the duplicate-fraction rule as the
+    * 2·distinct ≥ total majority test. Thresholds are pinned to this
+    * corpus's measured quantiles so each rule genuinely splits it
+    * (word count p10=21/median 56/p90=88; mean word length 3.7–5.3;
+    * the/a present in ~77% of docs; TTR median 0.46) — data-dependent
+    * constants in the q_bigram_familiarity tradition: re-pin, don't
+    * debug, if the generator changes. Pure column expressions — one
+    * narrow pass, no shuffle, scan-fused at any scale.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val tk = gfn.ascii_tokens(text)
+    val nWords = size(tk).cast("long")
+    val nAlnum = length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("long")
+    val stopwords = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(tk), stopwords)).cast("long")
+    val nDistinct = size(array_distinct(tk)).cast("long")
+    Seq(
+      "n_words" -> nWords,
+      "n_alnum_chars" -> nAlnum,
+      "n_distinct_words" -> nDistinct,
+      "n_stopwords" -> nStop,
+      "rule_word_count" -> (nWords >= 30L && nWords <= 90L),
+      "rule_word_length" -> (nAlnum >= nWords * 4L && nAlnum <= nWords * 5L),
+      "rule_stopwords" -> (nStop >= 2L),
+      "rule_repetition" -> (nDistinct * 2L >= nWords))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.{functions => gfn}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS local document-fingerprinting algorithm, public): hash every
+  * token k-gram, slide a w-wide window over the hash sequence, and keep
+  * each window's RIGHTMOST MINIMAL hash. The selected ~2/(w+1) fraction
+  * of shingles is position-independent ("local": any shared substring of
+  * ≥ w+k-1 tokens is guaranteed to share a fingerprint), which makes the
+  * fingerprint index both far smaller than the full shingle set and
+  * still complete for near-dup / plagiarism matching.
+  *
+  * Determinism: hashes are portable md5 hex strings (the repo's
+  * cross-engine hash convention), and the rightmost-minimum rule is the
+  * single struct-min `min(struct(hash, -pos))` — a total order both
+  * engines share, so ties from REPEATED shingles (common in boilerplate)
+  * resolve identically everywhere. This is "non-robust" winnowing —
+  * every window's rightmost minimum, a stateless rule — rather than the
+  * paper's stateful robust variant, precisely so the selection is a pure
+  * window expression any engine can replay.
+  *
+  * Scale shape: the k-gram explode and the selection window are both
+  * partitioned BY DOCUMENT — parallelism = corpus size, each partition
+  * bounded by document length, never by data volume. Matching shuffles
+  * only (fingerprint, doc_id) pairs — the ids-only discipline of the
+  * dedup family — over an index ~40% the size of the full shingle set.
+  */
+object Winnow {
+
+  /** Distinct selected fingerprints per doc: `(idCol, sel_pos, fp,
+    * n_grams)` with 0-based positions. Docs with fewer than k tokens
+    * have no k-grams and are absent, identically on both engines.
+    */
+  def fingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val gramExpr = (0 until k).map(j => s"tk[i+$j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col(idCol), gfn.ascii_tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .withColumn("n_grams", (size(col("tk")) - (k - 1)).cast("long"))
+      .select(col(idCol), col("n_grams"), posexplode(expr(
+        s"transform(sequence(0, size(tk)-$k), i -> $gramExpr)")).as(Seq("pos", "g")))
+      .withColumn("h", md5(col("g")))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", min(struct(col("h").as("h"),
+        (-col("pos")).cast("long").as("np"))).over(frame))
+      // window STARTS only: positions 0..max(n_grams-w, 0) — the final
+      // partial windows are suffixes of the last full one (or, for docs
+      // shorter than w grams, the single all-grams window at start 0)
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0L)))
+      .select(col(idCol), col("n_grams"),
+        (-col("m.np")).as("sel_pos"), col("m.h").as("fp"))
+      .distinct()
+  }
+
+  /** Per-doc fingerprint profile with the winnowing DENSITY GUARANTEE as
+    * an oracle-checkable certificate: consecutive selected positions can
+    * never be more than w apart (every window contains a selection), so
+    * `gap_ok` must be true on every row — a structural theorem, not a
+    * statistical bound.
+    */
+  def profile(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+    val lagW = Window.partitionBy(col(idCol)).orderBy(col("sel_pos"))
+    fp.withColumn("gap", col("sel_pos") - lag(col("sel_pos"), 1).over(lagW))
+      .groupBy(col(idCol))
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("sel_pos")).as("n_sel"),
+        countDistinct(col("fp")).as("n_fp"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      .withColumn("n_windows", greatest(col("n_grams") - w, lit(0L)) + 1L)
+      .withColumn("gap_ok", col("max_gap") <= w)
+      .select(col(idCol), col("n_grams"), col("n_windows"), col("n_sel"),
+        col("n_fp"), col("max_gap"), col("gap_ok"))
+  }
+
+  /** Doc pairs sharing at least `minShared` distinct fingerprints —
+    * the near-dup match step over the winnowed index. Shuffles
+    * (fp, id) only; the pair expansion is bounded per fingerprint by
+    * its doc frequency (boilerplate-heavy fingerprints should be
+    * df-capped upstream at real scale, exactly like the LSH buckets'
+    * armed caps).
+    */
+  def matches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val a = fp.select(col(idCol).as("id_a"), col("fp"))
+    val b = fp.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

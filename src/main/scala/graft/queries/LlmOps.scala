@@ -1409,6 +1409,73 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM surprise profile (NgramLm under the oracle): add-one-
+    // smoothed p(w2|w1) surprise-band histogram per doc, every band
+    // decided by the integer test (c12+1)·m·V < c1+V — the perplexity
+    // quality filter with zero float logs. The model tables (c12/c1/V)
+    // broadcast; the corpus bigram stream never hash-shuffles. DuckDB
+    // re-derives the full model and every band count, so one drifted
+    // transition count anywhere flips the hash. (m=1 splits this corpus
+    // 2..44 per doc; the majority flag is the binary filter.)
+    "q_lm_surprise" -> ((s, d) => {
+      graft.operators.NgramLm
+        .surpriseProfile(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher quality rules (TextAnalysis.gopherRules under the oracle):
+    // the public Rae-et-al. filter set as exact integer tests — word-
+    // count window, mean-word-length window by CROSS-MULTIPLICATION,
+    // stopword floor over the paper's 8-word list, duplicate-fraction
+    // majority test — plus the conjunction. Each rule genuinely splits
+    // this corpus (thresholds pinned to its measured quantiles).
+    "q_gopher_rules" -> ((s, d) => {
+      val cols = TextAnalysis.gopherRules(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("pass", col("rule_word_count") && col("rule_word_length") &&
+          col("rule_stopwords") && col("rule_repetition"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprint profile (Winnow.profile under the oracle):
+    // md5 token-4-gram hashes, w=4 rightmost-minimum selection via one
+    // struct-min window, plus the paper's DENSITY GUARANTEE as a
+    // certificate — consecutive selections can never be more than w
+    // apart, so gap_ok is a theorem and any false row means the
+    // selection rule itself drifted. DuckDB replays the identical
+    // struct-min (same hash strings, same (h, -pos) total order).
+    "q_winnow" -> ((s, d) => {
+      graft.operators.Winnow
+        .profile(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Winnowed near-dup match (Winnow.matches): doc pairs sharing >= 3
+    // distinct selected fingerprints — the MOSS matching step over an
+    // index ~40% the size of the full shingle set, shuffling only
+    // (fingerprint, id) pairs. Finds exactly the planted near-dup pairs
+    // on this corpus (24 at sf0.01); the oracle recomputes the entire
+    // selection + join, so a single extra or missing fingerprint
+    // anywhere changes some pair's count and flips the hash.
+    "q_winnow_matches" -> ((s, d) => {
+      graft.operators.Winnow
+        .matches(Tables.documents(s, d), "doc_id", "text", minShared = 3L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Top-p nucleus cutoff per context (NgramLm.nucleus): minimal
+    // successor prefix reaching 90% of each context's transition mass,
+    // ordered (count desc, token asc), kept/covered decided by integer
+    // cross-multiplication — the decoding-time truncation set computed
+    // corpus-side. covered_ok is structural (the first row at or past
+    // the threshold is always kept) — false means the cumsum drifted.
+    "q_nucleus" -> ((s, d) => {
+      graft.operators.NgramLm
+        .nucleus(Tables.documents(s, d), "doc_id", "text", minCount = 50L)
+        .orderBy("w1")
+    }),
+
     // Tf-idf top-3 terms per doc on the EXACT integer sort key
     // (tf·n_docs·1e6 div df) — no float log anywhere, term-string
     // tie-break, so the per-doc cut is total and bit-replayable.
@@ -2745,6 +2812,153 @@ object LlmOps {
            coalesce(n_familiar, 0) AS n_familiar,
            coalesce(n_familiar, 0) * 2 >= coalesce(n_bigrams, 0) AS familiar_majority
          FROM tok LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+
+    // The full bigram LM replayed: same tokenizer, same c12/c1/V model,
+    // same (c12+1)·m·V < c1+V band tests — HUGEINT-safe via the BIGINT
+    // casts on the CASE sums.
+    "q_lm_surprise" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+             FROM t WHERE len(tk) >= 2)),
+         c12 AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+         v AS (SELECT count(DISTINCT w2) AS vv FROM b),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN (n12 + 1) * 1 * vv < n1 + vv THEN 1 ELSE 0 END) AS BIGINT) AS n_below_u,
+             CAST(sum(CASE WHEN (n12 + 1) * 2 * vv < n1 + vv THEN 1 ELSE 0 END) AS BIGINT) AS n_below_u2
+           FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_below_u, 0) AS n_below_u,
+           coalesce(n_below_u2, 0) AS n_below_u2,
+           coalesce(n_below_u, 0) * 2 >= coalesce(n_bigrams, 0) AS mostly_surprising
+         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+
+    // Every Gopher rule re-decided from scratch: token list, alnum char
+    // count, distinct-word and stopword-intersection sizes, and the four
+    // integer-window / cross-multiplication / majority tests.
+    "q_gopher_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                            x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum_chars,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_words,
+             CAST(len(list_intersect(list_distinct(tk),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords
+           FROM t)
+         SELECT doc_id, n_words, n_alnum_chars, n_distinct_words, n_stopwords,
+           n_words >= 30 AND n_words <= 90 AS rule_word_count,
+           n_alnum_chars >= n_words * 4 AND n_alnum_chars <= n_words * 5 AS rule_word_length,
+           n_stopwords >= 2 AS rule_stopwords,
+           n_distinct_words * 2 >= n_words AS rule_repetition,
+           (n_words >= 30 AND n_words <= 90)
+             AND (n_alnum_chars >= n_words * 4 AND n_alnum_chars <= n_words * 5)
+             AND n_stopwords >= 2
+             AND n_distinct_words * 2 >= n_words AS pass
+         FROM m ORDER BY doc_id""",
+
+    // The full winnowing selection replayed: same md5 4-gram hashes,
+    // same (h, -pos) struct-min over the same w=4 frame, same window-
+    // start filter, then the per-doc profile including the max-gap
+    // density certificate.
+    "q_winnow" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, n_grams, CAST(-(m.np) AS BIGINT) AS sel_pos, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0)),
+         gaps AS (
+           SELECT doc_id, n_grams, sel_pos, fp,
+             sel_pos - lag(sel_pos, 1) OVER (PARTITION BY doc_id ORDER BY sel_pos) AS gap
+           FROM sel)
+         SELECT doc_id, max(n_grams) AS n_grams,
+           greatest(max(n_grams) - 4, 0) + 1 AS n_windows,
+           CAST(count(DISTINCT sel_pos) AS BIGINT) AS n_sel,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+           coalesce(max(gap), 0) AS max_gap,
+           coalesce(max(gap), 0) <= 4 AS gap_ok
+         FROM gaps GROUP BY doc_id ORDER BY doc_id""",
+
+    // The matching step over the same selection: distinct (doc, fp),
+    // fp-keyed self-join, >= 3 shared.
+    "q_winnow_matches" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The nucleus cut replayed: same bigram model, same (n12 desc, w2)
+    // order, same cum_prev·10 < n1·9 keep rule and coverage check.
+    "q_nucleus" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT s.w1 AS w1, s.w2 AS w2 FROM (
+             SELECT unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+             FROM t WHERE len(tk) >= 2)),
+         c12 AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1 HAVING count(*) >= 50),
+         cum AS (
+           SELECT c12.w1, w2, n12, n1,
+             CAST(sum(n12) OVER (PARTITION BY c12.w1
+               ORDER BY n12 DESC, w2 ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM c12 JOIN c1 USING (w1)),
+         k AS (SELECT *, (cum - n12) * 10 < n1 * 9 AS kept FROM cum)
+         SELECT w1, max(n1) AS n1, count(*) AS n_succ,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_size,
+           max(CASE WHEN kept THEN cum END) AS cov_cut,
+           max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
+         FROM k GROUP BY w1 ORDER BY w1""",
 
     // The exact integer tf-idf key replayed: (tf·n_docs·1e6) // df with
     // BIGINT floor-division, rank over (key DESC, term) — bit-identical

