@@ -1476,6 +1476,27 @@ object LlmOps {
         .orderBy("w1")
     }),
 
+    // KMV sketch set algebra (SketchAlgebra.kmvPairwise): the pairwise
+    // source-overlap matrix from k-long signatures — union estimate
+    // (k-1)·2^32 div h_k over the merged signature (KMV(A∪B) IS the k
+    // smallest of KMV(A)∪KMV(B), a set identity), intersection via the
+    // Beyer et al. in-both count, all integer arithmetic on the
+    // portable md5 hash so DuckDB rebuilds every signature element.
+    // Exact legs ground two pinned certificates (union within
+    // [3/4,5/4]×, intersection within ±union/4 — measured 0.83–0.97
+    // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
+    // are distinct per-source token bigrams (~550 per source, so the
+    // k=64 sketch is genuinely approximate, not exact-mode).
+    "q_kmv_setops" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), gfn.ascii_tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")).as("bg"))
+      graft.operators.SketchAlgebra.kmvPairwise(t, "source", "bg", 64)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Tf-idf top-3 terms per doc on the EXACT integer sort key
     // (tf·n_docs·1e6 div df) — no float log anywhere, term-string
     // tie-break, so the per-doc cut is total and bit-replayable.
@@ -2959,6 +2980,54 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    // Every signature element rebuilt from the portable md5 hash, the
+    // merged-signature identity, both estimators, and both pinned
+    // certificates — one drifted hash anywhere flips some pair's row.
+    "q_kmv_setops" ->
+      """WITH t AS (
+           SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         e AS (
+           SELECT DISTINCT source, unnest(list_transform(range(1, len(tk)),
+             i -> tk[i] || ' ' || tk[i+1])) AS el
+           FROM t WHERE len(tk) >= 2),
+         h AS (
+           SELECT DISTINCT source AS g,
+             ('0x' || substr(md5(el), 1, 8))::BIGINT AS hv
+           FROM e WHERE source IS NOT NULL AND el IS NOT NULL),
+         r AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+         sig AS (
+           SELECT g, list(hv ORDER BY hv) FILTER (WHERE rn <= 64) AS s,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM r GROUP BY g),
+         p AS (
+           SELECT a.g AS src_a, b.g AS src_b, a.s AS s_a, b.s AS s_b,
+             a.nd AS nd_a, b.nd AS nd_b
+           FROM sig a JOIN sig b ON a.g < b.g),
+         m AS (SELECT *, list_sort(list_distinct(s_a || s_b))[1:64] AS mg FROM p),
+         est AS (
+           SELECT src_a, src_b, nd_a, nd_b,
+             CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS BIGINT)
+                  ELSE CAST(270582939648 // greatest(mg[64], 1) AS BIGINT) END AS est_union,
+             CAST(len(list_filter(mg,
+               x -> list_contains(s_a, x) AND list_contains(s_b, x))) AS BIGINT) AS n_common
+           FROM m),
+         ix AS (
+           SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_inter
+           FROM h a JOIN h b ON a.hv = b.hv AND a.g < b.g GROUP BY 1, 2)
+         SELECT est.src_a, est.src_b, nd_a, nd_b,
+           nd_a + nd_b - coalesce(n_inter, 0) AS n_union,
+           coalesce(n_inter, 0) AS n_inter,
+           est_union, n_common,
+           CAST((n_common * est_union) // 64 AS BIGINT) AS est_inter,
+           est_union * 4 >= (nd_a + nd_b - coalesce(n_inter, 0)) * 3
+             AND est_union * 4 <= (nd_a + nd_b - coalesce(n_inter, 0)) * 5 AS union_ok,
+           abs(CAST((n_common * est_union) // 64 AS BIGINT) - coalesce(n_inter, 0)) * 4
+             <= nd_a + nd_b - coalesce(n_inter, 0) AS inter_ok
+         FROM est LEFT JOIN ix USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
 
     // The exact integer tf-idf key replayed: (tf·n_docs·1e6) // df with
     // BIGINT floor-division, rank over (key DESC, term) — bit-identical
