@@ -191,11 +191,17 @@ object Dedup {
     * the honest price of a recall guarantee; at corpus scale keep the
     * threshold tight.
     */
-  def simhashNearDupPairs(
+  /** (id, fp, band, bh) banding of the 64-bit simhash into
+    * `maxHamming + 1` pigeonhole bands — shared by the batch pair join
+    * and the STREAMING matcher ([[graft.streaming.StreamingSync
+    * .simhashMatchStream]]), so the two paths cannot disagree on the
+    * band scheme (widths, offsets, or masks).
+    */
+  def simhashBanded(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
     val nBands = maxHamming + 1
@@ -204,15 +210,23 @@ object Dedup {
     val widths = (0 until nBands).map(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
-    val withFp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
-    val banded = withFp.select(
-      col("id"), col("fp"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), offsets(b))
-            .bitwiseAND(lit(mask(widths(b)))).as("bh"))
-      }: _*)).as("bb"))
+    df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+      .select(
+        col("id"), col("fp"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), offsets(b))
+              .bitwiseAND(lit(mask(widths(b)))).as("bh"))
+        }: _*)).as("bb"))
       .select(col("id"), col("fp"), col("bb.band"), col("bb.bh"))
+  }
+
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, maxHamming)
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "bh"))

@@ -4916,7 +4916,7 @@ object LlmOps {
          FROM rk WHERE rn <= 10 ORDER BY qid, id"""
   }
 
-  private def simhashFingerprintsCte: String =
+  private[queries] def simhashFingerprintsCte: String =
     """tok AS (
            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
            FROM documents),

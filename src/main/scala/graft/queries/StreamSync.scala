@@ -600,6 +600,73 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming SimHash near-dup fixture: all documents land in THREE
+    * micro-batches split by doc_id mod 3 — an interleaved split, so
+    * most near-dup pairs straddle batch boundaries and genuinely
+    * exercise the cross-batch bucket state. The sink guard proves the
+    * distinct emitted pair set equals the BATCH
+    * `Dedup.simhashNearDupPairs` result before the marker is written —
+    * stream/batch equivalence is a fixture invariant, and the oracle
+    * then replays the batch formulation (the q_dedup_simhash FNV/vote
+    * CTE) against the same table.
+    */
+  private def simhashSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/documents.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_simhash_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+        val b1 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 0)),
+          root, landing, "batch1.jsonl")
+        val b2 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 1)),
+          root, landing, "batch2.jsonl")
+        val b3 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 2)),
+          root, landing, "batch3.jsonl")
+        mtimeAfter(b2, b1, 2000)
+        mtimeAfter(b3, b2, 4000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        import s.implicits._
+        val banded = graft.operators.Dedup
+          .simhashBanded(
+            StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+              maxFilesPerTrigger = 1),
+            "doc_id", "text", maxHamming = 3)
+          .select(col("band"), col("bh"), col("id"), col("fp"))
+          .as[StreamingSync.BandedDoc]
+        val out = StreamingSync.simhashMatchStream(banded, maxHamming = 3)
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_simhash replay")
+
+        val got = s.read.parquet(sink.toString)
+          .select(col("id_a"), col("id_b")).distinct().count()
+        val expected = graft.operators.Dedup
+          .simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
+        require(got == expected,
+          s"stream_simhash sink has $got distinct pairs, batch finds $expected — " +
+            "cross-batch bucket state missed or invented a pair")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   private def ewmaSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "ewma")(StreamingSync.ewmaStream(_))
 
@@ -1229,6 +1296,18 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    // Streaming near-dup detection at ingest: every arriving document
+    // matched against all prior same-bucket documents via cross-batch
+    // FMGWS state; the distinct pair set equals the batch SimHash
+    // formulation (fixture-guarded), which the oracle replays in full
+    // (FNV-1a HUGEINT fold, bit votes, banded join, exact Hamming).
+    "q_stream_simhash" -> ((s, d) => {
+      s.read.parquet(simhashSinkDir(s, d))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_stream_join" -> ((s, d) => {
       s.read.parquet(joinSinkDir(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
@@ -1379,6 +1458,17 @@ object StreamSync {
       """SELECT event_id, event_type, value
          FROM events WHERE event_id < 2000
          ORDER BY event_id""",
+
+    // The batch SimHash pair formulation the streamed state must equal
+    // (same CTE as q_dedup_simhash: FNV-1a token hashes, bit-majority
+    // votes, exact Hamming ≤ 3 on the full document set).
+    "q_stream_simhash" ->
+      s"""WITH ${LlmOps.simhashFingerprintsCte}
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.uf, b.uf)) AS INTEGER) AS hamming
+         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.uf, b.uf)) <= 3
+         ORDER BY id_a, id_b""",
 
     // The streamed interval join must equal the batch join exactly (no
     // late drops at a 45-day horizon; cross-batch pairs found in state).

@@ -450,6 +450,69 @@ object StreamingSync {
       }
   }
 
+  final case class BandedDoc(band: Int, bh: Long, id: Long, fp: Long)
+  final case class BucketState(ids: Array[Long], fps: Array[Long])
+  final case class SimhashMatch(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup detection: documents arrive in
+    * micro-batches and every new document is matched against ALL
+    * previously seen documents sharing a pigeonhole band bucket —
+    * the dedup-at-ingest shape (reject or flag a near-dup the moment
+    * it lands, instead of a nightly batch sweep). State per (band,
+    * bucket) key is the bucket's (id, fp) roster, capped at
+    * `maxBucket` like the batch LSH family's armed caps; matching is
+    * exact `bitCount(xor)` against the roster plus earlier docs of
+    * the same batch (sorted by id), so the EMITTED PAIR SET — after
+    * the downstream distinct that collapses multi-band hits — equals
+    * the batch [[graft.operators.Dedup.simhashNearDupPairs]] result
+    * regardless of how documents were split into batches. The band
+    * scheme comes from the SAME [[graft.operators.Dedup
+    * .simhashBanded]] the batch path uses, so the two cannot drift.
+    *
+    * A re-delivered id never re-enters the roster (idempotent state),
+    * though it re-emits its pairs — exactly-once pairing is the
+    * downstream distinct's job, matching the at-least-once delivery
+    * contract of every sink in this file.
+    */
+  def simhashMatchStream(
+      docs: Dataset[BandedDoc],
+      maxHamming: Int,
+      maxBucket: Int = 512): Dataset[SimhashMatch] = {
+    import docs.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    docs
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BucketState, SimhashMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, ds, gs: GroupState[BucketState]) =>
+          val sorted = ds.toSeq.sortBy(_.id)
+          var st = gs.getOption.getOrElse(
+            BucketState(Array.empty[Long], Array.empty[Long]))
+          val out = scala.collection.mutable.Buffer.empty[SimhashMatch]
+          sorted.foreach { d =>
+            var i = 0
+            while (i < st.ids.length) {
+              if (st.ids(i) != d.id) {
+                val h = java.lang.Long.bitCount(st.fps(i) ^ d.fp)
+                if (h <= maxHamming) {
+                  out += (if (st.ids(i) < d.id)
+                    SimhashMatch(st.ids(i), d.id, h)
+                  else SimhashMatch(d.id, st.ids(i), h))
+                }
+              }
+              i += 1
+            }
+            if (st.ids.length < maxBucket && !st.ids.contains(d.id)) {
+              st = BucketState(st.ids :+ d.id, st.fps :+ d.fp)
+            }
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapSeconds: Long = 1800L,
