@@ -1487,6 +1487,19 @@ object LlmOps {
     // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
     // are distinct per-source token bigrams (~550 per source, so the
     // k=64 sketch is genuinely approximate, not exact-mode).
+    // Integer Johnson–Lindenstrauss projection (RandomProjection):
+    // int8-quantized vectors × a ±1 md5-parity sign matrix → 16-dim
+    // BIGINT projections, distances audited pairwise with the pinned
+    // [1/5, 5] JL band as an integer cross-mult certificate. DuckDB
+    // rebuilds the quantizer, every sign-matrix entry, all 16
+    // projected coordinates, and both squared distances exactly.
+    "q_rand_project" -> ((s, d) => {
+      graft.operators.RandomProjection
+        .distortionPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 16, sampleMax = 20L)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_kmv_setops" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("source"), gfn.ascii_tokens(col("text")).as("tk"))
@@ -2980,6 +2993,43 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    // The full integer JL pipeline replayed: quantizer, every md5-parity
+    // sign, all 16 projected coordinates, both exact squared distances,
+    // and the [1/5, 5] band test.
+    "q_rand_project" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+         q AS (
+           SELECT vec_id, v,
+             CASE WHEN coalesce(list_max(list_transform(v, x -> abs(x))), 0) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+           FROM v),
+         qq AS (
+           SELECT vec_id,
+             list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+           FROM q),
+         pj AS (
+           SELECT vec_id, qv, list_transform(range(0, 16), j ->
+             list_reduce(list_transform(range(1, len(qv) + 1),
+               i -> (1 - 2 * (('0x' || substr(md5(j || ':' || (i - 1)), 1, 8))::BIGINT % 2))
+                    * qv[i]),
+               (a, b) -> a + b)) AS yv
+           FROM qq),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_reduce(list_transform(range(1, len(a.qv) + 1),
+               i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])),
+               (x, y) -> x + y) AS BIGINT) AS d2_orig,
+             CAST(list_reduce(list_transform(range(1, 17),
+               j -> (a.yv[j] - b.yv[j]) * (a.yv[j] - b.yv[j])),
+               (x, y) -> x + y) AS BIGINT) AS d2_proj
+           FROM pj a JOIN pj b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, d2_orig, d2_proj,
+           d2_proj * 5 >= d2_orig * 16 AND d2_proj <= d2_orig * 80 AS jl_ok
+         FROM pairs ORDER BY id_a, id_b""",
 
     // Every signature element rebuilt from the portable md5 hash, the
     // merged-signature identity, both estimators, and both pinned
