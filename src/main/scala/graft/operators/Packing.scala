@@ -55,6 +55,43 @@ object Packing {
         col("first_win"), col("last_win"), col("n_windows"))
   }
 
+  /** The ATTENTION-MASK span table of the chop-continuous layout: one
+    * row per (document, context window) it occupies, with the doc's
+    * half-open position range INSIDE that window — exactly the
+    * document-boundary table a trainer needs to build block-diagonal
+    * attention masks over packed sequences (tokens must not attend
+    * across document boundaries within a window). Derived by exploding
+    * each [[packSequences]] span over `sequence(first_win, last_win)`
+    * and clamping to the window — pure integer projection on top of the
+    * one packing exchange; the per-(shard, window) ordering window
+    * below is bounded by docs-per-window, never data.
+    *
+    * `contiguous_ok` is structural: chop packing is gap-free, so within
+    * every window each span must start where the previous ended (or at
+    * 0) — a false anywhere means the offsets themselves drifted.
+    */
+  def attentionSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      ctxSize: Int,
+      nShards: Int): DataFrame = {
+    val spans = packSequences(df, idCol, tokensCol, ctxSize, nShards)
+      .withColumn("end_off", col("start_off") + col(tokensCol))
+      .withColumn("win", explode(expr("sequence(first_win, last_win)")))
+      .withColumn("pos_start",
+        greatest(col("start_off") - col("win") * ctxSize, lit(0L)))
+      .withColumn("pos_end",
+        least(col("end_off") - col("win") * ctxSize, lit(ctxSize.toLong)))
+    val w = Window.partitionBy(col("shard"), col("win")).orderBy(col("pos_start"))
+    spans
+      .withColumn("contiguous_ok",
+        coalesce(lag(col("pos_end"), 1).over(w), lit(0L)) === col("pos_start"))
+      .select(col(idCol), col("shard"), col("win"), col("pos_start"),
+        col("pos_end"), (col("pos_end") - col("pos_start")).as("span_len"),
+        col("contiguous_ok"))
+  }
+
   /** Greedy no-split packing (next-fit): documents keep their boundaries —
     * a doc goes into the current bin if it fits, else opens the next bin.
     * The other standard packing mode, used when examples must not cross

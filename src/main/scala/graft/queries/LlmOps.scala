@@ -1487,6 +1487,40 @@ object LlmOps {
     // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
     // are distinct per-source token bigrams (~550 per source, so the
     // k=64 sketch is genuinely approximate, not exact-mode).
+    // Class-balance audit + resampling factors over the labeled
+    // embeddings: per label its count, the inverse-frequency loss
+    // weight and the oversample factor to the majority class, both as
+    // exact permille integers (n_total·1000 div (n_classes·n) and
+    // max_n·1000 div n) — the imbalanced-training prep table with zero
+    // float division.
+    "q_class_weights" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d)
+        .filter(col("label").isNotNull)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val tot = lab.agg(sum(col("n")).as("n_total"),
+        count(lit(1)).as("n_classes"), max(col("n")).as("max_n"))
+      lab.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"), col("n_total"), col("n_classes"),
+          expr("(n_total * 1000) div (n_classes * n)").as("weight_x1000"),
+          expr("(max_n * 1000) div n").as("oversample_x1000"))
+        .orderBy("label")
+    }),
+
+    // Attention-mask span table over the packed layout
+    // (Packing.attentionSpans): one row per (doc, context window) with
+    // the doc's position range inside the window — the block-diagonal
+    // mask input for training on packed sequences. contiguous_ok is
+    // structural (chop packing is gap-free); the oracle replays offsets,
+    // window explode, clamps, and the lag tiling check.
+    "q_pack_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .attentionSpans(docs, "doc_id", "n_tokens", ctxSize = 512, nShards = 8)
+        .orderBy("doc_id", "win")
+    }),
+
     // Integer Johnson–Lindenstrauss projection (RandomProjection):
     // int8-quantized vectors × a ±1 md5-parity sign matrix → 16-dim
     // BIGINT projections, distances audited pairwise with the pinned
@@ -2993,6 +3027,45 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    "q_class_weights" ->
+      """WITH lab AS (
+           SELECT label, count(*) AS n FROM embeddings
+           WHERE label IS NOT NULL GROUP BY label),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             count(*) AS n_classes, max(n) AS max_n FROM lab)
+         SELECT label, n, n_total, n_classes,
+           CAST((n_total * 1000) // (n_classes * n) AS BIGINT) AS weight_x1000,
+           CAST((max_n * 1000) // n AS BIGINT) AS oversample_x1000
+         FROM lab, tot ORDER BY label""",
+
+    // Offsets, window explode, clamps, and the gap-free tiling check all
+    // replayed on the same (shard, cumsum) substrate as q_pack_sequences.
+    "q_pack_spans" ->
+      """WITH t AS (
+           SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               AS BIGINT) AS end_off
+           FROM t WHERE n_tokens > 0),
+         sp AS (
+           SELECT doc_id, shard, end_off - n_tokens AS start_off, end_off,
+             unnest(range((end_off - n_tokens) // 512, (end_off - 1) // 512 + 1)) AS win
+           FROM c),
+         pos AS (
+           SELECT doc_id, shard, win,
+             greatest(start_off - win * 512, 0) AS pos_start,
+             least(end_off - win * 512, 512) AS pos_end
+           FROM sp)
+         SELECT doc_id, shard, win, pos_start, pos_end,
+           pos_end - pos_start AS span_len,
+           coalesce(lag(pos_end, 1) OVER (PARTITION BY shard, win ORDER BY pos_start), 0)
+             = pos_start AS contiguous_ok
+         FROM pos ORDER BY doc_id, win""",
 
     // The full integer JL pipeline replayed: quantizer, every md5-parity
     // sign, all 16 projected coordinates, both exact squared distances,

@@ -125,6 +125,29 @@ class PackingSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == b)
   }
 
+  test("attentionSpans tiles every window exactly and conserves doc tokens") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
+    val spans = Packing.attentionSpans(docs, "doc_id", "tok", 64, 4).collect()
+    assert(spans.nonEmpty)
+    // every span is inside [0, ctx), non-empty, and flagged contiguous
+    assert(spans.forall(r => r.getLong(3) >= 0 && r.getLong(4) <= 64 &&
+      r.getLong(5) > 0 && r.getBoolean(6)))
+    // token conservation: per doc, the spans sum to its token count
+    val perDoc = spans.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(5)).sum)
+    val want = docs.filter(col("tok") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.toMap == want)
+    // tiling: within each (shard, win), spans cover [0, fill) gap-free
+    spans.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(3)).toSeq
+      assert(sorted.head.getLong(3) == 0L)
+      sorted.sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0).getLong(4) == w(1).getLong(3))
+      }
+    }
+  }
+
   test("one shuffle: the plan has a single hash exchange, on the shard key") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("tok"))
