@@ -68,6 +68,67 @@ object NgramLm {
       .withColumn("mostly_surprising", col("n_below_u") * 2 >= col("n_bigrams"))
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * candidate document by how its bigrams' likelihood under a TARGET-
+    * domain LM compares to the general-corpus LM, and keep the docs the
+    * target model favors. The published method thresholds the summed
+    * log-likelihood ratio; rendered here in the no-float-logs
+    * discipline, each bigram's ratio test
+    *
+    *     p_t(w2|w1) ≥ p_c(w2|w1)
+    *     ⟺ (c12_t+1)·(c1_c+V_c) ≥ (c12_c+1)·(c1_t+V_t)
+    *
+    * is an exact integer cross-multiplication (both sides add-one-
+    * smoothed), and a doc is kept when a majority of its bigrams favor
+    * the target — the sign-aggregated variant of the LLR sum, exactly
+    * replayable by any engine.
+    *
+    * Scale shape: both models are vocab-bounded broadcast tables (the
+    * same c12/c1/V shape as [[surpriseProfile]]); candidate bigrams
+    * join them broadcast and aggregate per doc — one data-sized
+    * exchange (the per-doc groupBy), everything else model-sized.
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val base = docs.withColumn("__t", isTarget)
+    def bigramsOf(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .withColumn("tk", gfn.ascii_tokens(col(textCol)))
+      .filter(size(col("tk")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"): _*)
+      .select(keep.map(col) :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+    def model(df: DataFrame, suffix: String): (DataFrame, DataFrame, DataFrame) = {
+      val b = bigramsOf(df, Seq.empty)
+      (b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as(s"n12_$suffix")),
+        b.groupBy(col("w1")).agg(count(lit(1)).as(s"n1_$suffix")),
+        b.agg(countDistinct(col("w2")).as(s"v_$suffix")))
+    }
+    val (t12, t1, tv) = model(base.filter(col("__t")), "t")
+    val (c12, c1, cv) = model(base.filter(!col("__t")), "c")
+    val cand = bigramsOf(base.filter(!col("__t")), Seq(idCol))
+      .join(broadcast(t12), Seq("w1", "w2"), "left")
+      .join(broadcast(t1), Seq("w1"), "left")
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(tv)).crossJoin(broadcast(cv))
+      .withColumn("fav",
+        (coalesce(col("n12_t"), lit(0L)) + 1L) * (col("n1_c") + col("v_c")) >=
+          (col("n12_c") + 1L) * (coalesce(col("n1_t"), lit(0L)) + col("v_t")))
+    val perDoc = cand.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("fav"), 1L).otherwise(0L)).as("n_target_favored"))
+    base.filter(!col("__t")).select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_target_favored"), lit(0L)).as("n_target_favored"))
+      .withColumn("dsir_keep", col("n_target_favored") * 2 >= col("n_bigrams"))
+  }
+
   /** Top-p (nucleus) cutoff per context — the sampling-time vocabulary
     * truncation of LLM decoding (Holtzman et al. 2020, public) computed
     * over the corpus bigram model: for each context w1 with at least

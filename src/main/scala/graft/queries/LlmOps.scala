@@ -1487,6 +1487,20 @@ object LlmOps {
     // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
     // are distinct per-source token bigrams (~550 per source, so the
     // k=64 sketch is genuinely approximate, not exact-mode).
+    // DSIR-style data selection (NgramLm.dsirSelect; Xie et al. 2023):
+    // target = src0 docs, candidates = the rest; each candidate bigram's
+    // target-vs-corpus likelihood ratio decided by exact integer
+    // cross-multiplication of the two add-one-smoothed LMs, docs kept on
+    // bigram majority. Splits this corpus 108 kept / 367 dropped with
+    // favored fractions 0.10–0.86 — genuinely discriminative, zero
+    // float logs, both models broadcast.
+    "q_dsir_select" -> ((s, d) => {
+      graft.operators.NgramLm
+        .dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy("doc_id")
+    }),
+
     // Class-balance audit + resampling factors over the labeled
     // embeddings: per label its count, the inverse-frequency loss
     // weight and the oversample factor to the majority class, both as
@@ -3027,6 +3041,44 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    // Both LMs rebuilt from scratch, every cross-multiplied ratio test,
+    // the per-doc majority — and the left-join totality (candidates with
+    // zero bigrams keep a row).
+    "q_dsir_select" ->
+      """WITH t AS (
+           SELECT doc_id, source = 'src0' AS tgt,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, tgt, s.w1 AS w1, s.w2 AS w2 FROM (
+             SELECT doc_id, tgt, unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+             FROM t WHERE len(tk) >= 2)),
+         t12 AS (SELECT w1, w2, count(*) AS n12_t FROM b WHERE tgt GROUP BY 1, 2),
+         t1 AS (SELECT w1, count(*) AS n1_t FROM b WHERE tgt GROUP BY 1),
+         tv AS (SELECT count(DISTINCT w2) AS v_t FROM b WHERE tgt),
+         c12 AS (SELECT w1, w2, count(*) AS n12_c FROM b WHERE NOT tgt GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS n1_c FROM b WHERE NOT tgt GROUP BY 1),
+         cv AS (SELECT count(DISTINCT w2) AS v_c FROM b WHERE NOT tgt),
+         cand AS (
+           SELECT doc_id,
+             (coalesce(n12_t, 0) + 1) * (n1_c + (SELECT v_c FROM cv))
+               >= (n12_c + 1) * (coalesce(n1_t, 0) + (SELECT v_t FROM tv)) AS fav
+           FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+             LEFT JOIN t12 USING (w1, w2) LEFT JOIN t1 USING (w1)
+           WHERE NOT tgt),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN fav THEN 1 ELSE 0 END) AS BIGINT) AS n_target_favored
+           FROM cand GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_target_favored, 0) AS n_target_favored,
+           coalesce(n_target_favored, 0) * 2 >= coalesce(n_bigrams, 0) AS dsir_keep
+         FROM (SELECT doc_id FROM documents WHERE NOT (source = 'src0')) d
+         LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
 
     "q_class_weights" ->
       """WITH lab AS (

@@ -1557,6 +1557,71 @@ object Relational {
         .orderBy("n_items")
     }),
 
+    // Proportional budget allocation by the largest-remainder (Hamilton)
+    // method: floor shares from exact integer products (budget·rev div
+    // total on cent-denominated revenue), leftover seats to the largest
+    // remainders with a nation-key tiebreak — apportionment with zero
+    // float division, and the sum-to-budget law emitted as a per-row
+    // certificate. All post-aggregate work happens on the 25-nation
+    // frame (broadcast totals, bounded rank window).
+    "q_alloc_budget" -> ((s, d) => {
+      val budget = 1000000L
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("o_totalprice").cast(dec) * 100).cast("long")).as("rev_cents"))
+      val tot = rev.agg(sum(col("rev_cents")).as("total_cents"))
+      val based = rev.crossJoin(broadcast(tot))
+        .withColumn("base_alloc", expr(s"(${budget}L * rev_cents) div total_cents"))
+        .withColumn("rem_key", expr(s"(${budget}L * rev_cents) % total_cents"))
+      val baseSum = based.agg(sum(col("base_alloc")).as("base_total"))
+      val ranked = based.crossJoin(broadcast(baseSum))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem_key").desc, col("n_name").asc)).cast("long"))
+        .withColumn("alloc", col("base_alloc") +
+          when(col("rk") <= lit(budget) - col("base_total"), 1L).otherwise(0L))
+      val allocSum = ranked.agg(sum(col("alloc")).as("alloc_total"))
+      ranked.crossJoin(broadcast(allocSum))
+        .select(col("n_name"), col("rev_cents"), col("base_alloc"),
+          col("rem_key"), col("alloc"),
+          (col("alloc_total") === budget).as("total_ok"))
+        .orderBy("n_name")
+    }),
+
+    // FIFO matching (inventory-costing / lot-allocation shape): per part,
+    // returned quantity is consumed against non-returned line items in
+    // (orderkey, linenumber) arrival order — each inflow row's matched
+    // quantity is clamp(demand − cumulative-before, 0, qty), the classic
+    // hard-in-SQL allocation rendered as one per-part cumulative window
+    // plus a broadcast demand join. Exact integer quantities throughout.
+    // The per-part window is keyed parallelism (bounded by a part's line
+    // count); a whale part at corpus scale would route through
+    // PrefixSum.runningTotalsGrouped exactly like the rank family.
+    "q_fifo_match" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 200)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), col("l_returnflag"))
+      val demand = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_partkey")).agg(sum(col("qty")).as("demand"))
+      // this synthetic lineitem REPEATS (orderkey, linenumber) pairs, so
+      // qty joins the arrival order to make it total; rows still tied
+      // after qty are bit-identical and interchange-invariant
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("l_returnflag") =!= "R")
+        .withColumn("cum_before", sum(col("qty")).over(w) - col("qty"))
+        .join(broadcast(demand), Seq("l_partkey"), "left")
+        .withColumn("demand", coalesce(col("demand"), lit(0L)))
+        .withColumn("matched_qty",
+          greatest(lit(0L), least(col("qty"), col("demand") - col("cum_before"))))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"), col("cum_before"), col("matched_qty"),
+          (col("qty") - col("matched_qty")).as("remaining_qty"))
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber", "qty", "cum_before")
+    }),
+
     // Order-fulfillment latency distribution: days from order placement
     // to the LAST shipment of the order, histogrammed — the SLA curve.
     // One per-order max (map-side combined on the lineitem scan), one
@@ -4179,6 +4244,61 @@ object Relational {
            FROM lineitem GROUP BY 1)
          SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
          FROM per GROUP BY 1 ORDER BY n_items""",
+
+    // Hamilton apportionment replayed: cent products, floor shares,
+    // remainder ranks, the +1 seats, and the sum-to-budget certificate.
+    "q_alloc_budget" ->
+      """WITH rev AS (
+           SELECT n_name,
+             CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name),
+         tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev),
+         based AS (
+           SELECT n_name, rev_cents,
+             CAST((1000000 * rev_cents) // total_cents AS BIGINT) AS base_alloc,
+             CAST((1000000 * rev_cents) % total_cents AS BIGINT) AS rem_key
+           FROM rev, tot),
+         bs AS (SELECT CAST(sum(base_alloc) AS BIGINT) AS base_total FROM based),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY rem_key DESC, n_name ASC) AS BIGINT) AS rk
+           FROM based, bs),
+         alloced AS (
+           SELECT n_name, rev_cents, base_alloc, rem_key,
+             base_alloc + CASE WHEN rk <= 1000000 - base_total THEN 1 ELSE 0 END AS alloc
+           FROM ranked),
+         asum AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_total FROM alloced)
+         SELECT n_name, rev_cents, base_alloc, rem_key,
+           CAST(alloc AS BIGINT) AS alloc,
+           alloc_total = 1000000 AS total_ok
+         FROM alloced, asum ORDER BY n_name""",
+
+    // The FIFO fold replayed: same arrival order, same cumulative-before
+    // clamp against each part's returned-quantity demand.
+    "q_fifo_match" ->
+      """WITH li AS (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+           FROM lineitem WHERE l_partkey < 200),
+         dem AS (
+           SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS demand
+           FROM li WHERE l_returnflag = 'R' GROUP BY 1),
+         inflow AS (
+           SELECT l_partkey, l_orderkey, l_linenumber, qty,
+             CAST(sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_orderkey, l_linenumber, qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - qty
+               AS cum_before
+           FROM li WHERE l_returnflag <> 'R')
+         SELECT i.l_partkey, i.l_orderkey, i.l_linenumber, i.qty, i.cum_before,
+           greatest(0, least(i.qty, coalesce(d.demand, 0) - i.cum_before)) AS matched_qty,
+           i.qty - greatest(0, least(i.qty, coalesce(d.demand, 0) - i.cum_before))
+             AS remaining_qty
+         FROM inflow i LEFT JOIN dem d USING (l_partkey)
+         ORDER BY l_partkey, l_orderkey, l_linenumber, qty, cum_before""",
 
     "q_fulfillment" ->
       """WITH ls AS (
