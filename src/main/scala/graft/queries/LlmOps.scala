@@ -1487,6 +1487,29 @@ object LlmOps {
     // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
     // are distinct per-source token bigrams (~550 per source, so the
     // k=64 sketch is genuinely approximate, not exact-mode).
+    // One-row dataset card: the corpus summary a dataset release ships —
+    // doc/token/vocab/lang/source counts, exact-dup count, Gopher pass
+    // count, mean tokens per doc as an exact centitoken integer. One
+    // token pass + one doc pass, both map-side combined; every number
+    // re-derived by the oracle from scratch.
+    "q_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(explode(gfn.ascii_tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("vocab_size"))
+      val g = TextAnalysis.gopherRules(col("text")).toMap
+      val docAgg = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        sum(when(g("rule_word_count") && g("rule_word_length") &&
+          g("rule_stopwords") && g("rule_repetition"), 1L).otherwise(0L))
+          .as("gopher_pass"))
+      docAgg.crossJoin(broadcast(tok))
+        .withColumn("mean_tokens_x100", expr("(n_tokens * 100) div n_docs"))
+    }),
+
     // DSIR-style data selection (NgramLm.dsirSelect; Xie et al. 2023):
     // target = src0 docs, candidates = the rest; each candidate bigram's
     // target-vs-corpus likelihood ratio decided by exact integer
@@ -3041,6 +3064,44 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    "q_dataset_card" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+         tok AS (
+           SELECT count(*) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size FROM tk),
+         t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tkl
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tkl) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+             CAST(len(list_distinct(tkl)) AS BIGINT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(tkl),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+           FROM t),
+         da AS (
+           SELECT
+             count(*) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             count(*) - count(DISTINCT text) AS n_exact_dups
+           FROM documents),
+         gp AS (
+           SELECT CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 90
+             AND n_alnum >= n_words * 4 AND n_alnum <= n_words * 5
+             AND n_stop >= 2 AND n_distinct * 2 >= n_words
+             THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass FROM m)
+         SELECT n_docs, n_langs, n_sources, n_exact_dups, gopher_pass,
+           n_tokens, vocab_size,
+           CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_x100
+         FROM da, gp, tok""",
 
     // Both LMs rebuilt from scratch, every cross-multiplied ratio test,
     // the per-doc majority — and the left-join totality (candidates with
