@@ -1487,6 +1487,25 @@ object LlmOps {
     // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
     // are distinct per-source token bigrams (~550 per source, so the
     // k=64 sketch is genuinely approximate, not exact-mode).
+    // Embedding hygiene audit (the QA pass before any vector index):
+    // per label, zero-vector and norm-outlier counts over the EXACT
+    // integer quantized norm Σq² — no float accumulation anywhere, so
+    // the audit is bit-replayable. Outlier thresholds pinned to this
+    // corpus's p5/p95 (90k/240k — re-pin, don't debug, if the
+    // generator changes).
+    "q_embed_qa" -> ((s, d) => {
+      val q = graft.operators.Quantize.int8(Tables.embeddings(s, d), "embedding")
+        .withColumn("qn", aggregate(col("qvec"),
+          lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long")))
+      q.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("qn") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("qn") < 90000L, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("qn") > 240000L, 1L).otherwise(0L)).as("n_high"),
+          min(col("qn")).as("min_qn"), max(col("qn")).as("max_qn"))
+        .orderBy("label")
+    }),
+
     // One-row dataset card: the corpus summary a dataset release ships —
     // doc/token/vocab/lang/source counts, exact-dup count, Gopher pass
     // count, mean tokens per doc as an exact centitoken integer. One
@@ -3064,6 +3083,28 @@ object LlmOps {
            max(CASE WHEN kept THEN cum END) AS cov_cut,
            max(CASE WHEN kept THEN cum END) * 10 >= max(n1) * 9 AS covered_ok
          FROM k GROUP BY w1 ORDER BY w1""",
+
+    "q_embed_qa" ->
+      """WITH v AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (
+           SELECT vec_id, label, v,
+             CASE WHEN coalesce(list_max(list_transform(v, x -> abs(x))), 0) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+           FROM v),
+         n AS (
+           SELECT vec_id, label,
+             CAST(list_reduce(list_transform(v, x ->
+               CAST(round(x / scale) AS BIGINT) * CAST(round(x / scale) AS BIGINT)),
+               (a, b) -> a + b) AS BIGINT) AS qn
+           FROM q)
+         SELECT label, count(*) AS n,
+           CAST(sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(CASE WHEN qn < 90000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN qn > 240000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           min(qn) AS min_qn, max(qn) AS max_qn
+         FROM n GROUP BY label ORDER BY label""",
 
     "q_dataset_card" ->
       """WITH tk AS (

@@ -35,6 +35,21 @@ class NgramLmSpec extends SparkSpec {
       (5L, 1L, 0L, false)))
   }
 
+  test("dsirSelect matches a hand-computed ratio test and drops targets") {
+    val docs = Seq(
+      (1L, "a b a b", "tgt"), // target: ab x2, ba x1; n1_t: a=2, b=1; V_t = 2
+      (2L, "a b", "cand"),    // corpus: ab x1, cc x1; n1_c: a=1, c=1; V_c = 2
+      (3L, "c c", "cand")
+    ).toDF("doc_id", "text", "src")
+    val out = NgramLm.dsirSelect(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("src") === "tgt")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // ab: (2+1)(1+2)=9 >= (1+1)(2+2)=8 -> favored
+    // cc: (0+1)(1+2)=3 >= (1+1)(0+2)=4 -> not favored
+    assert(out.toSeq == Seq((2L, 1L, 1L, true), (3L, 1L, 0L, false)))
+  }
+
   test("nucleus: kept prefix is minimal and covering for every context") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val cut = NgramLm.nucleus(docs, "doc_id", "text", minCount = 20L)
