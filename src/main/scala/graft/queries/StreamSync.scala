@@ -667,6 +667,42 @@ object StreamSync {
     sink.toString
   }
 
+  /** Projection for the streaming interval merge: `v` carries each
+    * event's deterministic interval END (start + (event_id % 36 + 1)
+    * hours in epoch micros) — the same recipe as the batch
+    * q_interval_merge, SQL-re-derivable.
+    */
+  private def intervalEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) +
+          (pmod(col("event_id"), lit(36L)) + 1L) * 3600000000L).as("v"))
+
+  /** Emit-on-close sink expectation: the batch island count minus each
+    * user's final (never-closed) island.
+    */
+  private def batchClosedIslands(df: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val prevMax = max(col("v"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("ni",
+        when(prevMax.isNull || col("ts_us") > prevMax, 1L).otherwise(0L))
+      .agg(sum(col("ni"))).collect()(0).getLong(0)
+    islands - df.select(col("user_id")).distinct().count()
+  }
+
+  private def intervalMergeSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "intervalmerge", intervalEvents,
+      expectedSink = batchClosedIslands)(ds => {
+      import ds.sparkSession.implicits._
+      StreamingSync.intervalMergeStream(ds.map(e =>
+        StreamingSync.IntervalEvent(e.user_id, e.event_id, e.ts_us, e.v)))
+    })
+
   private def ewmaSinkDir(s: SparkSession, d: String): String =
     valueEventSinkDir(s, d, "ewma")(StreamingSync.ewmaStream(_))
 
@@ -1296,6 +1332,17 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    // Live interval-union: islands emitted exactly when an arriving
+    // event starts past the open island's running max end (three longs
+    // of state per user); the batch oracle replays the same recurrence
+    // and drops each user's final never-closed island.
+    "q_stream_islands" -> ((s, d) => {
+      s.read.parquet(intervalMergeSinkDir(s, d))
+        .select(col("user_id"), col("island"), col("island_start_us"),
+          col("island_end_us"), col("n_events"))
+        .orderBy("user_id", "island")
+    }),
+
     // Streaming near-dup detection at ingest: every arriving document
     // matched against all prior same-bucket documents via cross-batch
     // FMGWS state; the distinct pair set equals the batch SimHash
@@ -1458,6 +1505,42 @@ object StreamSync {
       """SELECT event_id, event_type, value
          FROM events WHERE event_id < 2000
          ORDER BY event_id""",
+
+    // The batch island recurrence minus each user's open island — what
+    // emit-on-close must equal for any batch split.
+    "q_stream_islands" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts) + (((event_id % 36) + 36) % 36 + 1) * 3600000000 AS end_us
+           FROM events WHERE user_id < 40),
+         f AS (
+           SELECT user_id, event_id, start_us, end_us,
+             CASE WHEN max(end_us) OVER (PARTITION BY user_id
+                    ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR start_us > max(end_us) OVER (PARTITION BY user_id
+                    ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+           FROM ev),
+         i AS (
+           SELECT user_id, start_us, end_us,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+               ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+           FROM f),
+         isl AS (
+           SELECT user_id, island,
+             min(start_us) AS island_start_us,
+             max(end_us) AS island_end_us,
+             count(*) AS n_events
+           FROM i GROUP BY user_id, island),
+         mx AS (SELECT user_id, max(island) AS mi FROM isl GROUP BY 1)
+         SELECT user_id, island, island_start_us, island_end_us, n_events
+         FROM isl JOIN mx USING (user_id)
+         WHERE island < mi
+         ORDER BY user_id, island""",
 
     // The batch SimHash pair formulation the streamed state must equal
     // (same CTE as q_dedup_simhash: FNV-1a token hashes, bit-majority

@@ -450,6 +450,48 @@ object StreamingSync {
       }
   }
 
+  final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
+  final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
+  final case class IslandRow(
+      user_id: Long, island: Long, island_start_us: Long,
+      island_end_us: Long, n_events: Long)
+
+  /** Streaming interval-union (the live face of the batch
+    * gaps-and-islands merge): per user the OPEN island is three longs of
+    * state (start, running max end, count); an event starting past the
+    * running max CLOSES the island — emitted exactly then, append-safe —
+    * and opens the next. Emit-on-close is the same discipline as
+    * [[sessionizeStream]]; the final open island per user is never
+    * emitted (no end-of-stream in a live pipeline), which the batch
+    * oracle mirrors by dropping each user's last island. Same
+    * (start_us, event_id) order and per-key-monotonic batch contract as
+    * [[ewmaStream]].
+    */
+  def intervalMergeStream(events: Dataset[IntervalEvent]): Dataset[IslandRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandState, IslandRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[IslandState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.start_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[IslandRow]
+          sorted.foreach { e =>
+            st = st match {
+              case None => Some(IslandState(e.start_us, e.end_us, 1L, 1L))
+              case Some(s) if e.start_us > s.maxEnd =>
+                out += IslandRow(user, s.island, s.start, s.maxEnd, s.n)
+                Some(IslandState(e.start_us, e.end_us, 1L, s.island + 1L))
+              case Some(s) =>
+                Some(s.copy(maxEnd = math.max(s.maxEnd, e.end_us), n = s.n + 1L))
+            }
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   final case class BandedDoc(band: Int, bh: Long, id: Long, fp: Long)
   final case class BucketState(ids: Array[Long], fps: Array[Long])
   final case class SimhashMatch(id_a: Long, id_b: Long, hamming: Int)
