@@ -115,4 +115,37 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[matches]] with the MOSS report score: containment = shared
+    * fingerprints over the SMALLER side's fingerprint count, as an
+    * exact integer percentage (the "% match" a plagiarism report
+    * shows; min-side normalization so a short doc fully contained in a
+    * long one scores 100). One fingerprint pass feeds the pair join
+    * and both per-doc counts — the index is never rebuilt.
+    */
+  def matchScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+      .localCheckpoint(true) // pinned: feeds the pair join AND both count legs
+    val counts = fp.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val a = fp.select(col(idCol).as("id_a"), col("fp"))
+    val b = fp.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(counts.select(col(idCol).as("id_a"), col("n_fp").as("n_fp_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_fp").as("n_fp_b")), Seq("id_b"))
+      .withColumn("containment_pct",
+        expr("(n_shared * 100) div least(n_fp_a, n_fp_b)"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_fp_a"),
+        col("n_fp_b"), col("containment_pct"))
+  }
 }

@@ -1464,6 +1464,34 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // MOSS report scores over the winnowed matches: containment = shared
+    // fingerprints over the smaller side's count as an exact integer
+    // percentage — the "% match" figure, min-side-normalized so full
+    // containment of a short doc scores 100.
+    "q_winnow_scores" -> ((s, d) => {
+      graft.operators.Winnow
+        .matchScores(Tables.documents(s, d), "doc_id", "text", minShared = 3L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-source curation scorecard: the dataset card broken down by
+    // provenance — doc count, exact-dup count, Gopher pass count, mean
+    // centitokens — the table a curation pipeline uses to decide which
+    // source needs filtering before the mix is weighed.
+    "q_source_quality" -> ((s, d) => {
+      val g = TextAnalysis.gopherRules(col("text")).toMap
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+          sum(when(g("rule_word_count") && g("rule_word_length") &&
+            g("rule_stopwords") && g("rule_repetition"), 1L).otherwise(0L))
+            .as("gopher_pass"),
+          sum(size(gfn.ascii_tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("mean_tokens_x100", expr("(n_tokens * 100) div n_docs"))
+        .orderBy("source")
+    }),
+
     // Top-p nucleus cutoff per context (NgramLm.nucleus): minimal
     // successor prefix reaching 90% of each context's transition mass,
     // ordered (count desc, token asc), kept/covered decided by integer
