@@ -43,10 +43,26 @@ object RandomProjection {
 
   /** Adds `qvec` + `scale` (from [[Quantize.int8]]) and the m-dim
     * integer projection `yvec: array<long>`.
+    *
+    * The vector dimension is taken from `dim` when supplied (skips the
+    * validation pass — use at scale when the schema is known); otherwise
+    * it is derived by a single narrow min/max-size aggregate that also
+    * REJECTS empty and ragged inputs — a ragged corpus would otherwise
+    * silently project nulls into the BIGINT sums.
     */
-  def projectInt8(df: DataFrame, vecCol: String, m: Int = 16): DataFrame = {
+  def projectInt8(df: DataFrame, vecCol: String, m: Int = 16, dim: Int = -1): DataFrame = {
     require(m >= 1 && m <= 256, s"m out of range: $m")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    val d =
+      if (dim > 0) dim
+      else {
+        val dims = df.agg(min(size(col(vecCol))).as("lo"),
+          max(size(col(vecCol))).as("hi")).head()
+        require(!dims.isNullAt(0), s"projectInt8: empty input, cannot derive dim of '$vecCol'")
+        val (lo, hi) = (dims.getInt(0), dims.getInt(1))
+        require(lo == hi, s"projectInt8: ragged '$vecCol' dims [$lo, $hi]; pass dim explicitly")
+        require(lo >= 1, s"projectInt8: zero-length vectors in '$vecCol'")
+        lo
+      }
     val q = Quantize.int8(df, vecCol)
     def y(j: Int): Column =
       (0 until d).map { i =>

@@ -91,12 +91,33 @@ object Winnow {
         col("n_fp"), col("max_gap"), col("gap_ok"))
   }
 
+  /** Drop fingerprints whose doc frequency exceeds `maxDocFreq`
+    * (0 = off) — the winnow analogue of the LSH family's armed bucket
+    * caps. At 100 TB boilerplate shingles (headers, license blocks)
+    * produce fingerprints shared by millions of docs; without the cap
+    * the fp-keyed self-join expands df² pairs on exactly those keys —
+    * the skew that kills the stage. The COUNT window over fp rides the
+    * same hash shuffle the pair join needs next (one in-partition
+    * sort, no second traversal — the capBuckets lesson from
+    * Dedup.scala). A dropped fingerprint costs recall only on pairs
+    * whose ONLY evidence is boilerplate — which is the pair set a
+    * plagiarism/near-dup report wants suppressed anyway (MOSS itself
+    * drops fingerprints shared by too many submissions for the same
+    * reason).
+    */
+  private def capDocFreq(fp: DataFrame, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq <= 0) fp
+    else {
+      val w = Window.partitionBy(col("fp"))
+      fp.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    }
+
   /** Doc pairs sharing at least `minShared` distinct fingerprints —
     * the near-dup match step over the winnowed index. Shuffles
-    * (fp, id) only; the pair expansion is bounded per fingerprint by
-    * its doc frequency (boilerplate-heavy fingerprints should be
-    * df-capped upstream at real scale, exactly like the LSH buckets'
-    * armed caps).
+    * (fp, id) only; `maxDocFreq` (0 = off) arms the hot-fingerprint
+    * cap ([[capDocFreq]]) bounding every fingerprint's pair expansion.
     */
   def matches(
       docs: DataFrame,
@@ -104,9 +125,12 @@ object Winnow {
       textCol: String,
       k: Int = 4,
       w: Int = 4,
-      minShared: Long = 3L): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
+      minShared: Long = 3L,
+      maxDocFreq: Int = 0): DataFrame = {
+    val fp = capDocFreq(
+      fingerprints(docs, idCol, textCol, k, w)
+        .select(col(idCol), col("fp")).distinct(),
+      maxDocFreq)
     val a = fp.select(col(idCol).as("id_a"), col("fp"))
     val b = fp.select(col(idCol).as("id_b"), col("fp"))
     a.join(b, Seq("fp"))
@@ -129,9 +153,14 @@ object Winnow {
       textCol: String,
       k: Int = 4,
       w: Int = 4,
-      minShared: Long = 3L): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol), col("fp")).distinct()
+      minShared: Long = 3L,
+      maxDocFreq: Int = 0): DataFrame = {
+    // cap BEFORE the pin so the count legs see the same capped index the
+    // pair join does — containment stays internally consistent when armed
+    val fp = capDocFreq(
+      fingerprints(docs, idCol, textCol, k, w)
+        .select(col(idCol), col("fp")).distinct(),
+      maxDocFreq)
       .localCheckpoint(true) // pinned: feeds the pair join AND both count legs
     val counts = fp.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
     val a = fp.select(col(idCol).as("id_a"), col("fp"))

@@ -1474,6 +1474,19 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // The armed hot-fingerprint cap (maxDocFreq=2): fingerprints shared
+    // by >2 docs — the boilerplate keys whose df² pair expansion is the
+    // skew bottleneck at 100 TB — are dropped BEFORE the pair join, the
+    // same armed-cap discipline as the LSH buckets. At sf0.01 the cap
+    // drops 32 of 9,457 fingerprints and 3 of the 24 uncapped pairs
+    // (both df-3 boilerplate evidence) — a genuine split, not a no-op.
+    "q_winnow_capped" -> ((s, d) => {
+      graft.operators.Winnow
+        .matches(Tables.documents(s, d), "doc_id", "text", minShared = 3L,
+          maxDocFreq = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-source curation scorecard: the dataset card broken down by
     // provenance — doc count, exact-dup count, Gopher pass count, mean
     // centitokens — the table a curation pipeline uses to decide which
@@ -1504,17 +1517,6 @@ object LlmOps {
         .orderBy("w1")
     }),
 
-    // KMV sketch set algebra (SketchAlgebra.kmvPairwise): the pairwise
-    // source-overlap matrix from k-long signatures — union estimate
-    // (k-1)·2^32 div h_k over the merged signature (KMV(A∪B) IS the k
-    // smallest of KMV(A)∪KMV(B), a set identity), intersection via the
-    // Beyer et al. in-both count, all integer arithmetic on the
-    // portable md5 hash so DuckDB rebuilds every signature element.
-    // Exact legs ground two pinned certificates (union within
-    // [3/4,5/4]×, intersection within ±union/4 — measured 0.83–0.97
-    // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
-    // are distinct per-source token bigrams (~550 per source, so the
-    // k=64 sketch is genuinely approximate, not exact-mode).
     // Embedding hygiene audit (the QA pass before any vector index):
     // per label, zero-vector and norm-outlier counts over the EXACT
     // integer quantized norm Σq² — no float accumulation anywhere, so
@@ -1618,6 +1620,17 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // KMV sketch set algebra (SketchAlgebra.kmvPairwise): the pairwise
+    // source-overlap matrix from k-long signatures — union estimate
+    // (k-1)·2^32 div h_k over the merged signature (KMV(A∪B) IS the k
+    // smallest of KMV(A)∪KMV(B), a set identity), intersection via the
+    // Beyer et al. in-both count, all integer arithmetic on the
+    // portable md5 hash so DuckDB rebuilds every signature element.
+    // Exact legs ground two pinned certificates (union within
+    // [3/4,5/4]×, intersection within ±union/4 — measured 0.83–0.97
+    // and ±0.18 at k=64 on this corpus). 190 source pairs; elements
+    // are distinct per-source token bigrams (~550 per source, so the
+    // k=64 sketch is genuinely approximate, not exact-mode).
     "q_kmv_setops" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("source"), gfn.ascii_tokens(col("text")).as("tk"))
@@ -3084,6 +3097,105 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The df-capped matching step: same selection, fingerprints with
+    // doc frequency > 2 removed before the self-join.
+    "q_winnow_capped" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0)),
+         capped AS (
+           SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sel)
+           WHERE df <= 2)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The MOSS report score over the same selection: the matches CTE
+    // extended with both per-doc fingerprint counts and the exact
+    // integer min-side containment percentage.
+    "q_winnow_scores" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0)),
+         cnt AS (
+           SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT id_a, id_b, n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+           CAST((n_shared * 100) // least(ca.n_fp, cb.n_fp) AS BIGINT) AS containment_pct
+         FROM pairs
+         JOIN cnt ca ON ca.doc_id = id_a
+         JOIN cnt cb ON cb.doc_id = id_b
+         ORDER BY id_a, id_b""",
+
+    // The per-source scorecard replayed: the q_gopher_rules predicates
+    // composed into a provenance-grouped aggregate with the exact-dup
+    // count and integer mean-centitoken figure.
+    "q_source_quality" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT source, text,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(tk),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+           FROM t),
+         agg AS (
+           SELECT source,
+             count(*) AS n_docs,
+             count(*) - count(DISTINCT text) AS n_exact_dups,
+             CAST(sum(CASE WHEN n_words >= 30 AND n_words <= 90
+               AND n_alnum >= n_words * 4 AND n_alnum <= n_words * 5
+               AND n_stop >= 2 AND n_distinct * 2 >= n_words
+               THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass,
+             CAST(sum(n_words) AS BIGINT) AS n_tokens
+           FROM m GROUP BY source)
+         SELECT source, n_docs, n_exact_dups, gopher_pass, n_tokens,
+           CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_x100
+         FROM agg ORDER BY source""",
 
     // The nucleus cut replayed: same bigram model, same (n12 desc, w2)
     // order, same cum_prev·10 < n1·9 keep rule and coverage check.

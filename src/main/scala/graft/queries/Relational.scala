@@ -1591,7 +1591,7 @@ object Relational {
 
     // Interval UNION per user (gaps-and-islands over real intervals, not
     // point-gap sessionization): each event carries a deterministic
-    // duration (event_id % 7 + 1 days), overlapping intervals merge into
+    // duration (pmod(event_id, 36) + 1 hours), overlapping intervals merge into
     // islands found by comparing each start to the running max of prior
     // ends — the classic coverage/merge shape (calendar busy-time, CDN
     // cache spans). Durations of 1–36 h against multi-day median gaps

@@ -654,13 +654,18 @@ object StreamSync {
           .start()
         awaitOrFail(q, 180000, "stream_simhash replay")
 
-        val got = s.read.parquet(sink.toString)
+        val sunk = s.read.parquet(sink.toString)
+        val got = sunk.filter(col("hamming") >= 0)
           .select(col("id_a"), col("id_b")).distinct().count()
         val expected = graft.operators.Dedup
           .simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
         require(got == expected,
           s"stream_simhash sink has $got distinct pairs, batch finds $expected — " +
             "cross-batch bucket state missed or invented a pair")
+        val armed = sunk.filter(col("hamming") < 0).count()
+        require(armed == 0L,
+          s"stream_simhash: $armed cap-armed markers at fixture scale — " +
+            "a bucket overflowed maxBucket and batch equality no longer holds")
         Files.createFile(marker)
         ()
     }
@@ -1350,6 +1355,7 @@ object StreamSync {
     // (FNV-1a HUGEINT fold, bit votes, banded join, exact Hamming).
     "q_stream_simhash" -> ((s, d) => {
       s.read.parquet(simhashSinkDir(s, d))
+        .filter(col("hamming") >= 0) // drop cap-armed markers (none at fixture scale)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .distinct()
         .orderBy("id_a", "id_b")

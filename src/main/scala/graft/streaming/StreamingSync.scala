@@ -515,6 +515,17 @@ object StreamingSync {
     * though it re-emits its pairs — exactly-once pairing is the
     * downstream distinct's job, matching the at-least-once delivery
     * contract of every sink in this file.
+    *
+    * A FULL roster is never silent: a document that cannot enter a
+    * capped bucket emits the CAP-ARMED MARKER `SimhashMatch(-1,
+    * dropped_id, -1)` — the streaming analogue of the batch LSH
+    * family's armed caps — so divergence from the uncapped batch
+    * [[graft.operators.Dedup.simhashNearDupPairs]] on hot buckets is
+    * observable downstream (consumers take real pairs with
+    * `hamming >= 0`, audits count markers). The dropped doc still
+    * matches against the existing roster (its pairs with ALREADY
+    * admitted docs are real and emitted); only its future
+    * matchability is lost, which is exactly what the marker records.
     */
   def simhashMatchStream(
       docs: Dataset[BandedDoc],
@@ -546,8 +557,12 @@ object StreamingSync {
               }
               i += 1
             }
-            if (st.ids.length < maxBucket && !st.ids.contains(d.id)) {
-              st = BucketState(st.ids :+ d.id, st.fps :+ d.fp)
+            if (!st.ids.contains(d.id)) {
+              if (st.ids.length < maxBucket) {
+                st = BucketState(st.ids :+ d.id, st.fps :+ d.fp)
+              } else {
+                out += SimhashMatch(-1L, d.id, -1) // cap-armed marker
+              }
             }
           }
           gs.update(st)

@@ -69,4 +69,33 @@ class WinnowSpec extends SparkSpec {
     val m = Winnow.matches(docs, "id", "text", k, w, minShared = 1L).collect()
     assert(m.length == 1 && m(0).getLong(0) == 1L && m(0).getLong(1) == 2L, m.toSeq)
   }
+
+  test("armed df cap drops only hot-fingerprint evidence, never invents pairs") {
+    val rnd = new Random(17)
+    val boiler = randomDoc(rnd, w + k - 1) // shared by ALL docs → hot fps
+    val docs = (0L until 6L).map { i =>
+      (i, s"$boiler ${randomDoc(rnd, 20)}")
+    }.toDF("id", "text")
+    def pairs(cap: Int) =
+      Winnow.matches(docs, "id", "text", k, w, minShared = 1L, maxDocFreq = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(0)
+    // boilerplate fps have df=6 > 2: every pair whose only evidence is
+    // the boilerplate run disappears under the cap
+    val capped = pairs(2)
+    assert(uncapped.size == 15, s"all 15 pairs share the boilerplate run: $uncapped")
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size, "cap must genuinely drop hot evidence")
+    // cap above the max df is a no-op
+    assert(pairs(6) == uncapped)
+    // matchScores under the same cap: containment consistent with the
+    // capped index (n_shared <= both count legs)
+    val sc = Winnow.matchScores(docs, "id", "text", k, w, minShared = 1L, maxDocFreq = 2)
+      .collect()
+    sc.foreach { r =>
+      val (shared, na, nb, pct) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(shared <= math.min(na, nb) && pct == shared * 100 / math.min(na, nb))
+    }
+  }
 }

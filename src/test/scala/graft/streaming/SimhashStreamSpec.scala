@@ -34,14 +34,15 @@ class SimhashStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
   private def streamPairs(
-      splits: Seq[Seq[(Long, String)]]): Set[(Long, Long, Int)] = {
+      splits: Seq[Seq[(Long, String)]],
+      maxBucket: Int = 512): Set[(Long, Long, Int)] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
     val banded = Dedup.simhashBanded(
       ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 3)
       .select(col("band"), col("bh"), col("id"), col("fp"))
       .as[SS.BandedDoc]
-    val out = SS.simhashMatchStream(banded, maxHamming = 3)
+    val out = SS.simhashMatchStream(banded, maxHamming = 3, maxBucket = maxBucket)
     val sinkName = s"simhash_sink_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(sinkName).start()
     // one addData + drain per split = one micro-batch per split
@@ -59,5 +60,20 @@ class SimhashStreamSpec extends SparkSpec {
     assert(streamPairs(d.grouped(5).toSeq) == want)
     // adversarial order: descending ids, planted dups first
     assert(streamPairs(d.reverse.grouped(7).toSeq) == want)
+  }
+
+  test("bucket overflow is observable: cap-armed marker rows, never silence") {
+    val d = docs(20)
+    // maxBucket=1 forces overflow in every multi-doc bucket
+    val out = streamPairs(d.grouped(5).toSeq, maxBucket = 1)
+    val markers = out.filter(_._3 < 0)
+    assert(markers.nonEmpty, "overflowing a 1-slot bucket must emit markers")
+    assert(markers.forall { case (a, _, h) => a == -1L && h == -1 },
+      "markers carry the (-1, dropped_id, -1) shape")
+    // real pairs (if any survive the cap) are a subset of the batch set
+    val real = out.filter(_._3 >= 0)
+    assert(real.subsetOf(batchPairs(d)), "capped stream must not invent pairs")
+    // uncapped control: same split, no markers
+    assert(streamPairs(d.grouped(5).toSeq).forall(_._3 >= 0))
   }
 }
