@@ -560,4 +560,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ka"), col("kb")).cast("int").as("dist"))
   }
+
+  /** Head-prefix duplicate groups: documents sharing the md5 of their
+    * first `nTokens` tokens — the truncation-duplicate catcher (the same
+    * page scraped to different depths, or a doc and its teaser/summary
+    * cut at the same head) that full-text exact dedup misses and
+    * MinHash only catches when the shared head dominates the shingle
+    * set. C4's three-sentence-span dedup is the published instance of
+    * the idea; the fixed-token head is its portable, tokenizer-stable
+    * form.
+    *
+    * Pure hash-groupBy on a 32-char key — the exact-dedup scale shape:
+    * one narrow projection (head slice + md5 fuse into the scan), one
+    * shuffle of (fp, id) pairs, groups with one doc drop in the partial
+    * aggregate. Emits one row per multi-doc group: `(head_fp, n_docs,
+    * canonical_id, max_id)` with min-id canonical, ordered output is
+    * the caller's job. Docs shorter than `nTokens` are excluded — a
+    * 5-token doc's "head" is its whole text, which exact dedup owns.
+    */
+  def headDupGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nTokens: Int = 8): DataFrame = {
+    require(nTokens >= 1, s"nTokens must be positive, got $nTokens")
+    val tk = gfn.ascii_tokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) >= nTokens)
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__tk"), 1, nTokens))).as("head_fp"))
+      .groupBy(col("head_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        max(col(idCol)).as("max_id"))
+      .filter(col("n_docs") > 1)
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus integrity checksums — the content-addressed audit a 100 TB
+  * pipeline runs before and after every migration/re-shard/backfill to
+  * prove "same data" without comparing rows. (The reference's protocol
+  * has no integrity surface; this is the operational complement any
+  * production deployment of it grows, reference `tap_airbyte/tap.py`'s
+  * sync being exactly the kind of copy step that needs the receipt.)
+  *
+  * Design: per-group XOR of 60-bit md5 prefixes. XOR is commutative and
+  * associative, so the checksum is ORDER- AND PARTITIONING-INDEPENDENT —
+  * the same corpus re-sharded 1000 ways folds to the same value, which is
+  * the whole point (a sum would need overflow discipline; a concat-hash
+  * would need a canonical order = a data-sized sort). Two legs:
+  *
+  *   - `content_xor` over md5(text): detects any change to the SET of
+  *     texts — except a pair of identical docs added/removed together
+  *     (xor self-cancels). That parity blind spot is why `n_docs` and
+  *     the id-keyed leg ride along.
+  *   - `row_xor` over md5(id:text): every row's contribution is unique
+  *     (ids are), so no cancellation — any row added, dropped, or
+  *     re-texted flips it.
+  *
+  * Scale shape: one narrow projection (md5 + conv fuse into the scan),
+  * one |groups|-row partial-aggregated shuffle. 60 bits (15 hex chars)
+  * keeps the int exactly representable in BIGINT on every engine —
+  * DuckDB replays with ('0x' || substr(md5(..),1,15))::BIGINT and
+  * bit_xor, bit-identically.
+  */
+object Integrity {
+
+  def corpusChecksum(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    df.select(col(groupCol),
+        h60(col(textCol)).as("__hc"),
+        h60(concat(col(idCol).cast("string"), lit(":"), col(textCol))).as("__hr"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(__hc)").as("content_xor"),
+        expr("bit_xor(__hr)").as("row_xor"))
+  }
+}

@@ -189,4 +189,41 @@ object Packing {
       .withColumn("padded", col("n_docs") * col("max_tok"))
       .withColumn("waste", col("padded") - col("sum_tok"))
   }
+
+  /** T5-style span-corruption schedule (Raffel et al. 2020 §3.1.4 mask
+    * ~15% of tokens in short spans), made DETERMINISTIC and replayable:
+    * spans of `spanLen` tokens start at positions ≡ `pmod(doc_id,
+    * stride)` (mod `stride`), so every engine derives the identical
+    * mask without a random stream, corruption rate = spanLen/stride
+    * exactly in the long-doc limit, and spans can never overlap by
+    * construction (stride > spanLen is enforced, the structural
+    * guarantee sampled-span schedulers have to dedup/clip for).
+    * Per-doc phase from the id decorrelates span positions across
+    * documents — position i is masked in 1/stride of docs, not all.
+    *
+    * One narrow projection + one explode, zero shuffle: the span table
+    * is (doc_id, span_start, span_end, n_tokens, in_bounds) with
+    * in_bounds a per-row certificate (span_end < n_tokens — false
+    * anywhere means the sequence arithmetic drifted).
+    */
+  def spanCorruption(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      spanLen: Int = 3,
+      stride: Int = 20): DataFrame = {
+    require(stride > spanLen && spanLen >= 1,
+      s"need stride > spanLen >= 1, got stride=$stride spanLen=$spanLen")
+    val n = col(tokensCol).cast("long")
+    val phase = pmod(col(idCol), lit(stride.toLong))
+    df.select(col(idCol), n.as("n_tokens"), phase.as("__r"))
+      // guard: Spark sequence(start, stop) with start > stop counts DOWN
+      .withColumn("__starts",
+        when(col("n_tokens") - spanLen >= col("__r"),
+          expr(s"sequence(__r, n_tokens - $spanLen, ${stride}L)"))
+          .otherwise(array().cast("array<long>")))
+      .select(col(idCol), col("n_tokens"), explode(col("__starts")).as("span_start"))
+      .withColumn("span_end", col("span_start") + (spanLen - 1))
+      .withColumn("in_bounds", col("span_end") < col("n_tokens"))
+  }
 }

@@ -165,4 +165,51 @@ object Retrieval {
           .cast("int"))
       .filter(col("neg_rank") <= nNeg)
   }
+
+  /** Conjunctive (boolean-AND) keyword search with exact integer tf·idf
+    * scoring: documents containing EVERY query term, ranked by
+    * Σ_t tf_t · idf_t where idf_t = (N · 10⁶) div df_t — the zero-float
+    * rendering of the classic tf·idf rank (the integer scaling preserves
+    * the ORDER of the real-valued idf on any engine; the repo's no-
+    * emitted-transcendentals law). The lexical filter stage of a
+    * retrieval stack: BM25 scores a slice, this CUTS the slice ("must
+    * contain all of …").
+    *
+    * Scale shape: the term filter (`isin` over a literal list) pushes
+    * into the explode, so only matching (doc, term) pairs — corpus
+    * fraction ≈ Σ df_t / N tokens — ever shuffle; the conjunction is a
+    * count-distinct-terms = |terms| test inside the same per-doc
+    * aggregate that sums the score, and the document-frequency table is
+    * a |terms|-row broadcast. Top-k plans as TakeOrderedAndProject;
+    * the rank window runs post-limit over k rows.
+    */
+  def booleanSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topK: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct, got $terms")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val hits = docs
+      .select(col(idCol), explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val n = docs.select(count(lit(1)).as("n_corpus"))
+    val dfs = hits.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_x1e6", expr("(n_corpus * 1000000) div df"))
+    val tf = hits.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfs.select(col("tok"), col("idf_x1e6"))), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tok")).as("n_terms"),
+        sum(col("tf") * col("idf_x1e6")).as("score_x1e6"))
+      .filter(col("n_terms") === terms.size) // the AND
+      .orderBy(col("score_x1e6").desc, col(idCol).asc)
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over( // post-limit: topK rows, never data-sized
+          Window.orderBy(col("score_x1e6").desc, col(idCol).asc)).cast("long"))
+  }
 }

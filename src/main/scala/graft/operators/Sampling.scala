@@ -322,4 +322,51 @@ object Sampling {
       .filter(col("__rn") <= col("target"))
       .drop("__prio", "__rn")
   }
+
+  /** EXACT-count stratified split: within every stratum, rank rows by
+    * the portable md5 uniform (key tiebreak → total order) and cut the
+    * ranking at exact integer boundaries `rn <= (n·cumWeight) div den`.
+    * Where [[hashSplit]]/[[portableSplit]] give each row an independent
+    * coin (proportions only in expectation — a 40-doc stratum can
+    * easily go 36/1/3 on an 8/1/1 split), this guarantees the split
+    * SIZES per stratum to the integer floor, which is what a
+    * train/val/test protocol over many small strata (per-language,
+    * per-source) actually requires. Assignment is still deterministic
+    * and leakage-free: same key, same stratum population ⇒ same split.
+    *
+    * Weights are integers summing to `den` implicitly (den = Σ weights);
+    * each cut is `(n · cum_k) div den`, so split k gets exactly
+    * `cut_k − cut_{k−1}` rows — the floor-cut allocation (the last
+    * split absorbs the remainder; use largest-remainder upstream if
+    * mid-split exactness matters more than tail-absorption).
+    *
+    * Scale shape: one per-stratum rank window (keyed parallelism) over
+    * the stratum count window riding the same partitioning — no global
+    * sort, no driver-side anything.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      strata: Seq[String],
+      keyCol: String,
+      weights: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame = {
+    require(strata.nonEmpty && weights.nonEmpty && weights.forall(_._2 > 0),
+      s"need strata and positive weights, got strata=$strata weights=$weights")
+    val den = weights.map(_._2).sum
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(portableUniform(col(keyCol)).asc, col(keyCol).asc)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail // cumulative numerators
+    val withRank = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(strata.map(col): _*)).cast("long"))
+    val assigned = weights.zip(cuts).init.foldRight(
+      lit(weights.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cum), elseCol) =>
+        when(col("__rn") * den <= col("__n") * cum, lit(name)).otherwise(elseCol)
+    }
+    // rn·den <= n·cum  ⟺  rn <= (n·cum) div den — all-integer, no cut
+    // materialization; the when-chain takes the FIRST matching boundary
+    withRank.withColumn(splitCol, assigned).drop("__rn", "__n")
+  }
 }

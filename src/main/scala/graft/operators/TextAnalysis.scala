@@ -306,4 +306,102 @@ object TextAnalysis {
       "rule_stopwords" -> (nStop >= 2L),
       "rule_repetition" -> (nDistinct * 2L >= nWords))
   }
+
+  /** Longest run of identical consecutive tokens per document — the
+    * degeneration/repetition-loop detector ("the the the …" from broken
+    * extraction or model-generated loops; the max-run complement to
+    * [[bigramRepetition]]'s duplicate-fraction). Classic gaps-and-
+    * islands: run boundaries where the token differs from its
+    * predecessor, run ids by cumsum, then per-run lengths — every
+    * window PARTITIONED BY DOCUMENT (keyed parallelism, partition cost
+    * bounded by one doc's length, never corpus size). The per-doc
+    * champion is one struct-min `(−len, token, start)` — longest run,
+    * token-asc then earliest-start tiebreaks — a total order both
+    * engines share.
+    *
+    * Emits `(idCol, n_tokens, n_runs, max_run, run_token, run_start)`;
+    * docs with zero tokens are absent (identically in any replay).
+    */
+  def tokenRuns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(gfn.ascii_tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = toks
+      .withColumn("new_run",
+        when(lag(col("tok"), 1).over(w).isNull ||
+          lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col("tok")).as("tok"), // constant within a run
+        count(lit(1)).as("len"), min(col("pos")).cast("long").as("start"))
+    runs.groupBy(col(idCol))
+      .agg(sum(col("len")).as("n_tokens"),
+        count(lit(1)).as("n_runs"),
+        min(struct((-col("len")).as("nl"), col("tok").as("tok"),
+          col("start").as("start"))).as("best"))
+      .select(col(idCol), col("n_tokens"), col("n_runs"),
+        (-col("best.nl")).as("max_run"), col("best.tok").as("run_token"),
+        col("best.start").as("run_start"))
+  }
+
+  /** Per-source token-distribution drift against the REST of the corpus:
+    * a token is over-represented in a source when its in-source rate
+    * exceeds double its rate everywhere else, decided by exact integer
+    * cross-multiplication `c_src·n_rest > 2·c_rest·n_src` (zero float
+    * division — the repo's likelihood-ratio discipline). The categorical
+    * complement to the numeric KS drift check: "which provenance has a
+    * vocabulary unlike the others" is the question a contamination /
+    * template-leak audit asks before mixing sources.
+    *
+    * Cross products run in DECIMAL(38,0) (DuckDB replays in HUGEINT):
+    * BIGINT products of two corpus-scale counts overflow at ~3·10⁹ docs.
+    * The emitted score is the per-mille rate ratio, capped at 10⁶ so the
+    * `c_rest = 0` exclusive-token case stays finite and identical on
+    * both engines.
+    *
+    * Scale shape: one token explode → one (source, token) aggregate;
+    * the token-marginal and source-marginal tables re-aggregate FROM
+    * that result (no second corpus pass) and broadcast (vocabulary- and
+    * |sources|-sized). Nothing data-sized shuffles twice.
+    */
+  def sourceDrift(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String,
+      minCount: Long = 20L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cst = df
+      .select(col(srcCol).as("source"), explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // feeds both marginals + the scored join
+    val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = cst.agg(sum(col("c_st")).as("n"))
+    val scored = cst
+      .join(broadcast(ct), Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("c_rest", col("c_t") - col("c_st"))
+      .withColumn("n_rest", col("n") - col("n_s"))
+      .withColumn("over",
+        col("c_st") >= minCount &&
+          col("c_st").cast(dec) * col("n_rest").cast(dec) >
+            col("c_rest").cast(dec) * col("n_s").cast(dec) * 2)
+      // `div` (integral floor divide) — decimal `/` rounds at scale and
+      // a round-then-truncate can disagree with HUGEINT floor by one
+      .withColumn("__num", col("c_st").cast(dec) * col("n_rest").cast(dec) * 1000)
+      .withColumn("__den", greatest(col("c_rest").cast(dec) * col("n_s").cast(dec),
+        lit(1).cast(dec)))
+      .withColumn("score_x1000",
+        least(expr("__num div __den").cast("long"), lit(1000000L)))
+    scored.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(when(col("over"), 1L).otherwise(0L)).as("n_over"),
+        min(when(col("over"),
+          struct((-col("score_x1000")).as("ns"), col("tok").as("tok")))).as("best"))
+      .select(col("source"), col("n_tokens"), col("n_over"),
+        col("best.tok").as("top_token"), (-col("best.ns")).as("top_score_x1000"))
+  }
 }

@@ -1487,6 +1487,93 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Longest identical-token run per doc (TextAnalysis.tokenRuns): the
+    // degeneration/repetition-loop detector as gaps-and-islands over
+    // token positions, champion picked by the (−len, token, start)
+    // struct-min total order. Splits this corpus 112/363/24/1 at runs
+    // 1/2/3/4 — genuinely mixed. All windows per-doc (keyed
+    // parallelism); DuckDB replays every run boundary and the champion
+    // pick exactly.
+    "q_token_runs" -> ((s, d) => {
+      TextAnalysis.tokenRuns(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Per-source vocabulary drift vs the REST of the corpus
+    // (TextAnalysis.sourceDrift): over-representation decided by the
+    // exact cross-multiplication c_src·n_rest > 2·c_rest·n_src in
+    // DECIMAL(38)/HUGEINT, the champion token by (−score, token)
+    // struct-min, score = capped per-mille rate ratio. The categorical
+    // complement to q_ks_drift's numeric test.
+    "q_source_drift" -> ((s, d) => {
+      TextAnalysis.sourceDrift(Tables.documents(s, d), "source", "text",
+        minCount = 20L)
+        .orderBy("source")
+    }),
+
+    // Head-prefix duplicate groups (Dedup.headDupGroups): docs sharing
+    // the md5 of their first 8 tokens — the truncation-dup catcher
+    // (23 groups at sf0.01). Pure hash-groupBy on a 32-char key; the
+    // oracle rebuilds every head hash and group roster.
+    "q_head_dedup" -> ((s, d) => {
+      graft.operators.Dedup
+        .headDupGroups(Tables.documents(s, d), "doc_id", "text", nTokens = 8)
+        .orderBy("head_fp")
+    }),
+
+    // Deterministic T5 span-corruption schedule (Packing.spanCorruption):
+    // spanLen=3 spans at positions ≡ pmod(doc_id, 20) (mod 20) — 15%
+    // corruption, overlap-free by construction, in_bounds a per-row
+    // certificate. One projection + one explode, zero shuffle.
+    "q_span_corruption" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(gfn.ascii_tokens(col("text"))).as("n_tok"))
+      graft.operators.Packing
+        .spanCorruption(docs, "doc_id", "n_tok", spanLen = 3, stride = 20)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Per-source corpus checksum (Integrity.corpusChecksum): order- and
+    // partitioning-independent XOR of 60-bit md5 prefixes, content leg
+    // (set-of-texts) + id-keyed row leg (no self-cancellation) — the
+    // "same data" receipt a migration audit needs. DuckDB rebuilds both
+    // 60-bit folds bit-identically.
+    "q_corpus_checksum" -> ((s, d) => {
+      graft.operators.Integrity
+        .corpusChecksum(Tables.documents(s, d), "source", "doc_id", "text")
+        .orderBy("source")
+    }),
+
+    // Conjunctive keyword search (Retrieval.booleanSearch): docs
+    // containing BOTH query terms (311 of 500 here — the AND genuinely
+    // cuts), ranked by exact integer Σ tf·idf_x1e6, top-20 via
+    // TakeOrderedAndProject with the rank window post-limit.
+    "q_bool_search" -> ((s, d) => {
+      graft.operators.Retrieval
+        .booleanSearch(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "vector"), topK = 20)
+        .orderBy("rk")
+    }),
+
+    // Exact-count stratified split (Sampling.stratifiedSplit): 8/1/1
+    // train/val/test cut at integer floor boundaries of the per-stratum
+    // md5-uniform ranking — sizes exact per (lang, source) stratum, not
+    // merely expected. Emitted as the per-stratum count table with the
+    // partition-law certificate (counts sum to n).
+    "q_stratified_split" -> ((s, d) => {
+      graft.operators.Sampling
+        .stratifiedSplit(Tables.documents(s, d), Seq("lang", "source"),
+          "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .withColumn("ok",
+          col("n_train") + col("n_val") + col("n_test") === col("n"))
+        .orderBy("lang", "source")
+    }),
+
     // Per-source curation scorecard: the dataset card broken down by
     // provenance — doc count, exact-dup count, Gopher pass count, mean
     // centitokens — the table a curation pipeline uses to decide which
@@ -3097,6 +3184,149 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Every run boundary, run id, run length, and the (−len, token,
+    // start) champion re-derived from scratch.
+    "q_token_runs" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+           FROM tk WHERE len(t) >= 1),
+         r AS (
+           SELECT doc_id, pos, tok,
+             CASE WHEN lag(tok) OVER w IS NULL OR lag(tok) OVER w <> tok
+               THEN 1 ELSE 0 END AS nr
+           FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         rid AS (
+           SELECT doc_id, pos, tok,
+             sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM r),
+         runs AS (
+           SELECT doc_id, run_id, min(tok) AS tok,
+             CAST(count(*) AS BIGINT) AS len, CAST(min(pos) AS BIGINT) AS start
+           FROM rid GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(-(min(struct_pack(nl := -len, tok := tok, start := start)).nl)
+             AS BIGINT) AS max_run,
+           min(struct_pack(nl := -len, tok := tok, start := start)).tok AS run_token,
+           min(struct_pack(nl := -len, tok := tok, start := start)).start AS run_start
+         FROM runs GROUP BY doc_id ORDER BY doc_id""",
+
+    // Both marginals, the HUGEINT cross-multiplication, the capped
+    // per-mille score, and the per-source champion all re-derived.
+    "q_source_drift" ->
+      """WITH t AS (
+           SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) AS tok
+           FROM documents),
+         cst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM t GROUP BY 1, 2),
+         ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+         ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM cst),
+         sc AS (
+           SELECT cst.source, cst.tok, c_st,
+             c_t - c_st AS c_rest, n - n_s AS n_rest, n_s,
+             c_st >= 20 AND CAST(c_st AS HUGEINT) * (n - n_s) >
+               CAST(c_t - c_st AS HUGEINT) * n_s * 2 AS over,
+             CAST(least(CAST(c_st AS HUGEINT) * (n - n_s) * 1000 //
+               greatest(CAST(c_t - c_st AS HUGEINT) * n_s, 1), 1000000) AS BIGINT)
+               AS score_x1000
+           FROM cst JOIN ct USING (tok) JOIN ns USING (source), tot)
+         SELECT source, max(n_s) AS n_tokens,
+           CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           min(CASE WHEN over THEN struct_pack(ns := -score_x1000, tok := tok) END).tok
+             AS top_token,
+           CAST(-(min(CASE WHEN over THEN struct_pack(ns := -score_x1000, tok := tok) END).ns)
+             AS BIGINT) AS top_score_x1000
+         FROM sc GROUP BY source ORDER BY source""",
+
+    // Every head hash and group roster rebuilt.
+    "q_head_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents)
+         SELECT md5(array_to_string(tk[1:8], ' ')) AS head_fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id, max(doc_id) AS max_id
+         FROM t WHERE len(tk) >= 8
+         GROUP BY 1 HAVING count(*) > 1 ORDER BY head_fp""",
+
+    // The full span table re-derived: phase, inclusive stride sequence,
+    // and the in_bounds certificate.
+    "q_span_corruption" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(s + 2 AS BIGINT) AS span_end,
+           s + 2 < n_tokens AS in_bounds
+         FROM t, unnest(generate_series(doc_id % 20, n_tokens - 3, 20)) AS u(s)
+         WHERE n_tokens - 3 >= doc_id % 20
+         ORDER BY doc_id, span_start""",
+
+    // Both 60-bit XOR folds rebuilt from the same md5 prefixes.
+    "q_corpus_checksum" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_xor,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+             AS row_xor
+         FROM documents GROUP BY source ORDER BY source""",
+
+    // The conjunction, the integer idf table, and the top-20 cut all
+    // re-derived; ties break (score desc, doc_id asc) on both engines.
+    "q_bool_search" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) AS tok
+           FROM documents),
+         hits AS (SELECT doc_id, tok FROM t WHERE tok IN ('spark', 'vector')),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+         dfs AS (
+           SELECT tok, CAST((n_corpus * 1000000) // count(DISTINCT doc_id) AS BIGINT)
+             AS idf_x1e6
+           FROM hits, n GROUP BY tok, n_corpus),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_id, CAST(count(DISTINCT tf.tok) AS BIGINT) AS n_terms,
+             CAST(sum(tf * idf_x1e6) AS BIGINT) AS score_x1e6
+           FROM tf JOIN dfs USING (tok) GROUP BY doc_id
+           HAVING count(DISTINCT tf.tok) = 2)
+         SELECT doc_id, n_terms, score_x1e6,
+           CAST(row_number() OVER (ORDER BY score_x1e6 DESC, doc_id ASC) AS BIGINT) AS rk
+         FROM scored ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 20""",
+
+    // The per-stratum ranking, floor cuts, and partition-law certificate
+    // all replayed.
+    "q_stratified_split" ->
+      """WITH r AS (
+           SELECT lang, source, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang, source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+           FROM documents),
+         a AS (
+           SELECT lang, source,
+             CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                  WHEN rn * 10 <= n * 9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM r)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) +
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) +
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) = count(*) AS ok
+         FROM a GROUP BY lang, source ORDER BY lang, source""",
 
     // The df-capped matching step: same selection, fingerprints with
     // doc frequency > 2 removed before the self-join.
