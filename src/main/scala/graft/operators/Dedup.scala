@@ -578,6 +578,42 @@ object Dedup {
     * the caller's job. Docs shorter than `nTokens` are excluded — a
     * 5-token doc's "head" is its whole text, which exact dedup owns.
     */
+  /** Marginal n-gram novelty per document: the fraction of a doc's
+    * DISTINCT token k-grams whose FIRST occurrence (min doc id) is this
+    * doc — "how much does each document add that the corpus before it
+    * didn't have", the data-valuation metric behind dedup-aware
+    * ingestion ordering (a doc that is 95% old k-grams is a near-dup or
+    * boilerplate even if no single pair-join flags it). Rates are exact
+    * integer per-mille (`n_novel·1000 div n_grams`).
+    *
+    * Scale shape: the ids-only dedup discipline — one (gram-hash, id)
+    * distinct, one min-id aggregate per gram, one join back riding the
+    * SAME fp-hash partitioning, one per-doc aggregate. The first-
+    * occurrence attribution is a min, so it is order- and partitioning-
+    * independent by construction.
+    */
+  def noveltyProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val gramExpr = (0 until k).map(j => s"__tk[i+$j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val fp = df
+      .select(col(idCol), gfn.ascii_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__tk)-$k), i -> md5($gramExpr))")).as("fp"))
+      .distinct()
+    val first = fp.groupBy(col("fp")).agg(min(col(idCol)).as("__first"))
+    fp.join(first, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
+  }
+
   def headDupGroups(
       df: DataFrame,
       idCol: String,

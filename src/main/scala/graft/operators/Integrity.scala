@@ -47,4 +47,32 @@ object Integrity {
         expr("bit_xor(__hc)").as("content_xor"),
         expr("bit_xor(__hr)").as("row_xor"))
   }
+
+  /** Snapshot diff: classify every id across two corpus versions as
+    * `added` (only in `after`), `removed` (only in `before`), `changed`
+    * (both, different text hash), or `same` — the row-level receipt
+    * behind [[corpusChecksum]]'s one-line verdict, produced the only
+    * way that scales: ONE full outer join on the id (co-partitioned
+    * hash join, ids + 32-char hashes shuffle, never the text), not a
+    * row-compare script. Emits per-status `(status, n, min_id, max_id)`
+    * — the summary a migration gate asserts on; drill-down is the same
+    * join without the aggregate.
+    */
+  def datasetDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol).as("id"), md5(col(textCol)).as("h_before"))
+    val b = after.select(col(idCol).as("id"), md5(col(textCol)).as("h_after"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("h_before").isNull, "added")
+          .when(col("h_after").isNull, "removed")
+          .when(col("h_before") === col("h_after"), "same")
+          .otherwise("changed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
 }

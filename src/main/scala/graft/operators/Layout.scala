@@ -245,4 +245,48 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * lakehouse at 100 TB runs nightly (streaming ingest and per-executor
+    * writes leave thousands of sub-target files per partition; reading
+    * them costs a task each). Greedy size-ordered grouping rendered as
+    * ONE cumulative sum: within a partition, walk files in `fileCol`
+    * order and assign each to bin `floor(cum_before / target)` — the
+    * run-length grouping a sequential packer produces, as a pure window
+    * expression (no iterative loop, no driver-side walk).
+    *
+    * The structural bound is emitted per bin as the certificate
+    * `total_size < target + max_file_size`: a bin spans less than one
+    * target of cum-space plus its last straddling file, so only a file
+    * LARGER than target can overshoot by more than itself — exactly
+    * greedy first-fit-in-order's guarantee. Bins are contiguous in file
+    * order (compaction rewrites preserve any sort/cluster order the
+    * partition already had).
+    *
+    * Scale shape: one per-partition window (keyed parallelism) + one
+    * (partition, bin) aggregate riding the same hash — no global
+    * anything; output is |bins| rows, not |files|.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      partCol: String,
+      fileCol: String,
+      sizeCol: String,
+      targetSize: Long): DataFrame = {
+    require(targetSize >= 1, s"targetSize must be positive, got $targetSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
+    files
+      .withColumn("__cum_before",
+        coalesce(sum(col(sizeCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"__cum_before div ${targetSize}L"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("total_size"),
+        max(col(sizeCol)).as("max_file_size"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+      .withColumn("ok", col("total_size") < col("max_file_size") + targetSize)
+  }
 }

@@ -1487,6 +1487,71 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Marginal 4-gram novelty per doc (Dedup.noveltyProfile): fraction
+    // of each doc's distinct shingles FIRST seen in that doc (min-id
+    // attribution — order/partitioning independent by construction),
+    // exact per-mille. The data-valuation complement to pair dedup:
+    // boilerplate-heavy docs score low without any pair join.
+    "q_novelty" -> ((s, d) => {
+      graft.operators.Dedup
+        .noveltyProfile(Tables.documents(s, d), "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot diff receipt (Integrity.datasetDiff): corpus vs a
+    // deterministically mutated successor — every 97th doc removed,
+    // every remaining 89th re-texted, every 101st re-added under a new
+    // id — classified added/removed/changed/same by ONE full outer
+    // hash join on (id, md5). The row-level receipt behind
+    // q_corpus_checksum's one-line verdict.
+    "q_dataset_diff" -> ((s, d) => {
+      val a = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val b = a.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(89L)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(pmod(col("doc_id"), lit(101L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("added "), col("text")).as("text")))
+      graft.operators.Integrity.datasetDiff(a, b, "doc_id", "text")
+        .orderBy("status")
+    }),
+
+    // Quality-score calibration: the proven integer score (×10⁴)
+    // bucketed into deciles against the Gopher pass rate — the
+    // validation table that justifies using the cheap score as a
+    // curriculum/filter signal. Bounded output (≤10 rows), one pass.
+    "q_quality_calib" -> ((s, d) => {
+      val g = TextAnalysis.gopherRules(col("text")).toMap
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("s"),
+          when(g("rule_word_count") && g("rule_word_length") &&
+            g("rule_stopwords") && g("rule_repetition"), 1L).otherwise(0L).as("gp"))
+        .withColumn("bucket", least(expr("s div 1000"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("gp")).as("n_gopher_pass"),
+          min(col("s")).as("min_score_x1e4"), max(col("s")).as("max_score_x1e4"))
+        .orderBy("bucket")
+    }),
+
+    // Sample-ratio-mismatch check over the portable 2-fold assignment:
+    // per lang, |n_a − n_b| against the 3·√n integer bound (exact
+    // isqrt — the experimentation-hygiene gate that catches a broken
+    // randomizer before anyone reads the experiment).
+    "q_srm_check" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), Sampling.kFold(col("doc_id"), 2).as("arm"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("n", col("n_a") + col("n_b"))
+        .withColumn("diff", abs(col("n_a") - col("n_b")))
+        .withColumn("bound", Sampling.isqrt(col("n")) * 3L)
+        .withColumn("srm", col("diff") > col("bound"))
+        .orderBy("lang")
+    }),
+
     // Longest identical-token run per doc (TextAnalysis.tokenRuns): the
     // degeneration/repetition-loop detector as gaps-and-islands over
     // token positions, champion picked by the (−len, token, start)
@@ -3184,6 +3249,121 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Every distinct 4-gram, its min-doc first occurrence, and the
+    // per-mille novelty all re-derived.
+    "q_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id,
+             md5(s) AS fp
+           FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+             FROM t WHERE len(tk) >= 4)),
+         f AS (SELECT fp, min(doc_id) AS first_doc FROM g GROUP BY fp)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000) // count(*)
+             AS BIGINT) AS novelty_pm
+         FROM g JOIN f USING (fp) GROUP BY doc_id ORDER BY doc_id""",
+
+    // The same deterministic mutation and the full-outer classification
+    // replayed.
+    "q_dataset_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+         b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM a WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, 'added ' || text AS text
+           FROM a WHERE doc_id % 101 = 0),
+         j AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS id,
+             md5(a.text) AS h_before, md5(b.text) AS h_after
+           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+         c AS (
+           SELECT id,
+             CASE WHEN h_before IS NULL THEN 'added'
+                  WHEN h_after IS NULL THEN 'removed'
+                  WHEN h_before = h_after THEN 'same'
+                  ELSE 'changed' END AS status
+           FROM j)
+         SELECT status, CAST(count(*) AS BIGINT) AS n,
+           min(id) AS min_id, max(id) AS max_id
+         FROM c GROUP BY status ORDER BY status""",
+
+    // The proven quality arithmetic (q_text_quality), the Gopher
+    // conjunction, and the decile cut all replayed.
+    "q_quality_calib" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE CAST(length(text) AS DOUBLE) END AS safe_len,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct
+           FROM documents),
+         q AS (
+           SELECT doc_id, text,
+             CAST(round(round(least(n_tokens / 20.0, 1.0) * 0.3
+                   + (n_alpha / safe_len) * 0.5
+                   + greatest(0.0, 1.0 - (n_punct / safe_len) * 4.0) * 0.2, 4)
+               * 10000) AS BIGINT) AS s
+           FROM f),
+         g AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk,
+             text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS nw,
+             CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS na,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+             CAST(len(list_intersect(list_distinct(tk),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nst
+           FROM g),
+         gp AS (
+           SELECT doc_id,
+             CASE WHEN nw >= 30 AND nw <= 90 AND na >= nw * 4 AND na <= nw * 5
+               AND nst >= 2 AND nd * 2 >= nw THEN 1 ELSE 0 END AS gp
+           FROM m)
+         SELECT least(s // 1000, 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(gp) AS BIGINT) AS n_gopher_pass,
+           min(s) AS min_score_x1e4, max(s) AS max_score_x1e4
+         FROM q JOIN gp USING (doc_id)
+         GROUP BY 1 ORDER BY bucket""",
+
+    // The 2-fold md5 assignment, the exact isqrt (±1 correction), and
+    // the 3·√n bound replayed per lang.
+    "q_srm_check" ->
+      """WITH a AS (
+           SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+           FROM documents),
+         c AS (
+           SELECT lang,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM a GROUP BY lang),
+         s AS (
+           SELECT lang, n_a, n_b, n_a + n_b AS n, abs(n_a - n_b) AS diff,
+             CAST(floor(sqrt(CAST(n_a + n_b AS DOUBLE))) AS BIGINT) AS r0
+           FROM c),
+         r AS (
+           SELECT lang, n_a, n_b, n, diff,
+             CASE WHEN (r0+1)*(r0+1) <= n THEN r0+1
+                  WHEN r0*r0 > n THEN r0-1 ELSE r0 END AS r
+           FROM s)
+         SELECT lang, n_a, n_b, n, diff, r * 3 AS bound, diff > r * 3 AS srm
+         FROM r ORDER BY lang""",
 
     // Every run boundary, run id, run length, and the (−len, token,
     // start) champion re-derived from scratch.

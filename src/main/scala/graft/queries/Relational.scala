@@ -1589,6 +1589,21 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Small-file compaction plan (Layout.compactionPlan): per-returnflag
+    // "files" (one per suppkey, size = row count) greedily grouped into
+    // ~500-row compaction bins by ONE cumulative-sum window — the
+    // lakehouse maintenance pass as a pure window expression, with the
+    // greedy bound total < target + max_file emitted per bin as a
+    // certificate. Output is |bins|-sized, windows per-partition.
+    "q_compaction_plan" -> ((s, d) => {
+      val files = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("size"))
+      graft.operators.Layout
+        .compactionPlan(files, "l_returnflag", "l_suppkey", "size", targetSize = 500L)
+        .orderBy("l_returnflag", "bin")
+    }),
+
     // Interval UNION per user (gaps-and-islands over real intervals, not
     // point-gap sessionization): each event carries a deterministic
     // duration (pmod(event_id, 36) + 1 hours), overlapping intervals merge into
@@ -4276,6 +4291,27 @@ object Relational {
            FROM lineitem GROUP BY 1)
          SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
          FROM per GROUP BY 1 ORDER BY n_items""",
+
+    // The file synthesis, the cum-before window, the floor-div bin
+    // assignment, and the greedy-bound certificate all replayed.
+    "q_compaction_plan" ->
+      """WITH files AS (
+           SELECT l_returnflag, l_suppkey, CAST(count(*) AS BIGINT) AS size
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, l_suppkey, size,
+             coalesce(sum(size) OVER (PARTITION BY l_returnflag
+               ORDER BY l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+           FROM files),
+         b AS (SELECT *, cum_before // 500 AS bin FROM c)
+         SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size) AS BIGINT) AS total_size,
+           max(size) AS max_file_size,
+           min(l_suppkey) AS first_file, max(l_suppkey) AS last_file,
+           CAST(sum(size) AS BIGINT) < 500 + max(size) AS ok
+         FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bin""",
 
     // Same island recurrence: running max of prior ends, flag, cumsum,
     // merge — exact epoch_us arithmetic end to end.

@@ -672,6 +672,80 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming frequent-tokens fixture: documents land in THREE
+    * interleaved micro-batches (doc_id mod 3); the token stream folds
+    * into per-lang Misra–Gries summaries (capacity 1024 ≥ the synthetic
+    * vocabulary, so the summary is EXACT and batch-split independent)
+    * and every batch emits the full summary stamped with its seq. The
+    * guard proves the final (max-seq) snapshot per lang equals the
+    * batch token counts exactly before _DONE; the oracle then replays
+    * the batch top-8 per lang.
+    */
+  private def topkSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/documents.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_topk_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), col("text"))
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+        val b1 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 0)),
+          root, landing, "batch1.jsonl")
+        val b2 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 1)),
+          root, landing, "batch2.jsonl")
+        val b3 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 2)),
+          root, landing, "batch3.jsonl")
+        mtimeAfter(b2, b1, 2000)
+        mtimeAfter(b3, b2, 4000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        import s.implicits._
+        val toks = StreamingSync
+          .readJsonlStream(s, s"$landing/*.jsonl", schema, maxFilesPerTrigger = 1)
+          .select(col("lang"),
+            explode(graft.expressions.functions.ascii_tokens(col("text"))).as("tok"))
+          .as[StreamingSync.LangToken]
+        val out = StreamingSync.topKStream(toks, capacity = 1024)
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_topk replay")
+
+        // exact-mode guard: final snapshot per lang == batch counts
+        val sunk = s.read.parquet(sink.toString)
+        val maxSeq = sunk.groupBy(col("lang")).agg(max(col("seq")).as("seq"))
+        val finalCounts = sunk.join(maxSeq, Seq("lang", "seq"))
+          .select(col("lang"), col("token"), col("cnt"))
+        val batchCounts = docs
+          .select(col("lang"),
+            explode(graft.expressions.functions.ascii_tokens(col("text"))).as("token"))
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+        val diff = finalCounts.unionByName(batchCounts)
+          .groupBy(col("lang"), col("token"), col("cnt")).agg(count(lit(1)).as("k"))
+          .filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_topk: $diff (lang, token, cnt) rows diverge from the batch counts — " +
+            "cross-batch MG state lost or invented mass in exact mode")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Projection for the streaming interval merge: `v` carries each
     * event's deterministic interval END (start + (event_id % 36 + 1)
     * hours in epoch micros) — the same recipe as the batch
@@ -1361,6 +1435,24 @@ object StreamSync {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming frequent tokens: per-lang Misra–Gries summaries folded
+    // across three interleaved batches (exact mode — capacity ≥ vocab;
+    // fixture-guarded equal to the batch counts), the query taking each
+    // lang's final snapshot and ranking its top-8. The oracle replays
+    // the batch formulation; windows run over ≤capacity rows per lang.
+    "q_stream_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sunk = s.read.parquet(topkSinkDir(s, d))
+      val maxSeq = sunk.groupBy(col("lang")).agg(max(col("seq")).as("seq"))
+      sunk.join(maxSeq, Seq("lang", "seq"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+        .filter(col("rk") <= 8)
+        .select(col("lang"), col("rk"), col("token"), col("cnt"))
+        .orderBy("lang", "rk")
+    }),
+
     "q_stream_join" -> ((s, d) => {
       s.read.parquet(joinSinkDir(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
@@ -1464,6 +1556,21 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // The batch replay of the exact-mode MG snapshot: per-lang token
+    // counts, top-8 by (cnt desc, token asc).
+    "q_stream_topk" ->
+      """WITH t AS (
+           SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT lang, token, cnt,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, token ASC) AS BIGINT) AS rk
+           FROM c)
+         SELECT lang, rk, token, cnt FROM r WHERE rk <= 8 ORDER BY lang, rk""",
+
     // The streamed three-batch refresh schedule must equal the one-shot
     // aggregate exactly — DECIMAL state makes the fold associative, so
     // any drift (dropped batch, double merge) flips the hash.

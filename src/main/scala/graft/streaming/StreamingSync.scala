@@ -450,6 +450,61 @@ object StreamingSync {
       }
   }
 
+  final case class LangToken(lang: String, tok: String)
+  final case class MgState(tokens: Array[String], counts: Array[Long], seq: Long)
+  final case class TopKCount(lang: String, seq: Long, token: String, cnt: Long)
+
+  /** Streaming per-key frequent-item summary: the Misra–Gries heavy-
+    * hitters sketch as bounded cross-batch state — at most `capacity`
+    * (token, count) slots per key; a token outside a full summary
+    * triggers the classic decrement-all step. After every micro-batch
+    * the key's FULL summary is emitted stamped with an incrementing
+    * `seq`, so the sink holds the summary's evolution and a consumer
+    * takes each key's max-seq snapshot — the live "what's trending per
+    * language" board with O(capacity) state per key while an exact
+    * count table grows with the vocabulary.
+    *
+    * With `capacity` ≥ the key's distinct-token count the summary is
+    * EXACT counts (the decrement branch never fires) and — because
+    * addition is commutative — batch-split independent, which is what
+    * the fixture guard pins against the batch groupBy. Under real
+    * saturation the MG guarantee applies per prefix (any token with
+    * true count > prefix_n/capacity is present); the decrement branch
+    * is order-dependent like every MG stream, so saturated runs are
+    * monitoring, not oracle, surface. Per-batch fold is
+    * order-canonical (tokens sorted) so re-planned batches emit
+    * identically.
+    */
+  def topKStream(
+      toks: Dataset[LangToken],
+      capacity: Int = 1024): Dataset[TopKCount] = {
+    import toks.sparkSession.implicits._
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    toks
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[MgState, TopKCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (lang, ts, gs: GroupState[MgState]) =>
+          val st = gs.getOption.getOrElse(MgState(Array.empty, Array.empty, 0L))
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          st.tokens.zip(st.counts).foreach { case (t, c) => m(t) = c }
+          ts.toSeq.map(_.tok).sorted.foreach { tok =>
+            if (m.contains(tok)) m(tok) += 1L
+            else if (m.size < capacity) m(tok) = 1L
+            else { // Misra–Gries decrement-all
+              m.keys.toSeq.foreach { k =>
+                val c = m(k) - 1L
+                if (c <= 0L) m.remove(k) else m(k) = c
+              }
+            }
+          }
+          val seq = st.seq + 1L
+          val kept = m.toArray
+          gs.update(MgState(kept.map(_._1), kept.map(_._2), seq))
+          kept.iterator.map { case (t, c) => TopKCount(lang, seq, t, c) }
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(
