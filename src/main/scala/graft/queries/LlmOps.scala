@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.operators.{Chunking, Components, Contamination, Dedup, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Components, Contamination, Dedup, EvalOps, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
@@ -1485,6 +1485,81 @@ object LlmOps {
         .matches(Tables.documents(s, d), "doc_id", "text", minShared = 3L,
           maxDocFreq = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Exact pass@k (EvalOps.passAtK; Chen et al. 2021) over a
+    // deterministic eval table: problems = event_id mod 50, a sample
+    // passes iff its portable uniform ≡ 0 (mod 4). pass@3 via the
+    // telescoped integer product 1000 − Π(n−c−j)·1000 div Π(n−j); the
+    // pass@1 column rides along and pass@3 ≥ pass@1 is the monotone
+    // law any drift breaks.
+    "q_pass_at_k" -> ((s, d) => {
+      val samples = Tables.events(s, d)
+        .select(pmod(col("event_id"), lit(50L)).as("problem"),
+          (Sampling.portableUniform(col("event_id")) % 4 === 0).as("pass"))
+      EvalOps.passAtK(samples, "problem", "pass", k = 3)
+        .orderBy("problem")
+    }),
+
+    // SFT conversation assembly (EvalOps.assembleConversations): each
+    // user's last 8 events rendered "type=cents" in (ts, id) order —
+    // the chat-template step as ONE keyed collect/sort/slice/join
+    // chain, no window, no driver loop. DuckDB replays the rank cut
+    // and the string_agg ordered rendering byte-for-byte.
+    "q_chat_assemble" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").cast("string")
+            .as("content"))
+      EvalOps.assembleConversations(ev, "user_id", "ts_us", "event_id",
+        "event_type", "content", maxTurns = 8)
+        .orderBy("user_id")
+    }),
+
+    // Shuffle-quality audit: the global training order IS the portable
+    // uniform, so a doc's decile is a pure projection u·10 div 2³² —
+    // NO global rank, no window, nothing data-sized (the de-windowed
+    // rendering of "is my shuffle well mixed"). Per (decile, source):
+    // count, the |10·n − n_s| deviation, and the 30·isqrt(n_s) bound —
+    // a positional clump of any source breaks it.
+    "q_shuffle_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), Sampling.portableUniform(col("doc_id")).as("__u"))
+        .select(col("source"), expr("(__u * 10) div 4294967296L").as("decile"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      docs.groupBy(col("decile"), col("source")).agg(count(lit(1)).as("n"))
+        .join(broadcast(ns), Seq("source"))
+        .withColumn("dev", abs(col("n") * 10 - col("n_s")))
+        .withColumn("bound", Sampling.isqrt(col("n_s")) * 30L)
+        .withColumn("ok", col("dev") <= col("bound"))
+        .orderBy("decile", "source")
+    }),
+
+    // Dedup survivorship audit: per near-dup COMPONENT (transitive
+    // closure of the winnowed match pairs — the fingerprint index both
+    // engines replay exactly), the min-id survivor the canonical policy
+    // keeps vs the best-quality member — quality_delta_x1e4 > 0 rows
+    // are exactly the clusters where keep-min-id loses quality, the
+    // evidence behind a keep-best policy change.
+    "q_dedup_survivorship" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.Winnow
+        .matches(docs, "doc_id", "text", minShared = 3L)
+      val comp = graft.operators.Components.minLabel(pairs)
+        .withColumnRenamed("label", "component")
+      val q = docs.select(col("doc_id").as("id"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q"))
+      comp.join(q, Seq("id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("size"),
+          min(col("id")).as("kept_id"),
+          min(struct((-col("q")).as("nq"), col("id").as("id"))).as("best"),
+          min(when(col("id") === col("component"), col("q"))).as("kept_q"))
+        .select(col("component"), col("size"), col("kept_id"),
+          col("best.id").as("best_id"), (-col("best.nq")).as("best_q"),
+          col("kept_q"), ((-col("best.nq")) - col("kept_q")).as("quality_delta_x1e4"))
+        .orderBy("component")
     }),
 
     // Marginal 4-gram novelty per doc (Dedup.noveltyProfile): fraction
@@ -3249,6 +3324,127 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The telescoped falling-factorial products and both per-mille
+    // divisions replayed exactly.
+    "q_pass_at_k" ->
+      """WITH s AS (
+           SELECT event_id % 50 AS problem,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0 AS pass
+           FROM events),
+         a AS (
+           SELECT problem, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM s GROUP BY problem HAVING count(*) >= 3)
+         SELECT problem, n, c,
+           CASE WHEN n - c < 3 THEN 1000
+                ELSE 1000 - ((n-c) * (n-c-1) * (n-c-2) * 1000) // (n * (n-1) * (n-2))
+           END AS pass_at_3_pm,
+           (c * 1000) // n AS pass_at_1_pm
+         FROM a ORDER BY problem""",
+
+    // The (ts, id) rank cut and the ordered string_agg rendering
+    // replayed byte-for-byte.
+    "q_chat_assemble" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             event_type || '=' ||
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+               AS content
+           FROM events WHERE user_id < 30),
+         r AS (
+           SELECT *, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_total,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us DESC, event_id DESC) AS rdesc
+           FROM e)
+         SELECT user_id, max(n_total) AS n_turns_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(content, ' | ' ORDER BY ts_us, event_id) AS convo
+         FROM r WHERE rdesc <= 8
+         GROUP BY user_id ORDER BY user_id""",
+
+    // The projection-only decile, both marginals, the deviation and the
+    // isqrt bound all re-derived.
+    "q_shuffle_audit" ->
+      """WITH d AS (
+           SELECT source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 10)
+               // 4294967296 AS decile
+           FROM documents),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+         g AS (SELECT decile, source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+         sq AS (
+           SELECT g.*, n_s,
+             CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS r0
+           FROM g JOIN ns USING (source)),
+         r AS (
+           SELECT decile, source, n, n_s, abs(n * 10 - n_s) AS dev,
+             (CASE WHEN (r0+1)*(r0+1) <= n_s THEN r0+1
+                   WHEN r0*r0 > n_s THEN r0-1 ELSE r0 END) * 30 AS bound
+           FROM sq)
+         SELECT decile, source, n, n_s, dev, bound, dev <= bound AS ok
+         FROM r ORDER BY decile, source""",
+
+    // The winnow pair set (the oracled selection), the recursive
+    // min-label closure, and both survivor picks replayed.
+    "q_dedup_survivorship" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0)),
+         prs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS m FROM verts
+           UNION
+           SELECT e.dst AS id, r.m FROM reach r JOIN edges e ON e.src = r.id),
+         lab AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE CAST(length(text) AS DOUBLE) END AS safe_len,
+             CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_punct
+           FROM documents),
+         qv AS (
+           SELECT doc_id AS id,
+             CAST(round(round(least(n_tokens / 20.0, 1.0) * 0.3
+                   + (n_alpha / safe_len) * 0.5
+                   + greatest(0.0, 1.0 - (n_punct / safe_len) * 4.0) * 0.2, 4)
+               * 10000) AS BIGINT) AS q
+           FROM f),
+         m2 AS (SELECT lab.id, lab.component, qv.q FROM lab JOIN qv USING (id))
+         SELECT component, CAST(count(*) AS BIGINT) AS size,
+           min(id) AS kept_id,
+           min(struct_pack(nq := -q, id := id)).id AS best_id,
+           CAST(-(min(struct_pack(nq := -q, id := id)).nq) AS BIGINT) AS best_q,
+           min(CASE WHEN id = component THEN q END) AS kept_q,
+           CAST(-(min(struct_pack(nq := -q, id := id)).nq) AS BIGINT)
+             - min(CASE WHEN id = component THEN q END) AS quality_delta_x1e4
+         FROM m2 GROUP BY component ORDER BY component""",
 
     // Every distinct 4-gram, its min-doc first occurrence, and the
     // per-mille novelty all re-derived.
