@@ -1487,6 +1487,119 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fellegi–Sunter probabilistic record linkage with ZERO logs: per
+    // blocked candidate pair, the match likelihood is the product of
+    // per-field odds — agree ⇒ ×m̂/û = ×9/×1, disagree ⇒ ×(1−m̂)/(1−û)
+    // = ×1/×9 (m=0.9, u=0.1 pinned) — carried as an exact integer
+    // (num, den) pair; match ⟺ num > den, i.e. positive log-odds
+    // without ever computing a log. Blocking = 50-key custkey ranges
+    // (bounded blocks, the ER discipline); only matches are emitted.
+    "q_er_score" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("id"),
+        expr("c_custkey div 50").as("blk"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint) div 50000")
+          .as("band"))
+      val a = c.select(col("blk"), col("id").as("id_a"), col("nation").as("na"),
+        col("seg").as("sa"), col("band").as("ba"))
+      val b = c.select(col("blk"), col("id").as("id_b"), col("nation").as("nb"),
+        col("seg").as("sb"), col("band").as("bb"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("agree_nation", col("na") === col("nb"))
+        .withColumn("agree_seg", col("sa") === col("sb"))
+        .withColumn("agree_band", col("ba") === col("bb"))
+        .withColumn("num",
+          when(col("agree_nation"), 9L).otherwise(1L) *
+            when(col("agree_seg"), 9L).otherwise(1L) *
+            when(col("agree_band"), 9L).otherwise(1L))
+        .withColumn("den",
+          when(col("agree_nation"), 1L).otherwise(9L) *
+            when(col("agree_seg"), 1L).otherwise(9L) *
+            when(col("agree_band"), 1L).otherwise(9L))
+        .filter(col("num") > col("den"))
+        .select(col("id_a"), col("id_b"), col("agree_nation"), col("agree_seg"),
+          col("agree_band"), col("num"), col("den"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // GDPR delete-cascade receipt: forget every 37th customer; count
+    // the cascade through orders and lineitem and certify ZERO orphans
+    // remain (an order whose customer is gone, an item whose order is
+    // gone). One row — the compliance artifact a deletion job files.
+    // All joins are key-hash joins; nothing driver-sized.
+    "q_delete_cascade" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val items = Tables.lineitem(s, d)
+      val delCust = cust.filter(pmod(col("c_custkey"), lit(37L)) === 0)
+        .select(col("c_custkey"))
+      val delOrders = orders.join(delCust,
+        col("o_custkey") === col("c_custkey")).select(col("o_orderkey"))
+      val keptOrders = orders.join(delCust,
+        orders("o_custkey") === delCust("c_custkey"), "left_anti")
+      val keptItems = items.join(delOrders,
+        items("l_orderkey") === delOrders("o_orderkey"), "left_anti")
+      def m(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("metric"), col("n"))
+      m("n_cust_del", delCust)
+        .unionByName(m("n_orders_del", delOrders))
+        .unionByName(m("n_items_del", items.join(delOrders,
+          items("l_orderkey") === delOrders("o_orderkey"), "left_semi")))
+        .unionByName(m("orphan_orders", keptOrders.join(delCust,
+          keptOrders("o_custkey") === delCust("c_custkey"), "left_semi")))
+        .unionByName(m("orphan_items", keptItems.join(delOrders,
+          keptItems("l_orderkey") === delOrders("o_orderkey"), "left_semi")))
+        .orderBy("metric")
+    }),
+
+    // Long-context packing coherence: per (layout, shard), the fraction
+    // of ADJACENT doc pairs in pack order that share a source — id
+    // order (the baseline shuffle, ~1/|sources|) vs source order (the
+    // long-context curation layout, near 1000‰) side by side. The
+    // adjacency lag rides the same per-shard window the packer itself
+    // uses.
+    "q_pack_coherence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(8L)).as("shard"))
+      def coherence(ordered: Seq[org.apache.spark.sql.Column], layout: String) = {
+        val w = Window.partitionBy(col("shard")).orderBy(ordered: _*)
+        docs.withColumn("prev_src", lag(col("source"), 1).over(w))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("prev_src").isNotNull, 1L).otherwise(0L)).as("n_adjacent"),
+            sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+              .as("n_same_source"))
+          .withColumn("layout", lit(layout))
+          .withColumn("coherence_pm", expr("(n_same_source * 1000) div n_adjacent"))
+      }
+      coherence(Seq(col("doc_id").asc), "id")
+        .unionByName(coherence(Seq(col("source").asc, col("doc_id").asc), "source"))
+        .select(col("layout"), col("shard"), col("n_docs"), col("n_adjacent"),
+          col("n_same_source"), col("coherence_pm"))
+        .orderBy("layout", "shard")
+    }),
+
+    // Tokenizer fallback audit: per lang, the OOV rate against the
+    // top-25 corpus vocabulary (the dictionary cut is genuine — the
+    // synthetic vocabulary is larger) — the coverage table a tokenizer
+    // release ships. Vocab is a bounded broadcast; one token pass.
+    "q_bpe_oov" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 25)
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_pm", expr("(n_oov * 1000) div n_tokens"))
+        .orderBy("lang")
+    }),
+
     // Exact pass@k (EvalOps.passAtK; Chen et al. 2021) over a
     // deterministic eval table: problems = event_id mod 50, a sample
     // passes iff its portable uniform ≡ 0 (mod 4). pass@3 via the
@@ -3324,6 +3437,97 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Every blocked pair, all three agreement tests, and the integer
+    // odds products replayed.
+    "q_er_score" ->
+      """WITH c AS (
+           SELECT CAST(c_custkey AS BIGINT) AS id, c_custkey // 50 AS blk,
+             CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000 AS band
+           FROM customer),
+         p AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             a.nation = b.nation AS agree_nation,
+             a.seg = b.seg AS agree_seg,
+             a.band = b.band AS agree_band
+           FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id),
+         s AS (
+           SELECT *,
+             CAST((CASE WHEN agree_nation THEN 9 ELSE 1 END) *
+                  (CASE WHEN agree_seg THEN 9 ELSE 1 END) *
+                  (CASE WHEN agree_band THEN 9 ELSE 1 END) AS BIGINT) AS num,
+             CAST((CASE WHEN agree_nation THEN 1 ELSE 9 END) *
+                  (CASE WHEN agree_seg THEN 1 ELSE 9 END) *
+                  (CASE WHEN agree_band THEN 1 ELSE 9 END) AS BIGINT) AS den
+           FROM p)
+         SELECT id_a, id_b, agree_nation, agree_seg, agree_band, num, den
+         FROM s WHERE num > den ORDER BY id_a, id_b""",
+
+    // The cascade closure and both orphan certificates replayed.
+    "q_delete_cascade" ->
+      """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+         delo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+         kepto AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)),
+         kepti AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo))
+         SELECT metric, n FROM (
+           SELECT 'n_cust_del' AS metric, CAST(count(*) AS BIGINT) AS n FROM delc
+           UNION ALL
+           SELECT 'n_orders_del', CAST(count(*) AS BIGINT) FROM delo
+           UNION ALL
+           SELECT 'n_items_del', CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM delo)
+           UNION ALL
+           SELECT 'orphan_orders', CAST(count(*) AS BIGINT) FROM kepto
+             WHERE o_custkey IN (SELECT c_custkey FROM delc)
+           UNION ALL
+           SELECT 'orphan_items', CAST(count(*) AS BIGINT) FROM kepti
+             WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+         ORDER BY metric""",
+
+    // Both layouts' adjacency lags and coherence divisions replayed.
+    "q_pack_coherence" ->
+      """WITH d AS (
+           SELECT doc_id, source, doc_id % 8 AS shard FROM documents),
+         lay AS (
+           SELECT 'id' AS layout, shard, source,
+             lag(source) OVER (PARTITION BY shard ORDER BY doc_id) AS prev_src
+           FROM d
+           UNION ALL
+           SELECT 'source', shard, source,
+             lag(source) OVER (PARTITION BY shard ORDER BY source, doc_id)
+           FROM d)
+         SELECT layout, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN prev_src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_adjacent,
+           CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_source,
+           CAST((sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END) * 1000) //
+             sum(CASE WHEN prev_src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS coherence_pm
+         FROM lay GROUP BY layout, shard ORDER BY layout, shard""",
+
+    // The (freq desc, token asc) top-25 cut and the per-lang OOV rate
+    // replayed.
+    "q_bpe_oov" ->
+      """WITH ct AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         vc AS (SELECT token, count(*) AS freq FROM ct
+                WHERE token <> '' GROUP BY token),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS r
+             FROM vc) WHERE r <= 25),
+         t AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+             THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS oov_pm
+         FROM t WHERE token <> ''
+         GROUP BY lang ORDER BY lang""",
 
     // The telescoped falling-factorial products and both per-mille
     // divisions replayed exactly.

@@ -1589,6 +1589,40 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Zone-map pruning audit: per-file min/max(l_shipdate) statistics
+    // under TWO layouts — 'linear' (file = suppkey: random dates, every
+    // zone spans the domain, NOTHING prunes) vs 'clustered' (file =
+    // ship month: every out-of-range zone prunes) — scored against the
+    // pinned year-1999 predicate, with the SAFETY certificate that no
+    // pruned file contains a qualifying row. The one-table proof of why
+    // date-clustered layout matters at 100 TB: prune_pm 0 vs ~850.
+    "q_zone_map" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val lo = lit(java.sql.Date.valueOf("1999-01-01"))
+      val hi = lit(java.sql.Date.valueOf("1999-12-31"))
+      def audit(fileCol: org.apache.spark.sql.Column, layout: String) =
+        li.select(fileCol.as("file"), col("l_shipdate"))
+          .groupBy(col("file"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_shipdate")).as("zmin"), max(col("l_shipdate")).as("zmax"),
+            sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
+              .as("n_match"))
+          .withColumn("pruned", col("zmax") < lo || col("zmin") > hi)
+          .groupBy()
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(col("pruned"), col("n_rows")).otherwise(0L)).as("rows_skipped"),
+            sum(when(col("pruned"), col("n_match")).otherwise(0L)).as("missed"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_pruned"),
+            expr("(n_pruned * 1000) div n_files").as("prune_pm"),
+            col("rows_skipped"), (col("missed") === 0L).as("safe"))
+      audit(col("l_suppkey").cast("long"), "linear")
+        .unionByName(audit(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"),
+          "clustered"))
+        .orderBy("layout")
+    }),
+
     // Small-file compaction plan (Layout.compactionPlan): per-returnflag
     // "files" (one per suppkey, size = row count) greedily grouped into
     // ~500-row compaction bins by ONE cumulative-sum window — the
@@ -4291,6 +4325,38 @@ object Relational {
            FROM lineitem GROUP BY 1)
          SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
          FROM per GROUP BY 1 ORDER BY n_items""",
+
+    // Both layouts' zone stats, the prune decisions, and the safety
+    // certificate replayed.
+    "q_zone_map" ->
+      """WITH lin AS (
+           SELECT CAST(l_suppkey AS BIGINT) AS file, l_shipdate FROM lineitem),
+         clu AS (
+           SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS file,
+             l_shipdate
+           FROM lineitem),
+         z AS (
+           SELECT 'linear' AS layout, file, count(*) AS n_rows,
+             min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+             sum(CASE WHEN l_shipdate BETWEEN DATE '1999-01-01' AND DATE '1999-12-31'
+               THEN 1 ELSE 0 END) AS n_match
+           FROM lin GROUP BY file
+           UNION ALL
+           SELECT 'clustered', file, count(*),
+             min(l_shipdate), max(l_shipdate),
+             sum(CASE WHEN l_shipdate BETWEEN DATE '1999-01-01' AND DATE '1999-12-31'
+               THEN 1 ELSE 0 END)
+           FROM clu GROUP BY file),
+         p AS (
+           SELECT *, zmax < DATE '1999-01-01' OR zmin > DATE '1999-12-31' AS pruned
+           FROM z)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST((sum(CASE WHEN pruned THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+             AS prune_pm,
+           CAST(sum(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           CAST(sum(CASE WHEN pruned THEN n_match ELSE 0 END) AS BIGINT) = 0 AS safe
+         FROM p GROUP BY layout ORDER BY layout""",
 
     // The file synthesis, the cum-before window, the floor-div bin
     // assignment, and the greedy-bound certificate all replayed.
