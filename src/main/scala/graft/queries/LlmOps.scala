@@ -1487,6 +1487,101 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Chunk-level cross-doc duplication (the C4/RefinedWeb line-dedup
+    // idea over fixed 10-token chunks): per doc, the fraction of its
+    // chunks whose hash occurs in ≥2 documents — catches shared
+    // boilerplate blocks that full-text exact dedup misses and pair
+    // joins only find transitively. One (hash, doc) aggregate; the
+    // chunk build is a pure projection.
+    "q_chunk_dedup" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), gfn.ascii_tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(tk)-1) div 10), " +
+            "i -> md5(concat_ws(' ', slice(tk, i*10+1, 10))))")).as("fp"))
+      val dfreq = ch.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("df"))
+      ch.join(dfreq, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_pm", expr("(n_dup_chunks * 1000) div n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // A-priori frequent TRIPLES (the 3-itemset step above
+    // q_basket_lift's pairs): distinct items per order, pair join +
+    // third-item extension with the pa < pb < pc canonical order,
+    // support ≥ 2. The expansion is bounded by the basket-width
+    // histogram (q_basket_size), never by order count.
+    "q_itemsets3" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .join(li.select(col("o"), col("p").as("pc")), Seq("o"))
+        .filter(col("pb") < col("pc"))
+        .groupBy(col("pa"), col("pb"), col("pc"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy("pa", "pb", "pc")
+    }),
+
+    // Per-source length-distribution drift as exact integer L1 distance
+    // ×1000: token-count bands (10-token buckets, capped at 15) per
+    // source vs the corpus, Σ|c_sb·N − c_b·N_s| div (N_s·N) — the
+    // histogram-shape complement to q_ks_drift's order-statistic test
+    // and q_source_drift's vocabulary test, zero floats.
+    "q_hist_l1" -> ((s, d) => {
+      val b = Tables.documents(s, d)
+        .select(col("source"),
+          least(expr("size(filter(split(text, ' '), x -> x != '')) div 10"),
+            lit(15)).cast("long").as("band"))
+      val csb = b.groupBy(col("source"), col("band")).agg(count(lit(1)).as("c_sb"))
+        .localCheckpoint(true)
+      val cb = csb.groupBy(col("band")).agg(sum(col("c_sb")).as("c_b"))
+      val ns = csb.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+      val n = csb.agg(sum(col("c_sb")).as("n"))
+      // full (source × band) grid via cross of the two bounded marginals
+      // — absent cells carry c_sb = 0 and still contribute |0 − c_b·N_s|
+      ns.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
+        .join(csb, Seq("source", "band"), "left")
+        .withColumn("c_sb", coalesce(col("c_sb"), lit(0L)))
+        .withColumn("dev", abs(col("c_sb") * col("n") - col("c_b") * col("n_s")))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          max(col("n")).as("n_corpus"),
+          sum(col("dev")).as("dev_sum"))
+        .withColumn("l1_x1000", expr("(dev_sum * 1000) div (n_docs * n_corpus)"))
+        .select(col("source"), col("n_docs"), col("l1_x1000"))
+        .orderBy("source")
+    }),
+
+    // Partition-skew report: order-month partition sizes summarized to
+    // one row — n_parts, extremes, exact integer median (bounded
+    // |months| rank window), the largest partition's per-mille share
+    // and the max/median ratio ×100 — the table a write-path audit
+    // reads before picking partition keys.
+    "q_partition_skew" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.orders(s, d)
+        .groupBy(expr("(year(o_orderdate) * 100 + month(o_orderdate))").as("part"))
+        .agg(count(lit(1)).as("sz"))
+      val ranked = parts
+        .withColumn("rk", row_number().over(Window.orderBy(col("sz"), col("part"))).cast("long"))
+        .withColumn("n_parts", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      ranked
+        .groupBy()
+        .agg(max(col("n_parts")).as("n_parts"),
+          sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("min_size"), max(col("sz")).as("max_size"),
+          min(when(col("rk") === expr("(n_parts + 1) div 2"), col("sz"))).as("median_size"))
+        .withColumn("max_share_pm", expr("(max_size * 1000) div n_rows"))
+        .withColumn("skew_x100", expr("(max_size * 100) div median_size"))
+    }),
+
     // Fellegi–Sunter probabilistic record linkage with ZERO logs: per
     // blocked candidate pair, the match likelihood is the product of
     // per-field odds — agree ⇒ ×m̂/û = ×9/×1, disagree ⇒ ×(1−m̂)/(1−û)
@@ -3437,6 +3532,80 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Every chunk hash, its document frequency, and the per-doc dup
+    // fraction replayed.
+    "q_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents WHERE len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9]+'), x -> x <> '')) >= 1),
+         ch AS (
+           SELECT doc_id, unnest(list_transform(range(0, (len(tk)-1) // 10 + 1),
+             i -> md5(array_to_string(tk[i*10+1 : i*10+10], ' ')))) AS fp
+           FROM t),
+         dfreq AS (
+           SELECT fp, count(DISTINCT doc_id) AS df
+           FROM (SELECT DISTINCT doc_id, fp FROM ch) GROUP BY fp)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT)
+             AS dup_pm
+         FROM ch JOIN dfreq USING (fp) GROUP BY doc_id ORDER BY doc_id""",
+
+    // The canonical pa < pb < pc extension and the support cut replayed.
+    "q_itemsets3" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+         SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+           CAST(count(*) AS BIGINT) AS support
+         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                   JOIN li c ON a.o = c.o AND b.p < c.p
+         GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         ORDER BY pa, pb, pc""",
+
+    // The full (source × band) grid including absent cells, and the
+    // integer L1 division, replayed.
+    "q_hist_l1" ->
+      """WITH b AS (
+           SELECT source,
+             least(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) // 10, 15) AS band
+           FROM documents),
+         csb AS (SELECT source, band, CAST(count(*) AS BIGINT) AS c_sb
+                 FROM b GROUP BY 1, 2),
+         cb AS (SELECT band, CAST(sum(c_sb) AS BIGINT) AS c_b FROM csb GROUP BY 1),
+         ns AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM csb GROUP BY 1),
+         n AS (SELECT CAST(sum(c_sb) AS BIGINT) AS n FROM csb),
+         grid AS (
+           SELECT ns.source, cb.band, ns.n_s, cb.c_b, n.n,
+             coalesce(csb.c_sb, 0) AS c_sb
+           FROM ns CROSS JOIN cb CROSS JOIN n
+           LEFT JOIN csb ON csb.source = ns.source AND csb.band = cb.band)
+         SELECT source, max(n_s) AS n_docs,
+           CAST((sum(abs(c_sb * n - c_b * n_s)) * 1000) // (max(n_s) * max(n))
+             AS BIGINT) AS l1_x1000
+         FROM grid GROUP BY source ORDER BY source""",
+
+    // The month partitions, the bounded median rank, and both skew
+    // figures replayed.
+    "q_partition_skew" ->
+      """WITH p AS (
+           SELECT year(o_orderdate) * 100 + month(o_orderdate) AS part,
+             CAST(count(*) AS BIGINT) AS sz
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT sz, row_number() OVER (ORDER BY sz, part) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n_parts
+           FROM p)
+         SELECT max(n_parts) AS n_parts, CAST(sum(sz) AS BIGINT) AS n_rows,
+           min(sz) AS min_size, max(sz) AS max_size,
+           min(CASE WHEN rk = (n_parts + 1) // 2 THEN sz END) AS median_size,
+           CAST((max(sz) * 1000) // sum(sz) AS BIGINT) AS max_share_pm,
+           CAST((max(sz) * 100) // min(CASE WHEN rk = (n_parts + 1) // 2 THEN sz END)
+             AS BIGINT) AS skew_x100
+         FROM r""",
 
     // Every blocked pair, all three agreement tests, and the integer
     // odds products replayed.

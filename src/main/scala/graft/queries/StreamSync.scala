@@ -746,6 +746,74 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming checksum fixture: documents in three interleaved batches,
+    * per-source XOR state folded live; guard = final snapshot equals the
+    * batch Integrity.corpusChecksum row leg (XOR commutativity makes
+    * this exact by algebra, not by ordering discipline).
+    */
+  private def checksumSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/documents.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_checksum_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("doc_id"), col("source"), col("text"))).as("j"))
+        val b1 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 0)),
+          root, landing, "batch1.jsonl")
+        val b2 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 1)),
+          root, landing, "batch2.jsonl")
+        val b3 = landOne(jsonl(docs.filter(col("doc_id") % 3 === 2)),
+          root, landing, "batch3.jsonl")
+        mtimeAfter(b2, b1, 2000)
+        mtimeAfter(b3, b2, 4000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        import s.implicits._
+        val rows = StreamingSync
+          .readJsonlStream(s, s"$landing/*.jsonl", schema, maxFilesPerTrigger = 1)
+          .select(col("source"),
+            expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', text)), 1, 15), 16, 10) as bigint)")
+              .as("h"))
+          .as[StreamingSync.SrcHash]
+        val q = StreamingSync.checksumStream(rows).writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_checksum replay")
+
+        val sunk = s.read.parquet(sink.toString)
+        val maxSeq = sunk.groupBy(col("source")).agg(max(col("seq")).as("seq"))
+        val fin = sunk.join(maxSeq, Seq("source", "seq"))
+          .select(col("source"), col("n_docs"), col("row_xor"))
+        val batch = graft.operators.Integrity
+          .corpusChecksum(docs, "source", "doc_id", "text")
+          .select(col("source"), col("n_docs"), col("row_xor"))
+        val diff = fin.unionByName(batch)
+          .groupBy(col("source"), col("n_docs"), col("row_xor"))
+          .agg(count(lit(1)).as("k")).filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_checksum: $diff source rows diverge from the batch checksum — " +
+            "XOR state lost or double-folded a row")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Projection for the streaming interval merge: `v` carries each
     * event's deterministic interval END (start + (event_id % 36 + 1)
     * hours in epoch micros) — the same recipe as the batch
@@ -1435,6 +1503,18 @@ object StreamSync {
         .orderBy("id_a", "id_b")
     }),
 
+    // Live corpus checksum: per-source XOR state across three batches,
+    // final snapshot fixture-guarded equal to the batch
+    // Integrity.corpusChecksum row leg; the oracle replays the batch
+    // fold from the raw table.
+    "q_stream_checksum" -> ((s, d) => {
+      val sunk = s.read.parquet(checksumSinkDir(s, d))
+      val maxSeq = sunk.groupBy(col("source")).agg(max(col("seq")).as("seq"))
+      sunk.join(maxSeq, Seq("source", "seq"))
+        .select(col("source"), col("n_docs"), col("row_xor"))
+        .orderBy("source")
+    }),
+
     // Streaming frequent tokens: per-lang Misra–Gries summaries folded
     // across three interleaved batches (exact mode — capacity ≥ vocab;
     // fixture-guarded equal to the batch counts), the query taking each
@@ -1556,6 +1636,13 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // The batch XOR fold replayed from the raw table.
+    "q_stream_checksum" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+             AS row_xor
+         FROM documents GROUP BY source ORDER BY source""",
+
     // The batch replay of the exact-mode MG snapshot: per-lang token
     // counts, top-8 by (cnt desc, token asc).
     "q_stream_topk" ->

@@ -505,6 +505,35 @@ object StreamingSync {
       }
   }
 
+  final case class SrcHash(source: String, h: Long)
+  final case class XorState(x: Long, n: Long, seq: Long)
+  final case class XorRow(source: String, seq: Long, n_docs: Long, row_xor: Long)
+
+  /** Streaming corpus checksum: the XOR fold of
+    * [[graft.operators.Integrity.corpusChecksum]]'s row leg maintained
+    * live per source — three longs of state per key, one row emitted
+    * per (key, batch) with the running (n, xor) stamped by seq. XOR's
+    * commutativity makes the running value batch-split independent BY
+    * ALGEBRA (no ordering canonicalization needed — the one FMGWS op
+    * here whose state fold is order-free), so the final snapshot equals
+    * the batch checksum exactly: continuous ingest integrity without a
+    * nightly full-scan audit.
+    */
+  def checksumStream(rows: Dataset[SrcHash]): Dataset[XorRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[XorState, XorRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, hs, gs: GroupState[XorState]) =>
+          var st = gs.getOption.getOrElse(XorState(0L, 0L, 0L))
+          hs.foreach(r => st = XorState(st.x ^ r.h, st.n + 1L, st.seq))
+          st = st.copy(seq = st.seq + 1L)
+          gs.update(st)
+          Iterator.single(XorRow(src, st.seq, st.n, st.x))
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(
