@@ -1487,6 +1487,73 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Kish effective sample size (survey statistics, applied to data
+    // mixing): per source, n_eff = (Σw)² / Σw² over inverse-lang-
+    // frequency integer weights — the honest "how many docs is this
+    // weighted mix really worth" figure, emitted ×100 by exact integer
+    // division. Weights broadcast from a |langs|-row table.
+    "q_kish_neff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val weighted = docs.select(col("source"), col("lang"))
+        .join(broadcast(lw), Seq("lang"))
+        .crossJoin(broadcast(n))
+        .withColumn("w", expr("(n_total * 1000) div (n_lang * 5)"))
+      weighted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_w"),
+          sum(col("w") * col("w")).as("sum_w2"))
+        .withColumn("neff_x100", expr("(sum_w * sum_w * 100) div sum_w2"))
+        .orderBy("source")
+    }),
+
+    // Concentration (Gini) of the corpus over source and lang: the
+    // exact integer rank formula Σ(2i−n−1)·x_i div (n·Σx) over the
+    // BOUNDED group-count spine (20 sources / 5 langs — the rank
+    // window is |groups|-sized, never data-sized). The one-row-per-
+    // dimension inequality report a dataset card cites.
+    "q_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def gini(dim: String) = {
+        val sizes = docs.groupBy(col(dim).as("g")).agg(count(lit(1)).as("x"))
+        sizes
+          .withColumn("i", row_number().over(Window.orderBy(col("x"), col("g"))).cast("long"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("x")).as("n_total"),
+            sum((col("i") * 2 - 1) * col("x")).as("wsum"))
+          .select(lit(dim).as("dimension"), col("n_groups"), col("n_total"),
+            // Σ(2i−n−1)·x_i = Σ(2i−1)·x_i − n·Σx = wsum − n·n_total
+            expr("((wsum - n_groups * n_total) * 1000) div (n_groups * n_total)")
+              .as("gini_x1000"))
+      }
+      gini("source").unionByName(gini("lang")).orderBy("dimension")
+    }),
+
+    // Burst detection over the event stream: a (type, day) count is a
+    // BURST when it exceeds 1.2× its trailing-week daily average —
+    // decided by the exact cross-multiplication 35·n > 6·wk over the
+    // 7-day rolling sum (full windows only). Kleinberg's burst idea in
+    // its integer form; windows per event_type over the bounded day
+    // spine.
+    "q_bursts" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("wk", sum(col("n")).over(w))
+        .withColumn("nd", count(lit(1)).over(w))
+        .filter(col("nd") === 7)
+        .withColumn("burst", col("n") * 35 > col("wk") * 6)
+        .select(col("event_type"), col("day"), col("n"), col("wk"), col("burst"))
+        .orderBy("event_type", "day")
+    }),
+
     // Chunk-level cross-doc duplication (the C4/RefinedWeb line-dedup
     // idea over fixed 10-token chunks): per doc, the fraction of its
     // chunks whose hash occurs in ≥2 documents — catches shared
@@ -3532,6 +3599,56 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The weight table, both sums, and the squared-sum division
+    // replayed.
+    "q_kish_neff" ->
+      """WITH lw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                     FROM documents GROUP BY lang),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         wdoc AS (
+           SELECT d.source, (n_total * 1000) // (n_lang * 5) AS w
+           FROM documents d JOIN lw USING (lang), n)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS sum_w,
+           CAST(sum(w * w) AS BIGINT) AS sum_w2,
+           CAST((CAST(sum(w) AS BIGINT) * CAST(sum(w) AS BIGINT) * 100) //
+             CAST(sum(w * w) AS BIGINT) AS BIGINT) AS neff_x100
+         FROM wdoc GROUP BY source ORDER BY source""",
+
+    // The bounded rank spine and the exact integer Gini formula
+    // replayed for both dimensions.
+    "q_gini" ->
+      """WITH s AS (
+           SELECT 'source' AS dimension, source AS g, CAST(count(*) AS BIGINT) AS x
+           FROM documents GROUP BY 2
+           UNION ALL
+           SELECT 'lang', lang, CAST(count(*) AS BIGINT) FROM documents GROUP BY 2),
+         r AS (
+           SELECT dimension, x,
+             CAST(row_number() OVER (PARTITION BY dimension ORDER BY x, g) AS BIGINT) AS i
+           FROM s)
+         SELECT dimension, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(x) AS BIGINT) AS n_total,
+           CAST(((CAST(sum((i * 2 - 1) * x) AS BIGINT) - count(*) * sum(x)) * 1000) //
+             (count(*) * sum(x)) AS BIGINT) AS gini_x1000
+         FROM r GROUP BY dimension ORDER BY dimension""",
+
+    // The day spine, the 7-day trailing sums, and the 35n > 6wk burst
+    // test replayed.
+    "q_bursts" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS wk,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nd
+           FROM d)
+         SELECT event_type, day, n, wk, n * 35 > wk * 6 AS burst
+         FROM w WHERE nd = 7 ORDER BY event_type, day""",
 
     // Every chunk hash, its document frequency, and the per-doc dup
     // fraction replayed.
