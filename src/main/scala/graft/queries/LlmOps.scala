@@ -1487,6 +1487,32 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Slowly-changing-dimension Type 2 build: each user's event_type
+    // history compressed to validity intervals — keep rows where the
+    // type CHANGES (vs the (ts, id)-ordered predecessor), close each
+    // interval at the next change, flag the open one current, number
+    // versions. The warehouse dimension-maintenance op as two per-user
+    // windows (keyed parallelism); exact integer micros.
+    "q_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val changes = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      changes
+        .withColumn("valid_to_us",
+          coalesce(lead(col("ts_us"), 1).over(w2), lit(-1L)))
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .withColumn("is_current", col("valid_to_us") === -1L)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // Kish effective sample size (survey statistics, applied to data
     // mixing): per source, n_eff = (Σw)² / Σw² over inverse-lang-
     // frequency integer weights — the honest "how many docs is this
@@ -3599,6 +3625,31 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The change detection, interval closing, and version numbering
+    // replayed on the same (ts, id) total order.
+    "q_scd2" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+           FROM events WHERE user_id < 50),
+         c AS (
+           SELECT *,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev_type
+           FROM e),
+         ch AS (
+           SELECT user_id, ts_us, event_id, event_type FROM c
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (
+           SELECT user_id, event_type, ts_us AS valid_from_us,
+             coalesce(lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id), -1) AS valid_to_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS version
+           FROM ch)
+         SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+           valid_to_us = -1 AS is_current
+         FROM v ORDER BY user_id, version""",
 
     // The weight table, both sums, and the squared-sum division
     // replayed.
