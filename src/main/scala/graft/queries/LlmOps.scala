@@ -1487,6 +1487,55 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Kendall rank correlation between the BM25 ranking and the integer
+    // tf·idf ranking over the same three query terms — the ranker-
+    // agreement metric an eval harness reports before swapping scorers.
+    // Tau-a over the docs common to both top-20s: concordant/discordant
+    // pair counts (ranks are strict — no tie term), tau ×1000 by exact
+    // integer division. Every frame after the two rankers is ≤20 rows,
+    // so the pair join is bounded by construction.
+    "q_rank_corr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val terms = Seq("table", "hash", "window")
+      val a = Retrieval.bm25TopK(docs, "doc_id", "text", terms, topK = 20)
+        .select(col("doc_id"), col("rank").cast("long").as("rank_a"))
+      val hits = docs
+        .select(col("doc_id"), explode(gfn.ascii_tokens(col("text"))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+      val n = docs.select(count(lit(1)).as("n_corpus"))
+      val dfs = hits.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf_x1e6", expr("(n_corpus * 1000000) div df"))
+      val b = hits.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .join(broadcast(dfs.select(col("tok"), col("idf_x1e6"))), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("idf_x1e6")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("rank_b", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("rank_b"))
+      val common = a.join(b, Seq("doc_id"))
+      val x = common.select(col("doc_id").as("ida"), col("rank_a").as("aa"),
+        col("rank_b").as("ba"))
+      val y = common.select(col("doc_id").as("idb"), col("rank_a").as("ab"),
+        col("rank_b").as("bb"))
+      val m = common.agg(count(lit(1)).as("n_common"))
+      x.join(y, col("ida") < col("idb")) // ≤ C(20,2) pairs
+        .withColumn("conc",
+          when((col("aa") - col("ab")) * (col("ba") - col("bb")) > 0, 1L).otherwise(0L))
+        .groupBy()
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("n_conc"))
+        .crossJoin(broadcast(m))
+        .withColumn("n_disc", col("n_pairs") - col("n_conc"))
+        .withColumn("tau_x1000",
+          expr("((n_conc - n_disc) * 1000) div n_pairs"))
+        .select(col("n_common"), col("n_pairs"), col("n_conc"), col("n_disc"),
+          col("tau_x1000"))
+    }),
+
     // Slowly-changing-dimension Type 2 build: each user's event_type
     // history compressed to validity intervals — keep rows where the
     // type CHANGES (vs the (ts, id)-ordered predecessor), close each
@@ -3625,6 +3674,44 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Both rankings (the proven BM25 mirror + the integer tf·idf cut)
+    // and the bounded Kendall pair census replayed.
+    "q_rank_corr" ->
+      s"""$bm25CteSql,
+         ra AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+           FROM sc WHERE score > 0 QUALIFY rank_a <= 20),
+         t AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) AS tok
+           FROM documents),
+         hits AS (SELECT doc_id, tok FROM t WHERE tok IN ('table', 'hash', 'window')),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+         dfs AS (
+           SELECT tok, CAST((n_corpus * 1000000) // count(DISTINCT doc_id) AS BIGINT)
+             AS idf_x1e6
+           FROM hits, nn GROUP BY tok, n_corpus),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2),
+         rb AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sum(tf * idf_x1e6) DESC, doc_id)
+               AS BIGINT) AS rank_b
+           FROM tf JOIN dfs USING (tok) GROUP BY doc_id
+           QUALIFY rank_b <= 20),
+         co AS (SELECT ra.doc_id, rank_a, rank_b FROM ra JOIN rb USING (doc_id)),
+         p AS (
+           SELECT CASE WHEN (x.rank_a - y.rank_a) * (x.rank_b - y.rank_b) > 0
+             THEN 1 ELSE 0 END AS conc
+           FROM co x JOIN co y ON x.doc_id < y.doc_id),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM co)
+         SELECT mm.n_common, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS n_conc,
+           CAST(count(*) - sum(conc) AS BIGINT) AS n_disc,
+           CAST(((sum(conc) - (count(*) - sum(conc))) * 1000) // count(*) AS BIGINT)
+             AS tau_x1000
+         FROM p, mm GROUP BY mm.n_common""",
 
     // The change detection, interval closing, and version numbering
     // replayed on the same (ts, id) total order.

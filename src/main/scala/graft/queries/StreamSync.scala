@@ -746,6 +746,80 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming SCD2 fixture: user-typed events in two TIME-SPLIT batches
+    * (per-key time order across batches — the value-stream contract);
+    * scd2Stream emits closed dimension rows on each type change. Guard:
+    * the emitted set equals the batch q_scd2 closed-interval set.
+    */
+  private def scd2SinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_scd2_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d).filter(col("user_id") < 50)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+        val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z
+        def jsonl(df: DataFrame): DataFrame = df.select(to_json(struct(
+          col("user_id"), col("ts_us"), col("event_id"), col("event_type"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("ts_us") < cutUs)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("ts_us") >= cutUs)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts_us",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType)))
+        import s.implicits._
+        val out = StreamingSync.scd2Stream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TypedEvent])
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_scd2 replay")
+
+        // guard: stream closed set == batch closed set (exact rows)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val batchClosed = ev
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+          .withColumn("version", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id")))
+            .cast("long"))
+          .filter(col("valid_to_us").isNotNull)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        val got = s.read.parquet(sink.toString)
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from_us"), col("valid_to_us"))
+        val diff = got.unionByName(batchClosed)
+          .groupBy(got.columns.map(col): _*).agg(count(lit(1)).as("k"))
+          .filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_scd2: $diff rows diverge from the batch closed-interval set")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming checksum fixture: documents in three interleaved batches,
     * per-source XOR state folded live; guard = final snapshot equals the
     * batch Integrity.corpusChecksum row leg (XOR commutativity makes
@@ -1503,6 +1577,17 @@ object StreamSync {
         .orderBy("id_a", "id_b")
     }),
 
+    // Live SCD2 maintenance: closed dimension rows emitted on type
+    // change across time-split batches, fixture-guarded equal to the
+    // batch closed-interval set; the oracle replays the batch build
+    // (q_scd2's CTE restricted to closed rows).
+    "q_stream_scd2" -> ((s, d) => {
+      s.read.parquet(scd2SinkDir(s, d))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "version")
+    }),
+
     // Live corpus checksum: per-source XOR state across three batches,
     // final snapshot fixture-guarded equal to the batch
     // Integrity.corpusChecksum row leg; the oracle replays the batch
@@ -1636,6 +1721,30 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // The batch SCD2 build restricted to closed rows.
+    "q_stream_scd2" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+           FROM events WHERE user_id < 50),
+         c AS (
+           SELECT *,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev_type
+           FROM e),
+         ch AS (
+           SELECT user_id, ts_us, event_id, event_type FROM c
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (
+           SELECT user_id, event_type, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS valid_to_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS version
+           FROM ch)
+         SELECT user_id, version, event_type, valid_from_us, valid_to_us
+         FROM v WHERE valid_to_us IS NOT NULL
+         ORDER BY user_id, version""",
+
     // The batch XOR fold replayed from the raw table.
     "q_stream_checksum" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -505,6 +505,45 @@ object StreamingSync {
       }
   }
 
+  final case class TypedEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class ScdState(typ: String, from: Long, version: Long)
+  final case class ScdRow(
+      user_id: Long, version: Long, event_type: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD Type-2 maintenance: per key, the OPEN dimension row
+    * is three fields of state (current type, valid_from, version); a
+    * type change CLOSES the open row (emitted with valid_to = the new
+    * row's start) and opens the next — the live face of the batch
+    * q_scd2 build, emitting exactly its closed-interval set (the open
+    * rows live in state, the emit-on-close discipline of the interval-
+    * union stream). Per-batch fold is (ts, id)-sorted; batches must be
+    * per-key time-ordered (the watermark/file-order contract every
+    * value stream in this file shares).
+    */
+  def scd2Stream(events: Dataset[TypedEvent]): Dataset[ScdRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[ScdState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption.orNull
+          val out = scala.collection.mutable.Buffer.empty[ScdRow]
+          sorted.foreach { e =>
+            if (st == null) {
+              st = ScdState(e.event_type, e.ts_us, 1L)
+            } else if (st.typ != e.event_type) {
+              out += ScdRow(user, st.version, st.typ, st.from, e.ts_us)
+              st = ScdState(e.event_type, e.ts_us, st.version + 1L)
+            }
+          }
+          if (st != null) gs.update(st)
+          out.iterator
+      }
+  }
+
   final case class SrcHash(source: String, h: Long)
   final case class XorState(x: Long, n: Long, seq: Long)
   final case class XorRow(source: String, seq: Long, n_docs: Long, row_xor: Long)
