@@ -60,4 +60,27 @@ object CMSketch {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
+
+  /** Equi-join SIZE estimate from two sketches (Cormode & Muthukrishnan
+    * §4.2: the CM inner product): per hash row j, Σ_b cntA[j][b]·cntB[j][b]
+    * overestimates Σ_k fA(k)·fB(k) = |A ⋈ B| (collisions only ADD cross
+    * terms), so min over the d rows keeps the never-undercount guarantee
+    * — the optimizer-statistics primitive that sizes a join from two
+    * d·w-cell summaries without touching either table. Rows where the
+    * sketches share no occupied bucket contribute inner product 0 (the
+    * join estimate is then exactly 0), hence the d-row spine rather
+    * than a bare groupBy over surviving rows.
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame, d: Int): DataFrame = {
+    require(d > 0, s"d must be positive, got $d")
+    val spark = sketchA.sparkSession
+    import spark.implicits._
+    val perRow = sketchA.select(col("j"), col("bucket"), col("cnt").as("ca"))
+      .join(sketchB.select(col("j"), col("bucket"), col("cnt").as("cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+    (0 until d).map(j => j.toLong).toDF("j")
+      .join(perRow, Seq("j"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("join_est"))
+  }
 }

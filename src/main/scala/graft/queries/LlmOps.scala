@@ -1487,6 +1487,50 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // CM-sketch join-size estimation (the optimizer-statistics
+    // primitive): |events ⋈ orders| on the shared id space, estimated
+    // from two 3×1024-cell sketches via the per-row inner product with
+    // min-over-rows — never undercounts (certificate emitted) — beside
+    // the exact Σ f_E(k)·f_O(k) computed from the two count tables
+    // (a |keys|-row join, never a row-level join).
+    "q_join_est" -> ((s, d) => {
+      import graft.operators.CMSketch
+      val ev = Tables.events(s, d).select(col("user_id").as("k"))
+      val or = Tables.orders(s, d).select(col("o_custkey").cast("long").as("k"))
+      val sa = CMSketch.build(ev, "k", d = 3, w = 1024)
+      val sb = CMSketch.build(or, "k", d = 3, w = 1024)
+      val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("fa"))
+        .join(or.groupBy(col("k")).agg(count(lit(1)).as("fb")), Seq("k"))
+        .agg(sum(col("fa") * col("fb")).as("n_exact"))
+      CMSketch.joinSizeEstimate(sa, sb, d = 3)
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("join_est"),
+          (col("join_est") >= col("n_exact")).as("never_under"),
+          expr("(join_est * 100) div n_exact").as("rel_x100"))
+    }),
+
+    // Time-travel snapshot over the SCD2 dimension: every user's
+    // dimension row AS OF the pinned instant — the validity-interval
+    // point lookup every bitemporal consumer runs. One interval filter
+    // over the q_scd2 build.
+    "q_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val asOfUs = 1705276800000000L // 2024-01-15T00:00:00Z
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .filter(col("ts_us") <= asOfUs && col("valid_to_us") > asOfUs)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("valid_from_us"))
+        .orderBy("user_id")
+    }),
+
     // Kendall rank correlation between the BM25 ranking and the integer
     // tf·idf ranking over the same three query terms — the ranker-
     // agreement metric an eval harness reports before swapping scorers.
@@ -3674,6 +3718,59 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // Both sketches cell-for-cell, the per-row inner products over the
+    // full d-row spine, and the exact count-table product replayed.
+    "q_join_est" ->
+      """WITH ek AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+         ok AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_custkey IS NOT NULL),
+         ea AS (
+           SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM ek, unnest([0, 1, 2]) AS t(j) GROUP BY 1, 2),
+         ob AS (
+           SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 1024 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM ok, unnest([0, 1, 2]) AS t(j) GROUP BY 1, 2),
+         ip AS (
+           SELECT s.j, coalesce(sum(ea.cnt * ob.cnt), 0) AS ip
+           FROM unnest([0, 1, 2]) AS s(j)
+           LEFT JOIN ea ON ea.j = s.j
+           LEFT JOIN ob ON ob.j = s.j AND ob.bucket = ea.bucket
+           GROUP BY s.j),
+         est AS (SELECT CAST(min(ip) AS BIGINT) AS join_est FROM ip),
+         ex AS (
+           SELECT CAST(sum(fa * fb) AS BIGINT) AS n_exact FROM
+             (SELECT k, count(*) AS fa FROM ek GROUP BY k) a
+             JOIN (SELECT k, count(*) AS fb FROM ok GROUP BY k) b USING (k))
+         SELECT n_exact, join_est, join_est >= n_exact AS never_under,
+           CAST((join_est * 100) // n_exact AS BIGINT) AS rel_x100
+         FROM est, ex""",
+
+    // The interval build and the as-of point filter replayed.
+    "q_time_travel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+           FROM events WHERE user_id < 50),
+         c AS (
+           SELECT *,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev_type
+           FROM e),
+         ch AS (
+           SELECT user_id, ts_us, event_id, event_type FROM c
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (
+           SELECT user_id, event_type, ts_us AS valid_from_us,
+             coalesce(lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id), 9223372036854775807) AS valid_to_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS version
+           FROM ch)
+         SELECT user_id, version, event_type, valid_from_us
+         FROM v
+         WHERE valid_from_us <= 1705276800000000 AND valid_to_us > 1705276800000000
+         ORDER BY user_id""",
 
     // Both rankings (the proven BM25 mirror + the integer tf·idf cut)
     // and the bounded Kendall pair census replayed.
