@@ -1487,6 +1487,60 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Weak-supervision label matrix (the Snorkel-style input table):
+    // three cheap heuristic labelers — word-count window 351/500,
+    // half-distinct repetition rule 219/500, 0.4-diversity rule
+    // 328/500, each genuinely splitting this corpus — and the majority
+    // vote, all exact integer tests. The per-doc vote matrix is what a
+    // label model trains on; disagreement rows are the audit queue.
+    "q_weak_labels" -> ((s, d) => {
+      val tk = gfn.ascii_tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tk).cast("long").as("nw"),
+          size(array_distinct(tk)).cast("long").as("nd"))
+        .withColumn("l_wc", col("nw") >= 30L && col("nw") <= 90L)
+        .withColumn("l_rep", col("nd") * 2 >= col("nw"))
+        .withColumn("l_div", col("nd") * 5 >= col("nw") * 2)
+        .withColumn("majority",
+          (when(col("l_wc"), 1L).otherwise(0L) +
+            when(col("l_rep"), 1L).otherwise(0L) +
+            when(col("l_div"), 1L).otherwise(0L)) >= 2L)
+        .select(col("doc_id"), col("l_wc"), col("l_rep"), col("l_div"), col("majority"))
+        .orderBy("doc_id")
+    }),
+
+    // Cohen's kappa between the word-count and repetition labelers as
+    // an exact rational: κ = (n·n_agree − Σ marginal products) /
+    // (n² − Σ marginal products), emitted as integer numerator,
+    // denominator, and ×1000 floor — chance-corrected agreement with
+    // zero floats, the annotation-quality figure behind any labeler
+    // ensemble.
+    "q_kappa" -> ((s, d) => {
+      val tk = gfn.ascii_tokens(col("text"))
+      val lab = Tables.documents(s, d)
+        .select(size(tk).cast("long").as("nw"),
+          size(array_distinct(tk)).cast("long").as("nd"))
+        .select((col("nw") >= 30L && col("nw") <= 90L).as("a"),
+          (col("nd") * 2 >= col("nw")).as("b"))
+      lab.agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("b1"))
+        .withColumn("pe_num",
+          col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+        .withColumn("kappa_num", col("n") * col("n_agree") - col("pe_num"))
+        .withColumn("kappa_den", col("n") * col("n") - col("pe_num"))
+        // MEASURED (round 12): DuckDB `//` truncates toward zero on
+        // negatives exactly like Spark's `div` (−7//2 = −3 in both), so
+        // plain div is the portable rendering even for negative κ —
+        // it is `%`/pmod that differ between the engines, not the
+        // integer division.
+        .withColumn("kappa_x1000", expr("(kappa_num * 1000) div kappa_den"))
+        .select(col("n"), col("n_agree"), col("a1"), col("b1"),
+          col("kappa_num"), col("kappa_den"), col("kappa_x1000"))
+    }),
+
     // CM-sketch join-size estimation (the optimizer-statistics
     // primitive): |events ⋈ orders| on the shared id space, estimated
     // from two 3×1024-cell sketches via the per-row inner product with
@@ -3718,6 +3772,53 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // All three integer labeler tests and the majority vote replayed.
+    "q_weak_labels" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS nw,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+           FROM t)
+         SELECT doc_id,
+           nw >= 30 AND nw <= 90 AS l_wc,
+           nd * 2 >= nw AS l_rep,
+           nd * 5 >= nw * 2 AS l_div,
+           (CASE WHEN nw >= 30 AND nw <= 90 THEN 1 ELSE 0 END +
+            CASE WHEN nd * 2 >= nw THEN 1 ELSE 0 END +
+            CASE WHEN nd * 5 >= nw * 2 THEN 1 ELSE 0 END) >= 2 AS majority
+         FROM m ORDER BY doc_id""",
+
+    // The agreement census, both marginals, and the exact rational κ
+    // (floor ×1000) replayed.
+    "q_kappa" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT CAST(len(tk) AS BIGINT) AS nw,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+           FROM t),
+         l AS (
+           SELECT nw >= 30 AND nw <= 90 AS a, nd * 2 >= nw AS b FROM m),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+           FROM l),
+         k AS (
+           SELECT *, a1 * b1 + (n - a1) * (n - b1) AS pe_num FROM s)
+         SELECT n, n_agree, a1, b1,
+           n * n_agree - pe_num AS kappa_num,
+           n * n - pe_num AS kappa_den,
+           ((n * n_agree - pe_num) * 1000) // (n * n - pe_num) AS kappa_x1000
+         FROM k""",
 
     // Both sketches cell-for-cell, the per-row inner products over the
     // full d-row spine, and the exact count-table product replayed.
