@@ -1487,6 +1487,69 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Context-length tuning curve: the chop-packed layout evaluated at
+    // ctx ∈ {128, 256, 512} in ONE plan (docs × 3-row ctx spine, the
+    // packer's per-(ctx, shard) cumsum windows) — per ctx: documents
+    // split across window boundaries (the attention-contamination
+    // cost), total windows, and tail padding waste. The table that
+    // picks a context length from data instead of folklore.
+    "q_ctx_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      val ctxs = Seq(128L, 256L, 512L)
+      import s.implicits._
+      val spine = ctxs.toDF("ctx")
+      val w = Window.partitionBy(col("ctx"), col("shard")).orderBy(col("doc_id"))
+      val packed = docs.crossJoin(broadcast(spine))
+        .withColumn("end_off", sum(col("n_tok")).over(w))
+        .withColumn("start_off", col("end_off") - col("n_tok"))
+        .withColumn("first_win", expr("start_off div ctx"))
+        .withColumn("last_win", expr("(end_off - 1) div ctx"))
+      val perShard = packed.groupBy(col("ctx"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("first_win") =!= col("last_win"), 1L).otherwise(0L)).as("n_split"),
+          (max(col("last_win")) + 1).as("shard_windows"),
+          sum(col("n_tok")).as("shard_tokens"))
+      perShard.groupBy(col("ctx"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_split")).as("n_split"),
+          sum(col("shard_windows")).as("n_windows"),
+          sum(col("shard_tokens")).as("n_tokens"))
+        .withColumn("split_pm", expr("(n_split * 1000) div n_docs"))
+        .withColumn("tail_waste", col("n_windows") * col("ctx") - col("n_tokens"))
+        .select(col("ctx"), col("n_docs"), col("n_split"), col("split_pm"),
+          col("n_windows"), col("n_tokens"), col("tail_waste"))
+        .orderBy("ctx")
+    }),
+
+    // word2vec negative-sampling table (Mikolov et al. 2013): per-token
+    // draw weight ∝ freq^(3/4) — computed EXACTLY in integers as
+    // isqrt(freq · isqrt(freq)) (x^(3/4) = √(x·√x); both isqrt layers
+    // carry the ±1 seed correction, so any engine replays the nested
+    // floor identically — the α=1/2 temperature-mix trick extended to
+    // α=3/4). boosted marks tokens whose sampling share exceeds their
+    // natural share — exactly the rare-token lift the exponent exists
+    // to produce. Vocabulary-bounded; totals via 1-row broadcast.
+    "q_neg_sampling" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(gfn.ascii_tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 20)
+      val w34 = Sampling.isqrt(col("freq") * Sampling.isqrt(col("freq")))
+      val weighted = freq.withColumn("w34", w34)
+      val tot = weighted.agg(sum(col("w34")).as("tw"), sum(col("freq")).as("tf"))
+      weighted.crossJoin(broadcast(tot))
+        .withColumn("prob_pm", expr("(w34 * 1000) div tw"))
+        .withColumn("natural_pm", expr("(freq * 1000) div tf"))
+        .withColumn("boosted", col("prob_pm") > col("natural_pm"))
+        .select(col("token"), col("freq"), col("w34"), col("prob_pm"),
+          col("natural_pm"), col("boosted"))
+        .orderBy("token")
+    }),
+
     // Weak-supervision label matrix (the Snorkel-style input table):
     // three cheap heuristic labelers — word-count window 351/500,
     // half-distinct repetition rule 219/500, 0.4-diversity rule
@@ -3772,6 +3835,76 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The per-(ctx, shard) cumsum, window spans, and all three curve
+    // rows replayed from one ctx spine.
+    "q_ctx_curve" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+             doc_id % 8 AS shard
+           FROM documents
+           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+         cx AS (SELECT unnest([128, 256, 512]) AS ctx),
+         p AS (
+           SELECT ctx, shard, doc_id, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY ctx, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+           FROM d, cx),
+         q AS (
+           SELECT ctx, shard, n_tok,
+             (end_off - n_tok) // ctx AS first_win,
+             (end_off - 1) // ctx AS last_win
+           FROM p),
+         sh AS (
+           SELECT ctx, shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN first_win <> last_win THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split,
+             CAST(max(last_win) + 1 AS BIGINT) AS shard_windows,
+             CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+           FROM q GROUP BY 1, 2)
+         SELECT CAST(ctx AS BIGINT) AS ctx, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_split) AS BIGINT) AS n_split,
+           CAST((sum(n_split) * 1000) // sum(n_docs) AS BIGINT) AS split_pm,
+           CAST(sum(shard_windows) AS BIGINT) AS n_windows,
+           CAST(sum(shard_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(shard_windows) * ctx - sum(shard_tokens) AS BIGINT) AS tail_waste
+         FROM sh GROUP BY ctx ORDER BY ctx""",
+
+    // Both corrected isqrt layers, the weight table, and every share
+    // division replayed.
+    "q_neg_sampling" ->
+      """WITH f AS (
+           SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY 1 HAVING count(*) >= 20),
+         s1 AS (
+           SELECT token, freq,
+             CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) AS r0
+           FROM f),
+         s1c AS (
+           SELECT token, freq,
+             CASE WHEN (r0+1)*(r0+1) <= freq THEN r0+1
+                  WHEN r0*r0 > freq THEN r0-1 ELSE r0 END AS sq
+           FROM s1),
+         s2 AS (
+           SELECT token, freq, freq * sq AS x,
+             CAST(floor(sqrt(CAST(freq * sq AS DOUBLE))) AS BIGINT) AS r0
+           FROM s1c),
+         s2c AS (
+           SELECT token, freq,
+             CASE WHEN (r0+1)*(r0+1) <= x THEN r0+1
+                  WHEN r0*r0 > x THEN r0-1 ELSE r0 END AS w34
+           FROM s2),
+         t AS (SELECT CAST(sum(w34) AS BIGINT) AS tw, CAST(sum(freq) AS BIGINT) AS tf
+               FROM s2c)
+         SELECT token, freq, w34,
+           (w34 * 1000) // tw AS prob_pm,
+           (freq * 1000) // tf AS natural_pm,
+           (w34 * 1000) // tw > (freq * 1000) // tf AS boosted
+         FROM s2c, t ORDER BY token""",
 
     // All three integer labeler tests and the majority vote replayed.
     "q_weak_labels" ->
