@@ -1487,6 +1487,85 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Tokenizer round-trip certificate: encode every doc against the
+    // full vocabulary, decode ids back through the same dictionary, and
+    // certify decoded == original token stream per doc — the id-map
+    // bijectivity check a tokenizer release gates on. Vocab broadcasts;
+    // the decode re-join rides the encode's own explode.
+    "q_vocab_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.buildVocab(docs, "text", size = 1000)
+      val dec = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+        .filter(col("token_id") > 0)
+        .join(broadcast(vocab), Seq("token_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_decoded"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(pos, token))), t -> t.token)"),
+            " ").as("decoded"))
+      docs.select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("__tk"))
+        .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
+          array_join(col("__tk"), " ").as("orig"))
+        .join(dec, Seq("doc_id"), "left")
+        .withColumn("n_decoded", coalesce(col("n_decoded"), lit(0L)))
+        .withColumn("roundtrip_ok",
+          col("n_decoded") === col("n_tokens") &&
+            coalesce(col("decoded"), lit("")) === col("orig"))
+        .select(col("doc_id"), col("n_tokens"), col("n_decoded"), col("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Signed feature-hash embedding (the Weinberger et al. hashing
+    // trick with the ±1 sign hash that unbiases collisions — the DENSE
+    // complement to q_feature_hash's count matrix): every doc embedded
+    // into 16 signed integer components, per-component flat when-sums
+    // (the CollapseProject-safe rendering). No vocabulary at any size.
+    "q_hash_embed" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(gfn.ascii_tokens(col("text"))).as("tok"))
+        .withColumn("b", pmod(conv(substring(md5(concat(lit("b:"), col("tok"))), 1, 8),
+          16, 10).cast("long"), lit(16L)))
+        .withColumn("sgn", when(pmod(conv(substring(md5(concat(lit("s:"), col("tok"))), 1, 8),
+          16, 10).cast("long"), lit(2L)) === 0L, 1L).otherwise(-1L))
+      val fs = (0 until 16).map(j =>
+        sum(when(col("b") === j.toLong, col("sgn")).otherwise(0L)).as(s"f$j"))
+      toks.groupBy(col("doc_id"))
+        .agg(fs.head, fs.tail: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Detector-ensemble agreement: the winnow near-dup pair set vs the
+    // shared-10-token-chunk pair set, classified both/winnow_only/
+    // chunk_only by one full outer join on the pair key — the audit
+    // that says whether two dedup signals see the same duplicates or
+    // complementary ones.
+    "q_dedup_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pw = graft.operators.Winnow
+        .matches(docs, "doc_id", "text", minShared = 3L)
+        .select(col("id_a"), col("id_b"))
+      val ch = docs
+        .select(col("doc_id"), gfn.ascii_tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(tk)-1) div 10), " +
+            "i -> md5(concat_ws(' ', slice(tk, i*10+1, 10))))")).as("fp"))
+        .distinct()
+      val pc = ch.select(col("doc_id").as("id_a"), col("fp"))
+        .join(ch.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      pw.withColumn("w", lit(1L))
+        .join(pc.withColumn("c", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+        .withColumn("status",
+          when(col("w").isNotNull && col("c").isNotNull, "both")
+            .when(col("w").isNotNull, "winnow_only")
+            .otherwise("chunk_only"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // Context-length tuning curve: the chop-packed layout evaluated at
     // ctx ∈ {128, 256, 512} in ONE plan (docs × 3-row ctx spine, the
     // packer's per-(ctx, shard) cumsum windows) — per ctx: documents
@@ -3835,6 +3914,116 @@ object LlmOps {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""",
+
+    // The full encode→decode loop and the per-doc identity certificate
+    // replayed.
+    "q_vocab_roundtrip" ->
+      """WITH ct AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         vc AS (SELECT token, count(*) AS freq FROM ct
+                WHERE token <> '' GROUP BY token),
+         vocab AS (
+           SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+             AS BIGINT) AS token_id
+           FROM vc QUALIFY token_id <= 1000),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           FROM documents),
+         enc AS (
+           SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+           FROM toks t LEFT JOIN vocab v USING (token)),
+         dec AS (
+           SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_decoded,
+             string_agg(v.token, ' ' ORDER BY e.pos) AS decoded
+           FROM enc e JOIN vocab v USING (token_id)
+           WHERE e.token_id > 0 GROUP BY e.doc_id),
+         orig AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+             array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')
+               AS orig
+           FROM documents)
+         SELECT o.doc_id, o.n_tokens, coalesce(d.n_decoded, 0) AS n_decoded,
+           coalesce(d.n_decoded, 0) = o.n_tokens AND
+             coalesce(d.decoded, '') = o.orig AS roundtrip_ok
+         FROM orig o LEFT JOIN dec d USING (doc_id) ORDER BY o.doc_id""",
+
+    // Every bucket, every sign, and all 16 conditional sums replayed.
+    "q_hash_embed" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                             x -> x <> '')) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('b:' || tok), 1, 8))::BIGINT % 16 AS b,
+             CASE WHEN ('0x' || substr(md5('s:' || tok), 1, 8))::BIGINT % 2 = 0
+               THEN 1 ELSE -1 END AS sgn
+           FROM t)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN b = 0 THEN sgn ELSE 0 END) AS BIGINT) AS f0,
+           CAST(sum(CASE WHEN b = 1 THEN sgn ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN b = 2 THEN sgn ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN b = 3 THEN sgn ELSE 0 END) AS BIGINT) AS f3,
+           CAST(sum(CASE WHEN b = 4 THEN sgn ELSE 0 END) AS BIGINT) AS f4,
+           CAST(sum(CASE WHEN b = 5 THEN sgn ELSE 0 END) AS BIGINT) AS f5,
+           CAST(sum(CASE WHEN b = 6 THEN sgn ELSE 0 END) AS BIGINT) AS f6,
+           CAST(sum(CASE WHEN b = 7 THEN sgn ELSE 0 END) AS BIGINT) AS f7,
+           CAST(sum(CASE WHEN b = 8 THEN sgn ELSE 0 END) AS BIGINT) AS f8,
+           CAST(sum(CASE WHEN b = 9 THEN sgn ELSE 0 END) AS BIGINT) AS f9,
+           CAST(sum(CASE WHEN b = 10 THEN sgn ELSE 0 END) AS BIGINT) AS f10,
+           CAST(sum(CASE WHEN b = 11 THEN sgn ELSE 0 END) AS BIGINT) AS f11,
+           CAST(sum(CASE WHEN b = 12 THEN sgn ELSE 0 END) AS BIGINT) AS f12,
+           CAST(sum(CASE WHEN b = 13 THEN sgn ELSE 0 END) AS BIGINT) AS f13,
+           CAST(sum(CASE WHEN b = 14 THEN sgn ELSE 0 END) AS BIGINT) AS f14,
+           CAST(sum(CASE WHEN b = 15 THEN sgn ELSE 0 END) AS BIGINT) AS f15
+         FROM h GROUP BY doc_id ORDER BY doc_id""",
+
+    // Both pair sets and the full-outer classification replayed.
+    "q_dedup_agreement" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS n_grams, s.p AS pos, md5(s.g) AS h
+           FROM (
+             SELECT doc_id, tk, unnest(list_transform(range(1, len(tk) - 2),
+               i -> struct_pack(p := i - 1,
+                 g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+             FROM t WHERE len(tk) >= 4)),
+         w AS (
+           SELECT doc_id, n_grams, pos,
+             min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM g),
+         sel AS (
+           SELECT DISTINCT doc_id, m.h AS fp
+           FROM w WHERE pos <= greatest(n_grams - 4, 0)),
+         pw AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         chs AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, (len(tk)-1) // 10 + 1),
+               i -> md5(array_to_string(tk[i*10+1 : i*10+10], ' ')))) AS fp
+           FROM t WHERE len(tk) >= 1),
+         pc AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM chs a JOIN chs b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT coalesce(pw.id_a, pc.id_a) AS ia, coalesce(pw.id_b, pc.id_b) AS ib,
+             pw.id_a IS NOT NULL AS in_w, pc.id_a IS NOT NULL AS in_c
+           FROM pw FULL OUTER JOIN pc ON pw.id_a = pc.id_a AND pw.id_b = pc.id_b)
+         SELECT CASE WHEN in_w AND in_c THEN 'both'
+                     WHEN in_w THEN 'winnow_only'
+                     ELSE 'chunk_only' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+         FROM j GROUP BY 1 ORDER BY status""",
 
     // The per-(ctx, shard) cumsum, window spans, and all three curve
     // rows replayed from one ctx spine.
