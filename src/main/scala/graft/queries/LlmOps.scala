@@ -1487,6 +1487,72 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Character-bigram profile per lang: the top-5 char bigrams by
+    // frequency (bigram-asc tiebreak) — the sub-token signal family
+    // language-ID heuristics read, surfaced as an auditable table.
+    // Explode is per-character but the aggregate collapses map-side;
+    // the rank window runs over per-lang bigram counts post-aggregate.
+    "q_char_bigrams" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, d)
+        .select(col("lang"), lower(col("text")).as("t"))
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+        .filter(col("bg").rlike("^[a-z]{2}$"))
+      pairs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg").asc))
+          .cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("bg"), col("n"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Cost-sensitive language-ID evaluation: the confusion matrix
+    // weighted by an integer cost table (0 correct, 1 within-script,
+    // 2 cross-script) — the deployment-risk figure a plain accuracy
+    // number hides. Cost table is a when-chain literal; one aggregate.
+    "q_confusion_cost" -> ((s, d) => {
+      val latin = Seq("en", "de", "es", "fr")
+      val pred = TextAnalysis.langId(col("text"))
+      val cost = when(col("lang") === col("pred"), 0L)
+        .when(col("lang").isin(latin: _*) && col("pred").isin(latin: _*), 1L)
+        .otherwise(2L)
+      Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .withColumn("cost", cost)
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"), max(col("cost")).as("unit_cost"),
+          sum(col("cost")).as("total_cost"))
+        .orderBy("lang", "pred")
+    }),
+
+    // Audience overlap: per event-type pair, the user-set intersection
+    // and Jaccard per-mille — the segment-overlap matrix (10 pairs)
+    // product analytics reads before defining cohorts. Distinct
+    // (type, user) pairs shuffle once; the pair join is over per-type
+    // user sets with bounded |types|² output.
+    "q_audience_overlap" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true) // feeds sizes + the pair join
+      val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      tu.select(col("event_type").as("type_a"), col("user_id"))
+        .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), Seq("type_b"))
+        .withColumn("jaccard_pm",
+          expr("(n_inter * 1000) div (n_a + n_b - n_inter)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("jaccard_pm"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Tokenizer round-trip certificate: encode every doc against the
     // full vocabulary, decode ids back through the same dictionary, and
     // certify decoded == original token stream per doc — the id-map
@@ -5257,6 +5323,58 @@ object LlmOps {
 
     // The final symbolizations after the SAME 16 replayed rounds.
     "q_bpe_encode" -> bpeEncodeSql(BpeTrainSteps),
+
+    // The generated langid oracle nested whole, every cost cell and
+    // weighted total recounted.
+    "q_confusion_cost" ->
+      s"""WITH pred AS ($langIdSql),
+         j AS (
+           SELECT d.lang, p.lang_pred AS pred,
+             CASE WHEN d.lang = p.lang_pred THEN 0
+                  WHEN d.lang IN ('en','de','es','fr')
+                   AND p.lang_pred IN ('en','de','es','fr') THEN 1
+                  ELSE 2 END AS cost
+           FROM documents d JOIN pred p USING (doc_id))
+         SELECT lang, pred, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(cost) AS BIGINT) AS unit_cost,
+           CAST(sum(cost) AS BIGINT) AS total_cost
+         FROM j GROUP BY lang, pred ORDER BY lang, pred""",
+
+    // Every character bigram recounted and the per-lang top-5 cut
+    // replayed on the (n desc, bg asc) total order.
+    "q_char_bigrams" ->
+      """WITH p AS (
+           SELECT lang, unnest(list_transform(range(1, length(lower(text))),
+             i -> substr(lower(text), i, 2))) AS bg
+           FROM documents),
+         f AS (SELECT lang, bg FROM p WHERE regexp_full_match(bg, '[a-z]{2}')),
+         c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+         r AS (
+           SELECT lang, bg, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC)
+               AS BIGINT) AS rk
+           FROM c)
+         SELECT lang, rk, bg, n FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+
+    // Both marginals, every intersection, and the Jaccard division
+    // replayed.
+    "q_audience_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type, user_id FROM events),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+               FROM tu GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+           FROM tu a JOIN tu b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_inter,
+           CAST((n_inter * 1000) // (sa.n_users + sb.n_users - n_inter) AS BIGINT)
+             AS jaccard_pm
+         FROM p JOIN s sa ON sa.event_type = type_a
+                JOIN s sb ON sb.event_type = type_b
+         ORDER BY type_a, type_b""",
 
     // The generated langid oracle nested whole, cells recounted.
     "q_langid_confusion" ->
