@@ -1487,6 +1487,49 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Hour-of-day traffic profile per event type with the peak hour by
+    // (−n, hour) struct-min — the capacity-planning table. One
+    // 24×|types| aggregate; the champion pick is the repo's total-order
+    // struct-min idiom.
+    "q_hourly_profile" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+      hourly.groupBy(col("event_type"))
+        .agg(min(struct((-col("n")).as("nn"), col("hr").as("hr"))).as("best"),
+          count(lit(1)).as("n_hours"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("n_hours"), col("best.hr").as("peak_hour"),
+          (-col("best.nn")).as("peak_n"), col("n_total"),
+          expr("((0 - best.nn) * 1000) div n_total").as("peak_share_pm"))
+        .orderBy("event_type")
+    }),
+
+    // Cross-source content leak: 10-token chunks spanning MULTIPLE
+    // sources, counted per source pair (57 pairs at sf0.01 — whole-text
+    // dups never cross sources here, chunks do) — the provenance-
+    // contamination audit that catches shared boilerplate/templates
+    // before per-source statistics or source-stratified splits are
+    // trusted. (chunk-hash, source) distinct pairs shuffle once; the
+    // pair expansion is bounded per hash by its source spread (≤
+    // |sources|), never by document count.
+    "q_source_leak" -> ((s, d) => {
+      val hs = Tables.documents(s, d)
+        .select(col("source"), gfn.ascii_tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, (size(tk)-1) div 10), " +
+            "i -> md5(concat_ws(' ', slice(tk, i*10+1, 10))))")).as("h"))
+        .distinct()
+      hs.select(col("h"), col("source").as("src_a"))
+        .join(hs.select(col("h"), col("source").as("src_b")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_chunks"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Character-bigram profile per lang: the top-5 char bigrams by
     // frequency (bigram-asc tiebreak) — the sub-token signal family
     // language-ID heuristics read, surfaced as an auditable table.
@@ -5339,6 +5382,39 @@ object LlmOps {
            CAST(max(cost) AS BIGINT) AS unit_cost,
            CAST(sum(cost) AS BIGINT) AS total_cost
          FROM j GROUP BY lang, pred ORDER BY lang, pred""",
+
+    // The 24-hour census and the struct-min peak pick replayed.
+    "q_hourly_profile" ->
+      """WITH h AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+               FROM h GROUP BY 1)
+         SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           min(struct_pack(nn := -n, hr := hr)).hr AS peak_hour,
+           CAST(-(min(struct_pack(nn := -n, hr := hr)).nn) AS BIGINT) AS peak_n,
+           t.n_total,
+           CAST((-(min(struct_pack(nn := -n, hr := hr)).nn) * 1000) // t.n_total
+             AS BIGINT) AS peak_share_pm
+         FROM h JOIN t USING (event_type)
+         GROUP BY h.event_type, t.n_total ORDER BY event_type""",
+
+    // Every chunk hash, its source spread, and the pair census replayed.
+    "q_source_leak" ->
+      """WITH t AS (
+           SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '') AS tk
+           FROM documents),
+         hs AS (
+           SELECT DISTINCT source,
+             unnest(list_transform(range(0, (len(tk)-1) // 10 + 1),
+               i -> md5(array_to_string(tk[i*10+1 : i*10+10], ' ')))) AS h
+           FROM t WHERE len(tk) >= 1)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared_chunks
+         FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
 
     // Every character bigram recounted and the per-lang top-5 cut
     // replayed on the (n desc, bg asc) total order.
