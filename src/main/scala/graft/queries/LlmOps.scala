@@ -1487,6 +1487,74 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // One-way ANOVA with ZERO floats: between/within sums of squares
+    // over event value cents by type, each emitted ×n·n (the exact
+    // integer rendering: SSB·n² = n·Σ nᵍ·(n·x̄ᵍ − n·x̄)²/... rearranged
+    // to pure products — here via the equivalent computational form
+    // n²·SSB = n·Σ Tᵍ²/nᵍ... made integer by cross-multiplying group
+    // totals: SSB_scaled = Σᵍ (n·Tᵍ − nᵍ·T)² div (nᵍ·n) summed exactly
+    // in DECIMAL(38)) and the F-test decided by cross-multiplication
+    // SSB·df_w > 2·SSW·df_b (the "F > 2" screen). The experiment-
+    // analysis primitive, replayable bit-for-bit.
+    "q_anova" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("tg"),
+          sum(col("v").cast(dec) * col("v").cast(dec)).as("sqg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("tg")).as("t"),
+        sum(col("sqg")).as("sq"), count(lit(1)).as("k"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("dev2", // (n·Tg − ng·T)² div (ng·n) — exact per group
+          expr("""(CAST(n AS DECIMAL(38,0)) * tg - CAST(ng AS DECIMAL(38,0)) * t)
+                  * (CAST(n AS DECIMAL(38,0)) * tg - CAST(ng AS DECIMAL(38,0)) * t)
+                  div (CAST(ng AS DECIMAL(38,0)) * n)"""))
+        .groupBy(col("n"), col("t"), col("sq"), col("k"))
+        .agg(sum(col("dev2")).as("ssb_scaled"))
+        // SST·n = n·Σv² − T² ; SSW·n = SST·n − SSB·n (ssb_scaled ≈ SSB·n)
+        .withColumn("sst_scaled",
+          expr("CAST(n AS DECIMAL(38,0)) * sq - CAST(t AS DECIMAL(38,0)) * t"))
+        .withColumn("ssw_scaled", col("sst_scaled") - col("ssb_scaled"))
+        .withColumn("df_b", col("k") - 1)
+        .withColumn("df_w", col("n") - col("k"))
+        // the F screen compares the exact ·n-scaled decimals; the
+        // EMITTED SS values divide the n factor back out (floor) so
+        // they stay in BIGINT at any sf
+        .withColumn("f_gt_2",
+          expr("ssb_scaled * df_w > ssw_scaled * df_b * 2"))
+        .select(col("n"), col("k"),
+          expr("(ssb_scaled div CAST(n AS DECIMAL(38,0)))").cast("long").as("ssb"),
+          expr("(ssw_scaled div CAST(n AS DECIMAL(38,0)))").cast("long").as("ssw"),
+          col("df_b"), col("df_w"), col("f_gt_2"))
+    }),
+
+    // Zipf coverage curve: cumulative corpus-token mass of the top-k
+    // vocabulary at k ∈ {5, 10, 20} — the table a tokenizer-size
+    // decision reads (how much of the stream the first k types
+    // cover). Vocabulary-bounded cumsum; exact per-mille.
+    "q_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, d)
+        .select(explode(gfn.ascii_tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = freq.agg(sum(col("n")).as("n_total"))
+      val ranked = freq
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("tok").asc)).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("n").desc, col("tok").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      import s.implicits._
+      val ks = Seq(5L, 10L, 20L).toDF("k")
+      ranked.join(broadcast(ks), col("rk") === col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("cum").as("n_covered"), col("n_total"),
+          expr("(cum * 1000) div n_total").as("coverage_pm"))
+        .orderBy("k")
+    }),
+
     // Hour-of-day traffic profile per event type with the peak hour by
     // (−n, hour) struct-min — the capacity-planning table. One
     // 24×|types| aggregate; the champion pick is the repo's total-order
@@ -5382,6 +5450,61 @@ object LlmOps {
            CAST(max(cost) AS BIGINT) AS unit_cost,
            CAST(sum(cost) AS BIGINT) AS total_cost
          FROM j GROUP BY lang, pred ORDER BY lang, pred""",
+
+    // Every group total, both HUGEINT sums of squares, the F cross-
+    // multiplication, and the floored SS emissions replayed.
+    "q_anova" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS tg,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sqg
+           FROM e GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(tg) AS BIGINT) AS t,
+             CAST(sum(sqg) AS HUGEINT) AS sq, CAST(count(*) AS BIGINT) AS k
+           FROM g),
+         dev AS (
+           SELECT n, t.t, sq, k,
+             CAST(sum((CAST(n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * t.t)
+               * (CAST(n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * t.t)
+               // (CAST(ng AS HUGEINT) * n)) AS HUGEINT) AS ssb_scaled
+           FROM g, t GROUP BY n, t.t, sq, k),
+         f AS (
+           SELECT n, k, ssb_scaled,
+             CAST(n AS HUGEINT) * sq - CAST(t AS HUGEINT) * t - ssb_scaled
+               AS ssw_scaled,
+             k - 1 AS df_b, n - k AS df_w
+           FROM dev)
+         SELECT n, k,
+           CAST(ssb_scaled // CAST(n AS HUGEINT) AS BIGINT) AS ssb,
+           CAST(ssw_scaled // CAST(n AS HUGEINT) AS BIGINT) AS ssw,
+           df_b, df_w,
+           ssb_scaled * df_w > ssw_scaled * df_b * 2 AS f_gt_2
+         FROM f""",
+
+    // The (freq desc, token asc) ranking, the bounded cumsum, and all
+    // three coverage points replayed.
+    "q_vocab_coverage" ->
+      """WITH f AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS tok
+             FROM documents) GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM f),
+         r AS (
+           SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rk,
+             CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM f)
+         SELECT k, cum AS n_covered, n_total,
+           CAST((cum * 1000) // n_total AS BIGINT) AS coverage_pm
+         FROM r JOIN (SELECT unnest([5, 10, 20]) AS k) ks ON r.rk = ks.k, tot
+         ORDER BY k""",
 
     // The 24-hour census and the struct-min peak pick replayed.
     "q_hourly_profile" ->
