@@ -52,7 +52,8 @@ object Bench {
     }
 
     val coldErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val warmErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val warmErrors1 = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val warmErrors2 = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cold = runPass("cold", coldErrors) // one-time costs + fixture builds
     // Steady state = per-query MIN over two post-warmup passes (round 12):
     // a single warm pass reads same-JVM sweep pressure — GC and code-cache
@@ -60,11 +61,25 @@ object Bench {
     // burned judge adjudication on 2-3× "regressions" that re-timed at
     // baseline in isolation. The min is the right estimator for that
     // noise model (pressure only ever ADDS time); two passes bound the
-    // added wall-clock to one extra sweep.
-    val warm1 = runPass("warm", warmErrors)
-    val warm2 = runPass("warm2", warmErrors)
+    // added wall-clock to one extra sweep. A FAILED run's timing is
+    // time-to-exception, not steady state, so the min folds only over
+    // CLEAN passes (round 13): a query that succeeds in one warm pass
+    // and fails fast in the other takes the clean pass's time (and is
+    // still reported in n_failed/errors — the headline validity rule is
+    // unchanged).
+    val warm1 = runPass("warm", warmErrors1)
+    val warm2 = runPass("warm2", warmErrors2)
     val w2map = warm2.toMap
-    val warm = warm1.map { case (n, t) => n -> math.min(t, w2map.getOrElse(n, t)) }
+    val warm = warm1.map { case (n, t1) =>
+      val t2 = w2map.getOrElse(n, t1)
+      val v = (warmErrors1.contains(n), warmErrors2.contains(n)) match {
+        case (true, false) => t2
+        case (false, true) => t1
+        case _             => math.min(t1, t2)
+      }
+      n -> v
+    }
+    val warmErrors = warmErrors1 ++ warmErrors2
 
     // 3 decimal places: millisecond resolution is all sub-minute timings
     // carry (run variance is larger), and the shorter line keeps EVERY

@@ -561,23 +561,6 @@ object Dedup {
         levenshtein(col("ka"), col("kb")).cast("int").as("dist"))
   }
 
-  /** Head-prefix duplicate groups: documents sharing the md5 of their
-    * first `nTokens` tokens — the truncation-duplicate catcher (the same
-    * page scraped to different depths, or a doc and its teaser/summary
-    * cut at the same head) that full-text exact dedup misses and
-    * MinHash only catches when the shared head dominates the shingle
-    * set. C4's three-sentence-span dedup is the published instance of
-    * the idea; the fixed-token head is its portable, tokenizer-stable
-    * form.
-    *
-    * Pure hash-groupBy on a 32-char key — the exact-dedup scale shape:
-    * one narrow projection (head slice + md5 fuse into the scan), one
-    * shuffle of (fp, id) pairs, groups with one doc drop in the partial
-    * aggregate. Emits one row per multi-doc group: `(head_fp, n_docs,
-    * canonical_id, max_id)` with min-id canonical, ordered output is
-    * the caller's job. Docs shorter than `nTokens` are excluded — a
-    * 5-token doc's "head" is its whole text, which exact dedup owns.
-    */
   /** Marginal n-gram novelty per document: the fraction of a doc's
     * DISTINCT token k-grams whose FIRST occurrence (min doc id) is this
     * doc — "how much does each document add that the corpus before it
@@ -614,6 +597,23 @@ object Dedup {
       .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
   }
 
+  /** Head-prefix duplicate groups: documents sharing the md5 of their
+    * first `nTokens` tokens — the truncation-duplicate catcher (the same
+    * page scraped to different depths, or a doc and its teaser/summary
+    * cut at the same head) that full-text exact dedup misses and
+    * MinHash only catches when the shared head dominates the shingle
+    * set. C4's three-sentence-span dedup is the published instance of
+    * the idea; the fixed-token head is its portable, tokenizer-stable
+    * form.
+    *
+    * Pure hash-groupBy on a 32-char key — the exact-dedup scale shape:
+    * one narrow projection (head slice + md5 fuse into the scan), one
+    * shuffle of (fp, id) pairs, groups with one doc drop in the partial
+    * aggregate. Emits one row per multi-doc group: `(head_fp, n_docs,
+    * canonical_id, max_id)` with min-id canonical, ordered output is
+    * the caller's job. Docs shorter than `nTokens` are excluded — a
+    * 5-token doc's "head" is its whole text, which exact dedup owns.
+    */
   def headDupGroups(
       df: DataFrame,
       idCol: String,

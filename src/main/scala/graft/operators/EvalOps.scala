@@ -15,10 +15,13 @@ object EvalOps {
     * pass@k = 1 − C(n−c, k)/C(n, k), computed EXACTLY as the telescoped
     * integer product Π_{j=0..k−1}(n−c−j) over Π_{j=0..k−1}(n−j) — no
     * floats, no factorials (the paper's own numerical recipe, made
-    * integer-exact; products are bounded by n^k so BIGINT holds for any
-    * sane n·k). Emitted per-mille with the floor division both engines
-    * share; when n−c < k the failure term is zero and pass@k = 1000
-    * exactly.
+    * integer-exact). Products are accumulated in DECIMAL(38,0): the
+    * numerator is bounded by n^k·1000, so exactness holds whenever
+    * n ≤ 10^(35/k) (e.g. n ≤ 3162 at k = 10, n ≤ 4·10^6 at k = 5 — any
+    * real eval harness); a group exceeding that bound raises a LOUD
+    * runtime error instead of overflowing silently. Emitted per-mille
+    * with the floor division both engines share; when n−c < k the
+    * failure term is zero and pass@k = 1000 exactly.
     *
     * One groupBy per problem — the only shuffle; the estimator itself
     * is a pure projection over (n, c).
@@ -29,17 +32,22 @@ object EvalOps {
       passCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 10, s"k out of sane range: $k")
+    // Largest n for which n^k * 1000 provably fits DECIMAL(38,0).
+    val maxN = math.pow(10.0, 35.0 / k).toLong
     def fallingProduct(base: Column): Column =
-      (0 until k).map(j => base - j).reduce(_ * _)
+      (0 until k).map(j => (base - j).cast("decimal(38,0)")).reduce(_ * _)
     samples
       .groupBy(col(problemCol))
       .agg(count(lit(1)).as("n"),
         sum(when(col(passCol), 1L).otherwise(0L)).as("c"))
       .filter(col("n") >= k) // estimator undefined below k samples
-      .withColumn("__num", fallingProduct(col("n") - col("c")) * 1000L)
+      .withColumn("__num", fallingProduct(col("n") - col("c")) * lit(1000L).cast("decimal(38,0)"))
       .withColumn("__den", fallingProduct(col("n")))
       .withColumn(s"pass_at_${k}_pm",
-        when(col("n") - col("c") < k, 1000L)
+        when(col("n") > maxN, raise_error(concat(
+          lit(s"passAtK: n exceeds exact-decimal bound $maxN for k=$k (n="),
+          col("n").cast("string"), lit(")"))).cast("long"))
+          .when(col("n") - col("c") < k, 1000L)
           .otherwise(lit(1000L) - expr("__num div __den")))
       .withColumn("pass_at_1_pm", expr("(c * 1000) div n"))
       .drop("__num", "__den")

@@ -2025,11 +2025,15 @@ object LlmOps {
     }),
 
     // Burst detection over the event stream: a (type, day) count is a
-    // BURST when it exceeds 1.2× its trailing-week daily average —
-    // decided by the exact cross-multiplication 35·n > 6·wk over the
-    // 7-day rolling sum (full windows only). Kleinberg's burst idea in
-    // its integer form; windows per event_type over the bounded day
-    // spine.
+    // BURST when it exceeds 1.2× the daily average of its previous 7
+    // OBSERVED days — decided by the exact cross-multiplication
+    // 35·n > 6·wk over the ROWS(-7,-1) rolling sum (full windows only).
+    // Days with zero events for a type are absent from the per-type day
+    // table, so the 7 preceding rows may span more than 7 calendar days;
+    // the observed-day baseline is the intended semantic (a RANGE frame
+    // over a densified spine would give the calendar-week variant).
+    // Kleinberg's burst idea in its integer form; windows per event_type
+    // over the bounded day spine.
     "q_bursts" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, d)

@@ -1595,8 +1595,12 @@ object StreamSync {
     "q_stream_checksum" -> ((s, d) => {
       val sunk = s.read.parquet(checksumSinkDir(s, d))
       val maxSeq = sunk.groupBy(col("source")).agg(max(col("seq")).as("seq"))
+      // The sink contract is at-least-once: a replayed micro-batch
+      // duplicates whole rows, so the snapshot read dedups after the
+      // max-seq join (same discipline as q_stream_simhash).
       sunk.join(maxSeq, Seq("source", "seq"))
         .select(col("source"), col("n_docs"), col("row_xor"))
+        .distinct()
         .orderBy("source")
     }),
 
@@ -1609,7 +1613,11 @@ object StreamSync {
       import org.apache.spark.sql.expressions.Window
       val sunk = s.read.parquet(topkSinkDir(s, d))
       val maxSeq = sunk.groupBy(col("lang")).agg(max(col("seq")).as("seq"))
+      // At-least-once sink: dedup replayed rows BEFORE the rank window,
+      // else a replayed batch doubles every (key, seq) row and shifts
+      // the top-8 ranks (same discipline as q_stream_simhash).
       sunk.join(maxSeq, Seq("lang", "seq"))
+        .distinct()
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang"))
             .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
