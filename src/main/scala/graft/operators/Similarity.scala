@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.{functions => gfn}
@@ -281,5 +281,71 @@ object Similarity {
     val cells = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probedCells.toSeq: _*))
     cosineTopK(cells, probes, k)
+  }
+
+  /** Binary sign quantization of a float vector's first 64 dims as TWO
+    * 32-bit BIGINT words (lo = dims 1–32, hi = 33–64; bit i set when
+    * the component is > 0). Two words, not one, so bit 31/63 never
+    * touches a sign bit — XOR + bit_count stay portable across engines.
+    */
+  private def signWord(vec: Column, offset: Int): Column =
+    expr(s"""aggregate(
+         zip_with(slice(${vec.toString}, ${offset + 1}, 32), sequence(0, 31),
+           (x, i) -> CASE WHEN x > CAST(0 AS FLOAT)
+                     THEN shiftleft(CAST(1 AS BIGINT), i)
+                     ELSE CAST(0 AS BIGINT) END),
+         CAST(0 AS BIGINT), (acc, b) -> acc + b)""")
+
+  /** Binary-quantized ANN (the sign/"binary embedding" mode every
+    * production vector store ships — 1 bit/dim prefilter, exact rerank;
+    * Charikar 2002 sign-random-projection is the theory, identity
+    * hyperplanes the storage-native variant): corpus vectors compress
+    * 256× to two sign words; candidates are the `prefilterK` smallest
+    * Hamming distances per query; ONLY those rejoin their float vectors
+    * for the exact-cosine top-`k` rerank.
+    *
+    * Scale shape: the full-corpus leg carries (id, lo, hi) = 24
+    * bytes/row — the vectors themselves never move until the candidate
+    * set is |queries|·prefilterK. Signatures are computed in one narrow
+    * codegen pass (in production they'd be a materialized column). Both
+    * ranks are bounded windows: the Hamming rank over corpus×queries
+    * ids+distances, the rerank over the candidate rows only.
+    */
+  def signBitTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int = 5,
+      prefilterK: Int = 20): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("c_lo", signWord(col("v"), 0))
+      .withColumn("c_hi", signWord(col("v"), 32))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("q_lo", signWord(col("qv"), 0))
+      .withColumn("q_hi", signWord(col("qv"), 32))
+    // Thin leg: ids + signatures only — the vector column is pruned out.
+    val ham = c.select(col("id"), col("c_lo"), col("c_hi"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_lo"), col("q_hi"))))
+      .withColumn("hamming",
+        expr("CAST(bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi) AS BIGINT)"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("id").asc)
+    val cand = ham
+      .withColumn("__rn", row_number().over(wPre))
+      .filter(col("__rn") <= prefilterK)
+      .select(col("query_id"), col("id"), col("hamming"))
+    // Rerank: only |queries|·prefilterK rows rejoin their vectors.
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    cand
+      .join(c.select(col("id"), col("v")), Seq("id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cosine", round(gfn.cosine_sim(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(wFin).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("hamming"), col("cosine"), col("rank"))
   }
 }

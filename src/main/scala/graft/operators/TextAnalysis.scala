@@ -404,4 +404,107 @@ object TextAnalysis {
       .select(col("source"), col("n_tokens"), col("n_over"),
         col("best.tok").as("top_token"), (-col("best.ns")).as("top_score_x1000"))
   }
+
+  /** χ² token–category association (the classic feature-selection
+    * statistic; Manning & Schütze ch. 5): for every (category, token)
+    * pair the 2×2 document-frequency table (a = docs in category with
+    * token, b = other docs with token, c/d = the complements) scored as
+    * χ²·1000 = 1000·N·(ad−bc)² div ((a+b)(c+d)(a+c)(b+d)) — EXACT
+    * integer emission, products in DECIMAL(38,0) (at N = 5·10⁷ docs the
+    * squared cross term hits 10^30; BIGINT dies at 10^18). A
+    * zero denominator (token in every doc, or single-category corpus)
+    * emits 0 — the statistic is undefined and "no signal" is the only
+    * portable rendering.
+    *
+    * `catCol` must PARTITION the documents (one category per doc —
+    * a language/source/label column): that is what lets every marginal
+    * re-aggregate from the single (cat, token) doc-frequency table
+    * (df_tot = Σ_cat a; N = Σ_cat n_cat) instead of re-scanning the
+    * corpus — ONE data-sized distinct + ONE aggregate total, the
+    * sourceDrift discipline. The marginal tables are vocabulary/
+    * |categories|-sized broadcasts.
+    */
+  def chi2TokenAssoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      catCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dfl = df
+      .select(col(catCol).as("cat"), col(idCol).as("__id"),
+        explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .distinct()
+      .groupBy(col("cat"), col("tok")).agg(count(lit(1)).as("a"))
+      .localCheckpoint(true) // feeds the score join + both marginals
+    val nCat = df.groupBy(col(catCol).as("cat"))
+      .agg(countDistinct(col(idCol)).as("n_cat"))
+    val nTot = nCat.agg(sum(col("n_cat")).as("n"))
+    val dft = dfl.groupBy(col("tok")).agg(sum(col("a")).as("df_tot"))
+    dfl
+      .join(broadcast(dft), Seq("tok"))
+      .join(broadcast(nCat), Seq("cat"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("df_tot") - col("a"))
+      .withColumn("c", col("n_cat") - col("a"))
+      .withColumn("d", col("n") - col("n_cat") - col("b"))
+      .withColumn("__den",
+        col("df_tot").cast(dec) * (col("n") - col("df_tot")).cast(dec) *
+          col("n_cat").cast(dec) * (col("n") - col("n_cat")).cast(dec))
+      .withColumn("__crs",
+        col("a").cast(dec) * col("d").cast(dec) -
+          col("b").cast(dec) * col("c").cast(dec))
+      .withColumn("chi2_x1000",
+        when(col("__den") === 0, 0L).otherwise(
+          expr("(1000 * CAST(n AS DECIMAL(38,0)) * __crs * __crs) div __den")
+            .cast("long")))
+      .select(col("cat"), col("tok"), col("a").as("df_cat"), col("df_tot"),
+        col("n_cat"), col("chi2_x1000"))
+  }
+
+  /** Token burstiness (Church & Gale 1995): collection frequency over
+    * document frequency per token, per-mille — a bursty token (cf ≫ df)
+    * concentrates in few documents (names, boilerplate, spam markers),
+    * a flat one spreads evenly (function words). The signal behind
+    * burstiness-aware stopword and spam lexicons. One explode, one
+    * (token) aggregate computing cf and df together from (doc, token)
+    * rows; `minDf` floors out the unstable tail.
+    */
+  def tokenBurstiness(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 5L): DataFrame =
+    df.select(col(idCol).as("__id"), explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burst_x1000", expr("(cf * 1000) div df"))
+
+  /** Hapax-legomena rate over token n-grams, per key: the share of the
+    * key's distinct n-grams occurring exactly once — Zipf's tail mass,
+    * the vocabulary-richness signal corpus linguists read (a scraped
+    * source whose hapax rate collapses is template-stamped; one whose
+    * rate is ~1 is near-random). Unigram hapaxes die on small closed
+    * vocabularies, so the n-gram form is the useful one. One n-gram
+    * explode (index-lambda transform, codegen-friendly), one
+    * (key, gram) count, one per-key rollup.
+    */
+  def hapaxNgramRate(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val gram = (0 until n).map(j => s"__tk[i+$j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    df.select(col(keyCol), gfn.ascii_tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(keyCol), explode(expr(
+        s"transform(sequence(0, size(__tk)-$n), i -> $gram)")).as("gram"))
+      .groupBy(col(keyCol), col("gram")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_pm", expr("(n_hapax * 1000) div n_grams"))
+  }
 }

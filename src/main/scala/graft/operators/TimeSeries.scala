@@ -379,4 +379,198 @@ object TimeSeries {
     deltas.withColumn("n_open", sum(col("__net")).over(w))
       .select(col("day"), col("n_open"))
   }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975), the
+    * distribution-free "is this metric drifting" screen run per series
+    * before alerting on it: S = Σ_{i<j} sign(v_j − v_i) over the keyed
+    * day series — all-integer, no slope fit, robust to outliers. Emits
+    * per key: `n_obs`, `n_pairs`, `s_stat`, the normalized
+    * `s_pm` = S·1000 div n_pairs (Kendall's τ_a per-mille, floor
+    * division), and the sign-only `trend` label.
+    *
+    * Scale shape: the pair join is WITHIN key over an already-aggregated
+    * per-day series — |days|² per key, bounded by the calendar (a
+    * 10-year daily series is 6.6 M pairs), never by raw event count.
+    * The upstream daily rollup is where the 100 TB lives and that is
+    * one partial-agg shuffle; this test only ever sees the rollup.
+    */
+  def mannKendall(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    // Three consumers (both pair legs + n_obs) of one bounded frame:
+    // pin it once (the q_rfm localCheckpoint pattern) so the upstream
+    // daily rollup — and the corpus scan under it — runs ONCE, not 3×.
+    val pinned = daily
+      .select(keys :+ col(ordCol).as("__o") :+ col(valCol).as("__v"): _*)
+      .localCheckpoint(true)
+    val a = pinned.select(keys :+ col("__o").as("__o_a") :+ col("__v").as("__v_a"): _*)
+    val b = pinned.select(keys :+ col("__o").as("__o_b") :+ col("__v").as("__v_b"): _*)
+    val nObs = pinned.groupBy(keys: _*).agg(count(lit(1)).as("n_obs"))
+    a.join(b, keyCols)
+      .filter(col("__o_a") < col("__o_b"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__v_b") > col("__v_a"), 1L)
+          .when(col("__v_b") < col("__v_a"), -1L).otherwise(0L)).as("s_stat"))
+      .join(nObs, keyCols)
+      .withColumn("s_pm", expr("(s_stat * 1000) div n_pairs"))
+      .withColumn("trend",
+        when(col("s_stat") > 0, "up")
+          .when(col("s_stat") < 0, "down").otherwise("flat"))
+      .select(keys :+ col("n_obs") :+ col("n_pairs") :+ col("s_stat") :+
+        col("s_pm") :+ col("trend"): _*)
+  }
+
+  /** Theil–Sen slope estimator (Theil 1950; Sen 1968): the MEDIAN of all
+    * pairwise slopes (v_j − v_i)/(t_j − t_i) over a keyed daily series —
+    * the robust trend-rate companion to [[mannKendall]]'s direction test
+    * (up to ~29% contamination before it budges). Slopes are kept exact
+    * as floor-divided `scale`-scaled integers (units per day × scale);
+    * the median is the LOWER median (element at rank ⌈n/2⌉ of the sorted
+    * multiset) so both engines agree without interpolation.
+    *
+    * Same bounded-pair scale shape as [[mannKendall]]; the median rank
+    * is a per-key window over the pair table, bounded by |days|²/key.
+    */
+  def theilSenSlope(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      dateCol: String,
+      valCol: String,
+      scale: Long = 1000L): DataFrame = {
+    val keys = keyCols.map(col)
+    // Pin the bounded daily frame once — both pair legs read the same
+    // materialization instead of re-running the upstream rollup twice.
+    val pinned = daily
+      .select(keys :+ col(dateCol).as("__d") :+ col(valCol).as("__v"): _*)
+      .localCheckpoint(true)
+    val a = pinned.select(keys :+ col("__d").as("__d_a") :+ col("__v").as("__v_a"): _*)
+    val b = pinned.select(keys :+ col("__d").as("__d_b") :+ col("__v").as("__v_b"): _*)
+    val slopes = a.join(b, keyCols)
+      .filter(col("__d_a") < col("__d_b"))
+      .select(keys :+
+        expr(s"((__v_b - __v_a) * $scale) div datediff(__d_b, __d_a)")
+          .as("slope_scaled"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("slope_scaled").asc)
+    val wc = Window.partitionBy(keys: _*)
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wc))
+      .filter(expr("__rn = (n_pairs + 1) div 2"))
+      .select(keys :+ col("n_pairs") :+ col("slope_scaled"): _*)
+  }
+
+  /** c-chart (Shewhart attribute control chart for counts): flag the
+    * days whose count exceeds the series mean by more than `sigma`
+    * Poisson standard deviations — mean + σ·√mean, decided EXACTLY by
+    * cross-multiplication ((v·nd − tot)² > σ²·tot·nd with v·nd > tot)
+    * so no square root or float mean is ever materialized. The squared
+    * leg runs in DECIMAL(38,0): v·nd at planetary daily volumes
+    * (10^10 events × 10⁴ days) squares past BIGINT.
+    *
+    * Emits EVERY day with its `alarm` verdict (an ops dashboard wants
+    * the whole chart, not just the violations). Two shuffles total:
+    * the per-key stats rollup and the stats join back — both on the
+    * already-bounded daily table.
+    */
+  def cChart(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String,
+      sigma: Int = 2): DataFrame = {
+    val keys = keyCols.map(col)
+    // Pin once: the stats rollup and the verdict join both read the
+    // same bounded materialization (one upstream corpus scan, not two).
+    val pinned = daily.localCheckpoint(true)
+    val stats = pinned.groupBy(keys: _*)
+      .agg(sum(col(valCol)).as("tot"), count(lit(1)).as("nd"))
+    val s2 = sigma.toLong * sigma
+    pinned.join(stats, keyCols)
+      .withColumn("alarm",
+        col(valCol) * col("nd") > col("tot") &&
+          expr(s"""CAST($valCol * nd - tot AS DECIMAL(38,0)) *
+                   CAST($valCol * nd - tot AS DECIMAL(38,0)) >
+                   CAST($s2 AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0)) *
+                   CAST(nd AS DECIMAL(38,0))"""))
+      .select(keys :+ col(ordCol) :+ col(valCol) :+ col("tot") :+
+        col("nd") :+ col("alarm"): _*)
+  }
+
+  /** Record statistics (Foster & Stuart 1954; the nonparametric trend
+    * probe climatology uses): per key, how many days set a new running
+    * HIGH and how many a new running LOW — under exchangeability both
+    * counts concentrate near Σ 1/i ≈ ln n, so an excess of highs over
+    * lows is trend evidence with zero distributional assumptions. The
+    * first observation is a record on both sides by convention. One
+    * exclusive-frame window per key (bounded daily series), one rollup.
+    */
+  def recordDays(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("__pmax", max(col(valCol)).over(w))
+      .withColumn("__pmin", min(col(valCol)).over(w))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("__pmax").isNull || col(valCol) > col("__pmax"), 1L)
+          .otherwise(0L)).as("n_record_highs"),
+        sum(when(col("__pmin").isNull || col(valCol) < col("__pmin"), 1L)
+          .otherwise(0L)).as("n_record_lows"))
+  }
+
+  /** Turning-point census (Kendall's randomness test): per key, the
+    * number of interior observations that are strict local maxima or
+    * minima. Under randomness E[T] = 2(n−2)/3, so the emitted
+    * `tp_excess_x3` = 3·T − 2·n_interior reads as a signed exact
+    * deviation — negative means smoother-than-random (trend/cycles),
+    * positive means oscillation. One lag+lead window per key.
+    */
+  def turningPoints(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+    daily
+      .withColumn("__prev", lag(col(valCol), 1).over(w))
+      .withColumn("__next", lead(col(valCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_interior"),
+        sum(when(
+          (col(valCol) > col("__prev") && col(valCol) > col("__next")) ||
+            (col(valCol) < col("__prev") && col(valCol) < col("__next")),
+          1L).otherwise(0L)).as("n_turning"))
+      .withColumn("tp_excess_x3",
+        col("n_turning") * 3 - col("n_interior") * 2)
+  }
+
+  /** Allen's interval-algebra relation (Allen 1983) between intervals
+    * [a1, a2] and [b1, b2] as a label column — the vocabulary for
+    * session-vs-session / incident-vs-deploy temporal audits. The CASE
+    * ladder is ordered so the 13 relations stay mutually exclusive and
+    * total (degenerate point intervals classify via the equality arms).
+    */
+  def allenRelation(a1: Column, a2: Column, b1: Column, b2: Column): Column =
+    when(a1 === b1 && a2 === b2, "equals")
+      .when(a2 < b1, "before")
+      .when(b2 < a1, "after")
+      .when(a2 === b1, "meets")
+      .when(b2 === a1, "met_by")
+      .when(a1 === b1, when(a2 < b2, "starts").otherwise("started_by"))
+      .when(a2 === b2, when(a1 > b1, "finishes").otherwise("finished_by"))
+      .when(a1 > b1 && a2 < b2, "during")
+      .when(a1 < b1 && a2 > b2, "contains")
+      .when(a1 < b1, "overlaps")
+      .otherwise("overlapped_by")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.operators.{Chunking, Components, Contamination, Dedup, EvalOps, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Components, Contamination, Dedup, EvalOps, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
@@ -3483,6 +3483,227 @@ object LlmOps {
       Multimodal.decodeAudio(media)
         .select(col("media_id"), col("sample_rate_dec"), col("n_frames"), col("duration_ms"))
         .orderBy("media_id")
+    }),
+
+    // Mann–Kendall trend screen (TimeSeries.mannKendall) per event type
+    // over the daily count series: the distribution-free S statistic,
+    // its τ_a per-mille, and the sign-only direction label. The pair
+    // join runs over the 30-day rollup, never the raw events.
+    "q_mk_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.mannKendall(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Theil–Sen robust slope (TimeSeries.theilSenSlope) per event type:
+    // the lower-median of all pairwise day-count slopes, floor-scaled
+    // ×1000 — the trend-rate companion to q_mk_trend's direction.
+    "q_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.theilSenSlope(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Poisson c-chart (TimeSeries.cChart) per event type: every day's
+    // count with its 2σ control verdict, the √mean band decided by
+    // exact cross-multiplication in DECIMAL(38,0) — no float mean, no
+    // sqrt, one alarm at sf0.01 and the full chart either way.
+    "q_c_chart" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.cChart(daily, Seq("event_type"), "day", "n", sigma = 2)
+        .orderBy("event_type", "day")
+    }),
+
+    // Allen interval-relation census (TimeSeries.allenRelation) between
+    // each (user, day)'s click span and view span — the temporal-audit
+    // vocabulary (does clicking happen inside, before, or overlapping
+    // the viewing session?) as a 13-bucket census. Spans are µs-exact
+    // min/max aggregates; the join is keyed on (user, day), never a
+    // cross product.
+    "q_allen_census" -> ((s, d) => {
+      val spans = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"),
+          col("event_type"))
+        .agg(unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi"))
+      val a = spans.filter(col("event_type") === "click")
+        .select(col("user_id"), col("day"), col("lo").as("a1"), col("hi").as("a2"))
+      val b = spans.filter(col("event_type") === "view")
+        .select(col("user_id"), col("day"), col("lo").as("b1"), col("hi").as("b2"))
+      a.join(b, Seq("user_id", "day"))
+        .withColumn("rel", TimeSeries.allenRelation(
+          col("a1"), col("a2"), col("b1"), col("b2")))
+        .groupBy(col("rel")).agg(count(lit(1)).as("n"))
+        .orderBy("rel")
+    }),
+
+    // χ² token–language association (TextAnalysis.chi2TokenAssoc): the
+    // full (lang, token) feature-selection table with exact
+    // DECIMAL(38,0)-rendered χ²·1000 — on THIS synthetic corpus (text
+    // drawn independently of lang) the values are small by construction,
+    // which is itself the correct reading of the statistic.
+    "q_chi2_tokens" -> ((s, d) => {
+      TextAnalysis.chi2TokenAssoc(Tables.documents(s, d), "doc_id", "text", "lang")
+        .withColumnRenamed("cat", "lang")
+        .orderBy("lang", "tok")
+    }),
+
+    // Token burstiness (TextAnalysis.tokenBurstiness; Church & Gale
+    // 1995): cf/df per-mille per token with a df ≥ 5 floor — the
+    // concentration signal stopword/spam lexicons read.
+    "q_token_burstiness" -> ((s, d) => {
+      TextAnalysis.tokenBurstiness(Tables.documents(s, d), "doc_id", "text",
+        minDf = 5L).orderBy("tok")
+    }),
+
+    // Hapax-legomena rate over trigrams per source
+    // (TextAnalysis.hapaxNgramRate): Zipf tail mass as an exact
+    // per-mille — the vocabulary-richness audit line of a dataset card.
+    "q_hapax_ngrams" -> ((s, d) => {
+      TextAnalysis.hapaxNgramRate(Tables.documents(s, d), "source", "text", n = 3)
+        .orderBy("source")
+    }),
+
+    // Tokenizer fertility per language: corpus-weighted BPE symbols per
+    // word ×1000, from the SAME 16-round trained tokenizer as
+    // q_bpe_train/encode (one more consumer of the certified merge
+    // table — the statistic tokenizer papers report per language). The
+    // per-lang word counts join the word-level encode table on the
+    // broadcast-sized vocabulary.
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(explode(gfn.ascii_tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wt"))
+      val (_, finalState) = graft.operators.Bpe.train(words, "w", "wt", BpeTrainSteps)
+      val syms = finalState.select(col("word").as("w"),
+        size(split(trim(col("repr")), "  ")).cast("long").as("n_syms"))
+      val perLang = docs
+        .select(col("lang"), explode(gfn.ascii_tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      perLang.join(broadcast(syms), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+        .withColumn("fertility_x1000",
+          expr("(n_bpe_tokens * 1000) div n_words"))
+        .orderBy("lang")
+    }),
+
+    // Quality-vote ensemble: four independent integer signals per doc
+    // (length band, max-token share, stopword presence, type-token
+    // ratio — each a published filter family's simplest member), summed
+    // to a 0–4 score and histogrammed per source. The mix table a
+    // curation run reads before choosing per-source sampling rates.
+    "q_quality_vote" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("s_stop",
+          when(array_contains(col("tk"), "the") ||
+            array_contains(col("tk"), "a"), 1L).otherwise(0L))
+      val mx = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+      base.join(mx, Seq("doc_id"))
+        .withColumn("s_len",
+          when(col("n_tok").between(20, 90), 1L).otherwise(0L))
+        .withColumn("s_rep",
+          when(expr("(mx * 1000) div n_tok") < 150, 1L).otherwise(0L))
+        .withColumn("s_ttr",
+          when(expr("(n_dis * 1000) div n_tok") >= 400, 1L).otherwise(0L))
+        .withColumn("score", col("s_len") + col("s_rep") + col("s_stop") + col("s_ttr"))
+        .groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "score")
+    }),
+
+    // Seasonal Mann–Kendall (Hirsch & Slack 1984): the MK sign fold run
+    // WITHIN each weekday stratum (so a strong weekly cycle cannot fake
+    // a trend), strata S and pair counts then summed per type. Reuses
+    // TimeSeries.mannKendall with (type, weekday) keys — one operator,
+    // two published tests.
+    "q_seasonal_mk" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", weekday(col("day")).cast("long"))
+      TimeSeries.mannKendall(daily, Seq("event_type", "dow"), "day", "n")
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_obs")).as("n_obs"),
+          sum(col("n_pairs")).as("n_pairs"),
+          sum(col("s_stat")).as("s_stat"))
+        .withColumn("s_pm", expr("(s_stat * 1000) div n_pairs"))
+        .withColumn("trend",
+          when(col("s_stat") > 0, "up")
+            .when(col("s_stat") < 0, "down").otherwise("flat"))
+        .orderBy("event_type")
+    }),
+
+    // Record-day statistics (TimeSeries.recordDays; Foster & Stuart
+    // 1954): running-high and running-low counts per event type — the
+    // zero-assumption trend probe (ln n expected under exchangeability,
+    // high/low asymmetry = drift).
+    "q_record_days" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.recordDays(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Turning-point census (TimeSeries.turningPoints; Kendall's
+    // randomness test): strict local extrema per type with the exact
+    // 3T − 2(n−2) deviation from the randomness expectation.
+    "q_turning_points" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.turningPoints(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Recall certificate for the binary-quantized ANN: per query, how
+    // many of the exact cosine top-5 survive the Hamming-top-20
+    // prefilter + rerank. DuckDB replays BOTH legs and the overlap
+    // count, so the certified number IS the measured recall — the
+    // tuning table for choosing prefilterK at corpus scale.
+    "q_ann_recall_hamming" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.signBitTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, prefilterK = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy("query_id")
+    }),
+
+    // Binary-quantized ANN (Similarity.signBitTopK): 1-bit sign
+    // signatures → Hamming top-20 prefilter carrying 24 bytes/row →
+    // exact-cosine rerank of ONLY the candidates. The
+    // quantize-then-rerank mode every production vector store ships,
+    // alongside the IVF/PQ/bruteforce family; DuckDB replays the sign
+    // words, the Hamming rank, and the rerank bit-for-bit.
+    "q_ann_hamming" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.signBitTopK(emb.filter(col("vec_id") >= 5),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+        k = 5, prefilterK = 20)
+        .orderBy("query_id", "rank")
     }))
 
   // ------------------------------------------------------------------
@@ -3608,6 +3829,43 @@ object LlmOps {
     * q_rrf_fusion so a tokenizer or constant fix can never drift between
     * the certified oracle and the fusion's embedded copy.
     */
+  /** The binary-sign ANN CTE chain (sign words → Hamming prefilter →
+    * candidate cosine rerank rows `rr(query_id, id, hamming, cosine)`),
+    * shared by q_ann_hamming and its recall certificate so the two
+    * replays cannot drift. Also exposes `q`/`c` (full query/corpus
+    * vector legs) for the certificate's exact-truth side.
+    */
+  private val annSignCte: String =
+    """WITH sig AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN embedding[i] > 0
+                    THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)) AS lo,
+             list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN embedding[i] > 0
+                    THEN CAST(1 AS BIGINT) << (i - 33) ELSE CAST(0 AS BIGINT) END)) AS hi
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, lo AS q_lo, hi AS q_hi
+               FROM sig WHERE vec_id < 5),
+         c AS (SELECT vec_id AS id, v, lo AS c_lo, hi AS c_hi
+               FROM sig WHERE vec_id >= 5),
+         h AS (
+           SELECT query_id, id,
+             CAST(bit_count(xor(c_lo, q_lo)) + bit_count(xor(c_hi, q_hi))
+                  AS BIGINT) AS hamming
+           FROM c CROSS JOIN q),
+         pre AS (
+           SELECT query_id, id, hamming,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, id) AS rn
+           FROM h),
+         cand AS (SELECT query_id, id, hamming FROM pre WHERE rn <= 20),
+         rr AS (
+           SELECT cand.query_id AS query_id, cand.id AS id, cand.hamming,
+             round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+           FROM cand JOIN c ON cand.id = c.id
+                     JOIN q ON cand.query_id = q.query_id)"""
+
   private val bm25CteSql: String =
     """WITH tok AS (
            SELECT doc_id,
@@ -7329,7 +7587,283 @@ object LlmOps {
          FROM dots JOIN norms na ON na.doc_id = id_a
                    JOIN norms nb ON nb.doc_id = id_b
          WHERE 400 * dot * dot >= 289 * na.n2 * nb.n2
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+
+    // The pairwise sign fold and the τ_a per-mille replayed over the
+    // same daily rollup.
+    "q_mk_trend" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs FROM dl GROUP BY 1),
+         p AS (
+           SELECT a.event_type AS event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+           FROM dl a JOIN dl b ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1)
+         SELECT p.event_type, n_obs, n_pairs, s_stat,
+           (s_stat * 1000) // n_pairs AS s_pm,
+           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+         FROM p JOIN nn USING (event_type) ORDER BY event_type""",
+
+    // Every pairwise scaled slope and the lower-median pick replayed.
+    "q_theil_sen" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         sl AS (
+           SELECT a.event_type AS event_type,
+             ((b.n - a.n) * 1000) // date_diff('day', a.day, b.day) AS slope_scaled
+           FROM dl a JOIN dl b ON a.event_type = b.event_type AND a.day < b.day),
+         r AS (
+           SELECT event_type, slope_scaled,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope_scaled) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+           FROM sl)
+         SELECT event_type, n_pairs, slope_scaled
+         FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""",
+
+    // The cross-multiplied 2σ Poisson band replayed in HUGEINT.
+    "q_c_chart" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM dl GROUP BY 1)
+         SELECT event_type, day, n, tot, nd,
+           n * nd > tot AND
+             CAST(n * nd - tot AS HUGEINT) * CAST(n * nd - tot AS HUGEINT) >
+               4 * CAST(tot AS HUGEINT) * CAST(nd AS HUGEINT) AS alarm
+         FROM dl JOIN t USING (event_type) ORDER BY event_type, day""",
+
+    // The 13-relation CASE ladder replayed verbatim over the same
+    // µs-exact spans.
+    "q_allen_census" ->
+      """WITH s AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2, 3)
+         SELECT CASE
+             WHEN a.lo = b.lo AND a.hi = b.hi THEN 'equals'
+             WHEN a.hi < b.lo THEN 'before'
+             WHEN b.hi < a.lo THEN 'after'
+             WHEN a.hi = b.lo THEN 'meets'
+             WHEN b.hi = a.lo THEN 'met_by'
+             WHEN a.lo = b.lo THEN
+               (CASE WHEN a.hi < b.hi THEN 'starts' ELSE 'started_by' END)
+             WHEN a.hi = b.hi THEN
+               (CASE WHEN a.lo > b.lo THEN 'finishes' ELSE 'finished_by' END)
+             WHEN a.lo > b.lo AND a.hi < b.hi THEN 'during'
+             WHEN a.lo < b.lo AND a.hi > b.hi THEN 'contains'
+             WHEN a.lo < b.lo THEN 'overlaps'
+             ELSE 'overlapped_by' END AS rel,
+           CAST(count(*) AS BIGINT) AS n
+         FROM s a JOIN s b USING (user_id, day)
+         WHERE a.event_type = 'click' AND b.event_type = 'view'
+         GROUP BY 1 ORDER BY rel""",
+
+    // The full 2×2 table and the HUGEINT-exact χ²·1000 per (lang, token).
+    "q_chi2_tokens" ->
+      """WITH t AS (
+           SELECT DISTINCT lang, doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+           FROM documents),
+         nl AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_cat
+                FROM documents GROUP BY 1),
+         nt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+         dfl AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a FROM t GROUP BY 1, 2),
+         dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_tot
+                 FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY 1),
+         x AS (
+           SELECT f.lang AS lang, f.tok AS tok, f.a AS df_cat, dft.df_tot,
+             nl.n_cat, nt.n,
+             dft.df_tot - f.a AS b, nl.n_cat - f.a AS c,
+             nt.n - nl.n_cat - (dft.df_tot - f.a) AS d
+           FROM dfl f JOIN dft USING (tok) JOIN nl USING (lang) CROSS JOIN nt)
+         SELECT lang, tok, df_cat, df_tot, n_cat,
+           CASE WHEN df_tot = n OR n_cat = n THEN CAST(0 AS BIGINT)
+             ELSE CAST((1000 * CAST(n AS HUGEINT) *
+                 CAST(df_cat * d - b * c AS HUGEINT) *
+                 CAST(df_cat * d - b * c AS HUGEINT)) //
+               (CAST(df_tot AS HUGEINT) * CAST(n - df_tot AS HUGEINT) *
+                CAST(n_cat AS HUGEINT) * CAST(n - n_cat AS HUGEINT)) AS BIGINT)
+             END AS chi2_x1000
+         FROM x ORDER BY lang, tok""",
+
+    // cf, df, and the floor per-mille ratio per token above the df floor.
+    "q_token_burstiness" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+           FROM documents)
+         SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           (CAST(count(*) AS BIGINT) * 1000) // count(DISTINCT doc_id) AS burst_x1000
+         FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 5 ORDER BY tok""",
+
+    // The trigram hapax share replayed via the list-comprehension
+    // shingle build.
+    "q_hapax_ngrams" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT source,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) AS gram
+           FROM tk WHERE len(t) >= 3),
+         c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // count(*) AS hapax_pm
+         FROM c GROUP BY source ORDER BY source""",
+
+    // The 16-round merge chain replayed, then the per-lang
+    // corpus-weighted symbol count joined on the final vocabulary.
+    "q_bpe_fertility" -> (bpeChainSql(BpeTrainSteps) + s""",
+         syms AS (
+           SELECT w, CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_syms
+           FROM words$BpeTrainSteps),
+         pl AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS w
+           FROM documents),
+         plc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM pl GROUP BY 1, 2)
+         SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens,
+           (CAST(sum(cnt * n_syms) AS BIGINT) * 1000) // CAST(sum(cnt) AS BIGINT)
+             AS fertility_x1000
+         FROM plc JOIN syms USING (w) GROUP BY lang ORDER BY lang"""),
+
+    // All four vote signals and the per-source score histogram replayed.
+    "q_quality_vote" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis,
+             CASE WHEN list_contains(t, 'the') OR list_contains(t, 'a')
+               THEN 1 ELSE 0 END AS s_stop
+           FROM tk),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         sc AS (
+           SELECT f.source AS source,
+             (CASE WHEN n_tok BETWEEN 20 AND 90 THEN 1 ELSE 0 END) +
+             (CASE WHEN (mx * 1000) // n_tok < 150 THEN 1 ELSE 0 END) +
+             s_stop +
+             (CASE WHEN (n_dis * 1000) // n_tok >= 400 THEN 1 ELSE 0 END) AS score
+           FROM f JOIN m USING (doc_id))
+         SELECT source, CAST(score AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM sc GROUP BY 1, 2 ORDER BY source, score""",
+
+    // Sign words, Hamming prefilter, and exact-cosine rerank replayed
+    // bit-for-bit (shared CTE with the recall certificate below).
+    "q_ann_hamming" -> (annSignCte + """
+         SELECT query_id, id AS neighbor_id, hamming, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, id) AS BIGINT) AS rank
+         FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank"""),
+
+    // Both legs replayed — the Hamming-prefiltered rerank top-5 and the
+    // exact cosine top-5 — then the per-query overlap counted.
+    "q_ann_recall_hamming" -> (annSignCte + """,
+         approx AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, id) AS rk
+             FROM rr) WHERE rk <= 5),
+         exact AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, id) AS rk
+             FROM c CROSS JOIN q) WHERE rk <= 5)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM exact JOIN approx USING (query_id, id)
+         GROUP BY query_id ORDER BY query_id"""),
+
+    // The stratified MK fold replayed with isodow strata (the labels
+    // cancel in the per-type sums; only the partition matters).
+    "q_seasonal_mk" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+             isodow(CAST(ts AS DATE)) AS dow
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT a.event_type AS event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+           FROM dl a JOIN dl b
+             ON a.event_type = b.event_type AND a.dow = b.dow AND a.day < b.day
+           GROUP BY 1),
+         nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+                FROM dl GROUP BY 1)
+         SELECT st.event_type, n_obs, n_pairs, s_stat,
+           (s_stat * 1000) // n_pairs AS s_pm,
+           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+         FROM st JOIN nn USING (event_type) ORDER BY event_type""",
+
+    // Running-record flags over the exclusive-preceding frame replayed.
+    "q_record_days" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, n,
+             max(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+             min(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+           FROM dl)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN pmax IS NULL OR n > pmax THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_record_highs,
+           CAST(sum(CASE WHEN pmin IS NULL OR n < pmin THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_record_lows
+         FROM w GROUP BY event_type ORDER BY event_type""",
+
+    // The strict-local-extrema census and the 3T − 2(n−2) deviation.
+    "q_turning_points" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+             lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nx
+           FROM dl)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_interior,
+           CAST(sum(CASE WHEN (n > pv AND n > nx) OR (n < pv AND n < nx)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_turning,
+           CAST(sum(CASE WHEN (n > pv AND n > nx) OR (n < pv AND n < nx)
+                    THEN 1 ELSE 0 END) AS BIGINT) * 3
+             - CAST(count(*) AS BIGINT) * 2 AS tp_excess_x3
+         FROM w WHERE pv IS NOT NULL AND nx IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""")
 
   /** Shared CTE chain recomputing every document's 64-bit SimHash in
     * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).

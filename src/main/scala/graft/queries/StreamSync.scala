@@ -746,6 +746,68 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming c-chart fixture: (event_type, epoch-day) events in two
+    * time-split batches; cChartStream folds the per-day counts as
+    * cross-batch state and emits a causal chart snapshot per batch.
+    * Guard: the final snapshot's (typ, day, n) table equals the batch
+    * per-day counts — additivity makes that exact by algebra.
+    */
+  private def cchartSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_cchart_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("typ"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cutDay = 19737L // 2024-01-15 as epoch days
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("typ"), col("day"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("day") < cutDay)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("day") >= cutDay)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("typ",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val out = StreamingSync.cChartStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TypeDayEvent])
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_cchart replay")
+
+        // guard: final snapshot day counts == batch per-day counts
+        val sunk = s.read.parquet(sink.toString)
+        val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+        val got = sunk.join(maxSeq, Seq("typ", "seq"))
+          .select(col("typ"), col("day_idx"), col("n")).distinct()
+        val want = ev.groupBy(col("typ"), col("day").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val diff = got.unionByName(want)
+          .groupBy(col("typ"), col("day_idx"), col("n")).agg(count(lit(1)).as("k"))
+          .filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_cchart: $diff (typ, day, n) rows diverge from batch day counts — " +
+            "cross-batch day-count state lost or invented mass")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming SCD2 fixture: user-typed events in two TIME-SPLIT batches
     * (per-key time order across batches — the value-stream contract);
     * scd2Stream emits closed dimension rows on each type change. Guard:
@@ -1604,6 +1666,20 @@ object StreamSync {
         .orderBy("source")
     }),
 
+    // Live self-starting c-chart: per-type day counts folded across two
+    // time-split batches, the final snapshot the causal control chart
+    // (each day judged against strictly-prior days only); the oracle
+    // replays the prefix-window build from the raw table.
+    "q_stream_cchart" -> ((s, d) => {
+      val sunk = s.read.parquet(cchartSinkDir(s, d))
+      val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+      sunk.join(maxSeq, Seq("typ", "seq"))
+        .select(col("typ").as("event_type"), col("day_idx"), col("n"),
+          col("tot_prior"), col("nd_prior"), col("alarm"))
+        .distinct() // at-least-once sink
+        .orderBy("event_type", "day_idx")
+    }),
+
     // Streaming frequent tokens: per-lang Misra–Gries summaries folded
     // across three interleaved batches (exact mode — capacity ≥ vocab;
     // fixture-guarded equal to the batch counts), the query taking each
@@ -1752,6 +1828,29 @@ object StreamSync {
          SELECT user_id, version, event_type, valid_from_us, valid_to_us
          FROM v WHERE valid_to_us IS NOT NULL
          ORDER BY user_id, version""",
+
+    // The causal prefix chart replayed: each day judged against the
+    // exclusive-preceding window, HUGEINT square, 2σ band, 7-day warmup.
+    "q_stream_cchart" ->
+      """WITH dl AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day_idx, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tot_prior,
+             CAST(count(*) OVER (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS nd_prior
+           FROM dl)
+         SELECT event_type, day_idx, n, tot_prior, nd_prior,
+           nd_prior >= 7 AND n * nd_prior > tot_prior AND
+             CAST(n * nd_prior - tot_prior AS HUGEINT) *
+               CAST(n * nd_prior - tot_prior AS HUGEINT) >
+             4 * CAST(tot_prior AS HUGEINT) * CAST(nd_prior AS HUGEINT) AS alarm
+         FROM w ORDER BY event_type, day_idx""",
 
     // The batch XOR fold replayed from the raw table.
     "q_stream_checksum" ->

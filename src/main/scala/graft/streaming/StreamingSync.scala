@@ -573,6 +573,53 @@ object StreamingSync {
       }
   }
 
+  final case class TypeDayEvent(typ: String, day: Long)
+  final case class CChartState(days: Array[Long], counts: Array[Long], seq: Long)
+  final case class CChartRow(
+      typ: String, seq: Long, day_idx: Long, n: Long,
+      tot_prior: Long, nd_prior: Long, alarm: Boolean)
+
+  /** Streaming self-starting c-chart: per key the day→count table is
+    * folded as cross-batch state (bounded by the CALENDAR, not the
+    * event count — ~4 KB/key for a decade of days) and after every
+    * micro-batch the full CAUSAL chart snapshot is emitted stamped with
+    * `seq`: each day judged against the mean of STRICTLY PRIOR days
+    * only (the self-starting variant of [[graft.operators.TimeSeries.cChart]]),
+    * alarm = nd_prior ≥ 7 ∧ n·nd > tot ∧ (n·nd − tot)² > 4·tot·nd with
+    * the square in BigInt — the same cross-multiplied 2σ Poisson band,
+    * no float mean, no √. Day counts are additive, so the final
+    * snapshot is batch-split independent by algebra; a consumer takes
+    * each key's max-seq snapshot (at-least-once sink ⇒ distinct after
+    * the max-seq join, the q_stream_topk discipline).
+    */
+  def cChartStream(events: Dataset[TypeDayEvent]): Dataset[CChartRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.typ)
+      .flatMapGroupsWithState[CChartState, CChartRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, es, gs: GroupState[CChartState]) =>
+          val st = gs.getOption.getOrElse(CChartState(Array.empty, Array.empty, 0L))
+          val m = scala.collection.mutable.TreeMap.empty[Long, Long]
+          st.days.zip(st.counts).foreach { case (d, c) => m(d) = c }
+          es.foreach(e => m(e.day) = m.getOrElse(e.day, 0L) + 1L)
+          val seq = st.seq + 1L
+          val days = m.toArray // TreeMap → day-ascending, canonical
+          gs.update(CChartState(days.map(_._1), days.map(_._2), seq))
+          var tot = 0L
+          var nd = 0L
+          val out = days.iterator.map { case (d, n) =>
+            val lhs = BigInt(n * nd - tot).pow(2)
+            val rhs = BigInt(4) * BigInt(tot) * BigInt(nd)
+            val alarm = nd >= 7 && n * nd > tot && lhs > rhs
+            val row = CChartRow(typ, seq, d, n, tot, nd, alarm)
+            tot += n; nd += 1L
+            row
+          }.toArray
+          out.iterator
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(

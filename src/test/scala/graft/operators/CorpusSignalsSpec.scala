@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** χ² token association, token burstiness, hapax n-gram rate, and the
+  * binary-sign ANN — the round-13 corpus-signal additions.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) =
+    spark.createDataFrame(rows).toDF("doc_id", "text", "cat")
+
+  test("chi2TokenAssoc: perfectly separating token maxes out, shared token is 0") {
+    // 'x' appears in ALL of cat a and NONE of cat b; 'z' appears in all
+    // docs of both. 2×2 for (a, x): a=3 b=0 c=0 d=3 → chi2 = N = 6.
+    val df = docs(Seq(
+      (1L, "x z", "a"), (2L, "x z", "a"), (3L, "x z", "a"),
+      (4L, "y z", "b"), (5L, "y z", "b"), (6L, "y z", "b")))
+    val out = TextAnalysis.chi2TokenAssoc(df, "doc_id", "text", "cat")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "x")).getAs[Long]("chi2_x1000") === 6000L)
+    // a = 0 pairs are not emitted (sparse table — same contract as the
+    // oracle's occurring-pairs join): (b, x) never appears.
+    assert(!out.contains(("b", "x")))
+    assert(out(("b", "y")).getAs[Long]("chi2_x1000") === 6000L) // symmetric 2x2
+    // token in every doc → zero denominator → defined-as-zero emission
+    assert(out(("a", "z")).getAs[Long]("chi2_x1000") === 0L)
+    assert(out(("a", "x")).getAs[Long]("df_cat") === 3L)
+    assert(out(("a", "x")).getAs[Long]("df_tot") === 3L)
+  }
+
+  test("chi2TokenAssoc counts document frequency, not term frequency") {
+    // token repeated within one doc must count once
+    val df = docs(Seq((1L, "w w w", "a"), (2L, "v", "b")))
+    val out = TextAnalysis.chi2TokenAssoc(df, "doc_id", "text", "cat")
+      .filter(col("tok") === "w").collect().head
+    assert(out.getAs[Long]("df_tot") === 1L)
+  }
+
+  test("tokenBurstiness: cf/df per-mille with the df floor") {
+    // 'b' occurs 6 times across 2 docs → 3000; 'f' flat 1-per-doc → 1000;
+    // 'r' df=1 < minDf → filtered out.
+    val df = docs(Seq(
+      (1L, "b b b f r", "x"), (2L, "b b b f", "x"),
+      (3L, "f", "x"), (4L, "f", "x")))
+    val out = TextAnalysis.tokenBurstiness(df, "doc_id", "text", minDf = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("r"))
+    assert(out("b").getAs[Long]("cf") === 6L)
+    assert(out("b").getAs[Long]("df") === 2L)
+    assert(out("b").getAs[Long]("burst_x1000") === 3000L)
+    assert(out("f").getAs[Long]("burst_x1000") === 1000L)
+  }
+
+  test("hapaxNgramRate: repeated trigram is not hapax, unique ones are") {
+    // key k1: 'a b c a b c' → grams: abc, bca, cab, abc → distinct 3,
+    // hapax 2 (bca, cab) → 666 per-mille.
+    val df = docs(Seq((1L, "a b c a b c", "k1"), (2L, "p q r s", "k2")))
+    val out = TextAnalysis.hapaxNgramRate(df, "cat", "text", n = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k1").getAs[Long]("n_grams") === 3L)
+    assert(out("k1").getAs[Long]("n_hapax") === 2L)
+    assert(out("k1").getAs[Long]("hapax_pm") === 666L)
+    assert(out("k2").getAs[Long]("hapax_pm") === 1000L)
+  }
+
+  test("signBitTopK: identical vector is Hamming-0 and cosine-1 rank 1") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (((i * 2654435761L + seed * 40503L) % 1000) - 500).toFloat / 500f)
+    val corpus = spark.createDataFrame(
+      (10L to 40L).map(id => (id, vec(id.toInt)))).toDF("id", "v")
+    val queries = spark.createDataFrame(
+      Seq((1L, vec(25)), (2L, vec(33)))).toDF("id", "v")
+    val out = Similarity.signBitTopK(corpus, queries, "id", "v", "id",
+      k = 3, prefilterK = 10).collect()
+    val top = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(top(1L).getAs[Long]("neighbor_id") === 25L)
+    assert(top(1L).getAs[Long]("hamming") === 0L)
+    assert(top(1L).getAs[Double]("cosine") === 1.0)
+    assert(top(2L).getAs[Long]("neighbor_id") === 33L)
+    // every query returns exactly k ranked rows, ranks 1..k
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("signBitTopK prefilter agrees with brute force when prefilter covers corpus") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (((i * 7919L + seed * 104729L) % 997) - 498).toFloat / 498f)
+    val corpus = spark.createDataFrame(
+      (10L to 25L).map(id => (id, vec(id.toInt)))).toDF("id", "v")
+    val queries = spark.createDataFrame(Seq((1L, vec(7)))).toDF("id", "v")
+    // prefilterK = |corpus| → the rerank sees everything → exact = brute
+    val approx = Similarity.signBitTopK(corpus, queries, "id", "v", "id",
+      k = 5, prefilterK = 16)
+      .select("query_id", "neighbor_id", "cosine", "rank").collect().toSeq
+    val brute = Similarity.bruteForceTopK(corpus, queries, "id", "v", "id", k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank").collect().toSeq
+    assert(approx.map(_.toSeq).sortBy(_.toString) ===
+      brute.map(_.toSeq).sortBy(_.toString))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Date
+
+/** Mann–Kendall, Theil–Sen, c-chart, and the Allen relation ladder —
+  * the round-13 trend/SPC/interval additions to TimeSeries.
+  */
+class TrendSpec extends SparkSpec {
+
+  private def daily(rows: Seq[(String, String, Long)]) =
+    spark.createDataFrame(rows.map { case (k, d, v) => (k, Date.valueOf(d), v) })
+      .toDF("k", "day", "n")
+
+  test("mannKendall: strictly increasing series has S = n_pairs, tau = 1000") {
+    val df = daily((1 to 5).map(i => ("up", f"2024-01-$i%02d", i.toLong)))
+    val r = TimeSeries.mannKendall(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_obs") === 5L)
+    assert(r.getAs[Long]("n_pairs") === 10L)
+    assert(r.getAs[Long]("s_stat") === 10L)
+    assert(r.getAs[Long]("s_pm") === 1000L)
+    assert(r.getAs[String]("trend") === "up")
+  }
+
+  test("mannKendall: hand-computed mixed series") {
+    // values 3, 1, 4, 1, 5 → pairs (i<j): sign sums:
+    // (3,1)-1 (3,4)+1 (3,1)-1 (3,5)+1 (1,4)+1 (1,1)0 (1,5)+1
+    // (4,1)-1 (4,5)+1 (1,5)+1 → S = 3
+    val vals = Seq(3L, 1L, 4L, 1L, 5L)
+    val df = daily(vals.zipWithIndex.map { case (v, i) =>
+      ("m", f"2024-02-${i + 1}%02d", v) })
+    val r = TimeSeries.mannKendall(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("s_stat") === 3L)
+    assert(r.getAs[Long]("s_pm") === 300L)
+    assert(r.getAs[String]("trend") === "up")
+  }
+
+  test("mannKendall: constant series is flat with S = 0") {
+    val df = daily((1 to 4).map(i => ("c", f"2024-03-$i%02d", 7L)))
+    val r = TimeSeries.mannKendall(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("s_stat") === 0L)
+    assert(r.getAs[String]("trend") === "flat")
+  }
+
+  test("theilSenSlope: exact linear series recovers the slope, scaled") {
+    // v = 10 + 3·t → every pairwise slope is exactly 3 → median 3000
+    val df = daily((0 to 6).map(i => ("lin", f"2024-01-${i + 1}%02d", 10L + 3 * i)))
+    val r = TimeSeries.theilSenSlope(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_pairs") === 21L)
+    assert(r.getAs[Long]("slope_scaled") === 3000L)
+  }
+
+  test("theilSenSlope: one wild outlier does not move the median slope") {
+    // linear slope 2 plus one spike; the median of pair slopes stays 2000
+    val base = (0 to 8).map(i => ("rob", f"2024-01-${i + 1}%02d",
+      if (i == 4) 1000L else 20L + 2 * i))
+    val r = TimeSeries.theilSenSlope(daily(base), Seq("k"), "day", "n")
+      .collect().head
+    assert(r.getAs[Long]("slope_scaled") === 2000L)
+  }
+
+  test("cChart: alarm iff count exceeds mean + sigma*sqrt(mean), exactly") {
+    // 9 days at 100 + one day at 130: tot=1030, nd=10, mean=103,
+    // 2σ band ≈ 103 + 2·10.15 = 123.3 → 130 alarms, 100s do not.
+    val df = daily((1 to 9).map(i => ("t", f"2024-04-$i%02d", 100L)) :+
+      (("t", "2024-04-10", 130L)))
+    val rows = TimeSeries.cChart(df, Seq("k"), "day", "n", sigma = 2).collect()
+    val alarms = rows.filter(_.getAs[Boolean]("alarm")).map(_.getAs[Long]("n")).toSeq
+    assert(alarms === Seq(130L))
+    // tighten to the boundary: with sigma=3, 130 is inside (103+30.4) → no alarm
+    val none = TimeSeries.cChart(df, Seq("k"), "day", "n", sigma = 3).collect()
+    assert(!none.exists(_.getAs[Boolean]("alarm")))
+  }
+
+  test("recordDays: hand-computed record highs and lows") {
+    // 5, 3, 7, 7, 9, 2 → highs at 5 (first), 7, 9 = 3; lows at 5, 3, 2 = 3
+    val vals = Seq(5L, 3L, 7L, 7L, 9L, 2L)
+    val df = daily(vals.zipWithIndex.map { case (v, i) =>
+      ("r", f"2024-05-${i + 1}%02d", v) })
+    val r = TimeSeries.recordDays(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("n_record_highs") === 3L)
+    assert(r.getAs[Long]("n_record_lows") === 3L)
+  }
+
+  test("recordDays: monotone series is all highs, one low") {
+    val df = daily((1 to 5).map(i => ("m", f"2024-06-$i%02d", i.toLong)))
+    val r = TimeSeries.recordDays(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_record_highs") === 5L)
+    assert(r.getAs[Long]("n_record_lows") === 1L)
+  }
+
+  test("turningPoints: alternating series turns at every interior point") {
+    // 1, 5, 1, 5, 1 → interior 3, all turning; excess = 9 - 6 = 3
+    val vals = Seq(1L, 5L, 1L, 5L, 1L)
+    val df = daily(vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-07-${i + 1}%02d", v) })
+    val r = TimeSeries.turningPoints(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_interior") === 3L)
+    assert(r.getAs[Long]("n_turning") === 3L)
+    assert(r.getAs[Long]("tp_excess_x3") === 3L)
+  }
+
+  test("turningPoints: monotone series has zero turns; ties are not extrema") {
+    val mono = daily((1 to 6).map(i => ("m", f"2024-08-$i%02d", i.toLong)))
+    val rm = TimeSeries.turningPoints(mono, Seq("k"), "day", "n").collect().head
+    assert(rm.getAs[Long]("n_turning") === 0L)
+    // 1, 4, 4, 1: interior rows are the two 4s — neither is a STRICT
+    // extremum against its equal neighbor
+    val ties = daily(Seq(1L, 4L, 4L, 1L).zipWithIndex.map { case (v, i) =>
+      ("t", f"2024-09-${i + 1}%02d", v) })
+    val rt = TimeSeries.turningPoints(ties, Seq("k"), "day", "n").collect().head
+    assert(rt.getAs[Long]("n_turning") === 0L)
+  }
+
+  test("allenRelation classifies all 13 relations") {
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // (a1, a2, b1, b2, expected)
+      (1L, 2L, 3L, 4L, "before"),
+      (3L, 4L, 1L, 2L, "after"),
+      (1L, 2L, 2L, 3L, "meets"),
+      (2L, 3L, 1L, 2L, "met_by"),
+      (1L, 3L, 2L, 4L, "overlaps"),
+      (2L, 4L, 1L, 3L, "overlapped_by"),
+      (1L, 2L, 1L, 3L, "starts"),
+      (1L, 3L, 1L, 2L, "started_by"),
+      (2L, 3L, 1L, 3L, "finishes"),
+      (1L, 3L, 2L, 3L, "finished_by"),
+      (2L, 3L, 1L, 4L, "during"),
+      (1L, 4L, 2L, 3L, "contains"),
+      (1L, 2L, 1L, 2L, "equals"))
+    val df = spark.createDataFrame(cases).toDF("a1", "a2", "b1", "b2", "want")
+    val got = df.withColumn("rel", TimeSeries.allenRelation(
+      col("a1"), col("a2"), col("b1"), col("b2"))).collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("rel") === r.getAs[String]("want"),
+        s"(${r.getLong(0)},${r.getLong(1)}) vs (${r.getLong(2)},${r.getLong(3)})")
+    }
+  }
+
+  test("allenRelation: degenerate point intervals classify via equality arms") {
+    import org.apache.spark.sql.functions._
+    // Degenerate intervals satisfy several textbook relations at once;
+    // the ladder's arm order decides (meets/met_by win over starts/
+    // finishes for a point touching an endpoint) — pinned here.
+    val df = spark.createDataFrame(Seq(
+      (5L, 5L, 5L, 5L, "equals"),
+      (5L, 5L, 5L, 7L, "meets"),
+      (5L, 5L, 3L, 5L, "met_by"),
+      (5L, 5L, 4L, 6L, "during"))).toDF("a1", "a2", "b1", "b2", "want")
+    df.withColumn("rel", TimeSeries.allenRelation(
+        col("a1"), col("a2"), col("b1"), col("b2"))).collect()
+      .foreach(r => assert(r.getAs[String]("rel") === r.getAs[String]("want")))
+  }
+}
