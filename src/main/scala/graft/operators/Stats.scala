@@ -176,4 +176,39 @@ object Stats {
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Wilcoxon signed-rank statistic (Wilcoxon 1945) over paired
+    * integer observations, ALL-INTEGER: zero differences drop (the
+    * standard treatment), |d| ties take AVERAGE ranks — kept exact by
+    * emitting DOUBLED ranks (avg·2 = min_rn + max_rn of the tie run, so
+    * no .5 ever materializes) — and the emitted `w_plus_x2`/`w_minus_x2`
+    * satisfy w_plus_x2 + w_minus_x2 = n(n+1) exactly, the built-in
+    * self-check. The nonparametric paired-difference test next to
+    * [[graft.queries]]' Mann–Whitney (unpaired) leg.
+    *
+    * The rank windows run per key over the paired series — bounded by
+    * the spine (days), not the corpus; with `keyCols` empty they are
+    * single-partition windows over that same bounded frame (the day
+    * spine is the documented exception to the no-global-window rule).
+    */
+  def wilcoxonSignedRank(
+      pairs: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val nz = pairs
+      .withColumn("__d", col(xCol) - col(yCol))
+      .filter(col("__d") =!= 0)
+      .withColumn("__ad", abs(col("__d")))
+    val wRn = Window.partitionBy(keys: _*).orderBy(col("__ad").asc)
+    val wTie = Window.partitionBy(keys :+ col("__ad"): _*)
+    nz
+      .withColumn("__rn", row_number().over(wRn).cast("long"))
+      .withColumn("__rank_x2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0, col("__rank_x2")).otherwise(0L)).as("w_plus_x2"),
+        sum(when(col("__d") < 0, col("__rank_x2")).otherwise(0L)).as("w_minus_x2"))
+  }
 }
