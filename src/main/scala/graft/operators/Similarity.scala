@@ -289,12 +289,15 @@ object Similarity {
     * touches a sign bit — XOR + bit_count stay portable across engines.
     */
   private def signWord(vec: Column, offset: Int): Column =
-    expr(s"""aggregate(
-         zip_with(slice(${vec.toString}, ${offset + 1}, 32), sequence(0, 31),
-           (x, i) -> CASE WHEN x > CAST(0 AS FLOAT)
-                     THEN shiftleft(CAST(1 AS BIGINT), i)
-                     ELSE CAST(0 AS BIGINT) END),
-         CAST(0 AS BIGINT), (acc, b) -> acc + b)""")
+    aggregate(
+      zip_with(
+        slice(vec, offset + 1, 32),
+        sequence(lit(0), lit(31)),
+        (x, i) =>
+          when(x > lit(0f), call_function("shiftleft", lit(1L), i))
+            .otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc + b)
 
   /** Binary-quantized ANN (the sign/"binary embedding" mode every
     * production vector store ships — 1 bit/dim prefilter, exact rerank;

@@ -410,8 +410,12 @@ object TextAnalysis {
     * pair the 2×2 document-frequency table (a = docs in category with
     * token, b = other docs with token, c/d = the complements) scored as
     * χ²·1000 = 1000·N·(ad−bc)² div ((a+b)(c+d)(a+c)(b+d)) — EXACT
-    * integer emission, products in DECIMAL(38,0) (at N = 5·10⁷ docs the
-    * squared cross term hits 10^30; BIGINT dies at 10^18). A
+    * integer emission, products in DECIMAL(38,0), LOUD past the exact
+    * bound: |ad−bc| ≤ N²/4, so the numerator tops out at 1000·N⁵/16,
+    * which fits 38 digits only up to N = 10⁷ docs — beyond that a
+    * raise_error fires (the passAtK discipline) instead of Spark's
+    * silent precision-loss null. Larger corpora should chi2 per shard
+    * (the statistic is shard-additive in its marginal inputs). A
     * zero denominator (token in every doc, or single-category corpus)
     * emits 0 — the statistic is undefined and "no signal" is the only
     * portable rendering.
@@ -424,6 +428,12 @@ object TextAnalysis {
     * sourceDrift discipline. The marginal tables are vocabulary/
     * |categories|-sized broadcasts.
     */
+  /** Largest corpus size N for which 1000·N·(ad−bc)² provably fits
+    * DECIMAL(38,0): 1000·N⁵/16 ≤ 10³⁸ ⟺ N ≤ ~1.7·10⁷; 10⁷ kept as the
+    * round safe bound.
+    */
+  private val ChiSqMaxN = 10000000L
+
   def chi2TokenAssoc(
       df: DataFrame,
       idCol: String,
@@ -454,9 +464,13 @@ object TextAnalysis {
         col("a").cast(dec) * col("d").cast(dec) -
           col("b").cast(dec) * col("c").cast(dec))
       .withColumn("chi2_x1000",
-        when(col("__den") === 0, 0L).otherwise(
-          expr("(1000 * CAST(n AS DECIMAL(38,0)) * __crs * __crs) div __den")
-            .cast("long")))
+        when(col("n") > ChiSqMaxN, raise_error(concat(
+          lit(s"chi2TokenAssoc: N exceeds exact-decimal bound $ChiSqMaxN (N="),
+          col("n").cast("string"), lit(")"))).cast("long"))
+          .when(col("__den") === 0, 0L)
+          .otherwise(
+            expr("(1000 * CAST(n AS DECIMAL(38,0)) * __crs * __crs) div __den")
+              .cast("long")))
       .select(col("cat"), col("tok"), col("a").as("df_cat"), col("df_tot"),
         col("n_cat"), col("chi2_x1000"))
   }

@@ -386,7 +386,11 @@ object TimeSeries {
     * day series — all-integer, no slope fit, robust to outliers. Emits
     * per key: `n_obs`, `n_pairs`, `s_stat`, the normalized
     * `s_pm` = S·1000 div n_pairs (Kendall's τ_a per-mille, floor
-    * division), and the sign-only `trend` label.
+    * division), and the sign-only `trend` label. EVERY observed key is
+    * emitted, including single-observation keys with zero pairs
+    * (n_pairs = 0, s_stat = 0, s_pm = 0, trend = 'flat') — so callers
+    * that re-aggregate strata (seasonal MK) see n_obs count ALL
+    * observed rows, exactly what an all-days oracle certifies.
     *
     * Scale shape: the pair join is WITHIN key over an already-aggregated
     * per-day series — |days|² per key, bounded by the calendar (a
@@ -409,14 +413,21 @@ object TimeSeries {
     val a = pinned.select(keys :+ col("__o").as("__o_a") :+ col("__v").as("__v_a"): _*)
     val b = pinned.select(keys :+ col("__o").as("__o_b") :+ col("__v").as("__v_b"): _*)
     val nObs = pinned.groupBy(keys: _*).agg(count(lit(1)).as("n_obs"))
-    a.join(b, keyCols)
+    val pairAgg = a.join(b, keyCols)
       .filter(col("__o_a") < col("__o_b"))
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("__v_b") > col("__v_a"), 1L)
           .when(col("__v_b") < col("__v_a"), -1L).otherwise(0L)).as("s_stat"))
-      .join(nObs, keyCols)
-      .withColumn("s_pm", expr("(s_stat * 1000) div n_pairs"))
+    // LEFT join FROM nObs: a key whose series has a single observation
+    // produces no pairs and would vanish under an inner join — its
+    // n_obs must still count (the r13 seasonal-MK divergence).
+    nObs.join(pairAgg, keyCols, "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("s_pm",
+        when(col("n_pairs") === 0, 0L)
+          .otherwise(expr("(s_stat * 1000) div n_pairs")))
       .withColumn("trend",
         when(col("s_stat") > 0, "up")
           .when(col("s_stat") < 0, "down").otherwise("flat"))

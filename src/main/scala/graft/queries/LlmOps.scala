@@ -3642,7 +3642,9 @@ object LlmOps {
         .agg(sum(col("n_obs")).as("n_obs"),
           sum(col("n_pairs")).as("n_pairs"),
           sum(col("s_stat")).as("s_stat"))
-        .withColumn("s_pm", expr("(s_stat * 1000) div n_pairs"))
+        .withColumn("s_pm",
+          when(col("n_pairs") === 0, 0L)
+            .otherwise(expr("(s_stat * 1000) div n_pairs")))
         .withColumn("trend",
           when(col("s_stat") > 0, "up")
             .when(col("s_stat") < 0, "down").otherwise("flat"))
@@ -7603,11 +7605,15 @@ object LlmOps {
                   AS BIGINT) AS s_stat
            FROM dl a JOIN dl b ON a.event_type = b.event_type AND a.day < b.day
            GROUP BY 1)
-         SELECT p.event_type, n_obs, n_pairs, s_stat,
-           (s_stat * 1000) // n_pairs AS s_pm,
-           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+         SELECT nn.event_type, n_obs,
+           COALESCE(n_pairs, 0) AS n_pairs,
+           COALESCE(s_stat, 0) AS s_stat,
+           CASE WHEN COALESCE(n_pairs, 0) = 0 THEN 0
+                ELSE (s_stat * 1000) // n_pairs END AS s_pm,
+           CASE WHEN COALESCE(s_stat, 0) > 0 THEN 'up'
+                WHEN COALESCE(s_stat, 0) < 0 THEN 'down'
                 ELSE 'flat' END AS trend
-         FROM p JOIN nn USING (event_type) ORDER BY event_type""",
+         FROM nn LEFT JOIN p USING (event_type) ORDER BY event_type""",
 
     // Every pairwise scaled slope and the lower-median pick replayed.
     "q_theil_sen" ->
@@ -7821,11 +7827,15 @@ object LlmOps {
            GROUP BY 1),
          nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
                 FROM dl GROUP BY 1)
-         SELECT st.event_type, n_obs, n_pairs, s_stat,
-           (s_stat * 1000) // n_pairs AS s_pm,
-           CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+         SELECT nn.event_type, n_obs,
+           COALESCE(n_pairs, 0) AS n_pairs,
+           COALESCE(s_stat, 0) AS s_stat,
+           CASE WHEN COALESCE(n_pairs, 0) = 0 THEN 0
+                ELSE (s_stat * 1000) // n_pairs END AS s_pm,
+           CASE WHEN COALESCE(s_stat, 0) > 0 THEN 'up'
+                WHEN COALESCE(s_stat, 0) < 0 THEN 'down'
                 ELSE 'flat' END AS trend
-         FROM st JOIN nn USING (event_type) ORDER BY event_type""",
+         FROM nn LEFT JOIN st USING (event_type) ORDER BY event_type""",
 
     // Running-record flags over the exclusive-preceding frame replayed.
     "q_record_days" ->

@@ -35,6 +35,22 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[String]("trend") === "up")
   }
 
+  test("mannKendall: single-observation key still emits, with zero pairs") {
+    // The r13 seasonal-MK divergence: a stratum with ONE observed day has
+    // no pairs but must still contribute its n_obs to re-aggregations.
+    val df = daily(Seq(("lone", "2024-04-01", 9L),
+      ("pair", "2024-04-01", 1L), ("pair", "2024-04-02", 2L)))
+    val out = TimeSeries.mannKendall(df, Seq("k"), "day", "n")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val lone = out("lone")
+    assert(lone.getAs[Long]("n_obs") === 1L)
+    assert(lone.getAs[Long]("n_pairs") === 0L)
+    assert(lone.getAs[Long]("s_stat") === 0L)
+    assert(lone.getAs[Long]("s_pm") === 0L)
+    assert(lone.getAs[String]("trend") === "flat")
+    assert(out("pair").getAs[Long]("n_pairs") === 1L)
+  }
+
   test("mannKendall: constant series is flat with S = 0") {
     val df = daily((1 to 4).map(i => ("c", f"2024-03-$i%02d", 7L)))
     val r = TimeSeries.mannKendall(df, Seq("k"), "day", "n").collect().head
