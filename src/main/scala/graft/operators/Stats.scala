@@ -211,4 +211,31 @@ object Stats {
         sum(when(col("__d") > 0, col("__rank_x2")).otherwise(0L)).as("w_plus_x2"),
         sum(when(col("__d") < 0, col("__rank_x2")).otherwise(0L)).as("w_minus_x2"))
   }
+
+  /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over
+    * paired integer observations: count positive / negative / zero
+    * differences per key — under H₀ the positives are
+    * Binomial(n_pos+n_neg, ½), so `b_stat` = min(n_pos, n_neg) is the
+    * exact-binomial tail statistic and `sign_stat` = n_pos − n_neg the
+    * direction. Magnitude-free (only signs enter), which is what makes
+    * it the assumption-light sibling of [[wilcoxonSignedRank]]; both
+    * read the SAME paired frame, completing the paired battery next to
+    * the unpaired Mann–Whitney. ONE aggregate — no window, no join:
+    * the cheapest test in the family at any scale.
+    */
+  def signTest(
+      pairs: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val d = col(xCol) - col(yCol)
+    pairs
+      .groupBy(keys: _*)
+      .agg(sum(when(d > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(d < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(d === 0, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("sign_stat", col("n_pos") - col("n_neg"))
+      .withColumn("b_stat", least(col("n_pos"), col("n_neg")))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.operators.{Chunking, Components, Contamination, Dedup, EvalOps, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Chunking, Components, Contamination, Dedup, EvalOps, Multimodal, Packing, Quantize, Retrieval, Sampling, Similarity, Stats, TextAnalysis, TimeSeries}
 import graft.expressions.{functions => gfn}
 
 /** The beyond-parity LLM-training-data-pipeline operators as driver-checkable
@@ -56,6 +56,23 @@ object LlmOps {
       .select(col(keyCol), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
       .distinct()
+
+  /** Paired weekly series per event type — x = Mon–Fri event count,
+    * y = Sat–Sun count — the ONE frame both q_wilcoxon and q_sign_test
+    * read (and both oracles replay), so the pairing cannot drift
+    * between the two paired tests. Weeks truncate to Monday in both
+    * engines; Spark `weekday() < 5` ≡ DuckDB `isodow() <= 5` = Mon–Fri.
+    * Scale shape: two partial-agg shuffles over the calendar-bounded
+    * daily rollup — the raw event volume only touches the first.
+    */
+  private def weekdayWeekendPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wk", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(sum(when(weekday(col("day")) < 5, col("n")).otherwise(0L)).as("x"),
+        sum(when(weekday(col("day")) >= 5, col("n")).otherwise(0L)).as("y"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3674,6 +3691,29 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Wilcoxon signed-rank test (Stats.wilcoxonSignedRank) on the
+    // weekday-vs-weekend paired weekly series per event type: does the
+    // workweek systematically out-count the weekend? Zero differences
+    // drop, |d| ties take exact DOUBLED average ranks, and the emitted
+    // halves satisfy w_plus_x2 + w_minus_x2 = n(n+1) — the identity the
+    // oracle re-derives rank by rank.
+    "q_wilcoxon" -> ((s, d) => {
+      Stats.wilcoxonSignedRank(weekdayWeekendPairs(s, d),
+        Seq("event_type"), "x", "y")
+        .orderBy("event_type")
+    }),
+
+    // Sign test (Stats.signTest) on the SAME paired weekly frame as
+    // q_wilcoxon: positive/negative/zero difference counts, the
+    // direction statistic, and the exact-binomial tail count
+    // min(n_pos, n_neg) — the magnitude-free paired sibling. One
+    // aggregate, no window.
+    "q_sign_test" -> ((s, d) => {
+      Stats.signTest(weekdayWeekendPairs(s, d),
+        Seq("event_type"), "x", "y")
+        .orderBy("event_type")
+    }),
+
     // Recall certificate for the binary-quantized ANN: per query, how
     // many of the exact cosine top-5 survive the Hamming-top-20
     // prefilter + rerank. DuckDB replays BOTH legs and the overlap
@@ -3895,6 +3935,22 @@ object LlmOps {
                  * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
              AS score
            FROM f, st)"""
+
+  /** Shared paired-weekly CTE (`wk(event_type, wk, x, y)`) mirroring
+    * [[weekdayWeekendPairs]] — ONE definition feeding both the
+    * q_wilcoxon and q_sign_test oracles, the same no-drift discipline
+    * as the Spark side's single helper.
+    */
+  private val pairedWeeklyCte =
+    """WITH dl AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       wk AS (
+         SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS wk,
+           CAST(sum(CASE WHEN isodow(day) <= 5 THEN n ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN isodow(day) >= 6 THEN n ELSE 0 END) AS BIGINT) AS y
+         FROM dl GROUP BY 1, 2)"""
 
   def oracleSql: Map[String, String] = Map(
     // The shared distinct (key, 3-gram shingle) substrate of the two
@@ -7873,7 +7929,38 @@ object LlmOps {
                     THEN 1 ELSE 0 END) AS BIGINT) * 3
              - CAST(count(*) AS BIGINT) * 2 AS tp_excess_x3
          FROM w WHERE pv IS NOT NULL AND nx IS NOT NULL
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+
+    // The doubled-average-rank treatment replayed rank by rank: zero
+    // diffs drop, |d| ties contribute min(rn)+max(rn) of their run.
+    "q_wilcoxon" -> (pairedWeeklyCte + """,
+         nz AS (
+           SELECT event_type, x - y AS d, abs(x - y) AS ad
+           FROM wk WHERE x <> y),
+         rk AS (
+           SELECT event_type, d,
+             min(rn) OVER (PARTITION BY event_type, ad)
+               + max(rn) OVER (PARTITION BY event_type, ad) AS rank_x2
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY ad) AS rn FROM nz))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d > 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_plus_x2,
+           CAST(sum(CASE WHEN d < 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_minus_x2
+         FROM rk GROUP BY 1 ORDER BY event_type"""),
+
+    // Binomial sign counts over the same paired weekly frame.
+    "q_sign_test" -> (pairedWeeklyCte + """
+         SELECT event_type,
+           CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END)
+             - sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS sign_stat,
+           CAST(least(sum(CASE WHEN x > y THEN 1 ELSE 0 END),
+             sum(CASE WHEN x < y THEN 1 ELSE 0 END)) AS BIGINT) AS b_stat
+         FROM wk GROUP BY 1 ORDER BY event_type"""))
 
   /** Shared CTE chain recomputing every document's 64-bit SimHash in
     * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).

@@ -26,6 +26,31 @@ class StatsSpec extends SparkSpec {
       assert(out(g).isNullAt(out(g).fieldIndex(c)), s"$g.$c should be null")
   }
 
+  test("wilcoxonSignedRank: hand-computed ties + zero-diff drop") {
+    // diffs x−y = {2, −2, 2, 3, 0}: the zero drops (n = 4); |d| run
+    // {2,2,2} takes doubled rank 1+3 = 4 each, |3| takes 4·2 = 8 →
+    // w⁺·2 = 4+4+8 = 16, w⁻·2 = 4, and 16+4 = 4·5 (the identity).
+    val df = spark.createDataFrame(Seq(
+      ("g", 5L, 3L), ("g", 3L, 5L), ("g", 7L, 5L), ("g", 9L, 6L), ("g", 4L, 4L)))
+      .toDF("k", "x", "y")
+    val r = Stats.wilcoxonSignedRank(df, Seq("k"), "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") === 4L)
+    assert(r.getAs[Long]("w_plus_x2") === 16L)
+    assert(r.getAs[Long]("w_minus_x2") === 4L)
+  }
+
+  test("signTest counts signs and the binomial tail statistic") {
+    val df = spark.createDataFrame(Seq(
+      ("g", 5L, 3L), ("g", 3L, 5L), ("g", 7L, 5L), ("g", 9L, 6L), ("g", 4L, 4L)))
+      .toDF("k", "x", "y")
+    val r = Stats.signTest(df, Seq("k"), "x", "y").collect().head
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_neg") === 1L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("sign_stat") === 2L)
+    assert(r.getAs[Long]("b_stat") === 1L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
