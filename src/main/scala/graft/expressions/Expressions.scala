@@ -334,6 +334,13 @@ object functions {
 
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+
+  /** Bounded-heap per-group top-k under (score asc|desc, id asc) —
+    * the scale-safe window replacement; see
+    * [[graft.expressions.BoundedTopKAgg]].
+    */
+  def bounded_top_k(score: Column, id: Column, k: Int, asc: Boolean): Column =
+    BoundedTopKAgg.bounded_top_k(score, id, k, asc)
   def hyperplane_bucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     require(planes.nonEmpty)
     val dim = planes.head.length

@@ -21,7 +21,13 @@ object Similarity {
 
   /** Exact cosine top-k per query. `queries` must be small enough to
     * broadcast (the hint enforces it); corpus-side the plan is scan →
-    * broadcast-NL-join → kernel → rank.
+    * broadcast-NL-join → kernel → bounded-heap partial top-k. The rank
+    * is a [[graft.expressions.BoundedTopKAgg]] (cosine desc, id asc),
+    * NOT a per-query window: the window shape repartitions the whole
+    * corpus onto |queries| partitions — with 5 probe queries at 10⁹
+    * rows that is 5 tasks each sorting the corpus — while the aggregate
+    * keeps k candidates per map task and shuffles only
+    * |partitions|·|queries| bounded buffers.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -30,17 +36,17 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int = 10): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc) // id tiebreak → deterministic
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    scored.groupBy(col("query_id"))
+      .agg(gfn.bounded_top_k(col("cosine"), col("id"), k, asc = false).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").cast(idType).as("neighbor_id"),
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
   }
 
   /** IVF-style ANN: assign corpus rows to their nearest of `nCentroids`
@@ -288,6 +294,16 @@ object Similarity {
     * the component is > 0). Two words, not one, so bit 31/63 never
     * touches a sign bit — XOR + bit_count stay portable across engines.
     */
+  /** (id, lo, hi) sign signatures for a vector table — the thin
+    * 24-byte/row leg of [[signBitTopK]]; package-visible so the scale
+    * harness (tools.ScaleAnn) measures the exact production kernel.
+    */
+  private[graft] def signSignatures(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), signWord(col("v"), 0).as("lo"),
+        signWord(col("v"), 32).as("hi"))
+
   private def signWord(vec: Column, offset: Int): Column =
     aggregate(
       zip_with(
@@ -310,9 +326,13 @@ object Similarity {
     * Scale shape: the full-corpus leg carries (id, lo, hi) = 24
     * bytes/row — the vectors themselves never move until the candidate
     * set is |queries|·prefilterK. Signatures are computed in one narrow
-    * codegen pass (in production they'd be a materialized column). Both
-    * ranks are bounded windows: the Hamming rank over corpus×queries
-    * ids+distances, the rerank over the candidate rows only.
+    * codegen pass (in production they'd be a materialized column). The
+    * Hamming prefilter is a [[graft.expressions.BoundedTopKAgg]]
+    * (map-side partial top-k, |partitions|·|queries| bounded buffers on
+    * the shuffle), NOT a per-query window — the window shape would sort
+    * the whole signature table inside a handful of |queries| tasks.
+    * Only the final rerank is a window, over the
+    * |queries|·prefilterK candidate rows.
     */
   def signBitTopK(
       corpus: DataFrame,
@@ -322,29 +342,28 @@ object Similarity {
       queryIdCol: String,
       k: Int = 5,
       prefilterK: Int = 20): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("c_lo", signWord(col("v"), 0))
-      .withColumn("c_hi", signWord(col("v"), 32))
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("q_lo", signWord(col("qv"), 0))
-      .withColumn("q_hi", signWord(col("qv"), 32))
+    val idType = corpus.schema(idCol).dataType
+    val cVec = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qVec = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     // Thin leg: ids + signatures only — the vector column is pruned out.
-    val ham = c.select(col("id"), col("c_lo"), col("c_hi"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("q_lo"), col("q_hi"))))
+    val ham = signSignatures(corpus, idCol, vecCol)
+      .crossJoin(broadcast(signSignatures(queries, queryIdCol, vecCol)
+        .select(col("id").as("query_id"), col("lo").as("q_lo"),
+          col("hi").as("q_hi"))))
       .withColumn("hamming",
-        expr("CAST(bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi) AS BIGINT)"))
-    val wPre = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("id").asc)
-    val cand = ham
-      .withColumn("__rn", row_number().over(wPre))
-      .filter(col("__rn") <= prefilterK)
-      .select(col("query_id"), col("id"), col("hamming"))
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+    val cand = ham.groupBy(col("query_id"))
+      .agg(gfn.bounded_top_k(col("hamming"), col("id"), prefilterK, asc = true)
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").cast(idType).as("id"),
+        col("e.score").cast("long").as("hamming"))
     // Rerank: only |queries|·prefilterK rows rejoin their vectors.
     val wFin = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     cand
-      .join(c.select(col("id"), col("v")), Seq("id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .join(cVec, Seq("id"))
+      .join(broadcast(qVec), Seq("query_id"))
       .withColumn("cosine", round(gfn.cosine_sim(col("v"), col("qv")), 6))
       .withColumn("rank", row_number().over(wFin).cast("long"))
       .filter(col("rank") <= k)
