@@ -591,13 +591,32 @@ object StreamingSync {
     * snapshot is batch-split independent by algebra; a consumer takes
     * each key's max-seq snapshot (at-least-once sink ⇒ distinct after
     * the max-seq join, the q_stream_topk discipline).
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout state eviction — the
+    * pattern for production key-churn hygiene (a stream whose key
+    * space churns leaks NoTimeout state forever): a key silent for
+    * `ttlMs` has its calendar dropped, emitting nothing. Eviction is
+    * SAFE here by construction: verdicts for live keys are computed
+    * from their own per-key state only, so dead-key eviction cannot
+    * change them (spec-guarded), and a returning key self-starts
+    * afresh — the chart's own warmup (nd_prior ≥ 7) gates its alarms
+    * exactly as it gated the key's first life. The default 0 keeps
+    * NoTimeout for the oracled batch-parity query.
     */
-  def cChartStream(events: Dataset[TypeDayEvent]): Dataset[CChartRow] = {
+  def cChartStream(
+      events: Dataset[TypeDayEvent],
+      ttlMs: Long = 0L): Dataset[CChartRow] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.typ)
       .flatMapGroupsWithState[CChartState, CChartRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (typ, es, gs: GroupState[CChartState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (typ, es, gs: GroupState[CChartState]) =>
           val st = gs.getOption.getOrElse(CChartState(Array.empty, Array.empty, 0L))
           val m = scala.collection.mutable.TreeMap.empty[Long, Long]
@@ -606,6 +625,7 @@ object StreamingSync {
           val seq = st.seq + 1L
           val days = m.toArray // TreeMap → day-ascending, canonical
           gs.update(CChartState(days.map(_._1), days.map(_._2), seq))
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
           var tot = 0L
           var nd = 0L
           val out = days.iterator.map { case (d, n) =>

@@ -56,6 +56,89 @@ class CChartStreamSpec extends SparkSpec {
     (8L to 10L).foreach(d => assert(!byDay(d).alarm, s"steady day $d"))
   }
 
+  // NOTE on waiting: a query with ProcessingTimeTimeout armed ALWAYS
+  // reports "another batch may be needed" (a lapsed timeout can fire
+  // at any wall-clock instant), so `processAllAvailable` NEVER returns
+  // for it — Spark's own FMGWS timeout suites drive a manual clock
+  // instead. These tests pace the trigger (also the production
+  // configuration — the 0 ms default busy-loops empty batches) and
+  // POLL the memory sink for the expected rows.
+  private val paced = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L)
+
+  private def pollUntil(what: String, timeoutMs: Long = 60000L)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+      Thread.sleep(100L)
+    }
+  }
+
+  test("arming TTL does not change live-key causal verdicts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // TTL far above the test's wall-clock: nothing evicts; the emitted
+    // chart must be bit-identical to the NoTimeout run. (Keys WITH data
+    // in a batch are always served the data path — hasTimedOut only
+    // fires for silent keys — so live keys are structurally unaffected;
+    // this pins it.)
+    val ev = events((1L to 10L).map(_ -> 100) :+ (11L -> 140))
+    def snapshot(sinkName: String): Seq[(Long, Long, Long, Long, Boolean)] = {
+      val all = spark.table(sinkName).as[SS.CChartRow].collect().toSeq
+      if (all.isEmpty) Seq.empty
+      else {
+        val maxSeq = all.map(_.seq).max
+        all.filter(_.seq == maxSeq).sortBy(_.day_idx)
+          .map(r => (r.day_idx, r.n, r.tot_prior, r.nd_prior, r.alarm))
+      }
+    }
+    // NoTimeout reference (processAllAvailable is safe here)
+    val msRef = MemoryStream[SS.TypeDayEvent]
+    val refSink = s"cc_ref_${System.nanoTime()}"
+    val qRef = SS.cChartStream(msRef.toDS()).writeStream
+      .format("memory").queryName(refSink).start()
+    try { msRef.addData(ev); qRef.processAllAvailable() } finally qRef.stop()
+    val noTtl = snapshot(refSink)
+
+    val ms = MemoryStream[SS.TypeDayEvent]
+    val ttlSink = s"cc_ttl_${System.nanoTime()}"
+    val q = SS.cChartStream(ms.toDS(), ttlMs = 600000L).writeStream
+      .format("memory").queryName(ttlSink).trigger(paced).start()
+    try {
+      ms.addData(ev)
+      pollUntil("full 11-day snapshot under TTL") {
+        snapshot(ttlSink).size == 11
+      }
+    } finally q.stop()
+    val ttl = snapshot(ttlSink)
+    assert(ttl === noTtl)
+    assert(ttl.exists(r => r._1 == 11L && r._5), "spike day must still alarm")
+  }
+
+  test("TTL evicts a silent key; on return it self-starts afresh") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.TypeDayEvent]
+    val sinkName = s"cc_ttl_return_${System.nanoTime()}"
+    val q = SS.cChartStream(ms.toDS(), ttlMs = 1000L).writeStream
+      .format("memory").queryName(sinkName).trigger(paced).start()
+    def deadRows = spark.table(sinkName).as[SS.CChartRow].collect()
+      .filter(_.typ == "dead")
+    try {
+      ms.addData((1L to 3L).map(d => SS.TypeDayEvent("dead", d)))
+      pollUntil("first-life snapshot")(deadRows.length == 3)
+      // silence past the TTL: the paced batches fire the timeout and
+      // drop the key's calendar state in the background
+      Thread.sleep(1600L)
+      ms.addData(Seq(SS.TypeDayEvent("dead", 9L)))
+      pollUntil("returning-key snapshot")(deadRows.exists(_.day_idx == 9L))
+    } finally q.stop()
+    val fresh = deadRows.filter(_.day_idx == 9L)
+    // after eviction the key restarts: first-life days (1..3) are gone
+    // from the new snapshot, seq restarts at 1, priors are empty
+    assert(fresh.forall(r => r.seq == 1L && r.tot_prior == 0L && r.nd_prior == 0L),
+      s"returning key must self-start: ${fresh.toSeq}")
+    assert(!deadRows.exists(r => r.seq == 2L),
+      s"evicted state must not resurrect: ${deadRows.toSeq}")
+  }
+
   test("seq counts batches per key") {
     val a = SS.TypeDayEvent("a", 1L)
     val b = SS.TypeDayEvent("b", 1L)
