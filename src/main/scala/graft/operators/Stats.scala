@@ -212,6 +212,106 @@ object Stats {
         sum(when(col("__d") < 0, col("__rank_x2")).otherwise(0L)).as("w_minus_x2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance (the distribution-equality
+    * screen run before pooling two cohorts), EXACT by
+    * cross-multiplication: D = max_v |F_A(v) − F_B(v)| is computed as
+    * `d_num` = max|cumA·n₂ − cumB·n₁| over the merged value spine, so
+    * no IEEE division enters the max; `d_pm` = (1000·d_num) div (n₁·n₂)
+    * is the per-mille rendering. One value-level aggregate, one
+    * per-key cumulative window (the q_mannwhitney shape), one rollup.
+    * Loud past n₁,n₂ = 10⁹ where the cross-products would leave BIGINT
+    * (the passAtK discipline).
+    */
+  def ksTwoSample(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val maxN = 1000000000L
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("n1", sum(col("__a")).over(wAll))
+      .withColumn("n2", sum(col("__b")).over(wAll))
+      .groupBy(keys: _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__ca") * col("n2") - col("__cb") * col("n1"))).as("d_num"))
+      .withColumn("d_pm",
+        when(col("n1") > maxN || col("n2") > maxN,
+          raise_error(lit(s"ksTwoSample: sample size exceeds exact BIGINT bound $maxN")).cast("long"))
+          .when(col("n1") === 0 || col("n2") === 0, 0L)
+          .otherwise(expr("(1000 * d_num) div (n1 * n2)")))
+  }
+
+  /** McNemar's test (1947) for PAIRED binary verdicts — do two
+    * classifiers/filters disagree symmetrically? Only the discordant
+    * cells carry signal: `chi2_x1000` = 1000·(n₁₀ − n₀₁)² div
+    * (n₁₀ + n₀₁), exact integers, 0 when no discordant pairs (the
+    * statistic is undefined and "no signal" is the portable
+    * rendering). Emits the full 2×2 for the audit trail. ONE aggregate.
+    */
+  def mcnemar(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aCol: String,
+      bCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val a = col(aCol)
+    val b = col(bCol)
+    df.groupBy(keys: _*)
+      .agg(sum(when(!a && !b, 1L).otherwise(0L)).as("n00"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"))
+      .withColumn("chi2_x1000",
+        when(col("n01") + col("n10") === 0, 0L).otherwise(
+          expr("(1000 * (n10 - n01) * (n10 - n01)) div (n10 + n01)")))
+  }
+
+  /** Cochran's Q test (1950) — the k-treatment generalization of
+    * McNemar: do k binary filters pass the same subjects at the same
+    * rate? Q = (k−1)·(k·ΣC_j² − S²) / (k·S − ΣR_i²) with C_j the
+    * per-treatment pass counts, R_i the per-subject pass counts, S the
+    * grand total — ALL integer, emitted as `q_x1000` by floor
+    * division (0 when the denominator is 0: every subject all-pass or
+    * all-fail, no information). ONE aggregate over the subject rows:
+    * S, ΣC_j², and ΣR_i² all fold in the same pass.
+    */
+  def cochranQ(
+      df: DataFrame,
+      keyCols: Seq[String],
+      verdictCols: Seq[String]): DataFrame = {
+    require(verdictCols.size >= 2, "Cochran's Q needs k >= 2 treatments")
+    val keys = keyCols.map(col)
+    val k = verdictCols.size
+    val vs = verdictCols.map(c => when(col(c), 1L).otherwise(0L))
+    val rI = vs.reduce(_ + _)
+    val cSums = verdictCols.zipWithIndex.map { case (c, i) =>
+      sum(when(col(c), 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val sumCsq = (0 until k).map(i => col(s"__c$i") * col(s"__c$i")).reduce(_ + _)
+    df.withColumn("__r", rI)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__r")).as("s_total") +:
+          sum(col("__r") * col("__r")).as("sum_r2") +: cSums: _*)
+      .withColumn("k", lit(k.toLong))
+      .withColumn("sum_c_sq", sumCsq)
+      .withColumn("q_x1000",
+        when(col("k") * col("s_total") - col("sum_r2") === 0, 0L).otherwise(
+          expr(s"(1000 * ${k - 1} * ($k * sum_c_sq - s_total * s_total))" +
+            s" div ($k * s_total - sum_r2)")))
+      .select(keys ++ Seq(col("n_subjects"), col("k"), col("s_total"),
+        col("sum_c_sq"), col("sum_r2"), col("q_x1000")): _*)
+  }
+
   /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over
     * paired integer observations: count positive / negative / zero
     * differences per key — under H₀ the positives are

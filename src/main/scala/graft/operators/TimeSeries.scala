@@ -538,6 +538,87 @@ object TimeSeries {
           .otherwise(0L)).as("n_record_lows"))
   }
 
+  /** Pettitt change-point test (Pettitt 1979): the rank-based "WHERE
+    * did this series shift" companion to [[mannKendall]]'s "is it
+    * drifting". U_t = Σ_{i≤t} Σ_{j>t} sign(v_i − v_j); the change
+    * point is the t maximizing |U_t| and K = max|U_t| the test
+    * statistic — all-integer via the standard recursion
+    * U_t = Σ_{s≤t} r_s with r_s = Σ_{j≠s} sign(v_s − v_j): one
+    * within-key pair aggregate producing the per-day r_s spine, one
+    * bounded cumulative window, one argmax. Emits per key `n_obs`,
+    * `k_stat` = max|U|, `cp_day` (earliest day attaining it — the last
+    * day BEFORE the shift), `u_at_cp` (signed: positive = level drop
+    * after cp, negative = rise). Single-observation keys emit
+    * k_stat = 0 (the MK zero-pair discipline).
+    *
+    * Scale shape: identical to [[mannKendall]] — pairs are |days|²/key
+    * over the pinned calendar-bounded rollup, the cumsum window is
+    * per-key over the day spine.
+    */
+  def pettitt(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val pinned = daily
+      .select(keys :+ col(ordCol).as("__o") :+ col(valCol).as("__v"): _*)
+      .localCheckpoint(true)
+    val a = pinned.select(keys :+ col("__o").as("__o_t") :+ col("__v").as("__v_t"): _*)
+    val b = pinned.select(keys :+ col("__o").as("__o_j") :+ col("__v").as("__v_j"): _*)
+    val rT = a.join(b, keyCols)
+      .filter(col("__o_t") =!= col("__o_j"))
+      .groupBy(keys :+ col("__o_t"): _*)
+      .agg(sum(when(col("__v_t") > col("__v_j"), 1L)
+        .when(col("__v_t") < col("__v_j"), -1L).otherwise(0L)).as("__r"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__o_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pinned.select(keys :+ col("__o").as("__o_t"): _*)
+      .join(rT, keyCols :+ "__o_t", "left")
+      .withColumn("__r", coalesce(col("__r"), lit(0L)))
+      .withColumn("__u", sum(col("__r")).over(wCum))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        min(struct((-abs(col("__u"))).as("na"), col("__o_t").as("d"),
+          col("__u").as("u"))).as("__best"))
+      .select(keys :+ col("n_obs") :+ (-col("__best.na")).as("k_stat") :+
+        col("__best.d").as("cp_day") :+ col("__best.u").as("u_at_cp"): _*)
+  }
+
+  /** Spearman rank correlation AGAINST TIME (the rank-based trend
+    * strength next to [[mannKendall]]'s sign test): x-ranks are the day
+    * order (distinct per key, so exactly 2·row_number doubled), y-ranks
+    * the value's doubled midranks (min+max of the tie run — the
+    * Wilcoxon rendering, no .5 ever materializes), and
+    * ρ·1000 = 1000 − (1500·Σd₂²) div (n(n²−1)) with d₂ the DOUBLED rank
+    * difference (Σd² = Σd₂²/4 folded into the constant). Floor division
+    * — the exactness is in Σd₂², which is emitted raw. Average-rank
+    * ties enter the classic Σd² formula directly (the standard
+    * rendering when ties are few; the oracle replays it identically).
+    * n < 2 emits ρ = 0.
+    */
+  def spearmanTrend(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wX = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+    val wV = Window.partitionBy(keys: _*).orderBy(col(valCol).asc)
+    val wTie = Window.partitionBy(keys :+ col(valCol): _*)
+    daily
+      .withColumn("__rx2", lit(2L) * row_number().over(wX))
+      .withColumn("__rnv", row_number().over(wV).cast("long"))
+      .withColumn("__ry2", min(col("__rnv")).over(wTie) + max(col("__rnv")).over(wTie))
+      .withColumn("__d2", col("__rx2") - col("__ry2"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__d2") * col("__d2")).as("sum_d2_sq"))
+      .withColumn("rho_pm",
+        when(col("n_obs") < 2, 0L).otherwise(
+          lit(1000L) - expr("(1500 * sum_d2_sq) div (n_obs * (n_obs * n_obs - 1))")))
+  }
+
   /** Turning-point census (Kendall's randomness test): per key, the
     * number of interior observations that are strict local maxima or
     * minima. Under randomness E[T] = 2(n−2)/3, so the emitted

@@ -3714,6 +3714,89 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Pettitt change-point test (TimeSeries.pettitt): WHERE did each
+    // event type's daily level shift — max-|U| rank statistic with the
+    // earliest-argmax day, all-integer via the r_s recursion. The
+    // "when did it break" companion the MK battery was missing.
+    "q_pettitt" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.pettitt(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Spearman rank correlation against time (TimeSeries.spearmanTrend):
+    // ρ·1000 per event type over the daily series — day ranks are
+    // distinct (2·row_number), value ties take doubled midranks, and
+    // the oracle replays Σd₂² and the floor-divided ρ identically.
+    "q_spearman_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.spearmanTrend(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov (Stats.ksTwoSample) per nation:
+    // does the URGENT order-total distribution match the LOW one? The
+    // D statistic exact by cross-multiplication over integer cents —
+    // the distribution-level companion to q_mannwhitney's location
+    // test, on the same cohort frame.
+    "q_ks_test" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.ksTwoSample(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
+    // McNemar's paired-binary test (Stats.mcnemar) per source: do the
+    // length-band and type-token-ratio quality filters (q_quality_vote's
+    // own signals) disagree symmetrically on the same documents? Only
+    // the discordant cells enter the statistic; the full 2×2 is emitted
+    // for the audit trail.
+    "q_mcnemar" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("h_len", col("n_tok").between(20, 90))
+        .withColumn("h_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
+      Stats.mcnemar(base, Seq("source"), "h_len", "h_ttr")
+        .orderBy("source")
+    }),
+
+    // Cochran's Q (Stats.cochranQ) per source: do the THREE binary
+    // quality filters (length band, repetition, TTR — q_quality_vote's
+    // integer signals) pass documents at the same rate? Q exact by
+    // integer cross-multiplication; one aggregate folds S, ΣC², ΣR².
+    "q_cochran_q" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+      val mx = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+      val v = base.join(mx, Seq("doc_id"))
+        .withColumn("v_len", col("n_tok").between(20, 90))
+        .withColumn("v_rep", expr("(mx * 1000) div n_tok") < 150)
+        .withColumn("v_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
+      Stats.cochranQ(v, Seq("source"), Seq("v_len", "v_rep", "v_ttr"))
+        .orderBy("source")
+    }),
+
     // Recall certificate for the binary-quantized ANN: per query, how
     // many of the exact cosine top-5 survive the Hamming-top-20
     // prefilter + rerank. DuckDB replays BOTH legs and the overlap
@@ -7960,7 +8043,151 @@ object LlmOps {
              - sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS sign_stat,
            CAST(least(sum(CASE WHEN x > y THEN 1 ELSE 0 END),
              sum(CASE WHEN x < y THEN 1 ELSE 0 END)) AS BIGINT) AS b_stat
-         FROM wk GROUP BY 1 ORDER BY event_type"""))
+         FROM wk GROUP BY 1 ORDER BY event_type"""),
+
+    // The r_s recursion, the cumulative U_t, and the earliest-argmax
+    // pick replayed; struct_pack min = the portable argmin idiom.
+    "q_pettitt" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT a.event_type AS event_type, a.day AS day,
+             CAST(sum(CASE WHEN a.n > b.n THEN 1 WHEN a.n < b.n THEN -1
+                      ELSE 0 END) AS BIGINT) AS r
+           FROM dl a JOIN dl b
+             ON a.event_type = b.event_type AND a.day <> b.day
+           GROUP BY 1, 2),
+         u AS (
+           SELECT dl.event_type, dl.day,
+             CAST(sum(COALESCE(r.r, 0)) OVER (PARTITION BY dl.event_type
+               ORDER BY dl.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS u
+           FROM dl LEFT JOIN r
+             ON dl.event_type = r.event_type AND dl.day = r.day),
+         bst AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+             min(struct_pack(na := -abs(u), d := day, u := u)) AS best
+           FROM u GROUP BY 1)
+         SELECT event_type, n_obs, CAST(-best.na AS BIGINT) AS k_stat,
+           best.d AS cp_day, CAST(best.u AS BIGINT) AS u_at_cp
+         FROM bst ORDER BY event_type""",
+
+    // Doubled day-ranks (distinct) and doubled value-midranks, then the
+    // classic floor-divided Σd² rendering of ρ.
+    "q_spearman_trend" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type,
+             2 * row_number() OVER (PARTITION BY event_type ORDER BY day) AS rx2,
+             min(rnv) OVER (PARTITION BY event_type, n)
+               + max(rnv) OVER (PARTITION BY event_type, n) AS ry2
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY n) AS rnv FROM dl))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sum_d2_sq,
+           CASE WHEN count(*) < 2 THEN 0
+                ELSE 1000 - ((1500 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT))
+                  // (count(*) * (count(*) * count(*) - 1))) END AS rho_pm
+         FROM rk GROUP BY 1 ORDER BY event_type""",
+
+    // The cross-multiplied ECDF gap replayed over the merged cent spine.
+    "q_ks_test" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name,
+             CAST(sum(a) OVER w AS BIGINT) AS ca,
+             CAST(sum(b) OVER w AS BIGINT) AS cb,
+             CAST(sum(a) OVER (PARTITION BY n_name) AS BIGINT) AS n1,
+             CAST(sum(b) OVER (PARTITION BY n_name) AS BIGINT) AS n2
+           FROM pv
+           WINDOW w AS (PARTITION BY n_name ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT n_name, max(n1) AS n1, max(n2) AS n2,
+           CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           CASE WHEN max(n1) = 0 OR max(n2) = 0 THEN 0
+                ELSE (1000 * CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT))
+                  // (max(n1) * max(n2)) END AS d_pm
+         FROM cu GROUP BY 1 ORDER BY n_name""",
+
+    // The paired 2×2 and the discordant-cell statistic replayed.
+    "q_mcnemar" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             len(t) BETWEEN 20 AND 90 AS a,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) >= 400 AS b
+           FROM tk),
+         g AS (
+           SELECT source,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM f GROUP BY 1)
+         SELECT source, n00, n01, n10, n11,
+           CASE WHEN n01 + n10 = 0 THEN 0
+                ELSE (1000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+           END AS chi2_x1000
+         FROM g ORDER BY source""",
+
+    // S, ΣC², ΣR², and the integer Q rendering replayed per source.
+    "q_cochran_q" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+           FROM tk),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         v AS (
+           SELECT f.source AS source,
+             CASE WHEN n_tok BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS v1,
+             CASE WHEN (mx * 1000) // n_tok < 150 THEN 1 ELSE 0 END AS v2,
+             CASE WHEN (n_dis * 1000) // n_tok >= 400 THEN 1 ELSE 0 END AS v3
+           FROM f JOIN m USING (doc_id)),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(v1 + v2 + v3) AS BIGINT) AS s_total,
+             CAST(sum((v1 + v2 + v3) * (v1 + v2 + v3)) AS BIGINT) AS sum_r2,
+             CAST(sum(v1) AS BIGINT) AS c1,
+             CAST(sum(v2) AS BIGINT) AS c2,
+             CAST(sum(v3) AS BIGINT) AS c3
+           FROM v GROUP BY 1)
+         SELECT source, n_subjects, CAST(3 AS BIGINT) AS k, s_total,
+           c1 * c1 + c2 * c2 + c3 * c3 AS sum_c_sq, sum_r2,
+           CASE WHEN 3 * s_total - sum_r2 = 0 THEN 0
+                ELSE (1000 * 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                  - s_total * s_total)) // (3 * s_total - sum_r2)
+           END AS q_x1000
+         FROM g ORDER BY source""")
 
   /** Shared CTE chain recomputing every document's 64-bit SimHash in
     * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).

@@ -51,6 +51,57 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("b_stat") === 1L)
   }
 
+  test("ksTwoSample: disjoint supports give D = 1, interleaved give 1/2") {
+    val df = spark.createDataFrame(Seq(
+      // disjoint: A = {1,2,3}, B = {4,5,6} → D = 1
+      ("dis", true, 1L), ("dis", true, 2L), ("dis", true, 3L),
+      ("dis", false, 4L), ("dis", false, 5L), ("dis", false, 6L),
+      // interleaved: A = {1,3}, B = {2,4} → D = 1/2
+      ("mix", true, 1L), ("mix", true, 3L),
+      ("mix", false, 2L), ("mix", false, 4L)))
+      .toDF("k", "in_a", "v")
+    val out = Stats.ksTwoSample(df, Seq("k"), "in_a", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("dis").getAs[Long]("d_num") === 9L)
+    assert(out("dis").getAs[Long]("d_pm") === 1000L)
+    assert(out("mix").getAs[Long]("d_num") === 2L)
+    assert(out("mix").getAs[Long]("d_pm") === 500L)
+  }
+
+  test("mcnemar counts the 2x2 and scores only the discordant cells") {
+    val rows = Seq((true, true), (true, false), (true, false), (true, false),
+      (false, true), (false, false)).map { case (a, b) => ("g", a, b) }
+    val r = Stats.mcnemar(spark.createDataFrame(rows).toDF("k", "a", "b"),
+      Seq("k"), "a", "b").collect().head
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n11")) === ((1L, 1L, 3L, 1L)))
+    // (3−1)²·1000 / (3+1) = 1000
+    assert(r.getAs[Long]("chi2_x1000") === 1000L)
+  }
+
+  test("cochranQ: hand-computed k=3 table") {
+    // verdicts (1,1,0),(1,0,0),(1,1,1),(0,0,0): C = (3,2,1), S = 6,
+    // ΣR² = 14, ΣC² = 14 → Q = 2·(3·14 − 36)/(3·6 − 14) = 3
+    val rows = Seq((true, true, false), (true, false, false),
+      (true, true, true), (false, false, false))
+      .map { case (a, b, c) => ("g", a, b, c) }
+    val r = Stats.cochranQ(spark.createDataFrame(rows).toDF("k", "v1", "v2", "v3"),
+      Seq("k"), Seq("v1", "v2", "v3")).collect().head
+    assert(r.getAs[Long]("n_subjects") === 4L)
+    assert(r.getAs[Long]("s_total") === 6L)
+    assert(r.getAs[Long]("sum_c_sq") === 14L)
+    assert(r.getAs[Long]("sum_r2") === 14L)
+    assert(r.getAs[Long]("q_x1000") === 3000L)
+  }
+
+  test("cochranQ: all-pass / all-fail subjects carry no information") {
+    val rows = Seq((true, true, true), (false, false, false))
+      .map { case (a, b, c) => ("g", a, b, c) }
+    val r = Stats.cochranQ(spark.createDataFrame(rows).toDF("k", "v1", "v2", "v3"),
+      Seq("k"), Seq("v1", "v2", "v3")).collect().head
+    assert(r.getAs[Long]("q_x1000") === 0L) // denominator kS − ΣR² = 0
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))

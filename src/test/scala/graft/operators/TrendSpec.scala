@@ -58,6 +58,41 @@ class TrendSpec extends SparkSpec {
     assert(r.getAs[String]("trend") === "flat")
   }
 
+  test("pettitt: clean level shift is located at the last pre-shift day") {
+    // 1,1,1,5,5,5 → r = (−3,−3,−3,3,3,3), U = (−3,−6,−9,−6,−3,0):
+    // K = 9 at day 3, U negative = level RISE after the change point
+    val df = daily(Seq(1L, 1L, 1L, 5L, 5L, 5L).zipWithIndex.map {
+      case (v, i) => ("s", f"2024-05-${i + 1}%02d", v) })
+    val r = TimeSeries.pettitt(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_obs") === 6L)
+    assert(r.getAs[Long]("k_stat") === 9L)
+    assert(r.getAs[Date]("cp_day") === Date.valueOf("2024-05-03"))
+    assert(r.getAs[Long]("u_at_cp") === -9L)
+  }
+
+  test("pettitt: single-observation key emits k_stat 0") {
+    val df = daily(Seq(("one", "2024-05-01", 7L)))
+    val r = TimeSeries.pettitt(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_obs") === 1L)
+    assert(r.getAs[Long]("k_stat") === 0L)
+    assert(r.getAs[Long]("u_at_cp") === 0L)
+  }
+
+  test("spearmanTrend: monotone series hit ±1000; ties take midranks") {
+    val up = daily((1 to 5).map(i => ("up", f"2024-06-$i%02d", 10L + i)))
+    val down = daily((1 to 4).map(i => ("dn", f"2024-06-$i%02d", 10L - i)))
+    // 1,2,2,4 → avg ranks 1, 2.5, 2.5, 4 → Σd² = 0.5 → ρ = 0.95
+    val tied = daily(Seq(1L, 2L, 2L, 4L).zipWithIndex.map {
+      case (v, i) => ("tie", f"2024-06-${i + 1}%02d", v) })
+    assert(TimeSeries.spearmanTrend(up, Seq("k"), "day", "n")
+      .collect().head.getAs[Long]("rho_pm") === 1000L)
+    assert(TimeSeries.spearmanTrend(down, Seq("k"), "day", "n")
+      .collect().head.getAs[Long]("rho_pm") === -1000L)
+    val t = TimeSeries.spearmanTrend(tied, Seq("k"), "day", "n").collect().head
+    assert(t.getAs[Long]("sum_d2_sq") === 2L)
+    assert(t.getAs[Long]("rho_pm") === 950L)
+  }
+
   test("theilSenSlope: exact linear series recovers the slope, scaled") {
     // v = 10 + 3·t → every pairwise slope is exactly 3 → median 3000
     val df = daily((0 to 6).map(i => ("lin", f"2024-01-${i + 1}%02d", 10L + 3 * i)))
