@@ -312,6 +312,98 @@ object Stats {
         col("sum_c_sq"), col("sum_r2"), col("q_x1000")): _*)
   }
 
+  /** Friedman test (1937) — the k-treatment repeated-measures rank
+    * test: within every complete block (a block supplying EXACTLY one
+    * row per treatment; incomplete blocks drop) treatments take
+    * doubled midranks (min+max of the tie run — integral always), and
+    * χ²_F·1000 = (3000·ΣR₂ⱼ²) div (n·k·(k+1)) − 3000·n·(k+1) with
+    * R₂ⱼ the doubled per-treatment rank sums (Σd² = ΣR₂²/4 folded
+    * into the constants). Kendall's W = χ²_F/(n(k−1)) rides along as
+    * `w_pm`. Emits one row per treatment (its n_blocks and R₂ⱼ) with
+    * the key-level statistic repeated — the audit-friendly shape.
+    * When every rank sum is equal the first term divides EXACTLY
+    * (ΣR₂² = k·(n(k+1))²), so χ²_F = 0 with no floor artifact.
+    *
+    * Scale shape: the rank windows are per-block (k rows each); the
+    * heavy stage is the one groupBy producing blocks — data-sized,
+    * partial-agg. k comes from a 1-row broadcast, never a collect.
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      vCol: String): DataFrame = {
+    val kDf = df.agg(countDistinct(col(treatCol)).as("k"))
+    val nb = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
+    val complete = df
+      .join(nb, blockCol)
+      .crossJoin(broadcast(kDf))
+      .filter(col("__nb") === col("k"))
+    val wV = Window.partitionBy(col(blockCol)).orderBy(col(vCol).asc)
+    val wTie = Window.partitionBy(col(blockCol), col(vCol))
+    val ranked = complete
+      .withColumn("__rn", row_number().over(wV).cast("long"))
+      .withColumn("__r2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+    val perTreat = ranked.groupBy(col(treatCol))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__r2")).as("r2_sum"),
+        max(col("k")).as("k"))
+    val global = perTreat
+      .agg(sum(col("r2_sum") * col("r2_sum")).as("__sum_r2sq"),
+        max(col("n_blocks")).as("__n"), max(col("k")).as("__k"))
+    perTreat.crossJoin(broadcast(global))
+      .withColumn("chi2f_x1000",
+        when(col("__n") === 0, 0L).otherwise(
+          expr("(3000 * __sum_r2sq) div (__n * __k * (__k + 1))")
+            - lit(3000L) * col("__n") * (col("__k") + 1)))
+      .withColumn("w_pm",
+        when(col("__n") === 0 || col("__k") < 2, 0L)
+          .otherwise(expr("chi2f_x1000 div (__n * (__k - 1))")))
+      .select(col(treatCol), col("n_blocks"), col("r2_sum"), col("k"),
+        col("chi2f_x1000"), col("w_pm"))
+  }
+
+  /** Cramér's V effect size over an r×c contingency table: the global
+    * χ²·1000 = Σ_cells (1000·(N·O − R·C)²) div (N·R·C) — per-cell floor
+    * then sum, both engines replaying identically; products run in
+    * DECIMAL(38,0) ((N·O)² passes BIGINT at N > ~10⁵) with a loud
+    * raise_error past N = 10⁸ where N⁴·1000 would leave 38 digits.
+    * ZERO cells are materialized (marginal cross join — |r|·|c| is
+    * category-sized, broadcast) because an empty cell still contributes
+    * its full expectation to χ². `v2_x1e6` = V²·10⁶ = χ²/(N·(min(r,c)−1))
+    * — squared so no root enters; 0 when the table is degenerate
+    * (single row or column: no association is measurable).
+    */
+  def cramersV(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    val maxN = 100000000L
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rTot = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
+    val cTot = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__r")).as("n_rows"),
+      countDistinct(col("__c")).as("n_cols"))
+    rTot.crossJoin(cTot)
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__contrib",
+        when(col("__n") > maxN, raise_error(
+          lit(s"cramersV: N exceeds exact-decimal bound $maxN")).cast("long"))
+          .otherwise(expr(
+            """(1000 * (CAST(__n AS DECIMAL(38,0)) * __o - CAST(__rt AS DECIMAL(38,0)) * __ct)
+               * (CAST(__n AS DECIMAL(38,0)) * __o - CAST(__rt AS DECIMAL(38,0)) * __ct))
+               div (CAST(__n AS DECIMAL(38,0)) * __rt * __ct)""").cast("long")))
+      .groupBy()
+      .agg(max(col("__n")).as("n_total"), max(col("n_rows")).as("n_rows"),
+        max(col("n_cols")).as("n_cols"), sum(col("__contrib")).as("chi2_x1000"))
+      .withColumn("v2_x1e6",
+        when(least(col("n_rows"), col("n_cols")) < 2, 0L).otherwise(
+          expr("(chi2_x1000 * 1000) div (n_total * (least(n_rows, n_cols) - 1))")))
+  }
+
   /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over
     * paired integer observations: count positive / negative / zero
     * differences per key — under H₀ the positives are

@@ -483,6 +483,36 @@ object TextAnalysis {
     * (token) aggregate computing cf and df together from (doc, token)
     * rows; `minDf` floors out the unstable tail.
     */
+  /** Flesch reading-ease (1948), the curriculum/quality-binning
+    * readability score, ALL-INTEGER: sentences = non-blank [.!?]+
+    * fragments, words = ascii tokens, syllables = [aeiouy]+ vowel
+    * groups per word (the standard machine approximation), and
+    * `flesch_x1000` = 206835 − (1015·W) div S − (84600·Syl) div W —
+    * floor-composed, so both engines render the identical integer; 0
+    * when W or S is 0 (blank doc). Pure per-row projection: zero
+    * shuffles, whole-stage codegen, trivially 100 TB-safe.
+    */
+  def fleschReadability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("n_sents",
+        size(filter(split(col(textCol), "[.!?]+"), x => length(trim(x)) > 0))
+          .cast("long"))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_syllables", expr(
+        """aggregate(transform(__tk, w -> size(regexp_extract_all(w, '[aeiouy]+', 0))),
+           CAST(0 AS BIGINT), (a, b) -> a + CAST(b AS BIGINT))"""))
+      .withColumn("flesch_x1000",
+        when(col("n_words") === 0 || col("n_sents") === 0, 0L).otherwise(
+          lit(206835L) - expr("(1015 * n_words) div n_sents")
+            - expr("(84600 * n_syllables) div n_words")))
+      .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
+        "n_syllables", "flesch_x1000")).map(col): _*)
+
   def tokenBurstiness(
       df: DataFrame,
       idCol: String,

@@ -3714,6 +3714,44 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Friedman repeated-measures rank test (Stats.friedman): do the
+    // event types hold the same rank ordering across weekly blocks?
+    // Doubled midranks within each complete week, χ²_F and Kendall's W
+    // rendered as floor-divided integers; per-treatment rank sums
+    // emitted for the audit trail.
+    "q_friedman" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts").cast("date")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      Stats.friedman(weekly, "wk", "event_type", "n")
+        .orderBy("event_type")
+    }),
+
+    // Cramér's V (Stats.cramersV): effect-size of the lang × source
+    // association in the corpus — the global χ² with ZERO cells
+    // materialized from the marginal cross join, per-cell floor
+    // contributions in DECIMAL(38,0), and V² scaled ×10⁶ so no root
+    // is ever taken. The "is my corpus mix confounded" one-number audit.
+    "q_cramers_v" -> ((s, d) => {
+      Stats.cramersV(Tables.documents(s, d), "lang", "source")
+    }),
+
+    // Flesch reading-ease (TextAnalysis.fleschReadability) rolled up
+    // per source: vowel-group syllables, [.!?]+ sentences, the
+    // floor-composed integer score — curriculum binning's readability
+    // axis, replayed to the digit by DuckDB list lambdas.
+    "q_readability" -> ((s, d) => {
+      TextAnalysis.fleschReadability(
+        Tables.documents(s, d), "doc_id", "text", keepCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flesch_x1000")).as("sum_flesch_x1000"),
+          min(col("flesch_x1000")).as("min_flesch_x1000"),
+          max(col("flesch_x1000")).as("max_flesch_x1000"))
+        .orderBy("source")
+    }),
+
     // Pettitt change-point test (TimeSeries.pettitt): WHERE did each
     // event type's daily level shift — max-|U| rank statistic with the
     // earliest-argmax day, all-integer via the r_s recursion. The
@@ -8044,6 +8082,98 @@ object LlmOps {
            CAST(least(sum(CASE WHEN x > y THEN 1 ELSE 0 END),
              sum(CASE WHEN x < y THEN 1 ELSE 0 END)) AS BIGINT) AS b_stat
          FROM wk GROUP BY 1 ORDER BY event_type"""),
+
+    // Complete weekly blocks, doubled midranks, and the floor-divided
+    // χ²_F / W rendering replayed.
+    "q_friedman" ->
+      """WITH wkk AS (
+           SELECT event_type,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM wkk),
+         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk FROM wkk GROUP BY 1),
+         cw AS (SELECT wkk.* FROM wkk JOIN nb USING (wk) CROSS JOIN kk
+                WHERE nbk = k),
+         rk AS (
+           SELECT event_type,
+             min(rn) OVER (PARTITION BY wk, n)
+               + max(rn) OVER (PARTITION BY wk, n) AS r2
+           FROM (SELECT *, row_number() OVER (PARTITION BY wk ORDER BY n) AS rn
+                 FROM cw)),
+         pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(r2) AS BIGINT) AS r2_sum FROM rk GROUP BY 1),
+         g AS (SELECT CAST(sum(r2_sum * r2_sum) AS BIGINT) AS sum_r2sq,
+               CAST(max(n_blocks) AS BIGINT) AS nn FROM pt),
+         fin AS (
+           SELECT event_type, n_blocks, r2_sum, k,
+             CASE WHEN nn = 0 THEN 0
+                  ELSE ((3000 * sum_r2sq) // (nn * k * (k + 1)))
+                    - 3000 * nn * (k + 1) END AS chi2f_x1000,
+             nn FROM pt CROSS JOIN g CROSS JOIN kk)
+         SELECT event_type, n_blocks, r2_sum, k, chi2f_x1000,
+           CASE WHEN nn = 0 OR k < 2 THEN 0
+                ELSE chi2f_x1000 // (nn * (k - 1)) END AS w_pm
+         FROM fin ORDER BY event_type""",
+
+    // Zero cells from the marginal cross join, HUGEINT per-cell floor
+    // contributions, and the ×10⁶ squared effect size replayed.
+    "q_cramers_v" ->
+      """WITH cells AS (
+           SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtv FROM cells GROUP BY 1),
+         ctt AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctv FROM cells GROUP BY 1),
+         tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM cells),
+         fl AS (
+           SELECT rt.r, ctt.c, rtv, ctv, COALESCE(o, 0) AS o
+           FROM rt CROSS JOIN ctt LEFT JOIN cells
+             ON cells.r = rt.r AND cells.c = ctt.c),
+         cb AS (
+           SELECT CAST((1000 * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv)
+             * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv))
+             // (CAST(n AS HUGEINT) * rtv * ctv) AS BIGINT) AS contrib
+           FROM fl CROSS JOIN tt),
+         agg AS (
+           SELECT max(n) AS n_total, max(n_rows) AS n_rows,
+             max(n_cols) AS n_cols,
+             CAST(sum(contrib) AS BIGINT) AS chi2_x1000
+           FROM cb CROSS JOIN tt)
+         SELECT n_total, n_rows, n_cols, chi2_x1000,
+           CASE WHEN least(n_rows, n_cols) < 2 THEN 0
+                ELSE (chi2_x1000 * 1000) // (n_total * (least(n_rows, n_cols) - 1))
+           END AS v2_x1e6
+         FROM agg""",
+
+    // Sentences, vowel-group syllables, and the floor-composed score
+    // replayed per document, then the per-source rollup.
+    "q_readability" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS s
+           FROM documents),
+         f AS (
+           SELECT source, s,
+             CAST(len(t) AS BIGINT) AS w,
+             CAST(COALESCE(list_sum(list_transform(t,
+               x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0) AS BIGINT) AS sy
+           FROM tk),
+         sc AS (
+           SELECT source,
+             CASE WHEN w = 0 OR s = 0 THEN 0
+                  ELSE 206835 - ((1015 * w) // s) - ((84600 * sy) // w)
+             END AS f1000
+           FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f1000) AS BIGINT) AS sum_flesch_x1000,
+           CAST(min(f1000) AS BIGINT) AS min_flesch_x1000,
+           CAST(max(f1000) AS BIGINT) AS max_flesch_x1000
+         FROM sc GROUP BY 1 ORDER BY source""",
 
     // The r_s recursion, the cumulative U_t, and the earliest-argmax
     // pick replayed; struct_pack min = the portable argmin idiom.

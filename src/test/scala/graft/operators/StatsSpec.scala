@@ -102,6 +102,59 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("q_x1000") === 0L) // denominator kS − ΣR² = 0
   }
 
+  test("friedman: perfect concordance gives W = 1; incomplete blocks drop") {
+    // 4 blocks, 3 treatments, always ranked t1 < t2 < t3:
+    // R2 = (8,16,24) → χ²F = 8, W = 1. A 5th block missing t3 drops.
+    val rows = (1 to 4).flatMap(b => Seq(
+      ("b" + b, "t1", 10L), ("b" + b, "t2", 20L), ("b" + b, "t3", 30L))) ++
+      Seq(("b5", "t1", 1L), ("b5", "t2", 2L))
+    val out = Stats.friedman(
+      spark.createDataFrame(rows).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t1").getAs[Long]("n_blocks") === 4L)
+    assert(out("t1").getAs[Long]("r2_sum") === 8L)
+    assert(out("t3").getAs[Long]("r2_sum") === 24L)
+    assert(out("t2").getAs[Long]("chi2f_x1000") === 8000L)
+    assert(out("t2").getAs[Long]("w_pm") === 1000L)
+  }
+
+  test("friedman: all-tied blocks give exactly zero, no floor artifact") {
+    val rows = (1 to 3).flatMap(b => Seq(
+      ("b" + b, "t1", 7L), ("b" + b, "t2", 7L), ("b" + b, "t3", 7L)))
+    val out = Stats.friedman(
+      spark.createDataFrame(rows).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect()
+    assert(out.forall(_.getAs[Long]("chi2f_x1000") === 0L))
+  }
+
+  test("cramersV: perfect association gives V² = 1, independence gives 0") {
+    val perfect = spark.createDataFrame(
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
+    val p = Stats.cramersV(perfect, "r", "c").collect().head
+    assert(p.getAs[Long]("chi2_x1000") === 20000L) // χ² = N = 20
+    assert(p.getAs[Long]("v2_x1e6") === 1000000L)
+    val indep = spark.createDataFrame(
+      Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+        Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("r", "c")
+    val i = Stats.cramersV(indep, "r", "c").collect().head
+    assert(i.getAs[Long]("chi2_x1000") === 0L)
+    assert(i.getAs[Long]("v2_x1e6") === 0L)
+  }
+
+  test("fleschReadability: hand-computed sentence/word/syllable counts") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "The cat sat. The dog ran!"), (2L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.fleschReadability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r = out(1L)
+    assert(r.getAs[Long]("n_sents") === 2L)
+    assert(r.getAs[Long]("n_words") === 6L)
+    assert(r.getAs[Long]("n_syllables") === 6L)
+    // 206835 − 1015·6/2 − 84600·6/6 = 119190 (Flesch 119.19)
+    assert(r.getAs[Long]("flesch_x1000") === 119190L)
+    assert(out(2L).getAs[Long]("flesch_x1000") === 0L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
