@@ -513,6 +513,73 @@ object TextAnalysis {
       .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
         "n_syllables", "flesch_x1000")).map(col): _*)
 
+  /** Gunning fog index (1952), Flesch's grade-level sibling with a
+    * different hard-word notion: fog·1000 = (400·W) div S +
+    * (40000·C) div W with C = words of ≥3 vowel groups (the machine
+    * rendering of "complex"). Same floor-composed integer discipline
+    * and zero-shuffle projection shape as [[fleschReadability]].
+    */
+  def gunningFog(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("n_sents",
+        size(filter(split(col(textCol), "[.!?]+"), x => length(trim(x)) > 0))
+          .cast("long"))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_complex", expr(
+        """aggregate(transform(__tk,
+             w -> CASE WHEN size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3
+                  THEN 1 ELSE 0 END),
+           CAST(0 AS BIGINT), (a, b) -> a + CAST(b AS BIGINT))"""))
+      .withColumn("fog_x1000",
+        when(col("n_words") === 0 || col("n_sents") === 0, 0L).otherwise(
+          expr("(400 * n_words) div n_sents")
+            + expr("(40000 * n_complex) div n_words")))
+      .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
+        "n_complex", "fog_x1000")).map(col): _*)
+
+  /** Yule's characteristic K (1944), the classic repetitiveness /
+    * lexical-concentration constant: K = 10⁴·(Σ_t f_t² − N)/N² over the
+    * per-category token frequency spectrum — high K = a few tokens
+    * dominate (boilerplate, spam), low K = flat vocabulary. Emitted as
+    * `yule_k_x1000` = (10⁷·(S₂ − N)) div N², exact in DECIMAL(38,0).
+    * The loud bound sits at N = 3·10⁹ tokens per category — NOT the
+    * decimal math (good to 10¹⁵) but the emitted `sum_f_sq` audit
+    * column, whose worst case S₂ = N² leaves BIGINT beyond it; drop
+    * that column for planetary corpora. One explode + two partial-agg
+    * shuffles — the (cat, token) frequency table is the only
+    * data-sized intermediate.
+    */
+  def yuleK(
+      df: DataFrame,
+      textCol: String,
+      catCol: String): DataFrame = {
+    val maxN = 3000000000L
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    df
+      .select(col(catCol).as("cat"),
+        explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .groupBy(col("cat"), col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("cat"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("f").cast(dec) * col("f").cast(dec)).as("__s2"))
+      .withColumn("sum_f_sq",
+        when(col("n_tokens") > maxN, raise_error(
+          lit(s"yuleK: N exceeds exact-BIGINT audit bound $maxN")).cast("long"))
+          .otherwise(col("__s2").cast("long")))
+      .withColumn("yule_k_x1000",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr(
+            """(10000000 * (__s2 - CAST(n_tokens AS DECIMAL(38,0))))
+               div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)""").cast("long")))
+      .drop("__s2")
+  }
+
   def tokenBurstiness(
       df: DataFrame,
       idCol: String,

@@ -3737,6 +3737,52 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Yule's characteristic K (TextAnalysis.yuleK) per source: the
+    // frequency-spectrum repetitiveness constant — the corpus-mix
+    // companion to q_token_burstiness (which is per-token) and
+    // q_hapax_ngrams (which is tail-mass).
+    "q_yule_k" -> ((s, d) => {
+      TextAnalysis.yuleK(Tables.documents(s, d), "text", "source")
+        .orderBy("cat")
+    }),
+
+    // Gunning fog index (TextAnalysis.gunningFog) per source: the
+    // complex-word grade-level axis next to q_readability's Flesch —
+    // two filters that disagree are exactly what q_mcnemar audits.
+    "q_gunning_fog" -> ((s, d) => {
+      TextAnalysis.gunningFog(
+        Tables.documents(s, d), "doc_id", "text", keepCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("fog_x1000")).as("sum_fog_x1000"),
+          min(col("fog_x1000")).as("min_fog_x1000"),
+          max(col("fog_x1000")).as("max_fog_x1000"))
+        .orderBy("source")
+    }),
+
+    // Mood's median test (Brown & Mood 1951) as a COMPOSITION: the
+    // exact global lower-median of order totals (distributed grouped
+    // prefix-sum, never a global sort) splits every order above /
+    // at-or-below, and Stats.cramersV scores the 2×k split-by-priority
+    // table — two proven operators, one new published test.
+    "q_median_test" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val perV = o.groupBy(col("v")).agg(count(lit(1)).as("m"))
+      val cum = graft.operators.PrefixSum.runningTotals(perV, "v", Seq("m"))
+      val n = perV.agg(sum(col("m")).as("n"))
+      val med = cum.crossJoin(broadcast(n))
+        .filter(col("cum_m") >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("med"))
+      Stats.cramersV(
+        o.crossJoin(broadcast(med))
+          .withColumn("side",
+            when(col("v") > col("med"), "above").otherwise("at_or_below")),
+        "side", "prio")
+        .crossJoin(broadcast(med))
+    }),
+
     // Flesch reading-ease (TextAnalysis.fleschReadability) rolled up
     // per source: vowel-group syllables, [.!?]+ sentences, the
     // floor-composed integer score — curriculum binning's readability
@@ -4056,6 +4102,40 @@ object LlmOps {
                  * tf_window * 2.2 / (tf_window + 1.2 * (0.25 + 0.75 * dl / (sum_dl * 1.0 / n)))
              AS score
            FROM f, st)"""
+
+  /** Shared Cramér's-V CTE chain over a caller-provided `src(r, c)`
+    * CTE, ending in `cvout(n_total, n_rows, n_cols, chi2_x1000,
+    * v2_x1e6)` — ONE replay of the zero-cell-materializing χ² for both
+    * q_cramers_v and q_median_test (the composition discipline: the
+    * Spark side shares Stats.cramersV the same way).
+    */
+  private val cramersVSqlChain =
+    """cells AS (
+         SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM src GROUP BY 1, 2),
+       crt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtv FROM cells GROUP BY 1),
+       cct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctv FROM cells GROUP BY 1),
+       ctot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+              CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM cells),
+       cfl AS (
+         SELECT crt.r, cct.c, rtv, ctv, COALESCE(o, 0) AS o
+         FROM crt CROSS JOIN cct LEFT JOIN cells
+           ON cells.r = crt.r AND cells.c = cct.c),
+       ccb AS (
+         SELECT CAST((1000 * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv)
+           * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv))
+           // (CAST(n AS HUGEINT) * rtv * ctv) AS BIGINT) AS contrib
+         FROM cfl CROSS JOIN ctot),
+       cvout AS (
+         SELECT n_total, n_rows, n_cols, chi2_x1000,
+           CASE WHEN least(n_rows, n_cols) < 2 THEN 0
+                ELSE (chi2_x1000 * 1000)
+                  // (n_total * (least(n_rows, n_cols) - 1)) END AS v2_x1e6
+         FROM (
+           SELECT max(n) AS n_total, max(n_rows) AS n_rows,
+             max(n_cols) AS n_cols,
+             CAST(sum(contrib) AS BIGINT) AS chi2_x1000
+           FROM ccb CROSS JOIN ctot))"""
 
   /** Shared paired-weekly CTE (`wk(event_type, wk, x, y)`) mirroring
     * [[weekdayWeekendPairs]] — ONE definition feeding both the
@@ -8119,33 +8199,75 @@ object LlmOps {
     // Zero cells from the marginal cross join, HUGEINT per-cell floor
     // contributions, and the ×10⁶ squared effect size replayed.
     "q_cramers_v" ->
-      """WITH cells AS (
-           SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS o
-           FROM documents GROUP BY 1, 2),
-         rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtv FROM cells GROUP BY 1),
-         ctt AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctv FROM cells GROUP BY 1),
-         tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-                CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
-                CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM cells),
-         fl AS (
-           SELECT rt.r, ctt.c, rtv, ctv, COALESCE(o, 0) AS o
-           FROM rt CROSS JOIN ctt LEFT JOIN cells
-             ON cells.r = rt.r AND cells.c = ctt.c),
-         cb AS (
-           SELECT CAST((1000 * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv)
-             * (CAST(n AS HUGEINT) * o - CAST(rtv AS HUGEINT) * ctv))
-             // (CAST(n AS HUGEINT) * rtv * ctv) AS BIGINT) AS contrib
-           FROM fl CROSS JOIN tt),
-         agg AS (
-           SELECT max(n) AS n_total, max(n_rows) AS n_rows,
-             max(n_cols) AS n_cols,
-             CAST(sum(contrib) AS BIGINT) AS chi2_x1000
-           FROM cb CROSS JOIN tt)
-         SELECT n_total, n_rows, n_cols, chi2_x1000,
-           CASE WHEN least(n_rows, n_cols) < 2 THEN 0
-                ELSE (chi2_x1000 * 1000) // (n_total * (least(n_rows, n_cols) - 1))
-           END AS v2_x1e6
-         FROM agg""",
+      ("""WITH src AS (SELECT lang AS r, source AS c FROM documents),
+       """ + cramersVSqlChain + """
+         SELECT n_total, n_rows, n_cols, chi2_x1000, v2_x1e6 FROM cvout"""),
+
+    // The frequency spectrum, S₂, and the decimal K rendering replayed.
+    "q_yule_k" ->
+      """WITH tk AS (
+           SELECT source AS cat,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+           FROM documents),
+         fr AS (SELECT cat, tok, CAST(count(*) AS BIGINT) AS f
+                FROM tk GROUP BY 1, 2)
+         SELECT cat, CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CAST(f AS HUGEINT) * f) AS BIGINT) AS sum_f_sq,
+           CAST((10000000 * (sum(CAST(f AS HUGEINT) * f) - sum(f)))
+             // (CAST(sum(f) AS HUGEINT) * sum(f)) AS BIGINT) AS yule_k_x1000
+         FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // Complex-word counts and the floor-composed fog index replayed.
+    "q_gunning_fog" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS s
+           FROM documents),
+         f AS (
+           SELECT source, s,
+             CAST(len(t) AS BIGINT) AS w,
+             CAST(COALESCE(list_sum(list_transform(t,
+               x -> CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) >= 3
+                    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS cx
+           FROM tk),
+         sc AS (
+           SELECT source,
+             CASE WHEN w = 0 OR s = 0 THEN 0
+                  ELSE ((400 * w) // s) + ((40000 * cx) // w)
+             END AS f1000
+           FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f1000) AS BIGINT) AS sum_fog_x1000,
+           CAST(min(f1000) AS BIGINT) AS min_fog_x1000,
+           CAST(max(f1000) AS BIGINT) AS max_fog_x1000
+         FROM sc GROUP BY 1 ORDER BY source""",
+
+    // The exact lower median over the cent spine, the above/at-or-below
+    // split, and the shared Cramér's-V chain replayed.
+    "q_median_test" ->
+      ("""WITH o AS (
+           SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         pv AS (SELECT v, CAST(count(*) AS BIGINT) AS m FROM o GROUP BY 1),
+         nn AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM pv),
+         cm AS (SELECT v, CAST(sum(m) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cmv FROM pv),
+         md AS (SELECT min(v) AS med FROM cm CROSS JOIN nn
+                WHERE cmv >= (n + 1) // 2),
+         src AS (
+           SELECT CASE WHEN v > med THEN 'above' ELSE 'at_or_below' END AS r,
+             prio AS c
+           FROM o CROSS JOIN md),
+       """ + cramersVSqlChain + """
+         SELECT n_total, n_rows, n_cols, chi2_x1000, v2_x1e6, med
+         FROM cvout CROSS JOIN md"""),
 
     // Sentences, vowel-group syllables, and the floor-composed score
     // replayed per document, then the per-source rollup.

@@ -155,6 +155,29 @@ class StatsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("flesch_x1000") === 0L)
   }
 
+  test("gunningFog: complex-word counting and the floor-composed index") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "The cat sat. The dog ran!"),      // 0 complex → 0.4·(6/2) = 1.2
+      (2L, "The animalistic cat sat.")))      // 1 complex → 0.4·(4 + 25) = 11.6
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gunningFog(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_complex") === 0L)
+    assert(out(1L).getAs[Long]("fog_x1000") === 1200L)
+    assert(out(2L).getAs[Long]("n_complex") === 1L)
+    assert(out(2L).getAs[Long]("fog_x1000") === 11600L)
+  }
+
+  test("yuleK: hand-computed frequency spectrum") {
+    // tokens a,a,a,b → N = 4, S₂ = 10 → K = 10⁴·6/16 = 3750
+    val df = spark.createDataFrame(Seq(("s", "a a a b"))).toDF("source", "text")
+    val r = TextAnalysis.yuleK(df, "text", "source").collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Long]("sum_f_sq") === 10L)
+    assert(r.getAs[Long]("yule_k_x1000") === 3750000L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
