@@ -138,6 +138,36 @@ object Retrieval {
         } :+ col("fused_rank"): _*)
   }
 
+  /** Borda-count rank aggregation (de Borda 1781) — the positional
+    * cousin of [[rrfFuse]], and the integer-exact way to fuse many
+    * scored ballots (judge panels, per-slice rankings, ensemble
+    * retrievers) into one consensus order: within each ballot
+    * candidates take DOUBLED midranks by score ascending (ties =
+    * min+max of the run, the Wilcoxon rendering — no .5, no arbitrary
+    * tie-break), and each candidate's `borda_x2` is the sum over
+    * ballots. `final_rank` orders by (borda_x2 desc, candidate asc).
+    *
+    * Scale shape: the rank windows are per-ballot; the final-rank
+    * window runs over |candidates| POST-aggregation rows — the bounded
+    * post-agg spine exception, same as rrfFuse's fused_rank.
+    */
+  def bordaFuse(
+      df: DataFrame,
+      ballotCol: String,
+      candidateCol: String,
+      scoreCol: String): DataFrame = {
+    val wV = Window.partitionBy(col(ballotCol)).orderBy(col(scoreCol).asc)
+    val wTie = Window.partitionBy(col(ballotCol), col(scoreCol))
+    df
+      .withColumn("__rn", row_number().over(wV).cast("long"))
+      .withColumn("__r2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+      .groupBy(col(candidateCol))
+      .agg(count(lit(1)).as("n_ballots"), sum(col("__r2")).as("borda_x2"))
+      .withColumn("final_rank",
+        row_number().over(
+          Window.orderBy(col("borda_x2").desc, col(candidateCol).asc)).cast("long"))
+  }
+
   /** Hard-negative mining: the top `nNeg` retrieved-but-not-relevant docs
     * — the highest-ranked rows of `ranked` that do NOT appear in
     * `positives` — re-ranked 1..nNeg as `neg_rank`. This is the standard

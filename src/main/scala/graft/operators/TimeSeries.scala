@@ -619,6 +619,45 @@ object TimeSeries {
           lit(1000L) - expr("(1500 * sum_d2_sq) div (n_obs * (n_obs * n_obs - 1))")))
   }
 
+  /** Bartels rank von-Neumann ratio (1982), the rank-based serial-
+    * correlation randomness test: RVN = Σ(Rᵢ−Rᵢ₊₁)² / Σ(Rᵢ−R̄)² ≈ 2
+    * under randomness, < 2 under positive autocorrelation/trend,
+    * > 2 under alternation. TIE-EXACT in integers: with doubled
+    * midranks ΣR₂ᵢ = n(n+1) ALWAYS, so the mean doubled rank is
+    * exactly n+1 and both sums are integral —
+    * `rvn_x1000` = (1000·Σ(R₂ᵢ−R₂ᵢ₊₁)²) div (Σ(R₂ᵢ−(n+1))²) with the
+    * factor 4 cancelling. A constant series (denominator 0) emits 0.
+    * Completes the randomness battery next to [[turningPoints]]
+    * (extrema count) and the runs test (sign runs) — this one sees
+    * rank-level serial structure both of those miss.
+    */
+  def bartelsRvn(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+    val wV = Window.partitionBy(keys: _*).orderBy(col(valCol).asc)
+    val wTie = Window.partitionBy(keys :+ col(valCol): _*)
+    val wN = Window.partitionBy(keys: _*)
+    daily
+      .withColumn("__rnv", row_number().over(wV).cast("long"))
+      .withColumn("__r2", min(col("__rnv")).over(wTie) + max(col("__rnv")).over(wTie))
+      .withColumn("__nxt", lead(col("__r2"), 1).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__nxt").isNotNull,
+          (col("__r2") - col("__nxt")) * (col("__r2") - col("__nxt")))
+          .otherwise(0L)).as("nm_num"),
+        sum((col("__r2") - (col("__n") + 1)) * (col("__r2") - (col("__n") + 1)))
+          .as("nm_den"))
+      .withColumn("rvn_x1000",
+        when(col("nm_den") === 0, 0L)
+          .otherwise(expr("(1000 * nm_num) div nm_den")))
+  }
+
   /** Turning-point census (Kendall's randomness test): per key, the
     * number of interior observations that are strict local maxima or
     * minima. Under randomness E[T] = 2(n−2)/3, so the emitted

@@ -3737,6 +3737,30 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Bartels rank von-Neumann ratio (TimeSeries.bartelsRvn) per event
+    // type: rank-level serial correlation of the daily series —
+    // tie-exact because doubled midranks make the mean rank exactly
+    // n+1, so numerator and denominator are both integers.
+    "q_bartels" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.bartelsRvn(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
+    // Borda-count rank fusion (Retrieval.bordaFuse): each language is a
+    // ballot ranking the sources by document count (doubled midranks);
+    // the consensus corpus-mix ordering falls out as integer sums —
+    // the positional sibling of q_rrf_fusion.
+    "q_borda" -> ((s, d) => {
+      val ballots = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      Retrieval.bordaFuse(ballots, "lang", "source", "n_docs")
+        .orderBy("final_rank")
+    }),
+
     // Yule's characteristic K (TextAnalysis.yuleK) per source: the
     // frequency-spectrum repetitiveness constant — the corpus-mix
     // companion to q_token_burstiness (which is per-token) and
@@ -8202,6 +8226,54 @@ object LlmOps {
       ("""WITH src AS (SELECT lang AS r, source AS c FROM documents),
        """ + cramersVSqlChain + """
          SELECT n_total, n_rows, n_cols, chi2_x1000, v2_x1e6 FROM cvout"""),
+
+    // Doubled midranks, the lead-difference numerator, and the exact
+    // (n+1)-centered denominator replayed.
+    "q_bartels" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, day,
+             min(rn) OVER (PARTITION BY event_type, n)
+               + max(rn) OVER (PARTITION BY event_type, n) AS r2,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY n) AS rn FROM dl)),
+         df AS (
+           SELECT event_type, r2, nn,
+             lead(r2) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+           FROM rk),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                  ELSE (r2 - nxt) * (r2 - nxt) END) AS BIGINT) AS nm_num,
+             CAST(sum((r2 - (nn + 1)) * (r2 - (nn + 1))) AS BIGINT) AS nm_den
+           FROM df GROUP BY 1)
+         SELECT event_type, n_obs, nm_num, nm_den,
+           CASE WHEN nm_den = 0 THEN 0
+                ELSE (1000 * nm_num) // nm_den END AS rvn_x1000
+         FROM g ORDER BY event_type""",
+
+    // Per-ballot doubled midranks and the consensus sums replayed.
+    "q_borda" ->
+      """WITH bl AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2),
+         rk AS (
+           SELECT lang, source,
+             min(rn) OVER (PARTITION BY lang, n_docs)
+               + max(rn) OVER (PARTITION BY lang, n_docs) AS r2
+           FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                   ORDER BY n_docs) AS rn FROM bl)),
+         ag AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_ballots,
+             CAST(sum(r2) AS BIGINT) AS borda_x2
+           FROM rk GROUP BY 1)
+         SELECT source, n_ballots, borda_x2,
+           CAST(row_number() OVER (ORDER BY borda_x2 DESC, source) AS BIGINT)
+             AS final_rank
+         FROM ag ORDER BY final_rank""",
 
     // The frequency spectrum, S₂, and the decimal K rendering replayed.
     "q_yule_k" ->

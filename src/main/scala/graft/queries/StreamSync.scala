@@ -808,6 +808,79 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming record-days fixture: per-type FINALIZED daily counts in
+    * two time-split batches (per-key day-monotonic — the value-stream
+    * contract); recordStream flags each day against strictly-prior
+    * days on arrival. Guard: the emitted flag set equals the batch
+    * exclusive-prior-window formulation.
+    */
+  private def recordsSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_records_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type").as("typ"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val cutDay = 19737L // 2024-01-15 as epoch days
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("typ"), col("day"), col("n"))).as("j"))
+        val b1 = landOne(jsonl(daily.filter(col("day") < cutDay)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(daily.filter(col("day") >= cutDay)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("typ",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val out = StreamingSync.recordStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TypeDayCount])
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_records replay")
+
+        // guard: emitted flags == the batch exclusive-prior-window build
+        val got = s.read.parquet(sink.toString)
+          .select(col("typ"), col("day_idx"), col("n"),
+            col("rec_high"), col("rec_low")).distinct()
+        val wPrior = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("typ")).orderBy(col("day_idx").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val want = daily.withColumnRenamed("day", "day_idx")
+          .withColumn("__pmax", max(col("n")).over(wPrior))
+          .withColumn("__pmin", min(col("n")).over(wPrior))
+          .select(col("typ"), col("day_idx"), col("n"),
+            (col("__pmax").isNull || col("n") > col("__pmax")).as("rec_high"),
+            (col("__pmin").isNull || col("n") < col("__pmin")).as("rec_low"))
+        val diff = got.unionByName(want)
+          .groupBy(col("typ"), col("day_idx"), col("n"),
+            col("rec_high"), col("rec_low"))
+          .agg(count(lit(1)).as("k"))
+          .filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_records: $diff flag rows diverge from the batch " +
+            "exclusive-prior-window formulation — cross-batch max/min state lost")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming SCD2 fixture: user-typed events in two TIME-SPLIT batches
     * (per-key time order across batches — the value-stream contract);
     * scd2Stream emits closed dimension rows on each type change. Guard:
@@ -1639,6 +1712,19 @@ object StreamSync {
         .orderBy("id_a", "id_b")
     }),
 
+    // Live record tracker: per-type running max/min of finalized daily
+    // counts across two time-split batches, each day flagged
+    // record-high/low against strictly-prior days on arrival
+    // (emit-once append, no snapshot); the oracle replays the batch
+    // exclusive-prior-window formulation from the raw table.
+    "q_stream_records" -> ((s, d) => {
+      s.read.parquet(recordsSinkDir(s, d))
+        .select(col("typ").as("event_type"), col("day_idx"), col("n"),
+          col("rec_high"), col("rec_low"))
+        .distinct() // at-least-once sink
+        .orderBy("event_type", "day_idx")
+    }),
+
     // Live SCD2 maintenance: closed dimension rows emitted on type
     // change across time-split batches, fixture-guarded equal to the
     // batch closed-interval set; the oracle replays the batch build
@@ -1850,6 +1936,24 @@ object StreamSync {
              CAST(n * nd_prior - tot_prior AS HUGEINT) *
                CAST(n * nd_prior - tot_prior AS HUGEINT) >
              4 * CAST(tot_prior AS HUGEINT) * CAST(nd_prior AS HUGEINT) AS alarm
+         FROM w ORDER BY event_type, day_idx""",
+
+    // The batch exclusive-prior-window record flags replayed.
+    "q_stream_records" ->
+      """WITH dl AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day_idx, n,
+             max(n) OVER (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+             min(n) OVER (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+           FROM dl)
+         SELECT event_type, day_idx, n,
+           (pmax IS NULL OR n > pmax) AS rec_high,
+           (pmin IS NULL OR n < pmin) AS rec_low
          FROM w ORDER BY event_type, day_idx""",
 
     // The batch XOR fold replayed from the raw table.

@@ -640,6 +640,44 @@ object StreamingSync {
       }
   }
 
+  final case class TypeDayCount(typ: String, day: Long, n: Long)
+  final case class RecState(pmax: Long, pmin: Long, any: Boolean)
+  final case class RecordRow(
+      typ: String, day_idx: Long, n: Long, rec_high: Boolean, rec_low: Boolean)
+
+  /** Streaming record tracker (the live face of
+    * [[graft.operators.TimeSeries.recordDays]]): per key two longs of
+    * state (running max/min of FINALIZED daily counts); each arriving
+    * day is flagged record-high/low against STRICTLY PRIOR days and
+    * emitted exactly once — append-safe emit-on-arrival, no snapshot,
+    * no seq. The first day of a key is a record on both sides (the
+    * batch operator's convention). Contract: daily ROLLUP rows (one
+    * final row per (key, day)) arriving per-key day-monotonic across
+    * batches — the ewmaStream value-stream contract; within a batch
+    * the fold sorts by day so intra-batch order is canonical.
+    */
+  def recordStream(days: Dataset[TypeDayCount]): Dataset[RecordRow] = {
+    import days.sparkSession.implicits._
+    days
+      .groupByKey(_.typ)
+      .flatMapGroupsWithState[RecState, RecordRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, rows, gs: GroupState[RecState]) =>
+          var st = gs.getOption.getOrElse(RecState(0L, 0L, any = false))
+          val out = rows.toSeq.sortBy(_.day).map { r =>
+            val hi = !st.any || r.n > st.pmax
+            val lo = !st.any || r.n < st.pmin
+            st = RecState(
+              if (st.any) math.max(st.pmax, r.n) else r.n,
+              if (st.any) math.min(st.pmin, r.n) else r.n,
+              any = true)
+            RecordRow(typ, r.day, r.n, hi, lo)
+          }
+          gs.update(st)
+          out.iterator
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(

@@ -93,6 +93,46 @@ class TrendSpec extends SparkSpec {
     assert(t.getAs[Long]("rho_pm") === 950L)
   }
 
+  test("bartelsRvn: alternation scores > 2, monotone trend < 2") {
+    // 1,3,1,3,1 → r2 by day = 4,9,4,9,4: num = 100, den = 30 → 3333
+    val alt = daily(Seq(1L, 3L, 1L, 3L, 1L).zipWithIndex.map {
+      case (v, i) => ("alt", f"2024-07-${i + 1}%02d", v) })
+    val a = TimeSeries.bartelsRvn(alt, Seq("k"), "day", "n").collect().head
+    assert(a.getAs[Long]("nm_num") === 100L)
+    assert(a.getAs[Long]("nm_den") === 30L)
+    assert(a.getAs[Long]("rvn_x1000") === 3333L)
+    // 1..5 monotone → r2 = 2,4,6,8,10: num = 16, den = 40 → 400
+    val up = daily((1 to 5).map(i => ("up", f"2024-07-$i%02d", i.toLong)))
+    val u = TimeSeries.bartelsRvn(up, Seq("k"), "day", "n").collect().head
+    assert(u.getAs[Long]("rvn_x1000") === 400L)
+    // constant series: denominator 0 → 0
+    val c = daily((1 to 4).map(i => ("c", f"2024-07-$i%02d", 7L)))
+    assert(TimeSeries.bartelsRvn(c, Seq("k"), "day", "n")
+      .collect().head.getAs[Long]("rvn_x1000") === 0L)
+  }
+
+  test("bordaFuse: doubled midranks sum across ballots, ties split fairly") {
+    val ballots = spark.createDataFrame(Seq(
+      ("b1", "a", 3L), ("b1", "b", 2L), ("b1", "c", 1L),
+      ("b2", "a", 3L), ("b2", "b", 1L), ("b2", "c", 2L)))
+      .toDF("ballot", "cand", "score")
+    val out = graft.operators.Retrieval.bordaFuse(ballots, "ballot", "cand", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("borda_x2") === 12L)
+    assert(out("b").getAs[Long]("borda_x2") === 6L)
+    assert(out("c").getAs[Long]("borda_x2") === 6L)
+    assert(out("a").getAs[Long]("final_rank") === 1L)
+    assert(out("b").getAs[Long]("final_rank") === 2L) // tie → cand asc
+    assert(out("c").getAs[Long]("final_rank") === 3L)
+    // in-ballot tie: a=b=2 share doubled rank 5
+    val tied = spark.createDataFrame(Seq(
+      ("b1", "a", 2L), ("b1", "b", 2L), ("b1", "c", 1L)))
+      .toDF("ballot", "cand", "score")
+    val t = graft.operators.Retrieval.bordaFuse(tied, "ballot", "cand", "score")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("borda_x2")).toMap
+    assert(t === Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
+  }
+
   test("theilSenSlope: exact linear series recovers the slope, scaled") {
     // v = 10 + 3·t → every pairwise slope is exactly 3 → median 3000
     val df = daily((0 to 6).map(i => ("lin", f"2024-01-${i + 1}%02d", 10L + 3 * i)))
