@@ -75,4 +75,34 @@ object Integrity {
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the release gate a curated dataset passes before leaving
+    * the pipeline: group rows by the quasi-identifier columns and
+    * report the smallest group (`min_group_size` ≥ k ⟺ k-anonymous),
+    * how many groups and rows sit below the requested `k`, and the
+    * minimum distinct-sensitive-value count per group (`l_min` ≥ l ⟺
+    * l-diverse — a k-anonymous group all sharing one sensitive value
+    * still leaks it). ONE groupBy + ONE single-row rollup; the QI
+    * group table is category-sized by construction.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n_rows"),
+      min(col("__n")).as("min_group_size"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+      sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_rows_below_k"),
+      min(col("__l")).as("l_min"))
+      .withColumn("k", lit(k))
+      .withColumn("k_anonymous", col("min_group_size") >= col("k"))
+  }
 }

@@ -168,6 +168,48 @@ object Retrieval {
           Window.orderBy(col("borda_x2").desc, col(candidateCol).asc)).cast("long"))
   }
 
+  /** Copeland pairwise-majority scores (Copeland 1951) — the Condorcet-
+    * flavored counterpart of [[bordaFuse]]: candidate a BEATS b when a
+    * outscores b on a strict majority of the ballots both appear on;
+    * `copeland` = wins − losses over all opponents. Positional (Borda)
+    * and pairwise (Copeland) consensus disagreeing is itself a signal
+    * (a polarizing candidate). Integer throughout; pairwise ties score
+    * zero for both sides.
+    *
+    * Scale shape: the pair join is |candidates|²·|ballots| — candidates
+    * are a ROSTER (models, sources, retrievers), not data, so the pair
+    * table is category-sized; the one data-sized stage is the upstream
+    * (ballot, candidate, score) aggregate the caller provides.
+    */
+  def copeland(
+      df: DataFrame,
+      ballotCol: String,
+      candidateCol: String,
+      scoreCol: String): DataFrame = {
+    val a = df.select(col(ballotCol).as("__b"), col(candidateCol).as("__ca"),
+      col(scoreCol).as("__sa"))
+    val b = df.select(col(ballotCol).as("__b"), col(candidateCol).as("__cb"),
+      col(scoreCol).as("__sb"))
+    val pairs = a.join(b, Seq("__b"))
+      .filter(col("__ca") < col("__cb"))
+      .groupBy(col("__ca"), col("__cb"))
+      .agg(sum(when(col("__sa") > col("__sb"), 1L).otherwise(0L)).as("__wa"),
+        sum(when(col("__sa") < col("__sb"), 1L).otherwise(0L)).as("__wb"))
+      .withColumn("__va",
+        when(col("__wa") > col("__wb"), 1L)
+          .when(col("__wa") < col("__wb"), -1L).otherwise(0L))
+    val sides = pairs.select(col("__ca").as("cand"), col("__va").as("v"))
+      .unionByName(pairs.select(col("__cb").as("cand"), (-col("__va")).as("v")))
+    sides.groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_opponents"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("wins"),
+        sum(when(col("v") === -1, 1L).otherwise(0L)).as("losses"))
+      .withColumn("copeland", col("wins") - col("losses"))
+      .withColumn("final_rank",
+        row_number().over(
+          Window.orderBy(col("copeland").desc, col("cand").asc)).cast("long"))
+  }
+
   /** Hard-negative mining: the top `nNeg` retrieved-but-not-relevant docs
     * — the highest-ranked rows of `ranked` that do NOT appear in
     * `positives` — re-ranked 1..nNeg as `neg_rank`. This is the standard

@@ -3737,6 +3737,29 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Copeland pairwise-majority consensus (Retrieval.copeland) on the
+    // SAME per-language ballots as q_borda: a source beats another when
+    // it out-counts it in a majority of languages. Positional vs
+    // pairwise consensus disagreeing flags polarizing sources.
+    "q_copeland" -> ((s, d) => {
+      val ballots = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      Retrieval.copeland(ballots, "lang", "source", "n_docs")
+        .orderBy("final_rank")
+    }),
+
+    // k-anonymity / l-diversity release audit (Integrity.kAnonymity):
+    // is the events table k-anonymous over the (event_type, weekday)
+    // quasi-identifiers, and do small groups still carry diverse
+    // user_ids? The privacy gate a curated release passes last.
+    "q_k_anonymity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("dow", weekday(col("ts").cast("date")).cast("long"))
+      graft.operators.Integrity.kAnonymity(
+        ev, Seq("event_type", "dow"), "user_id", k = 300L)
+    }),
+
     // Bartels rank von-Neumann ratio (TimeSeries.bartelsRvn) per event
     // type: rank-level serial correlation of the daily series —
     // tie-exact because doubled midranks make the mean rank exactly
@@ -8254,6 +8277,54 @@ object LlmOps {
            CASE WHEN nm_den = 0 THEN 0
                 ELSE (1000 * nm_num) // nm_den END AS rvn_x1000
          FROM g ORDER BY event_type""",
+
+    // The pairwise majority matrix and both-sides score sums replayed.
+    "q_copeland" ->
+      """WITH bl AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2),
+         pw AS (
+           SELECT a.source AS ca, b.source AS cb,
+             CAST(sum(CASE WHEN a.n_docs > b.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+             CAST(sum(CASE WHEN a.n_docs < b.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS wb
+           FROM bl a JOIN bl b ON a.lang = b.lang AND a.source < b.source
+           GROUP BY 1, 2),
+         vd AS (
+           SELECT ca, cb,
+             CASE WHEN wa > wb THEN 1 WHEN wa < wb THEN -1 ELSE 0 END AS v
+           FROM pw),
+         sides AS (
+           SELECT ca AS cand, v FROM vd
+           UNION ALL SELECT cb AS cand, -v FROM vd),
+         ag AS (
+           SELECT cand, CAST(count(*) AS BIGINT) AS n_opponents,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+             CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS losses
+           FROM sides GROUP BY 1)
+         SELECT cand, n_opponents, wins, losses,
+           wins - losses AS copeland,
+           CAST(row_number() OVER (ORDER BY wins - losses DESC, cand) AS BIGINT)
+             AS final_rank
+         FROM ag ORDER BY final_rank""",
+
+    // The QI group table and the privacy rollup replayed.
+    "q_k_anonymity" ->
+      """WITH g AS (
+           SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS l
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN n < 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(sum(CASE WHEN n < 300 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k,
+           CAST(min(l) AS BIGINT) AS l_min,
+           CAST(300 AS BIGINT) AS k,
+           min(n) >= 300 AS k_anonymous
+         FROM g""",
 
     // Per-ballot doubled midranks and the consensus sums replayed.
     "q_borda" ->

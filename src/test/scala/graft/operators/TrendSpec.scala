@@ -133,6 +133,39 @@ class TrendSpec extends SparkSpec {
     assert(t === Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
   }
 
+  test("copeland: pairwise majority wins, ties score zero both sides") {
+    // 3 ballots over a,b,c: a beats b 2-1, a beats c 2-1, b ties c 1-1
+    val ballots = spark.createDataFrame(Seq(
+      ("b1", "a", 3L), ("b1", "b", 2L), ("b1", "c", 1L),
+      ("b2", "a", 3L), ("b2", "b", 1L), ("b2", "c", 2L),
+      ("b3", "a", 1L), ("b3", "b", 3L), ("b3", "c", 3L)))
+      .toDF("ballot", "cand", "score")
+    val out = graft.operators.Retrieval.copeland(ballots, "ballot", "cand", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("losses"),
+          r.getAs[Long]("copeland"), r.getAs[Long]("final_rank")))).toMap
+    assert(out("a") === ((2L, 0L, 2L, 1L)))
+    assert(out("b") === ((0L, 1L, -1L, 2L))) // tie vs c → 0; loss vs a
+    assert(out("c") === ((0L, 1L, -1L, 3L)))
+  }
+
+  test("kAnonymity: min group size, below-k counts, l-diversity") {
+    val df = spark.createDataFrame(Seq(
+      ("x", 1L, 10L), ("x", 1L, 11L), ("x", 1L, 12L), // group (x,1): n=3, l=3
+      ("x", 2L, 10L), ("x", 2L, 10L),                 // group (x,2): n=2, l=1
+      ("y", 1L, 20L)))                                // group (y,1): n=1, l=1
+      .toDF("qi1", "qi2", "sens")
+    val r = graft.operators.Integrity.kAnonymity(
+      df, Seq("qi1", "qi2"), "sens", k = 2L).collect().head
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("min_group_size") === 1L)
+    assert(r.getAs[Long]("n_groups_below_k") === 1L)
+    assert(r.getAs[Long]("n_rows_below_k") === 1L)
+    assert(r.getAs[Long]("l_min") === 1L)
+    assert(!r.getAs[Boolean]("k_anonymous"))
+  }
+
   test("theilSenSlope: exact linear series recovers the slope, scaled") {
     // v = 10 + 3·t → every pairwise slope is exactly 3 → median 3000
     val df = daily((0 to 6).map(i => ("lin", f"2024-01-${i + 1}%02d", 10L + 3 * i)))
