@@ -404,6 +404,97 @@ object Stats {
           expr("(chi2_x1000 * 1000) div (n_total * (least(n_rows, n_cols) - 1))")))
   }
 
+  /** Jonckheere–Terpstra test (1954) for ORDERED alternatives — does
+    * the response rise monotonically across k a-priori-ordered groups
+    * (dose levels, priority tiers, model sizes)? J = Σ_{g<h} U_{gh};
+    * kept integral by the doubled rendering J₂ = Σ 2·#{v_g < v_h} +
+    * #{v_g = v_h}. Groups are ranks 1..k in `groupRankCol`.
+    * `ej_x2` = (N² − Σn_g²) div 2 is the doubled null expectation, so
+    * `j_excess_x2` = J₂ − E[J₂] reads as a signed exact deviation
+    * (positive = rising with group order).
+    *
+    * Scale shape: per-value group counts pivot to k columns (k is a
+    * roster, not data), then ONE distributed grouped prefix-sum
+    * ([[PrefixSum.runningTotals]] — never a global window) gives every
+    * strictly-below cumulative; J₂ folds in a single projection +
+    * single-row rollup.
+    */
+  def jonckheere(
+      df: DataFrame,
+      groupRankCol: String,
+      vCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 ordered groups, got $k")
+    val perV = df
+      .groupBy(col(vCol).as("__v"))
+      .pivot(groupRankCol, (1 to k).map(Integer.valueOf))
+      .count()
+      .na.fill(0L)
+      .select(col("__v") +: (1 to k).map(g => col(s"$g").as(s"m_$g")): _*)
+    val cum = PrefixSum.runningTotals(perV, "__v", (1 to k).map(g => s"m_$g"))
+    // contribution of the rows in group h at value v:
+    //   m_h · Σ_{g<h} (2·below_g + eq_g),  below_g = cum_g − m_g
+    val contrib = (2 to k).map { h =>
+      val inner = (1 until h).map { g =>
+        lit(2L) * (col(s"cum_m_$g") - col(s"m_$g")) + col(s"m_$g")
+      }.reduce(_ + _)
+      col(s"m_$h") * inner
+    }.reduce(_ + _)
+    val ns = (1 to k).map(g => sum(col(s"m_$g")).as(s"n_$g"))
+    val rolled = cum
+      .withColumn("__c", contrib)
+      .agg(sum(col("__c")).as("j_x2"), ns: _*)
+    val nTotal = (1 to k).map(g => col(s"n_$g")).reduce(_ + _)
+    val sumNsq = (1 to k).map(g => col(s"n_$g") * col(s"n_$g")).reduce(_ + _)
+    rolled
+      .withColumn("n_total", nTotal)
+      .withColumn("ej_x2", expr("(n_total * n_total - (" +
+        (1 to k).map(g => s"n_$g * n_$g").mkString(" + ") + ")) div 2"))
+      .withColumn("j_excess_x2", col("j_x2") - col("ej_x2"))
+      .select(Seq(col("n_total"), col("j_x2"), col("ej_x2"),
+        col("j_excess_x2")) ++ (1 to k).map(g => col(s"n_$g")): _*)
+  }
+
+  /** Median absolute deviation per key — the robust scale estimate
+    * (50% breakdown) next to [[summary]]'s quartiles: both the median
+    * and the MAD are LOWER medians over integer values (rank
+    * ⌈n/2⌉ of the sorted multiset — no interpolation, engine-exact).
+    * Two passes of the same shape: per-value counts → per-key
+    * cumulative → rank pick; the second runs on |distinct deviations|
+    * rows. The per-key cumulative windows are the q_mannwhitney
+    * shape (value-level, partitioned by key).
+    */
+  def madPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+
+    def lowerMedian(values: DataFrame, c: String, out: String): DataFrame = {
+      val perV = values.groupBy(keys :+ col(c).as("__v"): _*)
+        .agg(sum(col("__m")).as("__mv"))
+      val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(keys: _*)
+      perV
+        .withColumn("__cm", sum(col("__mv")).over(wCum))
+        .withColumn("__n", sum(col("__mv")).over(wAll))
+        .filter(col("__cm") >= expr("(__n + 1) div 2"))
+        .groupBy(keys: _*)
+        .agg(min(col("__v")).as(out), max(col("__n")).as(s"__n_$out"))
+    }
+
+    val base = df.select(keys :+ col(vCol).as("__x"): _*)
+      .withColumn("__m", lit(1L))
+    val med = lowerMedian(base.withColumn("__c0", col("__x")), "__c0", "median")
+    val dev = base.join(med, keyCols)
+      .withColumn("__d", abs(col("__x") - col("median")))
+    val mad = lowerMedian(dev, "__d", "mad")
+    med.join(mad, keyCols)
+      .select(keys ++ Seq(col("__n_median").as("n_obs"), col("median"),
+        col("mad")): _*)
+  }
+
   /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over
     * paired integer observations: count positive / negative / zero
     * differences per key — under H₀ the positives are

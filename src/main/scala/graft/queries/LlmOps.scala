@@ -3737,6 +3737,35 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Jonckheere–Terpstra ordered-alternative test (Stats.jonckheere):
+    // do order totals rise monotonically across the five priority
+    // tiers? The doubled J statistic folds from ONE distributed
+    // grouped prefix-sum over the pivoted per-cent counts — never a
+    // global window — with the exact doubled null expectation
+    // alongside for the signed excess.
+    "q_jonckheere" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.jonckheere(o, "g", "v", k = 5)
+    }),
+
+    // Median absolute deviation (Stats.madPerKey) per nation over
+    // order cents: the 50%-breakdown robust scale estimate, both
+    // medians LOWER medians so the integers match engine-for-engine.
+    "q_mad" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.madPerKey(o, Seq("n_name"), "v")
+        .orderBy("n_name")
+    }),
+
     // Copeland pairwise-majority consensus (Retrieval.copeland) on the
     // SAME per-language ballots as q_borda: a source beats another when
     // it out-counts it in a majority of languages. Positional vs
@@ -8277,6 +8306,91 @@ object LlmOps {
            CASE WHEN nm_den = 0 THEN 0
                 ELSE (1000 * nm_num) // nm_den END AS rvn_x1000
          FROM g ORDER BY event_type""",
+
+    // The doubled J fold replayed via per-group strictly-below
+    // cumulatives over the cent spine.
+    "q_jonckheere" ->
+      """WITH o AS (
+           SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         pv AS (
+           SELECT v,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m_1,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m_2,
+             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS m_3,
+             CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS m_4,
+             CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS m_5
+           FROM o GROUP BY 1),
+         cu AS (
+           SELECT *,
+             CAST(sum(m_1) OVER w AS BIGINT) AS c_1,
+             CAST(sum(m_2) OVER w AS BIGINT) AS c_2,
+             CAST(sum(m_3) OVER w AS BIGINT) AS c_3,
+             CAST(sum(m_4) OVER w AS BIGINT) AS c_4,
+             CAST(sum(m_5) OVER w AS BIGINT) AS c_5
+           FROM pv
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         ag AS (
+           SELECT
+             CAST(sum(
+               m_2 * (2*(c_1-m_1) + m_1) +
+               m_3 * (2*(c_1-m_1) + m_1 + 2*(c_2-m_2) + m_2) +
+               m_4 * (2*(c_1-m_1) + m_1 + 2*(c_2-m_2) + m_2
+                      + 2*(c_3-m_3) + m_3) +
+               m_5 * (2*(c_1-m_1) + m_1 + 2*(c_2-m_2) + m_2
+                      + 2*(c_3-m_3) + m_3 + 2*(c_4-m_4) + m_4)
+             ) AS BIGINT) AS j_x2,
+             CAST(sum(m_1) AS BIGINT) AS n_1, CAST(sum(m_2) AS BIGINT) AS n_2,
+             CAST(sum(m_3) AS BIGINT) AS n_3, CAST(sum(m_4) AS BIGINT) AS n_4,
+             CAST(sum(m_5) AS BIGINT) AS n_5
+           FROM cu)
+         SELECT n_1 + n_2 + n_3 + n_4 + n_5 AS n_total, j_x2,
+           ((n_1+n_2+n_3+n_4+n_5) * (n_1+n_2+n_3+n_4+n_5)
+             - (n_1*n_1 + n_2*n_2 + n_3*n_3 + n_4*n_4 + n_5*n_5)) // 2 AS ej_x2,
+           j_x2 - (((n_1+n_2+n_3+n_4+n_5) * (n_1+n_2+n_3+n_4+n_5)
+             - (n_1*n_1 + n_2*n_2 + n_3*n_3 + n_4*n_4 + n_5*n_5)) // 2)
+             AS j_excess_x2,
+           n_1, n_2, n_3, n_4, n_5
+         FROM ag""",
+
+    // Both lower medians replayed over the value and deviation spines.
+    "q_mad" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pv AS (SELECT n_name, v, CAST(count(*) AS BIGINT) AS m
+                FROM o GROUP BY 1, 2),
+         c1 AS (
+           SELECT n_name, v,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         md AS (
+           SELECT n_name, CAST(min(v) AS BIGINT) AS median,
+             CAST(max(n) AS BIGINT) AS n_obs
+           FROM c1 WHERE cm >= (n + 1) // 2 GROUP BY 1),
+         dv AS (
+           SELECT o.n_name, abs(v - median) AS d
+           FROM o JOIN md ON o.n_name = md.n_name),
+         pd AS (SELECT n_name, d, CAST(count(*) AS BIGINT) AS m
+                FROM dv GROUP BY 1, 2),
+         c2 AS (
+           SELECT n_name, d,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pd),
+         mad AS (
+           SELECT n_name, CAST(min(d) AS BIGINT) AS mad
+           FROM c2 WHERE cm >= (n + 1) // 2 GROUP BY 1)
+         SELECT md.n_name, n_obs, median, mad
+         FROM md JOIN mad USING (n_name) ORDER BY n_name""",
 
     // The pairwise majority matrix and both-sides score sums replayed.
     "q_copeland" ->

@@ -178,6 +178,32 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("yule_k_x1000") === 3750000L)
   }
 
+  test("jonckheere: strictly ordered groups hit the maximum; ties count once") {
+    // groups 1:{1,2} 2:{3,4} 3:{5} → J = 4+2+2 = 8, J₂ = 16; E[J₂] = 8
+    val df = spark.createDataFrame(Seq(
+      (1, 1L), (1, 2L), (2, 3L), (2, 4L), (3, 5L))).toDF("g", "v")
+    val r = Stats.jonckheere(df, "g", "v", k = 3).collect().head
+    assert(r.getAs[Long]("n_total") === 5L)
+    assert(r.getAs[Long]("j_x2") === 16L)
+    assert(r.getAs[Long]("ej_x2") === 8L)
+    assert(r.getAs[Long]("j_excess_x2") === 8L)
+    // a cross-group tie contributes 1 (half a pair, doubled)
+    val tied = spark.createDataFrame(Seq((1, 1L), (2, 1L))).toDF("g", "v")
+    val t = Stats.jonckheere(tied, "g", "v", k = 2).collect().head
+    assert(t.getAs[Long]("j_x2") === 1L)
+    assert(t.getAs[Long]("j_excess_x2") === 0L)
+  }
+
+  test("madPerKey: lower medians of values and deviations") {
+    // {1,2,3,10}: lower median = 2; |d| = {1,0,1,8} → MAD = 1
+    val df = spark.createDataFrame(
+      Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 10L))).toDF("k", "v")
+    val r = Stats.madPerKey(df, Seq("k"), "v").collect().head
+    assert(r.getAs[Long]("n_obs") === 4L)
+    assert(r.getAs[Long]("median") === 2L)
+    assert(r.getAs[Long]("mad") === 1L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
