@@ -342,11 +342,58 @@ object Similarity {
       queryIdCol: String,
       k: Int = 5,
       prefilterK: Int = 20): DataFrame = {
-    val idType = corpus.schema(idCol).dataType
-    val cVec = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val indexed = signSignatures(corpus, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+    signTopKFrom(indexed, queries, queryIdCol, vecCol, k, prefilterK)
+  }
+
+  /** Persist the sign-bit index: ONE parquet of (id, lo, hi, v) — the
+    * materialized-signature layout [[signBitTopK]] computes on the fly.
+    * Parquet's columnar pruning makes the split free: the Hamming
+    * prefilter scan reads (id, lo, hi) = 24 bytes/row (ReadSchema shows
+    * it), the rerank's vector fetch reads (id, v) for the candidate
+    * join only. Write once at ingest, query many.
+    */
+  def writeSignIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String): Unit = {
+    signSignatures(corpus, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .write.mode("overwrite").parquet(s"$dir/signs")
+    ()
+  }
+
+  /** Query a persisted [[writeSignIndex]] layout — bit-identical to the
+    * ad-hoc [[signBitTopK]] because sign words are integers (no float
+    * retraining drift to certify around, unlike the IVF index).
+    */
+  def querySignIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int = 5,
+      prefilterK: Int = 20): DataFrame =
+    signTopKFrom(spark.read.parquet(s"$dir/signs"), queries, queryIdCol,
+      vecCol, k, prefilterK)
+
+  /** Shared sign-bit pipeline over an (id, lo, hi, v) corpus frame —
+    * computed or loaded — so the ad-hoc and indexed paths cannot drift.
+    */
+  private def signTopKFrom(
+      indexed: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      prefilterK: Int): DataFrame = {
+    val idType = indexed.schema("id").dataType
     val qVec = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     // Thin leg: ids + signatures only — the vector column is pruned out.
-    val ham = signSignatures(corpus, idCol, vecCol)
+    val ham = indexed.select(col("id"), col("lo"), col("hi"))
       .crossJoin(broadcast(signSignatures(queries, queryIdCol, vecCol)
         .select(col("id").as("query_id"), col("lo").as("q_lo"),
           col("hi").as("q_hi"))))
@@ -362,7 +409,7 @@ object Similarity {
     val wFin = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id").asc)
     cand
-      .join(cVec, Seq("id"))
+      .join(indexed.select(col("id"), col("v")), Seq("id"))
       .join(broadcast(qVec), Seq("query_id"))
       .withColumn("cosine", round(gfn.cosine_sim(col("v"), col("qv")), 6))
       .withColumn("rank", row_number().over(wFin).cast("long"))

@@ -619,6 +619,38 @@ object TimeSeries {
           lit(1000L) - expr("(1500 * sum_d2_sq) div (n_obs * (n_obs * n_obs - 1))")))
   }
 
+  /** Hodges–Lehmann location estimator (1963) — the point estimate
+    * behind the Wilcoxon test: the MEDIAN of all pairwise Walsh
+    * averages (vᵢ+vⱼ)/2 over i ≤ j. Robust to ~29% contamination like
+    * [[theilSenSlope]] (its location-scale sibling), and kept exact by
+    * emitting the DOUBLED value `hl_x2` = lower median of (vᵢ+vⱼ) —
+    * the sum IS the doubled average, so no .5 materializes. Same
+    * |days|²/key calendar-bounded pair shape as the rest of the
+    * battery; i = j pairs included (the standard definition).
+    */
+  def hodgesLehmann(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val pinned = daily
+      .select(keys :+ col(ordCol).as("__o") :+ col(valCol).as("__v"): _*)
+      .localCheckpoint(true)
+    val a = pinned.select(keys :+ col("__o").as("__o_a") :+ col("__v").as("__v_a"): _*)
+    val b = pinned.select(keys :+ col("__o").as("__o_b") :+ col("__v").as("__v_b"): _*)
+    val sums = a.join(b, keyCols)
+      .filter(col("__o_a") <= col("__o_b"))
+      .select(keys :+ (col("__v_a") + col("__v_b")).as("__s"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__s").asc)
+    val wc = Window.partitionBy(keys: _*)
+    sums
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wc))
+      .filter(expr("__rn = (n_pairs + 1) div 2"))
+      .select(keys :+ col("n_pairs") :+ col("__s").as("hl_x2"): _*)
+  }
+
   /** Bartels rank von-Neumann ratio (1982), the rank-based serial-
     * correlation randomness test: RVN = Σ(Rᵢ−Rᵢ₊₁)² / Σ(Rᵢ−R̄)² ≈ 2
     * under randomness, < 2 under positive autocorrelation/trend,

@@ -3737,6 +3737,18 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Hodges–Lehmann location estimate (TimeSeries.hodgesLehmann) per
+    // event type: the median of all pairwise Walsh sums over the daily
+    // series, doubled so no .5 materializes — the robust "typical
+    // daily volume" the Wilcoxon family's point estimate.
+    "q_hodges_lehmann" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.hodgesLehmann(daily, Seq("event_type"), "day", "n")
+        .orderBy("event_type")
+    }),
+
     // Jonckheere–Terpstra ordered-alternative test (Stats.jonckheere):
     // do order totals rise monotonically across the five priority
     // tiers? The doubled J statistic folds from ONE distributed
@@ -3975,6 +3987,27 @@ object LlmOps {
       truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy("query_id")
+    }),
+
+    // Persisted sign-bit index (Similarity.writeSignIndex /
+    // querySignIndex): the materialized-signature layout the ad-hoc
+    // q_ann_hamming computes on the fly — one (id, lo, hi, v) parquet,
+    // the prefilter reading 24 B/row via column pruning. Sign words
+    // are integers, so the indexed path is bit-identical to ad-hoc
+    // and the SAME DuckDB replay oracles it directly (no equality
+    // certificate needed, unlike the float IVF index).
+    "q_ann_hamming_indexed" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/sign_index_s5" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val emb = Tables.embeddings(s, d)
+      if (!new java.io.File(s"$dir/signs").exists()) {
+        Similarity.writeSignIndex(emb.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", dir)
+      }
+      Similarity.querySignIndex(s, dir, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, prefilterK = 20)
+        .orderBy("query_id", "rank")
     }),
 
     // Binary-quantized ANN (Similarity.signBitTopK): 1-bit sign
@@ -8124,6 +8157,15 @@ object LlmOps {
              ORDER BY cosine DESC, id) AS BIGINT) AS rank
          FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank"""),
 
+    // Sign words are integers, so the PERSISTED index replays with the
+    // exact same CTE as the ad-hoc path — the strongest possible index
+    // certificate (full values, not an equality flag).
+    "q_ann_hamming_indexed" -> (annSignCte + """
+         SELECT query_id, id AS neighbor_id, hamming, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, id) AS BIGINT) AS rank
+         FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank"""),
+
     // Both legs replayed — the Hamming-prefiltered rerank top-5 and the
     // exact cosine top-5 — then the per-query overlap counted.
     "q_ann_recall_hamming" -> (annSignCte + """,
@@ -8306,6 +8348,23 @@ object LlmOps {
            CASE WHEN nm_den = 0 THEN 0
                 ELSE (1000 * nm_num) // nm_den END AS rvn_x1000
          FROM g ORDER BY event_type""",
+
+    // Every Walsh sum and the lower-median pick replayed.
+    "q_hodges_lehmann" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         sm AS (
+           SELECT a.event_type AS event_type, a.n + b.n AS s
+           FROM dl a JOIN dl b
+             ON a.event_type = b.event_type AND a.day <= b.day),
+         r AS (
+           SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+           FROM sm)
+         SELECT event_type, n_pairs, CAST(s AS BIGINT) AS hl_x2
+         FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""",
 
     // The doubled J fold replayed via per-group strictly-below
     // cumulatives over the cent spine.

@@ -166,6 +166,36 @@ class TrendSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("k_anonymous"))
   }
 
+  test("hodgesLehmann: lower median of Walsh sums, doubled") {
+    // {1,2,3}: sums i≤j = {2,3,4,4,5,6} → rank 3 of 6 → 4 (HL = 2)
+    val df = daily(Seq(1L, 2L, 3L).zipWithIndex.map {
+      case (v, i) => ("hl", f"2024-08-${i + 1}%02d", v) })
+    val r = TimeSeries.hodgesLehmann(df, Seq("k"), "day", "n").collect().head
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("hl_x2") === 4L)
+  }
+
+  test("sign-bit index round-trip equals the ad-hoc signBitTopK") {
+    import spark.implicits._
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        math.sin(i * 7.3 + j * 1.7).toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    val corpus = df.filter($"id" >= 2)
+    val queries = df.filter($"id" < 2)
+    val dir = s"/tmp/graft_test_sign_index_${System.nanoTime()}"
+    Similarity.writeSignIndex(corpus, "id", "v", dir)
+    val idx = Similarity.querySignIndex(spark, dir, queries, "id", "v",
+      k = 3, prefilterK = 6).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).sorted
+    val adhoc = Similarity.signBitTopK(corpus, queries, "id", "v", "id",
+      k = 3, prefilterK = 6).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).sorted
+    assert(idx.nonEmpty)
+    assert(idx === adhoc)
+  }
+
   test("theilSenSlope: exact linear series recovers the slope, scaled") {
     // v = 10 + 3·t → every pairwise slope is exactly 3 → median 3000
     val df = daily((0 to 6).map(i => ("lin", f"2024-01-${i + 1}%02d", 10L + 3 * i)))
