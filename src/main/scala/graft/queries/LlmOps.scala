@@ -3790,11 +3790,12 @@ object LlmOps {
         .orderBy("final_rank")
     }),
 
-    // k-anonymity / l-diversity release audit (Integrity.kAnonymity):
-    // is the events table k-anonymous over the (event_type, weekday)
-    // quasi-identifiers, and do small groups still carry diverse
-    // user_ids? The privacy gate a curated release passes last.
-    "q_k_anonymity" -> ((s, d) => {
+    // k-anonymity / l-diversity release GATE (Integrity.kAnonymity):
+    // the single-row verdict rollup — smallest QI group, below-k mass,
+    // minimum sensitive diversity — complementing q_k_anonymity /
+    // q_l_diversity's per-group audit tables with the one boolean a
+    // release pipeline asserts on.
+    "q_anon_gate" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .withColumn("dow", weekday(col("ts").cast("date")).cast("long"))
       graft.operators.Integrity.kAnonymity(
@@ -3835,7 +3836,7 @@ object LlmOps {
     }),
 
     // Gunning fog index (TextAnalysis.gunningFog) per source: the
-    // complex-word grade-level axis next to q_readability's Flesch —
+    // complex-word grade-level axis next to q_flesch's reading ease —
     // two filters that disagree are exactly what q_mcnemar audits.
     "q_gunning_fog" -> ((s, d) => {
       TextAnalysis.gunningFog(
@@ -3875,7 +3876,7 @@ object LlmOps {
     // per source: vowel-group syllables, [.!?]+ sentences, the
     // floor-composed integer score — curriculum binning's readability
     // axis, replayed to the digit by DuckDB list lambdas.
-    "q_readability" -> ((s, d) => {
+    "q_flesch" -> ((s, d) => {
       TextAnalysis.fleschReadability(
         Tables.documents(s, d), "doc_id", "text", keepCols = Seq("source"))
         .groupBy(col("source"))
@@ -8481,7 +8482,7 @@ object LlmOps {
          FROM ag ORDER BY final_rank""",
 
     // The QI group table and the privacy rollup replayed.
-    "q_k_anonymity" ->
+    "q_anon_gate" ->
       """WITH g AS (
            SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
              CAST(count(*) AS BIGINT) AS n,
@@ -8587,7 +8588,7 @@ object LlmOps {
 
     // Sentences, vowel-group syllables, and the floor-composed score
     // replayed per document, then the per-source rollup.
-    "q_readability" ->
+    "q_flesch" ->
       """WITH tk AS (
            SELECT source,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
