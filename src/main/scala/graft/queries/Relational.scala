@@ -1143,7 +1143,7 @@ object Relational {
     // are exact integers (cents · ranks); the single final division is
     // one IEEE double op — deterministic on any engine. One window +
     // one aggregate on the same partitioning.
-    "q_gini" -> ((s, d) => {
+    "q_gini_spend" -> ((s, d) => {
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
@@ -2648,7 +2648,7 @@ object Relational {
     // (the second window reuses the first's partitioning). change_key (the
     // originating orderkey) makes every interval row uniquely addressable —
     // standard SCD2 lineage practice, and the oracle's unique sort key.
-    "q_scd2" -> ((s, d) => {
+    "q_scd2_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, d)
@@ -2953,7 +2953,7 @@ object Relational {
     // dimensions (the q_scd2 frame queried at a point in time). Per key
     // the last change at-or-before the date wins; keys whose first
     // change is later don't exist yet and are absent.
-    "q_time_travel" -> ((s, d) => {
+    "q_time_travel_orders" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val changes = Tables.orders(s, d)
@@ -4004,7 +4004,7 @@ object Relational {
            CAST(den AS BIGINT) AS den, gap
          FROM r WHERE rn = 1 ORDER BY event_type""",
 
-    "q_gini" ->
+    "q_gini_spend" ->
       """WITH spend AS (
            SELECT o_custkey,
              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
@@ -5126,7 +5126,7 @@ object Relational {
            ON f.custkey = d.custkey AND f.t >= d.t
          ORDER BY f.custkey, f.l_orderkey, f.l_linenumber, ship_date""",
 
-    "q_scd2" ->
+    "q_scd2_orders" ->
       """WITH ch AS (
            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
@@ -5338,7 +5338,7 @@ object Relational {
          FROM r WHERE rn <= 5
          GROUP BY 1 ORDER BY o_orderpriority""",
 
-    "q_time_travel" ->
+    "q_time_travel_orders" ->
       """WITH ch AS (
            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (PARTITION BY o_custkey
