@@ -186,9 +186,13 @@ object Retrieval {
       ballotCol: String,
       candidateCol: String,
       scoreCol: String): DataFrame = {
-    val a = df.select(col(ballotCol).as("__b"), col(candidateCol).as("__ca"),
+    // Both pair legs read the same category-sized ballot frame: pin it
+    // once so the upstream aggregate (and its corpus scan) runs ONCE.
+    val pinned = df.select(col(ballotCol), col(candidateCol), col(scoreCol))
+      .localCheckpoint(true)
+    val a = pinned.select(col(ballotCol).as("__b"), col(candidateCol).as("__ca"),
       col(scoreCol).as("__sa"))
-    val b = df.select(col(ballotCol).as("__b"), col(candidateCol).as("__cb"),
+    val b = pinned.select(col(ballotCol).as("__b"), col(candidateCol).as("__cb"),
       col(scoreCol).as("__sb"))
     val pairs = a.join(b, Seq("__b"))
       .filter(col("__ca") < col("__cb"))

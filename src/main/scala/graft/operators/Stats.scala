@@ -333,9 +333,15 @@ object Stats {
       blockCol: String,
       treatCol: String,
       vCol: String): DataFrame = {
-    val kDf = df.agg(countDistinct(col(treatCol)).as("k"))
-    val nb = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
-    val complete = df
+    // Three consumers (k, block sizes, the ranked rows) of one
+    // block-bounded frame: pin it once so the upstream rollup — and
+    // the corpus scan under it — runs ONCE, not 3× (the q_rfm
+    // localCheckpoint pattern).
+    val pinned = df.select(col(blockCol), col(treatCol), col(vCol))
+      .localCheckpoint(true)
+    val kDf = pinned.agg(countDistinct(col(treatCol)).as("k"))
+    val nb = pinned.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
+    val complete = pinned
       .join(nb, blockCol)
       .crossJoin(broadcast(kDf))
       .filter(col("__nb") === col("k"))
@@ -344,9 +350,12 @@ object Stats {
     val ranked = complete
       .withColumn("__rn", row_number().over(wV).cast("long"))
       .withColumn("__r2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+    // |treatments| rows feeding BOTH the global rollup and the final
+    // cross join — pin so the rank windows execute once, not twice.
     val perTreat = ranked.groupBy(col(treatCol))
       .agg(count(lit(1)).as("n_blocks"), sum(col("__r2")).as("r2_sum"),
         max(col("k")).as("k"))
+      .localCheckpoint(true)
     val global = perTreat
       .agg(sum(col("r2_sum") * col("r2_sum")).as("__sum_r2sq"),
         max(col("n_blocks")).as("__n"), max(col("k")).as("__k"))
@@ -376,10 +385,21 @@ object Stats {
   def cramersV(
       df: DataFrame,
       rowCol: String,
-      colCol: String): DataFrame = {
+      colCol: String): DataFrame =
+    cramersVFromCounts(
+      df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+        .agg(count(lit(1)).as("__o")))
+
+  /** [[cramersV]] over a PRE-COUNTED contingency frame
+    * `(__r, __c, __o)` — the entry point for callers that already hold
+    * per-cell counts (q_median_test derives them from its pinned
+    * value spine, so the raw table is scanned ONCE for the whole
+    * composition). The cell table is category-sized: pin it once and
+    * every marginal leg reads the materialization, not the corpus.
+    */
+  def cramersVFromCounts(cellCounts: DataFrame): DataFrame = {
     val maxN = 100000000L
-    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
-      .agg(count(lit(1)).as("__o"))
+    val cells = cellCounts.localCheckpoint(true)
     val rTot = cells.groupBy(col("__r")).agg(sum(col("__o")).as("__rt"))
     val cTot = cells.groupBy(col("__c")).agg(sum(col("__o")).as("__ct"))
     val tot = cells.agg(sum(col("__o")).as("__n"),
@@ -425,12 +445,16 @@ object Stats {
       vCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"need at least 2 ordered groups, got $k")
+    // Pin the pivoted value spine: the prefix-sum's boundary-sampling
+    // pass and the cumulative pass both read the materialization
+    // instead of re-running the pivot (and its corpus scan).
     val perV = df
       .groupBy(col(vCol).as("__v"))
       .pivot(groupRankCol, (1 to k).map(Integer.valueOf))
       .count()
       .na.fill(0L)
       .select(col("__v") +: (1 to k).map(g => col(s"$g").as(s"m_$g")): _*)
+      .localCheckpoint(true)
     val cum = PrefixSum.runningTotals(perV, "__v", (1 to k).map(g => s"m_$g"))
     // contribution of the rows in group h at value v:
     //   m_h · Σ_{g<h} (2·below_g + eq_g),  below_g = cum_g − m_g
@@ -459,10 +483,11 @@ object Stats {
     * (50% breakdown) next to [[summary]]'s quartiles: both the median
     * and the MAD are LOWER medians over integer values (rank
     * ⌈n/2⌉ of the sorted multiset — no interpolation, engine-exact).
-    * Two passes of the same shape: per-value counts → per-key
-    * cumulative → rank pick; the second runs on |distinct deviations|
-    * rows. The per-key cumulative windows are the q_mannwhitney
-    * shape (value-level, partitioned by key).
+    * ONE corpus scan: the pinned per-(key, value) count spine feeds
+    * both median passes, and the deviation pass re-aggregates the
+    * SPINE's multiplicities (|v − med| collapses values pairwise), so
+    * no pass ever revisits raw rows. The per-key cumulative windows
+    * are the q_mannwhitney shape (value-level, partitioned by key).
     */
   def madPerKey(
       df: DataFrame,
@@ -470,13 +495,11 @@ object Stats {
       vCol: String): DataFrame = {
     val keys = keyCols.map(col)
 
-    def lowerMedian(values: DataFrame, c: String, out: String): DataFrame = {
-      val perV = values.groupBy(keys :+ col(c).as("__v"): _*)
-        .agg(sum(col("__m")).as("__mv"))
+    def lowerMedian(weighted: DataFrame, out: String): DataFrame = {
       val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(keys: _*)
-      perV
+      weighted
         .withColumn("__cm", sum(col("__mv")).over(wCum))
         .withColumn("__n", sum(col("__mv")).over(wAll))
         .filter(col("__cm") >= expr("(__n + 1) div 2"))
@@ -484,12 +507,20 @@ object Stats {
         .agg(min(col("__v")).as(out), max(col("__n")).as(s"__n_$out"))
     }
 
-    val base = df.select(keys :+ col(vCol).as("__x"): _*)
-      .withColumn("__m", lit(1L))
-    val med = lowerMedian(base.withColumn("__c0", col("__x")), "__c0", "median")
-    val dev = base.join(med, keyCols)
-      .withColumn("__d", abs(col("__x") - col("median")))
-    val mad = lowerMedian(dev, "__d", "mad")
+    // ONE corpus scan: the per-(key, value) count spine is pinned and
+    // both median passes (and the deviation spine) read the
+    // materialization — deviations carry the spine's multiplicities,
+    // never the raw rows (the weighted-quantile value-spine pattern).
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__mv"))
+      .localCheckpoint(true)
+    val med = lowerMedian(perV, "median")
+    val devSpine = perV.join(med, keyCols)
+      .select(keys :+ abs(col("__v") - col("median")).as("__v") :+
+        col("__mv"): _*)
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(sum(col("__mv")).as("__mv"))
+    val mad = lowerMedian(devSpine, "mad")
     med.join(mad, keyCols)
       .select(keys ++ Seq(col("__n_median").as("n_obs"), col("median"),
         col("mad")): _*)

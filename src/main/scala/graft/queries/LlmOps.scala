@@ -3855,20 +3855,26 @@ object LlmOps {
     // at-or-below, and Stats.cramersV scores the 2×k split-by-priority
     // table — two proven operators, one new published test.
     "q_median_test" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      // ONE orders scan: the (v, prio) count spine pins once; the
+      // median legs re-aggregate it and the χ² cells derive from its
+      // multiplicities via cramersVFromCounts — raw rows never revisit.
+      val perVP = Tables.orders(s, d)
         .select(col("o_orderpriority").as("prio"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-      val perV = o.groupBy(col("v")).agg(count(lit(1)).as("m"))
+        .groupBy(col("v"), col("prio")).agg(count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      val perV = perVP.groupBy(col("v")).agg(sum(col("m")).as("m"))
       val cum = graft.operators.PrefixSum.runningTotals(perV, "v", Seq("m"))
       val n = perV.agg(sum(col("m")).as("n"))
       val med = cum.crossJoin(broadcast(n))
         .filter(col("cum_m") >= expr("(n + 1) div 2"))
         .agg(min(col("v")).as("med"))
-      Stats.cramersV(
-        o.crossJoin(broadcast(med))
-          .withColumn("side",
-            when(col("v") > col("med"), "above").otherwise("at_or_below")),
-        "side", "prio")
+      val cells = perVP.crossJoin(broadcast(med))
+        .withColumn("__r",
+          when(col("v") > col("med"), "above").otherwise("at_or_below"))
+        .groupBy(col("__r"), col("prio").as("__c"))
+        .agg(sum(col("m")).as("__o"))
+      Stats.cramersVFromCounts(cells)
         .crossJoin(broadcast(med))
     }),
 
