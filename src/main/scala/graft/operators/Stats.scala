@@ -479,6 +479,84 @@ object Stats {
         col("j_excess_x2")) ++ (1 to k).map(g => col(s"n_$g")): _*)
   }
 
+  /** Page's trend test (1963) for ORDERED treatments in blocks — the
+    * repeated-measures cousin of [[jonckheere]]: within every complete
+    * block the treatments take doubled midranks, and
+    * L₂ = Σ_j j·R₂ⱼ weights rank sums by the a-priori treatment order
+    * (j = `treatRankCol`, 1..k). Under H₀ E[L₂] = n·k·(k+1)²/2
+    * exactly, so `l_excess_x2` = L₂ − E[L₂] is a signed exact
+    * deviation (positive = response rises with treatment order).
+    * Blocks missing a treatment drop (the [[friedman]] completeness
+    * rule; one row per (key, block, treatment) assumed).
+    */
+  def pageTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      blockCol: String,
+      treatRankCol: String,
+      vCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 ordered treatments, got $k")
+    val keys = keyCols.map(col)
+    val pinned = df
+      .select(keys :+ col(blockCol).as("__blk") :+
+        col(treatRankCol).as("__j") :+ col(vCol).as("__v"): _*)
+      .localCheckpoint(true)
+    val nb = pinned.groupBy(keys :+ col("__blk"): _*)
+      .agg(count(lit(1)).as("__nb"))
+    val complete = pinned.join(nb, keyCols :+ "__blk")
+      .filter(col("__nb") === k)
+    val wV = Window.partitionBy(keys :+ col("__blk"): _*).orderBy(col("__v").asc)
+    val wTie = Window.partitionBy(keys :+ col("__blk") :+ col("__v"): _*)
+    complete
+      .withColumn("__rn", row_number().over(wV).cast("long"))
+      .withColumn("__r2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+      .groupBy(keys: _*)
+      .agg(countDistinct(col("__blk")).as("n_blocks"),
+        sum(col("__j") * col("__r2")).as("l2"))
+      .withColumn("el2",
+        col("n_blocks") * (k * (k + 1) * (k + 1) / 2))
+      .withColumn("l_excess_x2", col("l2") - col("el2"))
+  }
+
+  /** Mood's scale test (1954) — do two samples differ in DISPERSION
+    * around a common center? Each observation scores the squared
+    * deviation of its rank from the mid-rank; kept integral by the
+    * doubled rendering: with doubled midranks R₂, the score is
+    * (R₂ − (N+1))² = 4·(R − (N+1)/2)², so `m_x12` = 3·Σ_A score and
+    * `em_x12` = n₁·(N² − 1) (12·E[M]) compare exactly —
+    * `m_excess_x12` positive means sample A is MORE spread. Rank
+    * machinery is the q_mannwhitney per-value shape: doubled midrank
+    * of a value = 2·(count below) + (count at) + 1, one value-level
+    * aggregate + one per-key cumulative window.
+    */
+  def moodScaleTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col(inACol), 1L).otherwise(0L)).as("__a"))
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__lt", coalesce(sum(col("__m")).over(wOrd), lit(0L)))
+      .withColumn("__n", sum(col("__m")).over(wAll))
+      .withColumn("__r2", lit(2L) * col("__lt") + col("__m") + 1L)
+      .withColumn("__score",
+        (col("__r2") - (col("__n") + 1)) * (col("__r2") - (col("__n") + 1)))
+      .groupBy(keys: _*)
+      .agg(sum(col("__a")).as("n1"),
+        sum(col("__m") - col("__a")).as("n2"),
+        sum(lit(3L) * col("__a") * col("__score")).as("m_x12"))
+      .withColumn("em_x12",
+        col("n1") * ((col("n1") + col("n2")) * (col("n1") + col("n2")) - 1))
+      .withColumn("m_excess_x12", col("m_x12") - col("em_x12"))
+  }
+
   /** Median absolute deviation per key — the robust scale estimate
     * (50% breakdown) next to [[summary]]'s quartiles: both the median
     * and the MAD are LOWER medians over integer values (rank

@@ -3737,6 +3737,41 @@ object LlmOps {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")
     }),
 
+    // Page's ordered-trend test (Stats.pageTrend): within each complete
+    // week does daily volume rise monotonically Mon→Sun per event
+    // type? Blocks = weeks, treatments = isodow 1..7, the doubled L
+    // statistic against its exact null expectation — the
+    // repeated-measures cousin of q_jonckheere.
+    "q_page_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("wk", date_trunc("week", col("day")).cast("date"))
+        .withColumn("j", (weekday(col("day")) + 1).cast("long"))
+      Stats.pageTrend(daily, Seq("event_type"), "wk", "j", "n", k = 7)
+        .orderBy("event_type")
+    }),
+
+    // Mood's scale test (Stats.moodScaleTest) per nation: do URGENT
+    // order totals SPREAD differently than LOW ones around the common
+    // center? Squared rank deviations in the exact ×12 doubled
+    // rendering — the dispersion companion to q_mannwhitney (location)
+    // and q_ks_test (whole distribution) on the same cohort frame.
+    "q_mood_scale" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.moodScaleTest(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
     // Hodges–Lehmann location estimate (TimeSeries.hodgesLehmann) per
     // event type: the median of all pairwise Walsh sums over the daily
     // series, doubled so no .5 materializes — the robust "typical
@@ -8355,6 +8390,70 @@ object LlmOps {
            CASE WHEN nm_den = 0 THEN 0
                 ELSE (1000 * nm_num) // nm_den END AS rvn_x1000
          FROM g ORDER BY event_type""",
+
+    // Complete weeks, doubled midranks, and the weighted L fold with
+    // its exact expectation replayed.
+    "q_page_trend" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         wd AS (
+           SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS wk,
+             CAST(isodow(day) AS BIGINT) AS j, n
+           FROM dl),
+         nb AS (SELECT event_type, wk, count(*) AS nbk FROM wd GROUP BY 1, 2),
+         cw AS (SELECT wd.* FROM wd JOIN nb USING (event_type, wk)
+                WHERE nbk = 7),
+         rk AS (
+           SELECT event_type, wk, j,
+             min(rn) OVER (PARTITION BY event_type, wk, n)
+               + max(rn) OVER (PARTITION BY event_type, wk, n) AS r2
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type, wk
+                   ORDER BY n) AS rn FROM cw))
+         SELECT event_type,
+           CAST(count(DISTINCT wk) AS BIGINT) AS n_blocks,
+           CAST(sum(j * r2) AS BIGINT) AS l2,
+           CAST(count(DISTINCT wk) AS BIGINT) * 224 AS el2,
+           CAST(sum(j * r2) AS BIGINT)
+             - CAST(count(DISTINCT wk) AS BIGINT) * 224 AS l_excess_x2
+         FROM rk GROUP BY 1 ORDER BY event_type""",
+
+    // The squared rank deviations in the ×12 rendering replayed over
+    // the merged cent spine.
+    "q_mood_scale" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, m, a,
+             CAST(coalesce(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lt,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         sc AS (
+           SELECT n_name, m, a, n,
+             (2 * lt + m + 1 - (n + 1)) * (2 * lt + m + 1 - (n + 1)) AS score
+           FROM cu)
+         SELECT n_name,
+           CAST(sum(a) AS BIGINT) AS n1,
+           CAST(sum(m - a) AS BIGINT) AS n2,
+           CAST(sum(3 * a * score) AS BIGINT) AS m_x12,
+           CAST(sum(a) AS BIGINT)
+             * (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT) - 1) AS em_x12,
+           CAST(sum(3 * a * score) AS BIGINT) - CAST(sum(a) AS BIGINT)
+             * (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT) - 1)
+             AS m_excess_x12
+         FROM sc GROUP BY 1 ORDER BY n_name""",
 
     // Every Walsh sum and the lower-median pick replayed.
     "q_hodges_lehmann" ->

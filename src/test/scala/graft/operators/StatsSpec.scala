@@ -204,6 +204,37 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("mad") === 1L)
   }
 
+  test("pageTrend: perfectly ordered blocks hit the maximum; incomplete drop") {
+    // 2 complete blocks, k=3, v rising with j: L₂/block = 2+8+18 = 28
+    // → L₂ = 56, E[L₂] = 2·24 = 48; a 2-row block drops
+    val rows = Seq(
+      ("b1", 1L, 10L), ("b1", 2L, 20L), ("b1", 3L, 30L),
+      ("b2", 1L, 1L), ("b2", 2L, 2L), ("b2", 3L, 3L),
+      ("b3", 1L, 5L), ("b3", 2L, 6L)).map { case (b, j, v) => ("g", b, j, v) }
+    val r = Stats.pageTrend(
+      spark.createDataFrame(rows).toDF("k", "blk", "j", "v"),
+      Seq("k"), "blk", "j", "v", k = 3).collect().head
+    assert(r.getAs[Long]("n_blocks") === 2L)
+    assert(r.getAs[Long]("l2") === 56L)
+    assert(r.getAs[Long]("el2") === 48L)
+    assert(r.getAs[Long]("l_excess_x2") === 8L)
+  }
+
+  test("moodScaleTest: the wider sample scores above expectation") {
+    // A = {1,5}, B = {3,3}, N = 4: doubled ranks (2, 5, 5, 8), scores
+    // vs N+1 = 5: 1→9, 3→0, 5→9 → M·12 = 3·18 = 54 (true M = 4.5),
+    // E·12 = n₁(N²−1) = 30
+    val df = spark.createDataFrame(Seq(
+      ("g", true, 1L), ("g", true, 5L), ("g", false, 3L), ("g", false, 3L)))
+      .toDF("k", "in_a", "v")
+    val r = Stats.moodScaleTest(df, Seq("k"), "in_a", "v").collect().head
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("m_x12") === 54L)
+    assert(r.getAs[Long]("em_x12") === 30L)
+    assert(r.getAs[Long]("m_excess_x12") === 24L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
