@@ -557,6 +557,48 @@ object Stats {
       .withColumn("m_excess_x12", col("m_x12") - col("em_x12"))
   }
 
+  /** Trimmed sum/mean per key — the robust aggregate between the mean
+    * (0 trim) and the median (500‰ trim): drop the lowest and highest
+    * `trimPm` per-mille of observations BY RANK and sum the rest,
+    * EXACTLY. Tie runs crossing a cut are split by integer interval
+    * intersection — a value run occupying ranks (cum−m, cum] keeps
+    * `min(cum, hi) − max(cum−m, lo)` of its copies (lo = ⌊n·trimPm/1000⌋
+    * ranks cut per side) — so the kept multiset is the textbook one
+    * whatever the tie structure, and both engines agree. One value-
+    * level aggregate + one per-key cumulative window (the
+    * q_mannwhitney shape); `trimmed_mean_floor` = sum div kept rides
+    * along.
+    */
+  def trimmedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String,
+      trimPm: Long = 100L): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500, s"trim per-mille out of range: $trimPm")
+    val keys = keyCols.map(col)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__n", sum(col("__m")).over(wAll))
+      .withColumn("__lo", expr(s"(__n * $trimPm) div 1000"))
+      .withColumn("__hi", col("__n") - col("__lo"))
+      .withColumn("__keep",
+        greatest(lit(0L),
+          least(col("__cum"), col("__hi"))
+            - greatest(col("__cum") - col("__m"), col("__lo"))))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n_obs"),
+        sum(col("__keep")).as("n_kept"),
+        sum(col("__v") * col("__keep")).as("trimmed_sum"))
+      .withColumn("trimmed_mean_floor",
+        when(col("n_kept") === 0, 0L)
+          .otherwise(expr("trimmed_sum div n_kept")))
+  }
+
   /** Median absolute deviation per key — the robust scale estimate
     * (50% breakdown) next to [[summary]]'s quartiles: both the median
     * and the MAD are LOWER medians over integer values (rank

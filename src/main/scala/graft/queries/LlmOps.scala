@@ -3797,6 +3797,23 @@ object LlmOps {
       Stats.jonckheere(o, "g", "v", k = 5)
     }),
 
+    // 10%-trimmed order totals (Stats.trimmedSum) per nation: the
+    // robust aggregate between mean and median, tie runs split exactly
+    // at the rank cuts — the outlier-resistant revenue number next to
+    // q_mad's scale and q_hodges_lehmann's location.
+    "q_trimmed_mean" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.trimmedSum(o, Seq("n_name"), "v", trimPm = 100L)
+        .orderBy("n_name")
+    }),
+
     // Median absolute deviation (Stats.madPerKey) per nation over
     // order cents: the 50%-breakdown robust scale estimate, both
     // medians LOWER medians so the integers match engine-for-engine.
@@ -8519,6 +8536,38 @@ object LlmOps {
              AS j_excess_x2,
            n_1, n_2, n_3, n_4, n_5
          FROM ag""",
+
+    // The rank cuts and exact tie-run interval splits replayed.
+    "q_trimmed_mean" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pv AS (SELECT n_name, v, CAST(count(*) AS BIGINT) AS m
+                FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, v, m,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         kp AS (
+           SELECT n_name, v, m, cum, n,
+             (n * 100) // 1000 AS lo, n - ((n * 100) // 1000) AS hi
+           FROM cu),
+         kk AS (
+           SELECT n_name, v, n,
+             greatest(0, least(cum, hi) - greatest(cum - m, lo)) AS keepn
+           FROM kp)
+         SELECT n_name, CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(sum(keepn) AS BIGINT) AS n_kept,
+           CAST(sum(v * keepn) AS BIGINT) AS trimmed_sum,
+           CASE WHEN sum(keepn) = 0 THEN 0
+                ELSE CAST(sum(v * keepn) AS BIGINT)
+                  // CAST(sum(keepn) AS BIGINT) END AS trimmed_mean_floor
+         FROM kk GROUP BY 1 ORDER BY n_name""",
 
     // Both lower medians replayed over the value and deviation spines.
     "q_mad" ->

@@ -235,6 +235,24 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("m_excess_x12") === 24L)
   }
 
+  test("trimmedSum: rank cuts drop one per side; tie runs split exactly") {
+    // {1,2,3,4,100}, trim 200‰: lo = 1, hi = 4 → keep {2,3,4} = 9
+    val df = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 4L, 100L).map(("g", _))).toDF("k", "v")
+    val r = Stats.trimmedSum(df, Seq("k"), "v", trimPm = 200L).collect().head
+    assert(r.getAs[Long]("n_obs") === 5L)
+    assert(r.getAs[Long]("n_kept") === 3L)
+    assert(r.getAs[Long]("trimmed_sum") === 9L)
+    assert(r.getAs[Long]("trimmed_mean_floor") === 3L)
+    // a tie run straddling the cut keeps only its in-window copies:
+    // {5,5,5,5,5,9}, trim 200‰ of 6 → lo = 1, hi = 5 → keep 4×5 = 20
+    val tied = spark.createDataFrame(
+      (Seq.fill(5)(5L) :+ 9L).map(("t", _))).toDF("k", "v")
+    val t = Stats.trimmedSum(tied, Seq("k"), "v", trimPm = 200L).collect().head
+    assert(t.getAs[Long]("n_kept") === 4L)
+    assert(t.getAs[Long]("trimmed_sum") === 20L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
