@@ -18,19 +18,42 @@ import org.apache.spark.sql.SparkSession
   * within-process cold, a genuine full build only on a fresh container
   * (the driver's case). Queries are idempotent by construction (Verify
   * and the oracle harness already run them repeatedly).
+  *
+  * Round 15: the SparkSession is RESTARTED every
+  * SPARK_GRAFT_RESTART_EVERY (default 64) queries — see the inline
+  * rationale — so per-query session pressure is bounded by a constant
+  * instead of growing with the inventory, and round-over-round warm
+  * timings of unchanged queries compare like with like.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session-pressure bound (round 15): one long-lived session accrues
+    // heap/GC, codegen-cache, and broadcast churn across 3 × |inventory|
+    // executions, and every inventory-growth round read as a broad
+    // ~1.15–1.25× warm "regression" on UNCHANGED queries (r10/r11/r14
+    // adjudications all re-timed at baseline in isolation). Bounding fix:
+    // restart the SparkSession every `restartEvery` queries, so the
+    // session age any query sees is ≤ restartEvery regardless of how big
+    // the inventory grows. Restarts happen OUTSIDE the per-query timing
+    // span; the two warm passes STAGGER their restart offsets by half a
+    // period, so a query sitting right after a boundary in one pass sits
+    // mid-period in the other and the min() estimator drops the
+    // boundary's session-warmup constant.
+    val restartEvery = sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "64").toInt
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     // A failing query must be LOUD: it is reported per-name AND per-pass
     // in the JSON, never silently timed as ~0 s (which would make a
@@ -39,22 +62,27 @@ object Bench {
     // a warm failure poisons the headline and must be visible as such.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    def runPass(pass: String, errors: scala.collection.mutable.Map[String, String])
-        : Seq[(String, Double)] = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] QUERY FAILED ($pass) $name: ${errors(name)}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    def runPass(pass: String, errors: scala.collection.mutable.Map[String, String],
+        restartOffset: Int): Seq[(String, Double)] = sorted.zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (restartEvery > 0 && i > 0 && (i + restartOffset) % restartEvery == 0) {
+          spark.stop()
+          spark = newSession()
+        }
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); () }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] QUERY FAILED ($pass) $name: ${errors(name)}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
     }
 
     val coldErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val warmErrors1 = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val warmErrors2 = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val cold = runPass("cold", coldErrors) // one-time costs + fixture builds
+    val cold = runPass("cold", coldErrors, 0) // one-time costs + fixture builds
     // Steady state = per-query MIN over two post-warmup passes (round 12):
     // a single warm pass reads same-JVM sweep pressure — GC and code-cache
     // churn from 300+ neighbors — as per-query cost, and r10/r11 both
@@ -67,8 +95,8 @@ object Bench {
     // and fails fast in the other takes the clean pass's time (and is
     // still reported in n_failed/errors — the headline validity rule is
     // unchanged).
-    val warm1 = runPass("warm", warmErrors1)
-    val warm2 = runPass("warm2", warmErrors2)
+    val warm1 = runPass("warm", warmErrors1, 0)
+    val warm2 = runPass("warm2", warmErrors2, restartEvery / 2)
     val w2map = warm2.toMap
     val warm = warm1.map { case (n, t1) =>
       val t2 = w2map.getOrElse(n, t1)

@@ -39,6 +39,32 @@ object Layout {
     sorted.format("parquet").saveAsTable(table)
   }
 
+  /** Register ALREADY-WRITTEN bucket files as an external bucketed
+    * table in the current (possibly fresh) session catalog — the cheap
+    * sibling of [[writeBucketed]] for when the files survive but the
+    * in-memory catalog didn't (a restarted SparkSession): plain DDL,
+    * zero data movement. The bucket spec must match what the files
+    * were written with or reads are silently mis-bucketed — callers
+    * pass the same (keys, numBuckets, sortCols) they wrote with.
+    */
+  def registerBucketed(
+      spark: SparkSession,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String],
+      path: String): Unit = {
+    val sortClause =
+      if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")})" else ""
+    spark.sql(
+      s"""CREATE TABLE $table (${schema.toDDL})
+         USING parquet
+         CLUSTERED BY (${keys.mkString(", ")}) $sortClause
+         INTO $numBuckets BUCKETS
+         LOCATION '$path'""")
+  }
+
   /** Salted inner join for a skewed left key: the left side gets a
     * DETERMINISTIC salt in [0, salts) derived from non-key columns (so
     * replicas of one hot key spread), the right side is replicated `salts`

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
@@ -24,8 +23,9 @@ import org.apache.spark.sql.functions._
   * serving is (a) a query-side distance table of |Q|·nSub·kCode longs
   * built against KB-sized codebooks, broadcast; (b) ONE narrow
   * projection over the codes (an `aggregate` of `nSub` array lookups —
-  * no join, no shuffle touching vectors); (c) a per-query top-k whose
-  * rank shuffle is WindowGroupLimit-bounded at k·partitions rows.
+  * no join, no shuffle touching vectors); (c) a per-query top-k via
+  * `bounded_top_k` — k candidates per map task, |partitions|·|Q|
+  * bounded shuffle buffers, the bound encoded in the operator itself.
   * Training cost is `nSub` independent [[KMeansInt]] runs on sliced
   * vectors.
   */
@@ -49,6 +49,15 @@ object ProductQuant {
       topK: Int): DataFrame = {
     require(nSub >= 1 && subDim >= 1 && kCode >= 1 && topK >= 1,
       s"nSub/subDim/kCode/topK must be >= 1, got $nSub/$subDim/$kCode/$topK")
+    // ids round-trip through bounded_top_k's long slot — the numeric-id
+    // contract (Similarity.requireIntegralId rationale): loud here, not
+    // silently-null neighbors downstream.
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(corpus.schema(idCol).dataType)
+    }, s"pqTopK: id column '$idCol' must be an integral type, got " +
+      corpus.schema(idCol).dataType)
     // train one integer-Lloyd codebook per subspace; the per-subspace
     // assignment IS the corpus encoding. The nSub trainings are
     // INDEPENDENT, so they submit as concurrent Spark jobs (the
@@ -104,9 +113,20 @@ object ProductQuant {
         expr(s"""aggregate(sequence(0, ${nSub - 1}), 0L, (acc, m) ->
              acc + element_at(dmap, m * ${kCode}L + element_at(codes, m + 1)))""")
           .as("adist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
-    adist.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= topK)
-      .select(col("qid"), col("id"), col("adist"))
+    // Per-query top-k as bounded_top_k (adist asc, id asc) — the bound
+    // lives in the operator (k candidates per map task, bounded shuffle
+    // buffers), not in the WindowGroupLimit rewrite firing on a
+    // row_number window. adist is a LONG but rides the aggregate's
+    // double score losslessly: it is a sum of nSub squared-int
+    // subspace distances, orders of magnitude under 2^53, so the
+    // double mapping is injective and the (adist, id) total order is
+    // preserved exactly; the output column casts back to LONG.
+    val idType = adist.schema("id").dataType
+    adist.groupBy(col("qid"))
+      .agg(graft.expressions.functions
+        .bounded_top_k(col("adist"), col("id"), topK, asc = true).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").cast(idType).as("id"),
+        col("e.score").cast("long").as("adist"))
   }
 }

@@ -36,7 +36,7 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int = 10): DataFrame = {
-    val idType = corpus.schema(idCol).dataType
+    val idType = requireIntegralId(corpus, idCol, "bruteForceTopK")
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -102,6 +102,10 @@ object Similarity {
   /** Per-query nProbe nearest centroids: (query_id, qv, cid). Shared by
     * [[ivfTopK]] and [[queryIndex]] so the probe ranking (cid-asc
     * tiebreak) can never drift between the ad-hoc and indexed paths.
+    * The rank is a `bounded_top_k` (qsim desc, cid asc) like every
+    * other ANN leg — the bound (nProbe) lives in the operator, not in
+    * a WindowGroupLimit rewrite firing; cids re-attach their query
+    * vector via a broadcast self-join on the (small) query frame.
     */
   private def probeCells(
       queries: DataFrame,
@@ -115,28 +119,54 @@ object Similarity {
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
         .toDF("cid", "cv"))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid").asc)
-    q.crossJoin(centroidDf)
+    val probed = q.crossJoin(centroidDf)
       .withColumn("qsim", gfn.cosine_sim(col("qv"), col("cv")))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nProbe)
+      .groupBy(col("query_id"))
+      .agg(gfn.bounded_top_k(col("qsim"), col("cid"), nProbe, asc = false).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").cast("int").as("cid"))
+    probed.join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("qv"), col("cid"))
   }
 
   /** Exact cosine + per-query top-k over (id, v, cid) rows joined to the
     * probe set — the shared tail of the ad-hoc and indexed IVF paths
     * (the rounding and tiebreak here ARE the output contract asserted
-    * equal between them in IvfIndexSpec).
+    * equal between them in IvfIndexSpec). The rank is a
+    * [[graft.expressions.BoundedTopKAgg]] (cosine desc, id asc), not a
+    * per-query window — same rationale as [[bruteForceTopK]]: k
+    * candidates per map task, |partitions|·|queries| bounded shuffle
+    * buffers, instead of the probed fraction of the corpus sorting in
+    * |queries| tasks.
     */
   private def cosineTopK(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id").asc)
+    val idType = requireIntegralId(cells, "id", "cosineTopK")
     cells.join(broadcast(probes), Seq("cid"))
       .withColumn("cosine", gfn.cosine_sim(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(gfn.bounded_top_k(col("cosine"), col("id"), k, asc = false).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").cast(idType).as("neighbor_id"),
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  /** `bounded_top_k` routes ids through a lossless cast to LONG — a
+    * string/decimal id would cast to NULL (dropped from results) or
+    * round-trip lossily, so the numeric-id contract is checked LOUDLY
+    * at operator entry rather than discovered as silently-missing
+    * neighbors. Returns the original type for the cast back.
+    */
+  private def requireIntegralId(
+      df: DataFrame,
+      idCol: String,
+      op: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op: id column '$idCol' must be an integral type (byte/short/int/long) " +
+        s"for the bounded-top-k long round-trip; got $t")
+    t
   }
 
   /** Deterministic centroid training on a bounded hash-stratified sample
@@ -390,7 +420,7 @@ object Similarity {
       vecCol: String,
       k: Int,
       prefilterK: Int): DataFrame = {
-    val idType = indexed.schema("id").dataType
+    val idType = requireIntegralId(indexed, "id", "signTopK")
     val qVec = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     // Thin leg: ids + signatures only — the vector column is pruned out.
     val ham = indexed.select(col("id"), col("lo"), col("hi"))

@@ -219,8 +219,11 @@ object Stats {
     * no IEEE division enters the max; `d_pm` = (1000·d_num) div (n₁·n₂)
     * is the per-mille rendering. One value-level aggregate, one
     * per-key cumulative window (the q_mannwhitney shape), one rollup.
-    * Loud past n₁,n₂ = 10⁹ where the cross-products would leave BIGINT
-    * (the passAtK discipline).
+    * Loud past n₁,n₂ = 10⁹ where the cumulative cross-products
+    * cumA·n₂ would leave BIGINT (the passAtK discipline); the final
+    * per-mille divide runs in DECIMAL(38,0) because d_num itself can
+    * equal n₁·n₂ (fully separated samples), so 1000·d_num leaves
+    * BIGINT far below the cross-product bound.
     */
   def ksTwoSample(
       df: DataFrame,
@@ -247,7 +250,13 @@ object Stats {
         when(col("n1") > maxN || col("n2") > maxN,
           raise_error(lit(s"ksTwoSample: sample size exceeds exact BIGINT bound $maxN")).cast("long"))
           .when(col("n1") === 0 || col("n2") === 0, 0L)
-          .otherwise(expr("(1000 * d_num) div (n1 * n2)")))
+          // d_num ≤ n1·n2, so 1000·d_num can exceed BIGINT once
+          // n1·n2 > Long.Max/1000 ≈ 9.2·10¹⁵ — well under the 10⁹
+          // cross-product guard above. DECIMAL(38,0) keeps the
+          // per-mille exact over the whole guarded envelope; the
+          // quotient is ≤ 1000 so the div's LONG result is safe.
+          .otherwise(expr(
+            "(1000 * CAST(d_num AS DECIMAL(38,0))) div (CAST(n1 AS DECIMAL(38,0)) * n2)")))
   }
 
   /** McNemar's test (1947) for PAIRED binary verdicts — do two
@@ -529,6 +538,14 @@ object Stats {
     * machinery is the q_mannwhitney per-value shape: doubled midrank
     * of a value = 2·(count below) + (count at) + 1, one value-level
     * aggregate + one per-key cumulative window.
+    *
+    * The score sums grow ~12·N³ (m_x12 ≤ 3·Σ score ≤ 12·N³,
+    * em_x12 = n₁·(N²−1)), which leaves BIGINT at N ≈ 9·10⁵ per key —
+    * so the products accumulate in DECIMAL(38,0) (exact to
+    * N ≈ 2·10¹²) and cast down LOUDLY: any emitted statistic that no
+    * longer fits BIGINT (or nulled out of even DECIMAL(38,0)) is a
+    * raise_error, never a silent wrap — the ksTwoSample/cramersV
+    * discipline.
     */
   def moodScaleTest(
       df: DataFrame,
@@ -546,16 +563,39 @@ object Stats {
       .withColumn("__lt", coalesce(sum(col("__m")).over(wOrd), lit(0L)))
       .withColumn("__n", sum(col("__m")).over(wAll))
       .withColumn("__r2", lit(2L) * col("__lt") + col("__m") + 1L)
+      // (R₂ − (N+1)) ≤ N, so the square stays in BIGINT to N ≈ 3·10⁹;
+      // it is the 3·a·score SUM (≤ 12·N³) that must widen — route it
+      // through DECIMAL(38,0) and cast down loudly below.
       .withColumn("__score",
         (col("__r2") - (col("__n") + 1)) * (col("__r2") - (col("__n") + 1)))
       .groupBy(keys: _*)
       .agg(sum(col("__a")).as("n1"),
         sum(col("__m") - col("__a")).as("n2"),
-        sum(lit(3L) * col("__a") * col("__score")).as("m_x12"))
-      .withColumn("em_x12",
-        col("n1") * ((col("n1") + col("n2")) * (col("n1") + col("n2")) - 1))
-      .withColumn("m_excess_x12", col("m_x12") - col("em_x12"))
+        sum(col("__a").cast(DecimalType(38, 0)) * col("__score") * 3)
+          .as("__m_x12_d"))
+      .withColumn("__em_x12_d",
+        col("n1").cast(DecimalType(38, 0)) *
+          ((col("n1") + col("n2")).cast(DecimalType(38, 0)) *
+            (col("n1") + col("n2")) - 1))
+      .withColumn("m_x12", loudLong(col("__m_x12_d"), "moodScaleTest", "m_x12"))
+      .withColumn("em_x12", loudLong(col("__em_x12_d"), "moodScaleTest", "em_x12"))
+      .withColumn("m_excess_x12",
+        loudLong(col("__m_x12_d") - col("__em_x12_d"), "moodScaleTest", "m_excess_x12"))
+      .drop("__m_x12_d", "__em_x12_d")
   }
+
+  /** LOUD cast-down from a DECIMAL(38,0) exact accumulator to the
+    * BIGINT output schema: a value past Long.MaxValue — or nulled by
+    * DECIMAL(38,0) overflow itself (non-ANSI Spark nulls, it never
+    * wraps decimals) — raises instead of corrupting. Shared by every
+    * operator whose internal sums outgrow BIGINT before its outputs
+    * plausibly do (moodScaleTest, trimmedSum).
+    */
+  private def loudLong(c: Column, op: String, what: String): Column =
+    when(c.isNull || abs(c) > lit(Long.MaxValue).cast(DecimalType(38, 0)),
+        raise_error(lit(s"$op: $what exceeds BIGINT — exact value needs a wider output type"))
+          .cast("long"))
+      .otherwise(c.cast("long"))
 
   /** Trimmed sum/mean per key — the robust aggregate between the mean
     * (0 trim) and the median (500‰ trim): drop the lowest and highest
@@ -568,6 +608,12 @@ object Stats {
     * level aggregate + one per-key cumulative window (the
     * q_mannwhitney shape); `trimmed_mean_floor` = sum div kept rides
     * along.
+    *
+    * Σ(v·keep) accumulates in DECIMAL(38,0) — exact to |Σ| < 10³⁸,
+    * i.e. unconditionally at any realistic key size — and casts down
+    * loudly to the BIGINT `trimmed_sum` output (the moodScaleTest
+    * discipline): cent-scale values × 10¹⁰-row keys sit only ~18×
+    * under Long.MaxValue, too close to leave unguarded.
     */
   def trimmedSum(
       df: DataFrame,
@@ -593,10 +639,14 @@ object Stats {
       .groupBy(keys: _*)
       .agg(max(col("__n")).as("n_obs"),
         sum(col("__keep")).as("n_kept"),
-        sum(col("__v") * col("__keep")).as("trimmed_sum"))
+        sum(col("__v").cast(DecimalType(38, 0)) * col("__keep")).as("__ts_d"))
+      .withColumn("trimmed_sum", loudLong(col("__ts_d"), "trimmedSum", "trimmed_sum"))
       .withColumn("trimmed_mean_floor",
         when(col("n_kept") === 0, 0L)
-          .otherwise(expr("trimmed_sum div n_kept")))
+          // div over the DECIMAL accumulator: the floor-mean is within
+          // the value range, so its LONG result never needs the guard.
+          .otherwise(expr("__ts_d div n_kept")))
+      .drop("__ts_d")
   }
 
   /** Median absolute deviation per key — the robust scale estimate

@@ -627,6 +627,16 @@ object TimeSeries {
     * the sum IS the doubled average, so no .5 materializes. Same
     * |days|²/key calendar-bounded pair shape as the rest of the
     * battery; i = j pairs included (the standard definition).
+    *
+    * The median over the |days|²/key Walsh sums is the VALUE-SPINE
+    * lower median (the `Stats.madPerKey` shape), not a row_number
+    * window: the pair table collapses map-side to one (key, sum,
+    * multiplicity) row per DISTINCT sum — integer daily values make
+    * distinct sums range-bounded (≤ 2·|value range|), orders of
+    * magnitude below pair count — and the only per-key sort is the
+    * cumulative window over that spine. The window shape it replaces
+    * sorted ~13M raw pair rows in ONE task for a decade-long
+    * single-key series.
     */
   def hodgesLehmann(
       daily: DataFrame,
@@ -639,16 +649,20 @@ object TimeSeries {
       .localCheckpoint(true)
     val a = pinned.select(keys :+ col("__o").as("__o_a") :+ col("__v").as("__v_a"): _*)
     val b = pinned.select(keys :+ col("__o").as("__o_b") :+ col("__v").as("__v_b"): _*)
-    val sums = a.join(b, keyCols)
+    val spine = a.join(b, keyCols)
       .filter(col("__o_a") <= col("__o_b"))
-      .select(keys :+ (col("__v_a") + col("__v_b")).as("__s"): _*)
-    val w = Window.partitionBy(keys: _*).orderBy(col("__s").asc)
-    val wc = Window.partitionBy(keys: _*)
-    sums
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("n_pairs", count(lit(1)).over(wc))
-      .filter(expr("__rn = (n_pairs + 1) div 2"))
-      .select(keys :+ col("n_pairs") :+ col("__s").as("hl_x2"): _*)
+      .groupBy(keys :+ (col("__v_a") + col("__v_b")).as("__s"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    spine
+      .withColumn("__cm", sum(col("__m")).over(wCum))
+      .withColumn("__np", sum(col("__m")).over(wAll))
+      .filter(col("__cm") >= expr("(__np + 1) div 2"))
+      .groupBy(keys: _*)
+      .agg(max(col("__np")).as("n_pairs"), min(col("__s")).as("hl_x2"))
+      .select(keys :+ col("n_pairs") :+ col("hl_x2"): _*)
   }
 
   /** Bartels rank von-Neumann ratio (1982), the rank-based serial-

@@ -3915,7 +3915,13 @@ object LlmOps {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
         .groupBy(col("v"), col("prio")).agg(count(lit(1)).as("m"))
         .localCheckpoint(true)
+      // The v-level spine pins TOO (r15): the three consumers below —
+      // runningTotals' boundary sample, the n rollup, and the median
+      // scan — each re-ran the groupBy shuffle off the (v, prio) pin,
+      // tripling the spine exchange; pinned, each is a narrow scan of
+      // a materialized bounded frame.
       val perV = perVP.groupBy(col("v")).agg(sum(col("m")).as("m"))
+        .localCheckpoint(true)
       val cum = graft.operators.PrefixSum.runningTotals(perV, "v", Seq("m"))
       val n = perV.agg(sum(col("m")).as("n"))
       val med = cum.crossJoin(broadcast(n))
@@ -3999,6 +4005,11 @@ object LlmOps {
         .select(col("doc_id"), col("source"),
           gfn.ascii_tokens(col("text")).as("tk"))
         .withColumn("n_tok", size(col("tk")).cast("long"))
+        // zero-token docs drop EXPLICITLY: without the filter Spark's
+        // non-ANSI div-by-zero nulls h_ttr (the doc vanishes from every
+        // 2×2 cell — counts stop summing to n_docs) while DuckDB's //
+        // raises, an engine divergence. Mirrored in the oracle CTE.
+        .filter(col("n_tok") > 0)
         .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
         .withColumn("h_len", col("n_tok").between(20, 90))
         .withColumn("h_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
@@ -4015,6 +4026,11 @@ object LlmOps {
         .select(col("doc_id"), col("source"),
           gfn.ascii_tokens(col("text")).as("tk"))
         .withColumn("n_tok", size(col("tk")).cast("long"))
+        // the inner join on mx (built from the exploded tokens) already
+        // drops zero-token docs in both engines, but the contract that
+        // every divisor is > 0 belongs in the frame, not in a join
+        // side-effect — filter explicitly, mirrored in the oracle.
+        .filter(col("n_tok") > 0)
         .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
       val mx = base
         .select(col("doc_id"), explode(col("tk")).as("tok"))
@@ -8859,7 +8875,7 @@ object LlmOps {
              len(t) BETWEEN 20 AND 90 AS a,
              (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
                // CAST(len(t) AS BIGINT) >= 400 AS b
-           FROM tk),
+           FROM tk WHERE len(t) > 0),
          g AS (
            SELECT source,
              CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
@@ -8884,7 +8900,7 @@ object LlmOps {
            SELECT doc_id, source,
              CAST(len(t) AS BIGINT) AS n_tok,
              CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
-           FROM tk),
+           FROM tk WHERE len(t) > 0),
          m AS (
            SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
              SELECT doc_id, tok, count(*) AS c FROM (

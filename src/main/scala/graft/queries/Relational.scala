@@ -175,16 +175,27 @@ object Relational {
         "_p" + ProcessHandle.current().pid()
       val ot = s"orders_bkt_$tag"
       val ct = s"customer_bkt_$tag"
-      if (!s.catalog.tableExists(ot))
-        graft.operators.Layout.writeBucketed(
-          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-          ot, Seq("o_custkey"), numBuckets = 8, sortCols = Seq("o_custkey"),
-          path = Some(s"/tmp/graft_fixtures/$ot"))
-      if (!s.catalog.tableExists(ct))
-        graft.operators.Layout.writeBucketed(
-          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-          ct, Seq("c_custkey"), numBuckets = 8, sortCols = Seq("c_custkey"),
-          path = Some(s"/tmp/graft_fixtures/$ct"))
+      // The catalog is per-SESSION but the files are per-PROCESS: after
+      // a session restart (Bench's pressure-bounding restarts) the
+      // fixture files are still valid, so re-REGISTER them with DDL
+      // (zero data movement) instead of re-writing — a rewrite right
+      // after a restart would bill seconds of fixture build to this
+      // query's warm timing.
+      def ensure(table: String, src: org.apache.spark.sql.DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(table)) {
+          val path = s"/tmp/graft_fixtures/$table"
+          if (new java.io.File(s"$path/_SUCCESS").exists())
+            graft.operators.Layout.registerBucketed(
+              s, table, src.schema, Seq(key), numBuckets = 8, Seq(key), path)
+          else
+            graft.operators.Layout.writeBucketed(
+              src, table, Seq(key), numBuckets = 8, sortCols = Seq(key),
+              path = Some(path))
+        }
+      ensure(ot, Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey")
+      ensure(ct, Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        "c_custkey")
       val o = s.table(ot)
       val c = s.table(ct)
       o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))

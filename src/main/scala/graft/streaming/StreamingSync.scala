@@ -655,13 +655,28 @@ object StreamingSync {
     * final row per (key, day)) arriving per-key day-monotonic across
     * batches — the ewmaStream value-stream contract; within a batch
     * the fold sorts by day so intra-batch order is canonical.
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout state eviction (the
+    * [[cChartStream]] pattern): a key silent for `ttlMs` drops its
+    * two-long max/min state, emitting nothing. Live keys' flags come
+    * from their own state only, so eviction cannot change them; a
+    * returning key self-starts — its first day back is a record on
+    * both sides, exactly the convention that governed its first life.
     */
-  def recordStream(days: Dataset[TypeDayCount]): Dataset[RecordRow] = {
+  def recordStream(
+      days: Dataset[TypeDayCount],
+      ttlMs: Long = 0L): Dataset[RecordRow] = {
     import days.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     days
       .groupByKey(_.typ)
       .flatMapGroupsWithState[RecState, RecordRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (typ, rows, gs: GroupState[RecState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (typ, rows, gs: GroupState[RecState]) =>
           var st = gs.getOption.getOrElse(RecState(0L, 0L, any = false))
           val out = rows.toSeq.sortBy(_.day).map { r =>
@@ -674,6 +689,7 @@ object StreamingSync {
             RecordRow(typ, r.day, r.n, hi, lo)
           }
           gs.update(st)
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
           out.iterator
       }
   }
@@ -694,13 +710,31 @@ object StreamingSync {
     * oracle mirrors by dropping each user's last island. Same
     * (start_us, event_id) order and per-key-monotonic batch contract as
     * [[ewmaStream]].
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout state eviction (the
+    * [[cChartStream]] key-churn-hygiene pattern): a user silent for
+    * `ttlMs` has their OPEN island dropped WITHOUT emitting — the
+    * same "last open island is never emitted" contract the batch
+    * oracle already mirrors, just applied at eviction time instead of
+    * end-of-data. Live keys' output is unchanged (their islands close
+    * from their own state only); a returning user self-starts with
+    * island numbering back at 1, which consumers keying on
+    * (user, island_start_us) absorb unchanged.
     */
-  def intervalMergeStream(events: Dataset[IntervalEvent]): Dataset[IslandRow] = {
+  def intervalMergeStream(
+      events: Dataset[IntervalEvent],
+      ttlMs: Long = 0L): Dataset[IslandRow] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[IslandState, IslandRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (user, evs, gs: GroupState[IslandState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (user, evs, gs: GroupState[IslandState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.start_us, e.event_id))
           var st = gs.getOption
@@ -716,6 +750,7 @@ object StreamingSync {
             }
           }
           st.foreach(gs.update)
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
           out.iterator
       }
   }

@@ -253,6 +253,45 @@ class StatsSpec extends SparkSpec {
     assert(t.getAs[Long]("trimmed_sum") === 20L)
   }
 
+  test("moodScaleTest: all-in-A distinct values satisfy the exact identity m = E[M]") {
+    // With every observation in sample A and DISTINCT values,
+    // Σ(R₂−(N+1))² = N(N²−1)/3 exactly, so m_x12 = N(N²−1) = em_x12 and
+    // the excess is 0 — an order-free identity that exercises the
+    // DECIMAL(38,0) product/sum path (m_x12 ≈ N³) end to end. N = 3000
+    // puts m_x12 at 2.7·10¹⁰, far past what a float detour would
+    // render exactly.
+    val n = 3000L
+    val vals = new scala.util.Random(7).shuffle((1L to n).toVector)
+    val df = spark.createDataFrame(vals.map(v => ("g", true, v * 31 - 4)))
+      .toDF("k", "in_a", "v")
+    val r = Stats.moodScaleTest(df, Seq("k"), "in_a", "v").collect().head
+    assert(r.getAs[Long]("n1") === n)
+    assert(r.getAs[Long]("m_x12") === n * (n * n - 1))
+    assert(r.getAs[Long]("m_excess_x12") === 0L)
+  }
+
+  test("trimmedSum: a kept sum past Long.Max raises loudly, never wraps") {
+    // 10 copies of 4·10¹⁸ (each fits BIGINT), trim 100‰ → lo = 1,
+    // keep 8 → Σ = 3.2·10¹⁹ > Long.Max. The DECIMAL(38,0) accumulator
+    // holds it exactly and the cast-down guard (loudLong — shared with
+    // moodScaleTest, so this IS the boundary test for both) raises
+    // instead of the old silent BIGINT wrap.
+    val big = spark.createDataFrame(
+      Seq.fill(10)(4000000000000000000L).map(("g", _))).toDF("k", "v")
+    val e = intercept[Exception] {
+      Stats.trimmedSum(big, Seq("k"), "v", trimPm = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds BIGINT")), s"got: $e")
+    // just UNDER the edge: 8 × 10¹⁸ kept of 10 × 10¹⁸ = 8·10¹⁸ < Long.Max
+    val under = spark.createDataFrame(
+      Seq.fill(10)(1000000000000000000L).map(("g", _))).toDF("k", "v")
+    val u = Stats.trimmedSum(under, Seq("k"), "v", trimPm = 100L).collect().head
+    assert(u.getAs[Long]("trimmed_sum") === 8000000000000000000L)
+    assert(u.getAs[Long]("trimmed_mean_floor") === 1000000000000000000L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))

@@ -124,9 +124,16 @@ class CChartStreamSpec extends SparkSpec {
     try {
       ms.addData((1L to 3L).map(d => SS.TypeDayEvent("dead", d)))
       pollUntil("first-life snapshot")(deadRows.length == 3)
-      // silence past the TTL: the paced batches fire the timeout and
-      // drop the key's calendar state in the background
-      Thread.sleep(1600L)
+      // wait for OBSERVED eviction, not a fixed sleep (which raced the
+      // timeout batch on loaded machines): the paced empty batches keep
+      // publishing state-operator metrics, and the timeout batch that
+      // drops the key's calendar reports numRowsTotal == 0 — only then
+      // does the returning event go in, so seq MUST restart at 1.
+      pollUntil("state-store eviction of the silent key") {
+        val p = q.lastProgress
+        p != null && p.stateOperators.nonEmpty &&
+          p.stateOperators(0).numRowsTotal == 0L
+      }
       ms.addData(Seq(SS.TypeDayEvent("dead", 9L)))
       pollUntil("returning-key snapshot")(deadRows.exists(_.day_idx == 9L))
     } finally q.stop()

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.{StreamingSync => SS}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** TTL-eviction invariants for the remaining unbounded-key FMGWS
+  * streams (intervalMergeStream, recordStream), the cChartStream
+  * pattern: (1) arming a TTL far above the test's wall-clock leaves
+  * live-key output bit-identical to the NoTimeout run; (2) a key
+  * silent past the TTL is evicted — observed via the state-store
+  * numRowsTotal metric, never a fixed sleep — and self-starts afresh
+  * on return.
+  */
+class StreamTtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A query with ProcessingTimeTimeout armed never quiesces for
+  // processAllAvailable (a lapsed timeout can fire at any instant), so
+  // TTL runs pace the trigger and POLL the sink / state metrics — the
+  // CChartStreamSpec discipline.
+  private val paced = Trigger.ProcessingTime(200L)
+
+  private def pollUntil(what: String, timeoutMs: Long = 60000L)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!cond) {
+      if (System.nanoTime() > deadline) fail(s"timed out waiting for: $what")
+      Thread.sleep(100L)
+    }
+  }
+
+  private def awaitEviction(q: StreamingQuery): Unit =
+    pollUntil("state-store eviction of the silent key") {
+      val p = q.lastProgress
+      p != null && p.stateOperators.nonEmpty &&
+        p.stateOperators(0).numRowsTotal == 0L
+    }
+
+  // ---- intervalMergeStream ----
+
+  private def islandEvents(user: Long, base: Long): Seq[SS.IntervalEvent] = Seq(
+    SS.IntervalEvent(user, base, base * 1000, base * 1000 + 50),      // island 1
+    SS.IntervalEvent(user, base + 1, base * 1000 + 200, base * 1000 + 260), // closes 1, opens 2
+    SS.IntervalEvent(user, base + 2, base * 1000 + 500, base * 1000 + 560)) // closes 2, opens 3
+
+  test("islands: huge TTL leaves live-key closed set identical to NoTimeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = islandEvents(1L, 10L) ++ islandEvents(2L, 40L)
+    val msRef = MemoryStream[SS.IntervalEvent]
+    val refSink = s"isl_ref_${System.nanoTime()}"
+    val qRef = SS.intervalMergeStream(msRef.toDS()).writeStream
+      .format("memory").queryName(refSink).start()
+    try { msRef.addData(evs); qRef.processAllAvailable() } finally qRef.stop()
+    val want = spark.table(refSink).as[SS.IslandRow].collect().toSet
+    assert(want.size == 4, s"two closed islands per user expected: $want")
+
+    val ms = MemoryStream[SS.IntervalEvent]
+    val sink = s"isl_ttl_${System.nanoTime()}"
+    val q = SS.intervalMergeStream(ms.toDS(), ttlMs = 600000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    try {
+      ms.addData(evs)
+      pollUntil("closed islands under TTL") {
+        spark.table(sink).count() == want.size
+      }
+    } finally q.stop()
+    assert(spark.table(sink).as[SS.IslandRow].collect().toSet == want)
+  }
+
+  test("islands: TTL evicts a silent user; on return numbering self-starts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.IntervalEvent]
+    val sink = s"isl_ret_${System.nanoTime()}"
+    val q = SS.intervalMergeStream(ms.toDS(), ttlMs = 1000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    def rows = spark.table(sink).as[SS.IslandRow].collect().toSeq
+    try {
+      ms.addData(islandEvents(7L, 10L)) // closes islands 1 and 2; 3 stays open
+      pollUntil("first-life closed islands")(rows.count(_.user_id == 7L) == 2)
+      awaitEviction(q)
+      // the open island 3 was DROPPED, not emitted (the batch oracle's
+      // "last island never emitted" contract applied at eviction time);
+      // the returning pair must close a fresh island numbered 1 again.
+      ms.addData(Seq(
+        SS.IntervalEvent(7L, 100L, 900000L, 900050L),
+        SS.IntervalEvent(7L, 101L, 901000L, 901050L))) // closes the fresh island
+      pollUntil("returning-user closed island")(rows.exists(_.island_start_us == 900000L))
+    } finally q.stop()
+    val fresh = rows.filter(_.island_start_us == 900000L)
+    assert(fresh.forall(_.island == 1L), s"returning user must renumber from 1: $fresh")
+    assert(!rows.exists(_.island == 3L), s"evicted open island must not surface: $rows")
+  }
+
+  // ---- recordStream ----
+
+  test("records: huge TTL leaves live-key flags identical to NoTimeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val days = Seq(SS.TypeDayCount("t", 1L, 5L), SS.TypeDayCount("t", 2L, 3L),
+      SS.TypeDayCount("t", 3L, 4L), SS.TypeDayCount("t", 4L, 9L))
+    val msRef = MemoryStream[SS.TypeDayCount]
+    val refSink = s"rec_ref_${System.nanoTime()}"
+    val qRef = SS.recordStream(msRef.toDS()).writeStream
+      .format("memory").queryName(refSink).start()
+    try { msRef.addData(days); qRef.processAllAvailable() } finally qRef.stop()
+    val want = spark.table(refSink).as[SS.RecordRow].collect().toSet
+
+    val ms = MemoryStream[SS.TypeDayCount]
+    val sink = s"rec_ttl_${System.nanoTime()}"
+    val q = SS.recordStream(ms.toDS(), ttlMs = 600000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    try {
+      ms.addData(days)
+      pollUntil("record rows under TTL")(spark.table(sink).count() == want.size)
+    } finally q.stop()
+    assert(spark.table(sink).as[SS.RecordRow].collect().toSet == want)
+  }
+
+  test("records: TTL evicts a silent key; first day back is a double record") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.TypeDayCount]
+    val sink = s"rec_ret_${System.nanoTime()}"
+    val q = SS.recordStream(ms.toDS(), ttlMs = 1000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    def rows = spark.table(sink).as[SS.RecordRow].collect().toSeq
+    try {
+      // first life: max 9, min 3 — a later n=4 would be NO record if
+      // state survived
+      ms.addData(Seq(SS.TypeDayCount("k", 1L, 9L), SS.TypeDayCount("k", 2L, 3L)))
+      pollUntil("first-life record rows")(rows.count(_.typ == "k") == 2)
+      awaitEviction(q)
+      ms.addData(Seq(SS.TypeDayCount("k", 9L, 4L)))
+      pollUntil("returning-key row")(rows.exists(_.day_idx == 9L))
+    } finally q.stop()
+    val back = rows.filter(_.day_idx == 9L)
+    assert(back.forall(r => r.rec_high && r.rec_low),
+      s"returning key must self-start (double record): $back")
+  }
+}
