@@ -649,6 +649,119 @@ object Stats {
       .drop("__ts_d")
   }
 
+  /** Winsorized sum/mean per key — [[trimmedSum]]'s CLAMPING sibling
+    * (the same ⌊n·trimPm/1000⌋ ranks per side, but their values are
+    * REPLACED by the cut-rank values instead of dropped, so n is
+    * preserved): sum = Σ_interior v·keep + lo·v[lo+1] + (n−hi)·v[hi],
+    * with v[r] the value at rank r (min v with cum ≥ r — the
+    * lowerMedian idiom). ONE pinned value spine feeds the interior
+    * pass AND both boundary-value picks (conditional mins in one
+    * aggregate — no extra legs); the accumulator rides DECIMAL(38,0)
+    * with the loud cast-down, same as the trimmed sibling.
+    */
+  def winsorizedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String,
+      trimPm: Long = 100L): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500, s"trim per-mille out of range: $trimPm")
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__n", sum(col("__m")).over(wAll))
+      .withColumn("__lo", expr(s"(__n * $trimPm) div 1000"))
+      .withColumn("__hi", col("__n") - col("__lo"))
+      .withColumn("__keep",
+        greatest(lit(0L),
+          least(col("__cum"), col("__hi"))
+            - greatest(col("__cum") - col("__m"), col("__lo"))))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n_obs"), max(col("__lo")).as("n_clamped_side"),
+        sum(col("__v").cast(dec) * col("__keep")).as("__interior"),
+        // value at rank lo+1 / rank hi: first value whose cumulative
+        // count reaches the rank — conditional mins over the same pass
+        min(when(col("__cum") >= col("__lo") + 1, col("__v"))).as("__v_lo1"),
+        min(when(col("__cum") >= col("__hi"), col("__v"))).as("__v_hi"))
+      .withColumn("__ws",
+        col("__interior")
+          + col("n_clamped_side").cast(dec) * col("__v_lo1")
+          + col("n_clamped_side").cast(dec) * col("__v_hi"))
+      .withColumn("winsorized_sum", loudLong(col("__ws"), "winsorizedSum", "winsorized_sum"))
+      .withColumn("winsorized_mean_floor",
+        when(col("n_obs") === 0, 0L)
+          .otherwise(expr("__ws div n_obs")))
+      .select(keys ++ Seq(col("n_obs"), col("n_clamped_side"),
+        col("winsorized_sum"), col("winsorized_mean_floor")): _*)
+  }
+
+  /** Tukey-fence outlier census per key (the boxplot rule, 1977):
+    * count observations beyond Q1 − 1.5·IQR / Q3 + 1.5·IQR with the
+    * quartiles as EXACT type-7 order statistics over integer values.
+    * Everything stays integral by clearing denominators: positions
+    * (n−1)/4 and 3(n−1)/4 split into rank + quarter-fraction, the
+    * interpolated quartiles are emitted ×4
+    * (q_x4 = (4−f)·v[r] + f·v[r+1]), and the fences ×8
+    * (lo8 = 5·q1_x4 − 3·q3_x4, hi8 = 5·q3_x4 − 3·q1_x4), so the
+    * census compares 8·v against them exactly — no .25 ever
+    * materializes (the Wilcoxon doubled-rank discipline, doubled
+    * twice). ONE pinned value spine: the rank picks are conditional
+    * mins on the cumulative pass, the census re-reads the spine's
+    * multiplicities — raw rows are touched once.
+    */
+  def tukeyOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val quart = perV
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__n", sum(col("__m")).over(wAll))
+      // type-7: position p·(n−1) in QUARTER units; rank = 1 + pos div 4,
+      // frac = pos mod 4 quarters
+      .withColumn("__r1", lit(1L) + expr("(__n - 1) div 4"))
+      .withColumn("__f1", expr("(__n - 1) % 4"))
+      .withColumn("__r3", lit(1L) + expr("(3 * (__n - 1)) div 4"))
+      .withColumn("__f3", expr("(3 * (__n - 1)) % 4"))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n_obs"),
+        max(col("__f1")).as("__f1"), max(col("__f3")).as("__f3"),
+        min(when(col("__cum") >= col("__r1"), col("__v"))).as("__q1lo"),
+        min(when(col("__cum") >= col("__r1") + 1, col("__v"))).as("__q1hi"),
+        min(when(col("__cum") >= col("__r3"), col("__v"))).as("__q3lo"),
+        min(when(col("__cum") >= col("__r3") + 1, col("__v"))).as("__q3hi"))
+      // rank r+1 can exceed n (f is then 0): coalesce to the lower pick
+      .withColumn("q1_x4",
+        (lit(4L) - col("__f1")) * col("__q1lo")
+          + col("__f1") * coalesce(col("__q1hi"), col("__q1lo")))
+      .withColumn("q3_x4",
+        (lit(4L) - col("__f3")) * col("__q3lo")
+          + col("__f3") * coalesce(col("__q3hi"), col("__q3lo")))
+      .withColumn("lo_x8", lit(5L) * col("q1_x4") - lit(3L) * col("q3_x4"))
+      .withColumn("hi_x8", lit(5L) * col("q3_x4") - lit(3L) * col("q1_x4"))
+      .select(keys ++ Seq(col("n_obs"), col("q1_x4"), col("q3_x4"),
+        col("lo_x8"), col("hi_x8")): _*)
+    perV.join(quart, keyCols)
+      .groupBy(keys: _*)
+      .agg(max(col("n_obs")).as("n_obs"),
+        max(col("q1_x4")).as("q1_x4"), max(col("q3_x4")).as("q3_x4"),
+        sum(when(col("__v") * 8 < col("lo_x8"), col("__m")).otherwise(0L))
+          .as("n_low"),
+        sum(when(col("__v") * 8 > col("hi_x8"), col("__m")).otherwise(0L))
+          .as("n_high"))
+  }
+
   /** Median absolute deviation per key — the robust scale estimate
     * (50% breakdown) next to [[summary]]'s quartiles: both the median
     * and the MAD are LOWER medians over integer values (rank
@@ -694,6 +807,265 @@ object Stats {
     med.join(mad, keyCols)
       .select(keys ++ Seq(col("__n_median").as("n_obs"), col("median"),
         col("mad")): _*)
+  }
+
+  /** Kruskal–Wallis H (1952) — the k-sample generalization of the
+    * Mann–Whitney location test: do k groups share one distribution?
+    * Rank machinery is the q_mannwhitney per-value shape lifted to a
+    * per-(value, group) spine: doubled midranks via ONE per-key RANGE
+    * window (strictly-below + at-value sums — no join back to a
+    * value-level frame), then per-group doubled rank sums S₂ⱼ.
+    * With devⱼ = S₂ⱼ − nⱼ(N+1), H = 3·Σ devⱼ²/(nⱼ·N(N+1)) exactly;
+    * the emitted `h_x1000` is the FLOOR-COMPOSED rendering (the
+    * gunningFog convention) both engines replay identically:
+    * (3000 · Σ (devⱼ² div nⱼ)) div (N(N+1)), ties by midrank, no tie
+    * correction (documented; ties are few in cent-valued data).
+    * devⱼ² grows ~N⁴, so the squares ride DECIMAL(38,0) with the
+    * %-trick floor division (exact while quotients stay under 10³²,
+    * i.e. N ≲ 10⁸ per key) and [[loudLong]] casts the statistic down.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      keyCols: Seq[String],
+      gCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val perVG = df.groupBy(keys :+ col(vCol).as("__v") :+ col(gCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wLt = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wAt = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val wKey = Window.partitionBy(keys: _*)
+    val perG = perVG
+      .withColumn("__lt", coalesce(sum(col("__m")).over(wLt), lit(0L)))
+      .withColumn("__at", sum(col("__m")).over(wAt))
+      .withColumn("__r2", lit(2L) * col("__lt") + col("__at") + 1L)
+      .groupBy(keys :+ col("__g"): _*)
+      .agg(sum(col("__m")).as("__ng"), sum(col("__m") * col("__r2")).as("__s2"))
+    val dec = DecimalType(38, 0)
+    perG
+      .withColumn("__n", sum(col("__ng")).over(wKey))
+      .withColumn("__dev",
+        (col("__s2") - col("__ng") * (col("__n") + 1)).cast(dec))
+      // exact floor division kept IN decimal (IntegralDivide's LONG
+      // result would overflow first): dev² − (dev² mod nⱼ) is an exact
+      // multiple of nⱼ, so the divide is representable
+      .withColumn("__q",
+        ((col("__dev") * col("__dev")
+          - col("__dev") * col("__dev") % col("__ng").cast(dec))
+          / col("__ng").cast(dec)).cast(dec))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("k_groups"), max(col("__n")).as("n_obs"),
+        sum(col("__q")).as("__a"))
+      .withColumn("h_x1000",
+        when(col("k_groups") < 2 || col("n_obs") < 2, 0L).otherwise(
+          loudLong(
+            ((col("__a") * 3000 - col("__a") * 3000
+              % (col("n_obs").cast(dec) * (col("n_obs") + 1)))
+              / (col("n_obs").cast(dec) * (col("n_obs") + 1))).cast(dec),
+            "kruskalWallis", "h_x1000")))
+      .drop("__a")
+  }
+
+  /** Cliff's delta (1993) — the distribution-free effect size the
+    * Mann–Whitney U only implies: δ = (#pairs a>b − #pairs a<b)/(n₁n₂)
+    * ∈ [−1, 1]. Exactly the q_mannwhitney spine: per-value counts +
+    * one per-key cumulative window give, for each value, how many B
+    * observations sit strictly below/above, and the pair counts fold
+    * in one aggregate — never a pair join. `delta_pm` divides in
+    * DECIMAL(38,0) (1000·p_gt leaves BIGINT once n₁n₂ > 9.2·10¹⁵ —
+    * the ksTwoSample lesson); truncation toward zero matches DuckDB //
+    * on the signed numerator (the q_kappa discipline).
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wLt = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__blt", coalesce(sum(col("__b")).over(wLt), lit(0L)))
+      .withColumn("__nb", sum(col("__b")).over(wKey))
+      .groupBy(keys: _*)
+      .agg(sum(col("__a")).as("n1"), max(col("__nb")).as("n2"),
+        sum(col("__a") * col("__blt")).as("p_gt"),
+        // B strictly above v = total B − strictly below − at v
+        sum(col("__a") * (col("__nb") - col("__blt") - col("__b"))).as("p_lt"))
+      .withColumn("delta_pm",
+        when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
+          expr("""(1000 * (CAST(p_gt AS DECIMAL(38,0)) - p_lt))
+                  div (CAST(n1 AS DECIMAL(38,0)) * n2)""")))
+  }
+
+  /** Fleiss' kappa (1971) for k BINARY raters — chance-corrected
+    * agreement when [[cochranQ]] asks only whether pass RATES differ:
+    * here the question is whether raters AGREE per subject beyond
+    * chance. With rᵢ = raters passing subject i, S = Σrᵢ and
+    * A = Σ(rᵢ² + (k−rᵢ)²) − nk, κ = (A·(nk)² − D·(S² + (nk−S)²)) /
+    * (D·((nk)² − S² − (nk−S)²)) with D = nk(k−1) — every factor an
+    * integer, emitted as the signed `kappa_x1000` (truncation toward
+    * zero, portable per the q_kappa law). Cross-products reach ~k⁴n³,
+    * so they ride DECIMAL(38,0) (exact to n ≈ 10¹⁰ at k = 3) and the
+    * per-mille casts down loudly. ONE aggregate over the subject
+    * frame; degenerate keys (all-pass/all-fail ⇒ denominator 0) emit
+    * 0 in both engines.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      keyCols: Seq[String],
+      verdictCols: Seq[String]): DataFrame = {
+    require(verdictCols.size >= 2, s"need >= 2 raters: $verdictCols")
+    val keys = keyCols.map(col)
+    val k = verdictCols.size
+    val r = verdictCols.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)
+    val dec = DecimalType(38, 0)
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(r).as("s_pass"),
+        sum(r * r + (lit(k.toLong) - r) * (lit(k.toLong) - r)).as("__sq"))
+      .withColumn("k_raters", lit(k.toLong))
+      .withColumn("__nk", (col("n_subjects") * k).cast(dec))
+      .withColumn("__d", (col("n_subjects") * (k.toLong * (k - 1))).cast(dec))
+      .withColumn("__a", (col("__sq") - col("n_subjects") * k).cast(dec))
+      .withColumn("__pe_num",
+        col("s_pass").cast(dec) * col("s_pass")
+          + (col("__nk") - col("s_pass")) * (col("__nk") - col("s_pass")))
+      .withColumn("__den", col("__d") * (col("__nk") * col("__nk") - col("__pe_num")))
+      .withColumn("kappa_x1000",
+        when(col("__den") === 0, 0L).otherwise(loudLong(
+          ((col("__a") * col("__nk") * col("__nk")
+            - col("__d") * col("__pe_num")) * 1000
+            - (col("__a") * col("__nk") * col("__nk")
+              - col("__d") * col("__pe_num")) * 1000 % col("__den"))
+            / col("__den"),
+          "fleissKappa", "kappa_x1000")))
+      .select(keys ++ Seq(col("n_subjects"), col("k_raters"), col("s_pass"),
+        col("kappa_x1000")): _*)
+  }
+
+  /** Cochran–Armitage trend test (1954/1955) — is a binary outcome's
+    * rate MONOTONE across ordered groups (dose levels, priority
+    * classes)? With group score wᵢ, nᵢ subjects, sᵢ successes,
+    * N = Σnᵢ, S = Σsᵢ: T = Σwᵢ(sᵢN − nᵢS) (signed exact — positive
+    * means the rate RISES with the score) and z² = T²N /
+    * (S(N−S)(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²)), emitted as `z2_x1000` with the
+    * cross-products in DECIMAL(38,0) (they grow ~N⁵; exact to
+    * N ≈ 10⁶·k) and loud cast-down. ONE (key, score) aggregate + one
+    * bounded per-key rollup; degenerate keys (S = 0, S = N, or a
+    * single score level) emit 0.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      successCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perW = df.groupBy(keys :+ col(scoreCol).as("__w"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("__s"))
+    perW.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_levels"),
+        sum(col("__n")).as("n_obs"), sum(col("__s")).as("n_pass"),
+        sum(col("__w") * col("__n")).as("__wn"),
+        sum(col("__w") * col("__w") * col("__n")).as("__wwn"),
+        sum(col("__w").cast(dec) * col("__s")).as("__ws"),
+        sum(col("__w").cast(dec) * col("__n")).as("__wn_d"))
+      // T = Σw·s·N − Σw·n·S, assembled from the folded sums
+      .withColumn("__t",
+        col("__ws") * col("n_obs") - col("__wn_d") * col("n_pass"))
+      .withColumn("t_num", loudLong(col("__t"), "cochranArmitage", "t_num"))
+      .withColumn("__var",
+        col("n_pass").cast(dec) * (col("n_obs") - col("n_pass"))
+          * (col("__wwn").cast(dec) * col("n_obs")
+            - col("__wn").cast(dec) * col("__wn")))
+      .withColumn("z2_x1000",
+        when(col("n_levels") < 2 || col("__var") === 0, 0L).otherwise(
+          loudLong(
+            (col("__t") * col("__t") * col("n_obs") * 1000
+              - col("__t") * col("__t") * col("n_obs") * 1000 % col("__var"))
+              / col("__var"),
+            "cochranArmitage", "z2_x1000")))
+      .select(keys ++ Seq(col("n_levels"), col("n_obs"), col("n_pass"),
+        col("t_num"), col("z2_x1000")): _*)
+  }
+
+  /** Ordinal-association battery over a PRE-COUNTED contingency frame
+    * `(keyCols..., __r, __c, __o)` with BOTH margins ordinal (integer
+    * codes): concordant/discordant pair counts C and D plus the
+    * same-row/same-column tie counts, folded into
+    *   - Goodman–Kruskal `gamma_pm`  = 1000(C−D) div (C+D),
+    *   - Somers' `somers_d_rc_pm`    = 1000(C−D) div (C+D+T_c)
+    *     (ties on the COLUMN variable only — the direction predicting
+    *     c from r) and `somers_d_cr_pm` symmetric,
+    *   - Stuart–Kendall `tau_c_pm`   = 1000·2m(C−D) div (N²(m−1)),
+    *     m = min(#rows, #cols).
+    * (τ_b needs a √ and is deliberately absent — the BM25 law: never
+    * emit a transcendental.) Pair counts come from a self-join of the
+    * CELL table — r·c rows per key, bounded by the category space,
+    * never the data — and every divide runs in DECIMAL(38,0) with
+    * signed truncation toward zero (portable vs DuckDB //).
+    */
+  def ordinalAssocFromCounts(
+      cells: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val a = cells.select(keys :+ col("__r").as("__ra") :+ col("__c").as("__ca")
+      :+ col("__o").as("__oa"): _*)
+    val b = cells.select(keys :+ col("__r").as("__rb") :+ col("__c").as("__cb")
+      :+ col("__o").as("__ob"): _*)
+    val pairs =
+      (if (keyCols.isEmpty) a.crossJoin(b) else a.join(b, keyCols))
+        .withColumn("__prod", col("__oa").cast(dec) * col("__ob"))
+    val folded = pairs.groupBy(keys: _*)
+      .agg(
+        sum(when(col("__ra") < col("__rb") && col("__ca") < col("__cb"),
+          col("__prod")).otherwise(lit(0).cast(dec))).as("__conc"),
+        sum(when(col("__ra") < col("__rb") && col("__ca") > col("__cb"),
+          col("__prod")).otherwise(lit(0).cast(dec))).as("__disc"),
+        sum(when(col("__ra") === col("__rb") && col("__ca") < col("__cb"),
+          col("__prod")).otherwise(lit(0).cast(dec))).as("__tie_r"),
+        sum(when(col("__ca") === col("__cb") && col("__ra") < col("__rb"),
+          col("__prod")).otherwise(lit(0).cast(dec))).as("__tie_c"),
+        sum(when(col("__ra") === col("__rb") && col("__ca") === col("__cb"),
+          col("__oa").cast(dec)).otherwise(lit(0).cast(dec))).as("__n"))
+    def pm(num: Column, den: Column): Column =
+      when(den === 0, 0L).otherwise(
+        loudLong((num * 1000 - num * 1000 % den) / den, "ordinalAssoc", "pm"))
+    val m = least(col("n_rows"), col("n_cols"))
+    val margins = cells.groupBy(keys: _*)
+      .agg(countDistinct(col("__r")).as("n_rows"),
+        countDistinct(col("__c")).as("n_cols"))
+    folded.join(margins, keyCols)
+      .withColumn("c_pairs", loudLong(col("__conc"), "ordinalAssoc", "c_pairs"))
+      .withColumn("d_pairs", loudLong(col("__disc"), "ordinalAssoc", "d_pairs"))
+      .withColumn("n_total", loudLong(col("__n"), "ordinalAssoc", "n_total"))
+      .withColumn("gamma_pm",
+        pm(col("__conc") - col("__disc"), col("__conc") + col("__disc")))
+      // δ_{Y|X} = (C−D)/(C+D+T_Y) with T_Y the pairs tied on the
+      // DEPENDENT variable only (Somers 1962): predicting c from r
+      // divides by pairs tied on c-only (__tie_c), and symmetrically
+      .withColumn("somers_d_rc_pm",
+        pm(col("__conc") - col("__disc"),
+          col("__conc") + col("__disc") + col("__tie_c")))
+      .withColumn("somers_d_cr_pm",
+        pm(col("__conc") - col("__disc"),
+          col("__conc") + col("__disc") + col("__tie_r")))
+      .withColumn("tau_c_pm",
+        when(m < 2, 0L).otherwise(
+          pm((col("__conc") - col("__disc")) * 2 * m.cast(dec),
+            col("__n") * col("__n") * (m - 1).cast(dec))))
+      .select(keys ++ Seq(col("n_rows"), col("n_cols"), col("n_total"),
+        col("c_pairs"), col("d_pairs"), col("gamma_pm"),
+        col("somers_d_rc_pm"), col("somers_d_cr_pm"), col("tau_c_pm")): _*)
   }
 
   /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over

@@ -3772,6 +3772,144 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Kruskal–Wallis H (Stats.kruskalWallis) per nation: do the FIVE
+    // order priorities share one totals distribution? The k-sample
+    // generalization of q_mannwhitney on the same cohort frame —
+    // doubled midranks via one per-nation RANGE window over the
+    // (value, priority) spine, H in the exact floor-composed ×1000
+    // rendering.
+    "q_kruskal_wallis" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.kruskalWallis(o, Seq("n_name"), "prio", "v")
+        .orderBy("n_name")
+    }),
+
+    // Cliff's delta (Stats.cliffsDelta) per nation: the effect SIZE
+    // q_mannwhitney's U only implies — P(urgent > low) − P(urgent <
+    // low) in exact pair counts off the same value spine, never a
+    // pair join.
+    "q_cliffs_delta" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.cliffsDelta(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
+    // Fleiss' kappa (Stats.fleissKappa) per source: do the THREE
+    // binary quality filters (q_cochran_q's exact frame) AGREE on
+    // documents beyond chance? Cochran Q asks whether pass rates
+    // differ; kappa asks whether verdicts coincide — the rater-
+    // agreement completion of the quality-filter battery.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+      val mx = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+      val v = base.join(mx, Seq("doc_id"))
+        .withColumn("v_len", col("n_tok").between(20, 90))
+        .withColumn("v_rep", expr("(mx * 1000) div n_tok") < 150)
+        .withColumn("v_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
+      Stats.fleissKappa(v, Seq("source"), Seq("v_len", "v_rep", "v_ttr"))
+        .orderBy("source")
+    }),
+
+    // Cochran–Armitage trend (Stats.cochranArmitage) per nation: does
+    // the share of big-ticket orders (> $150k) fall MONOTONICALLY as
+    // priority relaxes 1-URGENT → 5-LOW? Priority digits are the
+    // ordered dose scores; T and z² exact by cross-multiplication.
+    "q_cochran_armitage" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("w"),
+          (expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 15000000L).as("big"))
+      Stats.cochranArmitage(o, Seq("n_name"), "w", "big")
+        .orderBy("n_name")
+    }),
+
+    // Ordinal association battery (Stats.ordinalAssocFromCounts) per
+    // region: priority rank × $50k total-price band as an
+    // ordinal×ordinal contingency — Goodman–Kruskal gamma, both
+    // Somers' D directions, and Stuart's tau-c from ONE bounded
+    // cell-pair fold (cells ≤ 5×6 per region, never the data).
+    "q_ordinal_assoc" -> ((s, d) => {
+      val geo = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      val cells = Tables.orders(s, d)
+        .join(geo, col("o_custkey") === col("c_custkey"))
+        .select(col("r_name"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("__r"),
+          least(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"),
+            lit(5L)).as("__c"))
+        .groupBy(col("r_name"), col("__r"), col("__c"))
+        .agg(count(lit(1)).as("__o"))
+      Stats.ordinalAssocFromCounts(cells, Seq("r_name"))
+        .orderBy("r_name")
+    }),
+
+    // Winsorized mean (Stats.winsorizedSum) per nation: the clamping
+    // robust mean next to q_trimmed_mean's dropping one — same exact
+    // rank-cut machinery, boundary masses re-valued at the cut-rank
+    // values instead of discarded.
+    "q_winsorized_mean" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.winsorizedSum(o, Seq("n_name"), "v", trimPm = 100L)
+        .orderBy("n_name")
+    }),
+
+    // Tukey-fence outlier census (Stats.tukeyOutliers) per nation:
+    // type-7 quartiles ×4 and fences ×8 keep the boxplot rule exact
+    // over integer cents — the robust outlier screen completing the
+    // dispersion row (MAD, IQR) of the battery.
+    "q_tukey_outliers" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.tukeyOutliers(o, Seq("n_name"), "v")
+        .orderBy("n_name")
+    }),
+
     // Hodges–Lehmann location estimate (TimeSeries.hodgesLehmann) per
     // event type: the median of all pairwise Walsh sums over the daily
     // series, doubled so no .5 materializes — the robust "typical
@@ -8487,6 +8625,292 @@ object LlmOps {
              * (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT) - 1)
              AS m_excess_x12
          FROM sc GROUP BY 1 ORDER BY n_name""",
+
+    // doubled midranks per (value, group) via RANGE windows, per-group
+    // rank sums, the floor-composed H replayed in integers
+    "q_kruskal_wallis" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pvg AS (
+           SELECT n_name, v, g, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2, 3),
+         cu AS (
+           SELECT n_name, g, m,
+             CAST(coalesce(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lt,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS at
+           FROM pvg),
+         pg AS (
+           SELECT n_name, g, CAST(sum(m) AS BIGINT) AS ng,
+             CAST(sum(m * (2 * lt + at + 1)) AS BIGINT) AS s2
+           FROM cu GROUP BY 1, 2),
+         pk AS (
+           SELECT n_name, ng, s2,
+             CAST(sum(ng) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pg),
+         qd AS (
+           SELECT n_name, n,
+             ((s2 - ng * (n + 1)) * (s2 - ng * (n + 1))) // ng AS q
+           FROM pk),
+         ag AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(max(n) AS BIGINT) AS n_obs, CAST(sum(q) AS BIGINT) AS a
+           FROM qd GROUP BY 1)
+         SELECT n_name, k_groups, n_obs,
+           CASE WHEN k_groups < 2 OR n_obs < 2 THEN 0
+                ELSE (3000 * a) // (n_obs * (n_obs + 1)) END AS h_x1000
+         FROM ag ORDER BY n_name""",
+
+    // dominance pair counts off the value spine: B-below via the
+    // cumulative window, B-above by complement
+    "q_cliffs_delta" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, v, a, b,
+             CAST(coalesce(sum(b) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS blt,
+             CAST(sum(b) OVER (PARTITION BY n_name) AS BIGINT) AS nb
+           FROM pv),
+         ag AS (
+           SELECT n_name, CAST(sum(a) AS BIGINT) AS n1,
+             CAST(max(nb) AS BIGINT) AS n2,
+             CAST(sum(a * blt) AS BIGINT) AS p_gt,
+             CAST(sum(a * (nb - blt - b)) AS BIGINT) AS p_lt
+           FROM cu GROUP BY 1)
+         SELECT n_name, n1, n2, p_gt, p_lt,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE (1000 * (p_gt - p_lt)) // (n1 * n2) END AS delta_pm
+         FROM ag ORDER BY n_name""",
+
+    // the cochran-q verdict chain reused; kappa's integer cross-
+    // multiplication replayed with the same toward-zero division
+    "q_fleiss_kappa" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+           FROM tk WHERE len(t) > 0),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         v AS (
+           SELECT f.source AS source,
+             (CASE WHEN n_tok BETWEEN 20 AND 90 THEN 1 ELSE 0 END
+              + CASE WHEN (mx * 1000) // n_tok < 150 THEN 1 ELSE 0 END
+              + CASE WHEN (n_dis * 1000) // n_tok >= 400 THEN 1 ELSE 0 END)
+               AS r
+           FROM f JOIN m USING (doc_id)),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s,
+             CAST(sum(r * r + (3 - r) * (3 - r)) AS BIGINT) AS sq
+           FROM v GROUP BY 1),
+         h AS (
+           SELECT source, n, s,
+             sq - n * 3 AS a, n * 3 AS nk, n * 6 AS d,
+             s * s + (n * 3 - s) * (n * 3 - s) AS pe
+           FROM g)
+         SELECT source, n AS n_subjects, CAST(3 AS BIGINT) AS k_raters,
+           s AS s_pass,
+           CASE WHEN d * (nk * nk - pe) = 0 THEN 0
+                ELSE (1000 * (a * nk * nk - d * pe))
+                  // (d * (nk * nk - pe)) END AS kappa_x1000
+         FROM h ORDER BY source""",
+
+    // per-level counts, the folded T and variance, z^2 via HUGEINT
+    // cross-products (T^2*N grows ~N^5)
+    "q_cochran_armitage" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(round(o_totalprice * 100) AS BIGINT) > 15000000 AS big
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pw AS (
+           SELECT n_name, w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN big THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM o GROUP BY 1, 2),
+         ag AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS n_levels,
+             CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+             CAST(sum(w * n) AS BIGINT) AS wn,
+             CAST(sum(w * w * n) AS BIGINT) AS wwn,
+             CAST(sum(w * s) AS BIGINT) AS ws
+           FROM pw GROUP BY 1),
+         t AS (
+           SELECT n_name, n_levels, nn, ss,
+             CAST(ws AS HUGEINT) * nn - CAST(wn AS HUGEINT) * ss AS tt,
+             CAST(ss AS HUGEINT) * (nn - ss)
+               * (CAST(wwn AS HUGEINT) * nn - CAST(wn AS HUGEINT) * wn)
+               AS vv
+           FROM ag)
+         SELECT n_name, n_levels, nn AS n_obs, ss AS n_pass,
+           CAST(tt AS BIGINT) AS t_num,
+           CASE WHEN n_levels < 2 OR vv = 0 THEN 0
+                ELSE CAST((1000 * tt * tt * nn) // vv AS BIGINT)
+           END AS z2_x1000
+         FROM t ORDER BY n_name""",
+
+    // cell-pair fold over the bounded contingency; gamma / Somers
+    // (dependent-variable ties in the denominator) / Stuart tau-c
+    "q_ordinal_assoc" ->
+      """WITH geo AS (
+           SELECT c_custkey, r_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         o AS (
+           SELECT r_name,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS r,
+             least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 5)
+               AS c
+           FROM orders JOIN geo ON o_custkey = c_custkey),
+         cells AS (
+           SELECT r_name, r, c, CAST(count(*) AS BIGINT) AS o
+           FROM o GROUP BY 1, 2, 3),
+         fold AS (
+           SELECT a.r_name AS r_name,
+             CAST(sum(CASE WHEN a.r < b.r AND a.c < b.c
+               THEN a.o * b.o ELSE 0 END) AS BIGINT) AS cc,
+             CAST(sum(CASE WHEN a.r < b.r AND a.c > b.c
+               THEN a.o * b.o ELSE 0 END) AS BIGINT) AS dd,
+             CAST(sum(CASE WHEN a.r = b.r AND a.c < b.c
+               THEN a.o * b.o ELSE 0 END) AS BIGINT) AS tr,
+             CAST(sum(CASE WHEN a.c = b.c AND a.r < b.r
+               THEN a.o * b.o ELSE 0 END) AS BIGINT) AS tc,
+             CAST(sum(CASE WHEN a.r = b.r AND a.c = b.c
+               THEN a.o ELSE 0 END) AS BIGINT) AS n
+           FROM cells a JOIN cells b USING (r_name) GROUP BY 1),
+         mg AS (
+           SELECT r_name, CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+           FROM cells GROUP BY 1)
+         SELECT fold.r_name AS r_name, n_rows, n_cols, n AS n_total,
+           cc AS c_pairs, dd AS d_pairs,
+           CASE WHEN cc + dd = 0 THEN 0
+                ELSE (1000 * (cc - dd)) // (cc + dd) END AS gamma_pm,
+           CASE WHEN cc + dd + tc = 0 THEN 0
+                ELSE (1000 * (cc - dd)) // (cc + dd + tc)
+           END AS somers_d_rc_pm,
+           CASE WHEN cc + dd + tr = 0 THEN 0
+                ELSE (1000 * (cc - dd)) // (cc + dd + tr)
+           END AS somers_d_cr_pm,
+           CASE WHEN least(n_rows, n_cols) < 2
+                  OR n * n * (least(n_rows, n_cols) - 1) = 0 THEN 0
+                ELSE (1000 * (cc - dd) * 2 * least(n_rows, n_cols))
+                  // (n * n * (least(n_rows, n_cols) - 1))
+           END AS tau_c_pm
+         FROM fold JOIN mg USING (r_name) ORDER BY r_name""",
+
+    // the trimmedSum spine with clamped boundary masses re-valued at
+    // the cut-rank values
+    "q_winsorized_mean" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pv AS (
+           SELECT n_name, v, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, v, m,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         kk AS (
+           SELECT n_name, v, m, cum, n,
+             (n * 100) // 1000 AS lo, n - (n * 100) // 1000 AS hi
+           FROM cu),
+         g AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n_obs,
+             CAST(max(lo) AS BIGINT) AS ncl,
+             CAST(sum(v * greatest(0, least(cum, hi)
+               - greatest(cum - m, lo))) AS BIGINT) AS interior,
+             min(CASE WHEN cum >= lo + 1 THEN v END) AS vlo1,
+             min(CASE WHEN cum >= hi THEN v END) AS vhi
+           FROM kk GROUP BY 1)
+         SELECT n_name, n_obs, ncl AS n_clamped_side,
+           interior + ncl * vlo1 + ncl * vhi AS winsorized_sum,
+           (interior + ncl * vlo1 + ncl * vhi) // n_obs
+             AS winsorized_mean_floor
+         FROM g ORDER BY n_name""",
+
+    // type-7 quartiles x4 off the cumulative spine, fences x8, census
+    // over the spine's multiplicities
+    "q_tukey_outliers" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pv AS (
+           SELECT n_name, v, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, v, m,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(m) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         rk AS (
+           SELECT n_name, v, m, cum, n,
+             1 + (n - 1) // 4 AS r1, (n - 1) % 4 AS f1,
+             1 + (3 * (n - 1)) // 4 AS r3, (3 * (n - 1)) % 4 AS f3
+           FROM cu),
+         q AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n_obs,
+             CAST(max(f1) AS BIGINT) AS f1, CAST(max(f3) AS BIGINT) AS f3,
+             min(CASE WHEN cum >= r1 THEN v END) AS q1lo,
+             min(CASE WHEN cum >= r1 + 1 THEN v END) AS q1hi,
+             min(CASE WHEN cum >= r3 THEN v END) AS q3lo,
+             min(CASE WHEN cum >= r3 + 1 THEN v END) AS q3hi
+           FROM rk GROUP BY 1),
+         qq AS (
+           SELECT n_name, n_obs,
+             (4 - f1) * q1lo + f1 * coalesce(q1hi, q1lo) AS q1_x4,
+             (4 - f3) * q3lo + f3 * coalesce(q3hi, q3lo) AS q3_x4
+           FROM q)
+         SELECT qq.n_name AS n_name, n_obs, q1_x4, q3_x4,
+           CAST(sum(CASE WHEN pv.v * 8 < 5 * q1_x4 - 3 * q3_x4
+             THEN pv.m ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN pv.v * 8 > 5 * q3_x4 - 3 * q1_x4
+             THEN pv.m ELSE 0 END) AS BIGINT) AS n_high
+         FROM qq JOIN pv ON qq.n_name = pv.n_name
+         GROUP BY 1, 2, 3, 4 ORDER BY n_name""",
 
     // Every Walsh sum and the lower-median pick replayed.
     "q_hodges_lehmann" ->

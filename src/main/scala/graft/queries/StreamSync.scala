@@ -881,6 +881,94 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming bucketed-quantile fixture: per-type value events in two
+    * TIME-SPLIT batches; quantileStream folds the fixed 128×$5 cent
+    * grid across them. Guard: the final snapshot's (n, clamped, p50,
+    * p90, p99) equals the batch bucket-spine build — additive counts
+    * make the snapshot batch-split independent by algebra.
+    */
+  private def quantileSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_quantile_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("typ"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cutDay = 19737L // 2024-01-15 as epoch days
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("typ"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("day") < cutDay)),
+          root, landing, "batch1_early.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("day") >= cutDay)),
+          root, landing, "batch2_late.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("typ",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val out = StreamingSync.quantileStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TypeValue],
+          lo = 0L, width = 500L, nBuckets = 128)
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_quantile replay")
+
+        // guard: max-seq snapshot == the batch bucket-spine quantiles
+        val sunk = s.read.parquet(sink.toString)
+        val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+        val got = sunk.join(maxSeq, Seq("typ", "seq"))
+          .select(col("typ"), col("n_obs"), col("n_clamped"),
+            col("p50_lo"), col("p90_lo"), col("p99_lo")).distinct()
+        val bkt = ev
+          .withColumn("__b",
+            when(col("v") < 0, 0L)
+              .when(expr("v div 500") >= 128, 127L)
+              .otherwise(expr("v div 500")))
+          .withColumn("__cl",
+            when(col("v") < 0 || expr("v div 500") >= 128, 1L).otherwise(0L))
+          .groupBy(col("typ"), col("__b"))
+          .agg(count(lit(1)).as("__m"), sum(col("__cl")).as("__clm"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("typ")).orderBy(col("__b").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("typ"))
+        val want = bkt
+          .withColumn("__cum", sum(col("__m")).over(wCum))
+          .withColumn("__n", sum(col("__m")).over(wAll))
+          .groupBy(col("typ"))
+          .agg(max(col("__n")).as("n_obs"), sum(col("__clm")).as("n_clamped"),
+            (min(when(col("__cum") >= expr("(__n * 500 + 999) div 1000"),
+              col("__b"))) * 500).as("p50_lo"),
+            (min(when(col("__cum") >= expr("(__n * 900 + 999) div 1000"),
+              col("__b"))) * 500).as("p90_lo"),
+            (min(when(col("__cum") >= expr("(__n * 990 + 999) div 1000"),
+              col("__b"))) * 500).as("p99_lo"))
+        val diff = got.unionByName(want)
+          .groupBy(col("typ"), col("n_obs"), col("n_clamped"),
+            col("p50_lo"), col("p90_lo"), col("p99_lo"))
+          .agg(count(lit(1)).as("k")).filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_quantile: $diff snapshot rows diverge from the batch " +
+            "bucket-spine build — histogram state lost or invented mass")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming SCD2 fixture: user-typed events in two TIME-SPLIT batches
     * (per-key time order across batches — the value-stream contract);
     * scd2Stream emits closed dimension rows on each type change. Guard:
@@ -1725,6 +1813,22 @@ object StreamSync {
         .orderBy("event_type", "day_idx")
     }),
 
+    // Live bucketed quantiles: per-type fixed-grid histogram state
+    // folded across two time-split batches, the max-seq snapshot's
+    // p50/p90/p99 bucket floors fixture-guarded equal to the batch
+    // bucket-spine build; the oracle replays that build from the raw
+    // table. Clamped-value census rides along so grid misfit is
+    // observable.
+    "q_stream_quantile" -> ((s, d) => {
+      val sunk = s.read.parquet(quantileSinkDir(s, d))
+      val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+      sunk.join(maxSeq, Seq("typ", "seq"))
+        .select(col("typ").as("event_type"), col("n_obs"), col("n_clamped"),
+          col("p50_lo"), col("p90_lo"), col("p99_lo"))
+        .distinct() // at-least-once sink
+        .orderBy("event_type")
+    }),
+
     // Live SCD2 maintenance: closed dimension rows emitted on type
     // change across time-split batches, fixture-guarded equal to the
     // batch closed-interval set; the oracle replays the batch build
@@ -1955,6 +2059,39 @@ object StreamSync {
            (pmax IS NULL OR n > pmax) AS rec_high,
            (pmin IS NULL OR n < pmin) AS rec_low
          FROM w ORDER BY event_type, day_idx""",
+
+    // The batch bucket-spine quantile build replayed from the raw
+    // table: fixed 128 x $5 cent grid, rank ceil(p*n/1000), bucket
+    // floor emitted — the stream's additive-histogram contract.
+    "q_stream_quantile" ->
+      """WITH v AS (
+           SELECT event_type AS typ, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+         b AS (
+           SELECT typ,
+             CASE WHEN v < 0 THEN 0
+                  WHEN v // 500 >= 128 THEN 127
+                  ELSE v // 500 END AS b,
+             CASE WHEN v < 0 OR v // 500 >= 128 THEN 1 ELSE 0 END AS cl
+           FROM v),
+         pb AS (
+           SELECT typ, b, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(cl) AS BIGINT) AS clm
+           FROM b GROUP BY 1, 2),
+         cu AS (
+           SELECT typ, b, m, clm,
+             CAST(sum(m) OVER (PARTITION BY typ ORDER BY b) AS BIGINT) AS cum,
+             CAST(sum(m) OVER (PARTITION BY typ) AS BIGINT) AS n
+           FROM pb)
+         SELECT typ AS event_type, CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(sum(clm) AS BIGINT) AS n_clamped,
+           min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN b END) * 500
+             AS p50_lo,
+           min(CASE WHEN cum >= (n * 900 + 999) // 1000 THEN b END) * 500
+             AS p90_lo,
+           min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN b END) * 500
+             AS p99_lo
+         FROM cu GROUP BY 1 ORDER BY event_type""",
 
     // The batch XOR fold replayed from the raw table.
     "q_stream_checksum" ->

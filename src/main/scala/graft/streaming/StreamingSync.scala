@@ -694,6 +694,71 @@ object StreamingSync {
       }
   }
 
+  final case class TypeValue(typ: String, v: Long)
+  final case class QuantState(counts: Array[Long], seq: Long)
+  final case class QuantRow(
+      typ: String, seq: Long, n_obs: Long, n_clamped: Long,
+      p50_lo: Long, p90_lo: Long, p99_lo: Long)
+
+  /** Streaming bucketed quantiles: per key a FIXED-WIDTH histogram
+    * (`nBuckets` longs of state — bounded by the declared bucket
+    * grid, never the data) folds value counts across micro-batches;
+    * each batch emits the snapshot's p50/p90/p99 as the LOWER BOUND
+    * of the bucket containing rank ⌈p·n⌉ — exact integers against the
+    * declared grid, the production ingest-time quantile pattern (an
+    * exact streaming quantile needs unbounded state; a sketch is
+    * batch-order-sensitive — the fixed grid is both bounded AND
+    * additive, so the final snapshot is batch-split independent by
+    * algebra, the cChartStream discipline). Out-of-range values clamp
+    * into the edge buckets and are COUNTED (`n_clamped`) so grid
+    * misfit is observable, never silent. Consumers take max-seq per
+    * key (at-least-once sink ⇒ distinct after the max-seq join).
+    */
+  def quantileStream(
+      events: Dataset[TypeValue],
+      lo: Long,
+      width: Long,
+      nBuckets: Int): Dataset[QuantRow] = {
+    require(width > 0 && nBuckets > 1, s"bad grid: width=$width nBuckets=$nBuckets")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.typ)
+      .flatMapGroupsWithState[QuantState, QuantRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, es, gs: GroupState[QuantState]) =>
+          val st = gs.getOption.getOrElse(QuantState(new Array[Long](nBuckets + 1), 0L))
+          val counts = st.counts.clone()
+          es.foreach { e =>
+            val raw = (e.v - lo) / width
+            val b =
+              if (e.v < lo) 0
+              else if (raw >= nBuckets) nBuckets - 1
+              else raw.toInt
+            counts(b) += 1L
+            // slot nBuckets carries the clamp census, not a bucket
+            if (e.v < lo || raw >= nBuckets) counts(nBuckets) += 1L
+          }
+          val seq = st.seq + 1L
+          gs.update(QuantState(counts, seq))
+          val n = counts.take(nBuckets).sum
+          def qLo(pPm: Long): Long = {
+            val rank = (n * pPm + 999L) / 1000L
+            var cum = 0L
+            var i = 0
+            var out = lo + (nBuckets - 1).toLong * width
+            var found = false
+            while (i < nBuckets && !found) {
+              cum += counts(i)
+              if (cum >= rank) { out = lo + i.toLong * width; found = true }
+              i += 1
+            }
+            out
+          }
+          Iterator.single(QuantRow(typ, seq, n, counts(nBuckets),
+            qLo(500L), qLo(900L), qLo(990L)))
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(

@@ -292,6 +292,110 @@ class StatsSpec extends SparkSpec {
     assert(u.getAs[Long]("trimmed_mean_floor") === 1000000000000000000L)
   }
 
+  test("kruskalWallis: three separated groups, hand-checked H") {
+    // A={1,2} B={3,4} C={5,6}: H = 12/(6·7)·2·(4+0+4) = 4.571…
+    val df = spark.createDataFrame(Seq(
+      ("g", "A", 1L), ("g", "A", 2L), ("g", "B", 3L), ("g", "B", 4L),
+      ("g", "C", 5L), ("g", "C", 6L))).toDF("k", "grp", "v")
+    val r = Stats.kruskalWallis(df, Seq("k"), "grp", "v").collect().head
+    assert(r.getAs[Long]("k_groups") === 3L)
+    assert(r.getAs[Long]("n_obs") === 6L)
+    assert(r.getAs[Long]("h_x1000") === 4571L)
+    // tie run across groups: {1,1} vs {2,2} → H = 2.4 exactly
+    val tied = spark.createDataFrame(Seq(
+      ("t", "A", 1L), ("t", "A", 1L), ("t", "B", 2L), ("t", "B", 2L)))
+      .toDF("k", "grp", "v")
+    val t = Stats.kruskalWallis(tied, Seq("k"), "grp", "v").collect().head
+    assert(t.getAs[Long]("h_x1000") === 2400L)
+  }
+
+  test("cliffsDelta: hand-counted dominance pairs") {
+    // A={1,3} B={2,4}: p_gt=1 (3>2), p_lt=3 → δ = −0.5
+    val df = spark.createDataFrame(Seq(
+      ("g", true, 1L), ("g", true, 3L), ("g", false, 2L), ("g", false, 4L)))
+      .toDF("k", "in_a", "v")
+    val r = Stats.cliffsDelta(df, Seq("k"), "in_a", "v").collect().head
+    assert(r.getAs[Long]("p_gt") === 1L)
+    assert(r.getAs[Long]("p_lt") === 3L)
+    assert(r.getAs[Long]("delta_pm") === -500L)
+  }
+
+  test("fleissKappa: two raters, one disagreement — kappa = −1/3") {
+    val df = spark.createDataFrame(Seq(
+      ("g", true, true), ("g", true, false))).toDF("k", "ra", "rb")
+    val r = Stats.fleissKappa(df, Seq("k"), Seq("ra", "rb")).collect().head
+    assert(r.getAs[Long]("n_subjects") === 2L)
+    assert(r.getAs[Long]("s_pass") === 3L)
+    assert(r.getAs[Long]("kappa_x1000") === -333L) // toward-zero truncation
+    // unanimous raters: kappa degenerate (Pe = 1) → emitted 0
+    val uni = spark.createDataFrame(Seq(
+      ("u", true, true), ("u", true, true))).toDF("k", "ra", "rb")
+    val u = Stats.fleissKappa(uni, Seq("k"), Seq("ra", "rb")).collect().head
+    assert(u.getAs[Long]("kappa_x1000") === 0L)
+  }
+
+  test("cochranArmitage: perfect 0/50/100% trend gives z² = 4") {
+    val df = spark.createDataFrame(Seq(
+      ("g", 0L, false), ("g", 0L, false), ("g", 1L, true), ("g", 1L, false),
+      ("g", 2L, true), ("g", 2L, true))).toDF("k", "w", "ok")
+    val r = Stats.cochranArmitage(df, Seq("k"), "w", "ok").collect().head
+    assert(r.getAs[Long]("t_num") === 12L)
+    assert(r.getAs[Long]("z2_x1000") === 4000L)
+    // flat rate → T = 0, z² = 0
+    val flat = spark.createDataFrame(Seq(
+      ("f", 0L, true), ("f", 0L, false), ("f", 1L, true), ("f", 1L, false)))
+      .toDF("k", "w", "ok")
+    val f = Stats.cochranArmitage(flat, Seq("k"), "w", "ok").collect().head
+    assert(f.getAs[Long]("t_num") === 0L)
+    assert(f.getAs[Long]("z2_x1000") === 0L)
+  }
+
+  test("ordinalAssoc: perfect diagonal and balanced 2x2") {
+    val perfect = spark.createDataFrame(Seq(
+      ("g", 0L, 0L, 2L), ("g", 1L, 1L, 2L))).toDF("k", "__r", "__c", "__o")
+    val p = Stats.ordinalAssocFromCounts(perfect, Seq("k")).collect().head
+    assert(p.getAs[Long]("c_pairs") === 4L)
+    assert(p.getAs[Long]("d_pairs") === 0L)
+    assert(p.getAs[Long]("gamma_pm") === 1000L)
+    assert(p.getAs[Long]("somers_d_rc_pm") === 1000L)
+    assert(p.getAs[Long]("tau_c_pm") === 1000L)
+    val flat = spark.createDataFrame(Seq(
+      ("f", 0L, 0L, 1L), ("f", 0L, 1L, 1L), ("f", 1L, 0L, 1L), ("f", 1L, 1L, 1L)))
+      .toDF("k", "__r", "__c", "__o")
+    val f = Stats.ordinalAssocFromCounts(flat, Seq("k")).collect().head
+    assert(f.getAs[Long]("c_pairs") === 1L)
+    assert(f.getAs[Long]("d_pairs") === 1L)
+    assert(f.getAs[Long]("gamma_pm") === 0L)
+    assert(f.getAs[Long]("tau_c_pm") === 0L)
+  }
+
+  test("winsorizedSum: clamps one rank per side to the cut values") {
+    // {1,2,3,4,100}, trim 200‰ → winsorized multiset {2,2,3,4,4} = 15
+    val df = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 4L, 100L).map(("g", _))).toDF("k", "v")
+    val r = Stats.winsorizedSum(df, Seq("k"), "v", trimPm = 200L).collect().head
+    assert(r.getAs[Long]("n_obs") === 5L)
+    assert(r.getAs[Long]("n_clamped_side") === 1L)
+    assert(r.getAs[Long]("winsorized_sum") === 15L)
+    assert(r.getAs[Long]("winsorized_mean_floor") === 3L)
+  }
+
+  test("tukeyOutliers: type-7 quartiles x4 and the x8 fence census") {
+    val df = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 4L, 100L).map(("g", _))).toDF("k", "v")
+    val r = Stats.tukeyOutliers(df, Seq("k"), "v").collect().head
+    assert(r.getAs[Long]("q1_x4") === 8L)   // Q1 = 2
+    assert(r.getAs[Long]("q3_x4") === 16L)  // Q3 = 4
+    assert(r.getAs[Long]("n_low") === 0L)
+    assert(r.getAs[Long]("n_high") === 1L)  // 100 > 7
+    // fractional type-7 positions: {1,2,3,4} → Q1 = 1.75, Q3 = 3.25
+    val q = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 4L).map(("q", _))).toDF("k", "v")
+    val s = Stats.tukeyOutliers(q, Seq("k"), "v").collect().head
+    assert(s.getAs[Long]("q1_x4") === 7L)
+    assert(s.getAs[Long]("q3_x4") === 13L)
+  }
+
   test("summary computes type-7 quartiles (numpy default) exactly") {
     // values 1..5: q1 = 2.0, med = 3.0, q3 = 4.0 (positions land on ranks)
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toLong, i.toDouble)))
