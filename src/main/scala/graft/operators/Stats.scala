@@ -415,7 +415,10 @@ object Stats {
       countDistinct(col("__r")).as("n_rows"),
       countDistinct(col("__c")).as("n_cols"))
     rTot.crossJoin(cTot)
-      .join(cells, Seq("__r", "__c"), "left")
+      // the cell table is bounded by the category space — broadcast it
+      // explicitly rather than trusting AQE to demote the SMJ (it
+      // reliably does only when the pinned stats survive reuse)
+      .join(broadcast(cells), Seq("__r", "__c"), "left")
       .withColumn("__o", coalesce(col("__o"), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("__contrib",
@@ -809,6 +812,47 @@ object Stats {
         col("mad")): _*)
   }
 
+  /** [[cramersVFromCounts]] over a caller-DENSIFIED cell frame
+    * `(__r, __c, __o)` — same arithmetic, ZERO extra jobs: the margins
+    * and totals come from windows over the (bounded) cell frame
+    * instead of three broadcast legs plus a join, so the whole χ²
+    * computes inside one stage. Contract: the caller supplies every
+    * (r, c) combination of the OBSERVED categories (zero cells with
+    * `__o` = 0 — the 2×C splits of q_median_test emit both rows per
+    * column by construction); all-zero margins are filtered so the
+    * observed-category semantics match the generic path exactly. The
+    * single-partition windows run over |r·c| cells — bounded by the
+    * category space, never the data (the day-spine exception).
+    */
+  def cramersVFromDenseCounts(cells: DataFrame): DataFrame = {
+    val maxN = 100000000L
+    val wR = Window.partitionBy(col("__r"))
+    val wC = Window.partitionBy(col("__c"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__rt", sum(col("__o")).over(wR))
+      .withColumn("__ct", sum(col("__o")).over(wC))
+      .filter(col("__rt") > 0 && col("__ct") > 0)
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__nr", dense_rank().over(Window.orderBy(col("__r"))))
+      .withColumn("__nc", dense_rank().over(Window.orderBy(col("__c"))))
+      .withColumn("__contrib",
+        when(col("__n") > maxN, raise_error(
+          lit(s"cramersV: N exceeds exact-decimal bound $maxN")).cast("long"))
+          .otherwise(expr(
+            """(1000 * (CAST(__n AS DECIMAL(38,0)) * __o - CAST(__rt AS DECIMAL(38,0)) * __ct)
+               * (CAST(__n AS DECIMAL(38,0)) * __o - CAST(__rt AS DECIMAL(38,0)) * __ct))
+               div (CAST(__n AS DECIMAL(38,0)) * __rt * __ct)""").cast("long")))
+      .groupBy()
+      .agg(max(col("__n")).as("n_total"),
+        max(col("__nr")).cast("long").as("n_rows"),
+        max(col("__nc")).cast("long").as("n_cols"),
+        sum(col("__contrib")).as("chi2_x1000"))
+      .withColumn("v2_x1e6",
+        when(least(col("n_rows"), col("n_cols")) < 2, 0L).otherwise(
+          expr("(chi2_x1000 * 1000) div (n_total * (least(n_rows, n_cols) - 1))")))
+  }
+
   /** Kruskal–Wallis H (1952) — the k-sample generalization of the
     * Mann–Whitney location test: do k groups share one distribution?
     * Rank machinery is the q_mannwhitney per-value shape lifted to a
@@ -1018,9 +1062,14 @@ object Stats {
       keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
     val dec = DecimalType(38, 0)
-    val a = cells.select(keys :+ col("__r").as("__ra") :+ col("__c").as("__ca")
+    // pin the (bounded) cell table ONCE: its three consumers — both
+    // self-join legs and the margins rollup — would each re-run the
+    // upstream contingency count (a full corpus scan) otherwise, the
+    // cramersVFromCounts lesson
+    val cellsP = cells.localCheckpoint(true)
+    val a = cellsP.select(keys :+ col("__r").as("__ra") :+ col("__c").as("__ca")
       :+ col("__o").as("__oa"): _*)
-    val b = cells.select(keys :+ col("__r").as("__rb") :+ col("__c").as("__cb")
+    val b = cellsP.select(keys :+ col("__r").as("__rb") :+ col("__c").as("__cb")
       :+ col("__o").as("__ob"): _*)
     val pairs =
       (if (keyCols.isEmpty) a.crossJoin(b) else a.join(b, keyCols))
@@ -1041,7 +1090,7 @@ object Stats {
       when(den === 0, 0L).otherwise(
         loudLong((num * 1000 - num * 1000 % den) / den, "ordinalAssoc", "pm"))
     val m = least(col("n_rows"), col("n_cols"))
-    val margins = cells.groupBy(keys: _*)
+    val margins = cellsP.groupBy(keys: _*)
       .agg(countDistinct(col("__r")).as("n_rows"),
         countDistinct(col("__c")).as("n_cols"))
     folded.join(margins, keyCols)

@@ -4053,24 +4053,29 @@ object LlmOps {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
         .groupBy(col("v"), col("prio")).agg(count(lit(1)).as("m"))
         .localCheckpoint(true)
-      // The v-level spine pins TOO (r15): the three consumers below —
-      // runningTotals' boundary sample, the n rollup, and the median
-      // scan — each re-ran the groupBy shuffle off the (v, prio) pin,
-      // tripling the spine exchange; pinned, each is a narrow scan of
-      // a materialized bounded frame.
+      // The v-level rollup stays LAZY over the pinned (v, prio) spine:
+      // its consumers (runningTotals' sample, the n rollup, the median
+      // scan) each re-run a CHEAP spine-sized groupBy off the pin —
+      // measured faster than a second eager materialization, whose
+      // job-scheduling cost exceeded the tiny recomputes (r15).
       val perV = perVP.groupBy(col("v")).agg(sum(col("m")).as("m"))
-        .localCheckpoint(true)
       val cum = graft.operators.PrefixSum.runningTotals(perV, "v", Seq("m"))
       val n = perV.agg(sum(col("m")).as("n"))
       val med = cum.crossJoin(broadcast(n))
         .filter(col("cum_m") >= expr("(n + 1) div 2"))
         .agg(min(col("v")).as("med"))
+      // DENSE 2×C cells in ONE pass: both split cells per priority come
+      // out of a single groupBy (above / total−above), so the χ² runs
+      // through the window-based cramersVFromDenseCounts — no margin
+      // broadcast legs, no densifying join, no cell pin (r15: the
+      // generic path cost ~4 extra jobs of pure scheduling here).
       val cells = perVP.crossJoin(broadcast(med))
-        .withColumn("__r",
-          when(col("v") > col("med"), "above").otherwise("at_or_below"))
-        .groupBy(col("__r"), col("prio").as("__c"))
-        .agg(sum(col("m")).as("__o"))
-      Stats.cramersVFromCounts(cells)
+        .groupBy(col("prio").as("__c"))
+        .agg(sum(when(col("v") > col("med"), col("m")).otherwise(0L)).as("__ab"),
+          sum(col("m")).as("__tot"))
+        .select(col("__c"),
+          expr("stack(2, 'above', __ab, 'at_or_below', __tot - __ab) AS (__r, __o)"))
+      Stats.cramersVFromDenseCounts(cells)
         .crossJoin(broadcast(med))
     }),
 

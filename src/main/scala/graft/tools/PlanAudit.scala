@@ -18,9 +18,14 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // optional trailing args: audit only these query names (builder-side
+    // iteration on a single plan; the driver runs the full inventory)
+    val only = args.drop(1).toSet
 
     println(f"${"query"}%-24s ${"exch"}%5s ${"bhj"}%4s ${"smj"}%4s ${"bnl"}%4s ${"cart"}%5s ${"scans(cols)"}%-18s pushed  notes")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only.contains(kv._1))
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
         val qe: QueryExecution = df.queryExecution

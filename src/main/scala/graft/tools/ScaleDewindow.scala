@@ -112,7 +112,7 @@ object ScaleDewindow {
 
     // ---- hl: Walsh-sum median at growing day-span, ONE key (the
     // fat-task worst case the spine shape exists for) ----
-    for (dm <- Seq(1, 4, 10)) {
+    for (dm <- Seq(1, 4, 10, 40, 120)) {
       val days = 30 * dm
       val daily = spark.range(days)
         .select(lit("k").as("event_type"), col("id").as("day"),

@@ -292,6 +292,25 @@ class StatsSpec extends SparkSpec {
     assert(u.getAs[Long]("trimmed_mean_floor") === 1000000000000000000L)
   }
 
+  test("cramersVFromDenseCounts equals the generic path, including zero cells") {
+    // 2x3 with one zero cell supplied densely
+    val cells = spark.createDataFrame(Seq(
+      ("a", 0L, 8L), ("a", 1L, 2L), ("a", 2L, 0L),
+      ("b", 0L, 1L), ("b", 1L, 5L), ("b", 2L, 4L)))
+      .toDF("__r", "__c", "__o")
+    val dense = Stats.cramersVFromDenseCounts(cells).collect().head
+    val generic = Stats.cramersVFromCounts(cells.filter("__o > 0")).collect().head
+    for (c <- Seq("n_total", "n_rows", "n_cols", "chi2_x1000", "v2_x1e6"))
+      assert(dense.getAs[Long](c) === generic.getAs[Long](c), c)
+    // an all-zero row margin is filtered, matching observed-category
+    // semantics of the generic path
+    val extra = cells.union(spark.createDataFrame(Seq(
+      ("z", 0L, 0L), ("z", 1L, 0L), ("z", 2L, 0L))).toDF("__r", "__c", "__o"))
+    val d2 = Stats.cramersVFromDenseCounts(extra).collect().head
+    assert(d2.getAs[Long]("n_rows") === 2L)
+    assert(d2.getAs[Long]("chi2_x1000") === dense.getAs[Long]("chi2_x1000"))
+  }
+
   test("kruskalWallis: three separated groups, hand-checked H") {
     // A={1,2} B={3,4} C={5,6}: H = 12/(6·7)·2·(4+0+4) = 4.571…
     val df = spark.createDataFrame(Seq(
