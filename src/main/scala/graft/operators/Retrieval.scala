@@ -23,6 +23,63 @@ import graft.expressions.{functions => gfn}
   */
 object Retrieval {
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity-aware final stage of a retrieval stack: greedily
+    * select `k` of each query's candidates maximizing
+    * `λ·rel − (1−λ)·max sim-to-already-selected`, so near-duplicate
+    * hits (the LLM-corpus failure mode the dedup family measures)
+    * don't crowd a context window. ALL-INTEGER and deterministic:
+    * `rel` and pairwise `sim` arrive as ×10⁶-scaled longs, λ as
+    * per-mille, ties break by id ascending — so an oracle can replay
+    * the greedy chain exactly.
+    *
+    * Scale shape: candidates are BOUNDED per query (the upstream
+    * top-C), so each of the k−1 greedy rounds is a join + argmax over
+    * |queries|·C rows; the plan grows linearly in the CONSTANT k (the
+    * BpeTrainSteps bounded-rounds discipline) and both inputs pin
+    * once, so rounds never re-run upstream scoring. The argmax is the
+    * portable `min(struct(−score, id))` idiom.
+    *
+    * `cands`: (query_id, id, rel). `simPairs`: (query_id, id_a, id_b,
+    * sim) covering BOTH orientations of every candidate pair.
+    * Returns (query_id, sel_rank, id, rel).
+    */
+  def mmrRerank(
+      cands: DataFrame,
+      simPairs: DataFrame,
+      k: Int,
+      lambdaPm: Long = 700L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaPm >= 0 && lambdaPm <= 1000, s"lambda out of per-mille range: $lambdaPm")
+    val c = cands.select(col("query_id"), col("id"), col("rel"))
+      .localCheckpoint(true)
+    val sp = simPairs.select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .localCheckpoint(true)
+    def argmax(df: DataFrame, score: Column, rank: Int): DataFrame =
+      df.groupBy(col("query_id"))
+        .agg(min(struct((-score).as("ns"), col("id").as("id"))).as("__w"))
+        .select(col("query_id"), col("__w.id").as("id"),
+          lit(rank.toLong).as("sel_rank"))
+    var sel = argmax(c, col("rel"), 1)
+    for (r <- 2 to k) {
+      val remaining = c.join(sel.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val simToSel = sp
+        .join(sel.select(col("query_id"), col("id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .select(col("query_id"), col("id_a").as("id"), col("sim"))
+      val ms = remaining
+        .join(simToSel, Seq("query_id", "id"))
+        .groupBy(col("query_id"), col("id"), col("rel"))
+        .agg(max(col("sim")).as("__maxsim"))
+      sel = sel.unionByName(argmax(ms,
+        lit(lambdaPm) * col("rel") - (lit(1000L) - lit(lambdaPm)) * col("__maxsim"),
+        r))
+    }
+    sel.join(c, Seq("query_id", "id"))
+      .select(col("query_id"), col("sel_rank"), col("id"), col("rel"))
+  }
+
   /** BM25 top-k for `terms` with the Lucene idf
     * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
     *

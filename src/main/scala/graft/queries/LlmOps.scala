@@ -3910,6 +3910,94 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // MMR diversity re-ranking (Retrieval.mmrRerank): per query the
+    // brute-force top-8 re-ranked greedily by λ·rel − (1−λ)·max-sim-
+    // to-selected in exact ×10⁶ integers — the stage that stops
+    // near-duplicate hits crowding a context window. The oracle
+    // replays the greedy chain as an unrolled CTE ladder.
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 3)
+      val cands = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 8)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          expr("CAST(round(cosine * 1000000) AS BIGINT)").as("rel"))
+      val cv = cands.select(col("query_id"), col("id"))
+        .join(corpus.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+      Retrieval.mmrRerank(
+        cands,
+        cv.as("x")
+          .join(cv.as("y"), expr("x.query_id = y.query_id AND x.id <> y.id"))
+          .withColumn("c", gfn.cosine_sim(col("x.embedding"), col("y.embedding")))
+          .select(col("x.query_id").as("query_id"), col("x.id").as("id_a"),
+            col("y.id").as("id_b"),
+            expr("CAST(round(round(c, 6) * 1000000) AS BIGINT)").as("sim")),
+        k = 4, lambdaPm = 700L)
+        .orderBy("query_id", "sel_rank")
+    }),
+
+    // Ranked-retrieval evaluation (hits@5 + exact MRR): the sign-bit
+    // ANN's top-5 graded against the exact cosine top-5 — MRR's 1/rank
+    // stays integral as mrr_x2520 (2520 = lcm(1..10), so every
+    // reciprocal of a rank ≤ 10 is exact). The certificate that turns
+    // q_ann_recall_hamming's overlap count into the standard IR
+    // metrics.
+    "q_rank_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.signBitTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, prefilterK = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("hits_at_5"),
+          min(col("rank")).as("__fr"))
+        .withColumn("first_hit_rank", coalesce(col("__fr"), lit(0L)))
+        .withColumn("mrr_x2520",
+          when(col("__fr").isNull, 0L).otherwise(expr("2520 div __fr")))
+        .drop("__fr")
+        .orderBy("query_id")
+    }),
+
+    // Quality-classifier calibration (reliability bins + integer
+    // Brier): the TTR per-mille score as a predictor of the length-
+    // band verdict, binned by score decile per source — per-bin
+    // observed rate vs predicted mass, plus the per-source ECE
+    // numerator Σ|Σp − 1000·pos| and Brier ×10⁶, all exact integers.
+    // The eval harness a learned quality filter would be tuned with.
+    "q_calibration" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("p_pm",
+          expr("(CAST(size(array_distinct(tk)) AS BIGINT) * 1000) div n_tok"))
+        .withColumn("y", col("n_tok").between(20, 90).cast("long"))
+        .withColumn("bin", expr("p_pm div 100"))
+      val binned = base.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y")).as("n_pos"),
+          sum(col("p_pm")).as("sum_p_pm"),
+          sum((col("p_pm") - lit(1000L) * col("y"))
+            * (col("p_pm") - lit(1000L) * col("y"))).as("__sq"))
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      binned
+        .withColumn("rate_pm", expr("(1000 * n_pos) div n_docs"))
+        .withColumn("ece_num",
+          sum(abs(col("sum_p_pm") - lit(1000L) * col("n_pos"))).over(wSrc))
+        .withColumn("brier_x1e6",
+          expr("sum(__sq) OVER (PARTITION BY source) div sum(n_docs) OVER (PARTITION BY source)"))
+        .drop("__sq")
+        .orderBy("source", "bin")
+    }),
+
     // Hodges–Lehmann location estimate (TimeSeries.hodgesLehmann) per
     // event type: the median of all pairwise Walsh sums over the daily
     // series, doubled so no .5 materializes — the robust "typical
@@ -8917,6 +9005,66 @@ object LlmOps {
          FROM qq JOIN pv ON qq.n_name = pv.n_name
          GROUP BY 1, 2, 3, 4 ORDER BY n_name""",
 
+    "q_mmr_rerank" -> mmrOracleSql,
+
+    // both ANN legs replayed (the annSignCte chain + the exact top-5),
+    // then the IR metrics in exact integers — 2520 = lcm(1..10) keeps
+    // every reciprocal rank integral
+    "q_rank_eval" ->
+      (annSignCte + """,
+         ax AS (
+           SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, id) AS BIGINT) AS rank
+           FROM rr),
+         a5 AS (SELECT query_id, id, rank FROM ax WHERE rank <= 5),
+         t0 AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+                FROM c CROSS JOIN q),
+         t5 AS (SELECT query_id, id FROM (
+             SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, id) AS rn FROM t0) WHERE rn <= 5),
+         j AS (
+           SELECT t5.query_id AS query_id, t5.id AS id, a5.rank AS rank
+           FROM t5 LEFT JOIN a5
+             ON t5.query_id = a5.query_id AND t5.id = a5.id)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_5,
+           CAST(coalesce(min(rank), 0) AS BIGINT) AS first_hit_rank,
+           CASE WHEN min(rank) IS NULL THEN 0
+                ELSE 2520 // min(rank) END AS mrr_x2520
+         FROM j GROUP BY 1 ORDER BY query_id"""),
+
+    // reliability bins + the per-source ECE numerator and Brier x1e6,
+    // every sum CAST back to BIGINT (DuckDB widens to HUGEINT)
+    "q_calibration" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) AS p_pm,
+             CASE WHEN len(t) BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS y
+           FROM tk WHERE len(t) > 0),
+         b AS (
+           SELECT source, p_pm // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(p_pm) AS BIGINT) AS sum_p_pm,
+             CAST(sum((p_pm - 1000 * y) * (p_pm - 1000 * y)) AS BIGINT) AS sq
+           FROM f GROUP BY 1, 2)
+         SELECT source, bin, n_docs, n_pos, sum_p_pm,
+           (1000 * n_pos) // n_docs AS rate_pm,
+           CAST(sum(abs(sum_p_pm - 1000 * n_pos))
+             OVER (PARTITION BY source) AS BIGINT) AS ece_num,
+           CAST(sum(sq) OVER (PARTITION BY source)
+             // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS brier_x1e6
+         FROM b ORDER BY source, bin""",
+
     // Every Walsh sum and the lower-median pick replayed.
     "q_hodges_lehmann" ->
       """WITH dl AS (
@@ -9361,6 +9509,64 @@ object LlmOps {
     * DuckDB (`fps(doc_id, uf HUGEINT unsigned-bits, simhash64 BIGINT)`).
     * Mirrors `TextKernels.simhash64` exactly on the ASCII corpus.
     */
+  /** q_mmr_rerank's oracle: the greedy MMR chain unrolled as a CTE
+    * ladder — selall₁ is the relevance argmax, each later step anti-
+    * joins the selected set, takes max sim-to-selected, and argmaxes
+    * 700·rel − 300·maxsim with the same (score desc, id asc) total
+    * order the Spark struct-min uses. String-assembled because steps
+    * 2..k differ only in the index (the pqOracleSql convention).
+    */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 4).map { r =>
+      val prev = r - 1
+      s"""rem$r AS (
+           SELECT cand.query_id AS query_id, cand.id AS id, cand.rel AS rel
+           FROM cand ANTI JOIN selall$prev USING (query_id, id)),
+         ms$r AS (
+           SELECT r.query_id AS query_id, r.id AS id, r.rel AS rel,
+             CAST(max(s.sim) AS BIGINT) AS ms
+           FROM rem$r r
+           JOIN sim s ON s.query_id = r.query_id AND s.id_a = r.id
+           JOIN selall$prev t ON s.query_id = t.query_id AND s.id_b = t.id
+           GROUP BY 1, 2, 3),
+         pick$r AS (
+           SELECT query_id, id, $r AS sel_rank FROM (
+             SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+               ORDER BY 700 * rel - 300 * ms DESC, id) AS rn
+             FROM ms$r) WHERE rn = 1),
+         selall$r AS (
+           SELECT * FROM selall$prev UNION ALL SELECT * FROM pick$r)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3),
+       c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= 5),
+       s0 AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+              FROM c, q),
+       cand AS (
+         SELECT query_id, id,
+           CAST(round(round(cos, 6) * 1000000) AS BIGINT) AS rel
+         FROM (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, id) AS rn FROM s0)
+         WHERE rn <= 8),
+       cv AS (SELECT cand.query_id AS query_id, cand.id AS id, c.v AS v
+              FROM cand JOIN c ON cand.id = c.id),
+       sim AS (
+         SELECT x.query_id AS query_id, x.id AS id_a, y.id AS id_b,
+           CAST(round(round(list_cosine_similarity(x.v, y.v), 6) * 1000000)
+             AS BIGINT) AS sim
+         FROM cv x JOIN cv y ON x.query_id = y.query_id AND x.id <> y.id),
+       selall1 AS (
+         SELECT query_id, id, 1 AS sel_rank FROM (
+           SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn = 1),
+       $steps
+       SELECT s.query_id AS query_id, CAST(s.sel_rank AS BIGINT) AS sel_rank,
+         s.id AS id, cand.rel AS rel
+       FROM selall4 s JOIN cand ON s.query_id = cand.query_id AND s.id = cand.id
+       ORDER BY query_id, sel_rank"""
+  }
+
   /** q_ann_pq's oracle: 4 mechanical per-subspace integer-Lloyd chains
     * (the q_kmeans CTE shape sliced to dims [16m+1, 16m+16]) + the ADC
     * distance-table join and ranking. Built by string assembly because

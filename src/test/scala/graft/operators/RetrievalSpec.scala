@@ -112,4 +112,24 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head == (8L, 1))
     assert(out.length == 3)
   }
+
+  test("mmrRerank: diversity demotes the near-duplicate (hand-traced)") {
+    // rel: A(1)=900k, B(2)=880k, C(3)=870k; sim(A,B)=990k (near-dup),
+    // sim(A,C)=100k, sim(B,C)=120k, lambda=700:
+    //   round 1 -> A (max rel)
+    //   round 2: B: 700*880k - 300*990k = 319.0M; C: 700*870k - 300*100k
+    //            = 579.0M -> C wins despite lower rel
+    //   round 3 -> B
+    val cands = Seq((9L, 1L, 900000L), (9L, 2L, 880000L), (9L, 3L, 870000L))
+      .toDF("query_id", "id", "rel")
+    val sims = Seq(
+      (9L, 1L, 2L, 990000L), (9L, 2L, 1L, 990000L),
+      (9L, 1L, 3L, 100000L), (9L, 3L, 1L, 100000L),
+      (9L, 2L, 3L, 120000L), (9L, 3L, 2L, 120000L))
+      .toDF("query_id", "id_a", "id_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, k = 3, lambdaPm = 700L)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getAs[Long]("sel_rank"), r.getAs[Long]("id")))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
 }
