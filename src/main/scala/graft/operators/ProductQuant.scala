@@ -58,6 +58,23 @@ object ProductQuant {
         .contains(corpus.schema(idCol).dataType)
     }, s"pqTopK: id column '$idCol' must be an integral type, got " +
       corpus.schema(idCol).dataType)
+    val (codes, cents) = trainEncode(corpus, idCol, vecCol, nSub, subDim, kCode, rounds)
+    adcServe(codes, cents, queries, qidCol, vecCol, nSub, subDim, kCode, topK)
+  }
+
+  /** Codebooks + corpus encoding — the TRAINING half of [[pqTopK]],
+    * shared verbatim with [[writePqIndex]] so the ad-hoc and indexed
+    * paths cannot drift. Returns (`codes` = one row per id with the
+    * nSub codewords, `cents` = the (m, cid, cv) codebooks).
+    */
+  private[graft] def trainEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     // train one integer-Lloyd codebook per subspace; the per-subspace
     // assignment IS the corpus encoding. The nSub trainings are
     // INDEPENDENT, so they submit as concurrent Spark jobs (the
@@ -87,26 +104,59 @@ object ProductQuant {
       .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
       .select(col("id"), expr("transform(mc, p -> p.cid)").as("codes"))
     val cents = parts.map(_._2).reduce(_ unionByName _)
-    // ADC distance table per query: darr[m·kCode + cid] = ‖q_m − c_cid‖²
+    (codes, cents)
+  }
+
+  /** Per-query ADC distance table `(qid, dmap)` with
+    * dmap[m·kCode + cid] = ‖q_m − c_cid‖² — built against the KB-sized
+    * codebooks, broadcast by the serving paths. A MAP, not a flat
+    * array: were a codebook cluster to empty, a positional array would
+    * silently misindex every later slot — the map makes a vanished
+    * codeword a loud NULL adist instead.
+    */
+  private[graft] def adcTable(
+      cents: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int): DataFrame = {
     val qs = queries.select(col(qidCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), explode(sequence(lit(0), lit(nSub - 1))).as("m"),
         col("qv"))
       .select(col("qid"), col("m"),
         expr(s"slice(qv, m * $subDim + 1, $subDim)").as("qv"))
-    val dtab = qs.join(cents, Seq("m"))
+    qs.join(cents, Seq("m"))
       .withColumn("d",
         expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), " +
           "0L, (acc, x) -> acc + x)"))
       .groupBy(col("qid"))
       .agg(sort_array(collect_list(struct(col("m"), col("cid"), col("d"))))
         .as("mcd"))
-      // keyed by m·kCode+cid (a MAP, not a flat array: were a codebook
-      // cluster to empty, a positional array would silently misindex
-      // every later slot — the map makes a vanished codeword a loud
-      // NULL adist instead)
       .select(col("qid"),
         expr(s"map_from_arrays(transform(mcd, p -> p.m * $kCode + p.cid), " +
           "transform(mcd, p -> p.d))").as("dmap"))
+  }
+
+  /** The ADC SERVING half of [[pqTopK]]: distance table against the
+    * (KB-sized) codebooks, one narrow lookup projection over the
+    * codes, bounded top-k. Pure integer arithmetic over (codes,
+    * cents), so an indexed layout served through this path is
+    * bit-identical to the ad-hoc job — the property that lets ONE
+    * oracle check both (the sign-index precedent).
+    */
+  private[graft] def adcServe(
+      codes: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      topK: Int): DataFrame = {
+    val dtab = adcTable(cents, queries, qidCol, vecCol, nSub, subDim, kCode)
     // serving: broadcast the tables, sum nSub lookups per (vector, query)
     val adist = codes.crossJoin(broadcast(dtab))
       .select(col("qid"), col("id"),
@@ -125,6 +175,123 @@ object ProductQuant {
     adist.groupBy(col("qid"))
       .agg(graft.expressions.functions
         .bounded_top_k(col("adist"), col("id"), topK, asc = true).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.id").cast(idType).as("id"),
+        col("e.score").cast("long").as("adist"))
+  }
+
+  /** WRITE-ONCE PQ layout — the compressed-corpus serving shape
+    * [[pqTopK]] only simulates: train + encode once, persist the codes
+    * (nSub small ints per vector — the 100 TB corpus collapses to a
+    * few bytes/row) and the KB-sized codebooks as parquet. Codebooks
+    * land LAST and gate readers, so a half-written index is never
+    * served. Everything persisted is integers, so the indexed query is
+    * bit-identical to the ad-hoc job and the SAME oracle checks both
+    * (the sign-index precedent — no equality certificate needed).
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int): Unit = {
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(corpus.schema(idCol).dataType)
+    }, s"writePqIndex: id column '$idCol' must be an integral type, got " +
+      corpus.schema(idCol).dataType)
+    val (codes, cents) = trainEncode(corpus, idCol, vecCol, nSub, subDim, kCode, rounds)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    cents.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Serve a [[writePqIndex]] layout: read the codes + codebooks and
+    * run the shared [[adcServe]] tail. The scan touches ONLY the code
+    * columns (bytes per row), never original vectors — the entire
+    * point of the layout at corpus scale.
+    */
+  def queryPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      qidCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      topK: Int): DataFrame =
+    adcServe(spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebooks"),
+      queries, qidCol, vecCol, nSub, subDim, kCode, topK)
+
+  /** IVF-PQ hybrid (the FAISS IVFPQ serving topology, sans residual
+    * encoding): a coarse IVF quantizer prunes the corpus to each
+    * query's `nProbe` nearest cells, and ONLY those cells' PQ codes go
+    * through the ADC lookup — I/O and compute proportional to
+    * `nProbe/nCentroids` of an already code-compressed corpus, the
+    * production shape for billion-vector serving. Residuals are
+    * deliberately NOT encoded: they would be floats, and the repo's
+    * posture is approximation-in-the-model, exact-integer arithmetic
+    * over it — so given the cell pruning, every emitted adist is
+    * BIT-IDENTICAL to the full-PQ scan's for the same id (the property
+    * q_ann_ivfpq certifies).
+    *
+    * `corpus`: (idCol, rawVecCol double-array — drives the IVF
+    * assignment, same kernel as [[Similarity.ivfTopK]]) and
+    * (intVecCol long-array of dimension nSub·subDim — drives PQ).
+    * Returns (qid, id, adist) over the probed cells.
+    */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      rawVecCol: String,
+      intVecCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    import graft.expressions.{functions => gfn}
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(corpus.schema(idCol).dataType)
+    }, s"ivfpqTopK: id column '$idCol' must be an integral type, got " +
+      corpus.schema(idCol).dataType)
+    val c = corpus.select(col(idCol).as("id"), col(rawVecCol).as("rv"),
+      col(intVecCol).as("v"))
+    val centroids = Similarity.trainCentroids(
+      c.select(col("id"), col("rv").as("v")), nCentroids,
+      refineIters = 1, maxTrainRows)
+    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), centroids))
+    val (codes, cents) = trainEncode(assigned, "id", "v", nSub, subDim, kCode, rounds)
+    // codes re-attach their cell — at scale, persist (codes, cid)
+    // partitionBy(cid) instead (writeIndex's layout, bytes per row)
+    val codesCid = codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+    val probes = Similarity.probeCells(
+      queries.select(col(qidCol).as("query_id"), col(rawVecCol)),
+      "query_id", rawVecCol, centroids, nProbe)
+      .select(col("query_id").as("qid"), col("cid"))
+    val dtab = adcTable(cents, queries, qidCol, intVecCol, nSub, subDim, kCode)
+    val idType = codesCid.schema("id").dataType
+    codesCid.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(dtab), Seq("qid"))
+      .select(col("qid"), col("id"),
+        expr(s"""aggregate(sequence(0, ${nSub - 1}), 0L, (acc, m) ->
+             acc + element_at(dmap, m * ${kCode}L + element_at(codes, m + 1)))""")
+          .as("adist"))
+      .groupBy(col("qid"))
+      .agg(graft.expressions.functions
+        .bounded_top_k(col("adist"), col("id"), k, asc = true).as("tk"))
       .select(col("qid"), explode(col("tk")).as("e"))
       .select(col("qid"), col("e.id").cast(idType).as("id"),
         col("e.score").cast("long").as("adist"))

@@ -107,7 +107,7 @@ object Similarity {
     * a WindowGroupLimit rewrite firing; cids re-attach their query
     * vector via a broadcast self-join on the (small) query frame.
     */
-  private def probeCells(
+  private[operators] def probeCells(
       queries: DataFrame,
       queryIdCol: String,
       vecCol: String,

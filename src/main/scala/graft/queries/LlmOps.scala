@@ -959,6 +959,64 @@ object LlmOps {
         .orderBy("qid", "id")
     }),
 
+    // Persisted PQ index (ProductQuant.writePqIndex / queryPqIndex):
+    // the corpus codes + codebooks materialized once as parquet, the
+    // serving tail shared verbatim with the ad-hoc q_ann_pq — all
+    // integers, so the indexed path is bit-identical and the SAME
+    // ADC oracle replays it directly (the sign-index precedent).
+    "q_ann_pq_indexed" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/pq_index_s4x16k4r2" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val vq = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      if (!new java.io.File(s"$dir/codebooks").exists()) {
+        graft.operators.ProductQuant.writePqIndex(vq, "vec_id", "v", dir,
+          nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+      }
+      graft.operators.ProductQuant.queryPqIndex(s, dir,
+          vq.filter(col("vec_id") < 5), "vec_id", "v",
+          nSub = 4, subDim = 16, kCode = 4, topK = 10)
+        .orderBy("qid", "id")
+    }),
+
+    // IVF-PQ hybrid certificate (ProductQuant.ivfpqTopK): coarse cells
+    // prune the corpus, ADC runs only over probed cells' codes. The
+    // certificate checks (a) every query fills k results, (b) every
+    // adist the hybrid emits is BIT-EQUAL to the full-PQ scan's for
+    // the same id (no residual encoding — pruning is the only
+    // approximation), (c) a mean-overlap floor vs the full-PQ top-k.
+    // DuckDB emits the expected constants (the q_ann_ivf pattern) —
+    // the float centroid assignment isn't SQL-replayable, the exact
+    // invariants around it are.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val both = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      val corpus = both.filter(col("vec_id") >= 5)
+      val queries = both.filter(col("vec_id") < 5)
+      val hybrid = graft.operators.ProductQuant.ivfpqTopK(
+        corpus, queries, "vec_id", "vec_id", "embedding", "v",
+        k = 10, nCentroids = 16, nProbe = 8,
+        nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+      val full = graft.operators.ProductQuant.pqTopK(
+          corpus, queries, "vec_id", "vec_id", "v",
+          nSub = 4, subDim = 16, kCode = 4, rounds = 2, topK = 10)
+        .withColumnRenamed("adist", "adist_full")
+      hybrid.join(full, Seq("qid", "id"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          sum(when(col("adist_full").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+          sum(when(col("adist_full") === col("adist"), 1L).otherwise(0L))
+            .as("n_adist_eq"))
+        .agg(count(lit(1)).as("n_queries"),
+          (min(col("n_results")) === 10L).as("every_query_full_k"),
+          (sum(col("n_adist_eq")) === sum(col("n_overlap"))).as("adist_exact"),
+          // mean overlap with the full-PQ top-10 ≥ 40% at nProbe = 8/16
+          (sum(col("n_overlap")) >= lit(4L) * count(lit(1))).as("recall_ok"))
+    }),
+
     "q_ann_ivf_indexed" -> ((s, d) => {
       val (nCentroids, refineIters, split) = (16, 1, 5)
       val srcFile = new java.io.File(s"$d/embeddings.parquet")
@@ -8051,6 +8109,15 @@ object LlmOps {
          ORDER BY id_a, id_b""",
 
     "q_ann_pq" -> pqOracleSql,
+    // bit-identical indexed path — the SAME ADC replay oracles it
+    "q_ann_pq_indexed" -> pqOracleSql,
+
+    // the q_ann_ivf certificate pattern: constants expected, the Spark
+    // side emits false (hash mismatch) if any invariant breaks
+    "q_ann_ivfpq" ->
+      """SELECT count(*) AS n_queries, true AS every_query_full_k,
+           true AS adist_exact, true AS recall_ok
+         FROM embeddings WHERE vec_id < 5""",
 
     "q_media_dedup" ->
       """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies

@@ -40,4 +40,49 @@ class ProductQuantSpec extends SparkSpec {
     // smallest (adist, id) still picks {2,4} at 100 vs {1,3} at 200
     assert(out == Seq((7L, 1L), (7L, 3L), (8L, 2L), (8L, 4L)))
   }
+
+  test("queryPqIndex serves bit-identically to the ad-hoc pqTopK") {
+    val corpus = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(10L, 0L)),
+      (3L, Seq(0L, 10L)), (4L, Seq(10L, 10L))
+    ).toDF("id", "v")
+    val queries = Seq((7L, Seq(0L, 0L)), (8L, Seq(10L, 10L))).toDF("qid", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_index_spec").toString
+    ProductQuant.writePqIndex(corpus, "id", "v", dir,
+      nSub = 2, subDim = 1, kCode = 2, rounds = 1)
+    val indexed = ProductQuant.queryPqIndex(spark, dir, queries, "qid", "v",
+        nSub = 2, subDim = 1, kCode = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adhoc = ProductQuant.pqTopK(corpus, queries, "id", "qid", "v",
+        nSub = 2, subDim = 1, kCode = 2, rounds = 1, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == adhoc)
+    assert(indexed.nonEmpty)
+  }
+
+  test("ivfpqTopK: probed-cell results carry the full-PQ adist exactly") {
+    // raw doubles drive the IVF cells; the int vectors drive PQ. With
+    // nProbe = nCentroids the hybrid must EQUAL the full scan.
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0), Seq(0L, 0L)), (2L, Seq(10.0, 0.0), Seq(10L, 0L)),
+      (3L, Seq(0.0, 10.0), Seq(0L, 10L)), (4L, Seq(10.0, 10.0), Seq(10L, 10L))
+    ).toDF("id", "rv", "v")
+    val queries = Seq((7L, Seq(0.1, 0.1), Seq(0L, 0L))).toDF("qid", "rv", "v")
+    val all = ProductQuant.ivfpqTopK(corpus, queries, "id", "qid", "rv", "v",
+        k = 4, nCentroids = 2, nProbe = 2,
+        nSub = 2, subDim = 1, kCode = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = ProductQuant.pqTopK(corpus, queries, "id", "qid", "v",
+        nSub = 2, subDim = 1, kCode = 2, rounds = 1, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == full)
+    // pruned: nProbe = 1 returns a SUBSET whose adists still match full
+    val pruned = ProductQuant.ivfpqTopK(corpus, queries, "id", "qid", "rv", "v",
+        k = 4, nCentroids = 2, nProbe = 1,
+        nSub = 2, subDim = 1, kCode = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned.nonEmpty && pruned.subsetOf(full),
+      s"pruned=$pruned full=$full")
+  }
 }
