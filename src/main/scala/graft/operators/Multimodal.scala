@@ -125,6 +125,87 @@ object Multimodal {
     // -------- frame container ("video" = length-prefixed encoded frames) --
     private val FrameMagic = 0x47524654 // "GRFT"
 
+    /** Block-gradient test image: 8×8 grid of 4×4-pixel constant-gray
+      * blocks, block b's level = ((b + seed) mod 64)·4 — per-seed
+      * DISTINCT above-mean block sets (cyclic shifts), with every
+      * block's sum far from the aHash threshold, so a ±1 single-pixel
+      * corruption can never flip a hash bit (margin 32768 vs
+      * perturbation ~1040 in the cross-multiplied compare). The
+      * deterministic fixture for perceptual-hash invariance.
+      */
+    def encodeGradientPng(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val b = (x / 4) + 8 * (y / 4)
+          val g = ((b + seed) % 64) * 4
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      encodeImage(img)
+    }
+
+    /** Bump pixel (0,0)'s gray by +1 (clamped) and re-encode — the
+      * smallest content change that defeats byte-level (md5) dedup
+      * while leaving any sane perceptual hash fixed.
+      */
+    def corruptOnePixel(payload: Array[Byte]): Option[Array[Byte]] =
+      readImage(payload).map { img =>
+        val px = img.getRGB(0, 0)
+        val r = math.min(255, ((px >> 16) & 0xFF) + 1)
+        val g = math.min(255, ((px >> 8) & 0xFF) + 1)
+        val b = math.min(255, (px & 0xFF) + 1)
+        img.setRGB(0, 0, (r << 16) | (g << 8) | b)
+        encodeImage(img)
+      }
+
+    /** 64-bit average hash (aHash): the image folds into an 8×8 grid of
+      * EXACT integer block luminance sums (block p covers pixel rows
+      * [p·h/8, (p+1)·h/8) by floor division — any dimensions), and bit
+      * b is set when block b's mean luminance exceeds the global mean,
+      * decided by the cross-multiplied integer compare
+      * N_total·sum_b > n_b·sum_total — no division, no floats, so the
+      * hash is bit-deterministic for identical pixels and robust to
+      * sub-threshold pixel noise. Luminance = r+g+b (the /3 cancels in
+      * the compare).
+      */
+    def aHash64(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val by = (y.toLong * 8 / h).toInt
+          var x = 0
+          while (x < w) {
+            val bx = (x.toLong * 8 / w).toInt
+            val px = img.getRGB(x, y)
+            val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)).toLong
+            val b = by * 8 + bx
+            sums(b) += lum
+            counts(b) += 1
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (counts(b) > 0 && n * sums(b) > counts(b) * total)
+            hash |= (1L << b)
+          b += 1
+        }
+        hash
+      }
+
     def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
@@ -324,6 +405,58 @@ object Multimodal {
     * payloads generated executor-side from `spark.range` (the driver never
     * holds the corpus — the shape that scales).
     */
+  /** Perceptual hashing: payload → 64-bit aHash column (null when the
+    * payload doesn't decode). The near-dup key for image dedup — byte
+    * dedup (q_media_dedup's md5) misses re-encoded or lightly-edited
+    * copies; the aHash groups them. Downstream, exact-match groupBy or
+    * the simhash banding machinery over the hash both apply.
+    */
+  def imageAHash(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq :+
+      StructField("ahash64", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hv = MediaCodec.aHash64(r.getAs[Array[Byte]](payloadIdx))
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ hv)
+      }
+    }(enc)
+  }
+
+  /** One-pixel corruption transform — the adversarial fixture for
+    * perceptual dedup: output bytes differ (md5 dedup misses them),
+    * pixels differ sub-threshold (aHash must not). Undecodable
+    * payloads pass through unchanged, the resizeImages convention.
+    */
+  def corruptImages(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val out = MediaCodec.corruptOnePixel(p).getOrElse(p)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, out))
+      }
+    }(enc)
+  }
+
+  /** Deterministic block-gradient image fixture (media_id 1..n, seed =
+    * id mod 64) — distinct aHashes per seed by construction; see
+    * [[MediaCodec.encodeGradientPng]].
+    */
+  def syntheticGradientMedia(spark: SparkSession, n: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    spark.range(1, n + 1L).toDF("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        Row(i, "image", MediaCodec.encodeGradientPng((i % 64).toInt),
+          Row("image/png", 32, 32, null, null))
+      }
+    }(enc)
+  }
+
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     spark.range(1, n + 1L).toDF("media_id").mapPartitions { rows =>

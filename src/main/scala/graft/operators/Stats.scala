@@ -380,6 +380,75 @@ object Stats {
         col("chi2f_x1000"), col("w_pm"))
   }
 
+  /** Quade test (1979) — [[friedman]] weighted by block INFORMATIVENESS:
+    * blocks with a wider value range carry more signal, so each
+    * within-block doubled midrank deviation (r₂ − (k+1)) is weighted by
+    * the block's doubled range-rank q₂ (block ranges ranked across
+    * blocks, ties by midrank). With S₄ᵢⱼ = q₂ᵢ·(r₂ᵢⱼ − (k+1)) — 4× the
+    * textbook Sᵢⱼ, the factor cancels — the statistic is
+    * `quade_x1000` = (1000·(n−1)·Σⱼ(ΣᵢS₄)²) div (n·ΣᵢⱼS₄² − Σⱼ(ΣᵢS₄)²),
+    * exact integers end to end; a zero denominator (perfect treatment
+    * agreement in every block) emits 0, documented like friedman's
+    * all-tied case. Incomplete blocks drop (the friedman discipline).
+    * Products grow ~n³k³, so they ride DECIMAL(38,0) with the %-trick
+    * floor division and loud cast-down. The block-level range-rank
+    * window runs over the CALENDAR-bounded block frame (the day-spine
+    * exception).
+    */
+  def quade(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      vCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pinned = df.select(col(blockCol), col(treatCol), col(vCol))
+      .localCheckpoint(true)
+    val kDf = pinned.agg(countDistinct(col(treatCol)).as("k"))
+    val nbDf = pinned.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
+    // two consumers (within-block ranks, block ranges) — pin once
+    val complete = pinned
+      .join(nbDf, blockCol)
+      .crossJoin(broadcast(kDf))
+      .filter(col("__nb") === col("k"))
+      .localCheckpoint(true)
+    val wV = Window.partitionBy(col(blockCol)).orderBy(col(vCol).asc)
+    val wTie = Window.partitionBy(col(blockCol), col(vCol))
+    val ranked = complete
+      .withColumn("__rn", row_number().over(wV).cast("long"))
+      .withColumn("__r2", min(col("__rn")).over(wTie) + max(col("__rn")).over(wTie))
+    val wDOrd = Window.orderBy(col("__d").asc)
+    val wDTie = Window.partitionBy(col("__d"))
+    // row_number's order within a range tie is arbitrary, but the
+    // doubled midrank min+max over the tie run is tie-order-INVARIANT
+    val q2d = complete.groupBy(col(blockCol))
+      .agg((max(col(vCol)) - min(col(vCol))).as("__d"))
+      .withColumn("__qrn", row_number().over(wDOrd).cast("long"))
+      .withColumn("__q2", min(col("__qrn")).over(wDTie) + max(col("__qrn")).over(wDTie))
+      .select(col(blockCol), col("__q2"))
+    val perTreat = ranked.join(q2d, blockCol)
+      .withColumn("__s4", col("__q2").cast(dec) * (col("__r2") - (col("k") + 1)))
+      .groupBy(col(treatCol))
+      .agg(count(lit(1)).as("n_blocks"), max(col("k")).as("k"),
+        sum(col("__s4")).as("__s4j"),
+        sum(col("__s4") * col("__s4")).as("__a16j"))
+      .localCheckpoint(true)
+    val global = perTreat.agg(sum(col("__a16j")).as("__a16"),
+      sum(col("__s4j") * col("__s4j")).as("__b16n"),
+      max(col("n_blocks")).as("__n"))
+    perTreat.crossJoin(broadcast(global))
+      .withColumn("s4_sum", loudLong(col("__s4j"), "quade", "s4_sum"))
+      .withColumn("__den", col("__n").cast(dec) * col("__a16") - col("__b16n"))
+      .withColumn("quade_x1000",
+        when(col("__n") === 0 || col("__den") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__b16n") * (col("__n") - 1) * 1000
+              - col("__b16n") * (col("__n") - 1) * 1000 % col("__den"))
+              / col("__den")).cast(dec),
+            "quade", "quade_x1000")))
+      .select(col(treatCol), col("n_blocks"), col("k"), col("s4_sum"),
+        col("quade_x1000"))
+  }
+
   /** Cramér's V effect size over an r×c contingency table: the global
     * χ²·1000 = Σ_cells (1000·(N·O − R·C)²) div (N·R·C) — per-cell floor
     * then sum, both engines replaying identically; products run in

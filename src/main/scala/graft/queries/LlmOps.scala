@@ -752,6 +752,26 @@ object LlmOps {
         .orderBy("keep_id")
     }),
 
+    // Perceptual image dedup (Multimodal.imageAHash): planted copies
+    // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
+    // misses every one of them — the exact-integer 64-bit average hash
+    // (cross-multiplied block-vs-global luminance compare, no floats)
+    // still groups each with its original, and the block-gradient
+    // fixture guarantees distinct hashes across distinct seeds. The
+    // structural oracle expects exactly the planted pairs.
+    "q_image_ahash" -> ((s, d) => {
+      val media = Multimodal.syntheticGradientMedia(s, 40)
+      val planted = Multimodal.corruptImages(
+        media.filter(col("media_id") <= 15)
+          .withColumn("media_id", col("media_id") + 1000))
+      Multimodal.imageAHash(media.unionByName(planted))
+        .groupBy(col("ahash64"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
     "q_simhash_fingerprints" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
@@ -3783,6 +3803,19 @@ object LlmOps {
           date_trunc("week", col("ts").cast("date")).cast("date").as("wk"))
         .agg(count(lit(1)).as("n"))
       Stats.friedman(weekly, "wk", "event_type", "n")
+        .orderBy("event_type")
+    }),
+
+    // Quade test (Stats.quade) on the q_friedman frame: the same
+    // complete weekly blocks, but each block's rank deviations weighted
+    // by the block's range rank — wide-spread weeks carry more signal.
+    // The power upgrade over Friedman when block scales differ.
+    "q_quade" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts").cast("date")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      Stats.quade(weekly, "wk", "event_type", "n")
         .orderBy("event_type")
     }),
 
@@ -8123,6 +8156,12 @@ object LlmOps {
       """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
          FROM range(1, 21) t(i) ORDER BY keep_id""",
 
+    // structural: the 15 planted one-pixel-corrupted copies — and ONLY
+    // those — must collapse onto their originals' aHash
+    "q_image_ahash" ->
+      """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
+         FROM range(1, 16) t(i) ORDER BY keep_id""",
+
     "q_kmeans" ->
       """WITH v AS (
            SELECT vec_id AS id,
@@ -8686,6 +8725,48 @@ object LlmOps {
            CASE WHEN nn = 0 OR k < 2 THEN 0
                 ELSE chi2f_x1000 // (nn * (k - 1)) END AS w_pm
          FROM fin ORDER BY event_type""",
+
+    // the friedman chain + block range ranks (doubled midranks across
+    // blocks), S4 = q2*(r2-(k+1)), and the cross-multiplied F replayed
+    "q_quade" ->
+      """WITH wkk AS (
+           SELECT event_type,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM wkk),
+         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk FROM wkk GROUP BY 1),
+         cw AS (SELECT wkk.* FROM wkk JOIN nb USING (wk) CROSS JOIN kk
+                WHERE nbk = k),
+         rk AS (
+           SELECT wk, event_type,
+             min(rn) OVER (PARTITION BY wk, n)
+               + max(rn) OVER (PARTITION BY wk, n) AS r2
+           FROM (SELECT *, row_number() OVER (PARTITION BY wk ORDER BY n) AS rn
+                 FROM cw)),
+         rg AS (SELECT wk, max(n) - min(n) AS d FROM cw GROUP BY 1),
+         q2t AS (
+           SELECT wk,
+             min(qrn) OVER (PARTITION BY d)
+               + max(qrn) OVER (PARTITION BY d) AS q2
+           FROM (SELECT wk, d, row_number() OVER (ORDER BY d) AS qrn FROM rg)),
+         cl AS (
+           SELECT rk.event_type AS event_type,
+             CAST(q2 AS HUGEINT) * (r2 - (k + 1)) AS s4
+           FROM rk JOIN q2t USING (wk) CROSS JOIN kk),
+         pt AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             sum(s4) AS s4j, sum(s4 * s4) AS a16j
+           FROM cl GROUP BY 1),
+         g AS (
+           SELECT sum(a16j) AS a16, sum(s4j * s4j) AS b16n,
+             CAST(max(n_blocks) AS BIGINT) AS nn
+           FROM pt)
+         SELECT event_type, n_blocks, k, CAST(s4j AS BIGINT) AS s4_sum,
+           CASE WHEN nn = 0 OR nn * a16 - b16n = 0 THEN 0
+                ELSE CAST((1000 * (nn - 1) * b16n)
+                  // (nn * a16 - b16n) AS BIGINT) END AS quade_x1000
+         FROM pt CROSS JOIN g CROSS JOIN kk ORDER BY event_type""",
 
     // Zero cells from the marginal cross join, HUGEINT per-cell floor
     // contributions, and the ×10⁶ squared effect size replayed.

@@ -347,6 +347,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: aHash survives one-pixel corruption, separates seeds, nulls on junk") {
+    val media = Multimodal.syntheticGradientMedia(spark, 10)
+    val orig = Multimodal.imageAHash(media)
+      .select("media_id", "ahash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distinct seeds -> distinct hashes
+    assert(orig.values.toSet.size == orig.size, s"hash collision: $orig")
+    // one-pixel corruption leaves every hash fixed (md5 would differ)
+    val corr = Multimodal.imageAHash(Multimodal.corruptImages(media))
+      .select("media_id", "ahash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corr == orig)
+    import org.apache.spark.sql.Row
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, "image",
+        Array[Byte](1, 2, 3), null))), Multimodal.mediaSchema)
+    assert(Multimodal.imageAHash(junk).select("ahash64").head().isNullAt(0))
+  }
+
   test("multimodal: frame container round-trips and sampling decodes per-frame dims") {
     val media = Multimodal.syntheticMedia(spark, 5, kind = "video")
     val frames = Multimodal.sampleFrames(media, framesPerVideo = 3)

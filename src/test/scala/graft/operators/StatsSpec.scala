@@ -127,6 +127,22 @@ class StatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("chi2f_x1000") === 0L))
   }
 
+  test("quade: hand-computed 3-block example with range and value ties") {
+    // blocks: b1 A=1 B=2 (range 1 → q2=4), b2 A=3 B=9 (range 6 → q2=6),
+    // b3 A=5 B=5 (range 0 → q2=2; within-block tie → zero deviation).
+    // S4 = q2·(r2−3): A = (−4, −6, 0), B = (+4, +6, 0) → S_A = −2.5,
+    // A-stat = 6.5, B-stat = 25/6, F = 2·(25/6)/(7/3) = 25/7 = 3.571…
+    val df = spark.createDataFrame(Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L),
+      ("b2", "A", 3L), ("b2", "B", 9L),
+      ("b3", "A", 5L), ("b3", "B", 5L))).toDF("blk", "t", "v")
+    val out = Stats.quade(df, "blk", "t", "v").collect()
+      .map(r => r.getAs[String]("t") ->
+        (r.getAs[Long]("s4_sum"), r.getAs[Long]("quade_x1000"))).toMap
+    assert(out("A") === ((-10L, 3571L)))
+    assert(out("B") === ((10L, 3571L)))
+  }
+
   test("cramersV: perfect association gives V² = 1, independence gives 0") {
     val perfect = spark.createDataFrame(
       Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
