@@ -32,6 +32,43 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("registerBucketed re-attaches existing files with the bucket spec intact") {
+    // the session-restart path: files written by one catalog life must
+    // re-register via DDL and STILL join shuffle-free — a registration
+    // that drops the bucket spec would silently re-grow exchanges in
+    // every post-restart bench pass
+    val n = 600
+    val facts = (1 to n).map(i => (i.toLong % 40, i.toLong)).toDF("k", "id")
+    val dims = (0L until 40L).map(k => (k, s"d_$k")).toDF("k", "name")
+    val base = java.nio.file.Files.createTempDirectory("reg_bkt").toString
+    Layout.writeBucketed(facts, "facts_rb", Seq("k"), numBuckets = 8,
+      sortCols = Seq("k"), path = Some(s"$base/facts"))
+    Layout.writeBucketed(dims, "dims_rb", Seq("k"), numBuckets = 8,
+      sortCols = Seq("k"), path = Some(s"$base/dims"))
+    // simulate the restart: catalog forgets, files remain
+    spark.sql("DROP TABLE facts_rb")
+    spark.sql("DROP TABLE dims_rb")
+    Layout.registerBucketed(spark, "facts_rb", facts.schema, Seq("k"), 8,
+      Seq("k"), s"$base/facts")
+    Layout.registerBucketed(spark, "dims_rb", dims.schema, Seq("k"), 8,
+      Seq("k"), s"$base/dims")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("facts_rb").join(spark.table("dims_rb"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"re-registered bucketed join must stay shuffle-free, got:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS facts_rb")
+      spark.sql("DROP TABLE IF EXISTS dims_rb")
+    }
+  }
+
   test("salted join matches plain join results") {
     // heavy skew: 90% of rows share key 1
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i)).toDF("k", "payload")
