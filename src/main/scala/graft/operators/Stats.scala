@@ -54,6 +54,58 @@ object Stats {
         (covN / sqrt(nullif(varXN * varYN, lit(0.0)))).as("corr")): _*)
   }
 
+  /** First-order partial correlation r_xy·z per group — how much of the
+    * x↔y association survives controlling for z: (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The [[regression]] determinism discipline:
+    * all ten moment sums accumulate EXACTLY in DECIMAL (associative —
+    * partitioning-invariant), and only the final closed-form
+    * combination runs in double as a FIXED expression tree (each √ and
+    * ratio a single IEEE-rounded op), so an oracle mirroring the tree
+    * reproduces every double bitwise. Degenerate groups (constant x, y
+    * or z; |r| = 1 controls) yield NULL via nullif in BOTH engines.
+    * ONE partial+final hash aggregate; no window, no second pass.
+    */
+  def partialCorrelation(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    val z = col(zCol).cast(dec)
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).cast("double").as("__sx"), sum(y).cast("double").as("__sy"),
+        sum(z).cast("double").as("__sz"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(y * y).cast("double").as("__syy"),
+        sum(z * z).cast("double").as("__szz"),
+        sum(x * y).cast("double").as("__sxy"),
+        sum(x * z).cast("double").as("__sxz"),
+        sum(y * z).cast("double").as("__syz"))
+    def r(cov: Column, vx: Column, vy: Column): Column =
+      cov / sqrt(nullif(vx * vy, lit(0.0)))
+    val rxy = r(col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+      col("__n") * col("__sxx") - col("__sx") * col("__sx"),
+      col("__n") * col("__syy") - col("__sy") * col("__sy"))
+    val rxz = r(col("__n") * col("__sxz") - col("__sx") * col("__sz"),
+      col("__n") * col("__sxx") - col("__sx") * col("__sx"),
+      col("__n") * col("__szz") - col("__sz") * col("__sz"))
+    val ryz = r(col("__n") * col("__syz") - col("__sy") * col("__sz"),
+      col("__n") * col("__syy") - col("__sy") * col("__sy"),
+      col("__n") * col("__szz") - col("__sz") * col("__sz"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n"),
+      rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+      ((rxy - rxz * ryz) /
+        sqrt(nullif((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz), lit(0.0))))
+        .as("partial_xy_z")): _*)
+  }
+
   /** Five-number summary per group — min, q1, median, q3, max — with the
     * quartiles as EXPLICIT type-7 order statistics (the numpy/R default):
     * position (n−1)·p is split into an exact floor rank and an exact

@@ -542,6 +542,37 @@ object TextAnalysis {
       .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
         "n_complex", "fog_x1000")).map(col): _*)
 
+  /** Coleman–Liau index (1975), the readability member that needs NO
+    * syllable heuristic — characters and sentences only, which makes
+    * it the robust cross-checking sibling of [[fleschReadability]] /
+    * [[gunningFog]] on noisy web text where vowel-group counting
+    * misfires: CLI = 5.88·(letters/words) − 29.6·(sentences/words)
+    * − 15.8, rendered floor-composed as `cli_x1000` = (5880·L) div W
+    * − (29600·S) div W − 15800. Letters = ascii-token character mass
+    * (the tokenizer already strips punctuation). Same zero-shuffle
+    * projection shape as the siblings.
+    */
+  def colemanLiau(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("n_sents",
+        size(filter(split(col(textCol), "[.!?]+"), x => length(trim(x)) > 0))
+          .cast("long"))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_letters", expr(
+        """aggregate(transform(__tk, w -> length(w)),
+           CAST(0 AS BIGINT), (a, b) -> a + CAST(b AS BIGINT))"""))
+      .withColumn("cli_x1000",
+        when(col("n_words") === 0 || col("n_sents") === 0, 0L).otherwise(
+          expr("(5880 * n_letters) div n_words")
+            - expr("(29600 * n_sents) div n_words") - lit(15800L)))
+      .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
+        "n_letters", "cli_x1000")).map(col): _*)
+
   /** Yule's characteristic K (1944), the classic repetitiveness /
     * lexical-concentration constant: K = 10⁴·(Σ_t f_t² − N)/N² over the
     * per-category token frequency spectrum — high K = a few tokens
