@@ -4273,6 +4273,37 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Coleman–Liau readability (TextAnalysis.colemanLiau) per source:
+    // the syllable-free member of the readability battery — characters
+    // and sentences only, the robust cross-check where vowel-group
+    // counting misfires on noisy web text. Same floor-composed
+    // integer rendering and rollup shape as q_flesch.
+    "q_coleman_liau" -> ((s, d) => {
+      TextAnalysis.colemanLiau(
+        Tables.documents(s, d), "doc_id", "text", keepCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cli_x1000")).as("sum_cli_x1000"),
+          min(col("cli_x1000")).as("min_cli_x1000"),
+          max(col("cli_x1000")).as("max_cli_x1000"))
+        .orderBy("source")
+    }),
+
+    // Partial correlation (Stats.partialCorrelation) per return flag:
+    // does the price↔quantity association survive controlling for the
+    // discount? Exact DECIMAL moment sums, one fixed double tree (the
+    // regression determinism discipline) — the confound-screening
+    // companion to q_corr_pairs.
+    "q_partial_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_discount * 1000) AS BIGINT)").as("disc_pm"))
+      Stats.partialCorrelation(li, Seq("l_returnflag"), "price_c", "qty", "disc_pm")
+        .orderBy("l_returnflag")
+    }),
+
     // Pettitt change-point test (TimeSeries.pettitt): WHERE did each
     // event type's daily level shift — max-|U| rank statistic with the
     // earliest-argmax day, all-integer via the r_s recursion. The
@@ -9508,6 +9539,73 @@ object LlmOps {
            CAST(min(f1000) AS BIGINT) AS min_flesch_x1000,
            CAST(max(f1000) AS BIGINT) AS max_flesch_x1000
          FROM sc GROUP BY 1 ORDER BY source""",
+
+    // letters = ascii-token character mass, the floor-composed CLI
+    "q_coleman_liau" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS s
+           FROM documents),
+         f AS (
+           SELECT source, s,
+             CAST(len(t) AS BIGINT) AS w,
+             CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0)
+               AS BIGINT) AS l
+           FROM tk),
+         sc AS (
+           SELECT source,
+             CASE WHEN w = 0 OR s = 0 THEN 0
+                  ELSE (5880 * l) // w - (29600 * s) // w - 15800
+             END AS c1000
+           FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c1000) AS BIGINT) AS sum_cli_x1000,
+           CAST(min(c1000) AS BIGINT) AS min_cli_x1000,
+           CAST(max(c1000) AS BIGINT) AS max_cli_x1000
+         FROM sc GROUP BY 1 ORDER BY source""",
+
+    // exact HUGEINT moment sums cast to double, then the identical
+    // fixed expression tree (each sqrt/ratio one IEEE-rounded op)
+    "q_partial_corr" ->
+      """WITH li AS (
+           SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 1000) AS BIGINT) AS disc_pm
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(price_c) AS DOUBLE) AS sx,
+             CAST(sum(qty) AS DOUBLE) AS sy,
+             CAST(sum(disc_pm) AS DOUBLE) AS sz,
+             CAST(sum(price_c * price_c) AS DOUBLE) AS sxx,
+             CAST(sum(qty * qty) AS DOUBLE) AS syy,
+             CAST(sum(disc_pm * disc_pm) AS DOUBLE) AS szz,
+             CAST(sum(price_c * qty) AS DOUBLE) AS sxy,
+             CAST(sum(price_c * disc_pm) AS DOUBLE) AS sxz,
+             CAST(sum(qty * disc_pm) AS DOUBLE) AS syz
+           FROM li GROUP BY 1),
+         r AS (
+           SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             (n * sxy - sx * sy)
+               / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))
+               AS r_xy,
+             (n * sxz - sx * sz)
+               / sqrt(nullif((n * sxx - sx * sx) * (n * szz - sz * sz), 0.0))
+               AS r_xz,
+             (n * syz - sy * sz)
+               / sqrt(nullif((n * syy - sy * sy) * (n * szz - sz * sz), 0.0))
+               AS r_yz
+           FROM m)
+         SELECT l_returnflag, n, r_xy, r_xz, r_yz,
+           (r_xy - r_xz * r_yz)
+             / sqrt(nullif((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz), 0.0))
+             AS partial_xy_z
+         FROM r ORDER BY l_returnflag""",
 
     // The r_s recursion, the cumulative U_t, and the earliest-argmax
     // pick replayed; struct_pack min = the portable argmin idiom.

@@ -171,6 +171,38 @@ class StatsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("flesch_x1000") === 0L)
   }
 
+  test("colemanLiau: hand-computed letters/sentences, blank doc zero") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "Go now. Be good."), (2L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.colemanLiau(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r = out(1L)
+    assert(r.getAs[Long]("n_sents") === 2L)
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_letters") === 11L)
+    // (5880·11) div 4 − (29600·2) div 4 − 15800 = 16170 − 14800 − 15800
+    assert(r.getAs[Long]("cli_x1000") === -14430L)
+    assert(out(2L).getAs[Long]("cli_x1000") === 0L)
+  }
+
+  test("partialCorrelation: y = x gives partial 1; perfect control gives NULL") {
+    // y = x exactly → r_xy = 1 and the partial collapses to
+    // (1 − r²)/√((1−r²)²) = 1 up to one ulp
+    val df = spark.createDataFrame(Seq(
+      ("g", 1L, 1L, 2L), ("g", 2L, 2L, 1L), ("g", 3L, 3L, 5L),
+      ("g", 4L, 4L, 3L), ("g", 5L, 5L, 4L))).toDF("k", "x", "y", "z")
+    val r = Stats.partialCorrelation(df, Seq("k"), "x", "y", "z").collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(math.abs(r.getAs[Double]("r_xy") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("partial_xy_z") - 1.0) < 1e-12)
+    // z = x exactly → 1 − r_xz² = 0 → NULL, never NaN/inf
+    val ctrl = spark.createDataFrame(Seq(
+      ("c", 1L, 5L, 1L), ("c", 2L, 3L, 2L), ("c", 3L, 4L, 3L)))
+      .toDF("k", "x", "y", "z")
+    val c = Stats.partialCorrelation(ctrl, Seq("k"), "x", "y", "z").collect().head
+    assert(c.isNullAt(c.fieldIndex("partial_xy_z")))
+  }
+
   test("gunningFog: complex-word counting and the floor-composed index") {
     val df = spark.createDataFrame(Seq(
       (1L, "The cat sat. The dog ran!"),      // 0 complex → 0.4·(6/2) = 1.2
