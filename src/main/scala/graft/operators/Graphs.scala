@@ -107,6 +107,72 @@ object Graphs {
     result
   }
 
+  /** Per-node local clustering coefficient over an UNDIRECTED pair
+    * list: lcc(v) = closed neighbor pairs / all neighbor pairs,
+    * emitted exactly as `lcc_pm` = (2000·t_v) div (d_v·(d_v−1)) with
+    * t_v the triangles through v (canonical u<w neighbor pairs joined
+    * against the canonical edge set). The node-level texture the
+    * global [[graft.operators.Components.triangleCount]] flattens out
+    * — high-lcc nodes sit in near-cliques (boilerplate families,
+    * template clusters), low-lcc high-degree nodes are hubs bridging
+    * unrelated docs.
+    *
+    * Scale shape: wedges are Σ deg² — the standard triangle-counting
+    * cost, bounded only when the pairing upstream caps degrees
+    * (blocked dedup graphs do by construction; cap hubs first on
+    * power-law graphs). Edges pin once; every join is an equi-join on
+    * ids.
+    */
+  def localClustering(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .filter(col("a") =!= col("b")).localCheckpoint(true)
+    val und = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    Checkpoints.release(Seq(p))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val canon = und.filter(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("w"))
+    val wedges = und.select(col("a").as("v"), col("b").as("u"))
+      .join(und.select(col("a").as("v"), col("b").as("w")), "v")
+      .filter(col("u") < col("w"))
+    val tri = wedges.join(canon, Seq("u", "w"))
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("lcc_pm",
+        when(col("degree") < 2, 0L).otherwise(
+          expr("(2000 * n_tri) div (degree * (degree - 1))")))
+  }
+
+  /** Degree assortativity (Newman 2002) over an undirected pair list:
+    * the Pearson correlation of endpoint degrees across (symmetrized)
+    * edges — positive means hubs link hubs (social-graph texture),
+    * negative means hubs link leaves (star/boilerplate texture). Rides
+    * [[graft.operators.Stats.regression]]'s exact-moment machinery:
+    * integer degree sums in DECIMAL, ONE fixed double tree, bitwise
+    * oracle-replayable. Output: (n_ends, assortativity).
+    */
+  def assortativity(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .filter(col("a") =!= col("b")).localCheckpoint(true)
+    val und = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    Checkpoints.release(Seq(p))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val ends = und
+      .join(deg.select(col("id").as("a"), col("degree").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("deg_b")), "b")
+      .withColumn("__g", lit(1))
+    Stats.regression(ends, Seq("__g"), "deg_a", "deg_b")
+      .select(col("n").as("n_ends"), col("corr").as("assortativity"))
+  }
+
   /** Fixed-round HITS (Kleinberg 1999, "Authoritative sources in a
     * hyperlinked environment") in pure integer arithmetic: per round,
     * raw authority(v) = Σ_{u→v} hub(u) and raw hub(u) = Σ_{u→v}

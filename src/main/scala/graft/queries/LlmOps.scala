@@ -436,6 +436,27 @@ object LlmOps {
       Components.triangleCount(ccBlockingPairs(docs))
     }),
 
+    // Per-node local clustering (Graphs.localClustering) over the same
+    // blocked near-dup graph as q_triangles: which docs sit in
+    // near-cliques (template/boilerplate families) vs bridge hubs —
+    // the node-level texture the global triangle count flattens out.
+    "q_clustering_coeff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.localClustering(ccBlockingPairs(docs))
+        .orderBy("id")
+    }),
+
+    // Degree assortativity (Graphs.assortativity) of the same graph:
+    // do high-degree docs pair with high-degree docs? One exact-moment
+    // Pearson over symmetrized edge endpoints, the regression
+    // determinism discipline.
+    "q_assortativity" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.assortativity(ccBlockingPairs(docs))
+    }),
+
     // Integer PageRank (PageRank.integerPageRank under the oracle): 3
     // exact fixed-point iterations over the DIRECTED supplier graph
     // "R-supplier → A-supplier within one order". The direction makes
@@ -7556,6 +7577,63 @@ object LlmOps {
          FROM e e1
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+
+    // symmetrized degrees, canonical wedge-edge closure, the per-mille
+    // floor — the q_triangles pair graph at node granularity
+    "q_clustering_coeff" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
+         p AS (
+           SELECT a.doc_id AS pa, b.doc_id AS pb
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         und AS (SELECT pa AS a, pb AS b FROM p
+                 UNION SELECT pb AS a, pa AS b FROM p),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+                 FROM und GROUP BY 1),
+         canon AS (SELECT a AS u, b AS w FROM und WHERE a < b),
+         wg AS (
+           SELECT x.a AS v, x.b AS u, y.b AS w
+           FROM und x JOIN und y ON x.a = y.a AND x.b < y.b),
+         tri AS (
+           SELECT v AS id, CAST(count(*) AS BIGINT) AS t
+           FROM wg JOIN canon ON wg.u = canon.u AND wg.w = canon.w
+           GROUP BY 1)
+         SELECT deg.id AS id, degree, COALESCE(t, 0) AS n_tri,
+           CASE WHEN degree < 2 THEN 0
+                ELSE (2000 * COALESCE(t, 0)) // (degree * (degree - 1))
+           END AS lcc_pm
+         FROM deg LEFT JOIN tri ON deg.id = tri.id ORDER BY id""",
+
+    // exact-moment Pearson of endpoint degrees, the regression double
+    // tree mirrored
+    "q_assortativity" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
+         p AS (
+           SELECT a.doc_id AS pa, b.doc_id AS pb
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         und AS (SELECT pa AS a, pb AS b FROM p
+                 UNION SELECT pb AS a, pa AS b FROM p),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+                 FROM und GROUP BY 1),
+         e2 AS (
+           SELECT d1.degree AS x, d2.degree AS y
+           FROM und JOIN deg d1 ON und.a = d1.id
+                    JOIN deg d2 ON und.b = d2.id),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+           FROM e2)
+         SELECT CAST(n AS BIGINT) AS n_ends,
+           (n * sxy - sx * sy)
+             / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))
+             AS assortativity
+         FROM m""",
 
     // The whole 3-round fixed-point iteration replayed: same integer
     // floor-divisions, same DECIMAL/HUGEINT message sums, same teleport

@@ -197,4 +197,25 @@ class GraphsSpec extends SparkSpec {
     // deg: 1→3, 2→2, 3→3, 4→2; (2,4): cn=2, uni=2+2−2=2, jaccard 1.0
     assert(out == Map((2L, 4L) -> ((2L, 2L, 1.0))))
   }
+
+  test("localClustering: triangle with a pendant, hand-checked lcc") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Graphs.localClustering(pairs).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("lcc_pm")))
+      .toMap
+    assert(out(1L) === ((2L, 1L, 1000L)))
+    assert(out(2L) === ((2L, 1L, 1000L)))
+    assert(out(3L) === ((3L, 1L, 333L))) // 2000 div 6
+    assert(out(4L) === ((1L, 0L, 0L)))   // degree < 2 -> defined 0
+  }
+
+  test("assortativity: a star is perfectly disassortative") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = Graphs.assortativity(star).collect().head
+    assert(r.getAs[Long]("n_ends") === 6L)
+    assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12)
+  }
 }
