@@ -259,7 +259,8 @@ object ProductQuant {
       subDim: Int,
       kCode: Int,
       rounds: Int,
-      maxTrainRows: Long = 100000L): DataFrame = {
+      maxTrainRows: Long = 100000L,
+      pretrainedPq: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import graft.expressions.{functions => gfn}
     require({
       import org.apache.spark.sql.types._
@@ -273,7 +274,11 @@ object ProductQuant {
       c.select(col("id"), col("rv").as("v")), nCentroids,
       refineIters = 1, maxTrainRows)
     val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), centroids))
-    val (codes, cents) = trainEncode(assigned, "id", "v", nSub, subDim, kCode, rounds)
+    // callers comparing the hybrid against a full-PQ leg pass the SAME
+    // (codes, cents) so training runs once, not per leg (trainEncode is
+    // deterministic, so this changes cost, never results)
+    val (codes, cents) = pretrainedPq.getOrElse(
+      trainEncode(assigned, "id", "v", nSub, subDim, kCode, rounds))
     // codes re-attach their cell — at scale, persist (codes, cid)
     // partitionBy(cid) instead (writeIndex's layout, bytes per row)
     val codesCid = codes.join(assigned.select(col("id"), col("cid")), Seq("id"))

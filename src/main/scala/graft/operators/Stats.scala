@@ -836,7 +836,9 @@ object Stats {
     * materializes (the Wilcoxon doubled-rank discipline, doubled
     * twice). ONE pinned value spine: the rank picks are conditional
     * mins on the cumulative pass, the census re-reads the spine's
-    * multiplicities — raw rows are touched once.
+    * multiplicities — raw rows are touched once. The ×8 scaling
+    * bounds the exact envelope at |v| ≤ Long.Max/8 ≈ 1.15·10¹⁸ —
+    * eleven orders of magnitude above cent-scale money.
     */
   def tukeyOutliers(
       df: DataFrame,
@@ -1041,7 +1043,10 @@ object Stats {
     * in one aggregate — never a pair join. `delta_pm` divides in
     * DECIMAL(38,0) (1000·p_gt leaves BIGINT once n₁n₂ > 9.2·10¹⁵ —
     * the ksTwoSample lesson); truncation toward zero matches DuckDB //
-    * on the signed numerator (the q_kappa discipline).
+    * on the signed numerator (the q_kappa discipline). The RAW
+    * `p_gt`/`p_lt` audit columns are plain BIGINT pair counts — exact
+    * while n₁·n₂ per key < 9.2·10¹⁸ (≈3·10⁹ observations per side),
+    * the same envelope the counts themselves live in.
     */
   def cliffsDelta(
       df: DataFrame,

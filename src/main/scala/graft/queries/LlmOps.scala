@@ -1037,13 +1037,20 @@ object LlmOps {
           "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
       val corpus = both.filter(col("vec_id") >= 5)
       val queries = both.filter(col("vec_id") < 5)
+      // ONE deterministic training shared by both legs (pinned — the
+      // codes table feeds the hybrid's cell join and the full ADC)
+      val (codes, cents) = graft.operators.ProductQuant.trainEncode(
+        corpus, "vec_id", "v", nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+      val codesP = codes.localCheckpoint(true)
+      val centsP = cents.localCheckpoint(true)
       val hybrid = graft.operators.ProductQuant.ivfpqTopK(
         corpus, queries, "vec_id", "vec_id", "embedding", "v",
         k = 10, nCentroids = 16, nProbe = 8,
-        nSub = 4, subDim = 16, kCode = 4, rounds = 2)
-      val full = graft.operators.ProductQuant.pqTopK(
-          corpus, queries, "vec_id", "vec_id", "v",
-          nSub = 4, subDim = 16, kCode = 4, rounds = 2, topK = 10)
+        nSub = 4, subDim = 16, kCode = 4, rounds = 2,
+        pretrainedPq = Some((codesP, centsP)))
+      val full = graft.operators.ProductQuant.adcServe(
+          codesP, centsP, queries, "vec_id", "v",
+          nSub = 4, subDim = 16, kCode = 4, topK = 10)
         .withColumnRenamed("adist", "adist_full")
       hybrid.join(full, Seq("qid", "id"), "left")
         .groupBy(col("qid"))
