@@ -4440,8 +4440,40 @@ object LlmOps {
       val truth = Similarity.bruteForceTopK(corpus, queries,
         "vec_id", "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      // left join + sum, not semi-join: a zero-recall query must appear
+      // as 0 in the tuning table, not vanish (the q_ann_ivf lesson;
+      // r15 — the semi-join rendering silently dropped such queries)
+      truth.join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .orderBy("query_id")
+    }),
+
+    // Matryoshka truncation recall: how much of the exact cosine top-5
+    // survives searching only the FIRST 16 of 64 dims (the
+    // Matryoshka-embedding serving trick — prefix dims carry most of
+    // the signal, 4× less I/O and compute per comparison). DuckDB
+    // replays BOTH legs on list_slice, so the certified recall IS the
+    // measured one — the dimension-budget tuning table next to
+    // q_ann_recall_hamming's bit-budget one.
+    "q_ann_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      def prefixed(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("emb16", expr("slice(embedding, 1, 16)"))
+      val approx = Similarity.bruteForceTopK(prefixed(corpus), prefixed(queries),
+        "vec_id", "emb16", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      // left join + sum, not semi-join: a zero-recall query must appear
+      // as 0 in the tuning table, not vanish (the q_ann_ivf lesson)
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
         .orderBy("query_id")
     }),
 
@@ -8709,9 +8741,40 @@ object LlmOps {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY list_cosine_similarity(c.v, q.qv) DESC, id) AS rk
              FROM c CROSS JOIN q) WHERE rk <= 5)
-         SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
-         FROM exact JOIN approx USING (query_id, id)
-         GROUP BY query_id ORDER BY query_id"""),
+         SELECT e.query_id AS query_id,
+           CAST(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits
+         FROM exact e LEFT JOIN approx a
+           ON e.query_id = a.query_id AND e.id = a.id
+         GROUP BY 1 ORDER BY query_id"""),
+
+    // both legs replayed on list_slice — prefix-16-dim cosine vs the
+    // full 64-dim exact top-5
+    "q_ann_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 5),
+         approx AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(list_slice(c.v, 1, 16),
+                                                 list_slice(q.qv, 1, 16))
+                   DESC, id) AS rk
+             FROM c CROSS JOIN q) WHERE rk <= 5),
+         exact AS (
+           SELECT query_id, id FROM (
+             SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, id) AS rk
+             FROM c CROSS JOIN q) WHERE rk <= 5)
+         SELECT e.query_id AS query_id,
+           CAST(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_hits
+         FROM exact e LEFT JOIN approx a
+           ON e.query_id = a.query_id AND e.id = a.id
+         GROUP BY 1 ORDER BY query_id""",
 
     // The stratified MK fold replayed with isodow strata (the labels
     // cancel in the per-type sums; only the partition matters).
