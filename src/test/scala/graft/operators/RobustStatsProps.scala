@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.SparkSession
+
+/** Property tests for the round-15 robust/ordinal battery against
+  * independent plain-Scala brute-force references: dominance pair
+  * counts (Cliff), the rank-cut clamp (winsorized sum), type-7 fence
+  * census (Tukey), and the floor-composed Kruskal–Wallis H — arbitrary
+  * duplicates, one-sided samples, tie runs across every cut.
+  */
+object RobustStatsProps extends Properties("RobustStats") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("robust-stats-props").getOrCreate()
+
+  private val genAB: Gen[Seq[(Boolean, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false), Gen.chooseNum(-9L, 9L)))
+  } yield rows
+
+  property("cliffsDelta pair counts equal the nested-loop census") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+      val r = Stats.cliffsDelta(df, Seq("k"), "in_a", "v").collect().head
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      val gt = (for (a <- as; b <- bs if a > b) yield 1).size.toLong
+      val lt = (for (a <- as; b <- bs if a < b) yield 1).size.toLong
+      (r.getAs[Long]("n1") == as.size.toLong) &&
+        (r.getAs[Long]("n2") == bs.size.toLong) &&
+        (r.getAs[Long]("p_gt") == gt) && (r.getAs[Long]("p_lt") == lt) &&
+        // identity: gt + lt + ties = n1*n2
+        (gt + lt <= as.size.toLong * bs.size)
+    }
+
+  private val genVals: Gen[Seq[Long]] = for {
+    n <- Gen.chooseNum(1, 50)
+    vals <- Gen.listOfN(n, Gen.chooseNum(-20L, 20L))
+  } yield vals
+
+  property("winsorizedSum equals clamping the sorted sequence at the rank cuts") =
+    Prop.forAll(genVals, Gen.chooseNum(0L, 499L)) { (vals, trimPm) =>
+      import spark.implicits._
+      val df = vals.map(("k", _)).toDF("k", "v")
+      val r = Stats.winsorizedSum(df, Seq("k"), "v", trimPm).collect().head
+      val sorted = vals.sorted
+      val n = sorted.size
+      val lo = (n * trimPm / 1000).toInt
+      val loV = sorted(lo) // value at rank lo+1 (0-based lo)
+      val hiV = sorted(n - lo - 1) // value at rank hi = n - lo
+      val want = sorted.map(v => math.max(loV, math.min(hiV, v))).sum
+      (r.getAs[Long]("n_obs") == n.toLong) &&
+        (r.getAs[Long]("n_clamped_side") == lo.toLong) &&
+        (r.getAs[Long]("winsorized_sum") == want)
+    }
+
+  property("tukeyOutliers census equals the brute-force type-7 fences") =
+    Prop.forAll(genVals) { vals =>
+      import spark.implicits._
+      val df = vals.map(("k", _)).toDF("k", "v")
+      val r = Stats.tukeyOutliers(df, Seq("k"), "v").collect().head
+      val s = vals.sorted
+      val n = s.size
+      def qX4(threeP: Int): Long = { // position p = threeP/4 of (n-1)
+        val pos = (n - 1).toLong * threeP
+        val rank = (pos / 4).toInt // 0-based floor rank
+        val frac = pos % 4
+        val vLo = s(rank)
+        val vHi = s(math.min(n - 1, rank + 1))
+        (4 - frac) * vLo + frac * vHi
+      }
+      val q1 = qX4(1)
+      val q3 = qX4(3)
+      val lo8 = 5 * q1 - 3 * q3
+      val hi8 = 5 * q3 - 3 * q1
+      (r.getAs[Long]("q1_x4") == q1) && (r.getAs[Long]("q3_x4") == q3) &&
+        (r.getAs[Long]("n_low") == s.count(_ * 8 < lo8).toLong) &&
+        (r.getAs[Long]("n_high") == s.count(_ * 8 > hi8).toLong)
+    }
+
+  private val genGroups: Gen[Seq[(String, Long)]] = for {
+    k <- Gen.chooseNum(2, 4)
+    n <- Gen.chooseNum(k, 40)
+    rows <- Gen.listOfN(n, Gen.zip(
+      Gen.chooseNum(0, k - 1).map(i => s"t$i"), Gen.chooseNum(-9L, 9L)))
+  } yield rows
+
+  property("kruskalWallis equals the brute-force floor-composed H") =
+    Prop.forAll(genGroups) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = Stats.kruskalWallis(df, Seq("k"), "g", "v").collect().head
+      val n = rows.size.toLong
+      // doubled midrank of value v in the pooled sample
+      def r2(v: Long): Long =
+        2L * rows.count(_._2 < v) + rows.count(_._2 == v) + 1L
+      val perG = rows.groupBy(_._1).map { case (_, grp) =>
+        val ng = grp.size.toLong
+        val s2 = grp.map(x => r2(x._2)).sum
+        val dev = s2 - ng * (n + 1)
+        BigInt(dev) * dev / ng
+      }
+      val kGroups = rows.map(_._1).distinct.size.toLong
+      val want =
+        if (kGroups < 2 || n < 2) 0L
+        else (BigInt(3000) * perG.sum / (BigInt(n) * (n + 1))).toLong
+      (r.getAs[Long]("k_groups") == kGroups) &&
+        (r.getAs[Long]("h_x1000") == want)
+    }
+}
