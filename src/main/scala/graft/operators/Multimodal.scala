@@ -267,6 +267,42 @@ object Multimodal {
           // treat it as undecodable, not as a divide-by-zero downstream
           if (rate <= 0 || nf < 0) None else Some((rate, nf))
         } catch { case _: Exception => None }
+
+    /** Exact integer PCM16 feature pass: (n_samples, Σ|s|, max|s|,
+      * silent count at |s| ≤ 327 ≈ 1% full scale, Σs² energy) from the
+      * decoded little/big-endian frames — all integers (energy tops out
+      * at 2³⁰ per sample — BIGINT to ~8·10⁹ samples), so the stats are
+      * bit-deterministic and replayable. None on undecodable or
+      * non-16-bit payloads.
+      */
+    def pcmStats(payload: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            var idx = 0
+            var n = 0L; var sumAbs = 0L; var maxAbs = 0L
+            var nSil = 0L; var energy = 0L
+            while (idx + 1 < bytes.length) {
+              val b0 = bytes(idx) & 0xFF
+              val b1 = bytes(idx + 1) & 0xFF
+              val v = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0)
+                .toShort.toLong
+              val a = math.abs(v)
+              n += 1; sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              if (a <= 327L) nSil += 1
+              energy += v * v
+              idx += 2
+            }
+            Some((n, sumAbs, maxAbs, nSil, energy))
+          }
+        } catch { case _: Exception => None }
   }
 
   /** Decode: payload → decoded dimensions + band count, batched per
@@ -405,6 +441,30 @@ object Multimodal {
     * payloads generated executor-side from `spark.range` (the driver never
     * holds the corpus — the shape that scales).
     */
+  /** Audio feature extraction: payload → exact integer PCM stats
+    * (n_samples, sum_abs, max_abs, n_silent, energy) + the derived
+    * `silence_pm` — the ingest-time audio quality screen (dead air,
+    * clipping, loudness) next to the image family's decode/feature
+    * passes. Null columns when the payload doesn't decode as 16-bit
+    * PCM.
+    */
+  def audioStats(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
+      StructField("n_samples", LongType), StructField("sum_abs", LongType),
+      StructField("max_abs", LongType), StructField("n_silent", LongType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.pcmStats(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((n, sa, ma, ns, e)) => Row.fromSeq(r.toSeq ++ Seq(n, sa, ma, ns, e))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual hashing: payload → 64-bit aHash column (null when the
     * payload doesn't decode). The near-dup key for image dedup — byte
     * dedup (q_media_dedup's md5) misses re-encoded or lightly-edited

@@ -773,6 +773,20 @@ object LlmOps {
         .orderBy("keep_id")
     }),
 
+    // Audio quality screen (Multimodal.audioStats): exact integer PCM
+    // stats off the REAL WAV decode — dead-air ratio, clipping peak,
+    // energy — the ingest-time audio filter next to the image family.
+    // The synthetic samples are a deterministic integer formula, so
+    // DuckDB replays the DECODED stats from the generator itself:
+    // a one-bit decode drift anywhere breaks the hash.
+    "q_audio_stats" -> ((s, d) => {
+      Multimodal.audioStats(Multimodal.syntheticMedia(s, 30, kind = "audio"))
+        .select(col("media_id"), col("n_samples"), col("sum_abs"),
+          col("max_abs"), col("n_silent"), col("energy"),
+          expr("(1000 * n_silent) div n_samples").as("silence_pm"))
+        .orderBy("media_id")
+    }),
+
     // Perceptual image dedup (Multimodal.imageAHash): planted copies
     // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
     // misses every one of them — the exact-integer 64-bit average hash
@@ -8303,6 +8317,25 @@ object LlmOps {
     "q_media_dedup" ->
       """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
          FROM range(1, 21) t(i) ORDER BY keep_id""",
+
+    // the generator's integer sample formula replayed end to end —
+    // equality certifies the real WAV encode→decode round-trip bit-for-bit
+    "q_audio_stats" ->
+      """WITH m AS (SELECT i FROM range(1, 31) t(i)),
+         s AS (
+           SELECT i, unnest(range(0, 4000 + (i % 5) * 800)) AS j FROM m),
+         v AS (
+           SELECT i, (i * 131 + j * 7) % 65536 - 32768 AS x FROM s)
+         SELECT i AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(x)) AS BIGINT) AS max_abs,
+           CAST(sum(CASE WHEN abs(x) <= 327 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_silent,
+           CAST(sum(x * x) AS BIGINT) AS energy,
+           (1000 * CAST(sum(CASE WHEN abs(x) <= 327 THEN 1 ELSE 0 END)
+             AS BIGINT)) // CAST(count(*) AS BIGINT) AS silence_pm
+         FROM v GROUP BY 1 ORDER BY media_id""",
 
     // structural: the 15 planted one-pixel-corrupted copies — and ONLY
     // those — must collapse onto their originals' aHash
