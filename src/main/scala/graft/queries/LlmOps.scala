@@ -787,6 +787,37 @@ object LlmOps {
         .orderBy("media_id")
     }),
 
+    // Video scene-cut detection: frame-to-frame L1 color distance over
+    // the REAL container unpack + PNG decode (sampleFrames →
+    // extractFeatures), cuts flagged past an L1 threshold — the
+    // shot-boundary pass a video curation pipeline runs before
+    // frame-dedup. Solid-fill frames make the channel means exact
+    // integers, and the oracle replays the generator's color formula,
+    // so the hash certifies the whole unpack→decode→feature path.
+    "q_video_cuts" -> ((s, d) => {
+      val frames = Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(s, 40, kind = "video"), framesPerVideo = 8)
+      val feats = Multimodal.extractFeatures(
+          frames.withColumnRenamed("frame", "payload"))
+        .select(col("media_id"), col("src_frame"),
+          expr("CAST(round(features[0]) AS BIGINT)").as("r"),
+          expr("CAST(round(features[1]) AS BIGINT)").as("g"),
+          expr("CAST(round(features[2]) AS BIGINT)").as("b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("src_frame"))
+      feats
+        .withColumn("dist",
+          abs(col("r") - lag(col("r"), 1).over(w))
+            + abs(col("g") - lag(col("g"), 1).over(w))
+            + abs(col("b") - lag(col("b"), 1).over(w)))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("dist") > 96, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("dist")).as("max_dist"),
+          sum(coalesce(col("dist"), lit(0L))).as("sum_dist"))
+        .orderBy("media_id")
+    }),
+
     // Perceptual image dedup (Multimodal.imageAHash): planted copies
     // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
     // misses every one of them — the exact-integer 64-bit average hash
@@ -8317,6 +8348,29 @@ object LlmOps {
     "q_media_dedup" ->
       """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
          FROM range(1, 21) t(i) ORDER BY keep_id""",
+
+    // the generator's frame-color formula replayed — certifies the
+    // container unpack + PNG decode + feature pass numerically
+    "q_video_cuts" ->
+      """WITH fr AS (
+           SELECT i, unnest(range(0, 8)) AS f FROM range(1, 41) t(i)),
+         c AS (
+           SELECT i, f,
+             (i * 11 + f * 17) % 256 AS r,
+             (i * 13 + f * 19) % 256 AS g,
+             (i * 7 + f * 23) % 256 AS b
+           FROM fr),
+         d AS (
+           SELECT i, f,
+             abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+               + abs(b - lag(b) OVER w) AS dist
+           FROM c WINDOW w AS (PARTITION BY i ORDER BY f))
+         SELECT i AS media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN dist > 96 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           CAST(max(dist) AS BIGINT) AS max_dist,
+           CAST(sum(coalesce(dist, 0)) AS BIGINT) AS sum_dist
+         FROM d GROUP BY 1 ORDER BY media_id""",
 
     // the generator's integer sample formula replayed end to end —
     // equality certifies the real WAV encode→decode round-trip bit-for-bit
