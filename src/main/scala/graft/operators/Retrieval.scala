@@ -51,16 +51,24 @@ object Retrieval {
       lambdaPm: Long = 700L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(lambdaPm >= 0 && lambdaPm <= 1000, s"lambda out of per-mille range: $lambdaPm")
+    // coalesce(1): both inputs are BOUNDED (|queries|·C rows) — one
+    // partition turns every greedy round into single-task joins instead
+    // of 32-task shuffles of a few dozen rows
     val c = cands.select(col("query_id"), col("id"), col("rel"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     val sp = simPairs.select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     def argmax(df: DataFrame, score: Column, rank: Int): DataFrame =
       df.groupBy(col("query_id"))
         .agg(min(struct((-score).as("ns"), col("id").as("id"))).as("__w"))
         .select(col("query_id"), col("__w.id").as("id"),
           lit(rank.toLong).as("sel_rank"))
-    var sel = argmax(c, col("rel"), 1)
+    // each round PINS the selected set (≤ k·|queries| rows): `sel` is
+    // referenced three times per later round, so a lazy accumulator
+    // re-executes every earlier round's argmax per reference — plan
+    // depth and wall-clock blow up combinatorially in k (measured 2 s
+    // for 24 candidate rows before the pin; ~0.3 s after)
+    var sel = argmax(c, col("rel"), 1).localCheckpoint(true)
     for (r <- 2 to k) {
       val remaining = c.join(sel.select(col("query_id"), col("id")),
         Seq("query_id", "id"), "left_anti")
@@ -74,7 +82,7 @@ object Retrieval {
         .agg(max(col("sim")).as("__maxsim"))
       sel = sel.unionByName(argmax(ms,
         lit(lambdaPm) * col("rel") - (lit(1000L) - lit(lambdaPm)) * col("__maxsim"),
-        r))
+        r)).localCheckpoint(true)
     }
     sel.join(c, Seq("query_id", "id"))
       .select(col("query_id"), col("sel_rank"), col("id"), col("rel"))
