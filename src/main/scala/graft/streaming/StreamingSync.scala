@@ -119,13 +119,30 @@ object StreamingSync {
     * timeline order per user (the replay fixture cuts the timeline
     * globally), the same per-key-monotonic contract as the bookmark
     * cursor.
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout state eviction (the
+    * [[cChartStream]] key-churn-hygiene pattern) — and here the TTL is
+    * not merely hygiene but the ATTRIBUTION WINDOW every production
+    * last-touch pipeline declares: a user silent past `ttlMs` loses
+    * their pending touch, so a later purchase attributes to nothing
+    * (touch_id NULL), exactly the touch-expiry semantics of a 30-day
+    * window. Live keys' credits come from their own state only, so
+    * eviction cannot change them (spec-pinned).
     */
-  def attributeStream(events: Dataset[TouchEvent]): Dataset[AttributedPurchase] = {
+  def attributeStream(
+      events: Dataset[TouchEvent],
+      ttlMs: Long = 0L): Dataset[AttributedPurchase] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, AttributedPurchase](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (user, evs, gs: GroupState[TouchState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (user, evs, gs: GroupState[TouchState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           var st = gs.getOption
@@ -141,7 +158,13 @@ object StreamingSync {
               case _ => () // signup/error: neither touch nor conversion
             }
           }
-          st.foreach(gs.update)
+          // timeout only arms when state exists: a purchases-only batch
+          // leaves no touch state, and setTimeoutDuration without state
+          // throws
+          st.foreach { t =>
+            gs.update(t)
+            if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
+          }
           out.iterator
       }
   }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** TTL-eviction invariants for the remaining unbounded-key FMGWS
-  * streams (intervalMergeStream, recordStream), the cChartStream
+  * streams (intervalMergeStream, recordStream, attributeStream — where
+  * the TTL doubles as the attribution window), the cChartStream
   * pattern: (1) arming a TTL far above the test's wall-clock leaves
   * live-key output bit-identical to the NoTimeout run; (2) a key
   * silent past the TTL is evicted — observed via the state-store
@@ -136,5 +137,59 @@ class StreamTtlSpec extends SparkSpec {
     val back = rows.filter(_.day_idx == 9L)
     assert(back.forall(r => r.rec_high && r.rec_low),
       s"returning key must self-start (double record): $back")
+  }
+
+  // ---- attributeStream (TTL = the attribution window) ----
+
+  test("attribution: huge TTL leaves credited purchases identical to NoTimeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Seq(
+      SS.TouchEvent(1L, 7L, 1000L, "click"),
+      SS.TouchEvent(2L, 7L, 2000L, "purchase"),
+      SS.TouchEvent(3L, 8L, 1500L, "view"),
+      SS.TouchEvent(4L, 8L, 2500L, "purchase"),
+      SS.TouchEvent(5L, 9L, 3000L, "purchase")) // touchless
+    val msRef = MemoryStream[SS.TouchEvent]
+    val refSink = s"att_ref_${System.nanoTime()}"
+    val qRef = SS.attributeStream(msRef.toDS()).writeStream
+      .format("memory").queryName(refSink).start()
+    try { msRef.addData(evs); qRef.processAllAvailable() } finally qRef.stop()
+    val want = spark.table(refSink).as[SS.AttributedPurchase].collect().toSet
+    assert(want.size == 3)
+
+    val ms = MemoryStream[SS.TouchEvent]
+    val sink = s"att_ttl_${System.nanoTime()}"
+    val q = SS.attributeStream(ms.toDS(), ttlMs = 600000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    try {
+      ms.addData(evs)
+      pollUntil("attributed purchases under TTL") {
+        spark.table(sink).count() == want.size
+      }
+    } finally q.stop()
+    assert(spark.table(sink).as[SS.AttributedPurchase].collect().toSet == want)
+  }
+
+  test("attribution: an expired touch no longer credits a late purchase") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.TouchEvent]
+    val sink = s"att_win_${System.nanoTime()}"
+    val q = SS.attributeStream(ms.toDS(), ttlMs = 1000L).writeStream
+      .format("memory").queryName(sink).trigger(paced).start()
+    def rows = spark.table(sink).as[SS.AttributedPurchase].collect().toSeq
+    try {
+      // first life: the touch credits an in-window purchase
+      ms.addData(Seq(SS.TouchEvent(1L, 5L, 1000L, "click"),
+        SS.TouchEvent(2L, 5L, 2000L, "purchase")))
+      pollUntil("in-window attribution")(rows.exists(_.purchase_id == 2L))
+      assert(rows.find(_.purchase_id == 2L).get.touch_id === Some(1L))
+      awaitEviction(q)
+      // past the window: the purchase arrives after touch expiry
+      ms.addData(Seq(SS.TouchEvent(3L, 5L, 9000L, "purchase")))
+      pollUntil("post-window purchase")(rows.exists(_.purchase_id == 3L))
+    } finally q.stop()
+    val late = rows.find(_.purchase_id == 3L).get
+    assert(late.touch_id.isEmpty,
+      s"expired touch must not credit the late purchase: $late")
   }
 }
