@@ -259,7 +259,12 @@ object ProductQuant {
       subDim: Int,
       kCode: Int,
       rounds: Int,
-      maxTrainRows: Long = 100000L,
+      // coarse-quantizer quality saturates at a few thousand vectors
+      // (trainCentroids' own contract); at 100k the float Lloyd pass
+      // DOMINATED the whole serve (measured 38 s vs 2.6 s at a 200k-row
+      // corpus — tools/ScaleIvfpq), so the hybrid defaults to a tight
+      // sample where the flat-IVF path keeps the looser one
+      maxTrainRows: Long = 20000L,
       pretrainedPq: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import graft.expressions.{functions => gfn}
     require({
@@ -287,6 +292,20 @@ object ProductQuant {
       "query_id", rawVecCol, centroids, nProbe)
       .select(col("query_id").as("qid"), col("cid"))
     val dtab = adcTable(cents, queries, qidCol, intVecCol, nSub, subDim, kCode)
+    serveCells(codesCid, probes, dtab, k, nSub, kCode)
+  }
+
+  /** Shared cell-pruned ADC tail of [[ivfpqTopK]] and
+    * [[queryIvfpqIndex]] — join the probed cells' codes to the
+    * broadcast probe set and distance tables, look up, bounded top-k.
+    */
+  private def serveCells(
+      codesCid: DataFrame,
+      probes: DataFrame,
+      dtab: DataFrame,
+      k: Int,
+      nSub: Int,
+      kCode: Int): DataFrame = {
     val idType = codesCid.schema("id").dataType
     codesCid.join(broadcast(probes), Seq("cid"))
       .join(broadcast(dtab), Seq("qid"))
@@ -300,5 +319,77 @@ object ProductQuant {
       .select(col("qid"), explode(col("tk")).as("e"))
       .select(col("qid"), col("e.id").cast(idType).as("id"),
         col("e.score").cast("long").as("adist"))
+  }
+
+  /** WRITE-ONCE IVF-PQ layout — the form in which the hybrid actually
+    * pays off. tools/ScaleIvfpq measured the AD-HOC [[ivfpqTopK]]
+    * LOSING to the plain full-ADC scan at every corpus multiple
+    * (0.07–0.28×): the ad-hoc job must train the coarse quantizer,
+    * assign cells, and run a corpus-sized codes⋈cells join before any
+    * pruning helps, while full ADC is one narrow codegen pass. Persist
+    * instead: codes land `partitionBy("cid")` (bytes per row), the
+    * coarse model rides as model.json (the [[Similarity.writeIndex]]
+    * layout), and every query scans ONLY its probed cells via
+    * partition pruning — no join, no training, I/O ∝ nProbe/nCentroids
+    * of an already code-compressed corpus.
+    */
+  def writeIvfpqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      rawVecCol: String,
+      intVecCol: String,
+      dir: String,
+      nCentroids: Int,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int,
+      maxTrainRows: Long = 20000L): Unit = {
+    import graft.expressions.{functions => gfn}
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(rawVecCol).as("rv"),
+      col(intVecCol).as("v"))
+    val model = Similarity.IvfModel(Similarity.trainCentroids(
+      c.select(col("id"), col("rv").as("v")), nCentroids,
+      refineIters = 1, maxTrainRows))
+    val (codes, cents) = trainEncode(c, "id", "v", nSub, subDim, kCode, rounds)
+    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), model.centroids))
+    codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    cents.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // model.json LAST and atomically — it gates readers
+    Similarity.writeModelJson(spark, dir, model)
+  }
+
+  /** Serve a [[writeIvfpqIndex]] layout: probe cells against the
+    * persisted coarse model, scan ONLY those cells' code partitions
+    * (`PartitionFilters: cid IN …`), ADC + bounded top-k. Bit-identical
+    * to [[ivfpqTopK]] under the same model and codebooks.
+    */
+  def queryIvfpqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      qidCol: String,
+      rawVecCol: String,
+      intVecCol: String,
+      k: Int,
+      nProbe: Int,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int): DataFrame = {
+    val model = Similarity.readModel(spark, dir)
+    val probes = Similarity.probeCells(
+        queries.select(col(qidCol).as("query_id"), col(rawVecCol)),
+        "query_id", rawVecCol, model.centroids, nProbe)
+      .select(col("query_id").as("qid"), col("cid"))
+      .localCheckpoint(true)
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codesCid = spark.read.parquet(s"$dir/codes")
+      .filter(col("cid").isin(probedCells.toSeq: _*))
+    val dtab = adcTable(spark.read.parquet(s"$dir/codebooks"),
+      queries, qidCol, intVecCol, nSub, subDim, kCode)
+    serveCells(codesCid, probes, dtab, k, nSub, kCode)
   }
 }

@@ -263,8 +263,19 @@ object Similarity {
       "IVF centroids contain NaN/Infinity (non-finite corpus vectors?) — refusing to write index")
     c.withColumn("cid", gfn.nearest_centroid(col("v"), model.centroids))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
-    // Write-then-rename: model.json must never exist half-written — callers
-    // (q_ann_ivf_indexed) gate their fixture cache on its existence.
+    writeModelJson(spark, dir, model)
+    model
+  }
+
+  /** Atomic model persist (write-then-rename): model.json must never
+    * exist half-written — index callers gate their fixture caches on
+    * its existence. Shared by [[writeIndex]] and
+    * [[graft.operators.ProductQuant.writeIvfpqIndex]].
+    */
+  private[operators] def writeModelJson(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      model: IvfModel): Unit = {
     val modelPath = new org.apache.hadoop.fs.Path(s"$dir/model.json")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/model.json.tmp")
     val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -274,7 +285,6 @@ object Similarity {
     fs.delete(modelPath, false)
     if (!fs.rename(tmpPath, modelPath))
       sys.error(s"could not move $tmpPath to $modelPath")
-    model
   }
 
   /** The persisted model of a [[writeIndex]] layout (a few KB of JSON). */

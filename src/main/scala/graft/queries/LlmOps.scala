@@ -818,6 +818,47 @@ object LlmOps {
         .orderBy("media_id")
     }),
 
+    // Persisted IVF-PQ index (ProductQuant.writeIvfpqIndex /
+    // queryIvfpqIndex): the form in which the hybrid actually pays off
+    // at scale — tools/ScaleIvfpq measured the AD-HOC hybrid LOSING to
+    // the plain full-ADC scan at every corpus multiple (its
+    // corpus-sized codes⋈cells join + training never amortize in one
+    // job), so the layout persists codes partitionBy(cid) and queries
+    // prune partitions. Equivalence certificate: same deterministic
+    // model + codebooks ⇒ the indexed serve must match the ad-hoc
+    // hybrid row-for-row on (qid, id, adist).
+    "q_ann_ivfpq_indexed" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/ivfpq_index_c16s4x16k4r2" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val both = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      val corpus = both.filter(col("vec_id") >= 5)
+      val queries = both.filter(col("vec_id") < 5)
+      if (!new java.io.File(s"$dir/model.json").exists()) {
+        graft.operators.ProductQuant.writeIvfpqIndex(corpus,
+          "vec_id", "embedding", "v", dir,
+          nCentroids = 16, nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+      }
+      val indexed = graft.operators.ProductQuant.queryIvfpqIndex(s, dir,
+        queries, "vec_id", "embedding", "v",
+        k = 10, nProbe = 8, nSub = 4, subDim = 16, kCode = 4)
+        .localCheckpoint(true)
+      val adhoc = graft.operators.ProductQuant.ivfpqTopK(
+        corpus, queries, "vec_id", "vec_id", "embedding", "v",
+        k = 10, nCentroids = 16, nProbe = 8,
+        nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+        .localCheckpoint(true)
+      adhoc.agg(count(lit(1)).as("n_adhoc"))
+        .crossJoin(indexed.agg(count(lit(1)).as("n_indexed")))
+        .crossJoin(adhoc.join(indexed, Seq("qid", "id", "adist"))
+          .agg(count(lit(1)).as("__n_match")))
+        .select(col("n_adhoc"), col("n_indexed"),
+          (col("__n_match") === col("n_adhoc")
+            && col("__n_match") === col("n_indexed")).as("identical"))
+    }),
+
     // Perceptual image dedup (Multimodal.imageAHash): planted copies
     // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
     // misses every one of them — the exact-integer 64-bit average hash
@@ -8337,6 +8378,12 @@ object LlmOps {
     "q_ann_pq" -> pqOracleSql,
     // bit-identical indexed path — the SAME ADC replay oracles it
     "q_ann_pq_indexed" -> pqOracleSql,
+
+    // equivalence certificate: 5 queries × k=10 from both paths, sets
+    // equal — constants expected, any divergence flips `identical`
+    "q_ann_ivfpq_indexed" ->
+      """SELECT CAST(50 AS BIGINT) AS n_adhoc, CAST(50 AS BIGINT) AS n_indexed,
+           true AS identical""",
 
     // the q_ann_ivf certificate pattern: constants expected, the Spark
     // side emits false (hash mismatch) if any invariant breaks
