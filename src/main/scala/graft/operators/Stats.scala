@@ -311,6 +311,60 @@ object Stats {
             "(1000 * CAST(d_num AS DECIMAL(38,0))) div (CAST(n1 AS DECIMAL(38,0)) * n2)")))
   }
 
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962) — the L2
+    * companion to [[ksTwoSample]]'s sup metric: T = n₁n₂/N² ·
+    * Σ_pooled (F₁ − F₂)², which weights EVERY ECDF gap instead of only
+    * the largest, so distributed discrepancies KS underweights show
+    * up. Exact by cross-multiplication over the same value spine:
+    * with Δ(v) = cumA·n₂ − cumB·n₁ and point mass m(v),
+    * T = Σ m·Δ² / (N²·n₁·n₂), emitted as
+    * `t_x1000` = (1000·Σm·Δ²) div (N²·n₁·n₂) with the squares in
+    * DECIMAL(38,0) (Σm·Δ² ~ N⁵ — exact to N ≈ 10⁶·... well past the
+    * 10⁹ loud bound the cumulative cross-products inherit from KS) and
+    * a loud cast-down. Same one-aggregate + one-cumulative-window cost
+    * as KS.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val maxN = 1000000000L
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("n1", sum(col("__a")).over(wAll))
+      .withColumn("n2", sum(col("__b")).over(wAll))
+      .withColumn("__d",
+        (col("__ca").cast(dec) * col("n2") - col("__cb").cast(dec) * col("n1")))
+      .groupBy(keys: _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum((col("__a") + col("__b")).cast(dec) * col("__d") * col("__d"))
+          .as("__t_num"))
+      .withColumn("t_x1000",
+        when(col("n1") > maxN || col("n2") > maxN,
+          raise_error(lit(s"cramerVonMises: sample size exceeds exact bound $maxN"))
+            .cast("long"))
+          .when(col("n1") === 0 || col("n2") === 0, 0L)
+          .otherwise(loudLong(
+            ((col("__t_num") * 1000
+              - col("__t_num") * 1000
+                % ((col("n1") + col("n2")).cast(dec) * (col("n1") + col("n2"))
+                  * col("n1") * col("n2")))
+              / ((col("n1") + col("n2")).cast(dec) * (col("n1") + col("n2"))
+                * col("n1") * col("n2"))).cast(dec),
+            "cramerVonMises", "t_x1000")))
+      .drop("__t_num")
+  }
+
   /** McNemar's test (1947) for PAIRED binary verdicts — do two
     * classifiers/filters disagree symmetrically? Only the discordant
     * cells carry signal: `chi2_x1000` = 1000·(n₁₀ − n₀₁)² div

@@ -4462,6 +4462,27 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Cramér–von Mises two-sample test (Stats.cramerVonMises) per
+    // nation on the q_ks_test cohort frame: the L2 distribution
+    // distance that weights EVERY ECDF gap, catching the spread-out
+    // discrepancies KS's single sup underweights — the third member of
+    // the distribution-comparison row (location: mannwhitney, sup: ks,
+    // L2: cvm).
+    "q_cvm_test" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.cramerVonMises(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
     // McNemar's paired-binary test (Stats.mcnemar) per source: do the
     // length-band and type-token-ratio quality filters (q_quality_vote's
     // own signals) disagree symmetrically on the same documents? Only
@@ -9967,6 +9988,45 @@ object LlmOps {
                 ELSE (1000 * CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT))
                   // (max(n1) * max(n2)) END AS d_pm
          FROM cu GROUP BY 1 ORDER BY n_name""",
+
+    // the KS value spine reused; Σm·Δ² in HUGEINT, the cross-multiplied
+    // L2 statistic floor-divided identically
+    "q_cvm_test" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, a, b,
+             CAST(sum(a) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             CAST(sum(a) OVER (PARTITION BY n_name) AS BIGINT) AS n1,
+             CAST(sum(b) OVER (PARTITION BY n_name) AS BIGINT) AS n2
+           FROM pv),
+         ag AS (
+           SELECT n_name, max(n1) AS n1, max(n2) AS n2,
+             sum(CAST(a + b AS HUGEINT)
+               * (CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1)
+               * (CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1))
+               AS t_num
+           FROM cu GROUP BY 1)
+         SELECT n_name, n1, n2,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE CAST((1000 * t_num)
+                  // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2)
+                  AS BIGINT) END AS t_x1000
+         FROM ag ORDER BY n_name""",
 
     // The paired 2×2 and the discordant-cell statistic replayed.
     "q_mcnemar" ->

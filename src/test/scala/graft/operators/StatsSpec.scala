@@ -68,6 +68,20 @@ class StatsSpec extends SparkSpec {
     assert(out("mix").getAs[Long]("d_pm") === 500L)
   }
 
+  test("cramerVonMises: separated singletons give T = 1/4; identical samples 0") {
+    // A={1}, B={2}: gap 1 at v=1, 0 at v=2 → T = (1·1/4)·1 = 0.25
+    val df = spark.createDataFrame(Seq(
+      ("g", true, 1L), ("g", false, 2L))).toDF("k", "in_a", "v")
+    val r = Stats.cramerVonMises(df, Seq("k"), "in_a", "v").collect().head
+    assert(r.getAs[Long]("t_x1000") === 250L)
+    // identical multisets → every ECDF gap is 0
+    val same = spark.createDataFrame(Seq(
+      ("s", true, 1L), ("s", false, 1L), ("s", true, 7L), ("s", false, 7L)))
+      .toDF("k", "in_a", "v")
+    val z = Stats.cramerVonMises(same, Seq("k"), "in_a", "v").collect().head
+    assert(z.getAs[Long]("t_x1000") === 0L)
+  }
+
   test("mcnemar counts the 2x2 and scores only the discordant cells") {
     val rows = Seq((true, true), (true, false), (true, false), (true, false),
       (false, true), (false, false)).map { case (a, b) => ("g", a, b) }
