@@ -113,4 +113,27 @@ object RobustStatsProps extends Properties("RobustStats") {
       (r.getAs[Long]("k_groups") == kGroups) &&
         (r.getAs[Long]("h_x1000") == want)
     }
+
+  property("cramerVonMises equals the brute-force pooled-ECDF L2 statistic") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+      val r = Stats.cramerVonMises(df, Seq("k"), "in_a", "v").collect().head
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      val n1 = as.size.toLong
+      val n2 = bs.size.toLong
+      val want =
+        if (n1 == 0 || n2 == 0) 0L
+        else {
+          val tNum = rows.map(_._2).distinct.map { v =>
+            val m = rows.count(_._2 == v).toLong
+            val d = BigInt(as.count(_ <= v)) * n2 - BigInt(bs.count(_ <= v)) * n1
+            BigInt(m) * d * d
+          }.sum
+          (BigInt(1000) * tNum
+            / (BigInt(n1 + n2) * (n1 + n2) * n1 * n2)).toLong
+        }
+      r.getAs[Long]("t_x1000") == want
+    }
 }
