@@ -37,6 +37,28 @@ object Layout {
     // under /tmp, not the session warehouse)
     path.foreach(p => sorted.option("path", p))
     sorted.format("parquet").saveAsTable(table)
+    // persist the bucket spec beside external data so a later
+    // registerBucketed can VALIDATE instead of trusting the caller
+    // (r15 advice: spec drift silently mis-buckets downstream joins)
+    path.foreach(p =>
+      writeSpecSidecar(df.sparkSession, p, keys, numBuckets, sortCols))
+  }
+
+  private val SpecFile = "_graft_bucket_spec.json"
+
+  private def writeSpecSidecar(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String]): Unit = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val json = s"""{"keys":${arr(keys)},"numBuckets":$numBuckets,"sortCols":${arr(sortCols)}}"""
+    val p = new org.apache.hadoop.fs.Path(s"$path/$SpecFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Register ALREADY-WRITTEN bucket files as an external bucketed
@@ -44,8 +66,14 @@ object Layout {
     * sibling of [[writeBucketed]] for when the files survive but the
     * in-memory catalog didn't (a restarted SparkSession): plain DDL,
     * zero data movement. The bucket spec must match what the files
-    * were written with or reads are silently mis-bucketed — callers
-    * pass the same (keys, numBuckets, sortCols) they wrote with.
+    * were written with or reads are silently mis-bucketed — so the
+    * caller-supplied spec is VALIDATED, not trusted (r15 advice):
+    * against the `_graft_bucket_spec.json` sidecar [[writeBucketed]]
+    * persists beside external data when present, and always against
+    * the bucket ids encoded in the file names (`…_00003.c000…` must
+    * all sit below `numBuckets`; catches re-registration with fewer
+    * buckets than written — the sidecar catches every drift, including
+    * MORE buckets than written, which the id range alone cannot).
     */
   def registerBucketed(
       spark: SparkSession,
@@ -55,6 +83,35 @@ object Layout {
       numBuckets: Int,
       sortCols: Seq[String],
       path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = new org.apache.hadoop.fs.Path(s"$path/$SpecFile")
+    if (fs.exists(spec)) {
+      val in = fs.open(spec)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      def arr(field: String): Seq[String] = {
+        val a = node.get(field)
+        (0 until a.size).map(a.get(_).asText)
+      }
+      val (wKeys, wN, wSort) = (arr("keys"), node.get("numBuckets").asInt, arr("sortCols"))
+      require(wKeys == keys && wN == numBuckets && wSort == sortCols,
+        s"registerBucketed($table): spec drift — files at $path were written with " +
+          s"(keys=$wKeys, numBuckets=$wN, sortCols=$wSort) but registration asked for " +
+          s"(keys=$keys, numBuckets=$numBuckets, sortCols=$sortCols); " +
+          "a mismatched spec silently mis-buckets every downstream join")
+    }
+    // fallback/defense: every bucket id encoded in a data file name must
+    // sit below numBuckets
+    val BucketId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
+    val badIds = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case BucketId(id) if id.toInt >= numBuckets => id.toInt
+    }
+    require(badIds.isEmpty,
+      s"registerBucketed($table): files at $path carry bucket ids ${badIds.toSeq.sorted} " +
+        s">= numBuckets=$numBuckets — the data was written with a different bucket count")
     val sortClause =
       if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")})" else ""
     spark.sql(

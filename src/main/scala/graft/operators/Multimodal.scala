@@ -196,15 +196,28 @@ object Multimodal {
           y += 1
         }
         val n = w.toLong * h
+        // n·sums(b) ≤ 765·n² exceeds Long past n ≈ 1.1·10⁸ pixels (worst
+        // case: one block holds nearly all luminance); above the exact
+        // envelope the compare runs in BigInt so the hash stays
+        // bit-deterministic instead of silently wrapping (r15 advice)
         var hash = 0L
         var b = 0
         while (b < 64) {
-          if (counts(b) > 0 && n * sums(b) > counts(b) * total)
-            hash |= (1L << b)
+          if (blockAboveMean(n, sums(b), counts(b), total)) hash |= (1L << b)
           b += 1
         }
         hash
       }
+
+    /** The aHash bit decision n·sum_b > count_b·total, exact at every
+      * image size: in Long inside the proven envelope (n ≤ 10⁸ pixels
+      * keeps n·sum_b ≤ 765·n² < 2⁶³), in BigInt past it.
+      */
+    private[operators] def blockAboveMean(
+        n: Long, sumB: Long, countB: Long, total: Long): Boolean =
+      if (countB <= 0) false
+      else if (n <= 100000000L) n * sumB > countB * total
+      else BigInt(n) * BigInt(sumB) > BigInt(countB) * BigInt(total)
 
     def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()

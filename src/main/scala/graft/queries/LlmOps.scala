@@ -9036,9 +9036,11 @@ object LlmOps {
              CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2),
          kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM wkk),
-         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk FROM wkk GROUP BY 1),
+         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS ntk
+                FROM wkk GROUP BY 1),
          cw AS (SELECT wkk.* FROM wkk JOIN nb USING (wk) CROSS JOIN kk
-                WHERE nbk = k),
+                WHERE nbk = k AND ntk = k),
          rk AS (
            SELECT event_type,
              min(rn) OVER (PARTITION BY wk, n)
@@ -9069,9 +9071,11 @@ object LlmOps {
              CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2),
          kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM wkk),
-         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk FROM wkk GROUP BY 1),
+         nb AS (SELECT wk, CAST(count(*) AS BIGINT) AS nbk,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS ntk
+                FROM wkk GROUP BY 1),
          cw AS (SELECT wkk.* FROM wkk JOIN nb USING (wk) CROSS JOIN kk
-                WHERE nbk = k),
+                WHERE nbk = k AND ntk = k),
          rk AS (
            SELECT wk, event_type,
              min(rn) OVER (PARTITION BY wk, n)
@@ -9147,9 +9151,11 @@ object LlmOps {
            SELECT event_type, CAST(date_trunc('week', day) AS DATE) AS wk,
              CAST(isodow(day) AS BIGINT) AS j, n
            FROM dl),
-         nb AS (SELECT event_type, wk, count(*) AS nbk FROM wd GROUP BY 1, 2),
+         nb AS (SELECT event_type, wk, count(*) AS nbk,
+                  count(DISTINCT j) AS ntk
+                FROM wd GROUP BY 1, 2),
          cw AS (SELECT wd.* FROM wd JOIN nb USING (event_type, wk)
-                WHERE nbk = 7),
+                WHERE nbk = 7 AND ntk = 7),
          rk AS (
            SELECT event_type, wk, j,
              min(rn) OVER (PARTITION BY event_type, wk, n)

@@ -69,6 +69,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("registerBucketed rejects a drifted bucket spec loudly") {
+    val facts = (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "id")
+    val base = java.nio.file.Files.createTempDirectory("reg_drift").toString
+    Layout.writeBucketed(facts, "facts_dr", Seq("k"), numBuckets = 8,
+      sortCols = Seq("k"), path = Some(s"$base/facts"))
+    spark.sql("DROP TABLE facts_dr")
+    // sidecar present: ANY drift (even MORE buckets, invisible to the
+    // file-id range) must raise instead of silently mis-bucketing
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.registerBucketed(spark, "facts_dr", facts.schema, Seq("k"), 16,
+        Seq("k"), s"$base/facts")
+    }
+    assert(e1.getMessage.contains("spec drift"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.registerBucketed(spark, "facts_dr", facts.schema, Seq("id"), 8,
+        Seq("k"), s"$base/facts")
+    }
+    assert(e2.getMessage.contains("spec drift"))
+    // sidecar removed (pre-r16 files): the file-name bucket ids still
+    // catch registration with FEWER buckets than written
+    new java.io.File(s"$base/facts/_graft_bucket_spec.json").delete()
+    val e3 = intercept[IllegalArgumentException] {
+      Layout.registerBucketed(spark, "facts_dr", facts.schema, Seq("k"), 4,
+        Seq("k"), s"$base/facts")
+    }
+    assert(e3.getMessage.contains("bucket ids"))
+    // and the true spec still registers fine without the sidecar
+    Layout.registerBucketed(spark, "facts_dr", facts.schema, Seq("k"), 8,
+      Seq("k"), s"$base/facts")
+    assert(spark.table("facts_dr").count() == 100)
+    spark.sql("DROP TABLE IF EXISTS facts_dr")
+  }
+
   test("salted join matches plain join results") {
     // heavy skew: 90% of rows share key 1
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i)).toDF("k", "payload")

@@ -347,6 +347,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: aHash bit compare is exact past the Long envelope (BigInt branch)") {
+    import Multimodal.MediaCodec.blockAboveMean
+    // gigapixel regime where n·sum_b wraps Long: 2e9 px, one block holding
+    // half of them at max luminance — 765·(1e9)² ≈ 7.7e20 >> 2⁶³
+    val n = 2000000000L
+    val (countB, sumB) = (1000000000L, 765L * 1000000000L)
+    val total = sumB // all luminance in this block → clearly above mean
+    assert(blockAboveMean(n, sumB, countB, total))
+    // and the dark complement block stays below the mean
+    assert(!blockAboveMean(n, 0L, n - countB, total))
+    // the wrapped-Long compare would get at least one of these wrong:
+    // n * sumB overflows to a negative Long here
+    assert(n * sumB < 0)
+    // inside the envelope the Long and BigInt paths agree bit for bit
+    for (s <- Seq(0L, 1L, 764L, 765L); c <- Seq(1L, 63L, 64L); t <- Seq(0L, 765L, 48960L))
+      assert(blockAboveMean(100L, s, c, t) ==
+        (BigInt(100L) * BigInt(s) > BigInt(c) * BigInt(t)))
+  }
+
   test("multimodal: aHash survives one-pixel corruption, separates seeds, nulls on junk") {
     val media = Multimodal.syntheticGradientMedia(spark, 10)
     val orig = Multimodal.imageAHash(media)

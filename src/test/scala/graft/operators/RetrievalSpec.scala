@@ -132,4 +132,74 @@ class RetrievalSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("sel_rank"), r.getAs[Long]("id")))
     assert(got.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
+
+  test("mmrRerank aggregate replays the join-loop greedy chain exactly (multi-query)") {
+    // 3 queries × 5 candidates with deterministic pseudo-random rel/sim:
+    // two independent implementations of one greedy chain must agree row
+    // for row (the r16 re-shape's checksum-equality certificate)
+    def h(x: Long): Long = {
+      var z = x * 2654435761L
+      z ^= z >>> 13
+      math.abs(z % 1000000L)
+    }
+    val cands = for (q <- 1L to 3L; i <- 1L to 5L)
+      yield (q, i, h(q * 31 + i))
+    val sims = for (q <- 1L to 3L; a <- 1L to 5L; b <- 1L to 5L if a != b)
+      yield (q, a, b, h(q * 131 + math.min(a, b) * 17 + math.max(a, b)))
+    val cdf = cands.toDF("query_id", "id", "rel")
+    val sdf = sims.toDF("query_id", "id_a", "id_b", "sim")
+    val agg = Retrieval.mmrRerank(cdf, sdf, k = 4, lambdaPm = 600L)
+      .orderBy("query_id", "sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val loop = Retrieval.mmrRerankLoop(cdf, sdf, k = 4, lambdaPm = 600L)
+      .orderBy("query_id", "sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(agg.toSeq === loop.toSeq)
+    assert(agg.length === 12) // 3 queries × k=4
+  }
+
+  test("mmrRerank: k past the candidate count returns all candidates, in order") {
+    val cands = Seq((1L, 10L, 500000L), (1L, 11L, 400000L)).toDF("query_id", "id", "rel")
+    val sims = Seq((1L, 10L, 11L, 100000L), (1L, 11L, 10L, 100000L))
+      .toDF("query_id", "id_a", "id_b", "sim")
+    val got = Retrieval.mmrRerank(cands, sims, k = 9, lambdaPm = 700L)
+      .orderBy("sel_rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("mmrRerank raises on a candidate missing its sim pair (contract violation is loud)") {
+    val cands = Seq((1L, 10L, 500000L), (1L, 11L, 400000L), (1L, 12L, 300000L))
+      .toDF("query_id", "id", "rel")
+    // 12 has no sim rows at all — the loop used to silently drop it
+    val sims = Seq((1L, 10L, 11L, 100000L), (1L, 11L, 10L, 100000L))
+      .toDF("query_id", "id_a", "id_b", "sim")
+    val eAgg = intercept[Exception] {
+      Retrieval.mmrRerank(cands, sims, k = 3, lambdaPm = 700L).collect()
+    }
+    assert(exceptionChain(eAgg).exists(_.getMessage != null) &&
+      exceptionChain(eAgg).exists(m => Option(m.getMessage).exists(_.contains("no sim pair"))))
+    val eLoop = intercept[Exception] {
+      Retrieval.mmrRerankLoop(cands, sims, k = 3, lambdaPm = 700L).collect()
+    }
+    assert(exceptionChain(eLoop).exists(m =>
+      Option(m.getMessage).exists(_.contains("missing sim pair"))))
+  }
+
+  test("mmrRerank raises past maxCandidates (bounded state is loud, not OOM)") {
+    val cands = (1L to 5L).map(i => (1L, i, 1000L * i)).toDF("query_id", "id", "rel")
+    val sims = (for (a <- 1L to 5L; b <- 1L to 5L if a != b) yield (1L, a, b, 100L))
+      .toDF("query_id", "id_a", "id_b", "sim")
+    val e = intercept[Exception] {
+      Retrieval.mmrRerank(cands, sims, k = 2, lambdaPm = 700L, maxCandidates = 4).collect()
+    }
+    assert(exceptionChain(e).exists(m =>
+      Option(m.getMessage).exists(_.contains("maxCandidates"))))
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    var cur: Throwable = e
+    while (cur != null && buf.size < 10) { buf += cur; cur = cur.getCause }
+    buf.toSeq
+  }
 }

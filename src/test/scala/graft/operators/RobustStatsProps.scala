@@ -136,4 +136,45 @@ object RobustStatsProps extends Properties("RobustStats") {
         }
       r.getAs[Long]("t_x1000") == want
     }
+
+  private val genXYZ: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 30)
+    rows <- Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(-9L, 9L), Gen.chooseNum(-9L, 9L), Gen.chooseNum(-9L, 9L)))
+  } yield rows
+
+  property("partialCorrelation replays the fixed double expression tree bitwise") =
+    Prop.forAll(genXYZ) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (x, y, z) => ("k", x, y, z) }.toDF("k", "x", "y", "z")
+      val got = Stats.partialCorrelation(df, Seq("k"), "x", "y", "z").collect().head
+      // brute force: exact integer moments, then the SAME fixed tree of
+      // IEEE double ops the operator documents — must match bitwise
+      val n = rows.size.toDouble
+      def s(f: ((Long, Long, Long)) => BigInt): Double = rows.map(f).sum.toDouble
+      val (sx, sy, sz) = (s(r => BigInt(r._1)), s(r => BigInt(r._2)), s(r => BigInt(r._3)))
+      val (sxx, syy, szz) = (s(r => BigInt(r._1) * r._1), s(r => BigInt(r._2) * r._2),
+        s(r => BigInt(r._3) * r._3))
+      val (sxy, sxz, syz) = (s(r => BigInt(r._1) * r._2), s(r => BigInt(r._1) * r._3),
+        s(r => BigInt(r._2) * r._3))
+      def corr(cov: Double, vx: Double, vy: Double): Double = {
+        val d = vx * vy
+        if (d == 0.0) Double.NaN else cov / math.sqrt(d)
+      }
+      val rxy = corr(n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+      val rxz = corr(n * sxz - sx * sz, n * sxx - sx * sx, n * szz - sz * sz)
+      val ryz = corr(n * syz - sy * sz, n * syy - sy * sy, n * szz - sz * sz)
+      val den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+      val want =
+        if (rxy.isNaN || rxz.isNaN || ryz.isNaN || den == 0.0) None
+        else Some((rxy - rxz * ryz) / math.sqrt(den))
+      val gotP = if (got.isNullAt(got.fieldIndex("partial_xy_z"))) None
+        else Some(got.getAs[Double]("partial_xy_z"))
+      (want, gotP) match {
+        case (None, None) => true
+        case (Some(w), Some(g)) =>
+          java.lang.Double.doubleToLongBits(w) == java.lang.Double.doubleToLongBits(g)
+        case _ => false
+      }
+    }
 }

@@ -157,6 +157,53 @@ class StatsSpec extends SparkSpec {
     assert(out("B") === ((10L, 3571L)))
   }
 
+  test("partialCorrelation: per-row |input| >= 1e19 raises; 9e18 stays exact") {
+    // Long inputs can never reach the bound (Long.Max ≈ 9.22e18) — the
+    // window is double/decimal inputs, where the x·x product would hit
+    // the DECIMAL(38,0) ceiling, NULL, and silently shed the row
+    // one near-bound row: its x·x ≈ 8.1e37 fits DECIMAL(38,0) and the
+    // sums stay under 10³⁸ (two such rows would overflow the SUM, which
+    // is a separate, loud failure in ANSI Spark)
+    val ok = spark.createDataFrame(Seq(
+      (1L, 9.0e18, 1.0, 1.0), (1L, -2.0, 2.0, 3.0), (1L, 3.0, 3.0, 5.0)))
+      .toDF("g", "x", "y", "z")
+    val rOk = Stats.partialCorrelation(ok, Seq("g"), "x", "y", "z").collect()
+    assert(rOk.head.getAs[Long]("n") === 3L)
+    val bad = spark.createDataFrame(Seq(
+      (1L, 1.0e19, 1.0, 1.0), (1L, 2.0, 2.0, 3.0), (1L, 3.0, 3.0, 5.0)))
+      .toDF("g", "x", "y", "z")
+    val e = intercept[Exception] {
+      Stats.partialCorrelation(bad, Seq("g"), "x", "y", "z").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("1e19"))))
+  }
+
+  test("friedman/quade: duplicated-treatment block is INCOMPLETE and drops (r15 advice)") {
+    // b5 has k=3 rows but treatments (t1, t1, t2) — missing t3. A
+    // row-count-only completeness filter admits it and distorts the
+    // within-block ranks; the distinct-treatment filter must drop it,
+    // leaving the 4 clean blocks' statistics untouched.
+    val clean = (1 to 4).flatMap(b => Seq(
+      ("b" + b, "t1", 10L), ("b" + b, "t2", 20L), ("b" + b, "t3", 30L)))
+    val dirty = clean ++ Seq(("b5", "t1", 1L), ("b5", "t1", 2L), ("b5", "t2", 3L))
+    val fc = Stats.friedman(
+      spark.createDataFrame(clean).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("r2_sum")).toMap
+    val fd = Stats.friedman(
+      spark.createDataFrame(dirty).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("r2_sum")).toMap
+    assert(fc === fd)
+    val qc = Stats.quade(
+      spark.createDataFrame(clean).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s4_sum")).toMap
+    val qd = Stats.quade(
+      spark.createDataFrame(dirty).toDF("blk", "treat", "v"), "blk", "treat", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s4_sum")).toMap
+    assert(qc === qd)
+  }
+
   test("cramersV: perfect association gives V² = 1, independence gives 0") {
     val perfect = spark.createDataFrame(
       Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))).toDF("r", "c")
