@@ -1183,6 +1183,50 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental index maintenance (Similarity.appendToIndex — r15
+    // verdict gap #1): train the IVF index on HALF the corpus, append
+    // the other half encoded with the FROZEN centroids (one pass over
+    // new rows + a partitioned append — no rebuild), then certify the
+    // served top-k equals the ad-hoc frozen-model job over the full
+    // corpus. The model's staleness row (per-mille of rows encoded
+    // post-training — the retrain signal) rides along, replayed by the
+    // oracle from the table's own counts.
+    "q_ann_ivf_append" -> ((s, d) => {
+      val (nCentroids, refineIters, split) = (16, 1, 5)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/ivf_append_c${nCentroids}_r${refineIters}_s${split}" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= split)
+      val partA = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val partB = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+      // model.json exists after writeIndex alone — gate the CACHED state
+      // on a _DONE marker written only once the append also landed
+      if (!new java.io.File(s"$dir/_DONE").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        Similarity.writeIndex(partA, "vec_id", "embedding", dir,
+          nCentroids = nCentroids, refineIters = refineIters)
+        Similarity.appendToIndex(s, dir, partB, "vec_id", "embedding")
+        new java.io.File(s"$dir/_DONE").createNewFile()
+        ()
+      }
+      val model = Similarity.readModel(s, dir)
+      val queries = emb.filter(col("vec_id") < split)
+      val served = Similarity.queryIndex(s, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      val adhoc = Similarity.ivfTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nCentroids = nCentroids, nProbe = 4,
+        refineIters = refineIters, model = Some(model))
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("a_neighbor"), col("cosine").as("a_cosine"))
+      served.join(adhoc, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("a_neighbor")).as("same_neighbor"),
+          (col("cosine") === col("a_cosine")).as("same_cosine"),
+          lit(model.stalenessPm).as("staleness_pm"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---------------- text analysis ----------------
     "q_token_count" -> ((s, d) => {
       val t = Tables.documents(s, d)
@@ -7557,6 +7601,22 @@ object LlmOps {
            true AS same_neighbor, true AS same_cosine
          FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
          CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
+         ORDER BY query_id, rank""",
+    // the append certificate is all-true agreement rows plus the
+    // staleness per-mille replayed from the table's own half counts
+    "q_ann_ivf_append" ->
+      """WITH base AS (
+           SELECT CAST(count(*) AS BIGINT) AS nb FROM embeddings
+           WHERE vec_id >= 5 AND vec_id % 2 = 0),
+         app AS (
+           SELECT CAST(count(*) AS BIGINT) AS na FROM embeddings
+           WHERE vec_id >= 5 AND vec_id % 2 = 1)
+         SELECT q.query_id, CAST(r.rank AS INTEGER) AS rank,
+           true AS same_neighbor, true AS same_cosine,
+           CAST(na * 1000 // (nb + na) AS BIGINT) AS staleness_pm
+         FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+         CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
+         CROSS JOIN base CROSS JOIN app
          ORDER BY query_id, rank""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -736,18 +736,36 @@ object StreamingSync {
     * into the edge buckets and are COUNTED (`n_clamped`) so grid
     * misfit is observable, never silent. Consumers take max-seq per
     * key (at-least-once sink ⇒ distinct after the max-seq join).
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout state eviction (the
+    * [[cChartStream]] pattern) for key-churn hygiene: a key silent
+    * past `ttlMs` drops its histogram, emitting nothing. The TRADEOFF
+    * is generational, not per-row: the histogram is cumulative over
+    * the key's whole life, so a RETURNING key restarts its counts and
+    * its `seq` at 1 — and a max-seq consumer keeps reading the dead
+    * generation's (higher-seq) snapshot until the new life overtakes
+    * it. TTL therefore suits keys that genuinely die (session-scoped
+    * metrics); lifetime quantiles over resurrecting keys keep the
+    * NoTimeout default, which the oracled batch-parity query uses.
     */
   def quantileStream(
       events: Dataset[TypeValue],
       lo: Long,
       width: Long,
-      nBuckets: Int): Dataset[QuantRow] = {
+      nBuckets: Int,
+      ttlMs: Long = 0L): Dataset[QuantRow] = {
     require(width > 0 && nBuckets > 1, s"bad grid: width=$width nBuckets=$nBuckets")
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.typ)
       .flatMapGroupsWithState[QuantState, QuantRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, gs: GroupState[QuantState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (typ, es, gs: GroupState[QuantState]) =>
           val st = gs.getOption.getOrElse(QuantState(new Array[Long](nBuckets + 1), 0L))
           val counts = st.counts.clone()
@@ -763,6 +781,7 @@ object StreamingSync {
           }
           val seq = st.seq + 1L
           gs.update(QuantState(counts, seq))
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
           val n = counts.take(nBuckets).sum
           def qLo(pPm: Long): Long = {
             val rank = (n * pPm + 999L) / 1000L
@@ -877,19 +896,40 @@ object StreamingSync {
     * matches against the existing roster (its pairs with ALREADY
     * admitted docs are real and emitted); only its future
     * matchability is lost, which is exactly what the marker records.
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout eviction of (band,
+    * bandhash) rosters — per-bucket state is already capped at
+    * `maxBucket`, but the NUMBER of bucket keys grows with the corpus,
+    * so an endless ingest eventually needs either eviction or a
+    * periodic batch sweep. The TRADEOFF is semantic, not hygiene: a
+    * roster evicted after `ttlMs` of silence FORGETS its documents, so
+    * a near-dup arriving later pairs with nothing — dedup-against-ALL-
+    * history degrades to dedup-within-a-sliding-recency-window.
+    * That is the right contract when duplicates cluster in time
+    * (crawl re-fetches, retry storms) and a scheduled batch
+    * [[graft.operators.Dedup.simhashNearDupPairs]] sweep owns the long
+    * tail; the NoTimeout default keeps exact batch parity and is what
+    * the oracled query uses.
     */
   def simhashMatchStream(
       docs: Dataset[BandedDoc],
       maxHamming: Int,
-      maxBucket: Int = 512): Dataset[SimhashMatch] = {
+      maxBucket: Int = 512,
+      ttlMs: Long = 0L): Dataset[SimhashMatch] = {
     import docs.sparkSession.implicits._
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
     require(maxBucket >= 1, s"maxBucket must be positive, got $maxBucket")
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .groupByKey(d => (d.band, d.bh))
       .flatMapGroupsWithState[BucketState, SimhashMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, gs: GroupState[BucketState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
         case (_, ds, gs: GroupState[BucketState]) =>
           val sorted = ds.toSeq.sortBy(_.id)
           var st = gs.getOption.getOrElse(
@@ -917,6 +957,7 @@ object StreamingSync {
             }
           }
           gs.update(st)
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
           out.iterator
       }
   }

@@ -60,4 +60,48 @@ class IvfIndexSpec extends SparkSpec {
       .count(_.getName.startsWith("cid="))
     assert(cellDirs > 0 && cellDirs <= 8, s"unexpected cell partition count $cellDirs")
   }
+
+  test("appendToIndex: append+serve equals frozen-model full encode+serve; staleness tracked") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val partA = emb.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 0)
+    val partB = emb.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 1)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    // index trained on A only, then B appended with FROZEN centroids
+    val dirApp = Files.createTempDirectory("ivfappend").toString
+    val m0 = Similarity.writeIndex(partA, "vec_id", "embedding", dirApp,
+      nCentroids = 8, refineIters = 1)
+    assert(m0.appendedRows == 0L && m0.baseRows > 0L && m0.stalenessPm == 0L)
+    val m1 = Similarity.appendToIndex(spark, dirApp, partB, "vec_id", "embedding")
+    assert(m1.baseRows == m0.baseRows)
+    assert(m1.appendedRows == partB.count())
+    // staleness row persists through the JSON round trip
+    val reread = Similarity.readModel(spark, dirApp)
+    assert(reread.appendedRows == m1.appendedRows && reread.baseRows == m1.baseRows)
+    assert(reread.stalenessPm ==
+      m1.appendedRows * 1000 / (m1.baseRows + m1.appendedRows))
+
+    // the rebuild leg: encode A∪B in ONE index but with the SAME frozen
+    // model (cell assignment is a pure function of vector+centroids, so
+    // this is exactly what a from-scratch encode with m0 produces)
+    val dirFull = Files.createTempDirectory("ivffull").toString
+    Similarity.writeIndex(partA, "vec_id", "embedding", dirFull,
+      nCentroids = 8, refineIters = 1) // same train input → same centroids
+    Similarity.appendToIndex(spark, dirFull, partB, "vec_id", "embedding")
+    val servedApp = Similarity.queryIndex(spark, dirApp, queries,
+      "vec_id", "embedding", k = 4, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // independent ground truth: the ad-hoc IVF job over A∪B with m0
+    val adhoc = Similarity.ivfTopK(partA.unionByName(partB), queries,
+      "vec_id", "embedding", "vec_id", k = 4, nCentroids = 8, nProbe = 3,
+      model = Some(m0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(servedApp == adhoc, s"append+serve=$servedApp adhoc=$adhoc")
+
+    // legacy bare-array model.json still parses (counts default to 0)
+    val legacy = Similarity.IvfModel.fromJson(
+      m0.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    assert(legacy.centroids.map(_.toSeq).toSeq == m0.centroids.map(_.toSeq).toSeq)
+    assert(legacy.baseRows == 0L && legacy.stalenessPm == 0L)
+  }
 }

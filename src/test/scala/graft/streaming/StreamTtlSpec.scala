@@ -192,4 +192,107 @@ class StreamTtlSpec extends SparkSpec {
     assert(late.touch_id.isEmpty,
       s"expired touch must not credit the late purchase: $late")
   }
+
+  // ---- quantileStream ----
+
+  test("quantiles: huge TTL leaves live-key snapshots identical to NoTimeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = (0L until 50L).map(v => SS.TypeValue("t", v))
+    val msRef = MemoryStream[SS.TypeValue]
+    val refSink = s"qt_ref_${System.nanoTime()}"
+    val qRef = SS.quantileStream(msRef.toDS(), lo = 0L, width = 10L, nBuckets = 8)
+      .writeStream.format("memory").queryName(refSink).start()
+    try { msRef.addData(evs); qRef.processAllAvailable() } finally qRef.stop()
+    val want = spark.table(refSink).as[SS.QuantRow].collect().toSet
+    assert(want.nonEmpty)
+
+    val ms = MemoryStream[SS.TypeValue]
+    val sink = s"qt_ttl_${System.nanoTime()}"
+    val q = SS.quantileStream(ms.toDS(), lo = 0L, width = 10L, nBuckets = 8,
+      ttlMs = 600000L)
+      .writeStream.format("memory").queryName(sink).trigger(paced).start()
+    try {
+      ms.addData(evs)
+      pollUntil("quantile snapshot under TTL")(spark.table(sink).count() == want.size)
+    } finally q.stop()
+    assert(spark.table(sink).as[SS.QuantRow].collect().toSet == want)
+  }
+
+  test("quantiles: TTL evicts a silent key; returning key restarts counts and seq") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.TypeValue]
+    val sink = s"qt_ret_${System.nanoTime()}"
+    val q = SS.quantileStream(ms.toDS(), lo = 0L, width = 10L, nBuckets = 8,
+      ttlMs = 1000L)
+      .writeStream.format("memory").queryName(sink).trigger(paced).start()
+    def rows = spark.table(sink).as[SS.QuantRow].collect().toSeq
+    try {
+      ms.addData((0L until 40L).map(v => SS.TypeValue("k", v)))
+      pollUntil("first-life snapshot")(rows.exists(r => r.typ == "k" && r.n_obs == 40L))
+      awaitEviction(q)
+      // returning key: a fresh 10-row life — surviving state would show
+      // n_obs = 50 and a seq past the first life's
+      ms.addData((0L until 10L).map(v => SS.TypeValue("k", v)))
+      pollUntil("returning-key snapshot")(rows.exists(_.n_obs == 10L))
+    } finally q.stop()
+    val back = rows.filter(_.n_obs == 10L)
+    assert(back.forall(_.seq == 1L), s"returning key must restart seq at 1: $back")
+    assert(!rows.exists(_.n_obs > 40L), s"evicted histogram must not accumulate: $rows")
+  }
+
+  // ---- simhashMatchStream ----
+
+  private def bandedDoc(id: Long, fp: Long): Seq[SS.BandedDoc] =
+    (0 until 4).map(b => SS.BandedDoc(b, (fp >>> (b * 8)) & 0xFFL, id, fp))
+
+  test("simhash: huge TTL leaves emitted pair set identical to NoTimeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = bandedDoc(1L, 0x1234567812345678L) ++
+      bandedDoc(2L, 0x1234567812345679L) ++ // 1-bit off doc 1
+      bandedDoc(3L, -1L)
+    val msRef = MemoryStream[SS.BandedDoc]
+    val refSink = s"sh_ref_${System.nanoTime()}"
+    val qRef = SS.simhashMatchStream(msRef.toDS(), maxHamming = 3)
+      .writeStream.format("memory").queryName(refSink).start()
+    try { msRef.addData(docs); qRef.processAllAvailable() } finally qRef.stop()
+    val want = spark.table(refSink).as[SS.SimhashMatch].collect().toSet
+    // one logical pair emitted once per colliding band (3 of 4 here) —
+    // the downstream distinct's job; poll on the RAW row count
+    val wantRows = spark.table(refSink).count()
+    assert(want.exists(m => m.id_a == 1L && m.id_b == 2L))
+
+    val ms = MemoryStream[SS.BandedDoc]
+    val sink = s"sh_ttl_${System.nanoTime()}"
+    val q = SS.simhashMatchStream(ms.toDS(), maxHamming = 3, ttlMs = 600000L)
+      .writeStream.format("memory").queryName(sink).trigger(paced).start()
+    try {
+      ms.addData(docs)
+      pollUntil("simhash pairs under TTL")(spark.table(sink).count() == wantRows)
+    } finally q.stop()
+    assert(spark.table(sink).as[SS.SimhashMatch].collect().toSet == want)
+  }
+
+  test("simhash: TTL eviction forgets old rosters — recency-window dedup semantics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[SS.BandedDoc]
+    val sink = s"sh_ret_${System.nanoTime()}"
+    val q = SS.simhashMatchStream(ms.toDS(), maxHamming = 3, ttlMs = 1000L)
+      .writeStream.format("memory").queryName(sink).trigger(paced).start()
+    def rows = spark.table(sink).as[SS.SimhashMatch].collect().toSeq
+    try {
+      ms.addData(bandedDoc(1L, 0x42L))
+      pollUntil("roster seeded") {
+        val p = q.lastProgress
+        p != null && p.stateOperators.nonEmpty && p.stateOperators(0).numRowsTotal > 0L
+      }
+      awaitEviction(q)
+      // the near-dup arrives AFTER eviction: with history forgotten it
+      // pairs with nothing (the documented sliding-window tradeoff) —
+      // but two post-eviction near-dups still pair with each other
+      ms.addData(bandedDoc(2L, 0x43L) ++ bandedDoc(4L, 0x46L))
+      pollUntil("fresh-generation pair")(rows.exists(m => m.id_a == 2L && m.id_b == 4L))
+    } finally q.stop()
+    assert(!rows.exists(m => m.id_a == 1L),
+      s"evicted roster must not pair with the old generation: $rows")
+  }
 }
