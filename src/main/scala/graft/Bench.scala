@@ -55,6 +55,51 @@ object Bench {
     }
     var spark = newSession()
 
+    // ---- machine-variance sentinel (round 16) ----
+    // The restart harness (r15) killed within-suite session pressure;
+    // the dominant residual noise is BETWEEN-RUN whole-machine variance
+    // (the r15 recording sweep ran ~16% above three same-code sweeps).
+    // Before the sweep, a FIXED 5-query set — spanning scan+agg, window,
+    // top-k heap, incremental filter, and the as-of range join — runs
+    // `sentinelReps` times on the fresh session; per-query MIN folds out
+    // JIT warmup, and the total against the pinned sf0.1 reference
+    // (measured on the round-16 machine) is emitted as `machine_factor`.
+    // Cross-round ratios divide by it instead of hand-adjudicating
+    // "everything drifted 1.16x uniformly" in prose. The reference is
+    // meaningful at sf0.1 (the driver's bench SF) — at other SF dirs the
+    // factor still prints but measures the machine only relative to a
+    // different workload size.
+    val sentinelNames = Seq("q1_agg", "q_window", "q_topk", "q_incremental",
+      "q_asof_join")
+    val sentinelReps = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REPS", "3").toInt
+    // pinned reference: median of three r16 probes at sf0.1/local[32]
+    // on the round-16 machine (1.652 / 1.517 / 1.811 s) — the ±10%
+    // spread between probes IS the between-run variance the factor
+    // exists to expose
+    val sentinelRefTotal = 1.65
+    val qmapAll = SparkEntry.queries
+    val sentinelTimes: Seq[(String, Double)] = sentinelNames.map { n =>
+      val fn = qmapAll(n)
+      val times = (1 to sentinelReps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> times.min
+    }
+    val sentinelTotal = sentinelTimes.map(_._2).sum
+    val machineFactor = sentinelTotal / sentinelRefTotal
+    // sentinel-only mode: a ~15 s machine probe without the full sweep
+    if (sys.env.get("SPARK_GRAFT_SENTINEL_ONLY").contains("1")) {
+      def f3s(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      println(s"""{"metric":"sentinel_total","value":${f3s(sentinelTotal)},"unit":"sec","sentinel":${sentinelTimes.map { case (k, v) => "\"" + k + "\":" + f3s(v) }.mkString("{", ",", "}")},"machine_factor":${f3s(machineFactor)},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+    // the sentinel's JIT/cache warmup must not leak into the cold pass
+    spark.stop()
+    spark = newSession()
+
     // A failing query must be LOUD: it is reported per-name AND per-pass
     // in the JSON, never silently timed as ~0 s (which would make a
     // broken query look like a speedup). Separate maps per pass: a
@@ -126,7 +171,9 @@ object Bench {
       }.mkString("{", ",", "}")
     // n_failed counts WARM failures — the ones that corrupt the headline;
     // cold-only failures are reported separately and leave `value` valid.
-    val full = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","queries":${toJson(warm)},"cold_total":${f3(coldTotal)},"cold":${toJson(cold)},"n_failed":${warmErrors.size},"errors":${errJson(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold":${errJson(coldErrors)},"sf":"$sfDir"}"""
+    val sentinelJson = sentinelTimes.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","queries":${toJson(warm)},"cold_total":${f3(coldTotal)},"cold":${toJson(cold)},"n_failed":${warmErrors.size},"errors":${errJson(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold":${errJson(coldErrors)},"sentinel":$sentinelJson,"sentinel_total":${f3(sentinelTotal)},"machine_factor":${f3(machineFactor)},"sf":"$sfDir"}"""
     // The FULL per-query warm+cold dicts go to the committed artifact…
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: java.io.IOException => } // read-only cwd must not fail the bench
@@ -152,7 +199,7 @@ object Bench {
     val hCold = headline.flatMap(n => coldMap.get(n).map(n -> _))
     def errHead(errors: scala.collection.Map[String, String]): String =
       errJson(errors.take(3).map { case (k, v) => k -> v.take(80) }.toMap)
-    val compact = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","n_queries":${warm.size},"queries":${toJson(hWarm)},"cold":${toJson(hCold)},"cold_total":${f3(coldTotal)},"n_failed":${warmErrors.size},"errors_head":${errHead(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold_head":${errHead(coldErrors)},"sf":"$sfDir","detail":"bench_last.json"}"""
+    val compact = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","n_queries":${warm.size},"queries":${toJson(hWarm)},"cold":${toJson(hCold)},"cold_total":${f3(coldTotal)},"n_failed":${warmErrors.size},"errors_head":${errHead(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold_head":${errHead(coldErrors)},"sentinel_total":${f3(sentinelTotal)},"machine_factor":${f3(machineFactor)},"sf":"$sfDir","detail":"bench_last.json"}"""
     println(compact)
     spark.stop()
     // rc mirrors the headline's validity: a warm-pass query failure

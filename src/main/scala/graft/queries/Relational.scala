@@ -1574,7 +1574,11 @@ object Relational {
     // remainders with a nation-key tiebreak — apportionment with zero
     // float division, and the sum-to-budget law emitted as a per-row
     // certificate. All post-aggregate work happens on the 25-nation
-    // frame (broadcast totals, bounded rank window).
+    // frame (broadcast totals, bounded rank window) — which feeds SIX
+    // consumers (total, base sum, rank, alloc sum, final projection),
+    // so the corpus-sized join+aggregate under it is pinned ONCE
+    // (r15 verdict #8: the unpinned plan re-ran it per consumer — 61
+    // exchanges / 13 BNL, the heaviest plan in the inventory).
     "q_alloc_budget" -> ((s, d) => {
       val budget = 1000000L
       val rev = Tables.orders(s, d)
@@ -1582,18 +1586,23 @@ object Relational {
         .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("o_totalprice").cast(dec) * 100).cast("long")).as("rev_cents"))
-      val tot = rev.agg(sum(col("rev_cents")).as("total_cents"))
-      val based = rev.crossJoin(broadcast(tot))
+        .localCheckpoint(true)
+      // the four global sums/ranks all run as windows over the PINNED
+      // 25-row frame (the bounded-frame exception — |nations| is a
+      // constant, not data-sized), collapsing the former
+      // crossJoin(broadcast(agg)) chain's 13 BroadcastNestedLoopJoins
+      // into one window stage
+      val wAll = Window.partitionBy()
+      val wRk = Window.orderBy(col("rem_key").desc, col("n_name").asc)
+      rev
+        .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
         .withColumn("base_alloc", expr(s"(${budget}L * rev_cents) div total_cents"))
         .withColumn("rem_key", expr(s"(${budget}L * rev_cents) % total_cents"))
-      val baseSum = based.agg(sum(col("base_alloc")).as("base_total"))
-      val ranked = based.crossJoin(broadcast(baseSum))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rem_key").desc, col("n_name").asc)).cast("long"))
+        .withColumn("base_total", sum(col("base_alloc")).over(wAll))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
         .withColumn("alloc", col("base_alloc") +
           when(col("rk") <= lit(budget) - col("base_total"), 1L).otherwise(0L))
-      val allocSum = ranked.agg(sum(col("alloc")).as("alloc_total"))
-      ranked.crossJoin(broadcast(allocSum))
+        .withColumn("alloc_total", sum(col("alloc")).over(wAll))
         .select(col("n_name"), col("rev_cents"), col("base_alloc"),
           col("rem_key"), col("alloc"),
           (col("alloc_total") === budget).as("total_ok"))
