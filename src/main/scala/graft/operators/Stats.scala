@@ -1363,4 +1363,184 @@ object Stats {
       .withColumn("sign_stat", col("n_pos") - col("n_neg"))
       .withColumn("b_stat", least(col("n_pos"), col("n_neg")))
   }
+
+  /** Ansari–Bradley two-sample SCALE test (1960) — do A and B share a
+    * center but differ in dispersion? Pooled ranks score
+    * s(i) = min(i, N+1−i): extremes score low, the center high, so a
+    * WIDER sample collects less score. Statistic = Σ_A scores with
+    * midscores over tie runs.
+    *
+    * Exact rendering on the [[ksTwoSample]] value spine: a tie run
+    * occupies ranks [a, b] (from the cumulative window), and the run's
+    * DOUBLED score sum Σ 2·min(i, N+1−i) is a closed-form pair of
+    * arithmetic series split at the peak c = (N+1) div 2 — no
+    * enumeration. The run's A-mass takes its proportional share, and
+    * because the share's denominator is the RUN length (not a global
+    * constant), the emitted `ab2_x1000` is the FLOOR-COMPOSED rendering:
+    * per-run (1000·m_A·S2_run) div L, then summed — both engines replay
+    * the same floors (the cramersV per-cell discipline; deviation from
+    * the real rational < #runs/1000 per mille). `e_ab2_x1000` rides
+    * along: 2000·E[AB] = 1000·n₁(N+2)/2 for even N, 1000·n₁(N+1)²/(2N)
+    * for odd (floor-divided) — the centering an audit compares against.
+    * Products ~N³ ride DECIMAL(38,0) with loud cast-down.
+    */
+  def ansariBradley(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(keys: _*)
+    // arithmetic-series sum (lo+hi)(hi−lo+1) of 2i over [lo, hi], 0 when empty
+    def ser2(lo: Column, hi: Column): Column =
+      when(hi < lo, lit(0L).cast(dec))
+        .otherwise((lo + hi).cast(dec) * (hi - lo + 1))
+    perV
+      .withColumn("__m", col("__a") + col("__b"))
+      .withColumn("__hi", sum(col("__m")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__m") + 1)
+      .withColumn("__n", sum(col("__m")).over(wKey))
+      // peak of min(i, N+1−i): ranks ≤ c score 2i doubled; above score
+      // 2(N+1−i) = series of 2j over the REFLECTED range j = N+1−i
+      .withColumn("__c", expr("(__n + 1) div 2"))
+      .withColumn("__s2run",
+        ser2(col("__lo"), least(col("__hi"), col("__c"))) +
+          ser2(col("__n") + 1 - col("__hi"),
+            least(col("__n") - col("__c"), col("__n") + 1 - col("__lo"))))
+      .withColumn("__contrib",
+        (col("__s2run") * col("__a") * 1000
+          - col("__s2run") * col("__a") * 1000 % col("__m").cast(dec))
+          / col("__m").cast(dec))
+      .groupBy(keys: _*)
+      .agg(sum(col("__a")).as("n1"), sum(col("__b")).as("n2"),
+        sum(col("__contrib").cast(dec)).as("__ab2"))
+      .withColumn("n_total", col("n1") + col("n2"))
+      .withColumn("ab2_x1000", loudLong(col("__ab2"), "ansariBradley", "ab2_x1000"))
+      .withColumn("e_ab2_x1000",
+        when(col("n1") === 0 || col("n2") === 0, 0L)
+          .when(pmod(col("n_total"), lit(2L)) === 0,
+            expr("(1000 * n1 * (n_total + 2)) div 2"))
+          .otherwise(expr(
+            "(1000 * n1 * (n_total + 1) * (n_total + 1)) div (2 * n_total)")))
+      .drop("__ab2")
+  }
+
+  /** Pairwise Mann–Whitney census over ALL unordered group pairs — the
+    * post-hoc companion to [[kruskalWallis]]: which groups actually
+    * differ once the omnibus test fires? Per (key, g1 < g2): the exact
+    * pair counts p_gt/p_lt/ties, the DOUBLED U statistic
+    * `u2_g1` = 2·#\{a>b\} + #ties (integral with midrank ties), and the
+    * rank-biserial effect size `r_rb_pm` = 1000·(p_gt − p_lt) div
+    * (n1·n2) — Cliff's δ per pair, truncation toward zero matching
+    * DuckDB // (the q_kappa discipline).
+    *
+    * Scale shape: NEVER a pair join over rows. One per-(value, group)
+    * aggregate; the value spine DENSIFIED over the bounded group set
+    * (|V|·k rows — k is a category count, not data) carries each
+    * group's cumulative mass via one window; pair counts then fold in
+    * a spine×group join bounded by |V|·k². Pair-count products ride
+    * DECIMAL(38,0) with loud cast-down past BIGINT.
+    */
+  def pairwiseMannWhitney(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perVG = df.groupBy(keys :+ col(vCol).as("__v") :+ col(groupCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true) // feeds the spine, the densify, and the A side
+    val spine = perVG.select(keys :+ col("__v"): _*).distinct()
+    val groups = perVG.select(keys :+ col("__g"): _*).distinct()
+    val dense = spine.join(groups, keyCols)
+      .join(perVG, keyCols ++ Seq("__v", "__g"), "left")
+      .na.fill(0L, Seq("__m"))
+    val wCumB = Window.partitionBy(keys :+ col("__g"): _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wG = Window.partitionBy(keys :+ col("__g"): _*)
+    val cum = dense
+      .withColumn("__below", coalesce(sum(col("__m")).over(wCumB), lit(0L)))
+      .withColumn("__ng", sum(col("__m")).over(wG))
+      .select(keys ++ Seq(col("__v"), col("__g").as("__g2"),
+        col("__m").as("__m2"), col("__below"), col("__ng").as("__n2")): _*)
+    perVG.join(cum, keyCols :+ "__v")
+      .filter(col("__g") < col("__g2"))
+      .groupBy(keys ++ Seq(col("__g").as("g1"), col("__g2").as("g2")): _*)
+      .agg(max(col("__n2")).as("n2"), sum(col("__m")).as("n1"),
+        sum(col("__m").cast(dec) * col("__below")).as("__pgt"),
+        sum(col("__m").cast(dec) * (col("__n2") - col("__below") - col("__m2")))
+          .as("__plt"),
+        sum(col("__m").cast(dec) * col("__m2")).as("__t"))
+      .withColumn("p_gt", loudLong(col("__pgt"), "pairwiseMannWhitney", "p_gt"))
+      .withColumn("p_lt", loudLong(col("__plt"), "pairwiseMannWhitney", "p_lt"))
+      .withColumn("u2_g1", loudLong(col("__pgt") * 2 + col("__t"),
+        "pairwiseMannWhitney", "u2_g1"))
+      .withColumn("r_rb_pm",
+        when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__pgt") - col("__plt")) * 1000
+              - ((col("__pgt") - col("__plt")) * 1000
+                % (col("n1").cast(dec) * col("n2"))))
+              / (col("n1").cast(dec) * col("n2")),
+            "pairwiseMannWhitney", "r_rb_pm")))
+      .drop("__pgt", "__plt", "__t")
+  }
+
+  /** Lo–MacKinlay variance-ratio test (1988) on an integer series —
+    * is a daily aggregate a random walk (VR ≈ 1), mean-reverting
+    * (VR < 1), or trending (VR > 1)? With population-variance
+    * numerators V(d) = n·Σd² − (Σd)² over 1-step and q-step
+    * differences of the per-key series (consecutive spine positions;
+    * the q-step pool is the n−q overlapping windows), the emitted
+    * `vr_x1000` = (1000·V_q·n₁²) div (q·V₁·n_q²) — every factor an
+    * exact integer in DECIMAL(38,0), one floor at the end, loud
+    * cast-down. Diffs come from `lag` over the per-key ORDERED spine
+    * (calendar-bounded — the day-spine exception); cents² terms reach
+    * ~10²¹ at 10⁹-cent days, far inside DECIMAL.
+    */
+  def varianceRatio(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      vCol: String,
+      q: Int): DataFrame = {
+    require(q >= 2, s"variance-ratio lag must be >= 2: $q")
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol).asc)
+    val diffs = df
+      .withColumn("__d1", col(vCol) - lag(col(vCol), 1).over(wOrd))
+      .withColumn("__dq", col(vCol) - lag(col(vCol), q).over(wOrd))
+    def vnum(d: Column, n: Column, s: Column, ss: Column): Column =
+      n.cast(dec) * ss - s.cast(dec) * s
+    val agg = diffs.groupBy(keys: _*)
+      .agg(count(col("__d1")).as("n1"),
+        sum(col("__d1").cast(dec)).as("__s1"),
+        sum(col("__d1").cast(dec) * col("__d1")).as("__ss1"),
+        count(col("__dq")).as("nq"),
+        sum(col("__dq").cast(dec)).as("__sq"),
+        sum(col("__dq").cast(dec) * col("__dq")).as("__ssq"))
+    agg
+      .withColumn("__v1", vnum(col("__d1"), col("n1"), col("__s1"), col("__ss1")))
+      .withColumn("__vq", vnum(col("__dq"), col("nq"), col("__sq"), col("__ssq")))
+      .withColumn("vr_x1000",
+        when(col("n1") < 2 || col("nq") < 2 || col("__v1") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__vq") * col("n1") * col("n1") * 1000
+              - col("__vq") * col("n1") * col("n1") * 1000
+                % (col("__v1") * q * col("nq") * col("nq")))
+              / (col("__v1") * q * col("nq") * col("nq"))).cast(dec),
+            "varianceRatio", "vr_x1000")))
+      .select(keys ++ Seq(col("n1"), col("nq"),
+        loudLong(col("__v1"), "varianceRatio", "v1_num").as("v1_num"),
+        loudLong(col("__vq"), "varianceRatio", "vq_num").as("vq_num"),
+        col("vr_x1000")): _*)
+  }
 }

@@ -4527,6 +4527,61 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Ansari–Bradley scale test (Stats.ansariBradley) on the q_ks_test
+    // cohort frame: same centers, different DISPERSION — the member of
+    // the distribution row the location (mannwhitney) and shape
+    // (ks/cvm) tests can't isolate. Closed-form doubled scores over the
+    // value spine, floor-composed per tie run, expectation alongside.
+    "q_ansari_bradley" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.ansariBradley(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
+    // Pairwise Mann–Whitney census (Stats.pairwiseMannWhitney): the
+    // post-hoc battery after a Kruskal–Wallis omnibus — per nation,
+    // every unordered priority pair's exact pair counts, doubled U, and
+    // rank-biserial effect size. Never a pair join: one value-spine
+    // aggregate + a densified bounded-group window.
+    "q_pairwise_mw" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.pairwiseMannWhitney(o, Seq("n_name"), "prio", "v")
+        .orderBy("n_name", "g1", "g2")
+    }),
+
+    // Lo–MacKinlay variance-ratio test (Stats.varianceRatio) on daily
+    // revenue per priority: random walk (≈1000), mean reversion
+    // (<1000), or trend (>1000) at lag q=5 — the one-number memory
+    // diagnostic for a daily business series, exact integer numerators
+    // end to end. KILODOLLAR grid, not cents: the variance numerator
+    // grows ~n²·d², and cent-scale daily totals overflow its BIGINT
+    // output around sf0.01 (the loud guard caught exactly this); k$
+    // keeps the emitted numerators exact to ~sf10 with 50x margin.
+    "q_variance_ratio" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000")).as("kusd"))
+      Stats.varianceRatio(daily, Seq("prio"), "day", "kusd", q = 5)
+        .orderBy("prio")
+    }),
+
     // McNemar's paired-binary test (Stats.mcnemar) per source: do the
     // length-band and type-token-ratio quality filters (q_quality_vote's
     // own signals) disagree symmetrically on the same documents? Only
@@ -10093,6 +10148,130 @@ object LlmOps {
                   // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2)
                   AS BIGINT) END AS t_x1000
          FROM ag ORDER BY n_name""",
+
+    // closed-form doubled AB scores per tie run (two arithmetic series
+    // split at the peak), per-run floor, expectation alongside
+    "q_ansari_bradley" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, a, b, a + b AS m,
+             CAST(sum(a + b) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+             CAST(sum(a + b) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         sc AS (SELECT *, hi - m + 1 AS lo, (n + 1) // 2 AS c FROM cu),
+         ser AS (
+           SELECT n_name, a, b, m,
+             (CASE WHEN least(hi, c) < lo THEN 0
+                   ELSE CAST(lo + least(hi, c) AS HUGEINT)
+                        * (least(hi, c) - lo + 1) END)
+             + (CASE WHEN least(n - c, n + 1 - lo) < n + 1 - hi THEN 0
+                     ELSE CAST((n + 1 - hi) + least(n - c, n + 1 - lo) AS HUGEINT)
+                          * (least(n - c, n + 1 - lo) - (n + 1 - hi) + 1) END)
+               AS s2run
+           FROM sc),
+         ag AS (
+           SELECT n_name, CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(b) AS BIGINT) AS n2,
+             sum((s2run * a * 1000) // m) AS ab2
+           FROM ser GROUP BY 1)
+         SELECT n_name, n1, n2, n1 + n2 AS n_total,
+           CAST(ab2 AS BIGINT) AS ab2_x1000,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                WHEN (n1 + n2) % 2 = 0 THEN (1000 * n1 * (n1 + n2 + 2)) // 2
+                ELSE (1000 * n1 * (n1 + n2 + 1) * (n1 + n2 + 1))
+                     // (2 * (n1 + n2)) END AS BIGINT) AS e_ab2_x1000
+         FROM ag ORDER BY n_name""",
+
+    // the densified value spine, per-group cumulative mass, and the
+    // pairwise fold replayed — never a row-pair join in either engine
+    "q_pairwise_mw" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')),
+         pvg AS (
+           SELECT n_name, v, g, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2, 3),
+         vs AS (SELECT DISTINCT n_name, v FROM pvg),
+         gs AS (SELECT DISTINCT n_name, g FROM pvg),
+         dense AS (
+           SELECT vs.n_name, vs.v, gs.g, coalesce(m, 0) AS m
+           FROM vs JOIN gs USING (n_name)
+           LEFT JOIN pvg ON pvg.n_name = vs.n_name AND pvg.v = vs.v
+             AND pvg.g = gs.g),
+         cum AS (
+           SELECT n_name, v, g AS g2, m AS m2,
+             CAST(coalesce(sum(m) OVER (PARTITION BY n_name, g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below,
+             CAST(sum(m) OVER (PARTITION BY n_name, g) AS BIGINT) AS n2
+           FROM dense),
+         j AS (
+           SELECT p.n_name, p.g AS g1, c.g2, p.m, c.m2, c.below, c.n2
+           FROM pvg p JOIN cum c ON p.n_name = c.n_name AND p.v = c.v
+           WHERE p.g < c.g2),
+         ag AS (
+           SELECT n_name, g1, g2, CAST(max(n2) AS BIGINT) AS n2,
+             CAST(sum(m) AS BIGINT) AS n1,
+             sum(CAST(m AS HUGEINT) * below) AS pgt,
+             sum(CAST(m AS HUGEINT) * (n2 - below - m2)) AS plt,
+             sum(CAST(m AS HUGEINT) * m2) AS t
+           FROM j GROUP BY 1, 2, 3)
+         SELECT n_name, g1, g2, n2, n1,
+           CAST(pgt AS BIGINT) AS p_gt, CAST(plt AS BIGINT) AS p_lt,
+           CAST(pgt * 2 + t AS BIGINT) AS u2_g1,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE ((pgt - plt) * 1000) // (CAST(n1 AS HUGEINT) * n2)
+                END AS BIGINT) AS r_rb_pm
+         FROM ag ORDER BY n_name, g1, g2""",
+
+    // lag diffs off the per-priority day spine; population-variance
+    // numerators cross-multiplied, one floor at the end
+    "q_variance_ratio" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000) AS BIGINT)
+               AS kusd
+           FROM orders GROUP BY 1, 2),
+         df AS (
+           SELECT prio,
+             kusd - lag(kusd, 1) OVER (PARTITION BY prio ORDER BY day) AS d1,
+             kusd - lag(kusd, 5) OVER (PARTITION BY prio ORDER BY day) AS dq
+           FROM daily),
+         ag AS (
+           SELECT prio,
+             CAST(count(d1) AS BIGINT) AS n1, sum(CAST(d1 AS HUGEINT)) AS s1,
+             sum(CAST(d1 AS HUGEINT) * d1) AS ss1,
+             CAST(count(dq) AS BIGINT) AS nq, sum(CAST(dq AS HUGEINT)) AS sq,
+             sum(CAST(dq AS HUGEINT) * dq) AS ssq
+           FROM df GROUP BY 1),
+         v AS (
+           SELECT prio, n1, nq,
+             n1 * ss1 - s1 * s1 AS v1, nq * ssq - sq * sq AS vq
+           FROM ag)
+         SELECT prio, n1, nq,
+           CAST(v1 AS BIGINT) AS v1_num, CAST(vq AS BIGINT) AS vq_num,
+           CAST(CASE WHEN n1 < 2 OR nq < 2 OR v1 = 0 THEN 0
+                ELSE (vq * n1 * n1 * 1000) // (v1 * 5 * nq * nq)
+                END AS BIGINT) AS vr_x1000
+         FROM v ORDER BY prio""",
 
     // The paired 2×2 and the discordant-cell statistic replayed.
     "q_mcnemar" ->

@@ -157,6 +157,91 @@ class StatsSpec extends SparkSpec {
     assert(out("B") === ((10L, 3571L)))
   }
 
+  test("ansariBradley: hand-computed no-tie and tie-run cases") {
+    // no ties: A = {1, 6}, B = {2, 5}, pooled ranks 1..4 (N=4):
+    // scores min(i, 5-i) = (1, 2, 2, 1); A holds ranks 1 and 4 -> AB = 2,
+    // ab2_x1000 = 2 * 2 * 1000 = 4000. E[AB] even-N: n1(N+2)/4 = 3 ->
+    // e_ab2_x1000 = 1000 * 2 * 6 / 2 = 6000.
+    val noTie = spark.createDataFrame(Seq(
+      ("k", true, 1L), ("k", true, 6L), ("k", false, 2L), ("k", false, 5L)))
+      .toDF("k", "in_a", "v")
+    val r1 = Stats.ansariBradley(noTie, Seq("k"), "in_a", "v").collect().head
+    assert(r1.getAs[Long]("ab2_x1000") === 4000L)
+    assert(r1.getAs[Long]("e_ab2_x1000") === 6000L)
+    // tie run crossing the peak: values (1, 3, 3, 3, 9), N=5, scores
+    // (1, 2, 3, 2, 1) doubled (2,4,6,4,2); run [2,4] S2 = 14, A holds 1
+    // of the 3 -> contrib = floor(14000/3) = 4666; A also holds rank 1
+    // (S2=2, m=1 -> 2000). ab2_x1000 = 6666.
+    val tie = spark.createDataFrame(Seq(
+      ("k", true, 1L), ("k", true, 3L), ("k", false, 3L), ("k", false, 3L),
+      ("k", false, 9L))).toDF("k", "in_a", "v")
+    val r2 = Stats.ansariBradley(tie, Seq("k"), "in_a", "v").collect().head
+    assert(r2.getAs[Long]("ab2_x1000") === 6666L)
+    // odd N expectation: 1000*n1*(N+1)^2/(2N) = 1000*2*36/10 = 7200
+    assert(r2.getAs[Long]("e_ab2_x1000") === 7200L)
+  }
+
+  test("pairwiseMannWhitney: census equals the nested-loop counts per pair") {
+    // groups: x = {1, 4, 4}, y = {2, 4}, z = {5}
+    val rows = Seq(("x", 1L), ("x", 4L), ("x", 4L), ("y", 2L), ("y", 4L), ("z", 5L))
+    val df = spark.createDataFrame(rows.map { case (g, v) => ("k", g, v) })
+      .toDF("k", "g", "v")
+    val out = Stats.pairwiseMannWhitney(df, Seq("k"), "g", "v")
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[String]("g2")) ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("p_gt"),
+          r.getAs[Long]("p_lt"), r.getAs[Long]("u2_g1"), r.getAs[Long]("r_rb_pm")))
+      .toMap
+    def brute(a: Seq[Long], b: Seq[Long]) = {
+      val gt = (for (x <- a; y <- b if x > y) yield 1).size.toLong
+      val lt = (for (x <- a; y <- b if x < y) yield 1).size.toLong
+      val t = (for (x <- a; y <- b if x == y) yield 1).size.toLong
+      (a.size.toLong, b.size.toLong, gt, lt, 2 * gt + t,
+        (gt - lt) * 1000 / (a.size * b.size))
+    }
+    val (x, y, z) = (Seq(1L, 4L, 4L), Seq(2L, 4L), Seq(5L))
+    assert(out(("x", "y")) === brute(x, y))
+    assert(out(("x", "z")) === brute(x, z))
+    assert(out(("y", "z")) === brute(y, z))
+    assert(out.size === 3)
+  }
+
+  test("varianceRatio: constant-increment series gives VR exactly 0 variance -> 0") {
+    // x_t = 10t: d1 all 10 (V1 = 0 -> vr 0 by the degenerate rule)
+    val lin = spark.createDataFrame((1 to 12).map(t => ("k", t.toLong, 10L * t)))
+      .toDF("k", "t", "v")
+    val r = Stats.varianceRatio(lin, Seq("k"), "t", "v", q = 3).collect().head
+    assert(r.getAs[Long]("v1_num") === 0L)
+    assert(r.getAs[Long]("vr_x1000") === 0L)
+  }
+
+  test("varianceRatio: hand-computed alternating series (mean reversion, VR < 1)") {
+    // x = (0,1,0,1,0,1,0,1): d1 = (1,-1,...) 7 diffs, sum -> 1, ss = 7
+    // V1 = 7*7 - 1 = 48; q=2: dq = 0 for all 6 -> Vq = 0 -> vr = 0? Vq=0
+    // gives vr_x1000 = 0 exactly (perfect mean reversion at lag 2).
+    val alt = spark.createDataFrame((0 until 8).map(t => ("k", t.toLong, (t % 2).toLong)))
+      .toDF("k", "t", "v")
+    val r = Stats.varianceRatio(alt, Seq("k"), "t", "v", q = 2).collect().head
+    assert(r.getAs[Long]("n1") === 7L)
+    assert(r.getAs[Long]("nq") === 6L)
+    assert(r.getAs[Long]("v1_num") === 48L)
+    assert(r.getAs[Long]("vq_num") === 0L)
+    assert(r.getAs[Long]("vr_x1000") === 0L)
+    // and a genuinely trending series: x = t^2 -> d1 grows, dq grows
+    // faster; just pin the exact rendering on a tiny case computed by
+    // the same formula in Scala
+    val xs = Seq(0L, 1L, 4L, 9L, 16L, 25L)
+    val sq = spark.createDataFrame(xs.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) })
+      .toDF("k", "t", "v")
+    val d1 = xs.sliding(2).map(p => p(1) - p(0)).toSeq
+    val dq = xs.sliding(3).map(p => p(2) - p(0)).toSeq
+    def vnum(d: Seq[Long]) = BigInt(d.size) * d.map(x => BigInt(x) * x).sum -
+      BigInt(d.sum) * d.sum
+    val want = (vnum(dq) * d1.size * d1.size * 1000) /
+      (vnum(d1) * 2 * dq.size * dq.size)
+    val r2 = Stats.varianceRatio(sq, Seq("k"), "t", "v", q = 2).collect().head
+    assert(r2.getAs[Long]("vr_x1000") === want.toLong)
+  }
+
   test("partialCorrelation: per-row |input| >= 1e19 raises; 9e18 stays exact") {
     // Long inputs can never reach the bound (Long.Max ≈ 9.22e18) — the
     // window is double/decimal inputs, where the x·x product would hit
