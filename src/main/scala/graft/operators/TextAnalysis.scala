@@ -573,6 +573,82 @@ object TextAnalysis {
       .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
         "n_letters", "cli_x1000")).map(col): _*)
 
+  /** LIX / RIX readability (Björnsson 1968; Anderson 1983) — the
+    * European members of the battery, and the only ones with NO
+    * language-specific heuristic at all (no syllables, no vowel
+    * groups): long words are simply ≥7 letters. LIX = W/S + 100·LW/W,
+    * RIX = LW/S, rendered floor-composed as
+    * `lix_x1000` = (1000·W) div S + (100000·LW) div W and
+    * `rix_x1000` = (1000·LW) div S; 0 on blank docs. The useful range
+    * check on multilingual corpora where [[fleschReadability]]'s
+    * English vowel groups misfire hardest. Same zero-shuffle
+    * projection shape as the siblings.
+    */
+  def lixRix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil): DataFrame =
+    df
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("n_sents",
+        size(filter(split(col(textCol), "[.!?]+"), x => length(trim(x)) > 0))
+          .cast("long"))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_long", expr(
+        """aggregate(transform(__tk, w -> CASE WHEN length(w) >= 7 THEN 1 ELSE 0 END),
+           CAST(0 AS BIGINT), (a, b) -> a + CAST(b AS BIGINT))"""))
+      .withColumn("lix_x1000",
+        when(col("n_words") === 0 || col("n_sents") === 0, 0L).otherwise(
+          expr("(1000 * n_words) div n_sents")
+            + expr("(100000 * n_long) div n_words")))
+      .withColumn("rix_x1000",
+        when(col("n_sents") === 0, 0L).otherwise(
+          expr("(1000 * n_long) div n_sents")))
+      .select(col(idCol) +: (keepCols ++ Seq("n_sents", "n_words",
+        "n_long", "lix_x1000", "rix_x1000")).map(col): _*)
+
+  /** Function-word fingerprint (Mosteller & Wallace 1964, the
+    * Federalist-papers method): per category, each fixed function
+    * word's parts-per-million rate of the category's total token mass.
+    * Function words are topic-free, so their profile is a stable
+    * STYLE signature — the classic authorship / register / source-
+    * drift fingerprint, and a cheap contamination tripwire (two
+    * "independent" sources with near-identical profiles deserve a
+    * look). All-integer: `ppm` = (10⁶·count) div total.
+    *
+    * Scale shape: one explode feeds BOTH aggregates off one pinned
+    * pass — the per-(cat, word) counts are filtered to the BOUNDED
+    * lexicon before the shuffle (|cats|·|lexicon| rows), and the
+    * per-cat token totals broadcast back. Missing (cat, word) cells
+    * densify to 0 so every category emits the FULL lexicon row set
+    * (profiles align positionally across categories).
+    */
+  def stopwordProfile(
+      df: DataFrame,
+      textCol: String,
+      catCol: String,
+      lexicon: Seq[String] = Seq("the", "of", "and", "to", "in", "a",
+        "is", "that", "it", "as", "with", "for")): DataFrame = {
+    require(lexicon.nonEmpty && lexicon.distinct == lexicon,
+      s"lexicon must be non-empty and duplicate-free: $lexicon")
+    val toks = df
+      .select(col(catCol).as("cat"), explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .localCheckpoint(true) // two consumers: lexicon counts + totals
+    val totals = toks.groupBy(col("cat")).agg(count(lit(1)).as("n_tokens"))
+    val lexDf = totals.sparkSession.createDataFrame(
+      lexicon.map(Tuple1(_))).toDF("tok")
+    val counts = toks.filter(col("tok").isin(lexicon: _*))
+      .groupBy(col("cat"), col("tok")).agg(count(lit(1)).as("cnt"))
+    totals.crossJoin(broadcast(lexDf)) // densify: every (cat, word) cell
+      .join(counts, Seq("cat", "tok"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("ppm",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(1000000 * cnt) div n_tokens")))
+      .select(col("cat"), col("tok"), col("cnt"), col("n_tokens"), col("ppm"))
+  }
+
   /** Yule's characteristic K (1944), the classic repetitiveness /
     * lexical-concentration constant: K = 10⁴·(Σ_t f_t² − N)/N² over the
     * per-category token frequency spectrum — high K = a few tokens

@@ -4447,6 +4447,31 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // LIX/RIX readability (TextAnalysis.lixRix) per source: the
+    // heuristic-free European pair (long word = ≥7 letters, nothing
+    // language-specific) — the range check on multilingual corpora
+    // where English vowel-group counting misfires. Same rollup shape.
+    "q_lix" -> ((s, d) => {
+      TextAnalysis.lixRix(
+        Tables.documents(s, d), "doc_id", "text", keepCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lix_x1000")).as("sum_lix_x1000"),
+          sum(col("rix_x1000")).as("sum_rix_x1000"),
+          max(col("lix_x1000")).as("max_lix_x1000"))
+        .orderBy("source")
+    }),
+
+    // Function-word fingerprint (TextAnalysis.stopwordProfile) per
+    // source: the Mosteller–Wallace style signature — per-mille-free
+    // ppm rates of a fixed 12-word function lexicon, densified so every
+    // source emits the full aligned profile. Authorship / register /
+    // source-drift tripwire.
+    "q_stopword_profile" -> ((s, d) => {
+      TextAnalysis.stopwordProfile(Tables.documents(s, d), "text", "source")
+        .orderBy("cat", "tok")
+    }),
+
     // Partial correlation (Stats.partialCorrelation) per return flag:
     // does the price↔quantity association survive controlling for the
     // discount? Exact DECIMAL moment sums, one fixed double tree (the
@@ -9990,6 +10015,57 @@ object LlmOps {
            CAST(min(c1000) AS BIGINT) AS min_cli_x1000,
            CAST(max(c1000) AS BIGINT) AS max_cli_x1000
          FROM sc GROUP BY 1 ORDER BY source""",
+
+    // long word = >= 7 letters, floor-composed LIX/RIX replayed
+    "q_lix" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS BIGINT) AS s
+           FROM documents),
+         f AS (
+           SELECT source, s,
+             CAST(len(t) AS BIGINT) AS w,
+             CAST(len(list_filter(t, x -> len(x) >= 7)) AS BIGINT) AS lw
+           FROM tk),
+         sc AS (
+           SELECT source,
+             CASE WHEN w = 0 OR s = 0 THEN 0
+                  ELSE (1000 * w) // s + (100000 * lw) // w END AS lix1000,
+             CASE WHEN s = 0 THEN 0 ELSE (1000 * lw) // s END AS rix1000
+           FROM f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(lix1000) AS BIGINT) AS sum_lix_x1000,
+           CAST(sum(rix1000) AS BIGINT) AS sum_rix_x1000,
+           CAST(max(lix1000) AS BIGINT) AS max_lix_x1000
+         FROM sc GROUP BY 1 ORDER BY source""",
+
+    // the densified 12-word function lexicon with ppm rates replayed
+    "q_stopword_profile" ->
+      """WITH toks AS (
+           SELECT source AS cat,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+           FROM documents),
+         totals AS (
+           SELECT cat, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM toks GROUP BY 1),
+         lex AS (
+           SELECT unnest(['the', 'of', 'and', 'to', 'in', 'a', 'is',
+                          'that', 'it', 'as', 'with', 'for']) AS tok),
+         counts AS (
+           SELECT cat, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks WHERE tok IN (SELECT tok FROM lex) GROUP BY 1, 2)
+         SELECT t.cat, l.tok, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+           t.n_tokens,
+           CAST(CASE WHEN t.n_tokens = 0 THEN 0
+                ELSE (1000000 * coalesce(c.cnt, 0)) // t.n_tokens
+           END AS BIGINT) AS ppm
+         FROM totals t CROSS JOIN lex l
+         LEFT JOIN counts c ON c.cat = t.cat AND c.tok = l.tok
+         ORDER BY t.cat, l.tok""",
 
     // exact HUGEINT moment sums cast to double, then the identical
     // fixed expression tree (each sqrt/ratio one IEEE-rounded op)

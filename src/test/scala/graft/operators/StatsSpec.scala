@@ -331,6 +331,44 @@ class StatsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("cli_x1000") === 0L)
   }
 
+  test("lixRix: hand-computed long-word counts, blank doc zero") {
+    // "Spark shuffles immense parquet files. It scales." — 7 words,
+    // 2 sentences; >=7 letters: shuffles(8), immense(7), parquet(7) -> 3
+    val df = spark.createDataFrame(Seq(
+      (1L, "Spark shuffles immense parquet files. It scales."), (2L, "")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lixRix(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r = out(1L)
+    assert(r.getAs[Long]("n_sents") === 2L)
+    assert(r.getAs[Long]("n_words") === 7L)
+    assert(r.getAs[Long]("n_long") === 3L)
+    // (1000·7) div 2 + (100000·3) div 7 = 3500 + 42857 = 46357
+    assert(r.getAs[Long]("lix_x1000") === 46357L)
+    // (1000·3) div 2 = 1500
+    assert(r.getAs[Long]("rix_x1000") === 1500L)
+    assert(out(2L).getAs[Long]("lix_x1000") === 0L)
+    assert(out(2L).getAs[Long]("rix_x1000") === 0L)
+  }
+
+  test("stopwordProfile: densified lexicon cells with exact ppm") {
+    val df = spark.createDataFrame(Seq(
+      ("s1", "the cat and the dog"), ("s1", "a bird"),
+      ("s2", "no function words here"))).toDF("src", "text")
+    val out = TextAnalysis.stopwordProfile(df, "text", "src",
+      lexicon = Seq("the", "and", "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("n_tokens"), r.getAs[Long]("ppm")))
+      .toMap
+    // s1: 7 tokens; the=2, and=1, a=1
+    assert(out(("s1", "the")) === ((2L, 7L, 2000000L / 7)))
+    assert(out(("s1", "and")) === ((1L, 7L, 1000000L / 7)))
+    assert(out(("s1", "a")) === ((1L, 7L, 142857L)))
+    // s2 densifies to zero cells (4 tokens, no lexicon hits)
+    assert(out(("s2", "the")) === ((0L, 4L, 0L)))
+    assert(out.size === 6) // 2 cats x 3 lexicon words
+  }
+
   test("partialCorrelation: y = x gives partial 1; perfect control gives NULL") {
     // y = x exactly → r_xy = 1 and the partial collapses to
     // (1 − r²)/√((1−r²)²) = 1 up to one ulp
