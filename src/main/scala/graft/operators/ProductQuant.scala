@@ -351,7 +351,7 @@ object ProductQuant {
       col(intVecCol).as("v"))
     val model = Similarity.IvfModel(Similarity.trainCentroids(
       c.select(col("id"), col("rv").as("v")), nCentroids,
-      refineIters = 1, maxTrainRows))
+      refineIters = 1, maxTrainRows), baseRows = c.count())
     val (codes, cents) = trainEncode(c, "id", "v", nSub, subDim, kCode, rounds)
     val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), model.centroids))
     codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
@@ -359,6 +359,84 @@ object ProductQuant {
     cents.write.mode("overwrite").parquet(s"$dir/codebooks")
     // model.json LAST and atomically — it gates readers
     Similarity.writeModelJson(spark, dir, model)
+  }
+
+  /** Encode rows against FROZEN per-subspace codebooks — the append-path
+    * sibling of [[trainEncode]]'s final assignment, and exactly equal to
+    * it for identical vectors: `lloydRoundsFull` assigns its LAST round
+    * against the centroids it returns (no post-assignment update), and
+    * both paths break distance ties with `min(struct(dist, cid))`.
+    */
+  private[graft] def encodeWithCodebooks(
+      c: DataFrame, // (id, v)
+      cents: DataFrame, // (cid, cv, m) — the persisted codebooks
+      nSub: Int,
+      subDim: Int): DataFrame =
+    c.select(col("id"), explode(expr(
+        s"""transform(sequence(0, ${nSub - 1}),
+            m -> struct(m AS m, slice(v, m * $subDim + 1, $subDim) AS sv))"""))
+        .as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("dist",
+        expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .groupBy(col("id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("w"))
+      .select(col("id"), col("m"), col("w.cid").as("cid"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
+      .select(col("id"), expr("transform(mc, p -> p.cid)").as("codes"))
+
+  /** Incremental IVF-PQ maintenance — [[Similarity.appendToIndex]]'s
+    * sibling for the code-compressed layout (r15 verdict gap #1): new
+    * rows are PQ-encoded against the FROZEN codebooks, coarse-assigned
+    * with the FROZEN centroids, appended into the existing `cid` code
+    * partitions, and the model's staleness row bumps atomically LAST.
+    * One pass over the new rows; no retrain, no rebuild; the serve
+    * path's partition pruning is untouched. Same caller contract as
+    * the IVF append (ids append-only; crash between code append and
+    * model rewrite leaves a correct index with an undercounted
+    * staleness row).
+    */
+  def appendToIvfpqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      newRows: DataFrame,
+      idCol: String,
+      rawVecCol: String,
+      intVecCol: String,
+      nSub: Int,
+      subDim: Int): Similarity.IvfModel = {
+    import graft.expressions.{functions => gfn}
+    val model = Similarity.readModel(spark, dir)
+    val cents = spark.read.parquet(s"$dir/codebooks")
+    val c = newRows.select(col(idCol).as("id"), col(rawVecCol).as("rv"),
+      col(intVecCol).as("v"))
+    val n = c.count()
+    val codes = encodeWithCodebooks(c.select(col("id"), col("v")), cents, nSub, subDim)
+    val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), model.centroids))
+    codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+    val updated = model.copy(appendedRows = model.appendedRows + n)
+    Similarity.writeModelJson(spark, dir, updated)
+    updated
+  }
+
+  /** Clone an index's TRAINED ARTIFACTS (codebooks + coarse model, no
+    * code rows, counts zeroed) into a fresh directory — the harness for
+    * the append certificate: append everything into the clone and the
+    * result must serve identically to write+append on the original.
+    */
+  def cloneIvfpqArtifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      fromDir: String,
+      toDir: String): Unit = {
+    spark.read.parquet(s"$fromDir/codebooks")
+      .write.mode("overwrite").parquet(s"$toDir/codebooks")
+    val m = Similarity.readModel(spark, fromDir)
+    Similarity.writeModelJson(spark, toDir,
+      m.copy(baseRows = 0L, appendedRows = 0L))
   }
 
   /** Serve a [[writeIvfpqIndex]] layout: probe cells against the

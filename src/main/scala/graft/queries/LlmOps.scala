@@ -859,6 +859,58 @@ object LlmOps {
             && col("__n_match") === col("n_indexed")).as("identical"))
     }),
 
+    // Incremental IVF-PQ maintenance (ProductQuant.appendToIvfpqIndex):
+    // train on HALF the corpus, append the other half encoded with the
+    // FROZEN codebooks + coarse centroids, then certify the serve
+    // equals appending EVERYTHING into a clone of the same trained
+    // artifacts — cell assignment and PQ codes are pure functions of
+    // (vector, frozen artifacts), so write+append ≡ encode-all (the
+    // q_ann_ivf_append argument, lifted to the code-compressed layout).
+    // Both models' staleness rows ride along: the appended index shows
+    // B's share, the clone (all rows appended post-training) 1000‰.
+    "q_ann_ivfpq_append" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val base = s"/tmp/graft_fixtures/ivfpq_append_c16s4x16k4r2" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val both = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      val corpus = both.filter(col("vec_id") >= 5)
+      val partA = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val partB = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val queries = both.filter(col("vec_id") < 5)
+      val (dirApp, dirAll) = (s"$base/app", s"$base/all")
+      if (!new java.io.File(s"$base/_DONE").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        graft.operators.ProductQuant.writeIvfpqIndex(partA,
+          "vec_id", "embedding", "v", dirApp,
+          nCentroids = 16, nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+        graft.operators.ProductQuant.appendToIvfpqIndex(s, dirApp, partB,
+          "vec_id", "embedding", "v", nSub = 4, subDim = 16)
+        graft.operators.ProductQuant.cloneIvfpqArtifacts(s, dirApp, dirAll)
+        graft.operators.ProductQuant.appendToIvfpqIndex(s, dirAll, corpus,
+          "vec_id", "embedding", "v", nSub = 4, subDim = 16)
+        new java.io.File(s"$base/_DONE").createNewFile()
+        ()
+      }
+      def serve(dir: String) = graft.operators.ProductQuant.queryIvfpqIndex(
+        s, dir, queries, "vec_id", "embedding", "v",
+        k = 10, nProbe = 8, nSub = 4, subDim = 16, kCode = 4)
+        .localCheckpoint(true)
+      val (sApp, sAll) = (serve(dirApp), serve(dirAll))
+      val mApp = Similarity.readModel(s, dirApp)
+      val mAll = Similarity.readModel(s, dirAll)
+      sApp.agg(count(lit(1)).as("n_app"))
+        .crossJoin(sAll.agg(count(lit(1)).as("n_all")))
+        .crossJoin(sApp.join(sAll, Seq("qid", "id", "adist"))
+          .agg(count(lit(1)).as("__n_match")))
+        .select(col("n_app"), col("n_all"),
+          (col("__n_match") === col("n_app")
+            && col("__n_match") === col("n_all")).as("identical"),
+          lit(mApp.stalenessPm).as("staleness_app_pm"),
+          lit(mAll.stalenessPm).as("staleness_all_pm"))
+    }),
+
     // Perceptual image dedup (Multimodal.imageAHash): planted copies
     // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
     // misses every one of them — the exact-integer 64-bit average hash
@@ -4211,6 +4263,42 @@ object LlmOps {
         .withColumn("mrr_x2520",
           when(col("__fr").isNull, 0L).otherwise(expr("2520 div __fr")))
         .drop("__fr")
+        .orderBy("query_id")
+    }),
+
+    // Average precision of the sign-bit ANN against the exact top-5
+    // (the q_rank_eval frame): AP = (1/R)·Σ_{k rel} P@k, EXACT because
+    // every k ≤ 5 divides 60 — per-hit terms (60·h_k) div k lose
+    // nothing, one floor at the final ×1000. MAP's per-query row; the
+    // rank-sensitive companion to hits@5 (which can't tell rank 1 from
+    // rank 5) and MRR (which sees only the FIRST hit).
+    "q_rank_ap" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.signBitTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, prefilterK = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val tn = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      val rel = approx
+        .join(truth.withColumn("__rel", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .na.fill(0L, Seq("__rel"))
+      val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rel
+        .withColumn("__h", sum(col("__rel")).over(wCum))
+        .withColumn("__term",
+          when(col("__rel") === 1L, expr("(60 * __h) div rank")).otherwise(0L))
+        .groupBy(col("query_id"))
+        .agg(sum(col("__rel")).as("hits_at_5"), sum(col("__term")).as("__apn"))
+        .join(tn, Seq("query_id"))
+        .withColumn("ap_x1000",
+          when(col("n_truth") === 0, 0L)
+            .otherwise(expr("(1000 * __apn) div (60 * n_truth)")))
+        .select(col("query_id"), col("n_truth"), col("hits_at_5"), col("ap_x1000"))
         .orderBy("query_id")
     }),
 
@@ -7698,6 +7786,22 @@ object LlmOps {
          CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
          CROSS JOIN base CROSS JOIN app
          ORDER BY query_id, rank""",
+    // append ≡ encode-all certificate counts plus both staleness rows,
+    // replayed from the table's own half counts
+    "q_ann_ivfpq_append" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS na FROM embeddings
+           WHERE vec_id >= 5 AND vec_id % 2 = 0),
+         b AS (
+           SELECT CAST(count(*) AS BIGINT) AS nb FROM embeddings
+           WHERE vec_id >= 5 AND vec_id % 2 = 1),
+         q AS (
+           SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings
+           WHERE vec_id < 5)
+         SELECT nq * 10 AS n_app, nq * 10 AS n_all, true AS identical,
+           CAST(nb * 1000 // (na + nb) AS BIGINT) AS staleness_app_pm,
+           CAST(1000 AS BIGINT) AS staleness_all_pm
+         FROM a CROSS JOIN b CROSS JOIN q""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
@@ -9662,6 +9766,43 @@ object LlmOps {
            CASE WHEN min(rank) IS NULL THEN 0
                 ELSE 2520 // min(rank) END AS mrr_x2520
          FROM j GROUP BY 1 ORDER BY query_id"""),
+
+    // AP over the approx ranked list with exact-top-5 relevance: every
+    // k <= 5 divides 60, so per-hit terms are exact; one final floor
+    "q_rank_ap" ->
+      (annSignCte + """,
+         ax AS (
+           SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, id) AS BIGINT) AS rank
+           FROM rr),
+         a5 AS (SELECT query_id, id, rank FROM ax WHERE rank <= 5),
+         t0 AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+                FROM c CROSS JOIN q),
+         t5 AS (SELECT query_id, id FROM (
+             SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, id) AS rn FROM t0) WHERE rn <= 5),
+         rel AS (
+           SELECT a5.query_id AS query_id, a5.rank AS rank,
+             CASE WHEN t5.id IS NOT NULL THEN 1 ELSE 0 END AS r
+           FROM a5 LEFT JOIN t5
+             ON a5.query_id = t5.query_id AND a5.id = t5.id),
+         cumr AS (
+           SELECT query_id, rank, r,
+             CAST(sum(r) OVER (PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS h
+           FROM rel),
+         tn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+                FROM t5 GROUP BY 1)
+         SELECT c2.query_id AS query_id, tn.n_truth,
+           CAST(sum(c2.r) AS BIGINT) AS hits_at_5,
+           CAST(CASE WHEN tn.n_truth = 0 THEN 0
+                ELSE (1000 * sum(CASE WHEN c2.r = 1
+                        THEN (60 * c2.h) // c2.rank ELSE 0 END))
+                     // (60 * tn.n_truth) END AS BIGINT) AS ap_x1000
+         FROM cumr c2 JOIN tn ON c2.query_id = tn.query_id
+         GROUP BY c2.query_id, tn.n_truth ORDER BY c2.query_id"""),
 
     // reliability bins + the per-source ECE numerator and Brier x1e6,
     // every sum CAST back to BIGINT (DuckDB widens to HUGEINT)

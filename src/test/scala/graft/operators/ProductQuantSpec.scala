@@ -85,4 +85,30 @@ class ProductQuantSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(full),
       s"pruned=$pruned full=$full")
   }
+
+  test("encodeWithCodebooks reproduces trainEncode's final assignment exactly") {
+    // the append-path contract: identical vectors re-encoded against
+    // the FROZEN codebooks must land on identical codes — lloydRounds
+    // assigns its last round against the centroids it returns, and both
+    // paths tie-break min(struct(dist, cid))
+    val corpus = (1L to 24L)
+      .map(i => (i, Seq(i % 7, (i * 3) % 11, i % 5, (i * 5) % 13)))
+      .toDF("id", "v")
+    val (codes, cents) = ProductQuant.trainEncode(
+      corpus, "id", "v", nSub = 2, subDim = 2, kCode = 3, rounds = 2)
+    val want = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val got = ProductQuant.encodeWithCodebooks(
+        corpus.select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("v")), cents, nSub = 2, subDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === want)
+    // and a NEW vector encodes deterministically (same call, same result)
+    val fresh = Seq((99L, Seq(3L, 4L, 2L, 6L))).toDF("id", "v")
+    val e1 = ProductQuant.encodeWithCodebooks(fresh, cents, 2, 2)
+      .collect().head.getSeq[Long](1).toSeq
+    val e2 = ProductQuant.encodeWithCodebooks(fresh, cents, 2, 2)
+      .collect().head.getSeq[Long](1).toSeq
+    assert(e1 === e2 && e1.size === 2)
+  }
 }
