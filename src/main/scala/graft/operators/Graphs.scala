@@ -69,6 +69,76 @@ object Graphs {
     result
   }
 
+  /** Multi-source labeled BFS: min-hop distances (seed, id, hop) from
+    * EVERY seed simultaneously — one shared frontier loop instead of
+    * |seeds| sequential [[bfsHops]] runs, so the edge scan per round is
+    * paid once however many sources there are. State is (seed, id)
+    * pairs, bounded by |seeds|·|reachable| — callers bound the seed
+    * set (a probe cohort, not the corpus). Same first-visit-wins
+    * anti-join and bounded-rounds discipline as [[bfsHops]].
+    */
+  def multiSourceBfs(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val seed0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .withColumn("id", col("seed"))
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    var dist = seed0
+    var frontier = seed0.select("seed", "id")
+    var h = 1
+    var more = maxHops >= 1
+    while (more) {
+      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(false)
+      val grew = nxt.count()
+      pins += nxt
+      val d = dist.union(nxt).localCheckpoint(false)
+      pins += d
+      dist = d
+      frontier = nxt.select("seed", "id")
+      h += 1
+      more = h <= maxHops && grew > 0
+    }
+    val result = dist.localCheckpoint(true)
+    Checkpoints.release(pins.toSeq :+ e)
+    result
+  }
+
+  /** Harmonic centrality of a bounded seed cohort within `maxHops`:
+    * H(s) = Σ_{v reached, v ≠ s} 1/d(s, v), the closeness variant that
+    * handles disconnection gracefully (unreached nodes contribute 0,
+    * no infinite-distance special case — Boldi & Vigna 2014). EXACT:
+    * every reciprocal is `2520 div hop` (2520 = lcm(1..10), so hops
+    * ≤ 10 lose nothing) — `harm_x2520` is an integer both engines
+    * replay. One [[multiSourceBfs]] + one aggregate.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10,
+      s"maxHops must be in [1, 10] for the exact 2520 rendering, got $maxHops")
+    multiSourceBfs(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+      .filter(col("hop") > 0)
+      .groupBy(col("seed").as("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("2520 div hop")).as("harm_x2520"))
+  }
+
   /** One-row structural profile of a directed graph — the census a
     * link-graph pipeline runs before committing to PageRank/HITS
     * parameters: node/edge counts, reciprocity (edges whose reverse

@@ -149,6 +149,31 @@ object Multimodal {
       encodeImage(img)
     }
 
+    /** Row-direction gradient fixture for the dHash family: each of the
+      * 8 four-pixel row bands runs left→right INCREASING when bit r of
+      * `seed` is set, decreasing otherwise — so the dHash's per-row
+      * gradient signs ARE the seed's 8 bits and distinct seeds < 256
+      * give distinct hashes BY CONSTRUCTION (the block-gradient fixture
+      * collides under dHash: its hash only sees the wrap position).
+      * Luminance steps of 8/pixel dwarf the one-pixel +1 corruption.
+      */
+    def encodeRowGradientPng(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        val r = y / 4
+        val up = ((seed >> r) & 1) == 1
+        var x = 0
+        while (x < 32) {
+          val g = if (up) x * 8 else 248 - x * 8
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      encodeImage(img)
+    }
+
     /** Bump pixel (0,0)'s gray by +1 (clamped) and re-encode — the
       * smallest content change that defeats byte-level (md5) dedup
       * while leaving any sane perceptual hash fixed.
@@ -218,6 +243,96 @@ object Multimodal {
       if (countB <= 0) false
       else if (n <= 100000000L) n * sumB > countB * total
       else BigInt(n) * BigInt(sumB) > BigInt(countB) * BigInt(total)
+
+    /** 64-bit difference hash (dHash): the image folds into a 9×8 grid
+      * of exact integer block luminance sums (cols by ⌊x·9/w⌋, rows by
+      * ⌊y·8/h⌋ — any dimensions), and bit r·8+c is set when column c's
+      * mean luminance is strictly BELOW column c+1's in row r — the
+      * horizontal GRADIENT sign, which survives global brightness and
+      * contrast shifts that move [[aHash64]]'s global mean. Compare is
+      * the cross-multiplied integer sum_l·cnt_r < sum_r·cnt_l — no
+      * division, no floats; empty cells (w < 9) yield 0 bits.
+      */
+    def dHash64(payload: Array[Byte]): Option[Long] =
+      readImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val ry = (y.toLong * 8 / h).toInt
+          var x = 0
+          while (x < w) {
+            val cx = (x.toLong * 9 / w).toInt
+            val px = img.getRGB(x, y)
+            val lum = (((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)).toLong
+            sums(ry)(cx) += lum
+            counts(ry)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (meanStrictlyLess(n, sums(r)(c), counts(r)(c),
+                sums(r)(c + 1), counts(r)(c + 1)))
+              hash |= (1L << (r * 8 + c))
+            c += 1
+          }
+          r += 1
+        }
+        hash
+      }
+
+    /** mean_l < mean_r as the cross product sum_l·cnt_r < sum_r·cnt_l —
+      * Long inside the [[blockAboveMean]] envelope (765·n² < 2⁶³ at
+      * n ≤ 10⁸ px), BigInt past it; false when either cell is empty.
+      */
+    private[operators] def meanStrictlyLess(
+        n: Long, sumL: Long, cntL: Long, sumR: Long, cntR: Long): Boolean =
+      if (cntL <= 0 || cntR <= 0) false
+      else if (n <= 100000000L) sumL * cntR < sumR * cntL
+      else BigInt(sumL) * BigInt(cntR) < BigInt(sumR) * BigInt(cntL)
+
+    /** Zero-crossing census over 16-bit PCM: (n_samples, n_crossings)
+      * where a crossing is a SIGN-CLASS change between consecutive
+      * samples (negative vs non-negative — zero counts as positive, so
+      * the rule is total and tie-free). The classic O(1)-state
+      * voiced/unvoiced + noisiness feature next to [[pcmStats]]'s
+      * energy; same decode path, None on non-16-bit payloads.
+      */
+    def pcmZcr(payload: Array[Byte]): Option[(Long, Long)] =
+      if (payload == null || payload.isEmpty) None
+      else
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = ais.readAllBytes()
+            val bigEndian = fmt.isBigEndian
+            var idx = 0
+            var n = 0L
+            var cross = 0L
+            var prevNeg = false
+            while (idx + 1 < bytes.length) {
+              val b0 = bytes(idx) & 0xFF
+              val b1 = bytes(idx + 1) & 0xFF
+              val v = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0)
+                .toShort.toLong
+              val neg = v < 0
+              if (n > 0 && neg != prevNeg) cross += 1
+              prevNeg = neg
+              n += 1
+              idx += 2
+            }
+            Some((n, cross))
+          }
+        } catch { case _: Exception => None }
 
     def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
@@ -478,6 +593,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Difference-hash sibling of [[imageAHash]]: payload → 64-bit dHash
+    * column (null on undecodable payloads). The gradient-sign hash is
+    * the robust member of the perceptual pair — a global brightness /
+    * contrast shift moves every aHash block against the global mean
+    * but leaves horizontal gradient SIGNS fixed. Same groupBy /
+    * banding consumers downstream.
+    */
+  def imageDHash(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq :+
+      StructField("dhash64", LongType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hv = MediaCodec.dHash64(r.getAs[Array[Byte]](payloadIdx))
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ hv)
+      }
+    }(enc)
+  }
+
+  /** Zero-crossing-rate pass: payload → (n_samples, n_crossings,
+    * zcr_pm) — the O(1)-state noisiness / voicedness screen next to
+    * [[audioStats]]'s energy columns; `zcr_pm` = crossings per
+    * thousand sample TRANSITIONS (denominator n−1). Nulls when the
+    * payload doesn't decode as 16-bit PCM.
+    */
+  def audioZcr(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
+      StructField("n_samples", LongType), StructField("n_cross", LongType),
+      StructField("zcr_pm", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodec.pcmZcr(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((n, c)) =>
+            val pm: java.lang.Long = if (n > 1) 1000L * c / (n - 1) else 0L
+            Row.fromSeq(r.toSeq ++ Seq(n, c, pm))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual hashing: payload → 64-bit aHash column (null when the
     * payload doesn't decode). The near-dup key for image dedup — byte
     * dedup (q_media_dedup's md5) misses re-encoded or lightly-edited
@@ -525,6 +685,22 @@ object Multimodal {
       rows.map { r =>
         val i = r.getLong(0)
         Row(i, "image", MediaCodec.encodeGradientPng((i % 64).toInt),
+          Row("image/png", 32, 32, null, null))
+      }
+    }(enc)
+  }
+
+  /** Row-direction gradient fixture (media_id 1..n ≤ 255, seed = id) —
+    * dHash-distinct per seed by construction; see
+    * [[MediaCodec.encodeRowGradientPng]].
+    */
+  def syntheticRowGradientMedia(spark: SparkSession, n: Int): DataFrame = {
+    require(n >= 1 && n <= 255, s"row-gradient seeds live in [1, 255]: $n")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    spark.range(1, n + 1L).toDF("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        Row(i, "image", MediaCodec.encodeRowGradientPng(i.toInt),
           Row("image/png", 32, 32, null, null))
       }
     }(enc)

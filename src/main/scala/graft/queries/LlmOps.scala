@@ -542,6 +542,24 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Harmonic centrality (Graphs.harmonicCentrality) of a bounded
+    // seed cohort over the same blocking graph: Σ 1/d within 3 hops,
+    // exact as 2520 div hop — the disconnection-safe closeness
+    // (unreached nodes contribute 0, no infinite-distance case). ONE
+    // multi-source labeled BFS shares the edge scan across all seeds
+    // instead of |seeds| sequential runs.
+    "q_harmonic_centrality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = ccBlockingPairs(docs.select("doc_id", "lang", "n_chars"))
+      val edges = pairs.union(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val seeds = docs.filter(col("source") === "src0" && col("doc_id") < 100)
+        .select("doc_id")
+      graft.operators.Graphs.harmonicCentrality(
+          edges, "id_a", "id_b", seeds, "doc_id", maxHops = 3)
+        .orderBy("id")
+    }),
+
     // Fixed-round k-core peeling ([[graft.operators.Graphs.kcoreRounds]]
     // under the oracle): 3 peeling rounds at k=3 over the same blocking
     // graph (34 -> 28 -> 28 survivors at sf0.01 — genuinely iterative,
@@ -929,6 +947,36 @@ object LlmOps {
         .filter(col("n_copies") > 1)
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")
+    }),
+
+    // The gradient-sign sibling (Multimodal.imageDHash): same planted
+    // one-pixel corruptions, same structural oracle — but the hash is
+    // the horizontal luminance GRADIENT per 9×8 cell, which also
+    // survives the global brightness/contrast shifts that move every
+    // aHash block against the global mean. Two independent perceptual
+    // keys catch edits either alone misses.
+    "q_image_dhash" -> ((s, d) => {
+      val media = Multimodal.syntheticRowGradientMedia(s, 40)
+      val planted = Multimodal.corruptImages(
+        media.filter(col("media_id") <= 15)
+          .withColumn("media_id", col("media_id") + 1000))
+      Multimodal.imageDHash(media.unionByName(planted))
+        .groupBy(col("dhash64"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // Zero-crossing rate (Multimodal.audioZcr) off the REAL WAV
+    // decode: the O(1)-state voiced/unvoiced + noisiness screen next
+    // to q_audio_stats' energy — replayed by DuckDB from the
+    // generator's integer sample formula via lag(), so the hash
+    // certifies decode + the crossing census bit-for-bit.
+    "q_audio_zcr" -> ((s, d) => {
+      Multimodal.audioZcr(Multimodal.syntheticMedia(s, 30, kind = "audio"))
+        .select(col("media_id"), col("n_samples"), col("n_cross"), col("zcr_pm"))
+        .orderBy("media_id")
     }),
 
     "q_simhash_fingerprints" -> ((s, d) => {
@@ -8552,6 +8600,26 @@ object LlmOps {
          SELECT id, CAST(min(hop) AS INTEGER) AS hop
          FROM bfs GROUP BY id ORDER BY id""",
 
+    // the multi-source min-hop frontier replayed as a recursive CTE
+    // keyed on (seed, id); reciprocals exact as 2520 // hop
+    "q_harmonic_centrality" ->
+      """WITH RECURSIVE bedges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         bfs(seed, id, hop) AS (
+           SELECT doc_id, doc_id, 0 FROM documents
+           WHERE doc_id < 100 AND source = 'src0'
+           UNION
+           SELECT b.seed, e.dst, b.hop + 1
+           FROM bfs b JOIN bedges e ON e.src = b.id
+           WHERE b.hop < 3),
+         md AS (SELECT seed, id, min(hop) AS hop FROM bfs GROUP BY 1, 2)
+         SELECT seed AS id, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(2520 // hop) AS BIGINT) AS harm_x2520
+         FROM md WHERE hop > 0 GROUP BY seed ORDER BY seed""",
+
     "q_kcore" ->
       """WITH pairs AS (
            SELECT a.doc_id AS src, b.doc_id AS dst
@@ -8708,6 +8776,32 @@ object LlmOps {
     "q_image_ahash" ->
       """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
          FROM range(1, 16) t(i) ORDER BY keep_id""",
+
+    // same structural contract for the gradient-sign hash
+    "q_image_dhash" ->
+      """SELECT CAST(i AS BIGINT) AS keep_id, CAST(2 AS BIGINT) AS n_copies
+         FROM range(1, 16) t(i) ORDER BY keep_id""",
+
+    // the generator formula replayed with lag(): sign-class changes
+    // between consecutive samples, zero counting as positive
+    "q_audio_zcr" ->
+      """WITH m AS (SELECT i FROM range(1, 31) t(i)),
+         s AS (
+           SELECT i, unnest(range(0, 4000 + (i % 5) * 800)) AS j FROM m),
+         v AS (
+           SELECT i, j, (i * 131 + j * 7) % 65536 - 32768 AS x FROM s),
+         d AS (
+           SELECT i, x, lag(x) OVER (PARTITION BY i ORDER BY j) AS px FROM v),
+         ag AS (
+           SELECT i AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(CASE WHEN px IS NOT NULL AND (px < 0) <> (x < 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+           FROM d GROUP BY 1)
+         SELECT media_id, n_samples, n_cross,
+           CAST(CASE WHEN n_samples > 1
+                THEN (1000 * n_cross) // (n_samples - 1) ELSE 0
+           END AS BIGINT) AS zcr_pm
+         FROM ag ORDER BY media_id""",
 
     "q_kmeans" ->
       """WITH v AS (

@@ -218,4 +218,25 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ends") === 6L)
     assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12)
   }
+
+  test("harmonicCentrality: hand-computed path graph, multi-seed, hop cap") {
+    import spark.implicits._
+    // undirected path 1-2-3-4 (+ isolated 9)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L, 9L).toDF("id")
+    val out = Graphs.harmonicCentrality(edges, "src", "dst", seeds, "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // seed 1: d = 1,2,3 -> 2520 + 1260 + 840 = 4620
+    assert(out(1L) === ((3L, 4620L)))
+    // seed 3: d(2)=1, d(4)=1, d(1)=2 -> 2520+2520+1260 = 6300
+    assert(out(3L) === ((3L, 6300L)))
+    // isolated seed reaches nothing -> absent (contributes no row)
+    assert(!out.contains(9L))
+    // hop cap: maxHops = 1 sees only direct neighbors
+    val capped = Graphs.harmonicCentrality(edges, "src", "dst", seeds, "id", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped(1L) === ((1L, 2520L)))
+    assert(capped(3L) === ((2L, 5040L)))
+  }
 }

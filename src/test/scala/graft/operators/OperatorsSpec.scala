@@ -347,6 +347,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: dHash is seed-distinct on the row-gradient fixture and survives corruption") {
+    val media = Multimodal.syntheticRowGradientMedia(spark, 20)
+    val orig = Multimodal.imageDHash(media)
+      .select("media_id", "dhash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(orig.values.toSet.size == orig.size, s"dHash collision: $orig")
+    // each row band's 8 gradient bits equal the seed's bit r — the
+    // fixture's construction makes the hash predictable: row r bits are
+    // all-ones iff bit r of the seed is set
+    for ((id, hv) <- orig; r <- 0 until 8) {
+      val rowBits = (hv >>> (r * 8)) & 0xFFL
+      val expect = if (((id >> r) & 1L) == 1L) 0xFFL else 0x00L
+      assert(rowBits == expect, s"id=$id row=$r bits=$rowBits")
+    }
+    val corr = Multimodal.imageDHash(Multimodal.corruptImages(media))
+      .select("media_id", "dhash64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corr === orig)
+  }
+
+  test("multimodal: pcmZcr counts sign-class changes exactly (hand-computed)") {
+    import Multimodal.MediaCodec
+    // samples: +1, -1, 0, -2, 3 -> sign classes +,-,+,-,+ = 4 crossings
+    val wav = MediaCodec.encodeWavPcm16(8000, Array[Short](1, -1, 0, -2, 3))
+    assert(MediaCodec.pcmZcr(wav) === Some((5L, 4L)))
+    // constant positive: zero crossings
+    val flat = MediaCodec.encodeWavPcm16(8000, Array[Short](5, 5, 5))
+    assert(MediaCodec.pcmZcr(flat) === Some((3L, 0L)))
+    // junk payload
+    assert(MediaCodec.pcmZcr("not a wav".getBytes) === None)
+  }
+
   test("multimodal: aHash bit compare is exact past the Long envelope (BigInt branch)") {
     import Multimodal.MediaCodec.blockAboveMean
     // gigapixel regime where n·sum_b wraps Long: 2e9 px, one block holding
