@@ -1586,27 +1586,34 @@ object Relational {
         .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("o_totalprice").cast(dec) * 100).cast("long")).as("rev_cents"))
-        .localCheckpoint(true)
-      // the four global sums/ranks all run as windows over the PINNED
-      // 25-row frame (the bounded-frame exception — |nations| is a
-      // constant, not data-sized), collapsing the former
-      // crossJoin(broadcast(agg)) chain's 13 BroadcastNestedLoopJoins
-      // into one window stage
-      val wAll = Window.partitionBy()
-      val wRk = Window.orderBy(col("rem_key").desc, col("n_name").asc)
-      rev
-        .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
-        .withColumn("base_alloc", expr(s"(${budget}L * rev_cents) div total_cents"))
-        .withColumn("rem_key", expr(s"(${budget}L * rev_cents) % total_cents"))
-        .withColumn("base_total", sum(col("base_alloc")).over(wAll))
-        .withColumn("rk", row_number().over(wRk).cast("long"))
-        .withColumn("alloc", col("base_alloc") +
-          when(col("rk") <= lit(budget) - col("base_total"), 1L).otherwise(0L))
-        .withColumn("alloc_total", sum(col("alloc")).over(wAll))
-        .select(col("n_name"), col("rev_cents"), col("base_alloc"),
+      // Alloc.hamilton runs the four global sums/ranks as windows over
+      // the pinned 25-nation frame (the bounded-frame exception —
+      // |nations| is a constant) — the r16 shape that collapsed the
+      // former crossJoin(broadcast(agg)) chain's 61 exchanges / 13
+      // BroadcastNestedLoopJoins into one window stage
+      graft.operators.Alloc.hamilton(rev, Seq("n_name"), "rev_cents", budget)
+        .select(col("n_name"), col("weight").as("rev_cents"), col("base_alloc"),
           col("rem_key"), col("alloc"),
           (col("alloc_total") === budget).as("total_ok"))
         .orderBy("n_name")
+    }),
+
+    // Token-budget allocation across languages (Alloc.hamilton): the
+    // training-mixture version of q_alloc_budget — a 10M-token budget
+    // apportioned over the corpus's language cells proportional to
+    // character mass, largest remainders deterministic, Σ = budget
+    // certified per row. The operator a data-mixture pipeline runs
+    // before sampling each language's shard.
+    "q_token_alloc" -> ((s, d) => {
+      val budget = 10000000L
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("char_mass"))
+      graft.operators.Alloc.hamilton(cells, Seq("lang"), "char_mass", budget)
+        .select(col("lang"), col("weight").as("char_mass"), col("base_alloc"),
+          col("rem_key"), col("alloc"),
+          (col("alloc_total") === budget).as("total_ok"))
+        .orderBy("lang")
     }),
 
     // Zone-map pruning audit: per-file min/max(l_shipdate) statistics
@@ -4460,6 +4467,33 @@ object Relational {
            CAST(alloc AS BIGINT) AS alloc,
            alloc_total = 1000000 AS total_ok
          FROM alloced, asum ORDER BY n_name""",
+
+    // the same Hamilton chain over language character mass
+    "q_token_alloc" ->
+      """WITH cells AS (
+           SELECT lang, CAST(sum(n_chars) AS BIGINT) AS char_mass
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(char_mass) AS BIGINT) AS w FROM cells),
+         based AS (
+           SELECT lang, char_mass,
+             CAST((10000000 * char_mass) // w AS BIGINT) AS base_alloc,
+             CAST((10000000 * char_mass) % w AS BIGINT) AS rem_key
+           FROM cells, tot),
+         bs AS (SELECT CAST(sum(base_alloc) AS BIGINT) AS base_total FROM based),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             ORDER BY rem_key DESC, lang ASC) AS BIGINT) AS rk
+           FROM based, bs),
+         alloced AS (
+           SELECT lang, char_mass, base_alloc, rem_key,
+             base_alloc + CASE WHEN rk <= 10000000 - base_total
+                          THEN 1 ELSE 0 END AS alloc
+           FROM ranked),
+         asum AS (SELECT CAST(sum(alloc) AS BIGINT) AS alloc_total FROM alloced)
+         SELECT lang, char_mass, base_alloc, rem_key,
+           CAST(alloc AS BIGINT) AS alloc,
+           alloc_total = 10000000 AS total_ok
+         FROM alloced, asum ORDER BY lang""",
 
     // The FIFO fold replayed: same arrival order, same cumulative-before
     // clamp against each part's returned-quantity demand.
