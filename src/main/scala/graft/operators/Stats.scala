@@ -1493,6 +1493,62 @@ object Stats {
       .drop("__pgt", "__plt", "__t")
   }
 
+  /** Pairwise Kolmogorov–Smirnov distance matrix over ALL unordered
+    * group pairs — [[pairwiseMannWhitney]]'s shape applied to
+    * [[ksTwoSample]]'s statistic: per (key, g1 < g2) the exact sup-gap
+    * numerator D = max|cum₁·n₂ − cum₂·n₁| and `d_pm` = (1000·D) div
+    * (n₁·n₂). The drift MATRIX a multi-source corpus audit reads
+    * (which sources disagree, not just whether one pair does).
+    *
+    * Same scale shape as the pairwise MW: one per-(value, group)
+    * aggregate, the spine densified over the bounded group set, one
+    * cumulative window per (key, group), and a spine×group join
+    * bounded by |V|·k². Cross products ride DECIMAL(38,0), loud
+    * cast-down.
+    */
+  def pairwiseKs(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perVG = df.groupBy(keys :+ col(vCol).as("__v") :+ col(groupCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val spine = perVG.select(keys :+ col("__v"): _*).distinct()
+    val groups = perVG.select(keys :+ col("__g"): _*).distinct()
+    val dense = spine.join(groups, keyCols)
+      .join(perVG, keyCols ++ Seq("__v", "__g"), "left")
+      .na.fill(0L, Seq("__m"))
+    val wCum = Window.partitionBy(keys :+ col("__g"): _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(keys :+ col("__g"): _*)
+    val cum = dense
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__ng", sum(col("__m")).over(wG))
+      .localCheckpoint(true) // both sides of the pair join read it
+    val a = cum.select(keys ++ Seq(col("__v"), col("__g").as("g1"),
+      col("__cum").as("__c1"), col("__ng").as("n1")): _*)
+    val b = cum.select(keys ++ Seq(col("__v"), col("__g").as("g2"),
+      col("__cum").as("__c2"), col("__ng").as("n2")): _*)
+    a.join(b, keyCols :+ "__v")
+      .filter(col("g1") < col("g2"))
+      .groupBy(keys ++ Seq(col("g1"), col("g2")): _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("__c1").cast(dec) * col("n2") - col("__c2").cast(dec) * col("n1")))
+          .as("__d"))
+      .withColumn("d_num", loudLong(col("__d"), "pairwiseKs", "d_num"))
+      .withColumn("d_pm",
+        when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__d") * 1000 - col("__d") * 1000
+              % (col("n1").cast(dec) * col("n2")))
+              / (col("n1").cast(dec) * col("n2"))).cast(dec),
+            "pairwiseKs", "d_pm")))
+      .drop("__d")
+  }
+
   /** Lo–MacKinlay variance-ratio test (1988) on an integer series —
     * is a daily aggregate a random walk (VR ≈ 1), mean-reverting
     * (VR < 1), or trending (VR > 1)? With population-variance

@@ -985,6 +985,65 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Fingerprint bit-bias audit: per simhash bit, the corpus ones-rate
+    // — a healthy feature dimension hovers near 500‰; a skewed bit is a
+    // near-constant dimension that weakens every Hamming/banding
+    // decision built on it. One explode over the bounded 64-bit set +
+    // one aggregate; sign-safe mask compare (bit 63 included).
+    "q_hash_bit_bias" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(Dedup.simhash(col("text")).as("f"))
+        .select(col("f"), explode(expr("sequence(0, 63)")).as("bit"))
+        .groupBy(col("bit"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr("(f & shiftleft(1L, bit)) != 0"), 1L).otherwise(0L))
+            .as("ones"))
+        .withColumn("ones_pm", expr("(1000 * ones) div n_docs"))
+        .orderBy("bit")
+    }),
+
+    // Blocking-scheme quality audit: the two numbers every entity-
+    // resolution / dedup blocking choice trades off — REDUCTION (what
+    // fraction of the N²/2 pair space the blocks prune) and
+    // COMPLETENESS (what fraction of true duplicate pairs the blocks
+    // keep) — computed WITHOUT materializing a single pair: candidate
+    // counts fold from (lang, n_chars) group sizes via C(m,2) plus a
+    // lag-window adjacency term for the ±1 band; truth = md5 text
+    // groups (same text ⇒ same n_chars ⇒ captured unless the lang
+    // label differs — exactly the leakage the audit exists to expose).
+    "q_blocking_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("h"))
+        .localCheckpoint(true)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val wL = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc)
+      val cand = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("m"))
+        .withColumn("prev_c", lag(col("n_chars"), 1).over(wL))
+        .withColumn("prev_m", lag(col("m"), 1).over(wL))
+        .withColumn("within", expr("(m * (m - 1)) div 2"))
+        .withColumn("adj",
+          when(col("prev_c") === col("n_chars") - 1, col("prev_m") * col("m"))
+            .otherwise(0L))
+        .agg(sum(col("within") + col("adj")).as("cand_pairs"))
+      val tp = docs.groupBy(col("h")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("true_pairs"))
+      val cp = docs.groupBy(col("h"), col("lang")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("(m * (m - 1)) div 2")).as("captured_pairs"))
+      n.crossJoin(broadcast(cand)).crossJoin(broadcast(tp)).crossJoin(broadcast(cp))
+        .withColumn("total_pairs", expr("(n_docs * (n_docs - 1)) div 2"))
+        .withColumn("reduction_ppm",
+          when(col("total_pairs") === 0, 0L).otherwise(
+            lit(1000000L) - expr(
+              "(1000000 * CAST(cand_pairs AS DECIMAL(38,0))) div total_pairs")))
+        .withColumn("completeness_pm",
+          when(col("true_pairs") === 0, 1000L)
+            .otherwise(expr("(1000 * captured_pairs) div true_pairs")))
+        .select(col("n_docs"), col("total_pairs"), col("cand_pairs"),
+          col("reduction_ppm"), col("true_pairs"), col("captured_pairs"),
+          col("completeness_pm"))
+    }),
+
     "q_ngram_jaccard" -> ((s, d) => {
       // exact n-gram Jaccard on a bounded id-range (quadratic primitive —
       // always bucketed at scale; here bounded for the oracle). Emitted as
@@ -4724,6 +4783,24 @@ object LlmOps {
         .select(col("n_name"), col("o_orderpriority").as("prio"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
       Stats.pairwiseMannWhitney(o, Seq("n_name"), "prio", "v")
+        .orderBy("n_name", "g1", "g2")
+    }),
+
+    // Pairwise KS distance matrix (Stats.pairwiseKs) on the same
+    // frame: WHICH priority pairs drift, not just whether one does —
+    // the per-pair sup-gap companion to q_pairwise_mw's location
+    // census, same densified-spine shape.
+    "q_pairwise_ks" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"), col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.pairwiseKs(o, Seq("n_name"), "prio", "v")
         .orderBy("n_name", "g1", "g2")
     }),
 
@@ -8573,6 +8650,57 @@ object LlmOps {
       s"""WITH $simhashFingerprintsCte
          SELECT doc_id, simhash64 FROM fps ORDER BY doc_id""",
 
+    // per-bit ones census over the recomputed fingerprints
+    "q_hash_bit_bias" ->
+      s"""WITH $simhashFingerprintsCte,
+         bb AS (
+           SELECT bit, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN (uf >> bit) & 1 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ones
+           FROM fps CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+           GROUP BY 1)
+         SELECT CAST(bit AS INTEGER) AS bit, n_docs, ones,
+           (1000 * ones) // n_docs AS ones_pm
+         FROM bb ORDER BY bit""",
+
+    // pair counts folded from group SIZES (C(m,2) + the lag-window
+    // adjacency term), never from materialized pairs
+    "q_blocking_quality" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+         sz AS (
+           SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS m
+           FROM docs GROUP BY 1, 2),
+         cd AS (
+           SELECT lang, n_chars, m,
+             lag(n_chars) OVER (PARTITION BY lang ORDER BY n_chars) AS prev_c,
+             lag(m) OVER (PARTITION BY lang ORDER BY n_chars) AS prev_m
+           FROM sz),
+         cand AS (
+           SELECT CAST(sum((m * (m - 1)) // 2
+             + CASE WHEN prev_c = n_chars - 1 THEN prev_m * m ELSE 0 END)
+             AS BIGINT) AS cand_pairs
+           FROM cd),
+         tp AS (
+           SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS true_pairs
+           FROM (SELECT CAST(count(*) AS BIGINT) AS m FROM docs GROUP BY h)),
+         cp AS (
+           SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS captured_pairs
+           FROM (SELECT CAST(count(*) AS BIGINT) AS m FROM docs
+                 GROUP BY h, lang))
+         SELECT n_docs, (n_docs * (n_docs - 1)) // 2 AS total_pairs,
+           cand_pairs,
+           CAST(CASE WHEN n_docs < 2 THEN 0
+                ELSE 1000000 - (1000000 * CAST(cand_pairs AS HUGEINT))
+                     // ((n_docs * (n_docs - 1)) // 2)
+                END AS BIGINT) AS reduction_ppm,
+           true_pairs, captured_pairs,
+           CAST(CASE WHEN true_pairs = 0 THEN 1000
+                ELSE (1000 * captured_pairs) // true_pairs
+                END AS BIGINT) AS completeness_pm
+         FROM n CROSS JOIN cand CROSS JOIN tp CROSS JOIN cp""",
+
     // All-pairs Hamming ≤ 3 over the recomputed fingerprints — the exact
     // reference for the engine's pigeonhole-banded candidate join, whose
     // recall at the threshold is exact by construction, so the outputs
@@ -10551,6 +10679,50 @@ object LlmOps {
            CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
                 ELSE ((pgt - plt) * 1000) // (CAST(n1 AS HUGEINT) * n2)
                 END AS BIGINT) AS r_rb_pm
+         FROM ag ORDER BY n_name, g1, g2""",
+
+    // the same densified spine with at-or-below cumulatives; per-pair
+    // sup gap cross-multiplied
+    "q_pairwise_ks" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')),
+         pvg AS (
+           SELECT n_name, v, g, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2, 3),
+         vs AS (SELECT DISTINCT n_name, v FROM pvg),
+         gs AS (SELECT DISTINCT n_name, g FROM pvg),
+         dense AS (
+           SELECT vs.n_name, vs.v, gs.g, coalesce(m, 0) AS m
+           FROM vs JOIN gs USING (n_name)
+           LEFT JOIN pvg ON pvg.n_name = vs.n_name AND pvg.v = vs.v
+             AND pvg.g = gs.g),
+         cum AS (
+           SELECT n_name, v, g,
+             CAST(sum(m) OVER (PARTITION BY n_name, g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c,
+             CAST(sum(m) OVER (PARTITION BY n_name, g) AS BIGINT) AS ng
+           FROM dense),
+         j AS (
+           SELECT a.n_name AS n_name, a.g AS g1, b.g AS g2,
+             a.c AS c1, b.c AS c2, a.ng AS n1, b.ng AS n2
+           FROM cum a JOIN cum b ON a.n_name = b.n_name AND a.v = b.v
+           WHERE a.g < b.g),
+         ag AS (
+           SELECT n_name, g1, g2, CAST(max(n1) AS BIGINT) AS n1,
+             CAST(max(n2) AS BIGINT) AS n2,
+             max(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS d
+           FROM j GROUP BY 1, 2, 3)
+         SELECT n_name, g1, g2, n1, n2, CAST(d AS BIGINT) AS d_num,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE (1000 * d) // (CAST(n1 AS HUGEINT) * n2)
+                END AS BIGINT) AS d_pm
          FROM ag ORDER BY n_name, g1, g2""",
 
     // lag diffs off the per-priority day spine; population-variance

@@ -205,6 +205,27 @@ class StatsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("pairwiseKs: per-pair sup gap equals the brute-force ECDF census") {
+    val rows = Seq(("x", 1L), ("x", 4L), ("x", 4L), ("y", 2L), ("y", 4L),
+      ("z", 5L), ("z", 1L))
+    val df = spark.createDataFrame(rows.map { case (g, v) => ("k", g, v) })
+      .toDF("k", "g", "v")
+    val out = Stats.pairwiseKs(df, Seq("k"), "g", "v")
+      .collect().map(r => (r.getAs[String]("g1"), r.getAs[String]("g2")) ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("d_num"),
+          r.getAs[Long]("d_pm"))).toMap
+    def brute(a: Seq[Long], b: Seq[Long]) = {
+      val vs = (a ++ b).distinct
+      val d = vs.map(v =>
+        math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)).max
+      (a.size.toLong, b.size.toLong, d, 1000 * d / (a.size * b.size))
+    }
+    val (x, y, z) = (Seq(1L, 4L, 4L), Seq(2L, 4L), Seq(5L, 1L))
+    assert(out(("x", "y")) === brute(x, y))
+    assert(out(("x", "z")) === brute(x, z))
+    assert(out(("y", "z")) === brute(y, z))
+  }
+
   test("varianceRatio: constant-increment series gives VR exactly 0 variance -> 0") {
     // x_t = 10t: d1 all 10 (V1 = 0 -> vr 0 by the degenerate rule)
     val lin = spark.createDataFrame((1 to 12).map(t => ("k", t.toLong, 10L * t)))
