@@ -1337,6 +1337,48 @@ object Stats {
         col("somers_d_rc_pm"), col("somers_d_cr_pm"), col("tau_c_pm")): _*)
   }
 
+  /** Durbin–Watson statistic (1950) on MEAN-DETRENDED integer series —
+    * the raw-value von Neumann ratio companion to [[bartels]]' rank
+    * rendering: DW = Σ(e_t − e_{t−1})² / Σe_t² over residuals from the
+    * per-key mean, ≈2 under independence, →0 under positive lag-1
+    * autocorrelation, →4 under alternation. EXACT: residuals scale by
+    * n (e_t = n·x_t − Σx — integers, the n² cancels in the ratio), the
+    * two quadratic sums ride DECIMAL(38,0), and `dw_x1000` floors
+    * once. Mean detrending only (the lag-1 diagnostic), stated rather
+    * than hidden: against a TRENDING series DW reads the trend as
+    * positive autocorrelation — run it on differenced or
+    * regression-residual inputs when that matters. One lag window over
+    * the per-key ORDERED spine + one aggregate.
+    */
+  def durbinWatson(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val wKey = Window.partitionBy(keys: _*)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(orderCol).asc)
+    val res = df
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__s", sum(col(vCol)).over(wKey))
+      .withColumn("__e", (col("__n").cast(dec) * col(vCol) - col("__s")))
+      .withColumn("__ep", lag(col("__e"), 1).over(wOrd))
+    res.groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__e") * col("__e")).as("__den"),
+        sum(when(col("__ep").isNotNull,
+          (col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+          .otherwise(lit(0).cast(dec))).as("__num"))
+      .withColumn("dw_x1000",
+        when(col("n") < 2 || col("__den") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__num") * 1000 - col("__num") * 1000 % col("__den"))
+              / col("__den")).cast(dec),
+            "durbinWatson", "dw_x1000")))
+      .drop("__den", "__num")
+  }
+
   /** Sign test (Arbuthnott 1710; the oldest nonparametric test) over
     * paired integer observations: count positive / negative / zero
     * differences per key — under H₀ the positives are

@@ -4820,6 +4820,19 @@ object LlmOps {
         .orderBy("prio")
     }),
 
+    // Durbin–Watson (Stats.durbinWatson) on the same daily series:
+    // the raw-value lag-1 autocorrelation diagnostic next to
+    // q_variance_ratio's multi-lag view and q_bartels' rank rendering
+    // — ≈2000 under independence, <2000 positive drift, >2000
+    // alternation. Scaled integer residuals, one floor at the end.
+    "q_durbin_watson" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000")).as("kusd"))
+      Stats.durbinWatson(daily, Seq("prio"), "day", "kusd")
+        .orderBy("prio")
+    }),
+
     // McNemar's paired-binary test (Stats.mcnemar) per source: do the
     // length-band and type-token-ratio quality filters (q_quality_vote's
     // own signals) disagree symmetrically on the same documents? Only
@@ -10755,6 +10768,34 @@ object LlmOps {
                 ELSE (vq * n1 * n1 * 1000) // (v1 * 5 * nq * nq)
                 END AS BIGINT) AS vr_x1000
          FROM v ORDER BY prio""",
+
+    // n-scaled residuals (n^2 cancels in the ratio), lag window, one floor
+    "q_durbin_watson" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS prio, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000) AS BIGINT)
+               AS kusd
+           FROM orders GROUP BY 1, 2),
+         r AS (
+           SELECT prio, day,
+             CAST(count(*) OVER (PARTITION BY prio) AS HUGEINT) * kusd
+               - CAST(sum(kusd) OVER (PARTITION BY prio) AS HUGEINT) AS e,
+             CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+           FROM daily),
+         rl AS (
+           SELECT prio, n, e,
+             lag(e) OVER (PARTITION BY prio ORDER BY day) AS ep
+           FROM r),
+         ag AS (
+           SELECT prio, CAST(max(n) AS BIGINT) AS n,
+             sum(e * e) AS den,
+             sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                 ELSE 0 END) AS num
+           FROM rl GROUP BY 1)
+         SELECT prio, n,
+           CAST(CASE WHEN n < 2 OR den = 0 THEN 0
+                ELSE (num * 1000) // den END AS BIGINT) AS dw_x1000
+         FROM ag ORDER BY prio""",
 
     // The paired 2×2 and the discordant-cell statistic replayed.
     "q_mcnemar" ->

@@ -205,6 +205,25 @@ class StatsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("durbinWatson: alternation ~4, trend ~0, constants 0 (hand-computed)") {
+    // alternating 0,1,0,1: e = 4x - 2 = (-2,2,-2,2); den 16, num 48 -> 3000
+    val alt = spark.createDataFrame(
+      (0 until 4).map(t => ("a", t.toLong, (t % 2).toLong))).toDF("k", "t", "v")
+    val rA = Stats.durbinWatson(alt, Seq("k"), "t", "v").collect().head
+    assert(rA.getAs[Long]("dw_x1000") === 3000L)
+    // monotone 1..4: e = (-6,-2,2,6); den 80, num 48 -> 600 (trend reads
+    // as positive autocorrelation — the documented mean-detrend caveat)
+    val mono = spark.createDataFrame(
+      (1 to 4).map(t => ("m", t.toLong, t.toLong))).toDF("k", "t", "v")
+    val rM = Stats.durbinWatson(mono, Seq("k"), "t", "v").collect().head
+    assert(rM.getAs[Long]("dw_x1000") === 600L)
+    // constant series: zero residual mass -> defined 0
+    val const = spark.createDataFrame(
+      (1 to 5).map(t => ("c", t.toLong, 7L))).toDF("k", "t", "v")
+    assert(Stats.durbinWatson(const, Seq("k"), "t", "v")
+      .collect().head.getAs[Long]("dw_x1000") === 0L)
+  }
+
   test("pairwiseKs: per-pair sup gap equals the brute-force ECDF census") {
     val rows = Seq(("x", 1L), ("x", 4L), ("x", 4L), ("y", 2L), ("y", 4L),
       ("z", 5L), ("z", 1L))
