@@ -1016,7 +1016,6 @@ object LlmOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("h"))
         .localCheckpoint(true)
-      val n = docs.agg(count(lit(1)).as("n_docs"))
       val wL = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc)
       val cand = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("m"))
         .withColumn("prev_c", lag(col("n_chars"), 1).over(wL))
@@ -1026,10 +1025,14 @@ object LlmOps {
           when(col("prev_c") === col("n_chars") - 1, col("prev_m") * col("m"))
             .otherwise(0L))
         .agg(sum(col("within") + col("adj")).as("cand_pairs"))
-      val tp = docs.groupBy(col("h")).agg(count(lit(1)).as("m"))
-        .agg(sum(expr("(m * (m - 1)) div 2")).as("true_pairs"))
-      val cp = docs.groupBy(col("h"), col("lang")).agg(count(lit(1)).as("m"))
-        .agg(sum(expr("(m * (m - 1)) div 2")).as("captured_pairs"))
+      // n_docs, truth, and captured all fold off ONE (h, lang) spine —
+      // two corpus passes total (this one + the sizes spine above)
+      val hl = docs.groupBy(col("h"), col("lang")).agg(count(lit(1)).as("m"))
+        .localCheckpoint(true)
+      val n = hl.agg(sum(col("m")).as("n_docs"))
+      val cp = hl.agg(sum(expr("(m * (m - 1)) div 2")).as("captured_pairs"))
+      val tp = hl.groupBy(col("h")).agg(sum(col("m")).as("mh"))
+        .agg(sum(expr("(mh * (mh - 1)) div 2")).as("true_pairs"))
       n.crossJoin(broadcast(cand)).crossJoin(broadcast(tp)).crossJoin(broadcast(cp))
         .withColumn("total_pairs", expr("(n_docs * (n_docs - 1)) div 2"))
         .withColumn("reduction_ppm",
