@@ -1337,6 +1337,118 @@ object Stats {
         col("somers_d_rc_pm"), col("somers_d_cr_pm"), col("tau_c_pm")): _*)
   }
 
+  /** Hoover (Robin Hood) index per key — the share of total mass that
+    * would have to move to equalize the distribution: H = Σ max(0,
+    * n·xᵢ − T) / (n·T), the L1 member of the inequality battery next
+    * to Gini (pair-based) and HHI (quadratic). EXACT: the n-scaled
+    * excesses are integers, one floor at the per-mille emit. One
+    * per-key window pass (n, T) + one aggregate — no sort, no pairs;
+    * products ride DECIMAL(38,0) with loud cast-down.
+    */
+  def hoover(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val wKey = Window.partitionBy(keys: _*)
+    df
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__t", sum(col(vCol)).over(wKey))
+      .withColumn("__ex",
+        greatest(col("__n").cast(dec) * col(vCol) - col("__t"), lit(0).cast(dec)))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"), max(col("__t")).as("total"),
+        sum(col("__ex")).as("__s"))
+      .withColumn("hoover_pm",
+        when(col("n") === 0 || col("total") <= 0, 0L).otherwise(
+          loudLong(
+            ((col("__s") * 1000 - col("__s") * 1000
+              % (col("n").cast(dec) * col("total")))
+              / (col("n").cast(dec) * col("total"))).cast(dec),
+            "hoover", "hoover_pm")))
+      .drop("__s")
+  }
+
+  /** Pairwise total-variation (and L∞) distance matrix between the
+    * CATEGORICAL distributions of every group pair — the corpus-mix
+    * drift audit (which sources' language/topic mixes disagree, and by
+    * how much): TV(p, q) = ½Σ_c |p_c − q_c| ∈ [0, 1], cross-multiplied
+    * exactly as Σ|m1·N2 − m2·N1| over the BOUNDED category set.
+    * `tv_pm` floors once per pair; `linf_pm` (the single worst
+    * category gap) rides along. Never a row pair join: one (group,
+    * cat) aggregate, densified over |groups|·|cats| cells, pair join
+    * bounded by |groups|²·|cats|.
+    */
+  def pairwiseTotalVariation(
+      df: DataFrame,
+      groupCol: String,
+      catCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = df.groupBy(col(groupCol).as("__g"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val groups = counts.select(col("__g")).distinct()
+    val cats = counts.select(col("__c")).distinct()
+    val dense = groups.crossJoin(cats)
+      .join(counts, Seq("__g", "__c"), "left")
+      .na.fill(0L, Seq("__m"))
+      .withColumn("__ng", sum(col("__m")).over(Window.partitionBy(col("__g"))))
+      .localCheckpoint(true) // both sides of the bounded pair join
+    val a = dense.select(col("__g").as("g1"), col("__c"),
+      col("__m").as("__m1"), col("__ng").as("n1"))
+    val b = dense.select(col("__g").as("g2"), col("__c"),
+      col("__m").as("__m2"), col("__ng").as("n2"))
+    a.join(b, Seq("__c"))
+      .filter(col("g1") < col("g2"))
+      .withColumn("__gap",
+        abs(col("__m1").cast(dec) * col("n2") - col("__m2").cast(dec) * col("n1")))
+      .groupBy(col("g1"), col("g2"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("__gap")).as("__l1"), max(col("__gap")).as("__linf"))
+      .withColumn("tv_pm",
+        when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__l1") * 1000 - col("__l1") * 1000
+              % (col("n1").cast(dec) * col("n2") * 2))
+              / (col("n1").cast(dec) * col("n2") * 2)).cast(dec),
+            "pairwiseTotalVariation", "tv_pm")))
+      .withColumn("linf_pm",
+        when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__linf") * 1000 - col("__linf") * 1000
+              % (col("n1").cast(dec) * col("n2")))
+              / (col("n1").cast(dec) * col("n2"))).cast(dec),
+            "pairwiseTotalVariation", "linf_pm")))
+      .drop("__l1", "__linf")
+  }
+
+  /** Odds ratio over the same paired-verdict 2×2 as [[mcnemar]] —
+    * the ASSOCIATION companion to McNemar's marginal-change test:
+    * OR = (n₁₁·n₀₀)/(n₁₀·n₀₁), emitted as `or_x1000` by exact floor
+    * division in DECIMAL(38,0) (cell products leave BIGINT at ~3·10⁹
+    * rows per key); any empty discordant/concordant cell makes the
+    * ratio undefined → 0, the portable "no signal" rendering. Rides
+    * the mcnemar aggregate — one pass, both statistics.
+    */
+  def oddsRatio(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aCol: String,
+      bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    mcnemar(df, keyCols, aCol, bCol)
+      .withColumn("or_x1000",
+        when(col("n10") === 0 || col("n01") === 0 ||
+          col("n11") === 0 || col("n00") === 0, 0L)
+          .otherwise(loudLong(
+            ((col("n11").cast(dec) * col("n00") * 1000
+              - col("n11").cast(dec) * col("n00") * 1000
+                % (col("n10").cast(dec) * col("n01")))
+              / (col("n10").cast(dec) * col("n01"))).cast(dec),
+            "oddsRatio", "or_x1000")))
+  }
+
   /** Durbin–Watson statistic (1950) on MEAN-DETRENDED integer series —
     * the raw-value von Neumann ratio companion to [[bartels]]' rank
     * rendering: DW = Σ(e_t − e_{t−1})² / Σe_t² over residuals from the

@@ -4858,6 +4858,48 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Odds ratio (Stats.oddsRatio) on the q_mcnemar 2×2: do the two
+    // quality filters AGREE more than chance (OR > 1000) — the
+    // association answer next to McNemar's marginal-change one, same
+    // single aggregate, exact floor rendering.
+    "q_odds_ratio" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("h_len", col("n_tok").between(20, 90))
+        .withColumn("h_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
+      Stats.oddsRatio(base, Seq("source"), "h_len", "h_ttr")
+        .orderBy("source")
+    }),
+
+    // Hoover (Robin Hood) index (Stats.hoover) of per-customer spend
+    // within each nation — the L1 inequality member next to q_gini
+    // (pair-based) and q_hhi (quadratic): the share of revenue that
+    // would have to move between customers to equalize. One window
+    // pass + one aggregate, never a pair.
+    "q_hoover" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      Stats.hoover(spend, Seq("n_name"), "cents")
+        .orderBy("n_name")
+    }),
+
+    // Pairwise total-variation matrix (Stats.pairwiseTotalVariation)
+    // between source language mixes: WHICH sources' mixes disagree and
+    // by how much (plus the single worst language gap) — the
+    // corpus-composition drift audit, bounded cells end to end.
+    "q_pairwise_tv" -> ((s, d) => {
+      Stats.pairwiseTotalVariation(Tables.documents(s, d), "source", "lang")
+        .orderBy("g1", "g2")
+    }),
+
     // Cochran's Q (Stats.cochranQ) per source: do the THREE binary
     // quality filters (length band, repetition, TTR — q_quality_vote's
     // integer signals) pass documents at the same rate? Q exact by
@@ -10825,6 +10867,97 @@ object LlmOps {
                 ELSE (1000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
            END AS chi2_x1000
          FROM g ORDER BY source""",
+
+    // the same 2x2 with the cross-product odds rendering
+    "q_odds_ratio" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             len(t) BETWEEN 20 AND 90 AS a,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) >= 400 AS b
+           FROM tk WHERE len(t) > 0),
+         g AS (
+           SELECT source,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM f GROUP BY 1)
+         SELECT source, n00, n01, n10, n11,
+           CASE WHEN n01 + n10 = 0 THEN 0
+                ELSE (1000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+           END AS chi2_x1000,
+           CAST(CASE WHEN n10 = 0 OR n01 = 0 OR n11 = 0 OR n00 = 0 THEN 0
+                ELSE (CAST(n11 AS HUGEINT) * n00 * 1000)
+                     // (CAST(n10 AS HUGEINT) * n01)
+                END AS BIGINT) AS or_x1000
+         FROM g ORDER BY source""",
+
+    // n-scaled excess mass over the per-nation totals, one floor
+    "q_hoover" ->
+      """WITH spend AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT n_name, cents,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT) AS t
+           FROM spend),
+         ag AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(t) AS BIGINT) AS total,
+             sum(greatest(CAST(n AS HUGEINT) * cents - t, 0)) AS s
+           FROM w GROUP BY 1)
+         SELECT n_name, n, total,
+           CAST(CASE WHEN n = 0 OR total <= 0 THEN 0
+                ELSE (s * 1000) // (CAST(n AS HUGEINT) * total)
+                END AS BIGINT) AS hoover_pm
+         FROM ag ORDER BY n_name""",
+
+    // densified (source, lang) cells, cross-multiplied gaps, TV + Linf
+    "q_pairwise_tv" ->
+      """WITH counts AS (
+           SELECT source AS g, lang AS c, CAST(count(*) AS BIGINT) AS m
+           FROM documents GROUP BY 1, 2),
+         gs AS (SELECT DISTINCT g FROM counts),
+         cs AS (SELECT DISTINCT c FROM counts),
+         dense AS (
+           SELECT gs.g, cs.c, coalesce(m, 0) AS m
+           FROM gs CROSS JOIN cs
+           LEFT JOIN counts ON counts.g = gs.g AND counts.c = cs.c),
+         dn AS (
+           SELECT g, c, m,
+             CAST(sum(m) OVER (PARTITION BY g) AS BIGINT) AS ng
+           FROM dense),
+         j AS (
+           SELECT a.g AS g1, b.g AS g2,
+             abs(CAST(a.m AS HUGEINT) * b.ng - CAST(b.m AS HUGEINT) * a.ng)
+               AS gap,
+             a.ng AS n1, b.ng AS n2
+           FROM dn a JOIN dn b ON a.c = b.c WHERE a.g < b.g),
+         ag AS (
+           SELECT g1, g2, CAST(max(n1) AS BIGINT) AS n1,
+             CAST(max(n2) AS BIGINT) AS n2,
+             sum(gap) AS l1, max(gap) AS linf
+           FROM j GROUP BY 1, 2)
+         SELECT g1, g2, n1, n2,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE (l1 * 1000) // (CAST(n1 AS HUGEINT) * n2 * 2)
+                END AS BIGINT) AS tv_pm,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE (linf * 1000) // (CAST(n1 AS HUGEINT) * n2)
+                END AS BIGINT) AS linf_pm
+         FROM ag ORDER BY g1, g2""",
 
     // S, ΣC², ΣR², and the integer Q rendering replayed per source.
     "q_cochran_q" ->

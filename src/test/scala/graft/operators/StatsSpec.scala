@@ -205,6 +205,56 @@ class StatsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("hoover: hand-computed inequality; uniform is 0, all-in-one is (n-1)/n") {
+    // (10, 20, 30, 40): T=100, n=4; excess = max(0, 4x-100) = (0,0,20,60)
+    // -> H = 80/400 = 0.2 -> 200 pm
+    val df = spark.createDataFrame(Seq(("k", 10L), ("k", 20L), ("k", 30L),
+      ("k", 40L))).toDF("g", "v")
+    val r = Stats.hoover(df, Seq("g"), "v").collect().head
+    assert(r.getAs[Long]("hoover_pm") === 200L)
+    val uni = spark.createDataFrame((1 to 5).map(_ => ("u", 7L))).toDF("g", "v")
+    assert(Stats.hoover(uni, Seq("g"), "v").collect().head
+      .getAs[Long]("hoover_pm") === 0L)
+    // one holder: H = (n-1)/n = 3/4 -> 750
+    val one = spark.createDataFrame(Seq(("o", 100L), ("o", 0L), ("o", 0L),
+      ("o", 0L))).toDF("g", "v")
+    assert(Stats.hoover(one, Seq("g"), "v").collect().head
+      .getAs[Long]("hoover_pm") === 750L)
+  }
+
+  test("pairwiseTotalVariation: hand-computed mixes incl. a category one side lacks") {
+    // g1: a=3 b=1 (N=4); g2: a=1 b=1 c=2 (N=4)
+    // gaps x16: |3*4-1*4|=8, |1*4-1*4|=0, |0*4-2*4|=8 -> TV = 16/32 = 0.5
+    val rows = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c"), ("g2", "c"))
+    val df = spark.createDataFrame(rows).toDF("g", "c")
+    val r = Stats.pairwiseTotalVariation(df, "g", "c").collect().head
+    assert(r.getAs[String]("g1") === "g1" && r.getAs[String]("g2") === "g2")
+    assert(r.getAs[Long]("tv_pm") === 500L)
+    // worst single category gap: 8/16 = 0.5 -> 500
+    assert(r.getAs[Long]("linf_pm") === 500L)
+    // identical mixes -> 0
+    val same = spark.createDataFrame(Seq(("x", "a"), ("x", "b"), ("y", "a"),
+      ("y", "b"))).toDF("g", "c")
+    val z = Stats.pairwiseTotalVariation(same, "g", "c").collect().head
+    assert(z.getAs[Long]("tv_pm") === 0L && z.getAs[Long]("linf_pm") === 0L)
+  }
+
+  test("oddsRatio: hand-computed 2x2; empty cell renders 0") {
+    // n11=6, n00=4, n10=2, n01=3 -> OR = 24/6 = 4 -> 4000
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(4)((false, false)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(3)((false, true))
+    val df = spark.createDataFrame(rows.map { case (a, b) => ("k", a, b) })
+      .toDF("g", "a", "b")
+    val r = Stats.oddsRatio(df, Seq("g"), "a", "b").collect().head
+    assert(r.getAs[Long]("or_x1000") === 4000L)
+    // perfect agreement: discordant cells empty -> undefined -> 0
+    val perfect = spark.createDataFrame(Seq(("k", true, true), ("k", false, false)))
+      .toDF("g", "a", "b")
+    assert(Stats.oddsRatio(perfect, Seq("g"), "a", "b").collect().head
+      .getAs[Long]("or_x1000") === 0L)
+  }
+
   test("durbinWatson: alternation ~4, trend ~0, constants 0 (hand-computed)") {
     // alternating 0,1,0,1: e = 4x - 2 = (-2,2,-2,2); den 16, num 48 -> 3000
     val alt = spark.createDataFrame(
