@@ -1423,6 +1423,84 @@ object Stats {
       .drop("__l1", "__linf")
   }
 
+  /** Goodman–Kruskal lambda (1954) — proportional reduction in error
+    * predicting `colCol` from `rowCol`: λ = (Σ_r max_c n_rc − max_c
+    * n_·c) / (N − max_c n_·c), EXACT rationals of pure counts (the
+    * categorical-association member with no χ², no products — just
+    * maxima), 0 when the modal column already explains everything
+    * (denominator 0 = nothing to reduce). Emitted per direction
+    * (`lambda_rc_pm` rows→cols, `lambda_cr_pm` cols→rows) plus the
+    * grand N. One (row, col) cell aggregate + bounded-margin rollups —
+    * cells are |rows|·|cols|, a category product, never data.
+    */
+  def gkLambda(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true) // margins, maxima, and N all fold off it
+    val sumRowMax = cells.groupBy(col("__r")).agg(max(col("__m")).as("__mx"))
+      .agg(sum(col("__mx")).as("__srm"))
+    val sumColMax = cells.groupBy(col("__c")).agg(max(col("__m")).as("__mx"))
+      .agg(sum(col("__mx")).as("__scm"))
+    val colMarginMax = cells.groupBy(col("__c")).agg(sum(col("__m")).as("__n"))
+      .agg(max(col("__n")).as("__mc"))
+    val rowMarginMax = cells.groupBy(col("__r")).agg(sum(col("__m")).as("__n"))
+      .agg(max(col("__n")).as("__mr"))
+    val n = cells.agg(sum(col("__m")).as("n_total"))
+    n.crossJoin(broadcast(sumRowMax)).crossJoin(broadcast(sumColMax))
+      .crossJoin(broadcast(colMarginMax)).crossJoin(broadcast(rowMarginMax))
+      .withColumn("lambda_rc_pm",
+        when(col("n_total") === col("__mc"), 0L)
+          .otherwise(expr("(1000 * (__srm - __mc)) div (n_total - __mc)")))
+      .withColumn("lambda_cr_pm",
+        when(col("n_total") === col("__mr"), 0L)
+          .otherwise(expr("(1000 * (__scm - __mr)) div (n_total - __mr)")))
+      .select(col("n_total"), col("lambda_rc_pm"), col("lambda_cr_pm"))
+  }
+
+  /** Youden's J and signed MCC² over a binary 2×2 — the INFORMEDNESS
+    * and correlation renderings completing the paired-verdict battery
+    * next to [[mcnemar]] (marginal change) and [[oddsRatio]]
+    * (association): J = tpr + tnr − 1 = Δ/((n₁₁+n₁₀)(n₀₀+n₀₁)) and
+    * MCC² = Δ²/(four-margin product), both with Δ = n₁₁n₀₀ − n₁₀n₀₁ —
+    * exact cross-multiplied integers, `mcc2_x1e6` carrying Δ's sign
+    * (the square loses it; a negative value means anti-correlated
+    * verdicts). Degenerate margins (a constant verdict) render 0.
+    * Same ONE aggregate as the siblings; Δ² and the margin product
+    * ride DECIMAL(38,0) with loud cast-down.
+    */
+  def youdenJ(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aCol: String,
+      bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val delta = col("n11").cast(dec) * col("n00") - col("n10").cast(dec) * col("n01")
+    val mA = (col("n11") + col("n10")).cast(dec)
+    val mNa = (col("n00") + col("n01")).cast(dec)
+    val mB = (col("n11") + col("n01")).cast(dec)
+    val mNb = (col("n00") + col("n10")).cast(dec)
+    mcnemar(df, keyCols, aCol, bCol)
+      .withColumn("j_pm",
+        when(col("n11") + col("n10") === 0 || col("n00") + col("n01") === 0, 0L)
+          .otherwise(loudLong(
+            ((delta * 1000 - delta * 1000 % (mA * mNa)) / (mA * mNa)).cast(dec),
+            "youdenJ", "j_pm")))
+      .withColumn("mcc2_x1e6",
+        when(mA === 0 || mNa === 0 || mB === 0 || mNb === 0, 0L)
+          .otherwise(loudLong(
+            // integer sign, NOT signum (whose double return would
+            // contaminate the exact decimal product)
+            (when(delta < 0, lit(-1)).otherwise(lit(1)).cast(dec) *
+              ((delta * delta * 1000000
+                - delta * delta * 1000000 % (mA * mNa * mB * mNb))
+                / (mA * mNa * mB * mNb))).cast(dec),
+            "youdenJ", "mcc2_x1e6")))
+      .drop("chi2_x1000")
+  }
+
   /** Odds ratio over the same paired-verdict 2×2 as [[mcnemar]] —
     * the ASSOCIATION companion to McNemar's marginal-change test:
     * OR = (n₁₁·n₀₀)/(n₁₀·n₀₁), emitted as `or_x1000` by exact floor

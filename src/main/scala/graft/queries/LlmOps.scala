@@ -4875,6 +4875,31 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Youden's J + signed MCC² (Stats.youdenJ) on the q_mcnemar 2×2:
+    // informedness and correlation complete the paired-verdict battery
+    // (change: mcnemar; association: odds ratio) — one aggregate,
+    // exact cross-multiplied integers, sign carried explicitly.
+    "q_youden_j" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("h_len", col("n_tok").between(20, 90))
+        .withColumn("h_ttr", expr("(n_dis * 1000) div n_tok") >= 400)
+      Stats.youdenJ(base, Seq("source"), "h_len", "h_ttr")
+        .orderBy("source")
+    }),
+
+    // Goodman–Kruskal λ (Stats.gkLambda) between lang and source: the
+    // proportional-reduction-in-error association — "how much better
+    // do I predict a doc's language knowing its source" (and the
+    // reverse) — pure count maxima, no χ², both directions emitted.
+    "q_gk_lambda" -> ((s, d) => {
+      Stats.gkLambda(Tables.documents(s, d), "source", "lang")
+    }),
+
     // Hoover (Robin Hood) index (Stats.hoover) of per-customer spend
     // within each nation — the L1 inequality member next to q_gini
     // (pair-based) and q_hhi (quadratic): the share of revenue that
@@ -10897,6 +10922,65 @@ object LlmOps {
                      // (CAST(n10 AS HUGEINT) * n01)
                 END AS BIGINT) AS or_x1000
          FROM g ORDER BY source""",
+
+    // same 2x2; informedness + signed MCC^2 cross-multiplied
+    "q_youden_j" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             len(t) BETWEEN 20 AND 90 AS a,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) >= 400 AS b
+           FROM tk WHERE len(t) > 0),
+         g AS (
+           SELECT source,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM f GROUP BY 1),
+         x AS (
+           SELECT source, n00, n01, n10, n11,
+             CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS delta,
+             CAST(n11 + n10 AS HUGEINT) AS ma, CAST(n00 + n01 AS HUGEINT) AS mna,
+             CAST(n11 + n01 AS HUGEINT) AS mb, CAST(n00 + n10 AS HUGEINT) AS mnb
+           FROM g)
+         SELECT source, n00, n01, n10, n11,
+           CAST(CASE WHEN ma = 0 OR mna = 0 THEN 0
+                ELSE (delta * 1000) // (ma * mna)
+                END AS BIGINT) AS j_pm,
+           CAST(CASE WHEN ma = 0 OR mna = 0 OR mb = 0 OR mnb = 0 THEN 0
+                ELSE (CASE WHEN delta < 0 THEN -1 ELSE 1 END)
+                     * ((delta * delta * 1000000) // (ma * mna * mb * mnb))
+                END AS BIGINT) AS mcc2_x1e6
+         FROM x ORDER BY source""",
+
+    // count maxima only — PRE in both directions
+    "q_gk_lambda" ->
+      """WITH cells AS (
+           SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS m
+           FROM documents GROUP BY 1, 2),
+         srm AS (SELECT CAST(sum(mx) AS BIGINT) AS srm FROM
+                 (SELECT max(m) AS mx FROM cells GROUP BY r)),
+         scm AS (SELECT CAST(sum(mx) AS BIGINT) AS scm FROM
+                 (SELECT max(m) AS mx FROM cells GROUP BY c)),
+         mc AS (SELECT CAST(max(n) AS BIGINT) AS mc FROM
+                (SELECT sum(m) AS n FROM cells GROUP BY c)),
+         mr AS (SELECT CAST(max(n) AS BIGINT) AS mr FROM
+                (SELECT sum(m) AS n FROM cells GROUP BY r)),
+         n AS (SELECT CAST(sum(m) AS BIGINT) AS n_total FROM cells)
+         SELECT n_total,
+           CAST(CASE WHEN n_total = mc THEN 0
+                ELSE (1000 * (srm - mc)) // (n_total - mc)
+                END AS BIGINT) AS lambda_rc_pm,
+           CAST(CASE WHEN n_total = mr THEN 0
+                ELSE (1000 * (scm - mr)) // (n_total - mr)
+                END AS BIGINT) AS lambda_cr_pm
+         FROM n CROSS JOIN srm CROSS JOIN scm CROSS JOIN mc CROSS JOIN mr""",
 
     // n-scaled excess mass over the per-nation totals, one floor
     "q_hoover" ->

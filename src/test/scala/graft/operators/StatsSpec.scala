@@ -205,6 +205,46 @@ class StatsSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("gkLambda: hand-computed PRE both directions; degenerate margin 0") {
+    // cells: r1:(a=8, b=2), r2:(a=3, b=7). N=20.
+    // cols->: Σ row maxes = 8+7 = 15; modal col a = 11.
+    // λ_rc = (15-11)/(20-11) = 4/9 -> 444
+    // rows->: Σ col maxes = 8+7 = 15; modal row = 10.
+    // λ_cr = (15-10)/(20-10) = 5/10 -> 500
+    val rows = Seq.fill(8)(("r1", "a")) ++ Seq.fill(2)(("r1", "b")) ++
+      Seq.fill(3)(("r2", "a")) ++ Seq.fill(7)(("r2", "b"))
+    val r = Stats.gkLambda(spark.createDataFrame(rows).toDF("r", "c"), "r", "c")
+      .collect().head
+    assert(r.getAs[Long]("n_total") === 20L)
+    assert(r.getAs[Long]("lambda_rc_pm") === 444L)
+    assert(r.getAs[Long]("lambda_cr_pm") === 500L)
+    // one column only: modal col = N -> nothing to reduce -> 0
+    val deg = Stats.gkLambda(spark.createDataFrame(
+      Seq(("r1", "a"), ("r2", "a"))).toDF("r", "c"), "r", "c").collect().head
+    assert(deg.getAs[Long]("lambda_rc_pm") === 0L)
+  }
+
+  test("youdenJ: hand-computed informedness and signed MCC^2") {
+    // n11=6, n00=4, n10=2, n01=3: delta = 24-6 = 18
+    // J = 18/(8*7) = 0.3214 -> 321; margins 8,7,9,6
+    // MCC^2 = 324/(8*7*9*6) = 324/3024 -> x1e6 = 107142 (positive)
+    val rows = Seq.fill(6)((true, true)) ++ Seq.fill(4)((false, false)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(3)((false, true))
+    val r = Stats.youdenJ(spark.createDataFrame(
+      rows.map { case (a, b) => ("k", a, b) }).toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect().head
+    assert(r.getAs[Long]("j_pm") === 321L)
+    assert(r.getAs[Long]("mcc2_x1e6") === 107142L)
+    // anti-correlated verdicts carry the sign
+    val anti = Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(1)((true, true)) ++ Seq.fill(1)((false, false))
+    val ra = Stats.youdenJ(spark.createDataFrame(
+      anti.map { case (a, b) => ("k", a, b) }).toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect().head
+    assert(ra.getAs[Long]("mcc2_x1e6") < 0L)
+    assert(ra.getAs[Long]("j_pm") < 0L)
+  }
+
   test("hoover: hand-computed inequality; uniform is 0, all-in-one is (n-1)/n") {
     // (10, 20, 30, 40): T=100, n=4; excess = max(0, 4x-100) = (0,0,20,60)
     // -> H = 80/400 = 0.2 -> 200 pm
