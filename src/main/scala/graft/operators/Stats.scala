@@ -1423,6 +1423,47 @@ object Stats {
       .drop("__l1", "__linf")
   }
 
+  /** Exact ROC AUC of an integer score against a binary label —
+    * the Mann–Whitney identity AUC = (#\{s⁺ > s⁻\} + ½#ties)/(n⁺n⁻),
+    * rendered as `auc_x1000` = (1000·(2·p_gt + ties)) div (2·n⁺·n⁻):
+    * the ranking-quality number every learned quality filter is tuned
+    * by, with no threshold choice and no floats. The [[cliffsDelta]]
+    * value spine exactly (per-score counts + one cumulative window per
+    * key — never a pair join); products ride DECIMAL(38,0), loud
+    * cast-down. Degenerate keys (single-class) render 0.
+    */
+  def auc(
+      df: DataFrame,
+      keyCols: Seq[String],
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys :+ col(scoreCol).as("__v"): _*)
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val wLt = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__nlt", coalesce(sum(col("__n")).over(wLt), lit(0L)))
+      .withColumn("__npos", sum(col("__p")).over(wKey))
+      .withColumn("__nneg", sum(col("__n")).over(wKey))
+      .groupBy(keys: _*)
+      .agg(max(col("__npos")).as("n_pos"), max(col("__nneg")).as("n_neg"),
+        sum(col("__p").cast(dec) * col("__nlt")).as("__pgt"),
+        sum(col("__p").cast(dec) * col("__n")).as("__t"))
+      .withColumn("auc_x1000",
+        when(col("n_pos") === 0 || col("n_neg") === 0, 0L).otherwise(
+          loudLong(
+            (((col("__pgt") * 2 + col("__t")) * 1000
+              - (col("__pgt") * 2 + col("__t")) * 1000
+                % (col("n_pos").cast(dec) * col("n_neg") * 2))
+              / (col("n_pos").cast(dec) * col("n_neg") * 2)).cast(dec),
+            "auc", "auc_x1000")))
+      .drop("__pgt", "__t")
+  }
+
   /** Goodman–Kruskal lambda (1954) — proportional reduction in error
     * predicting `colCol` from `rowCol`: λ = (Σ_r max_c n_rc − max_c
     * n_·c) / (N − max_c n_·c), EXACT rationals of pure counts (the

@@ -4892,6 +4892,66 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Exact ROC AUC (Stats.auc) of the TTR per-mille score against the
+    // length-band label per source — the threshold-free ranking number
+    // a learned quality filter is tuned by, via the Mann–Whitney
+    // identity on the value spine (never a pair join).
+    "q_auc" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("y", col("n_tok").between(20, 90))
+        .withColumn("p_pm", expr("(n_dis * 1000) div n_tok"))
+      Stats.auc(base, Seq("source"), "y", "p_pm")
+        .orderBy("source")
+    }),
+
+    // Precision/recall curve of the same score: per score-decile
+    // threshold (predict positive at p_pm div 100 >= t), the exact
+    // confusion counts plus per-mille precision and recall — the
+    // operating-point table next to q_auc's one-number ranking view
+    // and q_calibration's reliability bins. Bounded 10-threshold
+    // frame per source, cumulatives by one descending window over the
+    // decile spine.
+    "q_pr_curve" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("y", col("n_tok").between(20, 90))
+        .withColumn("bin",
+          least(expr("((n_dis * 1000) div n_tok) div 100"), lit(9L)))
+      val binned = base.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      // densify all 10 deciles so every threshold row exists
+      val grid = binned.select(col("source")).distinct()
+        .crossJoin(broadcast(
+          Tables.documents(s, d).sparkSession.range(0, 10).toDF("bin")))
+      val dense = grid.join(binned, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("n", "pos"))
+      val wDesc = Window.partitionBy(col("source")).orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSrc = Window.partitionBy(col("source"))
+      dense
+        .withColumn("tp", sum(col("pos")).over(wDesc))
+        .withColumn("pp", sum(col("n")).over(wDesc))
+        .withColumn("fp", col("pp") - col("tp"))
+        .withColumn("npos", sum(col("pos")).over(wSrc))
+        .withColumn("fn", col("npos") - col("tp"))
+        .withColumn("precision_pm",
+          when(col("pp") === 0, 0L).otherwise(expr("(1000 * tp) div pp")))
+        .withColumn("recall_pm",
+          when(col("npos") === 0, 0L).otherwise(expr("(1000 * tp) div npos")))
+        .select(col("source"), col("bin").cast("long").as("threshold_bin"),
+          col("tp"), col("fp"), col("fn"), col("precision_pm"), col("recall_pm"))
+        .orderBy("source", "threshold_bin")
+    }),
+
     // Goodman–Kruskal λ (Stats.gkLambda) between lang and source: the
     // proportional-reduction-in-error association — "how much better
     // do I predict a doc's language knowing its source" (and the
@@ -10958,6 +11018,89 @@ object LlmOps {
                      * ((delta * delta * 1000000) // (ma * mna * mb * mnb))
                 END AS BIGINT) AS mcc2_x1e6
          FROM x ORDER BY source""",
+
+    // the cliffsDelta spine with label classes; Mann-Whitney identity
+    "q_auc" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             len(t) BETWEEN 20 AND 90 AS y,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) AS p_pm
+           FROM tk WHERE len(t) > 0),
+         pv AS (
+           SELECT source, p_pm AS v,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+           FROM f GROUP BY 1, 2),
+         cu AS (
+           SELECT source, p, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nlt,
+             CAST(sum(p) OVER (PARTITION BY source) AS BIGINT) AS npos,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS nneg
+           FROM pv),
+         ag AS (
+           SELECT source, CAST(max(npos) AS BIGINT) AS n_pos,
+             CAST(max(nneg) AS BIGINT) AS n_neg,
+             sum(CAST(p AS HUGEINT) * nlt) AS pgt,
+             sum(CAST(p AS HUGEINT) * n) AS t
+           FROM cu GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                ELSE ((pgt * 2 + t) * 1000)
+                     // (CAST(n_pos AS HUGEINT) * n_neg * 2)
+                END AS BIGINT) AS auc_x1000
+         FROM ag ORDER BY source""",
+
+    // densified decile grid, descending cumulatives, exact confusion
+    "q_pr_curve" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             len(t) BETWEEN 20 AND 90 AS y,
+             least(((CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT)) // 100, 9) AS bin
+           FROM tk WHERE len(t) > 0),
+         b AS (
+           SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM f GROUP BY 1, 2),
+         grid AS (
+           SELECT s.source, g.bin
+           FROM (SELECT DISTINCT source FROM b) s
+           CROSS JOIN (SELECT unnest(range(10)) AS bin) g),
+         dense AS (
+           SELECT grid.source, grid.bin,
+             coalesce(n, 0) AS n, coalesce(pos, 0) AS pos
+           FROM grid LEFT JOIN b
+             ON b.source = grid.source AND b.bin = grid.bin),
+         c AS (
+           SELECT source, bin,
+             CAST(sum(pos) OVER (PARTITION BY source ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tp,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pp,
+             CAST(sum(pos) OVER (PARTITION BY source) AS BIGINT) AS npos
+           FROM dense)
+         SELECT source, CAST(bin AS BIGINT) AS threshold_bin, tp,
+           pp - tp AS fp, npos - tp AS fn,
+           CAST(CASE WHEN pp = 0 THEN 0 ELSE (1000 * tp) // pp
+                END AS BIGINT) AS precision_pm,
+           CAST(CASE WHEN npos = 0 THEN 0 ELSE (1000 * tp) // npos
+                END AS BIGINT) AS recall_pm
+         FROM c ORDER BY source, threshold_bin""",
 
     // count maxima only — PRE in both directions
     "q_gk_lambda" ->

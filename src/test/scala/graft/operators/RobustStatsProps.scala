@@ -137,6 +137,25 @@ object RobustStatsProps extends Properties("RobustStats") {
       r.getAs[Long]("t_x1000") == want
     }
 
+  property("auc equals the brute-force pair census (Mann-Whitney identity)") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (y, v) => ("k", y, v) }.toDF("k", "y", "v")
+      val r = Stats.auc(df, Seq("k"), "y", "v").collect().head
+      val pos = rows.filter(_._1).map(_._2)
+      val neg = rows.filterNot(_._1).map(_._2)
+      val want =
+        if (pos.isEmpty || neg.isEmpty) 0L
+        else {
+          val gt = (for (p <- pos; n <- neg if p > n) yield 1).size.toLong
+          val t = (for (p <- pos; n <- neg if p == n) yield 1).size.toLong
+          (2 * gt + t) * 1000 / (2L * pos.size * neg.size)
+        }
+      (r.getAs[Long]("n_pos") == pos.size.toLong) &&
+        (r.getAs[Long]("n_neg") == neg.size.toLong) &&
+        (r.getAs[Long]("auc_x1000") == want)
+    }
+
   private val genXYZ: Gen[Seq[(Long, Long, Long)]] = for {
     n <- Gen.chooseNum(2, 30)
     rows <- Gen.listOfN(n,
