@@ -1872,4 +1872,80 @@ object Stats {
         loudLong(col("__vq"), "varianceRatio", "vq_num").as("vq_num"),
         col("vr_x1000")): _*)
   }
+
+  /** Krippendorff's nominal α (2004) and Gwet's AC1 (2008) for m
+    * CATEGORICAL raters per unit — the multi-category completion of
+    * [[fleissKappa]]'s binary frame (kappa asks "do binary verdicts
+    * coincide beyond chance"; these grade an m-rater CLASS assignment,
+    * and AC1 stays stable where κ/α collapse under prevalence skew).
+    * With s_u = Σ_c n_uc² per unit (= m + 2·agreeing unordered pairs),
+    * n = m·N total labels and n_c the per-category label totals:
+    *
+    *   α   = 1 − Do/De,  Do = Σ_u(m²−s_u) / ((m−1)·n),
+    *                     De = (n²−Σn_c²) / (n(n−1))
+    *   AC1 = (po−pe)/(1−pe),  po = Σ_u(s_u−m) / (m(m−1)N),
+    *                          pe = (n²−Σn_c²) / ((K−1)·n²)
+    *
+    * — every factor an exact integer count, both statistics emitted
+    * per-mille by ONE cross-multiplied truncating division each
+    * (toward zero, the q_kappa law; α and AC1 can be negative).
+    * K = categories observed in the key (the scheme as realized; a
+    * single-category key has po = 1, pe undefined → both emit 1000).
+    * Cross-products ride DECIMAL(38,0): P·S ~ m²(m−1)KN³ caps the
+    * exact envelope at N ≈ 10¹⁰ units per key for m = 3, loud past
+    * it. s_u folds from the m(m−1)/2 pairwise column equalities (no
+    * per-unit explode); n_c takes the ONE explode of the m label
+    * columns — two aggregates total over the unit frame.
+    */
+  def multiRaterAgreement(
+      df: DataFrame,
+      keyCols: Seq[String],
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, s"need >= 2 raters: $raterCols")
+    val keys = keyCols.map(col)
+    val m = raterCols.size
+    val dec = DecimalType(38, 0)
+    // agreeing unordered pairs per unit: Σ_{i<j} [r_i = r_j]
+    val agreePairs = raterCols.combinations(2).map { case Seq(a, b) =>
+      when(col(a) === col(b), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val perKey = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_units"),
+        // P = Σ_u(s_u − m) = 2·Σ agree pairs; A = Σ_u(m² − s_u)
+        sum(agreePairs * 2).as("__p"),
+        sum(lit(m.toLong * m - m) - agreePairs * 2).as("__a"))
+    val labels = df.select(keys :+ explode(array(raterCols.map(col): _*))
+      .as("__lab"): _*)
+    val cats = labels.groupBy(keys :+ col("__lab"): _*)
+      .agg(count(lit(1)).as("__nc"))
+      .groupBy(keys: _*)
+      .agg(countDistinct(col("__lab")).as("k_cats"),
+        sum(col("__nc").cast(dec) * col("__nc")).as("__sc2"))
+    perKey.join(cats, keyCols)
+      .withColumn("__n", (col("n_units") * m).cast(dec))
+      .withColumn("__r", col("__n") * col("__n") - col("__sc2"))
+      // α = 1 − A(n−1) / ((m−1)(n²−Σn_c²))
+      .withColumn("alpha_x1000",
+        when(col("k_cats") === 1, 1000L).otherwise(loudLong(
+          (lit(1000).cast(dec) -
+            (col("__a").cast(dec) * (col("__n") - 1) * 1000
+              - col("__a").cast(dec) * (col("__n") - 1) * 1000
+                % (col("__r") * (m - 1)))
+              / (col("__r") * (m - 1))).cast(dec),
+          "multiRaterAgreement", "alpha_x1000")))
+      // AC1 = (P·S − R·Q) / (Q·(S − R)), Q = m(m−1)N, S = (K−1)n²
+      .withColumn("__q", (col("n_units") * (m.toLong * (m - 1))).cast(dec))
+      .withColumn("__s", (col("k_cats") - 1).cast(dec) * col("__n") * col("__n"))
+      .withColumn("ac1_x1000",
+        when(col("k_cats") === 1, 1000L).otherwise(loudLong(
+          (((col("__p").cast(dec) * col("__s") - col("__r") * col("__q")) * 1000
+            - (col("__p").cast(dec) * col("__s") - col("__r") * col("__q")) * 1000
+              % (col("__q") * (col("__s") - col("__r"))))
+            / (col("__q") * (col("__s") - col("__r")))).cast(dec),
+          "multiRaterAgreement", "ac1_x1000")))
+      .select(keys ++ Seq(col("n_units"), col("k_cats"),
+        loudLong(col("__p"), "multiRaterAgreement", "agree_pairs_x2")
+          .as("agree_pairs_x2"),
+        col("alpha_x1000"), col("ac1_x1000")): _*)
+  }
 }

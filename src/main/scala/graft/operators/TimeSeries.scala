@@ -750,4 +750,88 @@ object TimeSeries {
       .when(a1 < b1 && a2 > b2, "contains")
       .when(a1 < b1, "overlaps")
       .otherwise("overlapped_by")
+
+  /** Ljung–Box portmanteau Q (1978) over lags 1..maxLag — the ONE
+    * whiteness number the per-lag ACF table (q_acf's spine) only
+    * implies: Q = n(n+2)·Σ_k ρ̂_k²/(n−k), large ⇒ the series is not
+    * white noise at any of the first maxLag lags. Rides the exact
+    * n-scaled centered products (cd_t = n·x_t − S, so ρ̂_k =
+    * num_k/den with num_k = Σcd_t·cd_{t−k}, den = Σcd_t² — all
+    * integers in DECIMAL(38,0)); `lb_q` is then the FIXED double
+    * tree n(n+2)·((t₁+t₂)+…+t_m), each t_k ONE IEEE division of the
+    * two exact integers num_k² and den²·(n−k) — an oracle replaying
+    * the same tree reproduces it bitwise (the [[Stats.regression]]
+    * law). num_k² ≤ den² < 10³⁸ keeps exactness to den < 10¹⁹
+    * (≈10⁶ daily observations at cent scale per key); overflow nulls
+    * the decimal and the guard RAISES instead of emitting a silently
+    * half-summed Q. Degenerate keys (n ≤ maxLag or den = 0) emit
+    * NULL in both engines. One ordered window + one aggregate.
+    */
+  def ljungBox(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"maxLag out of range: $maxLag")
+    val keys = keyCols.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wKey = Window.partitionBy(keys: _*)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+    val spine = (1 to maxLag).foldLeft(
+      daily
+        .withColumn("__n", count(lit(1)).over(wKey))
+        .withColumn("__s", sum(col(valCol)).over(wKey))
+        .withColumn("__cd", col("__n").cast(dec) * col(valCol) - col("__s"))) {
+      case (t, k) =>
+        t.withColumn(s"__l$k", lag(col("__cd"), k).over(wOrd))
+          .withColumn(s"__p$k", col("__cd") * col(s"__l$k"))
+    }.withColumn("__sq", col("__cd") * col("__cd"))
+      // per-row DECIMAL overflow nulls silently and sum() would SKIP the
+      // row (the cramerVonMises lesson): census the null-producing rows
+      // so the aggregate can raise instead of emitting a half-summed Q
+      .withColumn("__bad",
+        when(col("__cd").isNull || col("__sq").isNull ||
+          (1 to maxLag).map(k =>
+            col(s"__l$k").isNotNull && col(s"__p$k").isNull).reduce(_ || _),
+          1L).otherwise(0L))
+    val aggs = Seq(
+      max(col("__n")).as("n_points"),
+      sum(col("__bad")).as("__nbad"),
+      sum(col("__sq")).as("__den")) ++
+      (1 to maxLag).map(k => sum(col(s"__p$k")).as(s"__num$k"))
+    val g = spine.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__den",
+        when(col("__nbad") > 0,
+          raise_error(lit("ljungBox: per-row product overflows " +
+            "DECIMAL(38,0) — rescale the input series")).cast(dec))
+          .otherwise(col("__den")))
+    def loud(c: Column, what: String): Column =
+      when(c.isNull,
+        raise_error(lit(s"ljungBox: $what overflows DECIMAL(38,0) — " +
+          "rescale the input series")).cast(dec)).otherwise(c)
+    def loudLong(c: Column, what: String): Column =
+      when(c.isNull || abs(c) > lit(Long.MaxValue).cast(dec),
+        raise_error(lit(s"ljungBox: $what exceeds BIGINT — rescale the " +
+          "input series")).cast("long")).otherwise(c.cast("long"))
+    // a short series (n ≤ k) has an EMPTY lag-k sum: null by absence,
+    // not overflow — render 0 so the witnesses stay loud-guardable
+    def num(k: Int): Column =
+      when(col("n_points") <= k, lit(0).cast(dec))
+        .otherwise(loud(col(s"__num$k"), s"num$k"))
+    val den2 = loud(col("__den") * col("__den"), "den^2")
+    val terms = (1 to maxLag).map { k =>
+      loud(num(k) * num(k), s"num$k^2").cast("double") /
+        (den2 * (col("n_points") - k)).cast("double")
+    }
+    val nn2 = (col("n_points").cast(dec) * (col("n_points") + 2)).cast("double")
+    g.withColumn("lb_q",
+        when(col("n_points") <= maxLag || col("__den") === 0,
+          lit(null).cast("double"))
+          .otherwise(nn2 * terms.reduce(_ + _)))
+      .select(keys ++ Seq(col("n_points"),
+        loudLong(col("__den"), "den").as("den")) ++
+        (1 to maxLag).map(k => loudLong(num(k), s"num$k").as(s"num$k")) :+
+        col("lb_q"): _*)
+  }
 }

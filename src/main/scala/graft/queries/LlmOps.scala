@@ -4245,6 +4245,38 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Krippendorff's α + Gwet's AC1 (Stats.multiRaterAgreement) per
+    // source: the THREE heuristic annotators upgraded from binary
+    // verdicts (q_fleiss_kappa) to a 3-point quality scale — length
+    // band, TTR band, repetition band each grade 0/1/2 — and the two
+    // chance-corrected agreement coefficients that disagree exactly
+    // when prevalence skews (α collapses, AC1 stays informative).
+    // Exact integer category census; both per-mille by one truncating
+    // division.
+    "q_rater_agreement" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+      val mx = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+      val r = base.join(mx, Seq("doc_id"))
+        .withColumn("r_len",
+          when(col("n_tok") < 20, 0L).when(col("n_tok") <= 90, 1L).otherwise(2L))
+        .withColumn("r_ttr",
+          when(expr("(n_dis * 1000) div n_tok") < 400, 0L)
+            .when(expr("(n_dis * 1000) div n_tok") < 700, 1L).otherwise(2L))
+        .withColumn("r_rep",
+          when(expr("(mx * 1000) div n_tok") >= 250, 0L)
+            .when(expr("(mx * 1000) div n_tok") >= 100, 1L).otherwise(2L))
+      Stats.multiRaterAgreement(r, Seq("source"), Seq("r_len", "r_ttr", "r_rep"))
+        .orderBy("source")
+    }),
+
     // Cochran–Armitage trend (Stats.cochranArmitage) per nation: does
     // the share of big-ticket orders (> $150k) fall MONOTONICALLY as
     // priority relaxes 1-URGENT → 5-LOW? Priority digits are the
@@ -9933,6 +9965,71 @@ object LlmOps {
                 ELSE (1000 * (a * nk * nk - d * pe))
                   // (d * (nk * nk - pe)) END AS kappa_x1000
          FROM h ORDER BY source""",
+
+    // 3-category rater census; alpha/AC1 by one truncating division
+    // each off exact pairwise-agreement and category-margin counts
+    "q_rater_agreement" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+           FROM tk WHERE len(t) > 0),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         r AS (
+           SELECT f.source AS source,
+             CASE WHEN n_tok < 20 THEN 0 WHEN n_tok <= 90 THEN 1
+                  ELSE 2 END AS ra,
+             CASE WHEN (n_dis * 1000) // n_tok < 400 THEN 0
+                  WHEN (n_dis * 1000) // n_tok < 700 THEN 1
+                  ELSE 2 END AS rb,
+             CASE WHEN (mx * 1000) // n_tok >= 250 THEN 0
+                  WHEN (mx * 1000) // n_tok >= 100 THEN 1
+                  ELSE 2 END AS rc
+           FROM f JOIN m USING (doc_id)),
+         u AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(2 * (CASE WHEN ra = rb THEN 1 ELSE 0 END
+                         + CASE WHEN ra = rc THEN 1 ELSE 0 END
+                         + CASE WHEN rb = rc THEN 1 ELSE 0 END))
+               AS BIGINT) AS p,
+             CAST(sum(6 - 2 * (CASE WHEN ra = rb THEN 1 ELSE 0 END
+                             + CASE WHEN ra = rc THEN 1 ELSE 0 END
+                             + CASE WHEN rb = rc THEN 1 ELSE 0 END))
+               AS BIGINT) AS a
+           FROM r GROUP BY 1),
+         lab AS (
+           SELECT source, lab, CAST(count(*) AS BIGINT) AS nc FROM (
+             SELECT source, unnest([ra, rb, rc]) AS lab FROM r)
+           GROUP BY 1, 2),
+         c AS (
+           SELECT source, CAST(count(DISTINCT lab) AS BIGINT) AS k_cats,
+             sum(CAST(nc AS HUGEINT) * nc) AS sc2
+           FROM lab GROUP BY 1),
+         z AS (
+           SELECT u.source, u.n_units, c.k_cats, u.p, u.a,
+             CAST(3 * u.n_units AS HUGEINT) AS n,
+             CAST(3 * u.n_units AS HUGEINT) * (3 * u.n_units) - c.sc2 AS rr
+           FROM u JOIN c USING (source))
+         SELECT source, n_units, k_cats, p AS agree_pairs_x2,
+           CAST(CASE WHEN k_cats = 1 THEN 1000
+                ELSE 1000 - (CAST(a AS HUGEINT) * (n - 1) * 1000) // (rr * 2)
+                END AS BIGINT) AS alpha_x1000,
+           CAST(CASE WHEN k_cats = 1 THEN 1000
+                ELSE ((CAST(p AS HUGEINT) * ((k_cats - 1) * n * n)
+                       - rr * (6 * n_units)) * 1000)
+                  // (CAST(6 * n_units AS HUGEINT)
+                      * ((k_cats - 1) * n * n - rr))
+                END AS BIGINT) AS ac1_x1000
+         FROM z ORDER BY source""",
 
     // per-level counts, the folded T and variance, z^2 via HUGEINT
     // cross-products (T^2*N grows ~N^5)

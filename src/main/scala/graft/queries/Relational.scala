@@ -2068,6 +2068,20 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Ljung–Box portmanteau Q (TimeSeries.ljungBox) on the q_acf daily
+    // spine: the ONE whiteness number the per-lag ACF table implies —
+    // n(n+2)·Σρ̂²_k/(n−k) over lags 1..3, exact integer num/den
+    // witnesses, lb_q by the fixed double tree both engines replay
+    // bitwise. The "is this series worth a seasonal model at all" gate
+    // run before q_holt_winters commits to one.
+    "q_ljung_box" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.ljungBox(daily, Seq("event_type"), "day", "c")
+        .orderBy("event_type")
+    }),
+
     // Herfindahl-Hirschman concentration index per nation (Herfindahl
     // 1950): how concentrated customer spend is — HHI = Σxᵢ²/S² over
     // per-customer cents, the market-concentration complement of
@@ -4774,6 +4788,47 @@ object Relational {
            CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
            CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // the q_acf spine; Q by the same fixed double tree the operator
+    // documents: n(n+2) * ((t1 + t2) + t3), each t_k one IEEE division
+    // of HUGEINT-exact num_k^2 and den^2*(n-k)
+    "q_ljung_box" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS c
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, day, c,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS s
+           FROM daily),
+         x AS (
+           SELECT event_type, n * c - s AS cd,
+             lag(n * c - s, 1) OVER w AS l1,
+             lag(n * c - s, 2) OVER w AS l2,
+             lag(n * c - s, 3) OVER w AS l3,
+             n
+           FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         g AS (
+           SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
+             sum(CAST(cd AS HUGEINT) * cd) AS den,
+             coalesce(sum(CAST(cd AS HUGEINT) * l1), 0) AS num1,
+             coalesce(sum(CAST(cd AS HUGEINT) * l2), 0) AS num2,
+             coalesce(sum(CAST(cd AS HUGEINT) * l3), 0) AS num3
+           FROM x GROUP BY 1)
+         SELECT event_type, n_points,
+           CAST(den AS BIGINT) AS den, CAST(num1 AS BIGINT) AS num1,
+           CAST(num2 AS BIGINT) AS num2, CAST(num3 AS BIGINT) AS num3,
+           CASE WHEN n_points <= 3 OR den = 0 THEN NULL
+             ELSE CAST(CAST(n_points AS HUGEINT) * (n_points + 2) AS DOUBLE)
+               * ((CAST(num1 * num1 AS DOUBLE)
+                     / CAST(den * den * (n_points - 1) AS DOUBLE)
+                   + CAST(num2 * num2 AS DOUBLE)
+                     / CAST(den * den * (n_points - 2) AS DOUBLE))
+                  + CAST(num3 * num3 AS DOUBLE)
+                     / CAST(den * den * (n_points - 3) AS DOUBLE))
+             END AS lb_q
+         FROM g ORDER BY event_type""",
 
     "q_hhi" ->
       """WITH spend AS (

@@ -196,4 +196,45 @@ object RobustStatsProps extends Properties("RobustStats") {
         case _ => false
       }
     }
+
+  private val genRaters: Gen[Seq[(Long, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    rows <- Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 2L)))
+  } yield rows
+
+  property("multiRaterAgreement matches the brute-force coincidence census") =
+    Prop.forAll(genRaters) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (a, b, c) => ("k", a, b, c) }.toDF("k", "ra", "rb", "rc")
+      val r = Stats.multiRaterAgreement(df, Seq("k"), Seq("ra", "rb", "rc"))
+        .collect().head
+      // brute force per Krippendorff's coincidence definitions
+      val m = 3
+      val labels = rows.flatMap(t => Seq(t._1, t._2, t._3))
+      val n = BigInt(labels.size)
+      val sc2 = labels.groupBy(identity).values.map(g => BigInt(g.size) * g.size).sum
+      val kCats = labels.distinct.size.toLong
+      val su = rows.map { case (a, b, c) =>
+        val ap = (if (a == b) 1 else 0) + (if (a == c) 1 else 0) + (if (b == c) 1 else 0)
+        (BigInt(m * m - m - 2 * ap), BigInt(2 * ap)) // (m² − s_u, s_u − m)
+      }
+      val aSum = su.map(_._1).sum
+      val pSum = su.map(_._2).sum
+      def truncDiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates
+      val rr = n * n - sc2
+      val alpha =
+        if (kCats == 1) BigInt(1000)
+        else BigInt(1000) - truncDiv(aSum * (n - 1) * 1000, rr * (m - 1))
+      val s = BigInt(kCats - 1) * n * n
+      val q = BigInt(rows.size) * m * (m - 1)
+      val ac1 =
+        if (kCats == 1) BigInt(1000)
+        else truncDiv((pSum * s - rr * q) * 1000, q * (s - rr))
+      (r.getAs[Long]("n_units") == rows.size.toLong) &&
+        (r.getAs[Long]("k_cats") == kCats) &&
+        (r.getAs[Long]("agree_pairs_x2") == pSum.toLong) &&
+        (r.getAs[Long]("alpha_x1000") == alpha.toLong) &&
+        (r.getAs[Long]("ac1_x1000") == ac1.toLong)
+    }
 }

@@ -242,4 +242,41 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeries.holtLinear(df, Seq("k"), "day", "v").collect().head
     assert((r.getLong(2), r.getLong(3)) === ((l, b)))
   }
+
+  test("ljungBox matches the brute-force fixed double tree") {
+    val vals = Seq(5L, 9L, 2L, 14L, 7L, 3L, 20L, 1L, 6L, 11L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k", f"2024-03-${i + 1}%02d", Double.box(v.toDouble))
+    }
+    val df = daily(rows: _*).select(col("k"), col("day"),
+      col("v").cast("long").as("c"))
+    val r = TimeSeries.ljungBox(df, Seq("k"), "day", "c").collect().head
+    val n = vals.size
+    val s = vals.sum
+    val cd = vals.map(v => BigInt(n) * v - s)
+    val den = cd.map(x => x * x).sum
+    def num(k: Int): BigInt =
+      cd.drop(k).zip(cd.dropRight(k)).map { case (a, b) => a * b }.sum
+    val terms = (1 to 3).map(k =>
+      (num(k) * num(k)).toDouble / (den * den * (n - k)).toDouble)
+    val want = (BigInt(n) * (n + 2)).toDouble * ((terms(0) + terms(1)) + terms(2))
+    assert(r.getAs[Long]("n_points") === n.toLong)
+    assert(r.getAs[Long]("den") === den.toLong)
+    assert((1 to 3).map(k => r.getAs[Long](s"num$k")) === (1 to 3).map(num(_).toLong))
+    assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("lb_q")) ===
+      java.lang.Double.doubleToLongBits(want))
+  }
+
+  test("ljungBox: constant and too-short series emit NULL Q") {
+    val df = daily(("a", "2024-01-01", 5.0), ("a", "2024-01-02", 5.0),
+      ("a", "2024-01-03", 5.0), ("a", "2024-01-04", 5.0), ("a", "2024-01-05", 5.0),
+      ("b", "2024-01-01", 1.0), ("b", "2024-01-02", 9.0))
+      .select(col("k"), col("day"), col("v").cast("long").as("c"))
+    val out = TimeSeries.ljungBox(df, Seq("k"), "day", "c")
+      .orderBy("k").collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("lb_q"))))
+    // the short key's lag-2/3 witnesses render 0, not null
+    assert(out(1).getAs[Long]("num2") === 0L)
+    assert(out(1).getAs[Long]("num3") === 0L)
+  }
 }
