@@ -1873,6 +1873,90 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Palma and 20:20 share ratios — the tail-vs-tail inequality
+    * numbers [[hoover]]'s one-number L1 and q_gini's rank form don't
+    * localize: top-decile mass over bottom-40% mass (Palma 2011) and
+    * top-quintile over bottom-quintile. Rank cuts run on the
+    * DETERMINISTIC total order (value, id) — `idCol` breaks value
+    * ties identically in both engines, so "bottom 40%" is the same
+    * row set everywhere — with bottom-k = ranks ≤ (n·k) div 10 and
+    * top-k = ranks > (n·(10−k)) div 10 (complementary floors: the
+    * two cuts never overlap, middle mass absorbs the remainder).
+    * Sums ride DECIMAL(38,0); ratios per-mille by one truncating
+    * division, 0 when the bottom mass is 0 (the portable "undefined"
+    * rendering). One row_number window + one aggregate.
+    */
+  def palmaRatios(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String,
+      idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(keys: _*)
+      .orderBy(col(vCol).asc, col(idCol).asc)
+    val wKey = Window.partitionBy(keys: _*)
+    def ratio(top: Column, bot: Column, what: String): Column =
+      when(bot === 0, 0L).otherwise(loudLong(
+        ((top * 1000 - top * 1000 % bot) / bot).cast(dec),
+        "palmaRatios", what))
+    df.withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__rn") <= expr("(__n * 4) div 10"),
+          col(vCol).cast(dec)).otherwise(lit(0).cast(dec))).as("__b40"),
+        sum(when(col("__rn") > expr("(__n * 9) div 10"),
+          col(vCol).cast(dec)).otherwise(lit(0).cast(dec))).as("__t10"),
+        sum(when(col("__rn") <= expr("(__n * 2) div 10"),
+          col(vCol).cast(dec)).otherwise(lit(0).cast(dec))).as("__b20"),
+        sum(when(col("__rn") > expr("(__n * 8) div 10"),
+          col(vCol).cast(dec)).otherwise(lit(0).cast(dec))).as("__t20"))
+      .select(keys ++ Seq(col("n"),
+        loudLong(col("__b40"), "palmaRatios", "bottom40").as("bottom40"),
+        loudLong(col("__t10"), "palmaRatios", "top10").as("top10"),
+        loudLong(col("__b20"), "palmaRatios", "bottom20").as("bottom20"),
+        loudLong(col("__t20"), "palmaRatios", "top20").as("top20"),
+        ratio(col("__t10"), col("__b40"), "palma_x1000").as("palma_x1000"),
+        ratio(col("__t20"), col("__b20"), "s2020_x1000").as("s2020_x1000")): _*)
+  }
+
+  /** Bowley quantile skewness (1901) and Moors octile kurtosis (1988)
+    * — the distribution-SHAPE diagnostics that need no moments (and so
+    * no overflow-prone fourth powers): B = (E6+E2−2E4)/(E6−E2),
+    * M = ((E7−E5)+(E3−E1))/(E6−E2) over octiles E_i = value at rank
+    * ⌈n·i/8⌉ of the DETERMINISTIC total order (value, id) — the
+    * type-1 quantile, exact in both engines with no interpolation
+    * arithmetic. Per-mille by one truncating division each; a
+    * degenerate IQR (E6 = E2) emits 0. Octiles fold from ONE
+    * row_number window + one conditional-max aggregate (never a sort
+    * collect); reference M ≈ 1233 for a normal distribution.
+    */
+  def quantileShape(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String,
+      idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*)
+      .orderBy(col(vCol).asc, col(idCol).asc)
+    val wKey = Window.partitionBy(keys: _*)
+    val base = df
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+    val octs = (1 to 7).map(i =>
+      max(when(col("__rn") === expr(s"(__n * $i + 7) div 8"), col(vCol))).as(s"e$i"))
+    val aggs = max(col("__n")).as("n") +: octs
+    base.groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bowley_x1000",
+        when(col("e6") === col("e2"), 0L).otherwise(
+          expr("(1000 * (e6 + e2 - 2 * e4)) div (e6 - e2)")))
+      .withColumn("moors_x1000",
+        when(col("e6") === col("e2"), 0L).otherwise(
+          expr("(1000 * ((e7 - e5) + (e3 - e1))) div (e6 - e2)")))
+  }
+
   /** Krippendorff's nominal α (2004) and Gwet's AC1 (2008) for m
     * CATEGORICAL raters per unit — the multi-category completion of
     * [[fleissKappa]]'s binary frame (kappa asks "do binary verdicts

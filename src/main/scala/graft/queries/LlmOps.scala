@@ -5008,6 +5008,39 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Palma and 20:20 share ratios (Stats.palmaRatios) on the same
+    // per-customer spend frame: WHERE the inequality lives — top-decile
+    // vs bottom-40% mass (Palma) and quintile tails — the localized
+    // companions to q_gini/q_hoover's one-number views. Deterministic
+    // (cents, custkey) rank order, complementary floor cuts, exact
+    // DECIMAL sums.
+    "q_palma" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      Stats.palmaRatios(spend, Seq("n_name"), "cents", "c_custkey")
+        .orderBy("n_name")
+    }),
+
+    // Bowley skewness + Moors kurtosis (Stats.quantileShape) of order
+    // value per nation: the moment-free SHAPE diagnostics (octile
+    // ranks, no fourth powers) next to q_outliers' fences and
+    // q_trimmed_mean's robust center — is the spend distribution
+    // right-skewed and heavy-tailed enough to justify them?
+    "q_bowley_moors" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      Stats.quantileShape(o, Seq("n_name"), "cents", "o_orderkey")
+        .orderBy("n_name")
+    }),
+
     // Pairwise total-variation matrix (Stats.pairwiseTotalVariation)
     // between source language mixes: WHICH sources' mixes disagree and
     // by how much (plus the single worst language gap) — the
@@ -11246,6 +11279,76 @@ object LlmOps {
            CAST(CASE WHEN n = 0 OR total <= 0 THEN 0
                 ELSE (s * 1000) // (CAST(n AS HUGEINT) * total)
                 END AS BIGINT) AS hoover_pm
+         FROM ag ORDER BY n_name""",
+
+    // deterministic (cents, custkey) rank order; complementary floor
+    // cuts; tail sums exact, ratios by one truncating division
+    "q_palma" ->
+      """WITH spend AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT n_name, cents,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM spend),
+         ag AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+             sum(CASE WHEN rn <= (n * 4) // 10
+               THEN CAST(cents AS HUGEINT) ELSE 0 END) AS b40,
+             sum(CASE WHEN rn > (n * 9) // 10
+               THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t10,
+             sum(CASE WHEN rn <= (n * 2) // 10
+               THEN CAST(cents AS HUGEINT) ELSE 0 END) AS b20,
+             sum(CASE WHEN rn > (n * 8) // 10
+               THEN CAST(cents AS HUGEINT) ELSE 0 END) AS t20
+           FROM w GROUP BY 1)
+         SELECT n_name, n,
+           CAST(b40 AS BIGINT) AS bottom40, CAST(t10 AS BIGINT) AS top10,
+           CAST(b20 AS BIGINT) AS bottom20, CAST(t20 AS BIGINT) AS top20,
+           CAST(CASE WHEN b40 = 0 THEN 0
+                ELSE (t10 * 1000) // b40 END AS BIGINT) AS palma_x1000,
+           CAST(CASE WHEN b20 = 0 THEN 0
+                ELSE (t20 * 1000) // b20 END AS BIGINT) AS s2020_x1000
+         FROM ag ORDER BY n_name""",
+
+    // octiles at rank ceil(n*i/8) of the (cents, orderkey) total order
+    "q_bowley_moors" ->
+      """WITH o AS (
+           SELECT n_name, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         w AS (
+           SELECT n_name, cents,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM o),
+         ag AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = (n * 1 + 7) // 8 THEN cents END) AS e1,
+             max(CASE WHEN rn = (n * 2 + 7) // 8 THEN cents END) AS e2,
+             max(CASE WHEN rn = (n * 3 + 7) // 8 THEN cents END) AS e3,
+             max(CASE WHEN rn = (n * 4 + 7) // 8 THEN cents END) AS e4,
+             max(CASE WHEN rn = (n * 5 + 7) // 8 THEN cents END) AS e5,
+             max(CASE WHEN rn = (n * 6 + 7) // 8 THEN cents END) AS e6,
+             max(CASE WHEN rn = (n * 7 + 7) // 8 THEN cents END) AS e7
+           FROM w GROUP BY 1)
+         SELECT n_name, n, e1, e2, e3, e4, e5, e6, e7,
+           CAST(CASE WHEN e6 = e2 THEN 0
+                ELSE (1000 * (e6 + e2 - 2 * e4)) // (e6 - e2)
+                END AS BIGINT) AS bowley_x1000,
+           CAST(CASE WHEN e6 = e2 THEN 0
+                ELSE (1000 * ((e7 - e5) + (e3 - e1))) // (e6 - e2)
+                END AS BIGINT) AS moors_x1000
          FROM ag ORDER BY n_name""",
 
     // densified (source, lang) cells, cross-multiplied gaps, TV + Linf

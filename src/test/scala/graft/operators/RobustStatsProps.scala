@@ -237,4 +237,47 @@ object RobustStatsProps extends Properties("RobustStats") {
         (r.getAs[Long]("alpha_x1000") == alpha.toLong) &&
         (r.getAs[Long]("ac1_x1000") == ac1.toLong)
     }
+
+  private val genPosVals: Gen[Seq[Long]] = for {
+    n <- Gen.chooseNum(1, 60)
+    vals <- Gen.listOfN(n, Gen.chooseNum(0L, 30L))
+  } yield vals
+
+  property("palmaRatios tail sums equal the sorted-prefix census") =
+    Prop.forAll(genPosVals) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "id", "v")
+      val r = Stats.palmaRatios(df, Seq("k"), "v", "id").collect().head
+      // ids follow insertion order, so (v, id) sorts like sortBy((v, i))
+      val sorted = vals.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._1)
+      val n = sorted.size
+      def bottom(k: Int) = sorted.take(n * k / 10).sum
+      def top(k: Int) = sorted.drop(n * (10 - k) / 10).sum
+      def ratio(t: Long, b: Long) = if (b == 0) 0L else t * 1000 / b
+      (r.getAs[Long]("n") == n.toLong) &&
+        (r.getAs[Long]("bottom40") == bottom(4)) &&
+        (r.getAs[Long]("top10") == top(1)) &&
+        (r.getAs[Long]("bottom20") == bottom(2)) &&
+        (r.getAs[Long]("top20") == top(2)) &&
+        (r.getAs[Long]("palma_x1000") == ratio(top(1), bottom(4))) &&
+        (r.getAs[Long]("s2020_x1000") == ratio(top(2), bottom(2)))
+    }
+
+  property("quantileShape octiles are the type-1 quantiles of the sorted values") =
+    Prop.forAll(genVals) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "id", "v")
+      val r = Stats.quantileShape(df, Seq("k"), "v", "id").collect().head
+      val sorted = vals.sorted
+      val n = sorted.size
+      def e(i: Int): Long = sorted(((n.toLong * i + 7) / 8).toInt - 1)
+      val iqr = e(6) - e(2)
+      val bowley = if (iqr == 0) 0L else 1000 * (e(6) + e(2) - 2 * e(4)) / iqr
+      val moors = if (iqr == 0) 0L else 1000 * ((e(7) - e(5)) + (e(3) - e(1))) / iqr
+      (1 to 7).forall(i => r.getAs[Long](s"e$i") == e(i)) &&
+        (r.getAs[Long]("bowley_x1000") == bowley) &&
+        (r.getAs[Long]("moors_x1000") == moors)
+    }
 }
