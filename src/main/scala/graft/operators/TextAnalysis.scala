@@ -725,4 +725,85 @@ object TextAnalysis {
         sum(when(col("__cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("hapax_pm", expr("(n_hapax * 1000) div n_grams"))
   }
+
+  /** Chao1 vocabulary-richness estimate (Chao 1984, bias-corrected)
+    * and Good–Turing sample coverage per key — "how much vocabulary
+    * has this source NOT shown yet": Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1))
+    * from the frequency spectrum's singleton/doubleton counts, and
+    * coverage = 1 − f₁/N (the unseen-mass estimate). The forward-
+    * looking companions to [[yuleK]]'s repeat-rate and the hapax
+    * rate: they ESTIMATE the unobserved tail instead of describing
+    * the observed one. `chao1_x10` by one truncating division
+    * (f₁² ≤ S² rides BIGINT to ~3·10⁹ types — the yuleK audit
+    * bound); empty keys emit 0. Same one token-census aggregate as
+    * the siblings.
+    */
+  def chao1(
+      df: DataFrame,
+      textCol: String,
+      catCol: String): DataFrame = {
+    val maxTypes = 3000000000L
+    df
+      .select(col(catCol).as("cat"),
+        explode(gfn.ascii_tokens(col(textCol))).as("tok"))
+      .groupBy(col("cat"), col("tok")).agg(count(lit(1)).as("f"))
+      .groupBy(col("cat"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_x10",
+        when(col("n_types") > maxTypes, raise_error(
+          lit(s"chao1: type count exceeds exact bound $maxTypes")).cast("long"))
+          .otherwise(col("n_types") * 10
+            + expr("(10 * f1 * (f1 - 1)) div (2 * (f2 + 1))")))
+      .withColumn("coverage_pm",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(lit(1000L) - expr("(1000 * f1) div n_tokens")))
+  }
+
+  /** Gries' Deviation of Proportions (2008) for the top-K corpus
+    * terms — dispersion ACROSS parts, the axis frequency alone hides
+    * (a term can be corpus-frequent yet live in one source): DP =
+    * Σ_p |c_p/C − n_p/N| / 2 ∈ [0, 1), 0 = distributed exactly like
+    * the part sizes, →1 = concentrated in one part. Exact by
+    * cross-multiplication: dp_pm = (1000·Σ|c_p·N − n_p·C|) div
+    * (2·C·N) in DECIMAL(38,0) (exact to C·N < 10³⁵ — beyond any
+    * corpus). Top-K terms picked by the DETERMINISTIC (count desc,
+    * term asc) order — a TakeOrderedAndProject, never a global sort —
+    * then densified against the bounded part list so absent parts
+    * contribute their full n_p·C mass. K·|parts| cells total.
+    */
+  def griesDp(
+      df: DataFrame,
+      textCol: String,
+      partCol: String,
+      topK: Int = 12): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"topK out of range: $topK")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val toks = df.select(col(partCol).as("part"),
+      explode(gfn.ascii_tokens(col(textCol))).as("term"))
+    val cells = toks.groupBy(col("part"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // part sizes, corpus counts, top-K all fold off it
+    val partSizes = cells.groupBy(col("part")).agg(sum(col("c")).as("n_p"))
+    val corpus = cells.groupBy(col("term")).agg(sum(col("c")).as("cf"))
+    val top = corpus.orderBy(col("cf").desc, col("term").asc).limit(topK)
+    val nTot = partSizes.agg(sum(col("n_p")).as("n_total"))
+    val dense = broadcast(top).crossJoin(partSizes)
+      .join(cells, Seq("part", "term"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nTot))
+    dense
+      .groupBy(col("term"), col("cf"))
+      .agg(max(col("n_total")).as("n_total"),
+        sum(abs(col("c").cast(dec) * col("n_total")
+          - col("n_p").cast(dec) * col("cf"))).as("__dev"))
+      .withColumn("dp_pm",
+        when(col("cf") === 0 || col("n_total") === 0, 0L).otherwise(
+          ((col("__dev") * 1000 - col("__dev") * 1000
+            % (col("cf").cast(dec) * col("n_total") * 2))
+            / (col("cf").cast(dec) * col("n_total") * 2)).cast("long")))
+      .drop("__dev")
+  }
 }

@@ -4592,6 +4592,26 @@ object LlmOps {
         .orderBy("cat")
     }),
 
+    // Chao1 richness + Good-Turing coverage (TextAnalysis.chao1) per
+    // source: ESTIMATE the unseen vocabulary from the singleton/
+    // doubleton spectrum — the "has this source plateaued or is its
+    // tail still unexplored" scaling signal next to q_yule_k's
+    // repeat-rate and q_vocab_growth's empirical Heaps curve.
+    "q_chao1" -> ((s, d) => {
+      TextAnalysis.chao1(Tables.documents(s, d), "text", "source")
+        .orderBy("cat")
+    }),
+
+    // Gries' DP dispersion (TextAnalysis.griesDp) of the top-12 corpus
+    // terms across sources: which high-frequency terms are corpus-wide
+    // vocabulary and which are one source's tic — the
+    // template-contamination axis raw frequency hides. Exact
+    // cross-multiplied deviations over a bounded 12 x |sources| grid.
+    "q_gries_dp" -> ((s, d) => {
+      TextAnalysis.griesDp(Tables.documents(s, d), "text", "source")
+        .orderBy(col("cf").desc, col("term").asc)
+    }),
+
     // Gunning fog index (TextAnalysis.gunningFog) per source: the
     // complex-word grade-level axis next to q_flesch's reading ease —
     // two filters that disagree are exactly what q_mcnemar audits.
@@ -10546,6 +10566,60 @@ object LlmOps {
            CAST((10000000 * (sum(CAST(f AS HUGEINT) * f) - sum(f)))
              // (CAST(sum(f) AS HUGEINT) * sum(f)) AS BIGINT) AS yule_k_x1000
          FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // singleton/doubleton spectrum; bias-corrected Chao1 + coverage
+    "q_chao1" ->
+      """WITH tk AS (
+           SELECT source AS cat,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS tok
+           FROM documents),
+         fr AS (SELECT cat, tok, CAST(count(*) AS BIGINT) AS f
+                FROM tk GROUP BY 1, 2)
+         SELECT cat, CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(count(*) * 10
+             + (10 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                   * (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1))
+               // (2 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1))
+             AS BIGINT) AS chao1_x10,
+           CAST(CASE WHEN sum(f) = 0 THEN 0
+                ELSE 1000 - (1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
+                  // sum(f) END AS BIGINT) AS coverage_pm
+         FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // top-12 terms by (count desc, term asc); densified per-part
+    // cells; DP by cross-multiplied L1 halves
+    "q_gries_dp" ->
+      """WITH tk AS (
+           SELECT source AS part,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) AS term
+           FROM documents),
+         cells AS (
+           SELECT part, term, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         sizes AS (SELECT part, CAST(sum(c) AS BIGINT) AS n_p
+                   FROM cells GROUP BY 1),
+         corpus AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf
+                    FROM cells GROUP BY 1),
+         top AS (SELECT term, cf FROM corpus
+                 ORDER BY cf DESC, term ASC LIMIT 12),
+         tot AS (SELECT CAST(sum(n_p) AS BIGINT) AS n_total FROM sizes),
+         dense AS (
+           SELECT t.term, t.cf, s.n_p, coalesce(c.c, 0) AS c, tot.n_total
+           FROM top t CROSS JOIN sizes s
+           LEFT JOIN cells c ON c.part = s.part AND c.term = t.term
+           CROSS JOIN tot)
+         SELECT term, cf, CAST(max(n_total) AS BIGINT) AS n_total,
+           CAST(CASE WHEN cf = 0 OR max(n_total) = 0 THEN 0
+                ELSE (sum(abs(CAST(c AS HUGEINT) * n_total
+                              - CAST(n_p AS HUGEINT) * cf)) * 1000)
+                  // (CAST(cf AS HUGEINT) * max(n_total) * 2)
+                END AS BIGINT) AS dp_pm
+         FROM dense GROUP BY 1, 2 ORDER BY cf DESC, term ASC""",
 
     // Complex-word counts and the floor-composed fog index replayed.
     "q_gunning_fog" ->

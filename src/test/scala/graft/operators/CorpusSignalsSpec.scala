@@ -53,6 +53,38 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(out("f").getAs[Long]("burst_x1000") === 1000L)
   }
 
+  test("chao1: spectrum counts and the bias-corrected estimate") {
+    // cat a: tokens u u v w → f(u)=2, f(v)=1, f(w)=1 → S=3, f1=2, f2=1,
+    // N=4; chao1_x10 = 30 + (10·2·1) div (2·2) = 35; coverage = 1000 −
+    // (1000·2) div 4 = 500.
+    val df = docs(Seq((1L, "u u v", "a"), (2L, "w", "a"),
+      (3L, "q q", "b"))) // cat b: f1=0 → chao1 = S exactly, coverage 1000
+    val out = TextAnalysis.chao1(df, "text", "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_types") === 3L)
+    assert(out("a").getAs[Long]("f1") === 2L)
+    assert(out("a").getAs[Long]("f2") === 1L)
+    assert(out("a").getAs[Long]("chao1_x10") === 35L)
+    assert(out("a").getAs[Long]("coverage_pm") === 500L)
+    assert(out("b").getAs[Long]("chao1_x10") === 10L)
+    assert(out("b").getAs[Long]("coverage_pm") === 1000L)
+  }
+
+  test("griesDp: uniform term scores 0, concentrated term scores the complement mass") {
+    // parts a (4 tokens) and b (4 tokens). 'z' appears 2+2 → shares
+    // match sizes exactly → DP = 0. 'k' appears only in a (2 copies):
+    // DP = (|2/4 − 4/8·...|)… cross-mult: Σ|c·N − n_p·C| = |2·8−4·2| +
+    // |0·8−4·2| = 8+8 = 16 → dp_pm = 16000 div (2·2·8) = 500.
+    val df = docs(Seq(
+      (1L, "z z k k", "a"), (2L, "z z w w", "b")))
+    val out = TextAnalysis.griesDp(df, "text", "cat", topK = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("z").getAs[Long]("dp_pm") === 0L)
+    assert(out("k").getAs[Long]("dp_pm") === 500L)
+    // top-3 of 3 terms: deterministic (cf desc, term asc) keeps z first
+    assert(out.keySet === Set("z", "k", "w"))
+  }
+
   test("hapaxNgramRate: repeated trigram is not hapax, unique ones are") {
     // key k1: 'a b c a b c' → grams: abc, bca, cab, abc → distinct 3,
     // hapax 2 (bca, cab) → 666 per-mille.
