@@ -330,6 +330,46 @@ object Retrieval {
           Window.orderBy(col("copeland").desc, col("cand").asc)).cast("long"))
   }
 
+  /** Minimax-Condorcet (Simpson–Kramer) consensus — the candidate whose
+    * WORST pairwise defeat is smallest, the "least objectionable"
+    * completion of [[copeland]]'s win−loss census and [[bordaFuse]]'s
+    * positional sum (minimax alone among the three elects the Condorcet
+    * winner whenever one exists: their worst "defeat" margin is
+    * negative). Same bounded pairwise spine as copeland — ballots ×
+    * candidate pairs, one self-join on the pinned category frame —
+    * with `worst_defeat` = max over opponents of (ballots preferring
+    * the opponent − ballots preferring the candidate), the margins
+    * variant; ties rank by candidate name. Exact integer ballot
+    * counts end to end.
+    */
+  def minimaxCondorcet(
+      df: DataFrame,
+      ballotCol: String,
+      candidateCol: String,
+      scoreCol: String): DataFrame = {
+    val pinned = df.select(col(ballotCol), col(candidateCol), col(scoreCol))
+      .localCheckpoint(true)
+    val a = pinned.select(col(ballotCol).as("__b"), col(candidateCol).as("__ca"),
+      col(scoreCol).as("__sa"))
+    val b = pinned.select(col(ballotCol).as("__b"), col(candidateCol).as("__cb"),
+      col(scoreCol).as("__sb"))
+    val pairs = a.join(b, Seq("__b"))
+      .filter(col("__ca") < col("__cb"))
+      .groupBy(col("__ca"), col("__cb"))
+      .agg(sum(when(col("__sa") > col("__sb"), 1L).otherwise(0L)).as("__wa"),
+        sum(when(col("__sa") < col("__sb"), 1L).otherwise(0L)).as("__wb"))
+    val sides = pairs.select(col("__ca").as("cand"),
+        (col("__wb") - col("__wa")).as("__defeat"))
+      .unionByName(pairs.select(col("__cb").as("cand"),
+        (col("__wa") - col("__wb")).as("__defeat")))
+    sides.groupBy(col("cand"))
+      .agg(count(lit(1)).as("n_opponents"),
+        max(col("__defeat")).as("worst_defeat"))
+      .withColumn("final_rank",
+        row_number().over(
+          Window.orderBy(col("worst_defeat").asc, col("cand").asc)).cast("long"))
+  }
+
   /** Hard-negative mining: the top `nNeg` retrieved-but-not-relevant docs
     * — the highest-ranked rows of `ranked` that do NOT appear in
     * `positives` — re-ranked 1..nNeg as `neg_rank`. This is the standard

@@ -1873,6 +1873,60 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Hartley's Fmax (1950) — the homoscedasticity screen run before
+    * trusting [[anova]]-style pooled variances: the ratio of the
+    * LARGEST group variance to the SMALLEST within each key, exact by
+    * cross-multiplication of the integer variance rationals
+    * vnum_g/vden_g (vnum = n·Σx²−(Σx)² in DECIMAL(38,0), vden =
+    * n(n−1)): fmax_x1000 = (1000·vnum_max·vden_min) div
+    * (vnum_min·vden_max). Groups with n < 2 carry no variance and are
+    * excluded; a zero minimum variance (a constant group) emits 0,
+    * the portable "unbounded" rendering. Which group is max/min is
+    * decided by the deterministic (variance-as-double, group) order —
+    * one IEEE division per group, identical in both engines — and the
+    * RATIO then runs exact. One group aggregate + two rank windows
+    * over the bounded group frame.
+    */
+  def hartleyFmax(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val g = df.groupBy(keys :+ col(groupCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(vCol).cast(dec)).as("__s"),
+        sum(col(vCol).cast(dec) * col(vCol)).as("__ss"))
+      .filter(col("__n") >= 2)
+      .withColumn("__vnum", col("__n").cast(dec) * col("__ss") - col("__s") * col("__s"))
+      .withColumn("__vden", (col("__n") * (col("__n") - 1)).cast(dec))
+      .withColumn("__v", col("__vnum").cast("double") / col("__vden").cast("double"))
+    val wMax = Window.partitionBy(keys: _*)
+      .orderBy(col("__v").desc, col("__g").asc)
+    val wMin = Window.partitionBy(keys: _*)
+      .orderBy(col("__v").asc, col("__g").asc)
+    g.withColumn("__rmax", row_number().over(wMax))
+      .withColumn("__rmin", row_number().over(wMin))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_groups"),
+        max(when(col("__rmax") === 1, col("__g"))).as("g_max"),
+        max(when(col("__rmin") === 1, col("__g"))).as("g_min"),
+        max(when(col("__rmax") === 1, col("__vnum"))).as("__nmax"),
+        max(when(col("__rmax") === 1, col("__vden"))).as("__dmax"),
+        max(when(col("__rmin") === 1, col("__vnum"))).as("__nmin"),
+        max(when(col("__rmin") === 1, col("__vden"))).as("__dmin"))
+      .withColumn("fmax_x1000",
+        when(col("n_groups") < 2 || col("__nmin") === 0, 0L).otherwise(
+          loudLong(
+            ((col("__nmax") * col("__dmin") * 1000
+              - col("__nmax") * col("__dmin") * 1000
+                % (col("__nmin") * col("__dmax")))
+              / (col("__nmin") * col("__dmax"))).cast(dec),
+            "hartleyFmax", "fmax_x1000")))
+      .drop("__nmax", "__dmax", "__nmin", "__dmin")
+  }
+
   /** Palma and 20:20 share ratios — the tail-vs-tail inequality
     * numbers [[hoover]]'s one-number L1 and q_gini's rank form don't
     * localize: top-decile mass over bottom-40% mass (Palma 2011) and

@@ -1911,6 +1911,19 @@ object LlmOps {
     // in DECIMAL(38)) and the F-test decided by cross-multiplication
     // SSB·df_w > 2·SSW·df_b (the "F > 2" screen). The experiment-
     // analysis primitive, replayable bit-for-bit.
+    // Hartley's Fmax (Stats.hartleyFmax) per weekday: the variance-
+    // homogeneity SCREEN q_anova's pooled F quietly assumes — largest
+    // over smallest event-type variance, exact by cross-multiplied
+    // variance rationals; which types sit at the extremes rides along.
+    "q_hartley_fmax" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(weekday(col("ts").cast("date")).cast("long").as("dow"),
+          col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      Stats.hartleyFmax(ev, Seq("dow"), "event_type", "v")
+        .orderBy("dow")
+    }),
+
     "q_anova" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val ev = Tables.events(s, d)
@@ -4544,6 +4557,19 @@ object LlmOps {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
       Retrieval.copeland(ballots, "lang", "source", "n_docs")
+        .orderBy("final_rank")
+    }),
+
+    // Minimax-Condorcet (Retrieval.minimaxCondorcet) on the same
+    // language-ballot frame: the source whose WORST pairwise defeat is
+    // smallest — the least-objectionable consensus that (unlike Borda
+    // and Copeland) elects the Condorcet winner whenever one exists.
+    // Bounded pairwise spine, exact ballot counts.
+    "q_minimax" -> ((s, d) => {
+      val ballots = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      Retrieval.minimaxCondorcet(ballots, "lang", "source", "n_docs")
         .orderBy("final_rank")
     }),
 
@@ -7243,6 +7269,45 @@ object LlmOps {
 
     // Every group total, both HUGEINT sums of squares, the F cross-
     // multiplication, and the floored SS emissions replayed.
+    // per-(dow, type) variance rationals; extremes by the (double,
+    // group) order; the ratio exact by cross-multiplication
+    "q_hartley_fmax" ->
+      """WITH e AS (
+           SELECT isodow(CAST(ts AS DATE)) - 1 AS dow, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT dow, event_type AS gr, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT)) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS ss
+           FROM e GROUP BY 1, 2 HAVING count(*) >= 2),
+         vr AS (
+           SELECT dow, gr,
+             CAST(n AS HUGEINT) * ss - s * s AS vnum,
+             CAST(n AS HUGEINT) * (n - 1) AS vden,
+             CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS v
+           FROM g),
+         rk AS (
+           SELECT dow, gr, vnum, vden,
+             row_number() OVER (PARTITION BY dow ORDER BY v DESC, gr) AS rmax,
+             row_number() OVER (PARTITION BY dow ORDER BY v ASC, gr) AS rmin
+           FROM vr),
+         ag AS (
+           SELECT dow, CAST(count(*) AS BIGINT) AS n_groups,
+             max(CASE WHEN rmax = 1 THEN gr END) AS g_max,
+             max(CASE WHEN rmin = 1 THEN gr END) AS g_min,
+             max(CASE WHEN rmax = 1 THEN vnum END) AS nmax,
+             max(CASE WHEN rmax = 1 THEN vden END) AS dmax,
+             max(CASE WHEN rmin = 1 THEN vnum END) AS nmin,
+             max(CASE WHEN rmin = 1 THEN vden END) AS dmin
+           FROM rk GROUP BY 1)
+         SELECT dow, n_groups, g_max, g_min,
+           CAST(CASE WHEN n_groups < 2 OR nmin = 0 THEN 0
+                ELSE (nmax * dmin * 1000) // (nmin * dmax)
+                END AS BIGINT) AS fmax_x1000
+         FROM ag ORDER BY dow""",
+
     "q_anova" ->
       """WITH e AS (
            SELECT event_type,
@@ -10509,6 +10574,29 @@ object LlmOps {
          SELECT cand, n_opponents, wins, losses,
            wins - losses AS copeland,
            CAST(row_number() OVER (ORDER BY wins - losses DESC, cand) AS BIGINT)
+             AS final_rank
+         FROM ag ORDER BY final_rank""",
+
+    // the copeland pairwise spine; worst defeat = max opponent margin
+    "q_minimax" ->
+      """WITH bl AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1, 2),
+         pw AS (
+           SELECT a.source AS ca, b.source AS cb,
+             CAST(sum(CASE WHEN a.n_docs > b.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+             CAST(sum(CASE WHEN a.n_docs < b.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS wb
+           FROM bl a JOIN bl b ON a.lang = b.lang AND a.source < b.source
+           GROUP BY 1, 2),
+         sides AS (
+           SELECT ca AS cand, wb - wa AS defeat FROM pw
+           UNION ALL SELECT cb AS cand, wa - wb AS defeat FROM pw),
+         ag AS (
+           SELECT cand, CAST(count(*) AS BIGINT) AS n_opponents,
+             CAST(max(defeat) AS BIGINT) AS worst_defeat
+           FROM sides GROUP BY 1)
+         SELECT cand, n_opponents, worst_defeat,
+           CAST(row_number() OVER (ORDER BY worst_defeat ASC, cand) AS BIGINT)
              AS final_rank
          FROM ag ORDER BY final_rank""",
 

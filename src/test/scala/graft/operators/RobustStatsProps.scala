@@ -264,6 +264,49 @@ object RobustStatsProps extends Properties("RobustStats") {
         (r.getAs[Long]("s2020_x1000") == ratio(top(2), bottom(2)))
     }
 
+  private val genVarGroups: Gen[Seq[(String, Long)]] = for {
+    nGroups <- Gen.chooseNum(2, 5)
+    rows <- Gen.listOf(Gen.zip(
+      Gen.chooseNum(0, nGroups - 1).map(i => s"g$i"), Gen.chooseNum(-15L, 15L)))
+      .suchThat(_.nonEmpty)
+  } yield rows
+
+  property("hartleyFmax equals the brute-force variance-rational extremes") =
+    Prop.forAll(genVarGroups) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val out = Stats.hartleyFmax(df, Seq("k"), "g", "v").collect()
+      val grs = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+        .filter(_._2.size >= 2).toMap
+      if (grs.isEmpty) out.isEmpty
+      else {
+        val r = out.head
+        val rats = grs.map { case (g, vs) =>
+          val n = BigInt(vs.size)
+          val s = vs.map(BigInt(_)).sum
+          val ss = vs.map(v => BigInt(v) * v).sum
+          g -> ((n * ss - s * s, n * (n - 1)))
+        }
+        // extremes by the same (double, name) order the operator uses
+        val ordered = rats.toSeq.sortBy { case (g, (nu, de)) =>
+          (nu.toDouble / de.toDouble, g)
+        }
+        val (gMin, (nMin, dMin)) = ordered.head
+        val (gMax, (nMax, dMax)) = ordered.last
+        val want =
+          if (rats.size < 2 || nMin == 0) 0L
+          else ((nMax * dMin * 1000) / (nMin * dMax)).toLong
+        // a max tie can legitimately pick a different name than sortBy's
+        // last — compare the RATIO cross-multiplied instead of the name
+        val sameMax = rats(r.getAs[String]("g_max"))._1 * dMax ==
+          nMax * rats(r.getAs[String]("g_max"))._2
+        val sameMin = rats(r.getAs[String]("g_min"))._1 * dMin ==
+          nMin * rats(r.getAs[String]("g_min"))._2
+        (r.getAs[Long]("n_groups") == rats.size.toLong) && sameMax && sameMin &&
+          (r.getAs[Long]("fmax_x1000") == want)
+      }
+    }
+
   property("quantileShape octiles are the type-1 quantiles of the sorted values") =
     Prop.forAll(genVals) { vals =>
       import spark.implicits._

@@ -149,6 +149,23 @@ class TrendSpec extends SparkSpec {
     assert(out("c") === ((0L, 1L, -1L, 3L)))
   }
 
+  test("minimaxCondorcet: the Condorcet winner has a negative worst defeat") {
+    // same ballots as the copeland spec: a beats b 2-1 and c 2-1 (worst
+    // defeat margin −1), b ties c 1-1 and loses to a 1-2 (worst +1)
+    val ballots = spark.createDataFrame(Seq(
+      ("b1", "a", 3L), ("b1", "b", 2L), ("b1", "c", 1L),
+      ("b2", "a", 3L), ("b2", "b", 1L), ("b2", "c", 2L),
+      ("b3", "a", 1L), ("b3", "b", 3L), ("b3", "c", 3L)))
+      .toDF("ballot", "cand", "score")
+    val out = graft.operators.Retrieval
+      .minimaxCondorcet(ballots, "ballot", "cand", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("worst_defeat"), r.getAs[Long]("final_rank")))).toMap
+    assert(out("a") === ((-1L, 1L)))
+    assert(out("b") === ((1L, 2L))) // tie vs c = 0 defeat; loss to a = +1
+    assert(out("c") === ((1L, 3L)))
+  }
+
   test("kAnonymity: min group size, below-k counts, l-diversity") {
     val df = spark.createDataFrame(Seq(
       ("x", 1L, 10L), ("x", 1L, 11L), ("x", 1L, 12L), // group (x,1): n=3, l=3
