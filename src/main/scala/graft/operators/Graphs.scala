@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -471,6 +471,126 @@ object Graphs {
     * rounds this is the k-core (Seidman 1983); a fixed small count is
     * the bounded-cost variant a corpus-scale spam sweep runs.
     */
+  /** Fixed-round k-truss peel (Cohen 2008) — the EDGE-level cohesion
+    * filter [[kcoreRounds]]'s degree test only approximates: each
+    * round drops canonical edges whose triangle support (common
+    * neighbors of the endpoints) is below k−2, so surviving edges sit
+    * in overlapping triangles — the near-clique backbone, the
+    * community-core extractor that ignores degree-inflated hubs.
+    * Fixed `rounds` keep the DuckDB replay a straight-line CTE chain
+    * (the kcore/Bellman-Ford contract; a converged peel is certified
+    * by unchanged output under rounds+1). Support recomputes per
+    * round via one wedge self-join of the symmetrized adjacency
+    * joined back to the canonical edge list — never an explicit
+    * triangle materialization per node — and the emitted `support`
+    * is measured on the FINAL surviving subgraph. Edges per round
+    * pin via localCheckpoint (the iterative-lineage law).
+    */
+  def trussRounds(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col(idA).as("u"), col(idB).as("w"))
+      .filter(col("u") =!= col("w"))
+    var canon = p.select(least(col("u"), col("w")).as("u"),
+        greatest(col("u"), col("w")).as("w"))
+      .distinct().localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](canon)
+    def support(c: DataFrame): DataFrame = {
+      val und = c.union(c.select(col("w").as("u"), col("u").as("w")))
+        .select(col("u").as("a"), col("w").as("b"))
+      und.select(col("a").as("v"), col("b").as("tu"))
+        .join(und.select(col("a").as("v"), col("b").as("tw")), Seq("v"))
+        .filter(col("tu") < col("tw"))
+        .select(col("tu").as("u"), col("tw").as("w"))
+        .join(c, Seq("u", "w"), "left_semi")
+        .groupBy(col("u"), col("w")).agg(count(lit(1)).as("supp"))
+    }
+    for (r <- 1 to rounds) {
+      val next = canon.join(support(canon), Seq("u", "w"), "left")
+        .na.fill(0L, Seq("supp"))
+        .filter(col("supp") >= (k - 2).toLong)
+        .select("u", "w")
+      canon =
+        if (r == rounds) next.localCheckpoint(true)
+        else { val pin = next.localCheckpoint(false); pins += pin; pin }
+    }
+    Checkpoints.release(pins.toSeq)
+    canon.join(support(canon), Seq("u", "w"), "left")
+      .na.fill(0L, Seq("supp"))
+      .select(col("u").as("id_a"), col("w").as("id_b"),
+        col("supp").as("support"))
+  }
+
+  /** Join-count statistics (Moran 1948) for a BINARY node attribute
+    * over an undirected edge list — the categorical autocorrelation
+    * census: how many edges join black–black, black–white,
+    * white–white, against the free-sampling expectation E[BB] =
+    * E·n_b(n_b−1)/(V(V−1)), E[BW] = 2E·n_b·n_w/(V(V−1)). Emitted as
+    * exact observed counts plus per-mille observed/expected ratios by
+    * cross-multiplication (ratio > 1000 on BB = like links like =
+    * homophily; BW below 1000 says the attribute segregates). V and
+    * n_b count over the SUPPLIED node frame (the sampling universe —
+    * stated, not inferred from edge incidence). One edge join to the
+    * broadcast node flags + one census aggregate.
+    */
+  def joinCounts(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      nodes: DataFrame,
+      nodeIdCol: String,
+      flagCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val flags = nodes.select(col(nodeIdCol).as("__id"), col(flagCol).as("__f"))
+    val nn = flags.agg(count(lit(1)).as("n_nodes"),
+      sum(when(col("__f"), 1L).otherwise(0L)).as("n_black"))
+    val e = pairs.select(col(idA).as("__a"), col(idB).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .join(flags.select(col("__id").as("__a"), col("__f").as("__fa")), Seq("__a"))
+      .join(flags.select(col("__id").as("__b"), col("__f").as("__fb")), Seq("__b"))
+    val obs = e.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("__fa") && col("__fb"), 1L).otherwise(0L)).as("bb"),
+      sum(when(col("__fa") =!= col("__fb"), 1L).otherwise(0L)).as("bw"),
+      sum(when(!col("__fa") && !col("__fb"), 1L).otherwise(0L)).as("ww"))
+    def ratio(o: Column, expNum: Column, what: String): Column =
+      when(expNum === 0, 0L).otherwise(loudDecToLong(
+        (o.cast(dec) * col("n_nodes") * (col("n_nodes") - 1) * 1000
+          - o.cast(dec) * col("n_nodes") * (col("n_nodes") - 1) * 1000
+            % expNum) / expNum, what))
+    obs.crossJoin(broadcast(nn))
+      .withColumn("bb_ratio_pm",
+        ratio(col("bb"),
+          col("n_edges").cast(dec) * col("n_black") * (col("n_black") - 1),
+          "joinCounts.bb_ratio_pm"))
+      .withColumn("bw_ratio_pm",
+        ratio(col("bw"),
+          col("n_edges").cast(dec) * col("n_black")
+            * (col("n_nodes") - col("n_black")) * 2,
+          "joinCounts.bw_ratio_pm"))
+      .withColumn("ww_ratio_pm",
+        ratio(col("ww"),
+          col("n_edges").cast(dec) * (col("n_nodes") - col("n_black"))
+            * (col("n_nodes") - col("n_black") - 1),
+          "joinCounts.ww_ratio_pm"))
+      .select(col("n_nodes"), col("n_black"), col("n_edges"),
+        col("bb"), col("bw"), col("ww"),
+        col("bb_ratio_pm"), col("bw_ratio_pm"), col("ww_ratio_pm"))
+  }
+
+  private def loudDecToLong(c: Column, what: String): Column = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val d = c.cast(dec)
+    when(d.isNull || abs(d) > lit(Long.MaxValue).cast(dec),
+      raise_error(lit(s"$what exceeds BIGINT — exact value needs a wider type"))
+        .cast("long"))
+      .otherwise(d.cast("long"))
+  }
+
   def kcoreRounds(
       pairs: DataFrame,
       idA: String,

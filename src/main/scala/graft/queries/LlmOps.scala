@@ -573,6 +573,46 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Fixed-round 4-truss peel ([[graft.operators.Graphs.trussRounds]]
+    // under the oracle): 2 rounds dropping edges with triangle support
+    // < 2 over the same blocking graph — the EDGE-level near-clique
+    // backbone q_kcore's degree peel only approximates (a hub passes
+    // k-core on degree alone; it survives the truss only inside
+    // overlapping triangles). Support recomputed on the final
+    // subgraph rides along as the witness.
+    "q_ktruss" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.trussRounds(ccBlockingPairs(docs), "id_a", "id_b",
+          k = 4, rounds = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Join-count statistics (Graphs.joinCounts) on the supplier
+    // co-occurrence graph: do rich suppliers (acctbal > $4.5k)
+    // co-fulfil orders with other rich suppliers beyond the
+    // free-sampling expectation? BB/BW/WW exact censuses plus
+    // cross-multiplied per-mille observed/expected ratios — the
+    // categorical-homophily audit next to q_assortativity's
+    // degree-correlation view.
+    "q_join_counts" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val pairs = ra.join(ab, Seq("l_orderkey"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("id_a"),
+          greatest(col("sa"), col("sb")).as("id_b"))
+        .distinct()
+      val nodes = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          (expr("CAST(round(s_acctbal * 100) AS BIGINT)") > 450000L).as("rich"))
+      graft.operators.Graphs.joinCounts(pairs, "id_a", "id_b",
+        nodes, "s_suppkey", "rich")
+    }),
+
     // Fixed-round synchronous label propagation ([[graft.operators
     // .Graphs.labelPropRounds]] under the oracle): 2 deterministic
     // rounds over the q_dedup_cc blocking graph — most-frequent
@@ -9057,6 +9097,92 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    // straight-line 2-round peel: wedge-join support per canonical
+    // edge, drop below k-2 = 2, recount on the survivors
+    "q_ktruss" ->
+      """WITH pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS w
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id < b.doc_id),
+         und0 AS (SELECT u AS a, w AS b FROM pairs
+                  UNION ALL SELECT w, u FROM pairs),
+         s0 AS (
+           SELECT x.b AS u, y.b AS w, CAST(count(*) AS BIGINT) AS supp
+           FROM und0 x JOIN und0 y ON x.a = y.a AND x.b < y.b
+           JOIN pairs e ON e.u = x.b AND e.w = y.b
+           GROUP BY 1, 2),
+         e1 AS (
+           SELECT p.u, p.w FROM pairs p LEFT JOIN s0
+             ON s0.u = p.u AND s0.w = p.w
+           WHERE coalesce(s0.supp, 0) >= 2),
+         und1 AS (SELECT u AS a, w AS b FROM e1
+                  UNION ALL SELECT w, u FROM e1),
+         s1 AS (
+           SELECT x.b AS u, y.b AS w, CAST(count(*) AS BIGINT) AS supp
+           FROM und1 x JOIN und1 y ON x.a = y.a AND x.b < y.b
+           JOIN e1 e ON e.u = x.b AND e.w = y.b
+           GROUP BY 1, 2),
+         e2 AS (
+           SELECT p.u, p.w FROM e1 p LEFT JOIN s1
+             ON s1.u = p.u AND s1.w = p.w
+           WHERE coalesce(s1.supp, 0) >= 2),
+         und2 AS (SELECT u AS a, w AS b FROM e2
+                  UNION ALL SELECT w, u FROM e2),
+         s2 AS (
+           SELECT x.b AS u, y.b AS w, CAST(count(*) AS BIGINT) AS supp
+           FROM und2 x JOIN und2 y ON x.a = y.a AND x.b < y.b
+           JOIN e2 e ON e.u = x.b AND e.w = y.b
+           GROUP BY 1, 2)
+         SELECT e2.u AS id_a, e2.w AS id_b,
+           coalesce(s2.supp, 0) AS support
+         FROM e2 LEFT JOIN s2 ON s2.u = e2.u AND s2.w = e2.w
+         ORDER BY id_a, id_b""",
+
+    // distinct canonical co-fulfilment edges; BB/BW/WW census and the
+    // free-sampling expectations cross-multiplied
+    "q_join_counts" ->
+      """WITH pr AS (
+           SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+             greatest(a.l_suppkey, b.l_suppkey) AS w
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_returnflag = 'R' AND b.l_returnflag = 'A'
+             AND a.l_suppkey <> b.l_suppkey),
+         fl AS (
+           SELECT s_suppkey AS id,
+             CAST(round(s_acctbal * 100) AS BIGINT) > 450000 AS f
+           FROM supplier),
+         nn AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_black
+           FROM fl),
+         obs AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CASE WHEN fa.f AND fb.f THEN 1 ELSE 0 END) AS BIGINT)
+               AS bb,
+             CAST(sum(CASE WHEN fa.f <> fb.f THEN 1 ELSE 0 END) AS BIGINT)
+               AS bw,
+             CAST(sum(CASE WHEN NOT fa.f AND NOT fb.f THEN 1 ELSE 0 END)
+               AS BIGINT) AS ww
+           FROM pr JOIN fl fa ON pr.u = fa.id JOIN fl fb ON pr.w = fb.id)
+         SELECT n_nodes, n_black, n_edges, bb, bw, ww,
+           CAST(CASE WHEN n_edges * (n_black - 1) * n_black = 0 THEN 0
+                ELSE (CAST(bb AS HUGEINT) * n_nodes * (n_nodes - 1) * 1000)
+                  // (CAST(n_edges AS HUGEINT) * n_black * (n_black - 1))
+                END AS BIGINT) AS bb_ratio_pm,
+           CAST(CASE WHEN n_edges * n_black * (n_nodes - n_black) = 0 THEN 0
+                ELSE (CAST(bw AS HUGEINT) * n_nodes * (n_nodes - 1) * 1000)
+                  // (CAST(n_edges AS HUGEINT) * n_black
+                      * (n_nodes - n_black) * 2)
+                END AS BIGINT) AS bw_ratio_pm,
+           CAST(CASE WHEN n_edges * (n_nodes - n_black)
+                       * (n_nodes - n_black - 1) = 0 THEN 0
+                ELSE (CAST(ww AS HUGEINT) * n_nodes * (n_nodes - 1) * 1000)
+                  // (CAST(n_edges AS HUGEINT) * (n_nodes - n_black)
+                      * (n_nodes - n_black - 1))
+                END AS BIGINT) AS ww_ratio_pm
+         FROM obs CROSS JOIN nn""",
 
     "q_label_prop" ->
       """WITH pairs AS (

@@ -62,6 +62,51 @@ class GraphsSpec extends SparkSpec {
     assert(r2.isEmpty) // 3 survives the degree cut but keeps no edges
   }
 
+  test("trussRounds keeps the K4 and peels the pendant triangle") {
+    // K4 on {1,2,3,4} (each edge sits in 2 triangles) plus a triangle
+    // {4,5,6} whose edges have support 1: at k=4 (support >= 2) round 1
+    // drops the pendant triangle; K4 survives with support recomputed 2
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Graphs.trussRounds(pairs, "id_a", "id_b", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(out.values.forall(_ == 2L))
+  }
+
+  test("trussRounds honors the fixed round count on a cascading peel") {
+    // two triangles sharing edge (2,3), plus pendant edge: at k=4,
+    // round 1 keeps only (2,3) (support 2) — which then has support 0.
+    // rounds=1 emits (2,3) with recomputed support 0; rounds=2 drops it.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val r1 = Graphs.trussRounds(pairs, "id_a", "id_b", k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(r1 === Map((2L, 3L) -> 0L))
+    val r2 = Graphs.trussRounds(pairs, "id_a", "id_b", k = 4, rounds = 2)
+      .collect()
+    assert(r2.isEmpty)
+  }
+
+  test("joinCounts censuses BB/BW/WW and the free-sampling ratios") {
+    // 4 nodes, black = {1,2}; edges (1,2)=BB, (1,3)=BW, (3,4)=WW
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("id", "f")
+    val r = Graphs.joinCounts(pairs, "id_a", "id_b", nodes, "id", "f")
+      .collect().head
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_black")) === ((4L, 2L)))
+    assert((r.getAs[Long]("bb"), r.getAs[Long]("bw"), r.getAs[Long]("ww")) ===
+      ((1L, 1L, 1L)))
+    // E[BB] = 3·2·1/(4·3) = 1/2 → ratio 2000; E[BW] = 3·2·2·2/12 = 2 →
+    // ratio 500; E[WW] = E[BB] → 2000
+    assert(r.getAs[Long]("bb_ratio_pm") === 2000L)
+    assert(r.getAs[Long]("bw_ratio_pm") === 500L)
+    assert(r.getAs[Long]("ww_ratio_pm") === 2000L)
+  }
+
   test("bellmanFordRounds relaxes the cheaper two-hop path over the direct edge") {
     // 1→2 (5), 2→3 (5), 1→3 (20): direct is pricier than the detour
     val edges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 20L), (9L, 10L, 1L))
