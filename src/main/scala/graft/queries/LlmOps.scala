@@ -4530,6 +4530,63 @@ object LlmOps {
         .orderBy("source", "bin")
     }),
 
+    // Murphy decomposition of the Brier score (1973) per source —
+    // WHERE q_calibration's one-number Brier comes from: reliability
+    // (bin-mean miscalibration, the fixable part), resolution (how
+    // much the bins separate outcomes, the skill part) and outcome
+    // uncertainty, each ×10⁶ as exact integer rationals FLOORED PER
+    // BIN (documented; ≤10 bins/source so the floor error is ≤10 on a
+    // 10⁶ scale) — REL−RES+UNC equals the Brier OF THE BIN-MEAN
+    // forecast; the raw-p Brier alongside differs by the within-bin
+    // forecast variance/covariance terms (measured ~1-3% here).
+    // Per-bin squares ride DECIMAL(38,0);
+    // exact to N < 10⁸ docs per source (the n⁴ in RES), loud past it.
+    "q_brier_decomp" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val maxN = 100000000L
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("p_pm",
+          expr("(CAST(size(array_distinct(tk)) AS BIGINT) * 1000) div n_tok"))
+        .withColumn("y", col("n_tok").between(20, 90).cast("long"))
+        .withColumn("bin", expr("p_pm div 100"))
+      val binned = base.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_k"), sum(col("y")).as("pos_k"),
+          sum(col("p_pm")).as("sp_k"),
+          sum((col("p_pm") - lit(1000L) * col("y"))
+            * (col("p_pm") - lit(1000L) * col("y"))).as("sq_k"))
+      val tot = binned.groupBy(col("source"))
+        .agg(sum(col("n_k")).as("n"), sum(col("pos_k")).as("pos"),
+          sum(col("sq_k")).as("sq"))
+        .withColumn("n",
+          when(col("n") > maxN, raise_error(
+            lit(s"q_brier_decomp: N exceeds the exact RES bound $maxN"))
+            .cast("long")).otherwise(col("n")))
+      binned.join(tot, Seq("source"))
+        .withColumn("__reld", (col("sp_k").cast(dec) - col("pos_k") * 1000)
+          * (col("sp_k").cast(dec) - col("pos_k") * 1000))
+        .withColumn("__resd",
+          (col("pos_k").cast(dec) * col("n") - col("pos").cast(dec) * col("n_k"))
+            * (col("pos_k").cast(dec) * col("n") - col("pos").cast(dec) * col("n_k")))
+        .withColumn("rel_t", expr("__reld div (CAST(n_k AS DECIMAL(38,0)) * n)"))
+        .withColumn("res_t", expr(
+          """(__resd * 1000000) div
+             (CAST(n_k AS DECIMAL(38,0)) * n * n * n)"""))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), max(col("pos")).as("n_pos"),
+          expr("max(sq) div max(n)").cast("long").as("brier_x1e6"),
+          sum(col("rel_t")).cast("long").as("rel_x1e6"),
+          sum(col("res_t")).cast("long").as("res_x1e6"),
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * max(pos)
+                   * (max(n) - max(pos)))
+                  div (CAST(max(n) AS DECIMAL(38,0)) * max(n))""")
+            .as("unc_x1e6"))
+        .orderBy("source")
+    }),
+
     // Hodges–Lehmann location estimate (TimeSeries.hodgesLehmann) per
     // event type: the median of all pairwise Walsh sums over the daily
     // series, doubled so no .5 materializes — the robust "typical
@@ -10539,6 +10596,50 @@ object LlmOps {
              // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
              AS brier_x1e6
          FROM b ORDER BY source, bin""",
+
+    // the calibration bin frame; REL/RES floored per bin, UNC once
+    "q_brier_decomp" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) AS p_pm,
+             CASE WHEN len(t) BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS y
+           FROM tk WHERE len(t) > 0),
+         b AS (
+           SELECT source, p_pm // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(y) AS BIGINT) AS pos_k,
+             CAST(sum(p_pm) AS BIGINT) AS sp_k,
+             CAST(sum((p_pm - 1000 * y) * (p_pm - 1000 * y)) AS BIGINT) AS sq_k
+           FROM f GROUP BY 1, 2),
+         t AS (
+           SELECT source, CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(pos_k) AS BIGINT) AS pos,
+             CAST(sum(sq_k) AS BIGINT) AS sq
+           FROM b GROUP BY 1),
+         terms AS (
+           SELECT b.source,
+             (CAST(sp_k - 1000 * pos_k AS HUGEINT)
+              * CAST(sp_k - 1000 * pos_k AS HUGEINT))
+               // (CAST(n_k AS HUGEINT) * n) AS rel_t,
+             ((CAST(pos_k AS HUGEINT) * n - CAST(pos AS HUGEINT) * n_k)
+              * (CAST(pos_k AS HUGEINT) * n - CAST(pos AS HUGEINT) * n_k)
+              * 1000000)
+               // (CAST(n_k AS HUGEINT) * n * n * n) AS res_t
+           FROM b JOIN t ON b.source = t.source)
+         SELECT t.source AS source, n AS n_docs, pos AS n_pos,
+           CAST(max(sq) // n AS BIGINT) AS brier_x1e6,
+           CAST(sum(rel_t) AS BIGINT) AS rel_x1e6,
+           CAST(sum(res_t) AS BIGINT) AS res_x1e6,
+           CAST((CAST(1000000 AS HUGEINT) * pos * (n - pos))
+             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_x1e6
+         FROM terms JOIN t ON terms.source = t.source
+         GROUP BY 1, 2, 3 ORDER BY t.source""",
 
     // Every Walsh sum and the lower-median pick replayed.
     "q_hodges_lehmann" ->
