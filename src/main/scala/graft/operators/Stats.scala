@@ -1873,6 +1873,84 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Brown–Forsythe test (1974) — the ROBUST homoscedasticity screen
+    * next to [[hartleyFmax]]'s extreme ratio: a one-way ANOVA on the
+    * absolute deviations from each GROUP MEDIAN, so one heavy tail
+    * can't masquerade as unequal variance (Levene's mean-based
+    * original can). Medians are exact doubled integers (lower+upper
+    * median, the no-.5 rendering: z = |2v − med2|) read off the
+    * (group, value) count spine by one cumulative window — never a
+    * sort-collect — and the F pieces reuse the q_anova integer
+    * computational form: SSB·n = Σ_g (n·T_g − n_g·T)² div (n_g·n),
+    * SST·n = n·ΣΣz² − T², all DECIMAL(38,0). Emitted: the n-divided
+    * BIGINT SS witnesses, degrees of freedom, and `f_x1000` by one
+    * truncating cross-multiplied division (0 when SSW = 0 — a
+    * degenerate all-equal-deviation key).
+    */
+  def brownForsythe(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys ++ Seq(col(groupCol).as("__g"), col(vCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCum = Window.partitionBy(keys :+ col("__g"): _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(keys :+ col("__g"): _*)
+    val spine = perV
+      .withColumn("__cum", sum(col("__m")).over(wCum))
+      .withColumn("__ng", sum(col("__m")).over(wG))
+      .withColumn("__lo", expr("(__ng + 1) div 2"))
+      .withColumn("__up", expr("__ng div 2 + 1"))
+    val meds = spine.groupBy(keys :+ col("__g"): _*)
+      .agg(
+        sum(when(col("__cum") - col("__m") < col("__lo") && col("__cum") >= col("__lo"),
+          col("__v")).otherwise(0L)).as("__mlo"),
+        sum(when(col("__cum") - col("__m") < col("__up") && col("__cum") >= col("__up"),
+          col("__v")).otherwise(0L)).as("__mup"))
+      .withColumn("__med2", col("__mlo") + col("__mup"))
+      .select(keys ++ Seq(col("__g"), col("__med2")): _*)
+    val z = perV.join(meds, keyCols :+ "__g")
+      .withColumn("__z", abs(col("__v") * 2 - col("__med2")).cast(dec))
+    val g = z.groupBy(keys :+ col("__g"): _*)
+      .agg(sum(col("__m")).as("__ng"),
+        sum(col("__m").cast(dec) * col("__z")).as("__tg"),
+        sum(col("__m").cast(dec) * col("__z") * col("__z")).as("__sqg"))
+    val tot = g.groupBy(keys: _*)
+      .agg(sum(col("__ng")).as("__n"), sum(col("__tg")).as("__t"),
+        sum(col("__sqg")).as("__sq"), count(lit(1)).as("k_groups"))
+    g.join(tot, keyCols)
+      .withColumn("__dev2",
+        ((col("__n").cast(dec) * col("__tg") - col("__ng").cast(dec) * col("__t"))
+          * (col("__n").cast(dec) * col("__tg") - col("__ng").cast(dec) * col("__t"))
+          - (col("__n").cast(dec) * col("__tg") - col("__ng").cast(dec) * col("__t"))
+            * (col("__n").cast(dec) * col("__tg") - col("__ng").cast(dec) * col("__t"))
+            % (col("__ng").cast(dec) * col("__n")))
+          / (col("__ng").cast(dec) * col("__n")))
+      .groupBy(keys ++ Seq(col("__n"), col("__t"), col("__sq"), col("k_groups")): _*)
+      .agg(sum(col("__dev2").cast(dec)).as("__ssb"))
+      .withColumn("__sst", col("__n").cast(dec) * col("__sq") - col("__t") * col("__t"))
+      .withColumn("__ssw", col("__sst") - col("__ssb"))
+      .withColumn("df_b", col("k_groups") - 1)
+      .withColumn("df_w", col("__n") - col("k_groups"))
+      .withColumn("f_x1000",
+        when(col("df_b") === 0 || col("df_w") <= 0 || col("__ssw") <= 0, 0L)
+          .otherwise(loudLong(
+            ((col("__ssb") * col("df_w") * 1000
+              - col("__ssb") * col("df_w") * 1000
+                % (col("__ssw") * col("df_b")))
+              / (col("__ssw") * col("df_b"))).cast(dec),
+            "brownForsythe", "f_x1000")))
+      .select(keys ++ Seq(col("__n").as("n_obs"), col("k_groups"),
+        loudLong(expr("__ssb div CAST(__n AS DECIMAL(38,0))"), "brownForsythe", "ssb")
+          .as("ssb"),
+        loudLong(expr("__ssw div CAST(__n AS DECIMAL(38,0))"), "brownForsythe", "ssw")
+          .as("ssw"),
+        col("df_b"), col("df_w"), col("f_x1000")): _*)
+  }
+
   /** Hartley's Fmax (1950) — the homoscedasticity screen run before
     * trusting [[anova]]-style pooled variances: the ratio of the
     * LARGEST group variance to the SMALLEST within each key, exact by

@@ -1964,6 +1964,20 @@ object LlmOps {
         .orderBy("dow")
     }),
 
+    // Brown-Forsythe (Stats.brownForsythe) on the q_hartley_fmax frame:
+    // the ROBUST homoscedasticity verdict — ANOVA on |deviations from
+    // the group median| — where Fmax reads extremes a heavy tail can
+    // fake. Exact doubled medians off the value spine; q_anova's
+    // integer SS rendering on the deviations.
+    "q_brown_forsythe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(weekday(col("ts").cast("date")).cast("long").as("dow"),
+          col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      Stats.brownForsythe(ev, Seq("dow"), "event_type", "v")
+        .orderBy("dow")
+    }),
+
     "q_anova" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val ev = Tables.events(s, d)
@@ -7366,6 +7380,61 @@ object LlmOps {
 
     // Every group total, both HUGEINT sums of squares, the F cross-
     // multiplication, and the floored SS emissions replayed.
+    // doubled group medians off the value spine; |2v - med2|
+    // deviations through the q_anova integer SS form; F cross-mult
+    "q_brown_forsythe" ->
+      """WITH e AS (
+           SELECT isodow(CAST(ts AS DATE)) - 1 AS dow, event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events),
+         pv AS (
+           SELECT dow, g, v, CAST(count(*) AS BIGINT) AS m
+           FROM e GROUP BY 1, 2, 3),
+         sp AS (
+           SELECT dow, g, v, m,
+             CAST(sum(m) OVER (PARTITION BY dow, g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(sum(m) OVER (PARTITION BY dow, g) AS BIGINT) AS ng
+           FROM pv),
+         md AS (
+           SELECT dow, g,
+             CAST(sum(CASE WHEN cum - m < (ng + 1) // 2 AND cum >= (ng + 1) // 2
+               THEN v ELSE 0 END)
+             + sum(CASE WHEN cum - m < ng // 2 + 1 AND cum >= ng // 2 + 1
+               THEN v ELSE 0 END) AS BIGINT) AS med2
+           FROM sp GROUP BY 1, 2),
+         z AS (
+           SELECT pv.dow, pv.g, pv.m,
+             CAST(abs(pv.v * 2 - md.med2) AS HUGEINT) AS z
+           FROM pv JOIN md ON pv.dow = md.dow AND pv.g = md.g),
+         gg AS (
+           SELECT dow, g, CAST(sum(m) AS BIGINT) AS ng,
+             sum(m * z) AS tg, sum(m * z * z) AS sqg
+           FROM z GROUP BY 1, 2),
+         tt AS (
+           SELECT dow, CAST(sum(ng) AS BIGINT) AS n, sum(tg) AS t,
+             sum(sqg) AS sq, CAST(count(*) AS BIGINT) AS k
+           FROM gg GROUP BY 1),
+         dv AS (
+           SELECT gg.dow, tt.n, tt.t, tt.sq, tt.k,
+             ((CAST(tt.n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * tt.t)
+              * (CAST(tt.n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * tt.t))
+               // (CAST(ng AS HUGEINT) * tt.n) AS dev2
+           FROM gg JOIN tt ON gg.dow = tt.dow),
+         ssx AS (
+           SELECT dow, n, t, sq, k, sum(dev2) AS ssb,
+             CAST(n AS HUGEINT) * sq - CAST(t AS HUGEINT) * t AS sst
+           FROM dv GROUP BY 1, 2, 3, 4, 5)
+         SELECT dow, n AS n_obs, k AS k_groups,
+           CAST(ssb // CAST(n AS HUGEINT) AS BIGINT) AS ssb,
+           CAST((sst - ssb) // CAST(n AS HUGEINT) AS BIGINT) AS ssw,
+           k - 1 AS df_b, n - k AS df_w,
+           CAST(CASE WHEN k - 1 = 0 OR n - k <= 0 OR sst - ssb <= 0 THEN 0
+                ELSE (ssb * (n - k) * 1000) // ((sst - ssb) * (k - 1))
+                END AS BIGINT) AS f_x1000
+         FROM ssx ORDER BY dow""",
+
     // per-(dow, type) variance rationals; extremes by the (double,
     // group) order; the ratio exact by cross-multiplication
     "q_hartley_fmax" ->

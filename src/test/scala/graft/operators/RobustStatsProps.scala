@@ -307,6 +307,41 @@ object RobustStatsProps extends Properties("RobustStats") {
       }
     }
 
+  property("brownForsythe replays the doubled-median deviation ANOVA exactly") =
+    Prop.forAll(genVarGroups) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (g, v) => ("k", g, v) }.toDF("k", "g", "v")
+      val r = Stats.brownForsythe(df, Seq("k"), "g", "v").collect().head
+      val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      def med2(vs: Seq[Long]): Long = {
+        val n = vs.size
+        vs((n + 1) / 2 - 1) + vs(n / 2)
+      }
+      val zs = groups.map { case (g, vs) =>
+        val m2 = med2(vs)
+        g -> vs.map(v => BigInt((2 * v - m2).abs))
+      }
+      val n = BigInt(rows.size)
+      val k = zs.size
+      val tg = zs.view.mapValues(_.sum).toMap
+      val t = tg.values.sum
+      val sq = zs.values.flatten.map(z => z * z).sum
+      val ssb = zs.map { case (g, z) =>
+        val d = n * tg(g) - BigInt(z.size) * t
+        (d * d) / (BigInt(z.size) * n)
+      }.sum
+      val sst = n * sq - t * t
+      val ssw = sst - ssb
+      val f =
+        if (k - 1 == 0 || n - k <= 0 || ssw <= 0) BigInt(0)
+        else (ssb * (n - k) * 1000) / (ssw * (k - 1))
+      (r.getAs[Long]("n_obs") == rows.size.toLong) &&
+        (r.getAs[Long]("k_groups") == k.toLong) &&
+        (r.getAs[Long]("ssb") == (ssb / n).toLong) &&
+        (r.getAs[Long]("ssw") == (ssw / n).toLong) &&
+        (r.getAs[Long]("f_x1000") == f.toLong)
+    }
+
   property("quantileShape octiles are the type-1 quantiles of the sorted values") =
     Prop.forAll(genVals) { vals =>
       import spark.implicits._
