@@ -893,6 +893,62 @@ object Relational {
               col("conv_b") * col("n_a")).cast("double")).as("lift"))
     }),
 
+    // CUPED variance reduction (Deng et al. 2013) on the q_ab_lift
+    // experiment: per-user PRE-period activity (Jan 1-15) as the
+    // covariate for the POST-period metric — θ = Cov/Var from exact
+    // pooled integer moments (ONE IEEE division), per-arm adjusted
+    // means by the fixed double tree both engines replay bitwise, and
+    // the exact per-million covariate-r² (= the variance fraction CUPED
+    // removes) as the integer witness. The industry A/B-sensitivity
+    // op: same decision, tighter confidence, no new data.
+    "q_cuped" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts")) <= lit("2024-01-15"), 1L).otherwise(0L))
+          .as("x"),
+          sum(when(to_date(col("ts")) > lit("2024-01-15"), 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("in_a",
+          pmod(graft.operators.Sampling.portableUniform(col("user_id")),
+            lit(2L)) === 0)
+      val agg = users.groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("y").cast(dec) * col("y")).as("syy"),
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), col("x")).otherwise(0L)).as("sx_a"),
+          sum(when(col("in_a"), col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("in_a"), col("x")).otherwise(0L)).as("sx_b"),
+          sum(when(!col("in_a"), col("y")).otherwise(0L)).as("sy_b"))
+      val covN = col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy")
+      val varXN = col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")
+      val varYN = col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy")
+      val theta = covN.cast("double") /
+        when(varXN =!= 0, varXN).cast("double")
+      def adj(syArm: org.apache.spark.sql.Column, nArm: org.apache.spark.sql.Column,
+          sxArm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        syArm.cast("double") / nArm.cast("double") -
+          theta * (sxArm.cast("double") / nArm.cast("double") -
+            col("sx").cast("double") / col("n").cast("double"))
+      agg.select(col("n"), col("n_a"), col("n_b"),
+        theta.as("theta"),
+        adj(col("sy_a"), col("n_a"), col("sx_a")).as("yadj_a"),
+        adj(col("sy_b"), col("n_b"), col("sx_b")).as("yadj_b"),
+        (adj(col("sy_a"), col("n_a"), col("sx_a"))
+          - adj(col("sy_b"), col("n_b"), col("sx_b"))).as("adj_diff"),
+        when(varXN === 0 || varYN === 0, 0L).otherwise(
+          expr("""((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                  * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                  * 1000000)
+                 div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                  * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy))"""))
+          .as("r2_x1e6"))
+    }),
+
     // Rolling 7-day active users (the WAU curve): per calendar day, the
     // distinct users active in the trailing week. COUNT DISTINCT over a
     // RANGE frame isn't expressible as a window, so the day spine
@@ -3775,6 +3831,65 @@ object Relational {
            CAST(conv_a * n_b AS DOUBLE) / CAST(conv_b * n_a AS DOUBLE)
              AS lift
          FROM a""",
+
+    // pooled exact moments; theta one IEEE division; adjusted means by
+    // the same fixed double tree the Spark side evaluates
+    "q_cuped" ->
+      """WITH ux AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+               THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT x, y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 = 0 AS in_a
+           FROM ux),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+             CAST(sum(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+             CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN NOT in_a THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+             CAST(sum(CASE WHEN NOT in_a THEN y ELSE 0 END) AS BIGINT) AS sy_b
+           FROM u),
+         t AS (
+           SELECT *,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(nullif(CAST(n AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx, 0) AS DOUBLE) AS theta
+           FROM a)
+         SELECT n, n_a, n_b, theta,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS yadj_a,
+           CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS yadj_b,
+           (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS adj_diff,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0
+                THEN 0
+                ELSE ((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                      * 1000000)
+                  // ((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                      * (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy))
+                END AS BIGINT) AS r2_x1e6
+         FROM t""",
 
     "q_transitions" ->
 """WITH t AS (
