@@ -1873,6 +1873,57 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Mantel–Haenszel pooled odds ratio (1959) over stratified 2×2
+    * tables — the confounding-proof association [[oddsRatio]]'s crude
+    * 2×2 cannot give (Simpson's reversal is exactly the crude/MH
+    * disagreement, so BOTH are emitted): OR_MH = Σᵢaᵢdᵢ/nᵢ / Σᵢbᵢcᵢ/nᵢ
+    * with each stratum term FLOORED AT ×10⁶ (term = (10⁶·aᵢdᵢ) div nᵢ)
+    * so the sums stay exact integers — commutative, shuffle-order-
+    * free — and the final ratio is one truncating division; no double
+    * ever materializes. Floor error ≤ k_strata on the 10⁶ scale
+    * (documented). One stratum aggregate + one global fold; cell
+    * products ride DECIMAL(38,0), loud cast-down. Empty MH denominator
+    * (no discordant mass anywhere) emits 0.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      strataCol: String,
+      expCol: String,
+      outCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(expCol) && col(outCol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(expCol) && !col(outCol), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col(expCol) && col(outCol), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col(expCol) && !col(outCol), 1L).otherwise(0L)).as("__d"))
+      .withColumn("__tnum", expr(
+        "(CAST(__a AS DECIMAL(38,0)) * __d * 1000000) div __n"))
+      .withColumn("__tden", expr(
+        "(CAST(__b AS DECIMAL(38,0)) * __c * 1000000) div __n"))
+    cells.agg(count(lit(1)).as("k_strata"),
+        sum(col("__n")).as("n_total"),
+        sum(col("__a")).as("a"), sum(col("__b")).as("b"),
+        sum(col("__c")).as("c"), sum(col("__d")).as("d"),
+        sum(col("__tnum").cast(dec)).as("__num"),
+        sum(col("__tden").cast(dec)).as("__den"))
+      .withColumn("mh_num_x1e6", loudLong(col("__num"), "mantelHaenszel", "mh_num"))
+      .withColumn("mh_den_x1e6", loudLong(col("__den"), "mantelHaenszel", "mh_den"))
+      .withColumn("or_mh_x1000",
+        when(col("__den") === 0, 0L).otherwise(loudLong(
+          ((col("__num") * 1000 - col("__num") * 1000 % col("__den"))
+            / col("__den")).cast(dec),
+          "mantelHaenszel", "or_mh_x1000")))
+      .withColumn("or_crude_x1000",
+        when(col("b") === 0 || col("c") === 0, 0L).otherwise(loudLong(
+          ((col("a").cast(dec) * col("d") * 1000
+            - col("a").cast(dec) * col("d") * 1000
+              % (col("b").cast(dec) * col("c")))
+            / (col("b").cast(dec) * col("c"))).cast(dec),
+          "mantelHaenszel", "or_crude_x1000")))
+      .drop("__num", "__den")
+  }
+
   /** Brown–Forsythe test (1974) — the ROBUST homoscedasticity screen
     * next to [[hartleyFmax]]'s extreme ratio: a one-way ANOVA on the
     * absolute deviations from each GROUP MEDIAN, so one heavy tail

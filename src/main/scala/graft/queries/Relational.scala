@@ -2124,6 +2124,20 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Mantel-Haenszel pooled odds ratio (Stats.mantelHaenszel): does
+    // "big quantity -> returned" survive stratifying by ship MONTH, or
+    // was the crude 2x2 confounded by seasonality? Crude and pooled
+    // ORs side by side — the Simpson's-reversal audit — with
+    // per-stratum terms floored at x1e6 so every sum is an exact
+    // integer (shuffle-order-free; no doubles).
+    "q_mantel_haenszel" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(month(col("l_shipdate")).cast("long").as("ship_month"),
+          (col("l_quantity") > 25).as("exp"),
+          (col("l_returnflag") === "R").as("outc"))
+      graft.operators.Stats.mantelHaenszel(li, "ship_month", "exp", "outc")
+    }),
+
     // Ljung–Box portmanteau Q (TimeSeries.ljungBox) on the q_acf daily
     // spine: the ONE whiteness number the per-lag ACF table implies —
     // n(n+2)·Σρ̂²_k/(n−k) over lags 1..3, exact integer num/den
@@ -4903,6 +4917,44 @@ object Relational {
            CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
            CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // per-shipmode 2x2 cells; terms floored at x1e6; crude OR rides
+    "q_mantel_haenszel" ->
+      """WITH li AS (
+           SELECT CAST(month(l_shipdate) AS BIGINT) AS s,
+             l_quantity > 25 AS e,
+             l_returnflag = 'R' AS o
+           FROM lineitem),
+         cells AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+               AS d
+           FROM li GROUP BY 1),
+         terms AS (
+           SELECT n, a, b, c, d,
+             (CAST(a AS HUGEINT) * d * 1000000) // n AS tnum,
+             (CAST(b AS HUGEINT) * c * 1000000) // n AS tden
+           FROM cells),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_strata,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+             CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+             sum(tnum) AS num, sum(tden) AS den
+           FROM terms)
+         SELECT k_strata, n_total, a, b, c, d,
+           CAST(num AS BIGINT) AS mh_num_x1e6,
+           CAST(den AS BIGINT) AS mh_den_x1e6,
+           CAST(CASE WHEN den = 0 THEN 0
+                ELSE (num * 1000) // den END AS BIGINT) AS or_mh_x1000,
+           CAST(CASE WHEN b = 0 OR c = 0 THEN 0
+                ELSE (CAST(a AS HUGEINT) * d * 1000)
+                  // (CAST(b AS HUGEINT) * c) END AS BIGINT)
+             AS or_crude_x1000
+         FROM ag""",
 
     // the q_acf spine; Q by the same fixed double tree the operator
     // documents: n(n+2) * ((t1 + t2) + t3), each t_k one IEEE division
