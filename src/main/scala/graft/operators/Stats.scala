@@ -1873,6 +1873,61 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Isotonic regression of a binned reliability curve — PAV rendered
+    * by its MINIMAX identity ŷ_k = max_{i≤k} min_{j≥k} mean(y[i..j])
+    * (Ayer et al. 1955), which turns the sequential pool-adjacent-
+    * violators loop into three BOUNDED joins over the ≤B-bin frame —
+    * the calibration-FIXING step after q_calibration measures the
+    * miscalibration, exactly as production probability calibrators
+    * run it. Range means are exact integer rationals off prefix sums;
+    * the arg-min/arg-max are picked by the deterministic
+    * (mean-as-double, index) order — the same correctly-rounded
+    * double in both engines, so the pick (and with it the emitted
+    * exact floor `iso_pm`) replays bitwise. The fitted curve is
+    * non-decreasing in the bin order by construction. B²·B triples
+    * per key — bins, never data.
+    */
+  def isotonicBinned(
+      binned: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      nCol: String,
+      posCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wCum = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = binned
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)).cast("long"))
+      .withColumn("__cp", sum(col(posCol)).over(wCum))
+      .withColumn("__cn", sum(col(nCol)).over(wCum))
+    val asI = sp.select(keys ++ Seq(col("__rn").as("__i"),
+      (col("__cp") - col(posCol)).as("__cpi"),
+      (col("__cn") - col(nCol)).as("__cni")): _*)
+    val asJ = sp.select(keys ++ Seq(col("__rn").as("__j"),
+      col("__cp").as("__cpj"), col("__cn").as("__cnj")): _*)
+    val ranges = asI.join(asJ, keyCols).filter(col("__i") <= col("__j"))
+      .withColumn("__num", col("__cpj") - col("__cpi"))
+      .withColumn("__den", col("__cnj") - col("__cni"))
+      .withColumn("__mean", col("__num").cast("double") / col("__den").cast("double"))
+    val triples = sp.select(keys ++ Seq(col(ordCol), col("__rn"),
+        col(nCol), col(posCol)): _*)
+      .join(ranges, keyCols)
+      .filter(col("__i") <= col("__rn") && col("__rn") <= col("__j"))
+    val wInner = Window.partitionBy(keys ++ Seq(col("__rn"), col("__i")): _*)
+      .orderBy(col("__mean").asc, col("__j").asc)
+    val inner = triples.withColumn("__r1", row_number().over(wInner))
+      .filter(col("__r1") === 1)
+    val wOuter = Window.partitionBy(keys :+ col("__rn"): _*)
+      .orderBy(col("__mean").desc, col("__i").asc)
+    inner.withColumn("__r2", row_number().over(wOuter))
+      .filter(col("__r2") === 1)
+      .withColumn("rate_pm", expr(s"(1000 * $posCol) div $nCol"))
+      .withColumn("iso_pm", expr("(1000 * __num) div __den"))
+      .select(keys ++ Seq(col(ordCol), col(nCol), col(posCol),
+        col("rate_pm"), col("iso_pm")): _*)
+  }
+
   /** Mantel–Haenszel pooled odds ratio (1959) over stratified 2×2
     * tables — the confounding-proof association [[oddsRatio]]'s crude
     * 2×2 cannot give (Simpson's reversal is exactly the crude/MH

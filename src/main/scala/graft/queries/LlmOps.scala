@@ -4544,6 +4544,27 @@ object LlmOps {
         .orderBy("source", "bin")
     }),
 
+    // Isotonic (PAV) recalibration (Stats.isotonicBinned) of the
+    // q_calibration reliability curve per source: the monotone fit
+    // production calibrators actually apply, rendered by the minimax
+    // identity over the bounded bin frame — next to q_calibration
+    // (measures) and q_brier_decomp (attributes), this one FIXES.
+    "q_isotonic_calib" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("p_pm",
+          expr("(CAST(size(array_distinct(tk)) AS BIGINT) * 1000) div n_tok"))
+        .withColumn("y", col("n_tok").between(20, 90).cast("long"))
+        .withColumn("bin", expr("p_pm div 100"))
+      val binned = base.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      Stats.isotonicBinned(binned, Seq("source"), "bin", "n_docs", "n_pos")
+        .orderBy("source", "bin")
+    }),
+
     // Murphy decomposition of the Brier score (1973) per source —
     // WHERE q_calibration's one-number Brier comes from: reliability
     // (bin-mean miscalibration, the fixable part), resolution (how
@@ -10665,6 +10686,62 @@ object LlmOps {
              // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
              AS brier_x1e6
          FROM b ORDER BY source, bin""",
+
+    // the calibration bin frame; PAV via the minimax identity over
+    // prefix-sum range means; picks by (mean-double, index)
+    "q_isotonic_calib" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) AS p_pm,
+             CASE WHEN len(t) BETWEEN 20 AND 90 THEN 1 ELSE 0 END AS y
+           FROM tk WHERE len(t) > 0),
+         b AS (
+           SELECT source, p_pm // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos
+           FROM f GROUP BY 1, 2),
+         sp AS (
+           SELECT source, bin, n_docs, n_pos,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY bin)
+               AS BIGINT) AS rn,
+             CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cp,
+             CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cn
+           FROM b),
+         ri AS (SELECT source, rn AS i, cp - n_pos AS cpi, cn - n_docs AS cni
+                FROM sp),
+         rj AS (SELECT source, rn AS j, cp AS cpj, cn AS cnj FROM sp),
+         rg AS (
+           SELECT ri.source AS source, i, j,
+             cpj - cpi AS num, cnj - cni AS den,
+             CAST(cpj - cpi AS DOUBLE) / CAST(cnj - cni AS DOUBLE) AS mean
+           FROM ri JOIN rj ON ri.source = rj.source AND i <= j),
+         tr AS (
+           SELECT sp.source AS source, sp.bin, sp.rn, sp.n_docs, sp.n_pos,
+             rg.i, rg.j, rg.num, rg.den, rg.mean
+           FROM sp JOIN rg ON sp.source = rg.source
+             AND rg.i <= sp.rn AND sp.rn <= rg.j),
+         inn AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY source, rn, i
+               ORDER BY mean ASC, j ASC) AS r1 FROM tr) WHERE r1 = 1),
+         outt AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY source, rn
+               ORDER BY mean DESC, i ASC) AS r2 FROM inn) WHERE r2 = 1)
+         SELECT source, bin, n_docs, n_pos,
+           (1000 * n_pos) // n_docs AS rate_pm,
+           (1000 * num) // den AS iso_pm
+         FROM outt ORDER BY source, bin""",
 
     // the calibration bin frame; REL/RES floored per bin, UNC once
     "q_brier_decomp" ->

@@ -342,6 +342,37 @@ object RobustStatsProps extends Properties("RobustStats") {
         (r.getAs[Long]("f_x1000") == f.toLong)
     }
 
+  private val genBins: Gen[Seq[(Long, Long)]] = for {
+    b <- Gen.chooseNum(1, 10)
+    bins <- Gen.listOfN(b, for {
+      n <- Gen.chooseNum(1L, 20L)
+      pos <- Gen.chooseNum(0L, n)
+    } yield (n, pos))
+  } yield bins
+
+  property("isotonicBinned equals the sequential pool-adjacent-violators fit") =
+    Prop.forAll(genBins) { bins =>
+      import spark.implicits._
+      val df = bins.zipWithIndex.map { case ((n, p), i) => ("k", i.toLong, n, p) }
+        .toDF("k", "bin", "n_docs", "n_pos")
+      val got = Stats.isotonicBinned(df, Seq("k"), "bin", "n_docs", "n_pos")
+        .orderBy("bin").collect().map(_.getAs[Long]("iso_pm")).toSeq
+      // classic PAV: pool adjacent blocks while means decrease
+      val stack = scala.collection.mutable.Stack[(BigInt, BigInt, Int)]() // num, den, size
+      bins.foreach { case (n, p) =>
+        var blk = (BigInt(p), BigInt(n), 1)
+        while (stack.nonEmpty && stack.top._1 * blk._2 >= blk._1 * stack.top._2) {
+          val t = stack.pop()
+          blk = (t._1 + blk._1, t._2 + blk._2, t._3 + blk._3)
+        }
+        stack.push(blk)
+      }
+      val want = stack.toSeq.reverse.flatMap { case (num, den, sz) =>
+        Seq.fill(sz)((num * 1000 / den).toLong)
+      }
+      (got == want) && (got == got.sorted)
+    }
+
   property("quantileShape octiles are the type-1 quantiles of the sorted values") =
     Prop.forAll(genVals) { vals =>
       import spark.implicits._
