@@ -751,6 +751,56 @@ object TimeSeries {
       .when(a1 < b1, "overlaps")
       .otherwise("overlapped_by")
 
+  /** SAX symbolization (Lin, Keogh et al. 2003) — the "time series →
+    * token string" bridge of the LLM-pipeline toolbox: piecewise
+    * aggregate approximation over fixed-length segments, each segment
+    * mean bucketed against the SERIES' OWN quartile breakpoints into
+    * the 4-letter alphabet a<b<c<d, emitted as one string per key —
+    * ready for n-gram novelty / dedup / motif ops downstream exactly
+    * like text. All decisions are exact: breakpoints are type-1
+    * quartiles of the deterministic (value, ord) total order, and the
+    * segment bucket compares Σv ≤ q·m by cross-multiplication — the
+    * irrational Gaussian breakpoints of the original are deliberately
+    * replaced by empirical quartiles (stated; equiprobable under the
+    * empirical rather than a fitted normal). One rank window + one
+    * segment aggregate + one ordered string fold.
+    */
+  def sax(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      ordCol: String,
+      valCol: String,
+      segLen: Int = 7): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1: $segLen")
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(ordCol).asc)
+    val wVal = Window.partitionBy(keys: _*)
+      .orderBy(col(valCol).asc, col(ordCol).asc)
+    val wKey = Window.partitionBy(keys: _*)
+    val spine = daily
+      .withColumn("__seg", ((row_number().over(wOrd) - 1) / segLen).cast("long"))
+      .withColumn("__vrn", row_number().over(wVal).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+    val quarts = spine.groupBy(keys: _*)
+      .agg(max(col("__n")).as("n_points"),
+        max(when(col("__vrn") === expr("(__n * 1 + 3) div 4"), col(valCol))).as("q1"),
+        max(when(col("__vrn") === expr("(__n * 2 + 3) div 4"), col(valCol))).as("q2"),
+        max(when(col("__vrn") === expr("(__n * 3 + 3) div 4"), col(valCol))).as("q3"))
+    val segs = spine.groupBy(keys :+ col("__seg"): _*)
+      .agg(sum(col(valCol)).as("__s"), count(lit(1)).as("__m"))
+    segs.join(quarts, keyCols)
+      .withColumn("__sym",
+        when(col("__s") <= col("q1") * col("__m"), "a")
+          .when(col("__s") <= col("q2") * col("__m"), "b")
+          .when(col("__s") <= col("q3") * col("__m"), "c")
+          .otherwise("d"))
+      .groupBy(keys ++ Seq(col("n_points"), col("q1"), col("q2"), col("q3")): _*)
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+          x => x.getField("__sym")), "").as("sax"))
+  }
+
   /** Ljung–Box portmanteau Q (1978) over lags 1..maxLag — the ONE
     * whiteness number the per-lag ACF table (q_acf's spine) only
     * implies: Q = n(n+2)·Σ_k ρ̂_k²/(n−k), large ⇒ the series is not

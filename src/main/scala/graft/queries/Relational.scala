@@ -2138,6 +2138,19 @@ object Relational {
       graft.operators.Stats.mantelHaenszel(li, "ship_month", "exp", "outc")
     }),
 
+    // SAX symbolization (TimeSeries.sax): the daily event series as a
+    // 4-letter token string — weekly PAA means bucketed against the
+    // series' own exact quartiles — the "time series becomes text"
+    // bridge that hands q_ngram_novelty/q_dedup-style ops a motif
+    // alphabet. Every bucket decision by integer cross-multiplication.
+    "q_sax" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.sax(daily, Seq("event_type"), "day", "c")
+        .orderBy("event_type")
+    }),
+
     // Ljung–Box portmanteau Q (TimeSeries.ljungBox) on the q_acf daily
     // spine: the ONE whiteness number the per-lag ACF table implies —
     // n(n+2)·Σρ̂²_k/(n−k) over lags 1..3, exact integer num/den
@@ -4917,6 +4930,43 @@ object Relational {
            CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
            CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // weekly PAA sums vs quartile cross-multiplication; string_agg in
+    // segment order mirrors the struct-sorted fold
+    "q_sax" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         sp AS (
+           SELECT event_type, day, c,
+             (CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) - 1) // 7 AS seg,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY c, day) AS BIGINT) AS vrn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM daily),
+         q AS (
+           SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
+             max(CASE WHEN vrn = (n * 1 + 3) // 4 THEN c END) AS q1,
+             max(CASE WHEN vrn = (n * 2 + 3) // 4 THEN c END) AS q2,
+             max(CASE WHEN vrn = (n * 3 + 3) // 4 THEN c END) AS q3
+           FROM sp GROUP BY 1),
+         sg AS (
+           SELECT event_type, seg, CAST(sum(c) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS m
+           FROM sp GROUP BY 1, 2),
+         sym AS (
+           SELECT sg.event_type AS event_type, seg, n_points, q1, q2, q3,
+             CASE WHEN s <= q1 * m THEN 'a'
+                  WHEN s <= q2 * m THEN 'b'
+                  WHEN s <= q3 * m THEN 'c'
+                  ELSE 'd' END AS sym
+           FROM sg JOIN q ON sg.event_type = q.event_type)
+         SELECT event_type, n_points, q1, q2, q3,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(sym, '' ORDER BY seg) AS sax
+         FROM sym GROUP BY 1, 2, 3, 4, 5 ORDER BY event_type""",
 
     // per-shipmode 2x2 cells; terms floored at x1e6; crude OR rides
     "q_mantel_haenszel" ->

@@ -267,6 +267,33 @@ class TimeSeriesSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(want))
   }
 
+  test("sax buckets weekly PAA means against the exact quartiles") {
+    // 14 days, seg len 7. values 1..14: q1 = v@ceil(14/4)=v@4=4,
+    // q2 = v@7 = 7, q3 = v@ceil(42/4)=v@11 = 11. seg0 mean 4 <= q1*1?
+    // sum 28 vs 4*7=28 -> 'a'; seg1 sum 77 vs q3*7=77 -> 'c'
+    val rows = (1 to 14).map(i => ("k", f"2024-01-$i%02d", Double.box(i.toDouble)))
+    val df = daily(rows: _*).select(col("k"), col("day"),
+      col("v").cast("long").as("c"))
+    val r = TimeSeries.sax(df, Seq("k"), "day", "c").collect().head
+    assert((r.getAs[Long]("q1"), r.getAs[Long]("q2"), r.getAs[Long]("q3")) ===
+      ((4L, 7L, 11L)))
+    assert(r.getAs[Long]("n_segments") === 2L)
+    assert(r.getAs[String]("sax") === "ac")
+  }
+
+  test("sax: short tail segment uses its own count in the cross-multiplication") {
+    // 9 days of value 5 then a single huge day: tail segment (2 days)
+    // mean is (5+100)/2 -> above q3
+    val rows = ((1 to 9).map(i => ("k", f"2024-02-$i%02d", Double.box(5.0))) :+
+      (("k", "2024-02-10", Double.box(100.0))))
+    val df = daily(rows: _*).select(col("k"), col("day"),
+      col("v").cast("long").as("c"))
+    val r = TimeSeries.sax(df, Seq("k"), "day", "c").collect().head
+    assert(r.getAs[Long]("n_points") === 10L)
+    assert(r.getAs[String]("sax").length === 2)
+    assert(r.getAs[String]("sax").last === 'd')
+  }
+
   test("ljungBox: constant and too-short series emit NULL Q") {
     val df = daily(("a", "2024-01-01", 5.0), ("a", "2024-01-02", 5.0),
       ("a", "2024-01-03", 5.0), ("a", "2024-01-04", 5.0), ("a", "2024-01-05", 5.0),
