@@ -1873,6 +1873,54 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Rand index and Adjusted Rand (Hubert & Arabie 1985) between two
+    * categorical PARTITIONS of the same rows — "do these two labelings
+    * cut the corpus the same way", the pair-counting agreement that
+    * needs no label alignment (unlike accuracy) and no logs (unlike
+    * NMI). All four pair censuses are DOUBLED integers (x(x−1), no /2
+    * materializes) off one contingency aggregate + bounded margin
+    * rollups: RI_pm = (1000·(2T_c + T_n − T_a − T_b)) div T_n and
+    * ARI×10⁶ = (10⁶·2·(T_c·T_n − T_a·T_b)) div ((T_a+T_b)·T_n −
+    * 2·T_a·T_b), signed truncation toward zero. T·T ~ N⁴ caps the
+    * exact envelope at N ≈ 10⁸ rows (loud past it); a single-cluster
+    * degenerate pair (denominator 0) emits ARI 0.
+    */
+  def randIndex(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true) // margins and N all fold off it
+    def t2(c: Column): Column = (c.cast(dec) * (c - 1))
+    val tc = cells.agg(sum(t2(col("__m"))).as("__tc"))
+    val ta = cells.groupBy(col("__a")).agg(sum(col("__m")).as("__n"))
+      .agg(count(lit(1)).as("k_a"), sum(t2(col("__n"))).as("__ta"))
+    val tb = cells.groupBy(col("__b")).agg(sum(col("__m")).as("__n"))
+      .agg(count(lit(1)).as("k_b"), sum(t2(col("__n"))).as("__tb"))
+    val n = cells.agg(sum(col("__m")).as("n_rows"))
+    n.crossJoin(broadcast(tc)).crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .withColumn("__tn", t2(col("n_rows")))
+      .withColumn("ri_pm",
+        when(col("__tn") === 0, 1000L).otherwise(loudLong(
+          (((col("__tc") * 2 + col("__tn") - col("__ta") - col("__tb")) * 1000
+            - (col("__tc") * 2 + col("__tn") - col("__ta") - col("__tb")) * 1000
+              % col("__tn")) / col("__tn")).cast(dec),
+          "randIndex", "ri_pm")))
+      .withColumn("__den",
+        (col("__ta") + col("__tb")) * col("__tn") - col("__ta") * col("__tb") * 2)
+      .withColumn("ari_x1e6",
+        when(col("__den") === 0, 0L).otherwise(loudLong(
+          (((col("__tc") * col("__tn") - col("__ta") * col("__tb")) * 2000000
+            - (col("__tc") * col("__tn") - col("__ta") * col("__tb")) * 2000000
+              % col("__den")) / col("__den")).cast(dec),
+          "randIndex", "ari_x1e6")))
+      .select(col("n_rows"), col("k_a"), col("k_b"),
+        loudLong(col("__tc"), "randIndex", "t_cells_x2").as("t_cells_x2"),
+        col("ri_pm"), col("ari_x1e6"))
+  }
+
   /** Isotonic regression of a binned reliability curve — PAV rendered
     * by its MINIMAX identity ŷ_k = max_{i≤k} min_{j≥k} mean(y[i..j])
     * (Ayer et al. 1955), which turns the sequential pool-adjacent-

@@ -107,6 +107,41 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Shapley data valuation (Shapley 1953; Ghorbani & Zou 2019's
+    // coverage rendering) of three sources against the shingle-
+    // coverage game v(S) = |distinct trigram shingles any member of S
+    // contributes|: the marginal worth of each source ACCOUNTING for
+    // overlap — the number a data-purchasing decision actually wants,
+    // where q_source_overlap's pairwise table only hints. With n = 3
+    // the permutation weights are exact sixths, so shap_x6 = 2v_i +
+    // (v_ij − v_j) + (v_ik − v_k) + 2(v_N − v_jk) is a pure integer;
+    // efficiency Σshap_x6 = 6·v_N is asserted in the spec. One
+    // shingle-mask census (8 bounded cells), never a subset re-scan.
+    "q_shapley_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2"))
+      val mask = keyedShingles(docs, "source")
+        .groupBy(col("sh"))
+        .agg(max(when(col("source") === "src0", 1L).otherwise(0L)).as("b0"),
+          max(when(col("source") === "src1", 1L).otherwise(0L)).as("b1"),
+          max(when(col("source") === "src2", 1L).otherwise(0L)).as("b2"))
+      val c = mask.agg(
+        sum(when(col("b0") === 1, 1L).otherwise(0L)).as("v0"),
+        sum(when(col("b1") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("b2") === 1, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("b0") === 1 || col("b1") === 1, 1L).otherwise(0L)).as("v01"),
+        sum(when(col("b0") === 1 || col("b2") === 1, 1L).otherwise(0L)).as("v02"),
+        sum(when(col("b1") === 1 || col("b2") === 1, 1L).otherwise(0L)).as("v12"),
+        count(lit(1)).as("vn"))
+      c.select(expr("""stack(3,
+          'src0', v0, 2*v0 + (v01 - v1) + (v02 - v2) + 2*(vn - v12),
+          'src1', v1, 2*v1 + (v01 - v0) + (v12 - v2) + 2*(vn - v02),
+          'src2', v2, 2*v2 + (v02 - v0) + (v12 - v1) + 2*(vn - v01))
+          AS (source, v_single, shap_x6)"""),
+        col("vn").as("v_all"))
+        .orderBy("source")
+    }),
+
     "q_source_overlap" -> ((s, d) => {
       val srcs = Seq("src0", "src1", "src2", "src3", "src4")
       val sh = keyedShingles(
@@ -366,6 +401,27 @@ object LlmOps {
     // tools/oracle_check.py; mild flips (0.45, 0.95) stay green because
     // every truth pair on this corpus has Jaccard >= 0.909 — the floor
     // binds against a broken LSH leg, not against threshold nudges.
+    // LSH banding guarantee curve for q_dedup_minhash's parameters
+    // (64 hashes as 32 bands x 2 rows): collision probability
+    // p = 1 - (1 - s^2)^32 over a 20-point Jaccard grid — the table
+    // that justifies (or indicts) the banding choice before a corpus-
+    // sized run. Powers by a FIXED squaring chain (q2,q4,...,q32),
+    // one tree both engines replay bitwise; the grid is generated, no
+    // table scanned.
+    "q_lsh_scurve" -> ((s, d) => {
+      val grid = s.range(1, 21).toDF("i")
+        .withColumn("s_pm", col("i") * 50)
+      val sd = col("s_pm").cast("double") / lit(1000.0)
+      val q = lit(1.0) - sd * sd
+      val q2 = q * q
+      val q4 = q2 * q2
+      val q8 = q4 * q4
+      val q16 = q8 * q8
+      val q32 = q16 * q16
+      grid.select(col("s_pm"), (lit(1.0) - q32).as("p_collide"))
+        .orderBy("s_pm")
+    }),
+
     "q_dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
@@ -4760,6 +4816,14 @@ object LlmOps {
         .orderBy("cat")
     }),
 
+    // Rand + Adjusted Rand (Stats.randIndex) between the source and
+    // language partitions of the corpus: pair-counting partition
+    // agreement with no label alignment and no logs — the "is
+    // provenance just language in disguise" dedup-blocking audit (ARI
+    // ~0 = independent cuts; ~10⁶ = identical partitions).
+    "q_rand_index" -> ((s, d) =>
+      Stats.randIndex(Tables.documents(s, d), "source", "lang")),
+
     // Gries' DP dispersion (TextAnalysis.griesDp) of the top-12 corpus
     // terms across sources: which high-frequency terms are corpus-wide
     // vocabulary and which are one source's tic — the
@@ -5601,6 +5665,43 @@ object LlmOps {
                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          FROM sh s JOIN f ON s.sh = f.sh
          GROUP BY 1 ORDER BY s.doc_id""",
+
+    // the 8-cell mask census; n=3 Shapley weights are exact sixths
+    "q_shapley_coverage" ->
+      """WITH sh AS (
+           SELECT DISTINCT source,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, greatest(len(t)-1, 1))]) AS sh
+           FROM (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM documents
+                 WHERE source IN ('src0','src1','src2'))
+           WHERE len(t) >= 3),
+         mk AS (
+           SELECT sh,
+             max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS b0,
+             max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b1,
+             max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS b2
+           FROM sh GROUP BY 1),
+         c AS (
+           SELECT CAST(sum(b0) AS BIGINT) AS v0,
+             CAST(sum(b1) AS BIGINT) AS v1,
+             CAST(sum(b2) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN b0 = 1 OR b1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v01,
+             CAST(sum(CASE WHEN b0 = 1 OR b2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v02,
+             CAST(sum(CASE WHEN b1 = 1 OR b2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v12,
+             CAST(count(*) AS BIGINT) AS vn
+           FROM mk)
+         SELECT u.source, u.v_single, u.shap_x6, c.vn AS v_all
+         FROM c, LATERAL (VALUES
+           ('src0', v0, 2*v0 + (v01 - v1) + (v02 - v2) + 2*(vn - v12)),
+           ('src1', v1, 2*v1 + (v01 - v0) + (v12 - v2) + 2*(vn - v02)),
+           ('src2', v2, 2*v2 + (v02 - v0) + (v12 - v1) + 2*(vn - v01)))
+           AS u(source, v_single, shap_x6)
+         ORDER BY u.source""",
 
     "q_source_overlap" ->
       """WITH sh AS (
@@ -7913,6 +8014,20 @@ object LlmOps {
     // recall_ok = true are invariants the engine must uphold (zero FPs are
     // structural via the exact verify step; the recall floors are
     // data-dependent constants documented at the query definitions).
+    // generated grid; identical squaring chain
+    "q_lsh_scurve" ->
+      """WITH g AS (SELECT unnest(range(1, 21)) AS i),
+         s AS (SELECT CAST(i * 50 AS BIGINT) AS s_pm,
+                 CAST(i * 50 AS DOUBLE) / 1000.0 AS sd FROM g),
+         p AS (
+           SELECT s_pm, 1.0 - sd * sd AS q FROM s),
+         c AS (
+           SELECT s_pm, ((q * q) * (q * q)) AS q4 FROM p),
+         e AS (
+           SELECT s_pm, ((q4 * q4) * (q4 * q4)) AS q16 FROM c)
+         SELECT s_pm, 1.0 - (q16 * q16) AS p_collide
+         FROM e ORDER BY s_pm""",
+
     "q_dedup_minhash" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -11050,6 +11165,36 @@ object LlmOps {
                 ELSE 1000 - (1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
                   // sum(f) END AS BIGINT) AS coverage_pm
          FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // doubled pair censuses off one contingency; RI/ARI by signed
+    // truncating division
+    "q_rand_index" ->
+      """WITH cells AS (
+           SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS m
+           FROM documents GROUP BY 1, 2),
+         tc AS (SELECT sum(CAST(m AS HUGEINT) * (m - 1)) AS tc FROM cells),
+         ta AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_a,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS ta
+           FROM (SELECT a, CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY 1)),
+         tb AS (
+           SELECT CAST(count(*) AS BIGINT) AS k_b,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS tb
+           FROM (SELECT b, CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY 1)),
+         nn AS (SELECT CAST(sum(m) AS BIGINT) AS n_rows FROM cells),
+         z AS (
+           SELECT n_rows, k_a, k_b, tc, ta, tb,
+             CAST(n_rows AS HUGEINT) * (n_rows - 1) AS tn
+           FROM nn CROSS JOIN tc CROSS JOIN ta CROSS JOIN tb)
+         SELECT n_rows, k_a, k_b, CAST(tc AS BIGINT) AS t_cells_x2,
+           CAST(CASE WHEN tn = 0 THEN 1000
+                ELSE ((tc * 2 + tn - ta - tb) * 1000) // tn
+                END AS BIGINT) AS ri_pm,
+           CAST(CASE WHEN (ta + tb) * tn - ta * tb * 2 = 0 THEN 0
+                ELSE ((tc * tn - ta * tb) * 2000000)
+                  // ((ta + tb) * tn - ta * tb * 2)
+                END AS BIGINT) AS ari_x1e6
+         FROM z""",
 
     // top-12 terms by (count desc, term asc); densified per-part
     // cells; DP by cross-multiplied L1 halves

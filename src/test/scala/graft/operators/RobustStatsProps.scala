@@ -373,6 +373,39 @@ object RobustStatsProps extends Properties("RobustStats") {
       (got == want) && (got == got.sorted)
     }
 
+  private val genParts: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 3L)))
+  } yield rows
+
+  property("randIndex equals the brute-force pair census") =
+    Prop.forAll(genParts) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("a", "b")
+      val r = Stats.randIndex(df, "a", "b").collect().head
+      val idx = rows.zipWithIndex
+      val pairs = for (x <- idx; y <- idx if x._2 < y._2) yield (x._1, y._1)
+      val agree = pairs.count { case ((a1, b1), (a2, b2)) =>
+        (a1 == a2) == (b1 == b2)
+      }
+      val nPairs = pairs.size
+      val riPm = if (nPairs == 0) 1000L else 1000L * agree / nPairs
+      // brute ARI from the doubled censuses (same truncation contract)
+      def t2(groups: Map[Long, Int]): BigInt =
+        groups.values.map(c => BigInt(c) * (c - 1)).sum
+      val tc = rows.groupBy(identity).view.mapValues(_.size).values
+        .map(c => BigInt(c) * (c - 1)).sum
+      val ta = t2(rows.groupBy(_._1).view.mapValues(_.size).toMap)
+      val tb = t2(rows.groupBy(_._2).view.mapValues(_.size).toMap)
+      val tn = BigInt(rows.size) * (rows.size - 1)
+      val den = (ta + tb) * tn - ta * tb * 2
+      val ari = if (den == 0) BigInt(0)
+        else (tc * tn - ta * tb) * 2000000 / den
+      (r.getAs[Long]("n_rows") == rows.size.toLong) &&
+        (r.getAs[Long]("ri_pm") == riPm) &&
+        (r.getAs[Long]("ari_x1e6") == ari.toLong)
+    }
+
   property("quantileShape octiles are the type-1 quantiles of the sorted values") =
     Prop.forAll(genVals) { vals =>
       import spark.implicits._

@@ -149,4 +149,29 @@ class CertificateSpec extends SparkSpec {
     assert(wrong != truth,
       "cut perturbation failed to go red — the recount does not bind the constants")
   }
+
+  test("q_shapley_coverage: efficiency axiom and independent subset recount") {
+    val rows = graft.SparkEntry.queries("q_shapley_coverage")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val vAll = rows.values.head._3
+    // efficiency: the Shapley values partition v(N) exactly
+    assert(rows.values.map(_._2).sum === 6L * vAll,
+      "sum of shap_x6 must equal 6*v(N)")
+    // monotone coverage game -> non-negative values
+    assert(rows.values.forall(_._2 >= 0L))
+    assert(rows.values.forall(v => v._1 <= vAll))
+    // independent recount of v({src0}) and v(N) by Scala set arithmetic
+    import graft.Tables
+    def shingleSet(src: String): Set[String] =
+      Tables.documents(spark, sf).filter(col("source") === src)
+        .select(col("text")).collect().iterator.flatMap { r =>
+          val t = r.getString(0).split(" ").filter(_.nonEmpty)
+          t.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        }.toSet
+    val s0 = shingleSet("src0")
+    val all = s0 ++ shingleSet("src1") ++ shingleSet("src2")
+    assert(rows("src0")._1 === s0.size.toLong)
+    assert(vAll === all.size.toLong)
+  }
 }
