@@ -175,4 +175,51 @@ object NgramLm {
         max(when(col("kept"), col("cum"))).as("cov_cut"))
       .withColumn("covered_ok", col("cov_cut") * pDen >= col("n1") * pNum)
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman's interpolated form) with absolute discount d = ¾ —
+    * THE classical n-gram smoother, rendered float-free: with the
+    * discount a quarter-integer, p_KN(w₂|w₁) = (c₁₂−¾)⁺/c₁ +
+    * (¾·N₁₊(w₁·)/c₁)·(N₁₊(·w₂)/N₁₊(··)) multiplies out to the single
+    * exact rational ((4c₁₂−3)⁺·B + 3·nf₁·nb₂) / (4·c₁·B) (B = distinct
+    * bigram count), emitted ×10⁶ by one truncating division next to
+    * the MLE ×10⁶ — the continuation-probability correction ("Francisco
+    * is frequent but only ever follows San") visible as the gap
+    * between the two columns. Model frames are vocabulary-bounded
+    * (c₁₂ ≤ |V|², margins |V|); emitted for the top-K bigrams by the
+    * deterministic (count desc, w₁, w₂) order. Products ride
+    * DECIMAL(38,0), loud past c₁·B ≈ 10³⁷.
+    */
+  def kneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK out of range: $topK")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val b = docs
+      .withColumn("tk", gfn.ascii_tokens(col(textCol)))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // margins, fan-outs, and B all fold off it
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("nf1"))
+    val nb2 = c12.groupBy(col("w2")).agg(count(lit(1)).as("nb2"))
+    val bTot = c12.agg(count(lit(1)).as("n_bigram_types"))
+    c12.orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(topK)
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(nb2), Seq("w2"))
+      .crossJoin(broadcast(bTot))
+      .withColumn("pkn_x1e6", expr(
+        """(1000000 * (greatest(4 * c12 - 3, 0) * CAST(n_bigram_types AS DECIMAL(38,0))
+              + CAST(3 AS DECIMAL(38,0)) * nf1 * nb2))
+           div (CAST(4 AS DECIMAL(38,0)) * c1 * n_bigram_types)"""))
+      .withColumn("pmle_x1e6", expr("(1000000 * c12) div c1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("nf1"),
+        col("nb2"), col("n_bigram_types"), col("pkn_x1e6"), col("pmle_x1e6"))
+  }
 }

@@ -3053,6 +3053,16 @@ object LlmOps {
         .orderBy("w1")
     }),
 
+    // Interpolated Kneser-Ney (NgramLm.kneserNey): THE classical
+    // n-gram smoother with the d = 3/4 discount kept rational, so the
+    // continuation-probability correction emits as one exact x1e6
+    // integer next to the MLE — the "Francisco follows only San" gap
+    // made visible for the top-20 corpus bigrams.
+    "q_kneser_ney" -> ((s, d) => {
+      graft.operators.NgramLm.kneserNey(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+    }),
+
     // Embedding hygiene audit (the QA pass before any vector index):
     // per label, zero-vector and norm-outlier counts over the EXACT
     // integer quantized norm Σq² — no float accumulation anywhere, so
@@ -7179,6 +7189,41 @@ object LlmOps {
 
     // The nucleus cut replayed: same bigram model, same (n12 desc, w2)
     // order, same cum_prev·10 < n1·9 keep rule and coverage check.
+    // vocabulary-bounded margins; the single-rational KN form
+    "q_kneser_ney" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT s.w1 AS w1, s.w2 AS w2 FROM (
+             SELECT unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+             FROM t WHERE len(tk) >= 2)),
+         c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS nf1
+                FROM c12 GROUP BY 1),
+         nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb2
+                FROM c12 GROUP BY 1),
+         bt AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM c12),
+         top AS (SELECT w1, w2, c12 FROM c12
+                 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 20)
+         SELECT top.w1, top.w2, top.c12, c1.c1, c1.nf1, nb.nb2,
+           bt.n_bigram_types,
+           CAST((1000000 * (greatest(4 * top.c12 - 3, 0)
+                   * CAST(bt.n_bigram_types AS HUGEINT)
+                 + CAST(3 AS HUGEINT) * c1.nf1 * nb.nb2))
+             // (CAST(4 AS HUGEINT) * c1.c1 * bt.n_bigram_types)
+             AS BIGINT) AS pkn_x1e6,
+           CAST((1000000 * top.c12) // c1.c1 AS BIGINT) AS pmle_x1e6
+         FROM top
+           JOIN c1 ON top.w1 = c1.w1
+           JOIN nb ON top.w2 = nb.w2
+           CROSS JOIN bt
+         ORDER BY top.c12 DESC, top.w1 ASC, top.w2 ASC""",
+
     "q_nucleus" ->
       """WITH t AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -62,4 +62,28 @@ class NgramLmSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getAs[Long]("nucleus_size") <= r.getAs[Long]("n_succ")))
   }
+
+  test("kneserNey: the continuation correction demotes the one-context bigram") {
+    // 'y' is frequent but ONLY follows 'x' (the Francisco effect);
+    // 'c' follows both 'a' and 'b'. Corpus bigrams:
+    //   x y (x3), a c, b c, c x  -> B = 4 distinct bigram types
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y"),
+      (4L, "a c"), (5L, "b c"), (6L, "c x")).toDF("doc_id", "text")
+    val out = NgramLm.kneserNey(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = out(("x", "y"))
+    // c12=3, c1=3, nf1=1, nb2(y)=1, B=4:
+    // pkn = ((4*3-3)*4 + 3*1*1)*1e6 / (4*3*4) = (36+3)/48 = 812500
+    assert(xy.getAs[Long]("pkn_x1e6") === 812500L)
+    assert(xy.getAs[Long]("pmle_x1e6") === 1000000L)
+    // the KN correction took ~19% off the MLE for the one-context pair
+    val ac = out(("a", "c"))
+    // c12=1, c1=1, nf1=1, nb2(c)=2, B=4: ((1)*4 + 3*1*2)/(4*1*4) = 10/16
+    assert(ac.getAs[Long]("pkn_x1e6") === 625000L)
+    assert(ac.getAs[Long]("pmle_x1e6") === 1000000L)
+    // c follows two contexts -> its continuation mass beats y's
+    assert(ac.getAs[Long]("nb2") === 2L)
+    assert(xy.getAs[Long]("nb2") === 1L)
+  }
 }
