@@ -1873,6 +1873,43 @@ object Stats {
         col("vr_x1000")): _*)
   }
 
+  /** Wilson-score lower-bound ranking (Wilson 1927; the "how not to
+    * sort by average rating" order) at z = 2 (~95%): small samples
+    * with perfect rates sort BELOW large samples with merely good
+    * rates — the uncertainty-honest leaderboard for pass rates. The
+    * bound itself is the fixed double tree
+    * (p̂ + 2/n − 2·√(p̂(1−p̂)/n + 1/n²)) / (1 + 4/n) — √ is correctly
+    * rounded by IEEE in both engines (the partialCorrelation law) so
+    * the rank replays bitwise — and `gt_half` ("the bound clears
+    * 50%") is decided EXACTLY with no floats at all via the squared
+    * form n·(2·pos−n)² > 16·(pos·(n−pos)+n) on the 2·pos > n branch.
+    * One aggregate + one bounded rank window.
+    */
+  def wilsonRank(
+      df: DataFrame,
+      keyCol: String,
+      passCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("pos"))
+    val nd = col("n").cast("double")
+    val ph = col("pos").cast("double") / nd
+    val term = (ph * (lit(1.0) - ph)) / nd + lit(1.0) / (nd * nd)
+    val lb = (ph + lit(2.0) / nd - lit(2.0) * sqrt(term)) /
+      (lit(1.0) + lit(4.0) / nd)
+    g.withColumn("rate_pm", expr("(1000 * pos) div n"))
+      .withColumn("wilson_lb", lb)
+      .withColumn("gt_half",
+        col("pos") * 2 > col("n") &&
+          col("n").cast(dec) * (col("pos").cast(dec) * 2 - col("n"))
+            * (col("pos").cast(dec) * 2 - col("n")) >
+          (col("pos").cast(dec) * (col("n") - col("pos")) + col("n")) * 16)
+      .withColumn("final_rank",
+        row_number().over(
+          Window.orderBy(col("wilson_lb").desc, col(keyCol).asc)).cast("long"))
+  }
+
   /** Rand index and Adjusted Rand (Hubert & Arabie 1985) between two
     * categorical PARTITIONS of the same rows — "do these two labelings
     * cut the corpus the same way", the pair-counting agreement that

@@ -4826,6 +4826,22 @@ object LlmOps {
         .orderBy("cat")
     }),
 
+    // Wilson lower-bound leaderboard (Stats.wilsonRank): sources
+    // ranked by the z=2 lower confidence bound of their length-band
+    // pass rate — the uncertainty-honest sort where a 3-for-3 source
+    // ranks below a 900-for-1000 one; "clears 50%" decided exactly
+    // with no floats via the squared form.
+    "q_wilson_rank" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("pass", col("n_tok").between(20, 90))
+      Stats.wilsonRank(base, "source", "pass")
+        .orderBy("final_rank")
+    }),
+
     // Rand + Adjusted Rand (Stats.randIndex) between the source and
     // language partitions of the corpus: pair-counting partition
     // agreement with no label alignment and no logs — the "is
@@ -11210,6 +11226,40 @@ object LlmOps {
                 ELSE 1000 - (1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
                   // sum(f) END AS BIGINT) AS coverage_pm
          FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // the identical sqrt tree; gt_half by exact squared comparison
+    "q_wilson_rank" ->
+      """WITH tk AS (
+           SELECT source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT source, len(t) BETWEEN 20 AND 90 AS pass
+           FROM tk WHERE len(t) > 0),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM f GROUP BY 1),
+         w AS (
+           SELECT source, n, pos,
+             (1000 * pos) // n AS rate_pm,
+             (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+              + 2.0 / CAST(n AS DOUBLE)
+              - 2.0 * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                  * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / CAST(n AS DOUBLE)
+                  + 1.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 4.0 / CAST(n AS DOUBLE)) AS wilson_lb,
+             pos * 2 > n AND
+               CAST(n AS HUGEINT) * (CAST(pos AS HUGEINT) * 2 - n)
+                 * (CAST(pos AS HUGEINT) * 2 - n) >
+               (CAST(pos AS HUGEINT) * (n - pos) + n) * 16 AS gt_half
+           FROM g)
+         SELECT source, n, pos, rate_pm, wilson_lb, gt_half,
+           CAST(row_number() OVER (ORDER BY wilson_lb DESC, source ASC)
+             AS BIGINT) AS final_rank
+         FROM w ORDER BY final_rank""",
 
     // doubled pair censuses off one contingency; RI/ARI by signed
     // truncating division

@@ -406,6 +406,34 @@ object RobustStatsProps extends Properties("RobustStats") {
         (r.getAs[Long]("ari_x1e6") == ari.toLong)
     }
 
+  private val genPass: Gen[Seq[Boolean]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield rows
+
+  property("wilsonRank replays the fixed sqrt tree and the exact gt_half form") =
+    Prop.forAll(genPass) { passes =>
+      import spark.implicits._
+      val df = passes.map(("k", _)).toDF("k", "pass")
+      val r = Stats.wilsonRank(df, "k", "pass").collect().head
+      val n = passes.size.toDouble
+      val pos = passes.count(identity).toDouble
+      val ph = pos / n
+      val term = (ph * (1.0 - ph)) / n + 1.0 / (n * n)
+      val lb = (ph + 2.0 / n - 2.0 * math.sqrt(term)) / (1.0 + 4.0 / n)
+      val posL = passes.count(identity).toLong
+      val nL = passes.size.toLong
+      val gtHalf = posL * 2 > nL &&
+        BigInt(nL) * (2 * posL - nL) * (2 * posL - nL) >
+          (BigInt(posL) * (nL - posL) + nL) * 16
+      // the exact decision must agree with the double bound (no
+      // boundary case can land exactly ON 0.5 with integer counts)
+      (java.lang.Double.doubleToLongBits(r.getAs[Double]("wilson_lb")) ==
+        java.lang.Double.doubleToLongBits(lb)) &&
+        (r.getAs[Boolean]("gt_half") == gtHalf) &&
+        (gtHalf == (lb > 0.5) || math.abs(lb - 0.5) < 1e-9)
+    }
+
   property("quantileShape octiles are the type-1 quantiles of the sorted values") =
     Prop.forAll(genVals) { vals =>
       import spark.implicits._
