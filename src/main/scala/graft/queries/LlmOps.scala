@@ -4842,6 +4842,51 @@ object LlmOps {
         .orderBy("final_rank")
     }),
 
+    // BLEU-1/2 components (Papineni et al. 2002) over the blocked
+    // near-dup pairs: CLIPPED multiset n-gram precisions — the
+    // asymmetric candidate-vs-reference overlap the set-based
+    // q_ngram_jaccard/q_containment_join family can't see (a candidate
+    // repeating one reference word 50x scores 50/50 on sets, 1/50
+    // clipped) — plus the exact brevity ratio; the exp-weighted BLEU
+    // composite is deliberately NOT emitted (logs — the PMI/BM25 law),
+    // the components are the auditable integers.
+    "q_bleu_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val pairs = ccBlockingPairs(docs)
+      val toks = docs.select(col("doc_id"),
+        gfn.ascii_tokens(col("text")).as("tk"))
+      def grams(n: Int) =
+        if (n == 1) col("tk")
+        else expr("transform(sequence(0, size(tk)-2), i -> concat_ws(' ', tk[i], tk[i+1]))")
+      def counts(side: String, idCol: String, n: Int) = pairs
+        .join(toks.withColumnRenamed("doc_id", idCol), Seq(idCol))
+        .filter(size(col("tk")) >= n)
+        .select(col("id_a"), col("id_b"), explode(grams(n)).as("g"))
+        .groupBy(col("id_a"), col("id_b"), col("g"))
+        .agg(count(lit(1)).as(s"c_$side"))
+      def clipped(n: Int) = counts("cand", "id_a", n)
+        .join(counts("ref", "id_b", n), Seq("id_a", "id_b", "g"), "left")
+        .na.fill(0L, Seq("c_ref"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("c_cand")).as(s"len$n"),
+          sum(least(col("c_cand"), col("c_ref"))).as(s"clip$n"))
+      clipped(1).join(clipped(2), Seq("id_a", "id_b"), "left")
+        .na.fill(0L, Seq("len2", "clip2"))
+        .withColumn("p1_pm", expr("(1000 * clip1) div len1"))
+        .withColumn("p2_pm",
+          when(col("len2") === 0, 0L).otherwise(expr("(1000 * clip2) div len2")))
+        .join(toks.select(col("doc_id").as("id_b"),
+          size(col("tk")).cast("long").as("len_ref")), Seq("id_b"))
+        .withColumn("brevity_pm",
+          when(col("len_ref") === 0, 0L)
+            .otherwise(expr("(1000 * len1) div len_ref")))
+        .select(col("id_a"), col("id_b"), col("len1"), col("len_ref"),
+          col("clip1"), col("p1_pm"), col("clip2"), col("p2_pm"),
+          col("brevity_pm"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Rand + Adjusted Rand (Stats.randIndex) between the source and
     // language partitions of the corpus: pair-counting partition
     // agreement with no label alignment and no logs — the "is
@@ -11226,6 +11271,65 @@ object LlmOps {
                 ELSE 1000 - (1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
                   // sum(f) END AS BIGINT) AS coverage_pm
          FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // blocked pairs; clipped multiset precisions by min-join per gram
+    "q_bleu_components" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+           FROM documents WHERE doc_id < 500),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d a JOIN d b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+             AND a.doc_id < b.doc_id),
+         u1 AS (
+           SELECT doc_id, unnest(tk) AS g FROM d WHERE len(tk) >= 1),
+         u2 AS (
+           SELECT doc_id,
+             unnest([tk[i] || ' ' || tk[i+1]
+                     for i in range(1, greatest(len(tk), 1))]) AS g
+           FROM d WHERE len(tk) >= 2),
+         c1c AS (
+           SELECT id_a, id_b, g, CAST(count(*) AS BIGINT) AS cc
+           FROM pairs JOIN u1 ON u1.doc_id = pairs.id_a GROUP BY 1, 2, 3),
+         c1r AS (
+           SELECT id_a, id_b, g, CAST(count(*) AS BIGINT) AS cr
+           FROM pairs JOIN u1 ON u1.doc_id = pairs.id_b GROUP BY 1, 2, 3),
+         k1 AS (
+           SELECT c1c.id_a, c1c.id_b,
+             CAST(sum(cc) AS BIGINT) AS len1,
+             CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT) AS clip1
+           FROM c1c LEFT JOIN c1r
+             ON c1c.id_a = c1r.id_a AND c1c.id_b = c1r.id_b AND c1c.g = c1r.g
+           GROUP BY 1, 2),
+         c2c AS (
+           SELECT id_a, id_b, g, CAST(count(*) AS BIGINT) AS cc
+           FROM pairs JOIN u2 ON u2.doc_id = pairs.id_a GROUP BY 1, 2, 3),
+         c2r AS (
+           SELECT id_a, id_b, g, CAST(count(*) AS BIGINT) AS cr
+           FROM pairs JOIN u2 ON u2.doc_id = pairs.id_b GROUP BY 1, 2, 3),
+         k2 AS (
+           SELECT c2c.id_a, c2c.id_b,
+             CAST(sum(cc) AS BIGINT) AS len2,
+             CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT) AS clip2
+           FROM c2c LEFT JOIN c2r
+             ON c2c.id_a = c2r.id_a AND c2c.id_b = c2r.id_b AND c2c.g = c2r.g
+           GROUP BY 1, 2),
+         lr AS (SELECT doc_id AS id_b, CAST(len(tk) AS BIGINT) AS len_ref
+                FROM d)
+         SELECT k1.id_a, k1.id_b, k1.len1, lr.len_ref, k1.clip1,
+           (1000 * k1.clip1) // k1.len1 AS p1_pm,
+           coalesce(k2.clip2, 0) AS clip2,
+           CASE WHEN coalesce(k2.len2, 0) = 0 THEN 0
+                ELSE (1000 * k2.clip2) // k2.len2 END AS p2_pm,
+           CASE WHEN lr.len_ref = 0 THEN 0
+                ELSE (1000 * k1.len1) // lr.len_ref END AS brevity_pm
+         FROM k1
+           LEFT JOIN k2 ON k1.id_a = k2.id_a AND k1.id_b = k2.id_b
+           JOIN lr ON k1.id_b = lr.id_b
+         ORDER BY k1.id_a, k1.id_b""",
 
     // the identical sqrt tree; gt_half by exact squared comparison
     "q_wilson_rank" ->

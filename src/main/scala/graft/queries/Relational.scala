@@ -893,6 +893,37 @@ object Relational {
               col("conv_b") * col("n_a")).cast("double")).as("lift"))
     }),
 
+    // Difference-in-differences (the panel-data causal workhorse) on
+    // the q_cuped frame: per-user pre/post event counts, arms by the
+    // portable hash — DiD = (post−pre | treated) − (post−pre | control)
+    // as ONE exact signed per-mille by cross-multiplying the two arm
+    // sizes; the four cell sums ride along as witnesses. Parallel-
+    // trends is an ASSUMPTION (stated), not something the estimator
+    // checks.
+    "q_diff_in_diff" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts")) <= lit("2024-01-15"), 1L).otherwise(0L))
+          .as("pre"),
+          sum(when(to_date(col("ts")) > lit("2024-01-15"), 1L).otherwise(0L))
+            .as("post"))
+        .withColumn("treated",
+          pmod(graft.operators.Sampling.portableUniform(col("user_id")),
+            lit(2L)) === 0)
+      users.groupBy()
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated"), col("pre")).otherwise(0L)).as("pre_t"),
+          sum(when(col("treated"), col("post")).otherwise(0L)).as("post_t"),
+          sum(when(!col("treated"), col("pre")).otherwise(0L)).as("pre_c"),
+          sum(when(!col("treated"), col("post")).otherwise(0L)).as("post_c"))
+        .withColumn("did_x1000",
+          when(col("n_t") === 0 || col("n_c") === 0, 0L).otherwise(expr(
+            """(1000 * ((post_t - pre_t) * CAST(n_c AS DECIMAL(38,0))
+                 - (post_c - pre_c) * CAST(n_t AS DECIMAL(38,0))))
+               div (CAST(n_t AS DECIMAL(38,0)) * n_c)""")))
+    }),
+
     // CUPED variance reduction (Deng et al. 2013) on the q_ab_lift
     // experiment: per-user PRE-period activity (Jan 1-15) as the
     // covariate for the POST-period metric — θ = Cov/Var from exact
@@ -3857,6 +3888,42 @@ object Relational {
            CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
            CAST(conv_a * n_b AS DOUBLE) / CAST(conv_b * n_a AS DOUBLE)
              AS lift
+         FROM a""",
+
+    // the four cell sums and the one cross-multiplied signed per-mille
+    "q_diff_in_diff" ->
+      """WITH ux AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+               THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+               THEN 1 ELSE 0 END) AS BIGINT) AS post
+           FROM events GROUP BY 1),
+         u AS (
+           SELECT pre, post,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 = 0 AS treated
+           FROM ux),
+         a AS (
+           SELECT
+             CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN treated THEN pre ELSE 0 END) AS BIGINT)
+               AS pre_t,
+             CAST(sum(CASE WHEN treated THEN post ELSE 0 END) AS BIGINT)
+               AS post_t,
+             CAST(sum(CASE WHEN NOT treated THEN pre ELSE 0 END) AS BIGINT)
+               AS pre_c,
+             CAST(sum(CASE WHEN NOT treated THEN post ELSE 0 END) AS BIGINT)
+               AS post_c
+           FROM u)
+         SELECT n_t, n_c, pre_t, post_t, pre_c, post_c,
+           CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN 0
+                ELSE (1000 * ((post_t - pre_t) * CAST(n_c AS HUGEINT)
+                       - (post_c - pre_c) * CAST(n_t AS HUGEINT)))
+                  // (CAST(n_t AS HUGEINT) * n_c)
+                END AS BIGINT) AS did_x1000
          FROM a""",
 
     // pooled exact moments; theta one IEEE division; adjusted means by
