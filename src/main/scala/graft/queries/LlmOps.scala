@@ -4826,6 +4826,49 @@ object LlmOps {
         .orderBy("cat")
     }),
 
+    // Decision-stump split selection by exact Gini impurity: over a
+    // FIXED 18-candidate (feature, threshold) grid — length, TTR,
+    // repetition, the q_quality_vote signals — pick the split that
+    // best separates English from non-English docs. Each child's
+    // impurity mass is the exact integer (10⁶·pos·(n−pos)) div n
+    // (floored per child, summed as integers — shuffle-order-free);
+    // the weak-learner-in-engine primitive under every boosted quality
+    // classifier. The grid is a bounded broadcast; ONE corpus pass.
+    "q_stump_split" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("ttr_pm",
+          expr("(CAST(size(array_distinct(tk)) AS BIGINT) * 1000) div n_tok"))
+        .withColumn("y", (col("lang") === "en").cast("long"))
+        .select(col("n_tok"), col("ttr_pm"), col("y"))
+      val grid = (Seq(10L, 20L, 40L, 60L, 90L, 120L).map(("n_tok", _)) ++
+        Seq(300L, 400L, 500L, 600L, 700L, 800L).map(("ttr_pm", _)))
+        .toDF("feature", "thr")
+      base.crossJoin(broadcast(grid))
+        .withColumn("v",
+          when(col("feature") === "n_tok", col("n_tok")).otherwise(col("ttr_pm")))
+        .groupBy(col("feature"), col("thr"))
+        .agg(
+          sum(when(col("v") <= col("thr"), 1L).otherwise(0L)).as("n_l"),
+          sum(when(col("v") <= col("thr"), col("y")).otherwise(0L)).as("pos_l"),
+          sum(when(col("v") > col("thr"), 1L).otherwise(0L)).as("n_r"),
+          sum(when(col("v") > col("thr"), col("y")).otherwise(0L)).as("pos_r"))
+        .withColumn("imp_x1e6",
+          when(col("n_l") === 0, 0L).otherwise(expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * pos_l * (n_l - pos_l)) div n_l")) +
+          when(col("n_r") === 0, 0L).otherwise(expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * pos_r * (n_r - pos_r)) div n_r")))
+        .withColumn("split_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("imp_x1e6").asc, col("feature").asc, col("thr").asc))
+            .cast("long"))
+        .orderBy("split_rank")
+    }),
+
     // Wilson lower-bound leaderboard (Stats.wilsonRank): sources
     // ranked by the z=2 lower confidence bound of their length-band
     // pass rate — the uncertainty-honest sort where a 3-for-3 source
@@ -11271,6 +11314,53 @@ object LlmOps {
                 ELSE 1000 - (1000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
                   // sum(f) END AS BIGINT) AS coverage_pm
          FROM fr GROUP BY 1 ORDER BY cat""",
+
+    // fixed candidate grid; per-child floors summed as integers
+    "q_stump_split" ->
+      """WITH tk AS (
+           SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT CAST(len(t) AS BIGINT) AS n_tok,
+             (CAST(len(list_distinct(t)) AS BIGINT) * 1000)
+               // CAST(len(t) AS BIGINT) AS ttr_pm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM tk WHERE len(t) > 0),
+         grid AS (
+           SELECT * FROM (VALUES
+             ('n_tok', 10), ('n_tok', 20), ('n_tok', 40),
+             ('n_tok', 60), ('n_tok', 90), ('n_tok', 120),
+             ('ttr_pm', 300), ('ttr_pm', 400), ('ttr_pm', 500),
+             ('ttr_pm', 600), ('ttr_pm', 700), ('ttr_pm', 800))
+             AS g(feature, thr)),
+         e AS (
+           SELECT feature, CAST(thr AS BIGINT) AS thr,
+             CASE WHEN feature = 'n_tok' THEN n_tok ELSE ttr_pm END AS v,
+             y
+           FROM f CROSS JOIN grid),
+         c AS (
+           SELECT feature, thr,
+             CAST(sum(CASE WHEN v <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+             CAST(sum(CASE WHEN v <= thr THEN y ELSE 0 END) AS BIGINT)
+               AS pos_l,
+             CAST(sum(CASE WHEN v > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN v > thr THEN y ELSE 0 END) AS BIGINT) AS pos_r
+           FROM e GROUP BY 1, 2),
+         sc AS (
+           SELECT feature, thr, n_l, pos_l, n_r, pos_r,
+             CAST(CASE WHEN n_l = 0 THEN 0
+               ELSE (CAST(1000000 AS HUGEINT) * pos_l * (n_l - pos_l)) // n_l
+               END
+             + CASE WHEN n_r = 0 THEN 0
+               ELSE (CAST(1000000 AS HUGEINT) * pos_r * (n_r - pos_r)) // n_r
+               END AS BIGINT) AS imp_x1e6
+           FROM c)
+         SELECT feature, thr, n_l, pos_l, n_r, pos_r, imp_x1e6,
+           CAST(row_number() OVER (ORDER BY imp_x1e6 ASC, feature ASC, thr ASC)
+             AS BIGINT) AS split_rank
+         FROM sc ORDER BY split_rank""",
 
     // blocked pairs; clipped multiset precisions by min-join per gram
     "q_bleu_components" ->
