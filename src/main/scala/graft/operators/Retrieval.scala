@@ -199,6 +199,63 @@ object Retrieval {
       .select(col(idCol) +: col("dl") +: tfCols.map(col) :+ col("rank"): _*)
   }
 
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * language-modeling retrieval axis next to [[bm25TopK]]'s tf-idf
+    * one, rendered LOG-FREE: with integer μ the per-term smoothed
+    * probability is the exact rational (c(w,d)·N_C + μ·c(w,C)) /
+    * ((|d|+μ)·N_C), so the |terms|-term product score is ONE division
+    * of two exact DECIMAL(38,0) products cast to double — a fixed
+    * tree both engines replay bitwise, where BM25's log-idf ranking
+    * leans on engine-ulp log agreement. Docs matching no query term
+    * are excluded (they carry only smoothing mass — stated). Exact
+    * to term_factor³ < 10³⁸ (N_C ≈ 10¹² at 3 terms), loud past it.
+    * Corpus stats broadcast back via the one-row crossJoin; top-K by
+    * (score desc, id) — a TakeOrderedAndProject, never a global sort.
+    */
+  def qlmDirichletTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      mu: Long = 200L,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, s"bad terms: $terms")
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be lowercase [a-z0-9]+ to match the tokenizer: $terms")
+    require(mu >= 1, s"mu must be >= 1: $mu")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val tfCols = terms.map(t => s"tf_$t")
+    val withTf = docs
+      .withColumn("__tk", gfn.ascii_tokens(col(textCol)))
+      .withColumn("dl", size(col("__tk")).cast("long"))
+      .select(
+        col(idCol) +: col("dl") +: terms.zip(tfCols).map { case (t, c) =>
+          size(filter(col("__tk"), x => x === lit(t))).cast("long").as(c)
+        }: _*)
+    val statCols = sum(col("dl")).as("n_c") +:
+      tfCols.map(c => sum(col(c)).as(s"cf_$c"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val num = tfCols.map { c =>
+      col(c).cast(dec) * col("n_c") + lit(mu).cast(dec) * col(s"cf_$c")
+    }.reduce(_ * _)
+    val den = tfCols.map(_ => (col("dl") + mu).cast(dec) * col("n_c"))
+      .reduce(_ * _)
+    val loud = when(num.isNull || den.isNull,
+      raise_error(lit("qlmDirichletTopK: score product overflows " +
+        "DECIMAL(38,0) — reduce terms or corpus scale")).cast("double"))
+    val score = coalesce(loud, num.cast("double") / den.cast("double"))
+    scored
+      .filter(tfCols.map(col).reduce(_ + _) > 0)
+      .withColumn("__score", score)
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__score").desc, col(idCol))))
+      .select(col(idCol) +: col("dl") +: tfCols.map(col) :+
+        col("__score").as("qlm_score") :+ col("rank"): _*)
+  }
+
   /** Reciprocal-rank fusion: merge named rankings (each `(idCol, rank)`
     * with rank 1-based) by `score(id) = Σ 1/(kConst + rank)` over the
     * lists that contain the id — the standard way to combine the lexical

@@ -3699,6 +3699,17 @@ object LlmOps {
         .orderBy("rank")
     }),
 
+    // Dirichlet query likelihood (Retrieval.qlmDirichletTopK) on the
+    // same query: the language-modeling retrieval axis next to
+    // q_bm25's tf-idf — and, unlike BM25's log-idf, the score is ONE
+    // division of two exact integer products (log-free), so the
+    // emitted double and the ranking replay bitwise by construction.
+    "q_qlm_dirichlet" -> ((s, d) => {
+      Retrieval.qlmDirichletTopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 20)
+        .orderBy("rank")
+    }),
+
     // Retrieval evaluation scorecard over the proven BM25 top-20 with
     // the deterministic doc_id % 7 relevance labels (the q_hard_negatives
     // label set): hits@k / n_ranked@k / corpus-relevant-total as exact
@@ -8252,6 +8263,44 @@ object LlmOps {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
          FROM sc WHERE score > 0
          ORDER BY rank LIMIT 20""",
+
+    // the one-division log-free score; identical product trees
+    "q_qlm_dirichlet" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+           FROM documents),
+         f AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT)
+               AS tf_table,
+             CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+             CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT)
+               AS tf_window
+           FROM t),
+         st AS (
+           SELECT CAST(sum(dl) AS BIGINT) AS n_c,
+             CAST(sum(tf_table) AS BIGINT) AS cf_table,
+             CAST(sum(tf_hash) AS BIGINT) AS cf_hash,
+             CAST(sum(tf_window) AS BIGINT) AS cf_window
+           FROM f),
+         sc AS (
+           SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+             CAST(((CAST(tf_table AS HUGEINT) * n_c + 200 * cf_table)
+                   * (CAST(tf_hash AS HUGEINT) * n_c + 200 * cf_hash))
+                  * (CAST(tf_window AS HUGEINT) * n_c + 200 * cf_window)
+               AS DOUBLE)
+             / CAST(((CAST(dl + 200 AS HUGEINT) * n_c)
+                     * (CAST(dl + 200 AS HUGEINT) * n_c))
+                    * (CAST(dl + 200 AS HUGEINT) * n_c) AS DOUBLE)
+               AS qlm_score
+           FROM f CROSS JOIN st
+           WHERE tf_table + tf_hash + tf_window > 0)
+         SELECT doc_id, dl, tf_table, tf_hash, tf_window, qlm_score,
+           CAST(row_number() OVER (ORDER BY qlm_score DESC, doc_id)
+             AS INTEGER) AS rank
+         FROM sc ORDER BY rank LIMIT 20""",
 
     // The ranking leg is the proven q_bm25 mirror; labels and every
     // metric witness are integers, reciprocal rank via exact integer

@@ -85,6 +85,20 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(out.keySet === Set("z", "k", "w"))
   }
 
+  test("qlmDirichletTopK: term mass beats length; no-term docs are excluded") {
+    val df = docs(Seq(
+      (1L, "q q q pad", "x"),         // tf=3, dl=4
+      (2L, "q pad pad pad", "x"),     // tf=1, dl=4 -> below doc 1
+      (3L, "pad pad pad pad", "x")))  // no term -> excluded
+    val out = graft.operators.Retrieval
+      .qlmDirichletTopK(df, "doc_id", "text", Seq("q"), mu = 10L, topK = 5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    // hand check doc 1's score: (3*12 + 10*4)/((4+10)*12) = 76/168
+    assert(math.abs(out.head.getAs[Double]("qlm_score") - 76.0 / 168.0) < 1e-12)
+  }
+
   test("hapaxNgramRate: repeated trigram is not hapax, unique ones are") {
     // key k1: 'a b c a b c' → grams: abc, bca, cab, abc → distinct 3,
     // hapax 2 (bca, cab) → 666 per-mille.
