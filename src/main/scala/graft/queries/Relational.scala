@@ -2169,6 +2169,47 @@ object Relational {
       graft.operators.Stats.mantelHaenszel(li, "ship_month", "exp", "outc")
     }),
 
+    // Deterministic RANSAC line fit over the daily revenue series: the
+    // ROBUST trend the least-squares q_regression can't give when
+    // outlier days pull the fit — candidate lines through a bounded
+    // deterministic anchor grid (every 7th day, <=66 pairs, broadcast),
+    // inliers counted by the EXACT integer band test
+    // |dy*(x-x1) - dx*(y-y1)| <= tol*dx, winner by (inliers desc,
+    // anchors asc). One corpus pass over the candidate broadcast; the
+    // consensus slope emits per-mille next to q_theil_sen's median
+    // slope.
+    "q_ransac" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000")).as("kusd"))
+        .withColumn("x", row_number().over(wOrd).cast("long"))
+        .localCheckpoint(true) // anchors and the inlier pass share it
+      val anchors = daily.filter(pmod(col("x"), lit(7L)) === 1)
+        .select(col("x"), col("kusd").as("y"))
+      val cand = anchors.select(col("x").as("x1"), col("y").as("y1"))
+        .crossJoin(anchors.select(col("x").as("x2"), col("y").as("y2")))
+        .filter(col("x1") < col("x2"))
+      val tol = 100L // kUSD band half-width
+      daily.crossJoin(broadcast(cand))
+        .withColumn("__r",
+          abs((col("y2") - col("y1")) * (col("x") - col("x1"))
+            - (col("x2") - col("x1")) * (col("kusd") - col("y1"))))
+        .withColumn("__in",
+          when(col("__r") <= lit(tol) * (col("x2") - col("x1")), 1L)
+            .otherwise(0L))
+        .groupBy(col("x1"), col("y1"), col("x2"), col("y2"))
+        .agg(count(lit(1)).as("n_points"), sum(col("__in")).as("n_inliers"))
+        .withColumn("slope_x1000",
+          expr("(1000 * (y2 - y1)) div (x2 - x1)"))
+        .withColumn("cand_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_inliers").desc, col("x1").asc, col("x2").asc))
+            .cast("long"))
+        .filter(col("cand_rank") <= 3)
+        .orderBy("cand_rank")
+    }),
+
     // SAX symbolization (TimeSeries.sax): the daily event series as a
     // 4-letter token string — weekly PAA means bucketed against the
     // series' own exact quartiles — the "time series becomes text"
@@ -4997,6 +5038,38 @@ object Relational {
            CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
            CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // bounded anchor pairs; the exact integer band test; top-3 lines
+    "q_ransac" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000) AS BIGINT)
+               AS kusd
+           FROM orders GROUP BY 1),
+         dx AS (
+           SELECT day, kusd,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+           FROM daily),
+         an AS (SELECT x, kusd AS y FROM dx WHERE x % 7 = 1),
+         cand AS (
+           SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+           FROM an a CROSS JOIN an b WHERE a.x < b.x),
+         sc AS (
+           SELECT x1, y1, x2, y2,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(CASE WHEN abs((y2 - y1) * (dx.x - x1)
+                                    - (x2 - x1) * (dx.kusd - y1))
+                             <= 100 * (x2 - x1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inliers
+           FROM dx CROSS JOIN cand
+           GROUP BY 1, 2, 3, 4)
+         SELECT x1, y1, x2, y2, n_points, n_inliers,
+           (1000 * (y2 - y1)) // (x2 - x1) AS slope_x1000,
+           cand_rank
+         FROM (
+           SELECT *, CAST(row_number() OVER (ORDER BY n_inliers DESC,
+             x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
+         WHERE cand_rank <= 3 ORDER BY cand_rank""",
 
     // weekly PAA sums vs quartile cross-multiplication; string_agg in
     // segment order mirrors the struct-sorted fold
