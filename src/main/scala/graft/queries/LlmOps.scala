@@ -4389,6 +4389,50 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Cronbach's α (1951) per source: do the three per-mille quality
+    // items (TTR, repetition-cleanliness, hapax share) measure ONE
+    // construct — i.e. is averaging them into a single quality score
+    // legitimate? With k = 3 fixed, α = (3/2)(1 − ΣVᵢ/V_T) and every
+    // variance shares the n·Σx²−(Σx)² numerator with the SAME hidden
+    // denominator, so it cancels: alpha_pm = (1500·(V_T − ΣVᵢ)) div
+    // V_T, signed exact DECIMAL end to end. One aggregate.
+    "q_cronbach" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+      val perTok = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      val items = base.join(perTok, Seq("doc_id"))
+        .withColumn("x1", expr(
+          "(CAST(size(array_distinct(tk)) AS BIGINT) * 1000) div n_tok"))
+        .withColumn("x2", lit(1000L) - expr("(mx * 1000) div n_tok"))
+        .withColumn("x3", expr("(hapax * 1000) div n_tok"))
+        .withColumn("t", col("x1") + col("x2") + col("x3"))
+      def vnum(x: String): org.apache.spark.sql.Column =
+        col("__n").cast(dec) * col(s"__q_$x") - col(s"__s_$x").cast(dec) * col(s"__s_$x")
+      items.groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("x1")).as("__s_x1"), sum(col("x1").cast(dec) * col("x1")).as("__q_x1"),
+          sum(col("x2")).as("__s_x2"), sum(col("x2").cast(dec) * col("x2")).as("__q_x2"),
+          sum(col("x3")).as("__s_x3"), sum(col("x3").cast(dec) * col("x3")).as("__q_x3"),
+          sum(col("t")).as("__s_t"), sum(col("t").cast(dec) * col("t")).as("__q_t"))
+        .withColumn("__vt", vnum("t"))
+        .withColumn("__vsum", vnum("x1") + vnum("x2") + vnum("x3"))
+        .withColumn("n_docs", col("__n"))
+        .withColumn("alpha_pm",
+          when(col("__vt") === 0, 0L).otherwise(
+            expr("((__vt - __vsum) * 1500) div __vt")))
+        .select(col("source"), col("n_docs"), col("alpha_pm"))
+        .orderBy("source")
+    }),
+
     // Krippendorff's α + Gwet's AC1 (Stats.multiRaterAgreement) per
     // source: the THREE heuristic annotators upgraded from binary
     // verdicts (q_fleiss_kappa) to a 3-point quality scale — length
@@ -10669,6 +10713,51 @@ object LlmOps {
                 ELSE (1000 * (a * nk * nk - d * pe))
                   // (d * (nk * nk - pe)) END AS kappa_x1000
          FROM h ORDER BY source""",
+
+    // shared-denominator variance numerators; one signed division
+    "q_cronbach" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+           FROM tk WHERE len(t) > 0),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+           FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         it AS (
+           SELECT f.source AS source,
+             (n_dis * 1000) // n_tok AS x1,
+             1000 - (mx * 1000) // n_tok AS x2,
+             (hapax * 1000) // n_tok AS x3
+           FROM f JOIN m USING (doc_id)),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, sum(CAST(x1 AS HUGEINT) * x1) AS q1,
+             CAST(sum(x2) AS BIGINT) AS s2, sum(CAST(x2 AS HUGEINT) * x2) AS q2,
+             CAST(sum(x3) AS BIGINT) AS s3, sum(CAST(x3 AS HUGEINT) * x3) AS q3,
+             CAST(sum(x1 + x2 + x3) AS BIGINT) AS st,
+             sum(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3)) AS qt
+           FROM it GROUP BY 1),
+         v AS (
+           SELECT source, n AS n_docs,
+             CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS vt,
+             (CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+             + (CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+             + (CAST(n AS HUGEINT) * q3 - CAST(s3 AS HUGEINT) * s3) AS vsum
+           FROM g)
+         SELECT source, n_docs,
+           CAST(CASE WHEN vt = 0 THEN 0
+                ELSE ((vt - vsum) * 1500) // vt END AS BIGINT) AS alpha_pm
+         FROM v ORDER BY source""",
 
     // 3-category rater census; alpha/AC1 by one truncating division
     // each off exact pairwise-agreement and category-margin counts
