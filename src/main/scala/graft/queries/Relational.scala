@@ -893,6 +893,29 @@ object Relational {
               col("conv_b") * col("n_a")).cast("double")).as("lift"))
     }),
 
+    // Chapman capture-recapture (1951): estimate the TOTAL user
+    // population from two observation windows — week-1 catch, week-2
+    // catch, and the recapture overlap: N-hat = (n1+1)(n2+1)//(m+1) − 1,
+    // the ecology estimator that says how many users exist beyond the
+    // ones any window sees (assumes closed population + independent
+    // catches — stated). Exact integers end to end; the observed
+    // distinct-user count rides along as the lower bound.
+    "q_capture_recapture" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          (to_date(col("ts")) <= lit("2024-01-07")).as("w1"),
+          (to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-14")))
+            .as("w2"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("w1"), 1L).otherwise(0L)).as("c1"),
+          max(when(col("w2"), 1L).otherwise(0L)).as("c2"))
+      ev.agg(count(lit(1)).as("n_observed_total"),
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(col("c1") * col("c2")).as("m"))
+        .withColumn("chapman_est",
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+    }),
+
     // Difference-in-differences (the panel-data causal workhorse) on
     // the q_cuped frame: per-user pre/post event counts, arms by the
     // portable hash — DiD = (post−pre | treated) − (post−pre | control)
@@ -3929,6 +3952,25 @@ object Relational {
            CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
            CAST(conv_a * n_b AS DOUBLE) / CAST(conv_b * n_a AS DOUBLE)
              AS lift
+         FROM a""",
+
+    // two window catches, the recapture overlap, Chapman's estimator
+    "q_capture_recapture" ->
+      """WITH u AS (
+           SELECT user_id,
+             max(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-07'
+               THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+               AND DATE '2024-01-14' THEN 1 ELSE 0 END) AS c2
+           FROM events GROUP BY 1),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_observed_total,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * c2) AS BIGINT) AS m
+           FROM u)
+         SELECT n_observed_total, n1, n2, m,
+           ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_est
          FROM a""",
 
     // the four cell sums and the one cross-multiplied signed per-mille
