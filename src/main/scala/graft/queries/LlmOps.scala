@@ -2034,6 +2034,48 @@ object LlmOps {
         .orderBy("dow")
     }),
 
+    // ANOVA effect sizes on the q_anova spine: eta² = SSB/SST (the
+    // variance fraction event type EXPLAINS — the number the F bit
+    // alone hides) and the less-biased omega², both exact because the
+    // n-scaling of the SS pieces cancels in the ratios:
+    // omega²_x1e6 = (10⁶·(SSB·df_w − df_b·SSW)) div (SST·df_w + SSW).
+    "q_effect_size" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      // WHOLE-DOLLAR grid, not cents: the omega2 numerator grows
+      // ~n^2*v^2*df_w*1e6 and cents would leave DECIMAL(38,0) at sf0.1;
+      // dollars keep it exact to ~sf10 with margin
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value) AS BIGINT)").as("v"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("tg"),
+          sum(col("v").cast(dec) * col("v").cast(dec)).as("sqg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("tg")).as("t"),
+        sum(col("sqg")).as("sq"), count(lit(1)).as("k"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("dev2",
+          expr("""(CAST(n AS DECIMAL(38,0)) * tg - CAST(ng AS DECIMAL(38,0)) * t)
+                  * (CAST(n AS DECIMAL(38,0)) * tg - CAST(ng AS DECIMAL(38,0)) * t)
+                  div (CAST(ng AS DECIMAL(38,0)) * n)"""))
+        .groupBy(col("n"), col("t"), col("sq"), col("k"))
+        .agg(sum(col("dev2")).as("ssb"))
+        .withColumn("sst",
+          expr("CAST(n AS DECIMAL(38,0)) * sq - CAST(t AS DECIMAL(38,0)) * t"))
+        .withColumn("ssw", col("sst") - col("ssb"))
+        .withColumn("df_b", col("k") - 1)
+        .withColumn("df_w", col("n") - col("k"))
+        .withColumn("eta2_x1e6",
+          when(col("sst") === 0, 0L)
+            .otherwise(expr("(ssb * 1000000) div sst")))
+        .withColumn("omega2_x1e6",
+          when(col("sst") * col("df_w") + col("ssw") === 0, 0L)
+            .otherwise(expr(
+              """((ssb * df_w - CAST(df_b AS DECIMAL(38,0)) * ssw) * 1000000)
+                 div (sst * df_w + ssw)""")))
+        .select(col("n"), col("k"), col("df_b"), col("df_w"),
+          col("eta2_x1e6"), col("omega2_x1e6"))
+    }),
+
     "q_anova" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val ev = Tables.events(s, d)
@@ -7760,6 +7802,42 @@ object LlmOps {
                 ELSE (ssb * (n - k) * 1000) // ((sst - ssb) * (k - 1))
                 END AS BIGINT) AS f_x1000
          FROM ssx ORDER BY dow""",
+
+    // the q_anova computational form; the n-scaling cancels in both
+    // ratios
+    "q_effect_size" ->
+      """WITH e AS (
+           SELECT event_type, CAST(round(value) AS BIGINT) AS v
+           FROM events),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS tg,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sqg
+           FROM e GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(tg) AS BIGINT) AS t,
+             CAST(sum(sqg) AS HUGEINT) AS sq, CAST(count(*) AS BIGINT) AS k
+           FROM g),
+         dev AS (
+           SELECT n, t.t, sq, k,
+             sum(((CAST(n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * t.t)
+                  * (CAST(n AS HUGEINT) * tg - CAST(ng AS HUGEINT) * t.t))
+               // (CAST(ng AS HUGEINT) * n)) AS ssb
+           FROM g CROSS JOIN t GROUP BY 1, 2, 3, 4),
+         z AS (
+           SELECT n, k, ssb,
+             CAST(n AS HUGEINT) * sq - CAST(t AS HUGEINT) * t AS sst,
+             k - 1 AS df_b, n - k AS df_w
+           FROM dev)
+         SELECT n, k, df_b, df_w,
+           CAST(CASE WHEN sst = 0 THEN 0
+                ELSE (ssb * 1000000) // sst END AS BIGINT) AS eta2_x1e6,
+           CAST(CASE WHEN sst * df_w + (sst - ssb) = 0 THEN 0
+                ELSE ((ssb * df_w - CAST(df_b AS HUGEINT) * (sst - ssb))
+                      * 1000000)
+                  // (sst * df_w + (sst - ssb))
+                END AS BIGINT) AS omega2_x1e6
+         FROM z""",
 
     // per-(dow, type) variance rationals; extremes by the (double,
     // group) order; the ratio exact by cross-multiplication
