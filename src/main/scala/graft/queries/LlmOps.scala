@@ -644,6 +644,46 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Geary's C (1954) on the supplier co-occurrence graph: the
+    // CONTINUOUS spatial-autocorrelation cousin of q_join_counts'
+    // binary census — do co-fulfilling suppliers have similar account
+    // balances? C = n(n-1)·Σ_edges(x_i−x_j)² / (2E·(nΣx²−S²)), every
+    // factor an exact integer (≈1000 = no structure, <1000 = neighbors
+    // similar, >1000 = dissimilar). One edge join + one node aggregate.
+    "q_gearys_c" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val pairs = ra.join(ab, Seq("l_orderkey"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("u"),
+          greatest(col("sa"), col("sb")).as("w"))
+        .distinct()
+      val bal = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("x"))
+      val nodes = bal.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      val edges = pairs
+        .join(bal.select(col("s_suppkey").as("u"), col("x").as("xu")), Seq("u"))
+        .join(bal.select(col("s_suppkey").as("w"), col("x").as("xw")), Seq("w"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("xu").cast(dec) - col("xw"))
+            * (col("xu").cast(dec) - col("xw"))).as("__se"))
+      edges.crossJoin(broadcast(nodes))
+        .withColumn("__den",
+          (col("n_edges").cast(dec) * 2)
+            * (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")))
+        .withColumn("c_x1000",
+          when(col("n_edges") === 0 || col("__den") === 0, 0L).otherwise(expr(
+            """(CAST(n AS DECIMAL(38,0)) * (n - 1) * __se * 1000)
+               div __den""")))
+        .select(col("n").as("n_nodes"), col("n_edges"), col("c_x1000"))
+    }),
+
     // Join-count statistics (Graphs.joinCounts) on the supplier
     // co-occurrence graph: do rich suppliers (acctbal > $4.5k)
     // co-fulfil orders with other rich suppliers beyond the
@@ -3741,6 +3781,37 @@ object LlmOps {
         .orderBy("rank")
     }),
 
+    // Normalized Kendall distance between the BM25 and Dirichlet-QL
+    // top-20s for the same query: HOW DIFFERENTLY the two retrieval
+    // axes order the docs they both surface — the ranker-disagreement
+    // number read before spending on q_rrf_fusion (distance ~0 = fusion
+    // adds nothing). Exact discordant-pair census over the bounded
+    // shared list; overlap size rides as the witness.
+    "q_rank_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = Seq("table", "hash", "window")
+      val sh = Retrieval.bm25TopK(docs, "doc_id", "text", terms, topK = 20)
+        .select(col("doc_id"), col("rank").cast("long").as("r_bm"))
+        .join(Retrieval.qlmDirichletTopK(docs, "doc_id", "text", terms, topK = 20)
+          .select(col("doc_id"), col("rank").cast("long").as("r_qlm")),
+          Seq("doc_id"))
+        .localCheckpoint(true) // both census legs read the <=20-row list
+      val x = sh.select(col("doc_id").as("ida"), col("r_bm").as("a1"),
+        col("r_qlm").as("b1"))
+      val y = sh.select(col("doc_id").as("idb"), col("r_bm").as("a2"),
+        col("r_qlm").as("b2"))
+      x.crossJoin(y).filter(col("ida") < col("idb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("a1") - col("a2")) * (col("b1") - col("b2")) < 0, 1L)
+            .otherwise(0L)).as("discordant"))
+        .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_shared"))))
+        .withColumn("ktd_pm",
+          when(col("n_pairs") === 0, 0L)
+            .otherwise(expr("(1000 * discordant) div n_pairs")))
+        .select(col("n_shared"), col("n_pairs"), col("discordant"),
+          col("ktd_pm"))
+    }),
+
     // Dirichlet query likelihood (Retrieval.qlmDirichletTopK) on the
     // same query: the language-modeling retrieval axis next to
     // q_bm25's tf-idf — and, unlike BM25's log-idf, the score is ONE
@@ -5458,6 +5529,38 @@ object LlmOps {
         .groupBy(col("n_name"), col("c_custkey"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
       Stats.hoover(spend, Seq("n_name"), "cents")
+        .orderBy("n_name")
+    }),
+
+    // Lorenz asymmetry coefficient (Damgaard & Weiner 2000) per
+    // nation: WHICH tail drives the inequality q_gini only sizes —
+    // S = F(μ) + L(μ) (unit share below the mean + mass share below
+    // the mean), < 1000 = driven by many small spenders, > 1000 = by
+    // few giants. Strict-below-mean by cross-multiplication x·n < T
+    // (the exact no-interpolation convention, stated); two shares,
+    // two truncating divisions.
+    "q_lorenz_asym" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      spend
+        .withColumn("__n", count(lit(1)).over(wKey))
+        .withColumn("__t", sum(col("x")).over(wKey))
+        .withColumn("__below", col("x").cast(dec) * col("__n") < col("__t"))
+        .groupBy(col("n_name"))
+        .agg(max(col("__n")).as("n"), max(col("__t")).as("total"),
+          sum(when(col("__below"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("__below"), col("x")).otherwise(0L)).as("mass_below"))
+        .withColumn("s_x1000",
+          when(col("n") === 0 || col("total") === 0, 0L)
+            .otherwise(
+              expr("(CAST(1000 AS DECIMAL(38,0)) * n_below) div n") +
+              expr("(CAST(1000 AS DECIMAL(38,0)) * mass_below) div total")))
         .orderBy("n_name")
     }),
 
@@ -8386,6 +8489,52 @@ object LlmOps {
          FROM sc WHERE score > 0
          ORDER BY rank LIMIT 20""",
 
+    // both rankers' CTEs composed; discordant census over the shared
+    // bounded list
+    "q_rank_distance" ->
+      s"""$bm25CteSql,
+         ra AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS r_bm
+           FROM sc WHERE score > 0 QUALIFY r_bm <= 20),
+         st2 AS (
+           SELECT CAST(sum(dl) AS BIGINT) AS n_c,
+             CAST(sum(tf_table) AS BIGINT) AS cf_table,
+             CAST(sum(tf_hash) AS BIGINT) AS cf_hash,
+             CAST(sum(tf_window) AS BIGINT) AS cf_window
+           FROM f),
+         sc2 AS (
+           SELECT doc_id,
+             CAST(((CAST(tf_table AS HUGEINT) * n_c + 200 * cf_table)
+                   * (CAST(tf_hash AS HUGEINT) * n_c + 200 * cf_hash))
+                  * (CAST(tf_window AS HUGEINT) * n_c + 200 * cf_window)
+               AS DOUBLE)
+             / CAST(((CAST(dl + 200 AS HUGEINT) * n_c)
+                     * (CAST(dl + 200 AS HUGEINT) * n_c))
+                    * (CAST(dl + 200 AS HUGEINT) * n_c) AS DOUBLE)
+               AS qlm_score
+           FROM f CROSS JOIN st2
+           WHERE tf_table + tf_hash + tf_window > 0),
+         rb AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY qlm_score DESC, doc_id)
+               AS BIGINT) AS r_qlm
+           FROM sc2 QUALIFY r_qlm <= 20),
+         sh AS (
+           SELECT ra.doc_id AS doc_id, r_bm, r_qlm
+           FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+         pr AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (x.r_bm - y.r_bm) * (x.r_qlm - y.r_qlm) < 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+           FROM sh x JOIN sh y ON x.doc_id < y.doc_id),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM sh)
+         SELECT n_shared, n_pairs, discordant,
+           CAST(CASE WHEN n_pairs = 0 THEN 0
+                ELSE (1000 * discordant) // n_pairs END AS BIGINT) AS ktd_pm
+         FROM pr CROSS JOIN ns""",
+
     // the one-division log-free score; identical product trees
     "q_qlm_dirichlet" ->
       """WITH t AS (
@@ -9721,6 +9870,39 @@ object LlmOps {
            coalesce(s2.supp, 0) AS support
          FROM e2 LEFT JOIN s2 ON s2.u = e2.u AND s2.w = e2.w
          ORDER BY id_a, id_b""",
+
+    // edge-difference squares vs the n-scaled variance, one division
+    "q_gearys_c" ->
+      """WITH pr AS (
+           SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+             greatest(a.l_suppkey, b.l_suppkey) AS w
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_returnflag = 'R' AND b.l_returnflag = 'A'
+             AND a.l_suppkey <> b.l_suppkey),
+         bal AS (
+           SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS x
+           FROM supplier),
+         nd AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM bal),
+         ed AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             sum((CAST(bu.x AS HUGEINT) - bw.x)
+                 * (CAST(bu.x AS HUGEINT) - bw.x)) AS se
+           FROM pr
+             JOIN bal bu ON pr.u = bu.s_suppkey
+             JOIN bal bw ON pr.w = bw.s_suppkey)
+         SELECT n AS n_nodes, n_edges,
+           CAST(CASE WHEN n_edges = 0
+                  OR 2 * n_edges * (CAST(n AS HUGEINT) * sxx
+                                    - CAST(sx AS HUGEINT) * sx) = 0 THEN 0
+                ELSE (CAST(n AS HUGEINT) * (n - 1) * se * 1000)
+                  // ((CAST(n_edges AS HUGEINT) * 2)
+                      * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+                END AS BIGINT) AS c_x1000
+         FROM ed CROSS JOIN nd""",
 
     // distinct canonical co-fulfilment edges; BB/BW/WW census and the
     // free-sampling expectations cross-multiplied
@@ -12464,6 +12646,36 @@ object LlmOps {
            CAST(CASE WHEN n = 0 OR total <= 0 THEN 0
                 ELSE (s * 1000) // (CAST(n AS HUGEINT) * total)
                 END AS BIGINT) AS hoover_pm
+         FROM ag ORDER BY n_name""",
+
+    // strict-below-mean by cross-multiplication; two share divisions
+    "q_lorenz_asym" ->
+      """WITH spend AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT n_name, x,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY n_name) AS BIGINT) AS t
+           FROM spend),
+         ag AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(t) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN CAST(x AS HUGEINT) * n < t THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN CAST(x AS HUGEINT) * n < t THEN x ELSE 0 END)
+               AS BIGINT) AS mass_below
+           FROM w GROUP BY 1)
+         SELECT n_name, n, total, n_below, mass_below,
+           CAST(CASE WHEN n = 0 OR total = 0 THEN 0
+                ELSE (CAST(1000 AS HUGEINT) * n_below) // n
+                   + (CAST(1000 AS HUGEINT) * mass_below) // total
+                END AS BIGINT) AS s_x1000
          FROM ag ORDER BY n_name""",
 
     // deterministic (cents, custkey) rank order; complementary floor
