@@ -684,6 +684,54 @@ object LlmOps {
         .select(col("n").as("n_nodes"), col("n_edges"), col("c_x1000"))
     }),
 
+    // Moran's I (1950) on the same supplier co-occurrence graph:
+    // the GLOBAL cross-product autocorrelation next to q_gearys_c's
+    // local squared differences — Geary asks "are neighbors close in
+    // value", Moran asks "do deviations from the global mean align
+    // across edges" (the two disagree exactly when a few extreme
+    // nodes cluster). Deviations are scaled by n (d_i = n·x_i − S) so
+    // every factor stays integer: I = Σ_edges d_u·d_w / (E·(nΣx²−S²)),
+    // signed per-mille via the shared toward-zero div. The exact null
+    // expectation E[I] = −1/(n−1) rides as a witness so the readout is
+    // self-calibrating. One edge join + one node aggregate, no pairs
+    // beyond the co-fulfilment edges.
+    "q_moran_i" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val pairs = ra.join(ab, Seq("l_orderkey"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("u"),
+          greatest(col("sa"), col("sb")).as("w"))
+        .distinct()
+      val bal = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("x"))
+      val nodes = bal.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      val sp = pairs
+        .join(bal.select(col("s_suppkey").as("u"), col("x").as("xu")), Seq("u"))
+        .join(bal.select(col("s_suppkey").as("w"), col("x").as("xw")), Seq("w"))
+        .crossJoin(broadcast(nodes))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("n").cast(dec) * col("xu") - col("sx"))
+            * (col("n").cast(dec) * col("xw") - col("sx"))).as("__sp"))
+      sp.crossJoin(broadcast(nodes))
+        .withColumn("__den",
+          col("n_edges").cast(dec)
+            * (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")))
+        .withColumn("i_x1000",
+          when(col("n_edges") === 0 || col("__den") === 0, 0L)
+            .otherwise(expr("(__sp * 1000) div __den")))
+        .withColumn("e_i_x1000",
+          when(col("n") > 1, -expr("1000 div (n - 1)")).otherwise(0L))
+        .select(col("n").as("n_nodes"), col("n_edges"), col("i_x1000"),
+          col("e_i_x1000"))
+    }),
+
     // Join-count statistics (Graphs.joinCounts) on the supplier
     // co-occurrence graph: do rich suppliers (acctbal > $4.5k)
     // co-fulfil orders with other rich suppliers beyond the
@@ -4180,6 +4228,40 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Maximum drawdown per nation on the monthly-revenue series: the
+    // deepest peak-to-trough slide as a per-mille of the running peak —
+    // the worst-case-regret number next to q_ohlc's per-bucket spread
+    // and q_turning_points' direction census. One running-max window
+    // per nation (peak), one per-row per-mille, then the max and ITS
+    // month recovered by an exact two-step argmax (max dd first, then
+    // the LATEST month attaining it — no engine-specific arg_max tie
+    // rule). Revenue rides DECIMAL(38,0) against the ×1000 product so
+    // the per-mille never wraps at any corpus scale.
+    "q_drawdown" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("mon"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = rev.withColumn("peak", max(col("rev")).over(w))
+        .withColumn("dd_pm",
+          expr("(CAST(1000 AS DECIMAL(38,0)) * (peak - rev)) div peak"))
+        .localCheckpoint(true) // nations × months rows; both argmax legs read it
+      dd.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_months"), max(col("dd_pm")).as("max_dd_pm"))
+        .join(dd.select(col("n_name"), col("dd_pm"), col("mon")), Seq("n_name"))
+        .filter(col("dd_pm") === col("max_dd_pm"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_months")).as("n_months"),
+          max(col("max_dd_pm")).as("max_dd_pm"),
+          max(col("mon")).as("trough_mon"))
+        .orderBy("n_name")
+    }),
+
     // Poisson c-chart (TimeSeries.cChart) per event type: every day's
     // count with its 2σ control verdict, the √mean band decided by
     // exact cross-multiplication in DECIMAL(38,0) — no float mean, no
@@ -4420,6 +4502,67 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Two-group log-rank test (Mantel 1966) on the q_survival frame:
+    // do error-exposed users CONVERT on a different timescale than the
+    // error-free cohort, with censoring handled — the hypothesis-test
+    // companion to q_survival's descriptive Kaplan–Meier curve (and
+    // the time-to-event cousin of q_mantel_haenszel: same
+    // hypergeometric O−E machinery, strata = event times instead of
+    // tables). At-risk sets come from one DESCENDING cumulative sum
+    // over the (group × lifetime) grid — the grid is 2·|distinct
+    // lifetimes| rows, calendar-bounded (lifetime = distinct active
+    // days ≤ the observation window), never O(users). Per-time E and V
+    // terms are the floor-composed ×1000/×10⁶ renderings (exact
+    // hypergeometric numerators in DECIMAL(38,0), one truncating div
+    // per term, deterministically replayed); χ²×1000 composes from the
+    // two sums with one more division.
+    "q_logrank" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("t"),
+          (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+            .as("obs"),
+          (max(when(col("event_type") === "error", 1).otherwise(0)) === 1)
+            .as("in_a"))
+      val cell = perUser.groupBy(col("in_a"), col("t"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("obs"), 1L).otherwise(0L)).as("c_obs"))
+      val grid = cell.select(col("t")).distinct()
+        .withColumn("in_a", explode(array(lit(true), lit(false))))
+        .join(cell, Seq("in_a", "t"), "left")
+        .na.fill(0L, Seq("c_all", "c_obs"))
+      val wDesc = Window.partitionBy(col("in_a")).orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = grid.withColumn("n_at", sum(col("c_all")).over(wDesc))
+      val terms = risk.filter(col("in_a"))
+        .select(col("t"), col("n_at").as("n_a_t"), col("c_obs").as("d_a_t"))
+        .join(risk.filter(!col("in_a"))
+          .select(col("t"), col("n_at").as("n_b_t"), col("c_obs").as("d_b_t")),
+          Seq("t"))
+        .withColumn("n_t", col("n_a_t") + col("n_b_t"))
+        .withColumn("d_t", col("d_a_t") + col("d_b_t"))
+        .filter(col("d_t") > 0)
+        .withColumn("e_term", expr("(1000 * d_t * n_a_t) div n_t"))
+        .withColumn("v_term", when(col("n_t") > 1, expr(
+          """(CAST(1000000 AS DECIMAL(38,0)) * d_t * n_a_t
+              * (n_t - n_a_t) * (n_t - d_t))
+             div (CAST(n_t AS DECIMAL(38,0)) * n_t * (n_t - 1))"""))
+          .otherwise(0L))
+      val sizes = perUser.agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      terms.agg(sum(col("d_a_t")).as("o_a"), sum(col("d_b_t")).as("o_b"),
+          sum(col("e_term")).as("e_a_pm"), sum(col("v_term")).as("v_ppm"))
+        .crossJoin(broadcast(sizes))
+        .withColumn("chi2_x1000",
+          when(col("v_ppm") > 0, expr(
+            """(CAST(1000 AS DECIMAL(38,0)) * (1000 * o_a - e_a_pm)
+                * (1000 * o_a - e_a_pm)) div v_ppm"""))
+            .otherwise(0L))
+        .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+          col("e_a_pm"), col("v_ppm"), col("chi2_x1000"))
+    }),
+
     // Mood's scale test (Stats.moodScaleTest) per nation: do URGENT
     // order totals SPREAD differently than LOW ones around the common
     // center? Squared rank deviations in the exact ×12 doubled
@@ -4437,6 +4580,138 @@ object LlmOps {
           (col("o_orderpriority") === "1-URGENT").as("in_a"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
       Stats.moodScaleTest(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
+    // Exact 1-D Wasserstein-1 (earth mover's) distance per nation
+    // between URGENT and LOW order totals: HOW MANY CENTS of
+    // probability mass must move, where q_ks_test only reports the
+    // single worst CDF gap and q_cvm_test the integrated square — the
+    // metric (not just test) member of the two-sample family on the
+    // same cohort frame. W₁ = ∫|F_a−F_b| dv collapses on the shared
+    // cent spine to Σ_rows |n_b·C_a − n_a·C_b|·Δv (cross-multiplied
+    // CDFs, Δv = gap to the next spine value, last row's gap
+    // vanishing since both CDFs reach 1), one truncating ÷(n_a·n_b)
+    // at the end: every intermediate an exact DECIMAL(38,0) integer.
+    // Per-nation value-spine cumsum windows — bounded key frames,
+    // never pairs.
+    "q_wasserstein" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val pv = o.groupBy(col("n_name"), col("v"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("m_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("m_b"))
+        .localCheckpoint(true) // nation × distinct-cent rows; totals + windows share it
+      val wCum = Window.partitionBy(col("n_name")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLead = Window.partitionBy(col("n_name")).orderBy(col("v"))
+      // totals fold off the spine itself — no second pass over the join
+      val tot = pv.groupBy(col("n_name"))
+        .agg(sum(col("m_a")).as("n_a"), sum(col("m_b")).as("n_b"))
+      pv.withColumn("ca", sum(col("m_a")).over(wCum))
+        .withColumn("cb", sum(col("m_b")).over(wCum))
+        .withColumn("dv", lead(col("v"), 1).over(wLead) - col("v"))
+        .filter(col("dv").isNotNull)
+        .join(broadcast(tot), Seq("n_name"))
+        .withColumn("__t",
+          abs(col("n_b").cast(dec) * col("ca") - col("n_a").cast(dec) * col("cb"))
+            * col("dv"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("__t")).as("__num"))
+        .withColumn("w1_cents_x1000",
+          when(col("n_a") === 0 || col("n_b") === 0, 0L)
+            .otherwise(expr(
+              "(__num * 1000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")))
+        .select(col("n_name"), col("n_a"), col("n_b"), col("w1_cents_x1000"))
+        .orderBy("n_name")
+    }),
+
+    // Two-sample energy distance (Székely & Rizzo 2004) per nation on
+    // the same URGENT/LOW frame: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| —
+    // sensitive to ANY distributional difference (location, scale,
+    // shape), rotation-free where q_ks_test is sup-norm and
+    // q_wasserstein is transport cost. The O(n²) pairwise |x−y| sums
+    // collapse on the sorted cent spine to strictly-below prefix
+    // count/sum windows: Σ pairs |v−w| = Σ_rows m·(c_below·v −
+    // s_below) per sample and the mirrored above/below split for the
+    // cross term — three exact DECIMAL(38,0) sums from ONE spine,
+    // never pairs. The three floored per-mille components ride as
+    // witnesses; d2_x1000 composes from the EXACT common-denominator
+    // numerator (not from the floored components), one division.
+    "q_energy_dist" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      val pv = o.groupBy(col("n_name"), col("v"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("m_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("m_b"))
+        .localCheckpoint(true) // nation × distinct-cent rows; totals + windows share it
+      val wBelow = Window.partitionBy(col("n_name")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // totals fold off the spine itself — no second pass over the join
+      val tot = pv.groupBy(col("n_name"))
+        .agg(sum(col("m_a")).as("n_a"), sum(col("m_b")).as("n_b"),
+          sum(col("m_a").cast(dec) * col("v")).as("s_a"),
+          sum(col("m_b").cast(dec) * col("v")).as("s_b"))
+      val rows = pv
+        .withColumn("cal", coalesce(sum(col("m_a")).over(wBelow), lit(0L)))
+        .withColumn("sal",
+          coalesce(sum(col("m_a").cast(dec) * col("v")).over(wBelow),
+            lit(0L).cast(dec)))
+        .withColumn("cbl", coalesce(sum(col("m_b")).over(wBelow), lit(0L)))
+        .withColumn("sbl",
+          coalesce(sum(col("m_b").cast(dec) * col("v")).over(wBelow),
+            lit(0L).cast(dec)))
+        .join(broadcast(tot), Seq("n_name"))
+      // strictly-above b-mass = totals minus below-inclusive
+      val sums = rows
+        .withColumn("cbg", col("n_b") - col("cbl") - col("m_b"))
+        .withColumn("sbg",
+          col("s_b").cast(dec) - col("sbl") - col("m_b").cast(dec) * col("v"))
+        .withColumn("t_ab",
+          col("m_a").cast(dec)
+            * (col("cbl").cast(dec) * col("v") - col("sbl")
+               + col("sbg") - col("cbg").cast(dec) * col("v")))
+        .withColumn("t_aa",
+          col("m_a").cast(dec)
+            * (col("cal").cast(dec) * col("v") - col("sal")))
+        .withColumn("t_bb",
+          col("m_b").cast(dec)
+            * (col("cbl").cast(dec) * col("v") - col("sbl")))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("t_ab")).as("sab"), sum(col("t_aa")).as("saa"),
+          sum(col("t_bb")).as("sbb"))
+      sums.filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("eab_pm",
+          expr("(2000 * sab) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+        .withColumn("eaa_pm",
+          expr("(2000 * saa) div (CAST(n_a AS DECIMAL(38,0)) * n_a)"))
+        .withColumn("ebb_pm",
+          expr("(2000 * sbb) div (CAST(n_b AS DECIMAL(38,0)) * n_b)"))
+        .withColumn("d2_x1000", expr(
+          """(2000 * (sab * n_a * n_b - saa * n_b * n_b - sbb * n_a * n_a))
+             div (CAST(n_a AS DECIMAL(38,0)) * n_a * n_b * n_b)"""))
+        .select(col("n_name"), col("n_a"), col("n_b"), col("eab_pm"),
+          col("eaa_pm"), col("ebb_pm"), col("d2_x1000"))
         .orderBy("n_name")
     }),
 
@@ -9904,6 +10179,44 @@ object LlmOps {
                 END AS BIGINT) AS c_x1000
          FROM ed CROSS JOIN nd""",
 
+    // n-scaled deviation cross-products over the same edges; the exact
+    // -1/(n-1) null expectation as witness
+    "q_moran_i" ->
+      """WITH pr AS (
+           SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+             greatest(a.l_suppkey, b.l_suppkey) AS w
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_returnflag = 'R' AND b.l_returnflag = 'A'
+             AND a.l_suppkey <> b.l_suppkey),
+         bal AS (
+           SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS x
+           FROM supplier),
+         nd AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM bal),
+         sp AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             sum((CAST(nd.n AS HUGEINT) * bu.x - nd.sx)
+                 * (CAST(nd.n AS HUGEINT) * bw.x - nd.sx)) AS spsum
+           FROM pr
+             JOIN bal bu ON pr.u = bu.s_suppkey
+             JOIN bal bw ON pr.w = bw.s_suppkey
+             CROSS JOIN nd)
+         SELECT n AS n_nodes, n_edges,
+           CAST(CASE WHEN n_edges = 0
+                  OR CAST(n_edges AS HUGEINT)
+                     * (CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx) = 0 THEN 0
+                ELSE (spsum * 1000)
+                  // (CAST(n_edges AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx))
+                END AS BIGINT) AS i_x1000,
+           CAST(CASE WHEN n > 1 THEN -(1000 // (n - 1)) ELSE 0 END AS BIGINT)
+             AS e_i_x1000
+         FROM sp CROSS JOIN nd""",
+
     // distinct canonical co-fulfilment edges; BB/BW/WW census and the
     // free-sampling expectations cross-multiplied
     "q_join_counts" ->
@@ -10362,6 +10675,35 @@ object LlmOps {
          SELECT event_type, n_pairs, slope_scaled
          FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""",
 
+    // running-max peak, per-mille slide, two-step argmax (max dd then
+    // latest month) — no engine arg_max tie rule
+    "q_drawdown" ->
+      """WITH rev AS (
+           SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         dd AS (
+           SELECT n_name, mon, rev,
+             CAST((CAST(1000 AS HUGEINT)
+                   * (max(rev) OVER w - rev)) // (max(rev) OVER w)
+               AS BIGINT) AS dd_pm
+           FROM rev
+           WINDOW w AS (PARTITION BY n_name ORDER BY mon
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         mx AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(max(dd_pm) AS BIGINT) AS max_dd_pm
+           FROM dd GROUP BY 1)
+         SELECT mx.n_name, max(mx.n_months) AS n_months,
+           max(mx.max_dd_pm) AS max_dd_pm, max(dd.mon) AS trough_mon
+         FROM mx JOIN dd ON mx.n_name = dd.n_name
+           AND dd.dd_pm = mx.max_dd_pm
+         GROUP BY 1 ORDER BY mx.n_name""",
+
     // The cross-multiplied 2σ Poisson band replayed in HUGEINT.
     "q_c_chart" ->
       """WITH dl AS (
@@ -10819,6 +11161,60 @@ object LlmOps {
              - CAST(count(DISTINCT wk) AS BIGINT) * 224 AS l_excess_x2
          FROM rk GROUP BY 1 ORDER BY event_type""",
 
+    // descending-cumsum risk sets over the bounded lifetime grid; the
+    // floor-composed hypergeometric E/V terms replayed in HUGEINT
+    "q_logrank" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS obs,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+               AS in_a
+           FROM events GROUP BY user_id),
+         cell AS (
+           SELECT in_a, t, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS c_obs
+           FROM pu GROUP BY 1, 2),
+         grid AS (
+           SELECT g.in_a, s.t, coalesce(c.c_all, 0) AS c_all,
+             coalesce(c.c_obs, 0) AS c_obs
+           FROM (SELECT DISTINCT t FROM cell) s
+           CROSS JOIN (SELECT true AS in_a UNION ALL SELECT false) g
+           LEFT JOIN cell c ON c.in_a = g.in_a AND c.t = s.t),
+         risk AS (
+           SELECT in_a, t, c_obs,
+             CAST(sum(c_all) OVER (PARTITION BY in_a ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_at
+           FROM grid),
+         terms AS (
+           SELECT a.t, a.n_at AS n_a_t, a.c_obs AS d_a_t,
+             b.n_at AS n_b_t, b.c_obs AS d_b_t,
+             a.n_at + b.n_at AS n_t, a.c_obs + b.c_obs AS d_t
+           FROM risk a JOIN risk b ON a.t = b.t AND a.in_a AND NOT b.in_a
+           WHERE a.c_obs + b.c_obs > 0),
+         tt AS (
+           SELECT CAST(sum(d_a_t) AS BIGINT) AS o_a,
+             CAST(sum(d_b_t) AS BIGINT) AS o_b,
+             CAST(sum((1000 * d_t * n_a_t) // n_t) AS BIGINT) AS e_a_pm,
+             CAST(sum(CASE WHEN n_t > 1 THEN
+                 (CAST(1000000 AS HUGEINT) * d_t * n_a_t
+                  * (n_t - n_a_t) * (n_t - d_t))
+                   // (CAST(n_t AS HUGEINT) * n_t * (n_t - 1))
+               ELSE 0 END) AS BIGINT) AS v_ppm
+           FROM terms),
+         sz AS (
+           SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM pu)
+         SELECT n_a, n_b, o_a, o_b, e_a_pm, v_ppm,
+           CAST(CASE WHEN v_ppm > 0 THEN
+               (CAST(1000 AS HUGEINT) * (1000 * o_a - e_a_pm)
+                * (1000 * o_a - e_a_pm)) // v_ppm
+             ELSE 0 END AS BIGINT) AS chi2_x1000
+         FROM tt CROSS JOIN sz""",
+
     // The squared rank deviations in the ×12 rendering replayed over
     // the merged cent spine.
     "q_mood_scale" ->
@@ -10855,6 +11251,104 @@ object LlmOps {
              * (CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT) - 1)
              AS m_excess_x12
          FROM sc GROUP BY 1 ORDER BY n_name""",
+
+    // cross-multiplied CDF gaps × telescoping spine deltas, one
+    // terminal division
+    "q_wasserstein" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS m_b
+           FROM o GROUP BY 1, 2),
+         tot AS (
+           SELECT n_name,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM o GROUP BY 1),
+         cum AS (
+           SELECT n_name, v,
+             CAST(sum(m_a) OVER w AS BIGINT) AS ca,
+             CAST(sum(m_b) OVER w AS BIGINT) AS cb,
+             lead(v) OVER (PARTITION BY n_name ORDER BY v) - v AS dv
+           FROM pv
+           WINDOW w AS (PARTITION BY n_name ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         nm AS (
+           SELECT cum.n_name, max(n_a) AS n_a, max(n_b) AS n_b,
+             sum(abs(CAST(n_b AS HUGEINT) * ca - CAST(n_a AS HUGEINT) * cb)
+                 * dv) AS num
+           FROM cum JOIN tot ON cum.n_name = tot.n_name
+           WHERE dv IS NOT NULL GROUP BY 1)
+         SELECT n_name, n_a, n_b,
+           CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+                ELSE (num * 1000) // (CAST(n_a AS HUGEINT) * n_b)
+                END AS BIGINT) AS w1_cents_x1000
+         FROM nm ORDER BY n_name""",
+
+    // strictly-below prefix count/sum windows; three pairwise-|x−y|
+    // sums with zero pairs materialized
+    "q_energy_dist" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS m_b
+           FROM o GROUP BY 1, 2),
+         tot AS (
+           SELECT n_name,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN in_a THEN v ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE v END) AS BIGINT) AS s_b
+           FROM o GROUP BY 1),
+         cu AS (
+           SELECT n_name, v, m_a, m_b,
+             coalesce(sum(m_a) OVER wb, 0) AS cal,
+             coalesce(sum(CAST(m_a AS HUGEINT) * v) OVER wb, 0) AS sal,
+             coalesce(sum(m_b) OVER wb, 0) AS cbl,
+             coalesce(sum(CAST(m_b AS HUGEINT) * v) OVER wb, 0) AS sbl
+           FROM pv
+           WINDOW wb AS (PARTITION BY n_name ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         sums AS (
+           SELECT cu.n_name, max(n_a) AS n_a, max(n_b) AS n_b,
+             sum(CAST(m_a AS HUGEINT)
+                 * (CAST(cbl AS HUGEINT) * v - sbl
+                    + (CAST(s_b AS HUGEINT) - sbl - CAST(m_b AS HUGEINT) * v)
+                    - (CAST(n_b - cbl - m_b AS HUGEINT) * v))) AS sab,
+             sum(CAST(m_a AS HUGEINT)
+                 * (CAST(cal AS HUGEINT) * v - sal)) AS saa,
+             sum(CAST(m_b AS HUGEINT)
+                 * (CAST(cbl AS HUGEINT) * v - sbl)) AS sbb
+           FROM cu JOIN tot ON cu.n_name = tot.n_name
+           GROUP BY 1)
+         SELECT n_name, n_a, n_b,
+           CAST((2000 * sab) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS eab_pm,
+           CAST((2000 * saa) // (CAST(n_a AS HUGEINT) * n_a) AS BIGINT)
+             AS eaa_pm,
+           CAST((2000 * sbb) // (CAST(n_b AS HUGEINT) * n_b) AS BIGINT)
+             AS ebb_pm,
+           CAST((2000 * (sab * n_a * n_b - saa * n_b * n_b
+                         - sbb * n_a * n_a))
+             // (CAST(n_a AS HUGEINT) * n_a * n_b * n_b) AS BIGINT)
+             AS d2_x1000
+         FROM sums WHERE n_a > 0 AND n_b > 0 ORDER BY n_name""",
 
     // doubled midranks per (value, group) via RANGE windows, per-group
     // rank sums, the floor-composed H replayed in integers

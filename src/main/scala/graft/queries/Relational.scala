@@ -814,6 +814,46 @@ object Relational {
           graft.operators.Validate.unique(orders, Seq("o_orderkey"))))
     }),
 
+    // Functional-dependency discovery audit (the TANE/Papenbrock
+    // profiling primitive next to q_validate's declared contracts):
+    // for each CANDIDATE dependency A→B, how many A-groups see more
+    // than one B — n_viol = 0 certifies the FD (and a key, when B is
+    // the whole row id). Six candidates spanning true keys, true
+    // in-table FDs, and known violations — including the
+    // (l_orderkey, l_linenumber) pair the round-11 postmortem proved
+    // NON-unique in this corpus, here surfaced as a first-class audit
+    // row instead of tribal knowledge. Each candidate is one
+    // hash-groupBy + countDistinct (two-level partial agg — no row
+    // ever leaves its executor unaggregated); the six one-row results
+    // union. excess = Σ(|B per A| − 1) sizes the repair distance.
+    "q_fd_audit" -> ((s, d) => {
+      def fd(df: DataFrame, label: String,
+          lhs: org.apache.spark.sql.Column,
+          rhs: org.apache.spark.sql.Column): DataFrame =
+        df.groupBy(lhs.as("__l"))
+          .agg(countDistinct(rhs).as("__nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_viol"),
+            sum(col("__nd") - 1).as("excess"))
+          .select(lit(label).as("fd"), col("n_lhs"), col("n_viol"),
+            col("excess"), (col("n_viol") === 0).as("holds"))
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      fd(o, "o_orderkey->o_custkey", col("o_orderkey"), col("o_custkey"))
+        .unionAll(fd(o, "o_custkey->o_orderpriority",
+          col("o_custkey"), col("o_orderpriority")))
+        .unionAll(fd(li, "l_orderkey#l_linenumber->l_partkey",
+          concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+          col("l_partkey")))
+        .unionAll(fd(li, "l_partkey->l_suppkey",
+          col("l_partkey"), col("l_suppkey")))
+        .unionAll(fd(Tables.customer(s, d), "c_custkey->c_nationkey",
+          col("c_custkey"), col("c_nationkey")))
+        .unionAll(fd(Tables.nation(s, d), "n_name->n_regionkey",
+          col("n_name"), col("n_regionkey")))
+        .orderBy("fd")
+    }),
+
     // Five-number summary (Stats.summary under the oracle): type-7
     // quartiles as explicit order statistics with a fixed interpolation
     // tree — every double bitwise-reproducible cross-engine.
@@ -3878,6 +3918,54 @@ object Relational {
              (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
          SELECT "constraint", n_violations, n_violations = 0 AS passed
          FROM v ORDER BY "constraint"""",
+
+    // one groupBy + countDistinct per candidate FD, unioned
+    "q_fd_audit" ->
+      """WITH f1 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+                 FROM orders GROUP BY 1)),
+         f2 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                 FROM orders GROUP BY 1)),
+         f3 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT concat_ws('#', l_orderkey, l_linenumber) AS k,
+                   count(DISTINCT l_partkey) AS nd
+                 FROM lineitem GROUP BY 1)),
+         f4 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+                 FROM lineitem GROUP BY 1)),
+         f5 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nd
+                 FROM customer GROUP BY 1)),
+         f6 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             CAST(sum(nd - 1) AS BIGINT) AS excess
+           FROM (SELECT n_name, count(DISTINCT n_regionkey) AS nd
+                 FROM nation GROUP BY 1))
+         SELECT fd, n_lhs, n_viol, excess, n_viol = 0 AS holds FROM (
+           SELECT 'o_orderkey->o_custkey' AS fd, * FROM f1
+           UNION ALL SELECT 'o_custkey->o_orderpriority', * FROM f2
+           UNION ALL SELECT 'l_orderkey#l_linenumber->l_partkey', * FROM f3
+           UNION ALL SELECT 'l_partkey->l_suppkey', * FROM f4
+           UNION ALL SELECT 'c_custkey->c_nationkey', * FROM f5
+           UNION ALL SELECT 'n_name->n_regionkey', * FROM f6)
+         ORDER BY fd""",
 
     "q_summary" ->
       """WITH r AS (
