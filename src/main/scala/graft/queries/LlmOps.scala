@@ -1717,6 +1717,64 @@ object LlmOps {
         .orderBy("lang", "rank")
     }),
 
+    // RAKE keyword extraction (Rose et al. 2010) over the English
+    // slice: candidate phrases = maximal stopword-free token runs
+    // (2–4 words), word score = degree/frequency (degree = Σ length
+    // of phrases containing the word), phrase score = Σ member word
+    // scores — the PHRASE-level salience ranking next to q_top_terms'
+    // unigram counts and q_tfidf_topk's per-doc weights. Kept exact:
+    // each word score is one floored per-mille (1000·deg div freq),
+    // phrase scores sum those integers — a phrase TYPE scores
+    // identically at every occurrence, so the distinct-phrase rollup
+    // is max-stable. Segmentation is a per-doc cumsum of stopword
+    // flags over token positions (one window, no self-joins);
+    // phrase text re-assembles via array_sort(struct(pos, tok)) —
+    // never an unordered collect_list. Word-stat joins are
+    // vocabulary-sized, phrase joins segment-sized: both shuffles on
+    // keys the data already has.
+    "q_rake" -> ((s, d) => {
+      val stopAll = graft.operators.TextAnalysis.stopwords
+        .flatMap(_._2).distinct
+      val toks = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(gfn.ascii_tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("is_stop", col("tok").isInCollection(stopAll))
+      val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = toks
+        .withColumn("seg",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wSeg))
+        .filter(!col("is_stop"))
+        .select(col("doc_id"), col("seg"), col("pos"), col("tok"))
+        .localCheckpoint(true) // phrase, occurrence, and word legs share it
+      val ph = seg.groupBy(col("doc_id"), col("seg"))
+        .agg(count(lit(1)).as("plen"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' ')")
+            .as("phrase"))
+        .filter(col("plen").between(2, 4))
+      val occ = seg.join(ph.select(col("doc_id"), col("seg"), col("plen")),
+        Seq("doc_id", "seg"))
+      val ws = occ.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore_pm", expr("(1000 * deg) div freq"))
+      occ.join(ws.select(col("tok"), col("wscore_pm")), Seq("tok"))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(sum(col("wscore_pm")).as("score_pm"))
+        .join(ph.select(col("doc_id"), col("seg"), col("phrase")),
+          Seq("doc_id", "seg"))
+        .groupBy(col("phrase"))
+        .agg(max(col("score_pm")).as("score_pm"), count(lit(1)).as("n_occ"))
+        // TakeOrderedAndProject prunes to 15 BEFORE the global
+        // row_number window ever sees the phrase table
+        .orderBy(col("score_pm").desc, col("phrase").asc)
+        .limit(15)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_pm").desc, col("phrase").asc)))
+        .select(col("rank").cast("long").as("rank"), col("phrase"),
+          col("n_occ"), col("score_pm"))
+        .orderBy("rank")
+    }),
+
     // Power-of-two length histogram (the doc-length distribution every
     // packing/truncation decision reads): floor(log2(n_chars)) computed
     // EXACTLY as length(bin(n)) − 1 — an integer bit-length, never a
@@ -9782,6 +9840,56 @@ object LlmOps {
          FROM c
          QUALIFY rank <= 5
          ORDER BY lang, rank""",
+
+    // stopword-boundary segmentation via positional cumsum; floored
+    // per-mille deg/freq word scores summed per phrase
+    "q_rake" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) - 1 AS pos
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents WHERE lang = 'en')),
+         mk AS (
+           SELECT doc_id, pos, tok,
+             tok IN ('al', 'als', 'and', 'are', 'as', 'at', 'au', 'auch', 'auf',
+               'avec', 'be', 'by', 'ce', 'como', 'con', 'dans', 'das',
+               'del', 'dem', 'den', 'der', 'des', 'die', 'du', 'ein', 'eine',
+               'el', 'en', 'es', 'est', 'et', 'for', 'from', 'für', 'have',
+               'il', 'im', 'in', 'is', 'ist', 'it', 'la', 'las', 'le',
+               'les', 'lo', 'los', 'mit', 'nicht', 'no', 'of', 'on', 'para',
+               'pas', 'por', 'pour', 'que', 'qui', 'se', 'sich', 'sont',
+               'su', 'sur', 'that', 'the', 'this', 'to', 'un', 'una', 'und',
+               'une', 'von', 'was', 'with', 'y', 'zu') AS is_stop
+           FROM tk),
+         sg AS (
+           SELECT doc_id, pos, tok,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+           FROM mk QUALIFY NOT is_stop),
+         ph AS (
+           SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS plen,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase
+           FROM sg GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4),
+         occ AS (
+           SELECT sg.doc_id, sg.seg, sg.tok, ph.plen
+           FROM sg JOIN ph USING (doc_id, seg)),
+         ws AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+           FROM occ GROUP BY 1),
+         ps AS (
+           SELECT occ.doc_id, occ.seg,
+             CAST(sum((1000 * deg) // freq) AS BIGINT) AS score_pm
+           FROM occ JOIN ws USING (tok) GROUP BY 1, 2),
+         pr AS (
+           SELECT phrase, CAST(max(score_pm) AS BIGINT) AS score_pm,
+             CAST(count(*) AS BIGINT) AS n_occ
+           FROM ps JOIN ph USING (doc_id, seg) GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY score_pm DESC, phrase)
+             AS BIGINT) AS rank,
+           phrase, n_occ, score_pm
+         FROM pr QUALIFY rank <= 15 ORDER BY rank""",
 
     "q_length_log2" ->
       """SELECT CAST(length(bin(length(text))) - 1 AS INTEGER) AS log2_bucket,

@@ -1043,6 +1043,46 @@ object Relational {
           .as("r2_x1e6"))
     }),
 
+    // Instrumental-variable Wald estimator (the encouragement-design
+    // readout next to q_cuped's variance reduction and
+    // q_diff_in_diff's parallel trends): early-cohort membership
+    // (z = user first seen in week 1) instruments engagement
+    // (x = distinct active days) for spend (y = purchase cents) —
+    // β_IV = ΔE[y|z] / ΔE[x|z]. Both arm-mean differences
+    // cross-multiply to one integer numerator and denominator
+    // (Sy₁·n₀ − Sy₀·n₁ over Sx₁·n₀ − Sx₀·n₁ — the shared n₁·n₀
+    // cancels), so the per-mille ratio is ONE signed truncating
+    // division of exact DECIMAL(38,0) sums; numerator/denominator ride
+    // as witnesses. One groupBy(user) + one global aggregate.
+    // (The identification caveat is the user's: z must be excludable;
+    // the operator supplies the exact arithmetic, not the assumption.)
+    "q_iv_wald" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          countDistinct(to_date(col("ts"))).as("x"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+        .withColumn("z", col("first_day") < lit("2024-01-08").cast("date"))
+      perUser.agg(
+          sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("z"), col("x")).otherwise(0L)).as("sx1"),
+          sum(when(!col("z"), col("x")).otherwise(0L)).as("sx0"),
+          sum(when(col("z"), col("y")).otherwise(0L)).as("sy1"),
+          sum(when(!col("z"), col("y")).otherwise(0L)).as("sy0"))
+        .withColumn("dy_cross", expr(
+          "CAST(CAST(sy1 AS DECIMAL(38,0)) * n0 - CAST(sy0 AS DECIMAL(38,0)) * n1 AS BIGINT)"))
+        .withColumn("dx_cross", expr(
+          "CAST(CAST(sx1 AS DECIMAL(38,0)) * n0 - CAST(sx0 AS DECIMAL(38,0)) * n1 AS BIGINT)"))
+        .withColumn("wald_pm",
+          when(col("dx_cross") =!= 0,
+            expr("(CAST(1000 AS DECIMAL(38,0)) * dy_cross) div dx_cross"))
+            .otherwise(0L))
+        .select(col("n1"), col("n0"), col("dy_cross"), col("dx_cross"),
+          col("wald_pm"))
+    }),
+
     // Rolling 7-day active users (the WAU curve): per calendar day, the
     // distinct users active in the trailing week. COUNT DISTINCT over a
     // RANGE frame isn't expressible as a window, so the day spine
@@ -2283,6 +2323,43 @@ object Relational {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
       graft.operators.TimeSeries.sax(daily, Seq("event_type"), "day", "c")
+        .orderBy("event_type")
+    }),
+
+    // Bandt–Pompe ordinal-pattern census (2002) per event type: each
+    // consecutive daily-count triple maps to one of the 6 order
+    // permutations — the permutation-entropy INPUT kept as exact
+    // integer counts (the entropy itself would need logs; the census
+    // carries strictly more information). Complexity-vs-determinism
+    // read next to q_sax's shape alphabet: a series cycling through
+    // few patterns is structured, a flat census is noise. Ties break
+    // earlier-is-smaller (the standard convention, stated): each
+    // element's rank = census of pairwise ≤ against the other two, so
+    // the triple code is a pure CASE tree over two leads — one window
+    // per key, no self-joins.
+    "q_ordinal_patterns" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("b", lead(col("n"), 1).over(w))
+        .withColumn("c", lead(col("n"), 2).over(w))
+        .filter(col("c").isNotNull)
+        .withColumn("code",
+          (((when(col("n") <= col("b"), 0L).otherwise(1L)
+             + when(col("n") <= col("c"), 0L).otherwise(1L)) * 100)
+           + ((when(col("n") <= col("b"), 1L).otherwise(0L)
+               + when(col("b") <= col("c"), 0L).otherwise(1L)) * 10)
+           + (when(col("n") <= col("c"), 1L).otherwise(0L)
+              + when(col("b") <= col("c"), 1L).otherwise(0L))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_triples"),
+          sum(when(col("code") === 12L, 1L).otherwise(0L)).as("c012"),
+          sum(when(col("code") === 21L, 1L).otherwise(0L)).as("c021"),
+          sum(when(col("code") === 102L, 1L).otherwise(0L)).as("c102"),
+          sum(when(col("code") === 120L, 1L).otherwise(0L)).as("c120"),
+          sum(when(col("code") === 201L, 1L).otherwise(0L)).as("c201"),
+          sum(when(col("code") === 210L, 1L).otherwise(0L)).as("c210"))
         .orderBy("event_type")
     }),
 
@@ -4156,6 +4233,40 @@ object Relational {
                 END AS BIGINT) AS r2_x1e6
          FROM t""",
 
+    // cross-multiplied arm-mean differences; one signed division
+    "q_iv_wald" ->
+      """WITH pu AS (
+           SELECT user_id,
+             min(CAST(ts AS DATE)) AS first_day,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y
+           FROM events GROUP BY user_id),
+         z AS (
+           SELECT *, first_day < DATE '2024-01-08' AS z FROM pu),
+         ag AS (
+           SELECT
+             CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN z THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN z THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             CAST(sum(CASE WHEN z THEN 0 ELSE x END) AS BIGINT) AS sx0,
+             CAST(sum(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(sum(CASE WHEN z THEN 0 ELSE y END) AS BIGINT) AS sy0
+           FROM z)
+         SELECT n1, n0,
+           CAST(CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1
+             AS BIGINT) AS dy_cross,
+           CAST(CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1
+             AS BIGINT) AS dx_cross,
+           CAST(CASE WHEN CAST(sx1 AS HUGEINT) * n0
+                          - CAST(sx0 AS HUGEINT) * n1 = 0 THEN 0
+                ELSE (1000 * (CAST(sy1 AS HUGEINT) * n0
+                              - CAST(sy0 AS HUGEINT) * n1))
+                  // (CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1)
+                END AS BIGINT) AS wald_pm
+         FROM ag""",
+
     "q_transitions" ->
 """WITH t AS (
            SELECT user_id, event_type,
@@ -5237,6 +5348,43 @@ object Relational {
            CAST(count(*) AS BIGINT) AS n_segments,
            string_agg(sym, '' ORDER BY seg) AS sax
          FROM sym GROUP BY 1, 2, 3, 4, 5 ORDER BY event_type""",
+
+    // two leads, earlier-is-smaller tie rule, CASE-tree rank digits
+    "q_ordinal_patterns" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tri AS (
+           SELECT event_type, n AS a,
+             lead(n, 1) OVER w AS b,
+             lead(n, 2) OVER w AS c
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)
+           QUALIFY c IS NOT NULL),
+         cd AS (
+           SELECT event_type,
+             ((CASE WHEN a <= b THEN 0 ELSE 1 END
+               + CASE WHEN a <= c THEN 0 ELSE 1 END) * 100
+              + (CASE WHEN a <= b THEN 1 ELSE 0 END
+                 + CASE WHEN b <= c THEN 0 ELSE 1 END) * 10
+              + (CASE WHEN a <= c THEN 1 ELSE 0 END
+                 + CASE WHEN b <= c THEN 1 ELSE 0 END)) AS code
+           FROM tri)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(sum(CASE WHEN code = 12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c012,
+           CAST(sum(CASE WHEN code = 21 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c021,
+           CAST(sum(CASE WHEN code = 102 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c102,
+           CAST(sum(CASE WHEN code = 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c120,
+           CAST(sum(CASE WHEN code = 201 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c201,
+           CAST(sum(CASE WHEN code = 210 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c210
+         FROM cd GROUP BY 1 ORDER BY event_type""",
 
     // per-shipmode 2x2 cells; terms floored at x1e6; crude OR rides
     "q_mantel_haenszel" ->
