@@ -68,4 +68,33 @@ object Survival {
         col("r.d").as("d"), col("r.c").as("c"),
         col("r.survival").as("survival"))
   }
+
+  /** Nelson–Aalen cumulative hazard over the same per-subject
+    * `(durationCol, observedCol)` rows: Ĥ(t) = Σ_{t'≤t} d/n_risk. Where
+    * [[kaplanMeier]]'s survival is a sequential PRODUCT (hence the array
+    * refold), the hazard is a plain SUM — each term floors to an exact
+    * per-mille ((1000·d) div n_risk) and a prefix-sum window
+    * accumulates, so no refold and no doubles at all. Same
+    * calendar-sized single-partition windows as the life table
+    * (bounded BY SEMANTICS: one row per distinct duration).
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String): DataFrame = {
+    val perT = df
+      .select(col(durationCol).cast("long").as("t"),
+        col(observedCol).cast("boolean").as("obs"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val wRisk = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .withColumn("h_pm",
+        sum(expr("(1000 * d) div n_risk")).over(wCum))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("h_pm"))
+  }
 }

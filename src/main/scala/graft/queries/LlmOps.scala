@@ -2586,6 +2586,46 @@ object LlmOps {
           col("kappa_num"), col("kappa_den"), col("kappa_x1000"))
     }),
 
+    // Linearly weighted Cohen's κ (Cohen 1968) on ORDINAL 3-level
+    // labels: where q_kappa's binary raters score agree/disagree flat,
+    // the weighted variant charges |i−j| for each level of
+    // disagreement — adjacent-level confusion costs half of
+    // extreme-level confusion, the right loss for ordered quality
+    // tiers. Observed weighted disagreement is just Σ|a−b| (no cells
+    // table), and the expected one unfolds from the marginals alone:
+    // Σᵢⱼ rᵢcⱼ|i−j| = r₀(c₁+2c₂) + r₁(c₀+c₂) + r₂(2c₀+c₁) — ONE
+    // aggregate, κ_w = 1 − n·ow/ew cross-multiplied into a single
+    // signed division.
+    "q_weighted_kappa" -> ((s, d) => {
+      val tk = gfn.ascii_tokens(col("text"))
+      val lab = Tables.documents(s, d)
+        .select(size(tk).cast("long").as("nw"),
+          size(array_distinct(tk)).cast("long").as("nd"))
+        .select(
+          when(col("nw") < 40L, 0L).when(col("nw") < 70L, 1L)
+            .otherwise(2L).as("a"),
+          when(col("nd") * 10 < col("nw") * 5, 0L)
+            .when(col("nd") * 10 < col("nw") * 7, 1L)
+            .otherwise(2L).as("b"))
+      lab.agg(count(lit(1)).as("n"),
+          sum(abs(col("a") - col("b"))).as("ow"),
+          sum(when(col("a") === 0, 1L).otherwise(0L)).as("r0"),
+          sum(when(col("a") === 1, 1L).otherwise(0L)).as("r1"),
+          sum(when(col("a") === 2, 1L).otherwise(0L)).as("r2"),
+          sum(when(col("b") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("b") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("b") === 2, 1L).otherwise(0L)).as("c2"))
+        .withColumn("ew",
+          col("r0") * (col("c1") + col("c2") * 2)
+            + col("r1") * (col("c0") + col("c2"))
+            + col("r2") * (col("c0") * 2 + col("c1")))
+        .withColumn("kw_x1000",
+          when(col("ew") === 0, 0L).otherwise(expr(
+            "1000 - (CAST(1000 AS DECIMAL(38,0)) * n * ow) div ew")))
+        .select(col("n"), col("ow"), col("r0"), col("r1"), col("r2"),
+          col("c0"), col("c1"), col("c2"), col("ew"), col("kw_x1000"))
+    }),
+
     // CM-sketch join-size estimation (the optimizer-statistics
     // primitive): |events ⋈ orders| on the shared id space, estimated
     // from two 3×1024-cell sketches via the per-row inner product with
@@ -7014,6 +7054,43 @@ object LlmOps {
            n * n - pe_num AS kappa_den,
            ((n * n_agree - pe_num) * 1000) // (n * n - pe_num) AS kappa_x1000
          FROM k""",
+
+    // Σ|a−b| observed; expected weighted disagreement unfolded from
+    // the marginals; one signed cross-multiplied division
+    "q_weighted_kappa" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         m AS (
+           SELECT CAST(len(tk) AS BIGINT) AS nw,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+           FROM t),
+         l AS (
+           SELECT CASE WHEN nw < 40 THEN 0 WHEN nw < 70 THEN 1 ELSE 2 END
+               AS a,
+             CASE WHEN nd * 10 < nw * 5 THEN 0
+                  WHEN nd * 10 < nw * 7 THEN 1 ELSE 2 END AS b
+           FROM m),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(a - b)) AS BIGINT) AS ow,
+             CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM l),
+         e AS (
+           SELECT *, r0 * (c1 + 2 * c2) + r1 * (c0 + c2)
+             + r2 * (2 * c0 + c1) AS ew
+           FROM s)
+         SELECT n, ow, r0, r1, r2, c0, c1, c2, ew,
+           CAST(CASE WHEN ew = 0 THEN 0
+                ELSE 1000 - (CAST(1000 AS HUGEINT) * n * ow) // ew
+                END AS BIGINT) AS kw_x1000
+         FROM e""",
 
     // Both sketches cell-for-cell, the per-row inner products over the
     // full d-row spine, and the exact count-table product replayed.

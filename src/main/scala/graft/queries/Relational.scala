@@ -1083,6 +1083,53 @@ object Relational {
           col("wald_pm"))
     }),
 
+    // Sharp regression discontinuity (Thistlethwaite & Campbell 1960)
+    // at the 1998-01-01 order-date cutoff: did per-order spend JUMP
+    // across the boundary? Local linear fits on each side of the
+    // ±45-day bandwidth, each intercept-at-cutoff the exact rational
+    // α = (Σy·Σxx − Σx·Σxy)/(n·Σxx − (Σx)²) floored once to a
+    // per-mille of cents; the jump composes from the two floored
+    // intercepts (stated rendering — one truncation per side, ±1‰
+    // composition slack, zero doubles). One conditional aggregate
+    // over the bandwidth window — the date filter reaches the scan.
+    "q_rdd" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val o = Tables.orders(s, d)
+        .withColumn("x", datediff(col("o_orderdate"),
+          lit("1998-01-01").cast("date")).cast("long"))
+        .filter(col("x") >= -45 && col("x") <= 45)
+        .withColumn("r", col("x") >= 0)
+        .withColumn("y", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      def side(flag: Boolean, n: String): Seq[org.apache.spark.sql.Column] = {
+        val m = if (flag) col("r") else !col("r")
+        Seq(sum(when(m, 1L).otherwise(0L)).as(s"n_$n"),
+          sum(when(m, col("x")).otherwise(0L)).as(s"sx_$n"),
+          sum(when(m, col("x") * col("x")).otherwise(0L)).as(s"sxx_$n"),
+          sum(when(m, col("y")).otherwise(0L)).as(s"sy_$n"),
+          sum(when(m, col("x").cast(dec) * col("y")).otherwise(lit(0L).cast(dec)))
+            .as(s"sxy_$n"))
+      }
+      val moments = side(false, "l") ++ side(true, "r")
+      o.agg(moments.head, moments.tail: _*)
+        .withColumn("alpha_l_pm", expr(
+          """CASE WHEN CAST(n_l AS DECIMAL(38,0)) * sxx_l
+                       - CAST(sx_l AS DECIMAL(38,0)) * sx_l = 0 THEN 0
+             ELSE (1000 * (CAST(sy_l AS DECIMAL(38,0)) * sxx_l
+                           - CAST(sx_l AS DECIMAL(38,0)) * sxy_l))
+               div (CAST(n_l AS DECIMAL(38,0)) * sxx_l
+                    - CAST(sx_l AS DECIMAL(38,0)) * sx_l) END"""))
+        .withColumn("alpha_r_pm", expr(
+          """CASE WHEN CAST(n_r AS DECIMAL(38,0)) * sxx_r
+                       - CAST(sx_r AS DECIMAL(38,0)) * sx_r = 0 THEN 0
+             ELSE (1000 * (CAST(sy_r AS DECIMAL(38,0)) * sxx_r
+                           - CAST(sx_r AS DECIMAL(38,0)) * sxy_r))
+               div (CAST(n_r AS DECIMAL(38,0)) * sxx_r
+                    - CAST(sx_r AS DECIMAL(38,0)) * sx_r) END"""))
+        .withColumn("jump_pm", col("alpha_r_pm") - col("alpha_l_pm"))
+        .select(col("n_l"), col("n_r"), col("alpha_l_pm"), col("alpha_r_pm"),
+          col("jump_pm"))
+    }),
+
     // Rolling 7-day active users (the WAU curve): per calendar day, the
     // distinct users active in the trailing week. COUNT DISTINCT over a
     // RANGE frame isn't expressible as a window, so the day spine
@@ -2597,6 +2644,22 @@ object Relational {
           (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
             .as("obs"))
       graft.operators.Survival.kaplanMeier(perUser, "t", "obs")
+        .orderBy("t")
+    }),
+
+    // Nelson–Aalen cumulative hazard (Survival.nelsonAalen) on the
+    // q_survival frame: the INTEGRATED conversion rate next to
+    // Kaplan–Meier's survival curve — additive where KM is
+    // multiplicative, so each increment is one exact floored
+    // per-mille (1000·d div n_risk) and the curve is a plain
+    // prefix sum: no sequential product refold, no doubles.
+    "q_nelson_aalen" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("t"),
+          (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+            .as("obs"))
+      graft.operators.Survival.nelsonAalen(perUser, "t", "obs")
         .orderBy("t")
     }),
 
@@ -4267,6 +4330,50 @@ object Relational {
                 END AS BIGINT) AS wald_pm
          FROM ag""",
 
+    // per-side exact rational intercepts at the cutoff, floored once
+    // each; the jump composes from the two floored per-milles
+    "q_rdd" ->
+      """WITH o AS (
+           SELECT date_diff('day', DATE '1998-01-01', o_orderdate) AS x,
+             o_orderdate >= DATE '1998-01-01' AS r,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderdate BETWEEN DATE '1997-11-17' AND DATE '1998-02-15'),
+         ag AS (
+           SELECT
+             CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS n_l,
+             CAST(sum(CASE WHEN r THEN 0 ELSE x END) AS BIGINT) AS sx_l,
+             CAST(sum(CASE WHEN r THEN 0 ELSE x * x END) AS BIGINT) AS sxx_l,
+             CAST(sum(CASE WHEN r THEN 0 ELSE y END) AS BIGINT) AS sy_l,
+             CAST(sum(CASE WHEN r THEN 0
+                      ELSE CAST(x AS HUGEINT) * y END) AS HUGEINT) AS sxy_l,
+             CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             CAST(sum(CASE WHEN r THEN x ELSE 0 END) AS BIGINT) AS sx_r,
+             CAST(sum(CASE WHEN r THEN x * x ELSE 0 END) AS BIGINT) AS sxx_r,
+             CAST(sum(CASE WHEN r THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+             CAST(sum(CASE WHEN r THEN CAST(x AS HUGEINT) * y
+                      ELSE 0 END) AS HUGEINT) AS sxy_r
+           FROM o),
+         a AS (
+           SELECT n_l, n_r,
+             CASE WHEN CAST(n_l AS HUGEINT) * sxx_l
+                       - CAST(sx_l AS HUGEINT) * sx_l = 0 THEN 0
+               ELSE (1000 * (CAST(sy_l AS HUGEINT) * sxx_l
+                             - CAST(sx_l AS HUGEINT) * sxy_l))
+                 // (CAST(n_l AS HUGEINT) * sxx_l
+                     - CAST(sx_l AS HUGEINT) * sx_l) END AS al,
+             CASE WHEN CAST(n_r AS HUGEINT) * sxx_r
+                       - CAST(sx_r AS HUGEINT) * sx_r = 0 THEN 0
+               ELSE (1000 * (CAST(sy_r AS HUGEINT) * sxx_r
+                             - CAST(sx_r AS HUGEINT) * sxy_r))
+                 // (CAST(n_r AS HUGEINT) * sxx_r
+                     - CAST(sx_r AS HUGEINT) * sx_r) END AS ar
+           FROM ag)
+         SELECT n_l, n_r, CAST(al AS BIGINT) AS alpha_l_pm,
+           CAST(ar AS BIGINT) AS alpha_r_pm,
+           CAST(ar - al AS BIGINT) AS jump_pm
+         FROM a""",
+
     "q_transitions" ->
 """WITH t AS (
            SELECT user_id, event_type,
@@ -5633,6 +5740,29 @@ object Relational {
                  y -> 1.0 - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))),
              (acc, x) -> acc * x) AS survival
          FROM idx ORDER BY t""",
+
+    // additive hazard: per-duration floored per-mille, prefix-summed
+    "q_nelson_aalen" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS obs
+           FROM events GROUP BY 1),
+         per_t AS (
+           SELECT t,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM per_user GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+           FROM per_t)
+         SELECT t, n_risk, d, c,
+           CAST(sum((1000 * d) // n_risk) OVER (ORDER BY t ASC) AS BIGINT)
+             AS h_pm
+         FROM risk ORDER BY t""",
 
     "q_corr_pairs" ->
       """WITH daily AS (
