@@ -537,6 +537,43 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // TextRank (Mihalcea & Tarau 2004): PageRank.integerPageRank run
+    // on the word co-occurrence graph instead of the supplier graph —
+    // non-stopword tokens are nodes, window-2 co-occurrence (over the
+    // FILTERED sequence, re-indexed by the per-doc window) the
+    // undirected edges, and the stationary mass the keyword salience.
+    // The graph-centrality alternative to q_rake's degree/frequency
+    // heuristic: RAKE rewards words living in long phrases, TextRank
+    // words that BRIDGE many contexts — corpus-card keyword lists read
+    // both. Same integer fixed point (×10¹² scale, 15% teleport, 3
+    // rounds), same one-shuffle round shape; top-20 pruned by
+    // TakeOrderedAndProject before the rank window.
+    "q_textrank" -> ((s, d) => {
+      val stopAll = graft.operators.TextAnalysis.stopwords
+        .flatMap(_._2).distinct
+      val toks = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"),
+          posexplode(gfn.ascii_tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(!col("tok").isInCollection(stopAll))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ld = toks.withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+      val fwd = ld.select(col("tok").as("src"), col("t1").as("dst"))
+        .unionAll(ld.select(col("tok").as("src"), col("t2").as("dst")))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      val edges = fwd
+        .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.operators.PageRank.integerPageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("rank").cast("long").as("rank"), col("id").as("tok"),
+          col("score"))
+        .orderBy("rank")
+    }),
+
     // Weighted PageRank ([[graft.operators.PageRank.weightedPageRank]]
     // under the oracle): the SAME supplier graph kept as a weighted
     // multigraph (edge weight = number of shared orders) instead of
@@ -9664,6 +9701,76 @@ object LlmOps {
              CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
            FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id AS s_suppkey, score AS pr FROM s3 ORDER BY s_suppkey""",
+
+    // q_pagerank's 3-round replay on the window-2 word graph; top-20
+    // after the final round
+    "q_textrank" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) - 1 AS pos
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents WHERE lang = 'en')),
+         nf AS (
+           SELECT doc_id, pos, tok FROM tk
+           WHERE tok NOT IN (
+             'al', 'als', 'and', 'are', 'as', 'at', 'au', 'auch', 'auf',
+             'avec', 'be', 'by', 'ce', 'como', 'con', 'dans', 'das',
+             'del', 'dem', 'den', 'der', 'des', 'die', 'du', 'ein',
+             'eine', 'el', 'en', 'es', 'est', 'et', 'for', 'from',
+             'für', 'have', 'il', 'im', 'in', 'is', 'ist', 'it', 'la',
+             'las', 'le', 'les', 'lo', 'los', 'mit', 'nicht', 'no',
+             'of', 'on', 'para', 'pas', 'por', 'pour', 'que', 'qui',
+             'se', 'sich', 'sont', 'su', 'sur', 'that', 'the', 'this',
+             'to', 'un', 'una', 'und', 'une', 'von', 'was', 'with',
+             'y', 'zu')),
+         ld AS (
+           SELECT tok, lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+           FROM nf
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         fw AS (
+           SELECT tok AS src, t1 AS dst FROM ld
+           WHERE t1 IS NOT NULL AND tok <> t1
+           UNION ALL
+           SELECT tok AS src, t2 AS dst FROM ld
+           WHERE t2 IS NOT NULL AND tok <> t2),
+         pairs AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM fw
+             UNION ALL SELECT dst AS src, src AS dst FROM fw)),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY 1),
+         s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+         m1 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s0 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s1 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m1.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s1 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s2 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m2.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (
+           SELECT p.dst AS id, sum(s.score // d.deg) AS in_sum
+           FROM pairs p JOIN s2 s ON p.src = s.id JOIN deg d ON p.src = d.src
+           GROUP BY 1),
+         s3 AS (
+           SELECT n.id,
+             CAST(150000000000 + CAST(coalesce(m3.in_sum, 0) * 85 // 100 AS BIGINT) AS BIGINT) AS score
+           FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+             AS rank,
+           id AS tok, score
+         FROM s3 QUALIFY rank <= 20 ORDER BY rank""",
 
     // q_pagerank's replay with the seed conditionals: teleport (and the
     // full-scale init) only where id is in the NATION_1 seed set.

@@ -877,6 +877,40 @@ object Relational {
         .orderBy("from_type", "to_type")
     }),
 
+    // Stationary distribution of the q_transitions Markov chain by
+    // THREE fixed power-iteration rounds from uniform: where the
+    // PageRank family damps with a teleport, the raw row-stochastic
+    // chain answers "where does a user session settle" — the
+    // steady-state mix the per-edge transition matrix only implies.
+    // Integer fixed point at ×10¹² with one floored division per
+    // (state, next) cell per round ((π·c) div rowtotal in
+    // DECIMAL(38,0)); the 25-cell matrix pins once and every round is
+    // one bounded join + one 5-key aggregate, replayed CTE-by-CTE by
+    // the oracle.
+    "q_markov_stationary" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // |states|² cells; every round joins it
+      val mat = tr.join(
+        tr.groupBy(col("cur")).agg(sum(col("c")).as("ct")), Seq("cur"))
+      var pi = tr.select(col("cur").as("state")).distinct()
+        .select(col("state"), lit(1000000000000L).as("p"))
+      for (_ <- 1 to 3) {
+        pi = mat.join(pi, col("cur") === col("state"))
+          .select(col("nxt"),
+            expr("(CAST(p AS DECIMAL(38,0)) * c) div ct").as("m"))
+          .groupBy(col("nxt")).agg(sum(col("m")).as("p"))
+          .select(col("nxt").as("state"), col("p"))
+      }
+      pi.select(col("state"), col("p").as("pi_x1e12")).orderBy("state")
+    }),
+
     // Frequent-path mining: each user-day's ordered event-type sequence
     // joined into a path string (the unique (ts, event_id) order makes
     // the concatenation deterministic), then the top paths by exact
@@ -4383,6 +4417,38 @@ object Relational {
          SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
          FROM t WHERE next_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY from_type, to_type""",
+
+    // three unrolled power-iteration rounds over the transition cells
+    "q_markov_stationary" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events),
+         tr AS (
+           SELECT event_type AS cur, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS c
+           FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT cur, CAST(sum(c) AS BIGINT) AS ct FROM tr GROUP BY 1),
+         mat AS (SELECT tr.cur, tr.nxt, tr.c, rt.ct
+                 FROM tr JOIN rt ON tr.cur = rt.cur),
+         p0 AS (
+           SELECT DISTINCT cur AS state,
+             CAST(1000000000000 AS BIGINT) AS p
+           FROM tr),
+         p1 AS (
+           SELECT nxt AS state,
+             CAST(sum((CAST(p AS HUGEINT) * c) // ct) AS BIGINT) AS p
+           FROM mat JOIN p0 ON mat.cur = p0.state GROUP BY 1),
+         p2 AS (
+           SELECT nxt AS state,
+             CAST(sum((CAST(p AS HUGEINT) * c) // ct) AS BIGINT) AS p
+           FROM mat JOIN p1 ON mat.cur = p1.state GROUP BY 1),
+         p3 AS (
+           SELECT nxt AS state,
+             CAST(sum((CAST(p AS HUGEINT) * c) // ct) AS BIGINT) AS p
+           FROM mat JOIN p2 ON mat.cur = p2.state GROUP BY 1)
+         SELECT state, p AS pi_x1e12 FROM p3 ORDER BY state""",
 
     "q_rolling_active" ->
       """WITH act AS (
