@@ -969,6 +969,100 @@ object StreamSync {
     sink.toString
   }
 
+  /** Streaming drift fixture: the same typed cent values as the
+    * quantile fixture in two TIME-SPLIT batches — the early window
+    * becomes each key's frozen REFERENCE histogram (first batch by
+    * contract), the late window the LIVE one. Guard: the final
+    * snapshot's total-variation per-mille equals the batch build
+    * computed from the raw table with the same early/late split.
+    */
+  private def driftSinkDir(s: SparkSession, d: String): String = {
+    val srcFile = new java.io.File(s"$d/events.parquet")
+    val root = Paths.get(
+      s"/tmp/graft_fixtures/stream_drift_${srcFile.lastModified}_${srcFile.length}")
+    val marker = root.resolve("_DONE")
+    val sink = root.resolve("sink")
+    ensureFixture(root) {
+        val landing = Files.createDirectories(root.resolve("landing"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("typ"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val cutDay = 19737L // 2024-01-15 as epoch days
+        def jsonl(df: DataFrame): DataFrame =
+          df.select(to_json(struct(col("typ"), col("v"))).as("j"))
+        val b1 = landOne(jsonl(ev.filter(col("day") < cutDay)),
+          root, landing, "batch1_reference.jsonl")
+        val b2 = landOne(jsonl(ev.filter(col("day") >= cutDay)),
+          root, landing, "batch2_live.jsonl")
+        mtimeAfter(b2, b1, 2000)
+
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("typ",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        import s.implicits._
+        val out = StreamingSync.driftStream(
+          StreamingSync.readJsonlStream(s, s"$landing/*.jsonl", schema,
+            maxFilesPerTrigger = 1).as[StreamingSync.TypeValue],
+          lo = 0L, width = 500L, nBuckets = 128)
+        val q = out.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .format("parquet")
+          .option("path", sink.toString)
+          .start()
+        awaitOrFail(q, 180000, "stream_drift replay")
+
+        // guard: max-seq snapshot == the batch early/late TV build
+        val sunk = s.read.parquet(sink.toString)
+        val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+        val got = sunk.join(maxSeq, Seq("typ", "seq"))
+          .select(col("typ"), col("n_ref"), col("n_live"), col("n_clamped"),
+            col("tv_pm")).distinct()
+        val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+        val cell = ev
+          .withColumn("__b",
+            when(col("v") < 0, 0L)
+              .when(expr("v div 500") >= 128, 127L)
+              .otherwise(expr("v div 500")))
+          .withColumn("__cl",
+            when(col("v") < 0 || expr("v div 500") >= 128, 1L).otherwise(0L))
+          .groupBy(col("typ"), col("__b"))
+          .agg(sum(when(col("day") < cutDay, 1L).otherwise(0L)).as("r"),
+            sum(when(col("day") >= cutDay, 1L).otherwise(0L)).as("l"),
+            sum(col("__cl")).as("cl"))
+        val tot = cell.groupBy(col("typ"))
+          .agg(sum(col("r")).as("n_ref"), sum(col("l")).as("n_live"),
+            sum(col("cl")).as("n_clamped"))
+        val want = cell.join(tot, Seq("typ"))
+          .withColumn("__t",
+            abs(col("l").cast(dec) * col("n_ref")
+              - col("r").cast(dec) * col("n_live")))
+          .groupBy(col("typ"))
+          .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
+            max(col("n_clamped")).as("n_clamped"), sum(col("__t")).as("__num"))
+          .withColumn("tv_pm",
+            when(col("n_ref") === 0 || col("n_live") === 0, 0L)
+              .otherwise(expr(
+                """(1000 * __num)
+                   div (CAST(2 AS DECIMAL(38,0)) * n_ref * n_live)""")))
+          .select(col("typ"), col("n_ref"), col("n_live"), col("n_clamped"),
+            col("tv_pm"))
+        val diff = got.unionByName(want)
+          .groupBy(col("typ"), col("n_ref"), col("n_live"), col("n_clamped"),
+            col("tv_pm"))
+          .agg(count(lit(1)).as("k")).filter(col("k") =!= 2).count()
+        require(diff == 0L,
+          s"stream_drift: $diff snapshot rows diverge from the batch " +
+            "early/late TV build — reference frozen wrong or live mass lost")
+        Files.createFile(marker)
+        ()
+    }
+    sink.toString
+  }
+
   /** Streaming SCD2 fixture: user-typed events in two TIME-SPLIT batches
     * (per-key time order across batches — the value-stream contract);
     * scd2Stream emits closed dimension rows on each type change. Guard:
@@ -1829,6 +1923,23 @@ object StreamSync {
         .orderBy("event_type")
     }),
 
+    // Live distribution-drift monitor: each key's FIRST micro-batch
+    // (the early time window) freezes as the reference histogram,
+    // later batches accumulate live counts, and every snapshot carries
+    // the exact total-variation per-mille between the two normalized
+    // grids — the "has this feed shifted since go-live" gauge,
+    // fixture-guarded equal to the batch early/late build; the oracle
+    // replays that split from the raw table.
+    "q_stream_drift" -> ((s, d) => {
+      val sunk = s.read.parquet(driftSinkDir(s, d))
+      val maxSeq = sunk.groupBy(col("typ")).agg(max(col("seq")).as("seq"))
+      sunk.join(maxSeq, Seq("typ", "seq"))
+        .select(col("typ").as("event_type"), col("n_ref"), col("n_live"),
+          col("n_clamped"), col("tv_pm"))
+        .distinct() // at-least-once sink
+        .orderBy("event_type")
+    }),
+
     // Live SCD2 maintenance: closed dimension rows emitted on type
     // change across time-split batches, fixture-guarded equal to the
     // batch closed-interval set; the oracle replays the batch build
@@ -2092,6 +2203,43 @@ object StreamSync {
            min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN b END) * 500
              AS p99_lo
          FROM cu GROUP BY 1 ORDER BY event_type""",
+
+    // The batch early/late split replayed from the raw table: early
+    // window = the frozen reference grid, late = live; exact TV.
+    "q_stream_drift" ->
+      """WITH v AS (
+           SELECT event_type AS typ, CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(ts) // 86400000000 < 19737 AS early
+           FROM events),
+         b AS (
+           SELECT typ, early,
+             CASE WHEN v < 0 THEN 0
+                  WHEN v // 500 >= 128 THEN 127
+                  ELSE v // 500 END AS bk,
+             CASE WHEN v < 0 OR v // 500 >= 128 THEN 1 ELSE 0 END AS cl
+           FROM v),
+         cell AS (
+           SELECT typ, bk,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS l,
+             CAST(sum(cl) AS BIGINT) AS clm
+           FROM b GROUP BY 1, 2),
+         tot AS (
+           SELECT typ, CAST(sum(r) AS BIGINT) AS n_ref,
+             CAST(sum(l) AS BIGINT) AS n_live,
+             CAST(sum(clm) AS BIGINT) AS n_clamped
+           FROM cell GROUP BY 1),
+         tv AS (
+           SELECT cell.typ,
+             sum(abs(CAST(l AS HUGEINT) * n_ref - CAST(r AS HUGEINT) * n_live))
+               AS num
+           FROM cell JOIN tot ON cell.typ = tot.typ GROUP BY 1)
+         SELECT tot.typ AS event_type, n_ref, n_live, n_clamped,
+           CAST(CASE WHEN n_ref = 0 OR n_live = 0 THEN 0
+                ELSE (1000 * num)
+                  // (2 * CAST(n_ref AS HUGEINT) * n_live) END AS BIGINT)
+             AS tv_pm
+         FROM tot JOIN tv ON tot.typ = tv.typ ORDER BY event_type""",
 
     // The batch XOR fold replayed from the raw table.
     "q_stream_checksum" ->

@@ -801,6 +801,98 @@ object StreamingSync {
       }
   }
 
+  final case class DriftState(
+      ref: Array[Long], nRef: Long, live: Array[Long], nLive: Long,
+      nClamped: Long, seq: Long)
+  final case class DriftRow(
+      typ: String, seq: Long, n_ref: Long, n_live: Long, n_clamped: Long,
+      tv_pm: Long)
+
+  /** Streaming distribution-drift monitor: the FIRST micro-batch per
+    * key freezes as the REFERENCE histogram (the baseline window);
+    * every later batch accumulates the LIVE histogram and emits the
+    * exact total-variation distance per-mille between the two
+    * normalized grids — tv_pm = (1000·Σ_b |live_b·nRef − ref_b·nLive|)
+    * div (2·nRef·nLive), each product in BigInt so the fold never
+    * wraps at any corpus scale. The ingest-time "has this feed
+    * shifted since go-live" gauge next to [[quantileStream]]'s level
+    * readout: same declared fixed grid (state = 2·nBuckets longs,
+    * bounded by the grid, never the data), same edge-bucket clamping
+    * with a cumulative `n_clamped` census so grid misfit is
+    * observable. The reference is the first batch BY CONTRACT (the
+    * replay fixture makes it the early time window and the batch
+    * oracle mirrors that split); live counts are additive, so the
+    * final snapshot is independent of how the post-reference stream
+    * is batch-split. Consumers take max-seq per key, distinct after
+    * the join (at-least-once sink).
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout eviction ([[cChartStream]]
+    * pattern): an evicted key loses BOTH grids and a returning key
+    * freezes a NEW reference — generational, exactly the
+    * [[quantileStream]] tradeoff, and stated there.
+    */
+  def driftStream(
+      events: Dataset[TypeValue],
+      lo: Long,
+      width: Long,
+      nBuckets: Int,
+      ttlMs: Long = 0L): Dataset[DriftRow] = {
+    require(width > 0 && nBuckets > 1, s"bad grid: width=$width nBuckets=$nBuckets")
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.typ)
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, gs: GroupState[DriftState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
+        case (typ, es, gs: GroupState[DriftState]) =>
+          val counts = new Array[Long](nBuckets)
+          var n = 0L
+          var clamped = 0L
+          es.foreach { e =>
+            val raw = (e.v - lo) / width
+            val b =
+              if (e.v < lo) 0
+              else if (raw >= nBuckets) nBuckets - 1
+              else raw.toInt
+            counts(b) += 1L
+            n += 1L
+            if (e.v < lo || raw >= nBuckets) clamped += 1L
+          }
+          val st = gs.getOption match {
+            case None =>
+              DriftState(counts, n, new Array[Long](nBuckets), 0L, clamped, 1L)
+            case Some(p) =>
+              val live = p.live.clone()
+              var i = 0
+              while (i < nBuckets) { live(i) += counts(i); i += 1 }
+              DriftState(p.ref, p.nRef, live, p.nLive + n,
+                p.nClamped + clamped, p.seq + 1L)
+          }
+          gs.update(st)
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
+          val tv =
+            if (st.nRef == 0L || st.nLive == 0L) 0L
+            else {
+              var num = BigInt(0)
+              var i = 0
+              while (i < nBuckets) {
+                num += (BigInt(st.live(i)) * st.nRef
+                  - BigInt(st.ref(i)) * st.nLive).abs
+                i += 1
+              }
+              ((BigInt(1000) * num)
+                / (BigInt(2) * st.nRef * st.nLive)).toLong
+            }
+          Iterator.single(
+            DriftRow(typ, st.seq, st.nRef, st.nLive, st.nClamped, tv))
+      }
+  }
+
   final case class IntervalEvent(user_id: Long, event_id: Long, start_us: Long, end_us: Long)
   final case class IslandState(start: Long, maxEnd: Long, n: Long, island: Long)
   final case class IslandRow(
