@@ -1370,6 +1370,126 @@ object Stats {
       .drop("__s")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance per key between
+    * the two samples split by `inACol` — the TRANSPORT-COST member of
+    * the two-sample family next to [[ksTwoSample]] (sup gap) and
+    * [[cramerVonMises]] (integrated square): how much mass must move
+    * how far, in the units of `vCol`. W₁ = ∫|F_a − F_b| dv collapses
+    * on the shared value spine to Σ_rows |n_b·C_a − n_a·C_b|·Δv with
+    * Δv the gap to the next spine value (the last row's gap vanishes
+    * since both CDFs reach 1), one truncating ÷(n_a·n_b) at the emit:
+    * every intermediate an exact DECIMAL(38,0) integer. Same
+    * one-aggregate + per-key-window cost as KS — the group sizes fold
+    * off the spine's own partition window, so there is no totals join
+    * at all.
+    */
+  def wasserstein1(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val pv = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val wLead = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+    pv
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("n_a", sum(col("__a")).over(wAll))
+      .withColumn("n_b", sum(col("__b")).over(wAll))
+      .withColumn("__dv", lead(col("__v"), 1).over(wLead) - col("__v"))
+      // the LAST spine row (null Δv) contributes zero — kept, not
+      // filtered, so a key whose spine is a single value still emits
+      // its W1 = 0 row (property-tested)
+      .withColumn("__t",
+        when(col("__dv").isNotNull,
+          abs(col("n_b").cast(dec) * col("__ca")
+            - col("n_a").cast(dec) * col("__cb")) * col("__dv"))
+          .otherwise(lit(0L).cast(dec)))
+      .groupBy(keys: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("__t")).as("__num"))
+      .withColumn("w1_x1000",
+        when(col("n_a") === 0 || col("n_b") === 0, 0L)
+          .otherwise(expr(
+            "(__num * 1000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")))
+      .drop("__num")
+  }
+
+  /** Two-sample energy distance (Székely & Rizzo 2004) per key:
+    * D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| — nonzero iff the two
+    * distributions differ AT ALL (location, scale, shape), the
+    * characteristic-function-complete member of the family
+    * [[ksTwoSample]] / [[cramerVonMises]] / [[wasserstein1]] sample
+    * from. The O(n²) pairwise |x−y| sums collapse on the sorted value
+    * spine to strictly-below prefix count/sum windows — Σ_pairs |v−w|
+    * = Σ_rows m·(c_below·v − s_below) within a sample, and the
+    * mirrored below/above split for the cross term — three exact
+    * DECIMAL(38,0) sums from ONE spine, zero pairs materialized. The
+    * floored per-mille components (eab/eaa/ebb) ride as witnesses;
+    * `d2_x1000` composes from the EXACT common-denominator numerator,
+    * one division at the emit.
+    */
+  def energyDistance(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val pv = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wBelow = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(keys: _*)
+    pv
+      .withColumn("__cal", coalesce(sum(col("__a")).over(wBelow), lit(0L)))
+      .withColumn("__sal",
+        coalesce(sum(col("__a").cast(dec) * col("__v")).over(wBelow),
+          lit(0L).cast(dec)))
+      .withColumn("__cbl", coalesce(sum(col("__b")).over(wBelow), lit(0L)))
+      .withColumn("__sbl",
+        coalesce(sum(col("__b").cast(dec) * col("__v")).over(wBelow),
+          lit(0L).cast(dec)))
+      .withColumn("n_a", sum(col("__a")).over(wAll))
+      .withColumn("n_b", sum(col("__b")).over(wAll))
+      .withColumn("__sbt", sum(col("__b").cast(dec) * col("__v")).over(wAll))
+      .withColumn("__cbg", col("n_b") - col("__cbl") - col("__b"))
+      .withColumn("__sbg",
+        col("__sbt") - col("__sbl") - col("__b").cast(dec) * col("__v"))
+      .withColumn("__tab",
+        col("__a").cast(dec)
+          * (col("__cbl").cast(dec) * col("__v") - col("__sbl")
+             + col("__sbg") - col("__cbg").cast(dec) * col("__v")))
+      .withColumn("__taa",
+        col("__a").cast(dec)
+          * (col("__cal").cast(dec) * col("__v") - col("__sal")))
+      .withColumn("__tbb",
+        col("__b").cast(dec)
+          * (col("__cbl").cast(dec) * col("__v") - col("__sbl")))
+      .groupBy(keys: _*)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("__tab")).as("sab"), sum(col("__taa")).as("saa"),
+        sum(col("__tbb")).as("sbb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("eab_pm",
+        expr("(2000 * sab) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+      .withColumn("eaa_pm",
+        expr("(2000 * saa) div (CAST(n_a AS DECIMAL(38,0)) * n_a)"))
+      .withColumn("ebb_pm",
+        expr("(2000 * sbb) div (CAST(n_b AS DECIMAL(38,0)) * n_b)"))
+      .withColumn("d2_x1000", expr(
+        """(2000 * (sab * n_a * n_b - saa * n_b * n_b - sbb * n_a * n_a))
+           div (CAST(n_a AS DECIMAL(38,0)) * n_a * n_b * n_b)"""))
+      .drop("sab", "saa", "sbb")
+  }
+
   /** Pairwise total-variation (and L∞) distance matrix between the
     * CATEGORICAL distributions of every group pair — the corpus-mix
     * drift audit (which sources' language/topic mixes disagree, and by

@@ -97,4 +97,68 @@ object Survival {
         sum(expr("(1000 * d) div n_risk")).over(wCum))
       .select(col("t"), col("n_risk"), col("d"), col("c"), col("h_pm"))
   }
+
+  /** Two-group log-rank test (Mantel 1966) over per-subject
+    * `(durationCol, observedCol, inACol)` rows: does group A's event
+    * timing differ from B's, with right-censoring handled? Per-group
+    * at-risk sets come from one DESCENDING cumulative sum over the
+    * (group × duration) grid — 2·|distinct durations| rows, bounded
+    * by the observation calendar, never by subjects. At each
+    * observed-event time the hypergeometric E and V terms floor to
+    * exact ×1000/×10⁶ renderings (numerators in DECIMAL(38,0), one
+    * truncating div per term); χ²×1000 composes from the two sums
+    * with one more division. Censored subjects at time t stay at
+    * risk AT t (the standard deaths-before-censoring convention).
+    * One row out: (n_a, n_b, o_a, o_b, e_a_pm, v_ppm, chi2_x1000).
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      inACol: String): DataFrame = {
+    val perUser = df.select(col(durationCol).cast("long").as("t"),
+      col(observedCol).cast("boolean").as("obs"),
+      col(inACol).cast("boolean").as("in_a"))
+    val cell = perUser.groupBy(col("in_a"), col("t"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("obs"), 1L).otherwise(0L)).as("c_obs"))
+    val grid = cell.select(col("t")).distinct()
+      .withColumn("in_a", explode(array(lit(true), lit(false))))
+      .join(cell, Seq("in_a", "t"), "left")
+      .na.fill(0L, Seq("c_all", "c_obs"))
+    val wDesc = Window.partitionBy(col("in_a")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = grid.withColumn("n_at", sum(col("c_all")).over(wDesc))
+    val terms = risk.filter(col("in_a"))
+      .select(col("t"), col("n_at").as("n_a_t"), col("c_obs").as("d_a_t"))
+      .join(risk.filter(!col("in_a"))
+        .select(col("t"), col("n_at").as("n_b_t"), col("c_obs").as("d_b_t")),
+        Seq("t"))
+      .withColumn("n_t", col("n_a_t") + col("n_b_t"))
+      .withColumn("d_t", col("d_a_t") + col("d_b_t"))
+      .filter(col("d_t") > 0)
+      .withColumn("e_term", expr("(1000 * d_t * n_a_t) div n_t"))
+      .withColumn("v_term", when(col("n_t") > 1, expr(
+        """(CAST(1000000 AS DECIMAL(38,0)) * d_t * n_a_t
+            * (n_t - n_a_t) * (n_t - d_t))
+           div (CAST(n_t AS DECIMAL(38,0)) * n_t * (n_t - 1))"""))
+        .otherwise(0L))
+    val sizes = perUser.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    // coalesce: zero observed events anywhere leaves `terms` empty —
+    // the test then reports all-zero statistics, not nulls
+    terms.agg(coalesce(sum(col("d_a_t")), lit(0L)).as("o_a"),
+        coalesce(sum(col("d_b_t")), lit(0L)).as("o_b"),
+        coalesce(sum(col("e_term")), lit(0L)).as("e_a_pm"),
+        coalesce(sum(col("v_term")), lit(0L)).as("v_ppm"))
+      .crossJoin(broadcast(sizes))
+      .withColumn("chi2_x1000",
+        when(col("v_ppm") > 0, expr(
+          """(CAST(1000 AS DECIMAL(38,0)) * (1000 * o_a - e_a_pm)
+              * (1000 * o_a - e_a_pm)) div v_ppm"""))
+          .otherwise(0L))
+      .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+        col("e_a_pm"), col("v_ppm"), col("chi2_x1000"))
+  }
 }

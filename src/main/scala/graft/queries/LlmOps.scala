@@ -4659,43 +4659,7 @@ object LlmOps {
             .as("obs"),
           (max(when(col("event_type") === "error", 1).otherwise(0)) === 1)
             .as("in_a"))
-      val cell = perUser.groupBy(col("in_a"), col("t"))
-        .agg(count(lit(1)).as("c_all"),
-          sum(when(col("obs"), 1L).otherwise(0L)).as("c_obs"))
-      val grid = cell.select(col("t")).distinct()
-        .withColumn("in_a", explode(array(lit(true), lit(false))))
-        .join(cell, Seq("in_a", "t"), "left")
-        .na.fill(0L, Seq("c_all", "c_obs"))
-      val wDesc = Window.partitionBy(col("in_a")).orderBy(col("t").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val risk = grid.withColumn("n_at", sum(col("c_all")).over(wDesc))
-      val terms = risk.filter(col("in_a"))
-        .select(col("t"), col("n_at").as("n_a_t"), col("c_obs").as("d_a_t"))
-        .join(risk.filter(!col("in_a"))
-          .select(col("t"), col("n_at").as("n_b_t"), col("c_obs").as("d_b_t")),
-          Seq("t"))
-        .withColumn("n_t", col("n_a_t") + col("n_b_t"))
-        .withColumn("d_t", col("d_a_t") + col("d_b_t"))
-        .filter(col("d_t") > 0)
-        .withColumn("e_term", expr("(1000 * d_t * n_a_t) div n_t"))
-        .withColumn("v_term", when(col("n_t") > 1, expr(
-          """(CAST(1000000 AS DECIMAL(38,0)) * d_t * n_a_t
-              * (n_t - n_a_t) * (n_t - d_t))
-             div (CAST(n_t AS DECIMAL(38,0)) * n_t * (n_t - 1))"""))
-          .otherwise(0L))
-      val sizes = perUser.agg(
-        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
-      terms.agg(sum(col("d_a_t")).as("o_a"), sum(col("d_b_t")).as("o_b"),
-          sum(col("e_term")).as("e_a_pm"), sum(col("v_term")).as("v_ppm"))
-        .crossJoin(broadcast(sizes))
-        .withColumn("chi2_x1000",
-          when(col("v_ppm") > 0, expr(
-            """(CAST(1000 AS DECIMAL(38,0)) * (1000 * o_a - e_a_pm)
-                * (1000 * o_a - e_a_pm)) div v_ppm"""))
-            .otherwise(0L))
-        .select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
-          col("e_a_pm"), col("v_ppm"), col("chi2_x1000"))
+      graft.operators.Survival.logRank(perUser, "t", "obs", "in_a")
     }),
 
     // Mood's scale test (Stats.moodScaleTest) per nation: do URGENT
@@ -4731,7 +4695,6 @@ object LlmOps {
     // Per-nation value-spine cumsum windows — bounded key frames,
     // never pairs.
     "q_wasserstein" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val nat = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
@@ -4742,32 +4705,9 @@ object LlmOps {
         .select(col("n_name"),
           (col("o_orderpriority") === "1-URGENT").as("in_a"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-      val pv = o.groupBy(col("n_name"), col("v"))
-        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("m_a"),
-          sum(when(!col("in_a"), 1L).otherwise(0L)).as("m_b"))
-        .localCheckpoint(true) // nation × distinct-cent rows; totals + windows share it
-      val wCum = Window.partitionBy(col("n_name")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wLead = Window.partitionBy(col("n_name")).orderBy(col("v"))
-      // totals fold off the spine itself — no second pass over the join
-      val tot = pv.groupBy(col("n_name"))
-        .agg(sum(col("m_a")).as("n_a"), sum(col("m_b")).as("n_b"))
-      pv.withColumn("ca", sum(col("m_a")).over(wCum))
-        .withColumn("cb", sum(col("m_b")).over(wCum))
-        .withColumn("dv", lead(col("v"), 1).over(wLead) - col("v"))
-        .filter(col("dv").isNotNull)
-        .join(broadcast(tot), Seq("n_name"))
-        .withColumn("__t",
-          abs(col("n_b").cast(dec) * col("ca") - col("n_a").cast(dec) * col("cb"))
-            * col("dv"))
-        .groupBy(col("n_name"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(col("__t")).as("__num"))
-        .withColumn("w1_cents_x1000",
-          when(col("n_a") === 0 || col("n_b") === 0, 0L)
-            .otherwise(expr(
-              "(__num * 1000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")))
-        .select(col("n_name"), col("n_a"), col("n_b"), col("w1_cents_x1000"))
+      Stats.wasserstein1(o, Seq("n_name"), "in_a", "v")
+        .select(col("n_name"), col("n_a"), col("n_b"),
+          col("w1_x1000").as("w1_cents_x1000"))
         .orderBy("n_name")
     }),
 
@@ -4784,7 +4724,6 @@ object LlmOps {
     // witnesses; d2_x1000 composes from the EXACT common-denominator
     // numerator (not from the floored components), one division.
     "q_energy_dist" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val nat = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
@@ -4795,56 +4734,7 @@ object LlmOps {
         .select(col("n_name"),
           (col("o_orderpriority") === "1-URGENT").as("in_a"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-      val pv = o.groupBy(col("n_name"), col("v"))
-        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("m_a"),
-          sum(when(!col("in_a"), 1L).otherwise(0L)).as("m_b"))
-        .localCheckpoint(true) // nation × distinct-cent rows; totals + windows share it
-      val wBelow = Window.partitionBy(col("n_name")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // totals fold off the spine itself — no second pass over the join
-      val tot = pv.groupBy(col("n_name"))
-        .agg(sum(col("m_a")).as("n_a"), sum(col("m_b")).as("n_b"),
-          sum(col("m_a").cast(dec) * col("v")).as("s_a"),
-          sum(col("m_b").cast(dec) * col("v")).as("s_b"))
-      val rows = pv
-        .withColumn("cal", coalesce(sum(col("m_a")).over(wBelow), lit(0L)))
-        .withColumn("sal",
-          coalesce(sum(col("m_a").cast(dec) * col("v")).over(wBelow),
-            lit(0L).cast(dec)))
-        .withColumn("cbl", coalesce(sum(col("m_b")).over(wBelow), lit(0L)))
-        .withColumn("sbl",
-          coalesce(sum(col("m_b").cast(dec) * col("v")).over(wBelow),
-            lit(0L).cast(dec)))
-        .join(broadcast(tot), Seq("n_name"))
-      // strictly-above b-mass = totals minus below-inclusive
-      val sums = rows
-        .withColumn("cbg", col("n_b") - col("cbl") - col("m_b"))
-        .withColumn("sbg",
-          col("s_b").cast(dec) - col("sbl") - col("m_b").cast(dec) * col("v"))
-        .withColumn("t_ab",
-          col("m_a").cast(dec)
-            * (col("cbl").cast(dec) * col("v") - col("sbl")
-               + col("sbg") - col("cbg").cast(dec) * col("v")))
-        .withColumn("t_aa",
-          col("m_a").cast(dec)
-            * (col("cal").cast(dec) * col("v") - col("sal")))
-        .withColumn("t_bb",
-          col("m_b").cast(dec)
-            * (col("cbl").cast(dec) * col("v") - col("sbl")))
-        .groupBy(col("n_name"))
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(col("t_ab")).as("sab"), sum(col("t_aa")).as("saa"),
-          sum(col("t_bb")).as("sbb"))
-      sums.filter(col("n_a") > 0 && col("n_b") > 0)
-        .withColumn("eab_pm",
-          expr("(2000 * sab) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
-        .withColumn("eaa_pm",
-          expr("(2000 * saa) div (CAST(n_a AS DECIMAL(38,0)) * n_a)"))
-        .withColumn("ebb_pm",
-          expr("(2000 * sbb) div (CAST(n_b AS DECIMAL(38,0)) * n_b)"))
-        .withColumn("d2_x1000", expr(
-          """(2000 * (sab * n_a * n_b - saa * n_b * n_b - sbb * n_a * n_a))
-             div (CAST(n_a AS DECIMAL(38,0)) * n_a * n_b * n_b)"""))
+      Stats.energyDistance(o, Seq("n_name"), "in_a", "v")
         .select(col("n_name"), col("n_a"), col("n_b"), col("eab_pm"),
           col("eaa_pm"), col("ebb_pm"), col("d2_x1000"))
         .orderBy("n_name")

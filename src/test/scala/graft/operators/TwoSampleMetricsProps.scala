@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.SparkSession
+
+/** Property tests for the two-sample metric family added in round 16,
+  * against independent plain-Scala brute-force references:
+  * wasserstein1 vs the replicate-and-sort quantile-coupling formula
+  * (each a copied n_b times, each b copied n_a times, mean |gap| of
+  * the aligned order statistics — a DIFFERENT exact formula than the
+  * CDF-L1 spine the operator uses), energyDistance vs O(n²) nested
+  * pair loops in BigInt, and Survival.logRank vs a sequential
+  * life-table walk accumulating the same floored hypergeometric
+  * terms. Arbitrary duplicates, one-sided samples, tie runs.
+  */
+object TwoSampleMetricsProps extends Properties("TwoSampleMetrics") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("two-sample-metrics-props").getOrCreate()
+
+  private val genAB: Gen[Seq[(Boolean, Long)]] = for {
+    n <- Gen.chooseNum(2, 24)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false), Gen.chooseNum(-9L, 9L)))
+  } yield rows
+
+  property("wasserstein1 equals the replicate-and-sort quantile coupling") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+        val r = Stats.wasserstein1(df, Seq("k"), "in_a", "v").collect().head
+        // W1 = mean |gap| of aligned order statistics after replicating
+        // each sample to the common size n_a*n_b
+        val ra = as.flatMap(a => Seq.fill(bs.size)(a)).sorted
+        val rb = bs.flatMap(b => Seq.fill(as.size)(b)).sorted
+        val num = ra.zip(rb).map { case (x, y) => math.abs(x - y) }.sum
+        val want = 1000L * num / (as.size.toLong * bs.size)
+        (r.getAs[Long]("n_a") == as.size.toLong) &&
+          (r.getAs[Long]("n_b") == bs.size.toLong) &&
+          (r.getAs[Long]("w1_x1000") == want)
+      }
+    }
+
+  property("energyDistance components equal the nested-pair sums") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+        val r = Stats.energyDistance(df, Seq("k"), "in_a", "v").collect().head
+        val na = BigInt(as.size); val nb = BigInt(bs.size)
+        val sab = BigInt((for (a <- as; b <- bs) yield math.abs(a - b)).sum)
+        def within(xs: Seq[Long]): BigInt = BigInt((for {
+          i <- xs.indices; j <- (i + 1) until xs.size
+        } yield math.abs(xs(i) - xs(j))).sum)
+        val saa = within(as); val sbb = within(bs)
+        val eab = (BigInt(2000) * sab / (na * nb)).toLong
+        val eaa = (BigInt(2000) * saa / (na * na)).toLong
+        val ebb = (BigInt(2000) * sbb / (nb * nb)).toLong
+        val d2num = BigInt(2000) * (sab * na * nb - saa * nb * nb - sbb * na * na)
+        // toward-zero truncation, matching Spark's div on a possibly
+        // negative numerator
+        val d2den = na * na * nb * nb
+        val d2 = (d2num / d2den).toLong
+        (r.getAs[Long]("eab_pm") == eab) && (r.getAs[Long]("eaa_pm") == eaa) &&
+          (r.getAs[Long]("ebb_pm") == ebb) && (r.getAs[Long]("d2_x1000") == d2)
+      }
+    }
+
+  private val genSurv: Gen[Seq[(Long, Boolean, Boolean)]] = for {
+    n <- Gen.chooseNum(2, 30)
+    rows <- Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf(true, false), Gen.oneOf(true, false)))
+  } yield rows.map { case (t, o, g) => (t, o, g) }
+
+  property("logRank equals the sequential life-table walk") =
+    Prop.forAll(genSurv) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("t", "obs", "in_a")
+      val r = Survival.logRank(df, "t", "obs", "in_a").collect().head
+      val times = rows.map(_._1).distinct.sorted
+      var oA = 0L; var oB = 0L; var ePm = 0L; var vPpm = BigInt(0)
+      times.foreach { t =>
+        val nA = rows.count { case (ti, _, g) => g && ti >= t }.toLong
+        val nB = rows.count { case (ti, _, g) => !g && ti >= t }.toLong
+        val dA = rows.count { case (ti, o, g) => g && o && ti == t }.toLong
+        val dB = rows.count { case (ti, o, g) => !g && o && ti == t }.toLong
+        val n = nA + nB; val d = dA + dB
+        if (d > 0) {
+          oA += dA; oB += dB
+          ePm += 1000L * d * nA / n
+          if (n > 1)
+            vPpm += BigInt(1000000L) * d * nA * (n - nA) * (n - d) /
+              (BigInt(n) * n * (n - 1))
+        }
+      }
+      val chi =
+        if (vPpm > 0)
+          (BigInt(1000) * (1000 * oA - ePm) * (1000 * oA - ePm) / vPpm).toLong
+        else 0L
+      (r.getAs[Long]("o_a") == oA) && (r.getAs[Long]("o_b") == oB) &&
+        (r.getAs[Long]("e_a_pm") == ePm) &&
+        (r.getAs[Long]("v_ppm") == vPpm.toLong) &&
+        (r.getAs[Long]("chi2_x1000") == chi)
+    }
+}
