@@ -3248,6 +3248,151 @@ object Relational {
         .orderBy("pa", "pb")
     }),
 
+    // Item-item collaborative filtering (Sarwar et al. 2001) on the
+    // binary customer × brand matrix: per brand the top-3 most
+    // cosine-similar brands — the "customers who bought X also
+    // bought" recommendation shape next to q_basket_lift's
+    // order-scoped association strength. Cosine on implicit 0/1
+    // vectors is |U_i∩U_j|/√(|U_i||U_j|); squared and
+    // cross-multiplied it is EXACT — cos²_pm = (1000·c_ij²) div
+    // (c_i·c_j) — so no root is ever taken and ranking by cos² ranks
+    // by cosine. Pair expansion is per-customer over their DISTINCT
+    // brand set (bounded by the 25-brand catalog, the q_basket_lift
+    // blocking shape); the per-brand top-3 cut is a partitioned rank
+    // window (WindowGroupLimit prunes before the sort).
+    "q_item_cf" -> ((s, d) => {
+      val ub = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint(false) // ≤ customers × |catalog| rows; margin + both pair legs read it
+      val margin = ub.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+      val co = ub.select(col("cust"), col("brand").as("ba"))
+        .join(ub.select(col("cust"), col("brand").as("bb")), Seq("cust"))
+        .filter(col("ba") < col("bb"))
+        .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("c_ab"))
+      val sym = co.unionAll(co.select(col("bb").as("ba"), col("ba").as("bb"),
+        col("c_ab")))
+      val scored = sym
+        .join(margin.select(col("brand").as("ba"), col("c").as("c_a")),
+          Seq("ba"))
+        .join(margin.select(col("brand").as("bb"), col("c").as("c_b")),
+          Seq("bb"))
+        .withColumn("cos2_pm", expr(
+          """(CAST(1000 AS DECIMAL(38,0)) * c_ab * c_ab)
+             div (CAST(c_a AS DECIMAL(38,0)) * c_b)"""))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("ba"))
+            .orderBy(col("cos2_pm").desc, col("bb").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("ba").as("brand"), col("rank"), col("bb").as("rec_brand"),
+          col("c_ab"), col("cos2_pm"))
+        .orderBy("brand", "rank")
+    }),
+
+    // Bradley–Terry paired-comparison strengths (1952) over the five
+    // order priorities: each nation stages a contest per priority
+    // pair — the larger nation-total spend wins — and THREE
+    // minorization–maximization rounds convert the win matrix into
+    // strength ratings (the principled alternative to raw win counts
+    // when schedules are unbalanced: beating strong opponents counts
+    // for more). Integer rendering, stated: per round
+    // d_i = Σ_j (10⁶·n_ij) div (θ_i+θ_j), θ'_i = (10⁹·W_i) div d_i —
+    // one floor per pair term, one per update; BT is scale-invariant
+    // so the per-round ×1000 drift is harmless and the emitted rating
+    // normalizes to `theta_pm` = (1000·θ) div Σθ. The 5×5 matrix
+    // pins once; the oracle replays all three rounds CTE-by-CTE.
+    "q_bradley_terry" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("p"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      val contests = spend.select(col("n_name"), col("p").as("i"),
+          col("v").as("vi"))
+        .join(spend.select(col("n_name"), col("p").as("j"), col("v").as("vj")),
+          Seq("n_name"))
+        .filter(col("i") =!= col("j") && col("vi") =!= col("vj"))
+      val wins = contests.filter(col("vi") > col("vj"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+      val nm = contests.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n_ij"))
+        .localCheckpoint(true) // 20 cells; every MM round joins it
+      // left join + fill: an item that never wins stays on the spine
+      // with wins = 0 (its theta decays, it must not vanish)
+      val wTot = nm.select(col("i")).distinct()
+        .join(wins.groupBy(col("i")).agg(sum(col("w")).as("wins")),
+          Seq("i"), "left")
+        .na.fill(0L, Seq("wins"))
+        .localCheckpoint(true) // |items| rows; every MM round and the emit join it
+      var th = nm.select(col("i").as("item")).distinct()
+        .select(col("item"), lit(1000L).as("t"))
+      for (_ <- 1 to 3) {
+        val dI = nm
+          .join(th.select(col("item").as("i"), col("t").as("ti")), Seq("i"))
+          .join(th.select(col("item").as("j"), col("t").as("tj")), Seq("j"))
+          .select(col("i"), expr("(1000000 * n_ij) div (ti + tj)").as("dt"))
+          .groupBy(col("i")).agg(sum(col("dt")).as("den"))
+        th = dI.join(wTot, Seq("i"))
+          .select(col("i").as("item"), expr(
+            """CASE WHEN den = 0 THEN 0
+               ELSE (CAST(1000000000 AS DECIMAL(38,0)) * wins) div den
+               END""").as("t"))
+          // pin each round: the next round reads θ TWICE (ti and tj
+          // legs) — unpinned, the lineage doubles per round
+          .localCheckpoint(true)
+      }
+      val tot = th.agg(sum(col("t")).as("tt"))
+      th.crossJoin(broadcast(tot))
+        .join(wTot.select(col("i").as("item"), col("wins")), Seq("item"))
+        .withColumn("theta_pm",
+          when(col("tt") === 0, 0L).otherwise(expr(
+            "(CAST(1000 AS DECIMAL(38,0)) * t) div tt")))
+        .select(col("item"), col("wins"), col("theta_pm"))
+        .orderBy("item")
+    }),
+
+    // Decile lift table (the direct-marketing model-evaluation
+    // staple): customers ranked by lifetime spend WITHIN their nation
+    // (ntile over a per-nation window — a bounded key frame, never a
+    // global sort), conversion = placed an order in 2001; per decile
+    // the exact conversion rate and its lift over the nation's own
+    // base rate, both as cross-multiplied per-milles. The "is the
+    // targeting signal monotone" read next to q_auc's global ranking
+    // quality — AUC summarizes, the decile table shows WHERE the
+    // signal lives. Deterministic: ntile over the (spend desc,
+    // custkey) total order assigns identical buckets in both engines.
+    "q_decile_lift" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend"),
+          max(when(year(col("o_orderdate")) === 2001, 1L).otherwise(0L))
+            .as("conv"))
+      val per = cust.withColumn("decile",
+          ntile(10).over(Window.partitionBy(col("n_name"))
+            .orderBy(col("spend").desc, col("c_custkey").asc)).cast("long"))
+        .groupBy(col("n_name"), col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+      val tot = per.groupBy(col("n_name"))
+        .agg(sum(col("n")).as("nt"), sum(col("n_conv")).as("ct"))
+      per.join(broadcast(tot), Seq("n_name"))
+        .withColumn("rate_pm", expr("(1000 * n_conv) div n"))
+        .withColumn("lift_pm",
+          when(col("ct") === 0, 0L).otherwise(expr(
+            """(CAST(1000 AS DECIMAL(38,0)) * n_conv * nt)
+               div (CAST(n AS DECIMAL(38,0)) * ct)""")))
+        .select(col("n_name"), col("decile"), col("n"), col("n_conv"),
+          col("rate_pm"), col("lift_pm"))
+        .orderBy("n_name", "decile")
+    }),
+
     // Exact weighted median per nation: the quantity-weighted middle of
     // extended prices — order by (value, tiebreak), pick the first row
     // where 2·cum_weight ≥ total_weight (the lower weighted median, an
@@ -6231,6 +6376,143 @@ object Relational {
          JOIN margin mb ON p.pb = mb.l_partkey
          CROSS JOIN total t
          ORDER BY pa, pb""",
+
+    // binary user-item cosine squared + cross-multiplied; top-3 per
+    // brand by (cos2 desc, brand)
+    "q_item_cf" ->
+      """WITH ub AS (
+           SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+           FROM orders
+             JOIN lineitem ON o_orderkey = l_orderkey
+             JOIN part ON l_partkey = p_partkey),
+         margin AS (
+           SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ub GROUP BY 1),
+         co AS (
+           SELECT a.brand AS ba, b.brand AS bb, CAST(count(*) AS BIGINT)
+               AS c_ab
+           FROM ub a JOIN ub b ON a.cust = b.cust AND a.brand < b.brand
+           GROUP BY 1, 2),
+         sym AS (
+           SELECT ba, bb, c_ab FROM co
+           UNION ALL SELECT bb AS ba, ba AS bb, c_ab FROM co),
+         sc AS (
+           SELECT ba, bb, c_ab,
+             (CAST(1000 AS HUGEINT) * c_ab * c_ab)
+               // (CAST(ma.c AS HUGEINT) * mb.c) AS cos2_pm
+           FROM sym
+             JOIN margin ma ON sym.ba = ma.brand
+             JOIN margin mb ON sym.bb = mb.brand)
+         SELECT ba AS brand,
+           CAST(row_number() OVER (PARTITION BY ba
+             ORDER BY cos2_pm DESC, bb) AS BIGINT) AS rank,
+           bb AS rec_brand, c_ab, CAST(cos2_pm AS BIGINT) AS cos2_pm
+         FROM sc QUALIFY rank <= 3 ORDER BY brand, rank""",
+
+    // per-nation priority contests; three MM rounds replayed
+    "q_bradley_terry" ->
+      """WITH spend AS (
+           SELECT n_name, CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+               AS p,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         ct AS (
+           SELECT a.i, a.j, a.vi, a.vj FROM (
+             SELECT x.n_name, x.p AS i, y.p AS j, x.v AS vi, y.v AS vj
+             FROM spend x JOIN spend y ON x.n_name = y.n_name
+             WHERE x.p <> y.p AND x.v <> y.v) a),
+         wins AS (
+           SELECT i, CAST(count(*) AS BIGINT) AS wins
+           FROM ct WHERE vi > vj GROUP BY 1),
+         nm AS (
+           SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij
+           FROM ct GROUP BY 1, 2),
+         wt AS (
+           SELECT s.i, coalesce(w.wins, 0) AS wins
+           FROM (SELECT DISTINCT i FROM nm) s
+           LEFT JOIN wins w ON s.i = w.i),
+         t0 AS (SELECT DISTINCT i AS item, CAST(1000 AS BIGINT) AS t FROM nm),
+         d1 AS (
+           SELECT nm.i, CAST(sum((1000000 * n_ij) // (ti.t + tj.t))
+               AS BIGINT) AS den
+           FROM nm JOIN t0 ti ON nm.i = ti.item
+             JOIN t0 tj ON nm.j = tj.item
+           GROUP BY 1),
+         t1 AS (
+           SELECT d1.i AS item,
+             CAST(CASE WHEN den = 0 THEN 0
+                  ELSE (CAST(1000000000 AS HUGEINT) * wins) // den
+                  END AS BIGINT) AS t
+           FROM d1 JOIN wt ON d1.i = wt.i),
+         d2 AS (
+           SELECT nm.i, CAST(sum((1000000 * n_ij) // (ti.t + tj.t))
+               AS BIGINT) AS den
+           FROM nm JOIN t1 ti ON nm.i = ti.item
+             JOIN t1 tj ON nm.j = tj.item
+           GROUP BY 1),
+         t2 AS (
+           SELECT d2.i AS item,
+             CAST(CASE WHEN den = 0 THEN 0
+                  ELSE (CAST(1000000000 AS HUGEINT) * wins) // den
+                  END AS BIGINT) AS t
+           FROM d2 JOIN wt ON d2.i = wt.i),
+         d3 AS (
+           SELECT nm.i, CAST(sum((1000000 * n_ij) // (ti.t + tj.t))
+               AS BIGINT) AS den
+           FROM nm JOIN t2 ti ON nm.i = ti.item
+             JOIN t2 tj ON nm.j = tj.item
+           GROUP BY 1),
+         t3 AS (
+           SELECT d3.i AS item,
+             CAST(CASE WHEN den = 0 THEN 0
+                  ELSE (CAST(1000000000 AS HUGEINT) * wins) // den
+                  END AS BIGINT) AS t
+           FROM d3 JOIN wt ON d3.i = wt.i),
+         tt AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM t3)
+         SELECT item, wins,
+           CAST(CASE WHEN tt = 0 THEN 0
+                ELSE (CAST(1000 AS HUGEINT) * t) // tt END AS BIGINT)
+             AS theta_pm
+         FROM t3 JOIN wt ON t3.item = wt.i CROSS JOIN tt
+         ORDER BY item""",
+
+    // per-nation ntile deciles over the (spend desc, custkey) total
+    // order; rate and lift cross-multiplied
+    "q_decile_lift" ->
+      """WITH cust AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend,
+             CAST(max(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         dt AS (
+           SELECT n_name,
+             CAST(ntile(10) OVER (PARTITION BY n_name
+               ORDER BY spend DESC, c_custkey) AS BIGINT) AS decile,
+             conv
+           FROM cust),
+         per AS (
+           SELECT n_name, decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM dt GROUP BY 1, 2),
+         tot AS (
+           SELECT n_name, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(n_conv) AS BIGINT) AS ct
+           FROM per GROUP BY 1)
+         SELECT per.n_name, decile, n, n_conv,
+           (1000 * n_conv) // n AS rate_pm,
+           CAST(CASE WHEN ct = 0 THEN 0
+                ELSE (CAST(1000 AS HUGEINT) * n_conv * nt)
+                  // (CAST(n AS HUGEINT) * ct) END AS BIGINT) AS lift_pm
+         FROM per JOIN tot ON per.n_name = tot.n_name
+         ORDER BY per.n_name, decile""",
 
     "q_ks_drift" ->
       """WITH o AS (
