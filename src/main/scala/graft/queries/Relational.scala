@@ -1721,6 +1721,78 @@ object Relational {
         .orderBy("abc")
     }),
 
+    // XYZ demand-variability classification — the second axis of the
+    // inventory matrix q_abc_class opened (ABC = value concentration,
+    // XYZ = demand steadiness): per brand the squared coefficient of
+    // variation of monthly demand, exact by cross-multiplication
+    // (cv²_pm = 1000·(n·Σq² − S²) div S², DECIMAL(38,0) products,
+    // no mean and no root ever materialized), banded at the standard
+    // CV 0.5 / 1.0 cuts (cv²_pm 250 / 1000). One month aggregate +
+    // one brand aggregate, both map-side combined.
+    "q_xyz_class" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val monthly = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("mon"))
+        .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("q"))
+      monthly.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_months"), sum(col("q")).as("total_q"),
+          sum(col("q").cast(dec) * col("q")).as("__qq"))
+        .withColumn("cv2_pm",
+          when(col("total_q") === 0, 0L).otherwise(expr(
+            """(1000 * (CAST(n_months AS DECIMAL(38,0)) * __qq
+                        - CAST(total_q AS DECIMAL(38,0)) * total_q))
+               div (CAST(total_q AS DECIMAL(38,0)) * total_q)""")))
+        .withColumn("xyz",
+          when(col("cv2_pm") < 250, "X").when(col("cv2_pm") < 1000, "Y")
+            .otherwise("Z"))
+        .select(col("brand"), col("n_months"), col("total_q"), col("cv2_pm"),
+          col("xyz"))
+        .orderBy("brand")
+    }),
+
+    // Arc price elasticity of demand per brand, 1995 → 1996 (the
+    // midpoint formula): with q_i = total units and p_i the average
+    // unit price SP_i/SQ_i, the ratio-of-ratios collapses by
+    // cross-multiplication to ONE signed division —
+    // e = (q₂−q₁)(SP₁·SQ₂ + SP₂·SQ₁) / ((SP₂·SQ₁ − SP₁·SQ₂)(q₁+q₂))
+    // — no intermediate price is ever divided out. `elastic` states
+    // |e| > 1 float-free by comparing |numerator| to |denominator|.
+    // The pricing-power read next to q_market_share; conditional
+    // aggregate over the two years, the year filter pushed to the
+    // scan.
+    "q_elasticity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .select(col("p_brand").as("brand"),
+          (year(col("l_shipdate")) === 1995).as("y1"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("sp"))
+      li.groupBy(col("brand"))
+        .agg(sum(when(col("y1"), col("q")).otherwise(0L)).as("sq1"),
+          sum(when(!col("y1"), col("q")).otherwise(0L)).as("sq2"),
+          sum(when(col("y1"), col("sp")).otherwise(0L)).as("sp1"),
+          sum(when(!col("y1"), col("sp")).otherwise(0L)).as("sp2"))
+        .filter(col("sq1") > 0 && col("sq2") > 0)
+        .withColumn("__num", expr(
+          """(CAST(sq2 AS DECIMAL(38,0)) - sq1)
+             * (CAST(sp1 AS DECIMAL(38,0)) * sq2
+                + CAST(sp2 AS DECIMAL(38,0)) * sq1)"""))
+        .withColumn("__den", expr(
+          """(CAST(sp2 AS DECIMAL(38,0)) * sq1
+              - CAST(sp1 AS DECIMAL(38,0)) * sq2)
+             * (CAST(sq1 AS DECIMAL(38,0)) + sq2)"""))
+        .withColumn("e_pm",
+          when(col("__den") === 0, 0L)
+            .otherwise(expr("(1000 * __num) div __den")))
+        .withColumn("elastic", abs(col("__num")) > abs(col("__den")))
+        .select(col("brand"), col("sq1"), col("sq2"), col("e_pm"),
+          col("elastic"))
+        .orderBy("brand")
+    }),
+
     // Repeat-purchase rate per nation: customers with 2+ orders over
     // customers with any — the loyalty baseline behind retention
     // targets. Integer counts, one guarded division.
@@ -2336,6 +2408,52 @@ object Relational {
             when(col("den") =!= 0L, col("den")).cast("double")).as("acf2"),
           (col("num3").cast("double") /
             when(col("den") =!= 0L, col("den")).cast("double")).as("acf3"))
+        .orderBy("event_type")
+    }),
+
+    // Dominant-period detection (AUTOPERIOD-style, Vlachos et al.
+    // 2005, restricted to the exact ACF leg): the lag k ∈ 2..10 whose
+    // autocorrelation peaks, per event type — the "resample window
+    // the data itself asks for" read AFTER q_acf's fixed lags 1..3.
+    // Because every num_k shares the same positive denominator, the
+    // argmax needs NO division at all: rank the integer numerators
+    // directly (n-scaled centered products, the q_acf witnesses) and
+    // break ties toward the SHORTEST lag via the first-match CASE
+    // chain. Truncated lags (series shorter than k+1) coalesce to
+    // −2⁶³/10 so both engines exclude them identically (DuckDB's
+    // greatest() propagates NULL where Spark's skips it — the
+    // sentinel sidesteps the divergence). One window pass + one
+    // aggregate.
+    "q_autoperiod" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day").asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val sentinel = -922337203685477580L
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("c")).over(wAll))
+        .withColumn("cd", col("n") * col("c") - col("s"))
+      val lagged = (2 to 10).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("cd"), k).over(wOrd))
+      }
+      val aggCols = count(lit(1)).as("n_days") +:
+        sum(col("cd") * col("cd")).as("den") +:
+        (2 to 10).map(k =>
+          coalesce(sum(col("cd") * col(s"l$k")), lit(sentinel))
+            .as(s"num$k"))
+      val aggd = lagged.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val best = (2 to 10).map(k => col(s"num$k")).reduce(greatest(_, _))
+      val bestLag = (2 to 10).foldRight(lit(0L)) { (k, e) =>
+        when(col(s"num$k") === col("__best"), k.toLong).otherwise(e)
+      }
+      aggd.withColumn("__best", best)
+        .withColumn("best_lag", bestLag)
+        .select(col("event_type"), col("n_days"), col("den"),
+          col("best_lag"), col("__best").as("num_best"))
         .orderBy("event_type")
     }),
 
@@ -5597,6 +5715,116 @@ object Relational {
            CAST(sum(cd * l2) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf2,
            CAST(sum(cd * l3) AS DOUBLE) / CAST(sum(cd * cd) AS DOUBLE) AS acf3
          FROM x GROUP BY 1 ORDER BY event_type""",
+
+    // shared-denominator argmax over integer ACF numerators, lags
+    // 2..10, sentinel for truncated lags, shortest-lag tiebreak
+    "q_autoperiod" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         x AS (
+           SELECT event_type, day, c,
+             CAST(count(*) OVER w0 AS BIGINT) AS n,
+             CAST(sum(c) OVER w0 AS BIGINT) AS s
+           FROM daily
+           WINDOW w0 AS (PARTITION BY event_type)),
+         cdv AS (
+           SELECT event_type, day, n * c - s AS cd FROM x),
+         lg AS (
+           SELECT event_type, cd,
+             lag(cd, 2) OVER w AS l2, lag(cd, 3) OVER w AS l3,
+             lag(cd, 4) OVER w AS l4, lag(cd, 5) OVER w AS l5,
+             lag(cd, 6) OVER w AS l6, lag(cd, 7) OVER w AS l7,
+             lag(cd, 8) OVER w AS l8, lag(cd, 9) OVER w AS l9,
+             lag(cd, 10) OVER w AS l10
+           FROM cdv
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         ag AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cd * cd) AS BIGINT) AS den,
+             CAST(coalesce(sum(cd * l2), -922337203685477580) AS BIGINT) AS num2,
+             CAST(coalesce(sum(cd * l3), -922337203685477580) AS BIGINT) AS num3,
+             CAST(coalesce(sum(cd * l4), -922337203685477580) AS BIGINT) AS num4,
+             CAST(coalesce(sum(cd * l5), -922337203685477580) AS BIGINT) AS num5,
+             CAST(coalesce(sum(cd * l6), -922337203685477580) AS BIGINT) AS num6,
+             CAST(coalesce(sum(cd * l7), -922337203685477580) AS BIGINT) AS num7,
+             CAST(coalesce(sum(cd * l8), -922337203685477580) AS BIGINT) AS num8,
+             CAST(coalesce(sum(cd * l9), -922337203685477580) AS BIGINT) AS num9,
+             CAST(coalesce(sum(cd * l10), -922337203685477580) AS BIGINT) AS num10
+           FROM lg GROUP BY 1),
+         bp AS (
+           SELECT *, greatest(num2, num3, num4, num5, num6, num7, num8,
+             num9, num10) AS best
+           FROM ag)
+         SELECT event_type, n_days, den,
+           CAST(CASE WHEN num2 = best THEN 2 WHEN num3 = best THEN 3
+                WHEN num4 = best THEN 4 WHEN num5 = best THEN 5
+                WHEN num6 = best THEN 6 WHEN num7 = best THEN 7
+                WHEN num8 = best THEN 8 WHEN num9 = best THEN 9
+                ELSE 10 END AS BIGINT) AS best_lag,
+           best AS num_best
+         FROM bp ORDER BY event_type""",
+
+    // cross-multiplied CV² per-mille over monthly demand, banded at
+    // the standard 0.5 / 1.0 CV cuts
+    "q_xyz_class" ->
+      """WITH monthly AS (
+           SELECT p_brand AS brand,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS q
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         ag AS (
+           SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(q) AS BIGINT) AS total_q,
+             sum(CAST(q AS HUGEINT) * q) AS qq
+           FROM monthly GROUP BY 1),
+         cv AS (
+           SELECT brand, n_months, total_q,
+             CAST(CASE WHEN total_q = 0 THEN 0
+                  ELSE (1000 * (CAST(n_months AS HUGEINT) * qq
+                                - CAST(total_q AS HUGEINT) * total_q))
+                    // (CAST(total_q AS HUGEINT) * total_q)
+                  END AS BIGINT) AS cv2_pm
+           FROM ag)
+         SELECT brand, n_months, total_q, cv2_pm,
+           CASE WHEN cv2_pm < 250 THEN 'X' WHEN cv2_pm < 1000 THEN 'Y'
+                ELSE 'Z' END AS xyz
+         FROM cv ORDER BY brand""",
+
+    // midpoint arc elasticity collapsed to one signed division;
+    // |e| > 1 decided by |num| vs |den|, float-free
+    "q_elasticity" ->
+      """WITH li AS (
+           SELECT p_brand AS brand, year(l_shipdate) = 1995 AS y1,
+             CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS sp
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1995, 1996)),
+         ag AS (
+           SELECT brand,
+             CAST(sum(CASE WHEN y1 THEN q ELSE 0 END) AS BIGINT) AS sq1,
+             CAST(sum(CASE WHEN y1 THEN 0 ELSE q END) AS BIGINT) AS sq2,
+             CAST(sum(CASE WHEN y1 THEN sp ELSE 0 END) AS BIGINT) AS sp1,
+             CAST(sum(CASE WHEN y1 THEN 0 ELSE sp END) AS BIGINT) AS sp2
+           FROM li GROUP BY 1
+           HAVING sum(CASE WHEN y1 THEN q ELSE 0 END) > 0
+              AND sum(CASE WHEN y1 THEN 0 ELSE q END) > 0),
+         nd AS (
+           SELECT brand, sq1, sq2,
+             (CAST(sq2 AS HUGEINT) - sq1)
+               * (CAST(sp1 AS HUGEINT) * sq2 + CAST(sp2 AS HUGEINT) * sq1)
+               AS num,
+             (CAST(sp2 AS HUGEINT) * sq1 - CAST(sp1 AS HUGEINT) * sq2)
+               * (CAST(sq1 AS HUGEINT) + sq2) AS den
+           FROM ag)
+         SELECT brand, sq1, sq2,
+           CAST(CASE WHEN den = 0 THEN 0
+                ELSE (1000 * num) // den END AS BIGINT) AS e_pm,
+           abs(num) > abs(den) AS elastic
+         FROM nd ORDER BY brand""",
 
     // bounded anchor pairs; the exact integer band test; top-3 lines
     "q_ransac" ->
