@@ -5832,6 +5832,83 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Atkinson inequality index at ε = 2 per nation — the WELFARE
+    // member of the battery (Gini counts pairs, Hoover moves mass,
+    // Atkinson asks how much total income society would give up for
+    // equality, with ε=2 weighting the poor heavily): A₂ = 1 −
+    // n²/(S·Σ1/xᵢ). The harmonic sum is the only non-integer piece,
+    // so each reciprocal FLOORS once at ×10¹² (stated rendering:
+    // T = Σ (10¹² div xᵢ), deterministic term-by-term, then ONE
+    // division) — no doubles, no logs (which is why ε=2 and not the
+    // Theil/ε=1 entropy form). Zero/negative spenders are excluded
+    // LOUDLY via the census column. One aggregate after the shared
+    // per-customer spend frame.
+    "q_atkinson" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      spend.groupBy(col("n_name"))
+        .agg(sum(when(col("x") > 0, 1L).otherwise(0L)).as("n"),
+          sum(when(col("x") <= 0, 1L).otherwise(0L)).as("n_nonpos"),
+          sum(when(col("x") > 0, col("x")).otherwise(0L)).as("total"),
+          sum(when(col("x") > 0, expr("1000000000000 div x")).otherwise(0L))
+            .as("__t"))
+        .withColumn("a2_pm",
+          when(col("n") === 0 || col("total") === 0 || col("__t") === 0, 0L)
+            .otherwise(lit(1000L) - expr(
+              """(CAST(1000 AS DECIMAL(38,0)) * n * n * 1000000000000)
+                 div (CAST(total AS DECIMAL(38,0)) * __t)""")))
+        .select(col("n_name"), col("n"), col("n_nonpos"), col("total"),
+          col("a2_pm"))
+        .orderBy("n_name")
+    }),
+
+    // Peaks-over-threshold tail census (the extreme-value-theory
+    // intake audit, Pickands 1975 before any GPD fit): per nation,
+    // daily revenue exceedances over the empirical p90 — threshold =
+    // the EXACT lower order statistic at rank ⌈0.9·n⌉ (no
+    // interpolation, stated), exceedance count, mean excess as one
+    // floored per-mille (the quantity whose linearity in the
+    // threshold justifies a GPD tail at all), and the max excess.
+    // Heavy-tail triage that needs no logs and no fitting; per-nation
+    // rank windows over bounded key frames.
+    "q_pot" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      val wKey = Window.partitionBy(col("n_name"))
+      val wOrd = Window.partitionBy(col("n_name"))
+        .orderBy(col("rev").asc, col("o_orderdate").asc)
+      val ranked = daily
+        .withColumn("__n", count(lit(1)).over(wKey))
+        .withColumn("__r", row_number().over(wOrd))
+        .localCheckpoint(true) // nation × day rows; threshold + census legs share it
+      // threshold = the order statistic at rank ⌈0.9·n⌉ exactly
+      val thr = ranked
+        .filter(col("__r") === expr("(__n * 9 + 9) div 10"))
+        .select(col("n_name"), col("rev").as("thr"))
+      ranked.join(broadcast(thr), Seq("n_name"))
+        .groupBy(col("n_name"))
+        .agg(max(col("__n")).as("n_days"), max(col("thr")).as("threshold"),
+          sum(when(col("rev") > col("thr"), 1L).otherwise(0L)).as("n_exceed"),
+          sum(when(col("rev") > col("thr"), col("rev") - col("thr"))
+            .otherwise(0L)).as("__excess"),
+          max(when(col("rev") > col("thr"), col("rev") - col("thr"))
+            .otherwise(0L)).as("max_excess"))
+        .withColumn("mean_excess_x1000",
+          when(col("n_exceed") === 0, 0L).otherwise(expr(
+            "(CAST(1000 AS DECIMAL(38,0)) * __excess) div n_exceed")))
+        .select(col("n_name"), col("n_days"), col("threshold"),
+          col("n_exceed"), col("mean_excess_x1000"), col("max_excess"))
+        .orderBy("n_name")
+    }),
+
     // Lorenz asymmetry coefficient (Damgaard & Weiner 2000) per
     // nation: WHICH tail drives the inequality q_gini only sizes —
     // S = F(μ) + L(μ) (unit share below the mean + mass share below
@@ -13323,6 +13400,67 @@ object LlmOps {
                 ELSE (s * 1000) // (CAST(n AS HUGEINT) * total)
                 END AS BIGINT) AS hoover_pm
          FROM ag ORDER BY n_name""",
+
+    // per-term floored reciprocals at ×10¹², one welfare division
+    "q_atkinson" ->
+      """WITH spend AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         ag AS (
+           SELECT n_name,
+             CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonpos,
+             CAST(sum(CASE WHEN x > 0 THEN x ELSE 0 END) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN x > 0 THEN 1000000000000 // x ELSE 0 END)
+               AS BIGINT) AS t
+           FROM spend GROUP BY 1)
+         SELECT n_name, n, n_nonpos, total,
+           CAST(CASE WHEN n = 0 OR total = 0 OR t = 0 THEN 0
+                ELSE 1000 - (CAST(1000 AS HUGEINT) * n * n * 1000000000000)
+                  // (CAST(total AS HUGEINT) * t)
+                END AS BIGINT) AS a2_pm
+         FROM ag ORDER BY n_name""",
+
+    // exact ⌈0.9n⌉ order-stat threshold; exceedance census + floored
+    // mean excess
+    "q_pot" ->
+      """WITH daily AS (
+           SELECT n_name, o_orderdate,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT n_name, rev,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY rev, o_orderdate) AS BIGINT) AS r
+           FROM daily),
+         thr AS (
+           SELECT n_name, rev AS thr FROM rk
+           WHERE r = (n * 9 + 9) // 10)
+         SELECT rk.n_name, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(thr) AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN rev > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exceed,
+           CAST(CASE WHEN sum(CASE WHEN rev > thr THEN 1 ELSE 0 END) = 0
+                THEN 0
+                ELSE (CAST(1000 AS HUGEINT)
+                      * sum(CASE WHEN rev > thr THEN rev - thr ELSE 0 END))
+                  // sum(CASE WHEN rev > thr THEN 1 ELSE 0 END)
+                END AS BIGINT) AS mean_excess_x1000,
+           CAST(max(CASE WHEN rev > thr THEN rev - thr ELSE 0 END)
+             AS BIGINT) AS max_excess
+         FROM rk JOIN thr ON rk.n_name = thr.n_name
+         GROUP BY 1 ORDER BY rk.n_name""",
 
     // strict-below-mean by cross-multiplication; two share divisions
     "q_lorenz_asym" ->

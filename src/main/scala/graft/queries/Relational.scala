@@ -266,6 +266,44 @@ object Relational {
         .orderBy("o_year")
     }),
 
+    // Growth–share (BCG) quadrant census per brand, 1995 → 1996: the
+    // portfolio read that composes q_market_share's share axis with
+    // q_mom_growth's growth axis into the star / cash-cow /
+    // question-mark / dog verdict. Thresholds are stated conventions,
+    // both decided float-free: high share ⇔ above the EQUAL-share
+    // line (r96·k > t96, cross-multiplied — no per-mille round-trip),
+    // high growth ⇔ r96 > r95. share_pm and growth_pm ride as the
+    // per-mille witnesses (growth signed, toward-zero div both
+    // engines). One conditional aggregate + a 1-row broadcast.
+    "q_bcg_matrix" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .select(col("p_brand").as("brand"),
+          (year(col("l_shipdate")) === 1995).as("y1"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("sp"))
+      val per = li.groupBy(col("brand"))
+        .agg(sum(when(col("y1"), col("sp")).otherwise(0L)).as("r95"),
+          sum(when(!col("y1"), col("sp")).otherwise(0L)).as("r96"))
+        .localCheckpoint(true) // |brands| rows; totals + quadrant legs share it
+      val tot = per.agg(sum(col("r96")).as("t96"), count(lit(1)).as("k"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_pm",
+          when(col("t96") === 0, 0L).otherwise(expr(
+            "(CAST(1000 AS DECIMAL(38,0)) * r96) div t96")))
+        .withColumn("growth_pm",
+          when(col("r95") === 0, 0L).otherwise(expr(
+            "(CAST(1000 AS DECIMAL(38,0)) * (r96 - r95)) div r95")))
+        .withColumn("quadrant",
+          when(col("r96").cast(DecimalType(38, 0)) * col("k") > col("t96"),
+            when(col("r96") > col("r95"), "star").otherwise("cow"))
+            .otherwise(
+              when(col("r96") > col("r95"), "question").otherwise("dog")))
+        .select(col("brand"), col("r95"), col("r96"), col("share_pm"),
+          col("growth_pm"), col("quadrant"))
+        .orderBy("brand")
+    }),
+
     // Returned-revenue ranking (TPC-H Q10): customers ranked by revenue
     // lost to returns, top 20. The limit plans as TakeOrderedAndProject
     // (per-partition heaps, driver merge — no global sort), and the
@@ -6917,6 +6955,35 @@ object Relational {
            JOIN lineitem ON o_orderkey = l_orderkey
          WHERE r_name = 'ASIA'
          GROUP BY 1 ORDER BY 1""",
+
+    // equal-share line and growth sign decided by cross-multiplication
+    "q_bcg_matrix" ->
+      """WITH li AS (
+           SELECT p_brand AS brand, year(l_shipdate) = 1995 AS y1,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS sp
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1995, 1996)),
+         per AS (
+           SELECT brand,
+             CAST(sum(CASE WHEN y1 THEN sp ELSE 0 END) AS BIGINT) AS r95,
+             CAST(sum(CASE WHEN y1 THEN 0 ELSE sp END) AS BIGINT) AS r96
+           FROM li GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(r96) AS BIGINT) AS t96,
+             CAST(count(*) AS BIGINT) AS k
+           FROM per)
+         SELECT brand, r95, r96,
+           CAST(CASE WHEN t96 = 0 THEN 0
+                ELSE (CAST(1000 AS HUGEINT) * r96) // t96 END AS BIGINT)
+             AS share_pm,
+           CAST(CASE WHEN r95 = 0 THEN 0
+                ELSE (CAST(1000 AS HUGEINT) * (r96 - r95)) // r95
+                END AS BIGINT) AS growth_pm,
+           CASE WHEN CAST(r96 AS HUGEINT) * k > t96 THEN
+                  CASE WHEN r96 > r95 THEN 'star' ELSE 'cow' END
+                ELSE CASE WHEN r96 > r95 THEN 'question' ELSE 'dog' END
+           END AS quadrant
+         FROM per CROSS JOIN tot ORDER BY brand""",
 
     "q_top_returns" ->
       """SELECT c_custkey, c_name, n_name,
