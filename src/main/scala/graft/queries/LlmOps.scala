@@ -4954,6 +4954,105 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Grubbs' most-extreme-value test (1950) per nation — the
+    // PARAMETRIC member of the outlier bench next to q_tukey_outliers'
+    // fences and q_mad's robust scale: is the single worst customer
+    // spend too extreme for a normal sample? G² cross-multiplies to
+    // pure integers — with dev = n·x − S, G² = max(dev)²·(n−1) /
+    // (n·(n·Σx² − S²)) — so the emitted g2_x1e6 takes one floor and
+    // no root or mean ever materializes. The argmax customer rides
+    // via an exact two-step (max dev² first, then the smallest
+    // custkey attaining it — no engine arg_max tie rule). One window
+    // pass + one aggregate + a thin self-join.
+    "q_grubbs" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val spend = Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val wKey = Window.partitionBy(col("n_name"))
+      val devs = spend
+        .withColumn("__n", count(lit(1)).over(wKey))
+        .withColumn("__s", sum(col("x")).over(wKey))
+        .withColumn("__sxx", sum(col("x").cast(dec) * col("x")).over(wKey))
+        .withColumn("__dev", col("__n").cast(dec) * col("x") - col("__s"))
+        .withColumn("__dev2", col("__dev") * col("__dev"))
+        .localCheckpoint(true) // nation × customer rows; max + argmax legs
+      val mx = devs.groupBy(col("n_name"))
+        .agg(max(col("__n")).as("n"), max(col("__dev2")).as("__mx"),
+          max(col("__n").cast(dec) * col("__sxx")
+            - col("__s").cast(dec) * col("__s")).as("__ssq"))
+      mx.join(devs.select(col("n_name"), col("c_custkey"), col("__dev2")),
+          Seq("n_name"))
+        .filter(col("__dev2") === col("__mx"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n")).as("n"), min(col("c_custkey")).as("worst_cust"),
+          max(col("__mx")).as("__mx2"), max(col("__ssq")).as("__ssq2"))
+        .withColumn("g2_x1e6",
+          when(col("n") <= 1 || col("__ssq2") === 0, 0L)
+            .otherwise(expr(
+              """(CAST(1000000 AS DECIMAL(38,0)) * __mx2 * (n - 1))
+                 div (CAST(n AS DECIMAL(38,0)) * __ssq2)""")))
+        .select(col("n_name"), col("n"), col("worst_cust"), col("g2_x1e6"))
+        .orderBy("n_name")
+    }),
+
+    // Westgard multi-rule QC census (1981) on daily event counts per
+    // type — the clinical-lab control discipline next to q_c_chart's
+    // single Poisson band: rule 1₃ₛ (one day beyond 3σ), rule 2₂ₛ
+    // (two CONSECUTIVE days beyond 2σ on the SAME side), rule R₄ₛ
+    // (consecutive days straddling 4σ apart). All three decide by
+    // cross-multiplication against the self-baseline — with
+    // dev = n·x − S, z² > k² ⇔ dev²·(n−1) > k²·n·(nΣx²−S²) — so the
+    // census is exact integers end-to-end; consecutive-day context is
+    // one lag window per key.
+    "q_westgard" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wKey = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("n", count(lit(1)).over(wKey))
+        .withColumn("s", sum(col("x")).over(wKey))
+        .withColumn("sxx", sum(col("x").cast(dec) * col("x")).over(wKey))
+        .withColumn("ssq",
+          col("n").cast(dec) * col("sxx") - col("s").cast(dec) * col("s"))
+        .withColumn("dev", col("n").cast(dec) * col("x") - col("s"))
+        .withColumn("pdev", lag(col("dev"), 1).over(wOrd))
+        .withColumn("r13",
+          col("dev") * col("dev") * (col("n") - 1)
+            > col("ssq") * col("n") * 9)
+        .withColumn("z2gt4",
+          col("dev") * col("dev") * (col("n") - 1)
+            > col("ssq") * col("n") * 4)
+        .withColumn("pz2gt4",
+          col("pdev").isNotNull
+            && col("pdev") * col("pdev") * (col("n") - 1)
+               > col("ssq") * col("n") * 4)
+        .withColumn("r22",
+          col("z2gt4") && col("pz2gt4")
+            && ((col("dev") > 0 && col("pdev") > 0)
+                || (col("dev") < 0 && col("pdev") < 0)))
+        .withColumn("r4s",
+          col("pdev").isNotNull
+            && (col("dev") - col("pdev")) * (col("dev") - col("pdev"))
+               * (col("n") - 1) > col("ssq") * col("n") * 16
+            && ((col("dev") > 0 && col("pdev") < 0)
+                || (col("dev") < 0 && col("pdev") > 0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          sum(when(col("r13"), 1L).otherwise(0L)).as("n_13s"),
+          sum(when(col("r22"), 1L).otherwise(0L)).as("n_22s"),
+          sum(when(col("r4s"), 1L).otherwise(0L)).as("n_r4s"))
+        .orderBy("event_type")
+    }),
+
     // MMR diversity re-ranking (Retrieval.mmrRerank): per query the
     // brute-force top-8 re-ranked greedily by λ·rel − (1−λ)·max-sim-
     // to-selected in exact ×10⁶ integers — the stage that stops
@@ -13461,6 +13560,82 @@ object LlmOps {
              AS BIGINT) AS max_excess
          FROM rk JOIN thr ON rk.n_name = thr.n_name
          GROUP BY 1 ORDER BY rk.n_name""",
+
+    // G² fully cross-multiplied; two-step argmax (max dev² then
+    // smallest custkey)
+    "q_grubbs" ->
+      """WITH spend AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         w AS (
+           SELECT n_name, c_custkey, x,
+             CAST(count(*) OVER pk AS BIGINT) AS n,
+             CAST(sum(x) OVER pk AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * x) OVER pk AS sxx
+           FROM spend
+           WINDOW pk AS (PARTITION BY n_name)),
+         dv AS (
+           SELECT n_name, c_custkey, n,
+             (CAST(n AS HUGEINT) * x - s)
+               * (CAST(n AS HUGEINT) * x - s) AS dev2,
+             CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS ssq
+           FROM w),
+         mx AS (
+           SELECT n_name, CAST(max(n) AS BIGINT) AS n, max(dev2) AS mx2,
+             max(ssq) AS ssq2
+           FROM dv GROUP BY 1)
+         SELECT mx.n_name, max(mx.n) AS n,
+           CAST(min(dv.c_custkey) AS BIGINT) AS worst_cust,
+           CAST(max(CASE WHEN mx.n <= 1 OR mx.ssq2 = 0 THEN 0
+                ELSE (CAST(1000000 AS HUGEINT) * mx.mx2 * (mx.n - 1))
+                  // (CAST(mx.n AS HUGEINT) * mx.ssq2) END) AS BIGINT)
+             AS g2_x1e6
+         FROM mx JOIN dv ON mx.n_name = dv.n_name AND dv.dev2 = mx.mx2
+         GROUP BY 1 ORDER BY mx.n_name""",
+
+    // three cross-multiplied σ-rules; consecutive context via one lag
+    "q_westgard" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, x,
+             CAST(count(*) OVER pk AS BIGINT) AS n,
+             CAST(sum(x) OVER pk AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * x) OVER pk AS sxx
+           FROM daily
+           WINDOW pk AS (PARTITION BY event_type)),
+         dv AS (
+           SELECT event_type, day, n,
+             CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS ssq,
+             CAST(n AS HUGEINT) * x - s AS dev,
+             lag(CAST(n AS HUGEINT) * x - s) OVER (
+               PARTITION BY event_type ORDER BY day) AS pdev
+           FROM w),
+         fl AS (
+           SELECT event_type, n,
+             dev * dev * (n - 1) > ssq * n * 9 AS r13,
+             dev * dev * (n - 1) > ssq * n * 4
+               AND pdev IS NOT NULL
+               AND pdev * pdev * (n - 1) > ssq * n * 4
+               AND ((dev > 0 AND pdev > 0) OR (dev < 0 AND pdev < 0))
+               AS r22,
+             pdev IS NOT NULL
+               AND (dev - pdev) * (dev - pdev) * (n - 1) > ssq * n * 16
+               AND ((dev > 0 AND pdev < 0) OR (dev < 0 AND pdev > 0))
+               AS r4s
+           FROM dv)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN r13 THEN 1 ELSE 0 END) AS BIGINT) AS n_13s,
+           CAST(sum(CASE WHEN r22 THEN 1 ELSE 0 END) AS BIGINT) AS n_22s,
+           CAST(sum(CASE WHEN r4s THEN 1 ELSE 0 END) AS BIGINT) AS n_r4s
+         FROM fl GROUP BY 1 ORDER BY event_type""",
 
     // strict-below-mean by cross-multiplication; two share divisions
     "q_lorenz_asym" ->

@@ -304,6 +304,53 @@ object Relational {
         .orderBy("brand")
     }),
 
+    // Laspeyres / Paasche price indices per brand, 1996 against the
+    // 1995 base (the index-number pair behind every deflator),
+    // computed at the PART level so the basket distinction is real:
+    // L = Σᵢ p₁ᵢq₀ᵢ / Σᵢ p₀ᵢq₀ᵢ weights price change by the OLD
+    // basket, P by the new. Per part the same-year values are exact
+    // line totals (p₀ᵢq₀ᵢ = sv0ᵢ, p₁ᵢq₁ᵢ = sv1ᵢ); only the CROSSED
+    // terms are rationals, and each floors ONCE at ×10⁶
+    // (p₁ᵢq₀ᵢ ≈ (10⁶·sv1ᵢ·sq0ᵢ) div sq1ᵢ — stated rendering), so
+    // both indices are one division of exact integer sums and
+    // fisher2_x1e6 = L_pm·P_pm carries the Fisher ideal squared (the
+    // geometric mean would need a root; its square orders
+    // identically). Parts present in both years only, counted.
+    "q_price_index" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .select(col("p_brand").as("brand"), col("p_partkey").as("pk"),
+          (year(col("l_shipdate")) === 1995).as("y0"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      val per = li.groupBy(col("brand"), col("pk"))
+        .agg(sum(when(col("y0"), col("q")).otherwise(0L)).as("sq0"),
+          sum(when(!col("y0"), col("q")).otherwise(0L)).as("sq1"),
+          sum(when(col("y0"), col("v")).otherwise(0L)).as("sv0"),
+          sum(when(!col("y0"), col("v")).otherwise(0L)).as("sv1"))
+        .filter(col("sq0") > 0 && col("sq1") > 0)
+      per
+        .withColumn("__l_num", expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * sv1 * sq0) div sq1"))
+        .withColumn("__p_den", expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * sv0 * sq1) div sq0"))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("sv0")).as("base_value"),
+          sum(col("sv1")).as("cur_value"), sum(col("__l_num")).as("__ln"),
+          sum(col("__p_den")).as("__pd"))
+        .filter(col("base_value") > 0 && col("__pd") > 0)
+        .withColumn("laspeyres_pm", expr(
+          "__ln div (CAST(1000 AS DECIMAL(38,0)) * base_value)"))
+        .withColumn("paasche_pm", expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * cur_value) div __pd"))
+        .withColumn("fisher2_x1e6", col("laspeyres_pm") * col("paasche_pm"))
+        .select(col("brand"), col("n_parts"), col("base_value"),
+          col("cur_value"), col("laspeyres_pm"), col("paasche_pm"),
+          col("fisher2_x1e6"))
+        .orderBy("brand")
+    }),
+
     // Returned-revenue ranking (TPC-H Q10): customers ranked by revenue
     // lost to returns, top 20. The limit plans as TakeOrderedAndProject
     // (per-partition heaps, driver merge — no global sort), and the
@@ -6984,6 +7031,45 @@ object Relational {
                 ELSE CASE WHEN r96 > r95 THEN 'question' ELSE 'dog' END
            END AS quadrant
          FROM per CROSS JOIN tot ORDER BY brand""",
+
+    // part-level crossed terms floored once at ×1e6; same-year values
+    // exact; Fisher emitted squared
+    "q_price_index" ->
+      """WITH li AS (
+           SELECT p_brand AS brand, p_partkey AS pk,
+             year(l_shipdate) = 1995 AS y0,
+             CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1995, 1996)),
+         per AS (
+           SELECT brand, pk,
+             CAST(sum(CASE WHEN y0 THEN q ELSE 0 END) AS BIGINT) AS sq0,
+             CAST(sum(CASE WHEN y0 THEN 0 ELSE q END) AS BIGINT) AS sq1,
+             CAST(sum(CASE WHEN y0 THEN v ELSE 0 END) AS BIGINT) AS sv0,
+             CAST(sum(CASE WHEN y0 THEN 0 ELSE v END) AS BIGINT) AS sv1
+           FROM li GROUP BY 1, 2
+           HAVING sum(CASE WHEN y0 THEN q ELSE 0 END) > 0
+              AND sum(CASE WHEN y0 THEN 0 ELSE q END) > 0),
+         ag AS (
+           SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(sv0) AS BIGINT) AS base_value,
+             CAST(sum(sv1) AS BIGINT) AS cur_value,
+             CAST(sum((CAST(1000000 AS HUGEINT) * sv1 * sq0) // sq1)
+               AS HUGEINT) AS ln,
+             CAST(sum((CAST(1000000 AS HUGEINT) * sv0 * sq1) // sq0)
+               AS HUGEINT) AS pd
+           FROM per GROUP BY 1
+           HAVING sum(sv0) > 0)
+         SELECT brand, n_parts, base_value, cur_value,
+           CAST(ln // (CAST(1000 AS HUGEINT) * base_value) AS BIGINT)
+             AS laspeyres_pm,
+           CAST((CAST(1000000000 AS HUGEINT) * cur_value) // pd AS BIGINT)
+             AS paasche_pm,
+           CAST(ln // (CAST(1000 AS HUGEINT) * base_value) AS BIGINT)
+             * CAST((CAST(1000000000 AS HUGEINT) * cur_value) // pd
+               AS BIGINT) AS fisher2_x1e6
+         FROM ag WHERE pd > 0 ORDER BY brand""",
 
     "q_top_returns" ->
       """SELECT c_custkey, c_name, n_name,
