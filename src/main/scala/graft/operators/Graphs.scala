@@ -618,4 +618,92 @@ object Graphs {
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
   }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004) at each degree cut
+    * k: among the nodes with degree STRICTLY above k, what fraction of
+    * their possible edges exist — φ(k) = 2·E_k / (n_k·(n_k−1)),
+    * emitted as one floored per-mille. Rising φ(k) with k = the
+    * highly-connected elite wires to itself (the hub-oligarchy read
+    * next to [[assortativity]]'s single correlation number). ONE pass:
+    * the edge list joins the degree table once, then every cut is a
+    * conditional sum — cuts cost columns, not scans. Output one row
+    * per cut: (k, n_k, e_k, rc_pm).
+    */
+  def richClub(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty, "richClub: need at least one degree cut")
+    val e = pairs.select(col(idA).as("u"), col(idB).as("w"))
+      .filter(col("u") =!= col("w"))
+      .select(least(col("u"), col("w")).as("u"),
+        greatest(col("u"), col("w")).as("w"))
+      .distinct()
+      .localCheckpoint(true) // degree + edge legs share the canonical set
+    val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // id-spine; edge join + every cut census read it
+    val ej = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("w"), col("d").as("dw")), Seq("w"))
+    val eAggCols = cuts.map(k =>
+      sum(when(col("du") > k && col("dw") > k, 1L).otherwise(0L)).as(s"e$k"))
+    val nAggCols = cuts.map(k =>
+      sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+    val eAgg = ej.agg(eAggCols.head, eAggCols.tail: _*)
+    val nAgg = deg.agg(nAggCols.head, nAggCols.tail: _*)
+    val both = eAgg.crossJoin(broadcast(nAgg))
+      .localCheckpoint(true) // 1 row; every per-cut select reads it
+    cuts.map { k =>
+      both.select(lit(k.toLong).as("k"), col(s"n$k").as("n_k"),
+        col(s"e$k").as("e_k"),
+        when(col(s"n$k") < 2, 0L).otherwise(expr(
+          s"(CAST(2000 AS DECIMAL(38,0)) * e$k) div (CAST(n$k AS DECIMAL(38,0)) * (n$k - 1))"))
+          .as("rc_pm"))
+    }.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** Undirected triad census from closed forms — no triple ever
+    * materializes: with n nodes (vertices of the edge set), m edges,
+    * W = Σ_v C(d_v, 2) wedges, and T triangles (the one genuinely
+    * combinatorial input, counted by the ordered wedge-edge closure
+    * join like [[graft.operators.Components.triangleCount]]),
+    *   t3 = T,   t2 = W − 3T,   t1 = m(n−2) − 2W + 3T,
+    *   t0 = C(n,3) − t1 − t2 − t3.
+    * The structural fingerprint behind the global clustering
+    * coefficient (3·t3/(3·t3 + t2)) — all exact integers, one degree
+    * aggregate + one triangle join.
+    */
+  def triadCensus(
+      pairs: DataFrame,
+      idA: String,
+      idB: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = pairs.select(col(idA).as("u"), col(idB).as("w"))
+      .filter(col("u") =!= col("w"))
+      .select(least(col("u"), col("w")).as("u"),
+        greatest(col("u"), col("w")).as("w"))
+      .distinct()
+      .localCheckpoint(true) // degree, wedge, and triangle legs share it
+    val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
+    val degAgg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("__d2m"),
+        sum(col("d").cast(dec) * (col("d") - 1)).as("__w2"))
+    val tri = e.select(col("u").as("a"), col("w").as("b"))
+      .join(e.select(col("u").as("b"), col("w").as("c")), "b")
+      .join(e.select(col("u").as("a"), col("w").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("t3"))
+    degAgg.crossJoin(broadcast(tri))
+      .withColumn("m", expr("__d2m div 2"))
+      .withColumn("wedges", expr("__w2 div 2"))
+      .withColumn("t2", col("wedges") - col("t3") * 3)
+      .withColumn("t1",
+        expr("m * (n - 2) - 2 * wedges + 3 * t3"))
+      .withColumn("t0", expr(
+        "(CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2)) div 6")
+        .minus(col("t1") + col("t2") + col("t3")))
+      .select(col("n").as("n_nodes"), col("m").as("n_edges"), col("wedges"),
+        col("t0"), col("t1"), col("t2"), col("t3"))
+  }
 }

@@ -513,6 +513,32 @@ object LlmOps {
       graft.operators.Graphs.assortativity(ccBlockingPairs(docs))
     }),
 
+    // Rich-club coefficient (Graphs.richClub) at degree cuts 2/4/8 on
+    // the same blocked near-dup graph: does the highly-connected
+    // elite wire to itself beyond what q_assortativity's one
+    // correlation number implies? φ(k) as floored per-milles — cuts
+    // cost conditional-sum COLUMNS on one edge⋈degree join, never a
+    // scan per cut.
+    "q_rich_club" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.richClub(ccBlockingPairs(docs),
+        "id_a", "id_b", cuts = Seq(2, 4, 8))
+    }),
+
+    // Undirected triad census (Graphs.triadCensus) of the same graph:
+    // the empty / one-edge / wedge / triangle decomposition of ALL
+    // C(n,3) vertex triples, from closed forms over degrees + the one
+    // wedge-closure triangle join — the structural fingerprint behind
+    // q_triangles' single count and q_clustering_coeff's per-node
+    // texture, with no triple ever materialized.
+    "q_triad_census" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.triadCensus(ccBlockingPairs(docs),
+        "id_a", "id_b")
+    }),
+
     // Integer PageRank (PageRank.integerPageRank under the oracle): 3
     // exact fixed-point iterations over the DIRECTED supplier graph
     // "R-supplier → A-supplier within one order". The direction makes
@@ -9726,6 +9752,82 @@ object LlmOps {
              / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0))
              AS assortativity
          FROM m""",
+
+    // one edge⋈degree join; every cut a conditional sum
+    "q_rich_club" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
+         e AS (
+           SELECT a.doc_id AS u, b.doc_id AS w
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         und AS (SELECT u, w FROM e UNION ALL SELECT w AS u, u AS w FROM e),
+         deg AS (
+           SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+           FROM und GROUP BY 1),
+         ej AS (
+           SELECT du.dg AS du, dw.dg AS dw
+           FROM e JOIN deg du ON e.u = du.id JOIN deg dw ON e.w = dw.id),
+         ea AS (
+           SELECT
+             CAST(sum(CASE WHEN du > 2 AND dw > 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS e2,
+             CAST(sum(CASE WHEN du > 4 AND dw > 4 THEN 1 ELSE 0 END)
+               AS BIGINT) AS e4,
+             CAST(sum(CASE WHEN du > 8 AND dw > 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS e8
+           FROM ej),
+         na AS (
+           SELECT
+             CAST(sum(CASE WHEN dg > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN dg > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN dg > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8
+           FROM deg),
+         rows_ AS (
+           SELECT CAST(2 AS BIGINT) AS k, n2 AS n_k, e2 AS e_k
+           FROM na CROSS JOIN ea
+           UNION ALL SELECT 4, n4, e4 FROM na CROSS JOIN ea
+           UNION ALL SELECT 8, n8, e8 FROM na CROSS JOIN ea)
+         SELECT k, n_k, e_k,
+           CAST(CASE WHEN n_k < 2 THEN 0
+                ELSE (CAST(2000 AS HUGEINT) * e_k)
+                  // (CAST(n_k AS HUGEINT) * (n_k - 1)) END AS BIGINT)
+             AS rc_pm
+         FROM rows_ ORDER BY k""",
+
+    // closed-form census over degrees + the one triangle join
+    "q_triad_census" ->
+      """WITH d AS (
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500),
+         e AS (
+           SELECT a.doc_id AS u, b.doc_id AS w
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 1),
+         und AS (SELECT u, w FROM e UNION ALL SELECT w AS u, u AS w FROM e),
+         deg AS (
+           SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+           FROM und GROUP BY 1),
+         da AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dg) AS BIGINT) AS d2m,
+             CAST(sum(CAST(dg AS HUGEINT) * (dg - 1)) // 2 AS BIGINT)
+               AS wedges
+           FROM deg),
+         tri AS (
+           SELECT CAST(count(*) AS BIGINT) AS t3
+           FROM e e1
+           JOIN e e2 ON e1.w = e2.u
+           JOIN e e3 ON e3.u = e1.u AND e3.w = e2.w),
+         base AS (
+           SELECT n, d2m // 2 AS m, wedges, t3 FROM da CROSS JOIN tri)
+         SELECT n AS n_nodes, m AS n_edges, wedges,
+           CAST((CAST(n AS HUGEINT) * (n - 1) * (n - 2)) // 6
+                - (m * (n - 2) - 2 * wedges + 3 * t3)
+                - (wedges - 3 * t3) - t3 AS BIGINT) AS t0,
+           CAST(m * (n - 2) - 2 * wedges + 3 * t3 AS BIGINT) AS t1,
+           CAST(wedges - 3 * t3 AS BIGINT) AS t2,
+           t3
+         FROM base""",
 
     // The whole 3-round fixed-point iteration replayed: same integer
     // floor-divisions, same DECIMAL/HUGEINT message sums, same teleport
