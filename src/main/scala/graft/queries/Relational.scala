@@ -3596,6 +3596,113 @@ object Relational {
         .orderBy("n_name", "decile")
     }),
 
+    // Split-conformal prediction intervals (Papadopoulos et al. 2002 /
+    // Lei et al. 2018) per nation on the daily-revenue trend: fit the
+    // EXACT rational least-squares line on 1995, take the ⌈0.9(n+1)⌉
+    // calibration order statistic of |residual| on 1996, and report
+    // the EMPIRICAL coverage of ŷ ± q on held-out 1997 — the
+    // distribution-free uncertainty wrapper modern ML serving puts
+    // around any point forecast, here with zero doubles: residuals
+    // stay D-scaled integers (r·D = y·D − α_N − β_N·x with
+    // α_N, β_N, D the integer regression moments), the order
+    // statistic is a rank pick on |r·D| (same ordering as |r|), and
+    // the interval half-width floors ONCE back to cents. Moments are
+    // 25 rows broadcast; ranks run per-nation over calendar-bounded
+    // frames.
+    "q_conformal" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(year(col("o_orderdate")).isin(1995, 1996, 1997))
+        .groupBy(col("n_name"), col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+        .withColumn("x", datediff(col("o_orderdate"),
+          lit("1995-01-01").cast("date")).cast("long"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .localCheckpoint(true) // train moments + calib ranks + test census
+      val mom = daily.filter(col("yr") === 1995)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_tr"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .withColumn("bn",
+          col("n_tr").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+        .withColumn("an",
+          col("sy").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sxy"))
+        .withColumn("dd",
+          col("n_tr").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+        .filter(col("dd") > 0)
+        .select(col("n_name"), col("an"), col("bn"), col("dd"))
+      val scored = daily.join(broadcast(mom), Seq("n_name"))
+        .withColumn("absr",
+          abs(col("y").cast(dec) * col("dd") - col("an")
+            - col("bn") * col("x")))
+      val cal = scored.filter(col("yr") === 1996)
+      val wCal = Window.partitionBy(col("n_name"))
+      val wRank = Window.partitionBy(col("n_name"))
+        .orderBy(col("absr").asc, col("o_orderdate").asc)
+      val q90 = cal
+        .withColumn("__n", count(lit(1)).over(wCal))
+        .withColumn("__r", row_number().over(wRank))
+        .filter(col("__r") ===
+          least(expr("((__n + 1) * 9 + 9) div 10"), col("__n")))
+        .select(col("n_name"), col("__n").as("n_cal"),
+          col("absr").as("q_scaled"))
+      scored.filter(col("yr") === 1997)
+        .join(broadcast(q90), Seq("n_name"))
+        .groupBy(col("n_name"))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          sum(when(col("absr") <= col("q_scaled"), 1L).otherwise(0L))
+            .as("n_cov"),
+          max(expr("CAST(q_scaled div dd AS BIGINT)")).as("width_cents"))
+        .withColumn("cover_pm", expr("(1000 * n_cov) div n_test"))
+        .select(col("n_name"), col("n_cal"), col("n_test"), col("n_cov"),
+          col("cover_pm"), col("width_cents"))
+        .orderBy("n_name")
+    }),
+
+    // Stratified average treatment effect (the Cochran 1968
+    // subclassification estimator): URGENT orders vs LOW within each
+    // order-year stratum, per-stratum mean differences pooled with
+    // treated-count weights — the deconfounded companion to
+    // q_diff_in_diff (time confound) and q_iv_wald (selection): if
+    // urgency premiums drift by era, the pooled estimate removes the
+    // era mix. Per stratum the difference of means cross-multiplies
+    // to (sy_t·n_c − sy_c·n_t) over n_t·n_c, floored ONCE ×1000; the
+    // pool is a treated-count-weighted integer sum with one terminal
+    // division. One conditional aggregate, strata = calendar-bounded.
+    "q_strat_ate" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(year(col("o_orderdate")).cast("long").as("stratum"),
+          (col("o_orderpriority") === "1-URGENT").as("treated"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      val per = o.groupBy(col("stratum"))
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("sy_t"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("sy_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .withColumn("diff_pm", expr(
+          """(CAST(1000 AS DECIMAL(38,0)) * (CAST(sy_t AS DECIMAL(38,0)) * n_c
+                - CAST(sy_c AS DECIMAL(38,0)) * n_t))
+             div (CAST(n_t AS DECIMAL(38,0)) * n_c)"""))
+        .localCheckpoint(true) // per-stratum rows + the pooled row share it
+      val pooled = per
+        .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+          sum(col("n_t").cast(dec) * col("diff_pm")).as("__w"),
+          sum(col("n_t")).as("__wt"))
+        .select(lit(9999L).as("stratum"), col("n_t"), col("n_c"),
+          expr("CAST(__w div __wt AS BIGINT)").as("diff_pm"))
+      per.select(col("stratum"), col("n_t"), col("n_c"), col("diff_pm"))
+        .unionAll(pooled)
+        .orderBy("stratum")
+    }),
+
     // Exact weighted median per nation: the quantity-weighted middle of
     // extended prices — order by (value, tiebreak), pick the first row
     // where 2·cum_weight ≥ total_weight (the lower weighted median, an
@@ -6826,6 +6933,92 @@ object Relational {
                   // (CAST(n AS HUGEINT) * ct) END AS BIGINT) AS lift_pm
          FROM per JOIN tot ON per.n_name = tot.n_name
          ORDER BY per.n_name, decile""",
+
+    // D-scaled integer residuals; conformal rank pick; one floor back
+    // to cents
+    "q_conformal" ->
+      """WITH daily AS (
+           SELECT n_name, o_orderdate,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+               AS BIGINT) AS x,
+             year(o_orderdate) AS yr
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           WHERE year(o_orderdate) IN (1995, 1996, 1997)
+           GROUP BY 1, 2, 4, 5),
+         mom AS (
+           SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_tr,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+           FROM daily WHERE yr = 1995 GROUP BY 1),
+         ab AS (
+           SELECT n_name,
+             CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS an,
+             CAST(n_tr AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS bn,
+             CAST(n_tr AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dd
+           FROM mom
+           WHERE CAST(n_tr AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0),
+         sc AS (
+           SELECT daily.n_name, o_orderdate, yr, dd,
+             abs(CAST(y AS HUGEINT) * dd - an - bn * x) AS absr
+           FROM daily JOIN ab ON daily.n_name = ab.n_name),
+         cal AS (
+           SELECT n_name, absr,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY absr, o_orderdate) AS BIGINT) AS r
+           FROM sc WHERE yr = 1996),
+         q90 AS (
+           SELECT n_name, n AS n_cal, absr AS q_scaled
+           FROM cal WHERE r = least(((n + 1) * 9 + 9) // 10, n))
+         SELECT sc.n_name, max(n_cal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN absr <= q_scaled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cov,
+           CAST((1000 * sum(CASE WHEN absr <= q_scaled THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS cover_pm,
+           CAST(max(q_scaled // dd) AS BIGINT) AS width_cents
+         FROM sc JOIN q90 ON sc.n_name = q90.n_name
+         WHERE yr = 1997 GROUP BY 1 ORDER BY sc.n_name""",
+
+    // per-stratum cross-multiplied mean gaps; treated-weighted pool
+    "q_strat_ate" ->
+      """WITH o AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS stratum,
+             o_orderpriority = '1-URGENT' AS treated,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         per AS (
+           SELECT stratum,
+             CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+             CAST(sum(CASE WHEN treated THEN 0 ELSE y END) AS BIGINT) AS sy_c
+           FROM o GROUP BY 1
+           HAVING sum(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+              AND sum(CASE WHEN treated THEN 0 ELSE 1 END) > 0),
+         pd AS (
+           SELECT stratum, n_t, n_c,
+             CAST((CAST(1000 AS HUGEINT)
+                   * (CAST(sy_t AS HUGEINT) * n_c
+                      - CAST(sy_c AS HUGEINT) * n_t))
+               // (CAST(n_t AS HUGEINT) * n_c) AS BIGINT) AS diff_pm
+           FROM per),
+         pool AS (
+           SELECT CAST(9999 AS BIGINT) AS stratum,
+             CAST(sum(n_t) AS BIGINT) AS n_t, CAST(sum(n_c) AS BIGINT) AS n_c,
+             CAST(sum(CAST(n_t AS HUGEINT) * diff_pm) // sum(n_t) AS BIGINT)
+               AS diff_pm
+           FROM pd)
+         SELECT stratum, n_t, n_c, diff_pm FROM pd
+         UNION ALL SELECT * FROM pool
+         ORDER BY stratum""",
 
     "q_ks_drift" ->
       """WITH o AS (
