@@ -6460,6 +6460,17 @@ object LlmOps {
            CAST(sum(CASE WHEN isodow(day) >= 6 THEN n ELSE 0 END) AS BIGINT) AS y
          FROM dl GROUP BY 1, 2)"""
 
+  /** The sorted distinct union of TextAnalysis.stopwords rendered as a SQL
+    * IN-list — ONE source of truth shared by the q_textrank / q_rake
+    * oracles with the Spark side (which folds TextAnalysis.stopwords
+    * directly), so a future edit to the Scala lexicons cannot silently
+    * desynchronize the two oracle queries (r16 ADVICE #3). IN-list order
+    * is irrelevant to the predicate; sorted for readable EXPLAIN output.
+    */
+  private val stopwordInList: String =
+    TextAnalysis.stopwords.flatMap(_._2).distinct.sorted
+      .map(w => s"'$w'").mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
     // The shared distinct (key, 3-gram shingle) substrate of the two
     // queries below, as a DuckDB list comprehension — byte-identical to
@@ -9873,7 +9884,7 @@ object LlmOps {
     // q_pagerank's 3-round replay on the window-2 word graph; top-20
     // after the final round
     "q_textrank" ->
-      """WITH tk AS (
+      s"""WITH tk AS (
            SELECT doc_id, unnest(t) AS tok,
              generate_subscripts(t, 1) - 1 AS pos
            FROM (SELECT doc_id,
@@ -9881,17 +9892,7 @@ object LlmOps {
                  FROM documents WHERE lang = 'en')),
          nf AS (
            SELECT doc_id, pos, tok FROM tk
-           WHERE tok NOT IN (
-             'al', 'als', 'and', 'are', 'as', 'at', 'au', 'auch', 'auf',
-             'avec', 'be', 'by', 'ce', 'como', 'con', 'dans', 'das',
-             'del', 'dem', 'den', 'der', 'des', 'die', 'du', 'ein',
-             'eine', 'el', 'en', 'es', 'est', 'et', 'for', 'from',
-             'für', 'have', 'il', 'im', 'in', 'is', 'ist', 'it', 'la',
-             'las', 'le', 'les', 'lo', 'los', 'mit', 'nicht', 'no',
-             'of', 'on', 'para', 'pas', 'por', 'pour', 'que', 'qui',
-             'se', 'sich', 'sont', 'su', 'sur', 'that', 'the', 'this',
-             'to', 'un', 'una', 'und', 'une', 'von', 'was', 'with',
-             'y', 'zu')),
+           WHERE tok NOT IN ($stopwordInList)),
          ld AS (
            SELECT tok, lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
            FROM nf
@@ -10196,7 +10197,7 @@ object LlmOps {
     // stopword-boundary segmentation via positional cumsum; floored
     // per-mille deg/freq word scores summed per phrase
     "q_rake" ->
-      """WITH tk AS (
+      s"""WITH tk AS (
            SELECT doc_id, unnest(t) AS tok,
              generate_subscripts(t, 1) - 1 AS pos
            FROM (SELECT doc_id,
@@ -10204,15 +10205,7 @@ object LlmOps {
                  FROM documents WHERE lang = 'en')),
          mk AS (
            SELECT doc_id, pos, tok,
-             tok IN ('al', 'als', 'and', 'are', 'as', 'at', 'au', 'auch', 'auf',
-               'avec', 'be', 'by', 'ce', 'como', 'con', 'dans', 'das',
-               'del', 'dem', 'den', 'der', 'des', 'die', 'du', 'ein', 'eine',
-               'el', 'en', 'es', 'est', 'et', 'for', 'from', 'für', 'have',
-               'il', 'im', 'in', 'is', 'ist', 'it', 'la', 'las', 'le',
-               'les', 'lo', 'los', 'mit', 'nicht', 'no', 'of', 'on', 'para',
-               'pas', 'por', 'pour', 'que', 'qui', 'se', 'sich', 'sont',
-               'su', 'sur', 'that', 'the', 'this', 'to', 'un', 'una', 'und',
-               'une', 'von', 'was', 'with', 'y', 'zu') AS is_stop
+             tok IN ($stopwordInList) AS is_stop
            FROM tk),
          sg AS (
            SELECT doc_id, pos, tok,
@@ -11742,11 +11735,16 @@ object LlmOps {
            WINDOW w AS (PARTITION BY n_name ORDER BY v
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          nm AS (
+           -- dv IS NULL (the spine's last row — or its ONLY row for a
+           -- single-distinct-value key) contributes 0 via CASE rather
+           -- than a WHERE drop, so degenerate keys still emit a w1=0
+           -- row exactly like Stats.wasserstein1 (r16 ADVICE #1)
            SELECT cum.n_name, max(n_a) AS n_a, max(n_b) AS n_b,
-             sum(abs(CAST(n_b AS HUGEINT) * ca - CAST(n_a AS HUGEINT) * cb)
-                 * dv) AS num
+             sum(CASE WHEN dv IS NULL THEN 0
+                 ELSE abs(CAST(n_b AS HUGEINT) * ca
+                          - CAST(n_a AS HUGEINT) * cb) * dv END) AS num
            FROM cum JOIN tot ON cum.n_name = tot.n_name
-           WHERE dv IS NOT NULL GROUP BY 1)
+           GROUP BY 1)
          SELECT n_name, n_a, n_b,
            CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
                 ELSE (num * 1000) // (CAST(n_a AS HUGEINT) * n_b)

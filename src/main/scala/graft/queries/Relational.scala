@@ -2559,12 +2559,15 @@ object Relational {
     // Deterministic RANSAC line fit over the daily revenue series: the
     // ROBUST trend the least-squares q_regression can't give when
     // outlier days pull the fit — candidate lines through a bounded
-    // deterministic anchor grid (every 7th day, <=66 pairs, broadcast),
-    // inliers counted by the EXACT integer band test
-    // |dy*(x-x1) - dx*(y-y1)| <= tol*dx, winner by (inliers desc,
-    // anchors asc). One corpus pass over the candidate broadcast; the
-    // consensus slope emits per-mille next to q_theil_sen's median
-    // slope.
+    // deterministic anchor grid (data-adaptive stride
+    // max(7, ceil(n_days/12)) -> <=12 anchors and <=66 pairs at EVERY
+    // scale factor, broadcast), inliers counted by the EXACT integer
+    // band test |dy*(x-x1) - dx*(y-y1)| <= tol*dx, winner by
+    // (inliers desc, anchors asc). One corpus pass over the candidate
+    // broadcast; the consensus slope emits per-mille next to
+    // q_theil_sen's median slope. The stride comes off the pinned
+    // daily count (a calendar-bounded frame, ~2.4k rows regardless of
+    // SF), so the driver-side count is O(days), not O(orders).
     "q_ransac" -> ((s, d) => {
       val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
       val daily = Tables.orders(s, d)
@@ -2572,7 +2575,8 @@ object Relational {
         .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000")).as("kusd"))
         .withColumn("x", row_number().over(wOrd).cast("long"))
         .localCheckpoint(true) // anchors and the inlier pass share it
-      val anchors = daily.filter(pmod(col("x"), lit(7L)) === 1)
+      val stride = math.max(7L, (daily.count() + 11L) / 12L)
+      val anchors = daily.filter(pmod(col("x"), lit(stride)) === 1)
         .select(col("x"), col("kusd").as("y"))
       val cand = anchors.select(col("x").as("x1"), col("y").as("y1"))
         .crossJoin(anchors.select(col("x").as("x2"), col("y").as("y2")))
@@ -3704,10 +3708,20 @@ object Relational {
     }),
 
     // Exact weighted median per nation: the quantity-weighted middle of
-    // extended prices — order by (value, tiebreak), pick the first row
-    // where 2·cum_weight ≥ total_weight (the lower weighted median, an
-    // exact order statistic — never an interpolation). One window +
-    // one rank filter on the same partitioning; all integers.
+    // extended prices — the smallest value whose cumulative weight
+    // reaches half the total (the lower weighted median, an exact order
+    // statistic — never an interpolation). The cumulative weight runs
+    // over the per-(nation, value) spine through
+    // PrefixSum.runningTotalsGrouped (the q_weighted_quantile shape):
+    // 25 nations means a plain partitionBy(n_name) window sorts
+    // fact-sized partitions one task each at 100×, while the grouped
+    // prefix sum range-buckets v WITHIN each nation — (nation, bucket)
+    // local windows + a |nations|·numRanges-row offsets table.
+    // GroupedPrefixSumSpec proves row equality with the window form; v
+    // is unique per nation by the (n_name, v) spine, and cum_w reports
+    // the cumulative weight THROUGH the median value (cw is strictly
+    // increasing in v, so min(cw) over qualifying rows pairs with
+    // min(v)). All integers.
     "q_weighted_median" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .join(broadcast(Tables.supplier(s, d)
@@ -3717,21 +3731,21 @@ object Relational {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("n_name"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-          expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
-          col("l_orderkey"), col("l_linenumber"))
-      val wOrd = Window.partitionBy(col("n_name"))
-        .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("n_name"))
-      li.withColumn("cum_w", sum(col("w")).over(wOrd))
-        .withColumn("tot_w", sum(col("w")).over(wAll))
-        .filter(col("cum_w") * 2 >= col("tot_w"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("n_name"))
-            .orderBy(col("v").asc, col("l_orderkey").asc,
-              col("l_linenumber").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("n_name"), col("v").as("weighted_median_cents"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      // pinned once: the spine feeds three passes (boundary sample,
+      // bucketed cumsum, nation totals) — the q_weighted_quantile pin
+      val perV = li.groupBy(col("n_name"), col("v")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
+      val cum = graft.operators.PrefixSum
+        .runningTotalsGrouped(perV, Seq("n_name"), "v", Seq("w"))
+        .withColumnRenamed("cum_w", "cw")
+      val tot = perV.groupBy(col("n_name")).agg(sum(col("w")).as("tot_w"))
+      cum.join(broadcast(tot), Seq("n_name"))
+        .filter(col("cw") * 2 >= col("tot_w"))
+        .groupBy(col("n_name"), col("tot_w"))
+        .agg(min(col("v")).as("weighted_median_cents"),
+          min(col("cw")).as("cum_w"))
+        .select(col("n_name"), col("weighted_median_cents"),
           col("cum_w"), col("tot_w"))
         .orderBy("n_name")
     }),
@@ -6018,7 +6032,8 @@ object Relational {
            abs(num) > abs(den) AS elastic
          FROM nd ORDER BY brand""",
 
-    // bounded anchor pairs; the exact integer band test; top-3 lines
+    // bounded anchor pairs (data-adaptive stride, <=66 at every SF);
+    // the exact integer band test; top-3 lines
     "q_ransac" ->
       """WITH daily AS (
            SELECT o_orderdate AS day,
@@ -6029,7 +6044,9 @@ object Relational {
            SELECT day, kusd,
              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
            FROM daily),
-         an AS (SELECT x, kusd AS y FROM dx WHERE x % 7 = 1),
+         an AS (SELECT x, kusd AS y FROM dx
+                WHERE x % (SELECT greatest(7, (count(*) + 11) // 12)
+                           FROM dx) = 1),
          cand AS (
            SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
            FROM an a CROSS JOIN an b WHERE a.x < b.x),
@@ -6693,26 +6710,24 @@ object Relational {
       """WITH li AS (
            SELECT n.n_name,
              CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v,
-             CAST(round(l.l_quantity) AS BIGINT) AS w,
-             l.l_orderkey, l.l_linenumber
+             CAST(round(l.l_quantity) AS BIGINT) AS w
            FROM lineitem l
            JOIN supplier s ON l.l_suppkey = s.s_suppkey
            JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         pv AS (
+           SELECT n_name, v, CAST(sum(w) AS BIGINT) AS w
+           FROM li GROUP BY 1, 2),
          c AS (
-           SELECT n_name, v, l_orderkey, l_linenumber,
-             sum(w) OVER (PARTITION BY n_name
-               ORDER BY v, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
-             sum(w) OVER (PARTITION BY n_name) AS tot_w
-           FROM li),
-         r AS (
-           SELECT n_name, v, cum_w, tot_w,
-             row_number() OVER (PARTITION BY n_name
-               ORDER BY v, l_orderkey, l_linenumber) AS rn
-           FROM c WHERE cum_w * 2 >= tot_w)
-         SELECT n_name, v AS weighted_median_cents,
-           CAST(cum_w AS BIGINT) AS cum_w, CAST(tot_w AS BIGINT) AS tot_w
-         FROM r WHERE rn = 1 ORDER BY n_name""",
+           SELECT n_name, v,
+             CAST(sum(w) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY n_name) AS BIGINT) AS tot_w
+           FROM pv)
+         SELECT n_name, min(v) AS weighted_median_cents,
+           min(cw) AS cum_w, tot_w
+         FROM c WHERE cw * 2 >= tot_w
+         GROUP BY n_name, tot_w ORDER BY n_name""",
 
     "q_runs_test" ->
       """WITH daily AS (

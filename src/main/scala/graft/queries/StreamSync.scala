@@ -989,6 +989,19 @@ object StreamSync {
             expr("CAST(round(value * 100) AS BIGINT)").as("v"),
             expr("unix_micros(ts) div 86400000000").as("day"))
         val cutDay = 19737L // 2024-01-15 as epoch days
+        // Contract enforcement (r16 ADVICE #2): every key MUST appear in
+        // the pre-cut window. driftStream freezes whichever micro-batch
+        // arrives FIRST per key as the reference, so a key first seen
+        // after the cut would freeze its LIVE window as the reference
+        // and silently diverge from the batch early/late oracle. Fail
+        // the fixture build loudly here instead of relying on the
+        // downstream TV-equality guard's harder-to-read failure.
+        val lateOnlyKeys = ev.groupBy(col("typ"))
+          .agg(min(col("day")).as("__d0"))
+          .filter(col("__d0") >= cutDay).count()
+        require(lateOnlyKeys == 0L,
+          s"stream_drift: $lateOnlyKeys key(s) first appear after the cut " +
+            "day — their reference window would be empty; move the cut")
         def jsonl(df: DataFrame): DataFrame =
           df.select(to_json(struct(col("typ"), col("v"))).as("j"))
         val b1 = landOne(jsonl(ev.filter(col("day") < cutDay)),
