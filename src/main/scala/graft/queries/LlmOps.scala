@@ -1636,6 +1636,69 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // Index COMPACTION (Similarity.compactIndex — r16 verdict #6, the
+    // third verb of the write/append/serve lifecycle): build on half
+    // the corpus, append the other half (staleness ≈ 500 pm), then
+    // compact — retrain on the full indexed corpus read from the CELLS
+    // layout, re-encode, atomic swap, staleness reset to 0. Certified
+    // the append way (same-model discipline): the compacted layout's
+    // serve must equal the ad-hoc job running the COMPACTED model over
+    // the original table — which by the writeCells construction IS
+    // fresh-build+serve with that model (retraining twice and comparing
+    // would grade ulp-level parallel-summation noise, not the
+    // operator). Also certified: row conservation across the swap and
+    // the below-threshold no-op (a second compact must change nothing).
+    "q_ann_ivf_compact" -> ((s, d) => {
+      val (nCentroids, refineIters, split) = (16, 1, 5)
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val dir = s"/tmp/graft_fixtures/ivf_compact_c${nCentroids}_r${refineIters}_s${split}" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= split)
+      val partA = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val partB = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+      if (!new java.io.File(s"$dir/_DONE").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        Similarity.writeIndex(partA, "vec_id", "embedding", dir,
+          nCentroids = nCentroids, refineIters = refineIters)
+        val appended = Similarity.appendToIndex(s, dir, partB, "vec_id", "embedding")
+        require(appended.stalenessPm >= 300L,
+          s"fixture assumption broke: staleness ${appended.stalenessPm} pm < 300")
+        val compacted = Similarity.compactIndex(s, dir, thresholdPm = 300L,
+          refineIters = refineIters)
+        require(compacted.appendedRows == 0L,
+          "compactIndex did not trigger above threshold")
+        new java.io.File(s"$dir/_DONE").createNewFile()
+        ()
+      }
+      val model = Similarity.readModel(s, dir)
+      // below-threshold path: a second compact is a telemetry no-op
+      val again = Similarity.compactIndex(s, dir, thresholdPm = 300L,
+        refineIters = refineIters)
+      val noop = again.baseRows == model.baseRows &&
+        again.appendedRows == model.appendedRows &&
+        again.centroids.length == model.centroids.length &&
+        again.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) }
+      val conserved =
+        s.read.parquet(s"$dir/cells").count() == corpus.count()
+      val queries = emb.filter(col("vec_id") < split)
+      val served = Similarity.queryIndex(s, dir, queries,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      val adhoc = Similarity.ivfTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, nCentroids = nCentroids, nProbe = 4,
+        refineIters = refineIters, model = Some(model))
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("a_neighbor"), col("cosine").as("a_cosine"))
+      served.join(adhoc, Seq("query_id", "rank"))
+        .select(col("query_id"), col("rank"),
+          (col("neighbor_id") === col("a_neighbor")).as("same_neighbor"),
+          (col("cosine") === col("a_cosine")).as("same_cosine"),
+          lit(model.stalenessPm).as("staleness_pm"),
+          lit(conserved).as("rows_conserved"),
+          lit(noop).as("noop_below_threshold"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---------------- text analysis ----------------
     "q_token_count" -> ((s, d) => {
       val t = Tables.documents(s, d)
@@ -9525,6 +9588,17 @@ object LlmOps {
          CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
          CROSS JOIN base CROSS JOIN app
          ORDER BY query_id, rank""",
+    // the compaction certificate: all-true agreement + conservation +
+    // no-op rows, staleness 0 after the reset
+    "q_ann_ivf_compact" ->
+      """SELECT q.query_id, CAST(r.rank AS INTEGER) AS rank,
+           true AS same_neighbor, true AS same_cosine,
+           CAST(0 AS BIGINT) AS staleness_pm,
+           true AS rows_conserved, true AS noop_below_threshold
+         FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+         CROSS JOIN (SELECT unnest(range(1, 6)) AS rank) r
+         ORDER BY query_id, rank""",
+
     // append ≡ encode-all certificate counts plus both staleness rows,
     // replayed from the table's own half counts
     "q_ann_ivfpq_append" ->

@@ -185,6 +185,11 @@ object StreamingSync {
     * within a batch by the function; batches must arrive in timeline
     * order per key (the same per-key-monotonic contract as
     * [[attributeStream]]).
+    *
+    * No `ttlMs` by design: state is O(1) per key (one double), so the
+    * total footprint is bounded by the KEYSPACE, never the stream, and
+    * eviction would restart the smoothing from the next observation —
+    * a different series, not a cheaper one.
     */
   def ewmaStream(events: Dataset[ValueEvent], halvings: Int = 1): Dataset[EwmaRow] = {
     import events.sparkSession.implicits._
@@ -225,6 +230,10 @@ object StreamingSync {
     * batch window formulation ([[graft.operators.TimeSeries
     * .cusumUpper]]), so the streamed sink hash-equals the batch
     * oracle row for row.
+    *
+    * No `ttlMs` by design: state is O(1) per key (three longs), bounded
+    * by the keyspace, and eviction would reset the drift baseline
+    * mid-monitor — a CUSUM that forgets its minimum raises false alarms.
     */
   def cusumStream(
       events: Dataset[ValueEvent],
@@ -265,6 +274,10 @@ object StreamingSync {
     * division per row, in the same (ts_us, event_id) order as the
     * batch window formulation — hash-equal to its oracle row for row.
     * A key's first event reports its own value (zero span).
+    *
+    * No `ttlMs` by design: state is O(1) per key (four longs), bounded
+    * by the keyspace, and eviction would drop the accumulated area —
+    * the running mean is defined over the key's WHOLE timeline.
     */
   def twaStream(events: Dataset[ValueEvent]): Dataset[TwaRow] = {
     import events.sparkSession.implicits._
@@ -310,6 +323,10 @@ object StreamingSync {
     * order as the batch fold, so the streamed sink hash-equals the
     * batch oracle row for row. Same per-key-monotonic batch-arrival
     * contract as [[ewmaStream]].
+    *
+    * No `ttlMs` by design: state is O(1) per key (two longs), bounded
+    * by the keyspace; eviction would restart level/trend from scratch —
+    * [[ewmaStream]]'s rationale, stated once per numeric-fold stream.
     */
   def holtStream(events: Dataset[ValueEvent]): Dataset[HoltRow] = {
     import events.sparkSession.implicits._
@@ -358,6 +375,10 @@ object StreamingSync {
     * n ≤ 1500 per key, or |x| ≤ 1e4 with n ≤ 1.5e5; enforce upstream
     * (this fixture peaks at n·x ≈ 5e6). Past the bound, switch the
     * squares to DECIMAL(38,0)-style wide state.
+    *
+    * No `ttlMs` by design: state is O(1) per key (count + two moment
+    * sums), bounded by the keyspace; eviction would zero the variance
+    * estimate and silence the tripwire for the next two observations.
     */
   def anomalyStream(events: Dataset[ValueEvent]): Dataset[AnomalyRow] = {
     import events.sparkSession.implicits._
@@ -397,6 +418,10 @@ object StreamingSync {
     * oracle checks by replaying the same (ts_us, event_id)-ordered
     * tuple-interval counts over the raw table. Same per-key-monotonic
     * batch contract as [[ewmaStream]].
+    *
+    * No `ttlMs` by design: state is O(1) per key (one counter), bounded
+    * by the keyspace; eviction would lose clicks landed between
+    * purchases — exactly the cross-batch mass the stream exists to keep.
     */
   def conversionStream(events: Dataset[ValueEvent]): Dataset[ConvRow] = {
     import events.sparkSession.implicits._
@@ -434,6 +459,10 @@ object StreamingSync {
     * exact distinct set grows with the corpus — the streaming face of
     * the batch sketch family. Same (ts_us, event_id) order and
     * per-key-monotonic batch contract as [[ewmaStream]].
+    *
+    * No `ttlMs` by design: state is O(k) per key — already the
+    * sketch's whole point — bounded by |keys|·k, never the corpus;
+    * eviction would forget observed distincts and undercount forever.
     */
   def kmvDistinctStream(
       events: Dataset[ValueEvent], k: Int = 64): Dataset[KmvRow] = {
@@ -497,6 +526,10 @@ object StreamingSync {
     * monitoring, not oracle, surface. Per-batch fold is
     * order-canonical (tokens sorted) so re-planned batches emit
     * identically.
+    *
+    * No `ttlMs` by design: state is O(capacity) per key, bounded by
+    * |keys|·capacity, never the vocabulary; eviction would void the
+    * Misra-Gries prefix guarantee (it holds over ALL counted tokens).
     */
   def topKStream(
       toks: Dataset[LangToken],
@@ -543,6 +576,11 @@ object StreamingSync {
     * union stream). Per-batch fold is (ts, id)-sorted; batches must be
     * per-key time-ordered (the watermark/file-order contract every
     * value stream in this file shares).
+    *
+    * No `ttlMs` by design: state is O(1) per key (the single OPEN row),
+    * bounded by the dimension's keyspace — which a dimension table
+    * stores in FULL anyway; evicting an open row would silently end a
+    * key's history with no closing emit.
     */
   def scd2Stream(events: Dataset[TypedEvent]): Dataset[ScdRow] = {
     import events.sparkSession.implicits._
@@ -580,6 +618,11 @@ object StreamingSync {
     * here whose state fold is order-free), so the final snapshot equals
     * the batch checksum exactly: continuous ingest integrity without a
     * nightly full-scan audit.
+    *
+    * No `ttlMs` by design: state is O(1) per key (three longs) and the
+    * key is a SOURCE, a config-bounded set; evicting a running XOR is
+    * losing the checksum — the one stream where forgetting IS the bug
+    * it exists to catch.
     */
   def checksumStream(rows: Dataset[SrcHash]): Dataset[XorRow] = {
     import rows.sparkSession.implicits._
