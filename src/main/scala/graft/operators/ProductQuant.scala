@@ -399,6 +399,20 @@ object ProductQuant {
     * model rewrite leaves a correct index with an undercounted
     * staleness row).
     */
+  /** The code/codebook directory names the model POINTS AT — epoch 0
+    * keeps the legacy `codes`/`codebooks` (every pre-r17 index on
+    * disk), a compacted index reads `codes.e<N>`/`codebooks.e<N>`.
+    * model.json is the atomic manifest: unlike the flat-IVF layout
+    * (where cells stay CORRECT under any model because assignments
+    * ride in the layout), PQ codes are only meaningful against the
+    * codebooks they were trained with — the pointer flip is what keeps
+    * codes and codebooks consistent at every instant.
+    */
+  private def codesName(model: Similarity.IvfModel): String =
+    if (model.epoch == 0L) "codes" else s"codes.e${model.epoch}"
+  private def codebooksName(model: Similarity.IvfModel): String =
+    if (model.epoch == 0L) "codebooks" else s"codebooks.e${model.epoch}"
+
   def appendToIvfpqIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -410,17 +424,75 @@ object ProductQuant {
       subDim: Int): Similarity.IvfModel = {
     import graft.expressions.{functions => gfn}
     val model = Similarity.readModel(spark, dir)
-    val cents = spark.read.parquet(s"$dir/codebooks")
+    val cents = spark.read.parquet(s"$dir/${codebooksName(model)}")
     val c = newRows.select(col(idCol).as("id"), col(rawVecCol).as("rv"),
       col(intVecCol).as("v"))
     val n = c.count()
     val codes = encodeWithCodebooks(c.select(col("id"), col("v")), cents, nSub, subDim)
     val assigned = c.withColumn("cid", gfn.nearest_centroid(col("rv"), model.centroids))
     codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
-      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/${codesName(model)}")
     val updated = model.copy(appendedRows = model.appendedRows + n)
     Similarity.writeModelJson(spark, dir, updated)
     updated
+  }
+
+  /** IVF-PQ compaction — [[Similarity.compactIndex]]'s sibling for the
+    * code-compressed layout (r16 verdict #6, "retrain centroids AND
+    * codebooks"): when staleness crosses `thresholdPm`, retrain the
+    * coarse quantizer and the per-subspace codebooks on the CURRENT
+    * corpus, re-encode everything into the next epoch's directories,
+    * and flip model.json — the one atomic rename that keeps codes and
+    * codebooks consistent at every instant (see [[codesName]]). Below
+    * the threshold: telemetry-only no-op.
+    *
+    * Unlike the flat-IVF compaction, this one REQUIRES the source
+    * `corpus` (id, raw vector, int vector): PQ codes are lossy — the
+    * layout cannot regenerate the vectors it was built from, so the
+    * maintenance loop hands the same table the appends came from (the
+    * ingest pipeline has it by construction). Certified by
+    * q_ann_ivfpq_compact: compacted-serve ≡ the ad-hoc hybrid under the
+    * SAME retrained model+codebooks (fresh-build+serve with those
+    * artifacts, by the writeIvfpqIndex construction), plus staleness
+    * reset and row conservation.
+    */
+  def compactIvfpqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: DataFrame,
+      idCol: String,
+      rawVecCol: String,
+      intVecCol: String,
+      nSub: Int,
+      subDim: Int,
+      kCode: Int,
+      rounds: Int,
+      thresholdPm: Long = 300L,
+      maxTrainRows: Long = 20000L): Similarity.IvfModel = {
+    import graft.expressions.{functions => gfn}
+    val model = Similarity.readModel(spark, dir)
+    if (model.stalenessPm < thresholdPm) return model
+    val c = corpus.select(col(idCol).as("id"), col(rawVecCol).as("rv"),
+      col(intVecCol).as("v"))
+    val retrained = Similarity.IvfModel(Similarity.trainCentroids(
+      c.select(col("id"), col("rv").as("v")), model.centroids.length,
+      refineIters = 1, maxTrainRows),
+      baseRows = c.count(), epoch = model.epoch + 1)
+    val (codes, cents) = trainEncode(c, "id", "v", nSub, subDim, kCode, rounds)
+    val assigned = c.withColumn("cid",
+      gfn.nearest_centroid(col("rv"), retrained.centroids))
+    // next epoch written complete while the live epoch still serves
+    // (Overwrite clears any crashed prior attempt)
+    codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/${codesName(retrained)}")
+    cents.write.mode("overwrite").parquet(s"$dir/${codebooksName(retrained)}")
+    Similarity.writeModelJson(spark, dir, retrained) // THE swap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${codesName(model)}"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${codebooksName(model)}"), true)
+    retrained
   }
 
   /** Clone an index's TRAINED ARTIFACTS (codebooks + coarse model, no
@@ -432,11 +504,13 @@ object ProductQuant {
       spark: org.apache.spark.sql.SparkSession,
       fromDir: String,
       toDir: String): Unit = {
-    spark.read.parquet(s"$fromDir/codebooks")
-      .write.mode("overwrite").parquet(s"$toDir/codebooks")
     val m = Similarity.readModel(spark, fromDir)
+    spark.read.parquet(s"$fromDir/${codebooksName(m)}")
+      .write.mode("overwrite").parquet(s"$toDir/codebooks")
+    // the clone starts at epoch 0 (its codebooks land at the legacy
+    // path), counts zeroed — a fresh index born from trained artifacts
     Similarity.writeModelJson(spark, toDir,
-      m.copy(baseRows = 0L, appendedRows = 0L))
+      m.copy(baseRows = 0L, appendedRows = 0L, epoch = 0L))
   }
 
   /** Serve a [[writeIvfpqIndex]] layout: probe cells against the
@@ -464,9 +538,9 @@ object ProductQuant {
       .localCheckpoint(true)
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val codesCid = spark.read.parquet(s"$dir/codes")
+    val codesCid = spark.read.parquet(s"$dir/${codesName(model)}")
       .filter(col("cid").isin(probedCells.toSeq: _*))
-    val dtab = adcTable(spark.read.parquet(s"$dir/codebooks"),
+    val dtab = adcTable(spark.read.parquet(s"$dir/${codebooksName(model)}"),
       queries, qidCol, intVecCol, nSub, subDim, kCode)
     serveCells(codesCid, probes, dtab, k, nSub, kCode)
   }

@@ -229,21 +229,24 @@ object Similarity {
   final case class IvfModel(
       centroids: Array[Array[Double]],
       baseRows: Long = 0L,
-      appendedRows: Long = 0L) {
+      appendedRows: Long = 0L,
+      epoch: Long = 0L) {
     /** Per-mille fraction of the indexed corpus encoded after training. */
     def stalenessPm: Long =
       if (baseRows + appendedRows <= 0) 0L
       else appendedRows * 1000 / (baseRows + appendedRows)
     def toJson: String = {
       val cs = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-      s"""{"centroids":$cs,"base_rows":$baseRows,"appended_rows":$appendedRows}"""
+      s"""{"centroids":$cs,"base_rows":$baseRows,"appended_rows":$appendedRows,"epoch":$epoch}"""
     }
   }
 
   object IvfModel {
-    /** Parses BOTH shapes: the r16 object form and the legacy bare
-      * centroid array (pre-append indexes on disk keep reading; their
-      * counts are unknown → 0, staleness 0).
+    /** Parses ALL shapes: the r17 object form (with `epoch` — the
+      * compaction generation whose data directories the model points
+      * at), the r16 object form (no epoch → 0, the legacy directory
+      * names), and the legacy bare centroid array (pre-append indexes
+      * on disk keep reading; their counts are unknown → 0, staleness 0).
       */
     def fromJson(s: String): IvfModel = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -254,9 +257,26 @@ object Similarity {
         Array.tabulate(row.size)(j => row.get(j).asDouble)
       }.toArray
       if (root.isArray) IvfModel(cs)
-      else IvfModel(cs, root.get("base_rows").asLong, root.get("appended_rows").asLong)
+      else IvfModel(cs, root.get("base_rows").asLong,
+        root.get("appended_rows").asLong,
+        Option(root.get("epoch")).map(_.asLong).getOrElse(0L))
     }
   }
+
+  /** The cell-data directory name the model POINTS AT: epoch 0 keeps
+    * the legacy `cells` (every pre-r17 index on disk), a compacted
+    * index reads `cells.e<epoch>`. model.json is thus the atomic
+    * MANIFEST of the layout — readers resolve data through it, so a
+    * compaction becomes visible in exactly one rename.
+    */
+  private[operators] def cellsName(model: IvfModel): String =
+    if (model.epoch == 0L) "cells" else s"cells.e${model.epoch}"
+
+  /** Public resolver of the model's live cell-data directory — external
+    * auditors (row-conservation certificates, ops tooling) must go
+    * through the manifest exactly like [[queryIndex]] does.
+    */
+  def cellsDir(dir: String, model: IvfModel): String = s"$dir/${cellsName(model)}"
 
   /** WRITE-ONCE bucketed IVF layout — the 100 TB serving shape the ad-hoc
     * [[ivfTopK]] job only simulates: train centroids (bounded sample, as
@@ -333,7 +353,7 @@ object Similarity {
     val model = readModel(spark, dir)
     val c = newRows.select(col(idCol).as("id"), col(vecCol).as("v"))
     val n = c.count()
-    writeCells(c, model, dir, SaveMode.Append)
+    writeCells(c, model, dir, SaveMode.Append, cellsName(model))
     val updated = model.copy(appendedRows = model.appendedRows + n)
     writeModelJson(spark, dir, updated) // atomic swap LAST — gates readers
     updated
@@ -343,26 +363,28 @@ object Similarity {
     * the write/append/serve lifecycle: when [[IvfModel.stalenessPm]]
     * reaches `thresholdPm`, RETRAIN centroids on the full indexed corpus
     * (the same bounded-sample Lloyd as [[writeIndex]] — reading the
-    * `cells` layout itself, so compaction never needs the original
-    * source table), re-encode every row with the new model, and swap the
-    * partitioned layout; below the threshold it is a telemetry-only
-    * no-op returning the current model. After compaction the model reads
-    * baseRows = |corpus|, appendedRows = 0 — staleness resets — and
-    * compact+serve ≡ fresh-build+serve BY CONSTRUCTION: both paths are
-    * [[writeIndex]]'s own train/encode/write over the identical row set
-    * (the q_ann_ivf_compact certificate pins the serve side against the
-    * ad-hoc job with the compacted model, the same-model discipline of
-    * the append certificate — retraining twice and comparing would grade
-    * ulp-level parallel-summation noise, not the operator).
+    * live cell layout itself, so compaction never needs the original
+    * source table), re-encode every row with the new model into the
+    * NEXT EPOCH's directory, and flip model.json; below the threshold it
+    * is a telemetry-only no-op returning the current model. After
+    * compaction the model reads baseRows = |corpus|, appendedRows = 0 —
+    * staleness resets — and compact+serve ≡ fresh-build+serve BY
+    * CONSTRUCTION: both paths are [[writeIndex]]'s own train/encode/
+    * write over the identical row set (the q_ann_ivf_compact certificate
+    * pins the serve side against the ad-hoc job with the compacted
+    * model, the same-model discipline of the append certificate —
+    * retraining twice and comparing would grade ulp-level parallel-
+    * summation noise, not the operator).
     *
-    * Swap discipline: the re-encoded layout lands in
-    * `cells.compact.tmp`, the live `cells` moves aside, the tmp renames
-    * in, THEN model.json swaps. model.json gates readers, so a crash at
-    * any step leaves a SERVEABLE index: before the cells rename the old
-    * layout + old model are intact; between rename and model write the
-    * new layout serves correctly under the old model's counts (cell
-    * assignment is part of the layout, not the model) with only the
-    * staleness row stale — re-running the compaction heals it.
+    * Swap discipline (r17, the manifest-pointer pattern every table
+    * format uses): data directories are IMMUTABLE per epoch
+    * (`cells` = epoch 0, `cells.e<N>` after) and model.json is the
+    * manifest readers resolve them through, so the compaction becomes
+    * visible in exactly ONE atomic rename — no window where the live
+    * directory is missing or half-swapped. A crash before the model
+    * write leaves the old epoch fully intact (the new epoch's orphan
+    * directory is overwritten by the retry); the old epoch's directory
+    * is deleted only after the pointer lands.
     *
     * Scale shape: one bounded-sample training pass + one full-corpus
     * encode/write — the same cost as the original [[writeIndex]], paid
@@ -379,23 +401,19 @@ object Similarity {
     val model = readModel(spark, dir)
     if (model.stalenessPm < thresholdPm) return model
     val k = if (nCentroids > 0) nCentroids else model.centroids.length
-    val corpus = spark.read.parquet(s"$dir/cells").select(col("id"), col("v"))
+    val corpus = spark.read.parquet(s"$dir/${cellsName(model)}")
+      .select(col("id"), col("v"))
     val retrained = IvfModel(trainCentroids(corpus, k, refineIters, maxTrainRows),
-      baseRows = corpus.count())
+      baseRows = corpus.count(), epoch = model.epoch + 1)
     require(retrained.centroids.forall(_.forall(java.lang.Double.isFinite)),
       "IVF centroids contain NaN/Infinity after retrain — refusing to compact")
-    // stage: encode with the NEW model while the live layout still serves
-    writeCells(corpus, retrained, dir, SaveMode.Overwrite, "cells.compact.tmp")
+    // the next epoch's directory: written complete while the live epoch
+    // still serves (Overwrite clears any crashed prior attempt)
+    writeCells(corpus, retrained, dir, SaveMode.Overwrite, cellsName(retrained))
+    writeModelJson(spark, dir, retrained) // THE swap — one atomic rename
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells.compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/cells.compact.old")
-    fs.delete(old, true)
-    if (!fs.rename(live, old)) sys.error(s"could not move $live aside to $old")
-    if (!fs.rename(tmp, live)) sys.error(s"could not move $tmp into place at $live")
-    writeModelJson(spark, dir, retrained) // readers gate on this — swap LAST
-    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${cellsName(model)}"), true)
     retrained
   }
 
@@ -456,7 +474,7 @@ object Similarity {
     // The probed cell ids as plan literals → partition pruning at the scan.
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$dir/${cellsName(model)}")
       .filter(col("cid").isin(probedCells.toSeq: _*))
     cosineTopK(cells, probes, k)
   }

@@ -1176,6 +1176,78 @@ object LlmOps {
           lit(mAll.stalenessPm).as("staleness_all_pm"))
     }),
 
+    // IVF-PQ compaction (ProductQuant.compactIvfpqIndex — r16 verdict
+    // #6's "retrain centroids AND codebooks"): build on half the
+    // corpus, append the other half (~500 pm stale), compact — retrain
+    // BOTH quantizers on the current corpus, re-encode into the next
+    // EPOCH's directories, flip model.json (the manifest pointer that
+    // keeps codes and codebooks consistent at every instant — PQ codes
+    // are lossy, so unlike the flat-IVF cells a half-swapped layout
+    // would serve WRONG answers, not stale ones). Certified the append
+    // way: clone the compacted artifacts, encode-all into the clone,
+    // and the two serves must be identical row sets; staleness resets
+    // to 0; the code partitions conserve the corpus row count; a
+    // second compact below threshold is a no-op.
+    "q_ann_ivfpq_compact" -> ((s, d) => {
+      val srcFile = new java.io.File(s"$d/embeddings.parquet")
+      val base = s"/tmp/graft_fixtures/ivfpq_compact_c16s4x16k4r2" +
+        s"_${srcFile.lastModified}_${srcFile.length}"
+      val both = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, " +
+          "x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT) + 512)").as("v"))
+      val corpus = both.filter(col("vec_id") >= 5)
+      val partA = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val partB = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val queries = both.filter(col("vec_id") < 5)
+      val (dirCpt, dirFresh) = (s"$base/cpt", s"$base/fresh")
+      if (!new java.io.File(s"$base/_DONE").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        graft.operators.ProductQuant.writeIvfpqIndex(partA,
+          "vec_id", "embedding", "v", dirCpt,
+          nCentroids = 16, nSub = 4, subDim = 16, kCode = 4, rounds = 2)
+        val appended = graft.operators.ProductQuant.appendToIvfpqIndex(s,
+          dirCpt, partB, "vec_id", "embedding", "v", nSub = 4, subDim = 16)
+        require(appended.stalenessPm >= 300L,
+          s"fixture assumption broke: staleness ${appended.stalenessPm} pm < 300")
+        val compacted = graft.operators.ProductQuant.compactIvfpqIndex(s,
+          dirCpt, corpus, "vec_id", "embedding", "v",
+          nSub = 4, subDim = 16, kCode = 4, rounds = 2, thresholdPm = 300L)
+        require(compacted.appendedRows == 0L && compacted.epoch == 1L,
+          "compactIvfpqIndex did not trigger above threshold")
+        // fresh-build with the SAME retrained artifacts: clone + encode-all
+        graft.operators.ProductQuant.cloneIvfpqArtifacts(s, dirCpt, dirFresh)
+        graft.operators.ProductQuant.appendToIvfpqIndex(s, dirFresh, corpus,
+          "vec_id", "embedding", "v", nSub = 4, subDim = 16)
+        new java.io.File(s"$base/_DONE").createNewFile()
+        ()
+      }
+      val model = Similarity.readModel(s, dirCpt)
+      // below-threshold path: a second compact is a telemetry no-op
+      val again = graft.operators.ProductQuant.compactIvfpqIndex(s,
+        dirCpt, corpus, "vec_id", "embedding", "v",
+        nSub = 4, subDim = 16, kCode = 4, rounds = 2, thresholdPm = 300L)
+      val noop = again.epoch == model.epoch &&
+        again.baseRows == model.baseRows &&
+        again.appendedRows == model.appendedRows
+      val conserved = s.read
+        .parquet(s"$dirCpt/codes.e${model.epoch}").count() == corpus.count()
+      def serve(dir: String) = graft.operators.ProductQuant.queryIvfpqIndex(
+        s, dir, queries, "vec_id", "embedding", "v",
+        k = 10, nProbe = 8, nSub = 4, subDim = 16, kCode = 4)
+        .localCheckpoint(true)
+      val (sCpt, sFresh) = (serve(dirCpt), serve(dirFresh))
+      sCpt.agg(count(lit(1)).as("n_compact"))
+        .crossJoin(sFresh.agg(count(lit(1)).as("n_fresh")))
+        .crossJoin(sCpt.join(sFresh, Seq("qid", "id", "adist"))
+          .agg(count(lit(1)).as("__n_match")))
+        .select(col("n_compact"), col("n_fresh"),
+          (col("__n_match") === col("n_compact")
+            && col("__n_match") === col("n_fresh")).as("identical"),
+          lit(model.stalenessPm).as("staleness_compact_pm"),
+          lit(conserved).as("rows_conserved"),
+          lit(noop).as("noop_below_threshold"))
+    }),
+
     // Perceptual image dedup (Multimodal.imageAHash): planted copies
     // are ONE-PIXEL corrupted, so the byte-level md5 of q_media_dedup
     // misses every one of them — the exact-integer 64-bit average hash
@@ -1680,7 +1752,7 @@ object LlmOps {
         again.centroids.length == model.centroids.length &&
         again.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) }
       val conserved =
-        s.read.parquet(s"$dir/cells").count() == corpus.count()
+        s.read.parquet(Similarity.cellsDir(dir, model)).count() == corpus.count()
       val queries = emb.filter(col("vec_id") < split)
       val served = Similarity.queryIndex(s, dir, queries,
         "vec_id", "embedding", k = 5, nProbe = 4)
@@ -9615,6 +9687,18 @@ object LlmOps {
            CAST(nb * 1000 // (na + nb) AS BIGINT) AS staleness_app_pm,
            CAST(1000 AS BIGINT) AS staleness_all_pm
          FROM a CROSS JOIN b CROSS JOIN q""",
+
+    // the IVF-PQ compaction certificate: identical serves under the
+    // same retrained artifacts, staleness 0, conservation + no-op
+    "q_ann_ivfpq_compact" ->
+      """WITH q AS (
+           SELECT CAST(count(*) AS BIGINT) AS nq FROM embeddings
+           WHERE vec_id < 5)
+         SELECT nq * 10 AS n_compact, nq * 10 AS n_fresh,
+           true AS identical,
+           CAST(0 AS BIGINT) AS staleness_compact_pm,
+           true AS rows_conserved, true AS noop_below_threshold
+         FROM q""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
