@@ -620,6 +620,55 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // Newman-Girvan modularity witnesses (Newman & Girvan 2004) of the
+    // NATION partition over the undirected co-return supplier graph:
+    // does shared-order co-occurrence concentrate within nations?
+    // Q = Σ_c (e_c/m − (d_c/2m)²) cross-multiplies to the exact
+    // per-community integer contrib_x4m2 = 4·m·e_c − d_c² (Q·4m² is
+    // their sum) — zero doubles, and the partition under audit is a
+    // JOIN (supplier→nation), so the oracle needs no iterative
+    // community replay. Scale shape: one distinct-pair spine pinned
+    // once feeding |m|, degrees, and intra-edge counts; the label map
+    // is dimension-sized broadcast. 64-bit headroom: 4·m·e_c tops out
+    // ~4·10¹⁴ at 10⁷ edges; past ~10⁹ edges route through
+    // DECIMAL(38,0) as QuantileNorm does.
+    "q_modularity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("a"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("b"))
+      val und = ra.join(ab, Seq("l_orderkey")).filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // feeds m, degrees, AND intra counts
+      val m = und.count()
+      val lab = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("id"), col("n_name").as("comm"))
+      val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val dSum = deg.join(broadcast(lab), Seq("id"))
+        .groupBy(col("comm"))
+        .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+      val intra = und
+        .join(broadcast(lab.select(col("id").as("u"), col("comm").as("cu"))),
+          Seq("u"))
+        .join(broadcast(lab.select(col("id").as("v"), col("comm").as("cv"))),
+          Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("comm")).agg(count(lit(1)).as("e_intra"))
+      dSum.join(intra, Seq("comm"), "left")
+        .select(col("comm"), col("n_nodes"), col("d_sum"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"),
+          lit(m).as("m_edges"),
+          (lit(4L) * lit(m) * coalesce(col("e_intra"), lit(0L))
+            - col("d_sum") * col("d_sum")).as("contrib_x4m2"))
+        .orderBy("comm")
+    }),
+
     // Personalized PageRank ([[graft.operators.PageRank
     // .personalizedPageRank]] under the oracle): the same directed
     // supplier graph as q_pagerank, but teleport mass lands only on
@@ -9997,6 +10046,39 @@ object LlmOps {
            CAST(wedges - 3 * t3 AS BIGINT) AS t2,
            t3
          FROM base""",
+
+    // per-community 4·m·e_c − d_c² witnesses over the undirected
+    // distinct-pair spine; the partition is a plain dimension join
+    "q_modularity" ->
+      """WITH und AS (
+           SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+             greatest(a.l_suppkey, b.l_suppkey) AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+            AND a.l_returnflag = 'R' AND b.l_returnflag = 'A'),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+         lab AS (
+           SELECT s_suppkey AS id, n_name AS comm
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         deg AS (
+           SELECT id, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+           GROUP BY 1),
+         ds AS (
+           SELECT comm, CAST(sum(deg) AS BIGINT) AS d_sum,
+             CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg JOIN lab USING (id) GROUP BY 1),
+         ie AS (
+           SELECT lu.comm AS comm, CAST(count(*) AS BIGINT) AS e_intra
+           FROM und JOIN lab lu ON und.u = lu.id
+                    JOIN lab lv ON und.v = lv.id
+           WHERE lu.comm = lv.comm GROUP BY 1)
+         SELECT ds.comm AS comm, n_nodes, d_sum,
+           CAST(coalesce(e_intra, 0) AS BIGINT) AS e_intra, m_edges,
+           CAST(4 * m_edges * coalesce(e_intra, 0) - d_sum * d_sum
+             AS BIGINT) AS contrib_x4m2
+         FROM ds LEFT JOIN ie ON ds.comm = ie.comm
+         CROSS JOIN m ORDER BY comm""",
 
     // The whole 3-round fixed-point iteration replayed: same integer
     // floor-divisions, same DECIMAL/HUGEINT message sums, same teleport

@@ -2904,6 +2904,57 @@ object Relational {
         .orderBy("t")
     }),
 
+    // Restricted mean survival time (Survival.rmst; Royston & Parmar
+    // 2013's KM summary for non-proportional hazards): expected
+    // event-free days in the first 30, as the area under the
+    // MICRO-SCALED FLOORED KM fold s_i = (s_{i-1}·(n_i−d_i)) div n_i —
+    // a deterministic integer sequence where q_survival's float curve
+    // needs the sequential-IEEE replay contract. Every life-table row
+    // carries the running area and the would-be RMST, so the oracle
+    // certifies the whole fold, not just the headline; the last row IS
+    // the RMST. Same calendar-sized single-fold shape as q_survival.
+    "q_rmst" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("t"),
+          (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+            .as("obs"))
+      graft.operators.Survival.rmst(perUser, "t", "obs", horizon = 30L)
+        .orderBy("t")
+    }),
+
+    // Event-study leads-and-lags panel (the diff-in-diff pre-trend
+    // audit, MacKinlay 1997): event = a customer's FIRST urgent order
+    // month; every order of treated customers lands in a relative-month
+    // bucket r ∈ [−3, 3] around it, never-treated customers pool into
+    // the r = 99 control row. Flat lead means (r < 0) certify no
+    // pre-trend; lag means read the post-event path against the
+    // control. Mean order value per bucket as ONE exact micro division
+    // (10⁶·Σcents div n) — the q_gini single-division discipline. One
+    // customer-grain aggregate (the event map) + one fact-side join.
+    "q_event_study" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+      val ev = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(min(col("ym")).as("ev_ym"))
+      o.join(ev, Seq("o_custkey"), "left")
+        .withColumn("r",
+          when(col("ev_ym").isNull, lit(99L))
+            .otherwise(col("ym") - col("ev_ym")))
+        .filter(col("r") === 99L || (col("r") >= -3L && col("r") <= 3L))
+        .groupBy(col("r"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        // 10⁶·Σcents tops 2.5·10¹⁸ already at sf0.1-scale buckets —
+        // through DECIMAL(38,0), mirrored by HUGEINT in the oracle
+        .withColumn("mean_micro", expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_cents)
+             div n_orders AS BIGINT)"""))
+        .orderBy("r")
+    }),
+
     // Pairwise Pearson correlation witnesses (Pearson 1895) between
     // event types' daily count series: for each type pair over their
     // shared days, the classic integer moments — num = n·Σxy − Σx·Σy,
@@ -6388,6 +6439,86 @@ object Relational {
                  y -> 1.0 - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))),
              (acc, x) -> acc * x) AS survival
          FROM idx ORDER BY t""",
+
+    // the floored-KM micro fold replayed by a sequential list_reduce
+    // over a unified 5-field struct (DuckDB's reduce seeds from the
+    // first element, so acc and element share one struct type).
+    // FIELD ORDER IS LOAD-BEARING: DuckDB 1.0's list_reduce updates the
+    // accumulator IN PLACE field by field, so a field expression that
+    // reads an acc slot already written THIS step sees the new value
+    // (measured: area computed after s read the post-step s). Each
+    // field may only read acc slots written LATER in the struct —
+    // area (reads s, pt) first, then s (reads s), then pt.
+    "q_rmst" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS obs
+           FROM events GROUP BY 1),
+         per_t AS (
+           SELECT t,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM per_user GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+           FROM per_t),
+         arr AS (
+           SELECT list(struct_pack(t := t, d := d, c := c, n := n_risk)
+             ORDER BY t) AS a
+           FROM risk),
+         idx AS (
+           SELECT a, unnest(range(1, len(a) + 1)) AS i FROM arr),
+         fold AS (
+           SELECT a, i,
+             list_reduce(
+               list_prepend(
+                 struct_pack(area := CAST(0 AS BIGINT),
+                   s := CAST(1000000 AS BIGINT), pt := CAST(0 AS BIGINT),
+                   d := CAST(0 AS BIGINT), n := CAST(0 AS BIGINT)),
+                 list_transform(a[1:i],
+                   y -> struct_pack(area := CAST(0 AS BIGINT),
+                     s := CAST(0 AS BIGINT), pt := y.t,
+                     d := y.d, n := y.n))),
+               (acc, y) -> struct_pack(
+                 area := acc.area
+                   + acc.s * (least(y.pt, 30) - least(acc.pt, 30)),
+                 s := (acc.s * (y.n - y.d)) // y.n,
+                 pt := y.pt,
+                 d := CAST(0 AS BIGINT), n := CAST(0 AS BIGINT))) AS f
+           FROM idx)
+         SELECT a[i].t AS t, a[i].n AS n_risk, a[i].d AS d, a[i].c AS c,
+           CAST(f.s AS BIGINT) AS s_micro,
+           CAST(f.area AS BIGINT) AS area_micro,
+           CAST(f.area + f.s * (30 - least(f.pt, 30)) AS BIGINT)
+             AS rmst_micro
+         FROM fold ORDER BY t""",
+
+    // leads/lags buckets + pooled never-treated control row; the mean
+    // is one HUGEINT-widened micro division
+    "q_event_study" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS ym
+           FROM orders),
+         ev AS (
+           SELECT o_custkey, CAST(min(ym) AS BIGINT) AS ev_ym FROM o
+           WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         rel AS (
+           SELECT CASE WHEN ev_ym IS NULL THEN 99 ELSE o.ym - ev_ym END AS r,
+             cents
+           FROM o LEFT JOIN ev USING (o_custkey))
+         SELECT r, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST((1000000 * CAST(sum(cents) AS HUGEINT)) // count(*)
+             AS BIGINT) AS mean_micro
+         FROM rel WHERE r = 99 OR (r BETWEEN -3 AND 3)
+         GROUP BY 1 ORDER BY r""",
 
     // additive hazard: per-duration floored per-mille, prefix-summed
     "q_nelson_aalen" ->

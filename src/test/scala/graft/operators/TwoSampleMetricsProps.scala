@@ -81,6 +81,28 @@ object TwoSampleMetricsProps extends Properties("TwoSampleMetrics") {
       Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf(true, false), Gen.oneOf(true, false)))
   } yield rows.map { case (t, o, g) => (t, o, g) }
 
+  property("rmst equals the sequential floored-KM area walk") =
+    Prop.forAll(genSurv, Gen.chooseNum(1L, 12L)) { (rows, horizon) =>
+      import spark.implicits._
+      val df = rows.map { case (t, o, _) => (t, o) }.toDF("t", "obs")
+      val got = Survival.rmst(df, "t", "obs", horizon).collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("s_micro"),
+          r.getAs[Long]("area_micro"), r.getAs[Long]("rmst_micro")))
+        .sortBy(_._1)
+      // plain sequential reference: life table, then the integer fold
+      val times = rows.map(_._1).distinct.sorted
+      var s = 1000000L; var area = 0L; var pt = 0L
+      val want = times.map { t =>
+        val d = rows.count { case (ti, o, _) => ti == t && o }.toLong
+        val n = rows.count { case (ti, _, _) => ti >= t }.toLong
+        area += s * (math.min(t, horizon) - math.min(pt, horizon))
+        s = s * (n - d) / n
+        pt = t
+        (t, s, area, area + s * (horizon - math.min(t, horizon)))
+      }
+      got.toSeq == want
+    }
+
   property("logRank equals the sequential life-table walk") =
     Prop.forAll(genSurv) { rows =>
       import spark.implicits._
