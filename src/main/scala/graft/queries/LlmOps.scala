@@ -728,6 +728,44 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Pivot eccentricities + the double-sweep diameter sandwich
+    // (Magnien, Latapy & Habib 2009): BFS from the 8 lowest-id nodes
+    // of the blocking graph; each pivot's eccentricity LOWER-bounds
+    // the diameter and 2·min(ecc) UPPER-bounds it — the standard
+    // bounded-pivot answer to "how wide is this graph" when an exact
+    // all-pairs sweep is O(V·E) and off the table at scale. ONE
+    // multi-source labeled BFS (shared edge scan, q_harmonic_centrality
+    // shape); `saturated` flags a pivot that hit the hop cap, in which
+    // case its ecc reads "≥ cap" and the upper bound is void — the
+    // honesty bit the fixed cap needs.
+    "q_ecc_pivots" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = ccBlockingPairs(docs.select("doc_id", "lang", "n_chars"))
+      val edges = pairs.union(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .localCheckpoint(true) // seeds AND the BFS share it
+      val seeds = edges.select(col("id_a").as("id")).distinct()
+        .orderBy("id").limit(8)
+      val dist = graft.operators.Graphs.multiSourceBfs(
+        edges, "id_a", "id_b", seeds, "id", maxHops = 6)
+        .localCheckpoint(true) // per-pivot agg + at-ecc census share it
+      val per = dist.filter(col("hop") > 0)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          max(col("hop")).cast("long").as("ecc"))
+      val atEcc = dist.join(per.select(col("seed"), col("ecc")), Seq("seed"))
+        .filter(col("hop") === col("ecc"))
+        .groupBy(col("seed")).agg(count(lit(1)).as("n_at_ecc"))
+      val bounds = per.agg(max(col("ecc")).as("diam_lb"),
+        (min(col("ecc")) * 2).as("diam_ub2x"))
+      per.join(atEcc, Seq("seed"))
+        .crossJoin(broadcast(bounds))
+        .select(col("seed"), col("n_reached"), col("ecc"), col("n_at_ecc"),
+          col("diam_lb"), col("diam_ub2x"),
+          (col("ecc") === 6L).as("saturated"))
+        .orderBy("seed")
+    }),
+
     // Fixed-round k-core peeling ([[graft.operators.Graphs.kcoreRounds]]
     // under the oracle): 3 peeling rounds at k=3 over the same blocking
     // graph (34 -> 28 -> 28 survivors at sf0.01 — genuinely iterative,
@@ -10779,6 +10817,40 @@ object LlmOps {
          SELECT seed AS id, CAST(count(*) AS BIGINT) AS n_reached,
            CAST(sum(2520 // hop) AS BIGINT) AS harm_x2520
          FROM md WHERE hop > 0 GROUP BY seed ORDER BY seed""",
+
+    // the same recursive BFS from the 8 lowest-id graph nodes; ecc,
+    // at-ecc census, and the max/2·min diameter sandwich
+    "q_ecc_pivots" ->
+      """WITH RECURSIVE bedges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id <> b.doc_id),
+         seeds AS (
+           SELECT DISTINCT src AS id FROM bedges ORDER BY id LIMIT 8),
+         bfs(seed, id, hop) AS (
+           SELECT id, id, 0 FROM seeds
+           UNION
+           SELECT b.seed, e.dst, b.hop + 1
+           FROM bfs b JOIN bedges e ON e.src = b.id
+           WHERE b.hop < 6),
+         md AS (SELECT seed, id, min(hop) AS hop FROM bfs GROUP BY 1, 2),
+         per AS (
+           SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(max(hop) AS BIGINT) AS ecc
+           FROM md WHERE hop > 0 GROUP BY seed),
+         ae AS (
+           SELECT md.seed, CAST(count(*) AS BIGINT) AS n_at_ecc
+           FROM md JOIN per ON md.seed = per.seed AND md.hop = per.ecc
+           GROUP BY 1),
+         bounds AS (
+           SELECT CAST(max(ecc) AS BIGINT) AS diam_lb,
+             CAST(min(ecc) * 2 AS BIGINT) AS diam_ub2x
+           FROM per)
+         SELECT per.seed AS seed, n_reached, ecc, n_at_ecc,
+           diam_lb, diam_ub2x, ecc = 6 AS saturated
+         FROM per JOIN ae ON per.seed = ae.seed
+         CROSS JOIN bounds ORDER BY seed""",
 
     "q_kcore" ->
       """WITH pairs AS (

@@ -2601,6 +2601,43 @@ object Relational {
         .orderBy("cand_rank")
     }),
 
+    // Integer matrix profile over the daily count series (the motif/
+    // discord primitive of Yeh et al. 2016's matrix profile, exact-L1
+    // flavor): each position's 3-day window is compared to every
+    // non-overlapping window of the same type (|Δpos| ≥ 3, the
+    // trivial-match exclusion), emitting the nearest-neighbor distance
+    // and its argmin (tie low) — small nn_dist = motif (a repeated
+    // shape), large = discord (the series' oddest stretch). The
+    // comparison set is daily positions, CALENDAR-bounded (~30/type at
+    // any SF), so the all-pairs leg is a fixed few-thousand-pair
+    // broadcast — the q_pairwise_ks bounded-spine argument, stated.
+    // All integers.
+    "q_matrix_profile" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val sub = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("pos", row_number().over(wOrd).cast("long"))
+        .withColumn("s1", lead(col("c"), 1).over(wOrd))
+        .withColumn("s2", lead(col("c"), 2).over(wOrd))
+        .filter(col("s2").isNotNull)
+        .select(col("event_type"), col("pos"), col("c").as("s0"),
+          col("s1"), col("s2"))
+        .localCheckpoint(true) // both sides of the bounded pair join
+      val b = sub.select(col("event_type"), col("pos").as("jpos"),
+        col("s0").as("t0"), col("s1").as("t1"), col("s2").as("t2"))
+      sub.join(broadcast(b), Seq("event_type"))
+        .filter(abs(col("pos") - col("jpos")) >= 3)
+        .withColumn("dist",
+          abs(col("s0") - col("t0")) + abs(col("s1") - col("t1"))
+            + abs(col("s2") - col("t2")))
+        .groupBy(col("event_type"), col("pos"))
+        .agg(min(struct(col("dist"), col("jpos"))).as("w"))
+        .select(col("event_type"), col("pos"),
+          col("w.dist").as("nn_dist"), col("w.jpos").as("nn_pos"))
+        .orderBy("event_type", "pos")
+    }),
+
     // SAX symbolization (TimeSeries.sax): the daily event series as a
     // 4-letter token string — weekly PAA means bucketed against the
     // series' own exact quartiles — the "time series becomes text"
@@ -6117,6 +6154,35 @@ object Relational {
            SELECT *, CAST(row_number() OVER (ORDER BY n_inliers DESC,
              x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
          WHERE cand_rank <= 3 ORDER BY cand_rank""",
+
+    // daily 3-window L1 all-pairs with trivial-match exclusion; the
+    // argmin replays as min-dist-then-min-pos
+    "q_matrix_profile" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         sub0 AS (
+           SELECT event_type,
+             CAST(row_number() OVER w AS BIGINT) AS pos, c AS s0,
+             lead(c, 1) OVER w AS s1, lead(c, 2) OVER w AS s2
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         ss AS (SELECT * FROM sub0 WHERE s2 IS NOT NULL),
+         pr AS (
+           SELECT a.event_type AS event_type, a.pos AS pos, b.pos AS jpos,
+             abs(a.s0 - b.s0) + abs(a.s1 - b.s1) + abs(a.s2 - b.s2) AS dist
+           FROM ss a JOIN ss b
+             ON a.event_type = b.event_type AND abs(a.pos - b.pos) >= 3),
+         mp AS (
+           SELECT event_type, pos, min(dist) AS nn_dist
+           FROM pr GROUP BY 1, 2)
+         SELECT pr.event_type AS event_type, CAST(pr.pos AS BIGINT) AS pos,
+           CAST(mp.nn_dist AS BIGINT) AS nn_dist,
+           CAST(min(pr.jpos) AS BIGINT) AS nn_pos
+         FROM pr JOIN mp ON pr.event_type = mp.event_type
+           AND pr.pos = mp.pos AND pr.dist = mp.nn_dist
+         GROUP BY 1, 2, mp.nn_dist ORDER BY event_type, pos""",
 
     // weekly PAA sums vs quartile cross-multiplication; string_agg in
     // segment order mirrors the struct-sorted fold

@@ -1274,6 +1274,31 @@ object StreamSync {
     valueEventSinkDir(s, d, "kmvdist", kmvDistinctEvents)(
       StreamingSync.kmvDistinctStream(_))
 
+  /** Projection for the streaming Bloom dedup gate: the key slot
+    * carries the event type's portable md5 uniform (the
+    * [[kmvDistinctEvents]] discipline) and `v` packs the deduped
+    * attribute's (user_id's) three 8-bit md5 probe positions as
+    * p₀·2¹⁶ + p₁·2⁸ + p₂ — every slice SQL-re-derivable, so the
+    * oracle replays the filter's exact bit evolution (false positives
+    * included) from the raw table.
+    */
+  private def bloomEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        graft.operators.Sampling.portableUniform(col("event_type"))
+          .as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("""CAST(conv(substring(md5(cast(user_id AS string)), 1, 2),
+                     16, 10) AS BIGINT) * 65536
+                + CAST(conv(substring(md5(cast(user_id AS string)), 3, 2),
+                       16, 10) AS BIGINT) * 256
+                + CAST(conv(substring(md5(cast(user_id AS string)), 5, 2),
+                       16, 10) AS BIGINT)""").as("v"))
+
+  private def bloomSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "bloom", bloomEvents)(
+      StreamingSync.bloomDedupStream(_))
+
   /** Projection for the streaming conversion counter: clicks and
     * purchases of users < 30, `v` encoding the type (1 = click,
     * 2 = purchase) — both SQL-re-derivable.
@@ -2099,6 +2124,20 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    // Streaming Bloom dedup gate (StreamingSync.bloomDedupStream): per
+    // event type, a fixed 256-bit filter accumulates user probes; each
+    // event emits seen-before (tested pre-insert), the filter popcount,
+    // and the insert census. The oracle replays the EXACT bit evolution
+    // — false positives included — from the raw table via first-
+    // occurrence ranks, so the hash certifies the filter's behavior,
+    // not an approximation of it.
+    "q_stream_bloom" -> ((s, d) => {
+      s.read.parquet(bloomSinkDir(s, d))
+        .select(col("event_id"), col("user_id").as("key_hash"),
+          col("seen_before"), col("n_bits_set"), col("n_inserted"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_conversions" -> ((s, d) => {
       s.read.parquet(conversionsSinkDir(s, d))
         .select(col("event_id"), col("user_id"), col("n_clicks_since"))
@@ -2595,6 +2634,44 @@ object StreamSync {
            CAST(CASE WHEN len(s) < 64 THEN len(s)
                 ELSE 270582939648 // greatest(s[64], 1) END AS BIGINT) AS est
          FROM rec ORDER BY event_id""",
+
+    // The streamed Bloom gate must equal the batch bit-evolution
+    // replay: a position is "set before event e" iff its FIRST
+    // occurrence rank (over all probes of the key) precedes e's rank;
+    // seen_before = all three probes set before; popcount = count of
+    // first occurrences at-or-before. False positives replay exactly.
+    "q_stream_bloom" ->
+      """WITH o AS (
+           SELECT event_id,
+             ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS key_hash,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+               AS p0,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 2))::BIGINT
+               AS p1,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 2))::BIGINT
+               AS p2,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+           FROM events),
+         pos AS (
+           SELECT event_id, key_hash, rn, unnest([p0, p1, p2]) AS p
+           FROM o),
+         firsts AS (
+           SELECT key_hash, p, min(rn) AS frn FROM pos GROUP BY 1, 2),
+         sv AS (
+           SELECT pos.event_id, bool_and(f.frn < pos.rn) AS seen_before
+           FROM pos JOIN firsts f
+             ON f.key_hash = pos.key_hash AND f.p = pos.p
+           GROUP BY 1),
+         nb AS (
+           SELECT o.event_id, CAST(count(*) AS BIGINT) AS n_bits_set
+           FROM o JOIN firsts f
+             ON f.key_hash = o.key_hash AND f.frn <= o.rn
+           GROUP BY 1)
+         SELECT o.event_id, o.key_hash, sv.seen_before, nb.n_bits_set,
+           o.rn AS n_inserted
+         FROM o JOIN sv USING (event_id) JOIN nb USING (event_id)
+         ORDER BY o.event_id""",
 
     // The streamed 3-sigma tripwire must equal the batch EXCLUSIVE
     // prefix-moment windows — same cross-multiplied integer verdict

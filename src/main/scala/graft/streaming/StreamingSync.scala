@@ -262,6 +262,75 @@ object StreamingSync {
       }
   }
 
+  final case class BloomState(bits: Array[Long], n: Long)
+  final case class BloomRow(
+      event_id: Long, user_id: Long, seen_before: Boolean,
+      n_bits_set: Long, n_inserted: Long)
+
+  /** Streaming Bloom-filter dedup gate: per key, a FIXED m-bit filter
+    * accumulates the stream's values; each event emits whether its
+    * value was (probably) seen before — membership tested BEFORE its
+    * own insert — plus the filter's popcount and insert census. The
+    * ingest-time "have we seen this item" screen where an exact seen-set
+    * grows with the corpus: state is m/64 longs per key, FOREVER, no
+    * matter how many events arrive — the sketch trade (bounded state,
+    * one-sided error: false "seen" possible, false "new" impossible).
+    *
+    * Determinism contract: the event's 3 probe positions ride IN the
+    * input (`v` packs three 8-bit md5 slices of the deduped attribute,
+    * p₀·2¹⁶ + p₁·2⁸ + p₂ — SQL-re-derivable, the [[kmvDistinctStream]]
+    * input discipline), bit-OR accumulation is order-free ACROSS
+    * batches given the per-key-monotonic batch contract, and the
+    * within-batch fold is (ts_us, event_id)-sorted — so the batch
+    * oracle replays every seen/popcount row from the raw table,
+    * FALSE POSITIVES INCLUDED (the filter's exact behavior is the
+    * contract, not an approximation of it).
+    *
+    * `ttlMs > 0` arms ProcessingTimeTimeout eviction ([[cChartStream]]
+    * pattern): an evicted key forgets its filter and a returning key
+    * starts empty — generational dedup, the [[quantileStream]] tradeoff.
+    */
+  def bloomDedupStream(
+      events: Dataset[ValueEvent],
+      mBits: Int = 256,
+      ttlMs: Long = 0L): Dataset[BloomRow] = {
+    import events.sparkSession.implicits._
+    require(mBits > 0 && mBits % 64 == 0 && mBits <= 65536,
+      s"mBits must be a positive multiple of 64 (<= 65536), got $mBits")
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BloomState, BloomRow](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, gs: GroupState[BloomState]) if gs.hasTimedOut =>
+          gs.remove()
+          Iterator.empty
+        case (key, evs, gs: GroupState[BloomState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val st = gs.getOption.getOrElse(
+            BloomState(new Array[Long](mBits / 64), 0L))
+          val bits = st.bits.clone()
+          var n = st.n
+          var setCount = bits.map(java.lang.Long.bitCount(_).toLong).sum
+          val out = sorted.map { e =>
+            val ps = Seq((e.v >> 16) & 0xffL, (e.v >> 8) & 0xffL, e.v & 0xffL)
+              .map(p => (p % mBits).toInt)
+            val seen = ps.forall(p => (bits(p / 64) & (1L << (p % 64))) != 0L)
+            ps.foreach { p =>
+              if ((bits(p / 64) & (1L << (p % 64))) == 0L) setCount += 1L
+              bits(p / 64) |= (1L << (p % 64))
+            }
+            n += 1L
+            BloomRow(e.event_id, key, seen, setCount, n)
+          }
+          gs.update(BloomState(bits, n))
+          if (ttlMs > 0) gs.setTimeoutDuration(ttlMs)
+          out.iterator
+      }
+  }
+
   final case class TwaState(lastU: Long, lastV: Long, area: Long, span: Long)
   final case class TwaRow(
       event_id: Long, user_id: Long, area: Long, span_t: Long, twa: Double)
