@@ -817,6 +817,59 @@ object TimeSeries {
     * half-summed Q. Degenerate keys (n ≤ maxLag or den = 0) emit
     * NULL in both engines. One ordered window + one aggregate.
     */
+  /** Pairwise dynamic time warping (Sakoe & Chiba 1978; the Berndt &
+    * Clifford 1994 data-mining form) between every pair of keys' series,
+    * with EXACT integer |Δ| step costs — the alignment-tolerant series
+    * distance the lockstep L1 (also emitted, for contrast) cannot give
+    * when one series leads the other. Full O(n·m) DP per pair.
+    *
+    * Scale contract: series must be CALENDAR-BOUNDED (daily/weekly
+    * aggregates — the q_sax/q_matrix_profile spine), because each pair's
+    * series collect into ONE row and the DP is a nested sequential
+    * fold (`aggregate` over rows × `aggregate` over columns building
+    * each DP row) — the documented bounded-single-row-fold exception
+    * ([[Survival.kaplanMeier]] class). |keys|² pairs × n·m integer ops:
+    * at 5 types × 30 days that is 4.5k ops; for LONG series use a
+    * Sakoe-Chiba band upstream (truncate the spine), never this
+    * operator raw. Unreachable DP cells carry the 10¹⁵ sentinel, far
+    * above any real |Δ| path sum yet safely below Long overflow when
+    * added to step costs.
+    */
+  def dtwPairs(
+      daily: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      valCol: String): DataFrame = {
+    val series = daily
+      .groupBy(col(keyCol).as("k"))
+      .agg(sort_array(collect_list(struct(col(ordCol).as("o"),
+        col(valCol).cast("long").as("x")))).as("sv"))
+      .select(col("k"), expr("transform(sv, e -> e.x)").as("xs"))
+      .localCheckpoint(true) // both sides of the bounded pair join
+    val b = series.select(col("k").as("k_b"), col("xs").as("ys"))
+    series.join(broadcast(b), col("k") < col("k_b"))
+      .select(col("k").as("type_a"), col("k_b").as("type_b"),
+        size(col("xs")).cast("long").as("n_a"),
+        size(col("ys")).cast("long").as("n_b"),
+        expr(
+          """element_at(
+               aggregate(xs,
+                 -- row 0: dp[0][0] = 0, dp[0][j>0] = sentinel
+                 concat(array(0L), transform(ys, y -> 1000000000000000L)),
+                 (prev, x) -> aggregate(
+                   sequence(1, size(ys)),
+                   array(1000000000000000L),
+                   (row, j) -> concat(row, array(
+                     abs(x - element_at(ys, j))
+                       + least(element_at(prev, j + 1),
+                               element_at(prev, j),
+                               element_at(row, -1)))))),
+               -1)""").as("dtw_l1"),
+        expr("aggregate(zip_with(xs, ys, (a, b) -> abs(a - b)), 0L, " +
+          "(acc, v) -> acc + coalesce(v, 0L))").as("lockstep_l1"))
+      .orderBy("type_a", "type_b")
+  }
+
   def ljungBox(
       daily: DataFrame,
       keyCols: Seq[String],

@@ -2638,6 +2638,22 @@ object Relational {
         .orderBy("event_type", "pos")
     }),
 
+    // Pairwise dynamic time warping (TimeSeries.dtwPairs; Sakoe-Chiba
+    // 1978 / Berndt-Clifford 1994) between event types' daily series:
+    // the alignment-tolerant distance — a series leading another by a
+    // day still reads similar — next to the lockstep L1 that cannot
+    // forgive shift. Exact integer |Δ| step costs through the full
+    // O(n·m) DP, run as a nested fold over the CALENDAR-bounded
+    // collected series (30 points/type at any SF — the documented
+    // bounded-single-row-fold exception); DuckDB replays the identical
+    // DP via nested list_reduce.
+    "q_dtw" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.dtwPairs(daily, "event_type", "day", "c")
+    }),
+
     // SAX symbolization (TimeSeries.sax): the daily event series as a
     // 4-letter token string — weekly PAA means bucketed against the
     // series' own exact quartiles — the "time series becomes text"
@@ -6154,6 +6170,38 @@ object Relational {
            SELECT *, CAST(row_number() OVER (ORDER BY n_inliers DESC,
              x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
          WHERE cand_rank <= 3 ORDER BY cand_rank""",
+
+    // the identical O(n·m) DP as nested list_reduce: outer fold over
+    // xs rows, inner fold building each DP row; accumulators are plain
+    // lists, so the r17 in-place struct-field hazard cannot bite
+    "q_dtw" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type AS k, list(c ORDER BY day) AS xs
+           FROM daily GROUP BY 1),
+         pr AS (
+           SELECT a.k AS type_a, b.k AS type_b, a.xs AS xs, b.xs AS ys
+           FROM ser a JOIN ser b ON a.k < b.k)
+         SELECT type_a, type_b,
+           CAST(len(xs) AS BIGINT) AS n_a, CAST(len(ys) AS BIGINT) AS n_b,
+           list_reduce(
+             list_prepend(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ys, y -> CAST(1000000000000000 AS BIGINT))),
+               list_transform(xs, x -> [x])),
+             (prev, xl) -> list_reduce(
+               list_prepend([CAST(1000000000000000 AS BIGINT)],
+                 list_transform(range(1, len(ys) + 1), j -> [j])),
+               (row, jl) -> list_append(row,
+                 abs(xl[1] - ys[jl[1]])
+                   + least(prev[jl[1] + 1], prev[jl[1]], row[-1]))))[-1]
+             AS dtw_l1,
+           CAST(list_sum(list_transform(range(1, least(len(xs), len(ys)) + 1),
+             i -> abs(xs[i] - ys[i]))) AS BIGINT) AS lockstep_l1
+         FROM pr ORDER BY type_a, type_b""",
 
     // daily 3-window L1 all-pairs with trivial-match exclusion; the
     // argmin replays as min-dist-then-min-pos

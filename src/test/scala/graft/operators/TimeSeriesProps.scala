@@ -35,6 +35,36 @@ object TimeSeriesProps extends Properties("TimeSeries") {
     series.scanLeft(0L)((c, x) => math.max(0L, c + x - tgt - slack)).tail
   }
 
+  property("dtwPairs equals the quadratic DP reference") =
+    Prop.forAll(
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-20L, 20L))),
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-20L, 20L)))) {
+      (as, bs) =>
+        import spark.implicits._
+        val rows = as.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+          bs.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) }
+        val r = TimeSeries.dtwPairs(rows.toDF("k", "o", "x"), "k", "o", "x")
+          .collect().head
+        def dtw(a: Seq[Long], b: Seq[Long]): Long = {
+          val inf = 1000000000000000L
+          var prev = 0L +: Seq.fill(b.size)(inf)
+          a.foreach { x =>
+            val row = scala.collection.mutable.ArrayBuffer(inf)
+            b.zipWithIndex.foreach { case (y, j) =>
+              row += math.abs(x - y) +
+                math.min(prev(j + 1), math.min(prev(j), row.last))
+            }
+            prev = row.toSeq
+          }
+          prev.last
+        }
+        val lock = as.zip(bs).map { case (x, y) => math.abs(x - y) }.sum
+        r.getAs[Long]("dtw_l1") == dtw(as, bs) &&
+          r.getAs[Long]("lockstep_l1") == lock &&
+          r.getAs[Long]("n_a") == as.size.toLong &&
+          r.getAs[Long]("n_b") == bs.size.toLong
+    }
+
   property("cusumUpper equals the clamped sequential recurrence") =
     Prop.forAll(genRows) { case (rows, slack) =>
       import spark.implicits._
