@@ -1532,6 +1532,104 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Gini decomposition by nation (Bhattacharya & Mahalanobis 1967 /
+    // Dagum 1997's S_total = S_within + S_between identity on pairwise
+    // |Δ| mass): per nation the within-group Gini and its per-mille
+    // share of the TOTAL pairwise spread, plus the '*TOTAL*' row whose
+    // within-share says how much inequality lives inside nations vs
+    // between them. Exact by the VALUE-SPINE identity
+    // Σ_{i<j}|xᵢ−xⱼ| = Σ_v c_v·(v·cntBelow_v − sumBelow_v) — no
+    // fact-scale row_number anywhere: the strictly-below prefixes run
+    // through PrefixSum.runningTotals(Grouped), the de-windowed rank
+    // family, and every product lands in DECIMAL(38,0) (S_total tops
+    // 10²³ at 100× — past BIGINT by design; only the bounded
+    // gini_x1e6 / share_pm renderings emit).
+    "q_gini_decomp" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val cx = spend.join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name").as("g"), col("x"))
+      // per-(nation, value) spine feeds the grouped cum AND the totals
+      val perV = cx.groupBy(col("g"), col("x"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("xc", col("c") * col("x"))
+        .localCheckpoint(true)
+      val pairMass: org.apache.spark.sql.Column =
+        sum((col("c").cast(dec)
+          * (col("x").cast(dec) * (col("cum_c") - col("c"))
+             - (col("cum_xc") - col("xc")))))
+      val sWithin = graft.operators.PrefixSum
+        .runningTotalsGrouped(perV, Seq("g"), "x", Seq("c", "xc"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("n"), sum(col("xc")).as("sum_cents"),
+          pairMass.as("s_pairs"))
+      val perVG = perV.groupBy(col("x"))
+        .agg(sum(col("c")).as("c")).withColumn("xc", col("c") * col("x"))
+      val sTotal = graft.operators.PrefixSum
+        .runningTotals(perVG, "x", Seq("c", "xc"))
+        .agg(sum(col("c")).as("n"), sum(col("xc")).as("sum_cents"),
+          pairMass.as("s_pairs"))
+        .localCheckpoint(true) // the total row AND every share division
+      val natRows = sWithin.crossJoin(broadcast(
+          sTotal.select(col("s_pairs").as("s_tot"))))
+        .select(col("g"), col("n"), col("sum_cents"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_pairs) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n * sum_cents) AS BIGINT)")
+            .as("gini_x1e6"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * s_pairs) div s_tot " +
+            "AS BIGINT)").as("share_of_total_pm"))
+      val totRow = sTotal.crossJoin(broadcast(
+          sWithin.agg(sum(col("s_pairs")).as("s_w"))))
+        .select(lit("*TOTAL*").as("g"), col("n"), col("sum_cents"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_pairs) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n * sum_cents) AS BIGINT)")
+            .as("gini_x1e6"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * s_w) div s_pairs " +
+            "AS BIGINT)").as("share_of_total_pm"))
+      natRows.unionByName(totRow).orderBy("g")
+    }),
+
+    // ABC class MIGRATION matrix (the year-over-year transition census
+    // every assortment review runs on top of q_abc_class): parts
+    // classified independently by 1996 and by 1997 revenue under the
+    // same 80/95 cumulative rule, then the 4×4 (A/B/C plus N = no
+    // revenue that year) transition counts — churn INTO and OUT OF the
+    // head is the signal a static ABC cut hides. Both classifications
+    // run the distributed multi-column prefix sum (no data-sized
+    // single-partition window); the matrix is one full-outer join on
+    // the part spine + a 16-cell aggregate.
+    "q_abc_migration" -> ((s, d) => {
+      def classesFor(yr: Int): DataFrame = {
+        val rev = Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")) === yr)
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("cents"))
+          .localCheckpoint(true) // total + boundary sample + ranked pass
+        val total = rev.agg(sum(col("cents")).as("total"))
+        graft.operators.PrefixSum.runningTotalsOrdered(rev,
+            Seq(("cents", false), ("l_partkey", true)), Seq("cents"))
+          .withColumnRenamed("cum_cents", "cum")
+          .crossJoin(broadcast(total))
+          .select(col("l_partkey"),
+            when(col("cum") * 20 <= col("total") * 16, "A")
+              .when(col("cum") * 20 <= col("total") * 19, "B")
+              .otherwise("C").as(s"abc_$yr"))
+      }
+      classesFor(1996).join(classesFor(1997), Seq("l_partkey"), "full_outer")
+        .select(coalesce(col("abc_1996"), lit("N")).as("abc_from"),
+          coalesce(col("abc_1997"), lit("N")).as("abc_to"))
+        .groupBy(col("abc_from"), col("abc_to"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("abc_from", "abc_to")
+    }),
+
     // Weekly OHLC resample: per event type, the open/high/low/close
     // candle over integer cents — the downsample every metrics or
     // finance pipeline runs before charting. Open/close are exact
@@ -5299,6 +5397,104 @@ object Relational {
            CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
              / CAST(count(*) * sum(x) AS DOUBLE) AS gini
          FROM ranked GROUP BY 1 ORDER BY n_name""",
+
+    // the value-spine pairwise-|Δ| identity, HUGEINT mass, bounded
+    // per-mille renderings; '*TOTAL*' sorts before every nation name
+    "q_gini_decomp" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM orders GROUP BY 1),
+         cx AS (
+           SELECT n.n_name AS g, s.x FROM spend s
+           JOIN customer c ON s.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         pv AS (
+           SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM cx GROUP BY 1, 2),
+         cum AS (
+           SELECT g, x, c, c * x AS xc,
+             CAST(sum(c) OVER w AS BIGINT) AS cum_c,
+             CAST(sum(c * x) OVER w AS BIGINT) AS cum_xc
+           FROM pv WINDOW w AS (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         sw AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sum_cents,
+             sum(CAST(c AS HUGEINT)
+               * (CAST(x AS HUGEINT) * (cum_c - c) - (cum_xc - xc)))
+               AS s_pairs
+           FROM cum GROUP BY 1),
+         pg AS (SELECT x, CAST(sum(c) AS BIGINT) AS c FROM pv GROUP BY 1),
+         cg AS (
+           SELECT x, c, c * x AS xc,
+             CAST(sum(c) OVER w AS BIGINT) AS cum_c,
+             CAST(sum(c * x) OVER w AS BIGINT) AS cum_xc
+           FROM pg WINDOW w AS (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         st AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sum_cents,
+             sum(CAST(c AS HUGEINT)
+               * (CAST(x AS HUGEINT) * (cum_c - c) - (cum_xc - xc)))
+               AS s_pairs
+           FROM cg)
+         SELECT sw.g AS g, sw.n, sw.sum_cents,
+           CAST((1000000 * sw.s_pairs)
+             // (2 * CAST(sw.n AS HUGEINT) * sw.sum_cents) AS BIGINT)
+             AS gini_x1e6,
+           CAST((1000 * sw.s_pairs) // st.s_pairs AS BIGINT)
+             AS share_of_total_pm
+         FROM sw CROSS JOIN st
+         UNION ALL
+         SELECT '*TOTAL*' AS g, st.n, st.sum_cents,
+           CAST((1000000 * st.s_pairs)
+             // (2 * CAST(st.n AS HUGEINT) * st.sum_cents) AS BIGINT)
+             AS gini_x1e6,
+           CAST((1000 * (SELECT sum(s_pairs) FROM sw)) // st.s_pairs
+             AS BIGINT) AS share_of_total_pm
+         FROM st
+         ORDER BY g""",
+
+    // two independent yearly 80/95 cuts; 'N' = absent that year
+    "q_abc_migration" ->
+      """WITH r94 AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+         c94 AS (
+           SELECT l_partkey,
+             CASE WHEN cum * 20 <= total * 16 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_from
+           FROM (SELECT l_partkey,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+                 FROM r94)),
+         r95 AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+         c95 AS (
+           SELECT l_partkey,
+             CASE WHEN cum * 20 <= total * 16 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_to
+           FROM (SELECT l_partkey,
+                   CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(cents) OVER () AS BIGINT) AS total
+                 FROM r95))
+         SELECT coalesce(abc_from, 'N') AS abc_from,
+           coalesce(abc_to, 'N') AS abc_to,
+           CAST(count(*) AS BIGINT) AS n_parts
+         FROM c94 FULL OUTER JOIN c95 USING (l_partkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_ohlc" ->
       """WITH e AS (
