@@ -98,6 +98,40 @@ object Survival {
       .select(col("t"), col("n_risk"), col("d"), col("c"), col("h_pm"))
   }
 
+  /** Greenwood's cumulative variance factor (Greenwood 1926) — the
+    * uncertainty leg of the KM curve: Var(Ŝ(t)) = Ŝ(t)² ·
+    * Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)). The sum is emitted EXACTLY as the
+    * floored ×10⁹ prefix sum gw_x1e9 = Σ (10⁹·dᵢ) div (nᵢ·(nᵢ−dᵢ)) —
+    * the [[nelsonAalen]] rendering discipline applied to the variance
+    * increments (the ×Ŝ² and the √ for a CI belong to the float
+    * presentation layer, not the certified engine output). A terminal
+    * step where everyone at risk events (nᵢ = dᵢ) contributes 0 by
+    * convention — Ŝ is already 0 there and the classical factor is
+    * undefined. Same calendar-sized life-table shape as [[nelsonAalen]].
+    * Overflow: 10⁹·d ≤ ~10¹⁶ at 10⁷ subjects; nᵢ·(nᵢ−dᵢ) ≤ 10¹⁴.
+    */
+  def greenwood(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String): DataFrame = {
+    val perT = df
+      .select(col(durationCol).cast("long").as("t"),
+        col(observedCol).cast("boolean").as("obs"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val wRisk = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .withColumn("gw_x1e9",
+        sum(expr("""CASE WHEN n_risk - d > 0
+                    THEN (1000000000 * d) div (n_risk * (n_risk - d))
+                    ELSE 0 END""")).over(wCum))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("gw_x1e9"))
+  }
+
   /** Restricted mean survival time (RMST — the area under the survival
     * curve up to horizon τ, "expected event-free time in the first τ";
     * the KM summary statistic recommended when hazards are not

@@ -2736,6 +2736,39 @@ object Relational {
         .orderBy("event_type", "pos")
     }),
 
+    // Longest strictly-increasing / longest non-increasing subsequence
+    // of the daily count series: the TREND-PERSISTENCE census — a long
+    // LIS with a short non-increasing complement is a persistent climb
+    // no single q_trending burst flags. The Erdős–Szekeres certificate
+    // rides along: lis·lni ≥ n ALWAYS (Dilworth on the strict-LIS
+    // labels — with ties this only holds for the strict/non-strict
+    // pairing, which is why lni is ≥, not >). Exact O(n²) DP as a fold
+    // over the CALENDAR-bounded collected series (30 points/type at
+    // any SF — the bounded-single-row-fold exception), replayed in
+    // DuckDB by list_reduce over a LIST accumulator (the r17 in-place
+    // struct-field hazard cannot bite a plain-list acc).
+    "q_lis" -> ((s, d) => {
+      val series = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("sv"))
+        .select(col("event_type"), expr("transform(sv, e -> e.c)").as("xs"))
+      def longest(cmp: String): org.apache.spark.sql.Column = expr(
+        s"""aggregate(xs,
+              CAST(array() AS array<struct<v: bigint, l: bigint>>),
+              (acc, x) -> concat(acc, array(named_struct('v', x, 'l',
+                1L + aggregate(acc, 0L,
+                  (m, e) -> if(e.v $cmp x AND e.l > m, e.l, m))))),
+              acc -> aggregate(acc, 0L, (m, e) -> greatest(m, e.l)))""")
+      series.select(col("event_type"),
+          size(col("xs")).cast("long").as("n_days"),
+          longest("<").as("lis_len"), longest(">=").as("lni_len"))
+        .withColumn("erdos_szekeres_ok",
+          col("lis_len") * col("lni_len") >= col("n_days"))
+        .orderBy("event_type")
+    }),
+
     // Pairwise dynamic time warping (TimeSeries.dtwPairs; Sakoe-Chiba
     // 1978 / Berndt-Clifford 1994) between event types' daily series:
     // the alignment-tolerant distance — a series leading another by a
@@ -3052,6 +3085,23 @@ object Relational {
           (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
             .as("obs"))
       graft.operators.Survival.nelsonAalen(perUser, "t", "obs")
+        .orderBy("t")
+    }),
+
+    // Greenwood's cumulative variance factor (Survival.greenwood) on
+    // the q_survival frame: the uncertainty leg of the KM curve —
+    // Var(Ŝ) = Ŝ²·Σ d/(n(n−d)) — with the sum emitted exactly as the
+    // floored ×10⁹ prefix (the q_nelson_aalen discipline applied to
+    // the variance increments; Ŝ² and the square root belong to the
+    // float presentation layer). Terminal all-event steps contribute
+    // 0 by stated convention.
+    "q_greenwood" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(to_date(col("ts"))).as("t"),
+          (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+            .as("obs"))
+      graft.operators.Survival.greenwood(perUser, "t", "obs")
         .orderBy("t")
     }),
 
@@ -6367,6 +6417,46 @@ object Relational {
              x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
          WHERE cand_rank <= 3 ORDER BY cand_rank""",
 
+    // the same O(n²) DP: fold appending (v, lis-ending-here) structs,
+    // seeded by a typed EMPTY list so the first element is processed
+    // by the lambda like every other (a bare first-element seed would
+    // freeze its l at 0)
+    "q_lis" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, list(c ORDER BY day) AS xs
+           FROM daily GROUP BY 1),
+         r AS (
+           SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+             coalesce(list_max(list_transform(
+               list_reduce(
+                 list_prepend([]::STRUCT(v BIGINT, l BIGINT)[],
+                   list_transform(xs,
+                     x -> [struct_pack(v := x, l := CAST(0 AS BIGINT))])),
+                 (acc, y) -> list_append(acc, struct_pack(v := y[1].v,
+                   l := 1 + coalesce(list_max(list_transform(
+                     list_filter(acc, e -> e.v < y[1].v), e -> e.l)),
+                     0)))),
+               e -> e.l)), 0) AS lis_len,
+             coalesce(list_max(list_transform(
+               list_reduce(
+                 list_prepend([]::STRUCT(v BIGINT, l BIGINT)[],
+                   list_transform(xs,
+                     x -> [struct_pack(v := x, l := CAST(0 AS BIGINT))])),
+                 (acc, y) -> list_append(acc, struct_pack(v := y[1].v,
+                   l := 1 + coalesce(list_max(list_transform(
+                     list_filter(acc, e -> e.v >= y[1].v), e -> e.l)),
+                     0)))),
+               e -> e.l)), 0) AS lni_len
+           FROM ser)
+         SELECT event_type, n_days, CAST(lis_len AS BIGINT) AS lis_len,
+           CAST(lni_len AS BIGINT) AS lni_len,
+           lis_len * lni_len >= n_days AS erdos_szekeres_ok
+         FROM r ORDER BY event_type""",
+
     // the identical O(n·m) DP as nested list_reduce: outer fold over
     // xs rows, inner fold building each DP row; accumulators are plain
     // lists, so the r17 in-place struct-field hazard cannot bite
@@ -6749,6 +6839,32 @@ object Relational {
                  y -> 1.0 - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE))),
              (acc, x) -> acc * x) AS survival
          FROM idx ORDER BY t""",
+
+    // per-step floored variance increments, prefix-summed; n = d
+    // terminal steps contribute 0 by the stated convention
+    "q_greenwood" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS BIGINT) AS t,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS obs
+           FROM events GROUP BY 1),
+         per_t AS (
+           SELECT t,
+             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM per_user GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+           FROM per_t)
+         SELECT t, n_risk, d, c,
+           CAST(sum(CASE WHEN n_risk - d > 0
+                    THEN (1000000000 * d) // (n_risk * (n_risk - d))
+                    ELSE 0 END) OVER (ORDER BY t ASC) AS BIGINT)
+             AS gw_x1e9
+         FROM risk ORDER BY t""",
 
     // the floored-KM micro fold replayed by a sequential list_reduce
     // over a unified 5-field struct (DuckDB's reduce seeds from the
