@@ -81,6 +81,25 @@ object TwoSampleMetricsProps extends Properties("TwoSampleMetrics") {
       Gen.zip(Gen.chooseNum(1L, 8L), Gen.oneOf(true, false), Gen.oneOf(true, false)))
   } yield rows.map { case (t, o, g) => (t, o, g) }
 
+  property("greenwood equals the sequential floored-increment walk") =
+    Prop.forAll(genSurv) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (t, o, _) => (t, o) }.toDF("t", "obs")
+      val got = Survival.greenwood(df, "t", "obs").collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+          r.getAs[Long]("d"), r.getAs[Long]("gw_x1e9")))
+        .sortBy(_._1)
+      val times = rows.map(_._1).distinct.sorted
+      var cum = 0L
+      val want = times.map { t =>
+        val d = rows.count { case (ti, o, _) => ti == t && o }.toLong
+        val n = rows.count { case (ti, _, _) => ti >= t }.toLong
+        if (n - d > 0) cum += 1000000000L * d / (n * (n - d))
+        (t, n, d, cum)
+      }
+      got.toSeq == want
+    }
+
   property("rmst equals the sequential floored-KM area walk") =
     Prop.forAll(genSurv, Gen.chooseNum(1L, 12L)) { (rows, horizon) =>
       import spark.implicits._
