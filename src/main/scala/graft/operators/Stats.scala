@@ -1824,6 +1824,122 @@ object Stats {
       .drop("__ab2")
   }
 
+  /** Lepage joint location–scale two-sample test: the sum of the squared
+    * standardized Wilcoxon rank-sum (location) and Ansari–Bradley
+    * (scale) statistics, χ²₂ under the null — the omnibus that fires
+    * when EITHER the center or the spread moved, completing the
+    * two-sample battery (mannwhitney = location only, ansariBradley =
+    * scale only, ks/cvm = shape). One value spine carries both margins.
+    *
+    * Exactness ledger, column by column:
+    *   - `w2` = Σ_A doubled midranks (lo+hi per tie run) — integer
+    *     EXACT; `e_w2` = n1·(N+1) exact; the tie-corrected variance
+    *     var(W2) = n1·n2·((N+1)·N·(N−1) − Σ(m³−m)) / (3·N·(N−1)) floors
+    *     ONCE into `__vw2` (value ~n1·n2·N/3: DECIMAL(38,0) holds it to
+    *     sf100 with 10+ digits of headroom), then
+    *     `z2w_x1e6` = ((w2−e_w2)²·10⁶) div __vw2 floors once more — the
+    *     two-stage rendering keeps every product under ~1e34 where the
+    *     single-division form would cross 1e38 at 100×.
+    *   - the AB side rides the [[ansariBradley]] ×1000 grid: `ab2_x1000`
+    *     / `e_ab2_x1000` are that operator's stated renderings; the
+    *     midrank score-square total Σ_runs S2run²/m floors per run at
+    *     ×1000 (`__t2`), the variance numerator re-scales to the unit
+    *     grid (`__q2` = (N·__t2 − 1000·S2tot²) div 1000, ~8e24 at
+    *     sf100), `__vab2` = (n1·n2·__q2) div (N²·(N−1)), and
+    *     `z2ab_x1e6` = (ab2 dev on the ×1000 grid)² div __vab2 — the
+    *     ×1000² deviation over the unit-grid variance IS the ×10⁶
+    *     standardized square, no further scaling.
+    *   - `lepage_x1e6` = z2w_x1e6 + z2ab_x1e6.
+    * Degenerate keys (one-arm, N<2, or all-tied: variance 0) emit 0 for
+    * the affected component by stated convention — never a divide error.
+    * Shape: one per-(key,value) aggregate, one per-key cumulative
+    * window over the value spine, one final aggregate — the
+    * [[ansariBradley]] cost class exactly.
+    */
+  def lepage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(keys: _*)
+    def ser2(lo: Column, hi: Column): Column =
+      when(hi < lo, lit(0L).cast(dec))
+        .otherwise((lo + hi).cast(dec) * (hi - lo + 1))
+    val spine = perV
+      .withColumn("__m", col("__a") + col("__b"))
+      .withColumn("__hi", sum(col("__m")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__m") + 1)
+      .withColumn("__n", sum(col("__m")).over(wKey))
+      .withColumn("__c", expr("(__n + 1) div 2"))
+      // doubled AB scores summed over this tie run (the ansariBradley
+      // piecewise-peak identity), and their per-run midrank square
+      .withColumn("__s2run",
+        ser2(col("__lo"), least(col("__hi"), col("__c"))) +
+          ser2(col("__n") + 1 - col("__hi"),
+            least(col("__n") - col("__c"), col("__n") + 1 - col("__lo"))))
+      .withColumn("__abrun",
+        (col("__s2run") * col("__a") * 1000
+          - col("__s2run") * col("__a") * 1000 % col("__m").cast(dec))
+          / col("__m").cast(dec))
+      .withColumn("__t2run",
+        (col("__s2run") * col("__s2run") * 1000
+          - col("__s2run") * col("__s2run") * 1000 % col("__m").cast(dec))
+          / col("__m").cast(dec))
+    spine
+      .groupBy(keys: _*)
+      .agg(sum(col("__a")).as("n1"), sum(col("__b")).as("n2"),
+        sum(col("__a").cast(dec) * (col("__lo") + col("__hi"))).as("__w2"),
+        sum(col("__m").cast(dec) * col("__m") * col("__m") - col("__m"))
+          .as("__ties"),
+        sum(col("__abrun").cast(dec)).as("__ab2"),
+        sum(col("__t2run").cast(dec)).as("__t2"),
+        sum(col("__s2run")).as("__s2tot"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("w2", loudLong(col("__w2"), "lepage", "w2"))
+      .withColumn("e_w2", col("n1") * (col("nn") + 1L))
+      .withColumn("__vw2", when(col("nn") < 2, lit(null).cast("long"))
+        .otherwise(expr(
+          """(CAST(n1 AS DECIMAL(38,0)) * n2
+             * ((nn + 1) * CAST(nn AS DECIMAL(38,0)) * (nn - 1) - __ties))
+             div (3 * CAST(nn AS DECIMAL(38,0)) * (nn - 1))""")))
+      .withColumn("z2w_x1e6",
+        when(col("n1") === 0 || col("n2") === 0 || col("nn") < 2 ||
+          col("__vw2").isNull || col("__vw2") <= 0, 0L)
+          .otherwise(expr(
+            """((w2 - e_w2) * CAST((w2 - e_w2) AS DECIMAL(38,0)) * 1000000)
+               div __vw2""")))
+      .withColumn("ab2_x1000", loudLong(col("__ab2"), "lepage", "ab2_x1000"))
+      .withColumn("e_ab2_x1000",
+        when(col("n1") === 0 || col("n2") === 0, 0L)
+          .when(pmod(col("nn"), lit(2L)) === 0,
+            expr("(1000 * n1 * (nn + 2)) div 2"))
+          .otherwise(expr("(1000 * n1 * (nn + 1) * (nn + 1)) div (2 * nn)")))
+      .withColumn("__q2", expr(
+        "(CAST(nn AS DECIMAL(38,0)) * __t2 - 1000 * __s2tot * __s2tot) div 1000"))
+      .withColumn("__vab2", when(col("nn") < 2, lit(null).cast("long"))
+        .otherwise(expr(
+          """(CAST(n1 AS DECIMAL(38,0)) * n2 * __q2)
+             div (CAST(nn AS DECIMAL(38,0)) * nn * (nn - 1))""")))
+      .withColumn("z2ab_x1e6",
+        when(col("n1") === 0 || col("n2") === 0 ||
+          col("__vab2").isNull || col("__vab2") <= 0, 0L)
+          .otherwise(expr(
+            """((ab2_x1000 - e_ab2_x1000)
+               * CAST((ab2_x1000 - e_ab2_x1000) AS DECIMAL(38,0)))
+               div __vab2""")))
+      .withColumn("lepage_x1e6", col("z2w_x1e6") + col("z2ab_x1e6"))
+      .select((keys :+ col("n1") :+ col("n2") :+ col("w2") :+ col("e_w2") :+
+        col("ab2_x1000") :+ col("e_ab2_x1000") :+ col("z2w_x1e6") :+
+        col("z2ab_x1e6") :+ col("lepage_x1e6")): _*)
+  }
+
   /** Pairwise Mann–Whitney census over ALL unordered group pairs — the
     * post-hoc companion to [[kruskalWallis]]: which groups actually
     * differ once the omnibus test fires? Per (key, g1 < g2): the exact

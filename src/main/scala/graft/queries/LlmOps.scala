@@ -5973,6 +5973,30 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Lepage joint location-scale omnibus (Stats.lepage) on the same
+    // cohort frame: the χ²₂ sum of the squared standardized Wilcoxon
+    // (location) and Ansari–Bradley (scale) legs — fires when EITHER
+    // moment moved, the last open seat in the two-sample battery
+    // (mannwhitney/ks/cvm/ansari each isolate one alternative). The W
+    // side is integer-exact end to end (doubled midranks, tie-corrected
+    // variance as one DECIMAL(38,0) expression, two-stage floored
+    // rendering); the AB side rides q_ansari_bradley's stated ×1000
+    // grid. One value spine, one bounded window, one final aggregate.
+    "q_lepage" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.lepage(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
     // Pairwise Mann–Whitney census (Stats.pairwiseMannWhitney): the
     // post-hoc battery after a Kruskal–Wallis omnibus — per nation,
     // every unordered priority pair's exact pair counts, doubled U, and
@@ -13537,6 +13561,89 @@ object LlmOps {
                 ELSE (1000 * n1 * (n1 + n2 + 1) * (n1 + n2 + 1))
                      // (2 * (n1 + n2)) END AS BIGINT) AS e_ab2_x1000
          FROM ag ORDER BY n_name""",
+
+    // W leg integer-exact (doubled midranks, tie-corrected variance,
+    // two-stage floor); AB leg on the ansari ×1000 grid; ×1000² dev
+    // over unit-grid variance IS the ×1e6 standardized square
+    "q_lepage" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, a, b, a + b AS m,
+             CAST(sum(a + b) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+             CAST(sum(a + b) OVER (PARTITION BY n_name) AS BIGINT) AS n
+           FROM pv),
+         sc AS (SELECT *, hi - m + 1 AS lo, (n + 1) // 2 AS c FROM cu),
+         ser AS (
+           SELECT n_name, a, b, m, lo, hi,
+             (CASE WHEN least(hi, c) < lo THEN 0
+                   ELSE CAST(lo + least(hi, c) AS HUGEINT)
+                        * (least(hi, c) - lo + 1) END)
+             + (CASE WHEN least(n - c, n + 1 - lo) < n + 1 - hi THEN 0
+                     ELSE CAST((n + 1 - hi) + least(n - c, n + 1 - lo) AS HUGEINT)
+                          * (least(n - c, n + 1 - lo) - (n + 1 - hi) + 1) END)
+               AS s2run
+           FROM sc),
+         ag AS (
+           SELECT n_name, CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(b) AS BIGINT) AS n2,
+             CAST(sum(a * (lo + hi)) AS BIGINT) AS w2,
+             CAST(sum(CAST(m AS HUGEINT) * m * m - m) AS HUGEINT) AS ties,
+             CAST(sum((s2run * a * 1000) // m) AS BIGINT) AS ab2,
+             CAST(sum((s2run * s2run * 1000) // m) AS HUGEINT) AS t2,
+             CAST(sum(s2run) AS HUGEINT) AS s2tot
+           FROM ser GROUP BY 1),
+         fin AS (
+           SELECT n_name, n1, n2, n1 + n2 AS nn, w2,
+             n1 * (n1 + n2 + 1) AS e_w2, ab2,
+             CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                  WHEN (n1 + n2) % 2 = 0 THEN (1000 * n1 * (n1 + n2 + 2)) // 2
+                  ELSE (1000 * n1 * (n1 + n2 + 1) * (n1 + n2 + 1))
+                       // (2 * (n1 + n2)) END AS BIGINT) AS e_ab2,
+             CASE WHEN n1 + n2 < 2 THEN NULL
+                  ELSE (CAST(n1 AS HUGEINT) * n2
+                    * ((n1 + n2 + 1) * CAST(n1 + n2 AS HUGEINT)
+                       * (n1 + n2 - 1) - ties))
+                    // (3 * CAST(n1 + n2 AS HUGEINT) * (n1 + n2 - 1)) END
+               AS vw2,
+             CASE WHEN n1 + n2 < 2 THEN NULL
+                  ELSE (CAST(n1 AS HUGEINT) * n2
+                    * ((CAST(n1 + n2 AS HUGEINT) * t2
+                        - 1000 * s2tot * s2tot) // 1000))
+                    // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1))
+                  END AS vab2
+           FROM ag)
+         SELECT n_name, n1, n2, w2, e_w2,
+           ab2 AS ab2_x1000, e_ab2 AS e_ab2_x1000,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2
+                     OR vw2 IS NULL OR vw2 <= 0 THEN 0
+                ELSE (CAST(w2 - e_w2 AS HUGEINT) * (w2 - e_w2) * 1000000)
+                     // vw2 END AS BIGINT) AS z2w_x1e6,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0
+                     OR vab2 IS NULL OR vab2 <= 0 THEN 0
+                ELSE (CAST(ab2 - e_ab2 AS HUGEINT) * (ab2 - e_ab2))
+                     // vab2 END AS BIGINT) AS z2ab_x1e6,
+           CAST(CASE WHEN n1 = 0 OR n2 = 0 OR nn < 2
+                     OR vw2 IS NULL OR vw2 <= 0 THEN 0
+                ELSE (CAST(w2 - e_w2 AS HUGEINT) * (w2 - e_w2) * 1000000)
+                     // vw2 END
+              + CASE WHEN n1 = 0 OR n2 = 0
+                     OR vab2 IS NULL OR vab2 <= 0 THEN 0
+                ELSE (CAST(ab2 - e_ab2 AS HUGEINT) * (ab2 - e_ab2))
+                     // vab2 END AS BIGINT) AS lepage_x1e6
+         FROM fin ORDER BY n_name""",
 
     // the densified value spine, per-group cumulative mass, and the
     // pairwise fold replayed — never a row-pair join in either engine

@@ -351,6 +351,167 @@ object Relational {
         .orderBy("brand")
     }),
 
+    // Proportional apportionment of a fixed budget (S=100 slots) to
+    // nations by 1996 order revenue, under the two classic methods side
+    // by side: Hamilton (largest remainder — floor the exact quota,
+    // hand leftover slots to the biggest remainders) and D'Hondt
+    // (highest averages — the k-th slot for nation i exists iff the
+    // quotient v_i/k ranks inside the top S over ALL nations'
+    // quotients). The capacity-allocation primitive behind sampling
+    // budgets, shard counts, and rate limits. No quotient is ever
+    // EVALUATED: D'Hondt rank is counted exactly via cross-multiplied
+    // strict-majorant counts — for opponent j, #{m : v_j/m > v_i/k}
+    //  = (v_j·k − 1) div v_i clamped to [0,S] — plus the nation's own
+    // k−1 higher quotients and a name-ordered exact-tie adjustment
+    // (v_j·k ≡ 0 mod v_i), so the seat census is deterministic on any
+    // engine. Work is S·|nations|² = 62.5k comparisons off a pinned
+    // 25-row frame — constant in SF; the fact-table aggregate runs
+    // once. Hamilton remainder rank is a bounded 25-row window.
+    "q_apportionment" -> ((s, d) => {
+      val seats = 100L
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val v = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1996)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+        .localCheckpoint(true) // 25 rows; total + D'Hondt grid + opponents share it
+      val tot = v.agg(sum(col("v")).as("vt"))
+      val ham = v.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"(CAST($seats AS DECIMAL(38,0)) * v) div vt"))
+        .withColumn("rem", expr(s"(CAST($seats AS DECIMAL(38,0)) * v) % vt"))
+        .withColumn("quota_milli",
+          expr(s"(CAST(${seats * 1000} AS DECIMAL(38,0)) * v) div vt"))
+      val wRem = Window.orderBy(col("rem").desc, col("n_name")) // 25 rows: bounded
+      val wTot = Window.partitionBy(lit(1))
+      val hamSeats = ham
+        .withColumn("rnk", row_number().over(wRem))
+        .withColumn("leftover", lit(seats) - sum(col("base")).over(wTot))
+        .withColumn("ham_seats",
+          col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("n_name"), col("v"), col("quota_milli"), col("ham_seats"))
+      val opp = v.select(col("n_name").as("o_name"), col("v").as("o_v"))
+      val dhondt = v
+        .withColumn("k", explode(sequence(lit(1L), lit(seats))))
+        .crossJoin(broadcast(opp))
+        .withColumn("contrib", when(col("o_name") === col("n_name"), 0L)
+          .otherwise(
+            least(lit(seats), greatest(lit(0L),
+              expr("(o_v * k - 1) div v"))) +
+            when(expr("(o_v * k) % v") === 0L &&
+                 expr("(o_v * k) div v").between(1L, seats) &&
+                 col("o_name") < col("n_name"), 1L).otherwise(0L)))
+        .groupBy(col("n_name"), col("k"))
+        .agg(sum(col("contrib")).as("others"))
+        .withColumn("rk", col("k") - 1L + col("others"))
+        .groupBy(col("n_name"))
+        .agg(sum(when(col("rk") < seats, 1L).otherwise(0L)).as("dhondt_seats"))
+      hamSeats.join(dhondt, Seq("n_name"))
+        .select(col("n_name"), col("v"), col("quota_milli"),
+          col("ham_seats"), col("dhondt_seats"))
+        .orderBy("n_name")
+    }),
+
+    // Shift-share decomposition of 1996→1997 revenue growth per
+    // (nation × part-type industry): how much of each cell's change is
+    // the NATIONAL tide (grand growth rate applied to the base), the
+    // INDUSTRY MIX (industry growth over grand), and the residual
+    // REGIONAL COMPETITIVENESS — the regional-economics standard for
+    // "did this market outgrow its industry or just ride it". Each
+    // component is rendered as a TELESCOPING floored term —
+    //   nat  = (r0·T1) div T0 − r0
+    //   mix  = (r0·I1) div I0 − (r0·T1) div T0
+    //   comp =  r1            − (r0·I1) div I0
+    // — so nat+mix+comp ≡ r1−r0 EXACTLY (the two inner renderings
+    // cancel in adjacent terms; no drifting residual to adjudicate).
+    // Products r0·T1 stay ≤ ~1e27 at 100× — DECIMAL(38,0) with 10
+    // digits of headroom. One star join builds the cells; industry and
+    // grand totals fold off the 150-row cell frame, never the fact
+    // table twice.
+    "q_shift_share" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val cells = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"),
+            split(col("p_type"), " ").getItem(0).as("ind"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("ind"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1996,
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .otherwise(0L)).as("r0"),
+          sum(when(year(col("l_shipdate")) === 1997,
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .otherwise(0L)).as("r1"))
+        .localCheckpoint(true) // |nations|×|industries| = 150 rows; 3 legs share it
+      val indTot = cells.groupBy(col("ind"))
+        .agg(sum(col("r0")).as("i0"), sum(col("r1")).as("i1"))
+      val grand = cells.agg(sum(col("r0")).as("t0"), sum(col("r1")).as("t1"))
+      cells
+        .join(broadcast(indTot), Seq("ind"))
+        .crossJoin(broadcast(grand))
+        .filter(col("i0") > 0 && col("t0") > 0)
+        .withColumn("__rt", expr(
+          "(CAST(r0 AS DECIMAL(38,0)) * t1) div t0"))
+        .withColumn("__ri", expr(
+          "(CAST(r0 AS DECIMAL(38,0)) * i1) div i0"))
+        .select(col("n_name"), col("ind"), col("r0"), col("r1"),
+          (col("__rt") - col("r0")).cast("long").as("nat_eff"),
+          (col("__ri") - col("__rt")).cast("long").as("mix_eff"),
+          (col("r1") - col("__ri")).cast("long").as("comp_eff"))
+        .orderBy("n_name", "ind")
+    }),
+
+    // Balassa revealed comparative advantage per (nation × part-type
+    // industry) over 1997 shipments: RCA = (x_ni/X_n)/(x_i/X) — is this
+    // nation's export basket OVERWEIGHT this industry relative to the
+    // world mix? Emitted per-mille via ONE cross-multiplied floored
+    // division (1000·x_ni·X) div (X_n·x_i) — numerator ≤ ~1e34 at
+    // 100×, inside DECIMAL(38,0) — with the ≥1000 specialization flag.
+    // Same 150-row pinned cell frame shape as q_shift_share: nation
+    // and industry margins fold off the cells, the fact table
+    // aggregates once.
+    "q_rca" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val cells = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"),
+            split(col("p_type"), " ").getItem(0).as("ind"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("ind"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .localCheckpoint(true) // 150 rows; nation/industry/grand margins share it
+      val natTot = cells.groupBy(col("n_name")).agg(sum(col("x")).as("xn"))
+      val indTot = cells.groupBy(col("ind")).agg(sum(col("x")).as("xi"))
+      val grand = cells.agg(sum(col("x")).as("xt"))
+      cells
+        .join(broadcast(natTot), Seq("n_name"))
+        .join(broadcast(indTot), Seq("ind"))
+        .crossJoin(broadcast(grand))
+        .filter(col("xn") > 0 && col("xi") > 0)
+        .withColumn("rca_pm", expr(
+          "((CAST(1000 AS DECIMAL(38,0)) * x) * xt) div (CAST(xn AS DECIMAL(38,0)) * xi)")
+          .cast("long"))
+        .select(col("n_name"), col("ind"), col("x"), col("rca_pm"),
+          (col("rca_pm") >= 1000L).as("specialized"))
+        .orderBy("n_name", "ind")
+    }),
+
     // Returned-revenue ranking (TPC-H Q10): customers ranked by revenue
     // lost to returns, top 20. The limit plans as TakeOrderedAndProject
     // (per-partition heaps, driver merge — no global sort), and the
@@ -7835,6 +7996,119 @@ object Relational {
              * CAST((CAST(1000000000 AS HUGEINT) * cur_value) // pd
                AS BIGINT) AS fisher2_x1e6
          FROM ag WHERE pd > 0 ORDER BY brand""",
+
+    // D'Hondt rank via exact cross-multiplied majorant counts (own k−1
+    // quotients + clamped strict counts + name-ordered tie adjust);
+    // Hamilton via floored quota + largest-remainder window
+    "q_apportionment" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         v AS (
+           SELECT n_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE year(o_orderdate) = 1996 GROUP BY 1),
+         tot AS (SELECT CAST(sum(v) AS BIGINT) AS vt FROM v),
+         ham AS (
+           SELECT n_name, v,
+             CAST((CAST(100 AS HUGEINT) * v) // vt AS BIGINT) AS base,
+             CAST((CAST(100 AS HUGEINT) * v) % vt AS HUGEINT) AS rem,
+             CAST((CAST(100000 AS HUGEINT) * v) // vt AS BIGINT)
+               AS quota_milli
+           FROM v CROSS JOIN tot),
+         hs AS (
+           SELECT n_name, v, quota_milli,
+             base + CASE WHEN row_number()
+                 OVER (ORDER BY rem DESC, n_name)
+               <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS ham_seats
+           FROM ham),
+         d AS (SELECT n_name, v, k FROM v
+               CROSS JOIN generate_series(1, 100) t(k)),
+         rk AS (
+           SELECT d.n_name, d.k, d.k - 1 +
+             CAST(sum(CASE WHEN o.n_name = d.n_name THEN 0 ELSE
+               least(100, greatest(0, (o.v * d.k - 1) // d.v))
+               + CASE WHEN (o.v * d.k) % d.v = 0
+                      AND (o.v * d.k) // d.v BETWEEN 1 AND 100
+                      AND o.n_name < d.n_name THEN 1 ELSE 0 END END)
+               AS BIGINT) AS rk
+           FROM d CROSS JOIN v o GROUP BY d.n_name, d.k),
+         dh AS (
+           SELECT n_name, CAST(sum(CASE WHEN rk < 100 THEN 1 ELSE 0 END)
+             AS BIGINT) AS dhondt_seats
+           FROM rk GROUP BY 1)
+         SELECT hs.n_name, v, quota_milli,
+           CAST(ham_seats AS BIGINT) AS ham_seats, dhondt_seats
+         FROM hs JOIN dh ON hs.n_name = dh.n_name ORDER BY hs.n_name""",
+
+    // telescoping floored terms: nat+mix+comp ≡ r1−r0 exactly
+    "q_shift_share" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         cells AS (
+           SELECT n_name, split_part(p_type, ' ', 1) AS ind,
+             CAST(sum(CASE WHEN year(l_shipdate) = 1996
+               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN year(l_shipdate) = 1997
+               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS r1
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nat ON o_custkey = c_custkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) IN (1996, 1997)
+           GROUP BY 1, 2),
+         it AS (
+           SELECT ind, CAST(sum(r0) AS BIGINT) AS i0,
+             CAST(sum(r1) AS BIGINT) AS i1 FROM cells GROUP BY 1),
+         g AS (
+           SELECT CAST(sum(r0) AS BIGINT) AS t0,
+             CAST(sum(r1) AS BIGINT) AS t1 FROM cells),
+         terms AS (
+           SELECT n_name, cells.ind, r0, r1,
+             (CAST(r0 AS HUGEINT) * t1) // t0 AS rt,
+             (CAST(r0 AS HUGEINT) * i1) // i0 AS ri
+           FROM cells JOIN it ON cells.ind = it.ind CROSS JOIN g
+           WHERE i0 > 0 AND t0 > 0)
+         SELECT n_name, ind, r0, r1,
+           CAST(rt - r0 AS BIGINT) AS nat_eff,
+           CAST(ri - rt AS BIGINT) AS mix_eff,
+           CAST(r1 - ri AS BIGINT) AS comp_eff
+         FROM terms ORDER BY n_name, ind""",
+
+    // one cross-multiplied floored division; margins fold off the cells
+    "q_rca" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         cells AS (
+           SELECT n_name, split_part(p_type, ' ', 1) AS ind,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS x
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nat ON o_custkey = c_custkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) = 1997
+           GROUP BY 1, 2),
+         nt AS (SELECT n_name, CAST(sum(x) AS BIGINT) AS xn
+                FROM cells GROUP BY 1),
+         it AS (SELECT ind, CAST(sum(x) AS BIGINT) AS xi
+                FROM cells GROUP BY 1),
+         g AS (SELECT CAST(sum(x) AS BIGINT) AS xt FROM cells)
+         SELECT cells.n_name, cells.ind, x,
+           CAST(((CAST(1000 AS HUGEINT) * x) * xt)
+             // (CAST(xn AS HUGEINT) * xi) AS BIGINT) AS rca_pm,
+           ((CAST(1000 AS HUGEINT) * x) * xt)
+             // (CAST(xn AS HUGEINT) * xi) >= 1000 AS specialized
+         FROM cells
+         JOIN nt ON cells.n_name = nt.n_name
+         JOIN it ON cells.ind = it.ind CROSS JOIN g
+         WHERE xn > 0 AND xi > 0
+         ORDER BY cells.n_name, cells.ind""",
 
     "q_top_returns" ->
       """SELECT c_custkey, c_name, n_name,

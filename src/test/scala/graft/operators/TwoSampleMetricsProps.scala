@@ -75,6 +75,57 @@ object TwoSampleMetricsProps extends Properties("TwoSampleMetrics") {
       }
     }
 
+  property("lepage equals the positional brute force") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+        val r = Stats.lepage(df, Seq("k"), "in_a", "v").collect().head
+        val n1 = BigInt(as.size); val n2 = BigInt(bs.size); val nn = n1 + n2
+        val all = rows.map(_._2)
+        // W leg: doubled midranks per observation
+        def r2(v: Long): BigInt =
+          BigInt(2 * all.count(_ < v) + all.count(_ == v) + 1)
+        val w2 = as.map(r2).sum
+        val eW2 = n1 * (nn + 1)
+        val ties = all.distinct.map { v =>
+          val m = BigInt(all.count(_ == v)); m * m * m - m
+        }.sum
+        val vw2 = n1 * n2 * ((nn + 1) * nn * (nn - 1) - ties) /
+          (3 * nn * (nn - 1))
+        val z2w = if (vw2 > 0) (w2 - eW2) * (w2 - eW2) * 1000000 / vw2
+          else BigInt(0)
+        // AB leg: per tie run, doubled scores 2*min(i, N+1-i) summed by
+        // position, per-run ×1000 floors for statistic and score square
+        val runs = all.distinct.sorted.map { v =>
+          val m = all.count(_ == v)
+          val lo = all.count(_ < v) + 1; val hi = lo + m - 1
+          val s2run = (lo to hi)
+            .map(i => BigInt(2) * (BigInt(i) min (nn + 1 - i))).sum
+          (BigInt(as.count(_ == v)), BigInt(m), s2run)
+        }
+        val ab2 = runs.map { case (a, m, s2) => 1000 * s2 * a / m }.sum
+        val t2 = runs.map { case (_, m, s2) => 1000 * s2 * s2 / m }.sum
+        val s2tot = runs.map(_._3).sum
+        val eAb2 =
+          if (nn % 2 == 0) 1000 * n1 * (nn + 2) / 2
+          else 1000 * n1 * (nn + 1) * (nn + 1) / (2 * nn)
+        val q2 = (nn * t2 - 1000 * s2tot * s2tot) / 1000
+        val vab2 = n1 * n2 * q2 / (nn * nn * (nn - 1))
+        val z2ab = if (vab2 > 0) (ab2 - eAb2) * (ab2 - eAb2) / vab2
+          else BigInt(0)
+        (r.getAs[Long]("w2") == w2.toLong) &&
+          (r.getAs[Long]("e_w2") == eW2.toLong) &&
+          (r.getAs[Long]("ab2_x1000") == ab2.toLong) &&
+          (r.getAs[Long]("e_ab2_x1000") == eAb2.toLong) &&
+          (r.getAs[Long]("z2w_x1e6") == z2w.toLong) &&
+          (r.getAs[Long]("z2ab_x1e6") == z2ab.toLong) &&
+          (r.getAs[Long]("lepage_x1e6") == (z2w + z2ab).toLong)
+      }
+    }
+
   private val genSurv: Gen[Seq[(Long, Boolean, Boolean)]] = for {
     n <- Gen.chooseNum(2, 30)
     rows <- Gen.listOfN(n,
