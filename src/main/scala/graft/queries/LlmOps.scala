@@ -4147,6 +4147,104 @@ object LlmOps {
         .orderBy("split")
     }),
 
+    // Design-based survey estimation over a stratified hash sample:
+    // orders are Bernoulli-sampled per priority stratum at KNOWN,
+    // deliberately unequal inclusion probabilities (URGENT 1/2, HIGH
+    // 1/4, rest 1/8 — exact dyadic cuts on the portable md5 uniform,
+    // so the "sample" is replayable on any engine), the expensive
+    // measurement y (line-level revenue, a lineitem join) is taken
+    // ONLY conceptually inside the sample, and two classical
+    // estimators of the population total are emitted per stratum with
+    // their realized signed errors against the in-frame truth:
+    // Horvitz–Thompson ht_y = (Σ_s y · 2³²) div cut (pure expansion),
+    // and the ratio estimator ratio_y = (X_pop · Σ_s y) div Σ_s x
+    // exploiting the free population auxiliary x = order header total
+    // (audit-sampling's workhorse — calibrates out the sampling noise
+    // shared by y and x). The estimator-error certificate a 100 TB
+    // pipeline runs before trusting ANY sampled metric: one fact join,
+    // one stratum aggregate, every division a single floored
+    // cross-multiplication in DECIMAL(38,0).
+    "q_ht_estimate" -> ((s, d) => {
+      val cut = when(col("o_orderpriority") === "1-URGENT",
+          lit(2147483648L))
+        .when(col("o_orderpriority") === "2-HIGH", lit(1073741824L))
+        .otherwise(lit(536870912L))
+      val y = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("y"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"),
+          (Sampling.portableUniform(col("o_orderkey")) < cut).as("in_s"),
+          cut.as("cut"))
+        .join(y, col("o_orderkey") === col("l_orderkey"), "left")
+        .na.fill(0L, Seq("y"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(when(col("in_s"), 1L).otherwise(0L)).as("n_samp"),
+          max(col("cut")).as("__cut"),
+          sum(col("x")).as("__x_pop"),
+          sum(when(col("in_s"), col("x")).otherwise(0L)).as("__x_samp"),
+          sum(when(col("in_s"), col("y")).otherwise(0L)).as("__y_samp"),
+          sum(col("y")).as("true_y"))
+        .withColumn("ht_y", expr(
+          "(CAST(__y_samp AS DECIMAL(38,0)) * 4294967296) div __cut"))
+        .withColumn("ratio_y", when(col("__x_samp") === 0, 0L)
+          .otherwise(expr(
+            "(CAST(__x_pop AS DECIMAL(38,0)) * __y_samp) div __x_samp")))
+        .withColumn("ht_err_pm", when(col("true_y") === 0, 0L)
+          .otherwise(expr(
+            "((ht_y - true_y) * CAST(1000000 AS DECIMAL(38,0))) div true_y")))
+        .withColumn("ratio_err_pm", when(col("true_y") === 0, 0L)
+          .otherwise(expr(
+            "((ratio_y - true_y) * CAST(1000000 AS DECIMAL(38,0))) div true_y")))
+        .select(col("prio"), col("n_pop"), col("n_samp"), col("ht_y"),
+          col("ratio_y"), col("true_y"), col("ht_err_pm"),
+          col("ratio_err_pm"))
+        .orderBy("prio")
+    }),
+
+    // One-sample Kolmogorov–Smirnov uniformity certificate of the
+    // portable md5 sampler itself: per priority stratum, the exact sup
+    // gap between the empirical CDF of u = portableUniform(o_orderkey)
+    // and the uniform law on [0, 2³²) — the audit that must pass
+    // before ANY q_ht_estimate-style inference is trusted (a biased
+    // hash poisons every downstream π). Both one-sided gaps
+    // cross-multiplied to integers on the value spine (D⁺ at the step
+    // top i·R − u·n, D⁻ at the step bottom u·n − (i−1)·R), the final
+    // d_x1e6 one floored division, and kn2_x1000 = 1000·n·D² — the
+    // scale-free Kolmogorov λ² whose numerator stays under 7e34 at
+    // sf100 — alongside. Goodness-of-fit leg of the KS family
+    // (q_ks_test is the two-sample one); per-stratum windows over the
+    // spine, never a global sort.
+    "q_ks_uniform" -> ((s, d) => {
+      val wCum = Window.partitionBy(col("prio")).orderBy(col("u").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wKey = Window.partitionBy(col("prio"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          Sampling.portableUniform(col("o_orderkey")).as("u"))
+        .groupBy(col("prio"), col("u"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("i", sum(col("m")).over(wCum))
+        .withColumn("n", sum(col("m")).over(wKey))
+        .withColumn("up", expr(
+          "CAST(i AS DECIMAL(38,0)) * 4294967296 - CAST(u AS DECIMAL(38,0)) * n"))
+        .withColumn("dn", expr(
+          "CAST(u AS DECIMAL(38,0)) * n - (CAST(i AS DECIMAL(38,0)) - m) * 4294967296"))
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n"), greatest(max(col("up")), lit(0L).cast(DecimalType(38, 0))).as("__dp"),
+          greatest(max(col("dn")), lit(0L).cast(DecimalType(38, 0))).as("__dm"))
+        .withColumn("__dnum", greatest(col("__dp"), col("__dm")))
+        .withColumn("d_x1e6", expr(
+          "(__dnum * 1000000) div (CAST(n AS DECIMAL(38,0)) * 4294967296)"))
+        .withColumn("kn2_x1000", expr(
+          """(__dnum * __dnum * 1000) div
+             (CAST(n AS DECIMAL(38,0)) * 4294967296 * 4294967296)"""))
+        .select(col("prio"), col("n"), col("d_x1e6"), col("kn2_x1000"))
+        .orderBy("prio")
+    }),
+
     // Priority sampling ([[graft.operators.Sampling.priorityK]] under
     // the oracle): top-50 docs by priority w/u with w = n_chars and u
     // the portable md5 uniform — the weight-proportional sample
@@ -9611,6 +9709,86 @@ object LlmOps {
            FROM t)
          SELECT split, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
          FROM s GROUP BY split ORDER BY split""",
+
+    // dyadic per-stratum cuts on the replayed md5 uniform; HT expansion
+    // and ratio calibration each one floored cross-multiplication
+    "q_ht_estimate" ->
+      """WITH y AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+           FROM lineitem GROUP BY 1),
+         o AS (
+           SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             coalesce(y, 0) AS y,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 2147483648
+                  WHEN o_orderpriority = '2-HIGH' THEN 1073741824
+                  ELSE 536870912 END AS cut,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               < CASE WHEN o_orderpriority = '1-URGENT' THEN 2147483648
+                      WHEN o_orderpriority = '2-HIGH' THEN 1073741824
+                      ELSE 536870912 END AS in_s
+           FROM orders LEFT JOIN y ON o_orderkey = l_orderkey),
+         ag AS (
+           SELECT prio, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_samp,
+             max(cut) AS cut,
+             CAST(sum(x) AS BIGINT) AS x_pop,
+             CAST(sum(CASE WHEN in_s THEN x ELSE 0 END) AS BIGINT) AS x_samp,
+             CAST(sum(CASE WHEN in_s THEN y ELSE 0 END) AS BIGINT) AS y_samp,
+             CAST(sum(y) AS BIGINT) AS true_y
+           FROM o GROUP BY 1),
+         est AS (
+           SELECT prio, n_pop, n_samp,
+             CAST((CAST(y_samp AS HUGEINT) * 4294967296) // cut AS BIGINT)
+               AS ht_y,
+             CAST(CASE WHEN x_samp = 0 THEN 0
+               ELSE (CAST(x_pop AS HUGEINT) * y_samp) // x_samp END
+               AS BIGINT) AS ratio_y,
+             true_y
+           FROM ag)
+         SELECT prio, n_pop, n_samp, ht_y, ratio_y, true_y,
+           CAST(CASE WHEN true_y = 0 THEN 0
+             ELSE (CAST(ht_y - true_y AS HUGEINT) * 1000000) // true_y END
+             AS BIGINT) AS ht_err_pm,
+           CAST(CASE WHEN true_y = 0 THEN 0
+             ELSE (CAST(ratio_y - true_y AS HUGEINT) * 1000000) // true_y END
+             AS BIGINT) AS ratio_err_pm
+         FROM est ORDER BY prio""",
+
+    // both one-sided sup gaps cross-multiplied on the value spine; one
+    // floored division each for D and the scale-free 1000*n*D^2
+    "q_ks_uniform" ->
+      """WITH t AS (
+           SELECT o_orderpriority AS prio,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               AS u
+           FROM orders),
+         pv AS (
+           SELECT prio, u, CAST(count(*) AS BIGINT) AS m
+           FROM t GROUP BY 1, 2),
+         cu AS (
+           SELECT prio, u, m,
+             CAST(sum(m) OVER (PARTITION BY prio ORDER BY u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS i,
+             CAST(sum(m) OVER (PARTITION BY prio) AS BIGINT) AS n
+           FROM pv),
+         g AS (
+           SELECT prio, max(n) AS n,
+             greatest(max(CAST(i AS HUGEINT) * 4294967296
+               - CAST(u AS HUGEINT) * n), 0) AS dp,
+             greatest(max(CAST(u AS HUGEINT) * n
+               - CAST(i - m AS HUGEINT) * 4294967296), 0) AS dm
+           FROM cu GROUP BY 1)
+         SELECT prio, n,
+           CAST((greatest(dp, dm) * 1000000)
+             // (CAST(n AS HUGEINT) * 4294967296) AS BIGINT) AS d_x1e6,
+           CAST((greatest(dp, dm) * greatest(dp, dm) * 1000)
+             // (CAST(n AS HUGEINT) * 4294967296 * 4294967296) AS BIGINT)
+             AS kn2_x1000
+         FROM g ORDER BY prio""",
 
     // Priority order, cumulative sums, and the cutoff all replayed from
     // the same md5 uniform; emitting every kept row makes a single
