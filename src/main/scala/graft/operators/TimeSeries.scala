@@ -190,6 +190,60 @@ object TimeSeries {
         (col("__fold.l") + col("__fold.b")).as("forecast_next"): _*)
   }
 
+  /** Croston's method (Croston 1972) for INTERMITTENT demand — the
+    * forecaster the smooth-series trio ([[ewmaDyadic]], [[holtLinear]],
+    * [[holtWinters]]) mishandles: when most periods are zero, smoothing
+    * the raw series drags the level toward 0 and forecasts nothing.
+    * Croston smooths two series that update ONLY on demand events —
+    * the demand SIZE z and the inter-demand INTERVAL p — and forecasts
+    * z/p per period. Pure integer arithmetic with α = 1/2 (truncated
+    * halving, identical in Spark `div`, DuckDB `//`, JVM `/`):
+    *   first demand (q₁ at day d₁): z = q₁, p = 1, prev = d₁
+    *   each later demand (q at day d): z ← (q + z) div 2,
+    *     p ← ((d − prev) + p) div 2, prev ← d
+    * (the p = 1 cold start is the stated deterministic convention —
+    * classic seeding uses the first interval, an equally arbitrary
+    * constant that needs two events before any forecast exists).
+    * The per-period rate emits as ONE floored cross-multiplication
+    * rate_x1000 = (1000·z) div p — never an IEEE division.
+    *
+    * `df` must already be the DEMAND-EVENT frame (zero periods absent —
+    * that sparsity is the method's input contract); `orderCol` is an
+    * epoch-day (or any integer time) unique within key. Result:
+    * `(keyCols*, n_demand, level_q, interval_p, rate_x1000)`.
+    *
+    * Scale shape: ONE shuffle to demand-event-count per-key series
+    * (sparse by definition — at TPC-H shapes, tail-order days per
+    * priority: hundreds over seven YEARS), the recurrence folds inside
+    * one codegen `aggregate` with a three-long struct state.
+    */
+  def croston(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(
+        struct(col(orderCol).cast("long").as("o"),
+          col(valueCol).cast("long").as("v"))))
+        .as("__series"))
+      .withColumn("__fold", expr(
+        """aggregate(
+             slice(__series, 2, size(__series) - 1),
+             named_struct(
+               'z', element_at(__series, 1).v,
+               'p', CAST(1 AS BIGINT),
+               'prev', element_at(__series, 1).o),
+             (acc, s) -> named_struct(
+               'z', (s.v + acc.z) div 2,
+               'p', ((s.o - acc.prev) + acc.p) div 2,
+               'prev', s.o))"""))
+      .select(keys :+ size(col("__series")).cast("long").as("n_demand") :+
+        col("__fold.z").as("level_q") :+ col("__fold.p").as("interval_p") :+
+        expr("(1000 * __fold.z) div __fold.p").as("rate_x1000"): _*)
+  }
+
   /** Holt-Winters additive seasonal smoothing (Winters 1960) in PURE
     * INTEGER arithmetic with α = β = γ = 1/2 and period `m`: per key
     * over the ordered integer series, with step ordinal t (1-based)

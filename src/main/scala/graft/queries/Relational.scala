@@ -1930,6 +1930,80 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Croston intermittent-demand forecast ([[graft.operators
+    // .TimeSeries.croston]] under the oracle): per priority, the
+    // demand-size and inter-demand-interval levels over the SPARSE
+    // series of days carrying a >$400k order — most days have none,
+    // exactly the regime where EWMA/Holt forecast zero. Two truncated-
+    // halving recurrences walking demand events only, the per-day rate
+    // one floored cross-multiplication; DuckDB replays every step as a
+    // per-key recursive CTE.
+    "q_croston" -> ((s, d) => {
+      val demand = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(count(lit(1)).as("q"))
+      graft.operators.TimeSeries.croston(demand, Seq("o_orderpriority"),
+          "day", "q")
+        .orderBy("o_orderpriority")
+    }),
+
+    // Sample-entropy template counts (Richman & Moorman 2000) per
+    // priority over weekly revenue: of all ordered pairs of m=2
+    // embedding vectors, how many match within tolerance r in Chebyshev
+    // distance (b_cnt), and how many still match when extended to m=3
+    // (a_cnt)? SampEn = −ln(A/B) — by house law the log is never
+    // taken; the EXACT integer counts and one floored ratio_x1e6 =
+    // (10⁶·a) div b carry the full information (high ratio = regular,
+    // low = complex). Tolerance r = (max−min) div 20 of the series —
+    // stated, portable, no transcendental σ. The spine is the OBSERVED
+    // global week calendar densified per priority (zeros filled), so
+    // embedding alignment is gap-free at every SF; pair counting is a
+    // bounded self-join over ~344-row per-key series — ~300k band
+    // tests TOTAL, constant in SF (calendar-bounded), never O(rows²).
+    "q_sampen" -> ((s, d) => {
+      val wk = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT) div 7""").as("w"))
+        .agg(expr("""sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     div 100000""").as("v"))
+      val weeks = wk.select(col("w")).distinct()
+      val prios = wk.select(col("prio")).distinct()
+      val dense = weeks.crossJoin(broadcast(prios))
+        .join(wk, Seq("prio", "w"), "left")
+        .na.fill(0L, Seq("v"))
+      val wOrd = Window.partitionBy(col("prio")).orderBy(col("w"))
+      val emb = dense
+        .withColumn("x1", lead(col("v"), 1).over(wOrd))
+        .withColumn("x2", lead(col("v"), 2).over(wOrd))
+        .filter(col("x2").isNotNull)
+        .localCheckpoint(true) // ~344 rows × 5 keys; r-join + both pair legs
+      val r = emb.groupBy(col("prio"))
+        .agg(expr("(max(v) - min(v)) div 20").as("r"),
+          count(lit(1)).as("n_vec"))
+      val left = emb.join(broadcast(r), Seq("prio"))
+      val right = emb.select(col("prio").as("prio2"), col("w").as("w2"),
+        col("v").as("y0"), col("x1").as("y1"), col("x2").as("y2"))
+      left.join(broadcast(right),
+          col("prio") === col("prio2") && col("w") < col("w2") &&
+            abs(col("v") - col("y0")) <= col("r") &&
+            abs(col("x1") - col("y1")) <= col("r"))
+        .drop("prio2")
+        .groupBy(col("prio"))
+        .agg(max(col("n_vec")).as("n_vec"), max(col("r")).as("r"),
+          count(lit(1)).as("b_cnt"),
+          sum(when(abs(col("x2") - col("y2")) <= col("r"), 1L).otherwise(0L))
+            .as("a_cnt"))
+        .withColumn("ratio_x1e6", when(col("b_cnt") === 0, 0L)
+          .otherwise(expr("(1000000 * a_cnt) div b_cnt")))
+        .select(col("prio"), col("n_vec"), col("r"), col("b_cnt"),
+          col("a_cnt"), col("ratio_x1e6"))
+        .orderBy("prio")
+    }),
+
     // Holt-Winters additive weekly seasonality ([[graft.operators
     // .TimeSeries.holtWinters]] under the oracle): level + trend +
     // 7-slot seasonal state over per-type daily event counts — the
@@ -5837,6 +5911,75 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_points, l AS level, b AS trend,
            l + b AS forecast_next
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    // the two Croston recurrences replayed step by step over demand
+    // events only; p = 1 cold start as stated in the operator
+    "q_croston" ->
+      """WITH RECURSIVE demand AS (
+           SELECT o_orderpriority AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS q
+           FROM orders WHERE o_totalprice > 400000
+           GROUP BY 1, 2),
+         num AS (
+           SELECT k, day, q,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM demand),
+         rec AS (
+           SELECT k, rn, n, q AS z, CAST(1 AS BIGINT) AS p, day AS prev
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             (d.q + r.z) // 2 AS z,
+             ((d.day - r.prev) + r.p) // 2 AS p,
+             d.day AS prev
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS o_orderpriority, n AS n_demand, z AS level_q,
+           p AS interval_p, (1000 * z) // p AS rate_x1000
+         FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    // densified weekly spine, m=2/m=3 Chebyshev template pair counts,
+    // one floored ratio; log never taken
+    "q_sampen" ->
+      """WITH wk AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               // 7 AS w,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS v
+           FROM orders GROUP BY 1, 2),
+         weeks AS (SELECT DISTINCT w FROM wk),
+         prios AS (SELECT DISTINCT prio FROM wk),
+         dense AS (
+           SELECT p.prio, weeks.w, coalesce(v, 0) AS v
+           FROM weeks CROSS JOIN prios p
+           LEFT JOIN wk ON wk.prio = p.prio AND wk.w = weeks.w),
+         emb AS (
+           SELECT prio, w, v,
+             lead(v, 1) OVER (PARTITION BY prio ORDER BY w) AS x1,
+             lead(v, 2) OVER (PARTITION BY prio ORDER BY w) AS x2
+           FROM dense),
+         e AS (SELECT * FROM emb WHERE x2 IS NOT NULL),
+         r AS (
+           SELECT prio, (max(v) - min(v)) // 20 AS r,
+             CAST(count(*) AS BIGINT) AS n_vec
+           FROM e GROUP BY 1),
+         pairs AS (
+           SELECT a.prio, r.n_vec, r.r,
+             CAST(count(*) AS BIGINT) AS b_cnt,
+             CAST(sum(CASE WHEN abs(a.x2 - b.x2) <= r.r THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_cnt
+           FROM e a JOIN r ON a.prio = r.prio
+           JOIN e b ON b.prio = a.prio AND a.w < b.w
+             AND abs(a.v - b.v) <= r.r AND abs(a.x1 - b.x1) <= r.r
+           GROUP BY 1, 2, 3)
+         SELECT prio, n_vec, r, b_cnt, a_cnt,
+           CAST(CASE WHEN b_cnt = 0 THEN 0
+             ELSE (1000000 * a_cnt) // b_cnt END AS BIGINT) AS ratio_x1e6
+         FROM pairs ORDER BY prio""",
 
     "q_growth_accounting" ->
       """WITH act AS (

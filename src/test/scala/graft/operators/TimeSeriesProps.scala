@@ -92,4 +92,33 @@ object TimeSeriesProps extends Properties("TimeSeries") {
       }
       got == want
     }
+
+  // sparse demand events: strictly increasing days, positive sizes
+  private val genDemand: Gen[Seq[(String, Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 25)
+    groups <- Gen.chooseNum(1, 3)
+    gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 9L))
+    qs <- Gen.listOfN(n, Gen.chooseNum(1L, 20L))
+  } yield gaps.scanLeft(0L)(_ + _).tail.zip(qs).zipWithIndex.map {
+    case ((d, q), i) => (s"g${i % groups}", d, q)
+  }
+
+  property("croston equals the sequential two-recurrence walk") =
+    Prop.forAll(genDemand) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "day", "q")
+      val got = TimeSeries.croston(df, Seq("k"), "day", "q")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_demand"), r.getAs[Long]("level_q"),
+            r.getAs[Long]("interval_p"), r.getAs[Long]("rate_x1000")))).toMap
+      val want = rows.groupBy(_._1).map { case (k, grp) =>
+        val ev = grp.sortBy(_._2)
+        var z = ev.head._3; var p = 1L; var prev = ev.head._2
+        ev.tail.foreach { case (_, d, q) =>
+          z = (q + z) / 2; p = ((d - prev) + p) / 2; prev = d
+        }
+        k -> ((ev.size.toLong, z, p, 1000L * z / p))
+      }
+      got == want
+    }
 }
