@@ -5729,6 +5729,74 @@ object LlmOps {
         .orderBy("cat")
     }),
 
+    // Burrows' Delta stylometric distance between every source pair,
+    // in the EXACT median/MAD normalization (Delta's classic z-score
+    // uses σ — a square root — so the robust variant IS the
+    // integer-exact one): per top-30 vocabulary word, each source's
+    // frequency-per-million f; the word's doubled median
+    // med2 = f(⌈n/2⌉) + f(⌊n/2⌋+1) and doubled-twice MAD
+    // mad4 = dev(⌈n/2⌉) + dev(⌊n/2⌋+1) over dev = |2f − med2| (the
+    // two-order-stat trick is parity-free: odd n picks the same rank
+    // twice). The pair distance telescopes the median away —
+    // |z_s − z_t| = 4·|f_s − f_t|/mad4 — so delta_x1e6 is a per-word
+    // floored cross-multiplication summed then ONE div by the word
+    // count. Zero-dispersion words (mad4 = 0) carry no signal and drop,
+    // as in classic Delta. The "which corpus sources share a pen"
+    // audit: all frames are |vocab|×|sources| ≤ 600 rows, pinned once;
+    // the pair join is 190 × 30 rows — constant in SF.
+    "q_stylometry_delta" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(gfn.ascii_tokens(col("text"))).as("tok"))
+      val cnt = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // ≤|sources|·|vocab| rows; vocab/totals/profiles share it
+      val vocab = cnt.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("gc").desc, col("tok").asc)))
+        .filter(col("rk") <= 30).select(col("tok"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+      val prof = vocab.crossJoin(broadcast(tot))
+        .join(cnt, Seq("tok", "source"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("f", expr("(1000000 * c) div tot"))
+      val wT = Window.partitionBy(col("tok"))
+      val wF = Window.partitionBy(col("tok"))
+        .orderBy(col("f").asc, col("source").asc)
+      val m = prof
+        .withColumn("rn", row_number().over(wF))
+        .withColumn("ns", count(lit(1)).over(wT))
+        .withColumn("mlo", expr("(ns + 1) div 2"))
+        .withColumn("mhi", expr("ns div 2 + 1"))
+        .withColumn("med2",
+          sum(when(col("rn") === col("mlo"), col("f")).otherwise(0L)).over(wT)
+            + sum(when(col("rn") === col("mhi"), col("f")).otherwise(0L))
+              .over(wT))
+        .withColumn("dev", abs(lit(2L) * col("f") - col("med2")))
+      val wD = Window.partitionBy(col("tok"))
+        .orderBy(col("dev").asc, col("source").asc)
+      val mf = m
+        .withColumn("rd", row_number().over(wD))
+        .withColumn("mad4",
+          sum(when(col("rd") === col("mlo"), col("dev")).otherwise(0L)).over(wT)
+            + sum(when(col("rd") === col("mhi"), col("dev")).otherwise(0L))
+              .over(wT))
+        .filter(col("mad4") > 0)
+        .select(col("tok"), col("source"), col("f"), col("mad4"))
+        .localCheckpoint(true) // ≤600 rows; both sides of the pair join
+      val a = mf.select(col("source").as("s_a"), col("tok"),
+        col("f").as("fa"), col("mad4"))
+      val b = mf.select(col("source").as("s_b"), col("tok").as("tok_b"),
+        col("f").as("fb"))
+      a.join(broadcast(b),
+          col("tok") === col("tok_b") && col("s_a") < col("s_b"))
+        .withColumn("cw", expr("(4000000 * abs(fa - fb)) div mad4"))
+        .groupBy(col("s_a"), col("s_b"))
+        .agg(count(lit(1)).as("n_words"), sum(col("cw")).as("__sum"))
+        .withColumn("delta_x1e6", expr("__sum div n_words"))
+        .select(col("s_a"), col("s_b"), col("n_words"), col("delta_x1e6"))
+        .orderBy("s_a", "s_b")
+    }),
+
     // Chao1 richness + Good-Turing coverage (TextAnalysis.chao1) per
     // source: ESTIMATE the unseen vocabulary from the singleton/
     // doubleton spectrum — the "has this source plateaued or is its
@@ -13141,6 +13209,66 @@ object LlmOps {
          FROM ag ORDER BY final_rank""",
 
     // The frequency spectrum, S₂, and the decimal K rendering replayed.
+    // doubled median / doubled-twice MAD order-stat trick (parity-
+    // free); the median telescopes out of the pair difference; mad4=0
+    // words drop
+    "q_stylometry_delta" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         cnt AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, row_number() OVER
+               (ORDER BY sum(c) DESC, tok) AS rk
+             FROM cnt GROUP BY tok) WHERE rk <= 30),
+         tot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS tot
+           FROM cnt GROUP BY 1),
+         prof AS (
+           SELECT v.tok, t.source,
+             (1000000 * coalesce(c, 0)) // tot AS f
+           FROM vocab v CROSS JOIN tot t
+           LEFT JOIN cnt ON cnt.tok = v.tok AND cnt.source = t.source),
+         m1 AS (
+           SELECT *, row_number() OVER
+               (PARTITION BY tok ORDER BY f, source) AS rn,
+             CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS ns
+           FROM prof),
+         m2 AS (SELECT *, (ns + 1) // 2 AS mlo, ns // 2 + 1 AS mhi FROM m1),
+         m3 AS (
+           SELECT *,
+             sum(CASE WHEN rn = mlo THEN f ELSE 0 END)
+               OVER (PARTITION BY tok)
+             + sum(CASE WHEN rn = mhi THEN f ELSE 0 END)
+               OVER (PARTITION BY tok) AS med2
+           FROM m2),
+         m4 AS (SELECT *, abs(2 * f - med2) AS dev FROM m3),
+         m5 AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY tok ORDER BY dev, source) AS rd
+           FROM m4),
+         m6 AS (
+           SELECT *,
+             sum(CASE WHEN rd = mlo THEN dev ELSE 0 END)
+               OVER (PARTITION BY tok)
+             + sum(CASE WHEN rd = mhi THEN dev ELSE 0 END)
+               OVER (PARTITION BY tok) AS mad4
+           FROM m5),
+         mf AS (SELECT tok, source, f, mad4 FROM m6 WHERE mad4 > 0),
+         pairs AS (
+           SELECT a.source AS s_a, b.source AS s_b,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum((4000000 * abs(a.f - b.f)) // a.mad4) AS BIGINT)
+               AS ssum
+           FROM mf a JOIN mf b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT s_a, s_b, n_words, ssum // n_words AS delta_x1e6
+         FROM pairs ORDER BY s_a, s_b""",
+
     "q_yule_k" ->
       """WITH tk AS (
            SELECT source AS cat,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -2887,6 +2887,64 @@ object Relational {
           (col("l_quantity") > 25).as("exp"),
           (col("l_returnflag") === "R").as("outc"))
       graft.operators.Stats.mantelHaenszel(li, "ship_month", "exp", "outc")
+    }),
+
+    // Simpson's-paradox reversal census: per nation, does the crude
+    // "discounted lines get returned more" association point one way
+    // while EVERY priority stratum points the other? The direction of
+    // each 2×2 is the exact sign of the cross-product difference
+    // a·d − b·c (DECIMAL(38,0) — the products pass 3.6e19 at 100×,
+    // past BIGINT by design), the pooled direction the same sign on
+    // the summed table, and the strict-reversal flag fires only when
+    // the pooled sign is nonzero and NO stratum agrees with it — the
+    // confounding smoke alarm next to q_mantel_haenszel's pooled-OR
+    // estimate (that one answers "what is the deconfounded effect",
+    // this one "which keys would mislead you unstratified"). One fact
+    // pass to 2×2 cells, margins fold off the bounded cell frame.
+    "q_simpson_reversal" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), col("o_orderpriority").as("prio"))
+        .agg(
+          sum(when(col("l_discount") >= 0.05 &&
+            col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"),
+          sum(when(col("l_discount") >= 0.05 &&
+            col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("b"),
+          sum(when(col("l_discount") < 0.05 &&
+            col("l_returnflag") === "R", 1L).otherwise(0L)).as("c"),
+          sum(when(col("l_discount") < 0.05 &&
+            col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("dd"))
+        .localCheckpoint(true) // 125 cells; stratum dirs + pooled share it
+      def dir(x: Column): Column =
+        when(x > 0, 1L).when(x < 0, -1L).otherwise(0L)
+      val strat = cells
+        .withColumn("__x", expr(
+          "CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * c"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_strata"),
+          sum(when(dir(col("__x")) === 1L, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(dir(col("__x")) === -1L, 1L).otherwise(0L)).as("n_neg"),
+          sum(when(dir(col("__x")) === 0L, 1L).otherwise(0L)).as("n_zero"))
+      val pooled = cells.groupBy(col("n_name"))
+        .agg(sum(col("a")).as("pa"), sum(col("b")).as("pb"),
+          sum(col("c")).as("pc"), sum(col("dd")).as("pd"))
+        .withColumn("pooled_dir", dir(expr(
+          "CAST(pa AS DECIMAL(38,0)) * pd - CAST(pb AS DECIMAL(38,0)) * pc")))
+        .select(col("n_name"), col("pooled_dir"))
+      strat.join(pooled, Seq("n_name"))
+        .withColumn("reversal",
+          (col("pooled_dir") === 1L && col("n_pos") === 0L &&
+            col("n_neg") > 0L) ||
+          (col("pooled_dir") === -1L && col("n_neg") === 0L &&
+            col("n_pos") > 0L))
+        .select(col("n_name"), col("pooled_dir"), col("n_strata"),
+          col("n_pos"), col("n_neg"), col("n_zero"), col("reversal"))
+        .orderBy("n_name")
     }),
 
     // Deterministic RANSAC line fit over the daily revenue series: the
@@ -6685,6 +6743,52 @@ object Relational {
                 ELSE (1000 * num) // den END AS BIGINT) AS e_pm,
            abs(num) > abs(den) AS elastic
          FROM nd ORDER BY brand""",
+
+    // exact cross-product signs per stratum and pooled; strict
+    // reversal = pooled nonzero with zero agreeing strata
+    "q_simpson_reversal" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         cells AS (
+           SELECT n_name, o_orderpriority AS prio,
+             CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS dd
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nat ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         strat AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(CASE WHEN CAST(a AS HUGEINT) * dd
+               - CAST(b AS HUGEINT) * c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN CAST(a AS HUGEINT) * dd
+               - CAST(b AS HUGEINT) * c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+             CAST(sum(CASE WHEN CAST(a AS HUGEINT) * dd
+               - CAST(b AS HUGEINT) * c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+           FROM cells GROUP BY 1),
+         pooled AS (
+           SELECT n_name,
+             CAST(CASE WHEN CAST(sum(a) AS HUGEINT) * sum(dd)
+                 - CAST(sum(b) AS HUGEINT) * sum(c) > 0 THEN 1
+               WHEN CAST(sum(a) AS HUGEINT) * sum(dd)
+                 - CAST(sum(b) AS HUGEINT) * sum(c) < 0 THEN -1
+               ELSE 0 END AS BIGINT) AS pooled_dir
+           FROM cells GROUP BY 1)
+         SELECT strat.n_name, pooled_dir, n_strata, n_pos, n_neg, n_zero,
+           (pooled_dir = 1 AND n_pos = 0 AND n_neg > 0)
+             OR (pooled_dir = -1 AND n_neg = 0 AND n_pos > 0) AS reversal
+         FROM strat JOIN pooled ON strat.n_name = pooled.n_name
+         ORDER BY strat.n_name""",
 
     // bounded anchor pairs (data-adaptive stride, <=66 at every SF);
     // the exact integer band test; top-3 lines
