@@ -2004,6 +2004,48 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // (s,S) inventory-policy replay per priority: walk the FULL daily
+    // demand calendar (global day spine densified, zero-demand days
+    // matter — stock sits) with reorder point s=20 / order-up-to S=60,
+    // zero lead time, backorders allowed: each day stock drops by
+    // demand, the post-demand position accrues holding (≥0 part) or
+    // shortage (<0 part), and a position below s triggers a refill to
+    // S. The operations-research cost ledger (reorders / holding /
+    // shortage) a demand forecast like q_croston actually feeds — all
+    // integer state, one codegen `aggregate` fold per key over the
+    // calendar-bounded series; DuckDB replays every day as a per-key
+    // recursive CTE.
+    "q_inventory_policy" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val days = dem.select(col("day")).distinct()
+      val prios = dem.select(col("prio")).distinct()
+      val dense = days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("v"))
+      dense.groupBy(col("prio"))
+        .agg(sort_array(collect_list(struct(col("day").as("o"),
+          col("v").as("v")))).as("__series"))
+        .withColumn("__fold", expr(
+          """aggregate(
+               transform(__series, s -> s.v),
+               named_struct('inv', CAST(60 AS BIGINT), 'ro', CAST(0 AS BIGINT),
+                 'hold', CAST(0 AS BIGINT), 'short', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'inv', CASE WHEN acc.inv - x < 20 THEN CAST(60 AS BIGINT)
+                             ELSE acc.inv - x END,
+                 'ro', acc.ro + CASE WHEN acc.inv - x < 20 THEN 1 ELSE 0 END,
+                 'hold', acc.hold + greatest(acc.inv - x, CAST(0 AS BIGINT)),
+                 'short', acc.short + greatest(x - acc.inv, CAST(0 AS BIGINT))))"""))
+        .select(col("prio"), size(col("__series")).cast("long").as("n_days"),
+          col("__fold.inv").as("final_inv"), col("__fold.ro").as("n_reorders"),
+          col("__fold.hold").as("hold_sum"), col("__fold.short").as("short_sum"))
+        .orderBy("prio")
+    }),
+
     // Holt-Winters additive weekly seasonality ([[graft.operators
     // .TimeSeries.holtWinters]] under the oracle): level + trend +
     // 7-slot seasonal state over per-type daily event counts — the
@@ -2887,6 +2929,56 @@ object Relational {
           (col("l_quantity") > 25).as("exp"),
           (col("l_returnflag") === "R").as("outc"))
       graft.operators.Stats.mantelHaenszel(li, "ship_month", "exp", "outc")
+    }),
+
+    // Win ratio (Pocock 2012) for a composite endpoint, per nation:
+    // URGENT vs LOW orders compared pairwise on fulfillment latency
+    // FIRST (days to first shipment — lower wins), total price as the
+    // tiebreak (higher wins). The clinical-trials method for "primary
+    // outcome first, secondary only on ties" — no weighting, no
+    // transcendental survival model. Never a pair join: the two-level
+    // comparison is ONE lexicographic composite integer
+    // (t·10⁸ + (10⁸−1−price_cents), lower = better, price < 10⁸ by
+    // schema), so win/loss/tie pair counts fold off the q_mannwhitney
+    // cumulative value spine exactly; wr_x1000 is one floored
+    // division. Pair products ≤ n_a·n_b ~ 10¹² at 100× — inside BIGINT
+    // with three digits of headroom.
+    "q_win_ratio" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val firstShip = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate").cast("date")).as("ship0"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("""CAST(datediff(ship0, CAST(o_orderdate AS DATE)) AS BIGINT)
+                  * 100000000
+                  + (99999999 - CAST(round(o_totalprice * 100) AS BIGINT))""")
+            .as("comp"))
+      val perV = o.groupBy(col("n_name"), col("comp"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+      val wBelow = Window.partitionBy(col("n_name")).orderBy(col("comp").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perV
+        .withColumn("ca", coalesce(sum(col("a")).over(wBelow), lit(0L)))
+        .withColumn("cb", coalesce(sum(col("b")).over(wBelow), lit(0L)))
+        .groupBy(col("n_name"))
+        .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          sum(col("b") * col("ca")).as("wins"),
+          sum(col("a") * col("cb")).as("losses"),
+          sum(col("a") * col("b")).as("ties"))
+        .withColumn("wr_x1000", when(col("losses") === 0, 0L)
+          .otherwise(expr("(1000 * wins) div losses")))
+        .select(col("n_name"), col("n_a"), col("n_b"), col("wins"),
+          col("losses"), col("ties"), col("wr_x1000"))
+        .orderBy("n_name")
     }),
 
     // Simpson's-paradox reversal census: per nation, does the crude
@@ -4418,6 +4510,41 @@ object Relational {
           col("o_orderdate").as("since_date"),
           col("o_orderkey").as("change_key"))
         .orderBy("o_custkey")
+    }),
+
+    // Differential-privacy sensitivity audit: per nation, the exact
+    // worst-case single-customer contribution to the two aggregates a
+    // DP release would publish — revenue total (Δf = max customer
+    // spend; the noise scale any Laplace/Gaussian mechanism must
+    // calibrate to) and order count (Δf = max orders by one customer)
+    // — each with its ×1e6 share of the published value. High shares
+    // mean unbounded-contribution queries that need clamping BEFORE
+    // noising; the privacy row's missing first step next to
+    // q_k_anonymity (population), q_l_diversity (attribute spread),
+    // q_t_closeness (distribution distance). Two-level integer
+    // aggregation, margins off the bounded per-customer frame.
+    "q_dp_sensitivity" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      Tables.orders(s, d)
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).as("t_rev"), max(col("rev")).as("max_cust_rev"),
+          sum(col("cnt")).as("n_orders"), max(col("cnt")).as("max_cust_orders"))
+        .withColumn("rev_sens_x1e6", expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * max_cust_rev) div t_rev"))
+        .withColumn("cnt_sens_x1e6", expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * max_cust_orders) div n_orders"))
+        .select(col("n_name"), col("n_customers"), col("t_rev"),
+          col("max_cust_rev"), col("rev_sens_x1e6"), col("n_orders"),
+          col("max_cust_orders"), col("cnt_sens_x1e6"))
+        .orderBy("n_name")
     }),
 
     // k-anonymity audit (Sweeney 2002): quasi-identifier (nation,
@@ -5999,6 +6126,50 @@ object Relational {
            p AS interval_p, (1000 * z) // p AS rate_x1000
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
 
+    // every day of the (s,S) walk replayed; anchor row applies day 1
+    // to the S=60 cold start exactly like the fold's seed
+    "q_inventory_policy" ->
+      """WITH RECURSIVE days AS (
+           SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) AS day
+           FROM orders),
+         prios AS (SELECT DISTINCT o_orderpriority AS k FROM orders),
+         dem AS (
+           SELECT o_orderpriority AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         dense AS (
+           SELECT p.k, days.day, coalesce(v, 0) AS v
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.k = p.k AND dem.day = days.day),
+         num AS (
+           SELECT k, day, v,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM dense),
+         rec AS (
+           SELECT k, rn, n,
+             CAST(CASE WHEN 60 - v < 20 THEN 60 ELSE 60 - v END AS BIGINT)
+               AS inv,
+             CAST(CASE WHEN 60 - v < 20 THEN 1 ELSE 0 END AS BIGINT) AS ro,
+             CAST(greatest(60 - v, 0) AS BIGINT) AS hold,
+             CAST(greatest(v - 60, 0) AS BIGINT) AS short
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             CAST(CASE WHEN r.inv - d.v < 20 THEN 60
+                  ELSE r.inv - d.v END AS BIGINT),
+             r.ro + CASE WHEN r.inv - d.v < 20 THEN 1 ELSE 0 END,
+             r.hold + greatest(r.inv - d.v, 0),
+             r.short + greatest(d.v - r.inv, 0)
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS prio, n AS n_days, inv AS final_inv, ro AS n_reorders,
+           hold AS hold_sum, short AS short_sum
+         FROM rec WHERE rn = n ORDER BY prio""",
+
     // densified weekly spine, m=2/m=3 Chebyshev template pair counts,
     // one floored ratio; log never taken
     "q_sampen" ->
@@ -6743,6 +6914,50 @@ object Relational {
                 ELSE (1000 * num) // den END AS BIGINT) AS e_pm,
            abs(num) > abs(den) AS elastic
          FROM nd ORDER BY brand""",
+
+    // lexicographic composite integer; win/loss/tie pair counts fold
+    // off the cumulative value spine, never a pair join
+    "q_win_ratio" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         fs AS (
+           SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship0
+           FROM lineitem GROUP BY 1),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(ship0 - CAST(o_orderdate AS DATE) AS BIGINT) * 100000000
+               + (99999999 - CAST(round(o_totalprice * 100) AS BIGINT))
+               AS comp
+           FROM orders
+           JOIN nat ON o_custkey = c_custkey
+           JOIN fs ON o_orderkey = l_orderkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, comp,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, a, b,
+             coalesce(CAST(sum(a) OVER (PARTITION BY n_name ORDER BY comp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS ca,
+             coalesce(CAST(sum(b) OVER (PARTITION BY n_name ORDER BY comp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS cb
+           FROM pv),
+         ag AS (
+           SELECT n_name, CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(b) AS BIGINT) AS n_b,
+             CAST(sum(b * ca) AS BIGINT) AS wins,
+             CAST(sum(a * cb) AS BIGINT) AS losses,
+             CAST(sum(a * b) AS BIGINT) AS ties
+           FROM cu GROUP BY 1)
+         SELECT n_name, n_a, n_b, wins, losses, ties,
+           CAST(CASE WHEN losses = 0 THEN 0
+             ELSE (1000 * wins) // losses END AS BIGINT) AS wr_x1000
+         FROM ag ORDER BY n_name""",
 
     // exact cross-product signs per stratum and pooled; strict
     // reversal = pooled nonzero with zero agreeing strata
@@ -8063,6 +8278,34 @@ object Relational {
          SELECT o_custkey, o_orderpriority AS attr_at,
            o_orderdate AS since_date, o_orderkey AS change_key
          FROM r WHERE rn = 1 ORDER BY o_custkey""",
+
+    // exact per-customer maxima over the two-level aggregate; one
+    // floored share division each
+    "q_dp_sensitivity" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         per AS (
+           SELECT n_name, c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         ag AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(rev) AS BIGINT) AS t_rev,
+             CAST(max(rev) AS BIGINT) AS max_cust_rev,
+             CAST(sum(cnt) AS BIGINT) AS n_orders,
+             CAST(max(cnt) AS BIGINT) AS max_cust_orders
+           FROM per GROUP BY 1)
+         SELECT n_name, n_customers, t_rev, max_cust_rev,
+           CAST((CAST(1000000 AS HUGEINT) * max_cust_rev) // t_rev
+             AS BIGINT) AS rev_sens_x1e6,
+           n_orders, max_cust_orders,
+           CAST((CAST(1000000 AS HUGEINT) * max_cust_orders) // n_orders
+             AS BIGINT) AS cnt_sens_x1e6
+         FROM ag ORDER BY n_name""",
 
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
