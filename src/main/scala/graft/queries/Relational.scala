@@ -2004,6 +2004,82 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // Viterbi decoding of a 2-state demand-regime HMM per priority, in
+    // EXACT integer max-product arithmetic: observations are the daily
+    // demand calendar binarized against the key's floored mean
+    // (o_t = demand > avg), the model is fixed dyadic rationals
+    // (stay 6/8 / switch 2/8; emission match 6/8 / mismatch 2/8;
+    // uniform init), and because every path probability at step t
+    // shares the denominator 8^2t, the Viterbi max needs only the
+    // NUMERATORS — compared exactly, never evaluated. Numerators are
+    // kept in range by the STATED renormalization (both states floor-
+    // divide by sh = max div 10¹² whenever the max crosses 10¹² — a
+    // common factor, so the argmax and the decoded path are those of
+    // the un-normalized recursion wherever ratios exceed the 10⁻¹²
+    // grid, and the replay is bit-identical either way). The fold
+    // carries each state's full best PATH as a growing '0'/'1' string
+    // (ties prefer the same-state continuation — stated); the winner
+    // emits whole, with its high-regime day count. The sequence-
+    // labeling primitive (segmentation, session-state decoding, burst
+    // detection) done without one transcendental op; DuckDB replays
+    // every day as a per-key recursive CTE with identical CASE
+    // arithmetic.
+    "q_viterbi" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val days = dem.select(col("day")).distinct()
+      val prios = dem.select(col("prio")).distinct()
+      val dense = days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("v"))
+        .localCheckpoint(true) // calendar-bounded; mean + walk share it
+      val avg = dense.groupBy(col("prio"))
+        .agg(expr("sum(v) div count(*)").as("__avg"))
+      val obs = dense.join(broadcast(avg), Seq("prio"))
+        .withColumn("o", when(col("v") > col("__avg"), 1L).otherwise(0L))
+      obs.groupBy(col("prio"))
+        .agg(sort_array(collect_list(struct(col("day").as("o"),
+          col("o").as("x")))).as("__series"))
+        .withColumn("__fold", expr(
+          """aggregate(
+               transform(__series, s -> s.x),
+               named_struct('v0', CAST(4 AS BIGINT), 'v1', CAST(4 AS BIGINT),
+                 'p0', '', 'p1', ''),
+               (acc, x) -> named_struct(
+                 'v0', (greatest(acc.v0 * 6, acc.v1 * 2)
+                        * (CASE WHEN x = 1 THEN 2 ELSE 6 END))
+                   div greatest(CAST(1 AS BIGINT), greatest(
+                     greatest(acc.v0 * 6, acc.v1 * 2)
+                       * (CASE WHEN x = 1 THEN 2 ELSE 6 END),
+                     greatest(acc.v1 * 6, acc.v0 * 2)
+                       * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                     div 1000000000000),
+                 'v1', (greatest(acc.v1 * 6, acc.v0 * 2)
+                        * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                   div greatest(CAST(1 AS BIGINT), greatest(
+                     greatest(acc.v0 * 6, acc.v1 * 2)
+                       * (CASE WHEN x = 1 THEN 2 ELSE 6 END),
+                     greatest(acc.v1 * 6, acc.v0 * 2)
+                       * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                     div 1000000000000),
+                 'p0', concat(CASE WHEN acc.v0 * 6 >= acc.v1 * 2
+                   THEN acc.p0 ELSE acc.p1 END, '0'),
+                 'p1', concat(CASE WHEN acc.v1 * 6 >= acc.v0 * 2
+                   THEN acc.p1 ELSE acc.p0 END, '1')))"""))
+        .withColumn("path", when(col("__fold.v1") > col("__fold.v0"),
+          col("__fold.p1")).otherwise(col("__fold.p0")))
+        .select(col("prio"), size(col("__series")).cast("long").as("n_days"),
+          col("__fold.v0").as("v0_fin"), col("__fold.v1").as("v1_fin"),
+          (length(col("path"))
+            - length(expr("replace(path, '1', '')"))).cast("long")
+            .as("n_high"),
+          col("path"))
+        .orderBy("prio")
+    }),
+
     // (s,S) inventory-policy replay per priority: walk the FULL daily
     // demand calendar (global day spine densified, zero-demand days
     // matter — stock sits) with reorder point s=20 / order-up-to S=60,
@@ -6125,6 +6201,73 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_demand, z AS level_q,
            p AS interval_p, (1000 * z) // p AS rate_x1000
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    // every Viterbi step replayed with identical CASE arithmetic and
+    // the same 10^12 renormalization; rn=0 anchor is the fold's seed
+    "q_viterbi" ->
+      """WITH RECURSIVE days AS (
+           SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) AS day
+           FROM orders),
+         prios AS (SELECT DISTINCT o_orderpriority AS k FROM orders),
+         dem AS (
+           SELECT o_orderpriority AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         dense AS (
+           SELECT p.k, days.day, coalesce(v, 0) AS v
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.k = p.k AND dem.day = days.day),
+         av AS (
+           SELECT k, CAST(sum(v) AS BIGINT) // count(*) AS a
+           FROM dense GROUP BY 1),
+         obs AS (
+           SELECT dense.k, day,
+             CAST(CASE WHEN v > a THEN 1 ELSE 0 END AS BIGINT) AS x
+           FROM dense JOIN av ON dense.k = av.k),
+         num AS (
+           SELECT k, day, x,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM obs),
+         seed AS (SELECT DISTINCT k, n FROM num),
+         rec AS (
+           SELECT k, CAST(0 AS BIGINT) AS rn, n,
+             CAST(4 AS BIGINT) AS v0, CAST(4 AS BIGINT) AS v1,
+             '' AS p0, '' AS p1
+           FROM seed
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             (greatest(r.v0 * 6, r.v1 * 2)
+                * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END))
+               // greatest(1, greatest(
+                   greatest(r.v0 * 6, r.v1 * 2)
+                     * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END),
+                   greatest(r.v1 * 6, r.v0 * 2)
+                     * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+                 // 1000000000000) AS v0,
+             (greatest(r.v1 * 6, r.v0 * 2)
+                * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+               // greatest(1, greatest(
+                   greatest(r.v0 * 6, r.v1 * 2)
+                     * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END),
+                   greatest(r.v1 * 6, r.v0 * 2)
+                     * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+                 // 1000000000000) AS v1,
+             (CASE WHEN r.v0 * 6 >= r.v1 * 2 THEN r.p0 ELSE r.p1 END)
+               || '0' AS p0,
+             (CASE WHEN r.v1 * 6 >= r.v0 * 2 THEN r.p1 ELSE r.p0 END)
+               || '1' AS p1
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS prio, n AS n_days, v0 AS v0_fin, v1 AS v1_fin,
+           CAST(length(CASE WHEN v1 > v0 THEN p1 ELSE p0 END)
+             - length(replace(CASE WHEN v1 > v0 THEN p1 ELSE p0 END,
+                 '1', '')) AS BIGINT) AS n_high,
+           CASE WHEN v1 > v0 THEN p1 ELSE p0 END AS path
+         FROM rec WHERE rn = n ORDER BY prio""",
 
     // every day of the (s,S) walk replayed; anchor row applies day 1
     // to the S=60 cold start exactly like the fold's seed
