@@ -65,4 +65,56 @@ object Alloc {
       .withColumn("alloc_total", sum(col("alloc")).over(wAll))
       .drop("__total", "__bt", "__rk")
   }
+
+  /** D'Hondt (highest-averages) apportionment: party i's k-th seat
+    * exists iff the quotient w_i/k ranks inside the global top
+    * `seats`. No quotient is ever EVALUATED — the rank is counted
+    * exactly by cross-multiplication: opponent j contributes
+    * #\{m : w_j/m > w_i/k\} = clamp((w_j·k − 1) div w_i, 0, seats)
+    * strict majorants, the party itself its own k−1 higher quotients,
+    * and exact ties (w_j·k ≡ 0 mod w_i with the tied m in range) break
+    * by name ascending — a total order, so the census is deterministic
+    * on any engine and Σseats = `seats` by construction (the top-S cut
+    * of a totally ordered set). Favors larger parties vs [[hamilton]]
+    * — emit both and the divergence is the method-choice audit.
+    *
+    * `df` is the bounded one-row-per-party frame (post-aggregate,
+    * never data); work is seats·|parties|² comparisons off a broadcast
+    * opponent copy — constant in SF. Weights must be positive; the
+    * product w_j·seats must fit BIGINT (guarded loudly).
+    *
+    * Result: one row per party `(nameCol, dhondt_seats)`.
+    */
+  def dhondt(
+      df: DataFrame,
+      nameCol: String,
+      weightCol: String,
+      seats: Long): DataFrame = {
+    require(seats >= 1, s"seats must be >= 1: $seats")
+    val wBound = Long.MaxValue / math.max(seats, 1L)
+    val base = df.select(col(nameCol),
+      when(col(weightCol).cast("long") <= 0,
+        raise_error(lit("dhondt: weights must be positive")).cast("long"))
+        .when(col(weightCol).cast("long") > wBound,
+          raise_error(lit(s"dhondt: weight * seats=$seats exceeds BIGINT"))
+            .cast("long"))
+        .otherwise(col(weightCol).cast("long")).as("__v"))
+      .localCheckpoint(true) // bounded party frame; grid + opponents share it
+    val opp = base.select(col(nameCol).as("__o_name"), col("__v").as("__o_v"))
+    base
+      .withColumn("__k", explode(sequence(lit(1L), lit(seats))))
+      .crossJoin(broadcast(opp))
+      .withColumn("__contrib", when(col("__o_name") === col(nameCol), 0L)
+        .otherwise(
+          least(lit(seats), greatest(lit(0L),
+            expr("(__o_v * __k - 1) div __v"))) +
+          when(expr("(__o_v * __k) % __v") === 0L &&
+               expr("(__o_v * __k) div __v").between(1L, seats) &&
+               col("__o_name") < col(nameCol), 1L).otherwise(0L)))
+      .groupBy(col(nameCol), col("__k"))
+      .agg(sum(col("__contrib")).as("__others"))
+      .withColumn("__rk", col("__k") - 1L + col("__others"))
+      .groupBy(col(nameCol))
+      .agg(sum(when(col("__rk") < seats, 1L).otherwise(0L)).as("dhondt_seats"))
+  }
 }

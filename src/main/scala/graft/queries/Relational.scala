@@ -355,18 +355,17 @@ object Relational {
     // nations by 1996 order revenue, under the two classic methods side
     // by side: Hamilton (largest remainder — floor the exact quota,
     // hand leftover slots to the biggest remainders) and D'Hondt
-    // (highest averages — the k-th slot for nation i exists iff the
-    // quotient v_i/k ranks inside the top S over ALL nations'
-    // quotients). The capacity-allocation primitive behind sampling
-    // budgets, shard counts, and rate limits. No quotient is ever
-    // EVALUATED: D'Hondt rank is counted exactly via cross-multiplied
-    // strict-majorant counts — for opponent j, #{m : v_j/m > v_i/k}
-    //  = (v_j·k − 1) div v_i clamped to [0,S] — plus the nation's own
-    // k−1 higher quotients and a name-ordered exact-tie adjustment
-    // (v_j·k ≡ 0 mod v_i), so the seat census is deterministic on any
-    // engine. Work is S·|nations|² = 62.5k comparisons off a pinned
-    // 25-row frame — constant in SF; the fact-table aggregate runs
-    // once. Hamilton remainder rank is a bounded 25-row window.
+    // (highest averages, [[graft.operators.Alloc.dhondt]] — the k-th
+    // slot for nation i exists iff the quotient v_i/k ranks inside the
+    // top S over ALL nations' quotients). The capacity-allocation
+    // primitive behind sampling budgets, shard counts, and rate
+    // limits. No quotient is ever EVALUATED: D'Hondt rank is counted
+    // exactly via cross-multiplied strict-majorant counts — see the
+    // operator scaladoc — so the seat census is deterministic on any
+    // engine; DhondtProps fuzzes it against a brute-force sorted
+    // divisor table. Work is S·|nations|² = 62.5k comparisons off a
+    // pinned 25-row frame — constant in SF; the fact-table aggregate
+    // runs once. Hamilton remainder rank is a bounded 25-row window.
     "q_apportionment" -> ((s, d) => {
       val seats = 100L
       val nat = Tables.customer(s, d)
@@ -393,22 +392,7 @@ object Relational {
         .withColumn("ham_seats",
           col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
         .select(col("n_name"), col("v"), col("quota_milli"), col("ham_seats"))
-      val opp = v.select(col("n_name").as("o_name"), col("v").as("o_v"))
-      val dhondt = v
-        .withColumn("k", explode(sequence(lit(1L), lit(seats))))
-        .crossJoin(broadcast(opp))
-        .withColumn("contrib", when(col("o_name") === col("n_name"), 0L)
-          .otherwise(
-            least(lit(seats), greatest(lit(0L),
-              expr("(o_v * k - 1) div v"))) +
-            when(expr("(o_v * k) % v") === 0L &&
-                 expr("(o_v * k) div v").between(1L, seats) &&
-                 col("o_name") < col("n_name"), 1L).otherwise(0L)))
-        .groupBy(col("n_name"), col("k"))
-        .agg(sum(col("contrib")).as("others"))
-        .withColumn("rk", col("k") - 1L + col("others"))
-        .groupBy(col("n_name"))
-        .agg(sum(when(col("rk") < seats, 1L).otherwise(0L)).as("dhondt_seats"))
+      val dhondt = graft.operators.Alloc.dhondt(v, "n_name", "v", seats)
       hamSeats.join(dhondt, Seq("n_name"))
         .select(col("n_name"), col("v"), col("quota_milli"),
           col("ham_seats"), col("dhondt_seats"))
