@@ -496,6 +496,97 @@ object Relational {
         .orderBy("n_name", "ind")
     }),
 
+    // Greedy maximum-weight bipartite matching: assign each brand its
+    // exclusive nation market (and vice versa) by walking the
+    // brand×nation revenue edges in (weight desc, brand, nation) order
+    // and taking an edge iff both endpoints are still free — the
+    // 1/2-approximation workhorse of assignment problems, exactly
+    // replayable because the edge order is total and the greedy fold
+    // is deterministic. The edge frame is |brands|×|nations| ≤ 625
+    // rows at EVERY scale factor (a post-aggregate category grid,
+    // never data), so the sequential fold is bounded-state by
+    // construction: taken-sets as arrays, picked pairs appended in
+    // take order and emitted with pick_order for the audit trail.
+    // DuckDB replays the identical fold via 3-arg list_reduce with
+    // typed empty-list seeds.
+    "q_greedy_matching" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val edges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
+      edges
+        .agg(sort_array(collect_list(struct((-col("w")).as("nw"),
+          col("brand"), col("n_name").as("n"), col("w")))).as("__edges"))
+        .withColumn("__fold", expr(
+          """aggregate(
+               __edges,
+               named_struct(
+                 'tb', CAST(array() AS ARRAY<STRING>),
+                 'tn', CAST(array() AS ARRAY<STRING>),
+                 'out', CAST(array() AS
+                   ARRAY<STRUCT<brand: STRING, n_name: STRING, w: BIGINT>>)),
+               (acc, e) -> CASE
+                 WHEN array_contains(acc.tb, e.brand)
+                   OR array_contains(acc.tn, e.n) THEN acc
+                 ELSE named_struct(
+                   'tb', array_append(acc.tb, e.brand),
+                   'tn', array_append(acc.tn, e.n),
+                   'out', array_append(acc.out, named_struct(
+                     'brand', e.brand, 'n_name', e.n, 'w', e.w))) END)"""))
+        .select(posexplode(col("__fold.out")).as(Seq("__pos", "__m")))
+        .select(col("__m.brand").as("brand"), col("__m.n_name").as("n_name"),
+          col("__m.w").as("w"), (col("__pos") + 1L).cast("long").as("pick_order"))
+        .orderBy("brand")
+    }),
+
+    // Vickrey second-price auction census per brand: treat each part's
+    // lineitems as sealed unit-price bids (floored unit cents —
+    // quantity is whole by schema, probed), award at the LOWEST bid,
+    // charge the SECOND-lowest (the incentive-compatible price; with a
+    // tied minimum the second price IS the minimum — row_number over
+    // the (bid, suppkey, orderkey, linenumber) total order makes the
+    // two order stats deterministic despite repeated (orderkey,
+    // linenumber) pairs). Per brand: auctions with ≥2 bids, the
+    // first-price and second-price cost totals, and overpay_pm — what
+    // switching to the truthful mechanism costs, per mille. Windows
+    // partition by PART (fact-scale key: full parallelism at 100×);
+    // the brand rollup is a bounded aggregate.
+    "q_vickrey" -> ((s, d) => {
+      val wBid = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("bid").asc, col("l_suppkey").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("bid", expr(
+          """CAST(round(l_extendedprice * 100) AS BIGINT)
+             div CAST(round(l_quantity) AS BIGINT)"""))
+        .withColumn("rn", row_number().over(wBid))
+        .filter(col("rn") <= 2)
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(count(lit(1)).as("n_bids"),
+          sum(when(col("rn") === 1, col("bid")).otherwise(0L)).as("b1"),
+          sum(when(col("rn") === 2, col("bid")).otherwise(0L)).as("b2"))
+        .filter(col("n_bids") === 2)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_auctions"), sum(col("b1")).as("first_cost"),
+          sum(col("b2")).as("second_cost"))
+        .withColumn("overpay_pm", expr(
+          "(1000 * (second_cost - first_cost)) div first_cost"))
+        .select(col("p_brand"), col("n_auctions"), col("first_cost"),
+          col("second_cost"), col("overpay_pm"))
+        .orderBy("p_brand")
+    }),
+
     // Returned-revenue ranking (TPC-H Q10): customers ranked by revenue
     // lost to returns, top 20. The limit plans as TakeOrderedAndProject
     // (per-partition heaps, driver merge — no global sort), and the
@@ -2061,6 +2152,65 @@ object Relational {
             - length(expr("replace(path, '1', '')"))).cast("long")
             .as("n_high"),
           col("path"))
+        .orderBy("prio")
+    }),
+
+    // Forward-filter posterior for the q_viterbi HMM — the SUM-product
+    // companion to its max-product decode: the same dyadic 2-state
+    // model and binarized daily observations, but the recursion
+    // carries total path mass f_s(t) = e_s(o_t)·(f_0·a_{0s} + f_1·a_{1s}),
+    // so the emitted number is the FILTERED regime probability at the
+    // series end — "what state are we in NOW given everything seen" —
+    // next to Viterbi's "what single path explains it all". Same
+    // common-denominator numerators-only arithmetic, same stated 10¹²
+    // floor-renormalization (a common factor up to the floor grid —
+    // the posterior RATIO is what survives, and the replay is
+    // bit-identical); post1_x1e6 = (10⁶·f1) div (f0+f1) is one floored
+    // division. DuckDB replays every step as a per-key recursive CTE.
+    "q_forward_posterior" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val days = dem.select(col("day")).distinct()
+      val prios = dem.select(col("prio")).distinct()
+      val dense = days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("v"))
+        .localCheckpoint(true) // calendar-bounded; mean + walk share it
+      val avg = dense.groupBy(col("prio"))
+        .agg(expr("sum(v) div count(*)").as("__avg"))
+      val obs = dense.join(broadcast(avg), Seq("prio"))
+        .withColumn("o", when(col("v") > col("__avg"), 1L).otherwise(0L))
+      obs.groupBy(col("prio"))
+        .agg(sort_array(collect_list(struct(col("day").as("o"),
+          col("o").as("x")))).as("__series"))
+        .withColumn("__fold", expr(
+          """aggregate(
+               transform(__series, s -> s.x),
+               named_struct('f0', CAST(4 AS BIGINT), 'f1', CAST(4 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'f0', ((acc.f0 * 6 + acc.f1 * 2)
+                        * (CASE WHEN x = 1 THEN 2 ELSE 6 END))
+                   div greatest(CAST(1 AS BIGINT), greatest(
+                     (acc.f0 * 6 + acc.f1 * 2)
+                       * (CASE WHEN x = 1 THEN 2 ELSE 6 END),
+                     (acc.f0 * 2 + acc.f1 * 6)
+                       * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                     div 1000000000000),
+                 'f1', ((acc.f0 * 2 + acc.f1 * 6)
+                        * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                   div greatest(CAST(1 AS BIGINT), greatest(
+                     (acc.f0 * 6 + acc.f1 * 2)
+                       * (CASE WHEN x = 1 THEN 2 ELSE 6 END),
+                     (acc.f0 * 2 + acc.f1 * 6)
+                       * (CASE WHEN x = 1 THEN 6 ELSE 2 END))
+                     div 1000000000000)))"""))
+        .select(col("prio"), size(col("__series")).cast("long").as("n_days"),
+          col("__fold.f0").as("f0_fin"), col("__fold.f1").as("f1_fin"),
+          expr("(1000000 * __fold.f1) div (__fold.f0 + __fold.f1)")
+            .as("post1_x1e6"))
         .orderBy("prio")
     }),
 
@@ -6186,6 +6336,63 @@ object Relational {
            p AS interval_p, (1000 * z) // p AS rate_x1000
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
 
+    // the sum-product recursion replayed day by day; one floored
+    // posterior division at the end
+    "q_forward_posterior" ->
+      """WITH RECURSIVE days AS (
+           SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT) AS day
+           FROM orders),
+         prios AS (SELECT DISTINCT o_orderpriority AS k FROM orders),
+         dem AS (
+           SELECT o_orderpriority AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(count(*) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2),
+         dense AS (
+           SELECT p.k, days.day, coalesce(v, 0) AS v
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.k = p.k AND dem.day = days.day),
+         av AS (
+           SELECT k, CAST(sum(v) AS BIGINT) // count(*) AS a
+           FROM dense GROUP BY 1),
+         obs AS (
+           SELECT dense.k, day,
+             CAST(CASE WHEN v > a THEN 1 ELSE 0 END AS BIGINT) AS x
+           FROM dense JOIN av ON dense.k = av.k),
+         num AS (
+           SELECT k, day, x,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY day) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+           FROM obs),
+         seed AS (SELECT DISTINCT k, n FROM num),
+         rec AS (
+           SELECT k, CAST(0 AS BIGINT) AS rn, n,
+             CAST(4 AS BIGINT) AS f0, CAST(4 AS BIGINT) AS f1
+           FROM seed
+           UNION ALL
+           SELECT d.k, d.rn, d.n,
+             ((r.f0 * 6 + r.f1 * 2) * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END))
+               // greatest(1, greatest(
+                   (r.f0 * 6 + r.f1 * 2)
+                     * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END),
+                   (r.f0 * 2 + r.f1 * 6)
+                     * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+                 // 1000000000000) AS f0,
+             ((r.f0 * 2 + r.f1 * 6) * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+               // greatest(1, greatest(
+                   (r.f0 * 6 + r.f1 * 2)
+                     * (CASE WHEN d.x = 1 THEN 2 ELSE 6 END),
+                   (r.f0 * 2 + r.f1 * 6)
+                     * (CASE WHEN d.x = 1 THEN 6 ELSE 2 END))
+                 // 1000000000000) AS f1
+           FROM rec r JOIN num d ON d.k = r.k AND d.rn = r.rn + 1)
+         SELECT k AS prio, n AS n_days, f0 AS f0_fin, f1 AS f1_fin,
+           (1000000 * f1) // (f0 + f1) AS post1_x1e6
+         FROM rec WHERE rn = n ORDER BY prio""",
+
     // every Viterbi step replayed with identical CASE arithmetic and
     // the same 10^12 renormalization; rn=0 anchor is the fold's seed
     "q_viterbi" ->
@@ -7041,6 +7248,81 @@ object Relational {
                 ELSE (1000 * num) // den END AS BIGINT) AS e_pm,
            abs(num) > abs(den) AS elastic
          FROM nd ORDER BY brand""",
+
+    // identical greedy fold over the totally ordered bounded edge
+    // list; plain-list accumulator seeded by list_prepend of a typed
+    // empty list (the r17-established 2-arg list_reduce idiom). A
+    // SECOND DuckDB v1.0.0 list_reduce hazard found here (measured,
+    // sibling of the in-place struct-field one): a lambda branch that
+    // returns `acc` UNCHANGED corrupts earlier accumulation once any
+    // skip precedes an append — so the lambda always builds a fresh
+    // list, list_concat(acc, CASE ... [] ELSE [e] END), never `acc`
+    // itself
+    "q_greedy_matching" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         edges AS (
+           SELECT p_brand AS brand, n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS w
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN nat ON o_custkey = c_custkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         folded AS (
+           SELECT list_reduce(
+             list_prepend(
+               []::STRUCT(brand VARCHAR, n_name VARCHAR, w BIGINT)[],
+               list_transform(
+                 list(struct_pack(brand := brand, n_name := n_name, w := w)
+                   ORDER BY w DESC, brand, n_name),
+                 e -> [e])),
+             (acc, y) -> list_concat(acc, CASE
+               WHEN list_contains(
+                   list_transform(acc, m -> m.brand), y[1].brand)
+                 OR list_contains(
+                   list_transform(acc, m -> m.n_name), y[1].n_name)
+                 THEN []::STRUCT(brand VARCHAR, n_name VARCHAR, w BIGINT)[]
+               ELSE [y[1]] END)) AS picked
+           FROM edges),
+         rows_ AS (
+           SELECT unnest(picked) AS m,
+             generate_subscripts(picked, 1) AS pos
+           FROM folded)
+         SELECT m.brand AS brand, m.n_name AS n_name, m.w AS w,
+           CAST(pos AS BIGINT) AS pick_order
+         FROM rows_ ORDER BY brand""",
+
+    // floored unit-cent bids; two deterministic order stats per part;
+    // bounded brand rollup
+    "q_vickrey" ->
+      """WITH bids AS (
+           SELECT p_brand, p_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               // CAST(round(l_quantity) AS BIGINT) AS bid,
+             l_suppkey, l_orderkey, l_linenumber
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         rk AS (
+           SELECT p_brand, p_partkey, bid,
+             row_number() OVER (PARTITION BY p_partkey
+               ORDER BY bid, l_suppkey, l_orderkey, l_linenumber) AS rn
+           FROM bids),
+         per AS (
+           SELECT p_brand, p_partkey,
+             CAST(count(*) AS BIGINT) AS n_bids,
+             CAST(sum(CASE WHEN rn = 1 THEN bid ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN rn = 2 THEN bid ELSE 0 END) AS BIGINT) AS b2
+           FROM rk WHERE rn <= 2 GROUP BY 1, 2),
+         ag AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n_auctions,
+             CAST(sum(b1) AS BIGINT) AS first_cost,
+             CAST(sum(b2) AS BIGINT) AS second_cost
+           FROM per WHERE n_bids = 2 GROUP BY 1)
+         SELECT p_brand, n_auctions, first_cost, second_cost,
+           (1000 * (second_cost - first_cost)) // first_cost AS overpay_pm
+         FROM ag ORDER BY p_brand""",
 
     // lexicographic composite integer; win/loss/tie pair counts fold
     // off the cumulative value spine, never a pair join
