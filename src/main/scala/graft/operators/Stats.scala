@@ -1940,6 +1940,98 @@ object Stats {
         col("z2ab_x1e6") :+ col("lepage_x1e6")): _*)
   }
 
+  /** Exact sample L-moments (Hosking 1990) per key: the robust
+    * distributional-shape battery — L-scale, L-CV, L-skewness (t3),
+    * L-kurtosis (t4) — computed as EXACT integers with no order
+    * statistics ever materialized per row. The probability-weighted
+    * moments b_r = (1/n)·Σᵢ [(i−1)⋯(i−r)]/[(n−1)⋯(n−r)]·x₍ᵢ₎ need the
+    * rank-weighted sums Σ(i−1)⋯(i−r)·x₍ᵢ₎; over a TIE RUN occupying
+    * ranks [lo,hi] these falling-factorial weights have closed-form
+    * prefix polynomials (Σ_{j≤k}(j−1) = (k−1)k/2, Σ(j−1)(j−2) =
+    * (k−2)(k−1)k/3, Σ(j−1)(j−2)(j−3) = (k−3)(k−2)(k−1)k/4 — each a
+    * product of consecutive integers, so the division is exact and the
+    * k<r cases vanish through the zero factor), so everything folds
+    * off the VALUE SPINE: one per-(key,value) aggregate, one per-key
+    * cumulative window, one final aggregate — the [[ansariBradley]]
+    * shape, full parallelism at any scale, and tie handling is
+    * definitionally consistent (tied values share their rank mass
+    * rather than an arbitrary tiebreak).
+    *
+    * The run sums stay UNDIVIDED (T_r = r!·S_r) so nothing routes
+    * through a Long-typed integral divide mid-computation; all λ
+    * numerators then ride the common denominator 12·D with integer
+    * coefficients (D = n(n−1)(n−2)(n−3)):
+    * L1n = 12·S0·(n−1)(n−2)(n−3), L2n = 12·T1·(n−2)(n−3) − L1n,
+    * L3n = 24·T2·(n−3) − 36·T1·(n−2)(n−3) + L1n,
+    * L4n = 60·T3 − 120·T2·(n−3) + 72·T1·(n−2)(n−3) − L1n.
+    * Emitted: location/scale floored once by D, and the three
+    * scale-free ratios (L-CV = λ2/λ1, t3 = λ3/λ2, t4 = λ4/λ2) as
+    * single ×1000 floored cross-multiplications. Callers pass values
+    * on a grid keeping n⁴·x under ~10³⁴ (kilodollars at TPC-H shapes —
+    * the q_variance_ratio discipline); keys with n < 4 emit zeros by
+    * stated convention (λ4 needs four distinct ranks).
+    */
+  def lMoments(
+      df: DataFrame,
+      keyCols: Seq[String],
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(keys: _*)
+    // prefix polynomials at hi minus at lo−1, kept UNDIVIDED (T_r =
+    // r!-scaled falling-factorial sums) so no intermediate ever passes
+    // through a Long-typed integral divide; the 2/3/4 denominators
+    // fold into the λ-numerator coefficients over 12·D
+    perV
+      .withColumn("__hi", sum(col("__m")).over(wCum))
+      .withColumn("__lo", col("__hi") - col("__m") + 1)
+      .withColumn("__t1", expr(
+        """((__hi - 1) * CAST(__hi AS DECIMAL(38,0)))
+           - ((__lo - 2) * CAST(__lo - 1 AS DECIMAL(38,0)))"""))
+      .withColumn("__t2", expr(
+        """((__hi - 2) * (__hi - 1) * CAST(__hi AS DECIMAL(38,0)))
+           - ((__lo - 3) * (__lo - 2) * CAST(__lo - 1 AS DECIMAL(38,0)))"""))
+      .withColumn("__t3", expr(
+        """((__hi - 3) * (__hi - 2) * (__hi - 1)
+            * CAST(__hi AS DECIMAL(38,0)))
+           - ((__lo - 4) * (__lo - 3) * (__lo - 2)
+            * CAST(__lo - 1 AS DECIMAL(38,0)))"""))
+      .groupBy(keys: _*)
+      .agg(sum(col("__m")).as("n"),
+        sum(col("__m").cast(dec) * col("__v")).as("__b0"),
+        sum(col("__t1") * col("__v")).as("__t1"),
+        sum(col("__t2") * col("__v")).as("__t2"),
+        sum(col("__t3") * col("__v")).as("__t3"))
+      .withColumn("__a0", expr(
+        "12 * __b0 * (n - 1) * (n - 2) * (n - 3)"))
+      .withColumn("__l1n", col("__a0"))
+      .withColumn("__l2n", expr(
+        "12 * __t1 * (n - 2) * (n - 3) - __a0"))
+      .withColumn("__l3n", expr(
+        "24 * __t2 * (n - 3) - 36 * __t1 * (n - 2) * (n - 3) + __a0"))
+      .withColumn("__l4n", expr(
+        """60 * __t3 - 120 * __t2 * (n - 3)
+           + 72 * __t1 * (n - 2) * (n - 3) - __a0"""))
+      .withColumn("__d", expr(
+        "12 * CAST(n AS DECIMAL(38,0)) * (n - 1) * (n - 2) * (n - 3)"))
+      .withColumn("l1", when(col("n") < 4, 0L)
+        .otherwise(expr("__l1n div __d")))
+      .withColumn("l2", when(col("n") < 4, 0L)
+        .otherwise(expr("__l2n div __d")))
+      .withColumn("lcv_x1000", when(col("n") < 4 || col("__l1n") <= 0, 0L)
+        .otherwise(expr("(1000 * __l2n) div __l1n")))
+      .withColumn("t3_x1000", when(col("n") < 4 || col("__l2n") <= 0, 0L)
+        .otherwise(expr("(1000 * __l3n) div __l2n")))
+      .withColumn("t4_x1000", when(col("n") < 4 || col("__l2n") <= 0, 0L)
+        .otherwise(expr("(1000 * __l4n) div __l2n")))
+      .select((keys :+ col("n") :+ col("l1") :+ col("l2") :+
+        col("lcv_x1000") :+ col("t3_x1000") :+ col("t4_x1000")): _*)
+  }
+
   /** Pairwise Mann–Whitney census over ALL unordered group pairs — the
     * post-hoc companion to [[kruskalWallis]]: which groups actually
     * differ once the omnibus test fires? Per (key, g1 < g2): the exact

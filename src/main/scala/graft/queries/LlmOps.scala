@@ -6511,6 +6511,27 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Sample L-moments (Stats.lMoments) of order value per nation in
+    // KILODOLLARS: L-scale, L-CV, L-skewness t3, L-kurtosis t4 — the
+    // linear-in-order-statistics shape battery (Hosking 1990) that
+    // stays finite and robust where classic third/fourth moments
+    // explode, next to q_bowley_moors' octile diagnostics (L-moments
+    // use EVERY rank, not eight of them). All falling-factorial rank
+    // weights fold off the value spine via closed-form prefix
+    // polynomials kept UNDIVIDED until the final floored divisions —
+    // see the operator scaladoc; the k$ grid keeps n⁴·x inside
+    // DECIMAL(38,0) at 100× (the q_variance_ratio discipline).
+    "q_lmoments" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          expr("CAST(round(o_totalprice) AS BIGINT) div 1000").as("kusd"))
+      Stats.lMoments(o, Seq("n_name"), "kusd")
+        .orderBy("n_name")
+    }),
+
     // Pairwise total-variation matrix (Stats.pairwiseTotalVariation)
     // between source language mixes: WHICH sources' mixes disagree and
     // by how much (plus the single worst language gap) — the
@@ -14530,6 +14551,66 @@ object LlmOps {
          FROM ag ORDER BY n_name""",
 
     // octiles at rank ceil(n*i/8) of the (cents, orderkey) total order
+    // undivided falling-factorial prefix polynomials off the value
+    // spine; lambda numerators over 12*D; final floored divisions only
+    "q_lmoments" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name,
+             CAST(round(o_totalprice) AS BIGINT) // 1000 AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey),
+         pv AS (
+           SELECT n_name, v, CAST(count(*) AS BIGINT) AS m
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, v, m,
+             CAST(sum(m) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS hi
+           FROM pv),
+         tr AS (
+           SELECT n_name, v, m, hi, hi - m + 1 AS lo FROM cu),
+         tt AS (
+           SELECT n_name, v, m,
+             ((hi - 1) * CAST(hi AS HUGEINT))
+               - ((lo - 2) * CAST(lo - 1 AS HUGEINT)) AS t1,
+             ((hi - 2) * (hi - 1) * CAST(hi AS HUGEINT))
+               - ((lo - 3) * (lo - 2) * CAST(lo - 1 AS HUGEINT)) AS t2,
+             ((hi - 3) * (hi - 2) * (hi - 1) * CAST(hi AS HUGEINT))
+               - ((lo - 4) * (lo - 3) * (lo - 2) * CAST(lo - 1 AS HUGEINT))
+               AS t3
+           FROM tr),
+         ag AS (
+           SELECT n_name, CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(CAST(m AS HUGEINT) * v) AS HUGEINT) AS b0,
+             CAST(sum(t1 * v) AS HUGEINT) AS t1,
+             CAST(sum(t2 * v) AS HUGEINT) AS t2,
+             CAST(sum(t3 * v) AS HUGEINT) AS t3
+           FROM tt GROUP BY 1),
+         fin AS (
+           SELECT n_name, n,
+             12 * b0 * (n - 1) * (n - 2) * (n - 3) AS l1n,
+             12 * t1 * (n - 2) * (n - 3)
+               - 12 * b0 * (n - 1) * (n - 2) * (n - 3) AS l2n,
+             24 * t2 * (n - 3) - 36 * t1 * (n - 2) * (n - 3)
+               + 12 * b0 * (n - 1) * (n - 2) * (n - 3) AS l3n,
+             60 * t3 - 120 * t2 * (n - 3) + 72 * t1 * (n - 2) * (n - 3)
+               - 12 * b0 * (n - 1) * (n - 2) * (n - 3) AS l4n,
+             12 * CAST(n AS HUGEINT) * (n - 1) * (n - 2) * (n - 3) AS d
+           FROM ag)
+         SELECT n_name, n,
+           CAST(CASE WHEN n < 4 THEN 0 ELSE l1n // d END AS BIGINT) AS l1,
+           CAST(CASE WHEN n < 4 THEN 0 ELSE l2n // d END AS BIGINT) AS l2,
+           CAST(CASE WHEN n < 4 OR l1n <= 0 THEN 0
+             ELSE (1000 * l2n) // l1n END AS BIGINT) AS lcv_x1000,
+           CAST(CASE WHEN n < 4 OR l2n <= 0 THEN 0
+             ELSE (1000 * l3n) // l2n END AS BIGINT) AS t3_x1000,
+           CAST(CASE WHEN n < 4 OR l2n <= 0 THEN 0
+             ELSE (1000 * l4n) // l2n END AS BIGINT) AS t4_x1000
+         FROM fin ORDER BY n_name""",
+
     "q_bowley_moors" ->
       """WITH o AS (
            SELECT n_name, o_orderkey,
