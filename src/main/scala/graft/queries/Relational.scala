@@ -2079,6 +2079,100 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // Rescaled-range (Hurst R/S) scaling census per priority: at block
+    // sizes w ∈ {8,16,32,64} days, the squared rescaled range of daily
+    // revenue — (R/σ)²·n per block, averaged over all FULL blocks —
+    // whose growth across w reveals long-range dependence (slope 2H on
+    // the log-log grid a reader computes; by house law the log itself
+    // is never taken, and no σ square root either: with S = Σx and
+    // cumulative deviations scaled ×n, dev_i = n·c_i − i·S is integer,
+    // R_n = max(dev,0) − min(dev,0) integer, Q = Σ(n·x_i − S)² = n²·SS
+    // integer, and (R/σ)²·n = (R_n²·n) div Q exactly — one floored
+    // division per block). Blocks are ≤64-row window partitions over
+    // the densified calendar — full parallelism, constant in SF.
+    "q_rs_range" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(expr("sum(CAST(round(o_totalprice) AS BIGINT)) div 1000").as("x"))
+      val days = dem.select(col("day")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("day")))
+          .cast("long")) // calendar-bounded global window
+      val prios = dem.select(col("prio")).distinct()
+      val dense = days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("x"))
+        .withColumn("w", explode(array(lit(8L), lit(16L), lit(32L), lit(64L))))
+        .withColumn("blk", expr("(idx - 1) div w"))
+        .withColumn("pos", expr("(idx - 1) % w + 1"))
+      val wBlk = Window.partitionBy(col("prio"), col("w"), col("blk"))
+      val wCum = wBlk.orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = dense
+        .withColumn("n_in", count(lit(1)).over(wBlk))
+        .filter(col("n_in") === col("w")) // full blocks only
+        .withColumn("c", sum(col("x")).over(wCum))
+        .withColumn("s", sum(col("x")).over(wBlk))
+        .withColumn("dev", expr("w * c - pos * s"))
+        .groupBy(col("prio"), col("w"), col("blk"))
+        .agg(
+          (greatest(max(col("dev")), lit(0L))
+            - least(min(col("dev")), lit(0L))).as("rn"),
+          sum(expr("(w * x - s) * CAST(w * x - s AS DECIMAL(38,0))"))
+            .as("q"))
+        .withColumn("rs2", when(col("q") <= 0, 0L).otherwise(expr(
+          "(CAST(rn AS DECIMAL(38,0)) * rn * w) div q")))
+      blocks.groupBy(col("prio"), col("w"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("rs2")).as("__t"))
+        .withColumn("avg_rs2_x1000", expr("(1000 * __t) div n_blocks"))
+        .select(col("prio"), col("w"), col("n_blocks"), col("avg_rs2_x1000"))
+        .orderBy("prio", "w")
+    }),
+
+    // Haar wavelet energy spectrum per priority: the trig-free
+    // frequency-band decomposition — at levels l = 1..6, partition the
+    // first 2048 calendar days into 2^l-day blocks and take the
+    // UNNORMALIZED Haar detail (first-half sum − second-half sum,
+    // closed form off the day index's bit pattern: sign = +1 iff
+    // (idx−1) mod 2^l < 2^(l−1) — no iterative transform, each level
+    // is ONE independent aggregate); energy_l = Σ detail² localizes
+    // variance by timescale exactly (weekly vs monthly vs quarterly
+    // revenue swing), in pure integers on the k$ grid. Full blocks
+    // only; the fixed 2048-day span is stated (the dyadic window the
+    // calendar supports).
+    "q_haar_energy" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(expr("sum(CAST(round(o_totalprice) AS BIGINT)) div 1000").as("x"))
+      val days = dem.select(col("day")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("day")))
+          .cast("long")) // calendar-bounded global window
+      val prios = dem.select(col("prio")).distinct()
+      val dense = days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("x"))
+        .filter(col("idx") <= 2048L)
+        .withColumn("lvl", explode(array((1 to 6).map(l => lit(l.toLong)): _*)))
+        .withColumn("bs", expr("CAST(shiftleft(1, CAST(lvl AS INT)) AS BIGINT)"))
+        .withColumn("blk", expr("(idx - 1) div bs"))
+        .withColumn("sgn", when(
+          expr("(idx - 1) % bs") < expr("bs div 2"), 1L)
+          .otherwise(-1L))
+      dense.groupBy(col("prio"), col("lvl"), col("bs"), col("blk"))
+        .agg(count(lit(1)).as("n_in"), sum(col("sgn") * col("x")).as("detail"))
+        .filter(col("n_in") === col("bs")) // full blocks only
+        .groupBy(col("prio"), col("lvl"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("detail").cast(DecimalType(38, 0)) * col("detail"))
+            .as("energy"))
+        .select(col("prio"), col("lvl"), col("n_blocks"),
+          col("energy").cast("long").as("energy"))
+        .orderBy("prio", "lvl")
+    }),
+
     // Viterbi decoding of a 2-state demand-regime HMM per priority, in
     // EXACT integer max-product arithmetic: observations are the daily
     // demand calendar binarized against the key's floored mean
@@ -6335,6 +6429,93 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_demand, z AS level_q,
            p AS interval_p, (1000 * z) // p AS rate_x1000
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    // integer cumulative deviations x n, one floored division per
+    // block; full blocks only
+    "q_rs_range" ->
+      """WITH dem AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               // 1000 AS x
+           FROM orders GROUP BY 1, 2),
+         days AS (
+           SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             AS idx
+           FROM (SELECT DISTINCT day FROM dem)),
+         prios AS (SELECT DISTINCT prio FROM dem),
+         dense AS (
+           SELECT p.prio, days.day, days.idx, coalesce(x, 0) AS x
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.prio = p.prio AND dem.day = days.day),
+         g AS (
+           SELECT prio, idx, x, w, (idx - 1) // w AS blk,
+             (idx - 1) % w + 1 AS pos
+           FROM dense CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
+         wb AS (
+           SELECT prio, w, blk, pos, x,
+             CAST(count(*) OVER (PARTITION BY prio, w, blk) AS BIGINT)
+               AS n_in,
+             CAST(sum(x) OVER (PARTITION BY prio, w, blk ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c,
+             CAST(sum(x) OVER (PARTITION BY prio, w, blk) AS BIGINT) AS s
+           FROM g),
+         blocks AS (
+           SELECT prio, w, blk,
+             greatest(max(w * c - pos * s), 0)
+               - least(min(w * c - pos * s), 0) AS rn,
+             CAST(sum((w * x - s) * CAST(w * x - s AS HUGEINT)) AS HUGEINT)
+               AS q
+           FROM wb WHERE n_in = w GROUP BY 1, 2, 3),
+         rs AS (
+           SELECT prio, w, blk,
+             CASE WHEN q <= 0 THEN 0
+               ELSE CAST((CAST(rn AS HUGEINT) * rn * w) // q AS BIGINT) END
+               AS rs2
+           FROM blocks)
+         SELECT prio, CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST((1000 * CAST(sum(rs2) AS HUGEINT)) // count(*) AS BIGINT)
+             AS avg_rs2_x1000
+         FROM rs GROUP BY 1, 2 ORDER BY prio, w""",
+
+    // closed-form Haar signs off the day index's bit pattern; one
+    // aggregate per level; full blocks only
+    "q_haar_energy" ->
+      """WITH dem AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               // 1000 AS x
+           FROM orders GROUP BY 1, 2),
+         days AS (
+           SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             AS idx
+           FROM (SELECT DISTINCT day FROM dem)),
+         prios AS (SELECT DISTINCT prio FROM dem),
+         dense AS (
+           SELECT p.prio, days.idx, coalesce(x, 0) AS x
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.prio = p.prio AND dem.day = days.day
+           WHERE days.idx <= 2048),
+         g AS (
+           SELECT prio, lvl, CAST(1 << lvl AS BIGINT) AS bs,
+             (idx - 1) // CAST(1 << lvl AS BIGINT) AS blk,
+             CASE WHEN (idx - 1) % CAST(1 << lvl AS BIGINT)
+               < CAST(1 << lvl AS BIGINT) // 2 THEN 1 ELSE -1 END AS sgn,
+             x
+           FROM dense CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lvl)),
+         det AS (
+           SELECT prio, lvl, bs, blk, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(sum(sgn * x) AS BIGINT) AS detail
+           FROM g GROUP BY 1, 2, 3, 4)
+         SELECT prio, CAST(lvl AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CAST(detail AS HUGEINT) * detail) AS BIGINT) AS energy
+         FROM det WHERE n_in = bs GROUP BY 1, 2 ORDER BY prio, lvl""",
 
     // the sum-product recursion replayed day by day; one floored
     // posterior division at the end
