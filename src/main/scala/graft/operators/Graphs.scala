@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -617,6 +618,72 @@ object Graphs {
     Checkpoints.release(pins.toSeq)
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
+  }
+
+  /** Fixed-round densest-subgraph peeling (Bahmani, Kumar &
+    * Vassilvitskii 2012) — the MapReduce-native 2(1+ε)-approximation:
+    * each round removes EVERY node whose degree is below (1+ε) times
+    * the current average degree (batch peel — that is what makes it
+    * O(log n) rounds instead of Charikar's O(n) one-at-a-time), and
+    * the densest prefix of the trajectory is the answer. Density is
+    * never a float: the peel test cross-multiplies
+    * (deg·n·1000 < 2m·(1000+epsPm)) and each round's density emits as
+    * ONE floored (1000·m) div n. Fixed `rounds` keeps the DuckDB
+    * replay a straight-line CTE chain (the kcoreRounds contract).
+    *
+    * Output: one row per round 0..rounds — (round, n_nodes, n_edges,
+    * density_x1000, is_best) — the whole peel trajectory, with the
+    * best round flagged (ties → earliest). Scale shape: each round is
+    * one degree aggregate + two semi-joins, localCheckpoint-pinned;
+    * rounds × shuffle like every iterative-graph member.
+    */
+  def densestRounds(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      epsPm: Long,
+      rounds: Int): DataFrame = {
+    require(epsPm >= 0, s"epsPm must be >= 0, got $epsPm")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val p = pairs.select(col(idA).as("u"), col(idB).as("w"))
+      .filter(col("u") =!= col("w"))
+      .select(least(col("u"), col("w")).as("u"),
+        greatest(col("u"), col("w")).as("w"))
+      .distinct()
+    var e = p.localCheckpoint(false)
+    val pins = scala.collection.mutable.Buffer[DataFrame](e)
+    val snaps = scala.collection.mutable.Buffer[DataFrame]()
+    for (r <- 0 to rounds) {
+      val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
+      val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") === 0, 0L)
+            .otherwise(expr("(1000 * n_edges) div n_nodes"))
+            .as("density_x1000"))
+      snaps += stats
+      if (r < rounds) {
+        val surv = deg.crossJoin(broadcast(
+            deg.agg(count(lit(1)).as("__n"))
+              .crossJoin(e.agg(count(lit(1)).as("__m")))))
+          .filter(expr(s"deg * __n * 1000 >= 2 * __m * ${1000 + epsPm}"))
+          .select(col("id"))
+        val next = e
+          .join(surv.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(surv.select(col("id").as("w")), Seq("w"), "left_semi")
+          .select("u", "w")
+        val pin = next.localCheckpoint(false)
+        pins += pin
+        e = pin
+      }
+    }
+    val traj = snaps.reduce(_ unionAll _).localCheckpoint(true)
+    Checkpoints.release(pins.toSeq)
+    val wBest = Window.orderBy(col("density_x1000").desc, col("round").asc)
+    traj
+      .withColumn("is_best", row_number().over(wBest) === 1) // ≤rounds+1 rows
+      .orderBy("round")
   }
 
   /** Rich-club coefficient (Zhou & Mondragón 2004) at each degree cut

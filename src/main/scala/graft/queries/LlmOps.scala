@@ -779,6 +779,24 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Fixed-round densest-subgraph peel ([[graft.operators.Graphs
+    // .densestRounds]]): Bahmani–Kumar–Vassilvitskii's MapReduce-native
+    // 2(1+ε)-approximation over the same blocking graph — every round
+    // BATCH-peels all nodes below (1+ε)× the average degree (that's
+    // the O(log n)-round trick Charikar's one-at-a-time peel lacks),
+    // and the densest trajectory prefix is the answer. ε = 0.1
+    // (epsPm = 100), 4 rounds; the peel test and the per-round density
+    // are cross-multiplied integers, the best round flagged (ties →
+    // earliest). The dense-community extractor BETWEEN q_kcore's
+    // degree floor and q_ktruss's triangle support.
+    "q_densest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Graphs.densestRounds(ccBlockingPairs(docs),
+          "id_a", "id_b", epsPm = 100L, rounds = 4)
+        .orderBy("round")
+    }),
+
     // Fixed-round 4-truss peel ([[graft.operators.Graphs.trussRounds]]
     // under the oracle): 2 rounds dropping edges with triangle support
     // < 2 over the same blocking graph — the EDGE-level near-clique
@@ -11159,6 +11177,70 @@ object LlmOps {
          e3 AS (SELECT e.src, e.dst FROM e2 e
                 JOIN s3 a ON e.src = a.id JOIN s3 b ON e.dst = b.id)
          SELECT src AS id, count(*) AS deg FROM e3 GROUP BY src ORDER BY id""",
+
+    // straight-line 4-round average-degree batch peel; densities and
+    // peel tests cross-multiplied; best round by (density desc, round)
+    "q_densest" ->
+      """WITH pairs AS MATERIALIZED (
+           SELECT a.doc_id AS u, b.doc_id AS w
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1
+           WHERE a.doc_id < 500 AND b.doc_id < 500 AND a.doc_id < b.doc_id),
+         e0 AS MATERIALIZED (SELECT u, w FROM pairs),
+         d0 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS a FROM e0 UNION ALL SELECT w FROM e0)
+                GROUP BY 1),
+         n0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d0),
+         m0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         s0 AS MATERIALIZED (SELECT id FROM d0 CROSS JOIN n0 CROSS JOIN m0
+                WHERE deg * n * 1000 >= 2 * m * 1100),
+         e1 AS MATERIALIZED (SELECT e.u, e.w FROM e0 e
+                JOIN s0 a ON e.u = a.id JOIN s0 b ON e.w = b.id),
+         d1 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS a FROM e1 UNION ALL SELECT w FROM e1)
+                GROUP BY 1),
+         n1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d1),
+         m1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e1),
+         s1 AS MATERIALIZED (SELECT id FROM d1 CROSS JOIN n1 CROSS JOIN m1
+                WHERE deg * n * 1000 >= 2 * m * 1100),
+         e2 AS MATERIALIZED (SELECT e.u, e.w FROM e1 e
+                JOIN s1 a ON e.u = a.id JOIN s1 b ON e.w = b.id),
+         d2 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS a FROM e2 UNION ALL SELECT w FROM e2)
+                GROUP BY 1),
+         n2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d2),
+         m2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+         s2 AS MATERIALIZED (SELECT id FROM d2 CROSS JOIN n2 CROSS JOIN m2
+                WHERE deg * n * 1000 >= 2 * m * 1100),
+         e3 AS MATERIALIZED (SELECT e.u, e.w FROM e2 e
+                JOIN s2 a ON e.u = a.id JOIN s2 b ON e.w = b.id),
+         d3 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS a FROM e3 UNION ALL SELECT w FROM e3)
+                GROUP BY 1),
+         n3 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d3),
+         m3 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e3),
+         s3 AS MATERIALIZED (SELECT id FROM d3 CROSS JOIN n3 CROSS JOIN m3
+                WHERE deg * n * 1000 >= 2 * m * 1100),
+         e4 AS MATERIALIZED (SELECT e.u, e.w FROM e3 e
+                JOIN s3 a ON e.u = a.id JOIN s3 b ON e.w = b.id),
+         d4 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT u AS a FROM e4 UNION ALL SELECT w FROM e4)
+                GROUP BY 1),
+         n4 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM d4),
+         m4 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e4),
+         snaps AS (
+           SELECT CAST(0 AS BIGINT) AS round, n, m FROM n0 CROSS JOIN m0
+           UNION ALL SELECT 1, n, m FROM n1 CROSS JOIN m1
+           UNION ALL SELECT 2, n, m FROM n2 CROSS JOIN m2
+           UNION ALL SELECT 3, n, m FROM n3 CROSS JOIN m3
+           UNION ALL SELECT 4, n, m FROM n4 CROSS JOIN m4)
+         SELECT round, n AS n_nodes, m AS n_edges,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE (1000 * m) // n END AS BIGINT)
+             AS density_x1000,
+           row_number() OVER (ORDER BY
+             CASE WHEN n = 0 THEN 0 ELSE (1000 * m) // n END DESC,
+             round ASC) = 1 AS is_best
+         FROM snaps ORDER BY round""",
 
     // straight-line 2-round peel: wedge-join support per canonical
     // edge, drop below k-2 = 2, recount on the survivors
