@@ -5472,6 +5472,58 @@ object LlmOps {
         .orderBy("query_id")
     }),
 
+    // Expected reciprocal rank (Chapelle 2009) of the sign-bit ANN
+    // against GRADED exact-rank relevance — the cascade-model ranking
+    // metric that needs NO logarithm (NDCG's log₂ discount is banned
+    // by house law; ERR is the standard log-free graded alternative):
+    // grades from the exact ranking (true rank 1-2 → R = 3/4, 3-5 →
+    // R = 1/4, miss → 0, dyadic by construction), and
+    // ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i) is EXACT on the ×61440 grid —
+    // 61440 = 60·4⁵ is divisible by every r·4^r for r ≤ 5, so not one
+    // floor anywhere. The survival product Π(1−R_i) never multiplies
+    // row-by-row: its numerator is 4^(#prior misses)·3^(#prior
+    // partials) off two conditional window counts (shiftleft + a
+    // 5-case power table — integers end to end). Completes the
+    // retrieval-metric row: hits@k (set), MRR (first hit), AP (binary
+    // ranks), ERR (graded cascade).
+    "q_err_rank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.signBitTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5, prefilterK = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("t_rank"))
+      val graded = approx
+        .join(truth, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("gn", when(col("t_rank") <= 2, 3L)
+          .when(col("t_rank") <= 5, 1L).otherwise(0L))
+        .na.fill(0L, Seq("gn"))
+      val wPrior = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graded
+        .withColumn("c_miss", coalesce(
+          sum(when(col("gn") === 0L, 1L).otherwise(0L)).over(wPrior), lit(0L)))
+        .withColumn("c_part", coalesce(
+          sum(when(col("gn") === 1L, 1L).otherwise(0L)).over(wPrior), lit(0L)))
+        .withColumn("surv_num", expr(
+          """CAST(shiftleft(1, CAST(2 * c_miss AS INT)) AS BIGINT)
+             * (CASE c_part WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 9
+                WHEN 3 THEN 27 ELSE 81 END)"""))
+        .withColumn("coef", expr(
+          """CASE rank WHEN 1 THEN 15360 WHEN 2 THEN 1920 WHEN 3 THEN 320
+             WHEN 4 THEN 60 ELSE 12 END"""))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ranked"),
+          sum(when(col("gn") > 0L, 1L).otherwise(0L)).as("n_graded"),
+          sum(col("gn") * col("surv_num") * col("coef")).as("err_x61440"))
+        .orderBy("query_id")
+    }),
+
     // Average precision of the sign-bit ANN against the exact top-5
     // (the q_rank_eval frame): AP = (1/R)·Σ_{k rel} P@k, EXACT because
     // every k ≤ 5 divides 60 — per-hit terms (60·h_k) div k lose
@@ -12921,6 +12973,52 @@ object LlmOps {
 
     // AP over the approx ranked list with exact-top-5 relevance: every
     // k <= 5 divides 60, so per-hit terms are exact; one final floor
+    // graded cascade on the x61440 grid — divisible by every r*4^r,
+    // zero floors; survival numerator off two prior-window counts
+    "q_err_rank" ->
+      (annSignCte + """,
+         ax AS (
+           SELECT query_id, id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, id) AS BIGINT) AS rank
+           FROM rr),
+         a5 AS (SELECT query_id, id, rank FROM ax WHERE rank <= 5),
+         t0 AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+                FROM c CROSS JOIN q),
+         tx AS (SELECT query_id, id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, id) AS BIGINT) AS rn
+                FROM t0),
+         t5 AS (SELECT query_id, id, rn FROM tx WHERE rn <= 5),
+         graded AS (
+           SELECT a5.query_id AS query_id, a5.rank AS rank,
+             CAST(CASE WHEN t5.rn <= 2 THEN 3 WHEN t5.rn <= 5 THEN 1
+               ELSE 0 END AS BIGINT) AS gn
+           FROM a5 LEFT JOIN t5
+             ON a5.query_id = t5.query_id AND a5.id = t5.id),
+         pri AS (
+           SELECT query_id, rank, gn,
+             coalesce(CAST(sum(CASE WHEN gn = 0 THEN 1 ELSE 0 END)
+               OVER wp AS BIGINT), 0) AS c_miss,
+             coalesce(CAST(sum(CASE WHEN gn = 1 THEN 1 ELSE 0 END)
+               OVER wp AS BIGINT), 0) AS c_part
+           FROM graded
+           WINDOW wp AS (PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         terms AS (
+           SELECT query_id, gn,
+             CAST(1 << CAST(2 * c_miss AS INT) AS BIGINT)
+               * (CASE c_part WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 9
+                  WHEN 3 THEN 27 ELSE 81 END) AS surv_num,
+             CASE rank WHEN 1 THEN 15360 WHEN 2 THEN 1920 WHEN 3 THEN 320
+               WHEN 4 THEN 60 ELSE 12 END AS coef
+           FROM pri)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(sum(CASE WHEN gn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_graded,
+           CAST(sum(gn * surv_num * coef) AS BIGINT) AS err_x61440
+         FROM terms GROUP BY 1 ORDER BY query_id"""),
+
     "q_rank_ap" ->
       (annSignCte + """,
          ax AS (
