@@ -1299,6 +1299,11 @@ object StreamSync {
     valueEventSinkDir(s, d, "bloom", bloomEvents)(
       StreamingSync.bloomDedupStream(_))
 
+  private def rateLimitSinkDir(s: SparkSession, d: String): String =
+    valueEventSinkDir(s, d, "ratelimit")(
+      StreamingSync.rateLimitStream(_, capMicro = 3000000L,
+        refillDivUs = 10000L))
+
   /** Projection for the streaming conversion counter: clicks and
     * purchases of users < 30, `v` encoding the type (1 = click,
     * 2 = purchase) — both SQL-re-derivable.
@@ -2138,6 +2143,20 @@ object StreamSync {
         .orderBy("event_id")
     }),
 
+    // Streaming token-bucket rate limiter (StreamingSync
+    // .rateLimitStream): per user, a 3-token bucket refilling one token
+    // per 10⁴ s of event-time gap; every event emits its admit/deny
+    // decision and the post-decision balance on the ×10⁶ micro-token
+    // grid. The oracle replays every decision from the raw table via a
+    // per-user recursive CTE — the admission-control primitive next to
+    // q_stream_bloom's dedup gate.
+    "q_stream_ratelimit" -> ((s, d) => {
+      s.read.parquet(rateLimitSinkDir(s, d))
+        .select(col("event_id"), col("user_id"), col("allowed"),
+          col("tok_after"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_conversions" -> ((s, d) => {
       s.read.parquet(conversionsSinkDir(s, d))
         .select(col("event_id"), col("user_id"), col("n_clicks_since"))
@@ -2158,6 +2177,37 @@ object StreamSync {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // every admit/deny decision replayed sequentially per user; the
+    // rn=1 anchor is the full-bucket cold start minus its own token
+    "q_stream_ratelimit" ->
+      """WITH RECURSIVE e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE user_id < 30),
+         num AS (
+           SELECT event_id, user_id, ts_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS BIGINT) AS rn
+           FROM e),
+         rec AS (
+           SELECT event_id, user_id, rn, ts_us,
+             TRUE AS allowed, CAST(2000000 AS BIGINT) AS tok_after
+           FROM num WHERE rn = 1
+           UNION ALL
+           SELECT d.event_id, d.user_id, d.rn, d.ts_us,
+             least(3000000, r.tok_after + (d.ts_us - r.ts_us) // 10000)
+               >= 1000000 AS allowed,
+             CASE WHEN least(3000000,
+                 r.tok_after + (d.ts_us - r.ts_us) // 10000) >= 1000000
+               THEN least(3000000,
+                 r.tok_after + (d.ts_us - r.ts_us) // 10000) - 1000000
+               ELSE least(3000000,
+                 r.tok_after + (d.ts_us - r.ts_us) // 10000) END
+               AS tok_after
+           FROM rec r JOIN num d
+             ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+         SELECT event_id, user_id, allowed, tok_after
+         FROM rec ORDER BY event_id""",
+
     // The batch SCD2 build restricted to closed rows.
     "q_stream_scd2" ->
       """WITH e AS (

@@ -262,6 +262,57 @@ object StreamingSync {
       }
   }
 
+  final case class RateState(tokU: Long, lastUs: Long)
+  final case class RateRow(
+      event_id: Long, user_id: Long, allowed: Boolean, tok_after: Long)
+
+  /** Streaming token-bucket rate limiter per user — the admission-
+    * control primitive in front of every ingest API, replayed exactly:
+    * the bucket holds `capMicro` micro-tokens (×10⁶ grid), refills
+    * refill = Δus div `refillDivUs` micro-tokens per event-time gap
+    * (so one full token takes 10⁶·refillDivUs microseconds), clamps
+    * at capacity, and each event is admitted iff a full token
+    * (10⁶ micro) is available, consuming it. A NEW key starts with a
+    * FULL bucket (burst-friendly cold start — stated). State is two
+    * longs per key; within-batch folds are (ts_us, event_id)-sorted
+    * and the fixture's time-cut batches keep the walk globally
+    * ordered, so the batch oracle replays every admit/deny decision
+    * bit-identically.
+    *
+    * No `ttlMs` by design: state is O(1) per key (two longs), bounded
+    * by the key universe like [[cusumStream]].
+    */
+  def rateLimitStream(
+      events: Dataset[ValueEvent],
+      capMicro: Long,
+      refillDivUs: Long): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    require(capMicro >= 1000000L, s"capacity below one token: $capMicro")
+    require(refillDivUs > 0, s"refillDivUs must be > 0: $refillDivUs")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, gs: GroupState[RateState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = gs.getOption
+          val out = scala.collection.mutable.Buffer.empty[RateRow]
+          sorted.foreach { e =>
+            val pre = st match {
+              case None => capMicro
+              case Some(RateState(tok, last)) =>
+                math.min(capMicro, tok + (e.ts_us - last) / refillDivUs)
+            }
+            val allowed = pre >= 1000000L
+            val after = if (allowed) pre - 1000000L else pre
+            st = Some(RateState(after, e.ts_us))
+            out += RateRow(e.event_id, user, allowed, after)
+          }
+          st.foreach(gs.update)
+          out.iterator
+      }
+  }
+
   final case class BloomState(bits: Array[Long], n: Long)
   final case class BloomRow(
       event_id: Long, user_id: Long, seen_before: Boolean,
