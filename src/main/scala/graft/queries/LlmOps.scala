@@ -4603,6 +4603,74 @@ object LlmOps {
     // the integer dot products are all cross-engine-checked; round-6 before
     // bucketing kills ulp noise at bucket edges (the q_dedup_embedding
     // rounding discipline).
+    // Clustering-validity battery over the LABELED embedding space:
+    // per-label mean silhouette and the global Dunn index, both EXACT.
+    // Distances are integer L1 on the ×1000-rounded embedding grid
+    // (zip_with + aggregate — codegen HOFs, the proven round-grid
+    // discipline), so every ratio cross-multiplies: per point,
+    // a = S_own/(n_own−1) and b = min_c S_c/n_c pick their argmin by
+    // exact fraction comparison (sc'·nc < sc·nc', ties by label), and
+    // s·1000 = 1000·(b_num·a_den − a_num·b_den) div max(crossed) is
+    // one floored division. Dunn = min inter-cluster distance over max
+    // intra-cluster distance rides the same pinned 250k-pair frame
+    // (|emb|² — the embeddings table is a bounded evaluation set, not
+    // the corpus). Singleton clusters would contribute no rows by
+    // construction (none occur at any SF — n_points certifies). The
+    // internal-validity audit q_kmeans and the ANN index family never
+    // had: is the labeled partition even separable?
+    "q_silhouette" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
+            .as("q"))
+        .localCheckpoint(true) // ≤500 rows; both pair sides
+      val a = pts.select(col("vec_id").as("ia"), col("label").as("la"),
+        col("q").as("qa"))
+      val b = pts.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("q").as("qb"))
+      val pd = a.join(broadcast(b), col("ia") =!= col("ib"))
+        .select(col("ia"), col("la"), col("lb"), expr(
+          """aggregate(zip_with(qa, qb, (x, y) -> abs(x - y)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("d"))
+        .localCheckpoint(true) // 250k pair rows; sums + Dunn legs share it
+      val sic = pd.groupBy(col("ia"), col("la"), col("lb"))
+        .agg(sum(col("d")).as("sc"), count(lit(1)).as("nc"))
+        .localCheckpoint(true) // ≤5k rows; own/min/argmin legs share it
+      val own = sic.filter(col("la") === col("lb"))
+        .select(col("ia"), col("la"), col("sc").as("a_num"),
+          col("nc").as("a_den"))
+      val others = sic.filter(col("la") =!= col("lb"))
+      val o2 = others.select(col("ia").as("ia2"), col("sc").as("sc2"),
+        col("nc").as("nc2"), col("lb").as("lb2"))
+      val bmin = others.join(broadcast(o2), col("ia") === col("ia2"))
+        .withColumn("better", when(
+          expr("sc2 * nc < sc * nc2") ||
+            (expr("sc2 * nc = sc * nc2") && col("lb2") < col("lb")), 1L)
+          .otherwise(0L))
+        .groupBy(col("ia"), col("lb"), col("sc"), col("nc"))
+        .agg(sum(col("better")).as("n_better"))
+        .filter(col("n_better") === 0)
+        .select(col("ia"), col("sc").as("b_num"), col("nc").as("b_den"))
+      val si = own.join(bmin, Seq("ia"))
+        .withColumn("s_x1000", expr(
+          """(1000 * (CAST(b_num AS DECIMAL(38,0)) * a_den
+                - CAST(a_num AS DECIMAL(38,0)) * b_den))
+             div greatest(CAST(a_num AS DECIMAL(38,0)) * b_den,
+                CAST(b_num AS DECIMAL(38,0)) * a_den)"""))
+      val dunn = pd.agg(
+        min(when(col("la") =!= col("lb"), col("d"))).as("min_inter"),
+        max(when(col("la") === col("lb"), col("d"))).as("max_intra"))
+        .withColumn("dunn_x1000", when(col("max_intra") <= 0, 0L)
+          .otherwise(expr("(1000 * min_inter) div max_intra")))
+      si.groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("n_points"),
+          expr("sum(s_x1000) div count(*)").as("mean_s_x1000"))
+        .crossJoin(broadcast(dunn))
+        .select(col("label"), col("n_points"), col("mean_s_x1000"),
+          col("min_inter"), col("max_intra"), col("dunn_x1000"))
+        .orderBy("label")
+    }),
+
     "q_embed_quantize" -> ((s, d) => {
       val emb = Quantize.int8(
         Tables.embeddings(s, d).filter(col("vec_id") < 200), "embedding")
@@ -13410,6 +13478,54 @@ object LlmOps {
          FROM ag ORDER BY final_rank""",
 
     // The frequency spectrum, S₂, and the decimal K rendering replayed.
+    // exact L1 pair grid (materialized once), cross-multiplied argmin,
+    // one floored division per point; Dunn off the same pair frame
+    "q_silhouette" ->
+      """WITH pts AS MATERIALIZED (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               AS q
+           FROM embeddings),
+         pd AS MATERIALIZED (
+           SELECT a.vec_id AS ia, a.label AS la, b.label AS lb,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q),
+               p -> abs(p[1] - p[2]))) AS BIGINT) AS d
+           FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+         sic AS MATERIALIZED (
+           SELECT ia, la, lb, CAST(sum(d) AS BIGINT) AS sc,
+             CAST(count(*) AS BIGINT) AS nc
+           FROM pd GROUP BY 1, 2, 3),
+         own AS (SELECT ia, la, sc AS a_num, nc AS a_den
+                 FROM sic WHERE la = lb),
+         oth AS MATERIALIZED (SELECT * FROM sic WHERE la <> lb),
+         bm AS (
+           SELECT o.ia, o.sc AS b_num, o.nc AS b_den
+           FROM oth o JOIN oth p ON p.ia = o.ia
+           GROUP BY o.ia, o.lb, o.sc, o.nc
+           HAVING sum(CASE WHEN p.sc * o.nc < o.sc * p.nc
+             OR (p.sc * o.nc = o.sc * p.nc AND p.lb < o.lb)
+             THEN 1 ELSE 0 END) = 0),
+         si AS (
+           SELECT own.ia, own.la,
+             (1000 * (CAST(b_num AS HUGEINT) * a_den
+                - CAST(a_num AS HUGEINT) * b_den))
+               // greatest(CAST(a_num AS HUGEINT) * b_den,
+                  CAST(b_num AS HUGEINT) * a_den) AS s
+           FROM own JOIN bm ON own.ia = bm.ia),
+         dunn AS (
+           SELECT CAST(min(CASE WHEN la <> lb THEN d END) AS BIGINT)
+               AS min_inter,
+             CAST(max(CASE WHEN la = lb THEN d END) AS BIGINT) AS max_intra
+           FROM pd)
+         SELECT la AS label, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s) // count(*) AS BIGINT) AS mean_s_x1000,
+           min_inter, max_intra,
+           CAST(CASE WHEN max_intra <= 0 THEN 0
+             ELSE (1000 * min_inter) // max_intra END AS BIGINT)
+             AS dunn_x1000
+         FROM si CROSS JOIN dunn
+         GROUP BY la, min_inter, max_intra ORDER BY la""",
+
     // doubled median / doubled-twice MAD order-stat trick (parity-
     // free); the median telescopes out of the pair difference; mad4=0
     // words drop
