@@ -2079,6 +2079,45 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // 14-day RSI (Wilder's relative strength index, SMA variant so the
+    // window is exact — Wilder's own smoothing is an EWMA the q_ewma
+    // family already covers) over daily revenue per priority:
+    // rsi_pm = 1000·ΣG/(ΣG+ΣL) over the trailing 14 gains/losses — one
+    // floored division per day, no 100/(1+RS) reciprocal needed (the
+    // per-mille form is algebraically the same curve). Day-over-day
+    // deltas off the densified calendar (zeros are real readings);
+    // warmup days (<14 prior) emit NULL by stated convention. Emitted
+    // monthly-sampled (day div 30 boundary) to keep the row set
+    // calendar-bounded and the hash stable.
+    "q_rsi" -> ((s, d) => {
+      val dem = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          expr("""CAST(datediff(CAST(o_orderdate AS DATE),
+                  DATE '1970-01-01') AS BIGINT)""").as("day"))
+        .agg(expr("sum(CAST(round(o_totalprice) AS BIGINT)) div 1000").as("x"))
+      val days = dem.select(col("day")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("day")))
+          .cast("long")) // calendar-bounded global window
+      val prios = dem.select(col("prio")).distinct()
+      val wOrd = Window.partitionBy(col("prio")).orderBy(col("idx"))
+      val wRsi = wOrd.rowsBetween(-13, 0)
+      days.crossJoin(broadcast(prios))
+        .join(dem, Seq("prio", "day"), "left")
+        .na.fill(0L, Seq("x"))
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(wOrd))
+        .withColumn("g", greatest(col("dx"), lit(0L)))
+        .withColumn("l", greatest(-col("dx"), lit(0L)))
+        .withColumn("n_win", count(col("dx")).over(wRsi))
+        .withColumn("sg", sum(col("g")).over(wRsi))
+        .withColumn("sl", sum(col("l")).over(wRsi))
+        .withColumn("rsi_pm", when(col("n_win") < 14, lit(null).cast("long"))
+          .when(col("sg") + col("sl") === 0, 500L)
+          .otherwise(expr("(1000 * sg) div (sg + sl)")))
+        .filter(pmod(col("idx"), lit(30L)) === 0)
+        .select(col("prio"), col("day"), col("x"), col("rsi_pm"))
+        .orderBy("prio", "day")
+    }),
+
     // Rescaled-range (Hurst R/S) scaling census per priority: at block
     // sizes w ∈ {8,16,32,64} days, the squared rescaled range of daily
     // revenue — (R/σ)²·n per block, averaged over all FULL blocks —
@@ -6429,6 +6468,43 @@ object Relational {
          SELECT k AS o_orderpriority, n AS n_demand, z AS level_q,
            p AS interval_p, (1000 * z) // p AS rate_x1000
          FROM rec WHERE rn = n ORDER BY o_orderpriority""",
+
+    // trailing-14 gain/loss sums, one floored per-mille division,
+    // monthly-sampled emit; warmup NULL
+    "q_rsi" ->
+      """WITH dem AS (
+           SELECT o_orderpriority AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               // 1000 AS x
+           FROM orders GROUP BY 1, 2),
+         days AS (
+           SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             AS idx
+           FROM (SELECT DISTINCT day FROM dem)),
+         prios AS (SELECT DISTINCT prio FROM dem),
+         dense AS (
+           SELECT p.prio, days.day, days.idx, coalesce(x, 0) AS x
+           FROM days CROSS JOIN prios p
+           LEFT JOIN dem ON dem.prio = p.prio AND dem.day = days.day),
+         dx AS (
+           SELECT prio, day, idx, x,
+             x - lag(x) OVER (PARTITION BY prio ORDER BY idx) AS dx
+           FROM dense),
+         gl AS (
+           SELECT prio, day, idx, x,
+             CAST(count(dx) OVER w AS BIGINT) AS n_win,
+             CAST(sum(greatest(dx, 0)) OVER w AS BIGINT) AS sg,
+             CAST(sum(greatest(-dx, 0)) OVER w AS BIGINT) AS sl
+           FROM dx
+           WINDOW w AS (PARTITION BY prio ORDER BY idx
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT prio, day, x,
+           CAST(CASE WHEN n_win < 14 THEN NULL
+             WHEN sg + sl = 0 THEN 500
+             ELSE (1000 * sg) // (sg + sl) END AS BIGINT) AS rsi_pm
+         FROM gl WHERE idx % 30 = 0 ORDER BY prio, day""",
 
     // integer cumulative deviations x n, one floored division per
     // block; full blocks only
