@@ -30,6 +30,57 @@ object Checkpoints {
   def pinnedRdd(df: DataFrame): Option[RDD[_]] =
     df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
 
+  private val statsCap = BigInt(Long.MaxValue)
+
+  /** `localCheckpoint` with the carried size ESTIMATE clamped.
+    *
+    * Spark 4's `Dataset.localCheckpoint` truncates the plan to a
+    * [[LogicalRDD]] but forwards the origin plan's `Statistics`
+    * (`originStats`) through the checkpoint. In an iterative operator
+    * that is a time bomb: each round's plan joins the previous pin
+    * against itself, size estimates MULTIPLY (`SizeInBytesOnlyStats
+    * PlanVisitor` takes the product of join children), and the carried
+    * BigInt doubles in BIT LENGTH per round — after k rounds the
+    * estimate is a 63·2^k-bit number, and merely COMPUTING the next
+    * round's stats does Karatsuba/Toom-Cook products that freeze the
+    * driver (measured: boruvkaMsf at sf0.01 planned round-2 labels for
+    * 16+ minutes on ~10⁶-bit integers; single loops like minLabel stay
+    * ≤ ~4·10³ bits only because they converge in few rounds).
+    *
+    * The clamp caps `sizeInBytes` / `rowCount` at `Long.MaxValue`.
+    * Below the cap the carried estimate passes through UNTOUCHED, so
+    * broadcast-by-size decisions on small pinned frames are identical;
+    * above it every value behaves the same anyway (nothing past the
+    * broadcast threshold is size-sensitive), so collapsing to the cap
+    * changes no plan — it only bounds the arithmetic. Every iterative
+    * loop should pin through here rather than bare `localCheckpoint`.
+    */
+  def pin(df: DataFrame, eager: Boolean = true): DataFrame =
+    clampCarriedStats(df.localCheckpoint(eager))
+
+  /** Re-wrap `df` (a checkpoint-returned frame) with its carried
+    * statistics clamped to [[statsCap]]; identity when already sane.
+    * Output attributes, the pinned RDD, partitioning, and ordering are
+    * preserved — only the runaway estimate is replaced.
+    */
+  def clampCarriedStats(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case l: LogicalRDD =>
+        val s = l.stats
+        if (s.sizeInBytes <= statsCap && s.rowCount.forall(_ <= statsCap)) df
+        else {
+          val clamped = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = s.sizeInBytes.min(statsCap),
+            rowCount = s.rowCount.map(_.min(statsCap)))
+          val session = df.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session,
+            LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+              l.isStreaming, l.stream)(session, Some(clamped), None))
+        }
+      case _ => df
+    }
+
   /** Unpersist the checkpoint storage behind each frame (non-blocking). */
   def release(dfs: Seq[DataFrame]): Unit =
     dfs.foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))

@@ -52,16 +52,20 @@ object Components {
     // INPUT checkpoints first: the symmetrizing union would otherwise
     // evaluate the caller's pair pipeline (e.g. the full LSH+verify
     // dedup path) once per branch.
-    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).localCheckpoint(true)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    // Checkpoints.pin (NOT bare localCheckpoint): the checkpoint carries
+    // the origin plan's size estimate, and a loop that re-pins a frame
+    // derived from the previous pin SQUARES that estimate per round —
+    // see the pin scaladoc for the measured planning freeze. Every
+    // checkpoint in this loop goes through the clamp.
+    val p = Checkpoints.pin(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val edges = Checkpoints.pin(
+      p.union(p.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // RDD-level release: Dataset.unpersist goes through the CacheManager
     // and leaves checkpoint storage pinned (see Checkpoints)
     Checkpoints.release(Seq(p))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.pin(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var prevRound = labels // previous round's checkpointed data
     var iter = 0
     var changed = 1L
@@ -83,10 +87,11 @@ object Components {
       // here would run a second, redundant job per round (the exact
       // fixed overhead that made PageRank's toy-graph rounds cost
       // seconds each)
-      val next = afterProp.join(byId, Seq("label"), "left")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(false)
+      val next = Checkpoints.pin(
+        afterProp.join(byId, Seq("label"), "left")
+          .select(col("id"), col("old"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label")),
+        eager = false)
       changed = next.filter(col("label") < col("old")).count()
       // only the current round's checkpoint stays persisted — without the
       // explicit release every historical label table accumulates in

@@ -365,6 +365,69 @@ object Graphs {
     dist
   }
 
+  /** Fixed-horizon Katz centrality (Katz 1953) with a DYADIC damping
+    * factor — the walk-counting member of the centrality row:
+    * PageRank divides by out-degree every hop (prestige diffuses),
+    * Katz counts ALL incoming walks, damped α per hop. With α =
+    * 1/`alphaDenom` and horizon K = `rounds`, the truncated series
+    * Σ_{k≤K} αᵏ(Aᵏ1)(v) is emitted ×alphaDenom^K — i.e.
+    * `katz_num`(v) = Σ_{k=0}^{K} alphaDenom^{K−k} · pₖ(v), where
+    * pₖ(v) = #walks of length k ending at v — so the whole computation
+    * is INTEGER walk counting with zero divisions (contrast
+    * [[PageRank.integerPageRank]]'s per-round floored shares, which
+    * need renormalization pins). Walk counts ride DECIMAL(38,0) with
+    * loud cast-down: pₖ ≤ (max in-degree)ᵏ·|V| grows fast, and a
+    * silent BIGINT wrap would be an ordering bug, not noise.
+    *
+    * 100 TB shape: the edge list pins once (hash-partitioned on
+    * `src`); each of the K rounds is ONE data-sized shuffle — the
+    * (dst, walk-count) sum, map-side combined — and the weighted
+    * accumulation folds as a union + final sum, never a driver loop
+    * over nodes. K is a stated horizon (the α-damped tail beyond K is
+    * bounded by (α·d_max)^K — pick K where that is below the emitted
+    * grain), so cost is K shuffles regardless of |V|.
+    *
+    * Multi-edges count as parallel walks (multigraph semantics);
+    * callers wanting simple-graph Katz dedup the edge list first.
+    */
+  def katzRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int,
+      alphaDenom: Long = 4L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(alphaDenom >= 2, s"alphaDenom must be >= 2, got $alphaDenom")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).transform(Checkpoints.pin(_, eager = false))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .transform(Checkpoints.pin(_, eager = false))
+    val pins = scala.collection.mutable.Buffer[DataFrame](e, nodes)
+    // p_0 = 1 per node; contribution weight alphaDenom^(rounds - k)
+    def w(k: Int): Column =
+      lit(BigDecimal(BigInt(alphaDenom).pow(rounds - k)).bigDecimal).cast(dec)
+    var p = nodes.withColumn("pk", lit(1L).cast(dec))
+    val contribs = scala.collection.mutable.Buffer[DataFrame](
+      p.select(col("id"), (col("pk") * w(0)).as("c")))
+    for (k <- 1 to rounds) {
+      val next = e.join(p.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("pk")).as("pk"))
+      p = if (k == rounds) next else {
+        val pin = Checkpoints.pin(next, eager = false); pins += pin; pin
+      }
+      contribs += p.select(col("id"), (col("pk") * w(k)).as("c"))
+    }
+    val out = contribs.reduce(_ union _)
+      .groupBy(col("id"))
+      .agg(loudDecToLong(sum(col("c")), "katzRounds: walk-count sum exceeds BIGINT")
+        .as("katz_num"))
+    val materialized = out.localCheckpoint(true)
+    Checkpoints.release(pins.toSeq)
+    materialized
+  }
+
   /** Fixed-round synchronous label propagation (Raghavan, Albert &
     * Kumara 2007, "Near linear time algorithm to detect community
     * structures") over the undirected graph of `pairs`: every node
@@ -684,6 +747,160 @@ object Graphs {
     traj
       .withColumn("is_best", row_number().over(wBest) === 1) // ≤rounds+1 rows
       .orderBy("round")
+  }
+
+  /** Distributed minimum spanning forest — Borůvka (1926), the graph
+    * algorithm that is NATIVELY round-parallel: every round EVERY
+    * component simultaneously grabs its lightest outgoing edge, the
+    * chosen edges merge components, and the component count at least
+    * halves — O(log |V|) rounds total, each round two data-sized
+    * shuffles (the component labeling join + the per-component min).
+    * Contrast Kruskal (a sequential edge scan through a global sort —
+    * inherently driver-ordered) and Prim (one frontier, no
+    * parallelism): at 100 TB Borůvka is the only member of the MST
+    * row whose round count doesn't scale with the data.
+    *
+    * Determinism: edges are totally ordered by struct(w, u, v)
+    * lexicographic min — the canonical distinct-weight surrogate — so
+    * the forest is UNIQUE and both engines (Spark min(struct), DuckDB
+    * Kruskal under the same order) agree edge-for-edge. Contraction
+    * runs [[Components.minLabel]] over the per-round COMPONENT merge
+    * graph (one node per live component, one edge per chosen merge —
+    * halving every round), then composes the labels into the vertex
+    * map with one join — never re-solving the accumulated forest,
+    * whose diameter (and hence minLabel iteration count) GROWS with
+    * rounds. Self-loops drop;
+    * parallel edges keep their (w, u, v)-min. Unfinished after
+    * `maxRounds` (crossing edges remain) raises loudly — a partial
+    * forest would silently read as "these components are
+    * disconnected".
+    *
+    * Emits the forest edge list (u, v, w).
+    */
+  def boruvkaMsf(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      maxRounds: Int = 12): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).as("w"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), col("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(min(col("w")).as("w"))
+      .repartition(col("u"))
+      .transform(Checkpoints.pin(_))
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct()
+      .transform(Checkpoints.pin(_))
+    // all pins in this DOUBLY-iterative loop (Borůvka rounds × minLabel
+    // rounds inside) go through Checkpoints.pin — the carried-stats
+    // squaring compounds across BOTH loops and froze the sf0.01 planner
+    // for 16+ minutes before the clamp (see Checkpoints.pin scaladoc)
+    // lazy initial pin: round 1's crossing count materializes it — an
+    // eager pin here would be one more driver-blocking job
+    var comp = Checkpoints.pin(nodes.withColumn("comp", col("id")), eager = false)
+    var prevComp = comp
+    // per-round chosen-edge frames accumulate here (lazily pinned, each
+    // materialized by its round's comp job) and union into the forest
+    // ONCE after the loop — the forest is never read inside it
+    val chosenPins = scala.collection.mutable.Buffer[DataFrame]()
+    var crossing = 1L
+    var round = 0
+    // pointer-jump budget for the contraction step: jumping halves the
+    // hooking forest's depth each time, and depth can never exceed the
+    // component count (≤ |V|), so ceil(log2 |V|) + 1 LAZY jumps always
+    // compress fully — no per-jump convergence action needed (an
+    // UNDER-compressed map would be a correctness bug: a later round
+    // would see one merged component under two labels and could add a
+    // cycle edge to the forest)
+    val jumps = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, nodes.count())))
+    while (crossing > 0 && round < maxRounds) {
+      val cross = canon
+        .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .transform(Checkpoints.pin(_, eager = false))
+      crossing = cross.count()
+      if (crossing > 0) {
+        // (w, u, v) leads the struct so min() picks the canonical edge;
+        // cu/cv ride behind it (the edge key is unique, so they never
+        // decide the order) — they name the two components the chosen
+        // edge merges, which feeds the CONTRACTION step below
+        val incident = cross
+          .select(col("cu").as("c"),
+            struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e"))
+          .union(cross
+            .select(col("cv").as("c"),
+              struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e")))
+        val chosenE = incident.groupBy(col("c")).agg(min(col("e")).as("e"))
+          .transform(Checkpoints.pin(_, eager = false))
+        chosenPins += chosenE
+        // contraction: the merge graph (one node per live component,
+        // its chosen merge as the single out-edge) is a FUNCTIONAL
+        // pseudo-forest — every tree hangs off exactly one mutual-min
+        // 2-cycle — so component labels resolve by pointer jumping on
+        // the parent map: break the 2-cycle to its least member (the
+        // only root), then `jumps` lazily CHAINED p∘p self-joins. No
+        // minLabel, no per-jump driver action: the whole chain
+        // materializes in the ONE eager comp pin below. (Re-solving
+        // the accumulated forest per round — the first-cut shape —
+        // grew the inner CC's iteration count with forest diameter and
+        // cost ~7 driver actions per round; this is 1.)
+        val parent0 = chosenE.select(col("c"),
+          when(col("c") === col("e.cu"), col("e.cv")).otherwise(col("e.cu"))
+            .as("p"))
+        val p1 = parent0
+          .join(parent0.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
+          .select(col("c"),
+            when(col("pp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p"))
+        // the jumps run at the RDD layer: each Catalyst lazy pin in a
+        // DataFrame jump chain costs a full analyze+optimize+plan pass
+        // (~0.25 s of DRIVER time per pin, measured), which dominated
+        // the whole operator; RDD self-joins plan nothing, chain into
+        // the one comp-pin job below, and shuffle the same tiny
+        // (component, parent) pairs. Generic over the id type — only
+        // key equality/hashing is used, never ordering.
+        // components at least halve per round, so the depth bound (and
+        // the jump budget) shrinks by one each round
+        val roundJumps = math.max(1, jumps - round)
+        val p1rdd = p1.rdd.map(r => (r.get(0), r.get(1)))
+        var pkRdd = p1rdd
+        for (_ <- 1 to roundJumps)
+          pkRdd = pkRdd.map { case (c, pv) => (pv, c) }
+            .leftOuterJoin(pkRdd)
+            .map { case (pv, (c, pj)) => (c, pj.getOrElse(pv)) }
+        val labels = comp.sparkSession.createDataFrame(
+          pkRdd.map { case (c, pv) => org.apache.spark.sql.Row(c, pv) },
+          p1.schema)
+        comp = Checkpoints.pin(
+          comp.join(labels.withColumnRenamed("c", "comp"), Seq("comp"), "left")
+            .select(col("id"), coalesce(col("p"), col("comp")).as("comp")))
+        Checkpoints.release(Seq(prevComp, cross))
+        prevComp = comp
+      } else Checkpoints.release(Seq(cross))
+      round += 1
+    }
+    if (crossing > 0)
+      throw new IllegalStateException(
+        s"boruvkaMsf did not finish within $maxRounds rounds " +
+          s"($crossing crossing edges remain) — raise maxRounds; a " +
+          "partial forest would silently read as disconnection")
+    // one distinct over the union replays the per-round dedup (both
+    // endpoint components choosing the same edge); cross-round dups
+    // cannot exist (a forest edge is intra-component ever after)
+    val msf = Checkpoints.pin(
+      if (chosenPins.isEmpty) canon.limit(0)
+      else chosenPins.map(_.select(col("e.u").as("u"), col("e.v").as("v"),
+          col("e.w").as("w")))
+        .reduce(_ union _).distinct())
+    Checkpoints.release(chosenPins.toSeq :+ canon :+ nodes :+ prevComp)
+    msf
   }
 
   /** Rich-club coefficient (Zhou & Mondragón 2004) at each degree cut

@@ -328,6 +328,54 @@ object Stats {
             "(1000 * CAST(d_num AS DECIMAL(38,0))) div (CAST(n1 AS DECIMAL(38,0)) * n2)")))
   }
 
+  /** Two-sample Kuiper statistic (Kuiper 1960) — the member of the
+    * two-sample row that treats BOTH tails symmetrically: V = D⁺ + D⁻,
+    * the sup of F_A − F_B PLUS the sup of F_B − F_A, where KS keeps
+    * only the larger. On a circular domain (hour-of-day, day-of-week)
+    * V is invariant to rotations of the origin, which makes it the
+    * canonical drift test for cyclic covariates; on the line it flags
+    * the "A shifted left in one tail, right in the other" pattern a
+    * single sup halves. Same exact cross-multiplied spine as
+    * [[ksTwoSample]]: with Δ(v) = cumA·n₂ − cumB·n₁, `dplus_num` =
+    * max(Δ) and `dminus_num` = max(−Δ) (the spine's last row has
+    * Δ = 0, so both maxes are ≥ 0 without a clamp; the lit(0)
+    * greatest() is belt for a vacuous side), and `v_pm` =
+    * (1000·(D⁺+D⁻)) div (n₁·n₂) in DECIMAL(38,0) — V can reach 2, so
+    * v_pm tops out at 2000. Guard and cost identical to KS.
+    */
+  def kuiper(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val maxN = 1000000000L
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("n1", sum(col("__a")).over(wAll))
+      .withColumn("n2", sum(col("__b")).over(wAll))
+      .withColumn("__d", col("__ca") * col("n2") - col("__cb") * col("n1"))
+      .groupBy(keys: _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        greatest(max(col("__d")), lit(0L)).as("dplus_num"),
+        greatest(max(-col("__d")), lit(0L)).as("dminus_num"))
+      .withColumn("v_pm",
+        when(col("n1") > maxN || col("n2") > maxN,
+          raise_error(lit(s"kuiper: sample size exceeds exact BIGINT bound $maxN"))
+            .cast("long"))
+          .when(col("n1") === 0 || col("n2") === 0, 0L)
+          .otherwise(expr(
+            """(1000 * (CAST(dplus_num AS DECIMAL(38,0)) + dminus_num))
+               div (CAST(n1 AS DECIMAL(38,0)) * n2)""")))
+  }
+
   /** Two-sample Cramér–von Mises statistic (Anderson 1962) — the L2
     * companion to [[ksTwoSample]]'s sup metric: T = n₁n₂/N² ·
     * Σ_pooled (F₁ − F₂)², which weights EVERY ECDF gap instead of only
@@ -395,6 +443,87 @@ object Stats {
                 * col("n1") * col("n2"))).cast(dec),
             "cramerVonMises", "t_x1000")))
       .drop("__t_num", "__null_terms")
+  }
+
+  /** Two-sample Anderson–Darling statistic (Pettitt 1976; the k=2,
+    * no-midrank form of Scholz–Stephens 1987 eq. 3) — the
+    * tail-weighted member of the two-sample row: where
+    * [[cramerVonMises]] weights every ECDF gap equally, AD divides
+    * each gap by B·(N−B), so discrepancies in the distribution TAILS
+    * (where B(N−B) is small) dominate — the test a heavy-tail drift
+    * monitor wants. Over the pooled distinct-value spine with tie
+    * mass l(v), cumulative pool count B(v) and cumulative A-count
+    * M(v), with Δ(v) = N·M(v) − n₁·B(v):
+    *   A² = (1/(n₁·n₂)) · Σ_{v: B(v)<N} l(v)·Δ(v)² / (B(v)·(N−B(v)))
+    * (the last spine row B=N is excluded — its weight is 0/0 and
+    * every textbook form drops it). Emitted `a2_x1000` by the
+    * two-stage floor rendering: each term floors ONCE at ×1000
+    * (`(1000·l·Δ²) div (B·(N−B))` — denominators vary per row, so a
+    * common-denominator single division does not exist), the term sum
+    * then floors ONCE by n₁·n₂. Both floors replay bit-identically in
+    * DuckDB HUGEINT. Per-row bound: |Δ| ≤ n₁·n₂ ⇒ 1000·l·Δ² ≤
+    * 1000·N⁵/16, inside DECIMAL(38,0) for N ≤ 1.6·10⁷ (1000·N⁵/16 =
+    * 6.6·10³⁷ < 10³⁸) — guard per side n₁, n₂ ≤ maxN = 8·10⁶ and,
+    * like CvM, COUNT nulled per-row terms
+    * and raise (sum() would silently skip an overflowed row). Same
+    * one-aggregate + one-cumulative-window cost as KS/CvM.
+    */
+  def andersonDarling(
+      df: DataFrame,
+      keyCols: Seq[String],
+      inACol: String,
+      vCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val maxN = 8000000L
+    val perV = df.groupBy(keys :+ col(vCol).as("__v"): _*)
+      .agg(sum(when(col(inACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    perV
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("n1", sum(col("__a")).over(wAll))
+      .withColumn("n2", sum(col("__b")).over(wAll))
+      .withColumn("__bb", col("__ca") + col("__cb"))
+      .withColumn("__d",
+        (col("n1") + col("n2")).cast(dec) * col("__ca")
+          - col("n1").cast(dec) * col("__bb"))
+      // last spine row (B = N) excluded: Δ there is identically 0 and
+      // the weight B·(N−B) is 0 — NULL the term so the null-count
+      // guard below never fires on it
+      .withColumn("__term",
+        when(col("__bb") === col("n1") + col("n2"), lit(null).cast(dec))
+          .otherwise(
+            ((col("__a") + col("__b")).cast(dec) * col("__d") * col("__d") * 1000
+              - (col("__a") + col("__b")).cast(dec) * col("__d") * col("__d") * 1000
+                % (col("__bb").cast(dec) * (col("n1") + col("n2") - col("__bb"))))
+              / (col("__bb").cast(dec) * (col("n1") + col("n2") - col("__bb")))))
+      .withColumn("__last", when(col("__bb") === col("n1") + col("n2"), 1L).otherwise(0L))
+      .groupBy(keys: _*)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("__term")).as("__s"),
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).as("__null_terms"),
+        sum(col("__last")).as("__n_last"))
+      .withColumn("a2_x1000",
+        when(col("n1") > maxN || col("n2") > maxN,
+          raise_error(lit(s"andersonDarling: sample size exceeds exact bound $maxN"))
+            .cast("long"))
+          // exactly ONE null term is legitimate: the B=N spine row
+          .when(col("__null_terms") > col("__n_last"),
+            raise_error(lit("andersonDarling: per-row l*delta^2 overflowed DECIMAL(38,0)"))
+              .cast("long"))
+          .when(col("n1") === 0 || col("n2") === 0, 0L)
+          .otherwise(loudLong({
+            // single-distinct-value pool: only the excluded B=N row
+            // exists, sum() is NULL — the statistic is 0 by convention
+            val s = coalesce(col("__s"), lit(0).cast(dec))
+            ((s - s % (col("n1").cast(dec) * col("n2")))
+              / (col("n1").cast(dec) * col("n2"))).cast(dec)
+          }, "andersonDarling", "a2_x1000")))
+      .drop("__s", "__null_terms", "__n_last")
   }
 
   /** McNemar's test (1947) for PAIRED binary verdicts — do two
@@ -1166,6 +1295,67 @@ object Stats {
         when(col("n1") === 0 || col("n2") === 0, 0L).otherwise(
           expr("""(1000 * (CAST(p_gt AS DECIMAL(38,0)) - p_lt))
                   div (CAST(n1 AS DECIMAL(38,0)) * n2)""")))
+  }
+
+  /** Krippendorff's alpha (1970, nominal metric) — the agreement
+    * coefficient that handles MISSING ratings, which is the case
+    * [[fleissKappa]] (fixed k per subject) and [[kappa]] (exactly two
+    * raters) cannot express: units carry a VARIABLE number of ratings
+    * m_u, units with m_u < 2 drop (they contain no pairable
+    * information), and every pairable rating weighs equally. From the
+    * coincidence-matrix form, with o_uc = ratings of category c in
+    * unit u, n = Σ_{m_u≥2} m_u, n_c the category totals over those
+    * units:
+    *   α = 1 − (n−1)·[Σ_u Σ_c o_uc(m_u−o_uc)/(m_u−1)] / [Σ_c n_c(n−n_c)]
+    * The only non-integer is the per-unit 1/(m_u−1); scaling by
+    * S = 420 = lcm(1..7) makes `420 div (m_u−1)` EXACT for m_u ≤ 8
+    * (loud above — more than 8 raters needs a bigger lcm, a stated
+    * envelope, not a silent floor), so `alpha_pm` = 1000 −
+    * (1000·(n−1)·Do_scaled) div (420·(n² − Σn_c²)) is one floored
+    * division in DECIMAL(38,0). Σ_c n_c(n−n_c) = n² − Σn_c² folds off
+    * the category totals without a second pass. Degenerate keys
+    * (every rating one category ⇒ De = 0 ⇒ Do = 0 too) emit 1000.
+    * Cost: one (unit, category) aggregate, one unit window for m_u,
+    * one category aggregate, one bounded key-level join.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      keyCols: Seq[String],
+      unitCol: String,
+      catCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val ouc = df.groupBy(keys :+ col(unitCol).as("__u") :+ col(catCol).as("__c"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val wUnit = Window.partitionBy(keys :+ col("__u"): _*)
+    val scored = ouc.withColumn("__m", sum(col("__o")).over(wUnit))
+      .filter(col("__m") >= 2)
+      .withColumn("__do",
+        col("__o") * (col("__m") - col("__o")) * expr("420 div (__m - 1)"))
+    val catTot = scored
+      .groupBy(keys :+ col("__c"): _*)
+      .agg(sum(col("__o")).as("__nc"), sum(col("__do")).as("__docat"),
+        max(col("__m")).as("__mmax"))
+    val units = scored.groupBy(keys: _*)
+      .agg(countDistinct(col("__u")).as("n_units"))
+    catTot.groupBy(keys: _*)
+      .agg(sum(col("__nc")).as("n_ratings"),
+        sum(col("__docat")).as("__dos"),
+        sum(col("__nc").cast(dec) * col("__nc")).as("__ncsq"),
+        max(col("__mmax")).as("__mmax"))
+      .join(units, keyCols)
+      .withColumn("__de",
+        col("n_ratings").cast(dec) * col("n_ratings") - col("__ncsq"))
+      .withColumn("alpha_pm",
+        when(col("__mmax") > 8,
+          raise_error(lit("krippendorffAlpha: more than 8 ratings in a " +
+            "unit — the 420 = lcm(1..7) exact-weight envelope is stated " +
+            "for m_u <= 8")).cast("long"))
+          .when(col("__de") === 0, 1000L)
+          .otherwise(expr(
+            """CAST(1000 - (1000 * (CAST(n_ratings AS DECIMAL(38,0)) - 1) * __dos)
+               div (420 * __de) AS BIGINT)""")))
+      .select((keys :+ col("n_units") :+ col("n_ratings") :+ col("alpha_pm")): _*)
   }
 
   /** Fleiss' kappa (1971) for k BINARY raters — chance-corrected

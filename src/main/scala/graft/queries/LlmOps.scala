@@ -563,6 +563,26 @@ object LlmOps {
         .orderBy("s_suppkey")
     }),
 
+    // Katz centrality (Graphs.katzRounds) on the same supplier
+    // co-occurrence graph as q_pagerank — the DIVISION-FREE member of
+    // the centrality row: damped walk counting (α = 1/4, horizon 3)
+    // instead of PageRank's per-round floored share diffusion, so the
+    // whole series is exact integer arithmetic emitted ×4³ and the
+    // DuckDB replay is a straight-line join chain with no
+    // renormalization pins to mirror.
+    "q_katz" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val ab = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val pairs = ra.join(ab, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.Graphs.katzRounds(pairs, "src", "dst", rounds = 3)
+        .select(col("id").as("s_suppkey"), col("katz_num"))
+        .orderBy("s_suppkey")
+    }),
+
     // TextRank (Mihalcea & Tarau 2004): PageRank.integerPageRank run
     // on the word co-occurrence graph instead of the supplier graph —
     // non-stopword tokens are nodes, window-2 co-occurrence (over the
@@ -981,6 +1001,31 @@ object LlmOps {
           seeds, "s_suppkey", rounds = 3)
         .select(col("id").as("s_suppkey"), col("dist"))
         .orderBy("s_suppkey")
+    }),
+
+    // Minimum spanning forest (Graphs.boruvkaMsf — distributed
+    // Borůvka, O(log V) rounds of simultaneous per-component lightest-
+    // edge grabs) over the bounded co-supply graph: cheapest backbone
+    // wiring every supplier cohort member through its most frequent
+    // co-occurrence partners (cost = 20 div (n+1) + 1, the
+    // q_shortest_path metric). Edges totally ordered by (w, u, v) so
+    // the forest is unique; the oracle replays KRUSKAL under the same
+    // order via a list_reduce union-find — two different MST
+    // algorithms, one certified edge set.
+    "q_mst" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ra = li.filter(col("l_returnflag") === "R" && col("l_suppkey") < 150)
+        .select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val ab = li.filter(col("l_returnflag") === "A" && col("l_suppkey") < 150)
+        .select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val ed = ra.join(ab, Seq("l_orderkey")).filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("u"),
+          greatest(col("sa"), col("sb")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+        .select(col("u"), col("v"), (expr("20 div (n + 1)") + lit(1L)).as("w"))
+      graft.operators.Graphs.boruvkaMsf(ed, "u", "v", "w")
+        .select(col("u").as("s_a"), col("v").as("s_b"), col("w").as("cost"))
+        .orderBy("s_a", "s_b")
     }),
 
     // Directed-graph census ([[graft.operators.Graphs.degreeStats]]
@@ -5234,6 +5279,40 @@ object LlmOps {
         .orderBy("source")
     }),
 
+    // Krippendorff's alpha (Stats.krippendorffAlpha) on the same three
+    // quality raters — but with ABSTENTIONS, the case Fleiss' fixed-k
+    // design cannot express: the length rater abstains under 10
+    // tokens, repetition under 20, TTR under 30, so units carry 1-3
+    // ratings, single-rating docs drop (no pairable information), and
+    // every pairable rating weighs equally via the exact
+    // 420 div (m_u − 1) unit weights. The nominal-agreement audit a
+    // heuristic-labeling pipeline runs when some signals are
+    // undefined on short inputs.
+    "q_krippendorff" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          gfn.ascii_tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .filter(col("n_tok") > 0)
+        .withColumn("n_dis", size(array_distinct(col("tk"))).cast("long"))
+      val mx = base
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+      val j = base.join(mx, Seq("doc_id"))
+      val ratings = j.filter(col("n_tok") >= 10)
+        .select(col("source"), col("doc_id"),
+          col("n_tok").between(20, 90).as("verdict"))
+        .unionByName(j.filter(col("n_tok") >= 20)
+          .select(col("source"), col("doc_id"),
+            (expr("(mx * 1000) div n_tok") < 150).as("verdict")))
+        .unionByName(j.filter(col("n_tok") >= 30)
+          .select(col("source"), col("doc_id"),
+            (expr("(n_dis * 1000) div n_tok") >= 400).as("verdict")))
+      Stats.krippendorffAlpha(ratings, Seq("source"), "doc_id", "verdict")
+        .orderBy("source")
+    }),
+
     // Cronbach's α (1951) per source: do the three per-mille quality
     // items (TTR, repetition-cleanliness, hapax share) measure ONE
     // construct — i.e. is averaging them into a single quality score
@@ -6004,6 +6083,51 @@ object LlmOps {
         .orderBy("final_rank")
     }),
 
+    // ROUGE-L components (Lin 2004) over consecutive same-(lang,
+    // source) doc pairs: LCS length through the full O(n·m) DP as a
+    // nested codegen fold (3-way-max recurrence — the running-max
+    // form needs no intra-row back-reference beyond the append), on
+    // 30-token-capped prefixes so per-pair cost is a constant ~27k
+    // fold steps regardless of SF — embarrassingly parallel across
+    // pairs, the bounded-single-row-fold exception (q_dtw precedent).
+    // P/R/F all exact per-mille off the integer LCS (F1 = 2l/(m+n) —
+    // the harmonic mean collapses to one division). DuckDB replays
+    // the identical DP via nested list_reduce over per-token
+    // ys-position masks (exact equality, no hashing).
+    "q_rouge_lcs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          slice(gfn.ascii_tokens(col("text")), 1, 30).as("tk"))
+        .filter(size(col("tk")) > 0)
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      base
+        .withColumn("doc_id_b", lead(col("doc_id"), 1).over(w))
+        .withColumn("tk_b", lead(col("tk"), 1).over(w))
+        .filter(col("doc_id_b").isNotNull)
+        .withColumn("len_a", size(col("tk")).cast("long"))
+        .withColumn("len_b", size(col("tk_b")).cast("long"))
+        .withColumn("lcs_len", expr(
+          """aggregate(tk,
+               array_repeat(CAST(0 AS BIGINT), size(tk_b) + 1),
+               (row, x) -> aggregate(
+                 sequence(1, size(tk_b)),
+                 array(CAST(0 AS BIGINT)),
+                 (nr, j) -> concat(nr, array(greatest(
+                   element_at(nr, -1),
+                   element_at(row, j + 1),
+                   element_at(row, j)
+                     + IF(element_at(tk_b, j) = x, 1L, 0L)))),
+                 nr -> nr),
+               row -> element_at(row, -1))"""))
+        .select(col("doc_id").as("doc_id_a"), col("doc_id_b"),
+          col("len_a"), col("len_b"), col("lcs_len"),
+          expr("(1000 * lcs_len) div len_a").as("recall_pm"),
+          expr("(1000 * lcs_len) div len_b").as("precision_pm"),
+          expr("(2000 * lcs_len) div (len_a + len_b)").as("f_pm"))
+        .orderBy("doc_id_a")
+    }),
+
     // BLEU-1/2 components (Papineni et al. 2002) over the blocked
     // near-dup pairs: CLIPPED multiset n-gram precisions — the
     // asymmetric candidate-vs-reference overlap the set-based
@@ -6255,6 +6379,49 @@ object LlmOps {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
       Stats.cramerVonMises(o, Seq("n_name"), "in_a", "v")
         .orderBy("n_name")
+    }),
+
+    // Anderson–Darling two-sample test (Stats.andersonDarling) on the
+    // q_ks_test cohort frame — the TAIL-weighted member of the
+    // two-sample row: each ECDF gap divided by B·(N−B), so extreme-
+    // price divergence between urgent and low-priority orders
+    // dominates where KS (sup) and CvM (uniform L2) dilute it. Exact
+    // per-term floors in DECIMAL(38,0), replayed in DuckDB HUGEINT.
+    "q_ad_test" -> ((s, d) => {
+      val nat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(nat, col("o_custkey") === col("c_custkey"))
+        .select(col("n_name"),
+          (col("o_orderpriority") === "1-URGENT").as("in_a"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      Stats.andersonDarling(o, Seq("n_name"), "in_a", "v")
+        .orderBy("n_name")
+    }),
+
+    // Kuiper two-sample test (Stats.kuiper) on a CYCLIC covariate —
+    // each event type's hour-of-day distribution against the 'click'
+    // baseline: V = D⁺ + D⁻ weights both tails symmetrically and is
+    // rotation-invariant on the 24-hour circle, the property that
+    // makes it the canonical cyclic drift test where KS's single sup
+    // (q_ks_test) is origin-dependent. The baseline replicates once
+    // per compared type — bounded by the event-type catalog (5), never
+    // by row count. Exact cross-multiplied spine; v_pm tops at 2000.
+    "q_kuiper" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      val others = ev.filter(col("event_type") =!= "click")
+      val frame = others
+        .select(col("event_type"), lit(true).as("in_a"), col("hr"))
+        .unionByName(
+          broadcast(others.select(col("event_type")).distinct())
+            .crossJoin(ev.filter(col("event_type") === "click").select(col("hr")))
+            .select(col("event_type"), lit(false).as("in_a"), col("hr")))
+      Stats.kuiper(frame, Seq("event_type"), "in_a", "hr")
+        .orderBy("event_type")
     }),
 
     // Ansari–Bradley scale test (Stats.ansariBradley) on the q_ks_test
@@ -10588,6 +10755,39 @@ object LlmOps {
            FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id AS s_suppkey, score AS pr FROM s3 ORDER BY s_suppkey""",
 
+    // damped walk counting ×4³: p_k = join-chain walk counts, score =
+    // 64 + 16·p1 + 4·p2 + p3 over the node spine — zero divisions
+    "q_katz" ->
+      """WITH ra AS (
+           SELECT l_orderkey, l_suppkey AS src FROM lineitem
+           WHERE l_returnflag = 'R'),
+         ab AS (
+           SELECT l_orderkey, l_suppkey AS dst FROM lineitem
+           WHERE l_returnflag = 'A'),
+         pairs AS (
+           SELECT DISTINCT src, dst FROM ra JOIN ab USING (l_orderkey)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT src AS id FROM pairs
+           UNION SELECT DISTINCT dst FROM pairs),
+         p1 AS (
+           SELECT dst AS id, CAST(count(*) AS HUGEINT) AS pk
+           FROM pairs GROUP BY 1),
+         p2 AS (
+           SELECT p.dst AS id, sum(p1.pk) AS pk
+           FROM pairs p JOIN p1 ON p.src = p1.id GROUP BY 1),
+         p3 AS (
+           SELECT p.dst AS id, sum(p2.pk) AS pk
+           FROM pairs p JOIN p2 ON p.src = p2.id GROUP BY 1)
+         SELECT n.id AS s_suppkey,
+           CAST(64 + 16 * coalesce(p1.pk, 0) + 4 * coalesce(p2.pk, 0)
+             + coalesce(p3.pk, 0) AS BIGINT) AS katz_num
+         FROM nodes n
+         LEFT JOIN p1 ON n.id = p1.id
+         LEFT JOIN p2 ON n.id = p2.id
+         LEFT JOIN p3 ON n.id = p3.id
+         ORDER BY s_suppkey""",
+
     // q_pagerank's 3-round replay on the window-2 word graph; top-20
     // after the final round
     "q_textrank" ->
@@ -11792,6 +11992,53 @@ object LlmOps {
          SELECT id AS s_suppkey, CAST(dist AS BIGINT) AS dist
          FROM r3 ORDER BY s_suppkey""",
 
+    // KRUSKAL under the same (w,u,v) total order Borůvka uses — the
+    // unique forest certified by two different algorithms. Union-find
+    // rides one list_reduce: acc = node labels (positions 1..V)
+    // followed by NEGATED chosen edge ids (labels are positive, so the
+    // relabel transform never touches them); both lambda branches
+    // rebuild the list fresh (the documented list_reduce hazard).
+    "q_mst" ->
+      """WITH ra AS (
+           SELECT l_orderkey, l_suppkey AS sa FROM lineitem
+           WHERE l_returnflag = 'R' AND l_suppkey < 150),
+         ab AS (
+           SELECT l_orderkey, l_suppkey AS sb FROM lineitem
+           WHERE l_returnflag = 'A' AND l_suppkey < 150),
+         pw AS (
+           SELECT least(sa, sb) AS u, greatest(sa, sb) AS v,
+             CAST(count(*) AS BIGINT) AS n
+           FROM ra JOIN ab USING (l_orderkey) WHERE sa <> sb GROUP BY 1, 2),
+         ed AS (SELECT u, v, 20 // (n + 1) + 1 AS w FROM pw),
+         nodes AS (
+           SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS idx
+           FROM (SELECT DISTINCT u AS id FROM ed UNION SELECT DISTINCT v FROM ed)),
+         eord AS (
+           SELECT e.u, e.v, e.w, nu.idx AS iu, nv.idx AS iv,
+             CAST(row_number() OVER (ORDER BY e.w, e.u, e.v) AS BIGINT) AS eid
+           FROM ed e JOIN nodes nu ON e.u = nu.id JOIN nodes nv ON e.v = nv.id),
+         init AS (
+           SELECT list_transform(range(1, (SELECT count(*) FROM nodes) + 1),
+             x -> CAST(x AS BIGINT)) AS labels),
+         triples AS (
+           SELECT list_sort(list(([eid, iu, iv])::BIGINT[]), 'ASC') AS es
+           FROM eord),
+         red AS (
+           SELECT list_reduce(
+             list_prepend(labels, (SELECT es FROM triples)),
+             (acc, e) -> CASE WHEN acc[e[2]] = acc[e[3]]
+               THEN list_concat(acc, []::BIGINT[])
+               ELSE list_concat(
+                 list_transform(acc, x -> CASE
+                   WHEN x = greatest(acc[e[2]], acc[e[3]])
+                   THEN least(acc[e[2]], acc[e[3]]) ELSE x END),
+                 [-e[1]]) END) AS st
+           FROM init),
+         chosen AS (
+           SELECT -unnest(list_filter(st, x -> x < 0)) AS eid FROM red)
+         SELECT e.u AS s_a, e.v AS s_b, e.w AS cost
+         FROM chosen c JOIN eord e USING (eid) ORDER BY s_a, s_b""",
+
     "q_graph_stats" ->
       """WITH pairs AS (
            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -12730,6 +12977,65 @@ object LlmOps {
                 ELSE (1000 * (a * nk * nk - d * pe))
                   // (d * (nk * nk - pe)) END AS kappa_x1000
          FROM h ORDER BY source""",
+
+    // coincidence-matrix alpha with exact 420//(m-1) unit weights;
+    // units with one rating drop; De folds as n^2 - sum(nc^2)
+    "q_krippendorff" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+           FROM documents),
+         f AS (
+           SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_dis
+           FROM tk WHERE len(t) > 0),
+         m AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c FROM (
+               SELECT doc_id, unnest(t) AS tok FROM tk) GROUP BY 1, 2)
+           GROUP BY 1),
+         j AS (SELECT f.*, m.mx FROM f JOIN m USING (doc_id)),
+         r AS (
+           SELECT source, doc_id, n_tok BETWEEN 20 AND 90 AS verdict
+           FROM j WHERE n_tok >= 10
+           UNION ALL
+           SELECT source, doc_id, (mx * 1000) // n_tok < 150
+           FROM j WHERE n_tok >= 20
+           UNION ALL
+           SELECT source, doc_id, (n_dis * 1000) // n_tok >= 400
+           FROM j WHERE n_tok >= 30),
+         ouc AS (
+           SELECT source, doc_id, verdict, CAST(count(*) AS BIGINT) AS o
+           FROM r GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT *, o * (mu - o) * (420 // (mu - 1)) AS do_ FROM (
+             SELECT *, CAST(sum(o) OVER (PARTITION BY source, doc_id)
+               AS BIGINT) AS mu
+             FROM ouc)
+           WHERE mu >= 2),
+         ct AS (
+           SELECT source, verdict, CAST(sum(o) AS BIGINT) AS nc,
+             CAST(sum(do_) AS BIGINT) AS docat
+           FROM sc GROUP BY 1, 2),
+         un AS (
+           SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units
+           FROM sc GROUP BY 1),
+         ag AS (
+           SELECT source, CAST(sum(nc) AS BIGINT) AS n_ratings,
+             CAST(sum(docat) AS BIGINT) AS dos,
+             sum(CAST(nc AS HUGEINT) * nc) AS ncsq
+           FROM ct GROUP BY 1)
+         SELECT ag.source, n_units, n_ratings,
+           CASE WHEN CAST(n_ratings AS HUGEINT) * n_ratings - ncsq = 0
+                THEN 1000
+                ELSE CAST(1000 -
+                  (1000 * (CAST(n_ratings AS HUGEINT) - 1) * dos)
+                  // (420 * (CAST(n_ratings AS HUGEINT) * n_ratings - ncsq))
+                  AS BIGINT)
+           END AS alpha_pm
+         FROM ag JOIN un USING (source) ORDER BY source""",
 
     // shared-denominator variance numerators; one signed division
     "q_cronbach" ->
@@ -13671,6 +13977,53 @@ object LlmOps {
              AS BIGINT) AS split_rank
          FROM sc ORDER BY split_rank""",
 
+    // the identical 3-way-max DP via nested list_reduce: outer fold
+    // over xs (as ys-position masks — exact equality, no hashing),
+    // inner fold appends the running max per cell, both branches
+    // always rebuilding the list (the documented list_reduce hazard)
+    "q_rouge_lcs" ->
+      """WITH tk AS (
+           SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')[1:30] AS t
+           FROM documents),
+         f AS (SELECT * FROM tk WHERE len(t) > 0),
+         p AS (
+           SELECT doc_id AS doc_id_a, lead(doc_id) OVER w AS doc_id_b,
+             t AS xs, lead(t) OVER w AS ys
+           FROM f
+           WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id)),
+         q AS (SELECT * FROM p WHERE doc_id_b IS NOT NULL),
+         m AS (
+           SELECT doc_id_a, doc_id_b,
+             CAST(len(xs) AS BIGINT) AS len_a,
+             CAST(len(ys) AS BIGINT) AS len_b, ys,
+             list_transform(xs, x ->
+               list_filter(range(1, len(ys) + 1), j -> ys[j] = x)) AS xm
+           FROM q),
+         l AS (
+           SELECT doc_id_a, doc_id_b, len_a, len_b,
+             list_reduce(
+               list_prepend(
+                 list_transform(range(0, len(ys) + 1),
+                   i -> CAST(0 AS BIGINT)),
+                 xm),
+               (row, x) -> list_reduce(
+                 list_prepend([CAST(0 AS BIGINT)],
+                   list_transform(range(1, len(ys) + 1),
+                     j -> [CAST(j AS BIGINT)])),
+                 (nr, jj) -> list_concat(nr, [greatest(
+                   nr[-1], row[jj[1] + 1],
+                   row[jj[1]] + CASE WHEN list_contains(x, jj[1])
+                                     THEN 1 ELSE 0 END)]))
+             )[-1] AS lcs_len
+           FROM m)
+         SELECT doc_id_a, doc_id_b, len_a, len_b, lcs_len,
+           (1000 * lcs_len) // len_a AS recall_pm,
+           (1000 * lcs_len) // len_b AS precision_pm,
+           (2000 * lcs_len) // (len_a + len_b) AS f_pm
+         FROM l ORDER BY doc_id_a""",
+
     // blocked pairs; clipped multiset precisions by min-join per gram
     "q_bleu_components" ->
       """WITH d AS (
@@ -14138,6 +14491,92 @@ object LlmOps {
                   // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * n1 * n2)
                   AS BIGINT) END AS t_x1000
          FROM ag ORDER BY n_name""",
+
+    // the KS value spine a third time; per-term ×1000 floor (varying
+    // denominators B·(N−B) admit no common-denominator single division),
+    // term-sum floored once by n1·n2; the B=N spine row is excluded
+    "q_ad_test" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         o AS (
+           SELECT n_name, o_orderpriority = '1-URGENT' AS in_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         pv AS (
+           SELECT n_name, v,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM o GROUP BY 1, 2),
+         cu AS (
+           SELECT n_name, a, b,
+             CAST(sum(a) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (PARTITION BY n_name ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+             CAST(sum(a) OVER (PARTITION BY n_name) AS BIGINT) AS n1,
+             CAST(sum(b) OVER (PARTITION BY n_name) AS BIGINT) AS n2
+           FROM pv),
+         tm AS (
+           SELECT n_name, n1, n2,
+             CASE WHEN ca + cb = n1 + n2 THEN NULL
+               ELSE (CAST(a + b AS HUGEINT)
+                 * (CAST(n1 + n2 AS HUGEINT) * ca - CAST(n1 AS HUGEINT) * (ca + cb))
+                 * (CAST(n1 + n2 AS HUGEINT) * ca - CAST(n1 AS HUGEINT) * (ca + cb))
+                 * 1000)
+                 // (CAST(ca + cb AS HUGEINT) * (n1 + n2 - ca - cb)) END AS term
+           FROM cu),
+         ag AS (
+           SELECT n_name, max(n1) AS n1, max(n2) AS n2,
+             coalesce(sum(term), 0) AS s
+           FROM tm GROUP BY 1)
+         SELECT n_name, n1, n2,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE CAST(s // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+                END AS a2_x1000
+         FROM ag ORDER BY n_name""",
+
+    // the KS spine with TWO signed maxes instead of one absolute:
+    // V = D+ + D-, per-mille floor in HUGEINT
+    "q_kuiper" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM events),
+         u AS (
+           SELECT event_type, TRUE AS in_a, hr FROM ev
+           WHERE event_type <> 'click'
+           UNION ALL
+           SELECT t.event_type, FALSE AS in_a, c.hr
+           FROM (SELECT DISTINCT event_type FROM ev
+                 WHERE event_type <> 'click') t
+           CROSS JOIN (SELECT hr FROM ev WHERE event_type = 'click') c),
+         pv AS (
+           SELECT event_type, hr,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM u GROUP BY 1, 2),
+         cu AS (
+           SELECT event_type,
+             CAST(sum(a) OVER w AS BIGINT) AS ca,
+             CAST(sum(b) OVER w AS BIGINT) AS cb,
+             CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(sum(b) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+           FROM pv
+           WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ag AS (
+           SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+             greatest(CAST(max(ca * n2 - cb * n1) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS dplus_num,
+             greatest(CAST(max(cb * n1 - ca * n2) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS dminus_num
+           FROM cu GROUP BY 1)
+         SELECT event_type, n1, n2, dplus_num, dminus_num,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                ELSE CAST((1000 * (CAST(dplus_num AS HUGEINT) + dminus_num))
+                          // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+                END AS v_pm
+         FROM ag ORDER BY event_type""",
 
     // closed-form doubled AB scores per tie run (two arithmetic series
     // split at the peak), per-run floor, expectation alongside

@@ -92,4 +92,39 @@ object GraphProps extends Properties("GraphOps") {
         got == naiveLinkPredict(edges, minCommon)
       }
     }
+
+  /** Directed walk counting by brute-force enumeration: pₖ(v) = number
+    * of length-k directed walks ending at v over the multigraph
+    * (parallel edges count as parallel walks — katzRounds' stated
+    * semantics), score = Σ alphaDenom^(K−k)·pₖ.
+    */
+  private def naiveKatz(
+      edges: Seq[(Long, Long)], rounds: Int, alphaDenom: Long)
+      : Map[Long, BigInt] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var p: Map[Long, BigInt] = nodes.map(_ -> BigInt(1)).toMap
+    var score: Map[Long, BigInt] =
+      nodes.map(_ -> BigInt(alphaDenom).pow(rounds)).toMap
+    for (k <- 1 to rounds) {
+      val next = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => p.getOrElse(e._1, BigInt(0))).sum
+      }
+      p = nodes.map(v => v -> next.getOrElse(v, BigInt(0))).toMap
+      val w = BigInt(alphaDenom).pow(rounds - k)
+      score = nodes.map(v => v -> (score(v) + p(v) * w)).toMap
+    }
+    score
+  }
+
+  property("katzRounds equals brute-force walk counting") =
+    Prop.forAll(genGraph, Gen.chooseNum(1, 3)) { (edges, rounds) =>
+      import spark.implicits._
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val got = Graphs.katzRounds(df, "src", "dst", rounds)
+          .collect()
+          .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+        got == naiveKatz(edges, rounds, 4L)
+      }
+    }
 }

@@ -75,6 +75,58 @@ object TwoSampleMetricsProps extends Properties("TwoSampleMetrics") {
       }
     }
 
+  property("andersonDarling equals the sequential spine walk") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+        val r = Stats.andersonDarling(df, Seq("k"), "in_a", "v").collect().head
+        val n1 = BigInt(as.size); val n2 = BigInt(bs.size); val nn = n1 + n2
+        val all = rows.map(_._2)
+        // sequential walk over the distinct-value spine, per-term ×1000
+        // floors, final floor by n1*n2 — plain-Scala BigInt
+        var cumA = BigInt(0); var cumAll = BigInt(0); var s = BigInt(0)
+        all.distinct.sorted.foreach { v =>
+          val la = BigInt(as.count(_ == v)); val l = BigInt(all.count(_ == v))
+          cumA += la; cumAll += l
+          if (cumAll < nn) {
+            val delta = nn * cumA - n1 * cumAll
+            s += l * delta * delta * 1000 / (cumAll * (nn - cumAll))
+          }
+        }
+        val want = (s / (n1 * n2)).toLong
+        (r.getAs[Long]("n1") == as.size.toLong) &&
+          (r.getAs[Long]("n2") == bs.size.toLong) &&
+          (r.getAs[Long]("a2_x1000") == want)
+      }
+    }
+
+  property("kuiper equals the sequential D+/D- spine walk") =
+    Prop.forAll(genAB) { rows =>
+      import spark.implicits._
+      val as = rows.filter(_._1).map(_._2)
+      val bs = rows.filterNot(_._1).map(_._2)
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val df = rows.map { case (a, v) => ("k", a, v) }.toDF("k", "in_a", "v")
+        val r = Stats.kuiper(df, Seq("k"), "in_a", "v").collect().head
+        val n1 = BigInt(as.size); val n2 = BigInt(bs.size)
+        var cumA = BigInt(0); var cumB = BigInt(0)
+        var dp = BigInt(0); var dm = BigInt(0)
+        rows.map(_._2).distinct.sorted.foreach { v =>
+          cumA += as.count(_ == v); cumB += bs.count(_ == v)
+          val d = cumA * n2 - cumB * n1
+          if (d > dp) dp = d
+          if (-d > dm) dm = -d
+        }
+        val want = (BigInt(1000) * (dp + dm) / (n1 * n2)).toLong
+        (r.getAs[Long]("dplus_num") == dp.toLong) &&
+          (r.getAs[Long]("dminus_num") == dm.toLong) &&
+          (r.getAs[Long]("v_pm") == want)
+      }
+    }
+
   property("lepage equals the positional brute force") =
     Prop.forAll(genAB) { rows =>
       import spark.implicits._
