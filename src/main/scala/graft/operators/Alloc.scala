@@ -66,6 +66,86 @@ object Alloc {
       .drop("__total", "__bt", "__rk")
   }
 
+  /** Huntington–Hill (equal-proportions) apportionment — the US House
+    * method: every party seats one mandatory member, then the
+    * remaining `seats − P` go one at a time to the highest priority
+    * w_i/√(s(s+1)) (s = seats already held). The square root is NEVER
+    * evaluated: priority(j,m) > priority(i,k) ⟺ w_j²·k(k+1) >
+    * w_i²·m(m+1) — an exact DECIMAL(38,0) cross-multiplication — and
+    * exact ties break by (name, seat-index) ascending, a total order,
+    * so Σseats = `seats` by construction and any engine replays the
+    * census bit-identically. The geometric-mean divisor is what
+    * distinguishes it from [[dhondt]]'s arithmetic divisors (HH is
+    * kinder to small parties; emit both and the divergence is the
+    * method-choice audit).
+    *
+    * `df` is the bounded one-row-per-party frame (post-aggregate,
+    * never data). Cost is the full priority-pair grid
+    * (P·(seats−P))² comparisons off a broadcast copy — guarded at
+    * P·(seats−P) ≤ 10⁴ (10⁸ comparisons); an isqrt-counting shape
+    * would lift the bound but no caller needs it. Weights must be
+    * positive and ≤ 10⁹ (w²·k(k+1) stays inside DECIMAL(38,0) for
+    * seats ≤ 10⁴ — both guarded loudly).
+    *
+    * Result: one row per party `(nameCol, hh_seats)`.
+    */
+  def huntingtonHill(
+      df: DataFrame,
+      nameCol: String,
+      weightCol: String,
+      seats: Long): DataFrame = {
+    require(seats >= 1 && seats <= 10000L,
+      s"seats must be in [1, 10000]: $seats")
+    val base = df.select(col(nameCol),
+      when(col(weightCol).cast("long") <= 0,
+        raise_error(lit("huntingtonHill: weights must be positive")).cast("long"))
+        .when(col(weightCol).cast("long") > 1000000000L,
+          raise_error(lit("huntingtonHill: weight exceeds the 10^9 " +
+            "DECIMAL(38,0) priority envelope")).cast("long"))
+        .otherwise(col(weightCol).cast("long")).as("__v"))
+      .localCheckpoint(true) // bounded party frame; count + grid share it
+    val p = base.count()
+    require(p >= 1, "huntingtonHill: empty party frame")
+    require(p <= seats,
+      s"huntingtonHill: $p parties exceed $seats seats (every party " +
+        "seats one mandatory member)")
+    val extra = seats - p
+    if (extra == 0) {
+      base.select(col(nameCol), lit(1L).as("hh_seats"))
+    } else {
+      require(p * extra <= 10000L,
+        s"huntingtonHill: priority grid $p * $extra exceeds the 10^4 " +
+          "pair-grid bound")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      // __k = seats already held (>= 1, the mandatory member), the row
+      // contesting seat __k+1 with divisor sqrt(__k(__k+1)); a party
+      // can gain at most `extra` beyond its mandatory seat
+      val grid = base
+        .withColumn("__k", explode(sequence(lit(1L), lit(extra))))
+        .withColumn("__pri", col("__v").cast(dec) * col("__v"))
+      val opp = grid.select(col(nameCol).as("__o_name"),
+        col("__pri").as("__o_pri"), col("__k").as("__o_k"))
+      grid.crossJoin(broadcast(opp))
+        .withColumn("__lhs", col("__o_pri") * col("__k") * (col("__k") + 1))
+        .withColumn("__rhs", col("__pri") * col("__o_k") * (col("__o_k") + 1))
+        // the self-pair contributes 0 (a filter instead would drop a
+        // single-party grid to zero rows and lose the party entirely)
+        .withColumn("__maj",
+          when(col("__o_name") === col(nameCol) && col("__o_k") === col("__k"),
+            0L)
+          .when(col("__lhs") > col("__rhs") ||
+            (col("__lhs") === col("__rhs") &&
+              (col("__o_name") < col(nameCol) ||
+                (col("__o_name") === col(nameCol) && col("__o_k") < col("__k")))),
+            1L).otherwise(0L))
+        .groupBy(col(nameCol), col("__k"))
+        .agg(sum(col("__maj")).as("__rank"))
+        .groupBy(col(nameCol))
+        .agg((lit(1L) +
+          sum(when(col("__rank") < extra, 1L).otherwise(0L))).as("hh_seats"))
+    }
+  }
+
   /** D'Hondt (highest-averages) apportionment: party i's k-th seat
     * exists iff the quotient w_i/k ranks inside the global top
     * `seats`. No quotient is ever EVALUATED — the rank is counted

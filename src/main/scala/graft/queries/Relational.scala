@@ -399,6 +399,28 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // Huntington–Hill (equal proportions, [[graft.operators.Alloc
+    // .huntingtonHill]]) — the THIRD apportionment method next to
+    // q_apportionment's Hamilton/D'Hondt pair, and the one with a
+    // mandatory floor: every nation seats one member, the remaining
+    // 110−P go to the highest w/√(s(s+1)) priorities — the US House
+    // rule. The geometric-mean divisor is never rooted: priorities
+    // rank by exact cross-multiplied SQUARES in DECIMAL(38,0), ties
+    // by (name, seat) — a total order both engines replay. Customer
+    // counts as population; the priority grid is (P·85)² ≈ 4.5M
+    // comparisons off a pinned 25-row frame, constant in SF.
+    "q_huntington_hill" -> ((s, d) => {
+      val v = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("pop"))
+        .localCheckpoint(true) // 25 rows; HH grid + the pop readback share it
+      graft.operators.Alloc.huntingtonHill(v, "n_name", "pop", 110L)
+        .join(v, Seq("n_name"))
+        .select(col("n_name"), col("pop"), col("hh_seats"))
+        .orderBy("n_name")
+    }),
+
     // Shift-share decomposition of 1996→1997 revenue growth per
     // (nation × part-type industry): how much of each cell's change is
     // the NATIONAL tide (grand growth rate applied to the base), the
@@ -9197,6 +9219,40 @@ object Relational {
          SELECT hs.n_name, v, quota_milli,
            CAST(ham_seats AS BIGINT) AS ham_seats, dhondt_seats
          FROM hs JOIN dh ON hs.n_name = dh.n_name ORDER BY hs.n_name""",
+
+    // priorities rank by cross-multiplied squares (no sqrt); P and the
+    // 110-P extra-seat count come off the data so both engines agree
+    // even if a nation has no customers
+    "q_huntington_hill" ->
+      """WITH v AS (
+           SELECT n_name, CAST(count(*) AS BIGINT) AS pop
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1),
+         x AS (SELECT CAST(110 - count(*) AS BIGINT) AS extra FROM v),
+         g AS (
+           SELECT n_name, pop, CAST(k AS BIGINT) AS k
+           FROM v CROSS JOIN x
+           CROSS JOIN generate_series(1, 110) t(k)
+           WHERE k <= extra),
+         rk AS (
+           SELECT a.n_name, a.k,
+             CAST(sum(CASE
+               WHEN b.n_name = a.n_name AND b.k = a.k THEN 0
+               WHEN CAST(b.pop AS HUGEINT) * b.pop * a.k * (a.k + 1)
+                    > CAST(a.pop AS HUGEINT) * a.pop * b.k * (b.k + 1) THEN 1
+               WHEN CAST(b.pop AS HUGEINT) * b.pop * a.k * (a.k + 1)
+                    = CAST(a.pop AS HUGEINT) * a.pop * b.k * (b.k + 1)
+                    AND (b.n_name < a.n_name
+                         OR (b.n_name = a.n_name AND b.k < a.k)) THEN 1
+               ELSE 0 END) AS BIGINT) AS rk
+           FROM g a CROSS JOIN g b GROUP BY 1, 2),
+         hh AS (
+           SELECT n_name,
+             CAST(1 + sum(CASE WHEN rk < (SELECT extra FROM x)
+               THEN 1 ELSE 0 END) AS BIGINT) AS hh_seats
+           FROM rk GROUP BY 1)
+         SELECT v.n_name, pop, hh_seats
+         FROM v JOIN hh USING (n_name) ORDER BY n_name""",
 
     // telescoping floored terms: nat+mix+comp ≡ r1−r0 exactly
     "q_shift_share" ->

@@ -56,4 +56,48 @@ object DhondtProps extends Properties("Dhondt") {
       (full == want) :| s"got=$full want=$want parties=$parties seats=$seats" &&
         (full.values.sum == seats) :| "total != seats"
     }
+
+  /** Brute force for Huntington–Hill: one mandatory seat per party, then
+    * the sorted priority table w/√(k(k+1)) for k >= 1 seats held, top
+    * (S−P), ordered by exact cross-multiplied SQUARES with (name, k)
+    * tie-break — squared-quotient ties happen whenever w_a·m = w_b·n
+    * with m² = k_a(k_a+1)·something; integer weights plus the shared
+    * k(k+1) grid hit exact square ties regularly.
+    */
+  private def bruteHH(parties: Seq[(String, Long)], seats: Long): Map[String, Long] = {
+    val p = parties.size.toLong
+    val extra = seats - p
+    // priority for the (k+1)-th seat, k = seats already held (>= 1);
+    // represent as (w², k(k+1)) and compare by cross-multiplication
+    val table = for {
+      (name, w) <- parties
+      k <- 1L to extra
+    } yield (name, k, BigInt(w) * w, BigInt(k) * (k + 1))
+    val ordered = table.sortWith { case ((na, ka, wa2, da), (nb, kb, wb2, db)) =>
+      val l = wa2 * db; val r = wb2 * da
+      if (l != r) l > r
+      else if (na != nb) na < nb
+      else ka < kb
+    }
+    val won = ordered.take(extra.toInt).groupBy(_._1)
+      .map { case (n, rows) => n -> rows.size.toLong }
+    parties.map { case (n, _) => n -> (1L + won.getOrElse(n, 0L)) }.toMap
+  }
+
+  private val genPartiesHH: Gen[(Seq[(String, Long)], Long)] = for {
+    n <- Gen.chooseNum(1, 8)
+    ws <- Gen.listOfN(n, Gen.chooseNum(1L, 40L))
+    extra <- Gen.chooseNum(0L, 15L)
+  } yield (ws.zipWithIndex.map { case (w, i) => (s"p$i", w) }, n + extra)
+
+  property("huntingtonHill equals the sorted priority-table top-(S-P)") =
+    Prop.forAll(genPartiesHH) { case (parties, seats) =>
+      import spark.implicits._
+      val df = parties.toDF("name", "w")
+      val got = Alloc.huntingtonHill(df, "name", "w", seats).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("hh_seats")).toMap
+      val want = bruteHH(parties, seats)
+      (got == want) :| s"got=$got want=$want parties=$parties seats=$seats" &&
+        (got.values.sum == seats) :| "total != seats"
+    }
 }
