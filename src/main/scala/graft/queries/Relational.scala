@@ -3449,6 +3449,64 @@ object Relational {
         .orderBy("cand_rank")
     }),
 
+    // Quantile regression at τ = 0.9 over the daily revenue series —
+    // the REVENUE-ENVELOPE line that completes the robust-regression
+    // row (q_theil_sen: median slope; q_ransac: consensus; here: the
+    // line minimizing exact pinball loss, under which ~90% of days
+    // fall). Candidates come off the SAME bounded anchor grid as
+    // q_ransac (data-adaptive stride → ≤66 pairs, broadcast). The loss
+    // is integer end-to-end despite per-line denominators: the scaled
+    // residual rs = dx·y − (dx·y1 + dy·(x−x1)) carries the line's own
+    // dx = m·stride, and since every anchor gap is a stride multiple
+    // with m ≤ 11, weighting each line's per-point pinball
+    // (9·rs if rs ≥ 0 else −rs, the ×10 τ-grid) by 27720 div m
+    // (27720 = lcm(1..11)) puts ALL lines on one common denominator —
+    // `loss_scaled` compares exactly across candidates with zero
+    // divisions. Winner by (loss asc, x1, x2); top-3 emitted.
+    "q_quantreg" -> ((s, d) => {
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000")).as("kusd"))
+        .withColumn("x", row_number().over(wOrd).cast("long"))
+        .localCheckpoint(true) // anchors and the loss pass share it
+      val stride = math.max(7L, (daily.count() + 11L) / 12L)
+      val anchors = daily.filter(pmod(col("x"), lit(stride)) === 1)
+        .select(col("x"), col("kusd").as("y"))
+      val cand = anchors.select(col("x").as("x1"), col("y").as("y1"))
+        .crossJoin(anchors.select(col("x").as("x2"), col("y").as("y2")))
+        .filter(col("x1") < col("x2"))
+      daily.crossJoin(broadcast(cand))
+        .withColumn("__rs",
+          expr("""(x2 - x1) * kusd
+                  - ((x2 - x1) * y1 + (y2 - y1) * (x - x1))"""))
+        .withColumn("__w", expr(s"27720 div ((x2 - x1) div $stride)"))
+        .withColumn("__pin",
+          when(col("__rs") >= 0, lit(9L) * col("__rs"))
+            .otherwise(-col("__rs")))
+        .groupBy(col("x1"), col("y1"), col("x2"), col("y2"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("__pin").cast(DecimalType(38, 0)) * col("__w"))
+            .as("__loss"))
+        .withColumn("slope_x1000",
+          expr("(1000 * (y2 - y1)) div (x2 - x1)"))
+        .withColumn("cand_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("__loss").asc, col("x1").asc, col("x2").asc))
+            .cast("long"))
+        .filter(col("cand_rank") <= 3)
+        // rank decides on the full DECIMAL; the emit casts down loudly
+        // (the common-denominator loss crosses BIGINT only past ~sf100)
+        .withColumn("loss_scaled",
+          when(col("__loss") > lit(Long.MaxValue).cast(DecimalType(38, 0)),
+            raise_error(lit("q_quantreg: common-denominator pinball loss " +
+              "exceeds BIGINT — emit in stride units past this scale"))
+              .cast("long"))
+            .otherwise(col("__loss").cast("long")))
+        .drop("__loss")
+        .orderBy("cand_rank")
+    }),
+
     // Integer matrix profile over the daily count series (the motif/
     // discord primitive of Yeh et al. 2016's matrix profile, exact-L1
     // flavor): each position's 3-day window is compared to every
@@ -7725,6 +7783,48 @@ object Relational {
            cand_rank
          FROM (
            SELECT *, CAST(row_number() OVER (ORDER BY n_inliers DESC,
+             x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
+         WHERE cand_rank <= 3 ORDER BY cand_rank""",
+
+    // same bounded anchor grid; tau=0.9 pinball on stride-scaled
+    // residuals, 27720//m common denominator, rank on the full HUGEINT
+    "q_quantreg" ->
+      """WITH daily AS (
+           SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000) AS BIGINT)
+               AS kusd
+           FROM orders GROUP BY 1),
+         dx AS (
+           SELECT day, kusd,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x
+           FROM daily),
+         st AS (SELECT CAST(greatest(7, (count(*) + 11) // 12) AS BIGINT)
+                AS stride FROM dx),
+         an AS (SELECT x, kusd AS y FROM dx
+                WHERE x % (SELECT stride FROM st) = 1),
+         cand AS (
+           SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+           FROM an a CROSS JOIN an b WHERE a.x < b.x),
+         sc AS (
+           SELECT x1, y1, x2, y2,
+             CAST(count(*) AS BIGINT) AS n_points,
+             sum(CAST(CASE WHEN (x2 - x1) * dx.kusd
+                        - ((x2 - x1) * y1 + (y2 - y1) * (dx.x - x1)) >= 0
+                  THEN 9 * ((x2 - x1) * dx.kusd
+                        - ((x2 - x1) * y1 + (y2 - y1) * (dx.x - x1)))
+                  ELSE -((x2 - x1) * dx.kusd
+                        - ((x2 - x1) * y1 + (y2 - y1) * (dx.x - x1)))
+                  END AS HUGEINT)
+                 * (27720 // ((x2 - x1) // (SELECT stride FROM st))))
+               AS loss
+           FROM dx CROSS JOIN cand
+           GROUP BY 1, 2, 3, 4)
+         SELECT x1, y1, x2, y2, n_points,
+           CAST(loss AS BIGINT) AS loss_scaled,
+           (1000 * (y2 - y1)) // (x2 - x1) AS slope_x1000,
+           cand_rank
+         FROM (
+           SELECT *, CAST(row_number() OVER (ORDER BY loss ASC,
              x1 ASC, x2 ASC) AS BIGINT) AS cand_rank FROM sc)
          WHERE cand_rank <= 3 ORDER BY cand_rank""",
 
