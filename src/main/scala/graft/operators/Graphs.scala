@@ -116,6 +116,119 @@ object Graphs {
     result
   }
 
+  /** Multi-source BFS with SHORTEST-PATH COUNTS — the σ half of
+    * Brandes' betweenness: for every seed s and reached node v,
+    * `(seed, id, hop, sigma)` where hop = d(s, v) and sigma = the
+    * number of distinct shortest s→v paths. Counting rides the same
+    * first-visit-wins frontier loop as [[multiSourceBfs]]: a node
+    * entering at hop h takes σ = Σ σ(u) over ALL its hop-(h−1)
+    * predecessors (the frontier-join groupBy sums them in one pass),
+    * and the anti-join blocks every longer path. σ is combinatorial —
+    * it multiplies along dense layers — so it rides DECIMAL(38,0) and
+    * RAISES loudly past 10³⁶ (a silent wrap would corrupt every
+    * downstream ratio); the caller bounds seeds and maxHops.
+    */
+  def pathCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val dec = DecimalType(38, 0)
+    val sigmaCap = lit(BigDecimal("9" * 36).bigDecimal).cast(dec)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src"))
+      .transform(Checkpoints.pin(_, eager = false))
+    val seed0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .withColumn("id", col("seed"))
+      .withColumn("hop", lit(0))
+      .withColumn("sigma", lit(1L).cast(dec))
+      .transform(Checkpoints.pin(_, eager = false))
+    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    var dist = seed0
+    var frontier = seed0.select("seed", "id", "sigma")
+    var h = 1
+    var more = maxHops >= 1
+    while (more) {
+      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("seed"), col("dst").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .withColumn("sigma",
+          when(col("sigma") > sigmaCap, raise_error(lit(
+            "pathCounts: sigma exceeds the 10^36 DECIMAL envelope — " +
+              "bound seeds/maxHops")).cast(dec)).otherwise(col("sigma")))
+        .withColumn("hop", lit(h))
+        .transform(Checkpoints.pin(_, eager = false))
+      val grew = nxt.count()
+      pins += nxt
+      val d = dist.union(nxt.select("seed", "id", "hop", "sigma"))
+        .transform(Checkpoints.pin(_, eager = false))
+      pins += d
+      dist = d
+      frontier = nxt.select("seed", "id", "sigma")
+      h += 1
+      more = h <= maxHops && grew > 0
+    }
+    val result = dist.localCheckpoint(true)
+    Checkpoints.release(pins.toSeq :+ e)
+    result
+  }
+
+  /** Pivot betweenness (Brandes & Pich 2007, "Centrality estimation in
+    * large networks"): betweenness restricted to shortest paths
+    * BETWEEN pivot pairs — the standard bounded-cost estimator when
+    * all-pairs Brandes is off the table. For every non-pivot node v
+    * and unordered pivot pair (s, t) with d(s,v) + d(v,t) = d(s,t),
+    * the pair contributes ⌊1000·σ_sv·σ_vt / σ_st⌋ (the fraction of
+    * shortest s–t paths through v, per-mille, floored PER PAIR — a
+    * deterministic rendering any engine replays); `bc_x1000` sums the
+    * contributions and `n_pairs` counts them. σ_sv·σ_vt counts the
+    * s→v→t shortest paths, a SUBSET of all shortest s–t paths, so
+    * every contribution is ≤ 1000 and the arithmetic never leaves the
+    * guarded σ envelope (per-side σ ≤ 10¹⁶ checked loudly before the
+    * product). Assumes an UNDIRECTED (symmetrized) edge list — pairs
+    * dedup by s < t, which needs d(s,t) = d(t,s).
+    *
+    * Cost: one [[pathCounts]] run (pivots × reachable frontier
+    * rounds), then joins of size |pivots|²·|V| — pivots are a stated
+    * bounded cohort, never the corpus.
+    */
+  def pivotBetweenness(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      pivots: DataFrame,
+      pivotCol: String,
+      maxHops: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sideCap = lit(BigDecimal("1" + "0" * 16).bigDecimal).cast(dec)
+    def guard(c: Column): Column =
+      when(c > sideCap, raise_error(lit(
+        "pivotBetweenness: sigma exceeds the 10^16 per-side product " +
+          "envelope — bound pivots/maxHops")).cast(dec)).otherwise(c)
+    val pc = pathCounts(edges, srcCol, dstCol, pivots, pivotCol, maxHops)
+    val pvt = pivots.select(col(pivotCol).as("__t")).distinct()
+    val stPairs = pc.join(pvt, pc("id") === pvt("__t"))
+      .filter(col("seed") < col("__t"))
+      .select(col("seed").as("__s"), col("__t"),
+        col("hop").as("__dst"), col("sigma").as("__sst"))
+    val aSide = pc.select(col("seed").as("__s"), col("id").as("__v"),
+      col("hop").as("__ha"), guard(col("sigma")).as("__sa"))
+    val bSide = pc.select(col("seed").as("__t"), col("id").as("__v"),
+      col("hop").as("__hb"), guard(col("sigma")).as("__sb"))
+    stPairs.join(aSide, Seq("__s"))
+      .join(bSide, Seq("__t", "__v"))
+      .filter(col("__ha") + col("__hb") === col("__dst") &&
+        col("__v") =!= col("__s") && col("__v") =!= col("__t"))
+      .withColumn("__contrib",
+        expr("(1000 * __sa * __sb) div __sst").cast("long"))
+      .groupBy(col("__v").as("id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__contrib")).as("bc_x1000"))
+  }
+
   /** Harmonic centrality of a bounded seed cohort within `maxHops`:
     * H(s) = Σ_{v reached, v ≠ s} 1/d(s, v), the closeness variant that
     * handles disconnection gracefully (unreached nodes contribute 0,

@@ -748,6 +748,47 @@ object LlmOps {
         .orderBy("id")
     }),
 
+    // Pivot betweenness (Graphs.pivotBetweenness — Brandes & Pich
+    // 2007) on the q_ecc_pivots cohort: which documents sit ON the
+    // shortest paths between the 8 lowest-id pivots of the blocking
+    // graph — the brokerage signal the degree/harmonic/eccentricity
+    // row cannot see (a low-degree node can still carry every
+    // geodesic). σ path counts ride the multi-source BFS frontier;
+    // each unordered pivot pair contributes ⌊1000·σ_sv·σ_vt/σ_st⌋
+    // per mille, floored PER PAIR, with σ_sv·σ_vt ≤ σ_st keeping
+    // every contribution ≤ 1000 — the oracle replays the exact walk
+    // census via a UNION ALL recursive CTE (a min-hop walk IS a
+    // shortest path, so counting walks at the min hop counts paths).
+    "q_betweenness" -> ((s, d) => {
+      // rank-chain graph: per lang, docs ordered by (n_chars, doc_id),
+      // each linked to the next 1-3 ranks (symmetrized) — a graph with
+      // LONG geodesics and genuine path multiplicity (steps {1,2,3}
+      // compose a rank gap many ways), unlike the clique-fragmented
+      // blocking graph where every reachable pivot pair is adjacent.
+      // Pivots: ranks 1 and 9 per lang (rank gap 8 ⇒ distance 3,
+      // σ_st = 3 compositions) — cross-lang pairs are unreachable and
+      // contribute nothing, by construction.
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("r", row_number().over(w).cast("long"))
+      val e1 = ranked.select(col("lang"), col("doc_id").as("id_a"),
+          col("r").as("ra"))
+        .join(ranked.select(col("lang"), col("doc_id").as("id_b"),
+          col("r").as("rb")), Seq("lang"))
+        .filter((col("rb") - col("ra")).between(1, 3))
+        .select("id_a", "id_b")
+      val edges = e1.union(
+        e1.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val seeds = ranked.filter(col("r") === 1 || col("r") === 9)
+        .select("doc_id")
+      graft.operators.Graphs.pivotBetweenness(
+          edges, "id_a", "id_b", seeds, "doc_id", maxHops = 4)
+        .filter(col("bc_x1000") > 0)
+        .orderBy("id")
+    }),
+
     // Pivot eccentricities + the double-sweep diameter sandwich
     // (Magnien, Latapy & Habib 2009): BFS from the 8 lowest-id nodes
     // of the blocking graph; each pivot's eccentricity LOWER-bounds
@@ -11446,6 +11487,50 @@ object LlmOps {
          SELECT seed AS id, CAST(count(*) AS BIGINT) AS n_reached,
            CAST(sum(2520 // hop) AS BIGINT) AS harm_x2520
          FROM md WHERE hop > 0 GROUP BY seed ORDER BY seed""",
+
+    // min-hop WALK counting = shortest-path counting (a minimal walk
+    // cannot revisit a vertex); per-pair floored per-mille contribs
+    "q_betweenness" ->
+      """WITH RECURSIVE rk AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS BIGINT) AS r
+           FROM documents WHERE doc_id < 500),
+         e1 AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM rk a JOIN rk b ON a.lang = b.lang
+           WHERE b.r - a.r BETWEEN 1 AND 3),
+         bedges AS (
+           SELECT src, dst FROM e1
+           UNION ALL SELECT dst, src FROM e1),
+         seeds AS (
+           SELECT doc_id AS id FROM rk WHERE r = 1 OR r = 9),
+         walks(seed, id, hop) AS (
+           SELECT id, id, 0 FROM seeds
+           UNION ALL
+           SELECT w.seed, e.dst, w.hop + 1
+           FROM walks w JOIN bedges e ON e.src = w.id
+           WHERE w.hop < 4),
+         md AS (SELECT seed, id, min(hop) AS hop FROM walks GROUP BY 1, 2),
+         sig AS (
+           SELECT w.seed, w.id, m.hop, CAST(count(*) AS HUGEINT) AS sigma
+           FROM walks w
+           JOIN md m ON w.seed = m.seed AND w.id = m.id AND w.hop = m.hop
+           GROUP BY 1, 2, 3),
+         st AS (
+           SELECT a.seed AS s, a.id AS t, a.hop AS dst, a.sigma AS sst
+           FROM sig a JOIN seeds p ON a.id = p.id
+           WHERE a.seed < a.id),
+         c AS (
+           SELECT st.s, st.t, a.id AS v,
+             (1000 * a.sigma * b.sigma) // st.sst AS contrib
+           FROM st
+           JOIN sig a ON a.seed = st.s
+           JOIN sig b ON b.seed = st.t AND b.id = a.id
+           WHERE a.hop + b.hop = st.dst AND a.id <> st.s AND a.id <> st.t)
+         SELECT v AS id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(contrib) AS BIGINT) AS bc_x1000
+         FROM c GROUP BY 1 HAVING sum(contrib) > 0 ORDER BY id""",
 
     // the same recursive BFS from the 8 lowest-id graph nodes; ecc,
     // at-ecc census, and the max/2·min diameter sandwich

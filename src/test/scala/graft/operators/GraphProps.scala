@@ -116,6 +116,48 @@ object GraphProps extends Properties("GraphOps") {
     score
   }
 
+  /** Naive BFS with path counts from one seed: (node -> (hop, sigma))
+    * by level expansion over the DIRECTED edge list (multi-edges count
+    * as parallel paths — pathCounts' multigraph semantics mirrors
+    * katzRounds').
+    */
+  private def naiveSigma(
+      edges: Seq[(Long, Long)], seed: Long, maxHops: Int)
+      : Map[Long, (Int, BigInt)] = {
+    val out = edges.distinct.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var level: Map[Long, BigInt] = Map(seed -> BigInt(1))
+    var done: Map[Long, (Int, BigInt)] = Map(seed -> (0, BigInt(1)))
+    for (h <- 1 to maxHops if level.nonEmpty) {
+      val nxt = scala.collection.mutable.Map.empty[Long, BigInt]
+      for ((u, s) <- level; v <- out.getOrElse(u, Nil) if !done.contains(v))
+        nxt(v) = nxt.getOrElse(v, BigInt(0)) + s
+      done ++= nxt.map { case (v, s) => v -> (h, s) }
+      level = nxt.toMap
+    }
+    done
+  }
+
+  property("pathCounts equals the naive level-expansion sigma") =
+    Prop.forAll(genGraph, Gen.chooseNum(1, 4)) { (edges, maxHops) =>
+      import spark.implicits._
+      edges.isEmpty || {
+        // dedup edges: pathCounts applies distinct() to the edge list
+        val df = edges.toDF("src", "dst")
+        val seedIds = edges.map(_._1).distinct.take(2)
+        val seeds = seedIds.toDF("id")
+        val got = Graphs.pathCounts(df, "src", "dst", seeds, "id", maxHops)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getInt(2), BigInt(r.getDecimal(3).toBigInteger)))
+          .toMap
+        val want = seedIds.flatMap { s =>
+          naiveSigma(edges, s, maxHops).map { case (v, hs) => (s, v) -> hs }
+        }.toMap
+        got == want
+      }
+    }
+
   property("katzRounds equals brute-force walk counting") =
     Prop.forAll(genGraph, Gen.chooseNum(1, 3)) { (edges, rounds) =>
       import spark.implicits._
