@@ -1358,6 +1358,88 @@ object Stats {
       .select((keys :+ col("n_units") :+ col("n_ratings") :+ col("alpha_pm")): _*)
   }
 
+  /** Distance covariance / correlation (Székely, Rizzo & Bakirov 2007)
+    * — the dependence test that sees NONLINEAR association where the
+    * Pearson/Spearman row sees zero (y = |x|, y = x² both give dCov >
+    * 0; dCov = 0 ⟺ independence, the property no moment correlation
+    * has). V-statistic form over a CALENDAR-BOUNDED per-key series
+    * (n ≤ ~10³ points — the pair frame is n² per key, the stated
+    * q_pairwise_ks bounded-spine exception): with a_ij = |x_i − x_j|,
+    * double-centered Ã_ij = a_ij − ā_i· − ā_·j + ā_··, the scaled
+    * integer t_a(i,j) = n²·a_ij − n·ra_i − n·ra_j + ga = n⁴·Ã_ij is
+    * EXACT, and V²xy·n⁶ = Σ t_a·t_b, V²x·n⁶ = Σ t_a², V²y·n⁶ = Σ t_b²
+    * are exact DECIMAL(38,0) sums. dCor⁴ = V²xy²/(V²x·V²y) (the
+    * SQUARE of dCor² — squaring dodges the sqrt the no-transcendental
+    * law forbids) renders by a TWO-STAGE floor ordered to stay in
+    * range: q₁ = (1000·Σt_at_b) div max(Σt_a², Σt_b²) is ≤ 1000 by
+    * Cauchy–Schwarz, then `dcor4_x1000` = (q₁·Σt_at_b) div
+    * min(Σt_a², Σt_b²) — q₁·Σt_at_b peaks ~10³⁵, inside DECIMAL, and
+    * both floors replay in HUGEINT. Constant series (V²x or V²y = 0)
+    * emit 0 by convention. Envelope: per-row |t| ≤ 4·n²·max|Δ|, so
+    * n ≤ 10³ with values ≤ 10¹⁰ keeps Σt² ≤ ~10³⁵ — guarded loudly on
+    * n; value magnitudes are the caller's stated grid.
+    */
+  def distanceCovariance(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val dec = DecimalType(38, 0)
+    val base = df.select(keys :+ col(idCol).as("__i") :+
+        col(xCol).cast("long").as("__x") :+ col(yCol).cast("long").as("__y"): _*)
+      .localCheckpoint(true) // n² pair join reads both sides
+    val other = base.select(keys :+ col("__i").as("__j") :+
+      col("__x").as("__xj") :+ col("__y").as("__yj"): _*)
+    val pairs = base.join(other, keyCols)
+      .select(keys :+ col("__i") :+ col("__j") :+
+        abs(col("__x") - col("__xj")).as("__a") :+
+        abs(col("__y") - col("__yj")).as("__b"): _*)
+      .localCheckpoint(true) // row sums and the term pass share it
+    val rowS = pairs.groupBy(keys :+ col("__i"): _*)
+      .agg(sum(col("__a")).as("__ra"), sum(col("__b")).as("__rb"))
+      .localCheckpoint(true) // joined twice (i and j side) + grand
+    val grand = rowS.groupBy(keys: _*)
+      .agg(sum(col("__ra")).as("__ga"), sum(col("__rb")).as("__gb"),
+        count(lit(1)).as("__n"))
+      .withColumn("__n",
+        when(col("__n") > 1000L, raise_error(lit(
+          "distanceCovariance: series exceeds the n <= 1000 exact " +
+            "envelope — coarsen the calendar grain")).cast("long"))
+          .otherwise(col("__n")))
+    pairs
+      .join(rowS.select(keys :+ col("__i") :+ col("__ra").as("__rai") :+
+        col("__rb").as("__rbi"): _*), keyCols :+ "__i")
+      .join(rowS.select(keys :+ col("__i").as("__j") :+
+        col("__ra").as("__raj") :+ col("__rb").as("__rbj"): _*), keyCols :+ "__j")
+      .join(grand, keyCols)
+      .withColumn("__ta",
+        col("__n").cast(dec) * col("__n") * col("__a")
+          - col("__n").cast(dec) * col("__rai")
+          - col("__n").cast(dec) * col("__raj") + col("__ga"))
+      .withColumn("__tb",
+        col("__n").cast(dec) * col("__n") * col("__b")
+          - col("__n").cast(dec) * col("__rbi")
+          - col("__n").cast(dec) * col("__rbj") + col("__gb"))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__ta") * col("__tb")).as("__vxy"),
+        sum(col("__ta") * col("__ta")).as("__vx"),
+        sum(col("__tb") * col("__tb")).as("__vy"))
+      .withColumn("dcor4_x1000",
+        when(col("__vx") === 0 || col("__vy") === 0, 0L)
+          // negative V²xy (possible for the V-statistic on tiny n? no —
+          // Σ t_a·t_b can be negative; dCov² is its positive part by
+          // theory on true distance matrices, but the floored render
+          // clamps at 0 to keep the emit in [0, 1000]
+          .when(col("__vxy") <= 0, 0L)
+          .otherwise(expr(
+            """CAST(((1000 * __vxy) div greatest(__vx, __vy) * __vxy)
+               div least(__vx, __vy) AS BIGINT)""")))
+      .select((keys :+ col("n") :+ col("dcor4_x1000")): _*)
+  }
+
   /** Fleiss' kappa (1971) for k BINARY raters — chance-corrected
     * agreement when [[cochranQ]] asks only whether pass RATES differ:
     * here the question is whether raters AGREE per subject beyond

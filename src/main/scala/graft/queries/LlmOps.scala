@@ -6443,6 +6443,26 @@ object LlmOps {
         .orderBy("n_name")
     }),
 
+    // Distance covariance (Stats.distanceCovariance, Székely 2007) per
+    // nation between monthly revenue and monthly order count — the
+    // NONLINEAR-dependence audit the Pearson/Spearman row cannot see
+    // (dCov = 0 ⟺ independence). Monthly series are calendar-bounded
+    // (~80 points), so the n² double-centered pair frame is a bounded
+    // spine; dCor⁴ renders by the ordered two-stage floor (q₁ ≤ 1000
+    // by Cauchy–Schwarz) with every intermediate inside DECIMAL(38,0).
+    "q_dcov" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT) div 1000"))
+          .as("x"), count(lit(1)).as("y"))
+      Stats.distanceCovariance(m, Seq("n_name"), "mon", "x", "y")
+        .orderBy("n_name")
+    }),
+
     // Kuiper two-sample test (Stats.kuiper) on a CYCLIC covariate —
     // each event type's hour-of-day distribution against the 'click'
     // baseline: V = D⁺ + D⁻ weights both tails symmetrically and is
@@ -14621,6 +14641,51 @@ object LlmOps {
                 ELSE CAST(s // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
                 END AS a2_x1000
          FROM ag ORDER BY n_name""",
+
+    // exact n^4-scaled double-centering; ordered two-stage floor for
+    // dCor^4 (q1 <= 1000 by Cauchy-Schwarz)
+    "q_dcov" ->
+      """WITH nat AS (
+           SELECT c_custkey, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         m AS (
+           SELECT n_name,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000)
+               AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+           FROM orders JOIN nat ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         p AS (
+           SELECT a.n_name, a.mon AS i, b.mon AS j,
+             CAST(abs(a.x - b.x) AS HUGEINT) AS da,
+             CAST(abs(a.y - b.y) AS HUGEINT) AS db
+           FROM m a JOIN m b USING (n_name)),
+         r AS (
+           SELECT n_name, i, sum(da) AS ra, sum(db) AS rb
+           FROM p GROUP BY 1, 2),
+         g AS (
+           SELECT n_name, sum(ra) AS ga, sum(rb) AS gb,
+             CAST(count(*) AS HUGEINT) AS n
+           FROM r GROUP BY 1),
+         t AS (
+           SELECT p.n_name,
+             g.n * g.n * p.da - g.n * ri.ra - g.n * rj.ra + g.ga AS ta,
+             g.n * g.n * p.db - g.n * ri.rb - g.n * rj.rb + g.gb AS tb
+           FROM p
+           JOIN r ri ON p.n_name = ri.n_name AND p.i = ri.i
+           JOIN r rj ON p.n_name = rj.n_name AND p.j = rj.i
+           JOIN g ON p.n_name = g.n_name),
+         v AS (
+           SELECT n_name, sum(ta * tb) AS vxy, sum(ta * ta) AS vx,
+             sum(tb * tb) AS vy
+           FROM t GROUP BY 1)
+         SELECT v.n_name, CAST(g.n AS BIGINT) AS n,
+           CASE WHEN vx = 0 OR vy = 0 OR vxy <= 0 THEN 0
+                ELSE CAST(((1000 * vxy) // greatest(vx, vy) * vxy)
+                          // least(vx, vy) AS BIGINT)
+           END AS dcor4_x1000
+         FROM v JOIN g ON v.n_name = g.n_name ORDER BY v.n_name""",
 
     // the KS spine with TWO signed maxes instead of one absolute:
     // V = D+ + D-, per-mille floor in HUGEINT
