@@ -4870,6 +4870,40 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Cox–Stuart paired-halves sign test (1955) per event type — the
+    // O(n) member of the trend row: day i pairs with day i + c
+    // (c = ⌊n/2⌋, the middle day of an odd series drops), and the
+    // up/down census over the c pairs is the whole statistic — no
+    // pairwise O(n²) like Mann–Kendall, no slope like Theil–Sen, so
+    // it is the trend screen a pipeline runs FIRST at scale. Ties
+    // (x_i = x_{i+c}) drop by the standard convention; `direction`
+    // states the majority sign, 0 on a tie. Integer counts only.
+    "q_cox_stuart" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(wOrd).cast("long"))
+        .withColumn("len", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .localCheckpoint(true) // both halves of the pair join read it
+      // x_i pairs with x_{i + ceil(n/2)}: the middle day of an odd
+      // series belongs to NEITHER half and drops
+      val c = daily.withColumn("c", col("len") - expr("len div 2"))
+      c.filter(col("r") <= expr("len div 2"))
+        .select(col("event_type"), col("r"), col("n").as("x1"))
+        .join(c.select(col("event_type"), (col("r") - col("c")).as("r"),
+          col("n").as("x2")), Seq("event_type", "r"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("x2") < col("x1"), 1L).otherwise(0L)).as("n_down"))
+        .withColumn("direction",
+          when(col("n_up") > col("n_down"), 1L)
+            .when(col("n_up") < col("n_down"), -1L).otherwise(0L))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust slope (TimeSeries.theilSenSlope) per event type:
     // the lower-median of all pairwise day-count slopes, floor-scaled
     // ×1000 — the trend-rate companion to q_mk_trend's direction.
@@ -12246,6 +12280,35 @@ object LlmOps {
 
     // The pairwise sign fold and the τ_a per-mille replayed over the
     // same daily rollup.
+    // x_i vs x_{i + ceil(n/2)}; odd-length middle day in neither half
+    "q_cox_stuart" ->
+      """WITH dl AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, n,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS len
+           FROM dl),
+         p AS (
+           SELECT a.event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+             CAST(sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+           FROM rk a JOIN rk b ON a.event_type = b.event_type
+             AND b.r = a.r + (a.len - a.len // 2)
+           WHERE a.r <= a.len // 2
+           GROUP BY 1)
+         SELECT event_type, n_pairs, n_up, n_down,
+           CAST(CASE WHEN n_up > n_down THEN 1
+                     WHEN n_up < n_down THEN -1 ELSE 0 END AS BIGINT)
+             AS direction
+         FROM p ORDER BY event_type""",
+
     "q_mk_trend" ->
       """WITH dl AS (
            SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
