@@ -531,6 +531,33 @@ object Relational {
     // take order and emitted with pick_order for the audit trail.
     // DuckDB replays the identical fold via 3-arg list_reduce with
     // typed empty-list seeds.
+    // Gale–Shapley stable supplier→part assignment (Matching
+    // .galeShapley, deferred acceptance 1962): each supplier in the
+    // bounded cohort ranks its 3 cheapest co-occurring parts, every
+    // part keeps its cheapest claimant, and the fixed point is the
+    // UNIQUE proposer-optimal stable matching — no supplier-part pair
+    // both prefer each other over their assignments, the guarantee
+    // q_greedy_matching's weight-greedy maximal matching does NOT
+    // give. McVitie–Wilson order-independence is the certificate
+    // lever: the engine runs PARALLEL rounds, the DuckDB oracle
+    // replays one proposal at a time through a list_reduce state
+    // machine, and the theorem says they must agree edge-for-edge.
+    "q_stable_match" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_suppkey") < 100 && col("l_partkey") < 60)
+        .groupBy(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val wS = Window.partitionBy(col("s")).orderBy(col("cents"), col("p"))
+      val prefs = base.withColumn("r", row_number().over(wS).cast("long"))
+        .filter(col("r") <= 3)
+      graft.operators.Matching.galeShapley(prefs, "s", "r", "p", "cents")
+        .select(col("s").as("s_suppkey"), col("p").as("p_partkey"),
+          col("pref_rank"), col("acceptor_cost"))
+        .orderBy("s_suppkey")
+    }),
+
+
     "q_greedy_matching" -> ((s, d) => {
       val nat = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -7595,6 +7622,67 @@ object Relational {
     // skip precedes an append — so the lambda always builds a fresh
     // list, list_concat(acc, CASE ... [] ELSE [e] END), never `acc`
     // itself
+    // sequential one-proposal-at-a-time deferred acceptance through a
+    // list_reduce state machine (min free supplier proposes, acceptee
+    // keeps min (cents, suppkey), loser freed with its pointer kept) —
+    // McVitie-Wilson says this MUST equal the engine's parallel rounds.
+    // 400 no-op-padded steps >= the 3*100 total-proposal bound; every
+    // branch rebuilds the list (the documented list_reduce hazard)
+    "q_stable_match" ->
+      """WITH base AS (
+  SELECT l_suppkey AS s, l_partkey AS p,
+    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem WHERE l_suppkey < 100 AND l_partkey < 60 GROUP BY 1, 2),
+pf AS (
+  SELECT s, p, cents,
+    CAST(row_number() OVER (PARTITION BY s ORDER BY cents, p) AS BIGINT) AS r
+  FROM base QUALIFY r <= 3),
+plist AS (
+  SELECT list(struct_pack(s := s, r := r, p := p, a := cents)
+    ORDER BY s, r) AS pl
+  FROM pf),
+init AS (
+  SELECT list(struct_pack(s := s, ptr := CAST(1 AS BIGINT),
+      part := CAST(-1 AS BIGINT), pa := CAST(0 AS BIGINT)) ORDER BY s) AS st
+  FROM (SELECT DISTINCT s FROM pf)),
+fin AS (
+  SELECT list_reduce(
+    list_prepend(st,
+      list_transform(range(1, 400),
+        i -> []::STRUCT(s BIGINT, ptr BIGINT, part BIGINT, pa BIGINT)[])),
+    (acc, e) -> list_transform(
+      [list_filter(acc, x -> x.part = -1 AND len(list_filter(
+         pl,
+         q -> q.s = x.s AND q.r = x.ptr)) > 0)],
+      fl -> CASE WHEN len(fl) = 0
+        THEN list_concat(acc,
+          []::STRUCT(s BIGINT, ptr BIGINT, part BIGINT, pa BIGINT)[])
+        ELSE list_transform(
+          [list_filter(pl,
+             q -> q.s = fl[1].s AND q.r = fl[1].ptr)[1]],
+          pq -> list_transform(
+            [list_filter(acc, x -> x.part = pq.p)],
+            rv -> list_transform(
+              [struct_pack(win := len(rv) = 0 OR pq.a < rv[1].pa
+                 OR (pq.a = rv[1].pa AND fl[1].s < rv[1].s))],
+              W -> list_transform(acc, x -> CASE
+                WHEN x.s = fl[1].s THEN struct_pack(
+                  s := x.s, ptr := x.ptr + 1,
+                  part := CASE WHEN W.win THEN pq.p ELSE CAST(-1 AS BIGINT) END,
+                  pa := CASE WHEN W.win THEN pq.a ELSE CAST(0 AS BIGINT) END)
+                WHEN W.win AND x.part = pq.p THEN struct_pack(
+                  s := x.s, ptr := x.ptr,
+                  part := CAST(-1 AS BIGINT), pa := CAST(0 AS BIGINT))
+                ELSE struct_pack(s := x.s, ptr := x.ptr, part := x.part,
+                  pa := x.pa) END))[1])[1])[1]
+        END)[1]) AS stf
+  FROM init CROSS JOIN plist),
+m AS (
+  SELECT unnest(list_filter((SELECT stf FROM fin), x -> x.part <> -1)) AS u)
+SELECT u.s AS s_suppkey, u.part AS p_partkey, pf.r AS pref_rank,
+  u.pa AS acceptor_cost
+FROM m JOIN pf ON pf.s = u.s AND pf.p = u.part
+ORDER BY s_suppkey""",
     "q_greedy_matching" ->
       """WITH nat AS (
            SELECT c_custkey, n_name FROM customer
