@@ -50,6 +50,11 @@ object Matching {
       .withColumn("pacost", lit(null).cast("long")))
     var live = 1L
     var round = 0
+    // superseded pins release ONE ROUND LATE: the state is lazily
+    // pinned, and only the NEXT round's count materializes it — an
+    // immediate release would unpersist the truncated chain it still
+    // reads (local checkpoints cannot recompute)
+    var toRelease: Seq[DataFrame] = Nil
     while (live > 0 && round < maxRounds) {
       // a free proposer with no pref at its pointer is exhausted — the
       // rank equi-join drops it, so it never blocks termination
@@ -57,7 +62,9 @@ object Matching {
         .join(pr, col("s") === col("ps") && col("ptr") === col("pr"))
         .select(col("s"), col("pp").as("p"), col("pa").as("a"))
         .transform(Checkpoints.pin(_, eager = false))
-      live = props.count()
+      live = props.count() // materializes props AND the current state
+      Checkpoints.release(toRelease)
+      toRelease = Nil
       if (live > 0) {
         val tenants = sup.filter(col("part").isNotNull)
           .select(col("s"), col("part").as("p"), col("pacost").as("a"))
@@ -73,12 +80,15 @@ object Matching {
           .join(winners, Seq("s"), "left")
           .select(col("s"),
             (col("ptr") + coalesce(col("__prop"), lit(0L))).as("ptr"),
-            col("wpart").as("part"), col("wa").as("pacost")))
-        Checkpoints.release(Seq(sup, props))
+            col("wpart").as("part"), col("wa").as("pacost")),
+          eager = false)
+        toRelease = Seq(sup, props)
         sup = pinned
       } else Checkpoints.release(Seq(props))
       round += 1
     }
+    // the final state may still be unmaterialized; the output pin below
+    // materializes it before anything else releases
     if (live > 0)
       throw new IllegalStateException(
         s"galeShapley did not quiesce within $maxRounds rounds ($live " +
