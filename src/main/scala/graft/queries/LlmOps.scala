@@ -4512,6 +4512,43 @@ object LlmOps {
     // both rankings AND the 1/(60+rank) blend from scratch, so a rank
     // shift in either leg, a dropped coalesce on a one-list id, or a tie
     // inverted between engines flips the hash. Integer-only output.
+    // Rank-biased overlap (Webber, Moffat & Zobel 2010) at depth 10
+    // between the lexical (BM25) and semantic (exact-cosine) top-10
+    // rankings — the TOP-WEIGHTED ranking-agreement measure the
+    // uniform-weight row (kendall, spearman, rank_distance) lacks:
+    // disagreement at rank 1 costs 9× more than at rank 10. Exact on
+    // the 2520·10¹⁰ grid: weight w_d = 9^(d−1)·10^(10−d) carries the
+    // (1/10)(9/10)^(d−1) geometric factor, 2520 div d absorbs the
+    // per-depth division (2520 = lcm(1..10)), and A_d counts common
+    // docs with max(rank) ≤ d — every term a BIGINT, the cumulative
+    // sum over the bounded 10-row depth spine is the truncated RBO.
+    "q_rbo" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("table", "hash", "window"), topK = 10)
+        .select(col("doc_id"), col("rank").as("r1"))
+      val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") > 0), emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", k = 10)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r2"))
+      val common = lex.join(sem, Seq("doc_id"))
+        .select(greatest(col("r1"), col("r2")).as("rmax"))
+      val weights = (1 to 10).map(dd =>
+        (BigInt(9).pow(dd - 1) * BigInt(10).pow(10 - dd)).toLong)
+      val spine = s.range(1, 11).select(col("id").as("d"))
+      spine.join(common, col("rmax") <= col("d"), "left")
+        .groupBy(col("d"))
+        .agg(sum(when(col("rmax").isNotNull, 1L).otherwise(0L)).as("a_d"))
+        .withColumn("term_x",
+          element_at(array(weights.map(lit): _*), col("d").cast("int"))
+            * expr("2520 div d") * col("a_d"))
+        .withColumn("cum_x",
+          sum(col("term_x")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("d")
+    }),
+
     "q_rrf_fusion" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
@@ -10001,6 +10038,47 @@ object LlmOps {
     // fusion sums 1/(60+rank) in DOUBLE (CAST — a bare 1.0 literal would
     // be DECIMAL in DuckDB and order differently) over at most two exact
     // terms, so the fused ordering is bit-deterministic in both engines.
+    // w_d = 9^(d-1)*10^(10-d) geometric weights, 2520//d exact depth
+    // division, A_d from the shared top-10 legs
+    "q_rbo" ->
+      s"""$bm25CteSql,
+         lex AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+             AS BIGINT) AS r1
+           FROM sc WHERE score > 0 QUALIFY r1 <= 10),
+         qv AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+         cosd AS (
+           SELECT vec_id AS doc_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+           FROM embeddings, qv WHERE vec_id > 0),
+         sem AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id)
+             AS BIGINT) AS r2
+           FROM cosd QUALIFY r2 <= 10),
+         com AS (
+           SELECT greatest(r1, r2) AS rmax FROM lex JOIN sem USING (doc_id)),
+         sp AS (SELECT CAST(d AS BIGINT) AS d FROM generate_series(1, 10) t(d)),
+         ad AS (
+           SELECT sp.d,
+             CAST(sum(CASE WHEN com.rmax IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS a_d
+           FROM sp LEFT JOIN com ON com.rmax <= sp.d GROUP BY 1),
+         w(d, wv) AS (VALUES
+           (1, 1000000000), (2, 900000000), (3, 810000000), (4, 729000000),
+           (5, 656100000), (6, 590490000), (7, 531441000), (8, 478296900),
+           (9, 430467210), (10, 387420489)),
+         t2 AS (
+           SELECT ad.d, ad.a_d,
+             CAST(wv AS BIGINT) * (2520 // ad.d) * ad.a_d AS term_x
+           FROM ad JOIN w ON w.d = ad.d)
+         SELECT d, a_d, term_x,
+           CAST(sum(term_x) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_x
+         FROM t2 ORDER BY d""",
+
     "q_rrf_fusion" ->
       s"""$bm25CteSql,
          lex AS (
