@@ -288,6 +288,68 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Σ|aᵢ−bᵢ| over array<bigint> — see [[VectorKernels.l1Long]] for the
+  * exact zip_with-parity semantics (null on length mismatch / null element).
+  */
+case class L1DistLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorKernels.l1Long(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.expressions.VectorKernels.l1Long($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ aᵢ·bᵢ over array<bigint> — see [[VectorKernels.dotLong]]. */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorKernels.dotLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.expressions.VectorKernels.dotLong($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ(aᵢ−bᵢ)² over array<bigint> — see [[VectorKernels.l2sqLong]]. */
+case class L2SqLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorKernels.l2sqLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.expressions.VectorKernels.l2sqLong($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** SQL registration: makes the kernels callable from `spark.sql` text —
   * `SELECT cosine_sim(a.v, b.v) FROM ...` — so the SQL surface and the
   * Column API expose the same operator set.
@@ -334,6 +396,9 @@ object functions {
 
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def l1_dist_long(a: Column, b: Column): Column = col(L1DistLong(expr(a), expr(b)))
+  def dot_long(a: Column, b: Column): Column = col(DotLong(expr(a), expr(b)))
+  def l2sq_long(a: Column, b: Column): Column = col(L2SqLong(expr(a), expr(b)))
 
   /** Bounded-heap per-group top-k under (score asc|desc, id asc) —
     * the scale-safe window replacement; see

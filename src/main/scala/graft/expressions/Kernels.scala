@@ -31,6 +31,65 @@ object VectorKernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Σ|aᵢ − bᵢ| over two BIGINT arrays — the codegen replacement for the
+    * interpreted `aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, +)`
+    * idiom, with EXACT parity on its edge semantics: zip_with null-pads
+    * when lengths differ and a null element poisons the un-coalesced sum,
+    * so this returns null (boxed) on length mismatch or any null element,
+    * and the plain-Long accumulation elsewhere. One boxed Long per call;
+    * the per-element loop stays primitive and JIT-vectorizable.
+    */
+  def l1Long(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += (if (d < 0) -d else d)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Σ aᵢ·bᵢ over two BIGINT arrays — codegen stand-in for the
+    * interpreted `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)`
+    * integer dot product (MaxSim late interaction). Same null/length
+    * parity rules as [[l1Long]].
+    */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Σ(aᵢ − bᵢ)² over two BIGINT arrays — codegen stand-in for the
+    * interpreted `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0L, +)`
+    * squared-L2 idiom (k-means scoring, PQ encode). Same null/length
+    * parity rules as [[l1Long]].
+    */
+  def l2sqLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

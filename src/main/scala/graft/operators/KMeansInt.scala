@@ -82,9 +82,11 @@ object KMeansInt {
     var assign: DataFrame = null
     for (r <- 1 to rounds) {
       val scored = base.crossJoin(broadcast(cents))
+        // codegen kernel, not aggregate(zip_with(...)): the interpreted
+        // HOF lambda was the dominant cost of every Lloyd round (r17
+        // profile); value-identical Long squared-L2
         .withColumn("dist",
-          expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), " +
-            "0L, (acc, x) -> acc + x)"))
+          graft.expressions.functions.l2sq_long(col("v"), col("cv")))
       assign = scored.groupBy(col("id"))
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("id"), col("m.cid").as("cid"), col("m.dist").as("dist"))

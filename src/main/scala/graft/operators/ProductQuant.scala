@@ -128,9 +128,10 @@ object ProductQuant {
       .select(col("qid"), col("m"),
         expr(s"slice(qv, m * $subDim + 1, $subDim)").as("qv"))
     qs.join(cents, Seq("m"))
-      .withColumn("d",
-        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), " +
-          "0L, (acc, x) -> acc + x)"))
+      // codegen kernel, not aggregate(zip_with(...)): HOF lambdas are
+      // interpreted per element (r17 profile: the PQ families' scoring
+      // projections dominated their wall time); same Long value
+      .withColumn("d", graft.expressions.functions.l2sq_long(col("qv"), col("cv")))
       .groupBy(col("qid"))
       .agg(sort_array(collect_list(struct(col("m"), col("cid"), col("d"))))
         .as("mcd"))
@@ -378,9 +379,8 @@ object ProductQuant {
         .as("e"))
       .select(col("id"), col("e.m").as("m"), col("e.sv").as("sv"))
       .join(broadcast(cents), Seq("m"))
-      .withColumn("dist",
-        expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
-          "0L, (acc, x) -> acc + x)"))
+      // codegen kernel (see adcTable) — identical Long squared-L2
+      .withColumn("dist", graft.expressions.functions.l2sq_long(col("sv"), col("cv")))
       .groupBy(col("id"), col("m"))
       .agg(min(struct(col("dist"), col("cid"))).as("w"))
       .select(col("id"), col("m"), col("w.cid").as("cid"))

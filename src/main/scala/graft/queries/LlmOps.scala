@@ -1608,15 +1608,24 @@ object LlmOps {
     // floor and turns this row red in tools/oracle_check.py.
     "q_dedup_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // both pair frames pin once (each feeds TWO legs — recall join +
+      // false-positive anti-join; unpinned, the LSH pipeline and the
+      // all-pairs truth scan each ran twice, r17 profile), and the truth
+      // probe side spreads across the cluster before the |emb|² cosine
+      // loop (bounded eval set arriving as ONE scan partition — the
+      // q_silhouette parallelism fix)
       val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, nPlanes = 3, nTables = 3, maxBucketSize = 2000)
         .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+        .localCheckpoint(true)
       val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
       val truth = v.select(col("id").as("id_a"), col("v").as("v_a"))
+        .repartition(s.sparkContext.defaultParallelism, col("id_a"))
         .crossJoin(broadcast(v.select(col("id").as("id_b"), col("v").as("v_b"))))
         .filter(col("id_a") < col("id_b"))
         .filter(round(gfn.cosine_sim(col("v_a"), col("v_b")), 6) >= 0.4)
         .select("id_a", "id_b")
+        .localCheckpoint(true)
       truth.join(lsh, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
           coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
@@ -1643,15 +1652,19 @@ object LlmOps {
     // measured recall without any engine bug — re-pin, don't debug.
     "q_dedup_semantic" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // same two-leg pin + probe-spread discipline as q_dedup_embedding
       val det = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4, nClusters = 4, refineIters = 2)
         .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+        .localCheckpoint(true)
       val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
       val truth = v.select(col("id").as("id_a"), col("v").as("v_a"))
+        .repartition(s.sparkContext.defaultParallelism, col("id_a"))
         .crossJoin(broadcast(v.select(col("id").as("id_b"), col("v").as("v_b"))))
         .filter(col("id_a") < col("id_b"))
         .filter(round(gfn.cosine_sim(col("v_a"), col("v_b")), 6) >= 0.4)
         .select("id_a", "id_b")
+        .localCheckpoint(true)
       truth.join(det, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
           coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
@@ -3950,12 +3963,16 @@ object LlmOps {
             .as("v"))
       val qt = toks.filter(col("doc") < 5)
         .select(col("doc").as("qdoc"), col("vec_id").as("qtok"), col("v").as("qv"))
+      // doc-token side spread before the scoring loop (embeddings is a
+      // bounded eval set arriving as ONE scan partition — the
+      // q_silhouette parallelism fix) and the dot product is the codegen
+      // kernel, not the interpreted zip_with lambda — value-identical
       val dt = toks.filter(col("doc") >= 5)
         .select(col("doc").as("ddoc"), col("v").as("dv"))
+        .repartition(s.sparkContext.defaultParallelism, col("ddoc"))
       val best = dt.crossJoin(broadcast(qt))
         .select(col("qdoc"), col("qtok"), col("ddoc"),
-          expr("aggregate(zip_with(qv, dv, (a, b) -> a * b), " +
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dot"))
+          gfn.dot_long(col("qv"), col("dv")).as("dot"))
         .groupBy(col("qdoc"), col("qtok"), col("ddoc"))
         .agg(max(col("dot")).as("mx"))
       best.groupBy(col("qdoc"), col("ddoc"))
@@ -4747,18 +4764,30 @@ object LlmOps {
           expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))")
             .as("q"))
         .localCheckpoint(true) // ≤500 rows; both pair sides
+      // probe side spread explicitly: the eval set arrives as ONE scan
+      // partition, and |pts|² kernel evaluations on one core was 35 s of
+      // the r17 baseline sweep (wall ≈ task_s, par 1.0). defaultParallelism
+      // scales with the cluster; the shuffled frame is |pts| rows — trivial
+      // at every SF. The distance itself is the codegen L1 kernel, not the
+      // interpreted aggregate(zip_with(...)) lambda — value-identical.
       val a = pts.select(col("vec_id").as("ia"), col("label").as("la"),
         col("q").as("qa"))
+        .repartition(s.sparkContext.defaultParallelism, col("ia"))
       val b = pts.select(col("vec_id").as("ib"), col("label").as("lb"),
         col("q").as("qb"))
-      val pd = a.join(broadcast(b), col("ia") =!= col("ib"))
-        .select(col("ia"), col("la"), col("lb"), expr(
-          """aggregate(zip_with(qa, qb, (x, y) -> abs(x - y)),
-             CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("d"))
-        .localCheckpoint(true) // 250k pair rows; sums + Dunn legs share it
-      val sic = pd.groupBy(col("ia"), col("la"), col("lb"))
-        .agg(sum(col("d")).as("sc"), count(lit(1)).as("nc"))
-        .localCheckpoint(true) // ≤5k rows; own/min/argmin legs share it
+      // the |pts|² pair frame is never pinned: the NLJ + kernel stream
+      // straight into ONE map-side-combined aggregate that carries the
+      // silhouette sums AND the per-group distance extremes the Dunn
+      // index needs (min over inter-, max over intra-group distances
+      // fold exactly from group-level min/max) — the r17 baseline pinned
+      // 4M pair rows only to re-read them for dunn's two numbers
+      val sic = a.join(broadcast(b), col("ia") =!= col("ib"))
+        .select(col("ia"), col("la"), col("lb"),
+          gfn.l1_dist_long(col("qa"), col("qb")).as("d"))
+        .groupBy(col("ia"), col("la"), col("lb"))
+        .agg(sum(col("d")).as("sc"), count(lit(1)).as("nc"),
+          min(col("d")).as("mind"), max(col("d")).as("maxd"))
+        .localCheckpoint(true) // ≤5k rows; own/min/argmin/dunn legs share it
       val own = sic.filter(col("la") === col("lb"))
         .select(col("ia"), col("la"), col("sc").as("a_num"),
           col("nc").as("a_den"))
@@ -4780,9 +4809,9 @@ object LlmOps {
                 - CAST(a_num AS DECIMAL(38,0)) * b_den))
              div greatest(CAST(a_num AS DECIMAL(38,0)) * b_den,
                 CAST(b_num AS DECIMAL(38,0)) * a_den)"""))
-      val dunn = pd.agg(
-        min(when(col("la") =!= col("lb"), col("d"))).as("min_inter"),
-        max(when(col("la") === col("lb"), col("d"))).as("max_intra"))
+      val dunn = sic.agg(
+        min(when(col("la") =!= col("lb"), col("mind"))).as("min_inter"),
+        max(when(col("la") === col("lb"), col("maxd"))).as("max_intra"))
         .withColumn("dunn_x1000", when(col("max_intra") <= 0, 0L)
           .otherwise(expr("(1000 * min_inter) div max_intra")))
       si.groupBy(col("la").as("label"))
