@@ -3046,30 +3046,51 @@ object Relational {
     // over the symmetrized pair list (partitioned by id — never global),
     // one self-join of the best-edge table.
     "q_mutual_match" -> ((s, d) => {
-      // maxDist = 1 (not q_fuzzy_join's 2): best-match symmetrization
-      // shuffles EVERY candidate pair through the per-id window, and the
-      // dist-2 band is ~10× the dist-1 band on this corpus — the tight
-      // band is the realistic reciprocal-best-hit configuration (high
-      // precision is the point of the rule).
-      val pairs = graft.operators.FuzzyJoin.editDistanceSelfJoin(
-        Tables.part(s, d), "p_partkey", "p_name", maxDist = 1)
-        .select(col("id_a"), col("id_b"), col("dist"))
-      // ONE pass over the fuzzy join: both directions explode from each
-      // undirected pair (never a union of two subtrees, which would run
-      // the whole Ed-Join twice), and mutuality = the canonical pair
-      // surviving the per-id best-rank cut from BOTH endpoints — a
-      // count-2 groupBy instead of a best⋈best self-join.
-      val sym = pairs.select(col("dist"), explode(array(
-          struct(col("id_a").as("src"), col("id_b").as("dst")),
-          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-        .select(col("e.src").as("id_a"), col("e.dst").as("id_b"), col("dist"))
-        // exchange barrier the window needs anyway: materializes the
-        // edit-distance column so downstream operators reference the
-        // shuffled value instead of re-running the DP kernel per use
-        .repartition(col("id_a"))
-      val best = sym.withColumn("rk", row_number().over(
-          Window.partitionBy(col("id_a")).orderBy(col("dist"), col("id_b"))))
-        .filter(col("rk") === 1).drop("rk")
+      // maxDist = 1 (not q_fuzzy_join's 2): the tight band is the
+      // realistic reciprocal-best-hit configuration (high precision is
+      // the point of the rule).
+      //
+      // VALUE-LEVEL argmin (r17 rewrite, guide §8 "decide with small
+      // rows"): the r16 form expanded the Ed-Join to ID pairs (3.9M at
+      // sf0.1 from only 8 distinct-value pairs — p_name multiplicity is
+      // quadratic in the expansion) and ranked 7.8M symmetrized rows in
+      // a per-id window. But an id's best partner under the window's
+      // (dist asc, partner-id asc) order is decidable per VALUE: every
+      // candidate with the same name contributes (0, other same-name
+      // ids) — argmin = the value's min id, or its second-min for the
+      // min holder itself — and every dist-d neighbor value t
+      // contributes (d, t's min id). min(struct(dist, id_b)) over that
+      // per-id candidate LIST (|values' neighbors| + 1 rows per id,
+      // never the m² pair expansion) is therefore row-identical to the
+      // r16 window's rk=1 cut; the count-2 mutuality fold is unchanged.
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("s"))
+        .filter(col("s").isNotNull)
+      val vp = graft.operators.FuzzyJoin.valuePairs(
+        Tables.part(s, d), "p_name", maxDist = 1)
+      val nbrs = vp.select(col("__sa").as("s"), col("__sb").as("t"),
+          col("__dist").as("dist"))
+        .unionAll(vp.select(col("__sb").as("s"), col("__sa").as("t"),
+          col("__dist").as("dist")))
+      // per-value stats: min id, count, and the min holder's runner-up
+      val vmin = base.groupBy(col("s"))
+        .agg(min(col("id")).as("id1"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // vocabulary-sized; three joins read it
+      val vmin2 = base.join(vmin.select(col("s"), col("id1")), Seq("s"))
+        .filter(col("id") > col("id1"))
+        .groupBy(col("s")).agg(min(col("id")).as("id2"))
+      val sameCand = base.join(vmin, Seq("s")).filter(col("n") > 1)
+        .join(vmin2, Seq("s"))
+        .select(col("id").as("id_a"), lit(0).as("dist"),
+          when(col("id") === col("id1"), col("id2")).otherwise(col("id1"))
+            .as("id_b"))
+      val nbrCand = base.join(nbrs, Seq("s"))
+        .join(vmin.select(col("s").as("t"), col("id1").as("nb1")), Seq("t"))
+        .select(col("id").as("id_a"), col("dist"), col("nb1").as("id_b"))
+      val best = sameCand.unionByName(nbrCand)
+        .groupBy(col("id_a"))
+        .agg(min(struct(col("dist"), col("id_b"))).as("m"))
+        .select(col("id_a"), col("m.id_b").as("id_b"), col("m.dist").as("dist"))
       best.select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
         .groupBy(col("id_a"), col("id_b"), col("dist"))
