@@ -58,9 +58,10 @@ object Graphs {
         .localCheckpoint(false)
       val grew = nxt.count() // the round's one action; materializes nxt
       pins += nxt
-      val d = dist.union(nxt).localCheckpoint(false)
-      pins += d
-      dist = d
+      // dist is a union of ALREADY-PINNED per-round frontiers — pinning
+      // the union too bought nothing and cost a Catalyst pass per round
+      // (r17: the driver dominated these loops at bench scale)
+      dist = dist.union(nxt)
       frontier = nxt.select("id")
       h += 1
       more = h <= maxHops && grew > 0
@@ -104,9 +105,8 @@ object Graphs {
         .localCheckpoint(false)
       val grew = nxt.count()
       pins += nxt
-      val d = dist.union(nxt).localCheckpoint(false)
-      pins += d
-      dist = d
+      // union of pinned frontiers — no per-round union pin (see bfsHops)
+      dist = dist.union(nxt)
       frontier = nxt.select("seed", "id")
       h += 1
       more = h <= maxHops && grew > 0
@@ -470,9 +470,15 @@ object Graphs {
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       val next = dist.union(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+      // every-2nd-round pin: dist is referenced twice per round (join +
+      // union), so one unpinned stretch doubles a shallow subtree —
+      // exchange reuse dedups its execution — while each skipped pin
+      // saves a full Catalyst pass (r17: these loops were driver-bound)
       dist =
         if (r == rounds) next.localCheckpoint(true)
-        else { val p = next.localCheckpoint(false); pins += p; p }
+        else if (r % 2 == 0) {
+          val p = Checkpoints.pin(next, eager = false); pins += p; p
+        } else next
     }
     Checkpoints.release(pins.toSeq)
     dist
@@ -527,7 +533,8 @@ object Graphs {
     for (k <- 1 to rounds) {
       val next = e.join(p.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("pk")).as("pk"))
-      p = if (k == rounds) next else {
+      // every-2nd-round pin — see bellmanFordRounds
+      p = if (k == rounds || k % 2 == 1) next else {
         val pin = Checkpoints.pin(next, eager = false); pins += pin; pin
       }
       contribs += p.select(col("id"), (col("pk") * w(k)).as("c"))
@@ -583,9 +590,14 @@ object Graphs {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("id"), col("label"))
+      // every-2nd-round pin — see bellmanFordRounds (labels is
+      // single-referenced per round, so an unpinned stretch only deepens
+      // the plan; the skipped Catalyst pass was the measured cost)
       labels =
         if (r == rounds) next.localCheckpoint(true)
-        else { val pin = next.localCheckpoint(false); pins += pin; pin }
+        else if (r % 2 == 0) {
+          val pin = Checkpoints.pin(next, eager = false); pins += pin; pin
+        } else next
     }
     Checkpoints.release(pins.toSeq)
     labels

@@ -92,9 +92,18 @@ object PageRank {
         .select(col("to").as("id"),
           (lit(teleport) + expr("(in_sum * 85) div 100")).as("score"))
         .union(floorScores)
+      // pin every 4th round, not every round: each lazy pin costs a full
+      // Catalyst pass (~0.25 s driver, the boruvkaMsf lesson), which
+      // DOMINATED the 3-round queries at bench scale (r17 profile: wall
+      // 2-3× summed task time). A ≤4-deep unpinned join-agg chain plans
+      // once and keeps carried stats ≤ 2^4 factors (Checkpoints.pin
+      // clamps at the boundary pins anyway).
       scores =
         if (i == iters) next.localCheckpoint(true)
-        else { val p = next.localCheckpoint(false); pins += p; p }
+        else if (i % 4 == 0) {
+          val p = graft.operators.Checkpoints.pin(next, eager = false)
+          pins += p; p
+        } else next
     }
     release(pins.toSeq :+ ewd :+ floorScores)
     scores
@@ -146,9 +155,13 @@ object PageRank {
         .select(col("to").as("id"),
           (lit(teleport) + expr("(in_sum * 85) div 100")).as("score"))
         .union(floorScores)
+      // every-4th-round pin cadence — see integerPageRank
       scores =
         if (i == iters) next.localCheckpoint(true)
-        else { val p = next.localCheckpoint(false); pins += p; p }
+        else if (i % 4 == 0) {
+          val p = graft.operators.Checkpoints.pin(next, eager = false)
+          pins += p; p
+        } else next
     }
     release(pins.toSeq :+ ewd :+ floorScores)
     scores
@@ -216,9 +229,13 @@ object PageRank {
         .select(col("to").as("id"),
           (col("dst_tp") + expr("(in_sum * 85) div 100")).as("score"))
         .union(floorScores)
+      // every-4th-round pin cadence — see integerPageRank
       scores =
         if (i == iters) next.localCheckpoint(true)
-        else { val p = next.localCheckpoint(false); pins += p; p }
+        else if (i % 4 == 0) {
+          val p = graft.operators.Checkpoints.pin(next, eager = false)
+          pins += p; p
+        } else next
     }
     release(pins.toSeq :+ ewd :+ floorScores :+ seedSet)
     scores
