@@ -135,41 +135,73 @@ object Bpe {
       weightCol: String,
       numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
-    var state = words
+    // RDD-layer round loop (r17): a DataFrame round pays a full Catalyst
+    // pass for the pair-count collect AND one for the state pin, ~2 AQE
+    // jobs each, and with 16 rounds the driver dominated the queries
+    // (profile: wall 3.0 s vs 0.5 executor task-seconds). The round body
+    // is a pure string map + pair count over the pinned vocabulary, so
+    // it runs at the RDD layer — plans NOTHING per round (the boruvkaMsf
+    // lesson). Exactness is preserved operation for operation:
+    //  - trim/split("  ")/replace(literal) match the SQL functions on
+    //    the double-space invariant (edges are literal spaces, gaps are
+    //    exactly two spaces, symbols are space-free);
+    //  - weights sum in Long; the (cnt desc, b1, b2) argmin compares
+    //    symbols in UTF8String BINARY order — byte-identical to the
+    //    DataFrame sort for any alphabet, not just ASCII;
+    //  - the final frame rebuilds on the ORIGINAL schema.
+    val stateDf = words
       .filter(col(wordCol).isNotNull && length(col(wordCol)) >= 1)
       .select(col(wordCol).as("word"), col(weightCol).cast("long").as("wt"),
         concat(lit("  "), regexp_replace(col(wordCol), "(.)", "$1  ")).as("repr"))
-      .localCheckpoint(true)
+    val schema = stateDf.schema
+    val vocab = stateDf.rdd
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.unsafe.types.UTF8String
+    val bestOrd: Ordering[((String, String), Long)] =
+      (x: ((String, String), Long), y: ((String, String), Long)) => {
+        val c = java.lang.Long.compare(y._2, x._2) // count DESC
+        if (c != 0) c
+        else {
+          val c1 = UTF8String.fromString(x._1._1).compareTo(UTF8String.fromString(y._1._1))
+          if (c1 != 0) c1
+          else UTF8String.fromString(x._1._2).compareTo(UTF8String.fromString(y._1._2))
+        }
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var reprs = vocab.map { case (_, wt, repr) => (wt, repr) }
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val bestRows = state
-        .select(col("wt"), split(trim(col("repr")), "  ").as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("wt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i - 1] AS s1, syms[i] AS s2))")).as("p"))
-        .groupBy(col("p.s1"), col("p.s2"))
-        .agg(sum(col("wt")).as("cnt"))
-        .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc)
-        .limit(1).collect()
-      if (bestRows.isEmpty) exhausted = true
+      val best = reprs
+        .flatMap { case (wt, repr) =>
+          val syms = repr.trim.split("  ")
+          if (syms.length < 2) Iterator.empty
+          else (1 until syms.length).iterator.map(i => ((syms(i - 1), syms(i)), wt))
+        }
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(bestOrd)
+      if (best.isEmpty) exhausted = true
       else {
-        val (b1, b2, cnt) =
-          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        val ((b1, b2), cnt) = best(0)
         merges += ((step, b1, b2, cnt))
-        val prev = state
-        // the pair goes through lit() rather than SQL-string
-        // interpolation, so ANY symbol alphabet is safe (quotes included)
-        state = state.withColumn("repr",
-          replace(col("repr"),
-            lit(" " + b1 + "  " + b2 + " "), lit(" " + b1 + b2 + " ")))
-          .localCheckpoint(true)
+        val (from, to) = (" " + b1 + "  " + b2 + " ", " " + b1 + b2 + " ")
+        reprs = reprs.map { case (wt, repr) => (wt, repr.replace(from, to)) }
         step += 1
-        Checkpoints.release(Seq(prev))
       }
     }
-    (merges.toSeq, state.select(col("word"), col("wt"), col("repr")))
+    // replay the learned merge chain once over the pinned vocabulary to
+    // rebuild the final per-word frame on the original schema
+    val learned = merges.toList.map { case (_, b1, b2, _) =>
+      (" " + b1 + "  " + b2 + " ", " " + b1 + b2 + " ")
+    }
+    val finalRows = vocab.map { case (word, wt, repr) =>
+      org.apache.spark.sql.Row(word, wt,
+        learned.foldLeft(repr) { case (r, (from, to)) => r.replace(from, to) })
+    }
+    val spark = words.sparkSession
+    val finalState = spark.createDataFrame(finalRows, schema).localCheckpoint(true)
+    vocab.unpersist(blocking = false)
+    (merges.toSeq, finalState)
   }
 }
