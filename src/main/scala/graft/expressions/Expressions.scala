@@ -119,6 +119,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** ascii_tokens(string) → array<string> of lowercased [a-z0-9] runs. */
+/** Adjacent [a-z]{2} bigrams of a lowercased string — see
+  * [[TextKernels.asciiBigrams]].
+  */
+case class AsciiBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.asciiBigrams(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.asciiBigrams($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class AsciiTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -419,6 +431,7 @@ object functions {
   }
   def simhash64(text: Column): Column = col(SimHash64(expr(text)))
   def ascii_tokens(text: Column): Column = col(AsciiTokens(expr(text)))
+  def ascii_bigrams(text: Column): Column = col(AsciiBigrams(expr(text)))
   def strip_accents(text: Column): Column = col(StripAccents(expr(text)))
   def char_class_counts(text: Column): Column = col(CharClassCounts(expr(text)))
   def bigram_repetitive(text: Column): Column = col(BigramRepetitive(expr(text)))

@@ -386,6 +386,29 @@ object TextKernels {
     * empties (shared with the DuckDB heavy-hitters oracle), as one codegen
     * pass instead of an interpreted filter() lambda over split().
     */
+  /** Adjacent [a-z]{2} code-point bigrams of an (already-lowercased)
+    * string in one codegen pass — exactly the bigrams the interpreted
+    * `transform(sequence(1, len-1), i -> substring(t, i, 2))` +
+    * `rlike("^[a-z]{2}$")` pipeline kept (substring counts CODE POINTS,
+    * so adjacency here iterates code points too; a trailing 1-char
+    * window or any pair touching a non-[a-z] code point never matched
+    * the regex and is simply not emitted).
+    */
+  def asciiBigrams(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length / 2 + 1)
+    var prev = -1
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (prev >= 'a' && prev <= 'z' && cp >= 'a' && cp <= 'z')
+        out += UTF8String.fromString("" + prev.toChar + cp.toChar)
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   def asciiTokens(text: UTF8String): ArrayData = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length / 5 + 1)

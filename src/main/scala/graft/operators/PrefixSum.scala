@@ -142,19 +142,21 @@ object PrefixSum {
     // score) must not collapse distinct keys into window ties
     val localW = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // whole-bucket totals over the SAME partitioning — shares the one
-    // exchange with the running window (ReuseExchange)
-    val totW = Window.partitionBy(col("__b"))
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>
       acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
-        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
     }
-    // numRanges rows: the lone unpartitioned window, bounded by
+    // Bucket totals aggregate straight off the window OUTPUT (r17): the
+    // window's exchange already hash-partitions by __b, so this groupBy
+    // adds no exchange — and it replaces the former full-partition
+    // `sum over Window.partitionBy(__b)` companion window, which
+    // buffered the whole spine a second time just to carry a constant
+    // per-bucket total to an aggregate that took its max.
+    // numRanges rows: the lone unpartitioned window below is bounded by
     // construction (bucket count, not data).
     val offsets = local
       .groupBy(col("__b"))
-      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
-        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
+      .agg(valueCols.map(c => sum(col(c)).as(s"__bt_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__bt_$c")).tail: _*)
       .select(col("__b") +: valueCols.map { c =>
         coalesce(sum(col(s"__bt_$c")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -221,18 +223,18 @@ object PrefixSum {
     val part = groupCols.map(col) :+ col("__b")
     val localW = Window.partitionBy(part: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(part: _*)
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>
       acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
-        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
     }
-    // |groups|·numRanges rows; the per-group prefix fold is over ≤
+    // |groups|·numRanges rows, aggregated off the window output on its
+    // own exchange (no extra shuffle, no full-partition companion
+    // window — see runningTotals); the per-group prefix fold is over ≤
     // numRanges rows per partition — bounded by construction.
     val gKeys = groupCols.indices.map(i => s"__g$i")
     val offsets = local
       .groupBy(part: _*)
-      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
-        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
+      .agg(valueCols.map(c => sum(col(c)).as(s"__bt_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__bt_$c")).tail: _*)
       .select(groupCols.zip(gKeys).map { case (c, g) => col(c).as(g) } ++
         Seq(col("__b").as("__ob")) ++ valueCols.map { c =>
           coalesce(sum(col(s"__bt_$c")).over(
@@ -329,15 +331,15 @@ object PrefixSum {
     val localW = Window.partitionBy(col("__b"))
       .orderBy(localSort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totW = Window.partitionBy(col("__b"))
     val local = valueCols.foldLeft(bucketed) { (acc, c) =>
       acc.withColumn(s"__cum_$c", sum(col(c)).over(localW))
-        .withColumn(s"__tot_$c", sum(col(c)).over(totW))
     }
+    // bucket totals off the window output, no companion full-partition
+    // window — see runningTotals
     val offsets = local
       .groupBy(col("__b"))
-      .agg(valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).head,
-        valueCols.map(c => max(col(s"__tot_$c")).as(s"__bt_$c")).tail: _*)
+      .agg(valueCols.map(c => sum(col(c)).as(s"__bt_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"__bt_$c")).tail: _*)
       .select(col("__b") +: valueCols.map { c =>
         coalesce(sum(col(s"__bt_$c")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -389,20 +391,20 @@ object PrefixSum {
     val frameEnd = if (exclusive) -1L else 0L
     val localW = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, frameEnd)
-    val totW = Window.partitionBy(col("__b"))
     val local = bucketed
       .withColumn("__lmax", max(col(valueCol)).over(localW))
-      .withColumn("__bmaxw", max(col(valueCol)).over(totW))
-    // per-bucket maxima: numRanges rows; prefix-max EXCLUDES the own
-    // bucket (its contribution is already in the local window)
+    // per-bucket maxima off the window output (no companion
+    // full-partition window — see runningTotals): numRanges rows;
+    // prefix-max EXCLUDES the own bucket (its contribution is already
+    // in the local window)
     val offsets = local.groupBy(col("__b"))
-      .agg(max(col("__bmaxw")).as("__bmax"))
+      .agg(max(col(valueCol)).as("__bmax"))
       .select(col("__b"),
         max(col("__bmax")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1))
           .as("__off"))
     local.join(broadcast(offsets), Seq("__b"))
       .withColumn(s"runmax_$valueCol", greatest(col("__lmax"), col("__off")))
-      .drop("__ord", "__b", "__lmax", "__bmaxw", "__off")
+      .drop("__ord", "__b", "__lmax", "__off")
   }
 }

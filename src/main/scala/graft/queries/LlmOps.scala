@@ -2733,11 +2733,12 @@ object LlmOps {
     // the rank window runs over per-lang bigram counts post-aggregate.
     "q_char_bigrams" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // codegen bigram kernel, not transform()+rlike: the interpreted
+      // HOF + per-bigram regex was ~2.5 s of serial scan time (r17);
+      // the kernel emits exactly the [a-z]{2} pairs the regex kept
       val pairs = Tables.documents(s, d)
         .select(col("lang"), lower(col("text")).as("t"))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
-        .filter(col("bg").rlike("^[a-z]{2}$"))
+        .select(col("lang"), explode(gfn.ascii_bigrams(col("t"))).as("bg"))
       pairs.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg").asc))
