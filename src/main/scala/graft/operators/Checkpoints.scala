@@ -84,4 +84,5 @@ object Checkpoints {
   /** Unpersist the checkpoint storage behind each frame (non-blocking). */
   def release(dfs: Seq[DataFrame]): Unit =
     dfs.foreach(df => pinnedRdd(df).foreach(_.unpersist(blocking = false)))
+
 }

@@ -44,73 +44,105 @@ object Components {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
-    // localCheckpoint (not cache): iterative DataFrame loops grow their
-    // LOGICAL plan every round even when data is cached — analysis and
-    // optimization cost compounds until the driver burns heap on a plan
-    // tree thousands of nodes deep. Checkpointing truncates the lineage
-    // each round, so every iteration plans against a flat scan. The
-    // INPUT checkpoints first: the symmetrizing union would otherwise
-    // evaluate the caller's pair pipeline (e.g. the full LSH+verify
-    // dedup path) once per branch.
-    // Checkpoints.pin (NOT bare localCheckpoint): the checkpoint carries
-    // the origin plan's size estimate, and a loop that re-pins a frame
-    // derived from the previous pin SQUARES that estimate per round —
-    // see the pin scaladoc for the measured planning freeze. Every
-    // checkpoint in this loop goes through the clamp.
-    val p = Checkpoints.pin(pairs.select(col(idA).as("src"), col(idB).as("dst")))
-    val edges = Checkpoints.pin(
-      p.union(p.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    // RDD-level release: Dataset.unpersist goes through the CacheManager
-    // and leaves checkpoint storage pinned (see Checkpoints)
-    Checkpoints.release(Seq(p))
-    var labels = Checkpoints.pin(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
-    var prevRound = labels // previous round's checkpointed data
+    // The loop runs at the RDD layer (r17): each round is pure
+    // (key, value) joins over the pinned edge list, and a DataFrame
+    // rendering of it pays a full Catalyst analyze/optimize/plan pass
+    // per round-pin (~0.25 s of DRIVER time each, measured) plus AQE
+    // re-planning per materialized exchange — at bench scale the
+    // six minLabel consumers were driver-bound (50-62 jobs, wall 3-5x
+    // summed task time). RDD self-joins plan nothing; with every frame
+    // hash-partitioned by the SAME partitioner the per-round shape is
+    // exactly three shuffles (neighbor-min re-key, jump re-key, re-key
+    // back to id), all carrying only (id, label) pairs, and the one
+    // count() action per round both materializes the round and reads
+    // convergence — the boruvkaMsf pointer-jump precedent extended to
+    // the whole loop. Ids must be integral (every caller keys on
+    // BIGINT doc/part keys); labels are compared with Long min, which
+    // matches the DataFrame `least` on the same values bit-for-bit.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = pairs.sparkSession
+    val idTypes = Seq(pairs.schema(idA).dataType, pairs.schema(idB).dataType)
+    require(idTypes.forall(t => t == LongType || t == IntegerType),
+      s"minLabel needs integral vertex ids, got $idTypes — the min-label " +
+        "order must agree with the engine's value order")
+    // one pass over the caller's pair pipeline: flatMap emits both edge
+    // directions, so nothing upstream evaluates twice (the old
+    // DataFrame union read the input once per branch before its pin)
+    val sym = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scale-adaptive width (guide §2: derive partitioning from input
+    // size, not a constant): LSH/blocking pair sets span 10² to 10⁹
+    // edges; a fixed defaultParallelism width costs rounds × width
+    // near-empty tasks on the small end (measured: ~500 10-ms tasks on
+    // a 10³-edge graph), while a width of 1 serializes a billion-edge
+    // component loop. ~64k edges per partition, capped at the session's
+    // parallelism — at cluster scale the cap keeps every core fed.
+    val nEdges = sym.count()
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 65536L).toInt + 1)))
+    val edges = sym.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vertex spine: edges are symmetric, so keys cover every endpoint;
+    // the partitioner puts all copies of a key in one partition, so a
+    // per-partition set IS the global distinct — no extra shuffle
+    var labels = edges.mapPartitions(
+      it => it.map(_._1).toSet.iterator.map((v: Long) => (v, v)),
+      preservesPartitioning = true)
+    var prevRound: org.apache.spark.rdd.RDD[(Long, (Long, Long))] = null
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      // (1) neighbor min: the smallest label in each vertex's neighborhood
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val afterProp = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // (2) pointer jumping: compress label chains through themselves.
-      // The previous label rides along as `old` so convergence is read
-      // off the checkpointed rows with a plain scan, not another join.
-      val byId = afterProp.select(col("id").as("label"), col("label").as("plabel"))
-      // LAZY checkpoint: the convergence count right below is the
-      // round's one action and materializes it — an eager checkpoint
-      // here would run a second, redundant job per round (the exact
-      // fixed overhead that made PageRank's toy-graph rounds cost
-      // seconds each)
-      val next = Checkpoints.pin(
-        afterProp.join(byId, Seq("label"), "left")
-          .select(col("id"), col("old"),
-            least(col("label"), coalesce(col("plabel"), col("label"))).as("label")),
-        eager = false)
-      changed = next.filter(col("label") < col("old")).count()
-      // only the current round's checkpoint stays persisted — without the
-      // explicit release every historical label table accumulates in
-      // executor storage for the whole run (the count() above is the
-      // action that materialized `next`, so the superseded round is
-      // provably no longer needed)
-      Checkpoints.release(Seq(prevRound))
+      // (1) neighbor min: the smallest label in each vertex's
+      // neighborhood (map-side-combined reduceByKey)
+      val msgs = edges.join(labels, part)
+        .map { case (_, (dst, lu)) => (dst, lu) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // old label rides along so convergence reads off the persisted
+      // rows with a plain filter+count, not another join
+      val prop = labels.leftOuterJoin(msgs, part)
+        .mapValues { case (l, m) => (l, math.min(l, m.getOrElse(l))) }
+      // (2) pointer jumping: label(v) := min(label(v), label(label(v)))
+      val byLabel = prop.map { case (v, (old, lab)) => (lab, (v, old)) }
+      val labelOf = prop.mapValues(_._2)
+      val next = byLabel.leftOuterJoin(labelOf, part)
+        .map { case (lab, ((v, old), ll)) => (v, (old, math.min(lab, ll.getOrElse(lab)))) }
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter { case (_, (old, lab)) => lab < old }.count()
+      // only the current round stays persisted; the count() above is
+      // the action that materialized `next`, so the superseded round
+      // is provably no longer needed
+      if (prevRound != null) prevRound.unpersist(blocking = false)
       prevRound = next
-      labels = next.select(col("id"), col("label"))
+      labels = next.mapValues(_._2)
       iter += 1
     }
-    Checkpoints.release(Seq(edges))
     log.info(s"minLabel ran $iter rounds (the last confirming quiescence)")
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters; returning " +
           "partial labels would silently keep duplicate representatives")
-    labels
+    // eager pin BEFORE the RDD storage is released: the returned frame
+    // must not recompute through unpersisted rounds
+    val outType = if (idTypes.contains(LongType)) LongType else idTypes.head
+    val raw = spark.createDataFrame(
+      labels.map { case (v, l) => Row(v, l) },
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false))))
+    val out = Checkpoints.pin(
+      if (outType == LongType) raw
+      else raw.select(col("id").cast(outType), col("label").cast(outType)))
+    sym.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    if (prevRound != null) prevRound.unpersist(blocking = false)
+    out
   }
 
   /** Dedup by component: keep only the min-id representative of every

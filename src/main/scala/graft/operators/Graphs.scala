@@ -395,13 +395,27 @@ object Graphs {
       .localCheckpoint(false)
     val pins = scala.collection.mutable.Buffer[DataFrame](e, nodes)
     // renormalize raw integer sums onto [0, S] by the round's max —
-    // the integer-exact stand-in for the L2 norm of float HITS
+    // the integer-exact stand-in for the L2 norm of float HITS.
+    // r17: the max is COLLECTED as a scalar off the lazily-pinned raw
+    // frame instead of riding a broadcast cross join. The broadcast
+    // form referenced `raw` twice (max build + probe), so every
+    // half-round evaluated its whole message aggregation twice (once
+    // for the broadcast job, once when the pinned result
+    // materialized); the one-row collect is the round's single action,
+    // it materializes the pin, and the renormed frame is then a plain
+    // projection over the checkpoint — half the work, one job per
+    // half-round, and a linear plan chain (bounded-broadcast stat
+    // shape unchanged: one row still crosses the driver).
     def renorm(raw: DataFrame): DataFrame = {
-      val mx = raw.agg(max(col("raw")).as("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("id"),
-          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div mx AS BIGINT)")
-            .as("score"))
+      val rawPinned = Checkpoints.pin(raw, eager = false)
+      pins += rawPinned
+      val mx = rawPinned.agg(max(col("raw")).as("mx")).head.getDecimal(0)
+      // mx is null only when raw is empty; any literal divisor leaves
+      // the empty projection empty, so 1 is safe
+      val mxLit = if (mx == null) "1" else mx.toBigInteger.toString
+      rawPinned.select(col("id"),
+        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $scale) div " +
+          s"CAST($mxLit AS DECIMAL(38,0)) AS BIGINT)").as("score"))
     }
     var hub = nodes.select(col("id"), lit(scale).as("score"))
     var auth: DataFrame = null
@@ -410,15 +424,13 @@ object Graphs {
         .groupBy(col("dst"))
         .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw"))
         .select(col("dst").as("id"), col("raw"))
-      val a = renorm(rawAuth).localCheckpoint(false)
-      pins += a
+      val a = renorm(rawAuth)
       auth = a
       val rawHub = e.join(a, col("dst") === col("id"))
         .groupBy(col("src"))
         .agg(sum(col("score").cast(DecimalType(38, 0))).as("raw"))
         .select(col("src").as("id"), col("raw"))
-      val h = renorm(rawHub).localCheckpoint(false)
-      pins += h
+      val h = renorm(rawHub)
       hub = h
     }
     val result = nodes

@@ -3248,6 +3248,15 @@ object LlmOps {
     // support ≥ 2. The expansion is bounded by the basket-width
     // histogram (q_basket_size), never by order count.
     "q_itemsets3" -> ((s, d) => {
+      // r17 note: an a-priori frequent-pair prune (semi-join the pair
+      // expansion on support>=2 pairs before extending) was built and
+      // MEASURED here — it lost: the pinned pair/frequent frames cost
+      // ~6 s of materialization against a triple expansion that is
+      // only ~C(4,3) rows per order at the observed basket widths
+      // (1.89 s wall un-pruned). The one-pipeline shape below lets
+      // the pair rows flow straight into the extension join with the
+      // li exchange reused — keep it until the basket-width histogram
+      // says otherwise.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       li.select(col("o"), col("p").as("pa"))

@@ -619,6 +619,13 @@ object Relational {
         .withColumn("bid", expr(
           """CAST(round(l_extendedprice * 100) AS BIGINT)
              div CAST(round(l_quantity) AS BIGINT)"""))
+        // explicit-width repartition on the window's own key: the
+        // window needs this exact exchange anyway, but AQE coalesces
+        // the few-MB local shuffle to 1-2 partitions and the
+        // fact-table sort+rank runs serial (profiled par 0.8). A
+        // user-specified width is exempt from coalescing; at scale
+        // the layout is identical to what the window would build.
+        .repartition(s.sparkContext.defaultParallelism, col("p_partkey"))
         .withColumn("rn", row_number().over(wBid))
         .filter(col("rn") <= 2)
         .groupBy(col("p_brand"), col("p_partkey"))
@@ -4583,8 +4590,19 @@ object Relational {
         .distinct()
         .localCheckpoint(false) // ≤ customers × |catalog| rows; margin + both pair legs read it
       val margin = ub.groupBy(col("brand")).agg(count(lit(1)).as("c"))
-      val co = ub.select(col("cust"), col("brand").as("ba"))
-        .join(ub.select(col("cust"), col("brand").as("bb")), Seq("cust"))
+      // explicit-width repartition before the per-customer pair
+      // expansion: the (cust, brand) frame is a few MB, so AQE
+      // coalesces the self-join's exchange to ONE partition and the
+      // C(|brands|,2)-per-customer explosion plus its partial
+      // aggregate run on a single core (profiled: par 0.8 of 32,
+      // 4.6 task-seconds serialized). A user-specified partition
+      // count is exempt from AQE coalescing, and both pair legs
+      // reuse the one exchange. At real scale the same guard keeps
+      // the explosion spread even when the INPUT to it is small
+      // relative to the advisory partition size.
+      val spread = ub.repartition(s.sparkContext.defaultParallelism, col("cust"))
+      val co = spread.select(col("cust"), col("brand").as("ba"))
+        .join(spread.select(col("cust"), col("brand").as("bb")), Seq("cust"))
         .filter(col("ba") < col("bb"))
         .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("c_ab"))
       val sym = co.unionAll(co.select(col("bb").as("ba"), col("ba").as("bb"),
@@ -4636,31 +4654,56 @@ object Relational {
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
       val nm = contests.groupBy(col("i"), col("j"))
         .agg(count(lit(1)).as("n_ij"))
-        .localCheckpoint(true) // 20 cells; every MM round joins it
+        .localCheckpoint(true) // 20 cells; the MM collect and the wTot spine read it
       // left join + fill: an item that never wins stays on the spine
       // with wins = 0 (its theta decays, it must not vanish)
       val wTot = nm.select(col("i")).distinct()
         .join(wins.groupBy(col("i")).agg(sum(col("w")).as("wins")),
           Seq("i"), "left")
         .na.fill(0L, Seq("wins"))
-        .localCheckpoint(true) // |items| rows; every MM round and the emit join it
-      var th = nm.select(col("i").as("item")).distinct()
-        .select(col("item"), lit(1000L).as("t"))
+        .localCheckpoint(true) // |items| rows; the MM collect and the emit read it
+      // r17: the MM rounds run ON THE DRIVER over the collected 5×5
+      // win matrix — bounded by the priority catalog, never the data
+      // (the SetCover one-row-per-round collect class). The DataFrame
+      // rendering planned 2 joins + an aggregate + an eager pin per
+      // round (43 jobs, 0.7 task-seconds total: pure driver churn);
+      // the update below is the SAME nonneg floor-division integer
+      // arithmetic — d_i = Σ_j (10⁶·n_ij) div (θ_i+θ_j), θ'_i =
+      // (10⁹·W_i) div d_i, magnitudes ≤ 2·10¹⁰ so Long division
+      // reproduces the DECIMAL(38,0) div bit-for-bit — and the oracle
+      // replays it CTE-by-CTE unchanged.
+      val cells = nm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val winsOf = wTot.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // Option mirrors SQL NULL exactly: div by 0 (two zero-strength
+      // opponents) is NULL, a NULL term is skipped by SUM, an all-NULL
+      // sum is NULL, and NULL propagates through the θ update — the
+      // same degenerate-data paths the oracle's CTE replay takes.
+      var theta: Map[Long, Option[Long]] =
+        cells.map(_._1).distinct.map(_ -> Option(1000L)).toMap
       for (_ <- 1 to 3) {
-        val dI = nm
-          .join(th.select(col("item").as("i"), col("t").as("ti")), Seq("i"))
-          .join(th.select(col("item").as("j"), col("t").as("tj")), Seq("j"))
-          .select(col("i"), expr("(1000000 * n_ij) div (ti + tj)").as("dt"))
-          .groupBy(col("i")).agg(sum(col("dt")).as("den"))
-        th = dI.join(wTot, Seq("i"))
-          .select(col("i").as("item"), expr(
-            """CASE WHEN den = 0 THEN 0
-               ELSE (CAST(1000000000 AS DECIMAL(38,0)) * wins) div den
-               END""").as("t"))
-          // pin each round: the next round reads θ TWICE (ti and tj
-          // legs) — unpinned, the lineage doubles per round
-          .localCheckpoint(true)
+        val den: Map[Long, Option[Long]] = cells.groupBy(_._1).map { case (i, cs) =>
+          val terms = cs.flatMap { case (_, j, nIj) =>
+            for (ti <- theta(i); tj <- theta(j); if ti + tj != 0L)
+              yield (1000000L * nIj) / (ti + tj)
+          }
+          i -> (if (terms.isEmpty) None else Some(terms.sum))
+        }
+        theta = den.map { case (i, dn) =>
+          i -> dn.flatMap(d =>
+            if (d == 0L) Some(0L)
+            else Some((1000000000L * winsOf(i)) / d))
+        }
       }
+      val th = s.createDataFrame(
+        s.sparkContext.parallelize(
+          theta.toSeq.sortBy(_._1).map { case (i, t) =>
+            org.apache.spark.sql.Row(i, t.map(java.lang.Long.valueOf).orNull)
+          }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.LongType, nullable = true))))
       val tot = th.agg(sum(col("t")).as("tt"))
       th.crossJoin(broadcast(tot))
         .join(wTot.select(col("i").as("item"), col("wins")), Seq("item"))
