@@ -25,8 +25,10 @@ object Graphs {
 
   /** Minimum hop count from any seed, following directed edges, capped
     * at `maxHops`: `(id, hop)` for every node reachable in <= maxHops
-    * hops (seeds themselves at hop 0; unreachable nodes absent). Stops
-    * early when a frontier empties, so the cap is a bound, not a cost.
+    * hops (seeds themselves at hop 0; unreachable nodes absent).
+    * Exactly `maxHops` rounds run — once a frontier empties the
+    * remaining rounds are empty-frame no-ops, cheaper than the
+    * per-round driver job an early-exit count costs (r17, measured).
     * Each round: one join of the pinned edge list against the frontier
     * (frontier ids only), one distinct, one anti-join against the
     * settled set — all node-spine-sized shuffles.
@@ -46,9 +48,13 @@ object Graphs {
     val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
     var dist = seed0
     var frontier = seed0.select("id")
-    var h = 1
-    var more = maxHops >= 1
-    while (more) {
+    // blind fixed rounds (r17): the per-round count bought only an
+    // early exit on a <= maxHops-bounded loop, at the price of a
+    // driver job + barrier per hop. An emptied frontier makes every
+    // later round a no-op (empty join, empty union leg), so running
+    // the cap blind is result-identical and the chain materializes in
+    // ONE action — callers bound maxHops (3-6 across the inventory).
+    for (h <- 1 to maxHops) {
       // first-visit-wins IS min-hop: a node enters `dist` in the round
       // of its shortest path and the anti-join blocks every later visit
       val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
@@ -56,15 +62,12 @@ object Graphs {
         .join(dist.select("id"), Seq("id"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(false)
-      val grew = nxt.count() // the round's one action; materializes nxt
       pins += nxt
       // dist is a union of ALREADY-PINNED per-round frontiers — pinning
       // the union too bought nothing and cost a Catalyst pass per round
       // (r17: the driver dominated these loops at bench scale)
       dist = dist.union(nxt)
       frontier = nxt.select("id")
-      h += 1
-      more = h <= maxHops && grew > 0
     }
     val result = dist.localCheckpoint(true)
     Checkpoints.release(pins.toSeq :+ e)
@@ -95,21 +98,17 @@ object Graphs {
     val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
     var dist = seed0
     var frontier = seed0.select("seed", "id")
-    var h = 1
-    var more = maxHops >= 1
-    while (more) {
+    // blind fixed rounds — no per-round convergence job (see bfsHops)
+    for (h <- 1 to maxHops) {
       val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("id")).distinct()
         .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint(false)
-      val grew = nxt.count()
       pins += nxt
       // union of pinned frontiers — no per-round union pin (see bfsHops)
       dist = dist.union(nxt)
       frontier = nxt.select("seed", "id")
-      h += 1
-      more = h <= maxHops && grew > 0
     }
     val result = dist.localCheckpoint(true)
     Checkpoints.release(pins.toSeq :+ e)
@@ -149,9 +148,8 @@ object Graphs {
     val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
     var dist = seed0
     var frontier = seed0.select("seed", "id", "sigma")
-    var h = 1
-    var more = maxHops >= 1
-    while (more) {
+    // blind fixed rounds — no per-round convergence job (see bfsHops)
+    for (h <- 1 to maxHops) {
       val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("seed"), col("dst").as("id"))
         .agg(sum(col("sigma")).as("sigma"))
@@ -162,15 +160,12 @@ object Graphs {
               "bound seeds/maxHops")).cast(dec)).otherwise(col("sigma")))
         .withColumn("hop", lit(h))
         .transform(Checkpoints.pin(_, eager = false))
-      val grew = nxt.count()
       pins += nxt
       val d = dist.union(nxt.select("seed", "id", "hop", "sigma"))
         .transform(Checkpoints.pin(_, eager = false))
       pins += d
       dist = d
       frontier = nxt.select("seed", "id", "sigma")
-      h += 1
-      more = h <= maxHops && grew > 0
     }
     val result = dist.localCheckpoint(true)
     Checkpoints.release(pins.toSeq :+ e)

@@ -93,7 +93,11 @@ object LlmOps {
     // Integer counts + one guarded division (docs under 3 tokens have
     // no shingles and are absent, identically on both sides).
     "q_ngram_novelty" -> ((s, d) => {
-      val sh = keyedShingles(Tables.documents(s, d), "doc_id")
+      // doc-spread before the shingle explode — see q_novelty
+      val sh = keyedShingles(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id")
         .localCheckpoint(false)
       val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
       sh.join(firsts, Seq("sh"))
@@ -2450,8 +2454,12 @@ object LlmOps {
     // ordered reassembly) including the reassembled STRINGS, so one
     // mis-merged position anywhere flips the hash.
     "q_boilerplate_scrub" -> ((s, d) => {
+      // doc-spread before the n-gram explode — see q_novelty
       graft.operators.Boilerplate
-        .scrubFrequentNgrams(Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 4L)
+        .scrubFrequentNgrams(
+          Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id", "text", n = 3, minDocs = 4L)
         .orderBy("doc_id")
     }),
 
@@ -2847,7 +2855,10 @@ object LlmOps {
     // that says whether two dedup signals see the same duplicates or
     // complementary ones.
     "q_dedup_agreement" -> ((s, d) => {
+      // doc-spread: feeds BOTH the winnowing pass and the chunk
+      // fingerprints — see q_novelty
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val pw = graft.operators.Winnow
         .matches(docs, "doc_id", "text", minShared = 3L)
         .select(col("id_a"), col("id_b"))
@@ -3492,7 +3503,9 @@ object LlmOps {
     // are exactly the clusters where keep-min-id loses quality, the
     // evidence behind a keep-best policy change.
     "q_dedup_survivorship" -> ((s, d) => {
+      // doc-spread before the winnowing fingerprint pass — see q_novelty
       val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val pairs = graft.operators.Winnow
         .matches(docs, "doc_id", "text", minShared = 3L)
       val comp = graft.operators.Components.minLabel(pairs)
@@ -3517,8 +3530,18 @@ object LlmOps {
     // exact per-mille. The data-valuation complement to pair dedup:
     // boilerplate-heavy docs score low without any pair join.
     "q_novelty" -> ((s, d) => {
+      // doc-spread before the shingle explode (r17): the documents
+      // parquet reads as ONE split locally, serializing tokenize +
+      // gram hashing on a single core (profiled par 1.7, 3.8 task-s);
+      // the explode's own distinct shuffles MORE bytes than this thin
+      // pre-shuffle, so the spread is a small constant at scale and
+      // input splits provide it for free there (q_jaccard_join
+      // precedent).
       graft.operators.Dedup
-        .noveltyProfile(Tables.documents(s, d), "doc_id", "text", k = 4)
+        .noveltyProfile(
+          Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id", "text", k = 4)
         .orderBy("doc_id")
     }),
 
@@ -5412,6 +5435,8 @@ object LlmOps {
     // differ; kappa asks whether verdicts coincide — the rater-
     // agreement completion of the quality-filter battery.
     "q_fleiss_kappa" -> ((s, d) => {
+      // NO doc-spread here (r17, measured): the kappa base is cheap
+      // (0.2 task-s) and the spread's per-task fixed costs exceeded it
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           gfn.ascii_tokens(col("text")).as("tk"))
@@ -5440,7 +5465,9 @@ object LlmOps {
     // heuristic-labeling pipeline runs when some signals are
     // undefined on short inputs.
     "q_krippendorff" -> ((s, d) => {
+      // doc-spread before tokenize — see q_novelty
       val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("source"),
           gfn.ascii_tokens(col("text")).as("tk"))
         .withColumn("n_tok", size(col("tk")).cast("long"))
