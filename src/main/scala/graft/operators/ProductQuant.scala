@@ -76,35 +76,26 @@ object ProductQuant {
       kCode: Int,
       rounds: Int): (DataFrame, DataFrame) = {
     // train one integer-Lloyd codebook per subspace; the per-subspace
-    // assignment IS the corpus encoding. The nSub trainings are
-    // INDEPENDENT, so they submit as concurrent Spark jobs (the
-    // standard multi-tenant scheduler path) — each training's internal
-    // rounds stay sequential, but subspaces overlap instead of
-    // serializing nSub × rounds bounded actions. Results are
-    // deterministic regardless of completion order (each future's
-    // lineage is self-contained).
-    val parts = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence((0 until nSub).map { m =>
-        Future {
-          val sv = corpus.select(col(idCol).as("id"),
-            expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)").as("v"))
-          val (assign, cents) =
-            KMeansInt.lloydRoundsFull(sv, "id", "v", kCode, rounds)
-          (assign.select(col("id"), col("cid")).withColumn("m", lit(m)),
-            cents.withColumn("m", lit(m)))
-        }
-      }), Duration.Inf)
-    }
+    // assignment IS the corpus encoding. r17: the nSub trainings run
+    // as ONE (m, cid)-keyed grouped Lloyd loop — per-subspace loops
+    // (even overlapped as concurrent futures) paid an eager centroid
+    // pin per (subspace × round), and the PQ query family was
+    // job-count-bound (48-82 jobs); the grouped loop pays one per
+    // round for all subspaces and is row-identical per group (same
+    // per-group seeding, floor-means, and argmin tie-breaks).
+    val sv = corpus.select(col(idCol).as("id"),
+      explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
+        s"m -> struct(m AS m, slice($vecCol, m * $subDim + 1, $subDim) AS v))"))
+        .as("e"))
+      .select(col("id"), col("e.m").as("m"), col("e.v").as("v"))
+    val (assign, cents) =
+      KMeansInt.lloydRoundsGrouped(sv, "m", "id", "v", kCode, rounds)
     // codes wide: one row per id, codes[m] = codeword in subspace m
-    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val codes = assign.withColumnRenamed("g", "m")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
       .select(col("id"), expr("transform(mc, p -> p.cid)").as("codes"))
-    val cents = parts.map(_._2).reduce(_ unionByName _)
-    (codes, cents)
+    (codes, cents.select(col("cid"), col("cv"), col("g").as("m")))
   }
 
   /** Per-query ADC distance table `(qid, dmap)` with
