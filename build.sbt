@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no "[info] " logger prefix):
+// Bench's one-line JSON contract must land at column 0 of stdout for
+// the driver's parser — every BENCH_r01..r17 artifact had
+// `"parsed": null` because sbt's default LoggedOutput prefixed it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

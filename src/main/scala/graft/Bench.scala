@@ -288,6 +288,18 @@ object Bench {
       errJson(errors.take(3).map { case (k, v) => k -> v.take(80) }.toMap)
     val compact = s"""{"metric":"total_warm","value":${f3(warmTotal)},"unit":"sec","n_queries":${warm.size},"queries":${toJson(hWarm)},"cold":${toJson(hCold)},"cold_total":${f3(coldTotal)},"n_failed":${warmErrors.size},"errors_head":${errHead(warmErrors)},"n_failed_cold":${coldErrors.size},"errors_cold_head":${errHead(coldErrors)},"sentinel_total":${f3(sentinelTotal)},"machine_factor":${f3(machineFactor)},"block_factors":$blockFactorsJson,"restart_every":$restartEvery,"n_rerun":${inverted.size},"sf":"$sfDir","detail":"bench_last.json"}"""
     println(compact)
+    // The stdout contract line has carried `"parsed": null` in every
+    // BENCH_r01–r17 artifact: sbt's forked-process logger prefixes it
+    // with "[info] ", and the driver's parser never extracts it (r17
+    // verdict, harness note). Belt and braces: (a) build.sbt now routes
+    // forked run output through StdoutOutput so the line prints BARE,
+    // and (b) the identical compact line is ALSO written as the sole
+    // content of bench_summary.json, a fixed artifact a parser cannot
+    // miss. Content of the stdout line is unchanged — r1–r17
+    // comparability holds.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), compact + "\n")
+    catch { case _: java.io.IOException => } // read-only cwd must not fail the bench
     spark.stop()
     // rc mirrors the headline's validity: a warm-pass query failure
     // poisons `value`, so gates keyed on the exit code see it too (the

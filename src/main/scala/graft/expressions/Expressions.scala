@@ -362,6 +362,32 @@ case class L2SqLong(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** adc_sum(array<bigint> codes, map<bigint,bigint> dmap) → bigint:
+  * Σ_m dmap[m·kCode + codes[m]] over m in [0, nSub) — see
+  * [[VectorKernels.adcSum]] for the exact element_at-parity semantics
+  * (NULL on out-of-range index, null element, or missing key).
+  */
+case class AdcSum(left: Expression, right: Expression, nSub: Int, kCode: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(codes: Any, dmap: Any): Any = {
+    val r = VectorKernels.adcSum(
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dmap.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], nSub, kCode)
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, dmap) => s"""
+      java.lang.Long ${ev.value}_r =
+        graft.expressions.VectorKernels.adcSum($codes, $dmap, $nSub, $kCode);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** SQL registration: makes the kernels callable from `spark.sql` text —
   * `SELECT cosine_sim(a.v, b.v) FROM ...` — so the SQL surface and the
   * Column API expose the same operator set.
@@ -411,6 +437,8 @@ object functions {
   def l1_dist_long(a: Column, b: Column): Column = col(L1DistLong(expr(a), expr(b)))
   def dot_long(a: Column, b: Column): Column = col(DotLong(expr(a), expr(b)))
   def l2sq_long(a: Column, b: Column): Column = col(L2SqLong(expr(a), expr(b)))
+  def adc_sum(codes: Column, dmap: Column, nSub: Int, kCode: Int): Column =
+    col(AdcSum(expr(codes), expr(dmap), nSub, kCode))
 
   /** Bounded-heap per-group top-k under (score asc|desc, id asc) —
     * the scale-safe window replacement; see

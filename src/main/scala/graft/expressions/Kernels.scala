@@ -90,6 +90,47 @@ object VectorKernels {
     java.lang.Long.valueOf(acc)
   }
 
+  /** PQ ADC lookup-sum: Σ_m dmap[m·kCode + codes[m]] — the codegen
+    * replacement for the interpreted
+    * `aggregate(sequence(0, nSub-1), 0L, (acc, m) ->
+    *    acc + element_at(dmap, m * kCode + element_at(codes, m + 1)))`
+    * serve idiom, with exact parity on its edge semantics: an
+    * out-of-range codes index, a null code element, or a missing map
+    * key (a vanished codeword) poisons the running sum to NULL — the
+    * "loud NULL adist" contract the map layout exists for. The map
+    * is built from `sort_array` output, so its key array is ascending
+    * and dense in the no-vanished-codeword case; the direct-index
+    * fast path hits then, with a linear scan fallback that is correct
+    * under ANY key order.
+    */
+  def adcSum(
+      codes: ArrayData,
+      dmap: org.apache.spark.sql.catalyst.util.MapData,
+      nSub: Int,
+      kCode: Int): java.lang.Long = {
+    if (nSub > codes.numElements()) return null
+    val keys = dmap.keyArray()
+    val vals = dmap.valueArray()
+    val sz = keys.numElements()
+    var acc = 0L
+    var m = 0
+    while (m < nSub) {
+      if (codes.isNullAt(m)) return null
+      val key = m.toLong * kCode + codes.getLong(m)
+      var idx = -1
+      if (key >= 0 && key < sz && keys.getLong(key.toInt) == key) idx = key.toInt
+      else {
+        var i = 0
+        while (idx < 0 && i < sz) { if (keys.getLong(i) == key) idx = i; i += 1 }
+        if (idx < 0) return null
+      }
+      if (vals.isNullAt(idx)) return null
+      acc += vals.getLong(idx)
+      m += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

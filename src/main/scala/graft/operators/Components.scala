@@ -73,7 +73,12 @@ object Components {
     val sym = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .rdd
-      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      // a null id would NPE in getLong where the old DataFrame path
+      // dropped it through join/distinct null semantics — keep the
+      // tolerant behavior (no caller emits null pair ids today)
+      .flatMap(r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // scale-adaptive width (guide §2: derive partitioning from input
@@ -84,16 +89,24 @@ object Components {
     // component loop. ~64k edges per partition, capped at the session's
     // parallelism — at cluster scale the cap keeps every core fed.
     val nEdges = sym.count()
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, (nEdges / 65536L).toInt + 1)))
+    // clamp in LONG before toInt: nEdges/65536+1 wraps negative past
+    // ~1.4e14 edges, which the max(1, …) would collapse to width 1 —
+    // serializing exactly the case the adaptive width exists for
+    val part = new HashPartitioner(math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 65536L + 1L)).toInt)
     val edges = sym.partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vertex spine: edges are symmetric, so keys cover every endpoint;
     // the partitioner puts all copies of a key in one partition, so a
-    // per-partition set IS the global distinct — no extra shuffle
-    var labels = edges.mapPartitions(
-      it => it.map(_._1).toSet.iterator.map((v: Long) => (v, v)),
-      preservesPartitioning = true)
+    // same-partitioner reduceByKey IS the global distinct with NO
+    // shuffle — and unlike a per-partition toSet (which holds every
+    // distinct key of the partition boxed on heap at once: width is
+    // capped at defaultParallelism, so keys-per-partition grows with
+    // the graph), the reduce aggregator spills to disk under pressure
+    var labels = edges.mapValues(_ => ())
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(it => it.map { case (v, _) => (v, v) },
+        preservesPartitioning = true)
     var prevRound: org.apache.spark.rdd.RDD[(Long, (Long, Long))] = null
     var iter = 0
     var changed = 1L
@@ -124,11 +137,16 @@ object Components {
       iter += 1
     }
     log.info(s"minLabel ran $iter rounds (the last confirming quiescence)")
-    if (changed > 0)
+    if (changed > 0) {
+      // release executor storage BEFORE the raise — the session lives on
+      sym.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      if (prevRound != null) prevRound.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters; returning " +
           "partial labels would silently keep duplicate representatives")
+    }
     // eager pin BEFORE the RDD storage is released: the returned frame
     // must not recompute through unpersisted rounds
     val outType = if (idTypes.contains(LongType)) LongType else idTypes.head

@@ -33,6 +33,47 @@ object Graphs {
     * (frontier ids only), one distinct, one anti-join against the
     * settled set — all node-spine-sized shuffles.
     */
+  /** Shared RDD-layer plumbing of the BFS family (r18): symmetrized-
+    * input prep, adaptive partitioner width, and the result pin. The
+    * frontier loops run at the RDD layer — each round is pure
+    * (key, value) joins over the pinned edge list, and the r17
+    * DataFrame rendering still paid a full Catalyst analyze/optimize
+    * pass + AQE stages PER lazy round-pin at materialization (~40-50
+    * jobs on q_ecc_pivots even after the convergence-count removal).
+    * RDD self-joins plan nothing; the whole hop chain materializes in
+    * ONE action (the minLabel treatment, Components.scala). Ids must
+    * be integral — every caller keys on BIGINT doc ids.
+    */
+  private def edgeRdd(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): org.apache.spark.rdd.RDD[(Long, Long)] =
+    edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .rdd
+      // null ids never joined in the DataFrame rendering — drop, not NPE
+      .flatMap(r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else Iterator((r.getLong(0), r.getLong(1))))
+      .distinct()
+
+  /** Scale-adaptive width — derive partitioning from input size, not a
+    * constant (guide §2, the minLabel rationale): ~64k edges per
+    * partition, capped at the session's parallelism, clamped in Long.
+    */
+  private def edgePartitioner(
+      spark: org.apache.spark.sql.SparkSession,
+      nEdges: Long): org.apache.spark.HashPartitioner =
+    new org.apache.spark.HashPartitioner(math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 65536L + 1L)).toInt)
+
+  private def requireIntegralIds(types: Seq[org.apache.spark.sql.types.DataType],
+      what: String): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(types.forall(t => t == LongType || t == IntegerType),
+      s"$what needs integral vertex ids, got $types — the RDD frontier " +
+        "loop keys on Long")
+  }
+
   def bfsHops(
       edges: DataFrame,
       srcCol: String,
@@ -41,36 +82,47 @@ object Graphs {
       seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(false)
-    val seed0 = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint(false)
-    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val idTypes = Seq(edges.schema(srcCol).dataType, edges.schema(dstCol).dataType,
+      seeds.schema(seedCol).dataType)
+    requireIntegralIds(idTypes, "bfsHops")
+    val sym = edgeRdd(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val part = edgePartitioner(spark, sym.count())
+    val e = sym.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed0 = seeds.select(col(seedCol).cast("long")).rdd
+      .flatMap(r => if (r.isNullAt(0)) Iterator.empty else Iterator((r.getLong(0), 0)))
+      .reduceByKey(part, (a, _) => a) // distinct, co-partitioned with e
     var dist = seed0
-    var frontier = seed0.select("id")
-    // blind fixed rounds (r17): the per-round count bought only an
-    // early exit on a <= maxHops-bounded loop, at the price of a
-    // driver job + barrier per hop. An emptied frontier makes every
-    // later round a no-op (empty join, empty union leg), so running
-    // the cap blind is result-identical and the chain materializes in
-    // ONE action — callers bound maxHops (3-6 across the inventory).
+    var frontier = seed0
+    // blind fixed rounds (r17): an emptied frontier makes every later
+    // round an empty no-op, so running the cap blind is
+    // result-identical — callers bound maxHops (3-6). first-visit-wins
+    // IS min-hop: a node enters `dist` in the round of its shortest
+    // path and the subtract blocks every later visit. Every per-round
+    // op is co-partitioned on `part` (narrow), so each hop costs ONE
+    // shuffle (the dst re-key) and ZERO driver jobs.
     for (h <- 1 to maxHops) {
-      // first-visit-wins IS min-hop: a node enters `dist` in the round
-      // of its shortest path and the anti-join blocks every later visit
-      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(dist.select("id"), Seq("id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .localCheckpoint(false)
-      pins += nxt
-      // dist is a union of ALREADY-PINNED per-round frontiers — pinning
-      // the union too bought nothing and cost a Catalyst pass per round
-      // (r17: the driver dominated these loops at bench scale)
-      dist = dist.union(nxt)
-      frontier = nxt.select("id")
+      val nxt = e.join(frontier, part)
+        .map { case (_, (dst, _)) => (dst, h) }
+        .reduceByKey(part, (a, _) => a)
+        .subtractByKey(dist, part)
+      dist = dist.union(nxt) // partitioner-aware union: same partitioner
+      frontier = nxt
     }
-    val result = dist.localCheckpoint(true)
-    Checkpoints.release(pins.toSeq :+ e)
+    val outType = if (idTypes.contains(LongType)) LongType else idTypes.head
+    val raw = spark.createDataFrame(
+      dist.map { case (v, h) => Row(v, h) },
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("hop", IntegerType, nullable = false))))
+    val result = Checkpoints.pin(
+      if (outType == LongType) raw
+      else raw.select(col("id").cast(outType).as("id"), col("hop")))
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     result
   }
 
@@ -90,28 +142,51 @@ object Graphs {
       seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(false)
-    val seed0 = seeds.select(col(seedCol).as("seed")).distinct()
-      .withColumn("id", col("seed"))
-      .withColumn("hop", lit(0)).localCheckpoint(false)
-    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val idTypes = Seq(edges.schema(srcCol).dataType, edges.schema(dstCol).dataType,
+      seeds.schema(seedCol).dataType)
+    requireIntegralIds(idTypes, "multiSourceBfs")
+    val sym = edgeRdd(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val part = edgePartitioner(spark, sym.count())
+    val e = sym.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // state is (seed, id)-keyed; its own partitioner of the same width
+    val pairPart = new org.apache.spark.HashPartitioner(part.numPartitions)
+    val seed0 = seeds.select(col(seedCol).cast("long")).rdd
+      .flatMap(r => if (r.isNullAt(0)) Iterator.empty
+        else Iterator(((r.getLong(0), r.getLong(0)), 0)))
+      .reduceByKey(pairPart, (a, _) => a) // distinct seeds at hop 0
     var dist = seed0
-    var frontier = seed0.select("seed", "id")
-    // blind fixed rounds — no per-round convergence job (see bfsHops)
+    // frontier keyed by vertex for the edge join: (id, seed)
+    var frontier = seed0.map { case ((seed, id), _) => (id, seed) }
+      .partitionBy(part)
+    // blind fixed rounds, RDD layer — see bfsHops. Per round: one
+    // (seed,dst) re-key shuffle + one frontier-by-vertex re-key; the
+    // edge join and the subtract are narrow (co-partitioned).
     for (h <- 1 to maxHops) {
-      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("id")).distinct()
-        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .localCheckpoint(false)
-      pins += nxt
-      // union of pinned frontiers — no per-round union pin (see bfsHops)
+      val nxt = e.join(frontier, part)
+        .map { case (_, (dst, seed)) => ((seed, dst), h) }
+        .reduceByKey(pairPart, (a, _) => a)
+        .subtractByKey(dist, pairPart)
       dist = dist.union(nxt)
-      frontier = nxt.select("seed", "id")
+      frontier = nxt.map { case ((seed, id), _) => (id, seed) }
+        .partitionBy(part)
     }
-    val result = dist.localCheckpoint(true)
-    Checkpoints.release(pins.toSeq :+ e)
+    val outType = if (idTypes.contains(LongType)) LongType else idTypes.head
+    val raw = spark.createDataFrame(
+      dist.map { case ((s0, v), h) => Row(s0, v, h) },
+      StructType(Seq(StructField("seed", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("hop", IntegerType, nullable = false))))
+    val result = Checkpoints.pin(
+      if (outType == LongType) raw
+      else raw.select(col("seed").cast(outType).as("seed"),
+        col("id").cast(outType).as("id"), col("hop")))
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     result
   }
 
@@ -135,40 +210,66 @@ object Graphs {
       seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val dec = DecimalType(38, 0)
-    val sigmaCap = lit(BigDecimal("9" * 36).bigDecimal).cast(dec)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src"))
-      .transform(Checkpoints.pin(_, eager = false))
-    val seed0 = seeds.select(col(seedCol).as("seed")).distinct()
-      .withColumn("id", col("seed"))
-      .withColumn("hop", lit(0))
-      .withColumn("sigma", lit(1L).cast(dec))
-      .transform(Checkpoints.pin(_, eager = false))
-    val pins = scala.collection.mutable.Buffer[DataFrame](seed0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val idTypes = Seq(edges.schema(srcCol).dataType, edges.schema(dstCol).dataType,
+      seeds.schema(seedCol).dataType)
+    requireIntegralIds(idTypes, "pathCounts")
+    // σ rides BigInt at the RDD layer — integer-exact like the
+    // DECIMAL(38,0) sums it replaces (a DECIMAL sum of integers IS the
+    // integer sum while under 38 digits, and the 10^36 cap below
+    // raises loudly well before that), so the emitted DECIMAL(38,0)
+    // column is bit-identical to the DataFrame rendering's
+    val sigmaCap = BigInt("9" * 36)
+    val sym = edgeRdd(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val part = edgePartitioner(spark, sym.count())
+    val e = sym.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairPart = new org.apache.spark.HashPartitioner(part.numPartitions)
+    val seed0 = seeds.select(col(seedCol).cast("long")).rdd
+      .flatMap(r => if (r.isNullAt(0)) Iterator.empty
+        else Iterator(((r.getLong(0), r.getLong(0)), (0, BigInt(1)))))
+      .reduceByKey(pairPart, (a, _) => a)
     var dist = seed0
-    var frontier = seed0.select("seed", "id", "sigma")
-    // blind fixed rounds — no per-round convergence job (see bfsHops)
+    // frontier keyed by vertex: (id, (seed, sigma))
+    var frontier = seed0.map { case ((seed, id), (_, sig)) => (id, (seed, sig)) }
+      .partitionBy(part)
+    // blind fixed rounds, RDD layer — see bfsHops. A node entering at
+    // hop h takes σ = Σ σ(u) over ALL its hop-(h−1) predecessors (the
+    // reduceByKey sums them map-side); the subtract blocks every
+    // longer path.
     for (h <- 1 to maxHops) {
-      val nxt = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("seed"), col("dst").as("id"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .withColumn("sigma",
-          when(col("sigma") > sigmaCap, raise_error(lit(
+      val nxt = e.join(frontier, part)
+        .map { case (_, (dst, (seed, sig))) => ((seed, dst), sig) }
+        .reduceByKey(pairPart, (a: BigInt, b: BigInt) => a + b)
+        .subtractByKey(dist, pairPart)
+        .mapValues { sig =>
+          if (sig > sigmaCap) throw new IllegalStateException(
             "pathCounts: sigma exceeds the 10^36 DECIMAL envelope — " +
-              "bound seeds/maxHops")).cast(dec)).otherwise(col("sigma")))
-        .withColumn("hop", lit(h))
-        .transform(Checkpoints.pin(_, eager = false))
-      pins += nxt
-      val d = dist.union(nxt.select("seed", "id", "hop", "sigma"))
-        .transform(Checkpoints.pin(_, eager = false))
-      pins += d
-      dist = d
-      frontier = nxt.select("seed", "id", "sigma")
+              "bound seeds/maxHops")
+          (h, sig)
+        }
+      dist = dist.union(nxt)
+      frontier = nxt.map { case ((seed, id), (_, sig)) => (id, (seed, sig)) }
+        .partitionBy(part)
     }
-    val result = dist.localCheckpoint(true)
-    Checkpoints.release(pins.toSeq :+ e)
+    val outType = if (idTypes.contains(LongType)) LongType else idTypes.head
+    val raw = spark.createDataFrame(
+      dist.map { case ((s0, v), (h, sig)) =>
+        Row(s0, v, h, new java.math.BigDecimal(sig.bigInteger))
+      },
+      StructType(Seq(StructField("seed", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("hop", IntegerType, nullable = false),
+        StructField("sigma", DecimalType(38, 0), nullable = true))))
+    val result = Checkpoints.pin(
+      if (outType == LongType) raw
+      else raw.select(col("seed").cast(outType).as("seed"),
+        col("id").cast(outType).as("id"), col("hop"), col("sigma")))
+    sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     result
   }
 
@@ -916,122 +1017,165 @@ object Graphs {
       weightCol: String,
       maxRounds: Int = 12): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val canon = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-        col(weightCol).as("w"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"), col("w"))
-      .groupBy(col("u"), col("v"))
-      .agg(min(col("w")).as("w"))
-      .repartition(col("u"))
-      .transform(Checkpoints.pin(_))
-    val nodes = canon.select(col("u").as("id"))
-      .union(canon.select(col("v").as("id"))).distinct()
-      .transform(Checkpoints.pin(_))
-    // all pins in this DOUBLY-iterative loop (Borůvka rounds × minLabel
-    // rounds inside) go through Checkpoints.pin — the carried-stats
-    // squaring compounds across BOTH loops and froze the sf0.01 planner
-    // for 16+ minutes before the clamp (see Checkpoints.pin scaladoc)
-    // lazy initial pin: round 1's crossing count materializes it — an
-    // eager pin here would be one more driver-blocking job
-    var comp = Checkpoints.pin(nodes.withColumn("comp", col("id")), eager = false)
+    // r18: the OUTER round loop runs at the RDD layer too (the inner
+    // pointer jumps moved there in r17). The DataFrame rendering paid
+    // 2 driver actions + 2-3 Catalyst passes per round (~60 jobs on
+    // q_mst); now each round is pure (key, value) joins over the
+    // pinned canonical edge set and its ONE action is the crossing
+    // count the convergence check needs anyway. Ids and weights must
+    // be integral — Long total order IS the SQL (w, u, v) struct
+    // order, so the chosen forest is bit-identical (loud require; the
+    // only caller keys on BIGINT supplier ids/costs).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val inTypes = Seq(edges.schema(srcCol).dataType, edges.schema(dstCol).dataType,
+      edges.schema(weightCol).dataType)
+    require(inTypes.forall(t => t == LongType || t == IntegerType),
+      s"boruvkaMsf needs integral ids and weights, got $inTypes — the " +
+        "(w, u, v) total order must agree with the engine's value order")
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical simple graph: u<v, min w per pair; null ids never
+    // passed the a=!=b filter in the DataFrame rendering — drop them
+    val canon0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"), col(weightCol).cast("long").as("w"))
+      .rdd
+      .flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) Iterator.empty
+        else {
+          val a = r.getLong(0); val b = r.getLong(1)
+          if (a == b) Iterator.empty
+          else Iterator(((math.min(a, b), math.max(a, b)), r.getLong(2)))
+        }
+      }
+      .reduceByKey((x: Long, y: Long) => math.min(x, y))
+      .persist(storage)
+    val nEdges = canon0.count()
+    val part = edgePartitioner(spark, nEdges)
+    // keyed by u for the per-round component-label join
+    val canon = canon0.map { case ((u, v), w) => (u, (v, w)) }
+      .partitionBy(part).persist(storage)
+    canon0.unpersist(blocking = false)
+    var comp = canon.mapValues(_._1)
+      .flatMap { case (u, v) => Iterator((u, u), (v, v)) }
+      .reduceByKey(part, (a, _) => a) // vertex spine, comp = self
+      .persist(storage)
+    // persisted RDDs superseded in earlier rounds: releasable only once
+    // a LATER count proves the chain no longer recomputes through them
+    // (chosen_{r-1} caches during the round-r count, which is what makes
+    // cross_{r-1}/comp_{r-1} unreachable — the minLabel discipline)
     var prevComp = comp
-    // per-round chosen-edge frames accumulate here (lazily pinned, each
-    // materialized by its round's comp job) and union into the forest
-    // ONCE after the loop — the forest is never read inside it
-    val chosenPins = scala.collection.mutable.Buffer[DataFrame]()
+    var prevCross: org.apache.spark.rdd.RDD[(Long, Long, Long, Long, Long)] = null
+    // per-round chosen edges stay persisted until the forest
+    // materializes at the end — they feed BOTH the next round's
+    // contraction and the final union
+    val chosenBuf = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.rdd.RDD[(Long, (Long, Long, Long, Long, Long))]]
     var crossing = 1L
     var round = 0
     // pointer-jump budget for the contraction step: jumping halves the
     // hooking forest's depth each time, and depth can never exceed the
-    // component count (≤ |V|), so ceil(log2 |V|) + 1 LAZY jumps always
-    // compress fully — no per-jump convergence action needed (an
+    // component count ≤ |V| ≤ 2·nEdges, so ceil(log2(2·nEdges)) + 1
+    // lazy jumps always compress fully — no per-jump action (an
     // UNDER-compressed map would be a correctness bug: a later round
     // would see one merged component under two labels and could add a
     // cycle edge to the forest)
     val jumps = math.max(1,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(2L, nodes.count())))
+      65 - java.lang.Long.numberOfLeadingZeros(math.max(2L, nEdges)))
     while (crossing > 0 && round < maxRounds) {
-      val cross = canon
-        .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
-        .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
-        .filter(col("cu") =!= col("cv"))
-        .transform(Checkpoints.pin(_, eager = false))
-      crossing = cross.count()
+      // label both endpoints with their components; keep crossing edges
+      val cross = canon.join(comp, part)
+        .map { case (u, ((v, w), cu)) => (v, (u, w, cu)) }
+        .join(comp) // v-keyed side is freshly re-keyed: one shuffle
+        .flatMap { case (v, ((u, w, cu), cv)) =>
+          if (cu == cv) Iterator.empty else Iterator((u, v, w, cu, cv))
+        }
+        .persist(storage)
+      crossing = cross.count() // the round's ONE action
+      // this count materialized comp (and, through its lineage, the
+      // previous round's chosen) — the previous round's cross/comp are
+      // now provably unreachable
+      if (prevCross != null) prevCross.unpersist(blocking = false)
+      prevCross = cross
+      if (prevComp ne comp) { prevComp.unpersist(blocking = false); prevComp = comp }
       if (crossing > 0) {
-        // (w, u, v) leads the struct so min() picks the canonical edge;
-        // cu/cv ride behind it (the edge key is unique, so they never
-        // decide the order) — they name the two components the chosen
-        // edge merges, which feeds the CONTRACTION step below
-        val incident = cross
-          .select(col("cu").as("c"),
-            struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e"))
-          .union(cross
-            .select(col("cv").as("c"),
-              struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e")))
-        val chosenE = incident.groupBy(col("c")).agg(min(col("e")).as("e"))
-          .transform(Checkpoints.pin(_, eager = false))
-        chosenPins += chosenE
-        // contraction: the merge graph (one node per live component,
-        // its chosen merge as the single out-edge) is a FUNCTIONAL
-        // pseudo-forest — every tree hangs off exactly one mutual-min
-        // 2-cycle — so component labels resolve by pointer jumping on
-        // the parent map: break the 2-cycle to its least member (the
-        // only root), then `jumps` lazily CHAINED p∘p self-joins. No
-        // minLabel, no per-jump driver action: the whole chain
-        // materializes in the ONE eager comp pin below. (Re-solving
-        // the accumulated forest per round — the first-cut shape —
-        // grew the inner CC's iteration count with forest diameter and
-        // cost ~7 driver actions per round; this is 1.)
-        val parent0 = chosenE.select(col("c"),
-          when(col("c") === col("e.cu"), col("e.cv")).otherwise(col("e.cu"))
-            .as("p"))
-        val p1 = parent0
-          .join(parent0.select(col("c").as("p"), col("p").as("pp")), Seq("p"))
-          .select(col("c"),
-            when(col("pp") === col("c"), least(col("c"), col("p")))
-              .otherwise(col("p")).as("p"))
-        // the jumps run at the RDD layer: each Catalyst lazy pin in a
-        // DataFrame jump chain costs a full analyze+optimize+plan pass
-        // (~0.25 s of DRIVER time per pin, measured), which dominated
-        // the whole operator; RDD self-joins plan nothing, chain into
-        // the one comp-pin job below, and shuffle the same tiny
-        // (component, parent) pairs. Generic over the id type — only
-        // key equality/hashing is used, never ordering.
-        // components at least halve per round, so the depth bound (and
-        // the jump budget) shrinks by one each round
+        // (w, u, v) total order picks the canonical lightest edge per
+        // component; cu/cv ride along to name the merge
+        val chosen = cross
+          .flatMap { case (u, v, w, cu, cv) =>
+            Iterator((cu, (w, u, v, cu, cv)), (cv, (w, u, v, cu, cv)))
+          }
+          .reduceByKey { (x, y) =>
+            if (x._1 < y._1 || (x._1 == y._1 && (x._2 < y._2 ||
+              (x._2 == y._2 && x._3 <= y._3)))) x else y
+          }
+          .persist(storage)
+        chosenBuf += chosen
+        // contraction: the merge graph is a functional pseudo-forest —
+        // every tree hangs off one mutual-min 2-cycle. Break the
+        // 2-cycle to its least member (the only root), then chained
+        // p∘p pointer jumps; the budget shrinks by one per round
+        // (components at least halve).
+        val parent0 = chosen.map { case (c, (_, _, _, cu, cv)) =>
+          (c, if (c == cu) cv else cu)
+        }
+        val p1 = parent0.map { case (c, p) => (p, c) }
+          .join(parent0)
+          .map { case (p, (c, pp)) =>
+            (c, if (pp == c) math.min(c, p) else p)
+          }
+        var pk = p1
         val roundJumps = math.max(1, jumps - round)
-        val p1rdd = p1.rdd.map(r => (r.get(0), r.get(1)))
-        var pkRdd = p1rdd
         for (_ <- 1 to roundJumps)
-          pkRdd = pkRdd.map { case (c, pv) => (pv, c) }
-            .leftOuterJoin(pkRdd)
+          pk = pk.map { case (c, pv) => (pv, c) }
+            .leftOuterJoin(pk)
             .map { case (pv, (c, pj)) => (c, pj.getOrElse(pv)) }
-        val labels = comp.sparkSession.createDataFrame(
-          pkRdd.map { case (c, pv) => org.apache.spark.sql.Row(c, pv) },
-          p1.schema)
-        comp = Checkpoints.pin(
-          comp.join(labels.withColumnRenamed("c", "comp"), Seq("comp"), "left")
-            .select(col("id"), coalesce(col("p"), col("comp")).as("comp")))
-        Checkpoints.release(Seq(prevComp, cross))
-        prevComp = comp
-      } else Checkpoints.release(Seq(cross))
+        comp = comp.map { case (id, cm) => (cm, id) }
+          .leftOuterJoin(pk)
+          .map { case (cm, (id, l)) => (id, l.getOrElse(cm)) }
+          .partitionBy(part)
+          .persist(storage)
+      }
       round += 1
     }
-    if (crossing > 0)
+    def releaseAll(): Unit = {
+      canon.unpersist(blocking = false)
+      comp.unpersist(blocking = false)
+      if (prevComp ne comp) prevComp.unpersist(blocking = false)
+      if (prevCross != null) prevCross.unpersist(blocking = false)
+      chosenBuf.foreach(_.unpersist(blocking = false))
+    }
+    if (crossing > 0) {
+      releaseAll()
       throw new IllegalStateException(
         s"boruvkaMsf did not finish within $maxRounds rounds " +
           s"($crossing crossing edges remain) — raise maxRounds; a " +
           "partial forest would silently read as disconnection")
+    }
     // one distinct over the union replays the per-round dedup (both
     // endpoint components choosing the same edge); cross-round dups
     // cannot exist (a forest edge is intra-component ever after)
+    val forest =
+      if (chosenBuf.isEmpty) spark.sparkContext.emptyRDD[(Long, Long, Long)]
+      else spark.sparkContext
+        .union(chosenBuf.toSeq.map(_.map { case (_, (w, u, v, _, _)) => (u, v, w) }))
+        .distinct()
+    val uT = inTypes(0); val vT = inTypes(1); val wT = inTypes(2)
+    // output types mirror the old least/greatest/min(w) rendering: the
+    // id columns share the two inputs' common (widest) type
+    val idT = if (uT == LongType || vT == LongType) LongType else uT
+    val raw = spark.createDataFrame(
+      forest.map { case (u, v, w) => Row(u, v, w) },
+      StructType(Seq(StructField("u", LongType, nullable = false),
+        StructField("v", LongType, nullable = false),
+        StructField("w", LongType, nullable = false))))
+    // the eager pin materializes the forest off the still-persisted
+    // chosen rounds BEFORE their storage releases
     val msf = Checkpoints.pin(
-      if (chosenPins.isEmpty) canon.limit(0)
-      else chosenPins.map(_.select(col("e.u").as("u"), col("e.v").as("v"),
-          col("e.w").as("w")))
-        .reduce(_ union _).distinct())
-    Checkpoints.release(chosenPins.toSeq :+ canon :+ nodes :+ prevComp)
+      if (idT == LongType && wT == LongType) raw
+      else raw.select(col("u").cast(idT).as("u"), col("v").cast(idT).as("v"),
+        col("w").cast(wT).as("w")))
+    releaseAll()
     msf
   }
 

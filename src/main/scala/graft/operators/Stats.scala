@@ -1328,10 +1328,22 @@ object Stats {
     val ouc = df.groupBy(keys :+ col(unitCol).as("__u") :+ col(catCol).as("__c"): _*)
       .agg(count(lit(1)).as("__o"))
     val wUnit = Window.partitionBy(keys :+ col("__u"): _*)
-    val scored = ouc.withColumn("__m", sum(col("__o")).over(wUnit))
-      .filter(col("__m") >= 2)
-      .withColumn("__do",
-        col("__o") * (col("__m") - col("__o")) * expr("420 div (__m - 1)"))
+    // EAGER pin (r18): `scored` feeds TWO aggregates (catTot + units),
+    // and without the pin the whole upstream pipeline is planned twice
+    // and stitched back by exchange reuse — which, over a caller whose
+    // input unions several repartitioned legs (q_krippendorff's three
+    // raters over the spread doc scan), hit a nondeterministic AQE
+    // reuse race: the units-side broadcast occasionally materialized
+    // EMPTY and the inner join emitted 0 rows (~50% of runs at sf0.01,
+    // local[16] — pre-existing, found while re-verifying this round).
+    // The pin is bounded by the (unit, category) census, evaluates the
+    // input exactly once, and makes the tail a two-aggregate join over
+    // a materialized frame.
+    val scored = Checkpoints.pin(
+      ouc.withColumn("__m", sum(col("__o")).over(wUnit))
+        .filter(col("__m") >= 2)
+        .withColumn("__do",
+          col("__o") * (col("__m") - col("__o")) * expr("420 div (__m - 1)")))
     val catTot = scored
       .groupBy(keys :+ col("__c"): _*)
       .agg(sum(col("__o")).as("__nc"), sum(col("__do")).as("__docat"),

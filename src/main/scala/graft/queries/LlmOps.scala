@@ -43,6 +43,23 @@ object LlmOps {
       .select("id_a", "id_b")
   }
 
+  /** Spread a CORPUS-SIZED scan before a heavy exploder ONLY when it
+    * actually arrives under-split (r18, verdict #6): the local testdata
+    * parquet is one row group ⇒ one scan partition, which serialized
+    * tokenize/gram kernels on a single core (the r17 doc-spread
+    * rationale) — but at 100 TB the same scan arrives with thousands of
+    * splits and an unconditional repartition would add a full text
+    * shuffle real inputs never need. Gate on the OBSERVED scan
+    * partition count (physical planning only — no job runs); bounded
+    * eval-set spreads stay unconditional, they are small by design.
+    */
+  private def spreadIfNarrow(df: DataFrame, key: String): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(1, dp / 2))
+      df.repartition(dp, col(key))
+    else df
+  }
+
   /** Distinct (key, token-3-gram-shingle) pairs over `keyCol`, the shared
     * substrate of q_source_overlap and q_set_cover. Shingles are built
     * with index-lambda `transform` over the whitespace token array —
@@ -93,10 +110,10 @@ object LlmOps {
     // Integer counts + one guarded division (docs under 3 tokens have
     // no shingles and are absent, identically on both sides).
     "q_ngram_novelty" -> ((s, d) => {
-      // doc-spread before the shingle explode — see q_novelty
+      // doc-spread before the shingle explode — gated on observed
+      // split count (see spreadIfNarrow)
       val sh = keyedShingles(
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        spreadIfNarrow(Tables.documents(s, d), "doc_id"),
         "doc_id")
         .localCheckpoint(false)
       val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
@@ -2454,11 +2471,10 @@ object LlmOps {
     // ordered reassembly) including the reassembled STRINGS, so one
     // mis-merged position anywhere flips the hash.
     "q_boilerplate_scrub" -> ((s, d) => {
-      // doc-spread before the n-gram explode — see q_novelty
+      // doc-spread before the n-gram explode — gated (see spreadIfNarrow)
       graft.operators.Boilerplate
         .scrubFrequentNgrams(
-          Tables.documents(s, d)
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          spreadIfNarrow(Tables.documents(s, d), "doc_id"),
           "doc_id", "text", n = 3, minDocs = 4L)
         .orderBy("doc_id")
     }),
@@ -2856,9 +2872,8 @@ object LlmOps {
     // complementary ones.
     "q_dedup_agreement" -> ((s, d) => {
       // doc-spread: feeds BOTH the winnowing pass and the chunk
-      // fingerprints — see q_novelty
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // fingerprints — gated (see spreadIfNarrow)
+      val docs = spreadIfNarrow(Tables.documents(s, d), "doc_id")
       val pw = graft.operators.Winnow
         .matches(docs, "doc_id", "text", minShared = 3L)
         .select(col("id_a"), col("id_b"))
@@ -3503,9 +3518,9 @@ object LlmOps {
     // are exactly the clusters where keep-min-id loses quality, the
     // evidence behind a keep-best policy change.
     "q_dedup_survivorship" -> ((s, d) => {
-      // doc-spread before the winnowing fingerprint pass — see q_novelty
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // doc-spread before the winnowing fingerprint pass — gated
+      // (see spreadIfNarrow)
+      val docs = spreadIfNarrow(Tables.documents(s, d), "doc_id")
       val pairs = graft.operators.Winnow
         .matches(docs, "doc_id", "text", minShared = 3L)
       val comp = graft.operators.Components.minLabel(pairs)
@@ -3533,14 +3548,10 @@ object LlmOps {
       // doc-spread before the shingle explode (r17): the documents
       // parquet reads as ONE split locally, serializing tokenize +
       // gram hashing on a single core (profiled par 1.7, 3.8 task-s);
-      // the explode's own distinct shuffles MORE bytes than this thin
-      // pre-shuffle, so the spread is a small constant at scale and
-      // input splits provide it for free there (q_jaccard_join
-      // precedent).
+      // r18: gated on observed split count (see spreadIfNarrow).
       graft.operators.Dedup
         .noveltyProfile(
-          Tables.documents(s, d)
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          spreadIfNarrow(Tables.documents(s, d), "doc_id"),
           "doc_id", "text", k = 4)
         .orderBy("doc_id")
     }),
@@ -3916,14 +3927,14 @@ object LlmOps {
       // repartition parallelizes the expensive tokenize+ngram+distinct
       // stage: the small documents parquet reads as ONE split locally,
       // which serialized the whole element build on a single core
-      // (measured 8.7 s → ~0.4 s at sf0.1); at real scale input splits
+      // (measured 8.7 s → ~0.4 s at sf0.1); r18: gated on observed
+      // split count (see spreadIfNarrow) — at real scale input splits
       // provide this parallelism for free.
       // NO size() filter on bgs: the HOF transform is interpreted (not
       // codegen), and a filter referencing it forces re-evaluation per
       // consumer (measured 0.4 s → 3.8 s); empty gram arrays explode to
       // nothing inside the operator anyway, so the filter was redundant.
-      val tk = Tables.documents(s, d)
-        .repartition(col("doc_id"))
+      val tk = spreadIfNarrow(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), gfn.ascii_tokens(col("text")).as("tk"))
         .select(col("doc_id"), gfn.word_ngrams(col("tk"), 3).as("bgs"))
       graft.operators.SimilarityJoin.jaccardJoin(tk, "doc_id", "bgs", tNum = 7, tDen = 10)
@@ -5465,9 +5476,8 @@ object LlmOps {
     // heuristic-labeling pipeline runs when some signals are
     // undefined on short inputs.
     "q_krippendorff" -> ((s, d) => {
-      // doc-spread before tokenize — see q_novelty
-      val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // doc-spread before tokenize — gated (see spreadIfNarrow)
+      val base = spreadIfNarrow(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), col("source"),
           gfn.ascii_tokens(col("text")).as("tk"))
         .withColumn("n_tok", size(col("tk")).cast("long"))

@@ -4680,18 +4680,24 @@ object Relational {
       // same degenerate-data paths the oracle's CTE replay takes.
       var theta: Map[Long, Option[Long]] =
         cells.map(_._1).distinct.map(_ -> Option(1000L)).toMap
+      // lookups mirror the SQL joins' DROP-row semantics (get, not
+      // apply): a j outside the theta spine or an i outside wTot would
+      // fall out of the inner join, not crash — reachable only if the
+      // contests construction ever stopped being symmetric, but the
+      // degradation mode must match the oracle's
       for (_ <- 1 to 3) {
         val den: Map[Long, Option[Long]] = cells.groupBy(_._1).map { case (i, cs) =>
           val terms = cs.flatMap { case (_, j, nIj) =>
-            for (ti <- theta(i); tj <- theta(j); if ti + tj != 0L)
+            for (ti <- theta.get(i).flatten; tj <- theta.get(j).flatten;
+                 if ti + tj != 0L)
               yield (1000000L * nIj) / (ti + tj)
           }
           i -> (if (terms.isEmpty) None else Some(terms.sum))
         }
-        theta = den.map { case (i, dn) =>
-          i -> dn.flatMap(d =>
+        theta = den.flatMap { case (i, dn) =>
+          winsOf.get(i).map(w => i -> dn.flatMap(d =>
             if (d == 0L) Some(0L)
-            else Some((1000000000L * winsOf(i)) / d))
+            else Some((1000000000L * w) / d)))
         }
       }
       val th = s.createDataFrame(
